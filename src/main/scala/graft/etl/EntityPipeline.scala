@@ -1,0 +1,150 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ETL output-format generation: v1 (one flat CSV per entity,
+  * `main.py`) or v2 (normalized payload CSV + unified metadata CSV,
+  * `main2.py`). */
+sealed trait EtlMode
+case object V1 extends EtlMode
+case object V2 extends EtlMode
+
+final case class EtlMetrics(files: Long, valid: Long, invalid: Long)
+
+/** The §2.2 dataflow, one lazy DataFrame plan per entity:
+  *
+  * {{{
+  * scan → parse ─→ validate ─┬─ ok ────────────────────────────┐
+  *                           ├─ required → log+quarantine ──┐  │ (flag on)
+  *                           └─ other    → log+quarantine, dropped
+  *                                                          ▼  ▼
+  *        flatten+project → event_id FK (v2) → address → job → name parts
+  *        → CSV sink(s); counters
+  * }}}
+  *
+  * Everything up to the sinks is one Catalyst plan over the cached
+  * validated scan — parse (from_json), validation (UDF), routing
+  * (filters), transforms (built-in Columns) all pipeline in a single
+  * whole-stage-codegen pass per branch; no shuffle anywhere (the sort for
+  * divergence D1's deterministic order is the only exchange, and only in
+  * fidelity mode).
+  */
+object EntityPipeline {
+
+  final case class Result(metrics: EtlMetrics)
+
+  def run(spark: SparkSession, conf: EntityConf, mode: EtlMode,
+          errorLogFile: String, fidelity: Boolean = true): Result = {
+    val schema = SchemaCompiler.compile(conf.schemaFile)
+    val raw = JsonDirSource.read(spark, conf.dataDir)
+    val validated = raw
+      .withColumn("v", Validator.validateCol(schema)(col("value")))
+      .withColumn("data", from_json(col("value"), schema.envelopeStruct))
+      .cache()
+
+    val files = validated.count()
+    val valid = validated.filter(col("v.errClass") === "ok").count()
+    val invalid = files - valid
+
+    // O6 error log + O7 quarantine for every invalid file, in
+    // deterministic src_path order (divergence D1).
+    val invalidDf = validated.filter(col("v.errClass") =!= "ok")
+      .select(col("src_path"), col("v.errMsg")).orderBy("src_path")
+    ErrorLogSink.append(invalidDf, errorLogFile)
+    val quarantinePaths = validated.filter(col("v.errClass") =!= "ok")
+      .select(col("src_path")).distinct().orderBy("src_path")
+      .collect().map(_.getString(0)).toSeq
+    QuarantineSink.copyAll(quarantinePaths, conf.quarantineDir)
+
+    // O5 routing: valid, plus required-missing when the
+    // replace_missing_data gate is on (`main.py:15,183-187`).
+    val emit0 = if (conf.replaceMissingData)
+      validated.filter(col("v.errClass") === "ok" || col("v.errClass") === "required")
+    else validated.filter(col("v.errClass") === "ok")
+    val emit = emit0.orderBy("src_path")
+
+    mode match {
+      case V1 =>
+        val out = project(emit, schema, schema.v1Columns, v2 = false)
+        CsvSink.appendFidelity(out, conf.outputFile)
+      case V2 =>
+        val out = project(emit, schema, schema.v2PayloadColumns, v2 = true)
+        CsvSink.appendFidelity(out, conf.outputFile)
+        val meta = projectMetadata(emit, schema)
+        CsvSink.appendFidelity(meta, conf.metadataFile.getOrElse(
+          sys.error(s"v2 entity ${conf.name} needs metadata_file")))
+    }
+
+    validated.unpersist()
+    Result(EtlMetrics(files, valid, invalid))
+  }
+
+  /** O8/O9/O10-O13: flatten the envelope, apply transforms, stringify to
+    * the derived output column order. */
+  private[etl] def project(df: DataFrame, schema: CompiledSchema,
+                           columns: Seq[String], v2: Boolean): DataFrame = {
+    val payloadNames = schema.payloadFields.map(_.name).toSet
+    val metaNames = schema.metadataFields.map(_.name).toSet
+
+    // v1 semantics: merged dict with metadata keys winning on collision
+    // (`main.py:104-107`); v2 keeps payload/metadata separate but the
+    // payload table only reads payload fields + the event_id FK.
+    def src(name: String): Column =
+      if (!v2 && metaNames.contains(name)) col(s"data.metadata.$name")
+      else if (payloadNames.contains(name)) col(s"data.payload.$name")
+      else col(s"data.metadata.$name")
+
+    val hasAddress = payloadNames.contains("address")
+    val hasJob = payloadNames.contains("job")
+    val nameColOpt = Seq("name", "created_by_name").find(payloadNames.contains)
+
+    // Per-row entity guard (`main.py:110`): transforms fire only when the
+    // record HAS an address key (absent ⇔ null for emitted rows — present
+    // non-string values are type errors and were dropped).
+    val addressPresent = if (hasAddress) col("data.payload.address").isNotNull else lit(false)
+    val nameStruct = nameColOpt.map(nc => Transforms.nameParts(col(s"data.payload.$nc")))
+
+    def valueOf(name: String): Column = name match {
+      case "address" if hasAddress =>
+        when(addressPresent, Transforms.addressClean(col("data.payload.address")))
+          .otherwise(col("data.payload.address"))
+      case "job" if hasAddress && hasJob =>
+        when(addressPresent, Transforms.fixJob(col("data.payload.job")))
+          .otherwise(col("data.payload.job"))
+      case "event_id" if v2 => Transforms.eventIdFk(col("data.metadata.event_id"))
+      case "prefix" => nameStruct.map(_.getField("prefix")).getOrElse(lit(""))
+      case "suffix" => nameStruct.map(_.getField("suffix")).getOrElse(lit(""))
+      case n if v2 && nameColOpt.contains(n) => nameStruct.get.getField("name")
+      case n => src(n)
+    }
+
+    def jsonTypeOf(name: String): String = name match {
+      case "prefix" | "suffix" => "string"
+      case "event_id" if v2 => "string"
+      case n => schema.fieldType("payload", n)
+        .orElse(schema.fieldType("metadata", n)).getOrElse("string")
+    }
+
+    df.select(columns.map(n => stringify(valueOf(n), jsonTypeOf(n)).as(n)): _*)
+  }
+
+  /** v2 unified metadata projection: metadata required columns only. */
+  private[etl] def projectMetadata(df: DataFrame, schema: CompiledSchema): DataFrame =
+    df.select(schema.v2MetadataColumns.map { n =>
+      val t = schema.fieldType("metadata", n).getOrElse("string")
+      stringify(col(s"data.metadata.$n"), t).as(n)
+    }: _*)
+
+  private val pyFloat = udf((d: Double) => PyFormat.pyFloatRepr(d))
+
+  /** CSV text per JSON type: ints as digits, floats Python-repr style,
+    * booleans True/False (Python capitalization — verified reference
+    * behavior, SURVEY §1.2), missing → '' (DictWriter restval). */
+  private def stringify(c: Column, jsonType: String): Column = jsonType match {
+    case "boolean" => coalesce(when(c, "True").otherwise("False"), lit(""))
+    case "number"  => coalesce(when(c.isNotNull, pyFloat(c)), lit(""))
+    case _         => coalesce(c.cast(StringType), lit(""))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** O1/O2: per-FILE JSON event source.
+  *
+  * The reference scans a flat directory non-recursively, keeps `*.json`
+  * names only (skipped files are NOT counted — `main.py:163-167`), and
+  * treats each file as one record. We read with the `wholetext` text
+  * source so the raw file text and its path stay paired — required for
+  * quarantine (verbatim file copy, O7) and the error log (per-file
+  * message, O6). A multiline JSON reader would lose that pairing
+  * (SURVEY.md §1.4).
+  *
+  * Scale note (§7.6): wholetext is one task per file — exactly right for
+  * the file-per-record model (embarrassingly parallel, no shuffle). For
+  * 100 TB of small files the knobs are
+  * `spark.sql.files.maxPartitionBytes` / `openCostInBytes` (Spark packs
+  * many small files into one task) and driver-side listing batches; the
+  * plan itself is unchanged on a 1000-executor cluster.
+  */
+object JsonDirSource {
+
+  /** → DataFrame(src_path: String, value: String), deterministically
+    * ordered downstream by src_path (divergence D1: the reference's row
+    * order is os.walk's, which is nondeterministic). */
+  def read(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.json")
+      .option("recursiveFileLookup", "false")
+      .text(dataDir)
+      .select(
+        // input_file_name returns a file: URI; keep a plain filesystem
+        // path for error-log lines and quarantine copies.
+        regexp_replace(input_file_name(), "^file:(//)?", "").as("src_path"),
+        col("value"))
+}
