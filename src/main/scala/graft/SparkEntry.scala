@@ -1,10 +1,12 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Declared, Oracle}
+import graft.queries.{Declared, EtlDemo, Oracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Aggregates every oracle-checked query surface of the engine:
-  * the declared relational inventory (SURVEY §2.4). */
+  * Aggregates every oracle-checked query surface of the engine: the
+  * declared relational inventory (SURVEY §2.4), the ETL transform
+  * semantics (§2.1 O11-O13), and the LLM-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal). */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the TPC-H-Q5-shaped 6-way join + decimal aggregate. */
@@ -13,9 +15,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Declared.queries
+    Declared.queries ++ EtlDemo.queries ++
+      graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
+      graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for the non-SQL-expressible ops
+    * (minhash/simhash/cosine/LSH/multimodal — Spark-hash- or
+    * float-order-dependent) → driver records a rows-only check; their
+    * semantics are invariant-tested in ScalaTest instead. */
   def oracleSql: Map[String, String] = Oracle.oracleSql
 }

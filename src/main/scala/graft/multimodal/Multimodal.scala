@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for training-data pipelines.
+  *
+  * Media (image/audio/video) travels as an opaque `binary` content column
+  * plus a typed metadata struct — the layout that scales: content bytes
+  * never pass through Catalyst expressions; all relational work (joins,
+  * filters, dedup on content hash) happens on the narrow metadata/hash
+  * columns, and decode/feature work streams per partition.
+  *
+  * The decode step itself is a STUB (no image/audio libs in this
+  * container — clearly marked below): `FakeCodec` produces deterministic
+  * "features" from the bytes so the Spark-side plumbing — schema, batch
+  * iteration via mapPartitions over a typed Dataset, partition sizing,
+  * per-frame explode — is real and tested end-to-end. Swapping in a real
+  * decoder changes only [[FakeCodec.decode]]'s body, not the plan shape.
+  * (In PySpark the same seam is `mapInPandas` with an arrow-batch UDF;
+  * `mapPartitions` over a typed Dataset is the Scala-native equivalent.)
+  */
+object Multimodal {
+
+  /** One media record: content + the metadata a 100 TB catalog carries. */
+  final case class MediaRecord(
+      media_id: Long,
+      modality: String, // image | audio | video
+      format: String,
+      n_bytes: Long,
+      content: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      n_bytes: Long,
+      checksum: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Double])
+
+  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg
+    * etc. Real plumbing, fake math. */
+  object FakeCodec {
+    val FeatureDim = 8
+
+    /** ??? real decode goes here — this fake derives stable pseudo
+      * dimensions/features from the bytes so tests are deterministic. */
+    def decode(r: MediaRecord): MediaFeatures = {
+      val sum = r.content.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      val w = 16 + (sum % 64).toInt
+      val h = 16 + ((sum / 64) % 64).toInt
+      val frames = if (r.modality == "video") 1 + (r.n_bytes % 8).toInt else 1
+      val feat = Array.tabulate(FeatureDim)(i =>
+        ((sum >> i) % 256).toDouble / 256.0)
+      MediaFeatures(r.media_id, r.modality, r.n_bytes, sum, w, h, frames, feat)
+    }
+
+    /** Frame sampling stub for video: every `stride`-th frame index. */
+    def sampleFrames(f: MediaFeatures, stride: Int): Seq[Int] =
+      (0 until f.n_frames by stride)
+  }
+
+  /** Batch decode: one pass per partition, streaming — the decoder holds
+    * one record at a time, so executor memory stays bounded regardless of
+    * corpus size; partition count (not data volume) controls parallelism. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(FakeCodec.decode))
+  }
+
+  /** Demonstration source: documents-as-media (text bytes standing in for
+    * content blobs; modality assigned round-robin). */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.Tables(s, dir, "documents")
+      .select($"doc_id".as("media_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          ($"doc_id" % 3).cast("int") + 1).as("modality"),
+        element_at(typedlit(Seq("jpeg", "wav", "mp4")),
+          ($"doc_id" % 3).cast("int") + 1).as("format"),
+        length($"text").cast("bigint").as("n_bytes"),
+        $"text".cast("binary").as("content"))
+      .as[MediaRecord]
+  }
+
+  /** queries() entry: decode + per-video frame sampling, flattened. No
+    * SQL oracle (binary + mapPartitions path) → rows-only check;
+    * invariants tested in MultimodalSpec. */
+  def decodeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = decodeFeatures(mediaFromDocuments(s, dir))
+    feats.select($"media_id", $"modality", $"n_bytes", $"checksum",
+      $"width", $"height", $"n_frames",
+      round(element_at($"feature", 1), 6).as("f0"))
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_features" -> decodeQuery _)
+}

@@ -181,5 +181,134 @@ object Oracle {
 
     "q20b_embedding_dims" ->
       """SELECT label, CAST(len(embedding) AS INT) AS dim, count(*) AS n
-        |FROM embeddings GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)
+        |FROM embeddings GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // ---- ETL transform semantics over testdata (SURVEY §2.1 O11-O13) ----
+    "etl_job_rewrite" ->
+      """WITH j AS (
+        |  SELECT p_partkey, p_name,
+        |    CASE WHEN p_size % 5 = 0 THEN p_type
+        |         ELSE p_type || ', ' || p_brand END AS job_raw
+        |  FROM part
+        |), f AS (
+        |  SELECT p_partkey, p_name, job_raw,
+        |    CASE WHEN len(string_split(job_raw, ',')) = 2 THEN
+        |      -- python capitalize(lstrip(spec) || ' ' || general)
+        |      upper(substr(ltrim(string_split(job_raw, ',')[2]) || ' ' || string_split(job_raw, ',')[1], 1, 1)) ||
+        |      lower(substr(ltrim(string_split(job_raw, ',')[2]) || ' ' || string_split(job_raw, ',')[1], 2))
+        |    ELSE job_raw END AS job_fixed
+        |  FROM j)
+        |SELECT p_partkey, job_raw, job_fixed,
+        |  upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2)) AS name_cap
+        |FROM f ORDER BY p_partkey""".stripMargin,
+
+    "etl_name_parts" ->
+      """WITH n AS (
+        |  SELECT p_partkey, p_name,
+        |    (['Dr. ', 'Mr. ', '', 'Xx '])[(p_size % 4) + 1] || p_name ||
+        |    ([' PhD', '', ' Jr.'])[(p_size % 3) + 1] AS name_raw
+        |  FROM part
+        |), t AS (
+        |  SELECT p_partkey, p_name, name_raw,
+        |    string_split(name_raw, ' ') AS tok, len(string_split(name_raw, ' ')) AS nt
+        |  FROM n)
+        |SELECT p_partkey, name_raw,
+        |  CASE WHEN nt = 4 THEN tok[1]
+        |       WHEN nt = 3 AND list_contains(['Dr.','Mr.','Mrs.','Ms.'], tok[1]) THEN tok[1]
+        |       ELSE '' END AS prefix,
+        |  CASE WHEN nt = 4 THEN tok[2] || ' ' || tok[3]
+        |       WHEN nt = 3 AND list_contains(['Dr.','Mr.','Mrs.','Ms.'], tok[1]) THEN tok[2] || ' ' || tok[3]
+        |       WHEN nt = 3 THEN tok[1] || ' ' || tok[2]
+        |       ELSE name_raw END AS name_out,
+        |  CASE WHEN nt = 4 THEN tok[4]
+        |       WHEN nt = 3 AND NOT list_contains(['Dr.','Mr.','Mrs.','Ms.'], tok[1]) THEN tok[3]
+        |       ELSE '' END AS suffix,
+        |  replace(p_name || chr(10) || 'line2', chr(10), ' ') AS addr_clean
+        |FROM t ORDER BY p_partkey""".stripMargin,
+
+    // ---- text analysis (graft.text.TextAnalysis) ----
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','on'], x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+        |  len(toks) >= 20 AND len(toks) <= 1000 AND len(list_distinct(toks)) >= 10 AS passes_quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_tokencount" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS bpe_ish_tokens
+        |  FROM documents)
+        |SELECT doc_id, ws_tokens, bpe_ish_tokens,
+        |  CAST(bpe_ish_tokens AS DOUBLE) / ws_tokens AS pieces_per_word
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_filter(string_split(substr(text, 1, 64), ''), c -> c <> ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp_prefix
+        |  FROM documents)
+        |SELECT doc_id, fp, fp_prefix, CAST(fp % 1024 AS INT) AS fp_bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','y','que','los'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','une'], x))) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        |       ELSE 'fr' END AS predicted_lang,
+        |  CAST(s_en + s_es + s_de + s_fr AS BIGINT) AS stopword_hits
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // ---- dedup (SQL-expressible subset) ----
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 100.0) AS INT) AS len_bucket,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+        |  CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)
 }

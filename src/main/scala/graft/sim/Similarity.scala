@@ -1,0 +1,94 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    The query set broadcasts (it is small by construction); the data
+  *    side streams — no shuffle except the per-query top-k, which Spark
+  *    plans as partial top-k per partition via the rank window on a
+  *    (query-partitioned) exchange of only `k·|queries|`-bounded rows.
+  *  - `lshTopK`: the scale path — signed-random-projection LSH: bucket =
+  *    sign bits of `planes·v`; candidates are fetched from the query's
+  *    bucket and its Hamming-1 probes (multi-probe), so the data side is
+  *    touched once to build buckets and candidate lists stay tiny vs a
+  *    full scan. At 100 TB the bucketed table is what you'd persist
+  *    (bucketBy on `bucket`), making every query a partition-pruned
+  *    lookup instead of a scan.
+  *
+  * Cosine math is double (cast from float) — float-order-sensitive →
+  * rows-only driver check; invariants (self-similarity, recall vs brute
+  * force) are asserted in SimilaritySpec.
+  */
+object Similarity {
+
+  val K = 10
+  val NumQueries = 5
+  val NumPlanes = 4
+
+  /** Deterministic random hyperplanes (seeded — no runtime entropy). */
+  private def planes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  private def vcol(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact brute-force cosine top-K for the first NumQueries vec_ids. */
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vcol(Tables(s, dir, "embeddings"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** LSH bucket id: NumPlanes sign bits of the plane projections. */
+  def bucketCol(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(typedlit(p.toSeq), v) > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Approximate top-K: candidates from the query's bucket plus all
+    * Hamming-1 probe buckets, ranked by exact cosine within candidates. */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vcol(Tables(s, dir, "embeddings"))
+      .withColumn("bucket", bucketCol($"v"))
+    val probes = array((lit(0) +: (0 until NumPlanes).map(i => lit(1 << i))): _*)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"),
+        explode(transform(probes, m => $"bucket".bitwiseXOR(m))).as("bucket"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    e.join(broadcast(q), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> bruteForceTopK _,
+    "sim_topk_lsh" -> lshTopK _)
+}

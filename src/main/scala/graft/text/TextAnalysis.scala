@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * quality scoring, token counting, language ID, document fingerprinting.
+  * All pure per-row Column expressions (higher-order array functions — no
+  * UDFs, fully codegen-compatible, embarrassingly parallel at 100 TB: the
+  * only shuffle in any of these queries is the final presentation sort).
+  *
+  * Every query here is DuckDB-oracle-checked: ratios are single IEEE
+  * divisions of exact integer counts (identical in both engines), and the
+  * fingerprint uses modular integer arithmetic (no float at all).
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens (Python-split parity: drop ''). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "on")
+
+  /** Quality metrics per document: length, token stats, stopword ratio,
+    * type-token ratio, and a gate boolean — the usual pre-training corpus
+    * filters (length/punct/stopword heuristics). */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("bigint")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val nStop = size(filter(toks, t =>
+      array_contains(typedlit(stopEn), t))).cast("bigint")
+    val nDistinct = size(array_distinct(toks)).cast("bigint")
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        length($"text").cast("bigint").as("n_chars_actual"),
+        nTok.as("n_tokens"),
+        (sumLen.cast("double") / nTok).as("avg_token_len"),
+        (nStop.cast("double") / nTok).as("stopword_ratio"),
+        (nDistinct.cast("double") / nTok).as("type_token_ratio"),
+        (nTok >= 20 && nTok <= 1000 && nDistinct >= 10).as("passes_quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs), the cheap proxy for tokenizer cost
+    * estimation over a corpus. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = size(tokens($"text")).cast("bigint")
+    val bpe = size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+"), lit(0))).cast("bigint")
+    Tables(s, dir, "documents")
+      .select($"doc_id", ws.as("ws_tokens"), bpe.as("bpe_ish_tokens"),
+        (bpe.cast("double") / ws).as("pieces_per_word"))
+      .orderBy($"doc_id")
+  }
+
+  /** Polynomial rolling-hash document fingerprint over the character
+    * stream: h = (h*31 + ascii(c)) mod 1e9+7 — exact integer arithmetic,
+    * reproducible across engines/partitionings, usable as a cheap
+    * content-identity key at any scale. Also emits the fingerprint of the
+    * first 64 chars (prefix fingerprint) and a 1024-way shard bucket. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // filter the empty string Java's split("") can append — DuckDB's
+    // char split never produces it, and parity matters for the oracle
+    def poly(c: Column): Column =
+      aggregate(
+        transform(filter(split(c, ""), ch => ch =!= ""),
+          ch => ascii(ch).cast("bigint")),
+        lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        poly($"text").as("fp"),
+        poly(substring($"text", 1, 64)).as("fp_prefix"),
+        (poly($"text") % 1024).cast("int").as("fp_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"))
+
+  /** Heuristic language ID: per-language stopword hit counts, CJK
+    * character presence for zh, deterministic argmax (first in list order
+    * wins ties), 'und' when nothing scores. The oracle recomputes the
+    * same formula — this checks the OPERATOR, not against the synthetic
+    * corpus's `lang` label (which is an independent attribute). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val scores = langStops.map { case (lang, stops) =>
+      lang -> size(filter(toks, t => array_contains(typedlit(stops), t)))
+    }
+    val hasCjk = length(regexp_replace($"text", "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(when(lit(true), "und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lang).otherwise(acc)
+    }
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        when(hasCjk, "zh").otherwise(pick).as("predicted_lang"),
+        scores.map(_._2).reduce(_ + _).cast("bigint").as("stopword_hits"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> quality _,
+    "text_tokencount" -> tokenCount _,
+    "text_fingerprint" -> fingerprint _,
+    "text_langid" -> langId _)
+}

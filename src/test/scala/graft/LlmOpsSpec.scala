@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("quality: counts are internally consistent") {
+    import spark.implicits._
+    val q = TextAnalysis.quality(spark, sf)
+    assert(q.filter($"type_token_ratio" > 1.0 || $"type_token_ratio" <= 0.0).count() == 0)
+    assert(q.filter($"stopword_ratio" < 0.0 || $"stopword_ratio" > 1.0).count() == 0)
+    assert(q.filter($"n_tokens" > $"n_chars_actual").count() == 0)
+  }
+
+  test("fingerprint: deterministic, in modular range, prefix-sensitive") {
+    import spark.implicits._
+    val a = TextAnalysis.fingerprint(spark, sf).collect()
+    val b = TextAnalysis.fingerprint(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 1000000007L))
+    // docs ≤64 chars have fp == fp_prefix; longer docs (almost) all differ
+    val eq = TextAnalysis.fingerprint(spark, sf)
+      .join(Tables(spark, sf, "documents"), "doc_id")
+      .filter(length($"text") > 64 && $"fp" === $"fp_prefix").count()
+    assert(eq < 5)
+  }
+
+  test("langid: deterministic values in the closed label set") {
+    import spark.implicits._
+    val l = TextAnalysis.langId(spark, sf)
+    val langs = l.select($"predicted_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Corpus with planted duplicates: 40 base docs, plus a near-dup of
+    * doc 0 (one token changed) and an exact dup of doc 1. */
+  def planted = {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa")
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(40)(words(r.nextInt(words.size))).mkString(" ")
+    }
+    val base = (0 until 40).map(i => (i.toLong, doc(i)))
+    val near = (100L, doc(0).replaceFirst("^\\w+", "CHANGED"))
+    val exact = (101L, doc(1))
+    (base :+ near :+ exact).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-dup and exact dup, not random pairs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLshOver(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), s"missing planted near-dup; got $pairs")
+    assert(pairs.contains((1L, 101L)), s"missing planted exact dup; got $pairs")
+    // random 40-token docs over a 10-word vocab can share shingles, but
+    // planted pairs must be found; random-pair noise stays bounded
+    assert(pairs.size < 20, s"too many noise pairs: ${pairs.size}")
+  }
+
+  test("simhash: exact dup has hamming 0; planted near-dup is close") {
+    import spark.implicits._
+    val pairs = Dedup.simhashOver(planted).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 101L)).contains(0), s"exact dup not at hamming 0: $pairs")
+    assert(pairs.contains((0L, 100L)), "planted near-dup beyond simhash radius")
+  }
+
+  test("exact dedup groups identical texts at any scale") {
+    import spark.implicits._
+    val d = Dedup.exact(spark, sf)
+    // synthetic corpus has no exact dups: every group is a singleton
+    assert(d.filter($"n_copies" =!= 1).count() == 0)
+    assert(d.count() == Tables(spark, sf, "documents").count())
+  }
+
+  test("embedding cosine pairs are symmetric-free and above threshold") {
+    import spark.implicits._
+    val p = Dedup.embeddingCosine(spark, sf)
+    assert(p.filter($"vec_a" >= $"vec_b").count() == 0)
+    assert(p.filter($"cos_sim" < 0.35 || $"cos_sim" > 1.0000001).count() == 0)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("brute-force top-k: k rows per query, descending, no self-match") {
+    import spark.implicits._
+    val t = Similarity.bruteForceTopK(spark, sf).cache()
+    val perQ = t.groupBy($"query_id").count().collect()
+    assert(perQ.length == Similarity.NumQueries)
+    assert(perQ.forall(_.getLong(1) == Similarity.K))
+    assert(t.filter($"query_id" === $"vec_id").count() == 0)
+    val ranks = t.filter($"query_id" === 0).orderBy($"rank").collect()
+    val sims = ranks.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    t.unpersist()
+  }
+
+  test("LSH top-k is a subset-quality approximation of brute force") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .filter($"rank" === 1).select($"query_id", $"cos_sim".as("best")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(spark, sf)
+      .filter($"rank" === 1).select($"query_id", $"cos_sim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // approximate: each LSH best can't beat the true best
+    lsh.foreach { case (q, c) => assert(c <= brute(q) + 1e-9) }
+    assert(lsh.nonEmpty)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("decode plumbing: schema, determinism, modality routing") {
+    import spark.implicits._
+    val feats = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, sf)).cache()
+    assert(feats.count() == 500)
+    // only video gets multi-frame treatment
+    assert(feats.filter($"modality" =!= "video" && $"n_frames" =!= 1).count() == 0)
+    assert(feats.filter($"width" < 16 || $"width" >= 80).count() == 0)
+    // deterministic fake decode: same input → same checksum
+    val a = feats.select($"media_id", $"checksum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(spark, sf))
+      .select($"media_id", $"checksum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    assert(feats.select($"feature").head().getSeq[Double](0).size
+      == Multimodal.FakeCodec.FeatureDim)
+    feats.unpersist()
+  }
+
+  test("frame sampling stub strides correctly") {
+    val f = Multimodal.MediaFeatures(1, "video", 100, 7, 16, 16, 7, Array(0.0))
+    assert(Multimodal.FakeCodec.sampleFrames(f, 2) == Seq(0, 2, 4, 6))
+  }
+}
