@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Declared.queries ++ EtlDemo.queries ++
+    Declared.queries ++ EtlDemo.queries ++ graft.queries.Profiles.queries ++
       graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
       graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries
 
@@ -24,5 +24,6 @@ object SparkEntry {
     * (minhash/simhash/cosine/LSH/multimodal — Spark-hash- or
     * float-order-dependent) → driver records a rows-only check; their
     * semantics are invariant-tested in ScalaTest instead. */
-  def oracleSql: Map[String, String] = Oracle.oracleSql
+  def oracleSql: Map[String, String] =
+    Oracle.oracleSql ++ graft.queries.Profiles.oracleSql
 }

@@ -37,8 +37,17 @@ object EntityPipeline {
 
   def run(spark: SparkSession, conf: EntityConf, mode: EtlMode,
           errorLogFile: String, fidelity: Boolean = true): Result = {
-    val schema = SchemaCompiler.compile(conf.schemaFile)
     val raw = JsonDirSource.read(spark, conf.dataDir)
+    process(raw, conf, mode, errorLogFile)
+  }
+
+  /** Batch body over an already-read (src_path, value) frame — shared by
+    * the batch runner and the Structured Streaming port's foreachBatch
+    * (graft.streaming.StreamingEtl), which is exactly the reference
+    * pipeline's shape: it was always an incremental append. */
+  def process(raw: DataFrame, conf: EntityConf, mode: EtlMode,
+              errorLogFile: String): Result = {
+    val schema = SchemaCompiler.compile(conf.schemaFile)
     val validated = raw
       .withColumn("v", Validator.validateCol(schema)(col("value")))
       .withColumn("data", from_json(col("value"), schema.envelopeStruct))

@@ -37,7 +37,9 @@ class DeclaredQueriesSpec extends AnyFunSuite {
       // (SURVEY §2.5); invariant-tested in DedupSpec/SimilaritySpec/
       // MultimodalSpec instead.
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-      "sim_topk_bruteforce", "sim_topk_lsh", "mm_decode_features")
+      "sim_topk_bruteforce", "sim_topk_lsh", "mm_decode_features",
+      // HLL sketch values are Spark-implementation-specific
+      "profile_hll")
     assert((missing -- rowsOnlyAllowed).isEmpty,
       s"queries without oracle or rows-only exemption: ${missing -- rowsOnlyAllowed}")
   }

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.etl.{Config, EtlFixtures, V2}
+
+class StreamingEtlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def readCsv(p: Path): Seq[String] =
+    new String(Files.readAllBytes(p)).split("\r\n").toSeq.filter(_.nonEmpty)
+
+  test("streaming ETL port produces the same outputs as the batch run, incrementally") {
+    val base = Files.createTempDirectory("etl_stream_")
+    EtlFixtures.writeCorpus(base)
+    val users = Config.builtin(base.toString, V2).head
+    // move two files out to add them later (incremental phase)
+    val held = Seq("f05.json", "f07.json").map { f =>
+      val src = base.resolve("users").resolve(f)
+      val parked = base.resolve(f + ".held")
+      Files.move(src, parked)
+      (parked, src)
+    }
+    val running = StreamingEtl.start(spark, users, V2,
+      base.resolve("errors.log").toString,
+      base.resolve("ckpt").toString)
+    try {
+      running.awaitIdle()
+      val afterFirst = readCsv(base.resolve("users.csv"))
+      assert(afterFirst.head == "id,prefix,name,suffix,address,job,score,event_id")
+      assert(afterFirst.size == 7) // header + 6 rows (9 files -2 held, -1 dropped)
+
+      // drop the held files in: the stream must pick up ONLY the new ones
+      held.foreach { case (parked, dst) => Files.move(parked, dst) }
+      running.awaitIdle()
+      val afterSecond = readCsv(base.resolve("users.csv"))
+      assert(afterSecond.size == 9) // +2 rows, no duplicate header
+      assert(afterSecond.count(_.startsWith("id,prefix")) == 1)
+      assert(afterSecond.exists(_.startsWith("102,Dr.,Jane Doe,PhD,")))
+      assert(afterSecond.exists(_.startsWith("104,,Ann Lee,Jr.,")))
+
+      // error log + quarantine fired from the stream too
+      assert(Files.readAllLines(base.resolve("errors.log")).asScala
+        .exists(_.contains("'high' is not of type 'number'")))
+      assert(Files.list(base.resolve("users_schema_mismatches")).iterator().asScala
+        .map(_.getFileName.toString).toSet == Set("f09.json", "f11.json"))
+      // per-file exactly-once: total files seen across batches == 9
+      assert(running.metrics.map(_.files).sum == 9)
+    } finally running.stop()
+  }
+}
+
+class StreamingAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** events parquet has TIMESTAMP(NANOS) — stream-read it as long then
+    * convert, same truncation as graft.Tables. */
+  def eventsStream(dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source needs a DIRECTORY; select the one table
+    // file out of the sf dir with a glob
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming hourly windows equal the batch aggregate") {
+    import spark.implicits._
+    val q = StreamingAnalytics.hourlyWindowCounts(eventsStream("/root/testdata/sf0.001"))
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("hourly")
+        .orderBy($"window_start", $"event_type").collect().toSeq
+      val batch = StreamingAnalytics.hourlyWindowCountsBatch(
+        graft.Tables(spark, "/root/testdata/sf0.001", "events"))
+        .orderBy($"window_start", $"event_type").collect().toSeq
+      assert(stream.nonEmpty)
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    import spark.implicits._
+    val q = StreamingAnalytics.userActivity(eventsStream("/root/testdata/sf0.001"))
+      .writeStream.format("memory").queryName("activity").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("activity")
+        .groupBy($"user_id").agg(max($"n_events").as("n"))
+        .agg(sum($"n")).collect()(0).getLong(0)
+      assert(total == 1000) // every event counted exactly once
+    } finally q.stop()
+  }
+}
