@@ -38,7 +38,7 @@ object EntityPipeline {
   def run(spark: SparkSession, conf: EntityConf, mode: EtlMode,
           errorLogFile: String, fidelity: Boolean = true): Result = {
     val raw = JsonDirSource.read(spark, conf.dataDir)
-    process(raw, conf, mode, errorLogFile)
+    process(raw, conf, mode, errorLogFile, fidelity)
   }
 
   /** Batch body over an already-read (src_path, value) frame — shared by
@@ -46,43 +46,57 @@ object EntityPipeline {
     * (graft.streaming.StreamingEtl), which is exactly the reference
     * pipeline's shape: it was always an incremental append. */
   def process(raw: DataFrame, conf: EntityConf, mode: EtlMode,
-              errorLogFile: String): Result = {
+              errorLogFile: String, fidelity: Boolean = true): Result = {
     val schema = SchemaCompiler.compile(conf.schemaFile)
     val validated = raw
       .withColumn("v", Validator.validateCol(schema)(col("value")))
       .withColumn("data", from_json(col("value"), schema.envelopeStruct))
       .cache()
 
-    val files = validated.count()
-    val valid = validated.filter(col("v.errClass") === "ok").count()
+    // One job for both counters (map-side partial agg; also materializes
+    // the cache every downstream pass reuses).
+    val m = validated.agg(
+      count(lit(1)).as("files"),
+      count_if(col("v.errClass") === "ok").as("valid")).collect()(0)
+    val files = m.getLong(0)
+    val valid = m.getLong(1)
     val invalid = files - valid
 
-    // O6 error log + O7 quarantine for every invalid file, in
-    // deterministic src_path order (divergence D1).
-    val invalidDf = validated.filter(col("v.errClass") =!= "ok")
-      .select(col("src_path"), col("v.errMsg")).orderBy("src_path")
-    ErrorLogSink.append(invalidDf, errorLogFile)
-    val quarantinePaths = validated.filter(col("v.errClass") =!= "ok")
-      .select(col("src_path")).distinct().orderBy("src_path")
-      .collect().map(_.getString(0)).toSeq
-    QuarantineSink.copyAll(quarantinePaths, conf.quarantineDir)
+    // O6 error log + O7 quarantine from ONE collect of the (small by
+    // construction) invalid set, in deterministic src_path order (D1).
+    val invalidRows = validated.filter(col("v.errClass") =!= "ok")
+      .select(col("src_path"), col("v.errMsg")).orderBy("src_path").collect()
+    ErrorLogSink.append(invalidRows.map(r => (r.getString(0), r.getString(1))),
+      errorLogFile)
+    QuarantineSink.copyAll(invalidRows.map(_.getString(0)).distinct.toSeq,
+      conf.quarantineDir)
 
     // O5 routing: valid, plus required-missing when the
     // replace_missing_data gate is on (`main.py:15,183-187`).
     val emit0 = if (conf.replaceMissingData)
       validated.filter(col("v.errClass") === "ok" || col("v.errClass") === "required")
     else validated.filter(col("v.errClass") === "ok")
-    val emit = emit0.orderBy("src_path")
+    // D1 deterministic ordering is a FIDELITY-mode contract (single
+    // golden CSV); scale mode keeps source order per part — a global sort
+    // of the corpus would be a pure-overhead shuffle at 100 TB.
+    val emit = if (fidelity) emit0.orderBy("src_path") else emit0
+
+    // fidelity: reference-faithful single growing CSV (driver-side
+    // append); scale: distributed part-file append under <output>.d/ —
+    // the cluster-shaped sink with no driver bottleneck.
+    def sink(df: DataFrame, outFile: String): Unit =
+      if (fidelity) CsvSink.appendFidelity(df, outFile)
+      else CsvSink.appendScale(df, outFile + ".d")
 
     mode match {
       case V1 =>
         val out = project(emit, schema, schema.v1Columns, v2 = false)
-        CsvSink.appendFidelity(out, conf.outputFile)
+        sink(out, conf.outputFile)
       case V2 =>
         val out = project(emit, schema, schema.v2PayloadColumns, v2 = true)
-        CsvSink.appendFidelity(out, conf.outputFile)
+        sink(out, conf.outputFile)
         val meta = projectMetadata(emit, schema)
-        CsvSink.appendFidelity(meta, conf.metadataFile.getOrElse(
+        sink(meta, conf.metadataFile.getOrElse(
           sys.error(s"v2 entity ${conf.name} needs metadata_file")))
     }
 

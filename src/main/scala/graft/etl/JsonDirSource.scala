@@ -25,7 +25,12 @@ object JsonDirSource {
   /** → DataFrame(src_path: String, value: String), deterministically
     * ordered downstream by src_path (divergence D1: the reference's row
     * order is os.walk's, which is nondeterministic). */
-  def read(spark: SparkSession, dataDir: String): DataFrame =
+  def read(spark: SparkSession, dataDir: String): DataFrame = {
+    // Event files are ~hundreds of bytes; the default 4 MB per-file open
+    // cost would scatter a 20k-file corpus over ~600 tasks of ~30 files
+    // each — task overhead swamps the work. 64 KB keeps partition counts
+    // proportional to real IO+parse cost while still fanning out.
+    spark.conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
     spark.read
       .option("wholetext", "true")
       .option("pathGlobFilter", "*.json")
@@ -36,4 +41,5 @@ object JsonDirSource {
         // path for error-log lines and quarantine copies.
         regexp_replace(input_file_name(), "^file:(//)?", "").as("src_path"),
         col("value"))
+  }
 }

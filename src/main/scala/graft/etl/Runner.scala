@@ -32,12 +32,12 @@ object Runner {
   }
 
   def run(spark: SparkSession, entities: Seq[EntityConf], mode: EtlMode,
-          errorLogFile: String): Map[String, EtlMetrics] = {
+          errorLogFile: String, fidelity: Boolean = true): Map[String, EtlMetrics] = {
     val t0 = System.nanoTime()
     println("Running...")
     val results = entities.map { conf =>
       println(s"\nProcessing ${conf.name}'s data...")
-      val r = EntityPipeline.run(spark, conf, mode, errorLogFile)
+      val r = EntityPipeline.run(spark, conf, mode, errorLogFile, fidelity)
       println(s"""Total JSON data files for "${conf.name}": ${r.metrics.files}""")
       println(s"Number of files that match schema: ${r.metrics.valid}")
       println(s"Number of files with schema errors: ${r.metrics.invalid}\n")
@@ -48,13 +48,16 @@ object Runner {
   }
 
   def main(args: Array[String]): Unit = {
-    val mode: EtlMode = args.headOption match {
+    // usage: v1|v2 [baseDir] [config.toml] [--scale]
+    val fidelity = !args.contains("--scale")
+    val rest = args.filterNot(_ == "--scale")
+    val mode: EtlMode = rest.headOption match {
       case Some("v1") => V1
       case Some("v2") => V2
       case other => sys.error(s"first arg must be v1|v2, got $other")
     }
-    val baseDir = args.lift(1).getOrElse(".")
-    val entities = args.lift(2) match {
+    val baseDir = rest.lift(1).getOrElse(".")
+    val entities = rest.lift(2) match {
       case Some(toml) => Config.fromToml(toml, baseDir, mode)
       case None => Config.builtin(baseDir, mode)
     }
@@ -67,7 +70,8 @@ object Runner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, entities, mode, Paths.get(baseDir, "errors.log").toString)
+    try run(spark, entities, mode, Paths.get(baseDir, "errors.log").toString,
+      fidelity)
     finally spark.stop()
   }
 }

@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object CsvSink {
 
-  /** df must already be projected to string columns in final order. */
+  /** df must already be projected to string columns in final order.
+    * collect() (one job) rather than toLocalIterator (one job per
+    * partition — measured as the dominant overhead of a 20k-file run):
+    * fidelity mode's single-growing-file semantic already implies the
+    * result fits driver memory; scale mode is the unbounded path. */
   def appendFidelity(df: DataFrame, outFile: String): Unit = {
     val path = Paths.get(outFile)
     val needHeader = !Files.exists(path) || Files.size(path) == 0
@@ -35,9 +39,7 @@ object CsvSink {
       new FileOutputStream(outFile, true), StandardCharsets.UTF_8))
     try {
       if (needHeader) w.write(PyFormat.csvLine(df.columns.toSeq) + "\r\n")
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
+      df.collect().foreach { row =>
         val fields = (0 until row.length).map(i =>
           if (row.isNullAt(i)) "" else row.getString(i))
         w.write(PyFormat.csvLine(fields) + "\r\n")
@@ -59,17 +61,14 @@ object CsvSink {
 object ErrorLogSink {
   private val fmt = DateTimeFormatter.ofPattern("dd/MM/yyyy hh:mm:ss a", Locale.ENGLISH)
 
-  /** df: (src_path, errMsg) ordered rows. */
-  def append(df: DataFrame, logFile: String): Unit = {
+  /** rows: (src_path, errMsg), already ordered. */
+  def append(rows: Seq[(String, String)], logFile: String): Unit = {
+    if (rows.isEmpty) return
     val w = new BufferedWriter(new OutputStreamWriter(
       new FileOutputStream(logFile, true), StandardCharsets.UTF_8))
-    try {
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
-        val ts = LocalDateTime.now().format(fmt)
-        w.write(s"$ts, ERROR, SCHEMA ERR, ${row.getString(0)}, ${row.getString(1)}\n")
-      }
+    try rows.foreach { case (path, msg) =>
+      val ts = LocalDateTime.now().format(fmt)
+      w.write(s"$ts, ERROR, SCHEMA ERR, $path, $msg\n")
     } finally w.close()
   }
 }
