@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join — for each left row, the latest right row with
+  * `right.ts <= left.ts` for the same key. Spark's Scala API has no
+  * native operator for this (pandas-on-Spark does); rather than a custom
+  * SparkPlan, this composes built-ins the Spark-first way (SURVEY §4.3
+  * preference (a)):
+  *
+  * union both sides tagged → ONE window over (key) ordered by
+  * (ts, side) → `last(right value, ignoreNulls)` carries the most recent
+  * right row forward → keep left rows.
+  *
+  * Cost: a single shuffle on the key (the union sorts within partitions
+  * for the window) — strictly better than the sort-merge-join +
+  * re-aggregation a LEFT JOIN ... <= ... GROUP BY formulation needs, and
+  * it never materializes the quadratic "all earlier rows" pair set. At
+  * 100 TB both sides stream through one exchange; skew on the key is the
+  * only hazard (hot keys → SkewJoin-style salting with per-salt-bucket
+  * right replication).
+  *
+  * Tie rule: a right row AT the left row's timestamp matches (`<=`), the
+  * standard as-of semantic (and DuckDB's `ASOF JOIN ... >=`, which the
+  * oracle uses). Callers must make (key, ts) unique on the right side
+  * (pre-aggregate) — as-of among same-instant right rows is undefined.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side; all its columns survive
+    * @param right      reference side, unique per (key, ts)
+    * @param key        equi-key column name present on both sides
+    * @param ts         event-time column name present on both sides
+    * @param rightVals  right columns to carry (each emitted as
+    *                   `asof_<name>`, null when no right row precedes) */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__side", lit(1))
+      .select((col(key) +: col(ts) +: lit(1).as("__side") +:
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")) ++:
+        leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
+    val r = right
+      .select((col(key) +: col(ts) +: lit(0).as("__side") +:
+        rightVals.map(v => col(v).as(s"__r_$v")) ++:
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // right rows sort BEFORE left rows at equal ts → "<=" semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select((col("*") +: rightVals.map(v =>
+        last(col(s"__r_$v"), ignoreNulls = true).over(w).as(s"asof_$v"))): _*)
+    carried.filter(col("__side") === 1)
+      .drop("__side")
+      .drop(rightVals.map(v => s"__r_$v"): _*)
+  }
+}

@@ -319,6 +319,24 @@ object Declared {
       .orderBy($"lang", $"rn")
   }
 
+  /** As-of join (operator Spark's Scala API lacks — composed in
+    * graft.operators.AsOfJoin): each click matched to the user's most
+    * recent prior-or-simultaneous purchase. Oracle = DuckDB's native
+    * ASOF LEFT JOIN. */
+  val q21: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("purchase_value"))
+    graft.operators.AsOfJoin.asOf(clicks, purchases, "user_id", "ts",
+      Seq("purchase_value"))
+      .select($"event_id", $"user_id", $"ts".as("click_ts"),
+        $"asof_purchase_value")
+      .orderBy($"event_id")
+  }
+
   /** Embeddings companion to Q20: size(embedding) histogram by label. */
   val q20b: Q = (s, dir) => {
     import s.implicits._
@@ -350,5 +368,6 @@ object Declared {
     "q18_range_join" -> q18,
     "q19_json_cast" -> q19,
     "q20_token_topk" -> q20,
-    "q20b_embedding_dims" -> q20b)
+    "q20b_embedding_dims" -> q20b,
+    "q21_asof_join" -> q21)
 }

@@ -183,6 +183,20 @@ object Oracle {
       """SELECT label, CAST(len(embedding) AS INT) AS dim, count(*) AS n
         |FROM embeddings GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
+    // both sides truncated to µs (CAST ... AS TIMESTAMP) so the >= match
+    // agrees with Spark's µs-precision events.ts
+    "q21_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
     // ---- ETL transform semantics over testdata (SURVEY §2.1 O11-O13) ----
     "etl_job_rewrite" ->
       """WITH j AS (
