@@ -95,7 +95,34 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Per-label centroids via the typed VectorAvg Aggregator (the typed
+    * UDAF surface), plus each centroid's norm and the label's mean
+    * cosine-to-centroid — a cluster-quality profile. Float-order
+    * sensitive (mean over doubles) → rows-only; invariants in
+    * SimilaritySpec. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val e = vcol(Tables(s, dir, "embeddings"))
+    val centroids = e.select($"label", $"v").as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.VectorAvg.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+    e.join(broadcast(centroids), "label")
+      .select($"label", $"centroid",
+        (dot_product($"v", $"centroid") /
+          (sqrt(dot_product($"v", $"v")) * sqrt(dot_product($"centroid", $"centroid"))))
+          .as("cos_to_centroid"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        avg($"cos_to_centroid").as("mean_cos_to_centroid"),
+        sqrt(max(dot_product($"centroid", $"centroid"))).as("centroid_norm"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteForceTopK _,
-    "sim_topk_lsh" -> lshTopK _)
+    "sim_topk_lsh" -> lshTopK _,
+    "sim_label_centroids" -> labelCentroids _)
 }

@@ -39,7 +39,9 @@ class DeclaredQueriesSpec extends AnyFunSuite {
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
       "sim_topk_bruteforce", "sim_topk_lsh", "mm_decode_features",
       // HLL sketch values are Spark-implementation-specific
-      "profile_hll")
+      "profile_hll",
+      // float-order-sensitive centroid means
+      "sim_label_centroids")
     assert((missing -- rowsOnlyAllowed).isEmpty,
       s"queries without oracle or rows-only exemption: ${missing -- rowsOnlyAllowed}")
   }

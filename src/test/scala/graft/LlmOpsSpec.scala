@@ -113,6 +113,26 @@ class SimilaritySpec extends AnyFunSuite {
     t.unpersist()
   }
 
+  test("label centroids: one row per label, sane cosine and norms") {
+    import spark.implicits._
+    val c = Similarity.labelCentroids(spark, sf).cache()
+    assert(c.count() == 10) // labels 0..9
+    assert(c.filter($"mean_cos_to_centroid" <= 0.0 || $"mean_cos_to_centroid" > 1.0).count() == 0)
+    assert(c.filter($"centroid_norm" <= 0.0).count() == 0)
+    // members correlate with their own centroid far above random (~0)
+    assert(c.agg(min($"mean_cos_to_centroid")).collect()(0).getDouble(0) > 0.1)
+    c.unpersist()
+  }
+
+  test("VectorAvg aggregator: exact mean on a known set") {
+    import spark.implicits._
+    val ds = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0))).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.VectorAvg.toColumn.name("c")).collect().toMap
+    assert(out(1) == Seq(2.0, 3.0))
+    assert(out(2) == Seq(10.0, 20.0))
+  }
+
   test("LSH top-k is a subset-quality approximation of brute force") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, sf)
