@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.StorageLayout
+
+class StorageLayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without a shuffle") {
+    import spark.implicits._
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val lineitem = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    StorageLayout.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    StorageLayout.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+      "o_orderkey", 8)
+    // disable broadcast so the join would otherwise shuffle both sides
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+        .groupBy($"o_orderkey").count()
+      assert(joined.count() > 0)
+      assert(StorageLayout.isShuffleFree(joined),
+        "bucketed equi-join must plan without Exchange:\n" +
+          joined.queryExecution.executedPlan.toString.take(2000))
+      // sanity: the SAME join over the unbucketed parquet DOES shuffle
+      val unbucketed = orders
+        .join(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .groupBy($"o_orderkey").count()
+      unbucketed.count()
+      assert(!StorageLayout.isShuffleFree(unbucketed))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("partitioned layout prunes directories at plan time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("part_layout_").toString
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+    StorageLayout.writePartitioned(events, dir, "day")
+    val pruned = spark.read.parquet(dir).filter($"day" === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected partition filters in:\n${plan.take(1500)}")
+    val allDays = spark.read.parquet(dir).select($"day").distinct().count()
+    assert(allDays > 10) // layout actually split by day
+    assert(pruned.count() > 0)
+    assert(pruned.select($"day").distinct().count() == 1)
+  }
+}
