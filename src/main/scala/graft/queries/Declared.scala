@@ -253,6 +253,19 @@ object Declared {
         $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** CUBE companion to Q15: all four grouping combinations. */
+  val q15b: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(dsum($"o_totalprice").as("total"),
+        count(lit(1)).as("n"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio",
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   // ---------------------------------------------------------------- Q16
   /** Conditional / null functions over part. */
   val q16: Q = (s, dir) => {
@@ -363,6 +376,7 @@ object Declared {
     "q13_topk" -> q13,
     "q14_set_ops" -> q14,
     "q15_rollup" -> q15,
+    "q15b_cube" -> q15b,
     "q16_conditional" -> q16,
     "q17_tumbling_window" -> q17,
     "q18_range_join" -> q18,

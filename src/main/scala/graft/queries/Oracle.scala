@@ -140,6 +140,16 @@ object Oracle {
         |ORDER BY g_status, g_prio,
         |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    "q15b_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        |  count(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
     "q16_conditional" ->
       """SELECT p_partkey,
         |  CASE WHEN p_size > 25 THEN 'big' WHEN p_size > 10 THEN 'medium'
