@@ -37,6 +37,13 @@ object EntityPipeline {
 
   def run(spark: SparkSession, conf: EntityConf, mode: EtlMode,
           errorLogFile: String, fidelity: Boolean = true): Result = {
+    // Missing data dir: the reference crashes (next(os.walk) raises
+    // StopIteration) — we degrade to a zero-file run (divergence in the
+    // D2/D4 spirit: availability over crash-parity). An EXISTING empty
+    // dir flows through normally and produces header-only CSVs, exactly
+    // like the reference's open-and-writeheader behavior.
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(conf.dataDir)))
+      return Result(EtlMetrics(0, 0, 0))
     val raw = JsonDirSource.read(spark, conf.dataDir)
     process(raw, conf, mode, errorLogFile, fidelity)
   }
