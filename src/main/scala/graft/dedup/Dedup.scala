@@ -183,9 +183,21 @@ object Dedup {
   private val simhashUdf = udf((toks: Seq[String]) =>
     graft.functions.Signatures.simhash64(toks))
 
-  /** SimHash near-dup pairs: block on the four 16-bit chunks (a pair
-    * within Hamming distance 3 must agree on ≥1 chunk — pigeonhole), then
-    * verify Hamming via bit_count(xor). */
+  /** Radius 8 of 64 bits: tight enough that correlated-but-distinct docs
+    * don't flood the output (radius 12 passed a large fraction of ALL
+    * pairs on the high-overlap synthetic corpus — semantically useless
+    * and quadratic in output), loose enough that a one-token edit of a
+    * ~100-token doc (≈4-6 expected bit flips) is caught. */
+  val SimhashRadius = 8
+
+  private val bucketPairsHammingUdf = udf((members: Seq[Seq[Long]]) =>
+    graft.functions.Signatures.bucketPairsHamming(members, SimhashRadius))
+
+  /** SimHash near-dup pairs: block on the four 16-bit chunks (pairs
+    * within small Hamming distance must agree on ≥1 chunk — pigeonhole),
+    * generate each bucket's i<j pairs with Hamming computed ONCE per pair
+    * in a tight loop (groupBy bucket → pair UDF, no self-join), distinct
+    * across chunks. Same shape as the MinHash candidate stage. */
   def simhash(s: SparkSession, dir: String): DataFrame =
     simhashOver(Tables(s, dir, "documents"))
 
@@ -202,13 +214,12 @@ object Dedup {
         (shiftright($"sh", j * 16).bitwiseAND(lit(0xFFFFL))).as("ch")))
     val blocked = d.select($"doc_id", $"sh", explode(array(chunks: _*)).as("c"))
       .select($"doc_id", $"sh", $"c.chunk", $"c.ch")
-    val a = blocked.select($"chunk", $"ch", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val b = blocked.select($"chunk", $"ch", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    a.join(b, Seq("chunk", "ch")).filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("int").as("hamming"))
+    blocked.groupBy($"chunk", $"ch")
+      .agg(collect_list(array($"doc_id", $"sh")).as("members"))
+      .filter(size($"members") > 1)
+      .select(explode(bucketPairsHammingUdf($"members")).as("p"))
+      .select($"p._1".as("doc_a"), $"p._2".as("doc_b"), $"p._3".as("hamming"))
       .distinct()
-      .filter($"hamming" <= 12)
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -137,6 +137,27 @@ object Signatures extends Serializable {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** All i<j member pairs of one SimHash chunk bucket within `maxHamming`
+    * — members arrive as packed [doc_id, sig] arrays; Hamming computed
+    * once per pair here, not per join row. */
+  def bucketPairsHamming(members: Seq[Seq[Long]], maxHamming: Int): Array[(Long, Long, Int)] = {
+    val m = members.toArray.sortBy(_.head)
+    val out = Array.newBuilder[(Long, Long, Int)]
+    var i = 0
+    while (i < m.length) {
+      var j = i + 1
+      while (j < m.length) {
+        if (m(i).head != m(j).head) {
+          val h = java.lang.Long.bitCount(m(i)(1) ^ m(j)(1))
+          if (h <= maxHamming) out += ((m(i).head, m(j).head, h))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** All i<j pairs of a bucket's (sorted, distinct) member ids. Quadratic
     * within a bucket by design: LSH bucket members are candidate
     * duplicates of each other. */

@@ -45,15 +45,17 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  /** Corpus with planted duplicates: 40 base docs, plus a near-dup of
-    * doc 0 (one token changed) and an exact dup of doc 1. */
+  /** Corpus with planted duplicates: 40 base docs of ~80 tokens over a
+    * 200-word vocabulary (large enough that docs carry ~60 DISTINCT
+    * tokens — simhash votes per token stay small, like real text), plus
+    * a near-dup of doc 0 (one token changed ⇒ ±1 distinct-set element ⇒
+    * few simhash bit flips) and an exact dup of doc 1. */
   def planted = {
     import spark.implicits._
-    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
-      "theta", "iota", "kappa")
+    val words = (0 until 200).map(i => f"w$i%03d")
     def doc(seed: Int) = {
       val r = new scala.util.Random(seed)
-      Seq.fill(40)(words(r.nextInt(words.size))).mkString(" ")
+      Seq.fill(80)(words(r.nextInt(words.size))).mkString(" ")
     }
     val base = (0 until 40).map(i => (i.toLong, doc(i)))
     val near = (100L, doc(0).replaceFirst("^\\w+", "CHANGED"))
