@@ -25,18 +25,21 @@ object Bench {
     // timing inside a throttle window misattributes host noise to the
     // query. The min is the truer cost of the plan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
+        Some((System.nanoTime() - t0) / 1e9)
       }
-      val a = once()
-      val b = if (a < 0) a else math.min(a, once())
-      name -> b
+      // min over SUCCESSFUL runs — a transient second-run failure must
+      // not discard a valid first-run measurement
+      val runs = Seq(once(), once()).flatten
+      name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries (-1 sentinel) are excluded from the total, not
+    // subtracted from it
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

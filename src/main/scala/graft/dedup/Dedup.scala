@@ -183,42 +183,54 @@ object Dedup {
   private val simhashUdf = udf((toks: Seq[String]) =>
     graft.functions.Signatures.simhash64(toks))
 
-  /** Radius 8 of 64 bits: tight enough that correlated-but-distinct docs
-    * don't flood the output (radius 12 passed a large fraction of ALL
-    * pairs on the high-overlap synthetic corpus — semantically useless
-    * and quadratic in output), loose enough that a one-token edit of a
-    * ~100-token doc (≈4-6 expected bit flips) is caught. */
-  val SimhashRadius = 8
+  /** Radius 3 of 64 bits — the canonical web-dedup configuration (Manku
+    * et al., WWW'07 "Detecting Near-Duplicates for Web Crawling" §3 —
+    * public paper, k=3 over 64-bit simhashes). A one-token edit of a
+    * realistic document (~100+ distinct tokens) flips ~2-3 bits; larger
+    * radii on a correlated corpus pass broad swaths of ALL pairs
+    * (measured: radius 8 needed 7-bit blocking pieces, whose buckets
+    * degenerate and made the stage quadratic). */
+  val SimhashRadius = 3
 
-  private val bucketPairsHammingUdf = udf((members: Seq[Seq[Long]]) =>
-    graft.functions.Signatures.bucketPairsHamming(members, SimhashRadius))
+  /** Pigeonhole-EXACT blocking needs radius+1 pieces: with 4 pieces of
+    * 16 bits, any pair within Hamming 3 has at least one untouched piece
+    * and therefore shares at least one bucket — and 16-bit piece values
+    * stay discriminative (65536 buckets per piece). */
+  val SimhashPieces: Int = SimhashRadius + 1
 
-  /** SimHash near-dup pairs: block on the four 16-bit chunks (pairs
-    * within small Hamming distance must agree on ≥1 chunk — pigeonhole),
-    * generate each bucket's i<j pairs with Hamming computed ONCE per pair
-    * in a tight loop (groupBy bucket → pair UDF, no self-join), distinct
-    * across chunks. Same shape as the MinHash candidate stage. */
+  /** SimHash near-dup pairs: block on SimhashPieces 16-bit pieces of the
+    * signature — exact recall within SimhashRadius by pigeonhole — then
+    * per-bucket i<j pair generation with Hamming computed once per pair,
+    * STREAMED via Dataset.flatMap (a hot bucket yields its pairs lazily
+    * instead of materializing an O(n²) array), distinct across pieces. */
   def simhash(s: SparkSession, dir: String): DataFrame =
     simhashOver(Tables(s, dir, "documents"))
 
   def simhashOver(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
+    val radius = SimhashRadius
     val d = documents
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", distinctTokens($"text").as("toks"))
       .filter(size($"toks") > 0)
       .select($"doc_id", simhashUdf($"toks").as("sh"))
-    val chunks = (0 until 4).map(j =>
-      struct(lit(j).as("chunk"),
-        (shiftright($"sh", j * 16).bitwiseAND(lit(0xFFFFL))).as("ch")))
-    val blocked = d.select($"doc_id", $"sh", explode(array(chunks: _*)).as("c"))
-      .select($"doc_id", $"sh", $"c.chunk", $"c.ch")
-    blocked.groupBy($"chunk", $"ch")
+    val width = 64 / SimhashPieces // 7 bits; top piece takes the remainder
+    val pieces = (0 until SimhashPieces).map { j =>
+      val hi = if (j == SimhashPieces - 1) 64 - j * width else width
+      struct(lit(j).as("piece"),
+        (shiftright($"sh", j * width)
+          .bitwiseAND(lit((1L << hi) - 1))).as("pv"))
+    }
+    val blocked = d.select($"doc_id", $"sh", explode(array(pieces: _*)).as("c"))
+      .select($"doc_id", $"sh", $"c.piece", $"c.pv")
+    blocked.groupBy($"piece", $"pv")
       .agg(collect_list(array($"doc_id", $"sh")).as("members"))
       .filter(size($"members") > 1)
-      .select(explode(bucketPairsHammingUdf($"members")).as("p"))
-      .select($"p._1".as("doc_a"), $"p._2".as("doc_b"), $"p._3".as("hamming"))
+      .select($"members").as[Seq[Seq[Long]]]
+      .flatMap(members =>
+        graft.functions.Signatures.bucketPairsHammingIter(members, radius))
+      .toDF("doc_a", "doc_b", "hamming")
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }

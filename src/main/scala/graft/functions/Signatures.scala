@@ -137,25 +137,21 @@ object Signatures extends Serializable {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  /** All i<j member pairs of one SimHash chunk bucket within `maxHamming`
-    * — members arrive as packed [doc_id, sig] arrays; Hamming computed
-    * once per pair here, not per join row. */
-  def bucketPairsHamming(members: Seq[Seq[Long]], maxHamming: Int): Array[(Long, Long, Int)] = {
+  /** All i<j member pairs of one SimHash piece bucket within
+    * `maxHamming`, as a LAZY iterator — members arrive as packed
+    * [doc_id, sig] arrays; Hamming computed once per pair here, not per
+    * join row, and a hot bucket streams its pairs through flatMap
+    * instead of materializing an O(n²) array. */
+  def bucketPairsHammingIter(members: Seq[Seq[Long]],
+                             maxHamming: Int): Iterator[(Long, Long, Int)] = {
     val m = members.toArray.sortBy(_.head)
-    val out = Array.newBuilder[(Long, Long, Int)]
-    var i = 0
-    while (i < m.length) {
-      var j = i + 1
-      while (j < m.length) {
-        if (m(i).head != m(j).head) {
-          val h = java.lang.Long.bitCount(m(i)(1) ^ m(j)(1))
-          if (h <= maxHamming) out += ((m(i).head, m(j).head, h))
-        }
-        j += 1
-      }
-      i += 1
-    }
-    out.result()
+    for {
+      i <- Iterator.range(0, m.length)
+      j <- Iterator.range(i + 1, m.length)
+      if m(i).head != m(j).head
+      h = java.lang.Long.bitCount(m(i)(1) ^ m(j)(1))
+      if h <= maxHamming
+    } yield (m(i).head, m(j).head, h)
   }
 
   /** All i<j pairs of a bucket's (sorted, distinct) member ids. Quadratic

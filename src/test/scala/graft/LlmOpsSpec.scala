@@ -45,17 +45,18 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  /** Corpus with planted duplicates: 40 base docs of ~80 tokens over a
-    * 200-word vocabulary (large enough that docs carry ~60 DISTINCT
-    * tokens — simhash votes per token stay small, like real text), plus
-    * a near-dup of doc 0 (one token changed ⇒ ±1 distinct-set element ⇒
-    * few simhash bit flips) and an exact dup of doc 1. */
+  /** Corpus with planted duplicates: 40 base docs of ~240 tokens over a
+    * 500-word vocabulary (docs carry ~190 DISTINCT tokens — simhash vote
+    * mass per token stays small, like real text, so a one-token edit
+    * flips only a couple of bits and lands within SimhashRadius=3), plus
+    * a near-dup of doc 0 (one token changed ⇒ ±1 distinct-set element)
+    * and an exact dup of doc 1. */
   def planted = {
     import spark.implicits._
-    val words = (0 until 200).map(i => f"w$i%03d")
+    val words = (0 until 500).map(i => f"w$i%03d")
     def doc(seed: Int) = {
       val r = new scala.util.Random(seed)
-      Seq.fill(80)(words(r.nextInt(words.size))).mkString(" ")
+      Seq.fill(240)(words(r.nextInt(words.size))).mkString(" ")
     }
     val base = (0 until 40).map(i => (i.toLong, doc(i)))
     val near = (100L, doc(0).replaceFirst("^\\w+", "CHANGED"))
@@ -69,8 +70,8 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 100L)), s"missing planted near-dup; got $pairs")
     assert(pairs.contains((1L, 101L)), s"missing planted exact dup; got $pairs")
-    // random 40-token docs over a 10-word vocab can share shingles, but
-    // planted pairs must be found; random-pair noise stays bounded
+    // random 80-token docs over the 200-word vocab rarely share 3-token
+    // shingles; planted pairs must be found and noise stays bounded
     assert(pairs.size < 20, s"too many noise pairs: ${pairs.size}")
   }
 
@@ -80,6 +81,31 @@ class DedupSpec extends AnyFunSuite {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((1L, 101L)).contains(0), s"exact dup not at hamming 0: $pairs")
     assert(pairs.contains((0L, 100L)), "planted near-dup beyond simhash radius")
+  }
+
+  test("simhash piece blocking is pigeonhole-exact within the radius") {
+    // replicate the production piece extraction (9 pieces, 7-bit width,
+    // top piece takes the remainder) and check that ANY pattern of up to
+    // SimhashRadius flips leaves at least one piece identical — i.e. the
+    // pair lands in a shared bucket. Guards width/mask bugs; the old
+    // 4×16-bit chunking fails this for flips spread across all chunks.
+    val piecesOf: Long => Seq[Long] = { sh =>
+      val n = Dedup.SimhashPieces
+      val width = 64 / n
+      (0 until n).map { j =>
+        val hi = if (j == n - 1) 64 - j * width else width
+        (sh >>> (j * width)) & ((1L << hi) - 1)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 1000).foreach { _ =>
+      val a = rnd.nextLong()
+      val flips = 1 + rnd.nextInt(Dedup.SimhashRadius)
+      val bits = rnd.shuffle((0 until 64).toList).take(flips)
+      val b = bits.foldLeft(a)((acc, i) => acc ^ (1L << i))
+      assert(piecesOf(a).zip(piecesOf(b)).exists { case (x, y) => x == y },
+        s"no shared piece for flips at $bits")
+    }
   }
 
   test("exact dedup groups identical texts at any scale") {
