@@ -73,6 +73,10 @@ object TomlSubset {
     var inTarget = false
     val kvRe = """^\s*([A-Za-z0-9_-]+)\s*=\s*(.+?)\s*$""".r
     val tableRe = """^\s*\[\[\s*([A-Za-z0-9_.-]+)\s*\]\]\s*$""".r
+    // single-bracket [table] headers end the current [[...]] scope —
+    // without this, a following plain table's keys would silently be
+    // absorbed into (and overwrite) the last table-array entry
+    val plainTableRe = """^\s*\[[^\[\]]+\]\s*$""".r
 
     def flush(): Unit = { current.foreach(m => entries :+= m); current = None }
 
@@ -83,6 +87,9 @@ object TomlSubset {
           flush()
           inTarget = name == tableName
           if (inTarget) current = Some(Map.empty)
+        case plainTableRe() =>
+          flush()
+          inTarget = false
         case kvRe(k, v) if inTarget =>
           current = current.map(_ + (k -> parseValue(v)))
         case _ => // keys outside our table, or other TOML we don't model

@@ -44,8 +44,18 @@ object EntityPipeline {
     // like the reference's open-and-writeheader behavior.
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(conf.dataDir)))
       return Result(EtlMetrics(0, 0, 0))
-    val raw = JsonDirSource.read(spark, conf.dataDir)
-    process(raw, conf, mode, errorLogFile, fidelity)
+    // JsonDirSource tunes openCostInBytes for the small-file corpus; the
+    // conf is consulted at ACTION time, so restore the session's previous
+    // value only after this pipeline's actions complete — unrelated
+    // queries on the same session keep the default.
+    val prevOpenCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      val raw = JsonDirSource.read(spark, conf.dataDir)
+      process(raw, conf, mode, errorLogFile, fidelity)
+    } finally prevOpenCost match {
+      case Some(v) => spark.conf.set("spark.sql.files.openCostInBytes", v)
+      case None => spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
   }
 
   /** Batch body over an already-read (src_path, value) frame — shared by
@@ -78,10 +88,15 @@ object EntityPipeline {
     QuarantineSink.copyAll(invalidRows.map(_.getString(0)).distinct.toSeq,
       conf.quarantineDir)
 
-    // O5 routing: valid, plus required-missing when the
-    // replace_missing_data gate is on (`main.py:15,183-187`).
+    // O5 routing: valid, plus recoverable-invalid when the
+    // replace_missing_data gate is on. The recoverability test is the
+    // reference's literal SUBSTRING check on the error message
+    // (`'is a required property' in message`, main.py:183) — not the
+    // error class — so a type-error message whose embedded VALUE happens
+    // to contain that text routes exactly as the reference would.
     val emit0 = if (conf.replaceMissingData)
-      validated.filter(col("v.errClass") === "ok" || col("v.errClass") === "required")
+      validated.filter(col("v.errClass") === "ok" ||
+        col("v.errMsg").contains("is a required property"))
     else validated.filter(col("v.errClass") === "ok")
     // D1 deterministic ordering is a FIDELITY-mode contract (single
     // golden CSV); scale mode keeps source order per part — a global sort
@@ -112,7 +127,14 @@ object EntityPipeline {
   }
 
   /** O8/O9/O10-O13: flatten the envelope, apply transforms, stringify to
-    * the derived output column order. */
+    * the derived output column order.
+    *
+    * Known divergence (D7): draft-07 treats zero-fraction floats as
+    * integers, and the validator faithfully accepts `"id": 3.0` — but
+    * from_json parses integer fields as LongType, so such a value emits
+    * blank where the reference would write "3.0". Pathological input
+    * (no generator produces float-typed ids); accepted rather than
+    * widening every integer column to double. */
   private[etl] def project(df: DataFrame, schema: CompiledSchema,
                            columns: Seq[String], v2: Boolean): DataFrame = {
     val payloadNames = schema.payloadFields.map(_.name).toSet
@@ -171,9 +193,12 @@ object EntityPipeline {
 
   /** CSV text per JSON type: ints as digits, floats Python-repr style,
     * booleans True/False (Python capitalization — verified reference
-    * behavior, SURVEY §1.2), missing → '' (DictWriter restval). */
+    * behavior, SURVEY §1.2), missing → '' (DictWriter restval). The
+    * boolean null check must come FIRST: when(c,..).otherwise(..) never
+    * yields null, so a missing required boolean would otherwise be
+    * fabricated as "False" instead of the reference's blank. */
   private def stringify(c: Column, jsonType: String): Column = jsonType match {
-    case "boolean" => coalesce(when(c, "True").otherwise("False"), lit(""))
+    case "boolean" => when(c.isNull, "").when(c, "True").otherwise("False")
     case "number"  => coalesce(when(c.isNotNull, pyFloat(c)), lit(""))
     case _         => coalesce(c.cast(StringType), lit(""))
   }

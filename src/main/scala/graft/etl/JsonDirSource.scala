@@ -3,6 +3,12 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Note two inherited Spark file-listing conventions (documented
+  * divergences, D7-spirit): paths starting with `_` or `.` are treated
+  * as hidden and skipped (the reference's endswith('.json') would
+  * process them), and Spark lists files before the glob filter so only
+  * visible `*.json` files count. */
+
 /** O1/O2: per-FILE JSON event source.
   *
   * The reference scans a flat directory non-recursively, keeps `*.json`
@@ -25,21 +31,30 @@ object JsonDirSource {
   /** → DataFrame(src_path: String, value: String), deterministically
     * ordered downstream by src_path (divergence D1: the reference's row
     * order is os.walk's, which is nondeterministic). */
+  /** input_file_name() returns a percent-ENCODED file: URI — a plain
+    * prefix strip would leave "%20" in paths with spaces, and the
+    * quarantine copy / error log would then reference nonexistent files.
+    * java.net.URI.getPath decodes correctly (and, unlike URLDecoder,
+    * leaves literal '+' alone). */
+  private val uriToPath = udf { (raw: String) =>
+    try new java.net.URI(raw).getPath
+    catch { case _: Exception => raw.replaceFirst("^file:(//)?", "") }
+  }
+
   def read(spark: SparkSession, dataDir: String): DataFrame = {
     // Event files are ~hundreds of bytes; the default 4 MB per-file open
     // cost would scatter a 20k-file corpus over ~600 tasks of ~30 files
     // each — task overhead swamps the work. 64 KB keeps partition counts
     // proportional to real IO+parse cost while still fanning out.
+    // (Session-global by necessity — it is consulted at ACTION time, not
+    // read time; EntityPipeline restores the previous value after its
+    // actions complete.)
     spark.conf.set("spark.sql.files.openCostInBytes", (64 * 1024).toString)
     spark.read
       .option("wholetext", "true")
       .option("pathGlobFilter", "*.json")
       .option("recursiveFileLookup", "false")
       .text(dataDir)
-      .select(
-        // input_file_name returns a file: URI; keep a plain filesystem
-        // path for error-log lines and quarantine copies.
-        regexp_replace(input_file_name(), "^file:(//)?", "").as("src_path"),
-        col("value"))
+      .select(uriToPath(input_file_name()).as("src_path"), col("value"))
   }
 }

@@ -19,6 +19,9 @@ object PyFormat {
     if (d.isPosInfinity) return "inf"
     if (d.isNegInfinity) return "-inf"
     val abs = math.abs(d)
+    // negative zero: BigDecimal(-0.0).toBigInteger is 0, but Python
+    // repr(-0.0) keeps the sign
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
     // Python: integral floats inside the plain band render as "N.0"
     if (d == math.rint(d) && abs < 1e16)
       return new java.math.BigDecimal(d).toBigInteger.toString + ".0"

@@ -63,7 +63,12 @@ object Validator extends Serializable {
       catch { case e: Exception =>
         return Verdict("parse", "", s"malformed JSON: ${e.getMessage}")
       }
-    if (root == null || !root.isObject)
+    // Jackson returns null for EMPTY input (no exception) — the reference
+    // would raise JSONDecodeError there, so route it as a parse failure;
+    // pyRepr must never see null.
+    if (root == null || root.isMissingNode)
+      return Verdict("parse", "", "malformed JSON: empty input")
+    if (!root.isObject)
       return Verdict("other", "", s"${pyRepr(root)} is not of type 'object'")
 
     // Top-level parts in schema property order: presence, then type, then

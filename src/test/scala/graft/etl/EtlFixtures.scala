@@ -84,13 +84,14 @@ object EtlFixtures {
 
   private def cardEvent(id: Int, userId: Option[Int], name: Option[String],
                         active: Boolean, eventId: String,
-                        at: String, createdAt: String = ""): String = {
+                        at: String, createdAt: String = "",
+                        dropActive: Boolean = false): String = {
     val cAt = if (createdAt.isEmpty) at else createdAt
     val payload = (Seq(s""""id": $id""") ++
       userId.map(u => s""""user_id": $u""") ++
       name.map(n => s""""created_by_name": "$n"""") ++
-      Seq(s""""updated_at": "$at"""", s""""created_at": "$cAt"""",
-        s""""active": $active""")).mkString(", ")
+      Seq(s""""updated_at": "$at"""", s""""created_at": "$cAt"""") ++
+      (if (dropActive) Nil else Seq(s""""active": $active"""))).mkString(", ")
     s"""{"payload": {$payload},
        | "metadata": {"type": "card", "event_at": "$at", "event_id": "$eventId"}}""".stripMargin
   }
@@ -147,6 +148,11 @@ object EtlFixtures {
     // F12: missing created_by_name → required, kept with blanks
     w(cards.resolve("f12.json"), cardEvent(5001, Some(300), None,
       active = true, "00000000-0000-4000-8000-000000000012", "2023-10-23 23:30:00"))
+    // F13b: missing required BOOLEAN → kept with blank active (a null
+    // boolean must stringify to '', not a fabricated "False")
+    w(cards.resolve("f13.json"), cardEvent(5002, Some(301), Some("No Active"),
+      active = true, "00000000-0000-4000-8000-000000000013", "2023-10-23 23:31:00",
+      dropActive = true))
     baseDir
   }
 }

@@ -65,19 +65,24 @@ class EtlGoldenSpec extends AnyFunSuite {
     // F12: missing created_by_name → name columns blank (D4 keep)
     assert(cards(3) ==
       "5001,300,,,,2023-10-23 23:30:00,2023-10-23 23:30:00,True,00000000-0000-4000-8000-000000000012")
-    assert(metrics("cards") == EtlMetrics(files = 3, valid = 1, invalid = 2))
+    // F13b: missing boolean → blank active, NOT "False"
+    assert(cards(4) ==
+      "5002,301,,No Active,,2023-10-23 23:31:00,2023-10-23 23:31:00,,00000000-0000-4000-8000-000000000013")
+    assert(metrics("cards") == EtlMetrics(files = 4, valid = 1, invalid = 3))
 
     // unified metadata: users rows then cards rows, one shared file
     val meta = readCsv(base.resolve("metadata.csv"))
     assert(meta.head == "type,event_at,event_id")
     assert(meta(1) == "user,2023-10-23 22:55:01,0a1bc396-f73d-4919-94c4-84077fdf7456")
     assert(meta.count(_.startsWith("user,")) == 8)
-    assert(meta.count(_.startsWith("card,")) == 3)
+    assert(meta.count(_.startsWith("card,")) == 4)
     assert(meta.contains("card,2023-10-23 23:18:15,0a4d29d2-b6dd-42a9-88af-840ead26202f"))
 
     // error log: (class, field, filename) triples per SURVEY §7.4
     val errors = Files.readAllLines(base.resolve("errors.log")).asScala
-    assert(errors.size == 4)
+    assert(errors.size == 5)
+    assert(errors.exists(l => l.contains("f13.json") &&
+      l.contains("'active' is a required property")))
     assert(errors.exists(l => l.contains("f09.json") &&
       l.contains("'high' is not of type 'number'")))
     assert(errors.exists(l => l.contains("f11.json") &&
@@ -94,7 +99,7 @@ class EtlGoldenSpec extends AnyFunSuite {
       == Set("f09.json", "f11.json"))
     val cq = base.resolve("cards_schema_mismatches")
     assert(Files.list(cq).iterator().asScala.map(_.getFileName.toString).toSet
-      == Set("f03.json", "f12.json"))
+      == Set("f03.json", "f12.json", "f13.json"))
     assert(Files.readAllBytes(cq.resolve("f03.json")).sameElements(
       Files.readAllBytes(base.resolve("cards/f03.json"))))
   }
@@ -133,8 +138,8 @@ class EtlGoldenSpec extends AnyFunSuite {
     val entities = Config.builtin(base.toString, V2, replaceMissingData = false)
     val metrics = Runner.run(spark, entities, V2, base.resolve("errors.log").toString)
     val cards = readCsv(base.resolve("cards.csv"))
-    assert(cards.size == 2) // header + F2 only; F3/F12 discarded
-    assert(metrics("cards") == EtlMetrics(3, 1, 2))
+    assert(cards.size == 2) // header + F2 only; F3/F12/F13 discarded
+    assert(metrics("cards") == EtlMetrics(4, 1, 3))
   }
 
   test("TOML-configured run (entry 3, SURVEY §3.3) drives the same pipeline") {
@@ -158,7 +163,7 @@ class EtlGoldenSpec extends AnyFunSuite {
     val entities = Config.fromToml(base.resolve("config.toml").toString, base.toString, V2)
     assert(entities.map(_.name) == Seq("cards", "users")) // TOML order preserved
     val metrics = Runner.run(spark, entities, V2, base.resolve("errors.log").toString)
-    assert(metrics("users").files == 9 && metrics("cards").files == 3)
+    assert(metrics("users").files == 9 && metrics("cards").files == 4)
     // cards processed FIRST → metadata.csv starts with card rows
     val meta = readCsv(base.resolve("metadata.csv"))
     assert(meta(1).startsWith("card,"))

@@ -71,6 +71,9 @@ class ValidatorSpec extends AnyFunSuite {
 
   test("malformed JSON → parse (divergence D2: reference crashes)") {
     assert(v("{not json", users).errClass == "parse")
+    // Jackson returns null (no exception) for EMPTY input — must not NPE
+    assert(v("", users).errClass == "parse")
+    assert(v("   ", users).errClass == "parse")
   }
 
   test("integer: booleans are not integers; integral floats are") {
@@ -165,6 +168,8 @@ class PyFormatSpec extends AnyFunSuite {
     assert(PyFormat.pyFloatRepr(0.0005) == "0.0005")
     assert(PyFormat.pyFloatRepr(0.0000862) == "8.62e-05")
     assert(PyFormat.pyFloatRepr(-0.25) == "-0.25")
+    assert(PyFormat.pyFloatRepr(0.0) == "0.0")
+    assert(PyFormat.pyFloatRepr(-0.0) == "-0.0")
   }
 
   test("csv QUOTE_MINIMAL quoting") {
@@ -199,5 +204,44 @@ class TomlSubsetSpec extends AnyFunSuite {
     assert(entries.head("name") == "cards")
     assert(entries(1)("data_dir") == "users")
     assert(entries.head("schema_mismatch_dir") == "cards_schema_mismatches")
+  }
+
+  test("a plain [table] header ends the [[data]] scope") {
+    val tmp = java.nio.file.Files.createTempFile("conf2", ".toml")
+    java.nio.file.Files.writeString(tmp,
+      """[[data]]
+        |name = "cards"
+        |[settings]
+        |name = "prod"
+        |""".stripMargin)
+    val entries = TomlSubset.parseTableArray(tmp.toString, "data")
+    assert(entries.size == 1)
+    assert(entries.head("name") == "cards") // NOT overwritten by [settings]
+  }
+}
+
+class EtlEdgeSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  test("filenames with spaces survive URI decoding through quarantine") {
+    val base = java.nio.file.Files.createTempDirectory("etl_space_")
+    java.nio.file.Files.writeString(
+      base.resolve("user-events-schema.json"), EtlFixtures.userSchemaJson)
+    val dataDir = java.nio.file.Files.createDirectories(base.resolve("users"))
+    // invalid event (score type error) in a file whose name has a space
+    java.nio.file.Files.writeString(dataDir.resolve("my event.json"),
+      """{"metadata":{"type":"user","event_at":"e","event_id":"i"},
+        |"payload":{"id":1,"name":"A B","address":"a","job":"j","score":"bad"}}""".stripMargin)
+    val conf = EntityConf("users",
+      base.resolve("user-events-schema.json").toString, dataDir.toString,
+      base.resolve("users.csv").toString, None,
+      base.resolve("users_schema_mismatches").toString)
+    val r = EntityPipeline.run(spark, conf, V1, base.resolve("errors.log").toString)
+    assert(r.metrics == EtlMetrics(1, 0, 1))
+    // quarantine copy must resolve the DECODED path (a %20 path would throw)
+    assert(java.nio.file.Files.exists(
+      base.resolve("users_schema_mismatches").resolve("my event.json")))
+    val log = java.nio.file.Files.readString(base.resolve("errors.log"))
+    assert(log.contains("my event.json") && !log.contains("%20"))
   }
 }

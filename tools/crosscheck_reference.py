@@ -51,6 +51,14 @@ def write_corpus(base: Path):
                       "job": "Scribe", "score": 0.0625}}
     (base / "users" / "f10.json").write_text(json.dumps(ev))
     (base / "users" / "notes.txt").write_text("not an event")  # F14
+    # F13b: card missing required BOOLEAN — reference keeps it with a
+    # BLANK active (restval=''), the null-boolean stringify trap
+    ev = {"payload": {"id": 5002, "user_id": 301, "created_by_name": "No Active",
+                      "updated_at": "2023-10-23 23:31:00",
+                      "created_at": "2023-10-23 23:31:00"},
+          "metadata": {"type": "card", "event_at": "2023-10-23 23:31:00",
+                       "event_id": "00000000-0000-4000-8000-000000000013"}}
+    (base / "cards" / "f13.json").write_text(json.dumps(ev))
 
 
 def run_reference(base: Path, main: str):
