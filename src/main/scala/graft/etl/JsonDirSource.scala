@@ -35,8 +35,8 @@ object JsonDirSource {
     * prefix strip would leave "%20" in paths with spaces, and the
     * quarantine copy / error log would then reference nonexistent files.
     * java.net.URI.getPath decodes correctly (and, unlike URLDecoder,
-    * leaves literal '+' alone). */
-  private val uriToPath = udf { (raw: String) =>
+    * leaves literal '+' alone). Shared with the streaming source. */
+  val uriToPath = udf { (raw: String) =>
     try new java.net.URI(raw).getPath
     catch { case _: Exception => raw.replaceFirst("^file:(//)?", "") }
   }

@@ -30,10 +30,15 @@ object Signatures extends Serializable {
   }
 
   /** MinHash band hashes straight from raw tokens: shingle + minhash in
-    * one pass, no intermediate arrays through the expression layer. */
+    * one pass, no intermediate arrays through the expression layer.
+    * Zero-shingle docs (shorter than the shingle width — common at web
+    * scale) return NO bands: with the sentinel sigs they would all share
+    * one identical band hash and collapse into a single quadratic
+    * mega-bucket. */
   def minhashBandsFromTokens(toks: Seq[String], shingleN: Int,
                              numHashes: Int, bands: Int): Array[Int] = {
     val hs = shingleHashes(toks, shingleN)
+    if (hs.isEmpty) return Array.empty
     val sigs = Array.fill(numHashes)(Long.MaxValue)
     var k = 0
     while (k < hs.length) {
@@ -167,29 +172,6 @@ object Signatures extends Serializable {
       i += 1
     }
     out.result()
-  }
-
-  /** MinHash band hashes: numHashes affine permutations
-    * sig_j = min over tokens of (a_j·h + b_j mod P), folded into
-    * `bands` band-level hashes (rows-per-band = numHashes/bands).
-    * Overflow-free: h < 2^31, a_j < 2^7. */
-  def minhashBandHashes(toks: Seq[String], numHashes: Int, bands: Int): Array[Int] = {
-    val sigs = Array.fill(numHashes)(Long.MaxValue)
-    val it = toks.iterator
-    while (it.hasNext) {
-      val h = h31(it.next())
-      var j = 0
-      while (j < numHashes) {
-        val v = ((2L * j + 1) * h + (j * 40503L + 1) % P) % P
-        if (v < sigs(j)) sigs(j) = v
-        j += 1
-      }
-    }
-    val rows = numHashes / bands
-    Array.tabulate(bands) { b =>
-      MurmurHash3.orderedHash(
-        (b * rows until (b + 1) * rows).map(sigs), 0x85ebca6b)
-    }
   }
 
   /** 64-bit SimHash: per-token 64-bit hash (two murmur seeds), ±1 votes

@@ -14,9 +14,12 @@ object VectorAvg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Doub
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  // The zero-state sentinel is the COUNT, not sum.isEmpty — an empty or
+  // null input vector must neither reset the accumulator nor count.
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
     val (sum, n) = b
-    if (sum.isEmpty) (v.toArray, 1L)
+    if (v == null || v.isEmpty) b
+    else if (n == 0L) (v.toArray, 1L)
     else {
       var i = 0
       while (i < sum.length && i < v.length) { sum(i) += v(i); i += 1 }
@@ -25,8 +28,8 @@ object VectorAvg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Doub
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
-    if (a._1.isEmpty) b
-    else if (b._1.isEmpty) a
+    if (a._2 == 0L) b
+    else if (b._2 == 0L) a
     else {
       var i = 0
       while (i < a._1.length && i < b._1.length) { a._1(i) += b._1(i); i += 1 }

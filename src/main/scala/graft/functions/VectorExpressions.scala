@@ -25,17 +25,27 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(DoubleType, false) ||
-      left.dataType == ArrayType(DoubleType, true))
+    def ok(t: DataType) =
+      t == ArrayType(DoubleType, false) || t == ArrayType(DoubleType, true)
+    if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-      .TypeCheckFailure(s"dot_product needs array<double>, got ${left.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs (array<double>, array<double>), got " +
+        s"(${left.dataType}, ${right.dataType})")
   }
+
+  /** Dimension mismatch is a bug upstream (e.g. a config drift between
+    * plane and embedding dims) — fail loudly rather than silently
+    * truncating to the shorter vector. */
+  private def dimError(a: Int, b: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"dot_product dimension mismatch: $a vs $b")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) dimError(n, y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -48,7 +58,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product dimension mismatch: " + $n + " vs " + $y.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $x.getDouble($i) * $y.getDouble($i);

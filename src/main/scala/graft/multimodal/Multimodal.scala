@@ -80,7 +80,9 @@ object Multimodal {
           ($"doc_id" % 3).cast("int") + 1).as("modality"),
         element_at(typedlit(Seq("jpeg", "wav", "mp4")),
           ($"doc_id" % 3).cast("int") + 1).as("format"),
-        length($"text").cast("bigint").as("n_bytes"),
+        // octet_length, not length: n_bytes must agree with the BINARY
+        // content's size for multi-byte text
+        octet_length($"text").cast("bigint").as("n_bytes"),
         $"text".cast("binary").as("content"))
       .as[MediaRecord]
   }

@@ -38,14 +38,21 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Carry the right row as ONE struct: last(.., ignoreNulls) over a
+    // per-column carry would skip right rows whose column value is
+    // legitimately null (carrying a stale older value) and could mix
+    // columns from different right rows. The struct is non-null for
+    // every right row even when its fields are null, so the latest right
+    // ROW is carried atomically.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v).copy(name = v)))
     val l = left
-      .withColumn("__side", lit(1))
       .select((col(key) +: col(ts) +: lit(1).as("__side") +:
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")) ++:
+        lit(null).cast(rStructType).as("__r") +:
         leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
     val r = right
       .select((col(key) +: col(ts) +: lit(0).as("__side") +:
-        rightVals.map(v => col(v).as(s"__r_$v")) ++:
+        struct(rightVals.map(col): _*).as("__r") +:
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     // right rows sort BEFORE left rows at equal ts → "<=" semantics
@@ -53,10 +60,9 @@ object AsOfJoin {
       .orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select((col("*") +: rightVals.map(v =>
-        last(col(s"__r_$v"), ignoreNulls = true).over(w).as(s"asof_$v"))): _*)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .drop("__side")
-      .drop(rightVals.map(v => s"__r_$v"): _*)
+      .select((leftCols.map(col) ++
+        rightVals.map(v => col(s"__asof.$v").as(s"asof_$v"))): _*)
   }
 }

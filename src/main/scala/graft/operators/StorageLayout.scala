@@ -41,7 +41,12 @@ object StorageLayout {
       .mode(SaveMode.Overwrite)
       .save(path)
 
-  /** True iff the executed plan of `df` contains no shuffle exchange. */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  /** True iff the executed plan of `df` contains no shuffle exchange of
+    * any flavor (hash, range, or single-partition — BroadcastExchange is
+    * not a shuffle and is deliberately excluded). */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    !Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+      "Exchange SinglePartition").exists(plan.contains)
+  }
 }

@@ -29,19 +29,30 @@ object StreamingAnalytics {
       .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
   }
 
-  final case class UserActivity(user_id: Long, n_events: Long, last_type: String)
+  final case class UserActivity(user_id: Long, n_events: Long,
+                                last_type: String, last_ts_micros: Long)
 
   /** Per-user running activity via mapGroupsWithState — the custom-state
-    * primitive (KeyValueGroupedDataset) for logic windows can't express. */
+    * primitive (KeyValueGroupedDataset) for logic windows can't express.
+    * `last_type` is the type of the EVENT-TIME-latest event (iterator
+    * order within a micro-batch is partition/arrival order — taking the
+    * iterator's last element would be nondeterministic across reruns). */
   def userActivity(events: DataFrame): Dataset[UserActivity] = {
     val s = events.sparkSession
     import s.implicits._
-    events.select($"user_id".as[Long], $"event_type".as[String])
+    events
+      .select($"user_id".as[Long],
+        unix_micros($"ts").as[Long], $"event_type".as[String])
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[(Long, String)], state: GroupState[UserActivity]) =>
-          var acc = state.getOption.getOrElse(UserActivity(user, 0L, ""))
-          rows.foreach { case (_, t) => acc = UserActivity(user, acc.n_events + 1, t) }
+        (user: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[UserActivity]) =>
+          var acc = state.getOption.getOrElse(UserActivity(user, 0L, "", Long.MinValue))
+          rows.foreach { case (_, ts, t) =>
+            val (lt, lts) = if (ts >= acc.last_ts_micros) (t, ts)
+              else (acc.last_type, acc.last_ts_micros)
+            acc = UserActivity(user, acc.n_events + 1, lt, lts)
+          }
           state.update(acc)
           acc
       }

@@ -41,8 +41,9 @@ object StreamingEtl {
       .option("recursiveFileLookup", "false")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(conf.dataDir)
-      .select(
-        regexp_replace(input_file_name(), "^file:(//)?", "").as("src_path"),
+      // URI-decode like the batch source — a percent-encoded path would
+      // crash the quarantine copy inside foreachBatch and kill the query
+      .select(graft.etl.JsonDirSource.uriToPath(input_file_name()).as("src_path"),
         col("value"))
     lazy val running: Running = Running(query)
     lazy val query: StreamingQuery = raw.writeStream

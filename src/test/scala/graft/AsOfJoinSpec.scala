@@ -33,6 +33,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("l-d") == null)
   }
 
+  test("a right row with a NULL value still supersedes older right rows") {
+    import spark.implicits._
+    val left = Seq((1L, ts(200), "probe")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(50), Option(5.0)),
+      (1L, ts(100), Option.empty[Double]) // latest right row: value null
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("v")).collect()(0)
+    // carrying per-COLUMN with ignoreNulls would resurrect the stale 5.0
+    assert(out.isNullAt(out.fieldIndex("asof_v")),
+      s"expected null from the superseding right row, got $out")
+  }
+
   test("left rows and columns all survive; count unchanged") {
     import spark.implicits._
     val left = Seq((1L, ts(1), "x", 42), (1L, ts(2), "y", 43)).toDF("k", "t", "s", "n")

@@ -161,6 +161,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(2) == Seq(10.0, 20.0))
   }
 
+  test("VectorAvg: empty vectors neither reset the accumulator nor count") {
+    import spark.implicits._
+    val ds = Seq((1, Seq(2.0)), (1, Seq.empty[Double]), (1, Seq(4.0))).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.VectorAvg.toColumn.name("c")).collect().toMap
+    assert(out(1) == Seq(3.0)) // mean of (2,4); the empty row is skipped
+  }
+
   test("LSH top-k is a subset-quality approximation of brute force") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, sf)
