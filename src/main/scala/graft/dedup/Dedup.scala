@@ -215,7 +215,7 @@ object Dedup {
       .select($"doc_id", distinctTokens($"text").as("toks"))
       .filter(size($"toks") > 0)
       .select($"doc_id", simhashUdf($"toks").as("sh"))
-    val width = 64 / SimhashPieces // 7 bits; top piece takes the remainder
+    val width = 64 / SimhashPieces // 16 bits; top piece takes the remainder
     val pieces = (0 until SimhashPieces).map { j =>
       val hi = if (j == SimhashPieces - 1) 64 - j * width else width
       struct(lit(j).as("piece"),

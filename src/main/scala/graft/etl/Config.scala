@@ -100,11 +100,15 @@ object TomlSubset {
   }
 
   private def stripComment(line: String): String = {
-    // '#' starts a comment unless inside a basic string
+    // '#' starts a comment unless inside a basic string; an escaped \"
+    // inside a basic string must not toggle the string scope
     var inStr = false
+    var escaped = false
     val sb = new StringBuilder
     for (ch <- line) {
-      if (ch == '"') { inStr = !inStr; sb += ch }
+      if (escaped) { escaped = false; sb += ch }
+      else if (inStr && ch == '\\') { escaped = true; sb += ch }
+      else if (ch == '"') { inStr = !inStr; sb += ch }
       else if (ch == '#' && !inStr) return sb.toString
       else sb += ch
     }

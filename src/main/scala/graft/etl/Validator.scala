@@ -72,7 +72,9 @@ object Validator extends Serializable {
       return Verdict("other", "", s"${pyRepr(root)} is not of type 'object'")
 
     // Top-level parts in schema property order: presence, then type, then
-    // the part's own required/type checks.
+    // the part's own required/type checks. For multi-defect files this
+    // first-error order can differ from python-jsonschema's traversal
+    // order and flip routing — documented divergence D6 (SURVEY §7.5).
     for (part <- schema.partOrder) {
       val node = root.get(part)
       if (node == null) {

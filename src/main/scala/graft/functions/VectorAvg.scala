@@ -14,6 +14,13 @@ object VectorAvg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Doub
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  // Ragged dimensions are a data bug, not a truncation case: fail loudly
+  // (same policy as DotProduct) rather than silently produce a centroid
+  // computed over a prefix of each vector.
+  private def requireSameDim(a: Int, b: Int): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"vector_avg: dimension mismatch ($a vs $b)")
+
   // The zero-state sentinel is the COUNT, not sum.isEmpty — an empty or
   // null input vector must neither reset the accumulator nor count.
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
@@ -21,8 +28,9 @@ object VectorAvg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Doub
     if (v == null || v.isEmpty) b
     else if (n == 0L) (v.toArray, 1L)
     else {
+      requireSameDim(sum.length, v.length)
       var i = 0
-      while (i < sum.length && i < v.length) { sum(i) += v(i); i += 1 }
+      while (i < sum.length) { sum(i) += v(i); i += 1 }
       (sum, n + 1)
     }
   }
@@ -31,8 +39,9 @@ object VectorAvg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Doub
     if (a._2 == 0L) b
     else if (b._2 == 0L) a
     else {
+      requireSameDim(a._1.length, b._1.length)
       var i = 0
-      while (i < a._1.length && i < b._1.length) { a._1(i) += b._1(i); i += 1 }
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)
     }
 

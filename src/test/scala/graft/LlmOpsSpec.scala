@@ -84,11 +84,13 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash piece blocking is pigeonhole-exact within the radius") {
-    // replicate the production piece extraction (9 pieces, 7-bit width,
-    // top piece takes the remainder) and check that ANY pattern of up to
-    // SimhashRadius flips leaves at least one piece identical — i.e. the
-    // pair lands in a shared bucket. Guards width/mask bugs; the old
-    // 4×16-bit chunking fails this for flips spread across all chunks.
+    // replicate the production piece extraction (SimhashPieces = radius+1
+    // pieces, currently 4×16-bit, top piece takes the remainder) and check
+    // that ANY pattern of up to SimhashRadius flips leaves at least one
+    // piece identical — i.e. the pair lands in a shared bucket. Guards
+    // width/mask bugs: pigeonhole exactness requires pieces > radius, so
+    // e.g. 4 pieces with radius 4+ would fail for flips spread across all
+    // four chunks.
     val piecesOf: Long => Seq[Long] = { sh =>
       val n = Dedup.SimhashPieces
       val width = 64 / n

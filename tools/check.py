@@ -64,8 +64,11 @@ def main(sf_dir, out_dir):
                     same = a == b
                 except Exception:
                     same = str(a) == str(b)
-                # pandas may surface NaN vs None asymmetrically
-                if same is False and str(a) == str(b):
+                # pandas may surface NaN vs None asymmetrically — allow the
+                # string fallback ONLY for that case, not for genuine type
+                # mismatches like int 1 vs string '1'
+                if same is False and (a is None or b is None or isna_a or isna_b) \
+                        and str(a) == str(b):
                     same = True
                 if not same:
                     bad = (c, i, a, b)
