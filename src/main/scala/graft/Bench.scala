@@ -23,16 +23,23 @@ object Bench {
     // min of two warm runs per query: the host shows bursty vCPU
     // throttling (identical queries swing 1s↔30s), and a single-shot
     // timing inside a throttle window misattributes host noise to the
-    // query. The min is the truer cost of the plan.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
-        Some((System.nanoTime() - t0) / 1e9)
-      }
-      // min over SUCCESSFUL runs — a transient second-run failure must
-      // not discard a valid first-run measurement
-      val runs = Seq(once(), once()).flatten
+    // query. The min is the truer cost of the plan. The passes are
+    // INTERLEAVED (all queries once, then all again) so a query's two
+    // samples are separated by ~a full pass — back-to-back samples both
+    // land in the same multi-second throttle window and the min doesn't
+    // help (r1: q19's two adjacent runs both measured 9s for a 0.2s plan).
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
+      Some((System.nanoTime() - t0) / 1e9)
+    }
+    val pass1 = ordered.map { case (name, fn) => name -> once(fn) }
+    val pass2 = ordered.map { case (name, fn) => name -> once(fn) }
+    // min over SUCCESSFUL runs — a transient second-run failure must
+    // not discard a valid first-run measurement
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      val runs = Seq(a, b).flatten
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

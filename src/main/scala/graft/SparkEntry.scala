@@ -15,15 +15,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Declared.queries ++ EtlDemo.queries ++ graft.queries.Profiles.queries ++
+    Declared.queries ++ graft.queries.Declared2.queries ++ EtlDemo.queries ++
+      graft.queries.Profiles.queries ++
       graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
       graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the non-SQL-expressible ops
-    * (minhash/simhash/cosine/LSH/multimodal — Spark-hash- or
-    * float-order-dependent) → driver records a rows-only check; their
-    * semantics are invariant-tested in ScalaTest instead. */
+    * the same parquet tables. Omitted only for the genuinely
+    * non-SQL-expressible ops (minhash/simhash — Spark-xxhash64-dependent;
+    * profile_hll — HLL sketch internals; sim_label_centroids —
+    * float-order-sensitive VectorAvg) → driver records a rows-only check;
+    * their semantics are invariant-tested in ScalaTest instead. The
+    * cosine/LSH/multimodal queries ARE oracle-checked as of round 2
+    * (see [[graft.queries.Oracle2]] for the bit-exactness argument). */
   def oracleSql: Map[String, String] =
-    Oracle.oracleSql ++ graft.queries.Profiles.oracleSql
+    Oracle.oracleSql ++ graft.queries.Oracle2.oracleSql ++
+      graft.queries.Profiles.oracleSql
 }

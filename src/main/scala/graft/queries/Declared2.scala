@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Round-2 additions to the declared capability inventory (SURVEY §2.4,
+  * rows Q22-Q30): pivot, exact percentiles, deterministic hash sampling,
+  * sessionization, histograms, regex functions, GROUPING SETS via the SQL
+  * front end, higher-order array functions, and distribution window
+  * functions. Same authoring contract as [[Declared]]: total ORDER BY
+  * over a unique key set, decimal-cents accumulation for float sums,
+  * column names aliased identically to the oracle SQL in [[Oracle2]].
+  */
+object Declared2 {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** See [[Declared.dsum]] — exact integer-cents sum, order-insensitive. */
+  private def dsum(c: Column): Column =
+    (sum(floor(c * 100).cast("long")) / 100.0).cast("double")
+
+  // ---------------------------------------------------------------- Q22
+  /** Pivot: order totals per priority, one column per order status. A
+    * pivot is a groupBy with a conditional-aggregate fan-out — map-side
+    * partial aggregation keeps it one shuffle at any scale; the explicit
+    * value list (F/O/P) avoids the extra values-discovery job Spark runs
+    * for an unlisted pivot. */
+  val q22: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum($"o_totalprice"))
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- Q23
+  /** Exact percentiles (percentile = sort-based exact quantile with
+    * linear interpolation — same p·(n-1) rank formula as DuckDB's
+    * quantile_cont) per return flag. Exact percentiles shuffle the group's
+    * values; at 100 TB you'd reach for approx_percentile (see
+    * profile_stats) — this query is the exact-math reference point. */
+  val q23: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- Q24
+  /** Deterministic stratified hash sampling — the reproducible-sampling
+    * primitive a training-data pipeline needs (rand()-based sampling is
+    * neither reproducible nor oracle-checkable). Key → Knuth
+    * multiplicative hash in exact int64 → per-stratum keep threshold
+    * (20% for urgent orders, 10% otherwise). Embarrassingly parallel:
+    * the filter pushes no shuffle; sampling rate is exact-in-expectation
+    * and identical on every engine/run. */
+  val q24: Q = (s, dir) => {
+    import s.implicits._
+    val h = pmod($"o_orderkey" * 2654435761L, lit(4294967296L))
+    val thresh = when($"o_orderpriority" === "1-URGENT", 858993459L)
+      .otherwise(429496729L)
+    Tables(s, dir, "orders")
+      .filter(h < thresh)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"), dsum($"o_totalprice").as("sampled_total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- Q25
+  /** Sessionization (gaps-and-islands): events per user split into
+    * sessions at >30 min inactivity. One shuffle on user_id feeds both
+    * windows AND the final per-session aggregate (same partitioning).
+    * Gap math in exact integer microseconds (unix_micros) — identical in
+    * both engines, no float time arithmetic. */
+  val q25: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withGap = Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"))
+    val withSess = withGap
+      .select($"user_id", $"event_id", $"ts",
+        sum(when($"gap_us".isNull || $"gap_us" > 1800000000L, 1).otherwise(0))
+          .over(run).cast("int").as("session_idx"))
+    withSess.groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("duration_us"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  // ---------------------------------------------------------------- Q26
+  /** Numeric histogram: fixed-width buckets over o_totalprice. The bucket
+    * expression is a pure projection — the histogram is one map-side
+    * partial agg + one shuffle of (n_buckets) rows, the right shape for
+    * profiling a 100 TB column. */
+  val q26: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy((floor($"o_totalprice" / 50000) * 50000).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"bucket_lo")
+  }
+
+  // ---------------------------------------------------------------- Q27
+  /** Regex functions over part — extraction, global replacement, and
+    * match predicate, all codegen'd per-row (no shuffle but the sort).
+    * Patterns stay in the RE2 ∩ java.util.regex intersection so both
+    * engines agree. */
+  val q27: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "part")
+      .select($"p_partkey",
+        regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+        regexp_extract($"p_type", "(\\w+)$", 1).as("last_type_word"),
+        regexp_replace($"p_name", "[aeiou]", "").as("devoweled"),
+        $"p_name".rlike("s$").as("plural_ish"))
+      .orderBy($"p_partkey")
+  }
+
+  // --------------------------------------------------------------- Q15c
+  /** GROUPING SETS via the SQL front end (rollup/cube's general form —
+    * and the one surface exercised through spark.sql rather than the
+    * DataFrame API). */
+  val q15c: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q15c")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        count(*) AS n,
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        CAST(grouping(o_orderpriority) AS INT) AS g_prio
+      FROM orders_q15c
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_prio,
+        o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
+  // ---------------------------------------------------------------- Q28
+  /** Higher-order array functions over embeddings: aggregate (fold),
+    * filter, array_max/min — per-row lambdas, no shuffle. The fold
+    * accumulates in exact scaled int64 so the result is order- and
+    * engine-independent (SURVEY §2.4 determinism contract applied to
+    * arrays). */
+  val q28: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("aggregate(cast(embedding as array<double>), 0L, (acc, x) -> acc + cast(floor(x * 1000000) as long))").as("sum_scaled"),
+        expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+        expr("cast(array_max(cast(embedding as array<double>)) as double)").as("max_val"),
+        expr("cast(array_min(cast(embedding as array<double>)) as double)").as("min_val"))
+      .orderBy($"vec_id")
+  }
+
+  // ---------------------------------------------------------------- Q30
+  /** Distribution window functions: ntile, percent_rank, cume_dist,
+    * first/last value over an explicit full frame — the remaining window
+    * surface beyond Q11/Q12's ranks and frames. percent_rank/cume_dist
+    * are the same (rank-1)/(n-1) and rank_hi/n formulas in both
+    * engines — exact given the unique total order. */
+  val q30: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 100)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first($"o_orderkey").over(full).as("cheapest_key"),
+        last($"o_orderkey").over(full).as("priciest_key"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  /** Exact per-label centroids in scaled-int arithmetic — the
+    * deterministic, oracle-checkable companion to sim_label_centroids'
+    * float VectorAvg: posexplode to (label, dim, x), exact int64 sum of
+    * floor(x·1e6), divide back. One shuffle on (label, dim); at scale
+    * this is the shape that beats per-vector aggregation when dim is
+    * large (narrow rows, perfect partial aggregation). */
+  val simCentroidsExact: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy($"label", ($"pos" + 1).cast("int").as("dim"))
+      .agg((sum(floor($"x" * 1000000.0).cast("long")).cast("double") / count(lit(1)) / 1000000.0)
+        .as("c"))
+      .orderBy($"label", $"dim")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q15c_grouping_sets" -> q15c,
+    "q22_pivot" -> q22,
+    "q23_percentiles" -> q23,
+    "q24_stratified_sample" -> q24,
+    "q25_sessionize" -> q25,
+    "q26_histogram" -> q26,
+    "q27_regex" -> q27,
+    "q28_array_hof" -> q28,
+    "q30_window_dist" -> q30,
+    "sim_centroids_exact" -> simCentroidsExact)
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Declared2]] plus the round-2 upgrades of
+  * previously rows-only checks to full hash checks:
+  *
+  *  - `sim_topk_bruteforce`, `sim_topk_lsh`, `dedup_embedding_cosine`:
+  *    verified empirically that DuckDB 1.0's `list_inner_product` over
+  *    DOUBLE[] is bit-identical to our codegen'd sequential-loop
+  *    DotProduct (both are left-to-right double accumulation), so every
+  *    cosine in these queries is the same IEEE value in both engines —
+  *    no float-order caveat remains. The LSH oracle embeds the seeded
+  *    hyperplane constants (Similarity.planes) as SQL array literals;
+  *    Double.toString round-trips exactly through DuckDB's parser.
+  *  - `mm_decode_features`: the corpus is ASCII (verified per-lang), so
+  *    the FakeCodec byte-hash equals a char-hash via ascii() and the
+  *    whole decode stub is SQL-expressible.
+  *
+  * Same dialect notes as [[Oracle]] (BIGINT vs INT casts, HUGEINT sums,
+  * TIMESTAMP_NS truncation).
+  */
+object Oracle2 {
+
+  private def sqlArray(xs: Array[Double]): String =
+    xs.map(_.toString).mkString("[", ", ", "]")
+
+  /** `vec_id, v (DOUBLE[]), norm` CTE shared by the vector oracles —
+    * mirrors Similarity.vcol / Dedup.embeddingCosine's normalization. */
+  private val vecCte =
+    """e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings)""".stripMargin
+
+  private def lshBucketExpr: String =
+    graft.sim.Similarity.planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(${sqlArray(p)}, v) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val lshProbes: String =
+    (0 +: (0 until graft.sim.Similarity.NumPlanes).map(1 << _)).mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0 AS total_f,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0 AS total_o,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0 AS total_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_stratified_sample" ->
+      """SELECT o_orderpriority, count(*) AS n_sampled,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sampled_total
+        |FROM orders
+        |WHERE (o_orderkey * 2654435761) % 4294967296 <
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 858993459 ELSE 429496729 END
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "q26_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
+
+    "q27_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_extract(p_type, '(\w+)$', 1) AS last_type_word,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |  regexp_matches(p_name, 's$') AS plural_ish
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q15c_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+        |  count(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q28_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding::DOUBLE[],
+        |    x -> CAST(floor(x * 1000000) AS BIGINT))) AS BIGINT) AS sum_scaled,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  list_max(embedding::DOUBLE[]) AS max_val,
+        |  list_min(embedding::DOUBLE[]) AS min_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q30_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER wf AS cheapest_key,
+        |  last_value(o_orderkey) OVER wf AS priciest_key
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW
+        |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    // unnest + generate_subscripts zip positionally (Postgres-style SRF
+    // pairing) — the lateral-range form is unsupported in DuckDB 1.0
+    "sim_centroids_exact" ->
+      """WITH ex AS (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
+        |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // ---- upgrades of previously rows-only checks ----
+    "sim_topk_bruteforce" ->
+      s"""WITH $vecCte,
+        |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+        |      FROM e WHERE vec_id < ${graft.sim.Similarity.NumQueries})
+        |SELECT query_id, vec_id, rank, cos_sim FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_inner_product(q.qv, e.v) / (q.qnorm * e.norm) AS cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_inner_product(q.qv, e.v) / (q.qnorm * e.norm) DESC,
+        |               e.vec_id) AS INT) AS rank
+        |  FROM e, q WHERE e.vec_id <> q.query_id)
+        |WHERE rank <= ${graft.sim.Similarity.K}
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH $vecCte,
+        |b AS (SELECT vec_id, v, norm, $lshBucketExpr AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, qv, qnorm, xor(b.bucket, t.m) AS bucket
+        |      FROM (SELECT vec_id, v AS qv, norm AS qnorm, bucket FROM b
+        |            WHERE vec_id < ${graft.sim.Similarity.NumQueries}) b,
+        |        unnest($lshProbes) AS t(m))
+        |SELECT query_id, vec_id, rank, cos_sim FROM (
+        |  SELECT q.query_id, b.vec_id,
+        |    list_inner_product(q.qv, b.v) / (q.qnorm * b.norm) AS cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_inner_product(q.qv, b.v) / (q.qnorm * b.norm) DESC,
+        |               b.vec_id) AS INT) AS rank
+        |  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id)
+        |WHERE rank <= ${graft.sim.Similarity.K}
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH $vecCte,
+        |u AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_inner_product(a.u, b.u) AS cos_sim
+        |FROM u a, u b
+        |WHERE a.vec_id < b.vec_id AND list_inner_product(a.u, b.u) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // ASCII corpus (verified): byte-hash == ascii(char)-hash; the whole
+    // FakeCodec stub is integer arithmetic over that checksum.
+    "mm_decode_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+        |  FROM documents)
+        |SELECT media_id, modality, n_bytes, checksum,
+        |  CAST(16 + (checksum % 64) AS INT) AS width,
+        |  CAST(16 + ((checksum // 64) % 64) AS INT) AS height,
+        |  CAST(CASE WHEN modality = 'video' THEN 1 + (n_bytes % 8) ELSE 1 END AS INT) AS n_frames,
+        |  round((checksum % 256) / 256.0, 6) AS f0
+        |FROM m ORDER BY media_id""".stripMargin)
+}

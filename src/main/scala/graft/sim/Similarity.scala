@@ -31,8 +31,11 @@ object Similarity {
   val NumQueries = 5
   val NumPlanes = 4
 
-  /** Deterministic random hyperplanes (seeded — no runtime entropy). */
-  private def planes: Seq[Array[Double]] = {
+  /** Deterministic random hyperplanes (seeded — no runtime entropy;
+    * java.util.Random's LCG + nextGaussian are platform-stable, so the
+    * oracle SQL generated from these constants in Oracle2 sees the exact
+    * same doubles). */
+  private[graft] def planes: Seq[Array[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
   }

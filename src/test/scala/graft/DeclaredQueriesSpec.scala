@@ -33,14 +33,13 @@ class DeclaredQueriesSpec extends AnyFunSuite {
     // rows-only checks are allowed but must be deliberate — keep the list
     // here in sync when adding non-SQL-expressible ops.
     val rowsOnlyAllowed = Set(
-      // Spark-hash- or float-order-dependent: no portable SQL oracle
-      // (SURVEY §2.5); invariant-tested in DedupSpec/SimilaritySpec/
-      // MultimodalSpec instead.
-      "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-      "sim_topk_bruteforce", "sim_topk_lsh", "mm_decode_features",
+      // Spark-xxhash64-dependent: no portable SQL oracle (SURVEY §2.5);
+      // invariant-tested in LlmOpsSpec instead.
+      "dedup_minhash_lsh", "dedup_simhash",
       // HLL sketch values are Spark-implementation-specific
       "profile_hll",
-      // float-order-sensitive centroid means
+      // float-order-sensitive centroid means (the deterministic variant
+      // sim_centroids_exact IS oracle-checked)
       "sim_label_centroids")
     assert((missing -- rowsOnlyAllowed).isEmpty,
       s"queries without oracle or rows-only exemption: ${missing -- rowsOnlyAllowed}")
