@@ -58,6 +58,36 @@ object StreamingAnalytics {
       }
   }
 
+  /** Session windows via Spark's native session_window — the streaming
+    * form of batch Q25 (gaps-and-islands sessionization): events of one
+    * user merge while gaps stay under 30 min; the watermark closes and
+    * evicts sessions once event time passes end + delay. State is keyed
+    * by (user, session) in the state store — the built-in operator
+    * handles merge-on-overlap, which hand-rolled state would have to
+    * re-implement. (Boundary note: session_window's half-open window
+    * means a gap of EXACTLY 30 min starts a new session here, while
+    * Q25's `gap > 30 min` keeps it — divergence has measure zero on
+    * µs timestamps.) */
+  def sessionWindows(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events")
+  }
+
+  /** Streaming exact dedup on event_id: state holds one entry per key and
+    * the watermark bounds it — the standard exactly-once feed cleaner in
+    * front of a training-data ingest. Duplicates arriving within the
+    * watermark horizon (late copies, at-least-once sources) are dropped;
+    * state for keys older than the horizon is evicted. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch-parity check helper: the same hourly aggregate computed with
     * the batch engine (used by tests to assert stream == batch). */
   def hourlyWindowCountsBatch(events: DataFrame): DataFrame = {

@@ -92,6 +92,54 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows match batch q25 sessionization") {
+    import spark.implicits._
+    val q = StreamingAnalytics.sessionWindows(eventsStream("/root/testdata/sf0.001"))
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // compare the multiset of (user_id, n_events) sessions against the
+      // batch gaps-and-islands formulation (Q25) — same 30-min gap rule
+      val stream = spark.table("sessions")
+        .select($"user_id", $"n_events")
+        .orderBy($"user_id", $"session_start").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val batch = graft.queries.Declared2.q25(spark, "/root/testdata/sf0.001")
+        .select($"user_id", $"n_events")
+        .orderBy($"user_id", $"session_idx").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(stream.nonEmpty)
+      assert(stream.sorted == batch.sorted)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops cross-batch duplicate event_ids") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dedup_stream_")
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events").limit(200).cache()
+    val nDistinct = ev.select($"event_id").distinct().count()
+    // the same 200 events land twice, in two separate files → with
+    // maxFilesPerTrigger=1 the duplicate copies arrive in a LATER batch
+    // and must be dropped by watermark state, not intra-batch distinct
+    ev.coalesce(1).write.parquet(tmp.resolve("w1").toString)
+    ev.coalesce(1).write.parquet(tmp.resolve("w2").toString)
+    val streamDir = tmp.resolve("stream")
+    Files.createDirectory(streamDir)
+    Seq("w1", "w2").zipWithIndex.foreach { case (w, i) =>
+      val part = Files.list(tmp.resolve(w)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(part, streamDir.resolve(s"f$i.parquet"))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = StreamingAnalytics.dedupStream(src)
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == nDistinct)
+    } finally { q.stop(); ev.unpersist() }
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     val q = StreamingAnalytics.userActivity(eventsStream("/root/testdata/sf0.001"))
