@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit: the scale-readiness properties SURVEY §2.4's
+  * comments claim are asserted here against the actual plans, so a
+  * regression (a lost pushdown, a join flipping to nested-loop, a
+  * full-schema scan) fails CI rather than surfacing as a 100 TB
+  * incident. Executed-plan checks run count() first so AQE has
+  * finalized its runtime re-plan. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  // collect() (not count(), which builds a SEPARATE query execution) so
+  // THIS df's adaptive plan finalizes before we read it
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    // AQE's toString prints "== Final Plan ==" followed by the initial
+    // plan — keep only the final section so operator counts aren't doubled
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("q01: filters and projection reach the parquet scan") {
+    val plan = formatted(queries.Declared.q01(spark, sf))
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      s"no pushed filters:\n$plan")
+    // pruned read schema: none of the untouched measure/dim columns
+    Seq("l_tax", "l_returnflag", "l_linestatus", "l_partkey").foreach { c =>
+      assert(!plan.contains(c), s"unpruned column $c in scan:\n$plan")
+    }
+  }
+
+  test("q04: small customer side broadcasts") {
+    assert(executed(queries.Declared.q04(spark, sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("q05: dims broadcast and the aggregate is partial+final") {
+    val plan = executed(queries.Declared.q05(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    // two HashAggregate nodes (map-side partial, then final after shuffle)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("q06: global filtered agg is map-side partial until one-row final") {
+    val plan = executed(queries.Declared.q06(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+    assert(plan.contains("PushedFilters"))
+  }
+
+  test("q09/q10: semi and anti joins plan as joins, not row multiplication") {
+    assert(executed(queries.Declared.q09(spark, sf)).contains("LeftSemi"))
+    assert(executed(queries.Declared.q10(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("q13: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executed(queries.Declared.q13(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort shuffle for a limit-25:\n$plan")
+  }
+
+  test("q18: tiny-dim theta join is a broadcast nested loop") {
+    assert(executed(queries.Declared.q18(spark, sf)).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q25: both session windows and the final agg share ONE user_id shuffle") {
+    val plan = executed(queries.Declared2.q25(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one exchange for the user_id windows; the groupBy(user_id, session)
+    // reuses that partitioning (plus the final presentation sort)
+    assert(shuffles <= 1, s"$shuffles hash shuffles — window partitioning not reused:\n$plan")
+  }
+
+  test("q01 executes inside whole-stage codegen") {
+    val plan = executed(queries.Declared.q01(spark, sf))
+    // codegen'd operators print with the "*(n)" star in executed plans
+    assert(plan.contains("*("), s"interpreted path:\n$plan")
+  }
+
+  test("dedup exact: partial aggregation before the hash shuffle") {
+    val plan = executed(dedup.Dedup.exact(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("sim brute-force top-k: query side broadcasts, data side streams") {
+    val plan = executed(sim.Similarity.bruteForceTopK(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$plan")
+  }
+}
