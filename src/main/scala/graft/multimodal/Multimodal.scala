@@ -60,6 +60,15 @@ object Multimodal {
     /** Frame sampling stub for video: every `stride`-th frame index. */
     def sampleFrames(f: MediaFeatures, stride: Int): Seq[Int] =
       (0 until f.n_frames by stride)
+
+    /** Resize stub: aspect-preserving fit into `target`×`target` (the
+      * usual vision-model preprocessing box). Real plumbing, fake pixels —
+      * a real decoder would emit the resampled buffer alongside. */
+    def resize(f: MediaFeatures, target: Int): (Int, Int) = {
+      val scale = target.toDouble / math.max(f.width, f.height)
+      (math.max(1, math.floor(f.width * scale).toInt),
+        math.max(1, math.floor(f.height * scale).toInt))
+    }
   }
 
   /** Batch decode: one pass per partition, streaming — the decoder holds
@@ -99,6 +108,22 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** queries() entry: decode → aspect-preserving resize to the 224 box,
+    * streamed per partition through the typed Dataset path (the same seam
+    * a real resampler plugs into). Oracle-checked: the stub's geometry is
+    * integer/IEEE arithmetic DuckDB reproduces exactly. */
+  def resizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(mediaFromDocuments(s, dir))
+      .mapPartitions(_.map { f =>
+        val (w, h) = FakeCodec.resize(f, 224)
+        (f.media_id, f.modality, f.width, f.height, w, h)
+      })
+      .toDF("media_id", "modality", "width", "height", "out_w", "out_h")
+      .orderBy($"media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_features" -> decodeQuery _)
+    "mm_decode_features" -> decodeQuery _,
+    "mm_resize" -> resizeQuery _)
 }

@@ -203,7 +203,27 @@ object Declared2 {
       .orderBy($"label", $"dim")
   }
 
+  /** End-to-end corpus curation — the composed shape a training-data
+    * pipeline actually runs: quality gate → exact-dedup keep-list →
+    * deterministic 50% hash sample. Each stage is itself oracle-checked
+    * elsewhere (text_quality / dedup_exact / Q24); composing them stays
+    * deterministic, so the whole pipeline is hash-checked too. At scale:
+    * the gate is a pushed filter, the keep-list join is a shuffle on
+    * doc_id (or broadcast if the dup rate leaves it small), the sample
+    * is free. */
+  val curate: Q = (s, dir) => {
+    import s.implicits._
+    val q = graft.text.TextAnalysis.quality(s, dir)
+      .filter($"passes_quality")
+      .select($"doc_id", $"lang", $"n_tokens")
+    val keep = graft.dedup.Dedup.exact(s, dir).select($"keep_id".as("doc_id"))
+    q.join(keep, "doc_id")
+      .filter(pmod($"doc_id" * 2654435761L, lit(4294967296L)) < 2147483648L)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_curate" -> curate,
     "q15c_grouping_sets" -> q15c,
     "q22_pivot" -> q22,
     "q23_percentiles" -> q23,

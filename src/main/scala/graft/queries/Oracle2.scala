@@ -140,6 +140,41 @@ object Oracle2 {
         |  CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
         |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
+    "pipeline_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM t
+        |  WHERE len(toks) >= 20 AND len(toks) <= 1000
+        |    AND len(list_distinct(toks)) >= 10),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT q.doc_id, q.lang, q.n_tokens
+        |FROM q JOIN keep ON q.doc_id = keep.doc_id
+        |WHERE (q.doc_id * 2654435761) % 4294967296 < 2147483648
+        |ORDER BY q.doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_id, modality,
+        |    CAST(16 + (checksum % 64) AS INT) AS width,
+        |    CAST(16 + ((checksum // 64) % 64) AS INT) AS height
+        |  FROM m)
+        |SELECT media_id, modality, width, height,
+        |  CAST(greatest(1, floor(width  * (224.0 / greatest(width, height)))) AS INT) AS out_w,
+        |  CAST(greatest(1, floor(height * (224.0 / greatest(width, height)))) AS INT) AS out_h
+        |FROM d ORDER BY media_id""".stripMargin,
+
     // ---- upgrades of previously rows-only checks ----
     "sim_topk_bruteforce" ->
       s"""WITH $vecCte,

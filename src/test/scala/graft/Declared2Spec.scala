@@ -103,6 +103,28 @@ class Declared2Spec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("pipeline_curate output is quality-gated, deduped, and sampled") {
+    import spark.implicits._
+    val out = Declared2.curate(spark, sf).cache()
+    val gated = graft.text.TextAnalysis.quality(spark, sf)
+      .filter($"passes_quality").count()
+    assert(out.count() > 0 && out.count() < gated,
+      s"${out.count()} vs $gated gated — sample must strictly shrink")
+    assert(out.filter($"n_tokens" < 20 || $"n_tokens" > 1000).count() == 0)
+    out.unpersist()
+  }
+
+  test("mm_resize fits the 224 box, aspect preserved within rounding") {
+    import spark.implicits._
+    val r = graft.multimodal.Multimodal.resizeQuery(spark, sf).cache()
+    assert(r.filter($"out_w" < 1 || $"out_h" < 1 ||
+      $"out_w" > 224 || $"out_h" > 224).count() == 0)
+    // the longer side lands on 224 (or 223 when scale rounding undershoots)
+    val maxSide = org.apache.spark.sql.functions.greatest($"out_w", $"out_h")
+    assert(r.filter(maxSide < 223).count() == 0)
+    r.unpersist()
+  }
+
   test("sim_centroids_exact: one row per (label, dim), dims dense 1..64") {
     import spark.implicits._
     val c = Declared2.simCentroidsExact(spark, sf).cache()
