@@ -203,6 +203,93 @@ object Declared2 {
       .orderBy($"label", $"dim")
   }
 
+  // ---------------------------------------------------------------- Q29
+  /** Full outer join: high-balance customers ⟗ their big orders — rows
+    * survive from BOTH unmatched sides (customers with no big order,
+    * big orders of low-balance customers). COALESCE folds the two key
+    * columns; planned as a shuffled SMJ/hash join at scale (full outer
+    * can't broadcast). */
+  val q29: Q = (s, dir) => {
+    import s.implicits._
+    val a = Tables(s, dir, "customer")
+      .filter($"c_acctbal" > 8000).select($"c_custkey", $"c_name")
+    val b = Tables(s, dir, "orders")
+      .filter($"o_totalprice" > 400000)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_big"), dsum($"o_totalprice").as("big_total"))
+    a.join(b, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_name",
+        coalesce($"n_big", lit(0L)).as("n_big"),
+        coalesce($"big_total", lit(0.0)).as("big_total"))
+      .orderBy($"custkey")
+  }
+
+  // --------------------------------------------------------------- Q14b
+  /** Multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (Q14 covers the distinct forms). Spark plans these as
+    * aggregated count-compare joins; tagged + totally ordered like Q14. */
+  val q14b: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+    // duplicate-bearing multisets: one custkey per qualifying ORDER
+    val a = o.filter($"o_totalprice" > 150000).select($"o_custkey".as("c_custkey"))
+    val b = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("c_custkey"))
+    a.intersectAll(b).select(lit("1_intersect_all").as("op"), $"c_custkey")
+      .union(a.exceptAll(b).select(lit("2_except_all").as("op"), $"c_custkey"))
+      .orderBy($"op", $"c_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q31
+  /** Correlated scalar subquery: orders 1.5× above their customer's
+    * average — exercises Catalyst's subquery decorrelation (rewritten to
+    * an aggregate + join; never a per-row subquery execution). The
+    * average is computed in exact cents so the 1.5× boundary is the same
+    * double in both engines. */
+  val q31: Q = (s, dir) => {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_q31")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_q31 o
+      WHERE o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(floor(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100.0
+        FROM orders_q31 o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
+  // --------------------------------------------------------------- Q22b
+  /** Unpivot (wide → long, the inverse of Q22's pivot) via the Dataset
+    * unpivot API — melts the per-status columns back to (status, total)
+    * rows, dropping the nulls a missing stratum produced. */
+  val q22b: Q = (s, dir) => {
+    import s.implicits._
+    q22(s, dir)
+      .unpivot(Array($"o_orderpriority"),
+        Array($"total_f", $"total_o", $"total_p"), "status_col", "total")
+      .filter($"total".isNotNull)
+      .orderBy($"o_orderpriority", $"status_col")
+  }
+
+  // ---------------------------------------------------------------- Q32
+  /** Deterministic list/string aggregation: each customer's order-status
+    * history as a string in exact (date, key) order. collect_list alone
+    * is arrival-ordered (nondeterministic) — sorting an array of structs
+    * restores determinism; DuckDB's ORDER BY inside string_agg is the
+    * dialect mirror. */
+  val q32: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 200)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct($"o_orderdate", $"o_orderkey", $"o_orderstatus"))),
+            x => x.getField("o_orderstatus")), "").as("status_history"))
+      .orderBy($"o_custkey")
+  }
+
   /** End-to-end corpus curation — the composed shape a training-data
     * pipeline actually runs: quality gate → exact-dedup keep-list →
     * deterministic 50% hash sample. Each stage is itself oracle-checked
@@ -224,6 +311,11 @@ object Declared2 {
 
   val queries: Map[String, Q] = Map(
     "pipeline_curate" -> curate,
+    "q14b_multiset_ops" -> q14b,
+    "q22b_unpivot" -> q22b,
+    "q29_full_outer" -> q29,
+    "q31_corr_subquery" -> q31,
+    "q32_string_agg" -> q32,
     "q15c_grouping_sets" -> q15c,
     "q22_pivot" -> q22,
     "q23_percentiles" -> q23,

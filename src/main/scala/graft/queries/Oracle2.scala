@@ -140,6 +140,58 @@ object Oracle2 {
         |  CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
         |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
+    "q29_full_outer" ->
+      """WITH a AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS n_big,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS big_total
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        |SELECT COALESCE(a.c_custkey, b.o_custkey) AS custkey, a.c_name,
+        |  COALESCE(b.n_big, 0) AS n_big,
+        |  COALESCE(b.big_total, 0.0) AS big_total
+        |FROM a FULL OUTER JOIN b ON a.c_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q14b_multiset_ops" ->
+      """WITH a AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000),
+        |     b AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT '1_intersect_all' AS op, c_custkey
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT '2_except_all', c_custkey
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q31_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(floor(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |         / count(*) / 100.0
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q22b_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0 AS total_f,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0 AS total_o,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0 AS total_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status_col, total FROM (
+        |  SELECT o_orderpriority, 'total_f' AS status_col, total_f AS total FROM p
+        |  UNION ALL SELECT o_orderpriority, 'total_o', total_o FROM p
+        |  UNION ALL SELECT o_orderpriority, 'total_p', total_p FROM p)
+        |WHERE total IS NOT NULL
+        |ORDER BY o_orderpriority, status_col""".stripMargin,
+
+    "q32_string_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey) AS status_history
+        |FROM orders WHERE o_custkey <= 200
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "pipeline_curate" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -103,6 +103,60 @@ class Declared2Spec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q29 full outer keeps both unmatched sides") {
+    import spark.implicits._
+    val df = Declared2.q29(spark, sf).cache()
+    assert(df.filter($"c_name".isNull).count() > 0, "no order-only rows survived")
+    assert(df.filter($"n_big" === 0).count() > 0, "no customer-only rows survived")
+    df.unpersist()
+  }
+
+  test("q14b multiset algebra: |A ∩all B| + |A \\all B| = |A|") {
+    import spark.implicits._
+    val df = Declared2.q14b(spark, sf).cache()
+    val inter = df.filter($"op" === "1_intersect_all").count()
+    val excpt = df.filter($"op" === "2_except_all").count()
+    val a = Tables(spark, sf, "orders").filter($"o_totalprice" > 150000).count()
+    assert(inter + excpt == a)
+    df.unpersist()
+  }
+
+  test("q31 decorrelates: every kept order beats 1.5x its customer's mean") {
+    import spark.implicits._
+    val kept = Declared2.q31(spark, sf)
+    // spot-check one customer driver-side
+    val row = kept.limit(1).collect().headOption
+    row.foreach { r =>
+      val ck = r.getAs[Long]("o_custkey")
+      val prices = Tables(spark, sf, "orders").filter($"o_custkey" === ck)
+        .select($"o_totalprice").as[Double].collect()
+      val avgExact = prices.map(p => math.floor(p * 100).toLong).sum.toDouble /
+        prices.length / 100.0
+      assert(r.getAs[Double]("o_totalprice") > 1.5 * avgExact)
+    }
+    // decorrelation: plan must not contain a per-row subquery node
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("scalar-subquery"), s"undecorrelated:\n$plan")
+  }
+
+  test("q22b unpivot row count equals pivot non-null cells") {
+    import spark.implicits._
+    val piv = Declared2.q22(spark, sf)
+    val cells = piv.select(
+      (org.apache.spark.sql.functions.when($"total_f".isNotNull, 1).otherwise(0) +
+        org.apache.spark.sql.functions.when($"total_o".isNotNull, 1).otherwise(0) +
+        org.apache.spark.sql.functions.when($"total_p".isNotNull, 1).otherwise(0)).as("c"))
+      .agg(org.apache.spark.sql.functions.sum($"c")).first().getLong(0)
+    assert(Declared2.q22b(spark, sf).count() == cells)
+  }
+
+  test("q32 status history length equals the group count") {
+    import spark.implicits._
+    val bad = Declared2.q32(spark, sf)
+      .filter(org.apache.spark.sql.functions.length($"status_history") =!= $"n")
+    assert(bad.count() == 0)
+  }
+
   test("pipeline_curate output is quality-gated, deduped, and sampled") {
     import spark.implicits._
     val out = Declared2.curate(spark, sf).cache()
