@@ -290,6 +290,27 @@ object Declared2 {
       .orderBy($"o_custkey")
   }
 
+  // ---------------------------------------------------------------- Q33
+  /** Date arithmetic beyond Q3: month-add with end-of-month clamping,
+    * day-add, last_day, quarter, ISO week and ISO day-of-week (Spark's
+    * weekday() is 0=Monday; +1 aligns with the ISO 1=Monday convention
+    * DuckDB's isodow uses — Spark's dayofweek() is 1=Sunday and has no
+    * portable twin). Pure per-row projections. */
+  val q33: Q = (s, dir) => {
+    import s.implicits._
+    val d = $"o_orderdate".cast("date")
+    Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        d.as("d"),
+        add_months(d, 3).as("plus_3m"),
+        date_add(d, 45).as("plus_45d"),
+        last_day(d).as("eom"),
+        quarter(d).as("q"),
+        weekofyear(d).as("iso_week"),
+        (weekday(d) + 1).as("iso_dow"))
+      .orderBy($"o_orderkey")
+  }
+
   /** End-to-end corpus curation — the composed shape a training-data
     * pipeline actually runs: quality gate → exact-dedup keep-list →
     * deterministic 50% hash sample. Each stage is itself oracle-checked
@@ -316,6 +337,7 @@ object Declared2 {
     "q29_full_outer" -> q29,
     "q31_corr_subquery" -> q31,
     "q32_string_agg" -> q32,
+    "q33_date_arith" -> q33,
     "q15c_grouping_sets" -> q15c,
     "q22_pivot" -> q22,
     "q23_percentiles" -> q23,

@@ -186,6 +186,17 @@ object Oracle2 {
         |WHERE total IS NOT NULL
         |ORDER BY o_orderpriority, status_col""".stripMargin,
 
+    "q33_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus_45d,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q32_string_agg" ->
       """SELECT o_custkey, count(*) AS n,
         |  string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey) AS status_history
