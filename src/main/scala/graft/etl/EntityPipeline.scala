@@ -83,7 +83,8 @@ object EntityPipeline {
     // construction) invalid set, in deterministic src_path order (D1).
     val invalidRows = validated.filter(col("v.errClass") =!= "ok")
       .select(col("src_path"), col("v.errMsg")).orderBy("src_path").collect()
-    ErrorLogSink.append(invalidRows.map(r => (r.getString(0), r.getString(1))),
+    ErrorLogSink.append(
+      invalidRows.map(r => (r.getString(0), r.getString(1))).toIndexedSeq,
       errorLogFile)
     QuarantineSink.copyAll(invalidRows.map(_.getString(0)).distinct.toSeq,
       conf.quarantineDir)

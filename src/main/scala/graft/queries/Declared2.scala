@@ -311,6 +311,27 @@ object Declared2 {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------- Q34
+  /** Map functions — the one Spark type family the earlier inventory
+    * didn't touch: construct (map_from_arrays), combine (map_concat),
+    * look up (element_at), introspect (size, map_keys), and explode to
+    * rows. The final (key, value) explosion is totally ordered, so entry
+    * iteration order can't leak into results. */
+  val q34: Q = (s, dir) => {
+    import s.implicits._
+    val m = map_concat(
+      map_from_arrays(array(lit("status")), array($"o_orderstatus")),
+      map_from_arrays(array(lit("prio")), array($"o_orderpriority")))
+    Tables(s, dir, "orders")
+      .filter($"o_custkey" <= 100)
+      .select($"o_orderkey", m.as("m"))
+      .select($"o_orderkey",
+        size($"m").as("n_entries"),
+        element_at($"m", "status").as("status_lookup"),
+        explode($"m").as(Seq("key", "value")))
+      .orderBy($"o_orderkey", $"key")
+  }
+
   /** End-to-end corpus curation — the composed shape a training-data
     * pipeline actually runs: quality gate → exact-dedup keep-list →
     * deterministic 50% hash sample. Each stage is itself oracle-checked
@@ -338,6 +359,7 @@ object Declared2 {
     "q31_corr_subquery" -> q31,
     "q32_string_agg" -> q32,
     "q33_date_arith" -> q33,
+    "q34_map_fns" -> q34,
     "q15c_grouping_sets" -> q15c,
     "q22_pivot" -> q22,
     "q23_percentiles" -> q23,

@@ -197,6 +197,16 @@ object Oracle2 {
         |  CAST(isodow(o_orderdate) AS INT) AS iso_dow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // the map is reconstructed relationally: 2 entries per order
+    "q34_map_fns" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |           FROM orders WHERE o_custkey <= 100)
+        |SELECT o_orderkey, 2 AS n_entries, o_orderstatus AS status_lookup,
+        |       'status' AS key, o_orderstatus AS value FROM o
+        |UNION ALL
+        |SELECT o_orderkey, 2, o_orderstatus, 'prio', o_orderpriority FROM o
+        |ORDER BY o_orderkey, key""".stripMargin,
+
     "q32_string_agg" ->
       """SELECT o_custkey, count(*) AS n,
         |  string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey) AS status_history
