@@ -88,6 +88,47 @@ object StreamingAnalytics {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: each click joined to the same user's
+    * purchases from the preceding hour. Both sides are watermarked and
+    * the join condition carries the time RANGE — that pair is what lets
+    * Spark bound the join state (purchases older than click-watermark
+    * minus 1 h are evicted; unwatermarked or unbounded stream-stream
+    * joins grow state forever and die at scale). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+      $"user_id" === $"p_user_id" &&
+        $"purchase_ts" <= $"click_ts" &&
+        $"purchase_ts" >= $"click_ts" - expr("INTERVAL 1 HOUR"))
+      .select($"click_id", $"user_id", $"click_ts", $"purchase_id",
+        $"purchase_ts", $"purchase_value")
+  }
+
+  /** Batch-parity twin of [[clickPurchaseJoin]] (no watermarks — the
+    * batch engine sees all data, so results must be a superset-equal of
+    * the stream's on complete input). */
+  def clickPurchaseJoinBatch(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+    clicks.join(purchases,
+      $"user_id" === $"p_user_id" &&
+        $"purchase_ts" <= $"click_ts" &&
+        $"purchase_ts" >= $"click_ts" - expr("INTERVAL 1 HOUR"))
+      .select($"click_id", $"user_id", $"click_ts", $"purchase_id",
+        $"purchase_ts", $"purchase_value")
+  }
+
   /** Batch-parity check helper: the same hourly aggregate computed with
     * the batch engine (used by tests to assert stream == batch). */
   def hourlyWindowCountsBatch(events: DataFrame): DataFrame = {

@@ -140,6 +140,22 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally { q.stop(); ev.unpersist() }
   }
 
+  test("stream-stream interval join matches the batch join on complete input") {
+    import spark.implicits._
+    val q = StreamingAnalytics.clickPurchaseJoin(eventsStream("/root/testdata/sf0.001"))
+      .writeStream.format("memory").queryName("cpjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("cpjoin")
+        .orderBy($"click_id", $"purchase_id").collect().toSeq
+      val batch = StreamingAnalytics.clickPurchaseJoinBatch(
+        graft.Tables(spark, "/root/testdata/sf0.001", "events"))
+        .orderBy($"click_id", $"purchase_id").collect().toSeq
+      assert(stream.nonEmpty)
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     val q = StreamingAnalytics.userActivity(eventsStream("/root/testdata/sf0.001"))
