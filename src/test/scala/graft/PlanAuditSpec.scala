@@ -60,6 +60,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(executed(queries.Declared.q10(spark, sf)).contains("LeftAnti"))
   }
 
+  test("q11: rank-filter pattern gets the WindowGroupLimit pushdown") {
+    // Spark 3.5+ rewrites rn<=k over a rank window into a per-partition
+    // group limit — each partition keeps a bounded heap instead of fully
+    // sorting every group. The difference between O(n log k) and
+    // O(n log n) per group at 100 TB.
+    val plan = executed(queries.Declared.q11(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+  }
+
   test("q13: top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = executed(queries.Declared.q13(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
