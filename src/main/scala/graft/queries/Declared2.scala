@@ -311,6 +311,22 @@ object Declared2 {
       .orderBy($"o_orderkey")
   }
 
+  // --------------------------------------------------------------- Q19b
+  /** Q19 through Spark 4's VARIANT path: parse_json once into the binary
+    * variant encoding, then typed variant_get extraction — at scale this
+    * beats get_json_object when several fields are pulled from the same
+    * document (one parse, many cheap binary probes, and variant columns
+    * shred into parquet). Same result set as Q19. */
+  val q19b: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select(variant_get(parse_json($"props"), "$.k", "int").as("k"))
+      .select(when($"k" % 2 === 0, "even").otherwise("odd").as("parity"), $"k")
+      .groupBy($"parity")
+      .agg(count(lit(1)).as("n"), sum($"k").cast("bigint").as("sum_k"))
+      .orderBy($"parity")
+  }
+
   // ---------------------------------------------------------------- Q34
   /** Map functions — the one Spark type family the earlier inventory
     * didn't touch: construct (map_from_arrays), combine (map_concat),
@@ -361,6 +377,7 @@ object Declared2 {
     "q33_date_arith" -> q33,
     "q34_map_fns" -> q34,
     "q15c_grouping_sets" -> q15c,
+    "q19b_variant" -> q19b,
     "q22_pivot" -> q22,
     "q23_percentiles" -> q23,
     "q24_stratified_sample" -> q24,

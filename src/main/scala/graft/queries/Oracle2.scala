@@ -40,6 +40,13 @@ object Oracle2 {
     (0 +: (0 until graft.sim.Similarity.NumPlanes).map(1 << _)).mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // same oracle as q19 — the variant path must agree with the string path
+    "q19b_variant" ->
+      """SELECT CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+        |  count(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY 1 ORDER BY parity""".stripMargin,
+
     "q22_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0 AS total_f,
