@@ -33,7 +33,12 @@ object Declared {
     * step — unlike double→decimal casts, whose rounding mode differs
     * between Spark's HALF_UP and DuckDB's half-to-even), sum exactly in
     * LongType, divide back to double. Accumulation order cannot change
-    * the result (SURVEY.md §2.4 determinism contract). */
+    * the result (SURVEY.md §2.4 determinism contract).
+    *
+    * Capacity bound: int64 cents hold ~9.2e16 dollars per GROUP — about
+    * 1.8e11 rows of ~5e5-dollar values. Beyond that (global sums at
+    * extreme SF), switch the accumulator to decimal(38,0): Spark stays
+    * exact (slower), and the DuckDB oracle already sums into HUGEINT. */
   private def dsum(c: Column): Column =
     (sum(floor(c * 100).cast("long")) / 100.0).cast("double")
 

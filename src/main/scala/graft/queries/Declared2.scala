@@ -67,7 +67,12 @@ object Declared2 {
     * and identical on every engine/run. */
   val q24: Q = (s, dir) => {
     import s.implicits._
-    val h = pmod($"o_orderkey" * 2654435761L, lit(4294967296L))
+    // overflow-safe at any key scale: reduce the key below 2^31 FIRST, so
+    // the multiply peaks at ~5.7e18 < 2^63. A bare key*2654435761 wraps
+    // silently in Spark but promotes to HUGEINT in DuckDB — a silent
+    // engine divergence that would only surface at large-SF keys.
+    val h = pmod(pmod($"o_orderkey", lit(2147483647L)) * 2654435761L,
+      lit(4294967296L))
     val thresh = when($"o_orderpriority" === "1-URGENT", 858993459L)
       .otherwise(429496729L)
     Tables(s, dir, "orders")
@@ -363,7 +368,8 @@ object Declared2 {
       .select($"doc_id", $"lang", $"n_tokens")
     val keep = graft.dedup.Dedup.exact(s, dir).select($"keep_id".as("doc_id"))
     q.join(keep, "doc_id")
-      .filter(pmod($"doc_id" * 2654435761L, lit(4294967296L)) < 2147483648L)
+      .filter(pmod(pmod($"doc_id", lit(2147483647L)) * 2654435761L,
+        lit(4294967296L)) < 2147483648L)
       .orderBy($"doc_id")
   }
 

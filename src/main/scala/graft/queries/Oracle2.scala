@@ -67,7 +67,7 @@ object Oracle2 {
       """SELECT o_orderpriority, count(*) AS n_sampled,
         |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sampled_total
         |FROM orders
-        |WHERE (o_orderkey * 2654435761) % 4294967296 <
+        |WHERE ((o_orderkey % 2147483647) * 2654435761) % 4294967296 <
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 858993459 ELSE 429496729 END
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -233,7 +233,7 @@ object Oracle2 {
         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
         |SELECT q.doc_id, q.lang, q.n_tokens
         |FROM q JOIN keep ON q.doc_id = keep.doc_id
-        |WHERE (q.doc_id * 2654435761) % 4294967296 < 2147483648
+        |WHERE ((q.doc_id % 2147483647) * 2654435761) % 4294967296 < 2147483648
         |ORDER BY q.doc_id""".stripMargin,
 
     "mm_resize" ->
