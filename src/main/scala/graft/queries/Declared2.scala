@@ -22,6 +22,16 @@ object Declared2 {
   private def dsum(c: Column): Column =
     (sum(floor(c * 100).cast("long")) / 100.0).cast("double")
 
+  /** Deterministic Knuth multiplicative hash of an int64 key into
+    * [0, 2^32) — the single definition behind every hash-sampling site
+    * (Q24, pipeline_curate) and mirrored by [[Oracle2.hashSampleSql]].
+    * Overflow-safe at any key scale: the key is reduced below 2^31
+    * FIRST, so the multiply peaks at ~5.7e18 < 2^63. A bare
+    * key*2654435761 wraps silently in Spark but promotes to HUGEINT in
+    * DuckDB — a silent engine divergence at large-SF keys. */
+  private[queries] def hashSample(key: Column): Column =
+    pmod(pmod(key, lit(2147483647L)) * 2654435761L, lit(4294967296L))
+
   // ---------------------------------------------------------------- Q22
   /** Pivot: order totals per priority, one column per order status. A
     * pivot is a groupBy with a conditional-aggregate fan-out — map-side
@@ -67,12 +77,7 @@ object Declared2 {
     * and identical on every engine/run. */
   val q24: Q = (s, dir) => {
     import s.implicits._
-    // overflow-safe at any key scale: reduce the key below 2^31 FIRST, so
-    // the multiply peaks at ~5.7e18 < 2^63. A bare key*2654435761 wraps
-    // silently in Spark but promotes to HUGEINT in DuckDB — a silent
-    // engine divergence that would only surface at large-SF keys.
-    val h = pmod(pmod($"o_orderkey", lit(2147483647L)) * 2654435761L,
-      lit(4294967296L))
+    val h = hashSample($"o_orderkey")
     val thresh = when($"o_orderpriority" === "1-URGENT", 858993459L)
       .otherwise(429496729L)
     Tables(s, dir, "orders")
@@ -324,8 +329,11 @@ object Declared2 {
     * shred into parquet). Same result set as Q19. */
   val q19b: Q = (s, dir) => {
     import s.implicits._
+    // try_parse_json, not parse_json: the string path (get_json_object)
+    // yields null on malformed input, and "must agree with Q19" has to
+    // hold on dirty data too — strict parse would kill the query instead
     Tables(s, dir, "events")
-      .select(variant_get(parse_json($"props"), "$.k", "int").as("k"))
+      .select(variant_get(try_parse_json($"props"), "$.k", "int").as("k"))
       .select(when($"k" % 2 === 0, "even").otherwise("odd").as("parity"), $"k")
       .groupBy($"parity")
       .agg(count(lit(1)).as("n"), sum($"k").cast("bigint").as("sum_k"))
@@ -368,8 +376,7 @@ object Declared2 {
       .select($"doc_id", $"lang", $"n_tokens")
     val keep = graft.dedup.Dedup.exact(s, dir).select($"keep_id".as("doc_id"))
     q.join(keep, "doc_id")
-      .filter(pmod(pmod($"doc_id", lit(2147483647L)) * 2654435761L,
-        lit(4294967296L)) < 2147483648L)
+      .filter(hashSample($"doc_id") < 2147483648L)
       .orderBy($"doc_id")
   }
 

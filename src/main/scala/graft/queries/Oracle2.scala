@@ -31,6 +31,31 @@ object Oracle2 {
       |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
       |  FROM embeddings)""".stripMargin
 
+  /** SQL twin of [[Declared2.hashSample]] — one definition, substituted
+    * into every sampling oracle. */
+  private def hashSampleSql(key: String): String =
+    s"(($key % 2147483647) * 2654435761) % 4294967296"
+
+  /** SQL twin of FakeCodec.decode's modality/checksum/geometry derivation
+    * (ASCII corpus ⟹ byte-hash == ascii(char)-hash) — shared by the
+    * mm_decode_features and mm_resize oracles so the stub has ONE SQL
+    * mirror. */
+  private val mmDecodeCte =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      |  FROM documents),
+      |d AS (
+      |  SELECT media_id, modality, n_bytes, checksum,
+      |    CAST(16 + (checksum % 64) AS INT) AS width,
+      |    CAST(16 + ((checksum // 64) % 64) AS INT) AS height
+      |  FROM m)""".stripMargin
+
   private def lshBucketExpr: String =
     graft.sim.Similarity.planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_inner_product(${sqlArray(p)}, v) > 0 THEN ${1 << i} ELSE 0 END)"
@@ -64,10 +89,10 @@ object Oracle2 {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q24_stratified_sample" ->
-      """SELECT o_orderpriority, count(*) AS n_sampled,
+      s"""SELECT o_orderpriority, count(*) AS n_sampled,
         |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sampled_total
         |FROM orders
-        |WHERE ((o_orderkey % 2147483647) * 2654435761) % 4294967296 <
+        |WHERE ${hashSampleSql("o_orderkey")} <
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 858993459 ELSE 429496729 END
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -221,7 +246,7 @@ object Oracle2 {
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "pipeline_curate" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents),
@@ -233,23 +258,11 @@ object Oracle2 {
         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
         |SELECT q.doc_id, q.lang, q.n_tokens
         |FROM q JOIN keep ON q.doc_id = keep.doc_id
-        |WHERE ((q.doc_id % 2147483647) * 2654435761) % 4294967296 < 2147483648
+        |WHERE ${hashSampleSql("q.doc_id")} < 2147483648
         |ORDER BY q.doc_id""".stripMargin,
 
     "mm_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-        |        c -> CAST(ascii(c) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-        |  FROM documents),
-        |d AS (
-        |  SELECT media_id, modality,
-        |    CAST(16 + (checksum % 64) AS INT) AS width,
-        |    CAST(16 + ((checksum // 64) % 64) AS INT) AS height
-        |  FROM m)
+      s"""WITH $mmDecodeCte
         |SELECT media_id, modality, width, height,
         |  CAST(greatest(1, floor(width  * (224.0 / greatest(width, height)))) AS INT) AS out_w,
         |  CAST(greatest(1, floor(height * (224.0 / greatest(width, height)))) AS INT) AS out_h
@@ -299,19 +312,9 @@ object Oracle2 {
     // ASCII corpus (verified): byte-hash == ascii(char)-hash; the whole
     // FakeCodec stub is integer arithmetic over that checksum.
     "mm_decode_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id,
-        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-        |        c -> CAST(ascii(c) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-        |  FROM documents)
-        |SELECT media_id, modality, n_bytes, checksum,
-        |  CAST(16 + (checksum % 64) AS INT) AS width,
-        |  CAST(16 + ((checksum // 64) % 64) AS INT) AS height,
+      s"""WITH $mmDecodeCte
+        |SELECT media_id, modality, n_bytes, checksum, width, height,
         |  CAST(CASE WHEN modality = 'video' THEN 1 + (n_bytes % 8) ELSE 1 END AS INT) AS n_frames,
         |  round((checksum % 256) / 256.0, 6) AS f0
-        |FROM m ORDER BY media_id""".stripMargin)
+        |FROM d ORDER BY media_id""".stripMargin)
 }

@@ -94,33 +94,29 @@ object StreamingAnalytics {
     * Spark bound the join state (purchases older than click-watermark
     * minus 1 h are evicted; unwatermarked or unbounded stream-stream
     * joins grow state forever and die at scale). */
-  def clickPurchaseJoin(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
-    val clicks = events.filter($"event_type" === "click")
-      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
-      .withWatermark("click_ts", "30 minutes")
-    val purchases = events.filter($"event_type" === "purchase")
-      .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
-        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
-      .withWatermark("purchase_ts", "30 minutes")
-    clicks.join(purchases,
-      $"user_id" === $"p_user_id" &&
-        $"purchase_ts" <= $"click_ts" &&
-        $"purchase_ts" >= $"click_ts" - expr("INTERVAL 1 HOUR"))
-      .select($"click_id", $"user_id", $"click_ts", $"purchase_id",
-        $"purchase_ts", $"purchase_value")
-  }
+  def clickPurchaseJoin(events: DataFrame): DataFrame =
+    clickPurchaseJoinImpl(events, watermarked = true)
 
   /** Batch-parity twin of [[clickPurchaseJoin]] (no watermarks — the
     * batch engine sees all data, so results must be a superset-equal of
     * the stream's on complete input). */
-  def clickPurchaseJoinBatch(events: DataFrame): DataFrame = {
+  def clickPurchaseJoinBatch(events: DataFrame): DataFrame =
+    clickPurchaseJoinImpl(events, watermarked = false)
+
+  /** One copy of the join semantics — the stream and batch twins differ
+    * ONLY by the watermarks, so the parity test can't be fooled by the
+    * two definitions drifting apart. */
+  private def clickPurchaseJoinImpl(events: DataFrame, watermarked: Boolean): DataFrame = {
     import events.sparkSession.implicits._
-    val clicks = events.filter($"event_type" === "click")
-      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
-    val purchases = events.filter($"event_type" === "purchase")
+    def mark(df: DataFrame, tsCol: String): DataFrame =
+      if (watermarked) df.withWatermark(tsCol, "30 minutes") else df
+    val clicks = mark(events.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts")),
+      "click_ts")
+    val purchases = mark(events.filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
-        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+        $"ts".as("purchase_ts"), $"value".as("purchase_value")),
+      "purchase_ts")
     clicks.join(purchases,
       $"user_id" === $"p_user_id" &&
         $"purchase_ts" <= $"click_ts" &&

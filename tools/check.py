@@ -6,7 +6,7 @@ values. Dev-only tool — NOT part of the shipped Scala library.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, sys
 
 import duckdb
 
@@ -45,31 +45,34 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             n_bad += 1
             continue
+        def isnull(v):
+            # catches None, float NaN, and pd.NaT uniformly: null scalars
+            # are the only values unequal to themselves
+            try:
+                return v is None or v != v
+            except Exception:
+                return False
+
         bad = None
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()
             for i, (a, b) in enumerate(zip(ev, gv)):
-                if a is None and b is None:
-                    continue
-                isna_a = isinstance(a, float) and math.isnan(a)
-                isna_b = isinstance(b, float) and math.isnan(b)
-                if isna_a or isna_b:
-                    if isna_a and isna_b:
+                na_a, na_b = isnull(a), isnull(b)
+                if na_a or na_b:
+                    # pandas may surface the same null as None/NaN/NaT on
+                    # the two sides — any null==any null, null!=value
+                    if na_a and na_b:
                         continue
+                    bad = (c, i, a, b)
+                    break
                 if hasattr(a, "to_pydatetime"):
                     a = a.to_pydatetime()
                 if hasattr(b, "to_pydatetime"):
                     b = b.to_pydatetime()
                 try:
-                    same = a == b
+                    same = bool(a == b)
                 except Exception:
                     same = str(a) == str(b)
-                # pandas may surface NaN vs None asymmetrically — allow the
-                # string fallback ONLY for that case, not for genuine type
-                # mismatches like int 1 vs string '1'
-                if same is False and (a is None or b is None or isna_a or isna_b) \
-                        and str(a) == str(b):
-                    same = True
                 if not same:
                     bad = (c, i, a, b)
                     break
