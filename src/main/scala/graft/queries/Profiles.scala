@@ -31,7 +31,13 @@ object Profiles {
       count(lit(1)).as("n_rows"),
       approx_count_distinct($"o_custkey").as("approx_custs"),
       approx_count_distinct($"o_orderkey").as("approx_orders"),
-      approx_count_distinct($"o_orderpriority").as("approx_priorities"))
+      approx_count_distinct($"o_orderpriority").as("approx_priorities"),
+      // approx_percentile (t-digest-style sketch) is the quantile scale
+      // path: mergeable partial sketches, one pass, no per-group value
+      // shuffle — vs Q23's exact percentile sort. Accuracy vs exact is
+      // asserted in ProfilesSpec.
+      approx_percentile($"o_totalprice", lit(0.5), lit(1000)).as("approx_median_price"),
+      approx_percentile($"o_totalprice", lit(0.99), lit(1000)).as("approx_p99_price"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -17,4 +17,16 @@ class ProfilesSpec extends AnyFunSuite {
     // tiny-cardinality columns are exact under HLL++
     assert(approx.getAs[Long]("approx_priorities") == exact.getAs[Long]("n_priorities"))
   }
+
+  test("approx percentiles land within 5% of the exact quantile") {
+    import spark.implicits._
+    val approx = queries.Profiles.profileHll(spark, sf).collect()(0)
+    val prices = Tables(spark, sf, "orders")
+      .select($"o_totalprice").as[Double].collect().sorted
+    def exactQ(p: Double): Double = prices(((prices.length - 1) * p).toInt)
+    val med = approx.getAs[Double]("approx_median_price")
+    val p99 = approx.getAs[Double]("approx_p99_price")
+    assert(math.abs(med - exactQ(0.5)) / exactQ(0.5) < 0.05, s"median $med")
+    assert(math.abs(p99 - exactQ(0.99)) / exactQ(0.99) < 0.05, s"p99 $p99")
+  }
 }
