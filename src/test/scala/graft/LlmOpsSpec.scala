@@ -110,6 +110,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash blocking is EXACT at sf0.001: query pairs == brute-force pairs") {
+    import spark.implicits._
+    // the pigeonhole property test proves the blocking scheme in the
+    // abstract; this proves the assembled operator end-to-end — the
+    // blocked query must return EXACTLY the pairs within Hamming radius,
+    // no false drops from bucket mis-assembly, no radius leaks
+    val queryPairs = Dedup.simhash(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val sigs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        graft.functions.Signatures.simhash64(
+          graft.functions.Signatures.distinctTokens(r.getString(1)).toSeq)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= Dedup.SimhashRadius
+    } yield ((ia, ib), h)).toMap
+    assert(queryPairs == brute,
+      s"query=${queryPairs.keySet} brute=${brute.keySet}")
+  }
+
+  test("minhash candidates have perfect precision vs brute-force jaccard") {
+    import spark.implicits._
+    // LSH recall is probabilistic (banding), but precision after the
+    // exact-verify stage must be perfect: every returned pair really has
+    // shingle-set Jaccard >= 0.3
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // same raw (non-distinct) token stream the operator shingles over
+    val sets = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        graft.functions.Signatures.sortedShingleHashSet(
+          r.getString(1).split(" ").toSeq.filter(_.nonEmpty), 3)))
+      .toMap
+    pairs.foreach { case ((a, b), j) =>
+      val expected = graft.functions.Signatures.jaccardSorted(sets(a), sets(b))
+      assert(j == expected && j >= 0.3, s"pair ($a,$b): query $j vs brute $expected")
+    }
+  }
+
   test("exact dedup groups identical texts at any scale") {
     import spark.implicits._
     val d = Dedup.exact(spark, sf)
