@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout — without this, sbt routes it
+// through its logger and prefixes every line with "[info] ", which broke
+// the driver's json parse of Bench's one-line result (BENCH_r01
+// "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
