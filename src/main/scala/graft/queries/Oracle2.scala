@@ -300,6 +300,49 @@ object Oracle2 {
         |WHERE rank <= ${graft.sim.Similarity.K}
         |ORDER BY query_id, rank""".stripMargin,
 
+    // IVF: the deterministic coarse quantizer (exact scaled-int label
+    // centroids) is rebuilt IN SQL, so the whole index + probe + rank
+    // path is hash-checked end-to-end
+    "sim_topk_ivf" ->
+      s"""WITH $vecCte,
+        |ex AS (
+        |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, dim,
+        |    CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
+        |  FROM ex GROUP BY label, dim),
+        |cents AS (
+        |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+        |cn AS (
+        |  SELECT cell, cv, sqrt(list_inner_product(cv, cv)) AS cnorm FROM cents),
+        |asg AS (
+        |  SELECT e.vec_id, cn.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_inner_product(e.v, cn.cv) / (e.norm * cn.cnorm) DESC,
+        |               cn.cell) AS rn
+        |  FROM e, cn),
+        |home AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS query_id, cell FROM asg
+        |           WHERE rn <= ${graft.sim.Similarity.NProbe}
+        |             AND vec_id < ${graft.sim.Similarity.NumQueries}),
+        |qv AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+        |       FROM e WHERE vec_id < ${graft.sim.Similarity.NumQueries})
+        |SELECT query_id, vec_id, rank, cos_sim FROM (
+        |  SELECT q.query_id, h.vec_id,
+        |    list_inner_product(qv.qv, e.v) / (qv.qnorm * e.norm) AS cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_inner_product(qv.qv, e.v) / (qv.qnorm * e.norm) DESC,
+        |               h.vec_id) AS INT) AS rank
+        |  FROM qprobe q
+        |    JOIN home h USING (cell)
+        |    JOIN qv USING (query_id)
+        |    JOIN e ON e.vec_id = h.vec_id
+        |  WHERE h.vec_id <> q.query_id)
+        |WHERE rank <= ${graft.sim.Similarity.K}
+        |ORDER BY query_id, rank""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""WITH $vecCte,
         |u AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM e)

@@ -98,6 +98,59 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  val NProbe = 2
+
+  /** IVF (inverted-file) approximate top-K — the second scale path next
+    * to LSH, and the shape you'd persist at 100 TB: a coarse quantizer
+    * (here: per-label centroids in exact scaled-int arithmetic, so the
+    * whole index is deterministic and oracle-checkable), every vector
+    * assigned to its nearest cell (bucketBy(cell) on disk), and queries
+    * probing only their NProbe nearest cells — candidate lists scale with
+    * cell occupancy, not corpus size. All cosine math goes through the
+    * codegen'd sequential DotProduct, so every value is bit-identical to
+    * the DuckDB oracle's list_inner_product. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vcol(Tables(s, dir, "embeddings"))
+    // deterministic coarse quantizer: exact per-label centroids, dims
+    // reassembled in order (same construction as sim_centroids_exact)
+    val cents = Tables(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg((sum(floor($"x" * 1000000.0).cast("long")).cast("double")
+        / count(lit(1)) / 1000000.0).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        el => el.getField("c")).as("cv"))
+      .select($"label".as("cell"), $"cv",
+        sqrt(dot_product($"cv", $"cv")).as("cnorm"))
+    // assignment: rank cells per vector by cosine; rn=1 is the home cell,
+    // rn<=NProbe are the query's probe cells
+    val wCell = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cell")
+    val asg = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"norm", $"cell",
+        (dot($"v", $"cv") / ($"norm" * $"cnorm")).as("cos_c"))
+      .withColumn("rn", row_number().over(wCell))
+    val home = asg.filter($"rn" === 1).select($"vec_id", $"cell")
+    val qprobe = asg.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"cell")
+    val qv = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    // candidates: vectors whose home cell is among the query's probes
+    // (home is unique per vector — no duplicate candidates possible)
+    val wRank = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    qprobe.join(home, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(qv), "query_id")
+      .join(e.select($"vec_id", $"v", $"norm"), "vec_id")
+      .select($"query_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Per-label centroids via the typed VectorAvg Aggregator (the typed
     * UDAF surface), plus each centroid's norm and the label's mean
     * cosine-to-centroid — a cluster-quality profile. Float-order
@@ -127,5 +180,6 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteForceTopK _,
     "sim_topk_lsh" -> lshTopK _,
+    "sim_topk_ivf" -> ivfTopK _,
     "sim_label_centroids" -> labelCentroids _)
 }

@@ -184,6 +184,38 @@ class SimilaritySpec extends AnyFunSuite {
     t.unpersist()
   }
 
+  test("IVF top-k: subset-search properties hold exactly") {
+    import spark.implicits._
+    // recall on THIS corpus is corpus-dependent (the synthetic embeddings
+    // are only weakly label-clustered — measured: true NNs often live
+    // outside the 2 probed cells), so correctness is asserted
+    // structurally; the DuckDB oracle hash-check is the value-level gate
+    val ivf = Similarity.ivfTopK(spark, sf).cache()
+    val perQ = ivf.groupBy($"query_id").count().collect()
+    assert(perQ.length == Similarity.NumQueries)
+    assert(perQ.forall(_.getLong(1) <= Similarity.K))
+    assert(ivf.filter($"query_id" === $"vec_id").count() == 0)
+    // a subset search can never beat the global best: every IVF cos is
+    // bounded by the brute-force rank-1 cos of the same query
+    val bruteBest = Similarity.bruteForceTopK(spark, sf)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    ivf.collect().foreach { r =>
+      assert(r.getAs[Double]("cos_sim") <= bruteBest(r.getLong(0)) + 1e-12)
+    }
+    // ranks contiguous from 1, cos non-increasing within each query
+    val byQ = ivf.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // deterministic across runs
+    assert(ivf.collect().toSeq == Similarity.ivfTopK(spark, sf).collect().toSeq)
+    ivf.unpersist()
+  }
+
   test("label centroids: one row per label, sane cosine and norms") {
     import spark.implicits._
     val c = Similarity.labelCentroids(spark, sf).cache()
