@@ -205,11 +205,8 @@ object Declared2 {
     * large (narrow rows, perfect partial aggregation). */
   val simCentroidsExact: Q = (s, dir) => {
     import s.implicits._
-    Tables(s, dir, "embeddings")
-      .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy($"label", ($"pos" + 1).cast("int").as("dim"))
-      .agg((sum(floor($"x" * 1000000.0).cast("long")).cast("double") / count(lit(1)) / 1000000.0)
-        .as("c"))
+    graft.sim.Similarity.exactCentroidRows(s, dir)
+      .select($"label", ($"pos" + 1).cast("int").as("dim"), $"c")
       .orderBy($"label", $"dim")
   }
 

@@ -56,6 +56,20 @@ object Oracle2 {
       |    CAST(16 + ((checksum // 64) % 64) AS INT) AS height
       |  FROM m)""".stripMargin
 
+  /** SQL twin of Similarity.exactCentroidRows — the deterministic
+    * scaled-int centroid components, shared by the sim_centroids_exact
+    * and sim_topk_ivf oracles. Yields cd(label, dim, c) with dim
+    * 1-based. */
+  private val centroidCte =
+    """ex AS (
+      |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+      |    unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |cd AS (
+      |  SELECT label, dim,
+      |    CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
+      |  FROM ex GROUP BY label, dim)""".stripMargin
+
   private def lshBucketExpr: String =
     graft.sim.Similarity.planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_inner_product(${sqlArray(p)}, v) > 0 THEN ${1 << i} ELSE 0 END)"
@@ -164,13 +178,9 @@ object Oracle2 {
     // unnest + generate_subscripts zip positionally (Postgres-style SRF
     // pairing) — the lateral-range form is unsupported in DuckDB 1.0
     "sim_centroids_exact" ->
-      """WITH ex AS (
-        |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
-        |    unnest(embedding)::DOUBLE AS x
-        |  FROM embeddings)
-        |SELECT label, dim,
-        |  CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
-        |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+      s"""WITH $centroidCte
+        |SELECT label, dim, c
+        |FROM cd ORDER BY label, dim""".stripMargin,
 
     "q29_full_outer" ->
       """WITH a AS (
@@ -305,14 +315,7 @@ object Oracle2 {
     // path is hash-checked end-to-end
     "sim_topk_ivf" ->
       s"""WITH $vecCte,
-        |ex AS (
-        |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
-        |    unnest(embedding)::DOUBLE AS x
-        |  FROM embeddings),
-        |cd AS (
-        |  SELECT label, dim,
-        |    CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
-        |  FROM ex GROUP BY label, dim),
+        |$centroidCte,
         |cents AS (
         |  SELECT label AS cell, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
         |cn AS (

@@ -109,16 +109,26 @@ object Similarity {
     * cell occupancy, not corpus size. All cosine math goes through the
     * codegen'd sequential DotProduct, so every value is bit-identical to
     * the DuckDB oracle's list_inner_product. */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Exact per-(label, pos) centroid components in scaled-int64
+    * arithmetic — THE single Scala definition of the deterministic
+    * quantizer, consumed by both sim_centroids_exact (as rows) and
+    * ivfTopK (reassembled into cell vectors); its SQL twin is
+    * Oracle2.centroidCte. */
+  def exactCentroidRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = vcol(Tables(s, dir, "embeddings"))
-    // deterministic coarse quantizer: exact per-label centroids, dims
-    // reassembled in order (same construction as sim_centroids_exact)
-    val cents = Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings")
       .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("pos", "x")))
       .groupBy($"label", $"pos")
       .agg((sum(floor($"x" * 1000000.0).cast("long")).cast("double")
         / count(lit(1)) / 1000000.0).as("c"))
+  }
+
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vcol(Tables(s, dir, "embeddings"))
+    // deterministic coarse quantizer: exact per-label centroids, dims
+    // reassembled in order
+    val cents = exactCentroidRows(s, dir)
       .groupBy($"label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         el => el.getField("c")).as("cv"))

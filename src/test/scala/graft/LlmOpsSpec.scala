@@ -118,11 +118,15 @@ class DedupSpec extends AnyFunSuite {
     // no false drops from bucket mis-assembly, no radius leaks
     val queryPairs = Dedup.simhash(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // mirror the operator's own pre-filter (it drops zero-token docs
+    // BEFORE hashing) so both sides compute pairs over the same doc set
     val sigs = Tables(spark, sf, "documents")
       .select($"doc_id", $"text").collect()
       .map(r => (r.getLong(0),
-        graft.functions.Signatures.simhash64(
-          graft.functions.Signatures.distinctTokens(r.getString(1)).toSeq)))
+        graft.functions.Signatures.distinctTokens(r.getString(1)).toSeq))
+      .filter(_._2.nonEmpty)
+      .map { case (id, toks) =>
+        (id, graft.functions.Signatures.simhash64(toks)) }
     val brute = (for {
       (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
       h = java.lang.Long.bitCount(sa ^ sb) if h <= Dedup.SimhashRadius
