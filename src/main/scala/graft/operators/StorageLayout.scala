@@ -41,6 +41,33 @@ object StorageLayout {
       .mode(SaveMode.Overwrite)
       .save(path)
 
+  /** Compact a small-files parquet directory into ~`targetBytes` output
+    * files — the standing maintenance job every long-lived 100 TB table
+    * needs: streaming/incremental appends accumulate K-sized part files,
+    * and scan cost degenerates to file-open cost (one task per file, NN
+    * pressure) long before data volume is the problem. Sizing is from the
+    * directory's actual on-disk bytes; `repartition` (round-robin) gives
+    * evenly-sized outputs. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parts
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(p.getParent, p.getName + "__compact_tmp")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap: atomic-enough for a maintenance window; a transactional table
+    // format (Delta/Iceberg) is the production answer at 100 TB
+    val bak = new Path(p.getParent, p.getName + "__compact_bak")
+    fs.rename(p, bak)
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+    (before.length, parts.length)
+  }
+
   /** True iff the executed plan of `df` contains no shuffle exchange of
     * any flavor (hash, range, or single-partition — BroadcastExchange is
     * not a shuffle and is deliberately excluded). */

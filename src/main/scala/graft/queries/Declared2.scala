@@ -176,6 +176,22 @@ object Declared2 {
       .orderBy($"vec_id")
   }
 
+  // --------------------------------------------------------------- Q28b
+  /** zip_with + reverse companion to Q28: element-wise product of each
+    * embedding with its own reversal, folded in exact scaled int64 — the
+    * binary higher-order form (zip_with) Q28's unary fold doesn't cover. */
+  val q28b: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("""aggregate(
+          zip_with(cast(embedding as array<double>),
+                   reverse(cast(embedding as array<double>)),
+                   (x, y) -> cast(floor(x * 1000) as bigint) * cast(floor(y * 1000) as bigint)),
+          0L, (acc, e) -> acc + e)""").as("rev_dot_scaled"))
+      .orderBy($"vec_id")
+  }
+
   // ---------------------------------------------------------------- Q30
   /** Distribution window functions: ntile, percent_rank, cume_dist,
     * first/last value over an explicit full frame — the remaining window
@@ -395,6 +411,7 @@ object Declared2 {
     "q26_histogram" -> q26,
     "q27_regex" -> q27,
     "q28_array_hof" -> q28,
+    "q28b_zipwith" -> q28b,
     "q30_window_dist" -> q30,
     "sim_centroids_exact" -> simCentroidsExact)
 }

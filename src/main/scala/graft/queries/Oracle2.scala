@@ -161,6 +161,19 @@ object Oracle2 {
         |  list_min(embedding::DOUBLE[]) AS min_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // the zip-with-reverse pairing re-expressed relationally: element at
+    // dim pairs with element at (n - dim + 1)
+    "q28b_zipwith" ->
+      """WITH z AS (
+        |  SELECT vec_id, len(embedding) AS n,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings)
+        |SELECT a.vec_id,
+        |  CAST(SUM(CAST(floor(a.x * 1000) AS BIGINT) * CAST(floor(b.x * 1000) AS BIGINT)) AS BIGINT) AS rev_dot_scaled
+        |FROM z a JOIN z b ON a.vec_id = b.vec_id AND b.dim = a.n - a.dim + 1
+        |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
+
     "q30_window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,

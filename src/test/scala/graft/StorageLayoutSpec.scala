@@ -40,6 +40,22 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compact merges a small-files directory, preserving every row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_").resolve("t").toString
+    // 24 tiny part files — the post-streaming-append shape
+    Tables(spark, "/root/testdata/sf0.001", "orders").repartition(24)
+      .write.parquet(dir)
+    val before = Tables(spark, "/root/testdata/sf0.001", "orders").count()
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(sum($"o_orderkey")).first().getLong(0)
+    val (nBefore, nAfter) = StorageLayout.compact(spark, dir, 1024 * 1024)
+    assert(nBefore == 24 && nAfter < nBefore, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before)
+    assert(after.agg(sum($"o_orderkey")).first().getLong(0) == checksumBefore)
+  }
+
   test("partitioned layout prunes directories at plan time") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("part_layout_").toString

@@ -57,6 +57,41 @@ class StreamingEtlSpec extends AnyFunSuite {
   }
 }
 
+class StreamingEtlRestartSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("restart from checkpoint: no reprocessing, new files exactly once") {
+    val base = Files.createTempDirectory("etl_restart_")
+    EtlFixtures.writeCorpus(base)
+    val users = Config.builtin(base.toString, V2).head
+    val held = base.resolve("users").resolve("f05.json")
+    val parked = base.resolve("f05.held")
+    Files.move(held, parked)
+    val ckpt = base.resolve("ckpt").toString
+    val errLog = base.resolve("errors.log").toString
+
+    val run1 = StreamingEtl.start(spark, users, V2, errLog, ckpt)
+    val rowsAfterRun1 = try {
+      run1.awaitIdle()
+      Files.readAllLines(base.resolve("users.csv")).size
+    } finally run1.stop()
+
+    // restart against the SAME checkpoint; drop the held file in
+    Files.move(parked, held)
+    val run2 = StreamingEtl.start(spark, users, V2, errLog, ckpt)
+    try {
+      run2.awaitIdle()
+      val lines = Files.readAllLines(base.resolve("users.csv")).asScala
+      // exactly one new row, zero reprocessed rows, still one header
+      assert(lines.size == rowsAfterRun1 + 1, s"${lines.size} vs $rowsAfterRun1+1")
+      assert(lines.count(_.startsWith("id,prefix")) == 1)
+      // the checkpoint replays nothing: run2 only saw the ONE new file
+      assert(run2.metrics.map(_.files).sum == 1,
+        s"run2 reprocessed: ${run2.metrics}")
+    } finally run2.stop()
+  }
+}
+
 class StreamingAnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
