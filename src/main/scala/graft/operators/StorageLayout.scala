@@ -57,14 +57,27 @@ object StorageLayout {
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(p.getParent, p.getName + "__compact_tmp")
+    val bak = new Path(p.getParent, p.getName + "__compact_bak")
+    // Hadoop FileSystem.rename/delete report failure by RETURNING FALSE,
+    // not throwing — every step below must be checked, or a failed swap
+    // would fall through to `fs.delete(bak)` and destroy the only copy.
+    // Fail fast on leftovers from a previously crashed run: the operator
+    // must never guess which of tmp/bak holds the good data.
+    require(!fs.exists(tmp), s"stale $tmp exists — clean up a prior crashed compact() first")
+    require(!fs.exists(bak), s"stale $bak exists — clean up a prior crashed compact() first")
     spark.read.parquet(path).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // swap: atomic-enough for a maintenance window; a transactional table
     // format (Delta/Iceberg) is the production answer at 100 TB
-    val bak = new Path(p.getParent, p.getName + "__compact_bak")
-    fs.rename(p, bak)
-    fs.rename(tmp, p)
-    fs.delete(bak, true)
+    require(fs.rename(p, bak), s"rename $p -> $bak failed; original data untouched")
+    if (!fs.rename(tmp, p)) {
+      // roll back so the table path is valid again, then abort
+      val rolledBack = fs.rename(bak, p)
+      throw new IllegalStateException(
+        s"rename $tmp -> $p failed; rollback ${if (rolledBack) "succeeded" else s"ALSO FAILED — data is at $bak"}")
+    }
+    if (!fs.delete(bak, true))
+      throw new IllegalStateException(s"compacted data swapped in OK, but deleting backup $bak failed — remove it manually")
     (before.length, parts.length)
   }
 

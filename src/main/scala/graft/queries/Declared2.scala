@@ -28,7 +28,10 @@ object Declared2 {
     * Overflow-safe at any key scale: the key is reduced below 2^31
     * FIRST, so the multiply peaks at ~5.7e18 < 2^63. A bare
     * key*2654435761 wraps silently in Spark but promotes to HUGEINT in
-    * DuckDB — a silent engine divergence at large-SF keys. */
+    * DuckDB — a silent engine divergence at large-SF keys. Sign-safe on
+    * ALL int64 keys: pmod here is always non-negative, and the SQL twin
+    * mirrors it with ((key % m + m) % m) rather than DuckDB's
+    * sign-keeping bare `%`. */
   private[queries] def hashSample(key: Column): Column =
     pmod(pmod(key, lit(2147483647L)) * 2654435761L, lit(4294967296L))
 
@@ -167,7 +170,11 @@ object Declared2 {
     * arrays). */
   val q28: Q = (s, dir) => {
     import s.implicits._
+    // size > 0 guard: Spark's fold seed would yield 0 for an empty array
+    // where DuckDB's list_sum yields NULL — degenerate rows are excluded
+    // so both engines agree on any corpus, not just the fixed-64-dim one
     Tables(s, dir, "embeddings")
+      .filter(size($"embedding") > 0)
       .select($"vec_id",
         expr("aggregate(cast(embedding as array<double>), 0L, (acc, x) -> acc + cast(floor(x * 1000000) as long))").as("sum_scaled"),
         expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
@@ -182,7 +189,10 @@ object Declared2 {
     * binary higher-order form (zip_with) Q28's unary fold doesn't cover. */
   val q28b: Q = (s, dir) => {
     import s.implicits._
+    // size > 0 guard: the oracle's unnest+self-join drops empty-embedding
+    // vec_ids entirely while Spark's fold would keep them with 0
     Tables(s, dir, "embeddings")
+      .filter(size($"embedding") > 0)
       .select($"vec_id",
         expr("""aggregate(
           zip_with(cast(embedding as array<double>),

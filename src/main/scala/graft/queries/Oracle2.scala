@@ -32,9 +32,13 @@ object Oracle2 {
       |  FROM embeddings)""".stripMargin
 
   /** SQL twin of [[Declared2.hashSample]] — one definition, substituted
-    * into every sampling oracle. */
+    * into every sampling oracle. The inner `(x % m + m) % m` mirrors
+    * Spark's pmod (always non-negative); DuckDB's bare `%` keeps the
+    * dividend's sign, which would pick a different sample for any
+    * negative key. No-op for the positive TPC-H keys, but keeps the two
+    * definitions identical on ALL int64 inputs. */
   private def hashSampleSql(key: String): String =
-    s"(($key % 2147483647) * 2654435761) % 4294967296"
+    s"(((($key % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 4294967296"
 
   /** SQL twin of FakeCodec.decode's modality/checksum/geometry derivation
     * (ASCII corpus ⟹ byte-hash == ascii(char)-hash) — shared by the
@@ -79,11 +83,14 @@ object Oracle2 {
     (0 +: (0 until graft.sim.Similarity.NumPlanes).map(1 << _)).mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
-    // same oracle as q19 — the variant path must agree with the string path
+    // same oracle as q19 — the variant path must agree with the string
+    // path. TRY_CAST, not CAST: on a malformed/non-numeric $.k Spark's
+    // try_parse_json/variant_get yields NULL, and a strict DuckDB CAST
+    // would abort the whole oracle query instead of matching.
     "q19b_variant" ->
       """SELECT CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
         |  count(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
-        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |FROM (SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY 1 ORDER BY parity""".stripMargin,
 
     "q22_pivot" ->
@@ -159,7 +166,7 @@ object Oracle2 {
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
         |  list_max(embedding::DOUBLE[]) AS max_val,
         |  list_min(embedding::DOUBLE[]) AS min_val
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |FROM embeddings WHERE len(embedding) > 0 ORDER BY vec_id""".stripMargin,
 
     // the zip-with-reverse pairing re-expressed relationally: element at
     // dim pairs with element at (n - dim + 1)
@@ -168,7 +175,7 @@ object Oracle2 {
         |  SELECT vec_id, len(embedding) AS n,
         |    CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
         |    unnest(embedding)::DOUBLE AS x
-        |  FROM embeddings)
+        |  FROM embeddings WHERE len(embedding) > 0)
         |SELECT a.vec_id,
         |  CAST(SUM(CAST(floor(a.x * 1000) AS BIGINT) * CAST(floor(b.x * 1000) AS BIGINT)) AS BIGINT) AS rev_dot_scaled
         |FROM z a JOIN z b ON a.vec_id = b.vec_id AND b.dim = a.n - a.dim + 1

@@ -18,10 +18,14 @@ class Declared2Spec extends AnyFunSuite {
     assert(piv.columns.toSeq ==
       Seq("o_orderpriority", "total_f", "total_o", "total_p"))
     // pivot cells (cents-floored per status) must re-sum to the per-
-    // priority cents-floored total — same dsum on disjoint partitions
+    // priority cents-floored total — same dsum on disjoint partitions.
+    // coalesce each cell: a priority missing one status yields a NULL
+    // cell, which would null the whole row's contribution to the checksum
+    val z = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.coalesce(c, org.apache.spark.sql.functions.lit(0.0))
     val totals = piv.select(
       org.apache.spark.sql.functions.sum(
-        $"total_f" + $"total_o" + $"total_p")).first().getDouble(0)
+        z($"total_f") + z($"total_o") + z($"total_p"))).first().getDouble(0)
     val direct = Tables(spark, sf, "orders")
       .select((org.apache.spark.sql.functions.sum(
         org.apache.spark.sql.functions.floor($"o_totalprice" * 100)
