@@ -257,10 +257,111 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  // ----------------------------------------------- Connected components
+  /** Duplicate-cluster assignment: connected components over the
+    * near-dup pair graph (here: the oracle-checked Jaccard pairs), each
+    * node labeled with the minimum doc_id in its component — the step
+    * that turns pairwise dedup output into keep-one-per-cluster
+    * decisions. Pairwise output alone under-deletes: if A~B and B~C but
+    * A!~C, pair-level "keep the smaller id" keeps both A and C.
+    *
+    * Algorithm: distributed CONTRACTION + driver union-find remainder —
+    * the shape production CC jobs use (a pure fixpoint loop of
+    * min-label rounds measured 8+ rounds here: near-dup graphs have
+    * long drift chains, not just blobs). Each contraction round runs
+    * ONE min-label hop with pointer jumping (lbl(v) := lbl(lbl(v)),
+    * Shiloach-Vishkin style) and then rewrites the edge set through the
+    * labels — every round strictly shrinks the graph by at least the
+    * blob factor, so a handful of rounds reduce even a 100 TB-corpus
+    * pair graph to a condensed remainder that fits on the driver, where
+    * exact union-find finishes the job in milliseconds. Per-vertex
+    * state stays in DataFrames throughout (the cumulative mapping is a
+    * narrow (v, super-node) table); only the condensed SUPER-node edges
+    * — bounded by [[DriverEdgeCap]] ≈ 32 MB — are ever collected.
+    * Lineage is cut per round with localCheckpoint (on a cluster,
+    * prefer `setCheckpointDir` + checkpoint for fault tolerance). */
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    clustersOverPairs(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Condensed-graph size at which the remainder moves to exact driver
+    * union-find — deliberately small (100k directed edges ≈ 1.6 MB) so
+    * the distributed contraction path is the one that does the heavy
+    * lifting; the driver only ever sees the condensed tail. */
+  val DriverEdgeCap = 100000L
+
+  /** @param pairs two-column DataFrame (doc_a, doc_b) of undirected
+    *              near-dup edges, each pair once with doc_a < doc_b.
+    * @param driverEdgeCap test seam for forcing contraction rounds. */
+  def clustersOverPairs(pairs: DataFrame,
+                        driverEdgeCap: Long = DriverEdgeCap): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    var edges = pairs
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct().localCheckpoint()
+    // cumulative vertex → current-super-node mapping
+    var cum = edges.select($"src".as("v")).distinct()
+      .select($"v", $"v".as("cur")).localCheckpoint()
+    var rounds = 0
+    while (edges.count() > driverEdgeCap) {
+      rounds += 1
+      assert(rounds <= 20, "contraction did not condense the graph in 20 rounds")
+      // min-label hop over the current condensed graph...
+      val verts = edges.select($"src".as("v")).distinct()
+        .select($"v", $"v".as("lbl"))
+      val hop = verts
+        .union(edges.join(verts.select($"v".as("src"), $"lbl"), "src")
+          .select($"dst".as("v"), $"lbl"))
+        .groupBy($"v").agg(min($"lbl").as("lbl"))
+      // ...with pointer jumping: follow the label one more step (labels
+      // are always vertex ids of the same component, so composing stays
+      // in-component and doubles the collapse reach)
+      val next = hop
+        .join(hop.select($"v".as("lv"), $"lbl".as("lbl2")), $"lbl" === $"lv", "left")
+        .select($"v", coalesce($"lbl2", $"lbl").as("lbl"))
+        .localCheckpoint()
+      // LEFT join: a super-node absent from `next` is a fully-collapsed
+      // component (no cross-edges survive) — its members keep their
+      // current label, which is already the component minimum
+      cum = cum.join(next.select($"v".as("cur"), $"lbl"), Seq("cur"), "left")
+        .select($"v", coalesce($"lbl", $"cur").as("cur")).localCheckpoint()
+      edges = edges
+        .join(next.select($"v".as("src"), $"lbl".as("s2")), "src")
+        .join(next.select($"v".as("dst"), $"lbl".as("d2")), "dst")
+        .select($"s2".as("src"), $"d2".as("dst"))
+        .filter($"src" =!= $"dst")
+        .distinct().localCheckpoint()
+    }
+    // exact union-find on the condensed remainder; roots are component
+    // minima because every union keeps the smaller id (and a component's
+    // global-min vertex always survives contraction labeled by itself)
+    val rem = edges.filter($"src" < $"dst").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rem.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val roots = rem.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+      .map(v => (v, find(v)))
+    val rootDf = broadcast(roots.toDF("cur", "root"))
+    cum.join(rootDf, Seq("cur"), "left")
+      .select($"v".as("doc_id"), coalesce($"root", $"cur").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
-    "dedup_embedding_cosine" -> embeddingCosine _)
+    "dedup_embedding_cosine" -> embeddingCosine _,
+    "dedup_clusters" -> clusters _)
 }

@@ -1,0 +1,129 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Declared3]] and the round-3 LLM-pipeline
+  * operators (PII redaction, repetition detection, duplicate-cluster
+  * connected components). Same dialect notes as [[Oracle]]/[[Oracle2]];
+  * new here:
+  *
+  *  - DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
+  *    global by default);
+  *  - the connected-components oracle is a WITH RECURSIVE transitive
+  *    closure — exponentially simpler than (and independent from) the
+  *    engine's label-propagation loop, which is exactly what makes it a
+  *    real check;
+  *  - q38's closed-form statistics are written with the same
+  *    parenthesization as the Spark side so the IEEE operation sequence
+  *    is identical (operands are exact integers < 2^53 by design).
+  */
+object Oracle3 {
+
+  /** Token-set CTE shared with the dedup_jaccard oracle shape. */
+  private val jaccardPairsCte =
+    """d AS (
+      |  SELECT doc_id, lang, CAST(floor(length(text) / 100.0) AS INT) AS len_bucket,
+      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      |    AND a.doc_id < b.doc_id
+      |  WHERE least(len(a.toks), len(b.toks)) * 2 >= greatest(len(a.toks), len(b.toks))
+      |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q35_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS near_cents,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS near_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // generate_subscripts/unnest zip positionally (same SRF pairing as the
+    // q28b/sim oracles); subscripts are 1-based like Spark's pos + 1
+    "q36_posexplode" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, pos, token FROM (
+        |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS pos,
+        |    unnest(toks) AS token
+        |  FROM t)
+        |WHERE pos <= 8
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q37_quantified_subq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500)
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice > (SELECT CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |                             / count(*) / 100.0
+        |                      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q38_exact_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(floor(l_quantity) AS BIGINT)) AS sq,
+        |    SUM(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_quantity) AS BIGINT)) AS sqq,
+        |    SUM(CAST(floor(l_discount * 100) AS BIGINT)) AS sd,
+        |    SUM(CAST(floor(l_discount * 100) AS BIGINT) * CAST(floor(l_discount * 100) AS BIGINT)) AS sdd,
+        |    SUM(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_discount * 100) AS BIGINT)) AS sqd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty,
+        |  (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+        |    AS corr_qty_disc
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    c_name || ' <' || replace(lower(c_name), '#', '.') || '@example.com' ||
+        |    '> phone ' || printf('%03d-%04d', c_custkey % 1000, (c_custkey * 7919) % 10000) ||
+        |    ' seg ' || c_mktsegment AS txt
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(txt, '[a-z0-9.]+@[a-z]+\.[a-z]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '\d{3}-\d{4}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(txt, '[a-z0-9.]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+        |    '\d{3}-\d{4}', '[PHONE]', 'g') AS redacted
+        |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+        |SELECT doc_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        |  CAST(max(n) AS BIGINT) AS top_gram_freq,
+        |  CAST(SUM(n) - count(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac,
+        |  CAST(max(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // transitive closure over the (undirected) near-dup pair graph;
+    // min reachable node id == min id in the component
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        |e AS (SELECT doc_a AS s, doc_b AS t FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach(v, r) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.v)
+        |SELECT v AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)
+}

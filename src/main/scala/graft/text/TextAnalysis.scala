@@ -109,9 +109,67 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** PII redaction — the scrub pass every training corpus runs before
+    * anything else sees the text. Regex-driven (the patterns live in the
+    * RE2 ∩ java.regex intersection so the oracle agrees), global
+    * replacement, with per-row match counts for audit metrics. The
+    * documents corpus is synthetic word soup with no PII, so the text
+    * under test is composed deterministically from customer fields —
+    * the OPERATOR (compose → count → redact) is what's checked. Pure
+    * per-row projection: embarrassingly parallel at any scale. */
+  val EmailRe = "[a-z0-9.]+@[a-z]+\\.[a-z]+"
+  val PhoneRe = "\\d{3}-\\d{4}"
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = concat(regexp_replace(lower($"c_name"), "#", "."), lit("@example.com"))
+    val phone = format_string("%03d-%04d",
+      pmod($"c_custkey", lit(1000L)), pmod($"c_custkey" * 7919L, lit(10000L)))
+    val txt = concat($"c_name", lit(" <"), email, lit("> phone "), phone,
+      lit(" seg "), $"c_mktsegment")
+    Tables(s, dir, "customer")
+      .select($"c_custkey", txt.as("txt"))
+      .select($"c_custkey",
+        regexp_count($"txt", lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count($"txt", lit(PhoneRe)).cast("int").as("n_phones"),
+        regexp_replace(regexp_replace($"txt", EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("redacted"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Intra-document repetition detection (the Gopher-style "repeated
+    * n-gram fraction" quality rule): per document, total vs distinct
+    * word-2-gram counts and the top 2-gram's share. Shaped for scale as
+    * explode → two-level aggregation: the (doc_id, gram) partial
+    * aggregate combines map-side, and the second aggregate reduces each
+    * document to one row — never a per-document hash map in driver
+    * memory. Ratios are single IEEE divisions of exact counts. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
+          .stripMargin)).as("gram"))
+    grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max($"n").as("top_gram_freq"))
+      .select($"doc_id", $"n_grams", $"n_distinct_grams", $"top_gram_freq",
+        (($"n_grams" - $"n_distinct_grams").cast("double") /
+          $"n_grams".cast("double")).as("dup_frac"),
+        ($"top_gram_freq".cast("double") / $"n_grams".cast("double")).as("top_frac"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality _,
     "text_tokencount" -> tokenCount _,
     "text_fingerprint" -> fingerprint _,
-    "text_langid" -> langId _)
+    "text_langid" -> langId _,
+    "text_pii_redact" -> piiRedact _,
+    "text_repetition" -> repetition _)
 }
