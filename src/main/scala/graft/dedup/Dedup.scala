@@ -175,6 +175,52 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ------------------------------------------------- Portable MinHash
+  private val portableBandsUdf = udf((toks: Seq[String]) =>
+    graft.functions.Signatures.portableMinhashBands(toks, 3))
+
+  private val portableShingleSetUdf = udf((toks: Seq[String]) =>
+    graft.functions.Signatures.portableShingleHashSet(toks, 3))
+
+  /** MinHash + LSH banding built ONLY from engine-portable integer
+    * arithmetic (polynomial shingle hashes, LCG permutations — see
+    * Signatures' portable kernels), so the ENTIRE index + candidate +
+    * verification path is DuckDB-oracle-checked, unlike [[minhashLsh]]
+    * whose xxhash64/Murmur signatures have no SQL twin. Same scale
+    * shape: narrow (doc, band, hash) rows, one groupBy for candidate
+    * pairs, verification join over candidates alone. 16 permutations ×
+    * 4 bands of 4 rows (collision threshold ≈ (1/4)^(1/4) ≈ 0.71);
+    * candidates are verified at hashed-shingle Jaccard ≥ 0.5. */
+  def minhashPortable(s: SparkSession, dir: String): DataFrame =
+    minhashPortableOver(Tables(s, dir, "documents"))
+
+  def minhashPortableOver(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val raw = documents
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", tokens($"text").as("raw_toks"))
+    val banded = raw
+      .select($"doc_id", posexplode(portableBandsUdf($"raw_toks")).as(Seq("band", "bh")))
+    val cand = banded.groupBy($"band", $"bh")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(bucketPairsUdf($"ids")).as("p"))
+      .select($"p._1".as("doc_a"), $"p._2".as("doc_b"))
+      .distinct()
+    val d = raw.select($"doc_id", portableShingleSetUdf($"raw_toks").as("hset"))
+      .filter(size($"hset") > 0)
+    val nInter = intersectUdf($"set_a", $"set_b")
+    val nUnion = (size($"set_a") + size($"set_b")).cast("bigint") - nInter
+    cand
+      .join(d.select($"doc_id".as("doc_a"), $"hset".as("set_a")), "doc_a")
+      .join(d.select($"doc_id".as("doc_b"), $"hset".as("set_b")), "doc_b")
+      .select($"doc_a", $"doc_b", nInter.as("n_inter"), nUnion.as("n_union"),
+        (nInter.cast("double") / nUnion.cast("double")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   // ----------------------------------------------------------- SimHash
   /** 64-bit SimHash over tokens: per-bit ±1 votes by token hash bits,
     * sign of the vote sum becomes the bit. Tight-loop UDF
@@ -363,5 +409,6 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_embedding_cosine" -> embeddingCosine _,
+    "dedup_minhash_portable" -> minhashPortable _,
     "dedup_clusters" -> clusters _)
 }

@@ -174,6 +174,101 @@ object Signatures extends Serializable {
     out.result()
   }
 
+  // ---------------- engine-portable kernels (exact SQL mirrors exist) —
+  // unlike the Murmur-based kernels above, every operation here is
+  // integer arithmetic a SQL engine reproduces bit-for-bit, so queries
+  // built on these are DuckDB-oracle-checkable end to end. Constants are
+  // shared with the SQL generator in graft.queries.Oracle3.
+
+  val PolyMod = 1000000007L
+  val PolyMul = 31L
+  val MixMul = 1000003L
+
+  /** Per-permutation multipliers/offsets for portable MinHash (fixed LCG
+    * outputs — arbitrary but deterministic, embedded as literals in the
+    * oracle SQL). */
+  val PortableA: Array[Long] =
+    Array.tabulate(16)(i => ((1103515245L * (i + 1) + 12345L) % 2147483647L) | 1L)
+  val PortableB: Array[Long] =
+    Array.tabulate(16)(i => (69069L * (i + 1) + 1234567L) % 2147483647L)
+
+  /** Portable polynomial string hash: fold (h*31 + char) mod 1e9+7 over
+    * UTF-16 code units — equals DuckDB's ascii()-based fold on the
+    * (verified ASCII) corpus. Same recurrence as the text_fingerprint
+    * query. */
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * PolyMul + s.charAt(i).toLong) % PolyMod; i += 1 }
+    h
+  }
+
+  /** Portable word-n-gram shingle hashes (one polyHash per joined
+    * shingle string, spaces included — mirrors toks[i]||' '||toks[i+1]...
+    * in SQL). */
+  def portableShingleHashes(toks: Seq[String], n: Int): Array[Long] = {
+    val arr = toks.toArray
+    if (arr.length < n) return Array.empty
+    Array.tabulate(arr.length - n + 1) { i =>
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr(i + j))
+        j += 1
+      }
+      polyHash(sb.toString)
+    }
+  }
+
+  /** Sorted distinct portable shingle-hash set (verification-side
+    * signature; mirrors list_distinct of the SQL h0 list — hash
+    * collisions, if any, are the SAME collisions in both engines). */
+  def portableShingleHashSet(toks: Seq[String], n: Int): Array[Long] = {
+    val hs = portableShingleHashes(toks, n)
+    java.util.Arrays.sort(hs)
+    if (hs.isEmpty) hs
+    else {
+      var w = 1
+      var i = 1
+      while (i < hs.length) {
+        if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(hs, w)
+    }
+  }
+
+  /** Portable MinHash band hashes: 16 permutations h_j = (A(j)*h0 + B(j))
+    * mod 1e9+7, min per permutation, 4 bands of 4 rows folded with
+    * (acc*1000003 + m) mod 1e9+7. Zero-shingle docs return no bands (see
+    * minhashBandsFromTokens). */
+  def portableMinhashBands(toks: Seq[String], shingleN: Int): Array[Long] = {
+    val hs = portableShingleHashes(toks, shingleN)
+    if (hs.isEmpty) return Array.empty
+    val k = PortableA.length
+    val sigs = Array.fill(k)(Long.MaxValue)
+    var x = 0
+    while (x < hs.length) {
+      val h = hs(x)
+      var j = 0
+      while (j < k) {
+        val v = (PortableA(j) * h + PortableB(j)) % PolyMod
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      x += 1
+    }
+    val bands = 4
+    val rows = k / bands
+    Array.tabulate(bands) { b =>
+      var acc = 0L
+      var r = 0
+      while (r < rows) { acc = (acc * MixMul + sigs(b * rows + r)) % PolyMod; r += 1 }
+      acc
+    }
+  }
+
   /** 64-bit SimHash: per-token 64-bit hash (two murmur seeds), ±1 votes
     * per bit, sign of the vote sum becomes the bit. */
   def simhash64(toks: Seq[String]): Long = {

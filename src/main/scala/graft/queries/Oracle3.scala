@@ -31,7 +31,68 @@ object Oracle3 {
       |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5)""".stripMargin
 
+  /** Generated SQL for the portable MinHash band hashes — one expression
+    * per band, built from the SAME constant arrays the Scala kernel uses
+    * (graft.functions.Signatures.PortableA/B), so the two definitions
+    * cannot drift. */
+  private def portableBandCols: String = {
+    import graft.functions.Signatures.{MixMul, PolyMod, PortableA, PortableB}
+    val mins = PortableA.indices.map(i =>
+      s"list_min(list_transform(h0, h -> (${PortableA(i)} * h + ${PortableB(i)}) % $PolyMod))")
+    val rows = PortableA.length / 4
+    (0 until 4).map { b =>
+      val folded = (b * rows until (b + 1) * rows)
+        .map(mins)
+        .foldLeft("CAST(0 AS BIGINT)")((acc, m) => s"(($acc) * $MixMul + ($m)) % $PolyMod")
+      s"($folded) AS bh$b"
+    }.mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the whole LSH index — shingle hashes, permutations, banding,
+    // candidate generation, verification — rebuilt in SQL from the same
+    // integer recurrences; hash collisions (if any) are the same
+    // collisions in both engines, so counts agree exactly
+    "dedup_minhash_portable" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shs
+        |  FROM t WHERE len(toks) >= 3),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(shs, sh -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_filter(string_split(sh, ''), c -> c <> ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS h0
+        |  FROM s),
+        |b AS (SELECT doc_id, $portableBandCols FROM h),
+        |bl AS (
+        |  SELECT doc_id, 0 AS band, bh0 AS bh FROM b
+        |  UNION ALL SELECT doc_id, 1, bh1 FROM b
+        |  UNION ALL SELECT doc_id, 2, bh2 FROM b
+        |  UNION ALL SELECT doc_id, 3, bh3 FROM b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM bl a JOIN bl c ON a.band = c.band AND a.bh = c.bh
+        |    AND a.doc_id < c.doc_id),
+        |hs AS (SELECT doc_id, list_distinct(h0) AS hset FROM h)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(x.hset, y.hset)) AS BIGINT) AS n_inter,
+        |  CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |    CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS DOUBLE) AS jaccard
+        |FROM cand
+        |  JOIN hs x ON x.doc_id = cand.doc_a
+        |  JOIN hs y ON y.doc_id = cand.doc_b
+        |WHERE CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |    CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q35_range_frame" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS near_cents,

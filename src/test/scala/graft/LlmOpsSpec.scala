@@ -155,6 +155,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("portable minhash finds planted dups; pairs match a driver recompute") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPortableOver(planted).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(pairs.contains((0L, 100L)), s"missing planted near-dup; got ${pairs.keySet}")
+    assert(pairs.get((1L, 101L)).contains(1.0), s"exact dup not at jaccard 1: $pairs")
+    // precision: every returned pair really has portable-hashed-shingle
+    // jaccard >= 0.5 per a driver-side recompute
+    val sets = planted.collect()
+      .map(r => (r.getLong(0),
+        graft.functions.Signatures.portableShingleHashSet(
+          r.getString(1).split(" ").toSeq.filter(_.nonEmpty), 3)))
+      .toMap
+    pairs.foreach { case ((a, b), j) =>
+      val ia = graft.functions.Signatures.intersectSorted(sets(a), sets(b)).toDouble
+      val expected = ia / (sets(a).length + sets(b).length - ia)
+      assert(j == expected && j >= 0.5, s"pair ($a,$b): query $j vs brute $expected")
+    }
+  }
+
   test("exact dedup groups identical texts at any scale") {
     import spark.implicits._
     val d = Dedup.exact(spark, sf)
