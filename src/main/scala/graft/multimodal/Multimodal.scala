@@ -123,7 +123,24 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** queries() entry: decode → videos only → every-2nd-frame sampling,
+    * flattened to one row per sampled frame — the fan-out step a video
+    * training pipeline runs before per-frame feature extraction. The
+    * explode happens executor-side inside flatMap (bounded per record);
+    * the filter cuts the corpus to the video third before any frame
+    * work. Oracle-checked: the stub's frame count/stride is integer
+    * arithmetic DuckDB reproduces. */
+  def frameSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(mediaFromDocuments(s, dir))
+      .filter(_.modality == "video")
+      .flatMap(f => FakeCodec.sampleFrames(f, 2).map(i => (f.media_id, f.n_frames, i)))
+      .toDF("media_id", "n_frames", "frame_idx")
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> decodeQuery _,
-    "mm_resize" -> resizeQuery _)
+    "mm_resize" -> resizeQuery _,
+    "mm_frame_sample" -> frameSampleQuery _)
 }

