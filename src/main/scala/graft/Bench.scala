@@ -42,12 +42,25 @@ object Bench {
       val runs = Seq(a, b).flatten
       name -> (if (runs.isEmpty) -1.0 else runs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal rendering (sub-ms resolution is host noise anyway) keeps
+    // the detail line ~40% smaller than full double repr
+    def r4(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total, not
     // subtracted from it
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two lines, detail FIRST and a SHORT summary line LAST: the driver's
+    // stdout capture keeps the tail, and r3's single giant line (73-query
+    // map before the total) got its head truncated → BENCH_r03 parsed:
+    // null. The final line stays small (total + slowest-5) so the tail
+    // always contains one complete parseable JSON object; the full
+    // per-query map rides on the line before it for when capture allows.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"slowest5":$slowest}""")
     spark.stop()
   }
 }

@@ -281,25 +281,136 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Embedding-cosine near-dup pairs (brute force within a<b — correct
-    * baseline at test scale; the LSH-bucketed scale path lives in
-    * graft.sim.Similarity). Unit-normalizes each vector ONCE so the
-    * pairwise step is a single codegen'd dot_product (see
-    * graft.functions.DotProduct). Float-order-sensitive → rows-only. */
-  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+  /** Cosine threshold for embedding near-dup pairs (shared by the
+    * bucketed path, its brute-force twin, and the DuckDB oracle SQL). */
+  val CosThreshold = 0.35
+
+  /** Unit-normalized embedding vectors. The normalization expression is
+    * the SINGLE definition shared by the bucketed path and the brute
+    * twin, so every emitted cos_sim is the identical IEEE sequence
+    * (transform x/norm, then the codegen'd sequential DotProduct) in
+    * both — and bit-identical to the DuckDB oracle's
+    * list_inner_product. Zero/empty vectors are excluded up front: their
+    * cosine is NaN in every path and can never pass the threshold. */
+  private def unitVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.dot_product
     graft.functions.VectorFunctions.register(s)
-    val e = Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .select($"vec_id", $"v", sqrt(dot_product($"v", $"v")).as("norm"))
+      .filter($"norm" > 0)
       .select($"vec_id", transform($"v", x => x / $"norm").as("u"))
+  }
+
+  /** Embedding-cosine near-dup pairs through IVF-CELL CANDIDATE
+    * GENERATION with EXACT recall — the scale-safe replacement for the
+    * r3 all-pairs crossJoin:
+    *
+    *  1. assign every unit vector to its nearest cell of the
+    *     deterministic coarse quantizer (the same exact scaled-int label
+    *     centroids sim_topk_ivf uses — [[graft.sim.Similarity
+    *     .exactCentroidRows]]), recording its distance to the cell
+    *     center;
+    *  2. per cell, take the max member distance r (one narrow agg);
+    *  3. qualify cell PAIRS by the triangle inequality: a pair at
+    *     cos ≥ t has chord ≤ √(2−2t), so members of cells (i,j) can
+    *     only reach it if ‖ĉᵢ−ĉⱼ‖ ≤ √(2−2t) + rᵢ + rⱼ. The quantizer is
+    *     driver-sized by design (|cells| ≈ |labels|; at 100 TB a coarse
+    *     k-means codebook — thousands of cells), so the qualifying-pair
+    *     list is computed on the driver and broadcast;
+    *  4. candidates come from two EQUI-joins (vectors→cell-pairs→
+    *     vectors) — no CartesianProduct / BroadcastNestedLoopJoin
+    *     anywhere in the executed plan (asserted in PlanAuditSpec) —
+    *     then the exact cosine filter decides.
+    *
+    * Steps 1-3 only ever ADD candidates beyond the true pair set, and
+    * step 4 applies the exact threshold, so the output is row-identical
+    * to the brute-force twin (asserted in DedupSpec) and the DuckDB
+    * hash check stays green. Pruning power is the corpus's cluster
+    * structure: on a clustered real-world corpus distant cell pairs
+    * disqualify and the quadratic term collapses to within-cluster; on
+    * an isotropic corpus (like this synthetic one — cell radii ≈ 1.35
+    * vs chord bound 1.14) every cell pair qualifies and the cost is the
+    * same n²/2 exact comparisons any exact-recall method pays — but
+    * through hash joins that partition by cell instead of a cartesian
+    * product, so the work spreads over the cluster and shrinks the
+    * moment the data has structure. */
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot_product
+    // --- quantizer (driver-sized, deterministic): normalized label centroids
+    val centRows = graft.sim.Similarity.exactCentroidRows(s, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val cents: Array[(Int, Array[Double])] = centRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, rs) =>
+        val arr = rs.sortBy(_._2).map(_._3).toArray
+        val n = math.sqrt(arr.map(x => x * x).sum)
+        (l, if (n > 0) arr.map(_ / n) else arr)
+      }.toArray
+    // --- 1. nearest-cell assignment (ties → lower cell id; every vector
+    // gets exactly one home cell, which is all exactness needs)
+    val assignUdf = udf((u: Seq[Double]) => {
+      var best = 0; var bestD2 = Double.MaxValue
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)._2
+        var dot = 0.0; var j = 0
+        val m = math.min(c.length, u.length)
+        while (j < m) { dot += u(j) * c(j); j += 1 }
+        val d2 = math.max(0.0, 2.0 - 2.0 * dot)
+        if (d2 < bestD2) { bestD2 = d2; best = i }
+        i += 1
+      }
+      (cents(best)._1, math.sqrt(bestD2))
+    })
+    val assigned = unitVectors(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, $"vec_id")
+      .withColumn("a", assignUdf($"u"))
+      .select($"vec_id", $"u", $"a._1".as("cell"), $"a._2".as("dist"))
+      .cache()
+    // --- 2. per-cell max member distance
+    val radii: Map[Int, Double] = assigned.groupBy($"cell").agg(max($"dist"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // --- 3. qualifying cell pairs (both orders + diagonal), with an
+    // epsilon slack so FP rounding can only widen the candidate set
+    val dth = math.sqrt(2.0 - 2.0 * CosThreshold)
+    def chord(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var j = 0
+      val m = math.min(a.length, b.length)
+      while (j < m) { dot += a(j) * b(j); j += 1 }
+      math.sqrt(math.max(0.0, 2.0 - 2.0 * dot))
+    }
+    val cellPairs = for {
+      (ci, vi) <- cents.toSeq; (cj, vj) <- cents.toSeq
+      ri <- radii.get(ci); rj <- radii.get(cj)
+      if chord(vi, vj) <= dth + ri + rj + 1e-9
+    } yield (ci, cj)
+    val cp = broadcast(cellPairs.toDF("cell_a", "cell_b"))
+    // --- 4. candidates via equi-joins, then the exact cosine decides
+    val a = assigned.select($"vec_id".as("vec_a"), $"cell".as("cell_a"), $"u".as("ua"))
+    val b = assigned.select($"vec_id".as("vec_b"), $"cell".as("cell_b"), $"u".as("ub"))
+    a.join(cp, "cell_a")
+      .join(b, "cell_b")
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", dot_product($"ua", $"ub").as("cos_sim"))
+      .filter($"cos_sim" >= CosThreshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Brute-force twin of [[embeddingCosine]] (all pairs within a<b) —
+    * the test-scale correctness oracle the bucketed path is asserted
+    * row-identical to in DedupSpec. Not a `queries()` entry. */
+  def embeddingCosineBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot_product
+    val e = unitVectors(s, dir)
     val a = e.repartition(s.sparkContext.defaultParallelism, $"vec_id")
       .select($"vec_id".as("vec_a"), $"u".as("ua"))
     val b = e.select($"vec_id".as("vec_b"), $"u".as("ub"))
     a.crossJoin(b).filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", dot_product($"ua", $"ub").as("cos_sim"))
-      .filter($"cos_sim" >= 0.35)
+      .filter($"cos_sim" >= CosThreshold)
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -323,7 +434,8 @@ object Dedup {
     * exact union-find finishes the job in milliseconds. Per-vertex
     * state stays in DataFrames throughout (the cumulative mapping is a
     * narrow (v, super-node) table); only the condensed SUPER-node edges
-    * — bounded by [[DriverEdgeCap]] ≈ 32 MB — are ever collected.
+    * — bounded by [[DriverEdgeCap]] (100k × 16 B ≈ 1.6 MB) — are ever
+    * collected.
     * Lineage is cut per round with localCheckpoint (on a cluster,
     * prefer `setCheckpointDir` + checkpoint for fault tolerance). */
   def clusters(s: SparkSession, dir: String): DataFrame =
@@ -352,7 +464,10 @@ object Dedup {
     var rounds = 0
     while (edges.count() > driverEdgeCap) {
       rounds += 1
-      assert(rounds <= 20, "contraction did not condense the graph in 20 rounds")
+      // require, not assert: the cap must hold even under
+      // -Xdisable-assertions — a non-converging graph must fail fast, not
+      // spin an unbounded loop of Spark jobs
+      require(rounds <= 20, "contraction did not condense the graph in 20 rounds")
       // min-label hop over the current condensed graph...
       val verts = edges.select($"src".as("v")).distinct()
         .select($"v", $"v".as("lbl"))

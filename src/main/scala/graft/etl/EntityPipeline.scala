@@ -79,15 +79,27 @@ object EntityPipeline {
     val valid = m.getLong(1)
     val invalid = files - valid
 
-    // O6 error log + O7 quarantine from ONE collect of the (small by
-    // construction) invalid set, in deterministic src_path order (D1).
-    val invalidRows = validated.filter(col("v.errClass") =!= "ok")
-      .select(col("src_path"), col("v.errMsg")).orderBy("src_path").collect()
-    ErrorLogSink.append(
-      invalidRows.map(r => (r.getString(0), r.getString(1))).toIndexedSeq,
-      errorLogFile)
-    QuarantineSink.copyAll(invalidRows.map(_.getString(0)).distinct.toSeq,
-      conf.quarantineDir)
+    // O6 error log + O7 quarantine. FIDELITY: one collect of the
+    // invalid set in deterministic src_path order (D1) — the
+    // reference-shaped single log file + driver NIO copy, sound because
+    // fidelity mode already implies a driver-sized corpus. SCALE: both
+    // sinks stay executor-side (distributed text append, Hadoop-FS
+    // copy in foreachPartition) so a majority-invalid corpus — a bad
+    // upstream at 100 TB — flows through with bounded driver memory.
+    val invalidDf = validated.filter(col("v.errClass") =!= "ok")
+      .select(col("src_path"), col("v.errMsg").as("errMsg"))
+    if (fidelity) {
+      val invalidRows = invalidDf.orderBy("src_path").collect()
+      ErrorLogSink.append(
+        invalidRows.map(r => (r.getString(0), r.getString(1))).toIndexedSeq,
+        errorLogFile)
+      QuarantineSink.copyAll(invalidRows.map(_.getString(0)).distinct.toSeq,
+        conf.quarantineDir)
+    } else {
+      ErrorLogSink.appendDistributed(invalidDf, errorLogFile + ".d")
+      QuarantineSink.copyAllDistributed(invalidDf.select("src_path").distinct(),
+        conf.quarantineDir)
+    }
 
     // O5 routing: valid, plus recoverable-invalid when the
     // replace_missing_data gate is on. The recoverability test is the

@@ -57,7 +57,13 @@ object CsvSink {
   * hazard, not a semantic — normal failure semantics here (divergence D3).
   * Timestamps are write-time wall clock, as in the reference; golden
   * comparisons match on (class, field, filename), not prose/time
-  * (SURVEY §7.4). */
+  * (SURVEY §7.4).
+  *
+  * Two modes, mirroring CsvSink: FIDELITY appends ordered lines to the
+  * single reference-shaped log file (driver-side by nature); SCALE
+  * writes the same line format as a distributed text append under
+  * `<logFile>.d/` — the invalid set never touches the driver, so a
+  * majority-invalid corpus (bad upstream) cannot OOM it. */
 object ErrorLogSink {
   private val fmt = DateTimeFormatter.ofPattern("dd/MM/yyyy hh:mm:ss a", Locale.ENGLISH)
 
@@ -71,13 +77,32 @@ object ErrorLogSink {
       w.write(s"$ts, ERROR, SCHEMA ERR, $path, $msg\n")
     } finally w.close()
   }
+
+  /** invalid: (src_path, errMsg) DataFrame; lines land as text part
+    * files under logDir. Timestamps are executor write-time wall clock
+    * (same semantic as the reference's append-time stamp); Spark's
+    * `date_format` renders the identical `dd/MM/yyyy hh:mm:ss a`
+    * pattern codegen'd, so the whole sink is one distributed
+    * projection + append with no driver materialization. */
+  def appendDistributed(invalid: DataFrame, logDir: String): Unit =
+    invalid
+      .select(concat(
+        date_format(current_timestamp(), "dd/MM/yyyy hh:mm:ss a"),
+        lit(", ERROR, SCHEMA ERR, "), col("src_path"),
+        lit(", "), col("errMsg")).as("value"))
+      .write.mode("append").text(logDir)
 }
 
 /** O7 quarantine sink: copy (not move — `shutil.copy`, `main.py:34-38`)
   * each offending source file verbatim into the quarantine dir, creating
-  * it on demand. File-granular side effect → driver-side NIO by design
-  * (SURVEY §2.1 O7); at 100 TB scale the equivalent is a distributed
-  * `binaryFile` read + write of the quarantine set. */
+  * it on demand.
+  *
+  * FIDELITY mode keeps the reference's driver-side NIO copy over the
+  * collected (small) invalid list; SCALE mode ships the path list to the
+  * executors and copies through the Hadoop FileSystem API inside
+  * `foreachPartition` — file bytes and path lists both stay off the
+  * driver, and the FS abstraction covers local disk, HDFS, or object
+  * stores alike (SURVEY §2.1 O7's named alternative). */
 object QuarantineSink {
   def copyAll(srcPaths: Seq[String], quarantineDir: String): Unit = {
     if (srcPaths.nonEmpty) Files.createDirectories(Paths.get(quarantineDir))
@@ -85,6 +110,32 @@ object QuarantineSink {
       val src: Path = Paths.get(p)
       Files.copy(src, Paths.get(quarantineDir).resolve(src.getFileName),
         StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** srcPaths: single-string-column DataFrame of offending file paths
+    * (pre-deduplicated). Each task copies its partition's files; the
+    * Hadoop Configuration is rebuilt per task from defaults, which is
+    * correct for any FS reachable by URI from the executors. */
+  def copyAllDistributed(srcPaths: DataFrame, quarantineDir: String): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val enc = org.apache.spark.sql.Encoders.STRING
+    srcPaths.as(enc).foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val conf = new Configuration()
+        val qd = new HPath(quarantineDir)
+        val qfs = qd.getFileSystem(conf)
+        // verbatim copy: no client-side .crc sidecars next to the
+        // quarantined files (no-op where checksums are FS-internal)
+        qfs.setWriteChecksum(false)
+        qfs.mkdirs(qd)
+        it.foreach { p =>
+          val src = new HPath(p)
+          FileUtil.copy(src.getFileSystem(conf), src,
+            qfs, new HPath(qd, src.getName), false, true, conf)
+        }
+      }
     }
   }
 }

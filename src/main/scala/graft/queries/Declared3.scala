@@ -106,12 +106,23 @@ object Declared3 {
         sum(q * d).as("sqd"))
     val nD = $"n".cast("double")
     def f(c: String) = col(c).cast("double")
+    // Degenerate-group guards, decided in EXACT integer arithmetic (the
+    // long moment sums) and mirrored verbatim in the Oracle3 SQL: n=1
+    // makes std 0/0, zero variance makes corr 0/0, and NaN/Inf division
+    // behavior differs across engines — so both engines agree to emit
+    // NULL instead of dividing. (n·sqq − sq² ≥ 0 exactly by
+    // Cauchy-Schwarz over integers, so the sqrt argument is never
+    // negative when the guard passes.)
+    val varQ = $"n" * $"sqq" - $"sq" * $"sq"
+    val varD = $"n" * $"sdd" - $"sd" * $"sd"
     m.select($"l_returnflag", $"n",
         (f("sq") / nD).as("mean_qty"),
-        sqrt((nD * f("sqq") - f("sq") * f("sq")) / (nD * (nD - 1.0))).as("std_qty"),
-        ((nD * f("sqd") - f("sq") * f("sd")) /
-          (sqrt(nD * f("sqq") - f("sq") * f("sq")) *
-           sqrt(nD * f("sdd") - f("sd") * f("sd")))).as("corr_qty_disc"))
+        when($"n" > 1,
+          sqrt((nD * f("sqq") - f("sq") * f("sq")) / (nD * (nD - 1.0)))).as("std_qty"),
+        when($"n" > 1 && varQ > 0 && varD > 0,
+          (nD * f("sqd") - f("sq") * f("sd")) /
+            (sqrt(nD * f("sqq") - f("sq") * f("sq")) *
+             sqrt(nD * f("sdd") - f("sd") * f("sd")))).as("corr_qty_disc"))
       .orderBy($"l_returnflag")
   }
 
@@ -142,7 +153,7 @@ object Declared3 {
     * empty survive with a null element instead of vanishing — the outer
     * form Q36's posexplode doesn't cover (an inner explode silently
     * drops empty-array parents, which is how corpus-stat pipelines lose
-    * documents). Long tokens (>8 chars) are rare enough that many
+    * documents). Long tokens (>6 chars) are rare enough that many
     * documents exercise the empty path (the corpus tops out at 8-char
     * tokens, so >6 leaves both populated and empty arrays). */
   val q40: Q = (s, dir) => {

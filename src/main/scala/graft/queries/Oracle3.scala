@@ -136,12 +136,14 @@ object Oracle3 {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-        |  sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty,
-        |  (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
-        |    / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-        |       * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
-        |    AS corr_qty_disc
+        |  CASE WHEN n > 1 THEN
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS std_qty,
+        |  CASE WHEN n > 1 AND (n * sqq - sq * sq) > 0 AND (n * sdd - sd * sd) > 0 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |         * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+        |    END AS corr_qty_disc
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "text_pii_redact" ->

@@ -189,6 +189,17 @@ class DedupSpec extends AnyFunSuite {
     assert(p.filter($"vec_a" >= $"vec_b").count() == 0)
     assert(p.filter($"cos_sim" < 0.35 || $"cos_sim" > 1.0000001).count() == 0)
   }
+
+  test("bucketed embedding cosine is row-identical to its brute-force twin") {
+    // exact recall of the IVF-cell candidate generation: the equi-join
+    // path must emit exactly the all-pairs result, bit-for-bit (same
+    // normalization + DotProduct expressions on both sides)
+    val fast = Dedup.embeddingCosine(spark, sf).collect()
+    val brute = Dedup.embeddingCosineBrute(spark, sf).collect()
+    assert(fast.length == brute.length,
+      s"row count ${fast.length} != brute ${brute.length}")
+    fast.zip(brute).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

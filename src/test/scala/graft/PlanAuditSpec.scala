@@ -104,4 +104,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query set not broadcast:\n$plan")
   }
+
+  test("dedup embedding cosine: candidates come from equi-joins, never a cartesian") {
+    val plan = executed(dedup.Dedup.embeddingCosine(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
+  }
 }

@@ -168,4 +168,48 @@ class EtlGoldenSpec extends AnyFunSuite {
     val meta = readCsv(base.resolve("metadata.csv"))
     assert(meta(1).startsWith("card,"))
   }
+
+  test("scale mode: error log + quarantine stay executor-side on a majority-invalid corpus") {
+    // a bad upstream at 100 TB means MOST records are invalid; scale
+    // mode must flow them through the distributed sinks with no driver
+    // collect of the invalid set (EntityPipeline routes fidelity=false
+    // to ErrorLogSink.appendDistributed + QuarantineSink
+    // .copyAllDistributed)
+    val base = Files.createTempDirectory("etl_scale_")
+    EtlFixtures.writeCorpus(base)
+    val users = base.resolve("users")
+    // 40 extra invalid files (string score → type error) — invalid
+    // becomes the 42-of-49 majority of the corpus
+    (0 until 40).foreach { i =>
+      Files.writeString(users.resolve(f"z_bad_$i%02d.json"),
+        s"""{"metadata": {"type": "user", "event_at": "2023-10-23 22:55:01",
+           | "event_id": "00000000-0000-4000-8000-0000000009$i%02d"},
+           | "payload": {"id": ${1000 + i}, "name": "Bad $i", "address": "9 Bad St",
+           |  "job": "None", "score": "not-a-number"}}""".stripMargin)
+    }
+    val entities = Config.builtin(base.toString, V2).filter(_.name == "users")
+    val metrics = Runner.run(spark, entities, V2,
+      base.resolve("errors.log").toString, fidelity = false)
+    assert(metrics("users").files == 49 && metrics("users").invalid == 42)
+    // distributed error log: part files under errors.log.d, one line per
+    // invalid file, reference line shape
+    val logDir = base.resolve("errors.log.d")
+    assert(Files.isDirectory(logDir))
+    val lines = Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty)).toSeq
+    assert(lines.size == 42, s"expected 42 error lines, got ${lines.size}")
+    assert(lines.forall(_.contains(", ERROR, SCHEMA ERR, ")))
+    assert(lines.count(_.contains("is not of type 'number'")) == 41) // 40 + F9
+    // executor-side quarantine copied every offending file verbatim
+    val quarantined = Files.list(base.resolve("users_schema_mismatches"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(quarantined.size == 42)
+    assert(quarantined.contains("z_bad_00.json") && quarantined.contains("f09.json"))
+    assert(Files.readAllBytes(base.resolve("users_schema_mismatches/z_bad_07.json"))
+      .sameElements(Files.readAllBytes(users.resolve("z_bad_07.json"))))
+    // no single-file errors.log was written in scale mode
+    assert(!Files.exists(base.resolve("errors.log")))
+  }
 }
