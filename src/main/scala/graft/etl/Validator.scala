@@ -1,8 +1,15 @@
 package graft.etl
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.functions.{call_function, udf}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Row-level JSON Schema validation (reference O4/O5,
   * `/root/reference/main.py:59-65,176-189`).
@@ -63,6 +70,24 @@ object Validator extends Serializable {
       catch { case e: Exception =>
         return Verdict("parse", "", s"malformed JSON: ${e.getMessage}")
       }
+    validateRoot(root, schema)
+  }
+
+  /** Byte-level entry point: Jackson parses the raw UTF-8 bytes
+    * directly, so the codegen path never materializes a java.lang.String
+    * copy of the file text. Tree and verdicts are identical to
+    * [[validate]] (only parse-error message prose can differ, and golden
+    * comparisons deliberately don't match on prose — SURVEY §7.4). */
+  def validateBytes(raw: Array[Byte], schema: CompiledSchema): Verdict = {
+    val root =
+      try mapper.readTree(raw)
+      catch { case e: Exception =>
+        return Verdict("parse", "", s"malformed JSON: ${e.getMessage}")
+      }
+    validateRoot(root, schema)
+  }
+
+  private def validateRoot(root: JsonNode, schema: CompiledSchema): Verdict = {
     // Jackson returns null for EMPTY input (no exception) — the reference
     // would raise JSONDecodeError there, so route it as a parse failure;
     // pyRepr must never see null.
@@ -104,13 +129,87 @@ object Validator extends Serializable {
     ok
   }
 
-  /** Column form: struct(errClass, errField, errMsg). Registered as a UDF —
-    * the validation is a per-row pure function over the raw file text, so
-    * it parallelizes embarrassingly; the envelope data itself is parsed by
-    * the codegen'd from_json, not here. */
+  /** Codegen entry point: UTF8String in, InternalRow of the verdict
+    * struct out — no Catalyst↔Scala converters, no String copy of the
+    * file bytes, no Row→InternalRow re-encode (the three costs the
+    * ScalaUDF form pays on every record). */
+  def validateInternal(raw: UTF8String, schema: CompiledSchema): InternalRow = {
+    val v = if (raw == null) Verdict("parse", "", "malformed JSON: empty input")
+            else validateBytes(raw.getBytes, schema)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(v.errClass),
+      UTF8String.fromString(v.errField),
+      UTF8String.fromString(v.errMsg)))
+  }
+
+  /** Column form: struct(errClass, errField, errMsg) via the codegen'd
+    * [[ValidateJson]] expression (SURVEY §4.3's sanctioned upgrade from
+    * the r1-r3 UDF — the validator was the one interpreted box left on
+    * the per-record ETL hot path). The function-registry name embeds the
+    * schema's hash so each entity's schema gets its own stable
+    * registration and concurrent entities can't clobber each other. */
   def validateCol(schema: CompiledSchema): Column => Column = {
-    val s = schema // serializable case class captured by the closure
+    val s = schema // serializable case class captured by the expression
+    val name = f"graft_validate_${s.hashCode}%08x"
+    SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, exprs => ValidateJson(exprs.head, s),
+        "built-in")
+    c => call_function(name, c)
+  }
+
+  /** The r1-r3 ScalaUDF form, kept as the comparison twin for
+    * ValidatorParitySpec and the M-row before/after benchmark. */
+  def validateColUdf(schema: CompiledSchema): Column => Column = {
+    val s = schema
     val f = udf((raw: String) => validate(raw, s))
     c => f(c)
   }
+}
+
+/** O4 validation as a native Catalyst expression. The per-row work is
+  * the Jackson tree parse either way — what the expression removes vs
+  * the ScalaUDF form is the per-record harness: UTF8String→String
+  * conversion, the To/FromCatalyst converters, and the external-Row
+  * re-encode of the verdict struct. `doGenCode` emits a single static
+  * call that whole-stage codegen inlines into the scan-validate-parse
+  * stage, keeping the full ETL plan one codegen'd pass
+  * (`main.py:59-65` semantics; see [[Validator]] for the rules). */
+case class ValidateJson(child: Expression, schema: CompiledSchema)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("errClass", StringType, nullable = false),
+    StructField("errField", StringType, nullable = false),
+    StructField("errMsg", StringType, nullable = false)))
+
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_validate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_validate needs string input, got ${child.dataType}")
+
+  // null input (never produced by wholetext scans, but contractually
+  // covered) routes as a parse failure inside validateInternal — the
+  // expression itself is never null, so no nullSafeEval
+  override def eval(input: InternalRow): Any =
+    Validator.validateInternal(
+      child.eval(input).asInstanceOf[UTF8String], schema)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val schemaRef = ctx.addReferenceObj("graftSchema", schema,
+      "graft.etl.CompiledSchema")
+    val c = child.genCode(ctx)
+    val block =
+      code"""
+         |${c.code}
+         |InternalRow ${ev.value} = graft.etl.Validator.validateInternal(
+         |  ${c.isNull} ? null : ${c.value}, $schemaRef);
+       """.stripMargin
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ValidateJson =
+    copy(child = newChild)
 }

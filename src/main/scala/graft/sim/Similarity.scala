@@ -98,6 +98,40 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Persist the embeddings as the on-disk ANN index this file's doc
+    * claims for 100 TB: rows bucketed (and sorted) by their LSH
+    * sign-projection bucket via StorageLayout.writeBucketed. Probes
+    * against the persisted table then join bucket-to-bucket with ZERO
+    * exchange on the index side, and a single-bucket lookup prunes the
+    * scan to 1-of-N bucket files (both asserted in StorageLayoutSpec —
+    * the wired demonstration of the claim). */
+  def writeLshIndex(s: SparkSession, dir: String, table: String,
+                    numBuckets: Int = 1 << NumPlanes): Unit = {
+    val e = vcol(Tables(s, dir, "embeddings"))
+      .withColumn("bucket", bucketCol(col("v")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"), col("bucket"))
+    graft.operators.StorageLayout.writeBucketed(e, table, "bucket", numBuckets)
+  }
+
+  /** Candidate probe over the persisted LSH index: home-bucket
+    * candidates for the first NumQueries vectors, generated by a bucket
+    * equi-join of two reads of the SAME bucketed table — both sides
+    * arrive hash-distributed on `bucket` from disk, so the join plans
+    * with no shuffle Exchange at all. (Multi-probe — the Hamming-1
+    * buckets lshTopK adds — costs one tiny exchange on the exploded
+    * query side only; the index side stays shuffle-free either way.) */
+  def probePersistedIndex(s: SparkSession, table: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val idx = s.table(table)
+    val q = idx.filter($"vec_id" < NumQueries)
+      .select($"bucket", $"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    idx.join(q, "bucket")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"bucket", $"query_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+  }
+
   val NProbe = 2
 
   /** IVF (inverted-file) approximate top-K — the second scale path next

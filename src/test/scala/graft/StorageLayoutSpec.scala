@@ -40,6 +40,37 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted ANN index: probe join is shuffle-free and lookups prune buckets") {
+    import spark.implicits._
+    graft.sim.Similarity.writeLshIndex(spark, "/root/testdata/sf0.001", "b_emb_lsh")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    // disable broadcast so the shuffle-freedom comes from the bucketed
+    // layout, not from a broadcast of the small test-scale side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = graft.sim.Similarity.probePersistedIndex(spark, "b_emb_lsh")
+      assert(probe.count() > 0)
+      assert(StorageLayout.isShuffleFree(probe),
+        "bucketed probe join must plan without Exchange:\n" +
+          probe.queryExecution.executedPlan.toString.take(2000))
+      // a single-bucket lookup reads 1 of 16 bucket files, not the
+      // table. autoBucketedScan's heuristic turns bucketed reading off
+      // for a bare filter (no downstream join/agg to exploit the
+      // distribution), which also forfeits bucket pruning — pin it on
+      // for the lookup, as an index-serving job would.
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val one = spark.table("b_emb_lsh").filter($"bucket" === 3)
+      one.count()
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
+        s"no bucket pruning in scan:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_emb_lsh")
+    }
+  }
+
   test("compact merges a small-files directory, preserving every row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact_").resolve("t").toString

@@ -96,6 +96,62 @@ class ValidatorSpec extends AnyFunSuite {
   }
 }
 
+/** Parity of the codegen'd [[ValidateJson]] expression with the r1-r3
+  * ScalaUDF twin over real fixtures + adversarial inputs — the O4
+  * promotion (SURVEY §4.3) must be a pure perf change, class/field/msg
+  * identical per row. */
+class ValidatorParitySpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val users = SchemaCompiler.compileJson(EtlFixtures.userSchemaJson)
+
+  val inputs: Seq[String] = Seq(
+    """{"metadata":{"type":"user","event_at":"t","event_id":"x"},
+      |"payload":{"id":1,"name":"A B","address":"a","job":"j","score":0.5}}""".stripMargin,
+    """{"payload":{"id":1,"name":"A","address":"a","job":"j","score":0.5}}""", // missing metadata
+    """{"metadata":{"type":"user","event_at":"t","event_id":"x"},
+      |"payload":{"id":1,"name":"A","address":"a","job":"j","score":"high"}}""".stripMargin, // type err
+    """{"metadata":{"type":"user","event_at":"t","event_id":"x"},
+      |"payload":{"id":1,"name":"A","address":"a","job":"j"}}""".stripMargin, // missing required
+    """{"metadata":{"type":"user","event_at":"t","event_id":"x"}, "payload": 7}""", // part not object
+    """not json at all""", "", "[1,2,3]", "null", "true",
+    """{"metadata":{"type":true,"event_at":"t","event_id":"x"},
+      |"payload":{"id":3.0,"name":"A","address":"a","job":"j","score":1}}""".stripMargin)
+
+  test("expression verdicts == UDF verdicts on every adversarial input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = inputs.toDF("value")
+    val expr = df.select(Validator.validateCol(users)(col("value")).as("v"))
+      .select("v.errClass", "v.errField", "v.errMsg").collect()
+    val viaUdf = df.select(Validator.validateColUdf(users)(col("value")).as("v"))
+      .select("v.errClass", "v.errField", "v.errMsg").collect()
+    expr.zip(viaUdf).zipWithIndex.foreach { case ((a, b), i) =>
+      // parse-error message prose may differ (String vs byte parser
+      // coordinates); class + field must be identical, and message too
+      // for every non-parse verdict
+      assert(a.getString(0) == b.getString(0), s"class mismatch on input $i: $a vs $b")
+      assert(a.getString(1) == b.getString(1), s"field mismatch on input $i: $a vs $b")
+      if (a.getString(0) != "parse")
+        assert(a.getString(2) == b.getString(2), s"msg mismatch on input $i: $a vs $b")
+    }
+  }
+
+  test("expression path stays inside whole-stage codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // through parquet: a local relation would be constant-folded at
+    // plan time (ConvertToLocalRelation) and show no codegen stage
+    val dir = java.nio.file.Files.createTempDirectory("validate_cg_").toString + "/in"
+    inputs.toDF("value").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(Validator.validateCol(users)(col("value")).as("v"))
+      .filter(col("v.errClass") =!= "ok")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "validate stage not codegen'd:\n" + df.queryExecution.executedPlan)
+  }
+}
+
 class TransformsSpec extends AnyFunSuite {
   import graft.TestSpark.spark
   import spark.implicits._
