@@ -16,8 +16,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Declared.queries ++ graft.queries.Declared2.queries ++
-      graft.queries.Declared3.queries ++ EtlDemo.queries ++
-      graft.queries.Profiles.queries ++
+      graft.queries.Declared3.queries ++ graft.queries.Declared4.queries ++
+      EtlDemo.queries ++ graft.queries.Profiles.queries ++
       graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
       graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries
 
@@ -31,5 +31,6 @@ object SparkEntry {
     * (see [[graft.queries.Oracle2]] for the bit-exactness argument). */
   def oracleSql: Map[String, String] =
     Oracle.oracleSql ++ graft.queries.Oracle2.oracleSql ++
-      graft.queries.Oracle3.oracleSql ++ graft.queries.Profiles.oracleSql
+      graft.queries.Oracle3.oracleSql ++ graft.queries.Oracle4.oracleSql ++
+      graft.queries.Profiles.oracleSql
 }

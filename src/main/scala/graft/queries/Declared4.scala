@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 additions to the declared capability inventory (SURVEY §2.4):
+  * interval (point-in-range) join, CDC-style latest-per-key compaction,
+  * argmax/argmin aggregation, calendar densification, bitwise
+  * aggregates, and window contribution shares. Same authoring contract
+  * as [[Declared]]..[[Declared3]]: total ORDER BY over a unique key set,
+  * exact integer accumulation wherever a float would make the result
+  * order-dependent, column names aliased identically to [[Oracle4]].
+  */
+object Declared4 {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- Q41
+  /** Interval join: attribute every event to its user's session window
+    * (sessions = q25's >30-min-gap islands). The point-in-interval join
+    * is executed as an EQUI-join on user_id with the BETWEEN as a
+    * post-join filter — the scale shape for interval joins whose
+    * intervals are keyed (the equi key bounds the pair explosion;
+    * un-keyed big×big interval joins need time-band bucketing instead).
+    * Sessions of a user are disjoint, so each event lands in exactly
+    * one window and event_id stays a unique order key. */
+  val q41: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables(s, dir, "events").select($"user_id", $"event_id", $"ts")
+    val withSess = ev.select($"user_id", $"event_id", $"ts",
+      sum(when((unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+          .isNull.or(unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w) > 1800000000L), 1)
+        .otherwise(0)).over(run).cast("int").as("session_idx"))
+    val sess = withSess.groupBy($"user_id", $"session_idx")
+      .agg(min($"ts").as("s_start"), max($"ts").as("s_end"),
+        count(lit(1)).as("n_events"))
+      .withColumnRenamed("user_id", "s_user")
+    ev.join(sess, ev("user_id") === sess("s_user") &&
+        $"ts" >= $"s_start" && $"ts" <= $"s_end")
+      .select($"event_id", ev("user_id"), $"session_idx", $"n_events")
+      .orderBy($"event_id")
+  }
+
+  // ---------------------------------------------------------------- Q42
+  /** Latest-per-key compaction (CDC upsert semantics): the newest event
+    * per (user_id, event_type) by (ts, event_id). row_number over a
+    * descending window + rn=1 filter — Spark plans the rank-filter as
+    * WindowGroupLimit (partial top-1 per partition BEFORE the shuffle),
+    * which is what makes log compaction feasible at 100 TB: the shuffle
+    * carries one candidate row per key per input partition, not the
+    * full log. */
+  val q42: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value",
+        row_number().over(w).as("rn"))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id".as("last_event_id"),
+        $"ts".as("last_ts"), $"value".as("last_value"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  // ---------------------------------------------------------------- Q43
+  /** Argmax/argmin aggregation: per nation, the customer holding the
+    * max (and min) account balance — max_by/min_by with a DETERMINISTIC
+    * composite ordinal (exact cents × 10^7 + custkey; custkey < 10^7,
+    * so the ordinal is a strictly monotone total order and ties cannot
+    * exist) — mirrored as DuckDB arg_max/arg_min on the same ordinal.
+    * One broadcast join + one partial-agg shuffle of (nation) rows. */
+  val q43: Q = (s, dir) => {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        (floor($"c_acctbal" * 100).cast("long") * 10000000L + $"c_custkey")
+          .as("ord"),
+        floor($"c_acctbal" * 100).cast("long").as("bal_cents"))
+    cust.join(broadcast(Tables(s, dir, "nation")
+        .select($"n_nationkey".as("c_nationkey"), $"n_name")), "c_nationkey")
+      .groupBy($"n_name")
+      .agg(max_by($"c_name", $"ord").as("richest"),
+        max($"bal_cents").as("max_cents"),
+        min_by($"c_name", $"ord").as("poorest"),
+        min($"bal_cents").as("min_cents"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  // ---------------------------------------------------------------- Q44
+  /** Calendar densification (date spine): one row per day between the
+    * corpus's min and max order date, zero-filled where no orders exist
+    * — the standard repair before any daily time-series model. The
+    * spine generates from a 1-row bound aggregate (sequence + explode);
+    * the daily aggregate shuffles (day) rows only, and the spine side
+    * broadcasts onto it. */
+  val q44: Q = (s, dir) => {
+    import s.implicits._
+    val orders = Tables(s, dir, "orders")
+    val bounds = orders.agg(min(to_date($"o_orderdate")).as("d0"),
+      max(to_date($"o_orderdate")).as("d1"))
+    val spine = bounds.select(explode(sequence($"d0", $"d1")).as("day"))
+    val daily = orders.groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    spine.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"cents", lit(0L)).as("cents"))
+      .orderBy($"day")
+  }
+
+  // ---------------------------------------------------------------- Q45
+  /** Bitwise aggregates: AND/OR/XOR-fold of order keys per priority
+    * (XOR-folds are how set-reconciliation / checksum passes summarize
+    * key sets cheaply — order-insensitive, so perfectly partial-agg
+    * friendly), plus an exact shifted sum. All integer ops — no float
+    * anywhere. */
+  val q45: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(expr("bit_and(o_orderkey)").as("key_and"),
+        expr("bit_or(o_orderkey)").as("key_or"),
+        expr("bit_xor(o_orderkey)").as("key_xor"),
+        sum(shiftright($"o_orderkey", 3)).as("sum_shr3"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- Q46
+  /** Contribution shares: each order's share of its customer's total
+    * and of the corpus total. Both denominators are exact-cents sums;
+    * the one float op per output cell is a single int÷int division —
+    * the identical IEEE operation in both engines. The corpus total
+    * comes from a 1-row aggregate cross-joined (broadcast) onto the
+    * stream — NOT an empty-partition global window, which would funnel
+    * every row through one task at 100 TB. */
+  val q46: Q = (s, dir) => {
+    import s.implicits._
+    val o = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+    val wCust = Window.partitionBy($"o_custkey")
+    val total = o.agg(sum($"cents").as("total_cents"))
+    o.select($"o_orderkey", $"o_custkey", $"cents",
+        sum($"cents").over(wCust).as("cust_cents"))
+      .crossJoin(broadcast(total))
+      .select($"o_orderkey", $"o_custkey", $"cents",
+        ($"cents".cast("double") / $"cust_cents".cast("double")).as("share_of_customer"),
+        ($"cents".cast("double") / $"total_cents".cast("double")).as("share_of_total"))
+      .orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q41_interval_join" -> q41,
+    "q42_latest_per_key" -> q42,
+    "q43_argmax" -> q43,
+    "q44_date_spine" -> q44,
+    "q45_bitops" -> q45,
+    "q46_share_of_total" -> q46)
+}

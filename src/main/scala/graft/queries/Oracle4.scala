@@ -1,0 +1,130 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Declared4]] and the round-4 LLM-pipeline
+  * operators (prefix-edit-distance dedup, cross-doc boilerplate
+  * shingles). Same dialect notes as [[Oracle]]..[[Oracle3]]; new here:
+  *
+  *  - DuckDB `generate_series(DATE, DATE, INTERVAL)` yields timestamps —
+  *    cast back to DATE to match Spark's `sequence(date, date)`;
+  *  - `arg_max`/`arg_min` take a single ordering value, so the
+  *    deterministic composite ordinal (cents·10^7 + custkey) is built
+  *    identically on both sides;
+  *  - DuckDB's Levenshtein is the same unit-cost Wagner-Fischer
+  *    distance as Spark's over this ASCII corpus.
+  */
+object Oracle4 {
+
+  /** Session CTE — identical to the q25 oracle's derivation. */
+  private val sessionCte =
+    """g AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |), s AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+      |  FROM g)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q41_interval_join" ->
+      s"""WITH $sessionCte,
+        |sess AS (
+        |  SELECT user_id AS s_user, session_idx, min(ts) AS s_start, max(ts) AS s_end,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT e.event_id, e.user_id, sess.session_idx, sess.n_events
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |JOIN sess ON e.user_id = sess.s_user
+        |  AND e.ts >= sess.s_start AND e.ts <= sess.s_end
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q42_latest_per_key" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q43_argmax" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS ord,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer)
+        |SELECT n_name,
+        |  arg_max(c_name, ord) AS richest, max(bal_cents) AS max_cents,
+        |  arg_min(c_name, ord) AS poorest, min(bal_cents) AS min_cents,
+        |  count(*) AS n_customers
+        |FROM c JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q44_date_spine" ->
+      """WITH b AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT spine.day, coalesce(daily.n_orders, 0) AS n_orders,
+        |  CAST(coalesce(daily.cents, 0) AS BIGINT) AS cents
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY spine.day""".stripMargin,
+
+    "q45_bitops" ->
+      """SELECT o_orderpriority,
+        |  bit_and(o_orderkey) AS key_and,
+        |  bit_or(o_orderkey) AS key_or,
+        |  bit_xor(o_orderkey) AS key_xor,
+        |  CAST(SUM(o_orderkey >> 3) AS BIGINT) AS sum_shr3,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q46_share_of_total" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, cents,
+        |  CAST(cents AS DOUBLE) /
+        |    CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_customer,
+        |  CAST(cents AS DOUBLE) /
+        |    CAST((SELECT SUM(cents) FROM o) AS DOUBLE) AS share_of_total
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+
+    "dedup_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 100.0) AS INT) AS len_bucket,
+        |    substring(text, 1, 80) AS pfx
+        |  FROM documents)
+        |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS INT) AS prefix_lev
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+        |         toks[i + 3] || ' ' || toks[i + 4])) AS shs
+        |  FROM t WHERE len(toks) >= 5),
+        |e AS (SELECT doc_id, unnest(shs) AS shingle FROM s)
+        |SELECT shingle, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM e GROUP BY shingle HAVING count(*) >= 2
+        |ORDER BY shingle""".stripMargin)
+}

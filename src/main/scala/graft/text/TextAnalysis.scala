@@ -165,11 +165,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Cross-document boilerplate detection (C4-style): word 5-gram
+    * shingles, per-doc-distinct, that recur in ≥ 2 documents — the unit
+    * a boilerplate-removal pass deletes (headers, disclaimers,
+    * navigation chrome share long shingles across many pages; genuine
+    * prose almost never does). Shape at 100 TB: per-doc shingling is a
+    * pure projection; the only shuffle is the shingle groupBy, whose
+    * map-side partial agg collapses each partition's repeats before the
+    * exchange. (The corpus has no line structure — 5-gram shingles are
+    * the line-equivalent unit here.) */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 5)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 5),
+          |  i -> concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+          |    element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5))))"""
+          .stripMargin)).as("shingle"))
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"shingle")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality _,
     "text_tokencount" -> tokenCount _,
     "text_fingerprint" -> fingerprint _,
     "text_langid" -> langId _,
     "text_pii_redact" -> piiRedact _,
-    "text_repetition" -> repetition _)
+    "text_repetition" -> repetition _,
+    "text_boilerplate" -> boilerplate _)
 }
