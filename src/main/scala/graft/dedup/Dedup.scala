@@ -240,11 +240,15 @@ object Dedup {
     val a = d.repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"lang", $"len_bucket", $"doc_id".as("doc_a"), $"pfx".as("pfx_a"))
     val b = d.select($"lang", $"len_bucket", $"doc_id".as("doc_b"), $"pfx".as("pfx_b"))
+    // threshold form: banded Wagner-Fischer, O(len·k) per pair instead
+    // of O(len²) — pairs beyond the threshold return -1 and fall to the
+    // same filter, and within-threshold distances are exact, so the
+    // kept rows and values are identical to DuckDB's plain levenshtein
     a.join(b, Seq("lang", "len_bucket"))
       .filter($"doc_a" < $"doc_b")
       .select($"lang", $"doc_a", $"doc_b",
-        levenshtein($"pfx_a", $"pfx_b").as("prefix_lev"))
-      .filter($"prefix_lev" <= 8)
+        levenshtein($"pfx_a", $"pfx_b", 8).as("prefix_lev"))
+      .filter($"prefix_lev" >= 0 && $"prefix_lev" <= 8)
       .orderBy($"doc_a", $"doc_b")
   }
 

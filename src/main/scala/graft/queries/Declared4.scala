@@ -156,11 +156,80 @@ object Declared4 {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------- Q47
+  /** TIME-based RANGE frame: per user, trailing-1-hour event count and
+    * exact scaled-int value sum ordered by ts — the temporal sibling of
+    * Q35's numeric RANGE frame and the canonical feature-engineering
+    * window ("activity in the last hour"). Peers enter the frame by
+    * TIMESTAMP VALUE, so ts ties (same instant, different events)
+    * contribute symmetrically and the result is deterministic without a
+    * unique order key. One shuffle on user_id; single sliding pass per
+    * partition. Via the SQL front end (RANGE BETWEEN INTERVAL frames
+    * have no DataFrame-API spelling). */
+  val q47: Q = (s, dir) => {
+    Tables(s, dir, "events").createOrReplaceTempView("events_q47")
+    s.sql(
+      """SELECT event_id, user_id, ts,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+        |  CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS v_last_hour
+        |FROM events_q47
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q48
+  /** FILTER-clause aggregation: one pass over lineitem computing
+    * differently-predicated aggregates side by side (the SQL:2003
+    * FILTER form of "sum(case when)") — the profile-report shape that
+    * replaces N self-joins with one scan + one shuffle of (flag) rows.
+    * All sums exact cents. Via the SQL front end. */
+  val q48: Q = (s, dir) => {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q48")
+    s.sql(
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+        |    FILTER (WHERE l_quantity >= 25) AS BIGINT) AS cents_bulk,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+        |    FILTER (WHERE l_quantity < 25) AS BIGINT) AS cents_small,
+        |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R') AS n_supp_returned
+        |FROM lineitem_q48
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q49
+  /** LATERAL correlated subquery: per nation, its top-2 customers by
+    * (exact-cents balance, custkey) through a LATERAL ORDER BY/LIMIT —
+    * the SQL spelling of "top-k per group" that Catalyst rewrites into
+    * the same rank-window shape as Q11 (asserted there); here the
+    * declared surface is the LATERAL syntax itself. Deterministic: the
+    * lateral ordering is total. */
+  val q49: Q = (s, dir) => {
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_q49")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_q49")
+    s.sql(
+      """SELECT n_name, c_custkey, c_name, bal_cents
+        |FROM nation_q49,
+        |LATERAL (
+        |  SELECT c_custkey, c_name,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer_q49
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY bal_cents DESC, c_custkey
+        |  LIMIT 2)
+        |ORDER BY n_name, bal_cents DESC, c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q41_interval_join" -> q41,
     "q42_latest_per_key" -> q42,
     "q43_argmax" -> q43,
     "q44_date_spine" -> q44,
     "q45_bitops" -> q45,
-    "q46_share_of_total" -> q46)
+    "q46_share_of_total" -> q46,
+    "q47_time_range_frame" -> q47,
+    "q48_filter_clause" -> q48,
+    "q49_lateral_topk" -> q49)
 }

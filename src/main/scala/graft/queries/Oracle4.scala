@@ -102,6 +102,39 @@ object Oracle4 {
         |    CAST((SELECT SUM(cents) FROM o) AS DOUBLE) AS share_of_total
         |FROM o ORDER BY o_orderkey""".stripMargin,
 
+    "q47_time_range_frame" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  COUNT(*) OVER w AS n_last_hour,
+        |  CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS v_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q48_filter_clause" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+        |    FILTER (WHERE l_quantity >= 25) AS BIGINT) AS cents_bulk,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+        |    FILTER (WHERE l_quantity < 25) AS BIGINT) AS cents_small,
+        |  count(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R') AS n_supp_returned
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q49_lateral_topk" ->
+      """SELECT n_name, c_custkey, c_name, bal_cents
+        |FROM nation,
+        |LATERAL (
+        |  SELECT c_custkey, c_name,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY bal_cents DESC, c_custkey
+        |  LIMIT 2) AS topc
+        |ORDER BY n_name, bal_cents DESC, c_custkey""".stripMargin,
+
     "dedup_edit_distance" ->
       """WITH d AS (
         |  SELECT doc_id, lang, CAST(floor(length(text) / 100.0) AS INT) AS len_bucket,

@@ -58,6 +58,31 @@ object StreamingAnalytics {
       }
   }
 
+  final case class UserMilestone(user_id: Long, milestone: Long)
+
+  /** Per-user event-count milestones via flatMapGroupsWithState — the
+    * VARIABLE-ARITY custom-state primitive: a group may emit 0..n rows
+    * per micro-batch (mapGroupsWithState must emit exactly one), which
+    * is the shape alert/trigger pipelines need. Emits one row per
+    * multiple-of-k threshold a user's cumulative event count crosses in
+    * the batch; state is the running count. Deterministic under ANY
+    * intra-batch arrival order — the milestone set depends only on the
+    * cumulative count, never on which event happened to cross. */
+  def userMilestones(events: DataFrame, k: Long = 10L): Dataset[UserMilestone] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"user_id".as[Long])
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          ((prev / k + 1) to (next / k)).map(m => UserMilestone(user, m * k)).iterator
+      }
+  }
+
   /** Session windows via Spark's native session_window — the streaming
     * form of batch Q25 (gaps-and-islands sessionization): events of one
     * user merge while gaps stay under 30 min; the watermark closes and

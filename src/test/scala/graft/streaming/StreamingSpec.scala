@@ -203,4 +203,23 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(total == 1000) // every event counted exactly once
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState emits each crossed milestone exactly once") {
+    import spark.implicits._
+    val q = StreamingAnalytics.userMilestones(eventsStream("/root/testdata/sf0.001"))
+      .writeStream.format("memory").queryName("milestones").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("milestones")
+        .select($"user_id", $"milestone").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // batch truth: every multiple of 10 up to each user's event count
+      val truth = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+        .groupBy($"user_id").count().collect()
+        .flatMap(r => (1L to r.getLong(1) / 10)
+          .map(m => (r.getLong(0), m * 10))).toSeq.sorted
+      assert(truth.nonEmpty)
+      assert(got == truth) // no milestone missed, none duplicated
+    } finally q.stop()
+  }
 }
