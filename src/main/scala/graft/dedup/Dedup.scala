@@ -485,10 +485,23 @@ object Dedup {
                         driverEdgeCap: Long = DriverEdgeCap): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    // materialize the pair plan ONCE before symmetrizing — the union
-    // would otherwise evaluate the (potentially expensive) upstream
-    // near-dup plan twice, once per direction
+    // materialize the pair plan ONCE — every consumer below (count,
+    // symmetrize, remainder collect, vertex set) reuses the
+    // checkpointed rows instead of re-evaluating the (potentially
+    // expensive) upstream near-dup plan
     val p0 = pairs.select($"doc_a", $"doc_b").localCheckpoint()
+    // FAST PATH: the whole (undirected) pair set already fits the
+    // driver cap — skip the symmetrize/distinct shuffle and the
+    // per-round machinery entirely and union-find the pairs as-is.
+    // This is the common tail at every test SF; the contraction loop
+    // below is the 100 TB path (exercised via the driverEdgeCap test
+    // seam in Declared3Spec).
+    if (2 * p0.count() <= driverEdgeCap) {
+      val rem = p0.as[(Long, Long)].collect()
+      val verts = p0.select($"doc_a".as("v")).union(p0.select($"doc_b".as("v")))
+        .distinct().select($"v", $"v".as("cur"))
+      return finishWithUnionFind(rem, verts)
+    }
     var edges = p0
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(p0.select($"doc_b".as("src"), $"doc_a".as("dst")))
@@ -532,7 +545,18 @@ object Dedup {
     // exact union-find on the condensed remainder; roots are component
     // minima because every union keeps the smaller id (and a component's
     // global-min vertex always survives contraction labeled by itself)
-    val rem = edges.filter($"src" < $"dst").as[(Long, Long)].collect()
+    finishWithUnionFind(edges.filter($"src" < $"dst").as[(Long, Long)].collect(), cum)
+  }
+
+  /** Shared tail of [[clustersOverPairs]]: exact union-find over the
+    * collected remainder edges, broadcast-joined back onto the
+    * (v, current-super-node) mapping. */
+  private def finishWithUnionFind(remPairs: Array[(Long, Long)],
+                                  cumMapping: DataFrame): DataFrame = {
+    val s = cumMapping.sparkSession
+    import s.implicits._
+    val cum = cumMapping
+    val rem = remPairs
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -139,8 +139,36 @@ object Multimodal {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  /** Fixed chunk size for audio segmentation — 64 content bytes stand
+    * in for a fixed-duration PCM window. */
+  val AudioChunkBytes = 64
+
+  /** queries() entry: audio subset → fixed-size chunking of the content
+    * bytes, one row per chunk with its own rolling checksum — the
+    * segmentation step an audio pipeline runs before per-window feature
+    * extraction (spectrogram frames, VAD). Fan-out happens
+    * executor-side inside flatMap and is bounded per record (`n_bytes /
+    * chunk`); content never enters Catalyst. Oracle-checked despite the
+    * binary path: chunk geometry + checksums are integer arithmetic
+    * over the bytes, and the ASCII corpus makes byte-hash ==
+    * ascii(char)-hash (same argument as mm_decode_features). */
+  def audioChunkQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFromDocuments(s, dir)
+      .filter(_.modality == "audio")
+      .flatMap { r =>
+        r.content.grouped(AudioChunkBytes).zipWithIndex.map { case (chunk, i) =>
+          val ck = chunk.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+          (r.media_id, i, chunk.length, ck)
+        }
+      }
+      .toDF("media_id", "chunk_idx", "chunk_bytes", "chunk_checksum")
+      .orderBy($"media_id", $"chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> decodeQuery _,
     "mm_resize" -> resizeQuery _,
-    "mm_frame_sample" -> frameSampleQuery _)
+    "mm_frame_sample" -> frameSampleQuery _,
+    "mm_audio_chunks" -> audioChunkQuery _)
 }

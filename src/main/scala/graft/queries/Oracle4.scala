@@ -147,6 +147,26 @@ object Oracle4 {
         |WHERE levenshtein(a.pfx, b.pfx) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // audio = doc_id % 3 == 1 (mediaFromDocuments' round-robin); ASCII
+    // corpus ⟹ byte-hash == ascii(char)-hash (mm_decode precedent)
+    "mm_audio_chunks" ->
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |c AS (
+        |  SELECT media_id, text, n,
+        |    CAST(unnest(range(0, CAST(ceil(n / 64.0) AS INT))) AS INT) AS chunk_idx
+        |  FROM a)
+        |SELECT media_id, chunk_idx,
+        |  CAST(least(64, n - chunk_idx * 64) AS INT) AS chunk_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(
+        |      list_filter(string_split(substring(text, chunk_idx * 64 + 1, 64), ''), ch -> ch <> ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (x, y) -> (x * 31 + y) % 1000000007) AS chunk_checksum
+        |FROM c ORDER BY media_id, chunk_idx""".stripMargin,
+
     "text_boilerplate" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

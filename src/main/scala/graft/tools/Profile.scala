@@ -33,13 +33,12 @@ object Profile {
       r
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // warm
-    (1 to 4).foreach { i =>
-      time(s"minhashLsh #$i")(graft.dedup.Dedup.minhashLsh(spark, sfDir).count())
-    }
     (1 to 2).foreach { i =>
-      time(s"simhash #$i")(graft.dedup.Dedup.simhash(spark, sfDir).count())
       time(s"jaccard #$i")(graft.dedup.Dedup.ngramJaccard(spark, sfDir).count())
+      time(s"clusters #$i")(graft.dedup.Dedup.clusters(spark, sfDir).count())
       time(s"cosine #$i")(graft.dedup.Dedup.embeddingCosine(spark, sfDir).count())
+      time(s"editdist #$i")(graft.dedup.Dedup.editDistance(spark, sfDir).count())
+      time(s"boilerplate #$i")(graft.text.TextAnalysis.boilerplate(spark, sfDir).count())
     }
     spark.stop()
   }

@@ -318,4 +318,25 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.MediaFeatures(1, "video", 100, 7, 16, 16, 7, Array(0.0))
     assert(Multimodal.FakeCodec.sampleFrames(f, 2) == Seq(0, 2, 4, 6))
   }
+
+  test("audio chunking: full coverage, bounded chunks, only audio records") {
+    import spark.implicits._
+    val chunks = Multimodal.audioChunkQuery(spark, sf).cache()
+    // every chunk is full-size except possibly the last per media
+    assert(chunks.filter($"chunk_bytes" < 1 ||
+      $"chunk_bytes" > Multimodal.AudioChunkBytes).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"media_id")
+    assert(chunks.select($"media_id", $"chunk_idx", $"chunk_bytes",
+        max($"chunk_idx").over(w).as("last"))
+      .filter($"chunk_idx" < $"last" &&
+        $"chunk_bytes" =!= Multimodal.AudioChunkBytes).count() == 0)
+    // chunk bytes reassemble to the full content length, per media
+    val sums = chunks.groupBy($"media_id").agg(sum($"chunk_bytes").as("total"))
+    val truth = Multimodal.mediaFromDocuments(spark, sf)
+      .filter(_.modality == "audio").toDF()
+      .select($"media_id", $"n_bytes")
+    assert(sums.join(truth, "media_id").filter($"total" =!= $"n_bytes").count() == 0)
+    assert(sums.count() == truth.count())
+    chunks.unpersist()
+  }
 }
