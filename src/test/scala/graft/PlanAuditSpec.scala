@@ -110,4 +110,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
+
+  test("q42: latest-per-key compaction gets the WindowGroupLimit pushdown") {
+    // the scaladoc's scale claim: one candidate row per key per input
+    // partition crosses the shuffle, not the full log
+    val plan = executed(queries.Declared4.q42(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank-filter not pushed down:\n$plan")
+  }
+
+  test("q46: corpus total broadcasts — no empty-partition global window") {
+    val plan = executed(queries.Declared4.q46(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"total not broadcast:\n$plan")
+    // the per-customer window + presentation sort may shuffle; the
+    // 1-row total must NOT funnel the stream through one partition
+    // (a global window would plan Window over Exchange SinglePartition
+    // on the FULL orders stream)
+    assert(!plan.contains("Exchange SinglePartition\n   +- Window"),
+      s"global window over single partition:\n$plan")
+  }
+
+  test("q44: date spine joins onto the daily aggregate without a row-stream shuffle") {
+    val plan = executed(queries.Declared4.q44(spark, sf))
+    // spine (≤ thousands of rows from a 1-row bound agg) broadcasts
+    assert(plan.contains("BroadcastHashJoin"), s"spine join not broadcast:\n$plan")
+  }
 }
