@@ -25,5 +25,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotProduct].getName, "graft_dot_product"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           DotProduct(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_validate"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.etl.ValidateJson].getName, "graft_validate"),
+        GraftExtensions.validateBuilder))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.StringType
+
+  /** `graft_validate(raw, '<json-schema literal>')` — the SQL surface of
+    * the codegen'd O4 validator: the schema argument must be a foldable
+    * string literal, compiled ONCE at plan time (per-row schema
+    * compilation would be absurd; a non-literal schema is a usage
+    * error, rejected at analysis). Shared by the extensions injection
+    * and tests. */
+  val validateBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      "graft_validate(raw, schemaJsonLiteral) takes exactly 2 arguments")
+    val schemaJson = exprs(1) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_validate's schema argument must be a string literal, got $other")
+    }
+    graft.etl.ValidateJson(exprs(0),
+      graft.etl.SchemaCompiler.compileJson(schemaJson))
   }
 }

@@ -29,39 +29,62 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
-  /** @param left       probe side; all its columns survive
+  /** Backward as-of (the default sense): latest right row with
+    * `right.ts <= left.ts`.
+    *
+    * @param left       probe side; all its columns survive
     * @param right      reference side, unique per (key, ts)
     * @param key        equi-key column name present on both sides
     * @param ts         event-time column name present on both sides
     * @param rightVals  right columns to carry (each emitted as
     *                   `asof_<name>`, null when no right row precedes) */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-           rightVals: Seq[String]): DataFrame = {
+           rightVals: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, ts, rightVals, forward = false)
+
+  /** Forward as-of: EARLIEST right row with `right.ts >= left.ts` —
+    * the "next scheduled event" lookup (next maintenance window, next
+    * price revision). Same single-shuffle shape as [[asOf]], mirrored:
+    * the carry runs over the FOLLOWING frame and left rows sort before
+    * equal-ts right rows so `>=` includes the same instant. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  rightVals: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, ts, rightVals, forward = true)
+
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, rightVals: Seq[String],
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // Carry the right row as ONE struct: last(.., ignoreNulls) over a
     // per-column carry would skip right rows whose column value is
     // legitimately null (carrying a stale older value) and could mix
     // columns from different right rows. The struct is non-null for
-    // every right row even when its fields are null, so the latest right
-    // ROW is carried atomically.
+    // every right row even when its fields are null, so the nearest
+    // right ROW is carried atomically.
     val rStructType = org.apache.spark.sql.types.StructType(
       rightVals.map(v => right.schema(v).copy(name = v)))
+    // side ordinals put the right row INSIDE the frame at equal ts:
+    // backward (frame ends at current row): right sorts before left;
+    // forward (frame starts at current row): left sorts before right
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     val l = left
-      .select((col(key) +: col(ts) +: lit(1).as("__side") +:
+      .select((col(key) +: col(ts) +: lit(leftSide).as("__side") +:
         lit(null).cast(rStructType).as("__r") +:
         leftCols.filterNot(c => c == key || c == ts).map(col)): _*)
     val r = right
-      .select((col(key) +: col(ts) +: lit(0).as("__side") +:
+      .select((col(key) +: col(ts) +: lit(rightSide).as("__side") +:
         struct(rightVals.map(col): _*).as("__r") +:
         leftCols.filterNot(c => c == key || c == ts)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    // right rows sort BEFORE left rows at equal ts → "<=" semantics
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
+    val wBase = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+    val carried = l.unionByName(r).withColumn("__asof",
+      if (forward)
+        first(col("__r"), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__r"), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    carried.filter(col("__side") === leftSide)
       .select((leftCols.map(col) ++
         rightVals.map(v => col(s"__asof.$v").as(s"asof_$v"))): _*)
   }

@@ -222,7 +222,28 @@ object Declared4 {
         |ORDER BY n_name, bal_cents DESC, c_custkey""".stripMargin)
   }
 
+  // --------------------------------------------------------------- Q21b
+  /** Forward as-of join — each click paired with the user's NEXT
+    * purchase at-or-after it (conversion attribution), the mirror of
+    * Q21's backward as-of, via [[graft.operators.AsOfJoin.asOfForward]].
+    * Same single-shuffle union+window shape; DuckDB's ASOF JOIN with
+    * `<=` is the oracle. */
+  val q21b: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("purchase_value"))
+    graft.operators.AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts",
+      Seq("purchase_value"))
+      .select($"event_id", $"user_id", $"ts".as("click_ts"),
+        $"asof_purchase_value")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q21b_asof_forward" -> q21b,
     "q41_interval_join" -> q41,
     "q42_latest_per_key" -> q42,
     "q43_argmax" -> q43,

@@ -30,6 +30,18 @@ object Oracle4 {
       |  FROM g)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q21b_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
     "q41_interval_join" ->
       s"""WITH $sessionCte,
         |sess AS (

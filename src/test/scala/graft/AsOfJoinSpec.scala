@@ -54,4 +54,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() == 2)
     assert(out.columns.toSet == Set("k", "t", "s", "n", "asof_v"))
   }
+
+  test("asOfForward picks earliest right at-or-after, null when none follows") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(100), "l-a"), // r@100 exists → tie matches the same instant
+      (1L, ts(75), "l-b"),  // between 50 and 100 → next is r@100
+      (1L, ts(150), "l-c"), // after all right rows → null
+      (2L, ts(500), "l-d")  // key with no right rows → null
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(50), 5.0),
+      (1L, ts(100), 10.0)
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.asOfForward(left, right, "k", "t", Seq("v"))
+      .select($"tag", $"asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out("l-a") == 10.0)
+    assert(out("l-b") == 10.0)
+    assert(out("l-c") == null)
+    assert(out("l-d") == null)
+  }
 }

@@ -92,6 +92,61 @@ class Declared4Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q47: trailing-hour counts match a direct self-join recompute") {
+    import spark.implicits._
+    val out = Declared4.q47(spark, sf).cache()
+    val e = Tables(spark, sf, "events").select($"event_id", $"user_id", $"ts")
+    val truth = e.as("a").join(e.select($"user_id", $"ts".as("ts2")).as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"ts2" <= $"ts" && $"ts2" >= $"ts" - expr("INTERVAL 1 HOUR"))
+      .groupBy($"event_id").agg(count(lit(1)).as("n_truth"))
+    val joined = out.join(truth, "event_id")
+    assert(joined.count() == e.count())
+    assert(joined.filter($"n_last_hour" =!= $"n_truth").count() == 0)
+    out.unpersist()
+  }
+
+  test("q48: FILTER partitions are disjoint and exhaustive") {
+    import spark.implicits._
+    val out = Declared4.q48(spark, sf).cache()
+    assert(out.filter($"n_discounted" > $"n").count() == 0)
+    // bulk + small cents partition the flag's full cents exactly
+    val truth = Tables(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sum(floor($"l_extendedprice" * 100).cast("long")).as("cents_all"))
+    val joined = out.join(truth, "l_returnflag")
+    assert(joined
+      .filter(coalesce($"cents_bulk", lit(0L)) + coalesce($"cents_small", lit(0L))
+        =!= $"cents_all").count() == 0)
+    out.unpersist()
+  }
+
+  test("q49: at most 2 rows per nation; top row carries the nation max balance") {
+    import spark.implicits._
+    val out = Declared4.q49(spark, sf).cache()
+    assert(out.groupBy($"n_name").count().filter($"count" > 2).count() == 0)
+    val tops = out.groupBy($"n_name").agg(max($"bal_cents").as("top_cents"))
+    val truth = Declared4.q43(spark, sf).select($"n_name", $"max_cents")
+    assert(tops.join(truth, "n_name").filter($"top_cents" =!= $"max_cents").count() == 0)
+    out.unpersist()
+  }
+
+  test("graft_validate is callable from SQL with a literal schema") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_validate", GraftExtensions.validateBuilder, "built-in")
+    val schema = graft.etl.EtlFixtures.userSchemaJson.replace("'", "''")
+    Seq(
+      """{"metadata":{"type":"user","event_at":"t","event_id":"x"},
+        |"payload":{"id":1,"name":"A","address":"a","job":"j","score":0.5}}""".stripMargin,
+      """{"payload":{"id":1,"name":"A","address":"a","job":"j","score":0.5}}""")
+      .toDF("value").createOrReplaceTempView("raw_val")
+    val got = spark.sql(
+      s"SELECT graft_validate(value, '$schema').errClass AS c FROM raw_val")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("ok", "required"))
+  }
+
   test("dedup_edit_distance: pairs ordered, thresholded, and truly close in prefix") {
     import spark.implicits._
     val out = graft.dedup.Dedup.editDistance(spark, sf).cache()
