@@ -242,8 +242,58 @@ object Declared4 {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------------------------------- Q50
+  /** Array set algebra: per document, the sorted union / intersection /
+    * difference of its short-token and long-token vocabularies, plus
+    * their cardinalities — `array_union`/`array_intersect`/
+    * `array_except` + `array_sort`. Sorted arrays are emitted as
+    * space-joined strings: deterministic values AND scalar columns the
+    * driver's hash compare handles (array-typed result cells are not
+    * comparable in its pandas path). Pure per-row projection — no
+    * shuffle but the presentation sort. */
+  val q50: Q = (s, dir) => {
+    import s.implicits._
+    val toks = array_distinct(filter(split($"text", " "), t => t =!= ""))
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        filter(toks, t => length(t) <= 5).as("short_toks"),
+        filter(toks, t => length(t) >= 4).as("long_toks"))
+      .select($"doc_id",
+        array_join(array_sort(array_union($"short_toks", $"long_toks")), " ").as("vocab"),
+        size(array_union($"short_toks", $"long_toks")).as("n_vocab"),
+        array_join(array_sort(array_intersect($"short_toks", $"long_toks")), " ").as("both"),
+        array_join(array_sort(array_except($"short_toks", $"long_toks")), " ").as("only_short"),
+        size(array_except($"short_toks", $"long_toks")).as("n_only_short"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q51
+  /** Map higher-order functions: per-document token-count map →
+    * `map_filter` keeps repeated tokens → `transform_values` doubles the
+    * counts → exploded back to sorted (doc, token, weight) rows. The
+    * map round-trip exercises map_from_entries / map_filter /
+    * transform_values; the RESULT is relational, which is what the
+    * oracle checks (DuckDB reproduces the same table without the map
+    * detour — maps are an execution detail, not a semantic). */
+  val q51: Q = (s, dir) => {
+    import s.implicits._
+    val counts = Tables(s, dir, "documents")
+      .select($"doc_id", explode(filter(split($"text", " "), t => t =!= "")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(map_from_entries(collect_list(struct($"tok", $"n"))).as("m"))
+    counts
+      .select($"doc_id",
+        transform_values(
+          map_filter($"m", (_, v) => v > 1), (_, v) => v * 2).as("m2"))
+      .select($"doc_id", explode($"m2").as(Seq("token", "weight")))
+      .orderBy($"doc_id", $"token")
+  }
+
   val queries: Map[String, Q] = Map(
     "q21b_asof_forward" -> q21b,
+    "q50_array_setops" -> q50,
+    "q51_map_hof" -> q51,
     "q41_interval_join" -> q41,
     "q42_latest_per_key" -> q42,
     "q43_argmax" -> q43,

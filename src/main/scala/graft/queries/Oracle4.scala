@@ -42,6 +42,35 @@ object Oracle4 {
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
+    // list_intersect is documented distinct; each side is per-doc
+    // distinct by construction (length bands of a distinct vocab, which
+    // OVERLAP on 4-5-char tokens), so union = distinct concat and
+    // except = filtered side a; empty-list array_to_string is NULL in
+    // DuckDB vs '' in Spark → coalesce
+    "q50_array_setops" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+        |      t -> length(t) <= 5) AS short_toks,
+        |    list_filter(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+        |      t -> length(t) >= 4) AS long_toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_distinct(short_toks || long_toks)), ' '), '') AS vocab,
+        |  CAST(len(list_distinct(short_toks || long_toks)) AS INT) AS n_vocab,
+        |  coalesce(array_to_string(list_sort(list_intersect(short_toks, long_toks)), ' '), '') AS both,
+        |  coalesce(array_to_string(list_sort(list_filter(short_toks, t -> NOT list_contains(long_toks, t))), ' '), '') AS only_short,
+        |  CAST(len(list_filter(short_toks, t -> NOT list_contains(long_toks, t))) AS INT) AS n_only_short
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q51_map_hof" ->
+      """SELECT doc_id, tok AS token, CAST(count(*) * 2 AS BIGINT) AS weight
+        |FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents)
+        |GROUP BY doc_id, tok HAVING count(*) > 1
+        |ORDER BY doc_id, token""".stripMargin,
+
     "q41_interval_join" ->
       s"""WITH $sessionCte,
         |sess AS (

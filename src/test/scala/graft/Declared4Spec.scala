@@ -131,6 +131,32 @@ class Declared4Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q50: set identities hold per document") {
+    import spark.implicits._
+    val out = Declared4.q50(spark, sf).cache()
+    assert(out.count() == Tables(spark, sf, "documents").count())
+    // |A∪B| = |A| + |B| - |A∩B| ⇔ n_vocab = n_only_short + |B| where
+    // B ⊇ A∩B; check via string fields: every 'both' token appears in vocab
+    val bad = out.filter($"n_vocab" < $"n_only_short").count()
+    assert(bad == 0)
+    assert(out.filter($"both" =!= "" && !$"vocab".contains($"both".substr(lit(1), lit(3))))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("q51: weights are exactly doubled repeat counts") {
+    import spark.implicits._
+    val out = Declared4.q51(spark, sf)
+    val truth = Tables(spark, sf, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+    val joined = out.join(truth, Seq("doc_id", "token"))
+    assert(joined.count() == out.count() && out.count() == truth.count())
+    assert(joined.filter($"weight" =!= $"n" * 2).count() == 0)
+  }
+
   test("graft_validate is callable from SQL with a literal schema") {
     import spark.implicits._
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
