@@ -278,6 +278,9 @@ object Declared4 {
   val q51: Q = (s, dir) => {
     import s.implicits._
     val counts = Tables(s, dir, "documents")
+      // partition for the compute — single-file scans serialize the
+      // token fan-out on one task otherwise
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", explode(filter(split($"text", " "), t => t =!= "")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
       .groupBy($"doc_id")

@@ -177,6 +177,9 @@ object TextAnalysis {
   def boilerplate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "documents")
+      // partition for the COMPUTE: a single-file scan would run the
+      // whole shingling fan-out on one task (profiled 1.0 s/1t at sf0.1)
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= 5)
       .select($"doc_id", explode(expr(
