@@ -72,7 +72,12 @@ object Dedup {
     * is the same IEEE op in both engines. The size-ratio prefilter is
     * implied by J ≥ 0.5 (|A∩B| ≤ min, |A∪B| ≥ max ⟹ min/max ≥ J), so it
     * prunes pairs without changing results. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unsorted form of [[ngramJaccard]] — consumers that don't need the
+    * presentation order (clusters' pair graph) skip its range shuffle. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (a, b) = blocked(s, dir)
     val nInter = intersectUdf($"toks_a", $"toks_b")
@@ -84,7 +89,6 @@ object Dedup {
       .select($"lang", $"doc_a", $"doc_b", nInter.as("n_inter"), nUnion.as("n_union"),
         (nInter.cast("double") / nUnion.cast("double")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   // ----------------------------------------------------------- MinHash
@@ -465,18 +469,24 @@ object Dedup {
     * exact union-find finishes the job in milliseconds. Per-vertex
     * state stays in DataFrames throughout (the cumulative mapping is a
     * narrow (v, super-node) table); only the condensed SUPER-node edges
-    * — bounded by [[DriverEdgeCap]] (100k × 16 B ≈ 1.6 MB) — are ever
+    * — bounded by [[DriverEdgeCap]] (2M × 16 B ≈ 32 MB) — are ever
     * collected.
     * Lineage is cut per round with localCheckpoint (on a cluster,
     * prefer `setCheckpointDir` + checkpoint for fault tolerance). */
   def clusters(s: SparkSession, dir: String): DataFrame =
-    clustersOverPairs(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+    clustersOverPairs(ngramJaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
 
   /** Condensed-graph size at which the remainder moves to exact driver
-    * union-find — deliberately small (100k directed edges ≈ 1.6 MB) so
-    * the distributed contraction path is the one that does the heavy
-    * lifting; the driver only ever sees the condensed tail. */
-  val DriverEdgeCap = 100000L
+    * union-find. Sized by DRIVER MEMORY, not by a wish to exercise the
+    * loop: 2M directed edges × 16 B ≈ 32 MB — trivia for any driver
+    * heap, and union-find over it runs in tens of milliseconds. Running
+    * a ~10-shuffle distributed fixpoint round to avoid collecting 32 MB
+    * is strictly worse at every scale; the contraction loop exists for
+    * the 100 TB regime where the pair graph has BILLIONS of edges and
+    * even the condensed remainder starts above this cap (the loop then
+    * shrinks it under the cap in a few rounds — exercised via the
+    * driverEdgeCap test seam in Declared3Spec). */
+  val DriverEdgeCap = 2000000L
 
   /** @param pairs two-column DataFrame (doc_a, doc_b) of undirected
     *              near-dup edges, each pair once with doc_a < doc_b.
