@@ -42,8 +42,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(executed(queries.Declared.q04(spark, sf)).contains("BroadcastHashJoin"))
   }
 
-  test("q05: dims broadcast and the aggregate is partial+final") {
+  test("q05: fact join shuffles on the key, dims broadcast, agg is partial+final") {
     val plan = executed(queries.Declared.q05(spark, sf))
+    // lineitem⋈(orders⋈customer) must be a key-partitioned hash join —
+    // never a broadcast of the fact side (the optimizer's pruned-column
+    // size estimate would happily build 600k lineitem rows at sf0.1,
+    // a plan that cannot survive scale-up)
+    assert(plan.contains("ShuffledHashJoin"), s"fact join not shuffled:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("BroadcastHashJoin"))
     // two HashAggregate nodes (map-side partial, then final after shuffle)
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
