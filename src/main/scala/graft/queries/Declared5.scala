@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextAnalysis.tokens
+
+/** Round-5 additions to the declared capability inventory (SURVEY §2.4):
+  * SCD2 dimension build, exact mode/median, and four LLM-training-data
+  * operators — TF-IDF term ranking, BM25 relevance scoring, train/eval
+  * n-gram contamination detection, and context-window token packing —
+  * plus int8 embedding quantization. Same authoring contract as
+  * [[Declared]]..[[Declared4]]: total ORDER BY over a unique key set,
+  * exact integer accumulation wherever a float would make the result
+  * order-dependent, single IEEE float ops written in the identical
+  * sequence as the [[Oracle5]] SQL.
+  */
+object Declared5 {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- Q52
+  /** SCD2 (slowly-changing-dimension type 2) build from an event log:
+    * per user, consecutive runs of the same event_type collapse to one
+    * versioned row with [valid_from, valid_to) and an is_current flag —
+    * the standard "history table from CDC feed" shape. Run detection is
+    * a lag-compare + running sum (one shuffle on user_id, all windows
+    * share the partitioning); the run aggregate and the valid_to lead
+    * reuse the same partitioning, so the whole build is ONE exchange of
+    * the log. */
+  val q52: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1).otherwise(0)
+          .as("chg"))
+      .select($"user_id", $"event_type", $"ts",
+        sum($"chg").over(run).cast("int").as("run_idx"))
+    val runs = flagged.groupBy($"user_id", $"run_idx")
+      .agg(first($"event_type").as("event_type"),
+        min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy($"user_id").orderBy($"run_idx")
+    runs.select($"user_id", $"run_idx", $"event_type", $"valid_from",
+        lead($"valid_from", 1).over(wr).as("valid_to"), $"n_events")
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"user_id", $"run_idx")
+  }
+
+  // ---------------------------------------------------------------- Q53
+  /** Exact per-group MODE and MEDIAN, derived from first principles so
+    * both engines compute the identical value (built-in mode() is
+    * tie-nondeterministic in Spark, and built-in medians interpolate
+    * with engine-specific expression order): mode = smallest value among
+    * the most frequent (count + rank), median = mean of the one or two
+    * middle values by row_number (the two-operand addition is exactly
+    * commutative in IEEE, so partition order cannot perturb it). Shapes:
+    * mode is two partial-agg shuffles (value counts → per-group argmax);
+    * median is one shuffle + WindowGroupLimit-free rank (bounded by the
+    * middle-position filter). */
+  val q53: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    // mode of user_id per event_type: count, then argmax (count desc,
+    // user asc) via max_by on an exact composite ordinal
+    val counts = ev.groupBy($"event_type", $"user_id").agg(count(lit(1)).as("cnt"))
+    val maxUser = 100000000L // user_id < 1e8 by construction (sf1 has ~1.5e5)
+    val mode = counts.groupBy($"event_type")
+      .agg(max_by($"user_id", $"cnt" * maxUser - $"user_id").as("mode_user"),
+        max($"cnt").as("mode_count"))
+    // exact median of value per event_type: middle rows by row_number
+    val wv = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val ranked = ev.select($"event_type", $"value", row_number().over(wv).as("rn"),
+      count(lit(1)).over(Window.partitionBy($"event_type")).as("n"))
+    val med = ranked
+      .filter($"rn" === floor(($"n" + 1) / 2) || $"rn" === floor(($"n" + 2) / 2))
+      .groupBy($"event_type")
+      .agg((sum($"value") / count(lit(1))).as("median_value"),
+        first($"n").as("n_rows"))
+    mode.join(med, "event_type")
+      .select($"event_type", $"n_rows", $"median_value", $"mode_user", $"mode_count")
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------- Q54
+  /** TF-IDF top-5 terms per document. tf = in-doc term count, df = doc
+    * frequency from one extra aggregate over the SAME doc-term rows
+    * (no second corpus scan), idf as the exact ratio (N+1)/(df+1) — the
+    * log-free variant keeps the score a single IEEE division of exact
+    * integers, bit-identical across engines (ln() is not
+    * correctly-rounded in either). Top-5 is a rank-filter window the
+    * optimizer executes as WindowGroupLimit (per-partition bounded heap,
+    * asserted in PlanAuditSpec). The df side joins on term — AQE
+    * broadcasts it at test scale; at 100 TB vocabulary it degrades to a
+    * hash-partitioned join on the term key. */
+  val q54: Q = (s, dir) => {
+    import s.implicits._
+    val docTerm = Tables(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = docTerm.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val scored = docTerm.join(df, "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term", $"tf", $"df",
+        (($"tf" * ($"n_docs" + 1)).cast("double") /
+          ($"df" + 1).cast("double")).as("tfidf_ratio"))
+    val wk = Window.partitionBy($"doc_id").orderBy($"tfidf_ratio".desc, $"term")
+    scored.select($"doc_id", $"term", $"tf", $"df", $"tfidf_ratio",
+        row_number().over(wk).as("rk"))
+      .filter($"rk" <= 5)
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** BM25 parameters (standard defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Fixed query-term set for the BM25 demo (frequent corpus tokens). */
+  val Bm25Terms = Seq("hash", "join", "scan")
+
+  // ---------------------------------------------------------------- Q55
+  /** BM25 relevance of every document against a fixed query-term set,
+    * one output row per (doc, matched term) — per-term rows rather than
+    * a summed score so no cross-term float accumulation exists to be
+    * partition-order-dependent. idf is the log-free exact ratio
+    * (N−df+0.5)/(df+0.5) (same reasoning as q54); the saturation term
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is written as the identical
+    * IEEE op sequence in both engines. avgdl is an exact integer sum
+    * over N divided once. Shape: the per-doc term filter prunes the
+    * exploded stream before any shuffle; df and avgdl are tiny
+    * broadcast sides. */
+  val q55: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val dl = docs.select($"doc_id", size(tokens($"text")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val qt = typedlit(Bm25Terms)
+    val docTerm = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter(array_contains(qt, $"term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = docTerm.groupBy($"term").agg(count(lit(1)).as("df"))
+    val avgdl = $"sum_dl".cast("double") / $"n_docs".cast("double")
+    val idf = (($"n_docs" - $"df").cast("double") + lit(0.5)) /
+      ($"df".cast("double") + lit(0.5))
+    val denom = $"tf".cast("double") +
+      lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * ($"dl".cast("double") / avgdl))
+    docTerm.join(broadcast(df), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"term", $"tf", $"df", $"dl",
+        (idf * ($"tf".cast("double") * lit(Bm25K1 + 1.0)) / denom).as("bm25"))
+      .orderBy($"doc_id", $"term")
+  }
+
+  /** Contamination n-gram order (4 fits this corpus's short synthetic
+    * docs; published decontamination pipelines use 8-13 over real text —
+    * the plan shape is independent of n). */
+  val ContamN = 4
+
+  // ---------------------------------------------------------------- Q56
+  /** Train/eval contamination detection: which training documents share
+    * word n-grams with a benchmark (eval) set — the standard
+    * decontamination pass before an LLM training run. Eval here = the
+    * `src0` source slice. Each side explodes to DISTINCT per-doc
+    * n-grams; the join key is the n-gram itself (portable for the
+    * oracle; at 100 TB hash it to 64-bit and pre-filter the train side
+    * with a bloom filter of eval n-grams). The EVAL side is
+    * benchmark-sized by definition — broadcast — so the train corpus
+    * streams through a map-side join with no train-side shuffle before
+    * the per-pair count. */
+  val q56: Q = (s, dir) => {
+    import s.implicits._
+    def grams(src: DataFrame): DataFrame = {
+      val toks = tokens($"text")
+      src.select($"doc_id", toks.as("t"))
+        .filter(size($"t") >= ContamN)
+        .select($"doc_id", array_distinct(transform(
+          sequence(lit(0), size($"t") - ContamN),
+          i => concat_ws(" ", (0 until ContamN).map(k => element_at($"t", i + k + 1)): _*)))
+          .as("ngrams"))
+        .select($"doc_id", explode($"ngrams").as("ng"))
+    }
+    val docs = Tables(s, dir, "documents")
+    val eval = grams(docs.filter($"source" === "src0"))
+      .select($"doc_id".as("eval_doc"), $"ng")
+    val evalSizes = eval.groupBy($"eval_doc").agg(count(lit(1)).as("n_eval_ngrams"))
+    val train = grams(docs.filter($"source" =!= "src0"))
+      .select($"doc_id".as("train_doc"), $"ng")
+    train.join(broadcast(eval), "ng")
+      .groupBy($"train_doc", $"eval_doc").agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(evalSizes), "eval_doc")
+      .select($"train_doc", $"eval_doc", $"n_overlap", $"n_eval_ngrams",
+        ($"n_overlap".cast("double") / $"n_eval_ngrams".cast("double"))
+          .as("overlap_frac"))
+      .orderBy($"train_doc", $"eval_doc")
+  }
+
+  /** Context-window token budget for q57 packing. */
+  val PackBudget = 2048L
+  /** Docs per cumsum chunk (two-phase prefix sum fan-in). */
+  val PackChunk = 64L
+
+  // ---------------------------------------------------------------- Q57
+  /** Context-window packing: lay the corpus out as one doc_id-ordered
+    * token stream and assign every document its starting window of size
+    * [[PackBudget]] — how pretraining data is packed into fixed-length
+    * sequences. The global running offset is a TWO-PHASE prefix sum
+    * (the scale shape — a naive `sum over (order by doc_id)` window is
+    * a single-partition sort of the entire corpus): per-chunk exclusive
+    * cumsums partition by floor(doc_id/chunk) and shuffle normally;
+    * only the per-chunk TOTALS (corpus/chunk rows) pass through a
+    * single-partition prefix, then broadcast back. All arithmetic is
+    * integer-exact. */
+  val q57: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "documents")
+      .select($"doc_id", size(tokens($"text")).cast("bigint").as("n_tokens"),
+        floor($"doc_id" / PackChunk).as("chunk"))
+    val wIn = Window.partitionBy($"chunk").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inChunk = d.select($"doc_id", $"n_tokens", $"chunk",
+      coalesce(sum($"n_tokens").over(wIn), lit(0L)).as("in_chunk_off"))
+    val wCh = Window.orderBy($"chunk").rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOff = d.groupBy($"chunk").agg(sum($"n_tokens").as("chunk_total"))
+      .select($"chunk", coalesce(sum($"chunk_total").over(wCh), lit(0L)).as("chunk_off"))
+    inChunk.join(broadcast(chunkOff), "chunk")
+      .select($"doc_id", $"n_tokens",
+        ($"chunk_off" + $"in_chunk_off").as("start_off"))
+      .select($"doc_id", $"n_tokens", $"start_off",
+        floor($"start_off" / PackBudget).cast("bigint").as("pack_id"),
+        ($"n_tokens" > 0 &&
+          floor(($"start_off" + $"n_tokens" - 1) / PackBudget).cast("bigint") >
+            floor($"start_off" / PackBudget).cast("bigint")).as("spans_boundary"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q58
+  /** Int8 embedding quantization with error accounting: per vector,
+    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit
+    * floor(+0.5) instead of round() — engines disagree on half-rounding
+    * modes, floor is exact everywhere), and two summaries — an exact
+    * integer checksum Σ q_i·i (order-independent) and max
+    * reconstruction error (max is order-independent too, so float
+    * partition order cannot perturb either). Shape: posexplode +
+    * one partial-agg shuffle on vec_id; at 100 TB this is the
+    * embarrassingly-parallel compression pass before ANN index build. */
+  val q58: Q = (s, dir) => {
+    import s.implicits._
+    val v = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", $"v",
+        array_max(transform($"v", x => abs(x))).as("max_abs"))
+      .filter($"max_abs" > 0)
+      .select($"vec_id", ($"max_abs" / 127.0).as("scale"),
+        posexplode($"v").as(Seq("pos", "x")))
+    v.select($"vec_id", $"scale", $"pos", $"x",
+        floor($"x" / $"scale" + 0.5).cast("bigint").as("q"))
+      .groupBy($"vec_id")
+      .agg(first($"scale").as("scale"), count(lit(1)).as("n_dims"),
+        sum($"q" * ($"pos" + 1)).as("checksum"),
+        max(abs($"q".cast("double") * $"scale" - $"x")).as("max_abs_err"))
+      .orderBy($"vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_scd2" -> q52,
+    "q53_mode_median" -> q53,
+    "q54_tfidf" -> q54,
+    "q55_bm25" -> q55,
+    "q56_contamination" -> q56,
+    "q57_pack" -> q57,
+    "q58_quantize_int8" -> q58)
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Declared5]]. Same dialect notes as
+  * [[Oracle]]..[[Oracle4]]; new here:
+  *
+  *  - float CONSTANTS that Spark computes at compile time (k1+1,
+  *    1−b) are written as the same arithmetic in SQL — a decimal
+  *    literal like `2.2` parses to a DIFFERENT double than computing
+  *    `1.2 + 1.0` in IEEE;
+  *  - window SUMs over BIGINT widen to HUGEINT in DuckDB → CAST back;
+  *  - parallel `unnest()` calls in one SELECT zip (used to pair each
+  *    embedding element with its position);
+  *  - DuckDB `/` on integers is float division (same as Spark), so
+  *    middle-rank positions use floor() identically on both sides.
+  */
+object Oracle5 {
+
+  val oracleSql: Map[String, String] = Map(
+    "q52_scd2" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), r AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS run_idx
+        |  FROM f
+        |), runs AS (
+        |  SELECT user_id, run_idx, min(event_type) AS event_type,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run_idx)
+        |SELECT user_id, run_idx, event_type, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to, n_events,
+        |  (lead(valid_from) OVER w2 IS NULL) AS is_current
+        |FROM runs
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_idx)
+        |ORDER BY user_id, run_idx""".stripMargin,
+
+    "q53_mode_median" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type,
+        |    arg_max(user_id, cnt * 100000000 - user_id) AS mode_user,
+        |    max(cnt) AS mode_count
+        |  FROM c GROUP BY 1
+        |), rk AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, sum(value) / count(*) AS median_value, min(n) AS n_rows
+        |  FROM rk WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        |  GROUP BY 1)
+        |SELECT m.event_type, med.n_rows, med.median_value, m.mode_user, m.mode_count
+        |FROM m JOIN med USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "q54_tfidf" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents
+        |), tfq AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tfq GROUP BY 1
+        |), nq AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS tfidf_ratio
+        |  FROM tfq JOIN dfq USING (term) CROSS JOIN nq)
+        |SELECT doc_id, term, tf, df, tfidf_ratio, CAST(rk AS INT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf_ratio DESC, term) AS rk
+        |  FROM scored) WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "q55_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents
+        |), dlq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dlq
+        |), dt AS (
+        |  SELECT doc_id, unnest(t) AS term FROM toks
+        |), tfq AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM dt
+        |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2
+        |), dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1)
+        |SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
+        |  ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+        |    * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |        (CAST(l.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+        |    AS bm25
+        |FROM tfq t JOIN dfq d USING (term) JOIN dlq l USING (doc_id) CROSS JOIN stats s
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "q56_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(t[i:i+3], ' ')
+        |                   for i in range(1, len(t) - 3 + 1)]) AS ngrams
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 4
+        |), e AS (
+        |  SELECT doc_id AS eval_doc, unnest(ngrams) AS ng FROM g WHERE source = 'src0'
+        |), es AS (
+        |  SELECT eval_doc, count(*) AS n_eval_ngrams FROM e GROUP BY 1
+        |), tr AS (
+        |  SELECT doc_id AS train_doc, unnest(ngrams) AS ng FROM g WHERE source <> 'src0'
+        |), p AS (
+        |  SELECT train_doc, eval_doc, count(*) AS n_overlap
+        |  FROM tr JOIN e USING (ng) GROUP BY 1, 2)
+        |SELECT train_doc, eval_doc, n_overlap, n_eval_ngrams,
+        |  CAST(n_overlap AS DOUBLE) / CAST(n_eval_ngrams AS DOUBLE) AS overlap_frac
+        |FROM p JOIN es USING (eval_doc)
+        |ORDER BY train_doc, eval_doc""".stripMargin,
+
+    "q57_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM d)
+        |SELECT doc_id, n_tokens, start_off,
+        |  CAST(floor(start_off / 2048) AS BIGINT) AS pack_id,
+        |  (n_tokens > 0 AND CAST(floor((start_off + n_tokens - 1) / 2048) AS BIGINT)
+        |     > CAST(floor(start_off / 2048) AS BIGINT)) AS spans_boundary
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q58_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM v
+        |), s AS (
+        |  SELECT vec_id, max_abs / 127.0 AS scale, v FROM m WHERE max_abs > 0
+        |), e AS (
+        |  SELECT vec_id, scale,
+        |    unnest(range(0, len(v))) AS pos, unnest(v) AS x
+        |  FROM s
+        |), q AS (
+        |  SELECT vec_id, scale, pos, x,
+        |    CAST(floor(x / scale + 0.5) AS BIGINT) AS q
+        |  FROM e)
+        |SELECT vec_id, min(scale) AS scale, count(*) AS n_dims,
+        |  CAST(sum(q * (pos + 1)) AS BIGINT) AS checksum,
+        |  max(abs(CAST(q AS DOUBLE) * scale - x)) AS max_abs_err
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+}

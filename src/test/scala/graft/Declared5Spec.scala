@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Declared5
+
+/** Invariant tests for the round-5 declared queries (the DuckDB hash
+  * check is the equivalence gate; these assert the semantic properties
+  * that make each query RIGHT, on sf0.001). */
+class Declared5Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q52: SCD2 intervals chain per user and exactly one row is current") {
+    import spark.implicits._
+    val out = Declared5.q52(spark, sf).cache()
+    // exactly one open (is_current) version per user
+    assert(out.filter($"is_current").groupBy($"user_id").count()
+      .filter($"count" =!= 1).count() == 0)
+    // intervals chain: valid_to of run k == valid_from of run k+1
+    val nxt = out.select($"user_id", ($"run_idx" - 1).as("run_idx"),
+      $"valid_from".as("next_from"))
+    val chained = out.join(nxt, Seq("user_id", "run_idx"))
+    assert(chained.filter($"valid_to" =!= $"next_from").count() == 0)
+    // adjacent runs always change the tracked attribute
+    val nxtType = out.select($"user_id", ($"run_idx" - 1).as("run_idx"),
+      $"event_type".as("next_type"))
+    assert(out.join(nxtType, Seq("user_id", "run_idx"))
+      .filter($"event_type" === $"next_type").count() == 0)
+    // version rows account for every event exactly once
+    val nEvents = Tables(spark, sf, "events").count()
+    assert(out.agg(sum($"n_events")).as[Long].head == nEvents)
+    out.unpersist()
+  }
+
+  test("q53: median and mode match brute-force local computation") {
+    import spark.implicits._
+    val out = Declared5.q53(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = Tables(spark, sf, "events")
+      .select($"event_type", $"user_id", $"value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (et, grp) =>
+      val vals = grp.map(_._3).sorted
+      val n = vals.length
+      val expectMedian =
+        if (n % 2 == 1) vals(n / 2) else (vals(n / 2 - 1) + vals(n / 2)) / 2
+      val counts = grp.groupBy(_._2).view.mapValues(_.size).toMap
+      val best = counts.toSeq.map { case (u, c) => (c, -u) }.max
+      val (medGot, modeUser, modeCount) = out(et)
+      assert(medGot == expectMedian, s"median mismatch for $et")
+      assert(modeUser == -best._2 && modeCount == best._1.toLong,
+        s"mode mismatch for $et")
+    }
+  }
+
+  test("q54: top-5 per doc, scores non-increasing, tf consistent with text") {
+    import spark.implicits._
+    val out = Declared5.q54(spark, sf).cache()
+    assert(out.groupBy($"doc_id").count().filter($"count" > 5).count() == 0)
+    // rank order really is score order (desc) within each doc
+    val nxt = out.select($"doc_id", ($"rk" - 1).as("rk"), $"tfidf_ratio".as("next_score"))
+    assert(out.join(nxt, Seq("doc_id", "rk"))
+      .filter($"next_score" > $"tfidf_ratio").count() == 0)
+    // df really counts docs containing the term (spot-check the top term)
+    val top = out.filter($"rk" === 1).limit(1).collect()(0)
+    val term = top.getString(1)
+    val expectedDf = Tables(spark, sf, "documents")
+      .filter(array_contains(split($"text", " "), term)).count()
+    assert(top.getLong(3) == expectedDf)
+    out.unpersist()
+  }
+
+  test("q55: only query terms appear; bm25 positive and saturating in tf") {
+    import spark.implicits._
+    val out = Declared5.q55(spark, sf).cache()
+    assert(out.filter(!$"term".isin(Declared5.Bm25Terms: _*)).count() == 0)
+    assert(out.filter($"bm25" <= 0).count() == 0)
+    // saturation bound: per-term score < idf * (k1 + 1)
+    val n = Tables(spark, sf, "documents").count()
+    val bound = out.filter($"bm25" >=
+      ((lit(n.toDouble) - $"df" + 0.5) / ($"df" + 0.5)) * (Declared5.Bm25K1 + 1.0))
+    assert(bound.count() == 0)
+    out.unpersist()
+  }
+
+  test("q56: overlap counts are bounded by the eval doc's n-gram set") {
+    import spark.implicits._
+    val out = Declared5.q56(spark, sf).cache()
+    assert(out.filter($"n_overlap" > $"n_eval_ngrams").count() == 0)
+    assert(out.filter($"overlap_frac" <= 0 || $"overlap_frac" > 1).count() == 0)
+    // eval docs all come from src0, train docs never do
+    val srcOf = Tables(spark, sf, "documents").select($"doc_id", $"source")
+    assert(out.join(srcOf, out("eval_doc") === srcOf("doc_id"))
+      .filter($"source" =!= "src0").count() == 0)
+    assert(out.join(srcOf, out("train_doc") === srcOf("doc_id"))
+      .filter($"source" === "src0").count() == 0)
+    out.unpersist()
+  }
+
+  test("q57: two-phase prefix sum equals the naive single-window cumsum") {
+    import spark.implicits._
+    val out = Declared5.q57(spark, sf).select($"doc_id", $"n_tokens", $"start_off")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var acc = 0L
+    out.foreach { case (id, n, off) =>
+      assert(off == acc, s"doc $id: start_off $off != cumsum $acc")
+      acc += n
+    }
+  }
+
+  test("q58: quantization error bounded by scale/2 and checksum reconstructs") {
+    import spark.implicits._
+    val out = Declared5.q58(spark, sf).cache()
+    // round-to-nearest error bound |q*scale - x| <= scale/2 (+fp slack)
+    assert(out.filter($"max_abs_err" > $"scale" / 2 * 1.0000001).count() == 0)
+    // one output row per nonzero vector
+    val nonzero = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter(array_max(transform($"v", x => abs(x))) > 0).count()
+    assert(out.count() == nonzero)
+    out.unpersist()
+  }
+}

@@ -140,4 +140,29 @@ class PlanAuditSpec extends AnyFunSuite {
     // spine (≤ thousands of rows from a 1-row bound agg) broadcasts
     assert(plan.contains("BroadcastHashJoin"), s"spine join not broadcast:\n$plan")
   }
+
+  test("q54: tf-idf top-5 rank-filter gets the WindowGroupLimit pushdown") {
+    val plan = executed(queries.Declared5.q54(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank-filter not pushed down:\n$plan")
+  }
+
+  test("q56: contamination joins broadcast the benchmark side") {
+    val plan = executed(queries.Declared5.q56(spark, sf))
+    // the train-side n-gram stream must meet the eval set map-side:
+    // broadcast joins only, no shuffle of the train explode before the
+    // per-pair aggregate
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"train stream shuffled to join:\n$plan")
+  }
+
+  test("q57: the corpus stream never funnels through a single-partition window") {
+    val plan = executed(queries.Declared5.q57(spark, sf))
+    // two-phase prefix sum: only the per-CHUNK totals (corpus/chunk
+    // rows) may cross a SinglePartition exchange; the doc-level window
+    // partitions by chunk. One single-partition exchange is the tiny
+    // totals side; the presentation sort is a range exchange.
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"expected <=1 single-partition exchange, got $singles:\n$plan")
+    assert(plan.contains("Window"), s"no window:\n$plan")
+  }
 }
