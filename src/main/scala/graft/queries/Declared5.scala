@@ -265,6 +265,55 @@ object Declared5 {
       .orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- Q59
+  /** Per-user EWMA (exponentially-weighted moving average) of event
+    * values in time order — the standard smoothing pass over per-entity
+    * time series. EWMA is inherently sequential IN TIME per key (each
+    * state depends on the previous), so the shape is: ONE shuffle on
+    * user_id, collect the (bounded per-entity) history, fold it in
+    * (ts, event_id) order with a higher-order `aggregate` — parallel
+    * across the key space, sequential only where the math itself is.
+    * The fold starts from the first observation (list_reduce parity
+    * with the oracle) and every coefficient is written as the same
+    * IEEE arithmetic in both engines. */
+  val EwmaAlpha = 0.3
+
+  val q59: Q = (s, dir) => {
+    import s.implicits._
+    val sorted = Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"ts").as("last_ts"),
+        array_sort(collect_list(struct($"ts", $"event_id", $"value"))).as("seq"))
+      .select($"user_id", $"n_events", $"last_ts",
+        transform($"seq", e => e("value")).as("vals"))
+    sorted.select($"user_id", $"n_events", $"last_ts",
+        aggregate(slice($"vals", lit(2), size($"vals") - 1), element_at($"vals", 1),
+          (acc, x) => lit(EwmaAlpha) * x + lit(1.0 - EwmaAlpha) * acc)
+          .as("ewma_value"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- Q60
+  /** Rank-family window functions over a deterministic composite key:
+    * percent_rank, cume_dist, ntile(4) and dense_rank of every order
+    * within its priority class by (exact cents, orderkey). The ordering
+    * key is collision-free, so the rank quantities are pure integer
+    * ratios — engine-identical. One shuffle on o_orderpriority shared
+    * by all four window functions (same window spec). */
+  val q60: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"cents", $"o_orderkey")
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .select($"o_orderkey", $"o_orderpriority", $"cents",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).as("tile"),
+        dense_rank().over(w).as("drank"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_scd2" -> q52,
     "q53_mode_median" -> q53,
@@ -272,5 +321,7 @@ object Declared5 {
     "q55_bm25" -> q55,
     "q56_contamination" -> q56,
     "q57_pack" -> q57,
-    "q58_quantize_int8" -> q58)
+    "q58_quantize_int8" -> q58,
+    "q59_ewma" -> q59,
+    "q60_ranks" -> q60)
 }

@@ -161,5 +161,27 @@ object Oracle5 {
         |SELECT vec_id, min(scale) AS scale, count(*) AS n_dims,
         |  CAST(sum(q * (pos + 1)) AS BIGINT) AS checksum,
         |  max(abs(CAST(q AS DOUBLE) * scale - x)) AS max_abs_err
-        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // list_reduce folds acc-first starting from the first element —
+    // the same contract as Spark's aggregate() seeded with element 1
+    // over the remainder; list(... ORDER BY) fixes the fold order
+    "q59_ewma" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  max(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |  list_reduce(list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+        |    (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q60_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS tile,
+        |  CAST(dense_rank() OVER w AS INT) AS drank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)
 }

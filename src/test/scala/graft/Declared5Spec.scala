@@ -111,6 +111,43 @@ class Declared5Spec extends AnyFunSuite {
     }
   }
 
+  test("q59: ewma equals a local left fold over the time-ordered series") {
+    import spark.implicits._
+    val out = Declared5.q59(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val rows = Tables(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (u, grp) =>
+      val ordered = grp.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+      val expect = ordered.tail.foldLeft(ordered.head)((acc, x) =>
+        Declared5.EwmaAlpha * x + (1.0 - Declared5.EwmaAlpha) * acc)
+      val (n, got) = out(u)
+      assert(n == grp.length)
+      assert(got == expect, s"user $u: ewma $got != $expect")
+    }
+  }
+
+  test("q60: rank family is consistent within each priority partition") {
+    import spark.implicits._
+    val out = Declared5.q60(spark, sf).cache()
+    // percent_rank and cume_dist live in [0,1]; tiles in 1..4
+    assert(out.filter($"pct_rank" < 0 || $"pct_rank" > 1).count() == 0)
+    assert(out.filter($"cume" <= 0 || $"cume" > 1).count() == 0)
+    assert(out.filter($"tile" < 1 || $"tile" > 4).count() == 0)
+    // the composite key is collision-free, so dense_rank is dense 1..n
+    val perPart = out.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), max($"drank").as("maxd"),
+        countDistinct($"drank").as("nd"))
+    assert(perPart.filter($"n" =!= $"maxd" || $"n" =!= $"nd").count() == 0)
+    // tiles split as evenly as possible: sizes differ by at most 1
+    val tiles = out.groupBy($"o_orderpriority", $"tile").count()
+      .groupBy($"o_orderpriority")
+      .agg((max($"count") - min($"count")).as("spread"))
+    assert(tiles.filter($"spread" > 1).count() == 0)
+    out.unpersist()
+  }
+
   test("q58: quantization error bounded by scale/2 and checksum reconstructs") {
     import spark.implicits._
     val out = Declared5.q58(spark, sf).cache()

@@ -141,6 +141,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"spine join not broadcast:\n$plan")
   }
 
+  test("runtime bloom filter: a selective dim filter reaches the fact scan as a bloom probe") {
+    // Spark's runtime row-level filtering (SPARK-32268): when a join's
+    // creation side is selectively filtered, the optimizer builds a
+    // bloom filter of its join keys at runtime and applies it to the
+    // application side BEFORE the shuffle — at 100 TB this skips
+    // shuffling the vast majority of fact rows that can never match.
+    // The application-side size gate defaults to 10GB (real-cluster
+    // sizing); local test data is tiny, so the test lowers it — the
+    // PLAN SHAPE, not the byte threshold, is what's pinned here.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "-1") // force a shuffle join so the probe matters
+      import spark.implicits._
+      val o = Tables(spark, sf, "orders").filter($"o_orderpriority" === "1-URGENT")
+      val j = Tables(spark, sf, "lineitem")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum($"l_quantity").as("q"))
+      val plan = executed(j)
+      assert(plan.contains("bloom_filter_agg"), s"no bloom filter injected:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("q54: tf-idf top-5 rank-filter gets the WindowGroupLimit pushdown") {
     val plan = executed(queries.Declared5.q54(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"rank-filter not pushed down:\n$plan")
