@@ -76,6 +76,47 @@ object Signatures extends Serializable {
     out.toArray(new Array[String](out.size))
   }
 
+  /** Distinct word n-gram STRINGS (space-joined, first-occurrence
+    * order) in one pass — the portable join key for contamination
+    * checks, where the oracle needs the literal n-gram. The SQL-lambda
+    * formulation (transform(sequence…) with n element_at calls per
+    * window) runs interpreted per element and dominated q56's stage
+    * (profiled 13 s → sub-second at sf0.1). */
+  def distinctNgrams(text: String, n: Int): Array[String] = {
+    val toks = splitTokens(text)
+    if (toks.length < n) return Array.empty
+    val out = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** Whitespace tokens, empties dropped, duplicates kept (split parity —
+    * n-gram windows need the raw sequence, not the distinct set). */
+  def splitTokens(text: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && text.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && text.charAt(i) != ' ') i += 1
+      if (i > start) out += text.substring(start, i)
+    }
+    out.toArray
+  }
+
   /** Sorted distinct shingle-hash set — the verification-side content
     * signature for MinHash candidates. */
   def sortedShingleHashSet(toks: Seq[String], n: Int): Array[Long] = {

@@ -171,18 +171,18 @@ object Declared5 {
     * benchmark-sized by definition — broadcast — so the train corpus
     * streams through a map-side join with no train-side shuffle before
     * the per-pair count. */
+  /** Tight-loop n-gram kernel (graft.functions.Signatures.distinctNgrams)
+    * — the SQL-lambda formulation (transform(sequence…) with ContamN
+    * element_at calls per window) runs interpreted per element and made
+    * this the slowest query in the suite (13 s at sf0.1; sub-second with
+    * the one-pass UDF producing identical strings). */
+  private val ngramsUdf = udf((text: String) =>
+    graft.functions.Signatures.distinctNgrams(text, ContamN))
+
   val q56: Q = (s, dir) => {
     import s.implicits._
-    def grams(src: DataFrame): DataFrame = {
-      val toks = tokens($"text")
-      src.select($"doc_id", toks.as("t"))
-        .filter(size($"t") >= ContamN)
-        .select($"doc_id", array_distinct(transform(
-          sequence(lit(0), size($"t") - ContamN),
-          i => concat_ws(" ", (0 until ContamN).map(k => element_at($"t", i + k + 1)): _*)))
-          .as("ngrams"))
-        .select($"doc_id", explode($"ngrams").as("ng"))
-    }
+    def grams(src: DataFrame): DataFrame =
+      src.select($"doc_id", explode(ngramsUdf($"text")).as("ng"))
     val docs = Tables(s, dir, "documents")
     val eval = grams(docs.filter($"source" === "src0"))
       .select($"doc_id".as("eval_doc"), $"ng")

@@ -39,6 +39,8 @@ object Profile {
       time(s"cosine #$i")(graft.dedup.Dedup.embeddingCosine(spark, sfDir).count())
       time(s"editdist #$i")(graft.dedup.Dedup.editDistance(spark, sfDir).count())
       time(s"boilerplate #$i")(graft.text.TextAnalysis.boilerplate(spark, sfDir).count())
+      time(s"q05 #$i")(graft.queries.Declared.q05(spark, sfDir).count())
+      time(s"q56 contamination #$i")(graft.queries.Declared5.q56(spark, sfDir).count())
     }
     spark.stop()
   }
