@@ -314,6 +314,34 @@ object Declared5 {
       .orderBy($"o_orderkey")
   }
 
+  // ---------------------------------------------------------------- Q61
+  /** Ordered conversion funnel (view → click → purchase): per user, the
+    * FIRST time each stage is reached STRICTLY AFTER the previous stage
+    * — the product-analytics / match_recognize shape. Three chained
+    * conditional min-aggregates, each a partial-agg shuffle on user_id
+    * (the same key every time, so at scale the exchange reuse keeps it
+    * one physical repartitioning); strictly-after comparisons on exact
+    * timestamps, so the result is engine-identical. Users who never
+    * reach stage 1 are excluded (funnel root); reached_stage counts how
+    * deep they got. */
+  val q61: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts" > $"view_ts")
+      .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts" > $"click_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    s1.join(s2.join(s3, Seq("user_id"), "left"), Seq("user_id"), "left")
+      .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts",
+        (lit(1) + when($"click_ts".isNotNull, 1).otherwise(0) +
+          when($"purchase_ts".isNotNull, 1).otherwise(0)).as("reached_stage"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_scd2" -> q52,
     "q53_mode_median" -> q53,
@@ -323,5 +351,6 @@ object Declared5 {
     "q57_pack" -> q57,
     "q58_quantize_int8" -> q58,
     "q59_ewma" -> q59,
-    "q60_ranks" -> q60)
+    "q60_ranks" -> q60,
+    "q61_funnel" -> q61)
 }

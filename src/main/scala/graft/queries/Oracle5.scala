@@ -183,5 +183,28 @@ object Oracle5 {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q61_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT ev.user_id, min(ev.ts) AS click_ts
+        |  FROM ev JOIN s1 USING (user_id)
+        |  WHERE ev.event_type = 'click' AND ev.ts > s1.view_ts
+        |  GROUP BY ev.user_id
+        |), s3 AS (
+        |  SELECT ev.user_id, min(ev.ts) AS purchase_ts
+        |  FROM ev JOIN s2 USING (user_id)
+        |  WHERE ev.event_type = 'purchase' AND ev.ts > s2.click_ts
+        |  GROUP BY ev.user_id)
+        |SELECT s1.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+        |  CAST(1 + (CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+        |    AS reached_stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin)
 }

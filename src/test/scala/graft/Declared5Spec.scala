@@ -148,6 +148,24 @@ class Declared5Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q61: funnel stages are strictly ordered and counts non-increasing") {
+    import spark.implicits._
+    val out = Declared5.q61(spark, sf).cache()
+    assert(out.filter($"click_ts".isNotNull && $"click_ts" <= $"view_ts").count() == 0)
+    assert(out.filter($"purchase_ts".isNotNull && $"purchase_ts" <= $"click_ts").count() == 0)
+    // a reached stage implies all earlier stages
+    assert(out.filter($"purchase_ts".isNotNull && $"click_ts".isNull).count() == 0)
+    assert(out.filter($"reached_stage" =!=
+      (lit(1) + when($"click_ts".isNotNull, 1).otherwise(0) +
+        when($"purchase_ts".isNotNull, 1).otherwise(0))).count() == 0)
+    // funnel counts shrink monotonically
+    val n1 = out.count()
+    val n2 = out.filter($"reached_stage" >= 2).count()
+    val n3 = out.filter($"reached_stage" === 3).count()
+    assert(n1 >= n2 && n2 >= n3 && n1 > 0)
+    out.unpersist()
+  }
+
   test("q58: quantization error bounded by scale/2 and checksum reconstructs") {
     import spark.implicits._
     val out = Declared5.q58(spark, sf).cache()
