@@ -81,6 +81,57 @@ object StorageLayout {
     (before.length, parts.length)
   }
 
+  /** Morton (Z-order) interleave of two non-negative int columns —
+    * bit 2i of the result is bit i of `a`, bit 2i+1 is bit i of `b`.
+    * Composed from codegen'd shift/mask expressions (no UDF). Sorting a
+    * table by z-value clusters BOTH dimensions into every file, so
+    * file-level min/max stats prune multi-dimensional box predicates —
+    * the technique behind Delta's OPTIMIZE ZORDER / Iceberg sort
+    * orders. A linear (a, b) sort clusters only the prefix dimension:
+    * every file spans the full b-range and a b-only or box predicate
+    * scans everything. Demonstrated with measured file-skipping counts
+    * in ZOrderSpec. */
+  def zvalue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(1L), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
+    }
+
+  /** Persist `df` z-ordered on (`dimA`, `dimB`): range-partition by the
+    * interleaved z-value, sort within partitions, one parquet file per
+    * range — every file then covers a compact z-curve segment, i.e. a
+    * small box in (a, b) space, and its min/max stats prune box queries
+    * on EITHER OR BOTH dims. */
+  def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
+                    numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("_z", zvalue(col(dimA), col(dimB), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Per-file (min, max) stats of `dim` over a parquet directory — the
+    * file-pruning metadata a table format (Delta/Iceberg) would keep in
+    * its manifest; used to measure how many files a stats-based reader
+    * must scan for a predicate. */
+  def fileStats(spark: SparkSession, path: String, dims: Seq[String])
+      : Seq[(String, Map[String, (Long, Long)])] = {
+    import org.apache.spark.sql.Row
+    val agg = dims.flatMap(d =>
+      Seq(min(col(d)).cast("long").as(s"min_$d"), max(col(d)).cast("long").as(s"max_$d")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(agg.head, agg.tail: _*)
+      .collect()
+      .map { (r: Row) =>
+        r.getString(0) -> dims.zipWithIndex.map { case (d, i) =>
+          d -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        }.toMap
+      }.toSeq
+  }
+
   /** True iff the executed plan of `df` contains no shuffle exchange of
     * any flavor (hash, range, or single-partition — BroadcastExchange is
     * not a shuffle and is deliberately excluded). */
