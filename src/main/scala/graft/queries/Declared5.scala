@@ -342,6 +342,37 @@ object Declared5 {
       .orderBy($"user_id")
   }
 
+  /** Reference-vocabulary size for q62. */
+  val OovVocabSize = 100
+
+  // ---------------------------------------------------------------- Q62
+  /** Vocabulary coverage / OOV-rate scoring: build the corpus's top-100
+    * token vocabulary (frequency, ties broken lexically — fully
+    * deterministic), then score every document by the fraction of its
+    * token OCCURRENCES outside that vocabulary — the standard
+    * "does this doc look like the training distribution" filter (high
+    * OOV ⟹ boilerplate/other-language/garbage). Shapes: vocabulary is
+    * two partial-agg shuffles ending in a 100-row table that BROADCASTS
+    * back onto the exploded token stream; the ratio is one IEEE
+    * division of exact counts. */
+  val q62: Q = (s, dir) => {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val wv = Window.orderBy($"cnt".desc, $"term")
+    val vocab = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wv))
+      .filter($"rk" <= OovVocabSize)
+      .select($"term", lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when($"in_vocab".isNull, 1)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        ($"n_oov".cast("double") / $"n_tokens".cast("double")).as("oov_ratio"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_scd2" -> q52,
     "q53_mode_median" -> q53,
@@ -352,5 +383,6 @@ object Declared5 {
     "q58_quantize_int8" -> q58,
     "q59_ewma" -> q59,
     "q60_ranks" -> q60,
-    "q61_funnel" -> q61)
+    "q61_funnel" -> q61,
+    "q62_oov" -> q62)
 }

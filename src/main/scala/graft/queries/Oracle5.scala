@@ -206,5 +206,23 @@ object Oracle5 {
         |         + (CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS INT)
         |    AS reached_stage
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |ORDER BY s1.user_id""".stripMargin)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    "q62_oov" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents
+        |), vc AS (
+        |  SELECT term, count(*) AS cnt FROM dt GROUP BY 1
+        |), vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM vc)
+        |  WHERE rk <= 100)
+        |SELECT dt.doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+        |  CAST(count(*) FILTER (WHERE v.term IS NULL) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_ratio
+        |FROM dt LEFT JOIN vocab v ON dt.term = v.term
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin)
 }

@@ -166,6 +166,22 @@ class Declared5Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q62: oov ratio is a valid fraction and the vocab really is top-100") {
+    import spark.implicits._
+    val out = Declared5.q62(spark, sf).cache()
+    assert(out.filter($"n_oov" > $"n_tokens").count() == 0)
+    assert(out.filter($"oov_ratio" < 0 || $"oov_ratio" > 1).count() == 0)
+    // every tokenized doc is scored exactly once
+    val nDocs = Tables(spark, sf, "documents")
+      .filter(size(split(trim($"text"), " +")) > 0 && trim($"text") =!= "").count()
+    assert(out.count() == nDocs)
+    // corpus-level sanity: the top-100 vocabulary covers the bulk of
+    // occurrences on this zipfy synthetic corpus
+    val agg = out.agg(sum($"n_oov"), sum($"n_tokens")).head()
+    assert(agg.getLong(0) * 2 < agg.getLong(1), s"top-100 vocab covers < half: $agg")
+    out.unpersist()
+  }
+
   test("q58: quantization error bounded by scale/2 and checksum reconstructs") {
     import spark.implicits._
     val out = Declared5.q58(spark, sf).cache()
