@@ -65,14 +65,7 @@ object Signatures extends Serializable {
     * higher-order lambdas are 30×+ slower than this loop). */
   def distinctTokens(text: String): Array[String] = {
     val out = new java.util.LinkedHashSet[String]()
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      while (i < n && text.charAt(i) == ' ') i += 1
-      val start = i
-      while (i < n && text.charAt(i) != ' ') i += 1
-      if (i > start) out.add(text.substring(start, i))
-    }
+    splitTokens(text).foreach(out.add)
     out.toArray(new Array[String](out.size))
   }
 
@@ -103,8 +96,13 @@ object Signatures extends Serializable {
   }
 
   /** Whitespace tokens, empties dropped, duplicates kept (split parity —
-    * n-gram windows need the raw sequence, not the distinct set). */
+    * n-gram windows need the raw sequence, not the distinct set). The
+    * ONE tokenization loop — distinctTokens and every n-gram kernel
+    * derive from it, so split semantics can never drift apart. Null
+    * text (legal in the parquet schema) tokenizes to nothing, matching
+    * string_split(NULL)'s row-drop on the oracle side. */
   def splitTokens(text: String): Array[String] = {
+    if (text == null) return Array.empty
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     val n = text.length

@@ -105,12 +105,26 @@ object StorageLayout {
     * small box in (a, b) space, and its min/max stats prune box queries
     * on EITHER OR BOTH dims. */
   def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
-                    numFiles: Int, bits: Int = 16): Unit =
+                    numFiles: Int, bits: Int = 16): Unit = {
+    // zvalue drops bits above `bits`, which would make out-of-range dims
+    // COLLIDE (a=0 and a=2^bits interleave identically) and silently
+    // degrade the clustering to full scans — fail fast instead. One
+    // extra bounds aggregate at write time is standard stats-collection
+    // cost for a layout rewrite.
+    val bound = 1L << bits
+    val b = df.agg(min(col(dimA).cast("long")), max(col(dimA).cast("long")),
+      min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head
+    require(b.getLong(0) >= 0 && b.getLong(1) < bound &&
+      b.getLong(2) >= 0 && b.getLong(3) < bound,
+      s"z-order dims must lie in [0, $bound): " +
+        s"$dimA=[${b.getLong(0)},${b.getLong(1)}] $dimB=[${b.getLong(2)},${b.getLong(3)}]" +
+        " — rescale/bucket the dims or raise `bits`")
     df.withColumn("_z", zvalue(col(dimA), col(dimB), bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Per-file (min, max) stats of `dim` over a parquet directory — the
     * file-pruning metadata a table format (Delta/Iceberg) would keep in

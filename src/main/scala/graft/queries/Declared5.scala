@@ -55,8 +55,9 @@ object Declared5 {
   /** Exact per-group MODE and MEDIAN, derived from first principles so
     * both engines compute the identical value (built-in mode() is
     * tie-nondeterministic in Spark, and built-in medians interpolate
-    * with engine-specific expression order): mode = smallest value among
-    * the most frequent (count + rank), median = mean of the one or two
+    * with engine-specific expression order): mode = smallest id among
+    * the most frequent (count + rank-1 filter, WindowGroupLimit-
+    * optimized), median = mean of the one or two
     * middle values by row_number (the two-operand addition is exactly
     * commutative in IEEE, so partition order cannot perturb it). Shapes:
     * mode is two partial-agg shuffles (value counts → per-group argmax);
@@ -65,13 +66,15 @@ object Declared5 {
   val q53: Q = (s, dir) => {
     import s.implicits._
     val ev = Tables(s, dir, "events")
-    // mode of user_id per event_type: count, then argmax (count desc,
-    // user asc) via max_by on an exact composite ordinal
+    // mode of user_id per event_type: count, then a rank-1 filter over
+    // (cnt desc, user asc) — deterministic for ANY id range (no
+    // composite-ordinal arithmetic to collide or overflow), and the
+    // rank-filter plans as WindowGroupLimit (bounded per-partition top-1)
     val counts = ev.groupBy($"event_type", $"user_id").agg(count(lit(1)).as("cnt"))
-    val maxUser = 100000000L // user_id < 1e8 by construction (sf1 has ~1.5e5)
-    val mode = counts.groupBy($"event_type")
-      .agg(max_by($"user_id", $"cnt" * maxUser - $"user_id").as("mode_user"),
-        max($"cnt").as("mode_count"))
+    val wm = Window.partitionBy($"event_type").orderBy($"cnt".desc, $"user_id")
+    val mode = counts
+      .withColumn("rn", row_number().over(wm)).filter($"rn" === 1)
+      .select($"event_type", $"user_id".as("mode_user"), $"cnt".as("mode_count"))
     // exact median of value per event_type: middle rows by row_number
     val wv = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
     val ranked = ev.select($"event_type", $"value", row_number().over(wv).as("rn"),
@@ -359,10 +362,11 @@ object Declared5 {
     import s.implicits._
     val toks = Tables(s, dir, "documents")
       .select($"doc_id", explode(tokens($"text")).as("term"))
-    val wv = Window.orderBy($"cnt".desc, $"term")
+    // top-k via orderBy+limit — plans as TakeOrderedAndProject
+    // (parallel per-partition top-100 + driver merge), NOT a
+    // single-partition global window over the whole vocabulary
     val vocab = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(wv))
-      .filter($"rk" <= OovVocabSize)
+      .orderBy($"cnt".desc, $"term").limit(OovVocabSize)
       .select($"term", lit(1).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("term"), "left")
       .groupBy($"doc_id")

@@ -14,6 +14,9 @@ package graft.queries
   *    middle-rank positions use floor() identically on both sides.
   */
 object Oracle5 {
+  import Declared5.{Bm25K1, Bm25B, Bm25Terms, ContamN, PackBudget, OovVocabSize, EwmaAlpha}
+
+  private val bm25TermList = Bm25Terms.map(t => s"'$t'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
     "q52_scd2" ->
@@ -43,10 +46,11 @@ object Oracle5 {
       """WITH c AS (
         |  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2
         |), m AS (
-        |  SELECT event_type,
-        |    arg_max(user_id, cnt * 100000000 - user_id) AS mode_user,
-        |    max(cnt) AS mode_count
-        |  FROM c GROUP BY 1
+        |  SELECT event_type, user_id AS mode_user, cnt AS mode_count FROM (
+        |    SELECT event_type, user_id, cnt,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY cnt DESC, user_id) AS rn
+        |    FROM c) WHERE rn = 1
         |), rk AS (
         |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
@@ -80,7 +84,7 @@ object Oracle5 {
         |ORDER BY doc_id, rk""".stripMargin,
 
     "q55_bm25" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |  FROM documents
         |), dlq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
@@ -90,26 +94,26 @@ object Oracle5 {
         |  SELECT doc_id, unnest(t) AS term FROM toks
         |), tfq AS (
         |  SELECT doc_id, term, count(*) AS tf FROM dt
-        |  WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2
+        |  WHERE term IN ($bm25TermList) GROUP BY 1, 2
         |), dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1)
         |SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
         |  ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
-        |    * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-        |    / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |    * (CAST(t.tf AS DOUBLE) * ($Bm25K1 + 1.0))
+        |    / (CAST(t.tf AS DOUBLE) + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B *
         |        (CAST(l.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
         |    AS bm25
         |FROM tfq t JOIN dfq d USING (term) JOIN dlq l USING (doc_id) CROSS JOIN stats s
         |ORDER BY doc_id, term""".stripMargin,
 
     "q56_contamination" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT doc_id, source,
-        |    list_distinct([array_to_string(t[i:i+3], ' ')
-        |                   for i in range(1, len(t) - 3 + 1)]) AS ngrams
+        |    list_distinct([array_to_string(t[i:i+${ContamN - 1}], ' ')
+        |                   for i in range(1, len(t) - ${ContamN - 1} + 1)]) AS ngrams
         |  FROM (SELECT doc_id, source,
         |          list_filter(string_split(text, ' '), x -> x <> '') AS t
         |        FROM documents)
-        |  WHERE len(t) >= 4
+        |  WHERE len(t) >= $ContamN
         |), e AS (
         |  SELECT doc_id AS eval_doc, unnest(ngrams) AS ng FROM g WHERE source = 'src0'
         |), es AS (
@@ -125,7 +129,7 @@ object Oracle5 {
         |ORDER BY train_doc, eval_doc""".stripMargin,
 
     "q57_pack" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
         |      AS n_tokens
@@ -137,9 +141,9 @@ object Oracle5 {
         |      AS start_off
         |  FROM d)
         |SELECT doc_id, n_tokens, start_off,
-        |  CAST(floor(start_off / 2048) AS BIGINT) AS pack_id,
-        |  (n_tokens > 0 AND CAST(floor((start_off + n_tokens - 1) / 2048) AS BIGINT)
-        |     > CAST(floor(start_off / 2048) AS BIGINT)) AS spans_boundary
+        |  CAST(floor(start_off / $PackBudget) AS BIGINT) AS pack_id,
+        |  (n_tokens > 0 AND CAST(floor((start_off + n_tokens - 1) / $PackBudget) AS BIGINT)
+        |     > CAST(floor(start_off / $PackBudget) AS BIGINT)) AS spans_boundary
         |FROM o ORDER BY doc_id""".stripMargin,
 
     "q58_quantize_int8" ->
@@ -167,10 +171,10 @@ object Oracle5 {
     // the same contract as Spark's aggregate() seeded with element 1
     // over the remainder; list(... ORDER BY) fixes the fold order
     "q59_ewma" ->
-      """SELECT user_id, count(*) AS n_events,
+      s"""SELECT user_id, count(*) AS n_events,
         |  max(CAST(ts AS TIMESTAMP)) AS last_ts,
         |  list_reduce(list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
-        |    (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma_value
+        |    (acc, x) -> $EwmaAlpha * x + (1.0 - $EwmaAlpha) * acc) AS ewma_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q60_ranks" ->
@@ -209,7 +213,7 @@ object Oracle5 {
         |ORDER BY s1.user_id""".stripMargin,
 
     "q62_oov" ->
-      """WITH dt AS (
+      s"""WITH dt AS (
         |  SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
         |  FROM documents
@@ -218,7 +222,7 @@ object Oracle5 {
         |), vocab AS (
         |  SELECT term FROM (
         |    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rk FROM vc)
-        |  WHERE rk <= 100)
+        |  WHERE rk <= $OovVocabSize)
         |SELECT dt.doc_id, count(*) AS n_tokens,
         |  count(*) FILTER (WHERE v.term IS NULL) AS n_oov,
         |  CAST(count(*) FILTER (WHERE v.term IS NULL) AS DOUBLE)
