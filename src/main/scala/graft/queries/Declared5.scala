@@ -317,6 +317,66 @@ object Declared5 {
       .orderBy($"o_orderkey")
   }
 
+  // --------------------------------------------------------------- Q60b
+  /** The rank family AGAIN, but computed the way it must be at 100 TB.
+    * q60's `Window.partitionBy(o_orderpriority)` is semantically clean
+    * but physically each priority (5 values!) becomes ONE task sorting
+    * |orders|/5 rows — fine at sf0.1, a wall at scale. This variant
+    * produces the IDENTICAL rows (same DuckDB oracle text) from a
+    * range-partitioned total order plus offset composition:
+    *
+    *  1. range-repartition + sort by (priority, cents, orderkey) — a
+    *     distributed total order, parallelism = chunk count, no
+    *     per-group task;
+    *  2. monotonically_increasing_id over the sorted chunks encodes
+    *     (chunk, row-in-chunk) — no shuffle;
+    *  3. ONE tiny aggregate (chunks × priorities rows) yields each
+    *     contiguous (chunk, priority) run's min id and count; a
+    *     single-partition prefix over that aggregate (q57's two-phase
+    *     pattern) turns counts into global per-priority offsets;
+    *  4. rank = offset + (id − min_id) + 1, then percent_rank /
+    *     cume_dist / ntile / dense_rank are exact integer formulas of
+    *     (rank, n) — ntile's uneven-bucket rule included.
+    */
+  val q60b: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        $"o_orderpriority", $"cents", $"o_orderkey")
+      .sortWithinPartitions($"o_orderpriority", $"cents", $"o_orderkey")
+      .withColumn("mid", monotonically_increasing_id())
+    // 3. per-(chunk, priority) run stats; chunk id lives in the mid's
+    // upper bits, so grouping on it needs no extra column
+    val runs = base.groupBy(shiftrightunsigned($"mid", 33).as("chunk"), $"o_orderpriority")
+      .agg(min($"mid").as("min_mid"), count(lit(1)).as("run_n"))
+    val wOff = Window.partitionBy($"o_orderpriority").orderBy($"chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = runs.select($"chunk", $"o_orderpriority".as("op"), $"min_mid",
+      coalesce(sum($"run_n").over(wOff), lit(0L)).as("off"),
+      sum($"run_n").over(Window.partitionBy($"o_orderpriority")).as("n"))
+    val ranked = base
+      .join(broadcast(offsets), shiftrightunsigned($"mid", 33) === $"chunk" &&
+        $"o_orderpriority" === $"op")
+      .select($"o_orderkey", $"o_orderpriority", $"cents", $"n",
+        ($"off" + ($"mid" - $"min_mid") + 1L).as("rk"))
+    // 4. exact integer formulas (ties impossible: composite key unique)
+    val ntileCol = {
+      val qs = floor($"n" / 4).cast("long")
+      val r = $"n" % 4
+      when($"rk" <= (qs + 1) * r, floor(($"rk" - 1) / (qs + 1)) + 1)
+        .otherwise(r + floor(($"rk" - (qs + 1) * r - 1) / qs) + 1)
+    }
+    ranked.select($"o_orderkey", $"o_orderpriority", $"cents",
+        when($"n" === 1, lit(0.0)).otherwise(
+          ($"rk" - 1).cast("double") / ($"n" - 1).cast("double")).as("pct_rank"),
+        ($"rk".cast("double") / $"n".cast("double")).as("cume"),
+        ntileCol.cast("int").as("tile"),
+        $"rk".cast("int").as("drank"))
+      .orderBy($"o_orderkey")
+  }
+
   // ---------------------------------------------------------------- Q61
   /** Ordered conversion funnel (view → click → purchase): per user, the
     * FIRST time each stage is reached STRICTLY AFTER the previous stage
@@ -387,6 +447,7 @@ object Declared5 {
     "q58_quantize_int8" -> q58,
     "q59_ewma" -> q59,
     "q60_ranks" -> q60,
+    "q60b_ranks_scaled" -> q60b,
     "q61_funnel" -> q61,
     "q62_oov" -> q62)
 }

@@ -189,6 +189,20 @@ object Oracle5 {
         |  ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // identical text to q60_ranks: the scale variant must produce the
+    // same rows from a completely different physical plan
+    "q60b_ranks_scaled" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS tile,
+        |  CAST(dense_rank() OVER w AS INT) AS drank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT), o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q61_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events

@@ -148,6 +148,15 @@ class Declared5Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q60b: the scale-path rank family is row-identical to the window formulation") {
+    import spark.implicits._
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.map(c => col(c).cast("string"))
+      df.select(cols.toIndexedSeq: _*).collect().map(_.mkString("|")).toSeq.sorted
+    }
+    assert(norm(Declared5.q60b(spark, sf)) == norm(Declared5.q60(spark, sf)))
+  }
+
   test("q61: funnel stages are strictly ordered and counts non-increasing") {
     import spark.implicits._
     val out = Declared5.q61(spark, sf).cache()
