@@ -100,11 +100,22 @@ object Declared5 {
     * asserted in PlanAuditSpec). The df side joins on term — AQE
     * broadcasts it at test scale; at 100 TB vocabulary it degrades to a
     * hash-partitioned join on the term key. */
+  /** Per-doc term counts in one pass: the document is the natural
+    * aggregation unit, so (doc, term, tf) rows are produced MAP-SIDE
+    * (count within the doc, then explode the counted map) — no shuffle
+    * of the raw exploded token stream at all. The groupBy(doc_id, term)
+    * formulation this replaces shuffled |corpus tokens| rows first. */
+  private val termCountsUdf = udf((text: String) => {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    graft.functions.Signatures.splitTokens(text)
+      .foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+    m.toMap
+  })
+
   val q54: Q = (s, dir) => {
     import s.implicits._
     val docTerm = Tables(s, dir, "documents")
-      .select($"doc_id", explode(tokens($"text")).as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .select($"doc_id", explode(termCountsUdf($"text")).as(Seq("term", "tf")))
     val df = docTerm.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val scored = docTerm.join(df, "term").crossJoin(broadcast(n))
