@@ -58,6 +58,50 @@ object StreamingAnalytics {
       }
   }
 
+  final case class Scd2Closed(user_id: Long, event_type: String,
+    valid_from_micros: Long, valid_to_micros: Long, n_events: Long)
+  final case class Scd2Open(event_type: String, from_micros: Long, n: Long)
+
+  /** Streaming SCD2: the streaming form of batch q52 — per-user
+    * dimension versions maintained incrementally from the CDC-style
+    * event stream. Each group folds its batch's rows in (ts, event_id)
+    * order into the OPEN version held in keyed state; an attribute
+    * change CLOSES the open version (emits it with valid_to = the new
+    * version's valid_from) and opens the next. Emission is append-mode
+    * and exactly once per closed version; the open version lives only
+    * in state (batch q52's is_current row). Correct when per-user
+    * event-time order is preserved ACROSS micro-batches (time-split
+    * batches, as file sources naturally provide); intra-batch arrival
+    * order is irrelevant — rows are sorted before folding. In
+    * production, late data needs the usual watermark + re-sort in a
+    * foreachBatch front end. */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Closed] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"user_id".as[Long], unix_micros($"ts").as[Long],
+        $"event_id".as[Long], $"event_type".as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Scd2Open]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          sorted.foreach { case (_, ts, _, t) =>
+            st = st match {
+              case Some(cur) if cur.event_type == t => Some(cur.copy(n = cur.n + 1))
+              case Some(cur) =>
+                out += Scd2Closed(user, cur.event_type, cur.from_micros, ts, cur.n)
+                Some(Scd2Open(t, ts, 1L))
+              case None => Some(Scd2Open(t, ts, 1L))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class UserMilestone(user_id: Long, milestone: Long)
 
   /** Per-user event-count milestones via flatMapGroupsWithState — the

@@ -204,6 +204,44 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closes the same versions batch q52 builds, across batches") {
+    import spark.implicits._
+    // two TIME-SPLIT files so runs straddle the micro-batch boundary:
+    // per-user event-time order is preserved across batches, which is
+    // the operator's documented contract
+    val tmp = Files.createTempDirectory("scd2_stream_")
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events").cache()
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0)
+    val streamDir = tmp.resolve("stream")
+    Files.createDirectory(streamDir)
+    Seq(("early", expr(s"unix_micros(ts) < $cut"), 0),
+        ("late", expr(s"unix_micros(ts) >= $cut"), 1)).foreach { case (w, p, i) =>
+      ev.filter(p).coalesce(1).write.parquet(tmp.resolve(w).toString)
+      val part = Files.list(tmp.resolve(w)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(part, streamDir.resolve(s"f$i.parquet"))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = StreamingAnalytics.scd2Stream(src)
+      .writeStream.format("memory").queryName("scd2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("scd2")
+        .select($"user_id", $"event_type", $"valid_from_micros",
+          $"valid_to_micros", $"n_events")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      // batch truth: q52's CLOSED versions (valid_to != null)
+      val batch = graft.queries.Declared5.q52(spark, "/root/testdata/sf0.001")
+        .filter($"valid_to".isNotNull)
+        .select($"user_id", $"event_type", unix_micros($"valid_from"),
+          unix_micros($"valid_to"), $"n_events")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(batch.nonEmpty)
+      assert(stream == batch)
+    } finally { q.stop(); ev.unpersist() }
+  }
+
   test("flatMapGroupsWithState emits each crossed milestone exactly once") {
     import spark.implicits._
     val q = StreamingAnalytics.userMilestones(eventsStream("/root/testdata/sf0.001"))
