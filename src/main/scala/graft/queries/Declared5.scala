@@ -448,6 +448,66 @@ object Declared5 {
       .orderBy($"doc_id")
   }
 
+  /** Fixed-point scale for q63: 2^20. Embedding coords are |x| < 0.58,
+    * so scaled values fit ±607k, squared diffs ×64 dims ≤ 9.4e13 ≪ 2^63,
+    * and per-(cluster, dim) sums ≤ 3e9 ≪ 2^53 — every quantity below is
+    * EXACT in both engines. */
+  val KmeansScale = 1048576L
+  val KmeansK = 4
+
+  // ---------------------------------------------------------------- Q63
+  /** Distributed Lloyd k-means step in FIXED-POINT arithmetic — the
+    * iterative-ML shape (assign → update → re-assign) made bit-exact
+    * across engines: coordinates quantize to integers (floor(x·2²⁰+½)),
+    * so squared distances, argmin assignment (ties → lower centroid
+    * id), and the centroid update (floor of an exact-integer mean) never
+    * touch accumulation-order-dependent floats. Seeds = vectors 0..k−1.
+    * Shapes: assignment is a broadcast of k centroids against the
+    * vector stream (k·d multiply-adds per row, no shuffle); the update
+    * is one partial-agg shuffle of (cluster, dim) cells — k·d rows —
+    * exactly how MLlib distributes Lloyd; re-assignment broadcasts the
+    * k·d updated cells back. Output per surviving cluster: population
+    * before/after the update and an exact centroid checksum. */
+  val q63: Q = (s, dir) => {
+    import s.implicits._
+    val distUdf = udf((v: Seq[Long], c: Seq[Long]) => {
+      var d = 0L; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val t = v(i) - c(i); d += t * t; i += 1 }
+      d
+    })
+    val q = Tables(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding".cast("array<double>"),
+        x => floor(x * KmeansScale + 0.5).cast("long")).as("qv"))
+    val seeds = q.filter($"vec_id" < KmeansK)
+      .select($"vec_id".cast("int").as("cid"), $"qv".as("cv"))
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+      val wd = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+      vecs.crossJoin(broadcast(cents))
+        .select($"vec_id", $"qv", $"cid", distUdf($"qv", $"cv").as("dist"))
+        .withColumn("rn", row_number().over(wd)).filter($"rn" === 1)
+        .select($"vec_id", $"qv", $"cid")
+    }
+    val a1 = assign(q, seeds)
+    // update: exact integer mean per (cluster, dim), floored
+    val cells = a1.select($"cid", posexplode($"qv").as(Seq("pos", "x")))
+      .groupBy($"cid", $"pos")
+      .agg(floor(sum($"x").cast("double") / count(lit(1))).cast("long").as("cval"))
+    val c1 = cells.groupBy($"cid")
+      .agg(array_sort(collect_list(struct($"pos", $"cval"))).as("pc"))
+      .select($"cid", transform($"pc", e => e("cval")).as("cv"))
+    val a2 = assign(q, c1)
+    val nBefore = a1.groupBy($"cid").agg(count(lit(1)).as("n_before"))
+    val nAfter = a2.groupBy($"cid").agg(count(lit(1)).as("n_after"))
+    val checksum = cells.groupBy($"cid")
+      .agg(sum($"cval" * ($"pos" + 1)).as("centroid_checksum"))
+    nBefore.join(broadcast(checksum), "cid")
+      .join(broadcast(nAfter), Seq("cid"), "left")
+      .select($"cid".as("cluster_id"), $"n_before",
+        coalesce($"n_after", lit(0L)).as("n_after"), $"centroid_checksum")
+      .orderBy($"cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_scd2" -> q52,
     "q53_mode_median" -> q53,
@@ -460,5 +520,6 @@ object Declared5 {
     "q60_ranks" -> q60,
     "q60b_ranks_scaled" -> q60b,
     "q61_funnel" -> q61,
-    "q62_oov" -> q62)
+    "q62_oov" -> q62,
+    "q63_kmeans" -> q63)
 }

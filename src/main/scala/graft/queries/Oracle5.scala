@@ -14,7 +14,7 @@ package graft.queries
   *    middle-rank positions use floor() identically on both sides.
   */
 object Oracle5 {
-  import Declared5.{Bm25K1, Bm25B, Bm25Terms, ContamN, PackBudget, OovVocabSize, EwmaAlpha}
+  import Declared5.{Bm25K1, Bm25B, Bm25Terms, ContamN, PackBudget, OovVocabSize, EwmaAlpha, KmeansScale, KmeansK}
 
   private val bm25TermList = Bm25Terms.map(t => s"'$t'").mkString(", ")
 
@@ -225,6 +225,53 @@ object Oracle5 {
         |    AS reached_stage
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
+
+    // fixed-point Lloyd step: every quantity is exact integer arithmetic
+    // (quantized coords, squared distances, floored means), so the two
+    // engines cannot diverge; dist uses a 1-based list comprehension
+    // over the fixed 64-dim width
+    "q63_kmeans" ->
+      s"""WITH q AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * $KmeansScale + 0.5) AS BIGINT)
+        |     for x in embedding] AS qv
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM q WHERE vec_id < $KmeansK
+        |), d1 AS (
+        |  SELECT q.vec_id, q.qv, s.cid,
+        |    CAST(list_sum([ (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])
+        |                    for i in range(1, len(q.qv) + 1) ]) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN seeds s
+        |), a1 AS (
+        |  SELECT vec_id, qv, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1
+        |), cells AS (
+        |  SELECT cid, pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+        |  FROM (SELECT cid, unnest(range(0, len(qv))) AS pos, unnest(qv) AS x FROM a1)
+        |  GROUP BY cid, pos
+        |), c1 AS (
+        |  SELECT cid, list(cval ORDER BY pos) AS cv FROM cells GROUP BY cid
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid,
+        |    CAST(list_sum([ (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
+        |                    for i in range(1, len(q.qv) + 1) ]) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN c1 c
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d2) WHERE rn = 1
+        |), nb AS (SELECT cid, count(*) AS n_before FROM a1 GROUP BY cid),
+        |na AS (SELECT cid, count(*) AS n_after FROM a2 GROUP BY cid),
+        |ck AS (
+        |  SELECT cid, CAST(sum(cval * (pos + 1)) AS BIGINT) AS centroid_checksum
+        |  FROM cells GROUP BY cid)
+        |SELECT nb.cid AS cluster_id, nb.n_before,
+        |  coalesce(na.n_after, 0) AS n_after, ck.centroid_checksum
+        |FROM nb JOIN ck USING (cid) LEFT JOIN na USING (cid)
+        |ORDER BY cluster_id""".stripMargin,
 
     "q62_oov" ->
       s"""WITH dt AS (

@@ -191,6 +191,41 @@ class Declared5Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q63: fixed-point k-means step matches a local brute-force Lloyd step") {
+    import spark.implicits._
+    val out = Declared5.q63(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val vecs = Tables(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(x =>
+        math.floor(x * Declared5.KmeansScale + 0.5).toLong).toArray))
+      .sortBy(_._1)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Map[Int, Array[Long]]): Map[Long, Int] =
+      vecs.map { case (id, v) =>
+        id -> cents.toSeq.map { case (c, cv) => (dist(v, cv), c) }.min._2
+      }.toMap
+    val seeds = vecs.take(Declared5.KmeansK)
+      .map { case (id, v) => id.toInt -> v }.toMap
+    val a1 = assign(seeds)
+    val byC = vecs.groupBy { case (id, _) => a1(id) }
+    val c1 = byC.map { case (c, members) =>
+      val n = members.length
+      c -> Array.tabulate(64)(i =>
+        math.floor(members.map(_._2(i)).sum.toDouble / n).toLong)
+    }
+    val a2 = assign(c1)
+    c1.foreach { case (c, cv) =>
+      val expect = (byC(c).length.toLong,
+        vecs.count { case (id, _) => a2(id) == c }.toLong,
+        cv.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
+      assert(out(c) == expect, s"cluster $c: ${out(c)} != $expect")
+    }
+    assert(out.values.map(_._1).sum == vecs.length) // every vector assigned
+  }
+
   test("q58: quantization error bounded by scale/2 and checksum reconstructs") {
     import spark.implicits._
     val out = Declared5.q58(spark, sf).cache()
