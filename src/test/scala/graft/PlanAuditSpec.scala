@@ -184,6 +184,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"train stream shuffled to join:\n$plan")
   }
 
+  test("q63: k-means assignment broadcasts the centroids, never shuffles the vectors to them") {
+    val plan = executed(queries.Declared5.q63(spark, sf))
+    // both assign passes are BroadcastNestedLoopJoin/BroadcastHashJoin
+    // of k (or k·d) rows against the vector stream; a SortMergeJoin
+    // would mean the corpus shuffled toward the centroids
+    assert(!plan.contains("SortMergeJoin"), s"vector stream shuffled to centroids:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"centroids not broadcast:\n$plan")
+  }
+
+  test("q60b: rank offsets come from chunked runs, not per-priority windows") {
+    val plan = executed(queries.Declared5.q60b(spark, sf))
+    // the only Window operators run over the chunks×priorities offset
+    // aggregate (partitioned by priority over CHUNK rows); the corpus
+    // itself passes through range repartition + local sort + broadcast
+    // join — no window whose partition is the 5-value priority column
+    // ever sees the full row stream. Cheap proxy: every Window in the
+    // plan sits above the tiny aggregate (count distinct run rows),
+    // which whole-plan row counts can't easily assert — so pin the
+    // structural facts: a range exchange exists, and the broadcast of
+    // the offsets table exists.
+    assert(plan.contains("rangepartitioning"), s"no range repartition:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"offsets not broadcast:\n$plan")
+  }
+
   test("q57: the corpus stream never funnels through a single-partition window") {
     val plan = executed(queries.Declared5.q57(spark, sf))
     // two-phase prefix sum: only the per-CHUNK totals (corpus/chunk
