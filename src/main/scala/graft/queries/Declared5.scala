@@ -448,6 +448,31 @@ object Declared5 {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- Q64
+  /** Point-in-time (temporal) join — what an SCD2 table exists FOR:
+    * every event joins the dimension version valid at its timestamp
+    * (valid_from ≤ ts < valid_to, open version unbounded). Executed as
+    * q41's keyed-interval shape: EQUI-join on user_id with the interval
+    * predicate as a post-join filter — the version side is
+    * |users|·|versions-per-user|, dimension-sized, so the equi key
+    * bounds the pair explosion and the event stream shuffles once.
+    * Boundary semantics are half-open: an event stamped exactly at a
+    * version change belongs to the NEW version (even the equal-ts
+    * events the run derivation ordered into the old run by event_id —
+    * the temporal join is by TIME, and both engines agree). */
+  val q64: Q = (s, dir) => {
+    import s.implicits._
+    val versions = q52(s, dir)
+      .select($"user_id".as("v_user"), $"run_idx", $"event_type".as("version_type"),
+        $"valid_from", $"valid_to", $"is_current")
+    val ev = Tables(s, dir, "events").select($"event_id", $"user_id", $"ts")
+    ev.join(versions, ev("user_id") === $"v_user" &&
+        $"ts" >= $"valid_from" && ($"valid_to".isNull || $"ts" < $"valid_to"))
+      .select($"event_id", $"user_id", $"ts", $"run_idx",
+        $"version_type", $"is_current")
+      .orderBy($"event_id")
+  }
+
   /** Fixed-point scale for q63: 2^20. Embedding coords are |x| < 0.58,
     * so scaled values fit ±607k, squared diffs ×64 dims ≤ 9.4e13 ≪ 2^63,
     * and per-(cluster, dim) sums ≤ 3e9 ≪ 2^53 — every quantity below is
@@ -521,5 +546,6 @@ object Declared5 {
     "q60b_ranks_scaled" -> q60b,
     "q61_funnel" -> q61,
     "q62_oov" -> q62,
-    "q63_kmeans" -> q63)
+    "q63_kmeans" -> q63,
+    "q64_temporal_join" -> q64)
 }

@@ -226,6 +226,36 @@ object Oracle5 {
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY s1.user_id""".stripMargin,
 
+    // temporal join reuses q52's version derivation verbatim as CTEs
+    "q64_temporal_join" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), r AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS run_idx
+        |  FROM f
+        |), runs AS (
+        |  SELECT user_id, run_idx, min(event_type) AS event_type,
+        |    min(ts) AS valid_from
+        |  FROM r GROUP BY user_id, run_idx
+        |), v AS (
+        |  SELECT user_id AS v_user, run_idx, event_type AS version_type, valid_from,
+        |    lead(valid_from) OVER w2 AS valid_to,
+        |    (lead(valid_from) OVER w2 IS NULL) AS is_current
+        |  FROM runs
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY run_idx))
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  v.run_idx, v.version_type, v.is_current
+        |FROM events e JOIN v ON e.user_id = v.v_user
+        |  AND CAST(e.ts AS TIMESTAMP) >= v.valid_from
+        |  AND (v.valid_to IS NULL OR CAST(e.ts AS TIMESTAMP) < v.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
+
     // fixed-point Lloyd step: every quantity is exact integer arithmetic
     // (quantized coords, squared distances, floored means), so the two
     // engines cannot diverge; dist uses a 1-based list comprehension

@@ -226,6 +226,19 @@ class Declared5Spec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == vecs.length) // every vector assigned
   }
 
+  test("q64: every event joins exactly one version; is_current iff the last run") {
+    import spark.implicits._
+    val out = Declared5.q64(spark, sf).cache()
+    val nEvents = Tables(spark, sf, "events").count()
+    assert(out.count() == nEvents) // exactly one version per event
+    assert(out.select($"event_id").distinct().count() == nEvents)
+    // the current-version rows are exactly those joined to each user's max run
+    val maxRun = out.groupBy($"user_id").agg(max($"run_idx").as("mr"))
+    assert(out.join(maxRun, "user_id")
+      .filter($"is_current" =!= ($"run_idx" === $"mr")).count() == 0)
+    out.unpersist()
+  }
+
   test("q58: quantization error bounded by scale/2 and checksum reconstructs") {
     import spark.implicits._
     val out = Declared5.q58(spark, sf).cache()
