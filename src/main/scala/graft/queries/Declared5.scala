@@ -283,27 +283,56 @@ object Declared5 {
   /** Per-user EWMA (exponentially-weighted moving average) of event
     * values in time order — the standard smoothing pass over per-entity
     * time series. EWMA is inherently sequential IN TIME per key (each
-    * state depends on the previous), so the shape is: ONE shuffle on
-    * user_id, collect the (bounded per-entity) history, fold it in
-    * (ts, event_id) order with a higher-order `aggregate` — parallel
-    * across the key space, sequential only where the math itself is.
-    * The fold starts from the first observation (list_reduce parity
-    * with the oracle) and every coefficient is written as the same
-    * IEEE arithmetic in both engines. */
+    * state depends on the previous), so the scale-safe shape is a
+    * secondary sort: ONE shuffle on user_id, sort each partition by
+    * (user_id, ts, event_id), then a single streaming pass that folds
+    * each key's history row by row — O(1) state per key (count, last
+    * ts, accumulator), never an array. A hot entity with 10⁸ events
+    * streams through one task at constant memory instead of
+    * materializing a multi-GB `collect_list` row. The fold starts from
+    * the first observation (list_reduce parity with the oracle) and
+    * every coefficient is the same IEEE arithmetic, applied in the same
+    * (ts, event_id) order, as the DuckDB `list_reduce` text. */
   val EwmaAlpha = 0.3
+
+  /** Typed rows for the [[q59]] streaming fold (name-resolved encoders). */
+  private[queries] final case class EwmaIn(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  private[queries] final case class EwmaOut(
+      user_id: Long, n_events: Long, last_ts: java.sql.Timestamp,
+      ewma_value: Double)
 
   val q59: Q = (s, dir) => {
     import s.implicits._
-    val sorted = Tables(s, dir, "events")
-      .groupBy($"user_id")
-      .agg(count(lit(1)).as("n_events"), max($"ts").as("last_ts"),
-        array_sort(collect_list(struct($"ts", $"event_id", $"value"))).as("seq"))
-      .select($"user_id", $"n_events", $"last_ts",
-        transform($"seq", e => e("value")).as("vals"))
-    sorted.select($"user_id", $"n_events", $"last_ts",
-        aggregate(slice($"vals", lit(2), size($"vals") - 1), element_at($"vals", 1),
-          (acc, x) => lit(EwmaAlpha) * x + lit(1.0 - EwmaAlpha) * acc)
-          .as("ewma_value"))
+    val alpha = EwmaAlpha
+    Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts", $"event_id")
+      .as[EwmaIn]
+      .mapPartitions { rows =>
+        // rows arrive clustered by user_id and time-ordered within each
+        // key; one buffered pass emits a row per key with O(1) state
+        val it = rows.buffered
+        new Iterator[EwmaOut] {
+          def hasNext: Boolean = it.hasNext
+          def next(): EwmaOut = {
+            val first = it.next()
+            val uid = first.user_id
+            var n = 1L
+            var lastTs = first.ts
+            var acc = first.value
+            while (it.hasNext && it.head.user_id == uid) {
+              val e = it.next()
+              n += 1
+              lastTs = e.ts
+              acc = alpha * e.value + (1.0 - alpha) * acc
+            }
+            EwmaOut(uid, n, lastTs, acc)
+          }
+        }
+      }
+      .toDF()
       .orderBy($"user_id")
   }
 

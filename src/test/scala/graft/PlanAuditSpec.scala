@@ -218,4 +218,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(singles <= 1, s"expected <=1 single-partition exchange, got $singles:\n$plan")
     assert(plan.contains("Window"), s"no window:\n$plan")
   }
+
+  test("q59: streaming fold — no per-key history array, one user_id exchange") {
+    val plan = executed(queries.Declared5.q59(spark, sf))
+    // scale-safety: each key's history must stream through the fold,
+    // never materialize as a collect_list array in one row
+    assert(!plan.contains("collect_list"), s"per-key array materialization:\n$plan")
+    assert(plan.contains("MapPartitions"), s"no streaming fold operator:\n$plan")
+    // exactly one hash exchange (the user_id repartition); the
+    // presentation ORDER BY is a range exchange on top
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 user_id hash exchange, got $hashEx:\n$plan")
+    // the secondary sort below the fold is a local (non-global) sort
+    assert(plan.contains("Sort"), s"no secondary sort:\n$plan")
+  }
 }
