@@ -200,6 +200,49 @@ class DedupSpec extends AnyFunSuite {
       s"row count ${fast.length} != brute ${brute.length}")
     fast.zip(brute).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
+
+  test("jaccard prefix-filter route is row-identical to the pairwise route") {
+    // cap 0 forces EVERY block down the oversized (prefix-filter) path;
+    // MaxValue forces the pairwise path. The AllPairs/PPJoin prefix
+    // filter is exact for J >= 0.5, so both must emit the same rows
+    // bit-for-bit (identical verification expressions) on a real corpus.
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    val pairwise = norm(Dedup.ngramJaccardPairsOver(docs, maxBlockRows = Int.MaxValue))
+    val prefix = norm(Dedup.ngramJaccardPairsOver(docs, maxBlockRows = 0))
+    assert(pairwise.nonEmpty, "corpus produced no near-dup pairs")
+    assert(prefix == pairwise,
+      s"prefix route diverged: ${prefix.size} vs ${pairwise.size} rows")
+  }
+
+  test("jaccard hot block: 10k docs in ONE block complete without a quadratic join") {
+    import spark.implicits._
+    // 10k same-lang docs engineered into a single (lang, len_bucket)
+    // block: disjoint token sets (zero shared prefix hashes) except one
+    // planted near-dup pair. The pairwise route would score 50M pairs;
+    // the prefix route's inverted index touches only hash-sharing pairs,
+    // so this must finish promptly AND still find the planted pair.
+    val docs = spark.range(0, 10000).select(
+      $"id".as("doc_id"), lit("en").as("lang"),
+      // doc i: 12 tokens "tAAAAivBB" unique to i → text length is fixed
+      // (119 chars) → everyone lands in len_bucket 1
+      concat_ws(" ", (0 until 12).map(j =>
+        format_string("t%05dv%02d", $"id", lit(j))): _*).as("text"))
+      .withColumn("text",
+        when($"doc_id" === 9999L,
+          // near-dup of doc 9998: same tokens, one changed
+          concat(format_string("t%05dv%02d", lit(9998), lit(99)), lit(" "),
+            concat_ws(" ", (1 until 12).map(j =>
+              format_string("t%05dv%02d", lit(9998), lit(j))): _*)))
+          .otherwise($"text"))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    val pairs = Dedup.ngramJaccardPairsOver(docs)   // default cap: 4096 < 10000
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(System.nanoTime() < deadline,
+      "hot block took >120s — prefix route not engaged?")
+    assert(pairs == Set((9998L, 9999L)), s"expected only the planted pair, got $pairs")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
