@@ -431,14 +431,22 @@ object Dedup {
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.dot_product
-    // --- quantizer (driver-sized, deterministic): normalized label centroids
-    val centRows = graft.sim.Similarity.exactCentroidRows(s, dir)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    val cents: Array[(Int, Array[Double])] = centRows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (l, rs) =>
-        val arr = rs.sortBy(_._2).map(_._3).toArray
+    // --- quantizer (driver-sized, deterministic): the k-means-TRAINED
+    // codebook (one fixed-point Lloyd step, KCells cells — the same
+    // trainer behind q63/sim_topk_ivf_trained), centroids rescaled to
+    // doubles and normalized onto the unit sphere where the triangle
+    // inequality below lives. Cell COUNT scales with the corpus (k in
+    // the hundreds at 100 TB), unlike the label vocabulary; exactness
+    // never depends on the cells (steps 1-3 only over-approximate), so
+    // any codebook keeps the brute-twin row-identity — a better one
+    // just prunes more.
+    val centRows = graft.sim.Similarity.trainedCodebook(s, dir)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+    val cents: Array[(Int, Array[Double])] = centRows.sortBy(_._1)
+      .map { case (cid, qv) =>
+        val arr = qv.map(_.toDouble / graft.sim.KmeansQuantizer.Scale).toArray
         val n = math.sqrt(arr.map(x => x * x).sum)
-        (l, if (n > 0) arr.map(_ / n) else arr)
+        (cid, if (n > 0) arr.map(_ / n) else arr)
       }.toArray
     // --- 1. nearest-cell assignment (ties → lower cell id; every vector
     // gets exactly one home cell, which is all exactness needs)

@@ -502,11 +502,10 @@ object Declared5 {
       .orderBy($"event_id")
   }
 
-  /** Fixed-point scale for q63: 2^20. Embedding coords are |x| < 0.58,
-    * so scaled values fit ±607k, squared diffs ×64 dims ≤ 9.4e13 ≪ 2^63,
-    * and per-(cluster, dim) sums ≤ 3e9 ≪ 2^53 — every quantity below is
-    * EXACT in both engines. */
-  val KmeansScale = 1048576L
+  /** Fixed-point scale for q63 — see [[graft.sim.KmeansQuantizer.Scale]]
+    * (2^20; the bounds argument lives there). Kept as a val here because
+    * the Oracle5 SQL text interpolates it. */
+  val KmeansScale: Long = graft.sim.KmeansQuantizer.Scale
   val KmeansK = 4
 
   // ---------------------------------------------------------------- Q63
@@ -521,36 +520,20 @@ object Declared5 {
     * is one partial-agg shuffle of (cluster, dim) cells — k·d rows —
     * exactly how MLlib distributes Lloyd; re-assignment broadcasts the
     * k·d updated cells back. Output per surviving cluster: population
-    * before/after the update and an exact centroid checksum. */
+    * before/after the update and an exact centroid checksum. The Lloyd
+    * machinery itself lives in [[graft.sim.KmeansQuantizer]], shared
+    * with the IVF codebook trainer (sim_topk_ivf_trained). */
   val q63: Q = (s, dir) => {
     import s.implicits._
-    val distUdf = udf((v: Seq[Long], c: Seq[Long]) => {
-      var d = 0L; var i = 0
-      val n = math.min(v.length, c.length)
-      while (i < n) { val t = v(i) - c(i); d += t * t; i += 1 }
-      d
-    })
-    val q = Tables(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding".cast("array<double>"),
-        x => floor(x * KmeansScale + 0.5).cast("long")).as("qv"))
+    import graft.sim.KmeansQuantizer
+    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
     val seeds = q.filter($"vec_id" < KmeansK)
       .select($"vec_id".cast("int").as("cid"), $"qv".as("cv"))
-    def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-      val wd = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
-      vecs.crossJoin(broadcast(cents))
-        .select($"vec_id", $"qv", $"cid", distUdf($"qv", $"cv").as("dist"))
-        .withColumn("rn", row_number().over(wd)).filter($"rn" === 1)
-        .select($"vec_id", $"qv", $"cid")
-    }
-    val a1 = assign(q, seeds)
+    val a1 = KmeansQuantizer.assign(q, seeds)
     // update: exact integer mean per (cluster, dim), floored
-    val cells = a1.select($"cid", posexplode($"qv").as(Seq("pos", "x")))
-      .groupBy($"cid", $"pos")
-      .agg(floor(sum($"x").cast("double") / count(lit(1))).cast("long").as("cval"))
-    val c1 = cells.groupBy($"cid")
-      .agg(array_sort(collect_list(struct($"pos", $"cval"))).as("pc"))
-      .select($"cid", transform($"pc", e => e("cval")).as("cv"))
-    val a2 = assign(q, c1)
+    val cells = KmeansQuantizer.lloydCells(a1)
+    val c1 = KmeansQuantizer.cellVectors(cells)
+    val a2 = KmeansQuantizer.assign(q, c1)
     val nBefore = a1.groupBy($"cid").agg(count(lit(1)).as("n_before"))
     val nAfter = a2.groupBy($"cid").agg(count(lit(1)).as("n_after"))
     val checksum = cells.groupBy($"cid")

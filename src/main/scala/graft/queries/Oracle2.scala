@@ -375,6 +375,66 @@ object Oracle2 {
         |WHERE rank <= ${graft.sim.Similarity.K}
         |ORDER BY query_id, rank""".stripMargin,
 
+    // Trained-codebook IVF: the one-Lloyd-step fixed-point codebook
+    // (KmeansQuantizer, k = KCells, seeds = vec_id < k) is rebuilt IN
+    // SQL — quantize, seed-assign, exact-integer centroid update — then
+    // cell routing by exact i64 L2 and candidate ranking by exact
+    // double cosine, so the ENTIRE train → assign → probe → rank path
+    // is hash-checked end-to-end.
+    "sim_topk_ivf_trained" ->
+      s"""WITH $vecCte,
+        |q AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * ${graft.sim.KmeansQuantizer.Scale} + 0.5) AS BIGINT)
+        |     for x in embedding] AS qv
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM q
+        |  WHERE vec_id < ${graft.sim.Similarity.KCells}),
+        |d1 AS (
+        |  SELECT q.vec_id, q.qv, s.cid,
+        |    CAST(list_sum([ (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])
+        |                    for i in range(1, len(q.qv) + 1) ]) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN seeds s),
+        |a1 AS (
+        |  SELECT vec_id, qv, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |cells AS (
+        |  SELECT cid, pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+        |  FROM (SELECT cid, unnest(range(0, len(qv))) AS pos, unnest(qv) AS x FROM a1)
+        |  GROUP BY cid, pos),
+        |c1 AS (SELECT cid, list(cval ORDER BY pos) AS cv FROM cells GROUP BY cid),
+        |d2 AS (
+        |  SELECT q.vec_id, c.cid,
+        |    CAST(list_sum([ (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
+        |                    for i in range(1, len(q.qv) + 1) ]) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN c1 c),
+        |ranked AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d2),
+        |home AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+        |qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+        |           WHERE rn <= ${graft.sim.Similarity.NProbe}
+        |             AND vec_id < ${graft.sim.Similarity.NumQueries}),
+        |qv AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+        |       FROM e WHERE vec_id < ${graft.sim.Similarity.NumQueries})
+        |SELECT query_id, vec_id, rank, cos_sim FROM (
+        |  SELECT p.query_id, h.vec_id,
+        |    list_inner_product(qv.qv, e.v) / (qv.qnorm * e.norm) AS cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_inner_product(qv.qv, e.v) / (qv.qnorm * e.norm) DESC,
+        |               h.vec_id) AS INT) AS rank
+        |  FROM qprobe p
+        |    JOIN home h USING (cell)
+        |    JOIN qv USING (query_id)
+        |    JOIN e ON e.vec_id = h.vec_id
+        |  WHERE h.vec_id <> p.query_id)
+        |WHERE rank <= ${graft.sim.Similarity.K}
+        |ORDER BY query_id, rank""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""WITH $vecCte,
         |u AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM e)

@@ -120,15 +120,16 @@ object Similarity {
     * with no shuffle Exchange at all. (Multi-probe — the Hamming-1
     * buckets lshTopK adds — costs one tiny exchange on the exploded
     * query side only; the index side stays shuffle-free either way.) */
-  def probePersistedIndex(s: SparkSession, table: String): DataFrame = {
+  def probePersistedIndex(s: SparkSession, table: String,
+                          bucketCol: String = "bucket"): DataFrame = {
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
     val idx = s.table(table)
     val q = idx.filter($"vec_id" < NumQueries)
-      .select($"bucket", $"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
-    idx.join(q, "bucket")
+      .select(col(bucketCol), $"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    idx.join(q, bucketCol)
       .filter($"vec_id" =!= $"query_id")
-      .select($"bucket", $"query_id", $"vec_id",
+      .select(col(bucketCol), $"query_id", $"vec_id",
         (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
   }
 
@@ -195,6 +196,72 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Trained-codebook cell count. Sized for the test corpus (500–2000
+    * vectors → ~30–125 vectors/cell); at 100 TB the same trainer runs
+    * with k in the hundreds-to-thousands (cells stay k·d integers — a
+    * broadcast-sized codebook either way) and more Lloyd rounds, each
+    * round one broadcast-assign + one k·d-cell shuffle. */
+  val KCells = 16
+
+  /** The k-means-TRAINED coarse quantizer: one fixed-point Lloyd step
+    * ([[KmeansQuantizer.trainedCodebook]], the exact machinery behind
+    * q63) over the embedding corpus, seeds = vectors 0..k−1. Unlike the
+    * per-label quantizer ([[exactCentroidRows]], ~10 cells fixed by the
+    * label vocabulary), this scales its cell count with the corpus —
+    * the real 100 TB codebook path — while staying bit-exact integer
+    * arithmetic, so the DuckDB oracle rebuilds the identical codebook
+    * in SQL and the whole train → assign → probe → rank path
+    * hash-checks. */
+  def trainedCodebook(s: SparkSession, dir: String): DataFrame =
+    KmeansQuantizer.trainedCodebook(Tables(s, dir, "embeddings"), KCells)
+
+  /** IVF top-K over the TRAINED codebook: cell assignment and probe
+    * selection rank cells by EXACT i64 squared-L2 in quantized space
+    * (deterministic, ties → lower cell id); candidate ranking is the
+    * exact double cosine through the codegen'd sequential DotProduct —
+    * the same split FAISS uses (integer/coarse metric for routing,
+    * exact metric for scoring). Candidates scale with cell occupancy
+    * (NProbe/k of the corpus), not corpus size; the persisted form is
+    * [[writeIvfIndex]] (bucketBy cell → shuffle-free probes). */
+  def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vcol(Tables(s, dir, "embeddings"))
+    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
+    val ranked = KmeansQuantizer.assignRanked(q, trainedCodebook(s, dir))
+    val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
+    val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"cid".as("cell"))
+    val qv = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wRank = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    qprobe.join(home, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(qv), "query_id")
+      .join(e.select($"vec_id", $"v", $"norm"), "vec_id")
+      .select($"query_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Persist the trained-codebook IVF index the way [[writeLshIndex]]
+    * persists the LSH one: rows bucketed by home cell, so probes join
+    * bucket-to-bucket with no exchange on the index side and a probe of
+    * NProbe cells prunes the scan to NProbe-of-k bucket files. */
+  def writeIvfIndex(s: SparkSession, dir: String, table: String,
+                    numBuckets: Int = KCells): Unit = {
+    import s.implicits._
+    val e = vcol(Tables(s, dir, "embeddings"))
+    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
+    val home = KmeansQuantizer.assignRanked(q, trainedCodebook(s, dir))
+      .filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
+    val idx = e.join(home, "vec_id")
+      .select($"vec_id", $"label", $"v", $"norm", $"cell")
+    graft.operators.StorageLayout.writeBucketed(idx, table, "cell", numBuckets)
+  }
+
   /** Per-label centroids via the typed VectorAvg Aggregator (the typed
     * UDAF surface), plus each centroid's norm and the label's mean
     * cosine-to-centroid — a cluster-quality profile. Float-order
@@ -225,5 +292,6 @@ object Similarity {
     "sim_topk_bruteforce" -> bruteForceTopK _,
     "sim_topk_lsh" -> lshTopK _,
     "sim_topk_ivf" -> ivfTopK _,
+    "sim_topk_ivf_trained" -> ivfTrainedTopK _,
     "sim_label_centroids" -> labelCentroids _)
 }

@@ -294,6 +294,35 @@ class SimilaritySpec extends AnyFunSuite {
     ivf.unpersist()
   }
 
+  test("trained-codebook IVF: codebook shape + subset-search properties") {
+    import spark.implicits._
+    // the one-Lloyd-step codebook: <= KCells cells, every centroid a
+    // 64-dim integer vector, deterministic across runs (fixed-point
+    // arithmetic — this is what makes the DuckDB oracle reconstruction
+    // possible)
+    val cb = Similarity.trainedCodebook(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(cb.nonEmpty && cb.size <= Similarity.KCells)
+    assert(cb.values.forall(_.length == 64))
+    val cb2 = Similarity.trainedCodebook(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(cb == cb2, "codebook not deterministic across runs")
+    // subset-search properties of the trained top-k (mirrors the
+    // per-label IVF test; value-level gate is the DuckDB hash check)
+    val ivf = Similarity.ivfTrainedTopK(spark, sf).cache()
+    val perQ = ivf.groupBy($"query_id").count().collect()
+    assert(perQ.length == Similarity.NumQueries)
+    assert(perQ.forall(_.getLong(1) <= Similarity.K))
+    assert(ivf.filter($"query_id" === $"vec_id").count() == 0)
+    val bruteBest = Similarity.bruteForceTopK(spark, sf)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    ivf.collect().foreach { r =>
+      assert(r.getAs[Double]("cos_sim") <= bruteBest(r.getLong(0)) + 1e-12)
+    }
+    ivf.unpersist()
+  }
+
   test("label centroids: one row per label, sane cosine and norms") {
     import spark.implicits._
     val c = Similarity.labelCentroids(spark, sf).cache()

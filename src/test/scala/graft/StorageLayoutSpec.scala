@@ -71,6 +71,30 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted TRAINED-codebook IVF index: shuffle-free probes, cell pruning") {
+    import spark.implicits._
+    graft.sim.Similarity.writeIvfIndex(spark, "/root/testdata/sf0.001", "b_emb_ivf")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = graft.sim.Similarity.probePersistedIndex(spark, "b_emb_ivf", "cell")
+      assert(probe.count() > 0)
+      assert(StorageLayout.isShuffleFree(probe),
+        "bucketed IVF probe join must plan without Exchange:\n" +
+          probe.queryExecution.executedPlan.toString.take(2000))
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val one = spark.table("b_emb_ivf").filter($"cell" === 0)
+      one.count()
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains(s"SelectedBucketsCount: 1 out of ${graft.sim.Similarity.KCells}"),
+        s"no cell pruning in scan:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_emb_ivf")
+    }
+  }
+
   test("compact merges a small-files directory, preserving every row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact_").resolve("t").toString
