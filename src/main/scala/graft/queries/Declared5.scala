@@ -420,25 +420,58 @@ object Declared5 {
   // ---------------------------------------------------------------- Q61
   /** Ordered conversion funnel (view → click → purchase): per user, the
     * FIRST time each stage is reached STRICTLY AFTER the previous stage
-    * — the product-analytics / match_recognize shape. Three chained
-    * conditional min-aggregates, each a partial-agg shuffle on user_id
-    * (the same key every time, so at scale the exchange reuse keeps it
-    * one physical repartitioning); strictly-after comparisons on exact
-    * timestamps, so the result is engine-identical. Users who never
+    * — the product-analytics / match_recognize shape. Executed as the
+    * one-shuffle streaming pattern (same secondary sort as q59): ONE
+    * repartition on user_id, local sort by (user_id, ts), then a
+    * per-user state machine over the time-ordered stream — O(1) state
+    * (three timestamps), each user's events scanned once. The chained
+    * conditional-min formulation would scan events three times and
+    * re-shuffle per stage; here a hot user streams through at constant
+    * memory and the event log crosses the wire exactly once. Tie
+    * safety: stage conditions are STRICT ts comparisons against the
+    * previous stage's value, so rows at equal ts qualify (or not)
+    * identically whatever their order within the sort. Users who never
     * reach stage 1 are excluded (funnel root); reached_stage counts how
     * deep they got. */
+  private[queries] final case class FunnelIn(
+      user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  private[queries] final case class FunnelOut(
+      user_id: Long, view_ts: java.sql.Timestamp,
+      click_ts: java.sql.Timestamp, purchase_ts: java.sql.Timestamp)
+
   val q61: Q = (s, dir) => {
     import s.implicits._
-    val ev = Tables(s, dir, "events").select($"user_id", $"event_type", $"ts")
-    val s1 = ev.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"ts").as("view_ts"))
-    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
-      .filter($"ts" > $"view_ts")
-      .groupBy($"user_id").agg(min($"ts").as("click_ts"))
-    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
-      .filter($"ts" > $"click_ts")
-      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
-    s1.join(s2.join(s3, Seq("user_id"), "left"), Seq("user_id"), "left")
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+      .as[FunnelIn]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[Option[FunnelOut]] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Option[FunnelOut] = {
+            val uid = it.head.user_id
+            var v: java.sql.Timestamp = null
+            var c: java.sql.Timestamp = null
+            var p: java.sql.Timestamp = null
+            while (it.hasNext && it.head.user_id == uid) {
+              val e = it.next()
+              e.event_type match {
+                case "view" =>
+                  if (v == null) v = e.ts
+                case "click" =>
+                  if (c == null && v != null && e.ts.compareTo(v) > 0) c = e.ts
+                case "purchase" =>
+                  if (p == null && c != null && e.ts.compareTo(c) > 0) p = e.ts
+                case _ => ()
+              }
+            }
+            if (v != null) Some(FunnelOut(uid, v, c, p)) else None
+          }
+        }.flatten
+      }
+      .toDF()
       .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts",
         (lit(1) + when($"click_ts".isNotNull, 1).otherwise(0) +
           when($"purchase_ts".isNotNull, 1).otherwise(0)).as("reached_stage"))

@@ -219,6 +219,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"no window:\n$plan")
   }
 
+  test("q61: funnel is ONE user_id repartition + streaming state machine") {
+    val plan = executed(queries.Declared5.q61(spark, sf))
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <=1 user_id hash exchange, got $hashEx:\n$plan")
+    assert(plan.contains("MapPartitions"), s"no streaming state machine:\n$plan")
+    // the event log is scanned once — the chained-aggregate form read it 3×
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
+  test("q64: temporal join is an equi-join keyed on user_id, never BNLJ/cartesian") {
+    val plan = executed(queries.Declared5.q64(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // the interval predicate must ride on a user_id equi-join (version
+    // side is dimension-sized; equi key bounds the pair explosion)
+    val keyed = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[user_id#\\d+L?\\], \\[v_user".r
+    assert(keyed.findFirstIn(plan).isDefined, s"no user_id-keyed join:\n$plan")
+  }
+
   test("q59: streaming fold — no per-key history array, one user_id exchange") {
     val plan = executed(queries.Declared5.q59(spark, sf))
     // scale-safety: each key's history must stream through the fold,
