@@ -104,8 +104,11 @@ object Declared5 {
     * aggregation unit, so (doc, term, tf) rows are produced MAP-SIDE
     * (count within the doc, then explode the counted map) — no shuffle
     * of the raw exploded token stream at all. The groupBy(doc_id, term)
-    * formulation this replaces shuffled |corpus tokens| rows first. */
-  private val termCountsUdf = udf((text: String) => {
+    * formulation this replaces shuffled |corpus tokens| rows first.
+    * Since round 6 the kernel is the codegen'd
+    * [[graft.functions.TermCounts]] expression (O4 precedent); this
+    * ScalaUDF twin stays for TokenKernelsParitySpec. */
+  private[graft] val termCountsUdf = udf((text: String) => {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     graft.functions.Signatures.splitTokens(text)
       .foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
@@ -115,7 +118,9 @@ object Declared5 {
   val q54: Q = (s, dir) => {
     import s.implicits._
     val docTerm = Tables(s, dir, "documents")
-      .select($"doc_id", explode(termCountsUdf($"text")).as(Seq("term", "tf")))
+      .select($"doc_id",
+        explode(graft.functions.TokenFunctions.term_counts($"text"))
+          .as(Seq("term", "tf")))
     val df = docTerm.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val scored = docTerm.join(df, "term").crossJoin(broadcast(n))
@@ -189,14 +194,18 @@ object Declared5 {
     * — the SQL-lambda formulation (transform(sequence…) with ContamN
     * element_at calls per window) runs interpreted per element and made
     * this the slowest query in the suite (13 s at sf0.1; sub-second with
-    * the one-pass UDF producing identical strings). */
-  private val ngramsUdf = udf((text: String) =>
+    * the one-pass kernel producing identical strings). Since round 6 the
+    * kernel rides the codegen'd [[graft.functions.DistinctNgrams]]
+    * expression; this ScalaUDF twin stays for TokenKernelsParitySpec. */
+  private[graft] val ngramsUdf = udf((text: String) =>
     graft.functions.Signatures.distinctNgrams(text, ContamN))
 
   val q56: Q = (s, dir) => {
     import s.implicits._
     def grams(src: DataFrame): DataFrame =
-      src.select($"doc_id", explode(ngramsUdf($"text")).as("ng"))
+      src.select($"doc_id",
+        explode(graft.functions.TokenFunctions.distinct_ngrams($"text", ContamN))
+          .as("ng"))
     val docs = Tables(s, dir, "documents")
     val eval = grams(docs.filter($"source" === "src0"))
       .select($"doc_id".as("eval_doc"), $"ng")
