@@ -72,9 +72,11 @@ object StreamingAnalytics {
     * in state (batch q52's is_current row). Correct when per-user
     * event-time order is preserved ACROSS micro-batches (time-split
     * batches, as file sources naturally provide); intra-batch arrival
-    * order is irrelevant — rows are sorted before folding. In
-    * production, late data needs the usual watermark + re-sort in a
-    * foreachBatch front end. */
+    * order is irrelevant — rows are sorted before folding. A late
+    * event ACROSS micro-batches mis-versions (StreamingSpec asserts
+    * the corruption explicitly) — feeds without the cross-batch
+    * ordering guarantee must use [[scd2StreamReordered]], the
+    * watermark + reorder-buffer variant. */
   def scd2Stream(events: DataFrame): Dataset[Scd2Closed] = {
     val s = events.sparkSession
     import s.implicits._
@@ -98,6 +100,65 @@ object StreamingAnalytics {
             }
           }
           st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  final case class Scd2Buffer(open: Option[Scd2Open],
+    pending: Seq[(Long, Long, String)]) // (ts_micros, event_id, event_type)
+
+  /** Out-of-order-tolerant streaming SCD2: [[scd2Stream]] with a
+    * watermark + per-key reorder buffer, for feeds that do NOT
+    * preserve per-user event-time order across micro-batches. Incoming
+    * rows are held in keyed state until the watermark passes them;
+    * only the RIPE prefix (ts < watermark) folds into the open
+    * version, in (ts, event_id) order. Invariant making closures
+    * final: every admitted row has ts ≥ the watermark at its arrival,
+    * and every folded row has ts < the watermark at its fold — so no
+    * future admitted row can ever sort before an already-folded one,
+    * and each closed version is emitted exactly once. Rows arriving
+    * with ts already below the watermark are beyond the reorder budget
+    * and are dropped — the standard watermark lateness contract
+    * (asserted both ways in StreamingSpec: a cross-batch late event
+    * CORRUPTS the in-order variant and is CORRECTED here). State is
+    * O(events inside the delay window) per key, bounded by the
+    * watermark delay — not by history. */
+  def scd2StreamReordered(events: DataFrame,
+                          delay: String = "10 minutes"): Dataset[Scd2Closed] = {
+    val s = events.sparkSession
+    import s.implicits._
+    // the watermarked `ts` attribute must survive projection all the
+    // way into [flatMap]GroupsWithState (selecting only a derived
+    // unix_micros(ts) drops the event-time tag and the operator
+    // refuses to start); micros are derived from the Timestamp inside
+    // the fold with the same epoch arithmetic as unix_micros
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", delay)
+      .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp],
+        $"event_id".as[Long], $"event_type".as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[Scd2Buffer]) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L // micros
+          val st = state.getOption.getOrElse(Scd2Buffer(None, Nil))
+          val admitted = rows.map(r => (micros(r._2), r._3, r._4)).filter(_._1 >= wm)
+          val (ripe, hold) = (st.pending ++ admitted)
+            .sortBy(r => (r._1, r._2)).partition(_._1 < wm)
+          var open = st.open
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          ripe.foreach { case (ts, _, t) =>
+            open = open match {
+              case Some(cur) if cur.event_type == t => Some(cur.copy(n = cur.n + 1))
+              case Some(cur) =>
+                out += Scd2Closed(user, cur.event_type, cur.from_micros, ts, cur.n)
+                Some(Scd2Open(t, ts, 1L))
+              case None => Some(Scd2Open(t, ts, 1L))
+            }
+          }
+          state.update(Scd2Buffer(open, hold))
           out.iterator
       }
   }

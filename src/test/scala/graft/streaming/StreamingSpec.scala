@@ -260,4 +260,63 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       assert(got == truth) // no milestone missed, none duplicated
     } finally q.stop()
   }
+
+  private def tsAt(min: Int) = new java.sql.Timestamp(3600_000L + min * 60_000L)
+
+  test("streaming SCD2: a cross-batch late event corrupts the in-order variant (the documented contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val src = mem.toDF.toDF("user_id", "ts", "event_id", "event_type")
+    val q = StreamingAnalytics.scd2Stream(src)
+      .writeStream.format("memory").queryName("scd2_late").outputMode("append").start()
+    try {
+      mem.addData((1L, tsAt(0), 1L, "a"), (1L, tsAt(20), 3L, "c"))
+      q.processAllAvailable()
+      mem.addData((1L, tsAt(10), 2L, "b")) // late: belongs between a and c
+      q.processAllAvailable()
+      mem.addData((1L, tsAt(60), 4L, "d"))
+      q.processAllAvailable()
+      val closed = spark.table("scd2_late").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      // the in-order fold appended the late 10:10 event AFTER 10:20,
+      // closing version c with valid_to < valid_from — the silent
+      // mis-versioning this test pins as the variant's contract boundary
+      assert(closed.exists { case (_, from, to) => to < from },
+        s"expected an inverted interval from the late event, got ${closed.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming SCD2 reordered: watermark buffer splices the late event correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val src = mem.toDF.toDF("user_id", "ts", "event_id", "event_type")
+    val q = StreamingAnalytics.scd2StreamReordered(src, "10 minutes")
+      .writeStream.format("memory").queryName("scd2_reord").outputMode("append").start()
+    try {
+      mem.addData((1L, tsAt(0), 1L, "a"), (1L, tsAt(20), 3L, "c"))
+      q.processAllAvailable() // wm after batch: 10:10
+      mem.addData((1L, tsAt(10), 2L, "b")) // late but within the 10-min budget
+      q.processAllAvailable()
+      mem.addData((1L, tsAt(60), 4L, "d")) // advances wm to 10:50
+      q.processAllAvailable()
+      mem.addData((1L, tsAt(90), 5L, "e")) // wm 10:50 at fold: b, c ripen
+      q.processAllAvailable()
+      mem.addData((1L, tsAt(120), 6L, "f")) // wm 11:20 at fold: d ripens
+      q.processAllAvailable()
+      val closed = spark.table("scd2_reord").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val m = 60_000_000L // micros per minute; epoch base 3600s
+      def at(min: Int) = 3600_000_000L + min * m
+      // the late b spliced between a and c: a closes AT b, b AT c, c AT d
+      assert(closed == Set(
+        ("a", at(0), at(10), 1L),
+        ("b", at(10), at(20), 1L),
+        ("c", at(20), at(60), 1L)),
+        s"mis-spliced versions: $closed")
+    } finally q.stop()
+  }
 }
