@@ -20,45 +20,58 @@ object Bench {
     // warm-up: exercise codegen, parquet reader, shuffle machinery
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "lineitem").limit(1000).count()
-    // min of two warm runs per query: the host shows bursty vCPU
+    // min of three warm runs per query: the host shows bursty vCPU
     // throttling (identical queries swing 1s↔30s), and a single-shot
     // timing inside a throttle window misattributes host noise to the
     // query. The min is the truer cost of the plan. The passes are
-    // INTERLEAVED (all queries once, then all again) so a query's two
-    // samples are separated by ~a full pass — back-to-back samples both
-    // land in the same multi-second throttle window and the min doesn't
-    // help (r1: q19's two adjacent runs both measured 9s for a 0.2s plan).
+    // INTERLEAVED (all queries once, then all again, then a third time)
+    // so a query's samples are separated by ~a full pass — back-to-back
+    // samples all land in the same multi-second throttle window and the
+    // min doesn't help (r1: q19's two adjacent runs both measured 9s for
+    // a 0.2s plan). Three passes instead of two after r5, where q05/q11
+    // moved +37%/+85% in the driver artifact while their plans were
+    // pinned unchanged-or-better — with min-of-2 a single throttle
+    // window covering one full pass corrupts the min; a third sample
+    // makes "host noise vs real regression" decidable. Per-query
+    // MAX also ships (`spread` map) so the round-over-round comparison
+    // can see the noise floor directly instead of inferring it.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
       Some((System.nanoTime() - t0) / 1e9)
     }
-    val pass1 = ordered.map { case (name, fn) => name -> once(fn) }
-    val pass2 = ordered.map { case (name, fn) => name -> once(fn) }
-    // min over SUCCESSFUL runs — a transient second-run failure must
-    // not discard a valid first-run measurement
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
-      val runs = Seq(a, b).flatten
-      name -> (if (runs.isEmpty) -1.0 else runs.min)
+    val passes = (1 to 3).map(_ => ordered.map { case (name, fn) => once(fn) })
+    // min over SUCCESSFUL runs — a transient late-run failure must
+    // not discard a valid earlier measurement
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val runs = passes.flatMap(_(i))
+      name -> (if (runs.isEmpty) (-1.0, -1.0) else (runs.min, runs.max))
     }
     // 4-decimal rendering (sub-ms resolution is host noise anyway) keeps
     // the detail line ~40% smaller than full double repr
     def r4(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
+    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
+      .mkString("{", ",", "}")
+    // per-query [min,max] over the three passes: the max-vs-min gap IS
+    // the measured host-noise band, so a future round can tell "q05 got
+    // slower" from "q05's samples all landed in a throttle window"
+    val spread = results.map { case (k, (mn, mx)) => s"\"" + k + "\":[" + r4(mn) + "," + r4(mx) + "]" }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total, not
     // subtracted from it
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Two lines, detail FIRST and a SHORT summary line LAST: the driver's
-    // stdout capture keeps the tail, and r3's single giant line (73-query
-    // map before the total) got its head truncated → BENCH_r03 parsed:
-    // null. The final line stays small (total + slowest-5) so the tail
-    // always contains one complete parseable JSON object; the full
-    // per-query map rides on the line before it for when capture allows.
-    val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    // Three lines, detail FIRST and a SHORT summary line LAST: the
+    // driver's stdout capture keeps the tail, and r3's single giant line
+    // (73-query map before the total) got its head truncated →
+    // BENCH_r03 parsed: null. The final line stays small (total +
+    // slowest-5) so the tail always contains one complete parseable
+    // JSON object; the full per-query min map and the min/max spread
+    // map ride on the lines before it for when capture allows.
+    val slowest = results.sortBy(-_._2._1).take(5)
+      .map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }.mkString("{", ",", "}")
+    println(s"""{"metric":"spread","spread":$spread,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"slowest5":$slowest}""")
     spark.stop()

@@ -114,6 +114,11 @@ object StorageLayout {
     val bound = 1L << bits
     val b = df.agg(min(col(dimA).cast("long")), max(col(dimA).cast("long")),
       min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head
+    // empty input (or an all-null dim) yields null aggregates — getLong
+    // would NPE; fail with the real reason instead
+    require((0 to 3).forall(i => !b.isNullAt(i)),
+      s"z-order write needs non-empty input with non-null $dimA/$dimB " +
+        s"(got min/max = ${(0 to 3).map(i => if (b.isNullAt(i)) "null" else b.getLong(i).toString).mkString(",")})")
     require(b.getLong(0) >= 0 && b.getLong(1) < bound &&
       b.getLong(2) >= 0 && b.getLong(3) < bound,
       s"z-order dims must lie in [0, $bound): " +
@@ -141,6 +146,10 @@ object StorageLayout {
       .collect()
       .map { (r: Row) =>
         r.getString(0) -> dims.zipWithIndex.map { case (d, i) =>
+          // a file whose dim is entirely null has null min/max — surface
+          // that as a named error, not a bare NPE from getLong
+          require(!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i),
+            s"file ${r.getString(0)}: dim $d has null min/max (all-null column?)")
           d -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
         }.toMap
       }.toSeq

@@ -197,14 +197,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = executed(queries.Declared5.q60b(spark, sf))
     // the only Window operators run over the chunks×priorities offset
     // aggregate (partitioned by priority over CHUNK rows); the corpus
-    // itself passes through range repartition + local sort + broadcast
+    // itself passes through range repartition + local sort (now behind
+    // an eager localCheckpoint that pins mid's determinism) + broadcast
     // join — no window whose partition is the 5-value priority column
-    // ever sees the full row stream. Cheap proxy: every Window in the
-    // plan sits above the tiny aggregate (count distinct run rows),
-    // which whole-plan row counts can't easily assert — so pin the
-    // structural facts: a range exchange exists, and the broadcast of
-    // the offsets table exists.
-    assert(plan.contains("rangepartitioning"), s"no range repartition:\n$plan")
+    // ever sees the full row stream. The checkpoint hides the range
+    // exchange from the downstream executed plan, so pin it on the
+    // pre-checkpoint subtree, and pin the checkpoint scan + offsets
+    // broadcast downstream.
+    val basePlan = executed(queries.Declared5.q60bBase(spark, sf))
+    assert(basePlan.contains("rangepartitioning"), s"no range repartition:\n$basePlan")
+    assert(plan.contains("ExistingRDD"), s"base not checkpointed (mid determinism unpinned):\n$plan")
     assert(plan.contains("BroadcastExchange"), s"offsets not broadcast:\n$plan")
   }
 

@@ -20,7 +20,11 @@ class SqlParitySpec extends AnyFunSuite {
 
   private def normalized(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.map(c => col(c).cast("string"))
-    df.select(cols.toIndexedSeq: _*).collect().map(_.mkString("|")).toSeq
+    // sort the rendered rows rather than relying on each query's
+    // presentation ORDER BY being a total order — true for the three
+    // queries pinned today (unique sort keys) but silently fragile if
+    // the spec grows a query whose sort has ties
+    df.select(cols.toIndexedSeq: _*).collect().map(_.mkString("|")).toSeq.sorted
   }
 
   private def assertParity(name: String, dataframe: DataFrame): Unit = {
