@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Declared.queries ++ graft.queries.Declared2.queries ++
       graft.queries.Declared3.queries ++ graft.queries.Declared4.queries ++
-      graft.queries.Declared5.queries ++
+      graft.queries.Declared5.queries ++ graft.queries.Declared6.queries ++
       EtlDemo.queries ++ graft.queries.Profiles.queries ++
       graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
       graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries
@@ -33,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Oracle.oracleSql ++ graft.queries.Oracle2.oracleSql ++
       graft.queries.Oracle3.oracleSql ++ graft.queries.Oracle4.oracleSql ++
-      graft.queries.Oracle5.oracleSql ++ graft.queries.Profiles.oracleSql
+      graft.queries.Oracle5.oracleSql ++ graft.queries.Oracle6.oracleSql ++
+      graft.queries.Profiles.oracleSql
 }

@@ -1,0 +1,329 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextAnalysis.tokens
+
+/** Round-6 additions to the declared capability inventory (SURVEY §2.4):
+  * sketch-bounded heavy hitters, MERGE-style upsert application, a
+  * two-phase distributed skyline, training-data mixture apportionment,
+  * the bloom-prefiltered decontamination variant (the 100 TB path q56's
+  * docs promised), and fixed-point PageRank over a bipartite graph.
+  * Same authoring contract as [[Declared]]..[[Declared5]]: total ORDER
+  * BY over a unique key set, exact integer arithmetic wherever a float
+  * would make the result engine- or order-dependent, oracle SQL in
+  * [[Oracle6]] interpolating the SAME Scala constants.
+  */
+object Declared6 {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- Q65
+  /** Heavy-hitter threshold 1/φ: report bigrams with count > total/φ. */
+  val HhPhi = 800
+
+  private[queries] final case class HhCand(bg: String)
+
+  /** Frequent-items (heavy hitters) over the corpus bigram stream with a
+    * Misra-Gries candidate pass: tokens → word bigrams → per-partition
+    * MG(φ) summaries (φ counters, decrement-all on overflow) whose
+    * union PROVABLY contains every global φ-heavy item (if count(x) >
+    * n/φ then some partition has count_p(x) > n_p/φ > n_p/(φ+1), so x
+    * survives that partition's summary) → exact verification counts
+    * over candidates only. The point at 100 TB: the full-stream
+    * `groupBy(bigram)` shuffles the entire token stream; here the
+    * shuffle carries ONLY rows matching ≤ φ·partitions candidate keys
+    * (broadcast semi-filter before the exchange), and the candidate
+    * pass itself is shuffle-free map-side sketching. Output is exact —
+    * the sketch only bounds, never approximates. */
+  val q65: Q = (s, dir) => {
+    import s.implicits._
+    val toks = tokens($"text")
+    val bigrams = Tables(s, dir, "documents")
+      .filter(size(tokens($"text")) >= 2)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val k = HhPhi
+    // per-partition Misra-Gries: ≤ k counters, O(1) amortized per item
+    val candidates = bigrams.as[String].mapPartitions { rows =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts(t) = c + 1
+          case None if counts.size < k => counts(t) = 1L
+          case None =>
+            // decrement-all; drop zeros (classic MG step)
+            val dead = counts.iterator.collect { case (key, 1L) => key }.toArray
+            counts.keysIterator.toArray.foreach { key =>
+              counts(key) -= 1
+            }
+            dead.foreach(counts.remove)
+        }
+      }
+      counts.keysIterator.map(HhCand)
+    }.toDF().distinct()
+    val total = bigrams.agg(count(lit(1)).as("n"))
+    bigrams.join(broadcast(candidates), "bg")
+      .groupBy($"bg").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt" * HhPhi > $"n")
+      .select($"bg".as("bigram"), $"cnt")
+      .orderBy($"bigram")
+  }
+
+  // ---------------------------------------------------------------- Q66
+  /** Synthetic-insert feed: every MergeInsertMod-th order arrives as a
+    * brand-new customer keyed MergeInsertBase + o_orderkey. */
+  val MergeInsertMod = 97L
+  val MergeInsertBase = 2000000L
+
+  /** MERGE INTO (Delta/Iceberg upsert) semantics as a batch operator:
+    * apply a change feed (latest order per customer → update/delete,
+    * plus an insert feed of new keys) onto the customer dimension in
+    * one pass. op per matched key: latest status 'F' → DELETE, else
+    * UPDATE (balance += order cents; status 'O' also marks the name);
+    * unmatched feed keys INSERT. Executed as ONE full-outer equi-join
+    * on the key + per-row CASE — the canonical distributed MERGE shape
+    * (no driver loop, no per-op passes); the change feed itself is a
+    * WindowGroupLimit latest-per-key, one shuffle. All money math in
+    * exact cents. */
+  val q66: Q = (s, dir) => {
+    import s.implicits._
+    val base = Tables(s, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_name".as("bname"),
+        floor($"c_acctbal" * 100).cast("long").as("bbal"))
+    val wo = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val orders = Tables(s, dir, "orders")
+    val latest = orders
+      .withColumn("rn", row_number().over(wo)).filter($"rn" === 1)
+      .select($"o_custkey".as("k"),
+        when($"o_orderstatus" === "F", "D").otherwise("U").as("op"),
+        floor($"o_totalprice" * 100).cast("long").as("delta"),
+        $"o_orderstatus".as("st"))
+    val inserts = orders.filter($"o_orderkey" % MergeInsertMod === 0)
+      .select(($"o_orderkey" + MergeInsertBase).as("k"), lit("I").as("op"),
+        floor($"o_totalprice" * 100).cast("long").as("delta"),
+        lit("").as("st"))
+    val changes = latest.unionByName(inserts)
+    base.join(changes, Seq("k"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select($"k".as("c_custkey"),
+        when($"op".isNull, $"bname")
+          .when($"op" === "I", concat(lit("new_customer_"), ($"k" - MergeInsertBase).cast("string")))
+          .when($"st" === "O", concat($"bname", lit("+")))
+          .otherwise($"bname").as("name"),
+        when($"op".isNull, $"bbal")
+          .when($"op" === "I", $"delta")
+          .otherwise($"bbal" + $"delta").as("bal_cents"),
+        when($"op".isNull, "keep").when($"op" === "I", "insert")
+          .otherwise("update").as("last_op"))
+      .orderBy($"c_custkey")
+  }
+
+  // ---------------------------------------------------------------- Q67
+  private[queries] final case class SkyRow(p_partkey: Long, cents: Long, p_size: Int)
+
+  /** Skyline (pareto frontier) of parts: minimize price, maximize size —
+    * rows no other row dominates (≤ price, ≥ size, strict in one; exact
+    * ties are mutually non-dominating and all survive). Executed as the
+    * classic TWO-PHASE distributed skyline: each partition sorts by
+    * (cents asc, size desc) and one O(1)-state sweep emits its LOCAL
+    * skyline (a point dominated locally is dominated globally, so the
+    * local pass loses nothing); the union of local skylines — the only
+    * data that moves — collapses on one partition for the identical
+    * global sweep. The naive formulation is the quadratic NOT-EXISTS
+    * self-join (the oracle's text, fine at oracle scale); the plan here
+    * contains NO join at all. Final-pass bound: candidates = union of
+    * local skylines, in practice O(log-ish) per partition for
+    * non-adversarial data — the standard distributed-skyline contract. */
+  val q67: Q = (s, dir) => {
+    import s.implicits._
+    def sweep(rows: Iterator[SkyRow]): Iterator[SkyRow] = {
+      // rows sorted by (cents asc, size desc[, partkey]); emit the
+      // leading max-size tie-group of each cents value iff it strictly
+      // beats every cheaper group's max size
+      val it = rows.buffered
+      new Iterator[Seq[SkyRow]] {
+        private var best = Long.MinValue
+        def hasNext: Boolean = it.hasNext
+        def next(): Seq[SkyRow] = {
+          val head = it.next()
+          val cents = head.cents
+          val groupMax = head.p_size
+          val out = scala.collection.mutable.ArrayBuffer[SkyRow]()
+          if (groupMax > best) { out += head; best = groupMax.toLong }
+          var emitting = out.nonEmpty
+          while (it.hasNext && it.head.cents == cents) {
+            val r = it.next()
+            if (emitting && r.p_size == groupMax) out += r else emitting = false
+          }
+          out.toSeq
+        }
+      }.flatten
+    }
+    val parts = Tables(s, dir, "part")
+      .select($"p_partkey", floor($"p_retailprice" * 100).cast("long").as("cents"),
+        $"p_size")
+      .as[SkyRow]
+    val local = parts
+      .sortWithinPartitions($"cents", $"p_size".desc, $"p_partkey")
+      .mapPartitions(sweep)
+    local
+      .repartition(1)
+      .sortWithinPartitions($"cents", $"p_size".desc, $"p_partkey")
+      .mapPartitions(sweep)
+      .toDF()
+      .orderBy($"p_partkey")
+  }
+
+  // ---------------------------------------------------------------- Q68
+  /** Total document budget apportioned across sources. */
+  val MixBudget = 200L
+  /** Docs per chunk for the distributed within-source ranking. */
+  val MixChunk = 64L
+
+  /** Training-data mixture sampling: apportion a fixed document budget
+    * across sources by target weight using LARGEST-REMAINDER (Hamilton)
+    * apportionment — exact integer quotas that sum to the budget — then
+    * deterministically take each source's quota smallest doc_ids.
+    * Weights derive from the source name ((index mod 5) + 1) so both
+    * engines compute them from the data. The within-source ranking is
+    * the q60b two-phase shape, NOT a per-source window (20 sources at
+    * 100 TB = 20 single-task sorts): row_number partitions by (source,
+    * doc_id-chunk) — parallelism = sources × chunks — and a tiny
+    * (source × chunk) count aggregate turns into prefix offsets whose
+    * window runs over chunk rows, not documents. Apportionment windows
+    * run over 20 source rows — driver-free but trivially small by
+    * construction. */
+  val q68: Q = (s, dir) => {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source", floor($"doc_id" / MixChunk).as("chunk"))
+    // --- apportionment over the tiny per-source aggregate
+    val srcs = docs.groupBy($"source").agg(count(lit(1)).as("avail"))
+      .withColumn("w", (substring($"source", 4, 10).cast("long") % 5 + 1))
+    val withSum = srcs.crossJoin(broadcast(srcs.agg(sum($"w").as("sumw"))))
+      .select($"source", $"w", $"sumw",
+        expr(s"($MixBudget * w) div sumw").as("quota0"),
+        (lit(MixBudget) * $"w" % $"sumw").as("rem"))
+    val extra = withSum.agg((lit(MixBudget) - sum($"quota0")).as("extra"))
+    val wRem = Window.orderBy($"rem".desc, $"source")
+    val quotas = withSum.crossJoin(broadcast(extra))
+      .select($"source",
+        ($"quota0" + when(row_number().over(wRem) <= $"extra", 1L).otherwise(0L))
+          .as("quota"))
+    // --- two-phase within-source rank (q60b pattern): local row_number
+    // per (source, chunk), offsets from the tiny chunk-count aggregate
+    val wLocal = Window.partitionBy($"source", $"chunk").orderBy($"doc_id")
+    val local = docs.withColumn("lrn", row_number().over(wLocal))
+    val wOff = Window.partitionBy($"source").orderBy($"chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy($"source", $"chunk").agg(count(lit(1)).as("cn"))
+      .select($"source".as("osrc"), $"chunk".as("ochunk"),
+        coalesce(sum($"cn").over(wOff), lit(0L)).as("off"))
+    local
+      .join(broadcast(offsets), $"source" === $"osrc" && $"chunk" === $"ochunk")
+      .join(broadcast(quotas), "source")
+      .filter($"off" + $"lrn" <= $"quota")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  // --------------------------------------------------------------- Q56b
+  /** Bloom-prefiltered decontamination — the 100 TB upgrade q56's docs
+    * prescribe, implemented and held row-identical to q56 (same oracle
+    * text): build a bloom filter over the eval side's distinct n-grams
+    * (benchmark-sized by q56's gate argument), broadcast it, and drop
+    * non-matching train n-grams BEFORE anything shuffles or joins. The
+    * bloom's false positives are removed by the exact join that
+    * follows, so the output is exact; what the bloom buys at scale is
+    * that the join (even the broadcast probe) sees ~overlap-sized
+    * input instead of the full train n-gram stream. */
+  val q56b: Q = (s, dir) => {
+    import s.implicits._
+    def grams(src: DataFrame): DataFrame =
+      src.select($"doc_id",
+        explode(graft.functions.TokenFunctions.distinct_ngrams($"text", Declared5.ContamN))
+          .as("ng"))
+    val docs = Tables(s, dir, "documents")
+    val eval = grams(docs.filter($"source" === "src0"))
+      .select($"doc_id".as("eval_doc"), $"ng")
+    val evalSizes = eval.groupBy($"eval_doc").agg(count(lit(1)).as("n_eval_ngrams"))
+    // driver-built bloom over the (small) eval n-gram set; 1% fpp keeps
+    // it a few hundred KB per million n-grams
+    val bloom = eval.stat.bloomFilter("ng", 200000L, 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((ng: String) => bloomBc.value.mightContainString(ng))
+    val train = grams(docs.filter($"source" =!= "src0"))
+      .select($"doc_id".as("train_doc"), $"ng")
+      .filter(mightContain($"ng"))
+    train.join(broadcast(eval), "ng")
+      .groupBy($"train_doc", $"eval_doc").agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(evalSizes), "eval_doc")
+      .select($"train_doc", $"eval_doc", $"n_overlap", $"n_eval_ngrams",
+        ($"n_overlap".cast("double") / $"n_eval_ngrams".cast("double"))
+          .as("overlap_frac"))
+      .orderBy($"train_doc", $"eval_doc")
+  }
+
+  // ---------------------------------------------------------------- Q69
+  /** Fixed-point PageRank scale (rank units of 1/PrScale). */
+  val PrScale = 1000000L
+  /** Lloyd-style fixed iteration count (unrolled in the oracle). */
+  val PrIters = 3
+
+  /** PageRank over the bipartite supplier↔part graph (distinct lineitem
+    * (suppkey, partkey) pairs, edges both directions), [[PrIters]]
+    * damped iterations ENTIRELY in integer arithmetic (ranks scaled by
+    * [[PrScale]], floor division for contributions and damping) so the
+    * result is bit-exact across engines — the q63 fixed-point treatment
+    * applied to iterative graph propagation. Shape per iteration: join
+    * ranks to the degree-annotated edge list on src (one hash exchange
+    * each side, the edge list cached and its partitioning reused every
+    * iteration), aggregate contributions by dst (second exchange), left
+    * join back to the node set. No driver-side graph state, no
+    * collect; nodes are defined FROM edges so the graph has no dangling
+    * mass. Node encoding 2k / 2k+1 keeps one BIGINT join key. */
+  val q69: Q = (s, dir) => {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select(($"l_suppkey" * 2).as("a"), ($"l_partkey" * 2 + 1).as("b"))
+      .distinct()
+    val edges = li.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(li.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // degree-annotated edges, cached: reused by all PrIters iterations
+    val e = edges.join(deg, "src").persist()
+    val nodes = deg.select($"src".as("nid")).persist()
+    val baseRank = 15L * PrScale / 100
+    var ranks = nodes.select($"nid", lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contribs = e.join(ranks.withColumnRenamed("nid", "src"), "src")
+        .select($"dst".as("nid"), expr("pr div deg").as("c"))
+      val sums = contribs.groupBy($"nid").agg(sum($"c").as("s"))
+      ranks = nodes.join(sums, Seq("nid"), "left")
+        .select($"nid",
+          (lit(baseRank) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("pr"))
+    }
+    val out = ranks
+      .select(when($"nid" % 2 === 0, "supplier").otherwise("part").as("node_type"),
+        expr("nid div 2").as("node_key"), $"pr")
+      .orderBy($"node_type", $"node_key")
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_heavy_hitters" -> q65,
+    "q66_merge_upsert" -> q66,
+    "q67_skyline" -> q67,
+    "q68_data_mixture" -> q68,
+    "q56b_contam_bloom" -> q56b,
+    "q69_pagerank" -> q69)
+}

@@ -254,4 +254,35 @@ class PlanAuditSpec extends AnyFunSuite {
     // the secondary sort below the fold is a local (non-global) sort
     assert(plan.contains("Sort"), s"no secondary sort:\n$plan")
   }
+
+  test("q65: exact counts only shuffle candidate-filtered rows (broadcast semi, no SMJ)") {
+    val plan = executed(queries.Declared6.q65(spark, sf))
+    // the Misra-Gries candidate set joins the bigram stream as a
+    // broadcast — the full stream must never sort-merge or shuffle
+    // toward the tiny candidate side
+    assert(plan.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"bigram stream shuffled to candidates:\n$plan")
+  }
+
+  test("q67: the two-phase skyline has NO join operator (vs the quadratic NOT-EXISTS shape)") {
+    val plan = executed(queries.Declared6.q67(spark, sf))
+    assert(!plan.contains("Join"), s"skyline should be join-free sweeps:\n$plan")
+    assert(plan.contains("MapPartitions"), s"no sweep operator:\n$plan")
+  }
+
+  test("q68: within-source rank partitions by (source, chunk), not source alone") {
+    val plan = executed(queries.Declared6.q68(spark, sf))
+    // the q60b lesson: a row_number partitioned by the low-cardinality
+    // source column alone is one task per source at scale; the doc
+    // stream's window must carry the chunk in its partition spec
+    val chunked = "windowspecdefinition\\(source#\\d+, chunk#\\d+L?,".r
+    assert(chunked.findFirstIn(plan).isDefined,
+      s"doc-stream window not chunk-partitioned:\n$plan")
+  }
+
+  test("q69: pagerank iterations are equi-joins — no cartesian/nested-loop anywhere") {
+    val plan = executed(queries.Declared6.q69(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in pagerank:\n$plan")
+  }
 }
