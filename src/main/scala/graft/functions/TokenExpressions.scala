@@ -59,6 +59,31 @@ object TokenKernels {
     while (i < grams.length) { out(i) = UTF8String.fromString(grams(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL word n-gram windows with their 1-based token position, as an
+    * array of (pos, gram) structs — duplicates kept (positional span
+    * detection needs every occurrence, unlike the distinct kernel).
+    * Null/short text → empty array. */
+  def posNgramsInternal(raw: UTF8String, n: Int): ArrayData = {
+    val toks = Signatures.splitTokens(if (raw == null) null else raw.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i + 1, UTF8String.fromString(sb.toString)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** text → map<string, bigint> of per-document term counts. */
@@ -125,6 +150,43 @@ case class DistinctNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** text → array<struct<pos:int, gram:string>> of every word n-gram
+  * window with its 1-based position (duplicates kept). */
+case class PosNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram order must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_pos_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pos_ngrams needs string input, got ${child.dataType}")
+
+  override def eval(input: InternalRow): Any =
+    TokenKernels.posNgramsInternal(
+      child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val block =
+      code"""
+         |${c.code}
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+         |  graft.functions.TokenKernels.posNgramsInternal(
+         |    ${c.isNull} ? null : ${c.value}, $n);
+       """.stripMargin
+    ev.copy(code = block, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PosNgrams =
+    copy(child = newChild)
+}
+
 /** Column-level entry points, registered per-session the same way
   * [[VectorFunctions]] registers dot_product. */
 object TokenFunctions {
@@ -141,6 +203,14 @@ object TokenFunctions {
     SparkSession.active.sessionState.functionRegistry
       .createOrReplaceTempFunction(name,
         exprs => DistinctNgrams(exprs.head, n), "built-in")
+    call_function(name, c)
+  }
+
+  def pos_ngrams(c: Column, n: Int): Column = {
+    val name = s"graft_pos_ngrams_$n"
+    SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name,
+        exprs => PosNgrams(exprs.head, n), "built-in")
     call_function(name, c)
   }
 }

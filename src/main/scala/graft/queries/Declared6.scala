@@ -319,11 +319,75 @@ object Declared6 {
     out
   }
 
+  // ---------------------------------------------------------------- Q70
+  /** Duplicated-span window length in tokens. */
+  val SpanN = 8
+
+  /** Positional token-span dedup (the exact-substring flavor of
+    * training-data dedup, at fixed n-gram granularity): every SpanN-token
+    * window of every document, positions kept; a span is DUPLICATED if
+    * its text occurs in ≥ 2 distinct documents; per document report
+    * total windows, duplicated windows, and the first duplicated
+    * position — the per-doc signal a span-removal pass would consume.
+    * Kernel is the codegen'd [[graft.functions.PosNgrams]] (positions
+    * make the SQL-lambda formulation even worse than q56's was). Shape:
+    * explode → two-level agg for the dup-gram set (map-side combine on
+    * gram) → gram-keyed equi-join back → per-doc agg. The gram join is
+    * big-big by design — exactly the join you'd bloom/bucket at 100 TB
+    * (q56b's pattern applies verbatim); no step materializes per-doc
+    * arrays. */
+  val q70: Q = (s, dir) => {
+    import s.implicits._
+    val spans = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(graft.functions.TokenFunctions.pos_ngrams($"text", SpanN)).as("s"))
+      .select($"doc_id", $"s.pos".as("pos"), $"s.gram".as("gram"))
+    val dup = spans.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2)
+      .select($"gram", lit(true).as("isdup"))
+    spans.join(dup, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when($"isdup", 1)).as("n_dup_spans"),
+        min(when($"isdup", $"pos")).as("first_dup_pos"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- Q71
+  /** Per-source sample size. */
+  val HsK = 10
+  /** Knuth multiplicative-hash parameters (16-bit Fibonacci-ish —
+    * deliberately small so priority arithmetic can't overflow BIGINT
+    * for any realistic doc_id; ties broken by doc_id). */
+  val HsMul = 40503L
+  val HsMod = 65536L
+
+  /** Deterministic pseudo-random sampling per source — how a training
+    * pipeline draws a REPRODUCIBLE fixed-size sample per stratum at
+    * scale (no rand(), no seed plumbing: the sample is a pure function
+    * of the data): priority = (doc_id · HsMul) mod HsMod, take the HsK
+    * lowest (priority, doc_id) per source. The literal-k rank filter
+    * plans as WindowGroupLimit with a PARTIAL pass before the exchange
+    * (pinned), so each input partition forwards at most k rows per
+    * source — the shuffle carries O(k · partitions · sources), never
+    * the corpus. */
+  val q71: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"priority", $"doc_id")
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"source", ($"doc_id" * HsMul % HsMod).as("priority"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= HsK)
+      .select($"doc_id", $"source", $"priority")
+      .orderBy($"source", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_heavy_hitters" -> q65,
     "q66_merge_upsert" -> q66,
     "q67_skyline" -> q67,
     "q68_data_mixture" -> q68,
     "q56b_contam_bloom" -> q56b,
-    "q69_pagerank" -> q69)
+    "q69_pagerank" -> q69,
+    "q70_dup_spans" -> q70,
+    "q71_hash_sample" -> q71)
 }

@@ -10,7 +10,8 @@ package graft.queries
   * one answer. The PageRank oracle unrolls [[Declared6.PrIters]]
   * iterations mechanically from the same constants. */
 object Oracle6 {
-  import Declared6.{HhPhi, MergeInsertMod, MergeInsertBase, MixBudget, PrScale, PrIters}
+  import Declared6.{HhPhi, MergeInsertMod, MergeInsertBase, MixBudget, PrScale, PrIters,
+    SpanN, HsK, HsMul, HsMod}
 
   private val prBase = 15L * PrScale / 100
 
@@ -128,5 +129,32 @@ object Oracle6 {
 
     "q56b_contam_bloom" -> Oracle5.oracleSql("q56_contamination"),
 
-    "q69_pagerank" -> pagerankSql)
+    "q69_pagerank" -> pagerankSql,
+
+    "q70_dup_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |    list_aggregate(toks[i:i + ${SpanN - 1}], 'string_agg', ' ') AS gram
+         |  FROM t, unnest(range(1, len(toks) - ${SpanN - 2})) AS u(i)),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT doc_id, pos, gram IN (SELECT gram FROM d) AS isdup FROM g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(count(*) FILTER (isdup) AS BIGINT) AS n_dup_spans,
+         |  min(pos) FILTER (isdup) AS first_dup_pos
+         |FROM m GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q71_hash_sample" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source, (doc_id * $HsMul) % $HsMod AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, priority, row_number() OVER (
+         |    PARTITION BY source ORDER BY priority, doc_id) AS rn
+         |  FROM p)
+         |SELECT doc_id, source, priority FROM r WHERE rn <= $HsK
+         |ORDER BY source, doc_id""".stripMargin)
 }

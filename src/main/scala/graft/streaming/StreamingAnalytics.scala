@@ -188,6 +188,48 @@ object StreamingAnalytics {
       }
   }
 
+  final case class FreqItemCand(bucket: Int, user_id: Long, bucket_seen: Long)
+
+  /** Streaming Misra-Gries frequent items — the q65 candidate pass as
+    * an unbounded-stream operator: heavy users over the event stream.
+    * Items hash-partition into `buckets` key groups; each group's state
+    * is ONE bounded MG(k) summary (≤ k counters regardless of stream
+    * length — this is what makes per-key state safe at 100 TB, where
+    * per-USER count state would hold every user ever seen). Each batch
+    * emits the group's current candidate snapshot tagged with the
+    * monotone bucket_seen total, so a consumer (or the parity spec)
+    * takes the max-bucket_seen snapshot per bucket as current. Guarantee
+    * (same argument as q65, per bucket): any user with global count >
+    * total/(k+1) is in its bucket's snapshot — candidates are a
+    * superset, to be exact-verified by a batch count pass. */
+  def frequentUsersStream(events: DataFrame, k: Int = 64, buckets: Int = 16)
+      : Dataset[FreqItemCand] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"user_id".as[Long])
+      .groupByKey(u => (u % buckets).toInt)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Int, rows: Iterator[Long], state: GroupState[(Map[Long, Long], Long)]) =>
+          val (saved, seen0) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+          val counts = scala.collection.mutable.HashMap[Long, Long](saved.toSeq: _*)
+          var seen = seen0
+          rows.foreach { u =>
+            seen += 1
+            counts.get(u) match {
+              case Some(c) => counts(u) = c + 1
+              case None if counts.size < k => counts(u) = 1L
+              case None =>
+                val dead = counts.iterator.collect { case (key, 1L) => key }.toArray
+                counts.keysIterator.toArray.foreach(key => counts(key) -= 1)
+                dead.foreach(counts.remove)
+            }
+          }
+          state.update((counts.toMap, seen))
+          counts.keysIterator.map(u => FreqItemCand(bucket, u, seen))
+      }
+  }
+
   /** Session windows via Spark's native session_window — the streaming
     * form of batch Q25 (gaps-and-islands sessionization): events of one
     * user merge while gaps stay under 30 min; the watermark closes and

@@ -98,6 +98,41 @@ class Declared6Spec extends AnyFunSuite {
       norm(graft.queries.Declared5.q56(spark, sf)))
   }
 
+  test("q70: PosNgrams kernel — positions and windows match a naive reimplementation") {
+    import spark.implicits._
+    val samples = Seq("a b c d", "", "  x  ", "a a a a a", null,
+      "one two three four five six seven eight nine")
+    val got = samples.toDF("text")
+      .select(explode_outer(graft.functions.TokenFunctions.pos_ngrams($"text", 3)).as("s"))
+      .select($"s.pos", $"s.gram").collect()
+      .map(r => if (r.isNullAt(0)) null else (r.getInt(0), r.getString(1))).toSeq
+    val expect = samples.flatMap { t =>
+      val toks = Option(t).getOrElse("").split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Seq(null)
+      else (0 to toks.length - 3).map(i => (i + 1, toks.slice(i, i + 3).mkString(" ")))
+    }
+    assert(got == expect)
+  }
+
+  test("q70: per-doc dup-span counters are internally consistent") {
+    import spark.implicits._
+    val out = Declared6.q70(spark, sf).cache()
+    assert(out.filter($"n_dup_spans" > $"n_spans").count() == 0)
+    assert(out.filter($"n_dup_spans" > 0 && $"first_dup_pos".isNull).count() == 0)
+    assert(out.filter($"n_dup_spans" === 0 && $"first_dup_pos".isNotNull).count() == 0)
+    assert(out.filter($"first_dup_pos" > $"n_spans").count() == 0) // pos ≤ window count
+    out.unpersist()
+  }
+
+  test("q71: the sample is a deterministic pure function of the data") {
+    val a = Declared6.q71(spark, sf).collect().map(_.toSeq).toSeq
+    val b = Declared6.q71(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    // exactly k docs per source (every source has ≥ k docs here)
+    val perSrc = Declared6.q71(spark, sf).groupBy("source").count().collect()
+    assert(perSrc.forall(_.getLong(1) == Declared6.HsK))
+  }
+
   test("q69: distributed fixed-point PageRank matches a driver-computed reference") {
     import spark.implicits._
     val li = Tables(spark, sf, "lineitem")

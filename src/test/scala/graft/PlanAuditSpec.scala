@@ -285,4 +285,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in pagerank:\n$plan")
   }
+
+  test("q71: literal-k sample gets the partial WindowGroupLimit before the exchange") {
+    val plan = executed(queries.Declared6.q71(spark, sf))
+    // the whole point of the hash-priority sample at scale: each input
+    // partition forwards at most k rows per source, so the shuffle is
+    // O(k · partitions · sources) — WindowGroupLimit in Partial mode
+    // below the exchange is that property in the plan
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+      s"no partial (pre-shuffle) group limit:\n$plan")
+  }
 }

@@ -319,4 +319,41 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
         s"mis-spliced versions: $closed")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries: bounded state across batches still catches every heavy item") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val src = mem.toDF.toDF("user_id")
+    // k=4 counters per bucket, 2 buckets — far fewer counters than the
+    // 22 distinct items, so the sketch MUST evict; the heavy items have
+    // to survive eviction AND state round-trips between batches
+    val q = StreamingAnalytics.frequentUsersStream(src, k = 4, buckets = 2)
+      .writeStream.format("memory").queryName("mgfreq").outputMode("update").start()
+    try {
+      val heavy = Seq.fill(60)(100L) ++ Seq.fill(40)(101L)
+      val light = (1L to 20L).flatMap(u => Seq(u, u))
+      // interleave and split across three batches
+      val all = (heavy ++ light).zipWithIndex.sortBy(_._2 % 7).map(_._1)
+      val (b1, rest) = all.splitAt(40)
+      val (b2, b3) = rest.splitAt(40)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(b3); q.processAllAvailable()
+      val rows = spark.table("mgfreq").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      // current snapshot per bucket = the max-bucket_seen emission
+      val lastSeen = rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+      val current = rows.filter { case (b, _, seen) => seen == lastSeen(b) }
+      val candidates = current.map(_._2).toSet
+      // total = 140; any item with count > 140/(k+1) = 28 must survive
+      assert(candidates.contains(100L) && candidates.contains(101L),
+        s"heavy items evicted from the sketch: $candidates")
+      // bounded state: each bucket's snapshot is at most k items
+      current.groupBy(_._1).foreach { case (b, items) =>
+        assert(items.length <= 4, s"bucket $b exceeded k counters: ${items.toSeq}")
+      }
+    } finally q.stop()
+  }
 }
