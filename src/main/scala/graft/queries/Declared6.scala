@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.TextAnalysis.tokens
 
 /** Round-6 additions to the declared capability inventory (SURVEY §2.4):
   * sketch-bounded heavy hitters, MERGE-style upsert application, a
@@ -41,13 +40,13 @@ object Declared6 {
     * the sketch only bounds, never approximates. */
   val q65: Q = (s, dir) => {
     import s.implicits._
-    val toks = tokens($"text")
+    // bigram stream via the codegen'd PosNgrams kernel (n=2) — the
+    // slice+zip_with SQL-lambda twin runs interpreted per element and
+    // lives on as the independent formulation in Declared6Spec's
+    // MG-loses-nothing parity test
     val bigrams = Tables(s, dir, "documents")
-      .filter(size(tokens($"text")) >= 2)
-      .select(explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .select(explode(graft.functions.TokenFunctions.pos_ngrams($"text", 2)).as("s"))
+      .select($"s.gram".as("bg"))
     val k = HhPhi
     // per-partition Misra-Gries: ≤ k counters, O(1) amortized per item
     val candidates = bigrams.as[String].mapPartitions { rows =>
@@ -381,6 +380,40 @@ object Declared6 {
       .orderBy($"source", $"doc_id")
   }
 
+  // ---------------------------------------------------------------- Q72
+  /** Incremental view maintenance for algebraic aggregates: the event
+    * log splits into a BASE slice (event_id % 5 != 0 — the part a
+    * materialized per-user profile was already built from) and a DELTA
+    * slice (the new arrivals); the per-user (count, sum, min, max)
+    * state is maintained by MERGING the two partial-aggregate sets —
+    * one dimension-sized full-outer join — never by rescanning base
+    * facts. The oracle is the FULL recompute over all events: hash
+    * equality IS the IVM-correctness statement (the algebraic merge
+    * loses nothing). Money in exact cents so the incremental sum is
+    * order-independent; min/max merge via explicit null-CASE written
+    * identically in both engines. At 100 TB the base partial is the
+    * stored view (delta-sized scan + profile-sized join per refresh). */
+  val q72: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"user_id", floor($"value" * 100).cast("long").as("cents"))
+    def partial(df: DataFrame, tag: String): DataFrame =
+      df.groupBy($"user_id").agg(count(lit(1)).as(s"n_$tag"),
+        sum($"cents").as(s"s_$tag"), min($"cents").as(s"mn_$tag"),
+        max($"cents").as(s"mx_$tag"))
+    val base = partial(ev.filter($"event_id" % 5 =!= 0), "b")
+    val delta = partial(ev.filter($"event_id" % 5 === 0), "d")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        (coalesce($"n_b", lit(0L)) + coalesce($"n_d", lit(0L))).as("n_events"),
+        (coalesce($"s_b", lit(0L)) + coalesce($"s_d", lit(0L))).as("sum_cents"),
+        when($"mn_b".isNull, $"mn_d").when($"mn_d".isNull, $"mn_b")
+          .when($"mn_b" <= $"mn_d", $"mn_b").otherwise($"mn_d").as("min_cents"),
+        when($"mx_b".isNull, $"mx_d").when($"mx_d".isNull, $"mx_b")
+          .when($"mx_b" >= $"mx_d", $"mx_b").otherwise($"mx_d").as("max_cents"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_heavy_hitters" -> q65,
     "q66_merge_upsert" -> q66,
@@ -389,5 +422,6 @@ object Declared6 {
     "q56b_contam_bloom" -> q56b,
     "q69_pagerank" -> q69,
     "q70_dup_spans" -> q70,
-    "q71_hash_sample" -> q71)
+    "q71_hash_sample" -> q71,
+    "q72_incr_agg" -> q72)
 }

@@ -156,5 +156,15 @@ object Oracle6 {
          |    PARTITION BY source ORDER BY priority, doc_id) AS rn
          |  FROM p)
          |SELECT doc_id, source, priority FROM r WHERE rn <= $HsK
-         |ORDER BY source, doc_id""".stripMargin)
+         |ORDER BY source, doc_id""".stripMargin,
+
+    // deliberately the FULL recompute — equality with the Spark side's
+    // base+delta partial-merge IS the IVM-correctness statement
+    "q72_incr_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(CAST(floor(value * 100) AS BIGINT)) AS min_cents,
+        |  max(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
 }

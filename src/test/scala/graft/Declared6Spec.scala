@@ -133,6 +133,16 @@ class Declared6Spec extends AnyFunSuite {
     assert(perSrc.forall(_.getLong(1) == Declared6.HsK))
   }
 
+  test("q72: base+delta partial merge equals a single full recompute (IVM losslessness)") {
+    import spark.implicits._
+    val full = Tables(spark, sf, "events")
+      .select($"user_id", floor($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"),
+        sum($"cents").as("sum_cents"), min($"cents").as("min_cents"),
+        max($"cents").as("max_cents"))
+    assert(norm(Declared6.q72(spark, sf)) == norm(full))
+  }
+
   test("q69: distributed fixed-point PageRank matches a driver-computed reference") {
     import spark.implicits._
     val li = Tables(spark, sf, "lineitem")
