@@ -30,6 +30,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.etl.ValidateJson].getName, "graft_validate"),
         GraftExtensions.validateBuilder))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_term_counts"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.TermCounts].getName, "graft_term_counts"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.TermCounts(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_distinct_ngrams"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.DistinctNgrams].getName, "graft_distinct_ngrams"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.DistinctNgrams(exprs.head,
+            GraftExtensions.literalIntArg(exprs, 1, "graft_distinct_ngrams"))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pos_ngrams"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.PosNgrams].getName, "graft_pos_ngrams"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.PosNgrams(exprs.head,
+            GraftExtensions.literalIntArg(exprs, 1, "graft_pos_ngrams"))))
   }
 }
 
@@ -54,5 +74,17 @@ object GraftExtensions {
     }
     graft.etl.ValidateJson(exprs(0),
       graft.etl.SchemaCompiler.compileJson(schemaJson))
+  }
+
+  /** Extract a foldable integer argument (the n-gram order) — a
+    * non-literal n would mean per-row kernel re-specialization, a usage
+    * error rejected at analysis like graft_validate's schema. */
+  def literalIntArg(exprs: Seq[Expression], pos: Int, fn: String): Int = {
+    require(exprs.length == pos + 1, s"$fn takes exactly ${pos + 1} arguments")
+    exprs(pos) match {
+      case Literal(n: Int, org.apache.spark.sql.types.IntegerType) => n
+      case other => throw new IllegalArgumentException(
+        s"$fn's n argument must be an integer literal, got $other")
+    }
   }
 }

@@ -39,6 +39,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("extensions expose the token kernels to plain SQL sessions") {
+    val spark: SparkSession = TestSpark.spark
+    // same-session registration path the Column API uses
+    graft.functions.TokenFunctions.term_counts(org.apache.spark.sql.functions.lit(""))
+    graft.functions.TokenFunctions.pos_ngrams(org.apache.spark.sql.functions.lit(""), 2)
+    val tc = spark.sql(
+      "SELECT graft_term_counts('a b a') AS m").collect()(0)
+      .getMap[String, Long](0)
+    assert(tc == Map("a" -> 2L, "b" -> 1L))
+    val pg = spark.sql(
+      "SELECT graft_pos_ngrams_2('a b c') AS g").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(pg == Seq((1, "a b"), (2, "b c")))
+  }
+
   test("GraftExtensions class wires DotProduct via injectFunction") {
     // constructing a brand-new SparkSession with extensions would need a
     // second SparkContext; assert the injection spec directly instead
