@@ -414,6 +414,73 @@ object Declared6 {
       .orderBy($"user_id")
   }
 
+  // ---------------------------------------------------------------- Q73
+  /** Embedding dimensionality (the embeddings table contract). */
+  val PiDim = 64
+  /** Component quantization scale (q63's fixed-point treatment). */
+  val PiScale = 10000L
+  /** Iteration-vector normalization scale. */
+  val PiVecScale = 1000000L
+  /** Scaled-matrix magnitude cap (keeps Σ_j ms·v inside BIGINT). */
+  val PiMatCap = 1000000L
+  /** Power-iteration count (unrolled in the oracle; 5 because the
+    * sf0.001 spectrum needs ~5 steps for cos(Gv, v) > 0.995). */
+  val PiIters = 5
+
+  /** Distributed linear algebra: dominant eigenvector of the embedding
+    * Gram matrix by fixed-point power iteration — PCA's first component
+    * (uncentered), the RowMatrix.computeGramianMatrix shape. The ONE
+    * pass over the corpus accumulates the d×d Gram matrix per partition
+    * in a flat Long array (d² local state, no per-row explode of d²
+    * cells into the shuffle) and emits d² partial cells per partition;
+    * a (i,j) aggregate merges them. The [[PiIters]] iterations then run
+    * on the DIMENSION-sized matrix (64² rows) as tiny join+agg steps —
+    * matrix magnitudes are renormalized each step with integer
+    * truncating division (Spark `div` ≡ DuckDB `//`, verified identical
+    * on negatives), so every value is bit-exact across engines and no
+    * product can leave BIGINT: |ms| ≤ ~[[PiMatCap]], |v| ≤ ~2·
+    * [[PiVecScale]], Σ over d products ≤ ~10^14. */
+  val q73: Q = (s, dir) => {
+    import s.implicits._
+    val d = PiDim
+    val cells = Tables(s, dir, "embeddings").select($"embedding")
+      .as[Array[Float]]
+      .mapPartitions { rows =>
+        val acc = Array.ofDim[Long](d * d)
+        var any = false
+        val q = new Array[Long](d)
+        rows.foreach { v =>
+          any = true
+          var i = 0
+          while (i < d) {
+            q(i) = math.floor(v(i).toDouble * PiScale).toLong; i += 1
+          }
+          i = 0
+          while (i < d) {
+            val qi = q(i)
+            var j = 0
+            while (j < d) { acc(i * d + j) += qi * q(j); j += 1 }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.range(0, d * d).map(k => (k / d + 1, k % d + 1, acc(k)))
+      }
+      .toDF("i", "j", "p")
+    val m = cells.groupBy($"i", $"j").agg(sum($"p").as("mij"))
+    val ms = m.crossJoin(broadcast(m.agg(max(abs($"mij")).as("maxm"))))
+      .select($"i", $"j", expr(s"mij div greatest(1, maxm div $PiMatCap)").as("ms"))
+    var vec = s.range(1, d + 1)
+      .select($"id".cast("int").as("j"), lit(PiVecScale).as("vj"))
+    for (_ <- 1 to PiIters) {
+      val w = ms.join(broadcast(vec), "j")
+        .groupBy($"i").agg(sum($"ms" * $"vj").as("wi"))
+      vec = w.crossJoin(broadcast(w.agg(max(abs($"wi")).as("mw"))))
+        .select($"i".as("j"), expr(s"wi div greatest(1, mw div $PiVecScale)").as("vj"))
+    }
+    vec.select($"j".as("dim"), $"vj".as("v")).orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_heavy_hitters" -> q65,
     "q66_merge_upsert" -> q66,
@@ -423,5 +490,6 @@ object Declared6 {
     "q69_pagerank" -> q69,
     "q70_dup_spans" -> q70,
     "q71_hash_sample" -> q71,
-    "q72_incr_agg" -> q72)
+    "q72_incr_agg" -> q72,
+    "q73_power_iteration" -> q73)
 }

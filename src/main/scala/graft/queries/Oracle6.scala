@@ -11,7 +11,7 @@ package graft.queries
   * iterations mechanically from the same constants. */
 object Oracle6 {
   import Declared6.{HhPhi, MergeInsertMod, MergeInsertBase, MixBudget, PrScale, PrIters,
-    SpanN, HsK, HsMul, HsMod}
+    SpanN, HsK, HsMul, HsMod, PiDim, PiScale, PiVecScale, PiMatCap, PiIters}
 
   private val prBase = 15L * PrScale / 100
 
@@ -40,7 +40,34 @@ object Oracle6 {
        |ORDER BY node_type, node_key""".stripMargin
   }
 
+  /** Unrolled fixed-point power iteration. Integer division is `//`
+    * (truncating in DuckDB, same as Spark's `div` — verified identical
+    * on negatives), so the whole pipeline is bit-exact. */
+  private val powerIterationSql: String = {
+    val iters = (1 to PiIters).map { i =>
+      s"""w$i AS (
+         |  SELECT ms.i, CAST(sum(ms.ms * v.vj) AS BIGINT) AS wi
+         |  FROM ms JOIN v${i - 1} v ON ms.j = v.j GROUP BY ms.i),
+         |x$i AS (SELECT CAST(max(abs(wi)) AS BIGINT) AS mw FROM w$i),
+         |v$i AS (SELECT i AS j, wi // greatest(1, mw // $PiVecScale) AS vj
+         |        FROM w$i, x$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(i AS INT) AS i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $PiScale) AS BIGINT) AS qi
+       |  FROM embeddings, unnest(range(1, ${PiDim + 1})) AS u(i)),
+       |m AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS mij
+       |  FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i),
+       |mx AS (SELECT CAST(max(abs(mij)) AS BIGINT) AS maxm FROM m),
+       |ms AS (SELECT i, j, mij // greatest(1, maxm // $PiMatCap) AS ms FROM m, mx),
+       |v0 AS (SELECT DISTINCT i AS j, CAST($PiVecScale AS BIGINT) AS vj FROM m),
+       |$iters
+       |SELECT j AS dim, vj AS v FROM v$PiIters ORDER BY dim""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q73_power_iteration" -> powerIterationSql,
     "q65_heavy_hitters" ->
       s"""WITH t AS (
          |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -143,6 +143,24 @@ class Declared6Spec extends AnyFunSuite {
     assert(norm(Declared6.q72(spark, sf)) == norm(full))
   }
 
+  test("q73: the partition-accumulated Gram pass and iteration converge to an eigenvector") {
+    import spark.implicits._
+    val d = Declared6.PiDim
+    // driver-recomputed quantized Gram matrix (naive reference)
+    val vecs = Tables(spark, sf, "embeddings").select($"embedding")
+      .as[Array[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * Declared6.PiScale).toLong))
+    val gram = Array.ofDim[Long](d * d)
+    vecs.foreach(q => for (i <- 0 until d; j <- 0 until d) gram(i * d + j) += q(i) * q(j))
+    val v3 = Declared6.q73(spark, sf).collect().map(r => r.getLong(1).toDouble)
+    assert(v3.length == d)
+    // v3 should be near the dominant eigendirection: cos(Gv, v) ≈ 1
+    val gv = Array.tabulate(d)(i => (0 until d).map(j => gram(i * d + j).toDouble * v3(j)).sum)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val cos = dot(gv, v3) / math.sqrt(dot(gv, gv) * dot(v3, v3))
+    assert(cos > 0.995, s"not an eigendirection: cos(Gv,v)=$cos")
+  }
+
   test("q69: distributed fixed-point PageRank matches a driver-computed reference") {
     import spark.implicits._
     val li = Tables(spark, sf, "lineitem")
