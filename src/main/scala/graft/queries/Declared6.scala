@@ -467,9 +467,14 @@ object Declared6 {
         else Iterator.range(0, d * d).map(k => (k / d + 1, k % d + 1, acc(k)))
       }
       .toDF("i", "j", "p")
-    val m = cells.groupBy($"i", $"j").agg(sum($"p").as("mij"))
+    // the matrix is DIMENSION-sized (d² = 4096 rows) — after the
+    // distributed Gram pass it lives on one partition by design, so the
+    // 2·PiIters tiny join/agg stages don't each schedule a full task
+    // wave; corpus size never touches anything below this line
+    val m = cells.groupBy($"i", $"j").agg(sum($"p").as("mij")).coalesce(1)
     val ms = m.crossJoin(broadcast(m.agg(max(abs($"mij")).as("maxm"))))
       .select($"i", $"j", expr(s"mij div greatest(1, maxm div $PiMatCap)").as("ms"))
+      .localCheckpoint()
     var vec = s.range(1, d + 1)
       .select($"id".cast("int").as("j"), lit(PiVecScale).as("vj"))
     for (_ <- 1 to PiIters) {
