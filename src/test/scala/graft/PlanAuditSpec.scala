@@ -286,6 +286,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in pagerank:\n$plan")
   }
 
+  test("q73: corpus pass runs once behind the checkpoint; iterations are equi-joins") {
+    // the Gram pass is materialized by an eager localCheckpoint: the
+    // iteration pipeline reads stored blocks (the dimension-sized
+    // matrix), never re-derives the corpus subtree — without this pin
+    // the unrolled 5-iteration plan would re-run the corpus
+    // scan+aggregate once per iteration. AQE's executed-plan string
+    // hides leaf scans behind query-stage references, so the
+    // checkpoint-scan assertion reads the formatted plan; the
+    // parquet-free claim doubles as proof (the corpus source cannot
+    // appear above the checkpoint).
+    val fmt = formatted(queries.Declared6.q73(spark, sf))
+    assert(fmt.contains("Scan ExistingRDD"), s"Gram pass not checkpointed:\n$fmt")
+    assert(!fmt.contains("Scan parquet"),
+      s"corpus source re-derived above the checkpoint:\n$fmt")
+    val plan = executed(queries.Declared6.q73(spark, sf))
+    // the ms⋈vec rank joins must be hash equi-joins; the only permitted
+    // nested-loop shapes are the 1-row scalar normalizer crossJoins
+    // (max|w| attach — 64×1, the q46/q57 pattern), never a cartesian
+    assert(plan.contains("BroadcastHashJoin"), s"rank join not a hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in iterations:\n$plan")
+  }
+
   test("q71: literal-k sample gets the partial WindowGroupLimit before the exchange") {
     val plan = executed(queries.Declared6.q71(spark, sf))
     // the whole point of the hash-priority sample at scale: each input
