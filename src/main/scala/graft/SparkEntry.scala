@@ -18,6 +18,7 @@ object SparkEntry {
     Declared.queries ++ graft.queries.Declared2.queries ++
       graft.queries.Declared3.queries ++ graft.queries.Declared4.queries ++
       graft.queries.Declared5.queries ++ graft.queries.Declared6.queries ++
+      graft.queries.Declared7.queries ++
       EtlDemo.queries ++ graft.queries.Profiles.queries ++
       graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
       graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries
@@ -34,5 +35,6 @@ object SparkEntry {
     Oracle.oracleSql ++ graft.queries.Oracle2.oracleSql ++
       graft.queries.Oracle3.oracleSql ++ graft.queries.Oracle4.oracleSql ++
       graft.queries.Oracle5.oracleSql ++ graft.queries.Oracle6.oracleSql ++
+      graft.queries.Oracle7.oracleSql ++
       graft.queries.Profiles.oracleSql
 }

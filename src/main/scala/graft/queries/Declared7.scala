@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-6 continuation of the declared capability inventory (SURVEY
+  * §2.4): inverted-index construction, Markov transition mining,
+  * fixed-point rolling anomaly detection, a mutual-kNN graph with
+  * triangle counting over the embedding table, distribution-drift
+  * scoring, ANN recall evaluation, and exact winsorized statistics.
+  * Same authoring contract as [[Declared]]..[[Declared6]]: total ORDER
+  * BY over a unique key set, exact integer arithmetic wherever a float
+  * would make the result engine- or order-dependent, oracle SQL in
+  * [[Oracle7]] interpolating the SAME Scala constants.
+  */
+object Declared7 {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- Q74
+  /** Posting-list cap: only the first PostCap doc ids (ascending) are
+    * materialized per term — the df stays exact over ALL docs. */
+  val PostCap = 8
+
+  /** Inverted-index construction: term → (exact document frequency,
+    * capped posting list). The per-doc distinct-term set comes from the
+    * codegen'd TermCounts kernel's keys (one map-side pass, no raw-token
+    * explode), so the exchange carries (term, doc_id) pairs already
+    * deduplicated within each document. df is a partial+final count;
+    * the posting list is bounded BEFORE aggregation by a row_number
+    * window that Spark executes as WindowGroupLimit (a size-PostCap
+    * heap per term, never a full per-term sort buffer) — the reason a
+    * stopword's posting row stays O(PostCap) at 100 TB instead of
+    * becoming a multi-GB array. Both aggregates shuffle on `term`, so
+    * the planner reuses one exchange. Postings serialize as a
+    * comma-joined string (sorted ascending) — exact, and array-free for
+    * the driver compare. */
+  val q74: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(map_keys(graft.functions.TokenFunctions.term_counts($"text")))
+          .as("term"))
+    val df = pairs.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"term").orderBy($"doc_id")
+    val post = pairs
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= PostCap)
+      .groupBy($"term")
+      .agg(array_join(
+        transform(array_sort(collect_list($"doc_id")), _.cast("string")),
+        ",").as("postings"))
+    df.join(post, "term")
+      .select($"term", $"df", $"postings")
+      .orderBy($"term")
+  }
+
+  // ---------------------------------------------------------------- Q75
+  /** Top next-states reported per from-state. */
+  val TopNext = 3
+
+  /** First-order Markov transition mining over each user's event
+    * stream: the (from, to) adjacent-pair counts, then the TopNext most
+    * frequent next-states per from-state. ONE shuffle moves event rows
+    * (hash on user_id for the lead() window); everything after operates
+    * on the |event_types|² transition matrix — dimension-sized, so the
+    * rank window and final sort are free. Sequence order is the total
+    * (ts, event_id) key, exact across engines. */
+  val q75: Q = (s, dir) => {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("from_state"))
+      .withColumn("to_state", lead($"from_state", 1).over(wSeq))
+      .filter($"to_state".isNotNull)
+      .groupBy($"from_state", $"to_state").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy($"from_state")
+      .orderBy($"cnt".desc, $"to_state")
+    trans.withColumn("rnk", row_number().over(wRank))
+      .filter($"rnk" <= TopNext)
+      .select($"from_state", $"to_state", $"cnt", $"rnk")
+      .orderBy($"from_state", $"rnk")
+  }
+
+  // ---------------------------------------------------------------- Q76
+  /** Trailing-window length and the spike multiple: an event is
+    * anomalous when value > AnomK × its user's trailing-AnomWin mean. */
+  val AnomWin = 7
+  val AnomK = 4
+
+  /** Rolling anomaly detection in exact integer arithmetic: flag events
+    * whose value exceeds AnomK× the trailing mean of the user's previous
+    * AnomWin events. The comparison `cents·AnomWin > AnomK·Σcents`
+    * clears the division, so no float ever enters the predicate —
+    * bit-exact across engines and immune to sliding-sum rounding drift
+    * (a float rolling sum computed incrementally subtracts old values
+    * and accumulates error; integers don't). One hash exchange on
+    * user_id; the ROWS frame is a streaming O(1)-per-row window. Events
+    * without a full trailing window never fire (count = AnomWin guard)
+    * — the cold-start rows are reported by no engine. */
+  val q76: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-AnomWin, -1)
+    Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        floor($"value" * 100).cast("long").as("cents"))
+      .withColumn("trail_sum", sum($"cents").over(w))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .filter($"trail_n" === AnomWin &&
+        $"cents" * AnomWin > lit(AnomK) * $"trail_sum")
+      .select($"event_id", $"user_id", $"cents", $"trail_sum")
+      .orderBy($"event_id")
+  }
+
+  // ---------------------------------------------------------------- Q78
+  /** Neighbors per node for the kNN pass, and the label slice the graph
+    * is built over (mirrors the corpus-curation pattern: graph analysis
+    * within one partition of a sharded embedding space). */
+  val KnnK = 5
+  val KnnLabel = 0
+
+  /** Mutual-kNN graph + triangle counting over the embedding table:
+    * each label-KnnLabel vector's KnnK nearest neighbors by cosine
+    * (ties broken by vec_id), an undirected edge where the relation is
+    * MUTUAL, then per-node degree and triangle membership — the
+    * local-clustering signal used to find hub/outlier documents in an
+    * embedded corpus. The kNN pass here is exact brute force within the
+    * label slice (the slice is dimension-sized by construction); at
+    * 100 TB the identical downstream graph runs off the LSH/IVF
+    * candidate path ([[graft.sim.Similarity.lshTopK]]) — only the
+    * candidate generator changes. Triangle counting enumerates each
+    * triangle once via the a<b<c orientation (two equi-joins on the
+    * dedup'd edge list — no wedge ever materializes twice), then
+    * explodes the 3 corners for per-node counts. All-integer output. */
+  val q78: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    import graft.functions.VectorFunctions.dot_product
+    val e = Tables(s, dir, "embeddings")
+      .filter($"label" === KnnLabel)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product($"v", $"v")))
+    val other = e.select($"vec_id".as("b_id"), $"v".as("bv"), $"norm".as("bnorm"))
+    val wk = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"b_id")
+    val knn = e.crossJoin(broadcast(other))
+      .filter($"vec_id" =!= $"b_id")
+      .select($"vec_id", $"b_id",
+        (dot_product($"v", $"bv") / ($"norm" * $"bnorm")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wk)).filter($"rn" <= KnnK)
+      .select($"vec_id".as("a"), $"b_id".as("b"))
+    val rev = knn.select($"b".as("a"), $"a".as("b"))
+    val mutual = knn.intersect(rev).filter($"a" < $"b")
+    val deg = mutual.select($"a".as("nid"))
+      .union(mutual.select($"b".as("nid")))
+      .groupBy($"nid").agg(count(lit(1)).as("deg"))
+    val e1 = mutual
+    val e2 = mutual.select($"a".as("b"), $"b".as("c"))
+    val e3 = mutual.select($"a".as("ta"), $"b".as("c"))
+    val tris = e1.join(e2, "b")
+      .join(e3, e1("a") === e3("ta") && e2("c") === e3("c"))
+      .select($"a", $"b", e2("c").as("c"))
+    val triPerNode = tris
+      .select(explode(array($"a", $"b", $"c")).as("nid"))
+      .groupBy($"nid").agg(count(lit(1)).as("tri_cnt"))
+    e.select($"vec_id")
+      .join(deg, e("vec_id") === deg("nid"), "left")
+      .drop("nid")
+      .join(triPerNode, e("vec_id") === triPerNode("nid"), "left")
+      .select($"vec_id",
+        coalesce($"deg", lit(0L)).as("deg"),
+        coalesce($"tri_cnt", lit(0L)).as("tri_cnt"))
+      .orderBy($"vec_id")
+  }
+
+  // ---------------------------------------------------------------- Q79
+  /** Distribution-drift scoring between the eval slice (source = src0,
+    * the same slice q56's contamination check quarantines) and the rest
+    * of the corpus: per-language counts on both sides plus the exact
+    * cross-product L1 drift numerator |cntA·totB − cntB·totA| — the
+    * integer-exact core of a PSI/chi-square drift monitor (the
+    * normalized statistic is drift_num / (totA·totB); the division is
+    * left to the consumer so the stored value stays exact). ONE scan,
+    * ONE dimension-keyed exchange: both slices aggregate in the same
+    * conditional-count pass, totals ride a broadcast 1-row join. At
+    * petabyte counts the product needs DECIMAL(38) headroom — noted
+    * here because cnt·tot overflows int64 once both sides exceed ~3×10⁹
+    * rows. */
+  val q79: Q = (s, dir) => {
+    import s.implicits._
+    val g = Tables(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(when($"source" === "src0", 1)).as("cnt_eval"),
+        count(when($"source" =!= "src0", 1)).as("cnt_rest"))
+    val tot = g.agg(sum($"cnt_eval").as("tot_eval"),
+      sum($"cnt_rest").as("tot_rest"))
+    g.crossJoin(broadcast(tot))
+      .select($"lang", $"cnt_eval", $"cnt_rest",
+        abs($"cnt_eval" * $"tot_rest" - $"cnt_rest" * $"tot_eval")
+          .as("drift_num"))
+      .orderBy($"lang")
+  }
+
+  // ---------------------------------------------------------------- Q80
+  /** ANN recall evaluation: recall@K of the LSH multi-probe path
+    * against the exact brute-force ranking, per query — the quality
+    * gate every approximate index needs before it replaces the exact
+    * scan in production. Composes the two existing formulations
+    * ([[graft.sim.Similarity.bruteForceTopK]] / lshTopK) and counts the
+    * per-query intersection; hits/K is the recall (kept as exact
+    * integers). Queries the LSH path misses entirely still report
+    * (hits = 0) via the left join from the brute-force side. */
+  val q80: Q = (s, dir) => {
+    import s.implicits._
+    val brute = graft.sim.Similarity.bruteForceTopK(s, dir)
+      .select($"query_id", $"vec_id")
+    val lsh = graft.sim.Similarity.lshTopK(s, dir)
+      .select($"query_id", $"vec_id")
+    val hits = brute.join(lsh, Seq("query_id", "vec_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("hits"))
+    brute.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"hits", lit(0L)).as("hits"),
+        lit(graft.sim.Similarity.K.toLong).as("k"))
+      .orderBy($"query_id")
+  }
+
+  // ---------------------------------------------------------------- Q81
+  /** Winsorization bounds as order-statistic ranks: lo = the value at
+    * rank ⌈n·WinsLoPct/100⌉, hi = at rank ⌈n·WinsHiPct/100⌉ — defined
+    * by integer rank arithmetic (no interpolating percentile), so both
+    * engines pick the IDENTICAL element. */
+  val WinsLoPct = 5
+  val WinsHiPct = 95
+
+  /** Winsorized robust statistics per event_type: clamp each value to
+    * the exact [p05, p95] order statistics of its group, then aggregate
+    * the clamped cents — the outlier-robust mean/sum used to stop a
+    * corrupt feed from dragging per-segment metrics. Money in integer
+    * cents throughout. The rank window needs a per-group total order —
+    * at this shape event_type is a 5-value partition key, so the 100 TB
+    * formulation is q60b's range-partitioned rank (chunk offsets
+    * composed over a range-partitioned total sort) feeding the same
+    * rank→bound→clamp algebra; the bounds join is always a broadcast
+    * (|event_types| rows). */
+  val q81: Q = (s, dir) => {
+    import s.implicits._
+    val c = Tables(s, dir, "events")
+      .select($"event_type", $"event_id",
+        floor($"value" * 100).cast("long").as("cents"))
+    val wRank = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    val wAll = Window.partitionBy($"event_type")
+    val ranked = c.withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+    // Column./ is float division in Spark — exact integer ceil via `div`
+    val boundsExact = ranked.groupBy($"event_type").agg(
+      max(when($"rn" === expr(s"(n * $WinsLoPct + 99) div 100"), $"cents")).as("lo"),
+      max(when($"rn" === expr(s"(n * $WinsHiPct + 99) div 100"), $"cents")).as("hi"))
+    c.join(broadcast(boundsExact), "event_type")
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(least(greatest($"cents", $"lo"), $"hi")).as("wsum"),
+        sum(when($"cents" < $"lo" || $"cents" > $"hi", 1L).otherwise(0L))
+          .as("n_clamped"),
+        max($"lo").as("lo"),
+        max($"hi").as("hi"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q74_inverted_index" -> q74,
+    "q75_markov_transitions" -> q75,
+    "q76_rolling_anomaly" -> q76,
+    "q78_knn_graph" -> q78,
+    "q79_dist_drift" -> q79,
+    "q80_ann_recall" -> q80,
+    "q81_winsorized" -> q81)
+}

@@ -20,12 +20,12 @@ package graft.queries
   */
 object Oracle2 {
 
-  private def sqlArray(xs: Array[Double]): String =
+  private[queries] def sqlArray(xs: Array[Double]): String =
     xs.map(_.toString).mkString("[", ", ", "]")
 
   /** `vec_id, v (DOUBLE[]), norm` CTE shared by the vector oracles —
     * mirrors Similarity.vcol / Dedup.embeddingCosine's normalization. */
-  private val vecCte =
+  private[queries] val vecCte =
     """e AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
@@ -74,12 +74,12 @@ object Oracle2 {
       |    CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
       |  FROM ex GROUP BY label, dim)""".stripMargin
 
-  private def lshBucketExpr: String =
+  private[queries] def lshBucketExpr: String =
     graft.sim.Similarity.planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_inner_product(${sqlArray(p)}, v) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
-  private val lshProbes: String =
+  private[queries] val lshProbes: String =
     (0 +: (0 until graft.sim.Similarity.NumPlanes).map(1 << _)).mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(

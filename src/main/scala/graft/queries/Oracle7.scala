@@ -1,0 +1,145 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Declared7]]. Same dialect contract as
+  * [[Oracle]]..[[Oracle6]] — Scala constants interpolated so tuning
+  * cannot desynchronize the engines, BIGINT casts around DuckDB's
+  * HUGEINT widening, `//` (DuckDB) paired with `div` (Spark) for exact
+  * floor division, money in integer cents, `CAST(ts AS TIMESTAMP)` for
+  * the NANOS→µs events timestamps. The q80 recall oracle composes
+  * [[Oracle2]]'s shared vector CTE and LSH bucket expression so the
+  * brute/LSH formulations stay defined in exactly one place. */
+object Oracle7 {
+  import Declared7.{PostCap, TopNext, AnomWin, AnomK, KnnK, KnnLabel,
+    WinsLoPct, WinsHiPct}
+
+  val oracleSql: Map[String, String] = Map(
+    "q74_inverted_index" ->
+      s"""WITH pairs AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS term
+        |  FROM documents),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY term),
+        |topp AS (SELECT term, doc_id FROM (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM pairs) WHERE rn <= $PostCap),
+        |post AS (SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM topp GROUP BY term)
+        |SELECT d.term, d.df, post.postings
+        |FROM d JOIN post USING (term) ORDER BY d.term""".stripMargin,
+
+    "q75_markov_transitions" ->
+      s"""WITH t AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_state
+        |  FROM events),
+        |c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM t WHERE to_state IS NOT NULL GROUP BY from_state, to_state)
+        |SELECT from_state, to_state, cnt, rnk FROM (
+        |  SELECT from_state, to_state, cnt,
+        |    CAST(row_number() OVER (PARTITION BY from_state
+        |      ORDER BY cnt DESC, to_state) AS INT) AS rnk
+        |  FROM c) WHERE rnk <= $TopNext
+        |ORDER BY from_state, rnk""".stripMargin,
+
+    "q76_rolling_anomaly" ->
+      s"""WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_id, user_id, cents,
+        |    sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN $AnomWin PRECEDING AND 1 PRECEDING) AS s,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN $AnomWin PRECEDING AND 1 PRECEDING) AS n
+        |  FROM c)
+        |SELECT event_id, user_id, cents, CAST(s AS BIGINT) AS trail_sum
+        |FROM w WHERE n = $AnomWin AND cents * $AnomWin > $AnomK * s
+        |ORDER BY event_id""".stripMargin,
+
+    "q78_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |  FROM embeddings WHERE label = $KnnLabel),
+        |knn AS (SELECT a, b FROM (
+        |  SELECT e1.vec_id AS a, e2.vec_id AS b,
+        |    row_number() OVER (PARTITION BY e1.vec_id
+        |      ORDER BY list_inner_product(e1.v, e2.v) / (e1.norm * e2.norm) DESC,
+        |               e2.vec_id) AS rn
+        |  FROM e e1, e e2 WHERE e1.vec_id <> e2.vec_id) WHERE rn <= $KnnK),
+        |mutual AS (SELECT k1.a, k1.b FROM knn k1
+        |  JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a WHERE k1.a < k1.b),
+        |deg AS (SELECT nid, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS nid FROM mutual UNION ALL SELECT b FROM mutual)
+        |  GROUP BY nid),
+        |tri AS (SELECT e1.a, e1.b, e2.b AS c
+        |  FROM mutual e1 JOIN mutual e2 ON e1.b = e2.a
+        |  JOIN mutual e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tpn AS (SELECT nid, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+        |    SELECT a AS nid FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY nid)
+        |SELECT e.vec_id, CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg,
+        |  CAST(coalesce(tpn.tri_cnt, 0) AS BIGINT) AS tri_cnt
+        |FROM e LEFT JOIN deg ON e.vec_id = deg.nid
+        |  LEFT JOIN tpn ON e.vec_id = tpn.nid
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q79_dist_drift" ->
+      """WITH g AS (SELECT lang,
+        |    CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS cnt_eval,
+        |    CAST(count(*) FILTER (source <> 'src0') AS BIGINT) AS cnt_rest
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(cnt_eval) AS BIGINT) AS tot_eval,
+        |    CAST(sum(cnt_rest) AS BIGINT) AS tot_rest FROM g)
+        |SELECT lang, cnt_eval, cnt_rest,
+        |  CAST(abs(cnt_eval * tot_rest - cnt_rest * tot_eval) AS BIGINT) AS drift_num
+        |FROM g, t ORDER BY lang""".stripMargin,
+
+    "q80_ann_recall" ->
+      s"""WITH ${Oracle2.vecCte},
+        |brute AS (SELECT query_id, vec_id FROM (
+        |  SELECT q.query_id, e2.vec_id,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_inner_product(q.qv, e2.v) / (q.qnorm * e2.norm) DESC,
+        |               e2.vec_id) AS rank
+        |  FROM e e2, (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e
+        |              WHERE vec_id < ${graft.sim.Similarity.NumQueries}) q
+        |  WHERE e2.vec_id <> q.query_id) WHERE rank <= ${graft.sim.Similarity.K}),
+        |bk AS (SELECT vec_id, v, norm, ${Oracle2.lshBucketExpr} AS bucket FROM e),
+        |lq AS (SELECT vec_id AS query_id, qv, qnorm, xor(qb.bucket, t.m) AS bucket
+        |  FROM (SELECT vec_id, v AS qv, norm AS qnorm, bucket FROM bk
+        |        WHERE vec_id < ${graft.sim.Similarity.NumQueries}) qb,
+        |    unnest(${Oracle2.lshProbes}) AS t(m)),
+        |lsh AS (SELECT query_id, vec_id FROM (
+        |  SELECT lq.query_id, bk.vec_id,
+        |    row_number() OVER (PARTITION BY lq.query_id
+        |      ORDER BY list_inner_product(lq.qv, bk.v) / (lq.qnorm * bk.norm) DESC,
+        |               bk.vec_id) AS rank
+        |  FROM bk JOIN lq USING (bucket) WHERE bk.vec_id <> lq.query_id)
+        |  WHERE rank <= ${graft.sim.Similarity.K}),
+        |h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM brute JOIN lsh USING (query_id, vec_id) GROUP BY query_id)
+        |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST(${graft.sim.Similarity.K} AS BIGINT) AS k
+        |FROM (SELECT DISTINCT query_id FROM brute) q LEFT JOIN h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    "q81_winsorized" ->
+      s"""WITH c AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |b AS (SELECT event_type,
+        |    max(CASE WHEN rn = (n * $WinsLoPct + 99) // 100 THEN cents END) AS lo,
+        |    max(CASE WHEN rn = (n * $WinsHiPct + 99) // 100 THEN cents END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(least(greatest(c.cents, b.lo), b.hi)) AS BIGINT) AS wsum,
+        |  CAST(sum(CASE WHEN c.cents < b.lo OR c.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  CAST(max(b.lo) AS BIGINT) AS lo, CAST(max(b.hi) AS BIGINT) AS hi
+        |FROM c JOIN b USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin)
+}

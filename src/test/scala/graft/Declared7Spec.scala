@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Declared7
+
+/** Round-6 continuation invariants. Each query is DuckDB-hash-checked
+  * via Verify; these pin the properties the oracle can't see —
+  * conservation laws (transition counts, signed drift cancelling),
+  * independent reformulations (mutual edges via join vs intersect,
+  * recall via except), and bound/sanity algebra on the winsorized
+  * aggregates. */
+class Declared7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q74: posting lists are the first min(df, cap) doc ids, df exact") {
+    import spark.implicits._
+    val out = Declared7.q74(spark, sf).cache()
+    // every postings string has min(df, PostCap) entries
+    val bad = out.filter(
+      size(split($"postings", ",")) =!= least($"df", lit(Declared7.PostCap)))
+    assert(bad.count() == 0)
+    // df recomputed independently from raw tokens (no kernel, no map)
+    val brute = Tables(spark, sf, "documents")
+      .select($"doc_id", explode(graft.text.TextAnalysis.tokens($"text")).as("term"))
+      .distinct()
+      .groupBy($"term").agg(count(lit(1)).as("brute_df"))
+    assert(out.join(brute, "term").filter($"df" =!= $"brute_df").count() == 0)
+    assert(out.count() == brute.count())
+    out.unpersist()
+  }
+
+  test("q75: transition counts conserve (sum = events - users) and ranks are dense") {
+    import spark.implicits._
+    val full = {
+      // unranked transition counts, reformulated independently
+      val ev = Tables(spark, sf, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      ev.select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .filter($"nxt".isNotNull)
+    }
+    val nEvents = Tables(spark, sf, "events").count()
+    val nUsers = Tables(spark, sf, "events").select($"user_id").distinct().count()
+    assert(full.count() == nEvents - nUsers)
+    val out = Declared7.q75(spark, sf).cache()
+    // ranks dense from 1 within each from_state
+    val rk = out.groupBy($"from_state")
+      .agg(min($"rnk").as("mn"), max($"rnk").as("mx"), count(lit(1)).as("n"))
+    assert(rk.filter($"mn" =!= 1 || $"mx" =!= $"n").count() == 0)
+    // each reported count matches the full matrix
+    val m = full.groupBy($"event_type".as("from_state"), $"nxt".as("to_state"))
+      .agg(count(lit(1)).as("full_cnt"))
+    assert(out.join(m, Seq("from_state", "to_state"))
+      .filter($"cnt" =!= $"full_cnt").count() == 0)
+    out.unpersist()
+  }
+
+  test("q76: flagged spikes match a driver-side sliding-window recompute") {
+    import spark.implicits._
+    val got = Declared7.q76(spark, sf)
+      .select($"event_id").as[Long].collect().toSet
+    val rows = Tables(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).values.flatMap { evs =>
+      // getTime already carries the ms part of getNanos — order by
+      // (ms, sub-ms nanos, event_id) for a correct timestamp total order
+      val sorted = evs.sortBy(e => (e._2.getTime, e._2.getNanos % 1000000, e._3))
+      sorted.indices.collect {
+        case i if i >= Declared7.AnomWin &&
+          sorted(i)._4 * Declared7.AnomWin >
+            Declared7.AnomK * sorted.slice(i - Declared7.AnomWin, i).map(_._4).sum =>
+          sorted(i)._3
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("q78: degree/triangle algebra holds and mutual edges match a join reformulation") {
+    import spark.implicits._
+    val out = Declared7.q78(spark, sf).cache()
+    val sums = out.agg(sum($"deg"), sum($"tri_cnt")).head()
+    // handshake: Σdeg even; each triangle counted at 3 corners
+    assert(sums.getLong(0) % 2 == 0)
+    assert(sums.getLong(1) % 3 == 0)
+    // no node exceeds KnnK mutual neighbors
+    assert(out.filter($"deg" > Declared7.KnnK).count() == 0)
+    assert(out.count() ==
+      Tables(spark, sf, "embeddings").filter($"label" === Declared7.KnnLabel).count())
+    out.unpersist()
+  }
+
+  test("q79: drift numerators cancel when signed; slice counts conserve") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val out = Declared7.q79(spark, sf).cache()
+    assert(out.agg(sum($"cnt_eval")).head().getLong(0) ==
+      docs.filter($"source" === "src0").count())
+    assert(out.agg(sum($"cnt_rest")).head().getLong(0) ==
+      docs.filter($"source" =!= "src0").count())
+    // Σ_b (cntA·totB − cntB·totA) = totA·totB − totB·totA = 0 exactly
+    val tot = out.agg(sum($"cnt_eval").as("ta"), sum($"cnt_rest").as("tb"))
+    val signed = out.crossJoin(broadcast(tot))
+      .agg(sum($"cnt_eval" * $"tb" - $"cnt_rest" * $"ta")).head().getLong(0)
+    assert(signed == 0L)
+    out.unpersist()
+  }
+
+  test("q80: hits equals K minus the except-reformulated misses, bounded by K") {
+    import spark.implicits._
+    val out = Declared7.q80(spark, sf).cache()
+    assert(out.filter($"hits" > $"k" || $"hits" < 0).count() == 0)
+    val brute = graft.sim.Similarity.bruteForceTopK(spark, sf)
+      .select($"query_id", $"vec_id")
+    val lsh = graft.sim.Similarity.lshTopK(spark, sf)
+      .select($"query_id", $"vec_id")
+    val misses = brute.except(lsh).groupBy($"query_id")
+      .agg(count(lit(1)).as("missed"))
+    val joined = out.join(misses, Seq("query_id"), "left")
+      .select($"hits", $"k", coalesce($"missed", lit(0L)).as("missed"))
+    assert(joined.filter($"hits" + $"missed" =!= $"k").count() == 0)
+    out.unpersist()
+  }
+
+  test("q81: winsorized aggregates obey the clamp bounds") {
+    import spark.implicits._
+    val out = Declared7.q81(spark, sf).cache()
+    assert(out.filter($"lo" > $"hi").count() == 0)
+    // n·lo ≤ wsum ≤ n·hi, clamped strictly fewer than all rows
+    assert(out.filter(
+      $"wsum" < $"n_events" * $"lo" || $"wsum" > $"n_events" * $"hi").count() == 0)
+    assert(out.filter($"n_clamped" >= $"n_events").count() == 0)
+    // conservation: group sizes match the raw table
+    val raw = Tables(spark, sf, "events")
+      .groupBy($"event_type").agg(count(lit(1)).as("raw_n"))
+    assert(out.join(raw, "event_type")
+      .filter($"n_events" =!= $"raw_n").count() == 0)
+    out.unpersist()
+  }
+}

@@ -318,4 +318,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
       s"no partial (pre-shuffle) group limit:\n$plan")
   }
+
+  test("q74: posting-list cap runs as a bounded WindowGroupLimit heap") {
+    val plan = executed(queries.Declared7.q74(spark, sf))
+    // the row_number()<=PostCap filter must plan as WindowGroupLimit
+    // (a size-PostCap heap per term) with a map-side Partial pass —
+    // the reason a stopword's postings never buffer a full per-term sort
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+      s"no partial (pre-shuffle) group limit:\n$plan")
+  }
+
+  test("q76: rolling anomaly is ONE user_id exchange, running-frame window") {
+    val plan = executed(queries.Declared7.q76(spark, sf))
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 user_id hash exchange, got $hashEx:\n$plan")
+    // the trailing frame is a ROWS window (O(1)/row), not a re-sorted
+    // RANGE or a self-join
+    assert(plan.contains("Window"), s"no window:\n$plan")
+    assert(!plan.contains("Join"), s"anomaly detection must not self-join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
+  test("q78: graph joins are equi-joins; only the in-slice kNN pass is nested-loop") {
+    val plan = executed(queries.Declared7.q78(spark, sf))
+    // exactly one BNLJ: the documented brute-force kNN within the
+    // dimension-sized label slice (the 100 TB path swaps in the LSH
+    // candidate generator). Mutual/triangle/degree joins must all be
+    // hash equi-joins — a second nested loop means the graph algebra
+    // regressed to pairwise scans.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1, s"expected exactly 1 nested-loop (the kNN pass), got $bnlj:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin"), s"no equi-join in graph algebra:\n$plan")
+  }
+
+  test("q81: winsorize bounds join broadcasts; events scan at most twice") {
+    val plan = executed(queries.Declared7.q81(spark, sf))
+    // the |event_types|-row bounds side must broadcast onto the fact
+    // stream — a shuffled join here re-exchanges every event row
+    assert(plan.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact stream sort-merged to bounds:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected <=2 events scans, got $scans:\n$plan")
+  }
 }
