@@ -270,8 +270,79 @@ object Declared7 {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- Q77
+  /** Merge iterations, and the vocabulary cap the histogram is trained
+    * over (top-BpeVocabCap words by (count desc, word) — a no-op at
+    * test scale, but the bound that keeps the training set
+    * dimension-sized at 100 TB, per the q62 top-k-vocab pattern). */
+  val BpeIters = 4
+  val BpeVocabCap = 10000
+
+  /** Greedy left-to-right single-pair merge: adjacent (l, r) become one
+    * symbol, non-overlapping, earliest-first — the classic BPE apply
+    * step (Sennrich et al. 2016). Mirrored in the oracle by run-parity
+    * position algebra over matched pair positions. */
+  private[graft] def bpeApplyMerge(
+      syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** BPE tokenizer training (the first BpeIters pair merges): the
+    * corpus collapses to a word histogram in ONE shuffle (per-doc
+    * TermCounts kernel → map-side combine → top-BpeVocabCap words);
+    * every training iteration then runs on the vocabulary-sized
+    * histogram — weighted adjacent-pair counts, argmax with the
+    * (count desc, lhs, rhs) tie-break, greedy merge applied to the
+    * symbol sequences. The driver pulls exactly ONE row per iteration
+    * (the winning pair — q63's dimension-sized control-flow pattern);
+    * the corpus is never touched again after the histogram. This is
+    * the fastBPE/histogram shape, not the naive corpus-rescan: at
+    * 100 TB the pair-count pass costs O(vocab · avg word length) per
+    * iteration, independent of corpus size. Bit-exact across engines
+    * (integer counts, lexicographic ties); oracle unrolls the
+    * iterations mechanically from the same constants. */
+  val q77: Q = (s, dir) => {
+    import s.implicits._
+    val vocab0 = Tables(s, dir, "documents")
+      .select(explode(graft.functions.TokenFunctions.term_counts($"text"))
+        .as(Seq("word", "c")))
+      .groupBy($"word").agg(sum($"c").as("cnt"))
+      .orderBy($"cnt".desc, $"word").limit(BpeVocabCap)
+      .select($"word", $"cnt",
+        filter(split($"word", ""), x => length(x) > 0).as("syms"))
+    var vocab = vocab0.cache()
+    val merges = (1 to BpeIters).map { it =>
+      val pairs = vocab.select($"cnt",
+        explode(zip_with(
+          slice($"syms", lit(1), size($"syms") - 1),
+          slice($"syms", lit(2), size($"syms") - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("total"))
+      val Array(best) = pairs.orderBy($"total".desc, $"l", $"r").limit(1).collect()
+      val (l, r, total) = (best.getString(0), best.getString(1), best.getLong(2))
+      val applyUdf = udf((syms: Seq[String]) => bpeApplyMerge(syms, l, r))
+      val next = vocab.withColumn("syms", applyUdf($"syms")).cache()
+      next.count() // materialize before unpersisting the parent
+      vocab.unpersist()
+      vocab = next
+      (it, l, r, total)
+    }
+    vocab.unpersist()
+    s.createDataFrame(merges).toDF("iter", "lhs", "rhs", "total")
+      .orderBy($"iter")
+  }
+
   val queries: Map[String, Q] = Map(
     "q74_inverted_index" -> q74,
+    "q77_bpe_merges" -> q77,
     "q75_markov_transitions" -> q75,
     "q76_rolling_anomaly" -> q76,
     "q78_knn_graph" -> q78,

@@ -10,9 +10,57 @@ package graft.queries
   * brute/LSH formulations stay defined in exactly one place. */
 object Oracle7 {
   import Declared7.{PostCap, TopNext, AnomWin, AnomK, KnnK, KnnLabel,
-    WinsLoPct, WinsHiPct}
+    WinsLoPct, WinsHiPct, BpeIters, BpeVocabCap}
+
+  /** Unrolled BPE training: one CTE block per merge iteration. The
+    * greedy non-overlapping apply step is expressed as run-parity
+    * position algebra: within each maximal run of consecutive matched
+    * positions, keep every second position starting at the run head
+    * (exactly the left-to-right scan's choices), then drop each kept
+    * position's right neighbor when rebuilding the symbol list. */
+  private val bpeSql: String = {
+    val iters = (1 to BpeIters).map { i =>
+      s"""p$i AS (
+         |  SELECT s.word, s.cnt, t.i AS pos, s.syms[t.i] AS l, s.syms[t.i+1] AS r
+         |  FROM st${i - 1} s, unnest(range(1, len(s.syms))) AS t(i)),
+         |g$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS total FROM p$i GROUP BY l, r),
+         |m$i AS (SELECT l, r, total FROM g$i ORDER BY total DESC, l, r LIMIT 1),
+         |mt$i AS (SELECT p.word, p.pos FROM p$i p, m$i m WHERE p.l = m.l AND p.r = m.r),
+         |rk$i AS (SELECT word, pos,
+         |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS run
+         |  FROM mt$i),
+         |keep$i AS (SELECT word, pos FROM (
+         |    SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, run) AS off
+         |    FROM rk$i)
+         |  WHERE off % 2 = 0),
+         |u$i AS (SELECT s.word, s.cnt, t.i AS pos, s.syms[t.i] AS sym
+         |  FROM st${i - 1} s, unnest(range(1, len(s.syms) + 1)) AS t(i)),
+         |st$i AS (
+         |  SELECT u.word, max(u.cnt) AS cnt,
+         |    list(CASE WHEN k.pos IS NOT NULL THEN (SELECT l || r FROM m$i)
+         |              ELSE u.sym END ORDER BY u.pos) AS syms
+         |  FROM u$i u LEFT JOIN keep$i k ON u.word = k.word AND u.pos = k.pos
+         |  WHERE NOT EXISTS (SELECT 1 FROM keep$i kk
+         |                    WHERE kk.word = u.word AND kk.pos + 1 = u.pos)
+         |  GROUP BY u.word)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeIters)
+      .map(i => s"SELECT CAST($i AS INT) AS iter, l AS lhs, r AS rhs, total FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+       |    FROM documents)
+       |  GROUP BY term ORDER BY cnt DESC, word LIMIT $BpeVocabCap),
+       |st0 AS (SELECT word, cnt, string_split(word, '') AS syms FROM w),
+       |$iters
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY iter""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
+    "q77_bpe_merges" -> bpeSql,
     "q74_inverted_index" ->
       s"""WITH pairs AS (
         |  SELECT doc_id,

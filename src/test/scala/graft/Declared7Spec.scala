@@ -82,6 +82,29 @@ class Declared7Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q77: greedy merge semantics and monotone merge counts") {
+    import spark.implicits._
+    import graft.queries.Declared7.bpeApplyMerge
+    // greedy left-to-right non-overlap: 'l l' in a run of 3 merges the
+    // FIRST pair only; a run of 4 merges twice
+    assert(bpeApplyMerge(Seq("l", "l", "l"), "l", "l") == Seq("ll", "l"))
+    assert(bpeApplyMerge(Seq("l", "l", "l", "l"), "l", "l") == Seq("ll", "ll"))
+    assert(bpeApplyMerge(Seq("a", "l", "l", "b"), "l", "l") == Seq("a", "ll", "b"))
+    // symbol mass conserved: concatenation always rebuilds the word
+    val words = Seq("mississippi", "banana", "aaaa", "x")
+    for (w <- words; (l, r) <- Seq(("s", "s"), ("a", "n"), ("a", "a"))) {
+      assert(bpeApplyMerge(w.split("").toSeq, l, r).mkString == w)
+    }
+    // trained merges: BPE's max-pair count is non-increasing across
+    // iterations (new pairs inherit at most the merged pair's count)
+    val out = Declared7.q77(spark, sf).orderBy($"iter").collect()
+    assert(out.length == Declared7.BpeIters)
+    val totals = out.map(_.getAs[Long]("total"))
+    assert(totals.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(out.forall(r => r.getAs[String]("lhs").nonEmpty &&
+      r.getAs[String]("rhs").nonEmpty))
+  }
+
   test("q78: degree/triangle algebra holds and mutual edges match a join reformulation") {
     import spark.implicits._
     val out = Declared7.q78(spark, sf).cache()
