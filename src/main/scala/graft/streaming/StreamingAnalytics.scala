@@ -163,6 +163,47 @@ object StreamingAnalytics {
       }
   }
 
+  final case class AnomalyFlag(event_id: Long, user_id: Long,
+    cents: Long, trail_sum: Long)
+
+  /** Streaming rolling anomaly detection — the streaming form of batch
+    * q76: flag events whose value (integer cents) exceeds
+    * [[graft.queries.Declared7.AnomK]]× the user's trailing-
+    * [[graft.queries.Declared7.AnomWin]] mean, with the division
+    * cleared to exact integer arithmetic (`cents·Win > K·Σcents`).
+    * Keyed state is ONE bounded ring of the last AnomWin cents values
+    * per user — O(Win) longs regardless of stream length, the same
+    * bounded-state argument as [[frequentUsersStream]]. Same ordering
+    * contract as [[scd2Stream]]: rows fold in (ts, event_id) order
+    * within each batch; per-user event-time order must hold ACROSS
+    * micro-batches (time-split file feeds provide this). Emission is
+    * append-mode, exactly once per flagged event. */
+  def rollingAnomalyStream(events: DataFrame): Dataset[AnomalyFlag] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val win = graft.queries.Declared7.AnomWin
+    val k = graft.queries.Declared7.AnomK
+    events
+      .select($"user_id".as[Long], unix_micros($"ts").as[Long],
+        $"event_id".as[Long],
+        floor($"value" * 100).cast("long").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[Vector[Long]]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var ring = state.getOption.getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
+          sorted.foreach { case (_, _, eventId, cents) =>
+            if (ring.length == win && cents * win > k * ring.sum)
+              out += AnomalyFlag(eventId, user, cents, ring.sum)
+            ring = (ring :+ cents).takeRight(win)
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   final case class UserMilestone(user_id: Long, milestone: Long)
 
   /** Per-user event-count milestones via flatMapGroupsWithState — the

@@ -242,6 +242,40 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally { q.stop(); ev.unpersist() }
   }
 
+  test("streaming rolling anomaly flags exactly batch q76's events, across batches") {
+    import spark.implicits._
+    // same time-split two-batch feed as the SCD2 parity test: per-user
+    // event-time order preserved across the micro-batch boundary (the
+    // operator's documented contract)
+    val tmp = Files.createTempDirectory("anom_stream_")
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events").cache()
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0)
+    val streamDir = tmp.resolve("stream")
+    Files.createDirectory(streamDir)
+    Seq(("early", expr(s"unix_micros(ts) < $cut"), 0),
+        ("late", expr(s"unix_micros(ts) >= $cut"), 1)).foreach { case (w, p, i) =>
+      ev.filter(p).coalesce(1).write.parquet(tmp.resolve(w).toString)
+      val part = Files.list(tmp.resolve(w)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(part, streamDir.resolve(s"f$i.parquet"))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = StreamingAnalytics.rollingAnomalyStream(src)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("anom")
+        .select($"event_id", $"user_id", $"cents", $"trail_sum")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val batch = graft.queries.Declared7.q76(spark, "/root/testdata/sf0.001")
+        .select($"event_id", $"user_id", $"cents", $"trail_sum")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(batch.nonEmpty)
+      assert(stream == batch)
+    } finally { q.stop(); ev.unpersist() }
+  }
+
   test("flatMapGroupsWithState emits each crossed milestone exactly once") {
     import spark.implicits._
     val q = StreamingAnalytics.userMilestones(eventsStream("/root/testdata/sf0.001"))
