@@ -340,8 +340,36 @@ object Declared7 {
       .orderBy($"iter")
   }
 
+  // ---------------------------------------------------------------- Q82
+  /** Last-touch attribution: every purchase event credits the user's
+    * most recent PRECEDING non-purchase event type (the classic
+    * marketing-attribution fold). The carry is `last(..., ignoreNulls)`
+    * over an unbounded-preceding ROWS frame — the same running-state
+    * window as q39's LOCF, O(1) per row, ONE user_id exchange, no
+    * self-join (a join formulation would re-shuffle the stream per
+    * purchase). Purchases with no prior touch report as '(none)'.
+    * Money in exact cents; the (ts, event_id) total order makes the
+    * carried value engine-exact. */
+  val q82: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        floor($"value" * 100).cast("long").as("cents"))
+      .withColumn("attr_type",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+          .over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"attr_type", lit("(none)")).as("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"cents").as("attributed_cents"))
+      .orderBy($"attributed_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q74_inverted_index" -> q74,
+    "q82_attribution" -> q82,
     "q77_bpe_merges" -> q77,
     "q75_markov_transitions" -> q75,
     "q76_rolling_anomaly" -> q76,

@@ -61,6 +61,21 @@ object Oracle7 {
 
   val oracleSql: Map[String, String] = Map(
     "q77_bpe_merges" -> bpeSql,
+
+    "q82_attribution" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_type
+        |  FROM events)
+        |SELECT coalesce(attr_type, '(none)') AS attributed_type,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS attributed_cents
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attributed_type""".stripMargin,
     "q74_inverted_index" ->
       s"""WITH pairs AS (
         |  SELECT doc_id,

@@ -151,6 +151,31 @@ class Declared7Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q82: every purchase is attributed exactly once (counts and cents conserve)") {
+    import spark.implicits._
+    val out = Declared7.q82(spark, sf).cache()
+    val purchases = Tables(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select(floor($"value" * 100).cast("long").as("cents"))
+    assert(out.agg(sum($"n_purchases")).head().getLong(0) == purchases.count())
+    assert(out.agg(sum($"attributed_cents")).head().getLong(0) ==
+      purchases.agg(sum($"cents")).head().getLong(0))
+    // '(none)' only for users whose first event(s) are purchases —
+    // reformulated: a purchase is unattributed iff no earlier
+    // non-purchase event exists for that user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val unattributed = Tables(spark, sf, "events")
+      .withColumn("n_prior_touch",
+        count(when($"event_type" =!= "purchase", 1)).over(w))
+      .filter($"event_type" === "purchase" && $"n_prior_touch" === 0)
+    assert(out.filter($"attributed_type" === "(none)")
+      .agg(coalesce(sum($"n_purchases"), lit(0L))).head().getLong(0) ==
+      unattributed.count())
+    out.unpersist()
+  }
+
   test("q81: winsorized aggregates obey the clamp bounds") {
     import spark.implicits._
     val out = Declared7.q81(spark, sf).cache()

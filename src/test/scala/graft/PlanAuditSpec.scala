@@ -355,6 +355,15 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("SortMergeJoin"), s"no equi-join in graph algebra:\n$plan")
   }
 
+  test("q82: attribution is ONE user_id exchange with a running carry, no self-join") {
+    val plan = executed(queries.Declared7.q82(spark, sf))
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 user_id hash exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("Join"), s"attribution must not self-join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
   test("q81: winsorize bounds join broadcasts; events scan at most twice") {
     val plan = executed(queries.Declared7.q81(spark, sf))
     // the |event_types|-row bounds side must broadcast onto the fact
