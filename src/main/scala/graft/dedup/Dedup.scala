@@ -282,6 +282,46 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Incremental cross-snapshot dedup: the ingestion-time form of
+    * [[minhashPortable]] — an arriving batch (source = src0, the same
+    * "new slice" q56's contamination check uses) is checked against the
+    * EXISTING corpus instead of all-pairs within one snapshot. Same
+    * portable LSH index (band hashes from the identical integer
+    * recurrences), but candidates come from a cross-set band join:
+    * new-batch bands — small by definition of an ingestion batch —
+    * BROADCAST onto the corpus band stream, so the corpus is touched
+    * once, map-side, with no all-pairs stage at all. At 100 TB the
+    * corpus side of this join is the persisted (band, bh)-bucketed
+    * index ([[graft.sim.Similarity.writeLshIndex]] pattern): an
+    * arriving batch probes buckets, never rescans. Verification (exact
+    * hashed-shingle Jaccard ≥ 0.5) runs over candidates only. */
+  def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .select($"doc_id", $"source", tokens($"text").as("raw_toks"))
+    val banded = raw
+      .select($"doc_id", $"source",
+        posexplode(portableBandsUdf($"raw_toks")).as(Seq("band", "bh")))
+    val newBatch = banded.filter($"source" === "src0")
+      .select($"doc_id".as("doc_new"), $"band", $"bh")
+    val corpus = banded.filter($"source" =!= "src0")
+      .select($"doc_id".as("doc_old"), $"band", $"bh")
+    val cand = corpus.join(broadcast(newBatch), Seq("band", "bh"))
+      .select($"doc_new", $"doc_old").distinct()
+    val d = raw.select($"doc_id", portableShingleSetUdf($"raw_toks").as("hset"))
+      .filter(size($"hset") > 0)
+    val nInter = intersectUdf($"set_a", $"set_b")
+    val nUnion = (size($"set_a") + size($"set_b")).cast("bigint") - nInter
+    cand
+      .join(d.select($"doc_id".as("doc_new"), $"hset".as("set_a")), "doc_new")
+      .join(d.select($"doc_id".as("doc_old"), $"hset".as("set_b")), "doc_old")
+      .select($"doc_new", $"doc_old", nInter.as("n_inter"), nUnion.as("n_union"),
+        (nInter.cast("double") / nUnion.cast("double")).as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_new", $"doc_old")
+  }
+
   // ----------------------------------------------- Prefix edit distance
   /** Near-dup pairs by PREFIX edit distance: Levenshtein over the first
     * 80 characters of blocked pairs (same (lang, len-bucket) blocking as
@@ -659,6 +699,7 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_embedding_cosine" -> embeddingCosine _,
     "dedup_minhash_portable" -> minhashPortable _,
+    "dedup_incremental" -> minhashIncremental _,
     "dedup_clusters" -> clusters _,
     "dedup_edit_distance" -> editDistance _)
 }

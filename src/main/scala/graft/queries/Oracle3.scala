@@ -35,7 +35,7 @@ object Oracle3 {
     * per band, built from the SAME constant arrays the Scala kernel uses
     * (graft.functions.Signatures.PortableA/B), so the two definitions
     * cannot drift. */
-  private def portableBandCols: String = {
+  private[queries] def portableBandCols: String = {
     import graft.functions.Signatures.{MixMul, PolyMod, PortableA, PortableB}
     val mins = PortableA.indices.map(i =>
       s"list_min(list_transform(h0, h -> (${PortableA(i)} * h + ${PortableB(i)}) % $PolyMod))")

@@ -62,6 +62,50 @@ object Oracle7 {
   val oracleSql: Map[String, String] = Map(
     "q77_bpe_merges" -> bpeSql,
 
+    // cross-set variant of Oracle3's dedup_minhash_portable text: the
+    // identical portable LSH index (same generated band expressions),
+    // candidates restricted to (new batch = src0) × (rest of corpus)
+    "dedup_incremental" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shs
+        |  FROM t WHERE len(toks) >= 3),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    list_transform(shs, sh -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_filter(string_split(sh, ''), c -> c <> ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS h0
+        |  FROM s),
+        |b AS (SELECT doc_id, source, ${Oracle3.portableBandCols} FROM h),
+        |bl AS (
+        |  SELECT doc_id, source, 0 AS band, bh0 AS bh FROM b
+        |  UNION ALL SELECT doc_id, source, 1, bh1 FROM b
+        |  UNION ALL SELECT doc_id, source, 2, bh2 FROM b
+        |  UNION ALL SELECT doc_id, source, 3, bh3 FROM b),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_old
+        |  FROM bl n JOIN bl c ON n.band = c.band AND n.bh = c.bh
+        |  WHERE n.source = 'src0' AND c.source <> 'src0'),
+        |hs AS (SELECT doc_id, list_distinct(h0) AS hset FROM h)
+        |SELECT doc_new, doc_old,
+        |  CAST(len(list_intersect(x.hset, y.hset)) AS BIGINT) AS n_inter,
+        |  CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |    CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS DOUBLE) AS jaccard
+        |FROM cand
+        |  JOIN hs x ON x.doc_id = cand.doc_new
+        |  JOIN hs y ON y.doc_id = cand.doc_old
+        |WHERE CAST(len(list_intersect(x.hset, y.hset)) AS DOUBLE) /
+        |    CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS DOUBLE) >= 0.5
+        |ORDER BY doc_new, doc_old""".stripMargin,
+
     "q82_attribution" ->
       """WITH o AS (
         |  SELECT event_id, user_id, event_type,

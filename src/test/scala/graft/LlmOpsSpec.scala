@@ -155,6 +155,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup equals the all-pairs portable result restricted to cross-source pairs") {
+    import spark.implicits._
+    // reformulation: (new=src0) × corpus candidates must find exactly
+    // the all-pairs result's pairs that straddle the src0 boundary —
+    // the band index is the same, only the candidate restriction moves
+    val src = Tables(spark, sf, "documents").select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val allPairs = Dedup.minhashPortable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter { case (a, b, _, _) =>
+        (src(a) == "src0") != (src(b) == "src0") }
+      .map { case (a, b, i, u) =>
+        if (src(a) == "src0") (a, b, i, u) else (b, a, i, u) }
+      .toSet
+    val inc = Dedup.minhashIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc == allPairs, s"incremental $inc vs restricted all-pairs $allPairs")
+  }
+
   test("portable minhash finds planted dups; pairs match a driver recompute") {
     import spark.implicits._
     val pairs = Dedup.minhashPortableOver(planted).collect()

@@ -355,6 +355,16 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("SortMergeJoin"), s"no equi-join in graph algebra:\n$plan")
   }
 
+  test("dedup incremental: the new batch broadcasts onto the corpus band stream") {
+    val plan = executed(graft.dedup.Dedup.minhashIncremental(spark, sf))
+    // ingestion-batch side is small by definition — the candidate join
+    // must broadcast it; sort-merging would re-exchange the whole
+    // corpus index per arriving batch
+    assert(plan.contains("BroadcastHashJoin"), s"new batch not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+  }
+
   test("q82: attribution is ONE user_id exchange with a running carry, no self-join") {
     val plan = executed(queries.Declared7.q82(spark, sf))
     val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
