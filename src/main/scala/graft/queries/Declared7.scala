@@ -367,8 +367,66 @@ object Declared7 {
       .orderBy($"attributed_type")
   }
 
+  // ---------------------------------------------------------------- Q84
+  /** Epoch for day indexing — the corpus's first event date, shared by
+    * q84/q85 and their oracles. */
+  val CohortEpoch = "2024-01-01"
+
+  /** Cohort retention analysis: users cohorted by first-active day,
+    * then per (cohort_day, day_offset) active-user counts with the
+    * cohort size attached — the classic retention triangle. Every
+    * row-scale operation shuffles on user_id (the per-user first-day
+    * aggregate, the per-user-day dedup, and their join are all
+    * co-partitioned — one key, reusable exchanges); the final aggregate
+    * and the cohort-size join are (cohort × offset)-dimension-sized,
+    * with the cohort sizes broadcast. (user_id, day) is distinct by
+    * construction before the final count, so n_active is a plain count
+    * — no count-distinct shuffle. */
+  val q84: Q = (s, dir) => {
+    import s.implicits._
+    val d = Tables(s, dir, "events")
+      .select($"user_id",
+        datediff(to_date($"ts"), to_date(lit(CohortEpoch))).cast("long").as("day"))
+    val c = d.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val ret = d.distinct().join(c, "user_id")
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val cs = c.groupBy($"cohort_day").agg(count(lit(1)).as("cohort_n"))
+    ret.join(broadcast(cs), "cohort_day")
+      .select($"cohort_day", $"day_offset", $"n_active", $"cohort_n")
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  // ---------------------------------------------------------------- Q85
+  /** Group-wise least squares: per event_type, the OLS slope/intercept
+    * of value (exact cents) against the day index, reported as EXACT
+    * integer rationals — slope = slope_num/slope_den, intercept =
+    * intercept_num/slope_den — so no float division ever happens
+    * in-engine and the result hash-checks bit-exactly. One partial+final
+    * aggregate pass computes (n, Σx, Σy, Σxy, Σx²); the closed forms
+    * are dimension-sized arithmetic on top. int64 headroom: |n·Σxy| ~
+    * 5×10¹⁷ at sf0.1; beyond ~10× that, the sums need DECIMAL(38) (the
+    * q79 note applies). */
+  val q85: Q = (s, dir) => {
+    import s.implicits._
+    val p = Tables(s, dir, "events")
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit(CohortEpoch))).cast("long").as("x"),
+        floor($"value" * 100).cast("long").as("y"))
+    p.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"event_type", $"n",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"),
+        ($"sy" * $"sxx" - $"sx" * $"sxy").as("intercept_num"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q74_inverted_index" -> q74,
+    "q84_cohort_retention" -> q84,
+    "q85_groupwise_ols" -> q85,
     "q82_attribution" -> q82,
     "q77_bpe_merges" -> q77,
     "q75_markov_transitions" -> q75,

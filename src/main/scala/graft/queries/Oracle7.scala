@@ -106,6 +106,38 @@ object Oracle7 {
         |    CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS DOUBLE) >= 0.5
         |ORDER BY doc_new, doc_old""".stripMargin,
 
+    "q84_cohort_retention" ->
+      s"""WITH d AS (SELECT user_id,
+        |    date_diff('day', DATE '${Declared7.CohortEpoch}',
+        |              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+        |ad AS (SELECT DISTINCT user_id, day FROM d),
+        |ret AS (SELECT c.cohort_day, ad.day - c.cohort_day AS day_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM ad JOIN c USING (user_id) GROUP BY 1, 2),
+        |cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n
+        |  FROM c GROUP BY cohort_day)
+        |SELECT ret.cohort_day, ret.day_offset, ret.n_active, cs.cohort_n
+        |FROM ret JOIN cs USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q85_groupwise_ols" ->
+      s"""WITH p AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '${Declared7.CohortEpoch}',
+        |                   CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+        |    CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM p GROUP BY event_type)
+        |SELECT event_type, n,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den,
+        |  sy * sxx - sx * sxy AS intercept_num
+        |FROM a ORDER BY event_type""".stripMargin,
+
     "q82_attribution" ->
       """WITH o AS (
         |  SELECT event_id, user_id, event_type,

@@ -176,6 +176,41 @@ class Declared7Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q84: retention triangle algebra — offset-0 equals cohort size, actives never exceed it") {
+    import spark.implicits._
+    val out = Declared7.q84(spark, sf).cache()
+    // every user is active on their own first day
+    assert(out.filter($"day_offset" === 0)
+      .filter($"n_active" =!= $"cohort_n").count() == 0)
+    assert(out.filter($"n_active" > $"cohort_n").count() == 0)
+    assert(out.filter($"day_offset" < 0).count() == 0)
+    // cohort sizes partition the user base exactly
+    val users = Tables(spark, sf, "events").select($"user_id").distinct().count()
+    assert(out.select($"cohort_day", $"cohort_n").distinct()
+      .agg(sum($"cohort_n")).head().getLong(0) == users)
+    out.unpersist()
+  }
+
+  test("q85: OLS rationals match a driver-side exact recompute") {
+    import spark.implicits._
+    val out = Declared7.q85(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val rows = Tables(spark, sf, "events")
+      .select($"event_type",
+        datediff(to_date($"ts"), to_date(lit(Declared7.CohortEpoch))).cast("long"),
+        floor($"value" * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (et, evs) =>
+      val n = evs.length.toLong
+      val sx = evs.map(_._2).sum; val sy = evs.map(_._3).sum
+      val sxy = evs.map(e => e._2 * e._3).sum
+      val sxx = evs.map(e => e._2 * e._2).sum
+      assert(out(et) == ((n, n * sxy - sx * sy, n * sxx - sx * sx, sy * sxx - sx * sxy)),
+        s"$et: ${out(et)}")
+    }
+  }
+
   test("q81: winsorized aggregates obey the clamp bounds") {
     import spark.implicits._
     val out = Declared7.q81(spark, sf).cache()

@@ -365,6 +365,23 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
   }
 
+  test("q84: retention row-scale work stays on user_id; cohort sizes broadcast") {
+    val plan = executed(queries.Declared7.q84(spark, sf))
+    // the per-user aggregates and their join are co-partitioned on
+    // user_id; the only broadcast is the (cohort-count)-row size table
+    assert(plan.contains("BroadcastHashJoin"), s"cohort sizes not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+  }
+
+  test("q85: group-wise OLS is one partial+final aggregate pass, no join") {
+    val plan = executed(queries.Declared7.q85(spark, sf))
+    assert(!plan.contains("Join"), s"OLS must not join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
   test("q82: attribution is ONE user_id exchange with a running carry, no self-join") {
     val plan = executed(queries.Declared7.q82(spark, sf))
     val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
