@@ -423,8 +423,40 @@ object Declared7 {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- Q86
+  /** Minimum pair support reported by the market-basket pass. */
+  val PairMinSup = 2
+
+  private val basketPairsUdf = udf((ids: Seq[Long]) =>
+    graft.functions.Signatures.bucketPairs(ids))
+
+  /** Market-basket frequent pairs: part pairs co-occurring in ≥
+    * PairMinSup orders — the support-counting core of Apriori/FP-growth.
+    * ONE exchange moves the (orderkey, partkey) projection; each
+    * order's distinct part set collects map-side (baskets are
+    * small — an order has ~4 parts, so the per-group state is bounded
+    * by basket size, NOT corpus size) and fans out its C(|basket|, 2)
+    * ordered pairs executor-side; the (a, b) support count is a second,
+    * pair-keyed partial+final aggregate. No self-join: the join
+    * formulation re-shuffles the projection twice and fans out through
+    * a join operator — the basket-local generator keeps the pair
+    * explosion bounded per task. Oracle is the independent self-join
+    * text. */
+  val q86: Q = (s, dir) => {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("parts"))
+      .select(explode(basketPairsUdf($"parts")).as("p"))
+      .groupBy($"p._1".as("part_a"), $"p._2".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= PairMinSup)
+      .orderBy($"part_a", $"part_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q74_inverted_index" -> q74,
+    "q86_frequent_pairs" -> q86,
     "q84_cohort_retention" -> q84,
     "q85_groupwise_ols" -> q85,
     "q82_attribution" -> q82,

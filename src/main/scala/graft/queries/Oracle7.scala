@@ -106,6 +106,18 @@ object Oracle7 {
         |    CAST(len(x.hset) + len(y.hset) - len(list_intersect(x.hset, y.hset)) AS DOUBLE) >= 0.5
         |ORDER BY doc_new, doc_old""".stripMargin,
 
+    // independent formulation: the self-join text (the Spark side uses
+    // a basket-local pair generator — same pairs by construction)
+    "q86_frequent_pairs" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+        |FROM pairs GROUP BY part_a, part_b
+        |HAVING count(*) >= ${Declared7.PairMinSup}
+        |ORDER BY part_a, part_b""".stripMargin,
+
     "q84_cohort_retention" ->
       s"""WITH d AS (SELECT user_id,
         |    date_diff('day', DATE '${Declared7.CohortEpoch}',

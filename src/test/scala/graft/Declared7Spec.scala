@@ -176,6 +176,21 @@ class Declared7Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q86: basket-local pair counts equal the self-join reformulation") {
+    import spark.implicits._
+    val li = Tables(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val a = li.select($"l_orderkey", $"l_partkey".as("part_a"))
+    val b = li.select($"l_orderkey", $"l_partkey".as("part_b"))
+    val viaJoin = a.join(b, "l_orderkey").filter($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("support"))
+      .filter($"support" >= Declared7.PairMinSup)
+      .collect().map(_.toSeq).toSet
+    val out = Declared7.q86(spark, sf).collect().map(_.toSeq).toSet
+    assert(out == viaJoin)
+    assert(out.nonEmpty)
+  }
+
   test("q84: retention triangle algebra — offset-0 equals cohort size, actives never exceed it") {
     import spark.implicits._
     val out = Declared7.q84(spark, sf).cache()

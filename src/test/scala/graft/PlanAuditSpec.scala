@@ -365,6 +365,19 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
   }
 
+  test("q86: market-basket pairs are join-free — basket-local fan-out, two aggregates") {
+    val plan = executed(queries.Declared7.q86(spark, sf))
+    // the self-join formulation re-shuffles the projection twice and
+    // multiplies rows through a join operator; the basket-local
+    // generator must plan with NO join and exactly two hash exchanges
+    // (orderkey baskets, then pair counts)
+    assert(!plan.contains("Join"), s"basket pairs must not self-join:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$plan")
+  }
+
   test("q84: retention row-scale work stays on user_id; cohort sizes broadcast") {
     val plan = executed(queries.Declared7.q84(spark, sf))
     // the per-user aggregates and their join are co-partitioned on
