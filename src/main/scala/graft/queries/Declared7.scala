@@ -454,8 +454,56 @@ object Declared7 {
       .orderBy($"part_a", $"part_b")
   }
 
+  // ---------------------------------------------------------------- Q87
+  /** Upper bound for the price-outlier constraint. */
+  val QualityPriceCap = 450000
+
+  /** Data-quality constraint report (the Deequ-style validation pass a
+    * curation pipeline runs before accepting a snapshot): one row per
+    * (target, check) with exact violation and checked counts.
+    * Column-local constraints — completeness, uniqueness, range,
+    * domain — compute in ONE conditional-aggregate pass over the table
+    * (partial+final, no per-constraint rescan) and unpivot to report
+    * rows via stack(); referential-integrity checks are key-keyed
+    * left joins counting unmatched rows in the same single pass as
+    * their row count. Every number is an exact integer; zero-violation
+    * rows are part of the contract (the report proves the check RAN). */
+  val q87: Q = (s, dir) => {
+    import s.implicits._
+    val prof = Tables(s, dir, "orders").agg(
+      count(lit(1)).as("checked"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_custkey"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_orderkey"),
+      sum(when($"o_totalprice" < 0, 1L).otherwise(0L)).as("neg_price"),
+      sum(when($"o_totalprice" > QualityPriceCap, 1L).otherwise(0L)).as("outlier_price"),
+      sum(when(!$"o_orderstatus".isin("F", "O", "P"), 1L).otherwise(0L)).as("bad_status"))
+      .selectExpr(s"""stack(5,
+        'orders.o_custkey', 'not_null', null_custkey, checked,
+        'orders.o_orderkey', 'unique', dup_orderkey, checked,
+        'orders.o_totalprice', 'non_negative', neg_price, checked,
+        'orders.o_totalprice', 'upper_bound_$QualityPriceCap', outlier_price, checked,
+        'orders.o_orderstatus', 'domain_FOP', bad_status, checked
+        ) AS (target, check_name, violations, checked)""")
+    def fk(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+           target: String): DataFrame = {
+      import org.apache.spark.sql.functions.{col => c}
+      fact.select(c(factKey))
+        .join(dim.select(c(dimKey)).distinct(), c(factKey) === c(dimKey), "left")
+        .agg(count(lit(1)).as("checked"),
+          sum(when(c(dimKey).isNull, 1L).otherwise(0L)).as("violations"))
+        .select(lit(target).as("target"), lit(s"fk_$dimKey").as("check_name"),
+          $"violations", $"checked")
+    }
+    val li = fk(Tables(s, dir, "lineitem"), "l_orderkey",
+      Tables(s, dir, "orders"), "o_orderkey", "lineitem.l_orderkey")
+    val cu = fk(Tables(s, dir, "orders"), "o_custkey",
+      Tables(s, dir, "customer"), "c_custkey", "orders.o_custkey")
+    prof.union(li).union(cu).orderBy($"target", $"check_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q74_inverted_index" -> q74,
+    "q87_quality_report" -> q87,
     "q86_frequent_pairs" -> q86,
     "q84_cohort_retention" -> q84,
     "q85_groupwise_ols" -> q85,

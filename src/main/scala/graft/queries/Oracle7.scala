@@ -108,6 +108,33 @@ object Oracle7 {
 
     // independent formulation: the self-join text (the Spark side uses
     // a basket-local pair generator — same pairs by construction)
+    "q87_quality_report" ->
+      s"""WITH prof AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+        |    CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS null_custkey,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+        |    CAST(count(*) FILTER (o_totalprice < 0) AS BIGINT) AS neg_price,
+        |    CAST(count(*) FILTER (o_totalprice > ${Declared7.QualityPriceCap}) AS BIGINT) AS outlier_price,
+        |    CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT) AS bad_status
+        |  FROM orders),
+        |fk1 AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+        |    CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS violations
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |fk2 AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+        |    CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT) AS violations
+        |  FROM orders x LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON x.o_custkey = c.c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'orders.o_custkey' AS target, 'not_null' AS check_name,
+        |    null_custkey AS violations, checked FROM prof
+        |  UNION ALL SELECT 'orders.o_orderkey', 'unique', dup_orderkey, checked FROM prof
+        |  UNION ALL SELECT 'orders.o_totalprice', 'non_negative', neg_price, checked FROM prof
+        |  UNION ALL SELECT 'orders.o_totalprice', 'upper_bound_${Declared7.QualityPriceCap}', outlier_price, checked FROM prof
+        |  UNION ALL SELECT 'orders.o_orderstatus', 'domain_FOP', bad_status, checked FROM prof
+        |  UNION ALL SELECT 'lineitem.l_orderkey', 'fk_o_orderkey', violations, checked FROM fk1
+        |  UNION ALL SELECT 'orders.o_custkey', 'fk_c_custkey', violations, checked FROM fk2)
+        |ORDER BY target, check_name""".stripMargin,
+
     "q86_frequent_pairs" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b

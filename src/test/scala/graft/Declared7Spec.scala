@@ -176,6 +176,25 @@ class Declared7Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q87: report rows match independent per-constraint recomputes") {
+    import spark.implicits._
+    val out = Declared7.q87(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 7)
+    val orders = Tables(spark, sf, "orders").cache()
+    val n = orders.count()
+    assert(out(("orders.o_totalprice", s"upper_bound_${Declared7.QualityPriceCap}")) ==
+      ((orders.filter($"o_totalprice" > Declared7.QualityPriceCap).count(), n)))
+    assert(out(("orders.o_orderkey", "unique")) ==
+      ((n - orders.select($"o_orderkey").distinct().count(), n)))
+    // referential: anti-join reformulation
+    val orphans = Tables(spark, sf, "lineitem")
+      .join(orders, $"l_orderkey" === $"o_orderkey", "left_anti").count()
+    assert(out(("lineitem.l_orderkey", "fk_o_orderkey")) ==
+      ((orphans, Tables(spark, sf, "lineitem").count())))
+    orders.unpersist()
+  }
+
   test("q86: basket-local pair counts equal the self-join reformulation") {
     import spark.implicits._
     val li = Tables(spark, sf, "lineitem")

@@ -365,6 +365,18 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
   }
 
+  test("q87: column-local constraints share one profile pass; FK checks are equi-joins") {
+    val plan = executed(queries.Declared7.q87(spark, sf))
+    // five constraints, ONE conditional-aggregate pass: orders scans
+    // stay at 2 (profile + the o_custkey FK fact side), not one per
+    // constraint; referential checks must never nested-loop
+    val ordersScans = "Scan parquet .*orders".r.findAllIn(plan).size
+    assert(ordersScans <= 3, s"orders scanned $ordersScans times:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("q86: market-basket pairs are join-free — basket-local fan-out, two aggregates") {
     val plan = executed(queries.Declared7.q86(spark, sf))
     // the self-join formulation re-shuffles the projection twice and
