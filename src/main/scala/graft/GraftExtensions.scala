@@ -19,6 +19,8 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator plan: AsOfJoinNode → co-partitioned merge exec
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_product"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Whole-operator custom plan: a co-partitioned MERGE as-of join —
+  * SURVEY §4.3 preference (c), the one rung the composed
+  * [[graft.operators.AsOfJoin]] (preference (a)) doesn't exercise.
+  *
+  * Semantics: for each left row, the LATEST right row with
+  * `right.ts <= left.ts` for the same key (backward as-of, ties
+  * included) — identical to AsOfJoin.asOf and to DuckDB's
+  * `ASOF LEFT JOIN ... >=`, which stays the oracle.
+  *
+  * Why a custom operator here is the right trade at 100 TB: the
+  * composed form UNIONS both sides through one exchange and carries the
+  * right row with a running window — every left row pays the window
+  * machinery, and both sides land in ONE sort buffer. This exec instead
+  * declares `ClusteredDistribution` on each side's key and a per-side
+  * (key, ts) sort — Catalyst's EnsureRequirements co-partitions the two
+  * shuffles exactly as it would a SortMergeJoin — and then streams BOTH
+  * sorted iterators through an O(|L| + |R|) single-pass merge with O(1)
+  * state (the last-seen right values row). No union materialization, no
+  * window frame, right side never re-buffered. AQE still plans the
+  * exchanges (only the join algorithm is custom).
+  *
+  * Contract: keys are LongType, timestamps TimestampType/LongType (both
+  * read as long micros); right (key, ts) unique (same caller contract
+  * as AsOfJoin). Null keys/timestamps never match (left row emits null
+  * values; right row is skipped).
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    rightVals: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightVals.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfMergeJoinExec(
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute,
+    rightVals: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightVals.map(_.withNullability(true))
+
+  // each side hash-clusters on its own key; EnsureRequirements makes the
+  // two exchanges co-partitioned (the SortMergeJoin contract)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // per-partition (key, ts) sort on both sides — the merge's only input
+  // requirement; EnsureRequirements inserts local sorts, never a global one
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTsIdx = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTsIdx = right.output.indexWhere(_.exprId == rightTs.exprId)
+    require(Seq(lKeyIdx, lTsIdx, rKeyIdx, rTsIdx).forall(_ >= 0),
+      "as-of key/ts attributes must come from the respective child's output")
+    val valExprs = rightVals
+    val rightOut = right.output
+    val outAttrs = output
+    val leftOut = left.output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      // projections are per-partition (executor-side): UnsafeProjection
+      // instances are not thread-safe/serializable-stable across tasks
+      val valProj = UnsafeProjection.create(valExprs, rightOut)
+      val outProj = UnsafeProjection.create(outAttrs, leftOut ++ valExprs.map(_.withNullability(true)))
+      val nullVals = InternalRow.fromSeq(Seq.fill(valExprs.length)(null))
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+      new Iterator[InternalRow] {
+        // O(1) merge state: the last right values row seen for lastKey
+        private var lastKey = 0L
+        private var lastVals: InternalRow = null
+        override def hasNext: Boolean = lIt.hasNext
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          if (l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx)) {
+            outProj(joined(l, nullVals))
+          } else {
+            val k = l.getLong(lKeyIdx)
+            val t = l.getLong(lTsIdx)
+            // advance the right side through every row at-or-before (k, t);
+            // rows of earlier keys are drained and dropped, rows of THIS
+            // key update the carried values (right is (key, ts)-sorted, so
+            // the last consumed one is the as-of match)
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val h = rBuf.head
+              if (h.isNullAt(rKeyIdx) || h.isNullAt(rTsIdx)) { rBuf.next() }
+              else {
+                val hk = h.getLong(rKeyIdx)
+                if (hk < k || (hk == k && h.getLong(rTsIdx) <= t)) {
+                  val r = rBuf.next()
+                  if (hk == k) { lastVals = valProj(r).copy(); lastKey = k }
+                } else advancing = false
+              }
+            }
+            val vals =
+              if (lastVals != null && lastKey == k) lastVals else nullVals
+            outProj(joined(l, vals))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** Planner strategy: AsOfJoinNode → AsOfMergeJoinExec. Registered per
+  * session via [[AsOfMergeJoin.asOf]] (experimental.extraStrategies) and
+  * for spark-submit users via [[graft.GraftExtensions]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, lts, rk, rts, rv) =>
+      AsOfMergeJoinExec(lk, lts, rk, rts, rv, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** DataFrame API over the custom operator — same signature and output
+  * contract as [[graft.operators.AsOfJoin.asOf]] (`asof_<name>` value
+  * columns, left columns untouched), so the two formulations are
+  * drop-in interchangeable and share oracles. */
+object AsOfMergeJoin {
+
+  def register(s: SparkSession): Unit =
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        AsOfJoinStrategy +: s.experimental.extraStrategies
+
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           rightVals: Seq[String]): DataFrame = {
+    val s = left.sparkSession
+    register(s)
+    // alias the right side: a self-join-style construction (both sides
+    // derived from one scan) would otherwise carry DUPLICATE exprIds
+    // across children — the analyzer dedups built-in Join nodes but not
+    // custom ones, so fresh Aliases do it here
+    val rPrefixed = right.select(
+      (Seq(key, ts) ++ rightVals).distinct.map(c => col(c).as(s"__asofr_$c")): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = rPrefixed.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        sys.error(s"as-of column $n missing from ${p.output.map(_.name)}"))
+    def longish(a: Attribute, what: String): Attribute = {
+      require(a.dataType == LongType || a.dataType == TimestampType,
+        s"as-of $what must be LongType or TimestampType, got ${a.dataType}")
+      a
+    }
+    val node = AsOfJoinNode(lp, rp,
+      longish(attr(lp, key), "key"), longish(attr(lp, ts), "ts"),
+      longish(attr(rp, s"__asofr_$key"), "key"),
+      longish(attr(rp, s"__asofr_$ts"), "ts"),
+      rightVals.map(v => attr(rp, s"__asofr_$v")))
+    GraftSqlBridge.ofRows(s, node)
+      .select((left.columns.map(col) ++
+        rightVals.map(v => col(s"__asofr_$v").as(s"asof_$v"))).toIndexedSeq: _*)
+  }
+}

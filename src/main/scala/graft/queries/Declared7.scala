@@ -501,8 +501,32 @@ object Declared7 {
     prof.union(li).union(cu).orderBy($"target", $"check_name")
   }
 
+  // --------------------------------------------------------------- Q21c
+  /** The q21 as-of join routed through the CUSTOM whole-operator plan
+    * ([[graft.plans.AsOfMergeJoinExec]] — LogicalPlan + SparkStrategy +
+    * physical co-partitioned merge, SURVEY §4.3 preference (c)) instead
+    * of the union+window composition. Same rows by contract — it shares
+    * q21's oracle text verbatim, so the equality is DRIVER-hash-checked
+    * at scale, and Declared7Spec additionally asserts row identity
+    * against the composed formulation plus the executed plan shape
+    * (AsOfMergeJoin node, one exchange per side, local sorts only). */
+  val q21c: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("purchase_value"))
+    graft.plans.AsOfMergeJoin.asOf(clicks, purchases, "user_id", "ts",
+      Seq("purchase_value"))
+      .select($"event_id", $"user_id", $"ts".as("click_ts"),
+        $"asof_purchase_value")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q74_inverted_index" -> q74,
+    "q21c_asof_custom" -> q21c,
     "q87_quality_report" -> q87,
     "q86_frequent_pairs" -> q86,
     "q84_cohort_retention" -> q84,

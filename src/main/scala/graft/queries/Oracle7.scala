@@ -60,6 +60,10 @@ object Oracle7 {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the custom merge-join as-of is row-identical to q21 by contract —
+    // sharing the oracle text makes that equality driver-hash-checked
+    "q21c_asof_custom" -> Oracle.oracleSql("q21_asof_join"),
+
     "q77_bpe_merges" -> bpeSql,
 
     // cross-set variant of Oracle3's dedup_minhash_portable text: the

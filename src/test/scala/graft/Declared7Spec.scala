@@ -15,6 +15,44 @@ class Declared7Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  private def norm(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    df.select(cols.toIndexedSeq: _*).collect().map(_.mkString("|")).toSeq.sorted
+  }
+
+  test("q21c: custom merge as-of join is row-identical to the composed formulation") {
+    assert(norm(Declared7.q21c(spark, sf)) ==
+      norm(graft.queries.Declared.q21(spark, sf)))
+  }
+
+  test("q21c: merge as-of handles no-match, tie, and null-key rows like the composition") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // crafted edges: key with only-later right rows (all null), exact-tie
+    // timestamps (match), multiple right rows (latest wins), a key absent
+    // from the right entirely, and a null left key (never matches)
+    val left = Seq(
+      (1L, ts(10), 100L), (1L, ts(20), 101L), (1L, ts(5), 102L),
+      (2L, ts(10), 200L),
+      (3L, ts(10), 300L),
+      (4L, ts(50), 400L)).toDF("user_id", "ts", "event_id")
+      .unionByName(Seq((Option.empty[Long], ts(10), 500L))
+        .toDF("user_id", "ts", "event_id"))
+    val right = Seq(
+      (1L, ts(10), 1.0), (1L, ts(15), 2.0),
+      (2L, ts(30), 9.0), // only later than every left row of key 2
+      (4L, ts(50), 7.0)).toDF("user_id", "ts", "v")
+    val viaCustom = graft.plans.AsOfMergeJoin
+      .asOf(left, right, "user_id", "ts", Seq("v"))
+    val viaComposed = graft.operators.AsOfJoin
+      .asOf(left.filter($"user_id".isNotNull), right, "user_id", "ts", Seq("v"))
+    // the composition has no null-key contract; compare on non-null keys
+    assert(norm(viaCustom.filter($"user_id".isNotNull)) == norm(viaComposed))
+    // and the null-key left row survives with a null value
+    val nullRow = viaCustom.filter($"user_id".isNull).collect()
+    assert(nullRow.length == 1 && nullRow(0).isNullAt(nullRow(0).fieldIndex("asof_v")))
+  }
+
   test("q74: posting lists are the first min(df, cap) doc ids, df exact") {
     import spark.implicits._
     val out = Declared7.q74(spark, sf).cache()

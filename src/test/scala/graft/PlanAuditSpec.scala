@@ -365,6 +365,22 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
   }
 
+  test("q21c: custom as-of plans as AsOfMergeJoin — one exchange per side, no window") {
+    val plan = executed(queries.Declared7.q21c(spark, sf))
+    assert(plan.contains("AsOfMergeJoin"), s"custom exec not planned:\n$plan")
+    // the composition's cost model: union + ONE exchange + window carry.
+    // the custom exec must instead co-partition the two sides (two hash
+    // exchanges on user_id) and never plan a window or a Union
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    assert(!plan.contains("Union"), s"union survived:\n$plan")
+    // exactly two SINGLE-key (user_id) exchanges feed the merge — the
+    // third exchange in the plan is the purchases (user_id, ts) pre-agg,
+    // inherent to the query and keyed on both columns
+    val joinEx = "Exchange hashpartitioning\\((?:__asofr_)?user_id#\\d+L, \\d"
+      .r.findAllIn(plan).size
+    assert(joinEx == 2, s"expected 2 single-key join exchanges, got $joinEx:\n$plan")
+  }
+
   test("q87: column-local constraints share one profile pass; FK checks are equi-joins") {
     val plan = executed(queries.Declared7.q87(spark, sf))
     // five constraints, ONE conditional-aggregate pass: orders scans
