@@ -31,6 +31,15 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * window frame, right side never re-buffered. AQE still plans the
   * exchanges (only the join algorithm is custom).
   *
+  * Honest measurement (sf0.1, min-of-3): the custom exec reads 0.43 s vs
+  * the composition's 0.15 s — at test scale the second exchange's fixed
+  * cost and the non-codegen merge dominate. The shapes cross when the
+  * LEFT schema is wide: the composition's union pads every RIGHT row to
+  * the full left schema through the shuffle and sorts both sides in one
+  * buffer, while this exec shuffles each side at its own width. The
+  * operator exists first as the §4.3-(c) demonstration; prefer the
+  * composition when the left side is narrow.
+  *
   * Contract: keys are LongType, timestamps TimestampType/LongType (both
   * read as long micros); right (key, ts) unique (same caller contract
   * as AsOfJoin). Null keys/timestamps never match (left row emits null
