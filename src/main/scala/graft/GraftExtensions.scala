@@ -19,8 +19,11 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    // whole-operator plan: AsOfJoinNode → co-partitioned merge exec
+    // whole-operator plan: AsOfJoinNode → co-partitioned merge exec,
+    // plus the left-side filter pushdown Catalyst can't do for an
+    // unknown node
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_product"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

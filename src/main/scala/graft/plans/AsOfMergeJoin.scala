@@ -153,16 +153,52 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule — SURVEY §4.3 preference (b) applied to the custom
+  * node: Catalyst's own PushDownPredicates stops at operators it does
+  * not know, so `Filter(cond, AsOfJoinNode)` would otherwise evaluate
+  * the predicate ABOVE the join — after the shuffle, after the merge —
+  * even when it touches only probe-side columns. This rule pushes the
+  * left-only conjuncts into the left child (where Catalyst then carries
+  * them all the way into the parquet scan), keeping the rest above.
+  * Left-only predicates commute with the as-of join because the join
+  * never drops, duplicates, or modifies left rows — it only appends
+  * value columns.
+  *
+  * Right-side predicates deliberately do NOT push: dropping a right row
+  * changes which row is "latest as-of" for left rows that matched it
+  * (the filter would have to be re-checked against the CARRIED row
+  * above the join — a rewrite, not a pushdown). */
+object AsOfFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(j.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** DataFrame API over the custom operator — same signature and output
   * contract as [[graft.operators.AsOfJoin.asOf]] (`asof_<name>` value
   * columns, left columns untouched), so the two formulations are
   * drop-in interchangeable and share oracles. */
 object AsOfMergeJoin {
 
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies =
         AsOfJoinStrategy +: s.experimental.extraStrategies
+    if (!s.experimental.extraOptimizations.contains(AsOfFilterPushdown))
+      s.experimental.extraOptimizations =
+        AsOfFilterPushdown +: s.experimental.extraOptimizations
+  }
 
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
            rightVals: Seq[String]): DataFrame = {

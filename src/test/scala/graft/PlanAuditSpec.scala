@@ -381,6 +381,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(joinEx == 2, s"expected 2 single-key join exchanges, got $joinEx:\n$plan")
   }
 
+  test("as-of custom node: left-only filters push below the merge join") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val ev = Tables(spark, sf, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(org.apache.spark.sql.functions.max($"value").as("purchase_value"))
+    val joined = graft.plans.AsOfMergeJoin
+      .asOf(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+      .filter(col("event_id") < 100) // left-only predicate ABOVE the join
+    // the optimized logical plan must carry the filter BELOW AsOfJoinNode
+    val optimized = joined.queryExecution.optimizedPlan
+    val node = optimized.collectFirst {
+      case j: graft.plans.AsOfJoinNode => j }.getOrElse(fail("node gone"))
+    assert(node.left.toString.contains("event_id"),
+      s"filter not pushed into left child:\n$optimized")
+    // and all the way into the probe-side scan as a pushed filter
+    val plan = executed(joined)
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(event_id".r.findFirstIn(plan).isDefined,
+      s"predicate missing from scan pushdown:\n$plan")
+    // semantics unchanged: filter-above == filter-below
+    val above = graft.plans.AsOfMergeJoin
+      .asOf(clicks.filter($"event_id" < 100), purchases, "user_id", "ts",
+        Seq("purchase_value")).collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet == above)
+  }
+
   test("q87: column-local constraints share one profile pass; FK checks are equi-joins") {
     val plan = executed(queries.Declared7.q87(spark, sf))
     // five constraints, ONE conditional-aggregate pass: orders scans
