@@ -255,31 +255,55 @@ object Dedup {
   def minhashPortable(s: SparkSession, dir: String): DataFrame =
     minhashPortableOver(Tables(s, dir, "documents"))
 
-  def minhashPortableOver(documents: DataFrame): DataFrame = {
+  /** Shared prep for the portable-arithmetic minhash family: doc_id(+
+    * any extra cols) with tokenized text, hash-partitioned for the
+    * downstream pairwise work. ONE definition so [[minhashPortableOver]]
+    * and [[minhashIncremental]] cannot drift (shingle size, banding, and
+    * the verification algebra all live here). */
+  private def portableRaw(documents: DataFrame, extraCols: Seq[String]): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val raw = documents
+    documents
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", tokens($"text").as("raw_toks"))
-    val banded = raw
-      .select($"doc_id", posexplode(portableBandsUdf($"raw_toks")).as(Seq("band", "bh")))
-    val cand = banded.groupBy($"band", $"bh")
-      .agg(collect_list($"doc_id").as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode(bucketPairsUdf($"ids")).as("p"))
-      .select($"p._1".as("doc_a"), $"p._2".as("doc_b"))
-      .distinct()
+      .select(($"doc_id" +: extraCols.map(col)) :+ tokens($"text").as("raw_toks"): _*)
+  }
+
+  /** (doc_id [, extras], band, bh) band-hash rows from the prepped frame. */
+  private def portableBanded(raw: DataFrame, extraCols: Seq[String]): DataFrame = {
+    import raw.sparkSession.implicits._
+    raw.select(($"doc_id" +: extraCols.map(col)) :+
+      posexplode(portableBandsUdf($"raw_toks")).as(Seq("band", "bh")): _*)
+  }
+
+  /** Exact hashed-shingle Jaccard ≥ 0.5 verification over candidate
+    * pairs (aCol, bCol) — the one place the intersect/union algebra and
+    * the threshold are written down. */
+  private def verifyPortableCandidates(cand: DataFrame, raw: DataFrame,
+                                       aCol: String, bCol: String): DataFrame = {
+    import raw.sparkSession.implicits._
     val d = raw.select($"doc_id", portableShingleSetUdf($"raw_toks").as("hset"))
       .filter(size($"hset") > 0)
     val nInter = intersectUdf($"set_a", $"set_b")
     val nUnion = (size($"set_a") + size($"set_b")).cast("bigint") - nInter
     cand
-      .join(d.select($"doc_id".as("doc_a"), $"hset".as("set_a")), "doc_a")
-      .join(d.select($"doc_id".as("doc_b"), $"hset".as("set_b")), "doc_b")
-      .select($"doc_a", $"doc_b", nInter.as("n_inter"), nUnion.as("n_union"),
+      .join(d.select($"doc_id".as(aCol), $"hset".as("set_a")), aCol)
+      .join(d.select($"doc_id".as(bCol), $"hset".as("set_b")), bCol)
+      .select(col(aCol), col(bCol), nInter.as("n_inter"), nUnion.as("n_union"),
         (nInter.cast("double") / nUnion.cast("double")).as("jaccard"))
       .filter($"jaccard" >= 0.5)
-      .orderBy($"doc_a", $"doc_b")
+      .orderBy(col(aCol), col(bCol))
+  }
+
+  def minhashPortableOver(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val raw = portableRaw(documents, Nil)
+    val cand = portableBanded(raw, Nil).groupBy($"band", $"bh")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(bucketPairsUdf($"ids")).as("p"))
+      .select($"p._1".as("doc_a"), $"p._2".as("doc_b"))
+      .distinct()
+    verifyPortableCandidates(cand, raw, "doc_a", "doc_b")
   }
 
   /** Incremental cross-snapshot dedup: the ingestion-time form of
@@ -297,29 +321,15 @@ object Dedup {
     * hashed-shingle Jaccard ≥ 0.5) runs over candidates only. */
   def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val raw = Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", $"source", tokens($"text").as("raw_toks"))
-    val banded = raw
-      .select($"doc_id", $"source",
-        posexplode(portableBandsUdf($"raw_toks")).as(Seq("band", "bh")))
+    val raw = portableRaw(Tables(s, dir, "documents"), Seq("source"))
+    val banded = portableBanded(raw, Seq("source"))
     val newBatch = banded.filter($"source" === "src0")
       .select($"doc_id".as("doc_new"), $"band", $"bh")
     val corpus = banded.filter($"source" =!= "src0")
       .select($"doc_id".as("doc_old"), $"band", $"bh")
     val cand = corpus.join(broadcast(newBatch), Seq("band", "bh"))
       .select($"doc_new", $"doc_old").distinct()
-    val d = raw.select($"doc_id", portableShingleSetUdf($"raw_toks").as("hset"))
-      .filter(size($"hset") > 0)
-    val nInter = intersectUdf($"set_a", $"set_b")
-    val nUnion = (size($"set_a") + size($"set_b")).cast("bigint") - nInter
-    cand
-      .join(d.select($"doc_id".as("doc_new"), $"hset".as("set_a")), "doc_new")
-      .join(d.select($"doc_id".as("doc_old"), $"hset".as("set_b")), "doc_old")
-      .select($"doc_new", $"doc_old", nInter.as("n_inter"), nUnion.as("n_union"),
-        (nInter.cast("double") / nUnion.cast("double")).as("jaccard"))
-      .filter($"jaccard" >= 0.5)
-      .orderBy($"doc_new", $"doc_old")
+    verifyPortableCandidates(cand, raw, "doc_new", "doc_old")
   }
 
   // ----------------------------------------------- Prefix edit distance

@@ -174,9 +174,15 @@ object AsOfFilterPushdown
   import org.apache.spark.sql.catalyst.expressions.And
   import org.apache.spark.sql.catalyst.plans.logical.Filter
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case f @ Filter(cond, j: AsOfJoinNode) =>
+    // deterministic-only, same guard Catalyst's PushDownPredicates uses:
+    // relocating rand()/monotonically_increasing_id() below the join
+    // would change which rows they see. Reference-free conjuncts stay
+    // above too — pushing them is pointless (constant folding handles
+    // them) and the empty set is trivially a subset of anything.
+    case f @ Filter(cond, j: AsOfJoinNode) if cond.deterministic =>
       val (leftOnly, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(j.left.outputSet))
+        .partition(p => p.references.nonEmpty &&
+          p.references.subsetOf(j.left.outputSet))
       if (leftOnly.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(leftOnly.reduce(And), j.left))
@@ -220,10 +226,19 @@ object AsOfMergeJoin {
         s"as-of $what must be LongType or TimestampType, got ${a.dataType}")
       a
     }
-    val node = AsOfJoinNode(lp, rp,
-      longish(attr(lp, key), "key"), longish(attr(lp, ts), "ts"),
-      longish(attr(rp, s"__asofr_$key"), "key"),
-      longish(attr(rp, s"__asofr_$ts"), "ts"),
+    // the two sides must agree exactly: the merge compares raw longs, so
+    // TimestampType micros vs LongType epoch-seconds would "work" and
+    // return garbage (the composition fails loudly at unionByName; this
+    // check keeps the custom path equally loud)
+    def samePair(l: Attribute, r: Attribute, what: String): Unit =
+      require(l.dataType == r.dataType,
+        s"as-of $what types must match across sides: left ${l.dataType} vs right ${r.dataType}")
+    val (lk, lt) = (longish(attr(lp, key), "key"), longish(attr(lp, ts), "ts"))
+    val (rk, rt) = (longish(attr(rp, s"__asofr_$key"), "key"),
+      longish(attr(rp, s"__asofr_$ts"), "ts"))
+    samePair(lk, rk, "key")
+    samePair(lt, rt, "ts")
+    val node = AsOfJoinNode(lp, rp, lk, lt, rk, rt,
       rightVals.map(v => attr(rp, s"__asofr_$v")))
     GraftSqlBridge.ofRows(s, node)
       .select((left.columns.map(col) ++

@@ -318,7 +318,10 @@ object Declared7 {
       .select($"word", $"cnt",
         filter(split($"word", ""), x => length(x) > 0).as("syms"))
     var vocab = vocab0.cache()
-    val merges = (1 to BpeIters).map { it =>
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= BpeIters && !exhausted) {
       val pairs = vocab.select($"cnt",
         explode(zip_with(
           slice($"syms", lit(1), size($"syms") - 1),
@@ -326,17 +329,24 @@ object Declared7 {
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .groupBy($"p.l".as("l"), $"p.r".as("r"))
         .agg(sum($"cnt").as("total"))
-      val Array(best) = pairs.orderBy($"total".desc, $"l", $"r").limit(1).collect()
-      val (l, r, total) = (best.getString(0), best.getString(1), best.getLong(2))
-      val applyUdf = udf((syms: Seq[String]) => bpeApplyMerge(syms, l, r))
-      val next = vocab.withColumn("syms", applyUdf($"syms")).cache()
-      next.count() // materialize before unpersisting the parent
-      vocab.unpersist()
-      vocab = next
-      (it, l, r, total)
+      // a corpus can run out of adjacent pairs before BpeIters merges
+      // (empty table, all-single-char vocabulary, or every word fully
+      // merged) — stop training instead of crashing on the empty argmax
+      pairs.orderBy($"total".desc, $"l", $"r").limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(best) =>
+          val (l, r, total) = (best.getString(0), best.getString(1), best.getLong(2))
+          val applyUdf = udf((syms: Seq[String]) => bpeApplyMerge(syms, l, r))
+          val next = vocab.withColumn("syms", applyUdf($"syms")).cache()
+          next.count() // materialize before unpersisting the parent
+          vocab.unpersist()
+          vocab = next
+          merges += ((it, l, r, total))
+          it += 1
+      }
     }
     vocab.unpersist()
-    s.createDataFrame(merges).toDF("iter", "lhs", "rhs", "total")
+    s.createDataFrame(merges.toSeq).toDF("iter", "lhs", "rhs", "total")
       .orderBy($"iter")
   }
 
@@ -374,14 +384,16 @@ object Declared7 {
 
   /** Cohort retention analysis: users cohorted by first-active day,
     * then per (cohort_day, day_offset) active-user counts with the
-    * cohort size attached — the classic retention triangle. Every
-    * row-scale operation shuffles on user_id (the per-user first-day
-    * aggregate, the per-user-day dedup, and their join are all
-    * co-partitioned — one key, reusable exchanges); the final aggregate
+    * cohort size attached — the classic retention triangle. Row-scale
+    * plan: the per-user first-day aggregate exchanges on user_id; the
+    * per-(user, day) dedup exchanges on its own (user_id, day) compound
+    * key and re-exchanges on user_id for the join — both map-side
+    * partial-aggregate first, so what crosses the network is the
+    * deduplicated (user, day) set, not raw events. The final aggregate
     * and the cohort-size join are (cohort × offset)-dimension-sized,
     * with the cohort sizes broadcast. (user_id, day) is distinct by
     * construction before the final count, so n_active is a plain count
-    * — no count-distinct shuffle. */
+    * — no count-distinct expand. */
   val q84: Q = (s, dir) => {
     import s.implicits._
     val d = Tables(s, dir, "events")
