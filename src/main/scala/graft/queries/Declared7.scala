@@ -536,8 +536,69 @@ object Declared7 {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------------------------------- Q88
+  /** Picks returned by the MMR pass (λ is written as the literal 0.5 in
+    * both engines' arithmetic). */
+  val MmrK = 5
+
+  /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein
+    * 1998) over the label-KnnLabel embedding slice: greedily pick the
+    * candidate maximizing `rel − 0.5·max_sim_to_selected` — the diverse
+    * subset selection a training-data pipeline runs so near-identical
+    * documents don't all make the sample. The query vector is the
+    * slice's min-vec_id row. Greedy selection is inherently sequential
+    * in k: each round is ONE distributed pass (relevance cached from a
+    * single pass; the penalty term is a `greatest` over ≤ k dot products
+    * against BROADCAST selected vectors — never a shuffle) and the
+    * driver pulls exactly one argmax row (q63/q77's dimension-sized
+    * control flow). Bit-exact across engines: every cosine is the same
+    * left-to-right double accumulation the sim oracles rely on, and
+    * max/greatest over the same value set is order-independent. */
+  val q88: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    import graft.functions.VectorFunctions.dot_product
+    val e = Tables(s, dir, "embeddings")
+      .filter($"label" === KnnLabel)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product($"v", $"v")))
+    val qRow = e.orderBy($"vec_id").limit(1).collect()(0)
+    val (qid, qv, qn) =
+      (qRow.getLong(0), qRow.getSeq[Double](1), qRow.getDouble(2))
+    val c = e.filter($"vec_id" =!= qid)
+      .withColumn("rel",
+        dot_product($"v", typedlit(qv)) / ($"norm" * lit(qn)))
+      .cache()
+    var selected = Vector.empty[(Long, Seq[Double], Double)]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    var i = 1
+    var done = false
+    while (i <= MmrK && !done) {
+      val scored =
+        if (selected.isEmpty) c.withColumn("score", $"rel")
+        else {
+          val pens = selected.map { case (_, sv, sn) =>
+            dot_product($"v", typedlit(sv)) / ($"norm" * lit(sn)) }
+          c.filter(!$"vec_id".isin(selected.map(_._1): _*))
+            .withColumn("score", $"rel" - lit(0.5) * pens.reduce(greatest(_, _)))
+        }
+      scored.orderBy($"score".desc, $"vec_id").limit(1)
+        .select($"vec_id", $"v", $"norm", $"score").collect().headOption match {
+        case None => done = true // slice exhausted before k picks
+        case Some(best) =>
+          picks += ((i, best.getLong(0), best.getDouble(3)))
+          selected :+= ((best.getLong(0), best.getSeq[Double](1), best.getDouble(2)))
+          i += 1
+      }
+    }
+    c.unpersist()
+    s.createDataFrame(picks.toSeq).toDF("rank", "vec_id", "score")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q74_inverted_index" -> q74,
+    "q88_mmr_select" -> q88,
     "q21c_asof_custom" -> q21c,
     "q87_quality_report" -> q87,
     "q86_frequent_pairs" -> q86,

@@ -59,7 +59,45 @@ object Oracle7 {
        |) ORDER BY iter""".stripMargin
   }
 
+  /** Unrolled greedy MMR: one (penalty, argmax, selected-union) CTE
+    * block per pick after the first. Every cosine is the same
+    * left-to-right double accumulation as the Spark side (the Oracle2
+    * bit-exactness argument), and SQL `max` over the selected join
+    * equals Spark's `greatest` over the same ≤ k values. */
+  private val mmrSql: String = {
+    val iters = (2 to Declared7.MmrK).map { i =>
+      s"""pen$i AS (SELECT c.vec_id,
+         |    max(list_inner_product(c.v, s.v) / (c.norm * s.norm)) AS pen
+         |  FROM c JOIN selv${i - 1} s ON true
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM selv${i - 1})
+         |  GROUP BY c.vec_id),
+         |p$i AS (SELECT c.vec_id, c.rel - 0.5 * pen.pen AS score
+         |  FROM c JOIN pen$i pen USING (vec_id)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |selv$i AS (SELECT vec_id, v, norm FROM selv${i - 1}
+         |  UNION ALL SELECT c.vec_id, c.v, c.norm FROM c JOIN p$i USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to Declared7.MmrK)
+      .map(i => s"UNION ALL SELECT CAST($i AS INT), vec_id, score FROM p$i")
+      .mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+       |  FROM embeddings WHERE label = ${Declared7.KnnLabel}),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM e ORDER BY vec_id LIMIT 1),
+       |c AS (SELECT e.vec_id, e.v, e.norm,
+       |    list_inner_product(e.v, q.qv) / (e.norm * q.qn) AS rel
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |p1 AS (SELECT vec_id, rel AS score FROM c ORDER BY score DESC, vec_id LIMIT 1),
+       |selv1 AS (SELECT c.vec_id, c.v, c.norm FROM c JOIN p1 USING (vec_id)),
+       |$iters
+       |SELECT * FROM (
+       |SELECT CAST(1 AS INT) AS rank, vec_id, score FROM p1
+       |$out
+       |) ORDER BY rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q88_mmr_select" -> mmrSql,
     // the custom merge-join as-of is row-identical to q21 by contract —
     // sharing the oracle text makes that equality driver-hash-checked
     "q21c_asof_custom" -> Oracle.oracleSql("q21_asof_join"),

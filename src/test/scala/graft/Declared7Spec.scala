@@ -233,6 +233,48 @@ class Declared7Spec extends AnyFunSuite {
     orders.unpersist()
   }
 
+  test("q88: MMR picks match a driver-side exact greedy recompute") {
+    import spark.implicits._
+    val out = Declared7.q88(spark, sf).orderBy($"rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == Declared7.MmrK)
+    assert(out.map(_._2).distinct.length == out.length)
+    // exact greedy MMR re-run in plain Scala over the collected slice
+    // (no ordering shortcut asserted — with NEGATIVE cosines a later
+    // pick's score can legitimately exceed an earlier one's)
+    val rows = Tables(spark, sf, "embeddings")
+      .filter($"label" === Declared7.KnnLabel)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val (qid, qv) = rows.head
+    val qn = norm(qv)
+    val cands = rows.filter(_._1 != qid)
+      .map { case (id, v) => (id, v, norm(v), 0.0) }
+      .map { case (id, v, n, _) => (id, v, n, dot(v, qv) / (n * qn)) }
+    var pool = cands
+    var selected = Vector.empty[(Array[Double], Double)]
+    val expected = (1 to Declared7.MmrK).map { i =>
+      val scored = pool.map { case (id, v, n, rel) =>
+        val score = if (selected.isEmpty) rel
+          else rel - 0.5 * selected.map { case (sv, sn) => dot(v, sv) / (n * sn) }.max
+        (id, v, n, rel, score)
+      }
+      val best = scored.minBy { case (id, _, _, _, sc) => (-sc, id) }
+      pool = pool.filter(_._1 != best._1)
+      selected :+= ((best._2, best._3))
+      (i, best._1, best._5)
+    }
+    assert(out.toSeq == expected,
+      s"engine ${out.toSeq} vs driver recompute $expected")
+  }
+
   test("q86: basket-local pair counts equal the self-join reformulation") {
     import spark.implicits._
     val li = Tables(spark, sf, "lineitem")
