@@ -204,6 +204,44 @@ object StreamingAnalytics {
       }
   }
 
+  final case class AttributedPurchase(event_id: Long, user_id: Long,
+    cents: Long, attr_type: String)
+
+  /** Streaming last-touch attribution — the streaming form of batch
+    * q82's per-purchase rows: each purchase event credits the user's
+    * most recent PRECEDING non-purchase event type. Keyed state is ONE
+    * string (the current last-touch type) per user — the LOCF carry
+    * held as state instead of a window, O(1) regardless of history
+    * length. Same ordering contract as [[scd2Stream]] /
+    * [[rollingAnomalyStream]]: rows fold in (ts, event_id) order within
+    * a batch, per-user event-time order must hold across micro-batches.
+    * Purchases before any touch report attr_type = "(none)" — the same
+    * bucket batch q82 aggregates them into. */
+  def attributionStream(events: DataFrame): Dataset[AttributedPurchase] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select($"user_id".as[Long], unix_micros($"ts").as[Long],
+        $"event_id".as[Long], $"event_type".as[String],
+        floor($"value" * 100).cast("long").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var lastTouch = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributedPurchase]
+          sorted.foreach { case (_, _, eventId, tpe, cents) =>
+            if (tpe == "purchase")
+              out += AttributedPurchase(eventId, user, cents,
+                if (lastTouch == null) "(none)" else lastTouch)
+            else lastTouch = tpe
+          }
+          if (lastTouch != null) state.update(lastTouch)
+          out.iterator
+      }
+  }
+
   final case class UserMilestone(user_id: Long, milestone: Long)
 
   /** Per-user event-count milestones via flatMapGroupsWithState — the

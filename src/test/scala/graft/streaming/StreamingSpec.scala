@@ -276,6 +276,39 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally { q.stop(); ev.unpersist() }
   }
 
+  test("streaming attribution aggregates to exactly batch q82's rows, across batches") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("attr_stream_")
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events").cache()
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0)
+    val streamDir = tmp.resolve("stream")
+    Files.createDirectory(streamDir)
+    Seq(("early", expr(s"unix_micros(ts) < $cut"), 0),
+        ("late", expr(s"unix_micros(ts) >= $cut"), 1)).foreach { case (w, p, i) =>
+      ev.filter(p).coalesce(1).write.parquet(tmp.resolve(w).toString)
+      val part = Files.list(tmp.resolve(w)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).next()
+      Files.copy(part, streamDir.resolve(s"f$i.parquet"))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val q = StreamingAnalytics.attributionStream(src)
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the stream emits per-purchase rows; batch q82 is the aggregate —
+      // group the stream's output and compare
+      val stream = spark.table("attr")
+        .groupBy($"attr_type".as("attributed_type"))
+        .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("attributed_cents"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val batch = graft.queries.Declared7.q82(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(batch.nonEmpty)
+      assert(stream == batch)
+    } finally { q.stop(); ev.unpersist() }
+  }
+
   test("flatMapGroupsWithState emits each crossed milestone exactly once") {
     import spark.implicits._
     val q = StreamingAnalytics.userMilestones(eventsStream("/root/testdata/sf0.001"))
