@@ -308,9 +308,14 @@ object Declared7 {
     * iteration, independent of corpus size. Bit-exact across engines
     * (integer counts, lexicographic ties); oracle unrolls the
     * iterations mechanically from the same constants. */
-  val q77: Q = (s, dir) => {
+  val q77: Q = (s, dir) => q77Over(Tables(s, dir, "documents"))
+
+  /** Testable seam (the minhashPortableOver pattern): BPE training over
+    * any frame with a `text` column. */
+  def q77Over(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val vocab0 = Tables(s, dir, "documents")
+    val vocab0 = documents
       .select(explode(graft.functions.TokenFunctions.term_counts($"text"))
         .as(Seq("word", "c")))
       .groupBy($"word").agg(sum($"c").as("cnt"))

@@ -143,6 +143,41 @@ class Declared7Spec extends AnyFunSuite {
       r.getAs[String]("rhs").nonEmpty))
   }
 
+  test("q77: training stops cleanly when the corpus runs out of adjacent pairs") {
+    import spark.implicits._
+    // single-char words: zero adjacent symbol pairs from iteration 1
+    val degenerate = Seq("a b c", "a a b").toDF("text")
+    assert(Declared7.q77Over(degenerate).count() == 0)
+    // one mergeable pair, then exhaustion: 'ab' has exactly one merge
+    val one = Seq("ab ab", "ab").toDF("text")
+    val merges = Declared7.q77Over(one).collect()
+    assert(merges.length == 1 &&
+      merges(0).getAs[String]("lhs") == "a" && merges(0).getAs[String]("rhs") == "b")
+    // empty corpus: no vocabulary, no merges, no crash
+    assert(Declared7.q77Over(Seq.empty[String].toDF("text")).count() == 0)
+  }
+
+  test("q21c custom as-of: empty right side and empty left side degrade to nulls/empty") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, ts(10), 100L)).toDF("user_id", "ts", "event_id")
+    val emptyR = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "v")
+    val outER = graft.plans.AsOfMergeJoin
+      .asOf(left, emptyR, "user_id", "ts", Seq("v")).collect()
+    assert(outER.length == 1 && outER(0).isNullAt(outER(0).fieldIndex("asof_v")))
+    val emptyL = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(5), 2.0)).toDF("user_id", "ts", "v")
+    assert(graft.plans.AsOfMergeJoin
+      .asOf(emptyL, right, "user_id", "ts", Seq("v")).count() == 0)
+    // cross-side type mismatch is rejected loudly, not mis-compared
+    val badRight = Seq((1L, 5L, 2.0)).toDF("user_id", "ts", "v") // ts LongType
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfMergeJoin.asOf(left, badRight, "user_id", "ts", Seq("v"))
+    }
+  }
+
   test("q78: degree/triangle algebra holds and mutual edges match a join reformulation") {
     import spark.implicits._
     val out = Declared7.q78(spark, sf).cache()
