@@ -166,9 +166,29 @@ object Multimodal {
       .orderBy($"media_id", $"chunk_idx")
   }
 
+  /** queries() entry: exact media dedup summary per modality — how much
+    * duplicate-content mass each modality carries, from the content
+    * checksum (the exact baseline every perceptual near-dup pass sits
+    * on top of; a real pHash would slot into the same groupBy once a
+    * codec exists). One partial+final aggregate over the metadata/hash
+    * columns — content bytes never shuffle; a 100 TB catalog dedups on
+    * exactly this narrow projection. Zero dup_copies rows are part of
+    * the contract (the check ran; this corpus has no exact dups at
+    * sf0.01 and eight at sf0.1). */
+  def dedupStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(mediaFromDocuments(s, dir))
+      .groupBy($"modality")
+      .agg(count(lit(1)).as("n_media"),
+        countDistinct($"checksum").as("n_distinct"),
+        (count(lit(1)) - countDistinct($"checksum")).as("dup_copies"))
+      .orderBy($"modality")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> decodeQuery _,
     "mm_resize" -> resizeQuery _,
     "mm_frame_sample" -> frameSampleQuery _,
-    "mm_audio_chunks" -> audioChunkQuery _)
+    "mm_audio_chunks" -> audioChunkQuery _,
+    "mm_dedup_stats" -> dedupStatsQuery _)
 }

@@ -44,7 +44,7 @@ object Oracle2 {
     * (ASCII corpus ⟹ byte-hash == ascii(char)-hash) — shared by the
     * mm_decode_features and mm_resize oracles so the stub has ONE SQL
     * mirror. */
-  private val mmDecodeCte =
+  private[queries] val mmDecodeCte =
     """m AS (
       |  SELECT doc_id AS media_id,
       |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -98,6 +98,15 @@ object Oracle7 {
 
   val oracleSql: Map[String, String] = Map(
     "q88_mmr_select" -> mmrSql,
+
+    // per-modality exact-dup summary over Oracle2's shared FakeCodec
+    // checksum mirror (ASCII corpus ⟹ byte-hash == ascii(char)-hash)
+    "mm_dedup_stats" ->
+      s"""WITH ${Oracle2.mmDecodeCte}
+        |SELECT modality, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(count(DISTINCT checksum) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT checksum) AS BIGINT) AS dup_copies
+        |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
     // the custom merge-join as-of is row-identical to q21 by contract —
     // sharing the oracle text makes that equality driver-hash-checked
     "q21c_asof_custom" -> Oracle.oracleSql("q21_asof_join"),

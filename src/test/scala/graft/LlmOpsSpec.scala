@@ -405,6 +405,22 @@ class MultimodalSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("dedup stats: modality counts partition the catalog; dup mass matches a text recount") {
+    import spark.implicits._
+    val out = Multimodal.dedupStatsQuery(spark, sf).cache()
+    val total = Tables(spark, sf, "documents").count()
+    assert(out.agg(sum($"n_media")).head().getLong(0) == total)
+    assert(out.filter($"dup_copies" < 0 || $"n_distinct" > $"n_media").count() == 0)
+    // checksum-level dup mass equals text-level dup mass (the fake
+    // codec's checksum is injective on this corpus — no collisions)
+    val textDups = Tables(spark, sf, "documents")
+      .groupBy(($"doc_id" % 3).as("m"), $"text").agg(count(lit(1)).as("c"))
+      .groupBy($"m").agg(sum($"c" - 1).as("dups"))
+      .agg(sum($"dups")).head().getLong(0)
+    assert(out.agg(sum($"dup_copies")).head().getLong(0) == textDups)
+    out.unpersist()
+  }
+
   test("frame sampling stub strides correctly") {
     val f = Multimodal.MediaFeatures(1, "video", 100, 7, 16, 16, 7, Array(0.0))
     assert(Multimodal.FakeCodec.sampleFrames(f, 2) == Seq(0, 2, 4, 6))
