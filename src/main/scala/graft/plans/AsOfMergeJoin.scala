@@ -96,7 +96,17 @@ case class AsOfMergeJoinExec(
     val rightOut = right.output
     val outAttrs = output
     val leftOut = left.output
-    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // zipPartitions would throw a generic SparkException on a count
+    // mismatch; fail loudly with the operator named so a planning
+    // regression (e.g. AQE coalescing the two shuffles differently for
+    // this custom node) is diagnosable at the source
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"AsOfMergeJoinExec: child partition counts diverged " +
+        s"(left=${lRdd.getNumPartitions}, right=${rRdd.getNumPartitions}); " +
+        "both sides must share the ClusteredDistribution this exec requires")
+    lRdd.zipPartitions(rRdd) { (lIt, rIt) =>
       // projections are per-partition (executor-side): UnsafeProjection
       // instances are not thread-safe/serializable-stable across tasks
       val valProj = UnsafeProjection.create(valExprs, rightOut)
@@ -197,7 +207,10 @@ object AsOfFilterPushdown
   * drop-in interchangeable and share oracles. */
 object AsOfMergeJoin {
 
-  def register(s: SparkSession): Unit = {
+  // synchronized: two threads racing the first register on one session
+  // could both pass the contains() check and double-prepend; the global
+  // lock is cheap (register is called once per session per query build)
+  def register(s: SparkSession): Unit = synchronized {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies =
         AsOfJoinStrategy +: s.experimental.extraStrategies

@@ -567,7 +567,14 @@ object Declared7 {
       .filter($"label" === KnnLabel)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot_product($"v", $"v")))
-    val qRow = e.orderBy($"vec_id").limit(1).collect()(0)
+    // degrade gracefully on an empty slice (q77's exhaustion precedent):
+    // no query vector → no picks, not an ArrayIndexOutOfBounds
+    val qRowOpt = e.orderBy($"vec_id").limit(1).collect().headOption
+    qRowOpt match {
+      case None =>
+        s.createDataFrame(Seq.empty[(Int, Long, Double)])
+          .toDF("rank", "vec_id", "score")
+      case Some(qRow) =>
     val (qid, qv, qn) =
       (qRow.getLong(0), qRow.getSeq[Double](1), qRow.getDouble(2))
     val c = e.filter($"vec_id" =!= qid)
@@ -599,6 +606,7 @@ object Declared7 {
     c.unpersist()
     s.createDataFrame(picks.toSeq).toDF("rank", "vec_id", "score")
       .orderBy($"rank")
+    }
   }
 
   val queries: Map[String, Q] = Map(

@@ -268,6 +268,19 @@ class Declared7Spec extends AnyFunSuite {
     orders.unpersist()
   }
 
+  test("q88: empty embedding slice degrades to an empty frame, not a crash") {
+    import spark.implicits._
+    // a testdata dir whose embeddings table has NO KnnLabel rows: the
+    // query-vector pull must take the headOption path (q77 precedent)
+    val dir = java.nio.file.Files.createTempDirectory("q88empty").toString
+    Seq((1L, Seq(1.0f, 0.0f), Declared7.KnnLabel + 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Declared7.q88(spark, dir)
+    assert(out.columns.toSeq == Seq("rank", "vec_id", "score"))
+    assert(out.count() == 0)
+  }
+
   test("q88: MMR picks match a driver-side exact greedy recompute") {
     import spark.implicits._
     val out = Declared7.q88(spark, sf).orderBy($"rank").collect()
