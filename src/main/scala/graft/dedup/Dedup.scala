@@ -394,18 +394,34 @@ object Dedup {
   def simhash(s: SparkSession, dir: String): DataFrame =
     simhashOver(Tables(s, dir, "documents"))
 
-  def simhashOver(documents: DataFrame): DataFrame = {
+  def simhashOver(documents: DataFrame): DataFrame =
+    simhashPairs(simhashSigs(documents, simhashUdf), 64)
+
+  /** doc_id → signature prep shared by the murmur and portable paths:
+    * partition by doc_id up front so the downstream quadratic bucket
+    * stage never serializes on a single-file scan's one task. */
+  private def simhashSigs(documents: DataFrame,
+      sigUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val radius = SimhashRadius
-    val d = documents
+    documents
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"doc_id", distinctTokens($"text").as("toks"))
       .filter(size($"toks") > 0)
-      .select($"doc_id", simhashUdf($"toks").as("sh"))
-    val width = 64 / SimhashPieces // 16 bits; top piece takes the remainder
+      .select($"doc_id", sigUdf($"toks").as("sh"))
+  }
+
+  /** Pigeonhole blocking + per-bucket streamed i<j Hamming pairs over
+    * an nBits-wide signature column `sh`: SimhashPieces equal-width
+    * pieces (the top piece takes any remainder bits), exact recall
+    * within SimhashRadius, pairs distinct across pieces. */
+  private def simhashPairs(d: DataFrame, nBits: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val radius = SimhashRadius
+    val width = nBits / SimhashPieces
     val pieces = (0 until SimhashPieces).map { j =>
-      val hi = if (j == SimhashPieces - 1) 64 - j * width else width
+      val hi = if (j == SimhashPieces - 1) nBits - j * width else width
       struct(lit(j).as("piece"),
         (shiftright($"sh", j * width)
           .bitwiseAND(lit((1L << hi) - 1))).as("pv"))
@@ -422,6 +438,26 @@ object Dedup {
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
+
+  // ------------------------------------------- Portable SimHash twin
+  private val portableSimhashUdf = udf((toks: Seq[String]) =>
+    graft.functions.Signatures.portableSimhash60(toks))
+
+  /** [[simhash]] rebuilt ONLY from engine-portable integer arithmetic
+    * (polyHash tokens + 60 odd/even universal-hash votes,
+    * graft.functions.Signatures.portableSimhash60), following the
+    * [[minhashPortable]] precedent: the signature, the 4×15-bit
+    * pigeonhole blocking, and the bit_count(xor) Hamming verification
+    * all have exact DuckDB mirrors (graft.queries.Oracle3), so this
+    * twin is END-TO-END hash-checked where [[simhash]] is rows-only
+    * (its murmur token hash has no SQL form). Identical plan shape and
+    * scale story: block → per-bucket streamed pairs, never all-pairs. */
+  def simhashPortable(s: SparkSession, dir: String): DataFrame =
+    simhashPortableOver(Tables(s, dir, "documents"))
+
+  def simhashPortableOver(documents: DataFrame): DataFrame =
+    simhashPairs(simhashSigs(documents, portableSimhashUdf),
+      graft.functions.Signatures.SimPortBits)
 
   /** Cosine threshold for embedding near-dup pairs (shared by the
     * bucketed path, its brute-force twin, and the DuckDB oracle SQL). */
@@ -707,6 +743,7 @@ object Dedup {
     "dedup_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
+    "dedup_simhash_portable" -> simhashPortable _,
     "dedup_embedding_cosine" -> embeddingCosine _,
     "dedup_minhash_portable" -> minhashPortable _,
     "dedup_incremental" -> minhashIncremental _,

@@ -328,4 +328,46 @@ object Signatures extends Serializable {
     while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
     sig
   }
+
+  // -------------------------------------------------- Portable SimHash
+  /** Bit width of the portable SimHash signature. 60 (not 64) keeps the
+    * packed signature — and every partial sum the SQL mirror's
+    * bit-packing addition produces — strictly below 2^63, so both
+    * engines run the identical arithmetic in plain nonnegative BIGINTs
+    * with no sign-bit special case. */
+  val SimPortBits = 60
+
+  /** Per-bit multipliers/offsets (fixed LCG outputs — arbitrary but
+    * deterministic, embedded as literals in the oracle SQL by
+    * graft.queries.Oracle3). */
+  val SimPortA: Array[Long] =
+    Array.tabulate(SimPortBits)(i => ((214013L * (i + 11) + 2531011L) % 2147483647L) | 1L)
+  val SimPortB: Array[Long] =
+    Array.tabulate(SimPortBits)(i => (48271L * (i + 7) + 11L) % 2147483647L)
+
+  /** 60-bit SimHash built ONLY from engine-portable integer arithmetic
+    * (the simhash64 vote construction with the murmur token hash
+    * replaced): bit b votes +1 when the b-th universal hash
+    * (SimPortA(b)·polyHash(tok) + SimPortB(b)) mod 1e9+7 is ODD, −1
+    * when even; the bit is set iff the vote sum is positive, i.e.
+    * odd-count·2 > token count (ties → 0, deterministically). Every
+    * step has an exact DuckDB mirror, so signatures — and therefore the
+    * whole blocked near-dup query — hash-check across engines. */
+  def portableSimhash60(toks: Seq[String]): Long = {
+    val n = toks.length
+    val odd = new Array[Int](SimPortBits)
+    val it = toks.iterator
+    while (it.hasNext) {
+      val h0 = polyHash(it.next())
+      var b = 0
+      while (b < SimPortBits) {
+        if ((((SimPortA(b) * h0 + SimPortB(b)) % PolyMod) & 1L) == 1L) odd(b) += 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < SimPortBits) { if (odd(b) * 2 > n) sig |= (1L << b); b += 1 }
+    sig
+  }
 }

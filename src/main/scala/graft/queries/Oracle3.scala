@@ -48,7 +48,57 @@ object Oracle3 {
     }.mkString(",\n")
   }
 
+  /** Generated SQL for the portable 60-bit SimHash signature — one
+    * CASE per bit over the doc's token-hash list, built from the SAME
+    * constant arrays the Scala kernel uses
+    * (graft.functions.Signatures.SimPortA/B), so the two definitions
+    * cannot drift. Bit b is set iff the count of tokens whose b-th
+    * universal hash is odd exceeds half the token count (vote sum > 0),
+    * packed by adding 2^b — all sums < 2^63 by the 60-bit width. */
+  /** 15: equal piece width of the 60-bit signature over the shared
+    * SimhashPieces=4 pigeonhole blocking. */
+  private def simPieceWidth: Int =
+    graft.functions.Signatures.SimPortBits / graft.dedup.Dedup.SimhashPieces
+
+  private[queries] def portableSimhashSigExpr: String = {
+    import graft.functions.Signatures.{PolyMod, SimPortA, SimPortB, SimPortBits}
+    (0 until SimPortBits).map { b =>
+      s"(CASE WHEN len(list_filter(h0s, h -> ((${SimPortA(b)} * h + ${SimPortB(b)}) % $PolyMod) % 2 = 1)) * 2 > len(h0s) THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n    + ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the 60-bit portable SimHash near-dup query end to end: polyHash
+    // token hashes, 60 parity-vote bits, 4×15-bit pigeonhole blocking,
+    // bit_count(xor) Hamming — the same integer recurrences as the
+    // engine kernel, so signatures (and any hash collisions) agree
+    // exactly across engines
+    "dedup_simhash_portable" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(toks, tk -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_filter(string_split(tk, ''), c -> c <> ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS h0s
+        |  FROM t WHERE len(toks) > 0),
+        |sig AS (SELECT doc_id, $portableSimhashSigExpr AS sh FROM h),
+        |bl AS (
+        |  SELECT doc_id, sh, r.p AS piece,
+        |    (sh >> (CAST(r.p AS INT) * ${simPieceWidth})) & ${(1L << simPieceWidth) - 1} AS pv
+        |  FROM sig, range(${graft.dedup.Dedup.SimhashPieces}) r(p)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |    a.sh AS sha, c.sh AS shb
+        |  FROM bl a JOIN bl c ON a.piece = c.piece AND a.pv = c.pv
+        |    AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sha, shb)) <= ${graft.dedup.Dedup.SimhashRadius}
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // the whole LSH index — shingle hashes, permutations, banding,
     // candidate generation, verification — rebuilt in SQL from the same
     // integer recurrences; hash collisions (if any) are the same

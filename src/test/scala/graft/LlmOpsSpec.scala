@@ -135,6 +135,27 @@ class DedupSpec extends AnyFunSuite {
       s"query=${queryPairs.keySet} brute=${brute.keySet}")
   }
 
+  test("portable simhash blocking is EXACT at sf0.001: query pairs == brute-force pairs") {
+    import spark.implicits._
+    // same end-to-end exactness proof as the 64-bit sibling, over the
+    // 60-bit portable signature the DuckDB oracle re-derives
+    val queryPairs = Dedup.simhashPortable(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val sigs = Tables(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        graft.functions.Signatures.distinctTokens(r.getString(1)).toSeq))
+      .filter(_._2.nonEmpty)
+      .map { case (id, toks) =>
+        (id, graft.functions.Signatures.portableSimhash60(toks)) }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= Dedup.SimhashRadius
+    } yield ((ia, ib), h)).toMap
+    assert(queryPairs == brute,
+      s"query=${queryPairs.keySet} brute=${brute.keySet}")
+  }
+
   test("minhash candidates have perfect precision vs brute-force jaccard") {
     import spark.implicits._
     // LSH recall is probabilistic (banding), but precision after the

@@ -49,4 +49,27 @@ object SignaturesProps extends Properties("Signatures") {
       val k = refTokens(s).length
       Signatures.distinctNgrams(s, n).length <= math.max(0, k - n + 1)
     }
+
+  property("portableSimhash60 == per-bit vote recompute via BigInt arithmetic") =
+    forAll(Gen.listOf(token)) { toks =>
+      // independent reimplementation: BigInt throughout (no Long-overflow
+      // assumptions shared with the kernel), explicit vote counting
+      val sig = (0 until Signatures.SimPortBits).map { b =>
+        val votes = toks.map { t =>
+          val h0 = BigInt(Signatures.polyHash(t))
+          val hb = (BigInt(Signatures.SimPortA(b)) * h0 + Signatures.SimPortB(b)) %
+            Signatures.PolyMod
+          if (hb % 2 == 1) 1 else -1
+        }.sum
+        if (votes > 0) BigInt(1) << b else BigInt(0)
+      }.sum
+      BigInt(Signatures.portableSimhash60(toks)) == sig
+    }
+
+  property("portableSimhash60 is order-insensitive and 60-bit bounded") =
+    forAll(Gen.listOf(token)) { toks =>
+      val s1 = Signatures.portableSimhash60(toks)
+      Signatures.portableSimhash60(scala.util.Random.shuffle(toks)) == s1 &&
+        (s1 >>> Signatures.SimPortBits) == 0L && s1 >= 0L
+    }
 }
