@@ -11,14 +11,18 @@ import org.apache.spark.sql.functions._
   * filters, dedup on content hash) happens on the narrow metadata/hash
   * columns, and decode/feature work streams per partition.
   *
-  * The decode step itself is a STUB (no image/audio libs in this
-  * container — clearly marked below): `FakeCodec` produces deterministic
-  * "features" from the bytes so the Spark-side plumbing — schema, batch
-  * iteration via mapPartitions over a typed Dataset, partition sizing,
-  * per-frame explode — is real and tested end-to-end. Swapping in a real
-  * decoder changes only [[FakeCodec.decode]]'s body, not the plan shape.
-  * (In PySpark the same seam is `mapInPandas` with an arrow-batch UDF;
-  * `mapPartitions` over a typed Dataset is the Scala-native equivalent.)
+  * IMAGE decode is REAL: [[Multimodal.ImageIoCodec]] round-trips PNG
+  * bytes through JDK `javax.imageio` (mm_decode_features is
+  * DuckDB-hash-checked against closed-form pixel arithmetic, so the
+  * decode cannot be faked). Audio/video decode remains a STUB (the JDK
+  * ships no PCM-feature or mp4 codec and this container has no ffmpeg):
+  * `FakeCodec` produces deterministic "features" from the bytes so the
+  * Spark-side plumbing — schema, batch iteration via mapPartitions over
+  * a typed Dataset, partition sizing, per-frame explode — is real and
+  * tested end-to-end; swapping in a real decoder changes only
+  * [[FakeCodec.decode]]'s body, not the plan shape. (In PySpark the
+  * same seam is `mapInPandas` with an arrow-batch UDF; `mapPartitions`
+  * over a typed Dataset is the Scala-native equivalent.)
   */
 object Multimodal {
 
@@ -40,13 +44,16 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Double])
 
-  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg
-    * etc. Real plumbing, fake math. */
+  /** STUB decoder — deterministic fake standing in for ffmpeg/PCM
+    * codecs (image decode is REAL — see [[ImageIoCodec]]). Real
+    * plumbing, fake math. */
   object FakeCodec {
     val FeatureDim = 8
 
-    /** ??? real decode goes here — this fake derives stable pseudo
-      * dimensions/features from the bytes so tests are deterministic. */
+    /** ??? real audio/video decode goes here — this fake derives stable
+      * pseudo dimensions/features from the bytes so tests are
+      * deterministic. Images no longer route through this stub for
+      * mm_decode_features; they decode via [[ImageIoCodec]]. */
     def decode(r: MediaRecord): MediaFeatures = {
       val sum = r.content.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
       val w = 16 + (sum % 64).toInt
@@ -79,6 +86,80 @@ object Multimodal {
     media.mapPartitions(_.map(FakeCodec.decode))
   }
 
+  /** REAL image codec — JDK `javax.imageio` (PNG is in-JDK, headless- and
+    * offline-safe; no external libs). The corpus is rendered in-fixture:
+    * every doc_id becomes a small procedural RGB image whose pixel values
+    * are a closed-form integer function of (id, x, y), PNG-ENCODED
+    * executor-side, then decoded back through `ImageIO.read` — so the
+    * query's pixel statistics hash-match the DuckDB oracle's closed form
+    * ONLY if the encode→decode round trip reproduces the raster exactly.
+    * That makes mm_decode_features a test OF the real decode path, not of
+    * a stub. (Audio/video stay on [[FakeCodec]]: the JDK ships no
+    * wav-PCM-feature or mp4 codec, and this container has no ffmpeg —
+    * documented honest seam.) */
+  object ImageIoCodec {
+
+    /** Geometry + per-channel pixel functions shared (as literal
+      * arithmetic) with the DuckDB oracle in graft.queries.Oracle2. All
+      * values are nonnegative ints < 256; `% 256` wraps identically in
+      * both engines. */
+    def imgW(id: Long): Int = 8 + (id % 9).toInt
+    def imgH(id: Long): Int = 8 + (id % 7).toInt
+    def pxR(id: Long, x: Int, y: Int): Int = (((id % 256) * 7 + x * 3 + y * 5) % 256).toInt
+    def pxG(id: Long, x: Int, y: Int): Int = (((id % 256) * 11 + x * 5 + y * 7) % 256).toInt
+    def pxB(id: Long, x: Int, y: Int): Int = (((id % 256) * 13 + x * 7 + y * 11) % 256).toInt
+
+    /** Render the procedural image for `id` and PNG-encode it (lossless
+      * 24-bit RGB). */
+    def renderPng(id: Long): Array[Byte] = {
+      val (w, h) = (imgW(id), imgH(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** media_id, width, height, n_px, per-channel sums, and an
+      * (x,y)-weighted moment (order-independent, so it aggregates in SQL,
+      * but sensitive to axis swaps and raster misalignment). */
+    final case class ImageStats(
+        media_id: Long, width: Int, height: Int, n_px: Long,
+        sum_r: Long, sum_g: Long, sum_b: Long, xy_moment: Long)
+
+    /** The real decode: `ImageIO.read` over the content bytes; fails
+      * loudly on undecodable input rather than fabricating features. */
+    def decodeStats(mediaId: Long, content: Array[Byte]): ImageStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      require(img != null, s"undecodable image bytes for media $mediaId")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb, mom) = (0L, 0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          mom += (x * 17L + y * 29L) * (r + g + b)
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(mediaId, w, h, w.toLong * h, sr, sg, sb, mom)
+    }
+  }
+
   /** Demonstration source: documents-as-media (text bytes standing in for
     * content blobs; modality assigned round-robin). */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
@@ -96,15 +177,25 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** queries() entry: decode + per-video frame sampling, flattened. No
-    * SQL oracle (binary + mapPartitions path) → rows-only check;
-    * invariants tested in MultimodalSpec. */
+  /** queries() entry: REAL image decode. Every doc_id is rendered to a
+    * procedural PNG and decoded back through JDK `javax.imageio`, all
+    * executor-side inside one mapPartitions (render → encode → decode →
+    * pixel stats per record, streaming; content bytes never enter
+    * Catalyst or a shuffle — only the 8-column stats row comes out).
+    * DuckDB-hash-checked against the closed-form pixel arithmetic: a
+    * stubbed or lossy decode path cannot reproduce the oracle's sums.
+    * At 100 TB the same seam reads real stored bytes instead of
+    * rendering them; the decode/feature stage is embarrassingly
+    * parallel and its output is narrow. */
   def decodeQuery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = decodeFeatures(mediaFromDocuments(s, dir))
-    feats.select($"media_id", $"modality", $"n_bytes", $"checksum",
-      $"width", $"height", $"n_frames",
-      round(element_at($"feature", 1), 6).as("f0"))
+    graft.Tables(s, dir, "documents")
+      .select($"doc_id").as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        ImageIoCodec.decodeStats(id, ImageIoCodec.renderPng(id))
+      })
+      .toDF()
       .orderBy($"media_id")
   }
 

@@ -444,12 +444,29 @@ object Oracle2 {
         |WHERE a.vec_id < b.vec_id AND list_inner_product(a.u, b.u) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // ASCII corpus (verified): byte-hash == ascii(char)-hash; the whole
-    // FakeCodec stub is integer arithmetic over that checksum.
+    // REAL-decode check: the Spark side PNG-encodes a procedural raster
+    // and decodes it back through javax.imageio; this oracle computes
+    // the same pixel statistics from the closed-form (id, x, y)
+    // arithmetic WITHOUT any codec. The hashes agree only if the
+    // engine's decode round trip reproduces every pixel exactly. The
+    // geometry/channel formulas are the literal mirrors of
+    // Multimodal.ImageIoCodec.imgW/imgH/pxR/pxG/pxB.
     "mm_decode_features" ->
-      s"""WITH $mmDecodeCte
-        |SELECT media_id, modality, n_bytes, checksum, width, height,
-        |  CAST(CASE WHEN modality = 'video' THEN 1 + (n_bytes % 8) ELSE 1 END AS INT) AS n_frames,
-        |  round((checksum % 256) / 256.0, 6) AS f0
-        |FROM d ORDER BY media_id""".stripMargin)
+      """WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+        |    CAST(8 + doc_id % 7 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, CAST(x.i AS BIGINT) AS x, CAST(y.i AS BIGINT) AS y,
+        |    ((doc_id % 256) * 7 + x.i * 3 + y.i * 5) % 256 AS r,
+        |    ((doc_id % 256) * 11 + x.i * 5 + y.i * 7) % 256 AS g,
+        |    ((doc_id % 256) * 13 + x.i * 7 + y.i * 11) % 256 AS b
+        |  FROM d, range(16) x(i), range(14) y(i)
+        |  WHERE x.i < w AND y.i < h)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum((x * 17 + y * 29) * (r + g + b)) AS BIGINT) AS xy_moment
+        |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)
 }

@@ -426,6 +426,35 @@ class MultimodalSpec extends AnyFunSuite {
     feats.unpersist()
   }
 
+  test("ImageIoCodec: PNG encode→decode round trip reproduces the raster exactly") {
+    import Multimodal.ImageIoCodec
+    for (id <- Seq(0L, 1L, 7L, 63L, 255L, 256L, 1234L)) {
+      val bytes = ImageIoCodec.renderPng(id)
+      // a REAL PNG came out: 8-byte signature, not fake content
+      assert(bytes.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), s"not a PNG for id=$id")
+      val st = ImageIoCodec.decodeStats(id, bytes)
+      // independent recompute of the closed-form stats (the same
+      // arithmetic the DuckDB oracle runs)
+      val (w, h) = (ImageIoCodec.imgW(id), ImageIoCodec.imgH(id))
+      var (sr, sg, sb, mom) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ImageIoCodec.pxR(id, x, y); val g = ImageIoCodec.pxG(id, x, y)
+        val b = ImageIoCodec.pxB(id, x, y)
+        sr += r; sg += g; sb += b; mom += (x * 17L + y * 29L) * (r + g + b)
+      }
+      assert(st == ImageIoCodec.ImageStats(id, w, h, w.toLong * h, sr, sg, sb, mom),
+        s"round-trip mismatch for id=$id")
+    }
+  }
+
+  test("ImageIoCodec: undecodable bytes fail loudly, not silently") {
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decodeStats(42L, Array[Byte](1, 2, 3, 4))
+    }
+    assert(ex.getMessage.contains("42"))
+  }
+
   test("dedup stats: modality counts partition the catalog; dup mass matches a text recount") {
     import spark.implicits._
     val out = Multimodal.dedupStatsQuery(spark, sf).cache()
