@@ -170,6 +170,71 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("cbo: ANALYZE'd stats reproduce q05's scale-safe fact-join shape with NO hints") {
+    import graft.operators.CboDemo
+    val conf = spark.conf
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      CboDemo.setup(spark, sf)
+      keys.foreach(conf.set(_, "true"))
+      // ANALYZE wrote real statistics: exact row counts and per-column
+      // NDVs are in the catalog (what join estimation consumes)
+      val liStats = CboDemo.stats(spark, "lineitem")
+      assert(liStats.rowCount.exists(_.toLong ==
+        Tables(spark, sf, "lineitem").count()), s"bad rowCount: $liStats")
+      assert(liStats.colStats.get("l_orderkey").exists(_.distinctCount.isDefined),
+        s"no l_orderkey NDV: ${liStats.colStats.keySet}")
+      // the hint-free formulation is row-identical to the hinted q05
+      val cbo = CboDemo.q05NoHint(spark).collect().map(_.toString).toSeq
+      val hinted = queries.Declared.q05(spark, sf).collect().map(_.toString).toSeq
+      assert(cbo == hinted, s"cbo=$cbo hinted=$hinted")
+      // and the optimizer — told NOTHING — builds the stats-smaller
+      // orders⋈customer side, never the fact table: the l_orderkey join
+      // line must carry BuildRight (lineitem is the left/stream side)
+      val plan = executed(CboDemo.q05NoHint(spark))
+      val factJoin = plan.linesIterator
+        .filter(l => l.contains("Join") && l.contains("l_orderkey"))
+        .toSeq
+      assert(factJoin.nonEmpty, s"no l_orderkey join found:\n$plan")
+      assert(factJoin.forall(l => l.contains("BuildRight") ||
+        (!l.contains("BroadcastHashJoin") && !l.contains("BuildLeft"))),
+        s"fact side became the build side:\n$factJoin")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("cbo: when stats say no side fits a broadcast, the fact join degrades to a partitioned join") {
+    import graft.operators.CboDemo
+    val conf = spark.conf
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      CboDemo.setup(spark, sf)
+      Seq(keys(0), keys(1)).foreach(conf.set(_, "true"))
+      // model the 100 TB regime: a threshold below EVERY relation's
+      // stats-estimated size (64 bytes — even the CBO-reordered,
+      // region-filtered orders side estimates above it). The PLAN SHAPE
+      // under nothing-fits-a-broadcast stats is what's pinned, not the
+      // byte value.
+      conf.set(keys(2), "64")
+      conf.set(keys(3), "64")
+      val plan = executed(CboDemo.q05NoHint(spark))
+      val factJoin = plan.linesIterator
+        .filter(l => l.contains("Join") && l.contains("l_orderkey")).toSeq
+      assert(factJoin.nonEmpty, s"no l_orderkey join found:\n$plan")
+      assert(factJoin.forall(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+        s"fact join still broadcasting under 100TB-modeled stats:\n$factJoin")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ appeared:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("q54: tf-idf top-5 rank-filter gets the WindowGroupLimit pushdown") {
     val plan = executed(queries.Declared5.q54(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"rank-filter not pushed down:\n$plan")
