@@ -310,30 +310,48 @@ object Declared7 {
     * iterations mechanically from the same constants. */
   val q77: Q = (s, dir) => q77Over(Tables(s, dir, "documents"))
 
-  /** Testable seam (the minhashPortableOver pattern): BPE training over
-    * any frame with a `text` column. */
-  def q77Over(documents: DataFrame): DataFrame = {
+  /** The ONE corpus pass: term counting → capped word-frequency
+    * histogram with each word split to symbols. Everything after this
+    * runs on the (cached) vocabulary — PlanAuditSpec pins that the
+    * iteration plans below read InMemoryTableScan and never rescan the
+    * corpus. */
+  private[graft] def bpeVocab0(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val vocab0 = documents
+    documents
       .select(explode(graft.functions.TokenFunctions.term_counts($"text"))
         .as(Seq("word", "c")))
       .groupBy($"word").agg(sum($"c").as("cnt"))
       .orderBy($"cnt".desc, $"word").limit(BpeVocabCap)
       .select($"word", $"cnt",
         filter(split($"word", ""), x => length(x) > 0).as("syms"))
-    var vocab = vocab0.cache()
+  }
+
+  /** One training iteration's weighted adjacent-pair count over the
+    * vocabulary histogram — vocab-sized, corpus-independent. */
+  private[graft] def bpePairCounts(vocab: DataFrame): DataFrame = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    vocab.select($"cnt",
+      explode(zip_with(
+        slice($"syms", lit(1), size($"syms") - 1),
+        slice($"syms", lit(2), size($"syms") - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy($"p.l".as("l"), $"p.r".as("r"))
+      .agg(sum($"cnt").as("total"))
+  }
+
+  /** Testable seam (the minhashPortableOver pattern): BPE training over
+    * any frame with a `text` column. */
+  def q77Over(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    var vocab = bpeVocab0(documents).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
     while (it <= BpeIters && !exhausted) {
-      val pairs = vocab.select($"cnt",
-        explode(zip_with(
-          slice($"syms", lit(1), size($"syms") - 1),
-          slice($"syms", lit(2), size($"syms") - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"cnt").as("total"))
+      val pairs = bpePairCounts(vocab)
       // a corpus can run out of adjacent pairs before BpeIters merges
       // (empty table, all-single-char vocabulary, or every word fully
       // merged) — stop training instead of crashing on the empty argmax
