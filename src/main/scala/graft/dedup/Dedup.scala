@@ -316,9 +316,11 @@ object Dedup {
     * BROADCAST onto the corpus band stream, so the corpus is touched
     * once, map-side, with no all-pairs stage at all. At 100 TB the
     * corpus side of this join is the persisted (band, bh)-bucketed
-    * index ([[graft.sim.Similarity.writeLshIndex]] pattern): an
-    * arriving batch probes buckets, never rescans. Verification (exact
-    * hashed-shingle Jaccard ≥ 0.5) runs over candidates only. */
+    * index — IMPLEMENTED below: [[writeBandIndex]] maintains it on
+    * disk and [[minhashIncrementalPersisted]] probes it bucket-pruned,
+    * row-identical to this recomputing form (StorageLayoutSpec).
+    * Verification (exact hashed-shingle Jaccard ≥ 0.5) runs over
+    * candidates only. */
   def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = portableRaw(Tables(s, dir, "documents"), Seq("source"))
@@ -330,6 +332,65 @@ object Dedup {
     val cand = corpus.join(broadcast(newBatch), Seq("band", "bh"))
       .select($"doc_new", $"doc_old").distinct()
     verifyPortableCandidates(cand, raw, "doc_new", "doc_old")
+  }
+
+  /** Number of bucket files for the persisted corpus band index. */
+  val BandIndexBuckets = 16
+
+  /** Persist the corpus side of [[minhashIncremental]] as the on-disk
+    * (band, bh) index the docstring above promises: rows bucketed+sorted
+    * by `bh` (graft.operators.StorageLayout.writeBucketed) — the
+    * artifact an ingestion pipeline MAINTAINS between batches instead of
+    * re-banding the corpus per arrival. */
+  def writeBandIndex(s: SparkSession, dir: String, table: String): Unit = {
+    import s.implicits._
+    val raw = portableRaw(Tables(s, dir, "documents"), Seq("source"))
+    val corpus = portableBanded(raw, Seq("source"))
+      .filter($"source" =!= "src0")
+      .select($"doc_id".as("doc_old"), $"band", $"bh")
+    graft.operators.StorageLayout.writeBucketed(corpus, table, "bh", BandIndexBuckets)
+  }
+
+  /** [[minhashIncremental]] against the PERSISTED index: the arriving
+    * batch's distinct band hashes (batch-sized, a driver pull by the
+    * same argument that lets the batch broadcast) become an `isin`
+    * filter on the index's bucket column — the scan PRUNES to matching
+    * bucket files (`SelectedBucketsCount` pinned in StorageLayoutSpec)
+    * — then candidates come from the same broadcast band join.
+    * Row-identical to [[minhashIncremental]] by construction; the
+    * corpus is neither rescanned nor re-banded. */
+  def minhashIncrementalPersisted(s: SparkSession, dir: String,
+                                  table: String): DataFrame = {
+    import s.implicits._
+    val raw = portableRaw(Tables(s, dir, "documents"), Seq("source"))
+    val cand = bandIndexProbe(s, dir, table, Int.MaxValue)
+    verifyPortableCandidates(cand, raw, "doc_new", "doc_old")
+  }
+
+  /** The index probe itself — candidate (doc_new, doc_old) pairs for
+    * the batch's first `limitDocs` documents (by doc_id) against the
+    * persisted index. `limitDocs = 1` is the point-dedup an ingestion
+    * pipeline runs per arrival: 4 band hashes → at most 4 of the
+    * [[BandIndexBuckets]] bucket files read (pinned in
+    * StorageLayoutSpec). */
+  def bandIndexProbe(s: SparkSession, dir: String, table: String,
+                     limitDocs: Int): DataFrame = {
+    import s.implicits._
+    val raw = portableRaw(Tables(s, dir, "documents"), Seq("source"))
+    val batch0 = portableBanded(raw, Seq("source"))
+      .filter($"source" === "src0")
+      .select($"doc_id".as("doc_new"), $"band", $"bh")
+    val newBatch =
+      if (limitDocs == Int.MaxValue) batch0
+      else {
+        val ids = batch0.select($"doc_new").distinct()
+          .orderBy($"doc_new").limit(limitDocs).as[Long].collect()
+        batch0.filter($"doc_new".isin(ids.toIndexedSeq: _*))
+      }
+    val batchBhs = newBatch.select($"bh").distinct().as[Long].collect()
+    val idx = s.table(table).filter($"bh".isin(batchBhs.toIndexedSeq: _*))
+    idx.join(broadcast(newBatch), Seq("band", "bh"))
+      .select($"doc_new", $"doc_old").distinct()
   }
 
   // ----------------------------------------------- Prefix edit distance

@@ -95,6 +95,50 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted band index: incremental dedup probes it bucket-pruned, row-identical") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    graft.dedup.Dedup.writeBandIndex(spark, sf, "b_band_idx")
+    // bucketed reading must stay on for the probe (the broadcast join
+    // gives autoBucketedScan's heuristic no distribution to exploit, and
+    // turning it off would forfeit bucket pruning — same pin as the
+    // single-bucket lookup above)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val persisted =
+        graft.dedup.Dedup.minhashIncrementalPersisted(spark, sf, "b_band_idx")
+      val recomputed = graft.dedup.Dedup.minhashIncremental(spark, sf)
+      val norm = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(_.toString).toSeq.sorted
+      assert(norm(persisted) == norm(recomputed),
+        "persisted-index result differs from the recomputed-index result")
+      // the probe goes through the bucket-pruning path (an isin on the
+      // bucket column); this batch's ~hundreds of band hashes cover all
+      // 16 buckets, which is the honest full-batch outcome — bucket
+      // ELIMINATION is demonstrated below on the single-arrival shape
+      persisted.collect()
+      val plan = persisted.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in probe scan:\n${plan.take(2000)}")
+      assert(sel.get.group(2).toInt == graft.dedup.Dedup.BandIndexBuckets)
+      // single-arrival probe (one doc = 4 band hashes — the point-dedup
+      // an ingestion pipeline runs per document): scan prunes to at most
+      // 4 of the 16 bucket files
+      val oneDoc = graft.dedup.Dedup.bandIndexProbe(spark, sf, "b_band_idx", 1)
+      oneDoc.collect()
+      val onePlan = oneDoc.queryExecution.executedPlan.toString
+      val oneSel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(onePlan)
+      assert(oneSel.isDefined, s"no bucket pruning:\n${onePlan.take(2000)}")
+      assert(oneSel.get.group(1).toInt <= 4,
+        s"single-doc probe did not prune: ${oneSel.get.matched}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_band_idx")
+    }
+  }
+
   test("compact merges a small-files directory, preserving every row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact_").resolve("t").toString
