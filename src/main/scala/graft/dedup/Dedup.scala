@@ -55,12 +55,16 @@ object Dedup {
     * the input bytes. */
   /** A within-block pairwise join is quadratic in the block's row count;
     * blocks above this bound take the exact prefix-filter route instead
-    * (see [[ngramJaccardPairsOver]]). At sf0.1 the largest
-    * (lang, len_bucket) block is 451 docs, so the driver-graded SFs run
-    * the pairwise plan unchanged; at web scale a boilerplate cluster
-    * dropping a million near-identical docs into one block is exactly
-    * the skew this bound defuses. */
-  val MaxBlockRows = 4096
+    * (see [[ngramJaccardPairsOver]]) or the PassJoin segment route
+    * ([[editDistanceOver]]). At sf0.1 the largest (lang, len_bucket)
+    * block is 451 docs, so the driver-graded SFs run the pairwise plan
+    * unchanged; the sf1 validation (BASELINE M24) is where this bound
+    * first engages for real — blocks there reach 3,250 docs, and with
+    * the r6-era 4096 bound the sf1 bench measured the quadratic plan
+    * (dedup_jaccard 41 s, dedup_edit_distance 35 s for 10× data).
+    * 1024 keeps small blocks on the cheap direct join while routing
+    * anything block²-dangerous to the linear-in-occupancy schemes. */
+  val MaxBlockRows = 1024
 
   /** Exact token-set Jaccard near-dup pairs over blocked pairs,
     * threshold 0.5. Oracle-checked: integer intersect/union counts over
@@ -404,23 +408,115 @@ object Dedup {
     * boilerplate). Pure built-in `levenshtein` — codegen'd, and the
     * identical Wagner-Fischer result in DuckDB, so the whole operator
     * hash-checks. */
-  def editDistance(s: SparkSession, dir: String): DataFrame = {
+  def editDistance(s: SparkSession, dir: String): DataFrame =
+    editDistanceOver(Tables(s, dir, "documents"))
+
+  /** Edit-distance threshold (shared by the verification, the segment
+    * scheme, and the oracle SQL). */
+  val EditK = 8
+
+  /** [[editDistance]] with block-size routing (the ngramJaccard
+    * pattern): small (lang, len_bucket) blocks take the direct pairwise
+    * join; OVERSIZED blocks take PassJoin-style SEGMENT blocking (Li,
+    * Deng, Feng, VLDB'12 "PassJoin" — public): partition the 80-char
+    * prefix into EditK+1 = 9 segments — any pair within edit distance
+    * EditK has, by pigeonhole over an optimal edit script, at least one
+    * segment UNEDITED, appearing in the other string at a start shifted
+    * by at most the net indel count (≤ EditK). So candidates are an
+    * EQUI-join of per-doc segment strings against per-doc shifted
+    * substrings (9 index rows + ≤ 9·17 probe rows per doc — linear in
+    * block size, never block²) with 100% recall; the identical banded
+    * verification then makes the output provably the same row set as
+    * the pairwise plan. Docs whose prefix is shorter than 80 chars use
+    * a different layout per length; they are few (5% of this corpus),
+    * so they pair directly against their whole block instead.
+    * Measured at sf1 (10× bench SF): the pairwise plan was this
+    * surface's worst scaler (~86× time for 10× data — quadratic in
+    * block occupancy); segment routing restores near-linear growth. */
+  def editDistanceOver(documents: DataFrame,
+      maxBlockRows: Int = MaxBlockRows): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    val d = Tables(s, dir, "documents")
+    val k = EditK
+    val m = k + 1 // segments
+    val L = 80
+    val d = documents
       .select($"doc_id", $"lang", floor(length($"text") / 100).cast("int").as("len_bucket"),
-        substring($"text", 1, 80).as("pfx"))
-    val a = d.repartition(s.sparkContext.defaultParallelism, $"doc_id")
-      .select($"lang", $"len_bucket", $"doc_id".as("doc_a"), $"pfx".as("pfx_a"))
-    val b = d.select($"lang", $"len_bucket", $"doc_id".as("doc_b"), $"pfx".as("pfx_b"))
+        substring($"text", 1, L).as("pfx"))
+    val sizes = d.groupBy($"lang", $"len_bucket").agg(count(lit(1)).as("block_n"))
+    val routed = d.join(broadcast(sizes), Seq("lang", "len_bucket"))
+    val small = routed.filter($"block_n" <= maxBlockRows).drop("block_n")
+    val big = routed.filter($"block_n" > maxBlockRows).drop("block_n")
+
     // threshold form: banded Wagner-Fischer, O(len·k) per pair instead
     // of O(len²) — pairs beyond the threshold return -1 and fall to the
     // same filter, and within-threshold distances are exact, so the
     // kept rows and values are identical to DuckDB's plain levenshtein
-    a.join(b, Seq("lang", "len_bucket"))
-      .filter($"doc_a" < $"doc_b")
+    def verified(pairs: DataFrame): DataFrame = pairs
       .select($"lang", $"doc_a", $"doc_b",
-        levenshtein($"pfx_a", $"pfx_b", 8).as("prefix_lev"))
-      .filter($"prefix_lev" >= 0 && $"prefix_lev" <= 8)
+        levenshtein($"pfx_a", $"pfx_b", k).as("prefix_lev"))
+      .filter($"prefix_lev" >= 0 && $"prefix_lev" <= k)
+
+    def pairwise(blk: DataFrame): DataFrame = {
+      val a = blk.repartition(s.sparkContext.defaultParallelism, $"doc_id")
+        .select($"lang", $"len_bucket", $"doc_id".as("doc_a"), $"pfx".as("pfx_a"))
+      val b = blk.select($"lang", $"len_bucket", $"doc_id".as("doc_b"), $"pfx".as("pfx_b"))
+      verified(a.join(b, Seq("lang", "len_bucket")).filter($"doc_a" < $"doc_b"))
+    }
+
+    // fixed L=80 layout: 80 = 8 segments of 9 + 1 of 8 (1-based starts)
+    val segs = {
+      val base = L / m; val rem = L % m
+      (0 until m).scanLeft((0, 1, 0)) { case ((_, st, ln), j) =>
+        (j, st + ln, base + (if (j < rem) 1 else 0))
+      }.tail.map { case (j, st, ln) => (j, st, ln) }
+    }
+    val bigFull = big.filter(length($"pfx") === L)
+    val bigShort = big.filter(length($"pfx") < L)
+    val idxCols = segs.map { case (j, st, ln) =>
+      struct(lit(j).as("j"), substring($"pfx", st, ln).as("seg"))
+    }
+    val probeCols = segs.flatMap { case (j, st, ln) =>
+      (-k to k).flatMap { delta =>
+        val p = st + delta
+        if (p >= 1 && p + ln - 1 <= L)
+          Some(struct(lit(j).as("j"), substring($"pfx", p, ln).as("seg")))
+        else None
+      }
+    }
+    val idx = bigFull.select($"lang", $"len_bucket", $"doc_id".as("doc_b"),
+      explode(array(idxCols: _*)).as("c"))
+      .select($"lang", $"len_bucket", $"doc_b", $"c.j", $"c.seg")
+    val probe = bigFull
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .select($"lang", $"len_bucket", $"doc_id".as("doc_a"),
+        explode(array(probeCols: _*)).as("c"))
+      .select($"lang", $"len_bucket", $"doc_a", $"c.j", $"c.seg")
+      .distinct() // shifted probes repeat on repetitive text
+    val candFull = probe.join(idx, Seq("lang", "len_bucket", "j", "seg"))
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"lang", $"len_bucket",
+        least($"doc_a", $"doc_b").as("doc_a"),
+        greatest($"doc_a", $"doc_b").as("doc_b"))
+      .distinct()
+    // short-prefix docs (< 80 chars): different per-length layouts; pair
+    // them directly against their whole (oversized) block — both
+    // short×short and short×full covered from the short side
+    val candShort = bigShort
+      .select($"lang", $"len_bucket", $"doc_id".as("doc_s"))
+      .join(big.select($"lang", $"len_bucket", $"doc_id".as("doc_o")),
+        Seq("lang", "len_bucket"))
+      .filter($"doc_s" =!= $"doc_o")
+      .select($"lang", $"len_bucket",
+        least($"doc_s", $"doc_o").as("doc_a"),
+        greatest($"doc_s", $"doc_o").as("doc_b"))
+      .distinct()
+    val pfxOf = d.select($"doc_id", $"pfx")
+    val bigPairs = verified(candFull.unionByName(candShort).distinct()
+      .join(pfxOf.select($"doc_id".as("doc_a"), $"pfx".as("pfx_a")), Seq("doc_a"))
+      .join(pfxOf.select($"doc_id".as("doc_b"), $"pfx".as("pfx_b")), Seq("doc_b")))
+
+    pairwise(small).unionByName(bigPairs)
       .orderBy($"doc_a", $"doc_b")
   }
 

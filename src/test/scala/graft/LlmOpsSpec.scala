@@ -135,6 +135,21 @@ class DedupSpec extends AnyFunSuite {
       s"query=${queryPairs.keySet} brute=${brute.keySet}")
   }
 
+  test("edit distance: PassJoin segment route returns EXACTLY the pairwise rows") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toString).toSeq.sorted
+    // force EVERY block through the segment scheme and compare to the
+    // all-pairs formulation — 100% recall is the PassJoin pigeonhole
+    // claim, and precision is trivially shared (same verification)
+    val seg = norm(Dedup.editDistanceOver(docs, maxBlockRows = 1))
+    val pairwise = norm(Dedup.editDistanceOver(docs, maxBlockRows = Int.MaxValue))
+    assert(seg.nonEmpty, "no pairs at sf0.001 — the comparison is vacuous")
+    assert(seg == pairwise,
+      s"segment route diverged: seg=${seg.size} pairwise=${pairwise.size}")
+  }
+
   test("portable simhash blocking is EXACT at sf0.001: query pairs == brute-force pairs") {
     import spark.implicits._
     // same end-to-end exactness proof as the 64-bit sibling, over the
