@@ -678,11 +678,17 @@ object Dedup {
     // codebook (one fixed-point Lloyd step, KCells cells — the same
     // trainer behind q63/sim_topk_ivf_trained), centroids rescaled to
     // doubles and normalized onto the unit sphere where the triangle
-    // inequality below lives. Cell COUNT scales with the corpus (k in
-    // the hundreds at 100 TB), unlike the label vocabulary; exactness
-    // never depends on the cells (steps 1-3 only over-approximate), so
-    // any codebook keeps the brute-twin row-identity — a better one
-    // just prunes more.
+    // inequality below lives. Exactness never depends on the cells
+    // (steps 1-3 only over-approximate), so any codebook keeps the
+    // brute-twin row-identity — a better one just prunes more. Sizing
+    // note from the sf1 validation: at this PERMISSIVE threshold
+    // (cos ≥ 0.35 ⟹ chord 1.14 on a unit sphere of diameter 2) the
+    // RESULT itself grows ~quadratically when the corpus densifies the
+    // same clusters, so runtime is output-bound — raising the cell
+    // count was measured 2× SLOWER at sf1 (more qualifying cell pairs,
+    // no less real work). √n-cell sizing pays off only for selective
+    // thresholds; for dense thresholds the knob that matters at 100 TB
+    // is the threshold itself.
     val centRows = graft.sim.Similarity.trainedCodebook(s, dir)
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
     val cents: Array[(Int, Array[Double])] = centRows.sortBy(_._1)
