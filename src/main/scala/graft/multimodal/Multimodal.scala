@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[Multimodal.ImageIoCodec]] round-trips PNG
   * bytes through JDK `javax.imageio` (mm_decode_features is
   * DuckDB-hash-checked against closed-form pixel arithmetic, so the
-  * decode cannot be faked). Audio/video decode remains a STUB (the JDK
-  * ships no PCM-feature or mp4 codec and this container has no ffmpeg):
+  * decode cannot be faked). AUDIO decode is REAL: [[Multimodal.WavPcmCodec]]
+  * parses RIFF/WAVE PCM bytes with a hand-rolled chunk walk,
+  * cross-checked against the JDK's independent `javax.sound.sampled`
+  * WAV encoder (mm_audio_features hash-checked the same way). VIDEO
+  * decode remains the one STUB (the JDK ships no mp4 codec and this
+  * container has no ffmpeg):
   * `FakeCodec` produces deterministic "features" from the bytes so the
   * Spark-side plumbing — schema, batch iteration via mapPartitions over
   * a typed Dataset, partition sizing, per-frame explode — is real and
@@ -44,16 +48,18 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Double])
 
-  /** STUB decoder — deterministic fake standing in for ffmpeg/PCM
-    * codecs (image decode is REAL — see [[ImageIoCodec]]). Real
-    * plumbing, fake math. */
+  /** STUB decoder — deterministic fake standing in for an mp4/ffmpeg
+    * codec (image decode is REAL — see [[ImageIoCodec]]; audio decode
+    * is REAL — see [[WavPcmCodec]]). Real plumbing, fake math. */
   object FakeCodec {
     val FeatureDim = 8
 
-    /** ??? real audio/video decode goes here — this fake derives stable
+    /** ??? real video decode goes here — this fake derives stable
       * pseudo dimensions/features from the bytes so tests are
       * deterministic. Images no longer route through this stub for
-      * mm_decode_features; they decode via [[ImageIoCodec]]. */
+      * mm_decode_features (they decode via [[ImageIoCodec]]), and audio
+      * no longer routes through it for mm_audio_features (it decodes
+      * via [[WavPcmCodec]]). */
     def decode(r: MediaRecord): MediaFeatures = {
       val sum = r.content.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
       val w = 16 + (sum % 64).toInt
@@ -160,6 +166,132 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec — hand-rolled RIFF/WAVE PCM parser, cross-checked
+    * against the JDK's independent WAV *encoder* (`javax.sound.sampled.
+    * AudioSystem.write` — in-JDK, headless- and offline-safe; only
+    * playback needs audio devices, not file I/O). The corpus is rendered
+    * in-fixture: every audio doc_id becomes a pseudo-noise int16 waveform
+    * whose samples are a closed-form integer function of (id, i),
+    * WAV-ENCODED executor-side by the JDK writer, then decoded back
+    * through [[decode]] — so the query's sample statistics hash-match the
+    * DuckDB oracle's closed form ONLY if the RIFF parse (chunk walk,
+    * word alignment, little-endian int16 reassembly) reproduces the
+    * samples exactly. Encoder and decoder are independent
+    * implementations, so this is a test OF the real decode path, not a
+    * round trip of one codebase's bugs. Retires the audio half of the
+    * FakeCodec seam; video (mp4) remains the one honest stub. */
+  object WavPcmCodec {
+    val SampleRate = 8000
+
+    /** Closed-form waveform shared (as literal arithmetic) with the
+      * DuckDB oracle in graft.queries.Oracle4: pseudo-noise int16,
+      * length 256..496 samples. All intermediate terms are nonnegative,
+      * so `% 65536` wraps identically in both engines. */
+    def nSamples(id: Long): Int = 256 + (id % 241).toInt
+    def sample(id: Long, i: Int): Short =
+      (((id % 251) * 7919L + i.toLong * 104729L) % 65536L - 32768L).toShort
+
+    /** Render the waveform for `id` and WAV-encode it via the JDK
+      * encoder (mono, 16-bit signed PCM, little-endian). */
+    def renderWav(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(id, i)
+        pcm(i * 2) = (s & 0xff).toByte // little-endian int16
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    final case class WavClip(sampleRate: Int, channels: Int, samples: Array[Short])
+
+    /** The real decode: hand-rolled RIFF chunk walk. Validates the
+      * RIFF/WAVE magic, reads `fmt ` (PCM, 16-bit only — fails loudly on
+      * anything else rather than fabricating samples), skips unknown
+      * chunks (LIST/fact/...) honoring the RIFF word-alignment rule
+      * (odd-sized chunk bodies are padded to even offsets), and
+      * reassembles little-endian int16 samples from `data`. */
+    def decode(bytes: Array[Byte]): WavClip = {
+      def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      def tag(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE stream")
+      var off = 12
+      var fmtSeen = false
+      var audioFormat = 0; var channels = 0; var rate = 0; var bits = 0
+      var samples: Array[Short] = null
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val sz = u32(off + 4).toInt
+        val body = off + 8
+        id match {
+          case "fmt " =>
+            require(sz >= 16, s"truncated fmt chunk ($sz bytes)")
+            audioFormat = u16(body); channels = u16(body + 2)
+            rate = u32(body + 4).toInt; bits = u16(body + 14)
+            fmtSeen = true
+          case "data" =>
+            require(fmtSeen, "data chunk before fmt")
+            require(audioFormat == 1, s"not integer PCM (wFormatTag=$audioFormat)")
+            require(bits == 16, s"unsupported bit depth $bits")
+            require(body + sz <= bytes.length, "truncated data chunk")
+            val n = sz / 2
+            samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) =
+                ((bytes(body + i * 2) & 0xff) | (bytes(body + i * 2 + 1) << 8)).toShort
+              i += 1
+            }
+          case _ => () // LIST, fact, ... — skip
+        }
+        off = body + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      require(samples != null, "no data chunk")
+      WavClip(rate, channels, samples)
+    }
+
+    /** Per-clip sample statistics: counts/sums/extrema plus an
+      * index-weighted moment (order-sensitive, so sample misalignment,
+      * byte-order, or off-by-one parse errors cannot cancel out). Field
+      * names/order match the oracle's column list exactly. */
+    final case class AudioStats(
+        media_id: Long, n_samples: Long, sum_s: Long, sum_abs: Long,
+        max_s: Int, min_s: Int, n_neg: Long, idx_moment: Long)
+
+    def stats(id: Long, clip: WavClip): AudioStats = {
+      require(clip.sampleRate == SampleRate && clip.channels == 1,
+        s"unexpected clip geometry ${clip.sampleRate}/${clip.channels}")
+      var (sumS, sumAbs, nNeg, mom) = (0L, 0L, 0L, 0L)
+      var (mx, mn) = (Int.MinValue, Int.MaxValue)
+      var i = 0
+      while (i < clip.samples.length) {
+        val s = clip.samples(i).toInt
+        sumS += s; sumAbs += math.abs(s)
+        if (s < 0) nNeg += 1
+        if (s > mx) mx = s
+        if (s < mn) mn = s
+        mom += i.toLong * s
+        i += 1
+      }
+      AudioStats(id, clip.samples.length.toLong, sumS, sumAbs, mx, mn, nNeg, mom)
+    }
+  }
+
   /** Demonstration source: documents-as-media (text bytes standing in for
     * content blobs; modality assigned round-robin). */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
@@ -214,7 +346,8 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
-  /** queries() entry: decode → videos only → every-2nd-frame sampling,
+  /** queries() entry (video path — frame fan-out geometry from the one
+    * remaining stub codec): decode → videos only → every-2nd-frame sampling,
     * flattened to one row per sampled frame — the fan-out step a video
     * training pipeline runs before per-frame feature extraction. The
     * explode happens executor-side inside flatMap (bounded per record);
@@ -228,6 +361,31 @@ object Multimodal {
       .flatMap(f => FakeCodec.sampleFrames(f, 2).map(i => (f.media_id, f.n_frames, i)))
       .toDF("media_id", "n_frames", "frame_idx")
       .orderBy($"media_id", $"frame_idx")
+  }
+
+  /** queries() entry: REAL audio decode. Every audio-modality doc_id is
+    * rendered to a pseudo-noise PCM waveform, WAV-encoded by the JDK's
+    * `AudioSystem` writer, parsed back through the hand-rolled RIFF
+    * parser, and reduced to sample statistics — all executor-side inside
+    * one mapPartitions (synthesize → encode → decode → stats per record,
+    * streaming; WAV bytes never enter Catalyst or a shuffle — only the
+    * 8-column stats row comes out). DuckDB-hash-checked against the
+    * closed-form sample arithmetic: a stubbed, misaligned, or
+    * wrong-endian parse cannot reproduce the oracle's sums, and the
+    * encoder (JDK) and decoder (ours) are independent implementations.
+    * At 100 TB the same seam reads real stored WAV bytes instead of
+    * rendering them; decode is embarrassingly parallel, output narrow. */
+  def audioFeaturesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables(s, dir, "documents")
+      .select($"doc_id").as[Long]
+      .filter(_ % 3 == 1) // the audio third of mediaFromDocuments' round-robin
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        WavPcmCodec.stats(id, WavPcmCodec.decode(WavPcmCodec.renderWav(id)))
+      })
+      .toDF()
+      .orderBy($"media_id")
   }
 
   /** Fixed chunk size for audio segmentation — 64 content bytes stand
@@ -281,5 +439,6 @@ object Multimodal {
     "mm_resize" -> resizeQuery _,
     "mm_frame_sample" -> frameSampleQuery _,
     "mm_audio_chunks" -> audioChunkQuery _,
+    "mm_audio_features" -> audioFeaturesQuery _,
     "mm_dedup_stats" -> dedupStatsQuery _)
 }

@@ -208,6 +208,26 @@ object Oracle4 {
         |    (x, y) -> (x * 31 + y) % 1000000007) AS chunk_checksum
         |FROM c ORDER BY media_id, chunk_idx""".stripMargin,
 
+    // Closed-form twin of WavPcmCodec's synthesized waveform (same
+    // literal arithmetic): the Spark side WAV-encodes via the JDK and
+    // re-derives these sums from the hand-rolled RIFF parse, so a
+    // hash match proves the decode, not just the formula.
+    "mm_audio_features" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT a.doc_id, CAST(t.i AS BIGINT) AS i,
+        |    ((a.doc_id % 251) * 7919 + CAST(t.i AS BIGINT) * 104729) % 65536 - 32768 AS s
+        |  FROM a, LATERAL (SELECT unnest(range(0, CAST(256 + a.doc_id % 241 AS INT))) AS i) t)
+        |SELECT doc_id AS media_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS sum_s,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(max(s) AS INT) AS max_s,
+        |  CAST(min(s) AS INT) AS min_s,
+        |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(sum(i * s) AS BIGINT) AS idx_moment
+        |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
     "text_boilerplate" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -463,6 +463,65 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavPcmCodec: JDK-encoded WAV parses back to the exact samples") {
+    import Multimodal.WavPcmCodec
+    for (id <- Seq(1L, 4L, 7L, 250L, 251L, 1000L, 99997L)) {
+      val bytes = WavPcmCodec.renderWav(id)
+      // a REAL RIFF/WAVE stream came out of the JDK encoder
+      assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE", s"not a WAV for id=$id")
+      val clip = WavPcmCodec.decode(bytes)
+      assert(clip.sampleRate == WavPcmCodec.SampleRate && clip.channels == 1)
+      val n = WavPcmCodec.nSamples(id)
+      assert(clip.samples.length == n, s"sample count mismatch for id=$id")
+      var i = 0
+      while (i < n) {
+        assert(clip.samples(i) == WavPcmCodec.sample(id, i),
+          s"sample $i mismatch for id=$id")
+        i += 1
+      }
+      // stats agree with an independent closed-form recompute (the same
+      // arithmetic the DuckDB oracle runs)
+      val st = WavPcmCodec.stats(id, clip)
+      val ref = (0 until n).map(i => WavPcmCodec.sample(id, i).toInt)
+      assert(st.sum_s == ref.map(_.toLong).sum && st.sum_abs == ref.map(s => math.abs(s).toLong).sum
+        && st.max_s == ref.max && st.min_s == ref.min
+        && st.n_neg == ref.count(_ < 0).toLong
+        && st.idx_moment == ref.zipWithIndex.map { case (s, i) => i.toLong * s }.sum)
+    }
+  }
+
+  test("WavPcmCodec: parser skips unknown chunks and honors RIFF word alignment") {
+    import Multimodal.WavPcmCodec
+    val base = WavPcmCodec.renderWav(7L)
+    // splice an odd-sized LIST chunk (body 3 bytes + 1 pad) between the
+    // RIFF header and the first real chunk — a correct parser skips it;
+    // one that ignores the alignment rule desyncs and fails
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0)
+    val spliced = new java.io.ByteArrayOutputStream
+    spliced.write(base, 0, 12)
+    spliced.write(extra)
+    spliced.write(base, 12, base.length - 12)
+    val clip = WavPcmCodec.decode(spliced.toByteArray)
+    assert(clip.samples.sameElements(WavPcmCodec.decode(base).samples))
+  }
+
+  test("WavPcmCodec: non-WAV and non-PCM input fails loudly, not silently") {
+    import Multimodal.WavPcmCodec
+    intercept[IllegalArgumentException] { WavPcmCodec.decode(Array[Byte](1, 2, 3, 4)) }
+    // flip wFormatTag to 3 (IEEE float) in a real stream → loud failure
+    val b = WavPcmCodec.renderWav(1L)
+    val fmtAt = { // locate the fmt chunk body
+      var off = 12
+      while (new String(b, off, 4, "US-ASCII") != "fmt ") off += 8 +
+        ((b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8)) // sizes here are small
+      off + 8
+    }
+    val mutated = b.clone(); mutated(fmtAt) = 3
+    val ex = intercept[IllegalArgumentException] { WavPcmCodec.decode(mutated) }
+    assert(ex.getMessage.contains("PCM"))
+  }
+
   test("ImageIoCodec: undecodable bytes fail loudly, not silently") {
     val ex = intercept[IllegalArgumentException] {
       Multimodal.ImageIoCodec.decodeStats(42L, Array[Byte](1, 2, 3, 4))
