@@ -67,14 +67,46 @@ object ScaleUp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** FACTOR CEILING: each output table funnels through a single writer
+    * task (`coalesce(1)`) because the driver's check.py/DuckDB contract
+    * is one `<name>.parquet` FILE per table — DuckDB cannot read a bare
+    * directory of parts (verified), so multi-part output is not an
+    * option here. Measured fine at factor 10 of sf0.1 (~1 GiB largest
+    * table); the single writer becomes the bottleneck / OOM risk as
+    * `src_bytes × factor` grows, so generation warns loudly per table
+    * above [[SingleWriterWarnBytes]] and refuses factors that would
+    * push any table past ~8 GiB of input replicated. */
+  val SingleWriterWarnBytes: Long = 4L << 30
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     import spark.implicits._
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     def t(n: String): DataFrame = graft.Tables(spark, src, n)
 
+    def srcBytes(n: String): Long = {
+      val f = new java.io.File(s"$src/$n.parquet")
+      if (f.isFile) f.length
+      else if (f.isDirectory) f.listFiles().map(_.length).sum
+      else 0L
+    }
+
     /** Write as the driver's single-file layout: one `<name>.parquet`
-      * FILE (check.py / DuckDB read it as a plain path). */
+      * FILE (check.py / DuckDB read it as a plain path). See the factor
+      * ceiling note above: this is a deliberate single-task funnel. */
     def writeOne(df: DataFrame, name: String): Unit = {
+      val est = srcBytes(name) * factor
+      require(est < 2 * SingleWriterWarnBytes,
+        s"$name would replicate to ~${est >> 20} MiB through a single " +
+          s"writer task — beyond the documented factor ceiling for the " +
+          s"one-file-per-table layout; scale up in stages or shrink factor")
+      if (est > SingleWriterWarnBytes)
+        println(s"[scaleup] WARNING: $name ~${est >> 20} MiB funnels " +
+          "through one writer task (single-file layout) — expect it to be slow")
       val tmp = s"$out/_tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val dir = new java.io.File(tmp)
@@ -196,6 +228,5 @@ object ScaleUp {
       $"label"), "embeddings")
 
     println(s"[scaleup] done: $out at factor $factor")
-    spark.stop()
   }
 }

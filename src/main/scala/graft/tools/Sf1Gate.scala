@@ -1,0 +1,133 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Standing sf1 gate (dev tool): one command that re-proves the scale
+  * story every round instead of citing the round-7 measurement
+  * (BASELINE M24). Generate-if-absent → full-surface correctness dump →
+  * DuckDB oracle compare → one timed bench pass → ONE summary JSON line.
+  *
+  * Usage: runMain graft.tools.Sf1Gate [srcSf=/root/testdata/sf0.1]
+  *          [sf1Dir=testdata_sf1] [outDir=/tmp/sf1_gate]
+  *
+  *  - sf1 data is the deterministic ×10 ScaleUp of sf0.1 (gitignored,
+  *    regenerated here when any table file is missing);
+  *  - the oracle compare shells out to `python3 tools/check.py` (the
+  *    same dev harness used at sf0.01 — python/duckdb are dev-loop
+  *    tools, not library dependencies); if python3 or duckdb is absent
+  *    the gate still dumps everything and records oracle="skipped";
+  *  - oracles measured infeasible-or-hour-scale at sf1 (r7, recorded in
+  *    TESTDATA.md) are EXCLUDED from the per-round compare by default —
+  *    the engine side still runs and is timed; set SF1_GATE_FULL=1 to
+  *    run them anyway. dedup_clusters' recursive-CTE closure oracle is
+  *    infeasible at sf1 outright (>6 h); its sf1 crosscheck is the
+  *    independent union-find in DedupSpec/BASELINE M24.
+  *  - bench is ONE pass (the statistically honest min-of-3 interleaved
+  *    protocol lives in graft.Bench at sf0.1; this gate's timings are
+  *    trend signals subject to the documented host-throttle band).
+  */
+object Sf1Gate {
+
+  /** Heavy oracle set: DuckDB-side cost at sf1 measured in round 7.
+    * The ENGINE side of each runs and is timed regardless. */
+  val HeavyOracles: Map[String, String] = Map(
+    "dedup_jaccard" -> "oracle 817 s at sf1 (engine 14 s)",
+    "dedup_edit_distance" -> "oracle 1224 s at sf1 (engine 14 s)",
+    "dedup_clusters" -> "recursive-CTE closure infeasible at sf1 (>6 h); union-find crosscheck instead",
+    "q78_knn_graph" -> "oracle needs ~100 GB DuckDB memory_limit at sf1")
+
+  private val Tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val srcSf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val sf1Dir = if (args.length > 1) args(1) else "testdata_sf1"
+    val outDir = if (args.length > 2) args(2) else "/tmp/sf1_gate"
+    val full = sys.env.get("SF1_GATE_FULL").contains("1")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-sf1-gate")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- 1. generate if absent (deterministic, replica 0 = identity)
+    val missing = Tables.filterNot(t => new java.io.File(s"$sf1Dir/$t.parquet").exists)
+    val generated = missing.nonEmpty
+    if (generated) {
+      println(s"[sf1gate] generating $sf1Dir (missing: ${missing.mkString(",")})")
+      ScaleUp.generate(spark, srcSf, sf1Dir, 10)
+    }
+
+    // ---- 2. correctness dump + one timed pass per query
+    new java.io.File(outDir).mkdirs()
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var failed = List.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sf1Dir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[sf1gate] $name FAILED: ${e.getMessage}")
+          failed ::= name
+      }
+    }
+
+    // ---- 3. oracle_sql.json — minus the heavy set unless SF1_GATE_FULL=1
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val oracles = graft.SparkEntry.oracleSql
+      .filter { case (k, _) => full || !HeavyOracles.contains(k) }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+
+    // ---- 4. DuckDB compare via the dev harness (optional dependency)
+    val (oracleOk, oracleFail, oracleStatus) =
+      try {
+        val pb = new ProcessBuilder("python3", "tools/check.py", sf1Dir, outDir)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
+        p.waitFor()
+        lines.foreach(l => println(s"[check] $l"))
+        // parse the harness summary: "== N ok, M fail =="
+        val Summary = """== (\d+) ok, (\d+) fail ==""".r
+        lines.reverse.collectFirst { case Summary(ok, bad) =>
+          (ok.toInt, bad.toInt, "ran")
+        }.getOrElse((0, -1, "unparseable"))
+      } catch {
+        case e: java.io.IOException =>
+          println(s"[sf1gate] oracle compare skipped: ${e.getMessage}")
+          (0, 0, "skipped")
+      }
+
+    // ---- 5. one summary line
+    val total = timings.values.sum
+    val slowest5 = timings.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"${q(k)}:${math.round(v * 100) / 100.0}" }
+      .mkString("{", ",", "}")
+    val qs = timings.map { case (k, v) => s"${q(k)}:${math.round(v * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
+    val skipped = if (full) "[]"
+      else HeavyOracles.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    println(s"""{"metric":"sf1_gate","sf1_dir":${q(sf1Dir)},"generated":$generated,""" +
+      s""""nqueries":${timings.size},"nfailed":${failed.size},""" +
+      s""""total_sec":${math.round(total * 100) / 100.0},"passes":1,""" +
+      s""""oracle":${q(oracleStatus)},"oracle_ok":$oracleOk,"oracle_fail":$oracleFail,""" +
+      s""""skipped_heavy_oracles":$skipped,"slowest5":$slowest5,"queries":$qs}""")
+
+    spark.stop()
+    if (failed.nonEmpty || oracleFail > 0) sys.exit(1)
+  }
+}
