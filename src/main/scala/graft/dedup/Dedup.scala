@@ -371,14 +371,31 @@ object Dedup {
     verifyPortableCandidates(cand, raw, "doc_new", "doc_old")
   }
 
+  /** Above this many distinct batch band hashes, the probe's bucket
+    * prune switches from a driver-built `isin` (which gives STATIC
+    * bucket-file pruning but costs a driver collect and a
+    * hash-count-sized `In` expression in the plan) to a broadcast
+    * left-semi join against the index (no driver pull, no giant
+    * expression; the bucket files are all scanned but the semi-join
+    * filters them immediately). Point-dedup probes (a handful of docs ×
+    * 4 bands) stay far under this and keep the pinned
+    * `SelectedBucketsCount` pruning; bulk re-probes of a large arriving
+    * batch take the semi-join. */
+  val ProbeIsinMaxHashes = 1024
+
   /** The index probe itself — candidate (doc_new, doc_old) pairs for
     * the batch's first `limitDocs` documents (by doc_id) against the
     * persisted index. `limitDocs = 1` is the point-dedup an ingestion
     * pipeline runs per arrival: 4 band hashes → at most 4 of the
     * [[BandIndexBuckets]] bucket files read (pinned in
-    * StorageLayoutSpec). */
+    * StorageLayoutSpec). Driver memory is bounded by
+    * `isinMaxHashes + 1` regardless of batch size: the hash list is
+    * collected through a `limit`, and overflow routes to the semi-join
+    * (row-identical — both filter the index to the batch's distinct
+    * `bh` set before the same broadcast band join). */
   def bandIndexProbe(s: SparkSession, dir: String, table: String,
-                     limitDocs: Int): DataFrame = {
+                     limitDocs: Int,
+                     isinMaxHashes: Int = ProbeIsinMaxHashes): DataFrame = {
     import s.implicits._
     val raw = portableRaw(Tables(s, dir, "documents"), Seq("source"))
     val batch0 = portableBanded(raw, Seq("source"))
@@ -391,8 +408,13 @@ object Dedup {
           .orderBy($"doc_new").limit(limitDocs).as[Long].collect()
         batch0.filter($"doc_new".isin(ids.toIndexedSeq: _*))
       }
-    val batchBhs = newBatch.select($"bh").distinct().as[Long].collect()
-    val idx = s.table(table).filter($"bh".isin(batchBhs.toIndexedSeq: _*))
+    val batchBhs = newBatch.select($"bh").distinct()
+    val bhSample = batchBhs.limit(isinMaxHashes + 1).as[Long].collect()
+    val idx =
+      if (bhSample.length <= isinMaxHashes)
+        s.table(table).filter($"bh".isin(bhSample.toIndexedSeq: _*))
+      else
+        s.table(table).join(broadcast(batchBhs), Seq("bh"), "left_semi")
     idx.join(broadcast(newBatch), Seq("band", "bh"))
       .select($"doc_new", $"doc_old").distinct()
   }
@@ -427,9 +449,17 @@ object Dedup {
     * substrings (9 index rows + ≤ 9·17 probe rows per doc — linear in
     * block size, never block²) with 100% recall; the identical banded
     * verification then makes the output provably the same row set as
-    * the pairwise plan. Docs whose prefix is shorter than 80 chars use
-    * a different layout per length; they are few (5% of this corpus),
-    * so they pair directly against their whole block instead.
+    * the pairwise plan. Docs whose prefix is shorter than 80 chars get
+    * the same pigeonhole under a PER-LENGTH segment layout (PassJoin is
+    * defined for variable lengths): every doc is indexed by its own
+    * length's layout, and a probing doc enumerates the layouts of all
+    * partner lengths within ±EditK (lev ≥ |len diff| prunes the rest) —
+    * so a short-text corpus stays linear instead of reverting to
+    * short×block pairwise. Only prefixes shorter than EditK+1 chars
+    * (too short to carry 9 segments) pair directly, against the ≤2k
+    * length band — and at those lengths nearly every such pair is
+    * within threshold anyway, so that product is output-bound, not a
+    * quadratic hazard.
     * Measured at sf1 (10× bench SF): the pairwise plan was this
     * surface's worst scaler (~86× time for 10× data — quadratic in
     * block occupancy); segment routing restores near-linear growth. */
@@ -464,13 +494,15 @@ object Dedup {
       verified(a.join(b, Seq("lang", "len_bucket")).filter($"doc_a" < $"doc_b"))
     }
 
-    // fixed L=80 layout: 80 = 8 segments of 9 + 1 of 8 (1-based starts)
-    val segs = {
-      val base = L / m; val rem = L % m
+    // per-length layout: `len` split into m segments, longer ones first
+    // (1-based starts). layout(L): 80 = 8 segments of 9 + 1 of 8.
+    def segLayout(len: Int): Seq[(Int, Int, Int)] = {
+      val base = len / m; val rem = len % m
       (0 until m).scanLeft((0, 1, 0)) { case ((_, st, ln), j) =>
         (j, st + ln, base + (if (j < rem) 1 else 0))
-      }.tail.map { case (j, st, ln) => (j, st, ln) }
+      }.tail
     }
+    val segs = segLayout(L)
     val bigFull = big.filter(length($"pfx") === L)
     val bigShort = big.filter(length($"pfx") < L)
     val idxCols = segs.map { case (j, st, ln) =>
@@ -499,20 +531,64 @@ object Dedup {
         least($"doc_a", $"doc_b").as("doc_a"),
         greatest($"doc_a", $"doc_b").as("doc_b"))
       .distinct()
-    // short-prefix docs (< 80 chars): different per-length layouts; pair
-    // them directly against their whole (oversized) block — both
-    // short×short and short×full covered from the short side
-    val candShort = bigShort
-      .select($"lang", $"len_bucket", $"doc_id".as("doc_s"))
-      .join(big.select($"lang", $"len_bucket", $"doc_id".as("doc_o")),
+    // short-prefix docs (m ≤ len < 80): variable-length PassJoin.
+    // Index EVERY big doc (fulls included — a short within k of 80
+    // must find its full partners) by its OWN length's layout; a short
+    // doc probes the layouts of all partner lengths within ±k. The
+    // layout tables are driver-built constants (72 lengths × 9
+    // segments; probe side ~17 partner lengths × 9 × ≤17 shifts per
+    // own-length — a few-MB broadcast), and both joins are pure
+    // equi-joins on (block, partner_len, segment, substring): linear
+    // in block size for any length mix, never short×block.
+    val layoutDf = broadcast((for {
+      len <- m to L; (j, st, ln) <- segLayout(len)
+    } yield (len, j, st, ln)).toDF("tgt_len", "j", "st", "ln"))
+    val idxVar = big.withColumn("own_len", length($"pfx"))
+      .filter($"own_len" >= m)
+      .join(layoutDf, $"own_len" === $"tgt_len")
+      .select($"lang", $"len_bucket", $"tgt_len", $"j",
+        $"pfx".substr($"st", $"ln").as("seg"), $"doc_id".as("doc_b"))
+    val probeRowsDf = broadcast((for {
+      ownLen <- m until L
+      tl <- math.max(m, ownLen - k) to math.min(L, ownLen + k)
+      (j, st, ln) <- segLayout(tl)
+      delta <- -k to k
+      p = st + delta
+      if p >= 1 && p + ln - 1 <= ownLen
+    } yield (ownLen, tl, j, p, ln)).toDF("own_len", "tgt_len", "j", "p", "ln"))
+    val probeVar = bigShort.filter(length($"pfx") >= m)
+      .withColumn("own_len", length($"pfx"))
+      .repartition(s.sparkContext.defaultParallelism, $"doc_id")
+      .join(probeRowsDf, Seq("own_len"))
+      .select($"lang", $"len_bucket", $"tgt_len", $"j",
+        $"pfx".substr($"p", $"ln").as("seg"), $"doc_id".as("doc_a"))
+      .distinct() // shifted probes repeat on repetitive text
+    val candVar = probeVar
+      .join(idxVar, Seq("lang", "len_bucket", "tgt_len", "j", "seg"))
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"lang", $"len_bucket",
+        least($"doc_a", $"doc_b").as("doc_a"),
+        greatest($"doc_a", $"doc_b").as("doc_b"))
+      .distinct()
+    // micro prefixes (< m = 9 chars): too short for 9 segments. Their
+    // only possible partners are the ≤ 2k-length band (lev ≥ |len
+    // diff|), and within it nearly every pair is within threshold
+    // (lev ≤ max(len) ≤ 2k), so this product is bounded by the OUTPUT
+    // size plus a thin prunable rim — not a quadratic hazard.
+    val candMicro = bigShort.filter(length($"pfx") < m)
+      .select($"lang", $"len_bucket", $"doc_id".as("doc_s"),
+        length($"pfx").as("len_s"))
+      .join(big.filter(length($"pfx") <= 2 * k)
+        .select($"lang", $"len_bucket", $"doc_id".as("doc_o"),
+          length($"pfx").as("len_o")),
         Seq("lang", "len_bucket"))
-      .filter($"doc_s" =!= $"doc_o")
+      .filter($"doc_s" =!= $"doc_o" && abs($"len_s" - $"len_o") <= k)
       .select($"lang", $"len_bucket",
         least($"doc_s", $"doc_o").as("doc_a"),
         greatest($"doc_s", $"doc_o").as("doc_b"))
       .distinct()
     val pfxOf = d.select($"doc_id", $"pfx")
-    val bigPairs = verified(candFull.unionByName(candShort).distinct()
+    val bigPairs = verified(candFull.unionByName(candVar).unionByName(candMicro).distinct()
       .join(pfxOf.select($"doc_id".as("doc_a"), $"pfx".as("pfx_a")), Seq("doc_a"))
       .join(pfxOf.select($"doc_id".as("doc_b"), $"pfx".as("pfx_b")), Seq("doc_b")))
 
@@ -671,7 +747,12 @@ object Dedup {
     * through hash joins that partition by cell instead of a cartesian
     * product, so the work spreads over the cluster and shrinks the
     * moment the data has structure. */
-  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame =
+    embeddingCosinePairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
+
+  /** The un-ordered pair stream behind [[embeddingCosine]] and
+    * [[embeddingCosineTopK]]. */
+  def embeddingCosinePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.dot_product
     // --- quantizer (driver-sized, deterministic): the k-means-TRAINED
@@ -744,7 +825,32 @@ object Dedup {
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", dot_product($"ua", $"ub").as("cos_sim"))
       .filter($"cos_sim" >= CosThreshold)
-      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Partners listed per vector by [[embeddingCosineTopK]]. */
+  val PairListK = 10
+
+  /** [[embeddingCosine]] with the pair LIST capped at [[PairListK]]
+    * partners per vec_a — the output-volume knob the sf1 validation
+    * showed matters at permissive thresholds: at cos ≥ 0.35 the full
+    * pair list grows ~quadratically as a corpus densifies its clusters
+    * (434k rows at sf1 — the reading is output-bound, the plan is not
+    * the problem), while a dedup decision rarely needs more than the
+    * strongest few matches per document. The rank filter compiles to a
+    * WindowGroupLimit (pinned in PlanAuditSpec): each shuffle partition
+    * keeps only its top-k per group BEFORE the exchange feeds the final
+    * window, so the output stays O(k·n) no matter how dense the
+    * threshold is. Ordering is (cos_sim DESC, vec_b) — cos_sim values
+    * are bit-identical to DuckDB's list_inner_product (same sequential
+    * IEEE sums), so the rank, and hence the kept row set, hash-checks. */
+  def embeddingCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_a").orderBy($"cos_sim".desc, $"vec_b")
+    embeddingCosinePairs(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= PairListK)
+      .orderBy($"vec_a", $"rk")
   }
 
   /** Brute-force twin of [[embeddingCosine]] (all pairs within a<b) —
@@ -908,6 +1014,7 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_simhash_portable" -> simhashPortable _,
     "dedup_embedding_cosine" -> embeddingCosine _,
+    "dedup_embedding_topk" -> embeddingCosineTopK _,
     "dedup_minhash_portable" -> minhashPortable _,
     "dedup_incremental" -> minhashIncremental _,
     "dedup_clusters" -> clusters _,

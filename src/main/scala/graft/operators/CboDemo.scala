@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * warehouse catalog, hints reserved for the cases stats cannot see. */
 object CboDemo {
 
-  val Db = "graft_cbo"
+  /** Database name is derived from the data dir so two sessions (or two
+    * tests) ANALYZE-ing different dirs against a shared warehouse cannot
+    * race on DROP/CREATE and read stats for the wrong data. */
+  def db(dir: String): String =
+    "graft_cbo_" + java.lang.Long.toHexString(
+      dir.hashCode.toLong & 0xffffffffL)
 
   private val TablesUsed =
     Seq("lineitem", "orders", "customer", "supplier", "nation", "region")
@@ -33,6 +38,7 @@ object CboDemo {
     * data copy) and computes table + column statistics for each. Safe to
     * re-run (drops and re-creates, so stats always describe `dir`). */
   def setup(s: SparkSession, dir: String): Unit = {
+    val Db = db(dir)
     s.sql(s"CREATE DATABASE IF NOT EXISTS $Db")
     TablesUsed.foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $Db.$t")
@@ -49,8 +55,9 @@ object CboDemo {
     * strategy and build-side choice is the optimizer's, from stats.
     * Row-identical to Declared.q05 by construction (same predicates,
     * same arithmetic). */
-  def q05NoHint(s: SparkSession): DataFrame = {
+  def q05NoHint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val Db = db(dir)
     val orderCust = s.table(s"$Db.orders")
       .join(s.table(s"$Db.customer"), $"o_custkey" === $"c_custkey")
       .select($"o_orderkey", $"c_nationkey")
@@ -66,11 +73,44 @@ object CboDemo {
       .orderBy($"n_name")
   }
 
+  /** q05's joins written in a DELIBERATELY bad order — the fact table
+    * joined to hint-less supplier first, the selective region filter
+    * last — as one flat inner-equi-join chain, which is exactly the
+    * shape `spark.sql.cbo.joinReorder.enabled` (DP-based, Selinger
+    * style) is allowed to rewrite. With stats present the optimizer
+    * should NOT execute this order; PlanAuditSpec pins that the
+    * optimized leaf order differs from the authored order while results
+    * stay row-identical. */
+  def q05BadOrder(s: SparkSession, dir: String): DataFrame = {
+    val Db = db(dir)
+    s.sql(
+      s"""SELECT n_name,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS revenue
+         |FROM $Db.lineitem
+         |JOIN $Db.supplier ON l_suppkey = s_suppkey
+         |JOIN $Db.orders   ON l_orderkey = o_orderkey
+         |JOIN $Db.customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN $Db.nation   ON s_nationkey = n_nationkey
+         |JOIN $Db.region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  /** Left-to-right catalog-table leaf order of the OPTIMIZED plan — the
+    * join order the optimizer actually chose (what the reorder pin
+    * compares against the authored order). */
+  def leafJoinOrder(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.catalogTable.map(_.identifier.table)
+      case _ => None
+    }
+
   /** Catalog statistics for `table` (rowCount, colStats) — what ANALYZE
     * wrote; exposed for the spec's assertions. */
-  def stats(s: SparkSession, table: String): org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
-    val id = org.apache.spark.sql.catalyst.TableIdentifier(table, Some(Db))
+  def stats(s: SparkSession, dir: String, table: String): org.apache.spark.sql.catalyst.catalog.CatalogStatistics = {
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db(dir)))
     s.sessionState.catalog.getTableMetadata(id).stats
-      .getOrElse(sys.error(s"no stats on $Db.$table — ANALYZE did not run"))
+      .getOrElse(sys.error(s"no stats on ${db(dir)}.$table — ANALYZE did not run"))
   }
 }

@@ -444,6 +444,25 @@ object Oracle2 {
         |WHERE a.vec_id < b.vec_id AND list_inner_product(a.u, b.u) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // capped pair list: same pairs, ranked per vec_a by (cos_sim DESC,
+    // vec_b) and cut at PairListK — cos_sim is bit-identical across
+    // engines, so the rank (and the kept rows) hash-check
+    "dedup_embedding_topk" ->
+      s"""WITH $vecCte,
+        |u AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_inner_product(a.u, b.u) AS cos_sim
+        |  FROM u a, u b
+        |  WHERE a.vec_id < b.vec_id AND list_inner_product(a.u, b.u) >= 0.35)
+        |SELECT vec_a, vec_b, cos_sim, rk FROM (
+        |  SELECT vec_a, vec_b, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY vec_a
+        |      ORDER BY cos_sim DESC, vec_b) AS INT) AS rk
+        |  FROM p)
+        |WHERE rk <= ${graft.dedup.Dedup.PairListK}
+        |ORDER BY vec_a, rk""".stripMargin,
+
     // REAL-decode check: the Spark side PNG-encodes a procedural raster
     // and decodes it back through javax.imageio; this oracle computes
     // the same pixel statistics from the closed-form (id, x, y)

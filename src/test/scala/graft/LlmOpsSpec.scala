@@ -150,6 +150,40 @@ class DedupSpec extends AnyFunSuite {
       s"segment route diverged: seg=${seg.size} pairwise=${pairwise.size}")
   }
 
+  test("edit distance: variable-length PassJoin covers short and micro prefixes exactly") {
+    import spark.implicits._
+    // crafted corpus in ONE (lang, len_bucket) block, lengths straddling
+    // every layout boundary: full (80), short (9..79) — including
+    // full×short pairs within k — and micro (<9), where pairs exist
+    // purely by length (lev ≤ max(len) ≤ k). The old short×block
+    // fallback got these by brute force; the per-length segment layouts
+    // must reproduce the identical row set.
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 3
+    val docs = Seq(
+      (1L, "en", base.take(80)),                     // full
+      (2L, "en", base.take(80).patch(40, "XY", 2)),  // full, lev 2 of 1
+      (3L, "en", base.take(76)),                     // short; lev 4 of 1 (cross full×short)
+      (4L, "en", base.take(76).patch(10, "Q", 1)),   // short, lev 1 of 3
+      (5L, "en", base.take(40)),                     // short, isolated
+      (6L, "en", base.take(12)),                     // short, low end
+      (7L, "en", base.take(12).patch(3, "ZZ", 2)),   // short, near 6
+      (8L, "en", base.take(6)),                      // micro; lev 6 of 6 (cross short×micro)
+      (9L, "en", base.take(5)),                      // micro, near 8
+      (10L, "en", "zzzzzz"))                         // micro, alien content — still ≤ k of 8/9 by length
+      .toDF("doc_id", "lang", "text")
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toString).toSeq.sorted
+    val seg = norm(Dedup.editDistanceOver(docs, maxBlockRows = 1))
+    val pairwise = norm(Dedup.editDistanceOver(docs, maxBlockRows = Int.MaxValue))
+    assert(seg == pairwise,
+      s"variable-length route diverged:\nseg=$seg\npairwise=$pairwise")
+    val pairs = Dedup.editDistanceOver(docs, maxBlockRows = 1)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boundary-crossing pairs the fallback used to brute-force
+    assert(Set((1L, 2L), (1L, 3L), (3L, 4L), (6L, 7L), (8L, 9L)).subsetOf(pairs),
+      s"missing expected pairs: $pairs")
+  }
+
   test("portable simhash blocking is EXACT at sf0.001: query pairs == brute-force pairs") {
     import spark.implicits._
     // same end-to-end exactness proof as the 64-bit sibling, over the

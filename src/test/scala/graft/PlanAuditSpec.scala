@@ -117,6 +117,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("dedup_embedding_topk: pair-list cap pushes down as WindowGroupLimit") {
+    // the output-volume knob for permissive thresholds: partial group
+    // limits must run BEFORE the exchange, so a dense threshold can't
+    // flood the final window with the full quadratic pair list
+    val plan = executed(dedup.Dedup.embeddingCosineTopK(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank-filter not pushed down:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join appeared:\n$plan")
+  }
+
   test("q42: latest-per-key compaction gets the WindowGroupLimit pushdown") {
     // the scaladoc's scale claim: one candidate row per key per input
     // partition crosses the shuffle, not the full log
@@ -253,19 +263,19 @@ class PlanAuditSpec extends AnyFunSuite {
       keys.foreach(conf.set(_, "true"))
       // ANALYZE wrote real statistics: exact row counts and per-column
       // NDVs are in the catalog (what join estimation consumes)
-      val liStats = CboDemo.stats(spark, "lineitem")
+      val liStats = CboDemo.stats(spark, sf, "lineitem")
       assert(liStats.rowCount.exists(_.toLong ==
         Tables(spark, sf, "lineitem").count()), s"bad rowCount: $liStats")
       assert(liStats.colStats.get("l_orderkey").exists(_.distinctCount.isDefined),
         s"no l_orderkey NDV: ${liStats.colStats.keySet}")
       // the hint-free formulation is row-identical to the hinted q05
-      val cbo = CboDemo.q05NoHint(spark).collect().map(_.toString).toSeq
+      val cbo = CboDemo.q05NoHint(spark, sf).collect().map(_.toString).toSeq
       val hinted = queries.Declared.q05(spark, sf).collect().map(_.toString).toSeq
       assert(cbo == hinted, s"cbo=$cbo hinted=$hinted")
       // and the optimizer — told NOTHING — builds the stats-smaller
       // orders⋈customer side, never the fact table: the l_orderkey join
       // line must carry BuildRight (lineitem is the left/stream side)
-      val plan = executed(CboDemo.q05NoHint(spark))
+      val plan = executed(CboDemo.q05NoHint(spark, sf))
       val factJoin = plan.linesIterator
         .filter(l => l.contains("Join") && l.contains("l_orderkey"))
         .toSeq
@@ -295,7 +305,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // byte value.
       conf.set(keys(2), "64")
       conf.set(keys(3), "64")
-      val plan = executed(CboDemo.q05NoHint(spark))
+      val plan = executed(CboDemo.q05NoHint(spark, sf))
       val factJoin = plan.linesIterator
         .filter(l => l.contains("Join") && l.contains("l_orderkey")).toSeq
       assert(factJoin.nonEmpty, s"no l_orderkey join found:\n$plan")
@@ -303,6 +313,39 @@ class PlanAuditSpec extends AnyFunSuite {
         l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
         s"fact join still broadcasting under 100TB-modeled stats:\n$factJoin")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ appeared:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("cbo: joinReorder rewrites a deliberately bad join order, row-identically") {
+    import graft.operators.CboDemo
+    val conf = spark.conf
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      CboDemo.setup(spark, sf)
+      // authored order (fact ⋈ supplier first, region's filter last)
+      // with the reorderer OFF: the optimizer keeps the bad order
+      conf.set(keys(0), "true"); conf.set(keys(1), "false")
+      val offOrder = CboDemo.leafJoinOrder(CboDemo.q05BadOrder(spark, sf))
+      assert(offOrder.size == 6, s"expected 6 catalog leaves, got $offOrder")
+      assert(offOrder.take(2) == Seq("lineitem", "supplier"),
+        s"authored order not preserved with reorder off: $offOrder")
+      // reorderer ON: stats (row counts + NDVs) drive a different join
+      // order — the DP enumerator moves the small/selective relations
+      // off the authored positions
+      conf.set(keys(1), "true")
+      val onDf = CboDemo.q05BadOrder(spark, sf)
+      val onOrder = CboDemo.leafJoinOrder(onDf)
+      assert(onOrder.sorted == offOrder.sorted, s"leaf set changed: $onOrder")
+      assert(onOrder != offOrder,
+        s"joinReorder did not change the authored bad order: $onOrder")
+      // and the rewrite is semantics-preserving: row-identical to the
+      // hinted q05 (same predicates, same arithmetic)
+      val reordered = onDf.collect().map(_.toString).toSeq
+      val hinted = queries.Declared.q05(spark, sf).collect().map(_.toString).toSeq
+      assert(reordered == hinted, s"reordered=$reordered hinted=$hinted")
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
     }

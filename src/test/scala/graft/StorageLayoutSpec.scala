@@ -133,6 +133,24 @@ class StorageLayoutSpec extends AnyFunSuite {
       assert(oneSel.isDefined, s"no bucket pruning:\n${onePlan.take(2000)}")
       assert(oneSel.get.group(1).toInt <= 4,
         s"single-doc probe did not prune: ${oneSel.get.matched}")
+      // big-batch shape: forcing the hash count over the isin threshold
+      // routes the bucket prune to a broadcast left-semi join —
+      // row-identical to the isin route, with no driver-built In
+      // expression in the plan (the ADVICE'd huge-batch hazard)
+      val isinRoute = graft.dedup.Dedup.bandIndexProbe(
+        spark, sf, "b_band_idx", Int.MaxValue)
+      val semiRoute = graft.dedup.Dedup.bandIndexProbe(
+        spark, sf, "b_band_idx", Int.MaxValue, isinMaxHashes = 0)
+      assert(norm(semiRoute) == norm(isinRoute),
+        "semi-join prune route differs from the isin route")
+      semiRoute.collect()
+      val semiPlan = semiRoute.queryExecution.executedPlan.toString
+      assert(semiPlan.contains("LeftSemi"),
+        s"expected a left-semi bucket prune in:\n${semiPlan.take(2000)}")
+      // the isin route compiles its hash list to an INSET literal; the
+      // semi route must carry no such driver-built list
+      assert(!semiPlan.contains("INSET"),
+        "semi route still carries a driver-built In/InSet over band hashes")
     } finally {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
       spark.sql("DROP TABLE IF EXISTS b_band_idx")
