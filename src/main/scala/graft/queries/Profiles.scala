@@ -40,9 +40,47 @@ object Profiles {
       approx_percentile($"o_totalprice", lit(0.99), lit(1000)).as("approx_p99_price"))
   }
 
+  /** Minima kept per column by the KMV sketch. */
+  val KmvK = 256
+
+  /** K-minimum-values distinct sketch with an ENGINE-PORTABLE hash —
+    * the hash-checkable twin of profile_hll's HLL counts (the one
+    * rows-only profiling entry). h(x) = (a·x + b) mod p with p =
+    * 2^31−1 prime and (a, b) = the shared portable-minhash constants
+    * (graft.functions.Signatures.PortableA/B(0), interpolated as
+    * literals into the oracle SQL) — injective for keys < p, so at
+    * test scale the estimate sketches TRUE cardinality; a 64-bit key
+    * domain would swap in a full mixer. Estimator: (k−1)·p / h(k)
+    * (Bar-Yossef et al. 2002, the classic KMV bound); columns with
+    * fewer than k distinct hashes report their exact count (the
+    * sketch holds the whole hash set). The k-smallest-per-column scan
+    * compiles to TakeOrderedAndProject — per-partition partial top-k
+    * then a driver-side merge of k-item heaps, which IS the KMV merge
+    * a 100 TB profiler ships between executors (vs HLL's register
+    * max-merge): one pass, k longs per column of state, no full
+    * distinct shuffle. Every output value is integer-or-exact-double
+    * arithmetic both engines reproduce bit-for-bit. */
+  def profileKmvPortable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = 2147483647L
+    val a = graft.functions.Signatures.PortableA(0)
+    val b = graft.functions.Signatures.PortableB(0)
+    def kmv(col: String): DataFrame =
+      Tables(s, dir, "orders")
+        .select((($"$col" * a + b) % p).as("h")).distinct()
+        .orderBy($"h").limit(KmvK)
+        .agg(count(lit(1)).cast("int").as("k_used"), max($"h").as("kth_min_hash"))
+        .select(lit(col).as("col_name"), $"k_used", $"kth_min_hash",
+          when($"k_used" < KmvK, $"k_used".cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(p.toDouble) / $"kth_min_hash")
+            .as("est_distinct"))
+    kmv("o_custkey").unionByName(kmv("o_orderkey")).orderBy($"col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_stats" -> profileStats _,
-    "profile_hll" -> profileHll _)
+    "profile_hll" -> profileHll _,
+    "profile_kmv_portable" -> profileKmvPortable _)
 
   val oracleSql: Map[String, String] = Map(
     "profile_stats" ->
@@ -52,5 +90,27 @@ object Profiles {
         |  count(DISTINCT o_orderpriority) AS n_priorities,
         |  min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+
+    // portable-KMV twin: constants interpolated from Signatures so
+    // tuning can't desynchronize the engines; the est_distinct CASE is
+    // the same exact-double arithmetic Spark computes
+    "profile_kmv_portable" -> {
+      val a = graft.functions.Signatures.PortableA(0)
+      val b = graft.functions.Signatures.PortableB(0)
+      val k = KmvK
+      s"""WITH c1 AS (SELECT DISTINCT (o_custkey * $a + $b) % 2147483647 AS h
+        |  FROM orders ORDER BY h LIMIT $k),
+        |r1 AS (SELECT 'o_custkey' AS col_name, CAST(count(*) AS INT) AS k_used,
+        |  max(h) AS kth_min_hash FROM c1),
+        |c2 AS (SELECT DISTINCT (o_orderkey * $a + $b) % 2147483647 AS h
+        |  FROM orders ORDER BY h LIMIT $k),
+        |r2 AS (SELECT 'o_orderkey' AS col_name, CAST(count(*) AS INT) AS k_used,
+        |  max(h) AS kth_min_hash FROM c2),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |SELECT col_name, k_used, kth_min_hash,
+        |  CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
+        |       ELSE ${k - 1}.0 * 2147483647.0 / kth_min_hash END AS est_distinct
+        |FROM u ORDER BY col_name""".stripMargin
+    })
 }

@@ -18,6 +18,33 @@ class ProfilesSpec extends AnyFunSuite {
     assert(approx.getAs[Long]("approx_priorities") == exact.getAs[Long]("n_priorities"))
   }
 
+  test("portable KMV: estimates track exact cardinality; small columns exact; plan is a partial top-k") {
+    import spark.implicits._
+    val out = queries.Profiles.profileKmvPortable(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Int]("k_used"), r.getAs[Double]("est_distinct")))).toMap
+    val exactCusts = Tables(spark, sf, "orders")
+      .select($"o_custkey").distinct().count().toDouble
+    val exactOrders = Tables(spark, sf, "orders")
+      .select($"o_orderkey").distinct().count().toDouble
+    // sf0.001 has ~150 custkeys < k: the sketch holds the whole hash
+    // set and must report EXACTLY (the injective-hash guarantee)
+    val (custK, custEst) = out("o_custkey")
+    if (custK < queries.Profiles.KmvK) assert(custEst == exactCusts,
+      s"under-k column not exact: $custEst vs $exactCusts")
+    // orderkeys exceed k: the (k-1)p/h(k) estimator applies — KMV with
+    // k=256 has rse 1/sqrt(k-2) ~ 6.3%; assert a loose 3-sigma band
+    val (_, orderEst) = out("o_orderkey")
+    assert(math.abs(orderEst - exactOrders) / exactOrders < 0.20,
+      s"KMV estimate $orderEst vs exact $exactOrders")
+    // scale shape: the k-minima scan is a partial top-k merge
+    // (TakeOrderedAndProject), not a global sort
+    val plan = queries.Profiles.profileKmvPortable(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-minima not a partial top-k:\n${plan.take(1500)}")
+  }
+
   test("approx percentiles land within 5% of the exact quantile") {
     import spark.implicits._
     val approx = queries.Profiles.profileHll(spark, sf).collect()(0)
