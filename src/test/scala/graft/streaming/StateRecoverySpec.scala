@@ -170,6 +170,24 @@ class StateRecoverySpec extends AnyFunSuite {
       src => StreamingAnalytics.frequentUsersStream(src).toDF(), "update")
   }
 
+  test("recovery: built-in windowed aggregation state") {
+    // complete mode: each batch emits the full snapshot; with
+    // deterministic replay the per-batch snapshots (and so the
+    // committed multiset) must match the crash-free run exactly
+    assertRecovers("hourlyWindowCounts",
+      src => StreamingAnalytics.hourlyWindowCounts(src), "complete")
+  }
+
+  test("recovery: session window state") {
+    assertRecovers("sessionWindows",
+      src => StreamingAnalytics.sessionWindows(src), "complete")
+  }
+
+  test("recovery: stream-stream join buffered-rows state") {
+    assertRecovers("clickPurchaseJoin",
+      src => StreamingAnalytics.clickPurchaseJoin(src), "append")
+  }
+
   test("recovery: post-write crash duplicates on a naive sink; batch-id idempotence restores exactly-once") {
     val build = (src: DataFrame) => StreamingAnalytics.userActivity(src).toDF()
     val (clean, _) = runWithCrash(build, "update", crashAt = -1)
