@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
   * parses RIFF/WAVE PCM bytes with a hand-rolled chunk walk,
   * cross-checked against the JDK's independent `javax.sound.sampled`
   * WAV encoder (mm_audio_features hash-checked the same way). VIDEO
-  * decode remains the one STUB (the JDK ships no mp4 codec and this
-  * container has no ffmpeg):
-  * `FakeCodec` produces deterministic "features" from the bytes so the
-  * Spark-side plumbing — schema, batch iteration via mapPartitions over
-  * a typed Dataset, partition sizing, per-frame explode — is real and
-  * tested end-to-end; swapping in a real decoder changes only
-  * [[FakeCodec.decode]]'s body, not the plan shape. (In PySpark the
-  * same seam is `mapInPandas` with an arrow-batch UDF; `mapPartitions`
-  * over a typed Dataset is the Scala-native equivalent.)
+  * (multi-frame) decode is REAL: [[Multimodal.GifAnimCodec]] walks an
+  * animated-GIF container frame by frame through JDK `ImageReader`
+  * (mm_video_frames hash-checked the same way) — every modality now
+  * has a genuine decode path. mp4/ffmpeg specifically remains
+  * unavailable in this container; a real deployment swaps the codec
+  * object, not the plan shape.
+  *
+  * `FakeCodec` remains only as the deterministic feature-izer behind
+  * the PLUMBING demos (mm_resize geometry, mm_frame_sample stride,
+  * mm_dedup_stats checksums) — batch iteration via mapPartitions over
+  * a typed Dataset, partition sizing, per-frame explode, all tested
+  * end-to-end. (In PySpark the same seam is `mapInPandas` with an
+  * arrow-batch UDF; `mapPartitions` over a typed Dataset is the
+  * Scala-native equivalent.)
   */
 object Multimodal {
 
@@ -48,18 +53,18 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Double])
 
-  /** STUB decoder — deterministic fake standing in for an mp4/ffmpeg
-    * codec (image decode is REAL — see [[ImageIoCodec]]; audio decode
-    * is REAL — see [[WavPcmCodec]]). Real plumbing, fake math. */
+  /** Deterministic feature-izer for the PLUMBING demos — no longer a
+    * codec stand-in: real decode exists for every modality
+    * ([[ImageIoCodec]] PNG, [[WavPcmCodec]] WAV, [[GifAnimCodec]]
+    * animated GIF). This object's fake dimensions/checksums remain the
+    * fixture behind mm_resize / mm_frame_sample / mm_dedup_stats,
+    * whose point is the batch-iteration/fan-out plan shape, not the
+    * pixel math. */
   object FakeCodec {
     val FeatureDim = 8
 
-    /** ??? real video decode goes here — this fake derives stable
-      * pseudo dimensions/features from the bytes so tests are
-      * deterministic. Images no longer route through this stub for
-      * mm_decode_features (they decode via [[ImageIoCodec]]), and audio
-      * no longer routes through it for mm_audio_features (it decodes
-      * via [[WavPcmCodec]]). */
+    /** Derives stable pseudo dimensions/features from the bytes so the
+      * plumbing demos are deterministic and SQL-oracle-checkable. */
     def decode(r: MediaRecord): MediaFeatures = {
       val sum = r.content.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
       val w = 16 + (sum % 64).toInt
@@ -100,9 +105,8 @@ object Multimodal {
     * query's pixel statistics hash-match the DuckDB oracle's closed form
     * ONLY if the encode→decode round trip reproduces the raster exactly.
     * That makes mm_decode_features a test OF the real decode path, not of
-    * a stub. (Audio/video stay on [[FakeCodec]]: the JDK ships no
-    * wav-PCM-feature or mp4 codec, and this container has no ffmpeg —
-    * documented honest seam.) */
+    * a stub. (Audio and multi-frame video have their own real codecs:
+    * [[WavPcmCodec]] and [[GifAnimCodec]].) */
   object ImageIoCodec {
 
     /** Geometry + per-channel pixel functions shared (as literal
@@ -178,8 +182,8 @@ object Multimodal {
     * word alignment, little-endian int16 reassembly) reproduces the
     * samples exactly. Encoder and decoder are independent
     * implementations, so this is a test OF the real decode path, not a
-    * round trip of one codebase's bugs. Retires the audio half of the
-    * FakeCodec seam; video (mp4) remains the one honest stub. */
+    * round trip of one codebase's bugs. Retired the audio half of the
+    * FakeCodec seam (the multi-frame half fell to [[GifAnimCodec]]). */
   object WavPcmCodec {
     val SampleRate = 8000
 
@@ -292,6 +296,110 @@ object Multimodal {
     }
   }
 
+  /** REAL multi-frame (video-style) codec — animated GIF through JDK
+    * `javax.imageio` (the GIF plugin is in-JDK; its LZW coding is
+    * LOSSLESS for ≤256-color frames, so an indexed-grayscale raster
+    * survives the round trip bit-exactly). The corpus is rendered
+    * in-fixture: every video doc_id becomes a short animation whose
+    * per-frame pixel values are a closed-form integer function of
+    * (id, frame, x, y), encoded executor-side via the writer's
+    * sequence API (`prepareWriteSequence`/`writeToSequence`), then
+    * decoded back frame-BY-frame through `ImageReader.read(i)` — the
+    * real container walk a video pipeline performs (frame count
+    * discovery, per-frame decode, per-frame features). Hash-checked
+    * against a codec-free closed form, so a fake or lossy path cannot
+    * pass. This retires the LAST FakeCodec stub: mp4/ffmpeg remains
+    * unavailable in-JDK, but "opaque multi-frame media container →
+    * per-frame decode → per-frame features" is now exercised for real
+    * end to end. */
+  object GifAnimCodec {
+
+    /** Geometry + per-(frame,x,y) grayscale value shared (as literal
+      * arithmetic) with the DuckDB oracle in graft.queries.Oracle4. */
+    def vidW(id: Long): Int = 8 + (id % 9).toInt
+    def vidH(id: Long): Int = 8 + (id % 7).toInt
+    def vidFrames(id: Long): Int = 2 + (id % 5).toInt
+    def px(id: Long, f: Int, x: Int, y: Int): Int =
+      (((id % 256) * 3 + f * 7 + x * 5 + y * 11) % 256).toInt
+
+    private def grayPalette: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Render the animation for `id` and encode it as a real animated
+      * GIF via the JDK writer's sequence API. Indexed grayscale keeps
+      * the LZW coding lossless. */
+    def renderGif(id: Long): Array[Byte] = {
+      val (w, h, n) = (vidW(id), vidH(id), vidFrames(id))
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      val bos = new java.io.ByteArrayOutputStream
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, px(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+
+    /** media_id, frame_idx, frame geometry, and order-sensitive frame
+      * statistics (value sum + an (x,y)-weighted moment — axis swaps,
+      * frame misordering, or palette drift cannot cancel out). */
+    final case class FrameStats(
+        media_id: Long, frame_idx: Int, width: Int, height: Int,
+        sum_v: Long, xy_moment: Long)
+
+    /** The real decode: open a GIF ImageReader over the bytes, discover
+      * the frame count from the container (`getNumImages(true)` walks
+      * the stream), decode every frame, and reduce each to its stats.
+      * Fails loudly on non-GIF input. */
+    def decodeFrames(mediaId: Long, content: Array[Byte]): Seq[FrameStats] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no reader for media $mediaId — not a known container")
+      val reader = readers.next()
+      require(reader.getFormatName.equalsIgnoreCase("gif"),
+        s"media $mediaId is ${reader.getFormatName}, expected gif")
+      reader.setInput(iis)
+      try {
+        val n = reader.getNumImages(true)
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sv, mom) = (0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y) & 0xff // gray ramp: B == G == R == index
+              sv += v
+              mom += (x * 17L + y * 29L) * v
+              x += 1
+            }
+            y += 1
+          }
+          FrameStats(mediaId, f, w, h, sv, mom)
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
   /** Demonstration source: documents-as-media (text bytes standing in for
     * content blobs; modality assigned round-robin). */
   def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRecord] = {
@@ -346,8 +454,9 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
-  /** queries() entry (video path — frame fan-out geometry from the one
-    * remaining stub codec): decode → videos only → every-2nd-frame sampling,
+  /** queries() entry (plumbing demo — frame fan-out geometry from
+    * FakeCodec's deterministic fixture; the REAL frame decode is
+    * [[videoFramesQuery]]): decode → videos only → every-2nd-frame sampling,
     * flattened to one row per sampled frame — the fan-out step a video
     * training pipeline runs before per-frame feature extraction. The
     * explode happens executor-side inside flatMap (bounded per record);
@@ -386,6 +495,32 @@ object Multimodal {
       })
       .toDF()
       .orderBy($"media_id")
+  }
+
+  /** queries() entry: REAL multi-frame decode. Every video-modality
+    * doc_id is rendered to an animated GIF by the JDK writer's
+    * sequence API, then decoded back frame by frame through a real
+    * `ImageReader` container walk (frame-count discovery included) —
+    * all executor-side inside one flatMap (render → encode → decode →
+    * per-frame stats per record, streaming; container bytes never
+    * enter Catalyst or a shuffle — only narrow per-frame stat rows
+    * come out, the bounded fan-out a video pipeline produces before
+    * per-frame feature extraction). DuckDB-hash-checked against the
+    * closed-form per-(frame,x,y) arithmetic: a stubbed, lossy, or
+    * frame-misordered decode cannot reproduce the oracle's sums. At
+    * 100 TB the same seam reads real stored containers instead of
+    * rendering them. Retires the last FakeCodec stub. */
+  def videoFramesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables(s, dir, "documents")
+      .select($"doc_id").as[Long]
+      .filter(_ % 3 == 2) // the video third of mediaFromDocuments' round-robin
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions(_.flatMap { id =>
+        GifAnimCodec.decodeFrames(id, GifAnimCodec.renderGif(id))
+      })
+      .toDF()
+      .orderBy($"media_id", $"frame_idx")
   }
 
   /** Fixed chunk size for audio segmentation — 64 content bytes stand
@@ -440,5 +575,6 @@ object Multimodal {
     "mm_frame_sample" -> frameSampleQuery _,
     "mm_audio_chunks" -> audioChunkQuery _,
     "mm_audio_features" -> audioFeaturesQuery _,
+    "mm_video_frames" -> videoFramesQuery _,
     "mm_dedup_stats" -> dedupStatsQuery _)
 }

@@ -228,6 +228,25 @@ object Oracle4 {
         |  CAST(sum(i * s) AS BIGINT) AS idx_moment
         |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
+    // Closed-form twin of GifAnimCodec's animation (same literal
+    // arithmetic): the Spark side GIF-encodes via the JDK sequence
+    // writer and re-derives these sums from a real frame-by-frame
+    // ImageReader walk, so a hash match proves the multi-frame decode.
+    "mm_video_frames" ->
+      """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        |g AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+        |        CAST(8 + doc_id % 7 AS INT) AS h, CAST(2 + doc_id % 5 AS INT) AS n FROM v),
+        |f AS (SELECT doc_id, w, h, CAST(t.f AS INT) AS f
+        |      FROM g, LATERAL (SELECT unnest(range(0, n)) AS f) t),
+        |c AS (SELECT doc_id, w, h, f, tx.x AS x, ty.y AS y,
+        |        ((doc_id % 256) * 3 + f * 7 + tx.x * 5 + ty.y * 11) % 256 AS val
+        |      FROM f, LATERAL (SELECT unnest(range(0, w)) AS x) tx,
+        |           LATERAL (SELECT unnest(range(0, h)) AS y) ty)
+        |SELECT doc_id AS media_id, f AS frame_idx, w AS width, h AS height,
+        |  CAST(sum(val) AS BIGINT) AS sum_v,
+        |  CAST(sum((x * 17 + y * 29) * val) AS BIGINT) AS xy_moment
+        |FROM c GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""".stripMargin,
+
     "text_boilerplate" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -556,6 +556,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("PCM"))
   }
 
+  test("GifAnimCodec: JDK-encoded animated GIF decodes to the exact frames") {
+    import Multimodal.GifAnimCodec
+    for (id <- Seq(2L, 5L, 8L, 254L, 255L, 256L, 1001L)) {
+      val bytes = GifAnimCodec.renderGif(id)
+      // a REAL GIF came out: 6-byte signature
+      assert(new String(bytes, 0, 6, "US-ASCII").startsWith("GIF8"),
+        s"not a GIF for id=$id")
+      val frames = GifAnimCodec.decodeFrames(id, bytes)
+      val (w, h, n) = (GifAnimCodec.vidW(id), GifAnimCodec.vidH(id), GifAnimCodec.vidFrames(id))
+      assert(frames.length == n, s"frame count mismatch for id=$id: ${frames.length} vs $n")
+      frames.zipWithIndex.foreach { case (st, f) =>
+        var (sv, mom) = (0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = GifAnimCodec.px(id, f, x, y)
+          sv += v; mom += (x * 17L + y * 29L) * v
+        }
+        assert(st == GifAnimCodec.FrameStats(id, f, w, h, sv, mom),
+          s"frame $f mismatch for id=$id: $st")
+      }
+    }
+  }
+
+  test("GifAnimCodec: non-GIF input fails loudly, not silently") {
+    val png = Multimodal.ImageIoCodec.renderPng(7L)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.GifAnimCodec.decodeFrames(7L, png)
+    }
+    assert(ex.getMessage.contains("expected gif"))
+    intercept[IllegalArgumentException] {
+      Multimodal.GifAnimCodec.decodeFrames(7L, Array[Byte](1, 2, 3))
+    }
+  }
+
   test("ImageIoCodec: undecodable bytes fail loudly, not silently") {
     val ex = intercept[IllegalArgumentException] {
       Multimodal.ImageIoCodec.decodeStats(42L, Array[Byte](1, 2, 3, 4))
