@@ -315,14 +315,15 @@ object Declared7 {
     * runs on the (cached) vocabulary — PlanAuditSpec pins that the
     * iteration plans below read InMemoryTableScan and never rescan the
     * corpus. */
-  private[graft] def bpeVocab0(documents: DataFrame): DataFrame = {
+  private[graft] def bpeVocab0(documents: DataFrame,
+      vocabCap: Int = BpeVocabCap): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     documents
       .select(explode(graft.functions.TokenFunctions.term_counts($"text"))
         .as(Seq("word", "c")))
       .groupBy($"word").agg(sum($"c").as("cnt"))
-      .orderBy($"cnt".desc, $"word").limit(BpeVocabCap)
+      .orderBy($"cnt".desc, $"word").limit(vocabCap)
       .select($"word", $"cnt",
         filter(split($"word", ""), x => length(x) > 0).as("syms"))
   }
@@ -343,10 +344,16 @@ object Declared7 {
 
   /** Testable seam (the minhashPortableOver pattern): BPE training over
     * any frame with a `text` column. */
-  def q77Over(documents: DataFrame): DataFrame = {
+  /** Shared BPE training loop (q77 training output / q89 encode): runs
+    * the greedy merge rounds and returns BOTH the merge list and the
+    * final per-word symbol table (still CACHED — the caller
+    * unpersists). */
+  private def bpeTrainLoop(documents: DataFrame,
+      vocabCap: Int = BpeVocabCap)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val s = documents.sparkSession
     import s.implicits._
-    var vocab = bpeVocab0(documents).cache()
+    var vocab = bpeVocab0(documents, vocabCap).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
@@ -368,10 +375,75 @@ object Declared7 {
           it += 1
       }
     }
+    (merges.toSeq, vocab)
+  }
+
+  def q77Over(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val (merges, vocab) = bpeTrainLoop(documents)
     vocab.unpersist()
-    s.createDataFrame(merges.toSeq).toDF("iter", "lhs", "rhs", "total")
+    s.createDataFrame(merges).toDF("iter", "lhs", "rhs", "total")
       .orderBy($"iter")
   }
+
+  /** Q89: BPE ENCODE — apply the q77-trained tokenizer to the corpus,
+    * the tokenize step a real pipeline runs between training (q77) and
+    * context-window packing (q57). The trained symbol table is
+    * vocabulary-capped (≤ BpeVocabCap rows — a dimension-sized driver
+    * pull by design, same as the training loop's per-round argmax), so
+    * the apply is a BROADCAST left join from the exploded word stream:
+    * vocabulary hits take their learned symbol sequence, OOV words fall
+    * back to character splitting (exactly how the vocab cap defines
+    * coverage). Per doc: word/token/OOV counts plus an ORDER-SENSITIVE
+    * token-stream fingerprint — the word-level polynomial hash of the
+    * space-joined symbols, folded across the document in word order —
+    * so a wrong merge, wrong fallback, or wrong word order cannot
+    * hash-match. The fold is bounded per document (collect_list within
+    * one doc's words); the corpus-scale work is one explode + one
+    * broadcast join + one doc-keyed aggregate. */
+  def q89Over(documents: DataFrame,
+      vocabCap: Int = BpeVocabCap): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val (_, vocab) = bpeTrainLoop(documents, vocabCap)
+    val vtable = vocab.select($"word", $"syms").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+    vocab.unpersist()
+    val vdf = broadcast(s.createDataFrame(vtable.toSeq.map { case (w, sy) =>
+      (w, sy.mkString(" "), sy.length) }).toDF("word", "tok_str", "n_tok"))
+    // portable polynomial hash over the character stream (the
+    // text_fingerprint recurrence; spaces fold in as ascii 32)
+    def poly(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(
+        transform(filter(split(c, ""), ch => ch =!= ""),
+          ch => ascii(ch).cast("bigint")),
+        lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
+    val words = documents
+      .select($"doc_id",
+        posexplode(filter(split($"text", " "), x => x =!= ""))
+          .as(Seq("pos", "word")))
+    words.join(vdf, Seq("word"), "left")
+      .select($"doc_id", $"pos",
+        $"tok_str".isNull.cast("int").as("oov"),
+        coalesce($"n_tok", length($"word")).cast("int").as("n_tok"),
+        coalesce($"tok_str",
+          concat_ws(" ", filter(split($"word", ""), ch => ch =!= "")))
+          .as("tok_str"))
+      .withColumn("word_fp", poly($"tok_str"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_tok").cast("bigint").as("n_tokens"),
+        sum($"oov").cast("bigint").as("n_oov"),
+        sort_array(collect_list(struct($"pos", $"word_fp"))).as("wl"))
+      .withColumn("doc_fp",
+        expr("aggregate(wl, CAST(0 AS BIGINT), " +
+          "(h, x) -> (h * 1000003 + x.word_fp) % 1000000007)"))
+      .select($"doc_id", $"n_words", $"n_tokens", $"n_oov", $"doc_fp")
+      .orderBy($"doc_id")
+  }
+
+  val q89: Q = (s, dir) => q89Over(Tables(s, dir, "documents"))
 
   // ---------------------------------------------------------------- Q82
   /** Last-touch attribution: every purchase event credits the user's
@@ -637,6 +709,7 @@ object Declared7 {
     "q85_groupwise_ols" -> q85,
     "q82_attribution" -> q82,
     "q77_bpe_merges" -> q77,
+    "q89_bpe_encode" -> q89,
     "q75_markov_transitions" -> q75,
     "q76_rolling_anomaly" -> q76,
     "q78_knn_graph" -> q78,

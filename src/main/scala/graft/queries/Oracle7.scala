@@ -18,24 +18,30 @@ object Oracle7 {
     * positions, keep every second position starting at the run head
     * (exactly the left-to-right scan's choices), then drop each kept
     * position's right neighbor when rebuilding the symbol list. */
-  private val bpeSql: String = {
+  /** The WITH-body of the training chain, shared by the q77 (merges
+    * out) and q89 (encode) oracles. Key CTEs are `AS MATERIALIZED`:
+    * DuckDB inlines CTEs by default, and each round references the
+    * previous round's `st` several times — inlined, the re-evaluation
+    * compounds per round (measured 74 s → 0.2 s at sf0.01 for the
+    * encode query, identical rows). */
+  private def bpeCtes: String = {
     val iters = (1 to BpeIters).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT s.word, s.cnt, t.i AS pos, s.syms[t.i] AS l, s.syms[t.i+1] AS r
          |  FROM st${i - 1} s, unnest(range(1, len(s.syms))) AS t(i)),
          |g$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS total FROM p$i GROUP BY l, r),
-         |m$i AS (SELECT l, r, total FROM g$i ORDER BY total DESC, l, r LIMIT 1),
+         |m$i AS MATERIALIZED (SELECT l, r, total FROM g$i ORDER BY total DESC, l, r LIMIT 1),
          |mt$i AS (SELECT p.word, p.pos FROM p$i p, m$i m WHERE p.l = m.l AND p.r = m.r),
          |rk$i AS (SELECT word, pos,
          |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS run
          |  FROM mt$i),
-         |keep$i AS (SELECT word, pos FROM (
+         |keep$i AS MATERIALIZED (SELECT word, pos FROM (
          |    SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, run) AS off
          |    FROM rk$i)
          |  WHERE off % 2 = 0),
          |u$i AS (SELECT s.word, s.cnt, t.i AS pos, s.syms[t.i] AS sym
          |  FROM st${i - 1} s, unnest(range(1, len(s.syms) + 1)) AS t(i)),
-         |st$i AS (
+         |st$i AS MATERIALIZED (
          |  SELECT u.word, max(u.cnt) AS cnt,
          |    list(CASE WHEN k.pos IS NOT NULL THEN (SELECT l || r FROM m$i)
          |              ELSE u.sym END ORDER BY u.pos) AS syms
@@ -44,20 +50,56 @@ object Oracle7 {
          |                    WHERE kk.word = u.word AND kk.pos + 1 = u.pos)
          |  GROUP BY u.word)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeIters)
-      .map(i => s"SELECT CAST($i AS INT) AS iter, l AS lhs, r AS rhs, total FROM m$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
        |    FROM documents)
        |  GROUP BY term ORDER BY cnt DESC, word LIMIT $BpeVocabCap),
-       |st0 AS (SELECT word, cnt, string_split(word, '') AS syms FROM w),
-       |$iters
+       |st0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms FROM w),
+       |$iters""".stripMargin
+  }
+
+  private val bpeSql: String = {
+    val out = (1 to BpeIters)
+      .map(i => s"SELECT CAST($i AS INT) AS iter, l AS lhs, r AS rhs, total FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
        |SELECT * FROM (
        |$out
        |) ORDER BY iter""".stripMargin
   }
+
+  /** Encode twin: continue from the final symbol table st{BpeIters} —
+    * the per-word trained tokenization — and apply it to the document
+    * word stream with character fallback for OOV words, mirroring the
+    * Spark side's broadcast-join apply word for word. */
+  private val bpeEncodeSql: String =
+    s"""WITH $bpeCtes,
+       |docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |  FROM documents),
+       |dw AS (SELECT d.doc_id, CAST(t.i AS INT) AS pos, d.words[t.i] AS word
+       |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.words) + 1)) AS i) t),
+       |vt AS (SELECT word, list_aggregate(syms, 'string_agg', ' ') AS tok_str,
+       |    len(syms) AS n_tok FROM st$BpeIters),
+       |e AS (SELECT dw.doc_id, dw.pos,
+       |    COALESCE(vt.tok_str, list_aggregate(
+       |      list_filter(string_split(dw.word, ''), c -> c <> ''), 'string_agg', ' ')) AS tok_str,
+       |    CAST(COALESCE(vt.n_tok, length(dw.word)) AS INT) AS n_tok,
+       |    CASE WHEN vt.word IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM dw LEFT JOIN vt USING (word)),
+       |f AS (SELECT doc_id, pos, n_tok, oov,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_filter(string_split(tok_str, ''), c -> c <> ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS word_fp
+       |  FROM e)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list(word_fp ORDER BY pos)),
+       |    (h, x) -> (h * 1000003 + x) % 1000000007) AS BIGINT) AS doc_fp
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Unrolled greedy MMR: one (penalty, argmax, selected-union) CTE
     * block per pick after the first. Every cosine is the same
@@ -112,6 +154,7 @@ object Oracle7 {
     "q21c_asof_custom" -> Oracle.oracleSql("q21_asof_join"),
 
     "q77_bpe_merges" -> bpeSql,
+    "q89_bpe_encode" -> bpeEncodeSql,
 
     // cross-set variant of Oracle3's dedup_minhash_portable text: the
     // identical portable LSH index (same generated band expressions),

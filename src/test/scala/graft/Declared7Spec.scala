@@ -143,6 +143,40 @@ class Declared7Spec extends AnyFunSuite {
       r.getAs[String]("rhs").nonEmpty))
   }
 
+  test("q89: encode applies trained merges, falls back to chars for OOV, conserves counts") {
+    import spark.implicits._
+    // corpus where training is hand-computable: 'abab' dominates, so
+    // merges go (a,b)->ab, (ab,a)->aba... on the capped vocab; with
+    // vocabCap=2 only the two most frequent words train — the third
+    // word is OOV and must take the char fallback
+    val docs = Seq(
+      (1L, "abab abab cd abab"),
+      (2L, "cd cd zz abab"),
+      (3L, "zz"))
+      .toDF("doc_id", "text")
+    val out = Declared7.q89Over(docs, vocabCap = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // vocab by (cnt desc, word): abab×5, cd×4 → zz (×2) is OOV.
+    // training on {abab:5, cd:4}: merges (a,b)N=10? pairs: ab(5·2? no—
+    // within-word adjacent: abab→(a,b)(b,a)(a,b): (a,b)=2·5=10,(b,a)=5;
+    // cd→(c,d)=4. merge1=(a,b)→ab: abab→[ab,ab], cd→[c,d].
+    // merge2: (ab,ab)=5 vs (c,d)=4 → abab→[abab]. merge3: (c,d)→cd.
+    // merge4: no pairs left anywhere → training stops at 3 merges.
+    // final: abab→1 token, cd→1 token, zz→OOV→2 char tokens.
+    assert(out(1L) == ((4L, 4L, 0L)), s"doc1: ${out(1L)}") // 3×abab + cd = 4 tokens
+    assert(out(2L) == ((4L, 5L, 1L)), s"doc2: ${out(2L)}") // cd,cd,abab=3 + zz=2
+    assert(out(3L) == ((1L, 2L, 1L)), s"doc3: ${out(3L)}") // zz → z z
+    // full corpus: every word is in the capped vocab → zero OOV, and
+    // token count is bounded by character count (merges only shrink)
+    val full = Declared7.q89(spark, sf).cache()
+    assert(full.filter($"n_oov" =!= 0).count() == 0)
+    assert(full.filter($"n_tokens" < $"n_words").count() == 0)
+    val fps = full.select($"doc_fp").collect().map(_.getLong(0))
+    assert(fps.forall(h => h >= 0 && h < 1000000007L))
+    full.unpersist()
+  }
+
   test("q77: training stops cleanly when the corpus runs out of adjacent pairs") {
     import spark.implicits._
     // single-char words: zero adjacent symbol pairs from iteration 1
