@@ -408,6 +408,32 @@ object Dedup {
           .orderBy($"doc_new").limit(limitDocs).as[Long].collect()
         batch0.filter($"doc_new".isin(ids.toIndexedSeq: _*))
       }
+    probeIndexWith(newBatch, table, isinMaxHashes)
+  }
+
+  /** [[bandIndexProbe]] for an ARRIVING batch DataFrame (doc_id, text)
+    * — the streaming micro-batch shape: the batch rows themselves are
+    * banded and probed against the persisted index, so an ingestion
+    * stream dedups each micro-batch against the corpus with NO corpus
+    * scan, no re-banding, and the same bucket-prune routing. Exercised
+    * per-micro-batch in StorageLayoutSpec (streamed union ==
+    * one-shot probe). */
+  def bandIndexProbeBatch(batch: DataFrame, table: String,
+                          isinMaxHashes: Int = ProbeIsinMaxHashes): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val banded = portableBanded(portableRaw(batch, Nil), Nil)
+      .select($"doc_id".as("doc_new"), $"band", $"bh")
+    probeIndexWith(banded, table, isinMaxHashes)
+  }
+
+  /** Shared probe tail: banded (doc_new, band, bh) rows against the
+    * persisted index, with the isin (static bucket pruning) vs
+    * broadcast-left-semi routing described at [[ProbeIsinMaxHashes]]. */
+  private def probeIndexWith(newBatch: DataFrame, table: String,
+                             isinMaxHashes: Int): DataFrame = {
+    val s = newBatch.sparkSession
+    import s.implicits._
     val batchBhs = newBatch.select($"bh").distinct()
     val bhSample = batchBhs.limit(isinMaxHashes + 1).as[Long].collect()
     val idx =

@@ -351,6 +351,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q89: tokenizer apply is a broadcast join; the word stream shuffles once, on doc_id") {
+    val df = queries.Declared7.q89(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the vocab-capped symbol table must come in as a broadcast build
+    // side — a shuffled join here would exchange the full exploded word
+    // stream on word text at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"word stream shuffled for the vocab join:\n${plan.take(2000)}")
+  }
+
   test("q54: tf-idf top-5 rank-filter gets the WindowGroupLimit pushdown") {
     val plan = executed(queries.Declared5.q54(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"rank-filter not pushed down:\n$plan")

@@ -157,6 +157,47 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted band index: an arriving STREAM probes it per micro-batch, matching the one-shot probe") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sf = "/root/testdata/sf0.001"
+    graft.dedup.Dedup.writeBandIndex(spark, sf, "b_band_idx_stream")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // the arriving docs = the src0 slice, streamed in two micro-batches
+      // — the ingestion lifecycle as an actual stream: each batch bands
+      // only ITSELF and probes the on-disk index (no corpus scan)
+      val src0 = Tables(spark, sf, "documents").filter($"source" === "src0")
+        .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+      assert(src0.length >= 2, "src0 slice too small to split")
+      val (b1, b2) = src0.splitAt(src0.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val sink: (org.apache.spark.sql.DataFrame, Long) => Unit = { (df, _) =>
+        graft.dedup.Dedup.bandIndexProbeBatch(df.toDF("doc_id", "text"), "b_band_idx_stream")
+          .collect().foreach(r => acc.add((r.getLong(0), r.getLong(1))))
+      }
+      val q = mem.toDF.toDF("doc_id", "text").writeStream.foreachBatch(sink).start()
+      try {
+        mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      // candidate pairs are per-new-doc independent given a fixed index,
+      // so the streamed union must equal the one-shot full-batch probe
+      val oneShot = graft.dedup.Dedup
+        .bandIndexProbe(spark, sf, "b_band_idx_stream", Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(oneShot.nonEmpty, "vacuous: no candidates at sf0.001")
+      assert(acc.asScala.toSet == oneShot,
+        s"streamed union ${acc.size} differs from one-shot ${oneShot.size}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_band_idx_stream")
+    }
+  }
+
   test("compact merges a small-files directory, preserving every row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact_").resolve("t").toString
