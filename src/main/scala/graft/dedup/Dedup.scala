@@ -427,6 +427,28 @@ object Dedup {
     probeIndexWith(banded, table, isinMaxHashes)
   }
 
+  /** ADMIT an arriving batch into the persisted index — the write half
+    * of the probe→admit ingestion loop: the batch's band rows APPEND to
+    * the bucketed index table with the same bucket spec, so the next
+    * micro-batch's probe sees this batch as corpus. Append keeps the
+    * bucket layout (each append adds one sorted file per bucket;
+    * [[graft.operators.StorageLayout.compact]] is the maintenance
+    * companion when small appended files accumulate). Lifecycle spec'd
+    * in StorageLayoutSpec: probe b1 → admit b1 → probe b2 finds
+    * b2×corpus AND b2×b1 pairs. */
+  def bandIndexAdmit(batch: DataFrame, table: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    portableBanded(portableRaw(batch, Nil), Nil)
+      .select($"doc_id".as("doc_old"), $"band", $"bh")
+      .write
+      .bucketBy(BandIndexBuckets, "bh")
+      .sortBy("bh")
+      .format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(table)
+  }
+
   /** Shared probe tail: banded (doc_new, band, bh) rows against the
     * persisted index, with the isin (static bucket pruning) vs
     * broadcast-left-semi routing described at [[ProbeIsinMaxHashes]]. */

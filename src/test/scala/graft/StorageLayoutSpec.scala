@@ -192,6 +192,23 @@ class StorageLayoutSpec extends AnyFunSuite {
       assert(oneShot.nonEmpty, "vacuous: no candidates at sf0.001")
       assert(acc.asScala.toSet == oneShot,
         s"streamed union ${acc.size} differs from one-shot ${oneShot.size}")
+      // --- the ADMIT half of the loop: append b1 into the index, then
+      // b2's probe must see b1 docs as corpus — exactly oneShot's b2
+      // pairs PLUS the (b2, b1) band collisions
+      val b1Df = b1.toIndexedSeq.toDF("doc_id", "text")
+      val b2Df = b2.toIndexedSeq.toDF("doc_id", "text")
+      graft.dedup.Dedup.bandIndexAdmit(b1Df, "b_band_idx_stream")
+      val afterAdmit = graft.dedup.Dedup
+        .bandIndexProbeBatch(b2Df, "b_band_idx_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b2Ids = b2.map(_._1).toSet
+      val b1Ids = b1.map(_._1).toSet
+      val b2VsCorpus = oneShot.filter { case (nw, _) => b2Ids(nw) }
+      assert(b2VsCorpus.subsetOf(afterAdmit),
+        "admit lost corpus candidates for the next batch")
+      val crossBatch = afterAdmit -- b2VsCorpus
+      assert(crossBatch.forall { case (nw, old) => b2Ids(nw) && b1Ids(old) },
+        s"unexpected non-(b2,b1) extras after admit: $crossBatch")
     } finally {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
       spark.sql("DROP TABLE IF EXISTS b_band_idx_stream")
