@@ -553,9 +553,6 @@ object Dedup {
     val segs = segLayout(L)
     val bigFull = big.filter(length($"pfx") === L)
     val bigShort = big.filter(length($"pfx") < L)
-    val idxCols = segs.map { case (j, st, ln) =>
-      struct(lit(j).as("j"), substring($"pfx", st, ln).as("seg"))
-    }
     val probeCols = segs.flatMap { case (j, st, ln) =>
       (-k to k).flatMap { delta =>
         val p = st + delta
@@ -564,21 +561,16 @@ object Dedup {
         else None
       }
     }
-    val idx = bigFull.select($"lang", $"len_bucket", $"doc_id".as("doc_b"),
-      explode(array(idxCols: _*)).as("c"))
-      .select($"lang", $"len_bucket", $"doc_b", $"c.j", $"c.seg")
+    // full-doc probe side keeps the STATIC codegen'd substrings (the
+    // dominant stratum); its index is idxVar's tgt_len = L slice below
+    // — one index build serves every stratum instead of building the
+    // full-doc layout twice
     val probe = bigFull
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
       .select($"lang", $"len_bucket", $"doc_id".as("doc_a"),
         explode(array(probeCols: _*)).as("c"))
       .select($"lang", $"len_bucket", $"doc_a", $"c.j", $"c.seg")
       .distinct() // shifted probes repeat on repetitive text
-    val candFull = probe.join(idx, Seq("lang", "len_bucket", "j", "seg"))
-      .filter($"doc_a" =!= $"doc_b")
-      .select($"lang", $"len_bucket",
-        least($"doc_a", $"doc_b").as("doc_a"),
-        greatest($"doc_a", $"doc_b").as("doc_b"))
-      .distinct()
     // short-prefix docs (m ≤ len < 80): variable-length PassJoin.
     // Index EVERY big doc (fulls included — a short within k of 80
     // must find its full partners) by its OWN length's layout; a short
@@ -596,6 +588,14 @@ object Dedup {
       .join(layoutDf, $"own_len" === $"tgt_len")
       .select($"lang", $"len_bucket", $"tgt_len", $"j",
         $"pfx".substr($"st", $"ln").as("seg"), $"doc_id".as("doc_b"))
+    val candFull = probe
+      .join(idxVar.filter($"tgt_len" === L).drop("tgt_len"),
+        Seq("lang", "len_bucket", "j", "seg"))
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"lang", $"len_bucket",
+        least($"doc_a", $"doc_b").as("doc_a"),
+        greatest($"doc_a", $"doc_b").as("doc_b"))
+      .distinct()
     val probeRowsDf = broadcast((for {
       ownLen <- m until L
       tl <- math.max(m, ownLen - k) to math.min(L, ownLen + k)

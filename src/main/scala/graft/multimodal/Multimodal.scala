@@ -241,6 +241,10 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = tag(off)
         val sz = u32(off + 4).toInt
+        // a 32-bit size ≥ 2^31 truncates negative: without this guard
+        // the walk would stall or step backwards (infinite loop) on a
+        // corrupt stream instead of failing loudly
+        require(sz >= 0, s"corrupt chunk size for '$id'")
         val body = off + 8
         id match {
           case "fmt " =>

@@ -26,10 +26,12 @@ object CboDemo {
 
   /** Database name is derived from the data dir so two sessions (or two
     * tests) ANALYZE-ing different dirs against a shared warehouse cannot
-    * race on DROP/CREATE and read stats for the wrong data. */
+    * race on DROP/CREATE and read stats for the wrong data. SHA-256 (not
+    * String.hashCode, whose 32-bit collisions would silently re-open the
+    * race this exists to close). */
   def db(dir: String): String =
-    "graft_cbo_" + java.lang.Long.toHexString(
-      dir.hashCode.toLong & 0xffffffffL)
+    "graft_cbo_" + java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
   private val TablesUsed =
     Seq("lineitem", "orders", "customer", "supplier", "nation", "region")

@@ -53,28 +53,36 @@ object Profiles {
     * domain would swap in a full mixer. Estimator: (k−1)·p / h(k)
     * (Bar-Yossef et al. 2002, the classic KMV bound); columns with
     * fewer than k distinct hashes report their exact count (the
-    * sketch holds the whole hash set). The k-smallest-per-column scan
-    * compiles to TakeOrderedAndProject — per-partition partial top-k
-    * then a driver-side merge of k-item heaps, which IS the KMV merge
-    * a 100 TB profiler ships between executors (vs HLL's register
-    * max-merge): one pass, k longs per column of state, no full
-    * distinct shuffle. Every output value is integer-or-exact-double
-    * arithmetic both engines reproduce bit-for-bit. */
+    * sketch holds the whole hash set). ONE table scan profiles every
+    * column: the per-column hashes fan out as (col_name, h) rows from
+    * a single pass, and the k-minima-per-column rank filter compiles
+    * to WindowGroupLimit — per-partition k-item heaps per column
+    * merged across the shuffle, which IS the KMV merge a 100 TB
+    * profiler ships between executors (vs HLL's register max-merge):
+    * k longs per column of state, no full distinct shuffle, and adding
+    * profiled columns does NOT add scans. Every output value is
+    * integer-or-exact-double arithmetic both engines reproduce
+    * bit-for-bit. */
   def profileKmvPortable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = 2147483647L
     val a = graft.functions.Signatures.PortableA(0)
     val b = graft.functions.Signatures.PortableB(0)
-    def kmv(col: String): DataFrame =
-      Tables(s, dir, "orders")
-        .select((($"$col" * a + b) % p).as("h")).distinct()
-        .orderBy($"h").limit(KmvK)
-        .agg(count(lit(1)).cast("int").as("k_used"), max($"h").as("kth_min_hash"))
-        .select(lit(col).as("col_name"), $"k_used", $"kth_min_hash",
-          when($"k_used" < KmvK, $"k_used".cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) * lit(p.toDouble) / $"kth_min_hash")
-            .as("est_distinct"))
-    kmv("o_custkey").unionByName(kmv("o_orderkey")).orderBy($"col_name")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"col_name").orderBy($"h")
+    Tables(s, dir, "orders")
+      .select(explode(map(
+        lit("o_custkey"), ($"o_custkey" * a + b) % p,
+        lit("o_orderkey"), ($"o_orderkey" * a + b) % p)).as(Seq("col_name", "h")))
+      .distinct()
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= KmvK)
+      .groupBy($"col_name")
+      .agg(count(lit(1)).cast("int").as("k_used"), max($"h").as("kth_min_hash"))
+      .select($"col_name", $"k_used", $"kth_min_hash",
+        when($"k_used" < KmvK, $"k_used".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(p.toDouble) / $"kth_min_hash")
+          .as("est_distinct"))
+      .orderBy($"col_name")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -99,13 +99,16 @@ object Sf1Gate {
         pb.redirectErrorStream(true)
         val p = pb.start()
         val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
-        p.waitFor()
+        val rc = p.waitFor()
         lines.foreach(l => println(s"[check] $l"))
-        // parse the harness summary: "== N ok, M fail =="
+        // parse the harness summary: "== N ok, M fail ==". A harness
+        // that died before printing it (duckdb import error, OOM-kill,
+        // aborted parquet read) must FAIL the gate, not pass it — only
+        // a missing python3 binary is the documented skip path.
         val Summary = """== (\d+) ok, (\d+) fail ==""".r
         lines.reverse.collectFirst { case Summary(ok, bad) =>
-          (ok.toInt, bad.toInt, "ran")
-        }.getOrElse((0, -1, "unparseable"))
+          (ok.toInt, bad.toInt, if (rc == 0) "ran" else s"ran_rc_$rc")
+        }.getOrElse((0, -1, s"harness_failed_rc_$rc"))
       } catch {
         case e: java.io.IOException =>
           println(s"[sf1gate] oracle compare skipped: ${e.getMessage}")
@@ -128,6 +131,8 @@ object Sf1Gate {
       s""""skipped_heavy_oracles":$skipped,"slowest5":$slowest5,"queries":$qs}""")
 
     spark.stop()
-    if (failed.nonEmpty || oracleFail > 0) sys.exit(1)
+    // oracleFail is -1 when the harness crashed without a summary —
+    // that must fail the gate too, not read as "0 failures"
+    if (failed.nonEmpty || oracleFail != 0) sys.exit(1)
   }
 }

@@ -554,6 +554,13 @@ class MultimodalSpec extends AnyFunSuite {
     val mutated = b.clone(); mutated(fmtAt) = 3
     val ex = intercept[IllegalArgumentException] { WavPcmCodec.decode(mutated) }
     assert(ex.getMessage.contains("PCM"))
+    // corrupt chunk size 0xFFFFFFFF (negative as Int): must fail loudly,
+    // not stall the chunk walk in place forever
+    val corrupt = WavPcmCodec.renderWav(1L).clone()
+    val szAt = 16 // first chunk's size field: RIFF preamble(12) + tag(4)
+    for (j <- 0 until 4) corrupt(szAt + j) = 0xff.toByte
+    val ex2 = intercept[IllegalArgumentException] { WavPcmCodec.decode(corrupt) }
+    assert(ex2.getMessage.contains("corrupt chunk size"))
   }
 
   test("GifAnimCodec: JDK-encoded animated GIF decodes to the exact frames") {

@@ -37,12 +37,20 @@ class ProfilesSpec extends AnyFunSuite {
     val (_, orderEst) = out("o_orderkey")
     assert(math.abs(orderEst - exactOrders) / exactOrders < 0.20,
       s"KMV estimate $orderEst vs exact $exactOrders")
-    // scale shape: the k-minima scan is a partial top-k merge
-    // (TakeOrderedAndProject), not a global sort
-    val plan = queries.Profiles.profileKmvPortable(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"k-minima not a partial top-k:\n${plan.take(1500)}")
+    // scale shape: ONE scan of the table (every column's hashes fan out
+    // from it), and the per-column k-minima rank filter runs as
+    // WindowGroupLimit partial heaps, not a global sort
+    val q = queries.Profiles.profileKmvPortable(spark, sf)
+    q.collect()
+    val planAll = q.queryExecution.executedPlan.toString
+    // AQE repeats the tree under "== Initial Plan ==" — count the
+    // final plan only
+    val cut = planAll.indexOf("== Initial Plan ==")
+    val plan = if (cut >= 0) planAll.substring(0, cut) else planAll
+    assert(plan.contains("WindowGroupLimit"),
+      s"k-minima not a partial group top-k:\n${plan.take(1500)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one table scan, found $scans:\n${plan.take(1500)}")
   }
 
   test("approx percentiles land within 5% of the exact quantile") {
