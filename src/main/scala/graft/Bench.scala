@@ -62,6 +62,22 @@ object Bench {
     // failed queries (-1 sentinel) are excluded from the total, not
     // subtracted from it
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // FROZEN B1-era Q1-Q20 subset (the 20 queries BASELINE.md B3's 60 s
+    // budget was set for). The full-surface total above grows with
+    // COVERAGE every round — by r8 it carries 6.8× the queries the
+    // budget priced — so the 2×-clause comparison binds to THIS subset
+    // line (BASELINE.md B3 note), keeping the clause decidable as the
+    // surface keeps growing. The set is frozen by name; it must never
+    // track additions.
+    val b3Subset = Set(
+      "q01_scan_filter", "q02_string_fns", "q03_date_fns", "q04_inner_join",
+      "q05_multiway_join_agg", "q06_filtered_agg", "q07_distinct_agg",
+      "q08_left_join_null", "q09_semi_join", "q10_anti_join",
+      "q11_rank_window", "q12_analytic_window", "q13_topk", "q14_set_ops",
+      "q15_rollup", "q16_conditional", "q17_tumbling_window",
+      "q18_range_join", "q19_json_cast", "q20_token_topk")
+    val b3Results = results.filter(r => b3Subset(r._1))
+    val b3Total = b3Results.map(_._2._1).filter(_ >= 0).sum
     // Three lines, detail FIRST and a SHORT summary line LAST: the
     // driver's stdout capture keeps the tail, and r3's single giant line
     // (73-query map before the total) got its head truncated →
@@ -73,7 +89,7 @@ object Bench {
       .map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }.mkString("{", ",", "}")
     println(s"""{"metric":"spread","spread":$spread,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"slowest5":$slowest}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"b3_subset_total":${r4(b3Total)},"b3_subset_n":${b3Results.size},"slowest5":$slowest}""")
     spark.stop()
   }
 }
