@@ -78,6 +78,13 @@ object Bench {
       "q18_range_join", "q19_json_cast", "q20_token_topk")
     val b3Results = results.filter(r => b3Subset(r._1))
     val b3Total = b3Results.map(_._2._1).filter(_ >= 0).sum
+    // n counts MEASURED subset queries (all three passes failing drops a
+    // query from the total; n must shrink with it, or a deflated total
+    // reads as a speedup). Failed names ship alongside so the cause is
+    // visible in the artifact itself.
+    val b3Ok = b3Results.count(_._2._1 >= 0)
+    val failedNames = results.collect { case (k, (mn, _)) if mn < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     // Three lines, detail FIRST and a SHORT summary line LAST: the
     // driver's stdout capture keeps the tail, and r3's single giant line
     // (73-query map before the total) got its head truncated →
@@ -89,7 +96,7 @@ object Bench {
       .map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }.mkString("{", ",", "}")
     println(s"""{"metric":"spread","spread":$spread,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"b3_subset_total":${r4(b3Total)},"b3_subset_n":${b3Results.size},"slowest5":$slowest}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${results.count(_._2._1 < 0)},"failed":$failedNames,"b3_subset_total":${r4(b3Total)},"b3_subset_n":$b3Ok,"slowest5":$slowest}""")
     spark.stop()
   }
 }

@@ -15,11 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD: a query that throws would otherwise just be
+    // absent from the driver's CORRECTNESS artifact — round 9 lost three
+    // regressions that way (they read as "surface shrank", not "err").
+    // Each failure gets a per-query marker file plus an errors.json the
+    // driver (or a human diffing rounds) can surface as `err`.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        failed(name) = msg
+        System.err.println(s"[verify] FAILED $name: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +45,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      val fdir = Paths.get(s"$outDir/_failed")
+      Files.createDirectories(fdir)
+      failed.foreach { case (n, m) => Files.writeString(fdir.resolve(s"$n.txt"), m) }
+      Files.writeString(Paths.get(s"$outDir/errors.json"),
+        failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    }
+    System.err.println(
+      s"[verify] done: ${SparkEntry.queries.size - failed.size} ok, ${failed.size} failed" +
+        (if (failed.nonEmpty) failed.keys.mkString(" (", ", ", ")") else ""))
     spark.stop()
   }
 }

@@ -449,20 +449,112 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  // ------------------------------------- Exactly-once ingestion loop
+  /** [[bandIndexAdmit]] made REPLAY-IDEMPOTENT for at-least-once
+    * execution (foreachBatch replays a failed micro-batch with the same
+    * batch id): every admitted band row carries its `batch_id`, and an
+    * admit whose id is already present in the index is a no-op. The
+    * append itself commits atomically at job granularity (Spark's file
+    * commit protocol publishes files only on job commit), so "id
+    * present" ⇔ "batch fully admitted" — a crash mid-write leaves no
+    * id and the replay re-admits cleanly. The presence check is a
+    * stats-pruned scan: per-file batch_id min/max skips every file but
+    * the replayed batch's own, so the ledger costs no extra table.
+    *
+    * Index tables for this API are SEPARATE from [[bandIndexAdmit]]'s
+    * (three columns vs four); the loop creates its own table. */
+  def bandIndexAdmitIdempotent(batch: DataFrame, table: String,
+                               batchId: Long): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    if (s.catalog.tableExists(table) &&
+        !s.table(table).filter($"batch_id" === batchId).isEmpty) return
+    portableBanded(portableRaw(batch, Nil), Nil)
+      .select($"doc_id".as("doc_old"), $"band", $"bh",
+        lit(batchId).as("batch_id"))
+      .write
+      .bucketBy(BandIndexBuckets, "bh")
+      .sortBy("bh")
+      .format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(table)
+  }
+
+  /** [[bandIndexProbeBatch]] against the batch-id SNAPSHOT `batch_id <
+    * batchId` of an idempotent-admit index. The snapshot is what makes
+    * the probe→admit pair replay-STABLE: if a crash lands after this
+    * batch's own admit committed, the replayed probe still sees exactly
+    * the pre-batch index (its own band rows are filtered out by id), so
+    * the recomputed pairs are identical — without the filter a replay
+    * would self-join the batch against itself. Missing table = empty
+    * corpus = no pairs (batch 0 bootstraps the index). */
+  def bandIndexProbeBatchBefore(batch: DataFrame, table: String,
+                                batchId: Long,
+                                isinMaxHashes: Int = ProbeIsinMaxHashes): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val banded = portableBanded(portableRaw(batch, Nil), Nil)
+      .select($"doc_id".as("doc_new"), $"band", $"bh")
+    if (!s.catalog.tableExists(table))
+      banded.select($"doc_new", $"doc_new".as("doc_old")).limit(0)
+    else
+      probeIndexAgainst(banded,
+        s.table(table).filter($"batch_id" < batchId)
+          .select($"doc_old", $"band", $"bh"),
+        isinMaxHashes)
+  }
+
+  /** The probe→admit ingestion loop as a real Structured Streaming
+    * query with EXACTLY-ONCE output effects under at-least-once replay:
+    * per micro-batch, (1) probe the arriving (doc_id, text) rows
+    * against the `batch_id < id` index snapshot, (2) overwrite the
+    * batch's own pairs partition (per-batch overwrite = idempotent
+    * sink), (3) admit the batch via [[bandIndexAdmitIdempotent]]. A
+    * crash at ANY point between or inside the three steps replays the
+    * batch into the same snapshot, the same pairs partition, and a
+    * no-op or clean admit — proven by crash injection in
+    * IngestionRecoverySpec. `beforeAdmit` is that spec's injection
+    * seam (default no-op; it receives the batch so the spec can also
+    * simulate an admit-then-crash window). */
+  def dedupIngestionStream(stream: DataFrame, table: String,
+                           pairsDir: String, checkpoint: String,
+                           beforeAdmit: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val onBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+      bandIndexProbeBatchBefore(batch, table, id)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$pairsDir/batch_id=$id")
+      beforeAdmit(batch, id)
+      bandIndexAdmitIdempotent(batch, table, id)
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(onBatch)
+      .start()
+  }
+
   /** Shared probe tail: banded (doc_new, band, bh) rows against the
     * persisted index, with the isin (static bucket pruning) vs
     * broadcast-left-semi routing described at [[ProbeIsinMaxHashes]]. */
   private def probeIndexWith(newBatch: DataFrame, table: String,
-                             isinMaxHashes: Int): DataFrame = {
+                             isinMaxHashes: Int): DataFrame =
+    probeIndexAgainst(newBatch, newBatch.sparkSession.table(table), isinMaxHashes)
+
+  /** [[probeIndexWith]] against an arbitrary index view — the seam the
+    * exactly-once loop uses to probe a batch-id SNAPSHOT of the index
+    * (the additional batch_id filter composes with the bucket prune:
+    * `bh` pruning still fires, batch_id prunes by file min/max stats). */
+  private def probeIndexAgainst(newBatch: DataFrame, index: DataFrame,
+                                isinMaxHashes: Int): DataFrame = {
     val s = newBatch.sparkSession
     import s.implicits._
     val batchBhs = newBatch.select($"bh").distinct()
     val bhSample = batchBhs.limit(isinMaxHashes + 1).as[Long].collect()
     val idx =
       if (bhSample.length <= isinMaxHashes)
-        s.table(table).filter($"bh".isin(bhSample.toIndexedSeq: _*))
+        index.filter($"bh".isin(bhSample.toIndexedSeq: _*))
       else
-        s.table(table).join(broadcast(batchBhs), Seq("bh"), "left_semi")
+        index.join(broadcast(batchBhs), Seq("bh"), "left_semi")
     idx.join(broadcast(newBatch), Seq("band", "bh"))
       .select($"doc_new", $"doc_old").distinct()
   }

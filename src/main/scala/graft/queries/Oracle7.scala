@@ -138,7 +138,7 @@ object Oracle7 {
        |) ORDER BY rank""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseSql: Map[String, String] = Map(
     "q88_mmr_select" -> mmrSql,
 
     // per-modality exact-dup summary over Oracle2's shared FakeCodec
@@ -414,4 +414,11 @@ object Oracle7 {
         |  CAST(max(b.lo) AS BIGINT) AS lo, CAST(max(b.hi) AS BIGINT) AS hi
         |FROM c JOIN b USING (event_type)
         |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin)
+
+  // q78b builds the SAME graph from IVF candidates (row-identical by
+  // probe-breadth construction, spec'd in Declared7Spec) — it shares
+  // q78's brute-force oracle verbatim, which is exactly the claim: the
+  // approximate candidate generator loses nothing at these SFs.
+  val oracleSql: Map[String, String] =
+    baseSql + ("q78b_knn_graph_ivf" -> baseSql("q78_knn_graph"))
 }

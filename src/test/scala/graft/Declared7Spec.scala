@@ -226,6 +226,17 @@ class Declared7Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q78b: IVF-certificate graph is row-identical to the brute-force q78") {
+    // the exactness certificate (cone bound vs provisional τ) makes
+    // row-identity a THEOREM, not a tuning outcome — this spec is the
+    // drift guard on that proof's implementation (Q78Eps absorbing FP
+    // rounding, τ = −2 fallback for under-filled phase-1 lists)
+    val brute = Declared7.q78(spark, sf).collect().toSeq
+    val ivf = Declared7.q78b(spark, sf).collect().toSeq
+    assert(brute.nonEmpty)
+    assert(ivf == brute, "IVF-certificate kNN graph differs from brute force")
+  }
+
   test("q79: drift numerators cancel when signed; slice counts conserve") {
     import spark.implicits._
     val docs = Tables(spark, sf, "documents")

@@ -95,21 +95,11 @@ class StreamingEtlRestartSpec extends AnyFunSuite {
 class StreamingAnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** events parquet has TIMESTAMP(NANOS) — stream-read it as long then
-    * convert, same truncation as graft.Tables. */
-  def eventsStream(dir: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // the streaming file source needs a DIRECTORY; select the one table
-    // file out of the sf dir with a glob
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Stream-read events with the writer-encoding normalization shared
+    * with the batch reader (graft.Tables.eventsStream) — a hardcoded
+    * schema here is exactly what broke when the testdata writer switched
+    * TIMESTAMP(NANOS) → TIMESTAMP(MICROS, NTZ). */
+  def eventsStream(dir: String) = graft.Tables.eventsStream(spark, dir)
 
   test("streaming hourly windows equal the batch aggregate") {
     import spark.implicits._
