@@ -533,6 +533,47 @@ object Dedup {
       .start()
   }
 
+  /** Bucket-PRESERVING compaction for the band index — the maintenance
+    * companion to sustained [[bandIndexAdmit]]/[[bandIndexAdmitIdempotent]]
+    * ingestion. Every admit appends one small file per (task, bucket),
+    * so after K batches each bucket holds ~K files and probe latency
+    * decays into file-open/footer overhead (measured in
+    * IndexMaintenanceSpec). [[graft.operators.StorageLayout.compact]]
+    * cannot be used here: it rewrites PLAIN parquet, which would strip
+    * the table's bucket layout and silently break the probe's
+    * SelectedBucketsCount pruning. This rewrite goes through the same
+    * bucketBy spec — pre-partitioned on the bucket column so each task
+    * holds exactly one bucket (Spark's repartition hash and bucket hash
+    * are both pmod-murmur3, so they agree) → ONE file per bucket — then
+    * swaps via DROP + RENAME. Same non-transactional caveat as
+    * compact(): a crash between drop and rename leaves the data under
+    * `<table>__compact`; Delta/Iceberg is the production answer.
+    * Returns (files before, files after). */
+  def compactBandIndex(s: SparkSession, table: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    def fileCount(t: String): Int = {
+      val loc = s.sql(s"DESCRIBE EXTENDED $t")
+        .filter(col("col_name") === "Location")
+        .select(col("data_type")).head().getString(0)
+      val p = new Path(loc)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val before = fileCount(table)
+    val tmp = table + "__compact"
+    s.table(table)
+      .repartition(BandIndexBuckets, col("bh"))
+      .write
+      .bucketBy(BandIndexBuckets, "bh")
+      .sortBy("bh")
+      .format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tmp)
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    (before, fileCount(table))
+  }
+
   /** Shared probe tail: banded (doc_new, band, bh) rows against the
     * persisted index, with the isin (static bucket pruning) vs
     * broadcast-left-semi routing described at [[ProbeIsinMaxHashes]]. */

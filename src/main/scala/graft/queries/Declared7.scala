@@ -253,16 +253,21 @@ object Declared7 {
       .groupBy($"a_id")
       .agg(max(when($"rn" === KnnK, $"cos_sim")).as("tau"))
       .select($"a_id", coalesce($"tau", lit(-2.0)).as("tau"))
-    // phase 2: unprobed cells that survive the cone bound
+    // phase 2: unprobed cells that survive the cone bound. The tau join
+    // is LEFT + coalesce(-2): a vector whose probe cells held no other
+    // vector has NO phase-1 rows and so no tau row — an inner join
+    // would silently drop its phase-2 scan and lose its true edges
+    // (singleton-cell shape; doesn't occur in this corpus, must not
+    // depend on that)
     val p2 = scored(
       ac.filter($"prn" > Q78NProbe)
-        .join(tau, "a_id")
+        .join(tau, Seq("a_id"), "left")
         .join(broadcast(cellStats), "cell")
         .filter(
           when($"cos_ac" >= $"cr", lit(1.0))
             .otherwise($"cos_ac" * $"cr" +
               sqrt(greatest(lit(0.0), lit(1.0) - $"cos_ac" * $"cos_ac")) * $"sr")
-            >= $"tau" - Q78Eps)
+            >= coalesce($"tau", lit(-2.0)) - Q78Eps)
         .select($"a_id", $"cell")
         .join(eB.select($"b_id", $"cell"), "cell")
         .select($"a_id", $"b_id", $"cell"))
@@ -531,7 +536,16 @@ object Declared7 {
     * so a wrong merge, wrong fallback, or wrong word order cannot
     * hash-match. The fold is bounded per document (collect_list within
     * one doc's words); the corpus-scale work is one explode + one
-    * broadcast join + one doc-keyed aggregate. */
+    * broadcast join + one doc-keyed aggregate.
+    *
+    * Precondition: ASCII corpus with single-0x20-space word separation
+    * (the testdata's documents are ASCII by construction). The
+    * character fold uses `ascii()` (first-codepoint) per 1-char split
+    * slice and the word splitter is the literal single-byte space —
+    * tabs/newlines/Unicode whitespace count as word characters, and
+    * non-BMP text would fold surrogate halves. Generalizing needs a
+    * codepoint splitter + `\\s+` tokenizer on BOTH engine and oracle
+    * sides — a deliberate non-goal while the corpus contract holds. */
   def q89Over(documents: DataFrame,
       vocabCap: Int = BpeVocabCap): DataFrame = {
     val s = documents.sparkSession

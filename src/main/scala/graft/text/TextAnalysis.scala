@@ -17,7 +17,11 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Non-empty whitespace tokens (Python-split parity: drop ''). */
+  /** Non-empty whitespace tokens (Python-split parity: drop '').
+    * Precondition: tokens separate on the literal single-byte 0x20
+    * space — the testdata corpus's contract. Tab/newline/Unicode
+    * whitespace would ride inside tokens; a general corpus needs a
+    * `\\s+` split mirrored into every oracle twin. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 

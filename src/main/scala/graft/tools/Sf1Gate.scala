@@ -19,11 +19,19 @@ import org.apache.spark.sql.SparkSession
   *    tools, not library dependencies); if python3 or duckdb is absent
   *    the gate still dumps everything and records oracle="skipped";
   *  - oracles measured infeasible-or-hour-scale at sf1 (r7, recorded in
-  *    TESTDATA.md) are EXCLUDED from the per-round compare by default —
-  *    the engine side still runs and is timed; set SF1_GATE_FULL=1 to
-  *    run them anyway. dedup_clusters' recursive-CTE closure oracle is
-  *    infeasible at sf1 outright (>6 h); its sf1 crosscheck is the
-  *    independent union-find in DedupSpec/BASELINE M24.
+  *    TESTDATA.md) are EXCLUDED from the full-data per-round compare by
+  *    default — the engine side still runs and is timed; set
+  *    SF1_GATE_FULL=1 to run them anyway. Instead, the heavy pairwise
+  *    oracles (jaccard / edit distance / q78) run FULL-FIDELITY on a
+  *    deterministic hash-selected sample of their input tables
+  *    (`<sf1Dir>_sample`: pmod(xxhash64(key), m) = 0 rows of documents
+  *    and embeddings, symlinks for the untouched tables) — the
+  *    quadratic oracle cost drops ~m² while both engines still read
+  *    byte-identical sampled files, so the compare is exact, not
+  *    approximate. dedup_clusters' recursive-CTE closure oracle is
+  *    infeasible at any sampling that keeps its cluster structure
+  *    (>6 h); its sf1 crosscheck stays the independent union-find in
+  *    DedupSpec/BASELINE M24.
   *  - bench is ONE pass (the statistically honest min-of-3 interleaved
   *    protocol lives in graft.Bench at sf0.1; this gate's timings are
   *    trend signals subject to the documented host-throttle band).
@@ -36,7 +44,14 @@ object Sf1Gate {
     "dedup_jaccard" -> "oracle 817 s at sf1 (engine 14 s)",
     "dedup_edit_distance" -> "oracle 1224 s at sf1 (engine 14 s)",
     "dedup_clusters" -> "recursive-CTE closure infeasible at sf1 (>6 h); union-find crosscheck instead",
-    "q78_knn_graph" -> "oracle needs ~100 GB DuckDB memory_limit at sf1")
+    "q78_knn_graph" -> "oracle needs ~100 GB DuckDB memory_limit at sf1",
+    "q78b_knn_graph_ivf" -> "shares q78's all-pairs oracle (same memory wall)")
+
+  /** Heavy oracles that get the SAMPLED full-fidelity compare (§4b).
+    * q78b rides along: it shares q78's oracle, so the sampled run also
+    * re-proves the certificate path's brute-identity at sf1 scale. */
+  val SampledHeavy: Seq[String] =
+    Seq("dedup_jaccard", "dedup_edit_distance", "q78_knn_graph", "q78b_knn_graph_ivf")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -93,18 +108,18 @@ object Sf1Gate {
       oracles.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
 
     // ---- 4. DuckDB compare via the dev harness (optional dependency)
-    val (oracleOk, oracleFail, oracleStatus) =
+    // parse the harness summary: "== N ok, M fail ==". A harness
+    // that died before printing it (duckdb import error, OOM-kill,
+    // aborted parquet read) must FAIL the gate, not pass it — only
+    // a missing python3 binary is the documented skip path.
+    def runCheck(dataDir: String, dumpDir: String): (Int, Int, String) =
       try {
-        val pb = new ProcessBuilder("python3", "tools/check.py", sf1Dir, outDir)
+        val pb = new ProcessBuilder("python3", "tools/check.py", dataDir, dumpDir)
         pb.redirectErrorStream(true)
         val p = pb.start()
         val lines = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
         val rc = p.waitFor()
         lines.foreach(l => println(s"[check] $l"))
-        // parse the harness summary: "== N ok, M fail ==". A harness
-        // that died before printing it (duckdb import error, OOM-kill,
-        // aborted parquet read) must FAIL the gate, not pass it — only
-        // a missing python3 binary is the documented skip path.
         val Summary = """== (\d+) ok, (\d+) fail ==""".r
         lines.reverse.collectFirst { case Summary(ok, bad) =>
           (ok.toInt, bad.toInt, if (rc == 0) "ran" else s"ran_rc_$rc")
@@ -113,6 +128,66 @@ object Sf1Gate {
         case e: java.io.IOException =>
           println(s"[sf1gate] oracle compare skipped: ${e.getMessage}")
           (0, 0, "skipped")
+      }
+    val (oracleOk, oracleFail, oracleStatus) = runCheck(sf1Dir, outDir)
+
+    // ---- 4b. sampled-heavy compare: the heavy pairwise oracles run
+    // full-fidelity on the hash-selected sample (skipped when
+    // SF1_GATE_FULL=1 already ran them on the full data)
+    val (sampOk, sampFail, sampStatus) =
+      if (full) (0, 0, "not_needed_full_mode")
+      else try {
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        val sampleDir = sf1Dir.stripSuffix("/") + "_sample"
+        val sOut = outDir.stripSuffix("/") + "_sample"
+        val sampleMissing =
+          Tables.filterNot(t => Files.exists(Paths.get(s"$sampleDir/$t.parquet")))
+        if (sampleMissing.nonEmpty) {
+          println(s"[sf1gate] building $sampleDir (missing: ${sampleMissing.mkString(",")})")
+          new java.io.File(sampleDir).mkdirs()
+          // one parquet FILE per table, like the driver layout (check.py
+          // and Tables both expect `<dir>/<t>.parquet` as a single file).
+          // Sampling moduli: oracle cost is quadratic within blocks, so
+          // cost drops ~mod² (817 s jaccard → ~13 s at mod 8; q78's
+          // ~100 GB all-pairs slice → sub-GB at mod 16)
+          Seq(("documents", "doc_id", 8), ("embeddings", "vec_id", 16))
+            .foreach { case (t, key, mod) =>
+              val tmp = Paths.get(s"$sampleDir/__tmp_$t")
+              spark.read.parquet(s"$sf1Dir/$t.parquet")
+                .filter(pmod(xxhash64(col(key)), lit(mod)) === 0)
+                .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+              val f = scala.jdk.CollectionConverters
+                .IteratorHasAsScala(Files.list(tmp).iterator()).asScala
+                .filter(_.toString.endsWith(".parquet")).next()
+              Files.move(f, Paths.get(s"$sampleDir/$t.parquet"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              // recursive temp-dir cleanup (deepest-first)
+              scala.jdk.CollectionConverters
+                .IteratorHasAsScala(Files.walk(tmp).sorted(
+                  java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator())
+                .asScala.foreach(Files.delete)
+            }
+          Tables.filterNot(Set("documents", "embeddings")).foreach { t =>
+            val link = Paths.get(s"$sampleDir/$t.parquet")
+            if (!Files.exists(link)) Files.createSymbolicLink(
+              link, Paths.get(s"$sf1Dir/$t.parquet").toAbsolutePath)
+          }
+        }
+        new java.io.File(sOut).mkdirs()
+        // sampled timings deliberately stay OUT of `timings`: the
+        // full-surface total must remain comparable round-over-round
+        SampledHeavy.foreach { name =>
+          graft.SparkEntry.queries(name)(spark, sampleDir).coalesce(1)
+            .write.mode("overwrite").parquet(s"$sOut/$name")
+        }
+        Files.writeString(Paths.get(s"$sOut/oracle_sql.json"),
+          SampledHeavy.map(k => s"${q(k)}: ${q(graft.SparkEntry.oracleSql(k))}")
+            .mkString("{", ",", "}"))
+        runCheck(sampleDir, sOut)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[sf1gate] sampled-heavy compare FAILED: ${e.getMessage}")
+          (0, -1, "failed")
       }
 
     // ---- 5. one summary line
@@ -128,11 +203,14 @@ object Sf1Gate {
       s""""nqueries":${timings.size},"nfailed":${failed.size},""" +
       s""""total_sec":${math.round(total * 100) / 100.0},"passes":1,""" +
       s""""oracle":${q(oracleStatus)},"oracle_ok":$oracleOk,"oracle_fail":$oracleFail,""" +
+      s""""sampled_heavy":${q(sampStatus)},"sampled_heavy_ok":$sampOk,"sampled_heavy_fail":$sampFail,""" +
       s""""skipped_heavy_oracles":$skipped,"slowest5":$slowest5,"queries":$qs}""")
 
     spark.stop()
-    // oracleFail is -1 when the harness crashed without a summary —
-    // that must fail the gate too, not read as "0 failures"
-    if (failed.nonEmpty || oracleFail != 0) sys.exit(1)
+    // oracleFail/sampFail are -1 when a harness crashed without a
+    // summary — that must fail the gate too, not read as "0 failures"
+    if (failed.nonEmpty || oracleFail != 0 ||
+        (sampStatus != "skipped" && sampStatus != "not_needed_full_mode" && sampFail != 0))
+      sys.exit(1)
   }
 }
