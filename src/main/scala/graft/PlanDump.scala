@@ -7,7 +7,7 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
-    for ((n, q) <- Seq("q61" -> graft.queries.Declared5.q61, "q64" -> graft.queries.Declared5.q64)) {
+    for ((n, q) <- Seq("q78b" -> graft.queries.Declared7.q78b)) {
       val df = q(spark, sf)
       df.collect()
       val s = df.queryExecution.executedPlan.toString

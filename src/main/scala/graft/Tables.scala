@@ -32,12 +32,16 @@ object Tables {
     //    naive TIMESTAMP — no shift.
     //  - TIMESTAMP(MICROS, isAdjustedToUTC=true): already TimestampType.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
-    } else df
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // NTZ normalization applies to EVERY timestamp column of every
+    // table, not just events.ts — the next generator drift shouldn't
+    // need another seam patch
+    df.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** Stream-read the events table with the SAME ts normalization as

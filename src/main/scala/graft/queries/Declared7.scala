@@ -173,7 +173,9 @@ object Declared7 {
     *
     *  1. cells: one-Lloyd-step fixed-point codebook over the label
     *     slice ([[graft.sim.KmeansQuantizer]], seeds = the Q78Cells
-    *     lowest vec_ids); exact-int home assignment.
+    *     lowest vec_ids); ONE n×k angular scoring pass then serves
+    *     home assignment (nearest cell by cosine), probe selection
+    *     and the bound's cos_ac.
     *  2. phase 1: each vector probes its Q78NProbe angularly nearest
     *     cells (equi-join on cell), exact double cosine over those
     *     candidates → provisional τ_a = KnnK-th best similarity.
@@ -215,25 +217,30 @@ object Declared7 {
       .toDF("cid", "cv")
     val cb = KmeansQuantizer.cellVectors(
       KmeansQuantizer.lloydCells(KmeansQuantizer.assign(q, seeds)))
-    val home = KmeansQuantizer.assignRanked(q, cb).filter($"rn" === 1)
-      .select($"vec_id", $"cid".as("cell"))
     // centroids back in double space, unit-normalized for angle math
     val cellsD = cb.select($"cid".as("cell"),
         transform($"cv", x => x.cast("double") / lit(KmeansQuantizer.Scale.toDouble)).as("cvd"))
       .withColumn("cnorm", sqrt(dot_product($"cvd", $"cvd")))
-    // angular radius per cell: cr = min member cosine to own centroid
-    val members = e.join(home, "vec_id")
-    val cellStats = members.join(broadcast(cellsD), "cell")
-      .select($"cell",
-        (dot_product($"v", $"cvd") / ($"norm" * $"cnorm")).as("cos_vc"))
-      .groupBy($"cell").agg(min($"cos_vc").as("cr"))
-      .withColumn("sr", sqrt(greatest(lit(0.0), lit(1.0) - $"cr" * $"cr")))
-    // per (vector, cell) angular score + probe rank (k-sized broadcast)
+    // ONE n×k angular scoring pass serves home assignment (prn=1),
+    // probe selection (prn ≤ Q78NProbe) AND the bound's cos_ac — the
+    // certificate is valid for ANY membership partition, so home
+    // doesn't need the trainer's int-L2 argmin (which would cost a
+    // second n×k pass + window exchange); the int arithmetic stays
+    // where determinism buys something: the codebook itself. Cached:
+    // consumed by home, probes, and phase 2.
     val ac = e.crossJoin(broadcast(cellsD))
       .select($"vec_id".as("a_id"), $"cell",
         (dot_product($"v", $"cvd") / ($"norm" * $"cnorm")).as("cos_ac"))
       .withColumn("prn", row_number().over(
         Window.partitionBy($"a_id").orderBy($"cos_ac".desc, $"cell")))
+      .cache()
+    val home = ac.filter($"prn" === 1).select($"a_id".as("vec_id"), $"cell")
+    // angular radius per cell: cr = min member cosine to own centroid
+    // (cos_vc IS the home row's cos_ac — no rescoring)
+    val cellStats = ac.filter($"prn" === 1)
+      .groupBy($"cell").agg(min($"cos_ac").as("cr"))
+      .withColumn("sr", sqrt(greatest(lit(0.0), lit(1.0) - $"cr" * $"cr")))
+    val members = e.join(home, "vec_id")
     val eA = e.select($"vec_id".as("a_id"), $"v".as("av"), $"norm".as("anorm"))
     val eB = members.select($"vec_id".as("b_id"), $"v".as("bv"),
       $"norm".as("bnorm"), $"cell")

@@ -552,12 +552,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = executed(queries.Declared7.q78b(spark, sf))
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     // the only nested loops allowed are the k-row centroid broadcasts
-    // (codebook assign, home assign, probe scoring — the standard IVF
-    // assignment shape, ≤ Q78Cells rows on the broadcast side). The
-    // candidate generation itself must be equi-joins on cell: one more
-    // BNLJ than these three means a data×data pairwise scan crept in.
+    // (codebook-trainer assign + the single angular scoring pass — the
+    // standard IVF assignment shape, ≤ Q78Cells rows on the broadcast
+    // side). The candidate generation itself must be equi-joins on
+    // cell: one more BNLJ than these means a data×data pairwise scan
+    // crept in.
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(bnlj <= 3, s"expected ≤3 centroid-broadcast nested loops, got $bnlj:\n$plan")
+    assert(bnlj <= 2, s"expected ≤2 centroid-broadcast nested loops, got $bnlj:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("SortMergeJoin"), s"no equi-join in candidate path:\n$plan")
   }
