@@ -435,7 +435,10 @@ object Dedup {
     * [[graft.operators.StorageLayout.compact]] is the maintenance
     * companion when small appended files accumulate). Lifecycle spec'd
     * in StorageLayoutSpec: probe b1 → admit b1 → probe b2 finds
-    * b2×corpus AND b2×b1 pairs. */
+    * b2×corpus AND b2×b1 pairs. NOTE: this append is a ONE-SHOT batch
+    * API — under at-least-once replay (foreachBatch restart) it
+    * double-appends; streaming ingestion must use
+    * [[bandIndexAdmitIdempotent]] / [[dedupIngestionStream]]. */
   def bandIndexAdmit(batch: DataFrame, table: String): Unit = {
     val s = batch.sparkSession
     import s.implicits._
