@@ -71,11 +71,20 @@ object Sf1Gate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- 1. generate if absent (deterministic, replica 0 = identity)
+    // ---- 1. generate if absent OR STALE (deterministic, replica 0 =
+    // identity). Staleness matters: the round driver regenerates
+    // /root/testdata between rounds (r9 changed the ts encoding that
+    // way) — an sf1 dir scaled up from the PREVIOUS generation would
+    // silently gate against data the sf0.01 compare no longer uses.
+    val srcNewest = Tables
+      .map(t => new java.io.File(s"$srcSf/$t.parquet").lastModified).max
     val missing = Tables.filterNot(t => new java.io.File(s"$sf1Dir/$t.parquet").exists)
-    val generated = missing.nonEmpty
+    val stale = missing.isEmpty && Tables.exists(
+      t => new java.io.File(s"$sf1Dir/$t.parquet").lastModified < srcNewest)
+    val generated = missing.nonEmpty || stale
     if (generated) {
-      println(s"[sf1gate] generating $sf1Dir (missing: ${missing.mkString(",")})")
+      println(s"[sf1gate] generating $sf1Dir (" +
+        (if (stale) s"stale vs $srcSf" else s"missing: ${missing.mkString(",")}") + ")")
       ScaleUp.generate(spark, srcSf, sf1Dir, 10)
     }
 
@@ -142,8 +151,16 @@ object Sf1Gate {
         val sOut = outDir.stripSuffix("/") + "_sample"
         val sampleMissing =
           Tables.filterNot(t => Files.exists(Paths.get(s"$sampleDir/$t.parquet")))
-        if (sampleMissing.nonEmpty) {
-          println(s"[sf1gate] building $sampleDir (missing: ${sampleMissing.mkString(",")})")
+        // same staleness rule as the sf1 dir: the two MATERIALIZED
+        // sampled files must postdate every sf1 table (symlinked
+        // entries track their target's mtime automatically)
+        val sf1Newest = Tables
+          .map(t => new java.io.File(s"$sf1Dir/$t.parquet").lastModified).max
+        val sampleStale = sampleMissing.isEmpty && Seq("documents", "embeddings")
+          .exists(t => new java.io.File(s"$sampleDir/$t.parquet").lastModified < sf1Newest)
+        if (sampleMissing.nonEmpty || sampleStale) {
+          println(s"[sf1gate] building $sampleDir (" +
+            (if (sampleStale) "stale vs sf1" else s"missing: ${sampleMissing.mkString(",")}") + ")")
           new java.io.File(sampleDir).mkdirs()
           // one parquet FILE per table, like the driver layout (check.py
           // and Tables both expect `<dir>/<t>.parquet` as a single file).
