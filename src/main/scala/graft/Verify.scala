@@ -38,6 +38,17 @@ object Verify {
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
         failed(name) = msg
+        // a MID-write failure (executor dies after the committer created
+        // the dir) leaves a partial $outDir/$name with _temporary
+        // leftovers — delete it so a failed query can never be read as a
+        // (truncated) query dump by the driver's glob
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
         System.err.println(s"[verify] FAILED $name: $msg")
       }
     }

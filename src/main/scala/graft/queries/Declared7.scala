@@ -227,7 +227,14 @@ object Declared7 {
     // doesn't need the trainer's int-L2 argmin (which would cost a
     // second n×k pass + window exchange); the int arithmetic stays
     // where determinism buys something: the codebook itself. Cached:
-    // consumed by home, probes, and phase 2.
+    // consumed by home, probes, and phase 2. `ac` and `p1` are NOT
+    // unpersisted: the query returns a lazy plan that still references
+    // both caches — unpersisting here (before the caller acts on the
+    // plan) would evict the blocks the plan exists to reuse. The blocks
+    // are MEMORY_AND_DISK and slice-sized (|KnnLabel slice| × k scores /
+    // candidate pairs), so across a 137-query run they age out via LRU;
+    // a long-lived service embedding this query should wrap it in
+    // materialize-then-unpersist at the call site.
     val ac = e.crossJoin(broadcast(cellsD))
       .select($"vec_id".as("a_id"), $"cell",
         (dot_product($"v", $"cvd") / ($"norm" * $"cnorm")).as("cos_ac"))

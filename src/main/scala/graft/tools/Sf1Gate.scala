@@ -186,7 +186,12 @@ object Sf1Gate {
             }
           Tables.filterNot(Set("documents", "embeddings")).foreach { t =>
             val link = Paths.get(s"$sampleDir/$t.parquet")
-            if (!Files.exists(link)) Files.createSymbolicLink(
+            // NOFOLLOW: a dangling symlink (sf1 file renamed by a future
+            // generator) fails the followed Files.exists but still blocks
+            // createSymbolicLink — delete-then-create repairs it instead
+            if (Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+              Files.delete(link)
+            Files.createSymbolicLink(
               link, Paths.get(s"$sf1Dir/$t.parquet").toAbsolutePath)
           }
         }

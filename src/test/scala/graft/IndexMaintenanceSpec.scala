@@ -26,7 +26,10 @@ class IndexMaintenanceSpec extends AnyFunSuite {
 
   test("probe latency decays over 64 admitted batches; compact restores it row-identically") {
     import spark.implicits._
-    val table = "maint_band_idx"
+    // run-nonce suffix: concurrent suite runs share spark-warehouse/, and
+    // a fixed name collides there (LOCATION_ALREADY_EXISTS observed when
+    // two JVMs overlapped). The finally-block DROP still reclaims it.
+    val table = s"maint_band_idx_${java.util.UUID.randomUUID.toString.take(8)}"
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")

@@ -32,6 +32,24 @@ class VerifyFailureSpec extends AnyFunSuite {
       "failed query must not leave a pseudo-output directory")
   }
 
+  test("a MID-write failure deletes the partial output directory") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("verify_midfail_").toString
+    // the UDF throws on a late row, so the write task starts (committer
+    // creates $out/mid_query with _temporary) and THEN dies — the
+    // executor-failure-mid-write shape ADVICE flagged
+    val boom = udf { (id: Long) =>
+      if (id > 40L) sys.error(s"injected mid-write failure at $id") else id
+    }
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "mid_query" -> ((s, _) => s.range(50).select(boom(col("id")).as("v"))))
+    val failed = Verify.run(spark, sf, out, queries, Map.empty)
+    assert(failed.keySet == Set("mid_query"))
+    assert(!Files.exists(Paths.get(s"$out/mid_query")),
+      "partial output dir (with _temporary leftovers) must be deleted")
+    assert(Files.readString(Paths.get(s"$out/errors.json")).contains("mid_query"))
+  }
+
   test("no failures → no errors.json") {
     val out = Files.createTempDirectory("verify_ok_").toString
     val failed = Verify.run(spark, sf, out,
