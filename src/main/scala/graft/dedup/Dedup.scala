@@ -455,14 +455,29 @@ object Dedup {
   // ------------------------------------- Exactly-once ingestion loop
   /** [[bandIndexAdmit]] made REPLAY-IDEMPOTENT for at-least-once
     * execution (foreachBatch replays a failed micro-batch with the same
-    * batch id): every admitted band row carries its `batch_id`, and an
-    * admit whose id is already present in the index is a no-op. The
-    * append itself commits atomically at job granularity (Spark's file
-    * commit protocol publishes files only on job commit), so "id
-    * present" ⇔ "batch fully admitted" — a crash mid-write leaves no
-    * id and the replay re-admits cleanly. The presence check is a
-    * stats-pruned scan: per-file batch_id min/max skips every file but
-    * the replayed batch's own, so the ledger costs no extra table.
+    * batch id): every admitted band row carries its `batch_id`, and a
+    * replayed admit appends exactly the rows the previous attempt did
+    * NOT publish (an anti-join on the batch's deterministic banding),
+    * so the converged state is always the complete batch, exactly once.
+    *
+    * Why repair instead of a presence-check skip: "batch_id present ⇔
+    * batch fully admitted" only holds if the job commit is atomic, and
+    * FileOutputCommitter's job commit is a SEQUENCE of driver-side file
+    * renames — a crash mid-job-commit publishes a SUBSET of the batch's
+    * band rows carrying the id. A skip-on-presence ledger would then
+    * permanently lose the unpublished rows (found by the r10 advisor).
+    * The anti-join sees precisely the published subset and appends the
+    * complement; banding is a pure deterministic function of the batch
+    * (seeded minhash), so replay recomputes identical rows, and a crash
+    * mid-REPAIR just leaves a smaller complement for the next replay —
+    * convergent under arbitrarily many partial publishes. Crash-injected
+    * in IngestionRecoverySpec (partial-publish window included).
+    *
+    * Cost: the happy first-admit path is one stats-pruned emptiness
+    * probe (per-file batch_id min/max skips every file but a replayed
+    * batch's own); the anti-join only ever runs on a replay that finds
+    * prior rows. Reading the table inside its own append plan is fine —
+    * Spark forbids self-read only for Overwrite.
     *
     * Index tables for this API are SEPARATE from [[bandIndexAdmit]]'s
     * (three columns vs four); the loop creates its own table. */
@@ -470,17 +485,30 @@ object Dedup {
                                batchId: Long): Unit = {
     val s = batch.sparkSession
     import s.implicits._
-    if (s.catalog.tableExists(table) &&
-        !s.table(table).filter($"batch_id" === batchId).isEmpty) return
-    portableBanded(portableRaw(batch, Nil), Nil)
+    val banded = portableBanded(portableRaw(batch, Nil), Nil)
       .select($"doc_id".as("doc_old"), $"band", $"bh",
         lit(batchId).as("batch_id"))
-      .write
+    def append(df: DataFrame): Unit = df.write
       .bucketBy(BandIndexBuckets, "bh")
       .sortBy("bh")
       .format("parquet")
       .mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(table)
+    val published =
+      if (!s.catalog.tableExists(table)) None
+      else {
+        val p = s.table(table).filter($"batch_id" === batchId)
+          .select($"doc_old", $"band")
+        if (p.isEmpty) None else Some(p)
+      }
+    published match {
+      case None => append(banded)
+      case Some(p) =>
+        // (doc_old, band) uniquely keys a batch's band rows, so the
+        // complement of the published subset is exactly what's missing
+        val missing = banded.join(p, Seq("doc_old", "band"), "left_anti")
+        if (!missing.isEmpty) append(missing)
+    }
   }
 
   /** [[bandIndexProbeBatch]] against the batch-id SNAPSHOT `batch_id <

@@ -18,11 +18,15 @@ import graft.dedup.Dedup
   *  1. between probe and admit (pairs written, index not yet extended);
   *  2. after the admit committed but before the checkpoint recorded the
   *     batch (the window a blind SaveMode.Append double-appends in);
+  *  3. MID-job-commit: only a SUBSET of the batch's band rows published
+  *     with the batch_id (FileOutputCommitter's job commit is a rename
+  *     sequence, not atomic) — the window where a skip-on-presence
+  *     ledger permanently loses the unpublished rows;
   *
   * restarted from its checkpoint, and must end with the index contents
   * AND per-batch pair outputs of the crash-free run — byte-identical,
-  * no duplicated band rows, no self-pairs. Window 2 is what
-  * [[Dedup.bandIndexAdmitIdempotent]]'s in-table batch_id ledger and
+  * no duplicated band rows, no self-pairs. Windows 2–3 are what
+  * [[Dedup.bandIndexAdmitIdempotent]]'s anti-join repair and
   * [[Dedup.bandIndexProbeBatchBefore]]'s `batch_id < id` snapshot
   * exist for. */
 class IngestionRecoverySpec extends AnyFunSuite {
@@ -139,5 +143,24 @@ class IngestionRecoverySpec extends AnyFunSuite {
     assert(idx == baseline._1,
       "index differs — double-append or missed admit after post-admit crash")
     assert(pairs == baseline._2, "pair outputs differ after post-admit crash")
+  }
+
+  test("crash MID-job-commit (partial band rows published): replay repairs the complement") {
+    // the advisor's window: the admit's job commit renamed SOME of the
+    // batch's files and died — band rows for a subset of the batch's
+    // docs are published under the real batch_id. A skip-on-presence
+    // ledger would lose the rest forever; the anti-join repair must
+    // append exactly the complement on replay.
+    val (idx, pairs) = run { (df, id) =>
+      if (id == 1) {
+        val table = s"ingest_idx_$runId"
+        Dedup.bandIndexAdmitIdempotent(
+          df.filter(col("doc_id") % 2 === 0), table, id)
+        sys.error("injected crash (mid-job-commit, partial publish)")
+      }
+    }
+    assert(idx == baseline._1,
+      "index differs — partial publish was not repaired (or was double-appended)")
+    assert(pairs == baseline._2, "pair outputs differ after partial-publish crash")
   }
 }
