@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Declared7.queries ++
       EtlDemo.queries ++ graft.queries.Profiles.queries ++
       graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
-      graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries
+      graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.queries.UnicodeParity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -35,6 +36,6 @@ object SparkEntry {
     Oracle.oracleSql ++ graft.queries.Oracle2.oracleSql ++
       graft.queries.Oracle3.oracleSql ++ graft.queries.Oracle4.oracleSql ++
       graft.queries.Oracle5.oracleSql ++ graft.queries.Oracle6.oracleSql ++
-      graft.queries.Oracle7.oracleSql ++
+      graft.queries.Oracle7.oracleSql ++ graft.queries.Oracle8.sql ++
       graft.queries.Profiles.oracleSql
 }

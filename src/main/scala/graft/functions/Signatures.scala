@@ -95,21 +95,40 @@ object Signatures extends Serializable {
     out.toArray(new Array[String](out.size))
   }
 
+  /** Token separator set: ASCII whitespace {space, tab, LF, CR} — the
+    * explicit class both regex engines (java.util.regex and DuckDB's
+    * RE2) agree on byte for byte ([ \t\n\r]+; `\s` is avoided because
+    * Java's includes \x0B and RE2's doesn't). Unicode spaces (NBSP
+    * U+00A0, ideographic U+3000, …) deliberately ride INSIDE tokens in
+    * both engines — tested behavior on the Unicode fixture, not an
+    * accident. Shared by this kernel, [[graft.text.TextAnalysis.tokens]]
+    * and every oracle twin via [[TokenSepRegex]]. */
+  @inline def isTokenSep(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** The separator class as a regex, for Spark `split` and DuckDB
+    * `string_split_regex` — identical semantics verified on the
+    * Unicode fixture (UnicodeParity queries). */
+  val TokenSepRegex = "[ \\t\\n\\r]+"
+
   /** Whitespace tokens, empties dropped, duplicates kept (split parity —
     * n-gram windows need the raw sequence, not the distinct set). The
     * ONE tokenization loop — distinctTokens and every n-gram kernel
     * derive from it, so split semantics can never drift apart. Null
     * text (legal in the parquet schema) tokenizes to nothing, matching
-    * string_split(NULL)'s row-drop on the oracle side. */
+    * string_split(NULL)'s row-drop on the oracle side. Separators are
+    * the [[isTokenSep]] class; scanning UTF-16 units is safe because no
+    * separator is a surrogate half, so multi-unit codepoints can never
+    * be split. */
   def splitTokens(text: String): Array[String] = {
     if (text == null) return Array.empty
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     val n = text.length
     while (i < n) {
-      while (i < n && text.charAt(i) == ' ') i += 1
+      while (i < n && isTokenSep(text.charAt(i))) i += 1
       val start = i
-      while (i < n && text.charAt(i) != ' ') i += 1
+      while (i < n && !isTokenSep(text.charAt(i))) i += 1
       if (i > start) out += text.substring(start, i)
     }
     out.toArray
@@ -231,14 +250,22 @@ object Signatures extends Serializable {
   val PortableB: Array[Long] =
     Array.tabulate(16)(i => (69069L * (i + 1) + 1234567L) % 2147483647L)
 
-  /** Portable polynomial string hash: fold (h*31 + char) mod 1e9+7 over
-    * UTF-16 code units — equals DuckDB's ascii()-based fold on the
-    * (verified ASCII) corpus. Same recurrence as the text_fingerprint
-    * query. */
+  /** Portable polynomial string hash: fold (h*31 + codepoint) mod 1e9+7
+    * over Unicode CODE POINTS — equals DuckDB's ascii()-based fold on
+    * any text (both engines' char split is codepoint-wise and ascii()
+    * returns the full codepoint, verified incl. non-BMP on the Unicode
+    * fixture). For ASCII input this is the historical UTF-16-unit fold
+    * unchanged; for non-BMP input the UTF-16 version would have folded
+    * surrogate halves and diverged. Same recurrence as the
+    * text_fingerprint query. */
   def polyHash(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * PolyMul + s.charAt(i).toLong) % PolyMod; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * PolyMul + cp.toLong) % PolyMod
+      i += Character.charCount(cp)
+    }
     h
   }
 

@@ -340,7 +340,7 @@ object Declared {
   val q20: Q = (s, dir) => {
     import s.implicits._
     val toks = Tables(s, dir, "documents")
-      .select($"lang", explode(split($"text", " ")).as("token"))
+      .select($"lang", explode(split($"text", graft.functions.Signatures.TokenSepRegex)).as("token"))
       .filter($"token" =!= "")
     val counts = toks.groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"token")

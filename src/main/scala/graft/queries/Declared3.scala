@@ -158,7 +158,7 @@ object Declared3 {
     * tokens, so >6 leaves both populated and empty arrays). */
   val q40: Q = (s, dir) => {
     import s.implicits._
-    val longToks = filter(split($"text", " "), t => length(t) > 6)
+    val longToks = filter(split($"text", graft.functions.Signatures.TokenSepRegex), t => length(t) > 6)
     Tables(s, dir, "documents")
       .select($"doc_id", size(longToks).cast("int").as("n_long"),
         explode_outer(longToks).as("long_tok"))

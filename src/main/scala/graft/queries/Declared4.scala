@@ -253,7 +253,7 @@ object Declared4 {
     * shuffle but the presentation sort. */
   val q50: Q = (s, dir) => {
     import s.implicits._
-    val toks = array_distinct(filter(split($"text", " "), t => t =!= ""))
+    val toks = array_distinct(filter(split($"text", graft.functions.Signatures.TokenSepRegex), t => t =!= ""))
     Tables(s, dir, "documents")
       .select($"doc_id",
         filter(toks, t => length(t) <= 5).as("short_toks"),
@@ -281,7 +281,7 @@ object Declared4 {
       // partition for the compute — single-file scans serialize the
       // token fan-out on one task otherwise
       .repartition(s.sparkContext.defaultParallelism, $"doc_id")
-      .select($"doc_id", explode(filter(split($"text", " "), t => t =!= "")).as("tok"))
+      .select($"doc_id", explode(filter(split($"text", graft.functions.Signatures.TokenSepRegex), t => t =!= "")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
       .groupBy($"doc_id")
       .agg(map_from_entries(collect_list(struct($"tok", $"n"))).as("m"))

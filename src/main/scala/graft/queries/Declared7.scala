@@ -552,14 +552,14 @@ object Declared7 {
     * one doc's words); the corpus-scale work is one explode + one
     * broadcast join + one doc-keyed aggregate.
     *
-    * Precondition: ASCII corpus with single-0x20-space word separation
-    * (the testdata's documents are ASCII by construction). The
-    * character fold uses `ascii()` (first-codepoint) per 1-char split
-    * slice and the word splitter is the literal single-byte space —
-    * tabs/newlines/Unicode whitespace count as word characters, and
-    * non-BMP text would fold surrogate halves. Generalizing needs a
-    * codepoint splitter + `\\s+` tokenizer on BOTH engine and oracle
-    * sides — a deliberate non-goal while the corpus contract holds. */
+    * Text semantics are Unicode-general and TESTED, not assumed (the
+    * r10 ASCII precondition is retired): words split on the portable
+    * [ \t\n\r]+ class ([[graft.functions.Signatures.TokenSepRegex]]),
+    * the character fold is codepoint-wise in both engines (split('')
+    * yields codepoints, ascii() returns the full codepoint — non-BMP
+    * included, so surrogate halves never fold), and `length` counts
+    * codepoints. The whole train+encode chain is hash-checked over the
+    * multi-script [[graft.text.UnicodeFixture]] as text_unicode_bpe. */
   def q89Over(documents: DataFrame,
       vocabCap: Int = BpeVocabCap): DataFrame = {
     val s = documents.sparkSession
@@ -579,7 +579,7 @@ object Declared7 {
         lit(0L), (a, b) => (a * 31 + b) % 1000000007L)
     val words = documents
       .select($"doc_id",
-        posexplode(filter(split($"text", " "), x => x =!= ""))
+        posexplode(filter(split($"text", graft.functions.Signatures.TokenSepRegex), x => x =!= ""))
           .as(Seq("pos", "word")))
     words.join(vdf, Seq("word"), "left")
       .select($"doc_id", $"pos",

@@ -179,7 +179,7 @@ object Oracle {
     "q20_token_topk" ->
       """WITH toks AS (
         |  SELECT lang, t.token FROM documents,
-        |    unnest(string_split(text, ' ')) AS t(token)
+        |    unnest(string_split_regex(text, '[ \t\n\r]+')) AS t(token)
         |  WHERE t.token <> ''
         |), counts AS (
         |  SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
@@ -254,7 +254,7 @@ object Oracle {
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
         |  FROM documents)
         |SELECT doc_id, lang,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
@@ -268,8 +268,8 @@ object Oracle {
     "text_tokencount" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
-        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS bpe_ish_tokens
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+')) AS BIGINT) AS bpe_ish_tokens
         |  FROM documents)
         |SELECT doc_id, ws_tokens, bpe_ish_tokens,
         |  CAST(bpe_ish_tokens AS DOUBLE) / ws_tokens AS pieces_per_word
@@ -295,7 +295,7 @@ object Oracle {
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, lang, text,
@@ -323,7 +323,7 @@ object Oracle {
     "dedup_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang, CAST(floor(length(text) / 100.0) AS INT) AS len_bucket,
-        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |    list_distinct(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS toks
         |  FROM documents)
         |SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,

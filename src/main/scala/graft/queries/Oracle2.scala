@@ -278,7 +278,7 @@ object Oracle2 {
     "pipeline_curate" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |q AS (
         |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens

@@ -21,7 +21,7 @@ object Oracle3 {
   private val jaccardPairsCte =
     """d AS (
       |  SELECT doc_id, lang, CAST(floor(length(text) / 100.0) AS INT) AS len_bucket,
-      |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      |    list_distinct(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS toks
       |  FROM documents),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -76,7 +76,7 @@ object Oracle3 {
     "dedup_simhash_portable" ->
       s"""WITH t AS (
         |  SELECT doc_id,
-        |    list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        |    list_distinct(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS toks
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, list_transform(toks, tk -> list_reduce(
@@ -105,7 +105,7 @@ object Oracle3 {
     // collisions in both engines, so counts agree exactly
     "dedup_minhash_portable" ->
       s"""WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id,
@@ -156,7 +156,7 @@ object Oracle3 {
     // q28b/sim oracles); subscripts are 1-based like Spark's pos + 1
     "q36_posexplode" ->
       """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
         |  FROM documents WHERE doc_id < 100)
         |SELECT doc_id, pos, token FROM (
         |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS pos,
@@ -212,7 +212,7 @@ object Oracle3 {
 
     "text_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
@@ -242,7 +242,7 @@ object Oracle3 {
     "q40_explode_outer" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> length(x) > 6) AS long_toks
+        |    list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> length(x) > 6) AS long_toks
         |  FROM documents)
         |SELECT doc_id, CAST(len(long_toks) AS INT) AS n_long,
         |  unnest(CASE WHEN len(long_toks) = 0 THEN [CAST(NULL AS VARCHAR)]

@@ -50,9 +50,9 @@ object Oracle4 {
     "q50_array_setops" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    list_filter(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+        |    list_filter(list_distinct(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')),
         |      t -> length(t) <= 5) AS short_toks,
-        |    list_filter(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+        |    list_filter(list_distinct(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')),
         |      t -> length(t) >= 4) AS long_toks
         |  FROM documents)
         |SELECT doc_id,
@@ -66,7 +66,7 @@ object Oracle4 {
     "q51_map_hof" ->
       """SELECT doc_id, tok AS token, CAST(count(*) * 2 AS BIGINT) AS weight
         |FROM (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS tok
         |  FROM documents)
         |GROUP BY doc_id, tok HAVING count(*) > 1
         |ORDER BY doc_id, token""".stripMargin,
@@ -249,7 +249,7 @@ object Oracle4 {
 
     "text_boilerplate" ->
       """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),

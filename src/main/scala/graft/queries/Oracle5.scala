@@ -66,7 +66,7 @@ object Oracle5 {
     "q54_tfidf" ->
       """WITH dt AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS term
         |  FROM documents
         |), tfq AS (
         |  SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2
@@ -85,7 +85,7 @@ object Oracle5 {
 
     "q55_bm25" ->
       s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS t
         |  FROM documents
         |), dlq AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
         |stats AS (
@@ -111,7 +111,7 @@ object Oracle5 {
         |    list_distinct([array_to_string(t[i:i+${ContamN - 1}], ' ')
         |                   for i in range(1, len(t) - ${ContamN - 1} + 1)]) AS ngrams
         |  FROM (SELECT doc_id, source,
-        |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |          list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS t
         |        FROM documents)
         |  WHERE len(t) >= $ContamN
         |), e AS (
@@ -131,7 +131,7 @@ object Oracle5 {
     "q57_pack" ->
       s"""WITH d AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS BIGINT)
         |      AS n_tokens
         |  FROM documents
         |), o AS (
@@ -306,7 +306,7 @@ object Oracle5 {
     "q62_oov" ->
       s"""WITH dt AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS term
         |  FROM documents
         |), vc AS (
         |  SELECT term, count(*) AS cnt FROM dt GROUP BY 1

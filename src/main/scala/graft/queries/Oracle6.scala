@@ -70,7 +70,7 @@ object Oracle6 {
     "q73_power_iteration" -> powerIterationSql,
     "q65_heavy_hitters" ->
       s"""WITH t AS (
-         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  SELECT list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
          |  FROM documents),
          |b AS (
          |  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
@@ -160,7 +160,7 @@ object Oracle6 {
 
     "q70_dup_spans" ->
       s"""WITH t AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
          |  FROM documents),
          |g AS (
          |  SELECT doc_id, CAST(i AS INT) AS pos,

@@ -24,7 +24,7 @@ object Oracle7 {
     * previous round's `st` several times — inlined, the re-evaluation
     * compounds per round (measured 74 s → 0.2 s at sf0.01 for the
     * encode query, identical rows). */
-  private def bpeCtes: String = {
+  private def bpeCtes(src: String = "documents"): String = {
     val iters = (1 to BpeIters).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT s.word, s.cnt, t.i AS pos, s.syms[t.i] AS l, s.syms[t.i+1] AS r
@@ -52,8 +52,8 @@ object Oracle7 {
     }.mkString(",\n")
     s"""w AS (
        |  SELECT term AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
-       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-       |    FROM documents)
+       |    SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS term
+       |    FROM $src)
        |  GROUP BY term ORDER BY cnt DESC, word LIMIT $BpeVocabCap),
        |st0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms FROM w),
        |$iters""".stripMargin
@@ -63,7 +63,7 @@ object Oracle7 {
     val out = (1 to BpeIters)
       .map(i => s"SELECT CAST($i AS INT) AS iter, l AS lhs, r AS rhs, total FROM m$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH $bpeCtes
+    s"""WITH ${bpeCtes()}
        |SELECT * FROM (
        |$out
        |) ORDER BY iter""".stripMargin
@@ -73,10 +73,10 @@ object Oracle7 {
     * the per-word trained tokenization — and apply it to the document
     * word stream with character fallback for OOV words, mirroring the
     * Spark side's broadcast-join apply word for word. */
-  private val bpeEncodeSql: String =
-    s"""WITH $bpeCtes,
-       |docs AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
-       |  FROM documents),
+  private[queries] def bpeEncodeSqlFor(src: String): String =
+    s"""WITH ${bpeCtes(src)},
+       |docs AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS words
+       |  FROM $src),
        |dw AS (SELECT d.doc_id, CAST(t.i AS INT) AS pos, d.words[t.i] AS word
        |  FROM docs d, LATERAL (SELECT unnest(range(1, len(d.words) + 1)) AS i) t),
        |vt AS (SELECT word, list_aggregate(syms, 'string_agg', ' ') AS tok_str,
@@ -154,7 +154,7 @@ object Oracle7 {
     "q21c_asof_custom" -> Oracle.oracleSql("q21_asof_join"),
 
     "q77_bpe_merges" -> bpeSql,
-    "q89_bpe_encode" -> bpeEncodeSql,
+    "q89_bpe_encode" -> bpeEncodeSqlFor("documents"),
 
     // cross-set variant of Oracle3's dedup_minhash_portable text: the
     // identical portable LSH index (same generated band expressions),
@@ -162,7 +162,7 @@ object Oracle7 {
     "dedup_incremental" ->
       s"""WITH t AS (
         |  SELECT doc_id, source,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, source,
@@ -288,7 +288,7 @@ object Oracle7 {
     "q74_inverted_index" ->
       s"""WITH pairs AS (
         |  SELECT doc_id,
-        |    unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS term
+        |    unnest(list_distinct(list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> ''))) AS term
         |  FROM documents),
         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY term),
         |topp AS (SELECT term, doc_id FROM (

@@ -17,13 +17,17 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Non-empty whitespace tokens (Python-split parity: drop '').
-    * Precondition: tokens separate on the literal single-byte 0x20
-    * space — the testdata corpus's contract. Tab/newline/Unicode
-    * whitespace would ride inside tokens; a general corpus needs a
-    * `\\s+` split mirrored into every oracle twin. */
+  /** Non-empty whitespace tokens (Python-split parity: drop ''). Splits
+    * on the ASCII whitespace class [ \t\n\r]+
+    * ([[graft.functions.Signatures.TokenSepRegex]] — the explicit class
+    * java.util.regex and DuckDB's RE2 agree on; every oracle twin uses
+    * string_split_regex with the same literal class). Unicode spaces
+    * (NBSP, U+3000, …) ride inside tokens in BOTH engines — tested, not
+    * assumed, on the Unicode fixture (text_unicode_* queries). On the
+    * single-0x20-separated testdata this is value-identical to the
+    * historical single-space split. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    filter(split(text, graft.functions.Signatures.TokenSepRegex), t => t =!= "")
 
   private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "on")
 
@@ -49,13 +53,20 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** BPE-ish segmentation regex: Unicode letter runs / number runs.
+    * `\p{L}`/`\p{N}` parse identically in java.util.regex and RE2
+    * (verified on accented Latin, CJK, Hangul in the Unicode fixture);
+    * on the ASCII corpus it degenerates to the historical
+    * [a-z]+|[0-9]+ up to case (the synthetic docs are lowercase). */
+  val BpeIshRegex = "\\p{L}+|\\p{N}+"
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
-    * (letter runs / digit runs), the cheap proxy for tokenizer cost
+    * (letter runs / number runs), the cheap proxy for tokenizer cost
     * estimation over a corpus. */
   def tokenCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ws = size(tokens($"text")).cast("bigint")
-    val bpe = size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+"), lit(0))).cast("bigint")
+    val bpe = size(regexp_extract_all($"text", lit(BpeIshRegex), lit(0))).cast("bigint")
     Tables(s, dir, "documents")
       .select($"doc_id", ws.as("ws_tokens"), bpe.as("bpe_ish_tokens"),
         (bpe.cast("double") / ws).as("pieces_per_word"))

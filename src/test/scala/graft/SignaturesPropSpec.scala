@@ -9,19 +9,29 @@ import graft.functions.Signatures
   * that replaced interpreted SQL-lambda formulations (q56 n-grams, the
   * jaccard/minhash token paths). Each kernel must match a direct,
   * obviously-correct Scala reimplementation of the split semantics —
-  * `text.split(' ').filterNot(_.isEmpty)` — on generated inputs
-  * including empty strings, runs of spaces, and nulls. */
+  * regex-split on the [ \t\n\r]+ separator class, empties dropped — on
+  * generated inputs including empty strings, runs of mixed whitespace,
+  * nulls, and NON-ASCII token content (accented Latin, CJK, Hangul,
+  * combining marks, and non-BMP emoji — surrogate pairs must never be
+  * split and must fold as single codepoints). */
 object SignaturesProps extends Properties("Signatures") {
 
-  private val token: Gen[String] =
-    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val tokenChar: Gen[Char] = Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf("éüñßàçøĳ汉字日本語한국어данныеδε"),
+    1 -> Gen.oneOf('́', ' ', '　')) // combining + unicode spaces (NOT separators)
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.nonEmptyListOf(tokenChar).map(_.mkString),
+    Gen.oneOf("😀", "🚀🚀", "𝕳𝖊𝖑𝖑𝖔", "a😀b")) // non-BMP: surrogate pairs
+  private val sepChar: Gen[Char] = Gen.oneOf(' ', '\t', '\n', '\r')
   private val text: Gen[String] = for {
     toks <- Gen.listOf(token)
-    seps <- Gen.listOfN(toks.length + 1, Gen.chooseNum(0, 3).map(" " * _))
+    seps <- Gen.listOfN(toks.length + 1,
+      Gen.chooseNum(0, 3).flatMap(k => Gen.listOfN(k, sepChar).map(_.mkString)))
   } yield seps.zipAll(toks, "", "").map { case (sp, t) => sp + t }.mkString
 
   private def refTokens(s: String): List[String] =
-    s.split(" ", -1).toList.filterNot(_.isEmpty)
+    s.split("[ \t\n\r]", -1).toList.filterNot(_.isEmpty)
 
   property("splitTokens == split-and-drop-empties") = forAll(text) { s =>
     Signatures.splitTokens(s).toList == refTokens(s)
@@ -30,7 +40,15 @@ object SignaturesProps extends Properties("Signatures") {
   property("splitTokens is null-safe and empty-safe") =
     Signatures.splitTokens(null).isEmpty &&
       Signatures.splitTokens("").isEmpty &&
-      Signatures.splitTokens("   ").isEmpty
+      Signatures.splitTokens(" \t\n\r ").isEmpty
+
+  property("polyHash folds CODE POINTS (surrogate pairs fold as one)") =
+    forAll(text) { s =>
+      val expect = s.codePoints().toArray.foldLeft(BigInt(0)) {
+        (h, cp) => (h * Signatures.PolyMul + cp) mod BigInt(Signatures.PolyMod)
+      }
+      BigInt(Signatures.polyHash(s)) == expect
+    }
 
   property("distinctTokens == first-occurrence distinct of splitTokens") =
     forAll(text) { s =>
