@@ -860,7 +860,7 @@ object Dedup {
     * an nBits-wide signature column `sh`: SimhashPieces equal-width
     * pieces (the top piece takes any remainder bits), exact recall
     * within SimhashRadius, pairs distinct across pieces. */
-  private def simhashPairs(d: DataFrame, nBits: Int): DataFrame = {
+  private[graft] def simhashPairs(d: DataFrame, nBits: Int): DataFrame = {
     val s = d.sparkSession
     import s.implicits._
     val radius = SimhashRadius

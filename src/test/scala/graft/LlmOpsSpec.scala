@@ -624,6 +624,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.FakeCodec.sampleFrames(f, 2) == Seq(0, 2, 4, 6))
   }
 
+  test("dHash blocking == brute force (exact recall within the radius)") {
+    import spark.implicits._
+    // independent brute pass: hash every image (same decode path),
+    // all-pairs Hamming, threshold — the blocking must reproduce it
+    // EXACTLY (pigeonhole argument: radius 3 < 4 pieces)
+    val ids = Tables(spark, sf, "documents")
+      .filter($"doc_id" % 3 === 0).select($"doc_id").as[Long].collect().sorted
+    val hs = ids.map { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.ImageIoCodec.renderPng(id)))
+      id -> Multimodal.DHash.dhash56(img)
+    }.toMap
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if hd <= Multimodal.DHash.Radius
+    } yield (a, b, hd)).toSet
+    val blocked = Multimodal.phashPairsQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "vacuous: no near-dup pairs in fixture")
+    assert(blocked == brute,
+      s"blocking diverged: ${(blocked diff brute).size} extra, ${(brute diff blocked).size} missing")
+  }
+
+  test("dHash is invariant to what it should be, sensitive to what it shouldn't") {
+    // same closed-form image id → same hash (determinism through the
+    // PNG encode→decode round trip); a one-pixel-region brightness
+    // bump that flips one block comparison moves Hamming by a bounded
+    // amount (perceptual locality), while id+1 (different gradient
+    // wrap points) usually moves more
+    val img7a = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.ImageIoCodec.renderPng(7L)))
+    val img7b = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.ImageIoCodec.renderPng(7L)))
+    assert(Multimodal.DHash.dhash56(img7a) == Multimodal.DHash.dhash56(img7b))
+    // perceptual locality: darkening ONE 2x2 corner flips at most the
+    // comparisons adjacent to the corner blocks (<= 4 bits of 56)
+    val w = img7a.getWidth; val h = img7a.getHeight
+    val dark = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      dark.setRGB(x, y, if (x < 2 && y < 2) 0 else img7a.getRGB(x, y))
+    val hd = java.lang.Long.bitCount(
+      Multimodal.DHash.dhash56(img7a) ^ Multimodal.DHash.dhash56(dark))
+    assert(hd <= 4, s"corner edit moved $hd bits — dHash is not local")
+  }
+
   test("audio chunking: full coverage, bounded chunks, only audio records") {
     import spark.implicits._
     val chunks = Multimodal.audioChunkQuery(spark, sf).cache()
