@@ -546,17 +546,44 @@ object Dedup {
     * no-op or clean admit — proven by crash injection in
     * IngestionRecoverySpec. `beforeAdmit` is that spec's injection
     * seam (default no-op; it receives the batch so the spec can also
-    * simulate an admit-then-crash window). */
+    * simulate an admit-then-crash window).
+    *
+    * Index MAINTENANCE rides the loop (r10 carried this as a gap):
+    * every `compactEvery` admits, step (4) runs the bucket-preserving
+    * [[compactBandIndex]] — row-identical, ledger-preserving, so replay
+    * re-running it converges — and every batch begins by repairing a
+    * compaction that crashed between its DROP and RENAME
+    * ([[recoverBandIndexCompaction]]); both windows are crash-injected
+    * in IngestionRecoverySpec. */
+  /** Default compaction cadence for the ingestion loop: every admit
+    * appends ~one small file per bucket, so probe latency decays
+    * linearly in admitted batches (IndexMaintenanceSpec: 64 admits →
+    * 1400 files, 1.08 s probes; compacted → 16 files, 0.33 s).
+    * Compacting every 16 admits bounds the per-bucket file count at
+    * ~17 while amortizing the full-index rewrite over 16 appends. */
+  val CompactEvery = 16
+
   def dedupIngestionStream(stream: DataFrame, table: String,
                            pairsDir: String, checkpoint: String,
-                           beforeAdmit: (DataFrame, Long) => Unit = (_, _) => ())
+                           beforeAdmit: (DataFrame, Long) => Unit = (_, _) => (),
+                           compactEvery: Int = CompactEvery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val onBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+      // self-heal a compaction that crashed between DROP and RENAME —
+      // without this, a restart would probe a "missing" table as an
+      // empty corpus and silently lose every prior admit
+      recoverBandIndexCompaction(batch.sparkSession, table)
       bandIndexProbeBatchBefore(batch, table, id)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$pairsDir/batch_id=$id")
       beforeAdmit(batch, id)
       bandIndexAdmitIdempotent(batch, table, id)
+      // maintenance rides the loop: bucket-preserving, row-identical,
+      // ledger (batch_id) preserved — so a replayed batch that re-runs
+      // compaction converges to the same contents. Keyed on batch id,
+      // so the policy is deterministic under replay.
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        compactBandIndex(batch.sparkSession, table)
     }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -580,7 +607,8 @@ object Dedup {
     * compact(): a crash between drop and rename leaves the data under
     * `<table>__compact`; Delta/Iceberg is the production answer.
     * Returns (files before, files after). */
-  def compactBandIndex(s: SparkSession, table: String): (Int, Int) = {
+  def compactBandIndex(s: SparkSession, table: String,
+                       afterDrop: () => Unit = () => ()): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     def fileCount(t: String): Int = {
       val loc = s.sql(s"DESCRIBE EXTENDED $t")
@@ -601,8 +629,28 @@ object Dedup {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(tmp)
     s.sql(s"DROP TABLE $table")
+    afterDrop() // IngestionRecoverySpec's injection seam (default no-op)
     s.sql(s"ALTER TABLE $tmp RENAME TO $table")
     (before, fileCount(table))
+  }
+
+  /** Repair the DROP→RENAME window of a crashed [[compactBandIndex]]:
+    * if the index table is missing but `<table>__compact` exists, the
+    * crash happened between the two DDLs — the tmp table is COMPLETE by
+    * construction (the only code path that drops the live table runs
+    * after tmp's write committed), so renaming it IS the recovery. The
+    * converse (table present, tmp present) is a crash mid-tmp-write or
+    * pre-drop; the live table is intact and the next compaction's
+    * Overwrite subsumes the leftover. Called at the top of every
+    * [[dedupIngestionStream]] micro-batch, so a crashed compaction
+    * self-heals on restart before anything probes. Returns whether a
+    * repair happened. */
+  def recoverBandIndexCompaction(s: SparkSession, table: String): Boolean = {
+    val tmp = table + "__compact"
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(tmp)) {
+      s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      true
+    } else false
   }
 
   /** Shared probe tail: banded (doc_new, band, bh) rows against the

@@ -62,9 +62,12 @@ class IngestionRecoverySpec extends AnyFunSuite {
   /** Run the ingestion loop over the 3-batch source into fresh
     * table/pairs/checkpoint. `crash`: invoked in the beforeAdmit seam
     * (first attempt only — the driver rethrows into the stream, then we
-    * restart from the same checkpoint). Returns (index rows incl.
+    * restart from the same checkpoint). `compactEvery` forwards to the
+    * loop's maintenance policy (default 0 = off, matching the baseline
+    * runs that predate in-loop compaction). Returns (index rows incl.
     * batch_id, pairs rows per batch dir). */
-  private def run(crash: (DataFrame, Long) => Unit = null)
+  private def run(crash: (DataFrame, Long) => Unit = null,
+                  compactEvery: Int = 0)
       : (Seq[String], Map[Long, Seq[String]]) = {
     runId += 1
     val (dir, schema) = streamFixture
@@ -80,7 +83,7 @@ class IngestionRecoverySpec extends AnyFunSuite {
     }
     def start() = Dedup.dedupIngestionStream(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
-      table, pairsDir, ckpt, hook)
+      table, pairsDir, ckpt, hook, compactEvery)
     val q1 = start()
     if (crash != null) {
       val ex = intercept[Throwable] { q1.processAllAvailable() }
@@ -162,5 +165,31 @@ class IngestionRecoverySpec extends AnyFunSuite {
     assert(idx == baseline._1,
       "index differs — partial publish was not repaired (or was double-appended)")
     assert(pairs == baseline._2, "pair outputs differ after partial-publish crash")
+  }
+
+  test("compaction interleaved with ingestion: contents identical to the compaction-free run") {
+    // compact after every admit — the most aggressive interleaving the
+    // policy allows — and require byte-identical index contents AND
+    // probe pairs vs the never-compacted baseline
+    val (idx, pairs) = run(crash = null, compactEvery = 1)
+    assert(idx == baseline._1, "in-loop compaction changed index contents")
+    assert(pairs == baseline._2, "in-loop compaction changed probe pairs")
+  }
+
+  test("crash DURING compaction (between DROP and RENAME): restart self-heals, identical outputs") {
+    // the non-transactional window compactBandIndex documents: live
+    // table dropped, complete rewrite stranded under __compact, driver
+    // dies. Without recoverBandIndexCompaction the restarted loop would
+    // probe a missing table as an EMPTY corpus and silently forget
+    // every prior admit — the worst failure mode in this file.
+    val (idx, pairs) = run { (df, id) =>
+      if (id == 1) {
+        val table = s"ingest_idx_$runId"
+        Dedup.compactBandIndex(df.sparkSession, table,
+          afterDrop = () => sys.error("injected crash (mid-compaction)"))
+      }
+    }
+    assert(idx == baseline._1, "index differs after mid-compaction crash recovery")
+    assert(pairs == baseline._2, "pairs differ after mid-compaction crash recovery")
   }
 }
