@@ -133,6 +133,97 @@ object Similarity {
         (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
   }
 
+  // ------------------------- Exactly-once embedding ingestion (r11)
+  /** [[writeLshIndex]] made REPLAY-IDEMPOTENT for streaming embedding
+    * ingestion — the [[graft.dedup.Dedup.bandIndexAdmitIdempotent]]
+    * pattern applied to the ANN index (the r10 verdict's carry-over):
+    * every admitted row carries its `batch_id`, and a replayed admit
+    * appends exactly the complement of what the crashed attempt
+    * published (anti-join on `vec_id`, which uniquely keys a batch's
+    * rows) — convergent under partial job commits, where a
+    * skip-on-presence ledger would permanently lose rows. The table is
+    * bucketed by the LSH bucket like the one-shot writer, so probes
+    * keep their shuffle-free index side. */
+  def lshIndexAdmitIdempotent(batch: DataFrame, table: String,
+                              batchId: Long,
+                              numBuckets: Int = 1 << NumPlanes): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val rows = vcol(batch)
+      .withColumn("bucket", bucketCol(col("v")))
+      .select($"vec_id", $"label", $"v", $"norm", $"bucket",
+        lit(batchId).as("batch_id"))
+    def append(df: DataFrame): Unit = df.write
+      .bucketBy(numBuckets, "bucket")
+      .sortBy("bucket")
+      .format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(table)
+    val published =
+      if (!s.catalog.tableExists(table)) None
+      else {
+        val p = s.table(table).filter($"batch_id" === batchId).select($"vec_id")
+        if (p.isEmpty) None else Some(p)
+      }
+    published match {
+      case None => append(rows)
+      case Some(p) =>
+        val missing = rows.join(p, Seq("vec_id"), "left_anti")
+        if (!missing.isEmpty) append(missing)
+    }
+  }
+
+  /** Cosine candidates of an ARRIVING embedding batch against the
+    * `batch_id < batchId` snapshot of an idempotent-admit index — the
+    * replay-stable probe ([[graft.dedup.Dedup.bandIndexProbeBatchBefore]]
+    * argument): a replay after its own admit committed still sees
+    * exactly the pre-batch index, so recomputed candidates are
+    * identical. Home-bucket equi-join; the small arriving side
+    * broadcasts, the index side stays bucket-distributed on disk and
+    * never shuffles. Missing table = empty corpus (batch 0 bootstrap). */
+  def lshIndexProbeBatchBefore(batch: DataFrame, table: String,
+                               batchId: Long): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val q = vcol(batch).withColumn("bucket", bucketCol(col("v")))
+      .select($"bucket", $"vec_id".as("vec_new"),
+        $"v".as("qv"), $"norm".as("qnorm"))
+    if (!s.catalog.tableExists(table))
+      q.select($"vec_new", $"vec_new".as("vec_old"),
+        lit(0.0).as("cos_sim")).limit(0)
+    else
+      s.table(table).filter($"batch_id" < batchId)
+        .join(broadcast(q), "bucket")
+        .select($"vec_new", $"vec_id".as("vec_old"),
+          (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+  }
+
+  /** The embedding probe→admit loop as a Structured Streaming query
+    * with EXACTLY-ONCE output effects under at-least-once replay —
+    * [[graft.dedup.Dedup.dedupIngestionStream]]'s three-step shape over
+    * the ANN index: (1) probe the arriving vectors against the
+    * snapshot, (2) overwrite the batch's own candidates partition
+    * (idempotent sink), (3) admit via [[lshIndexAdmitIdempotent]].
+    * Crash-injected in SimIngestionRecoverySpec across the same
+    * windows as the band-index loop (probe/admit gap, post-admit,
+    * partial publish). `beforeAdmit` is the spec's injection seam. */
+  def simIngestionStream(stream: DataFrame, table: String,
+                         pairsDir: String, checkpoint: String,
+                         beforeAdmit: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val onBatch: (DataFrame, Long) => Unit = { (batch, id) =>
+      lshIndexProbeBatchBefore(batch, table, id)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$pairsDir/batch_id=$id")
+      beforeAdmit(batch, id)
+      lshIndexAdmitIdempotent(batch, table, id)
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(onBatch)
+      .start()
+  }
+
   val NProbe = 2
 
   /** IVF (inverted-file) approximate top-K — the second scale path next
