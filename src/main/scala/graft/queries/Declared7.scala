@@ -135,12 +135,18 @@ object Declared7 {
     * triangle once via the a<b<c orientation (two equi-joins on the
     * dedup'd edge list — no wedge ever materializes twice), then
     * explodes the 3 corners for per-node counts. All-integer output. */
-  val q78: Q = (s, dir) => {
+  val q78: Q = (s, dir) =>
+    knnGraphBrute(Tables(s, dir, "embeddings").filter(col("label") === KnnLabel))
+
+  /** q78's brute body over an ARBITRARY embeddings slice — the seam the
+    * KnnCrossover tool uses to measure brute-vs-certificate at growing
+    * slice sizes (the query itself always passes the KnnLabel slice). */
+  private[graft] def knnGraphBrute(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
     import graft.functions.VectorFunctions.dot_product
-    val e = Tables(s, dir, "embeddings")
-      .filter($"label" === KnnLabel)
+    val e = emb
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot_product($"v", $"v")))
     val other = e.select($"vec_id".as("b_id"), $"v".as("bv"), $"norm".as("bnorm"))
@@ -197,12 +203,22 @@ object Declared7 {
     * to a scan — the honest behavior of an exact method on data with
     * no cluster structure. Downstream graph shared via
     * [[mutualKnnGraph]]. */
-  val q78b: Q = (s, dir) => {
+  val q78b: Q = (s, dir) =>
+    knnGraphIvf(Tables(s, dir, "embeddings").filter(col("label") === KnnLabel))
+
+  /** q78b's certificate body over an ARBITRARY embeddings slice with
+    * tunable cell count / probe breadth — the KnnCrossover seam (the
+    * query itself always passes the KnnLabel slice with the pinned
+    * [[Q78Cells]]/[[Q78NProbe]]; exactness is INDEPENDENT of both knobs
+    * — the certificate scans whatever it cannot prove prunable). */
+  private[graft] def knnGraphIvf(emb: DataFrame,
+                                 cells: Int = Q78Cells,
+                                 nprobe: Int = Q78NProbe): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
     import graft.functions.VectorFunctions.dot_product
     import graft.sim.KmeansQuantizer
-    val emb = Tables(s, dir, "embeddings").filter($"label" === KnnLabel)
     val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot_product($"v", $"v")))
     val q = KmeansQuantizer.quantized(emb)
@@ -210,7 +226,7 @@ object Declared7 {
     // deterministic driver pull — k·d ints, broadcast-scale by
     // construction; the slice's ids are arbitrary so a `vec_id < k`
     // filter can't seed here)
-    val seedRows = q.orderBy($"vec_id").limit(Q78Cells)
+    val seedRows = q.orderBy($"vec_id").limit(cells)
       .select($"qv").collect().map(_.getSeq[Long](0))
     val seeds = s.createDataFrame(
       seedRows.zipWithIndex.toIndexedSeq.map { case (cv, i) => (i, cv) })
@@ -259,7 +275,7 @@ object Declared7 {
         (dot_product($"av", $"bv") / ($"anorm" * $"bnorm")).as("cos_sim"))
     // phase 1: nearest-cell candidates → provisional τ_a
     val p1 = scored(
-      ac.filter($"prn" <= Q78NProbe).select($"a_id", $"cell")
+      ac.filter($"prn" <= nprobe).select($"a_id", $"cell")
         .join(eB.select($"b_id", $"cell"), "cell")
         .select($"a_id", $"b_id", $"cell")).cache()
     val wk = Window.partitionBy($"a_id").orderBy($"cos_sim".desc, $"b_id")
@@ -274,7 +290,7 @@ object Declared7 {
     // (singleton-cell shape; doesn't occur in this corpus, must not
     // depend on that)
     val p2 = scored(
-      ac.filter($"prn" > Q78NProbe)
+      ac.filter($"prn" > nprobe)
         .join(tau, Seq("a_id"), "left")
         .join(broadcast(cellStats), "cell")
         .filter(

@@ -30,8 +30,10 @@ import org.apache.spark.sql.SparkSession
   *    byte-identical sampled files, so the compare is exact, not
   *    approximate. dedup_clusters' recursive-CTE closure oracle is
   *    infeasible at any sampling that keeps its cluster structure
-  *    (>6 h); its sf1 crosscheck stays the independent union-find in
-  *    DedupSpec/BASELINE M24.
+  *    (>6 h); its full-sf1 crosscheck is a STANDING gate component
+  *    (§4c, r11): an independent union-find over the dumped jaccard
+  *    pairs must reproduce the dumped labeling exactly → the summary's
+  *    `clusters_check` field, gate-failing on mismatch.
   *  - bench is ONE pass (the statistically honest min-of-3 interleaved
   *    protocol lives in graft.Bench at sf0.1; this gate's timings are
   *    trend signals subject to the documented host-throttle band).
@@ -212,6 +214,49 @@ object Sf1Gate {
           (0, -1, "failed")
       }
 
+    // ---- 4c. clusters_check: dedup_clusters is the ONE heavy oracle
+    // that can't be sampled (any sampling that thins the pair graph
+    // changes its components — TESTDATA.md), so its full-sf1 proof is a
+    // standing component here instead of the one-off M24 measurement:
+    // an INDEPENDENT union-find (reimplemented below, not Dedup's code
+    // path) over the engine's dumped jaccard pairs — whose own
+    // correctness the sampled-heavy compare just vouched — must
+    // reproduce the dumped cluster labeling EXACTLY. Union-by-min +
+    // path compression ⇒ every root is its component's minimum id,
+    // which is precisely dedup_clusters' labeling contract.
+    val (clustersStatus, clustersDocs) = try {
+      val pairs = spark.read.parquet(s"$outDir/dedup_jaccard")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val expected = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toSet[Long].iterator.map(v => v -> find(v)).toMap
+      val got = spark.read.parquet(s"$outDir/dedup_clusters")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      if (got == expected && got.nonEmpty) ("ok", got.size)
+      else if (got.isEmpty) ("empty", 0)
+      else {
+        val diff = (got.keySet union expected.keySet)
+          .count(k => got.get(k) != expected.get(k))
+        (s"mismatch_$diff", got.size)
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[sf1gate] clusters_check FAILED: ${e.getMessage}")
+        ("failed", 0)
+    }
+
     // ---- 5. one summary line
     val total = timings.values.sum
     val slowest5 = timings.toSeq.sortBy(-_._2).take(5)
@@ -226,13 +271,15 @@ object Sf1Gate {
       s""""total_sec":${math.round(total * 100) / 100.0},"passes":1,""" +
       s""""oracle":${q(oracleStatus)},"oracle_ok":$oracleOk,"oracle_fail":$oracleFail,""" +
       s""""sampled_heavy":${q(sampStatus)},"sampled_heavy_ok":$sampOk,"sampled_heavy_fail":$sampFail,""" +
+      s""""clusters_check":${q(clustersStatus)},"clusters_docs":$clustersDocs,""" +
       s""""skipped_heavy_oracles":$skipped,"slowest5":$slowest5,"queries":$qs}""")
 
     spark.stop()
     // oracleFail/sampFail are -1 when a harness crashed without a
     // summary — that must fail the gate too, not read as "0 failures"
     if (failed.nonEmpty || oracleFail != 0 ||
-        (sampStatus != "skipped" && sampStatus != "not_needed_full_mode" && sampFail != 0))
+        (sampStatus != "skipped" && sampStatus != "not_needed_full_mode" && sampFail != 0) ||
+        clustersStatus != "ok")
       sys.exit(1)
   }
 }
