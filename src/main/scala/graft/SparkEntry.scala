@@ -37,5 +37,6 @@ object SparkEntry {
       graft.queries.Oracle3.oracleSql ++ graft.queries.Oracle4.oracleSql ++
       graft.queries.Oracle5.oracleSql ++ graft.queries.Oracle6.oracleSql ++
       graft.queries.Oracle7.oracleSql ++ graft.queries.Oracle8.sql ++
+      graft.queries.Oracle9.sql ++
       graft.queries.Profiles.oracleSql
 }

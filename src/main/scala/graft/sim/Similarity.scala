@@ -353,6 +353,172 @@ object Similarity {
     graft.operators.StorageLayout.writeBucketed(idx, table, "cell", numBuckets)
   }
 
+  /** Exact re-rank window for the PQ paths: ADC keeps the [[PqRerank]]
+    * approximately-nearest candidates per query; only those rows touch
+    * the float vectors again. The production recall/cost knob. */
+  val PqRerank = 64
+
+  /** Product-quantized top-K over the FULL corpus — ADC scoring on the
+    * 8-byte codes column, exact cosine re-rank of the top [[PqRerank]]:
+    * the memory-compression rung of the ANN ladder
+    * ([[PqQuantizer]] — 32× smaller scoring scan than the float
+    * corpus). Every stage is exact integer arithmetic until the final
+    * double cosine, so codebooks, codes, ADC distances, the candidate
+    * cut, and the re-rank all hash-check against the DuckDB twin
+    * ([[graft.queries.Oracle9]]). Plan shape: codebooks and the packed
+    * per-query distance tables broadcast (M·KS longs per query); the
+    * scoring scan reads codes only; the top-R cut is a WindowGroupLimit
+    * (map-side partial); the re-rank joins [[PqRerank]]·|queries| rows
+    * back to the vectors. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import PqQuantizer._
+    val e = vcol(Tables(s, dir, "embeddings"))
+    val sub = subvectors(KmeansQuantizer.quantized(Tables(s, dir, "embeddings")))
+    val cb = codebooks(sub)
+    val codes = encoded(sub, cb)
+    val qdt = queryTables(sub, cb, NumQueries)
+    val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
+    val cand = codes.crossJoin(broadcast(qdt))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
+      .withColumn("rn", row_number().over(wR))
+      .filter($"rn" <= PqRerank)
+    val qv = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    cand.join(e.select($"vec_id", $"v", $"norm"), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select($"query_id", $"vec_id", $"adist",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF-PQ top-K — the full FAISS-style IVFADC composition and the
+    * layout you'd actually persist at 100 TB: the trained coarse
+    * quantizer ([[trainedCodebook]]) routes queries to NProbe cells,
+    * ADC scores ONLY the codes of vectors homed in probed cells, and
+    * the exact re-rank touches [[PqRerank]] float vectors per query.
+    * Scoring cost per query is (NProbe/k)·n table lookups over 8-byte
+    * codes — both the scan volume AND the bytes-per-row collapse.
+    * Deterministic end-to-end (coarse routing by exact i64 L2, ADC by
+    * exact i64 tables) → hash-checked ([[graft.queries.Oracle9]]). */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import PqQuantizer._
+    val e = vcol(Tables(s, dir, "embeddings"))
+    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
+    val ranked = KmeansQuantizer.assignRanked(q, trainedCodebook(s, dir))
+    val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
+    val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"cid".as("cell"))
+    val sub = subvectors(q)
+    val cb = codebooks(sub)
+    val codes = encoded(sub, cb)
+    val qdt = queryTables(sub, cb, NumQueries)
+    // candidates: codes of vectors homed in the query's probe cells —
+    // cell equi-join (broadcast query side), never a corpus cross join
+    val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
+    val cand = codes.join(home, "vec_id")
+      .join(broadcast(qprobe), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(qdt), "query_id")
+      .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
+      .withColumn("rn", row_number().over(wR))
+      .filter($"rn" <= PqRerank)
+    val qv = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    cand.join(e.select($"vec_id", $"v", $"norm"), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select($"query_id", $"vec_id", $"adist",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Persist the IVF-PQ index — the layout the 100 TB deployment
+    * actually serves from: rows bucketed by coarse home cell, carrying
+    * BOTH the M-byte PQ codes (the scoring payload) and the float
+    * vector (the re-rank payload). Parquet's columnar layout is what
+    * makes the separation real: ADC scoring scans read (vec_id, cell,
+    * codes) and never materialize the 256-byte vector column
+    * (ReadSchema pruning pinned in StorageLayoutSpec). The PQ and
+    * coarse codebooks persist alongside as dimension-sized side tables
+    * (M·KS and KCells rows). */
+  def writeIvfPqIndex(s: SparkSession, dir: String, table: String): Unit = {
+    import s.implicits._
+    import PqQuantizer._
+    val e = vcol(Tables(s, dir, "embeddings"))
+    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
+    val home = KmeansQuantizer.assignRanked(q, trainedCodebook(s, dir))
+      .filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
+    val sub = subvectors(q)
+    val cb = codebooks(sub)
+    val idx = e.join(home, "vec_id").join(encoded(sub, cb), "vec_id")
+      .select($"vec_id", $"label", $"v", $"norm", $"cell", $"codes")
+    graft.operators.StorageLayout.writeBucketed(idx, table, "cell", KCells)
+    cb.write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table + "_pqcb")
+    trainedCodebook(s, dir).write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table + "_coarse")
+  }
+
+  /** ADC candidate generation against a persisted IVF-PQ index: route
+    * the standard query set through the persisted coarse codebook,
+    * score codes of vectors homed in probed cells, keep the top
+    * [[PqRerank]] per query. Reads ONLY (vec_id, cell, codes) from the
+    * index — the float column stays on disk. */
+  def probeIvfPqCandidates(s: SparkSession, table: String): DataFrame = {
+    import s.implicits._
+    import PqQuantizer._
+    val idx = s.table(table)
+    val qvecs = idx.filter($"vec_id" < NumQueries)
+      .select($"vec_id",
+        transform($"v", x => floor(x * KmeansQuantizer.Scale + 0.5).cast("long")).as("qv"))
+    val qdt = queryTables(subvectors(qvecs), s.table(table + "_pqcb"), NumQueries)
+    val qprobe = KmeansQuantizer.assignRanked(qvecs, s.table(table + "_coarse"))
+      .filter($"rn" <= NProbe).select($"vec_id".as("query_id"), $"cid".as("cell"))
+    val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
+    idx.select($"vec_id", $"cell", $"codes")
+      .join(broadcast(qprobe), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(qdt), "query_id")
+      .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
+      .withColumn("rn", row_number().over(wR))
+      .filter($"rn" <= PqRerank)
+      .select($"query_id", $"vec_id", $"adist")
+  }
+
+  /** Full probe of the persisted IVF-PQ index: ADC candidates, then
+    * the exact re-rank fetching only the candidates' float vectors by
+    * vec_id. Row-identical to [[ivfPqTopK]] by construction — same
+    * corpus-trained codebooks, same query set (StorageLayoutSpec
+    * asserts the equality). */
+  def probeIvfPqIndex(s: SparkSession, table: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val idx = s.table(table)
+    val qv = idx.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    probeIvfPqCandidates(s, table)
+      .join(idx.select($"vec_id", $"v", $"norm"), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select($"query_id", $"vec_id", $"adist",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Per-label centroids via the typed VectorAvg Aggregator (the typed
     * UDAF surface), plus each centroid's norm and the label's mean
     * cosine-to-centroid — a cluster-quality profile. Float-order
@@ -384,5 +550,7 @@ object Similarity {
     "sim_topk_lsh" -> lshTopK _,
     "sim_topk_ivf" -> ivfTopK _,
     "sim_topk_ivf_trained" -> ivfTrainedTopK _,
+    "sim_topk_pq" -> pqTopK _,
+    "sim_topk_ivfpq" -> ivfPqTopK _,
     "sim_label_centroids" -> labelCentroids _)
 }

@@ -440,6 +440,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1) == Seq(3.0)) // mean of (2,4); the empty row is skipped
   }
 
+  test("PQ: codebook/code shapes, exact-integer determinism, subset bound, recall floor") {
+    import spark.implicits._
+    import graft.sim.{KmeansQuantizer, PqQuantizer}
+    val sub = PqQuantizer.subvectors(
+      KmeansQuantizer.quantized(graft.Tables(spark, sf, "embeddings")))
+    val cb = PqQuantizer.codebooks(sub)
+    val cbRows = cb.collect()
+    // ≤ M·KS sub-centroids, each SubDim wide
+    assert(cbRows.nonEmpty && cbRows.length <= PqQuantizer.M * PqQuantizer.KS)
+    assert(cbRows.forall(_.getSeq[Long](2).length == PqQuantizer.SubDim))
+    // every subspace trained
+    assert(cbRows.map(_.getInt(0)).distinct.sorted.toSeq == (0 until PqQuantizer.M))
+    val codes = PqQuantizer.encoded(sub, cb).collect()
+    assert(codes.length == 500) // one code row per vector
+    assert(codes.forall(_.getSeq[Int](1).length == PqQuantizer.M))
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < PqQuantizer.KS)))
+    val pq = Similarity.pqTopK(spark, sf).cache()
+    val perQ = pq.groupBy($"query_id").count().collect()
+    assert(perQ.length == Similarity.NumQueries)
+    assert(perQ.forall(_.getLong(1) == Similarity.K))
+    assert(pq.filter($"query_id" === $"vec_id").count() == 0)
+    assert(pq.filter($"adist" < 0).count() == 0)
+    val brute = Similarity.bruteForceTopK(spark, sf).cache()
+    // an ADC-candidate re-rank can never beat the global best
+    val bruteBest = brute.filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    pq.collect().foreach { r =>
+      assert(r.getAs[Double]("cos_sim") <= bruteBest(r.getLong(0)) + 1e-12)
+    }
+    // recall vs brute top-K (measured 0.84 macro at sf0.001; floor is
+    // deliberately loose — the value-level gate is the DuckDB hash)
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val bs = sets(brute); val ps = sets(pq)
+    val recall = bs.keys.toSeq
+      .map(q => (bs(q) & ps.getOrElse(q, Set.empty)).size.toDouble / bs(q).size)
+      .sum / bs.size
+    assert(recall >= 0.6, s"PQ recall collapsed: $recall")
+    // fixed-point arithmetic end-to-end → identical across runs
+    assert(pq.collect().toSeq == Similarity.pqTopK(spark, sf).collect().toSeq)
+    pq.unpersist(); brute.unpersist()
+  }
+
+  test("IVF-PQ: cell-restricted ADC keeps structure and the subset bound") {
+    import spark.implicits._
+    val ivfpq = Similarity.ivfPqTopK(spark, sf).cache()
+    val perQ = ivfpq.groupBy($"query_id").count().collect()
+    assert(perQ.length == Similarity.NumQueries)
+    assert(perQ.forall(_.getLong(1) <= Similarity.K))
+    assert(ivfpq.filter($"query_id" === $"vec_id").count() == 0)
+    val bruteBest = Similarity.bruteForceTopK(spark, sf)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    ivfpq.collect().foreach { r =>
+      assert(r.getAs[Double]("cos_sim") <= bruteBest(r.getLong(0)) + 1e-12)
+    }
+    // ranks contiguous, cos non-increasing
+    ivfpq.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    ivfpq.unpersist()
+  }
+
   test("LSH top-k is a subset-quality approximation of brute force") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, sf)

@@ -563,6 +563,34 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.contains("SortMergeJoin"), s"no equi-join in candidate path:\n$plan")
   }
 
+  test("sim_topk_pq: ADC scoring joins only broadcasts of query-sized sides; top-R cut is partial") {
+    val plan = executed(sim.Similarity.pqTopK(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // the only nested loop allowed is the packed per-query distance
+    // tables against the codes stream — NumQueries rows of M·KS longs
+    // on the broadcast side. Codebook training/encode are equi-joins on
+    // `sub`; one more BNLJ means a corpus-sized pairwise scan crept in.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"expected ≤1 query-table broadcast nested loop, got $bnlj:\n$plan")
+    // the top-R ADC cut must run map-side (WindowGroupLimit partial),
+    // or every (query, vector) ADC row crosses the exchange at scale
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-R cut:\n$plan")
+  }
+
+  test("sim_topk_ivfpq: candidate path is cell/vec_id equi-joins; nested loops only on codebook-sized sides") {
+    val plan = executed(sim.Similarity.ivfPqTopK(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // allowed nested loops: the KCells-row coarse-centroid broadcasts
+    // (trainer assign + routing, duplicated across the home/qprobe
+    // subtrees — all ≤16-row broadcast sides). Candidate generation and
+    // re-rank must be equi-joins (cell, query_id, vec_id).
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 4, s"expected ≤4 codebook-sized nested loops, got $bnlj:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin"), s"no equi-join in candidate path:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-R cut:\n$plan")
+  }
+
   test("dedup incremental: the new batch broadcasts onto the corpus band stream") {
     val plan = executed(graft.dedup.Dedup.minhashIncremental(spark, sf))
     // ingestion-batch side is small by definition — the candidate join

@@ -215,6 +215,44 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF-PQ index: ADC scans prune the float column; probe matches the in-query path") {
+    import spark.implicits._
+    graft.sim.Similarity.writeIvfPqIndex(spark, "/root/testdata/sf0.001", "b_emb_ivfpq")
+    try {
+      // 1. column pruning — THE PQ claim: the ADC candidate pass scans
+      // the index's codes column, never the 256-byte float vector. The
+      // only index scan allowed to read `v` is the NumQueries-row query
+      // fetch (vec_id < NumQueries pushed to the scan).
+      val cand = graft.sim.Similarity.probeIvfPqCandidates(spark, "b_emb_ivfpq")
+      assert(cand.count() > 0)
+      val plan = cand.queryExecution.executedPlan.toString
+      val scanLines = plan.linesIterator
+        .filter(l => l.contains("b_emb_ivfpq") && l.contains("ReadSchema")).toSeq
+      assert(scanLines.nonEmpty, s"no index scans found:\n${plan.take(2000)}")
+      val codesScans = scanLines.filter(_.contains("codes:array"))
+      assert(codesScans.nonEmpty, s"no codes-column scan:\n${scanLines.mkString("\n")}")
+      codesScans.foreach { l =>
+        assert(!l.contains("v:array"),
+          s"ADC scoring scan reads the float vectors — pruning lost:\n$l")
+      }
+      // 2. the persisted probe is row-identical to the in-query IVF-PQ
+      val fromIndex = graft.sim.Similarity.probeIvfPqIndex(spark, "b_emb_ivfpq").collect().toSeq
+      val inQuery = graft.sim.Similarity.ivfPqTopK(spark, "/root/testdata/sf0.001").collect().toSeq
+      assert(fromIndex == inQuery, "persisted-index probe diverged from in-query IVF-PQ")
+      // 3. a cell lookup prunes to 1 of KCells bucket files
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val one = spark.table("b_emb_ivfpq").filter($"cell" === 0)
+      one.count()
+      val lookupPlan = one.queryExecution.executedPlan.toString
+      assert(lookupPlan.contains(s"SelectedBucketsCount: 1 out of ${graft.sim.Similarity.KCells}"),
+        s"no cell pruning in scan:\n${lookupPlan.take(1500)}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      Seq("b_emb_ivfpq", "b_emb_ivfpq_pqcb", "b_emb_ivfpq_coarse")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("compact merges a small-files directory, preserving every row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact_").resolve("t").toString
