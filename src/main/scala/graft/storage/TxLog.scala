@@ -1,0 +1,311 @@
+package graft.storage
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Minimal transactional table log — the missing atomicity primitive
+  * under every ingestion loop in this engine.
+  *
+  * The problem (documented at `Dedup.scala` bandIndexAdmitIdempotent
+  * and compactBandIndex): Spark's FileOutputCommitter publishes a job
+  * as a SEQUENCE of driver-side renames, so a crash mid-commit leaves
+  * a subset of the job's files visible — every sink built directly on
+  * a parquet directory inherits that window, and the ingestion loops
+  * work around it with anti-join repair or drop/rename caveats. The
+  * production answer is a log-structured table format (Delta/Iceberg);
+  * this is that answer's core, built from first principles on two
+  * filesystem facts: (1) files invisible to readers until referenced,
+  * (2) a single rename to a fresh name either happens or doesn't.
+  *
+  * Layout of a TxLog table directory:
+  * {{{
+  *   <table>/data/<uuid>/part-*.parquet   data files; INVISIBLE until committed
+  *   <table>/_txlog/v00000000000000000042.json   one manifest per committed txn
+  * }}}
+  *
+  * A manifest lists the data files its transaction added (paths
+  * relative to the table root), plus an optional (writerId, batchId)
+  * idempotence token and a `checkpoint` flag. The COMMIT is an atomic
+  * put-if-absent of the manifest into the next version slot (hard-link
+  * on POSIX, create-no-overwrite on HDFS — see [[putIfAbsent]]):
+  *
+  *  - put succeeds → the txn and ALL its files become visible
+  *    together (readers only read files named by manifests);
+  *  - put fails (slot taken by a concurrent committer) → re-stage
+  *    against the new head and retry — optimistic concurrency, no
+  *    locks, writers never block readers;
+  *  - crash before the put → data files exist but no manifest names
+  *    them: the snapshot is bit-identical to one where the txn never
+  *    ran, and a replay with the same (writerId, batchId) token is
+  *    skipped iff the commit actually published (exactly-once effects
+  *    under at-least-once drivers, with NO anti-join repair pass).
+  *
+  * `compact` rewrites the live file set and commits it as a
+  * `checkpoint` manifest: snapshots read the newest checkpoint and
+  * everything after it, so the log never needs full replay and old
+  * data files become unreferenced garbage (collected by `vacuum`).
+  *
+  * Scale notes: the log directory holds one small JSON file per
+  * transaction — a listing of it is O(commits since checkpoint) after
+  * compaction, independent of data volume; snapshots hand Spark an
+  * explicit file list, so the reader does no directory walking of
+  * `data/`. This is a single-table commit protocol (no multi-table
+  * transactions), which is exactly what the ingestion loops need. */
+object TxLog {
+
+  private val LogDir = "_txlog"
+
+  private def fs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def manifestName(v: Long): String = f"v$v%020d.json"
+
+  private case class Manifest(version: Long, files: Seq[String],
+                              writerId: String, batchId: Long,
+                              checkpoint: Boolean)
+
+  // hand-rolled JSON (matches the repo's zero-dependency stance); file
+  // paths are uuid/part names we generate — no escaping needed beyond
+  // the standard quote/backslash set
+  private def q(x: String): String =
+    "\"" + x.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def render(m: Manifest): String =
+    s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
+      s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, """ +
+      s""""files": [${m.files.map(q).mkString(", ")}]}"""
+
+  // scanner-style parse of our own renders (this code is both the only
+  // writer and the only reader of the format — exact-shape parsing is
+  // the robust choice, not a limitation)
+  private def parse(s: String): Manifest = {
+    def after(k: String): Int = {
+      val i = s.indexOf("\"" + k + "\": ")
+      require(i >= 0, s"manifest missing key $k: $s")
+      i + k.length + 4
+    }
+    def longOf(k: String): Long = {
+      val i = after(k)
+      val j = s.indexWhere(c => c == ',' || c == '}', i) match {
+        case -1 => s.length; case x => x
+      }
+      s.substring(i, j).trim.toLong
+    }
+    def boolOf(k: String): Boolean = s.startsWith("true", after(k))
+    // scan one escaped JSON string starting at the opening quote;
+    // returns (value, index after closing quote)
+    def scanString(from: Int): (String, Int) = {
+      require(s(from) == '"', s"expected string at $from: $s")
+      val b = new StringBuilder; var i = from + 1
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          s(i + 1) match {
+            case 'n' => b += '\n'; i += 2
+            case 'u' =>
+              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+            case c => b += c; i += 2
+          }
+        } else { b += s(i); i += 1 }
+      }
+      (b.toString, i + 1)
+    }
+    def strOf(k: String): String = scanString(after(k))._1
+    val files = {
+      var i = s.indexOf('[', after("files")) + 1
+      val out = Seq.newBuilder[String]
+      while (s(i) != ']') {
+        if (s(i) == '"') {
+          val (v, j) = scanString(i); out += v; i = j
+        } else i += 1
+      }
+      out.result()
+    }
+    Manifest(longOf("version"), files, strOf("writer_id"), longOf("batch_id"),
+      boolOf("checkpoint"))
+  }
+
+  /** All committed manifests, version-ordered. */
+  private def manifests(s: SparkSession, table: String): Seq[Manifest] = {
+    val dir = new Path(table, LogDir)
+    val f = fs(s, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json")).sorted
+      .map { n =>
+        val in = f.open(new Path(dir, n))
+        val bytes = try in.readAllBytes() finally in.close()
+        parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }.toSeq
+  }
+
+  /** The table's live file set: the newest checkpoint manifest (if
+    * any) plus every later manifest's additions. */
+  private def liveFiles(ms: Seq[Manifest]): Seq[String] = {
+    val fromCp = ms.lastIndexWhere(_.checkpoint) match {
+      case -1 => ms
+      case i => ms.drop(i)
+    }
+    fromCp.flatMap(_.files)
+  }
+
+  /** Highest committed version, or -1 for an empty/new table. */
+  def headVersion(s: SparkSession, table: String): Long =
+    manifests(s, table).lastOption.map(_.version).getOrElse(-1L)
+
+  /** True iff a committed manifest carries this idempotence token. */
+  def committed(s: SparkSession, table: String, writerId: String,
+                batchId: Long): Boolean =
+    manifests(s, table).exists(m => m.writerId == writerId && m.batchId == batchId)
+
+  /** Snapshot read: exactly the committed file set, handed to the
+    * reader as an explicit list — uncommitted data files are
+    * unreachable by construction. Empty table → empty DataFrame with
+    * the caller unable to misread partials (schema unknown → None). */
+  def snapshot(s: SparkSession, table: String): Option[DataFrame] = {
+    val files = liveFiles(manifests(s, table))
+    if (files.isEmpty) None
+    else Some(s.read.parquet(files.map(f => new Path(table, f).toString): _*))
+  }
+
+  /** Transactionally append `df` to `table`. The write lands in a
+    * fresh uuid directory under data/ (never visible to snapshots),
+    * then the manifest publish is ONE rename into the next version
+    * slot — retried against a moving head on conflict (optimistic
+    * concurrency; rename-if-absent is the arbiter). A replay whose
+    * (writerId, batchId) already committed is a no-op, so at-least-once
+    * callers (foreachBatch) get exactly-once table contents even if a
+    * previous attempt crashed at ANY point. Returns the committed
+    * version, or -1 if the token had already committed. */
+  def commit(df: DataFrame, table: String, writerId: String,
+             batchId: Long, maxRetries: Int = 20): Long = {
+    val s = df.sparkSession
+    if (committed(s, table, writerId, batchId)) return -1L
+    val root = new Path(table)
+    val f = fs(s, root)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(root, s"data/$uuid")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    val rel = f.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
+    commitManifest(s, table, rel, writerId, batchId, checkpoint = false, maxRetries)
+  }
+
+  /** Stage a manifest and rename it into the next free version slot.
+    * The idempotence token is re-checked after every lost race (the
+    * competing committer might have been our own crashed predecessor's
+    * replay... or a twin writer with the same token). */
+  private def commitManifest(s: SparkSession, table: String, files: Seq[String],
+                             writerId: String, batchId: Long,
+                             checkpoint: Boolean, maxRetries: Int): Long = {
+    val root = new Path(table)
+    val f = fs(s, root)
+    val logDir = new Path(root, LogDir)
+    f.mkdirs(logDir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      if (committed(s, table, writerId, batchId)) return -1L
+      val v = headVersion(s, table) + 1
+      val target = new Path(logDir, manifestName(v))
+      val bytes = render(Manifest(v, files, writerId, batchId, checkpoint))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, target, bytes)) return v
+      attempt += 1 // lost the version race; retry against the new head
+    }
+    throw new IllegalStateException(
+      s"commit of $table lost $maxRetries version races — livelocked writer set?")
+  }
+
+  /** THE commit point: publish `bytes` at `target` iff no file exists
+    * there — the put-if-absent arbiter of the version slot.
+    *
+    * On file:// (this environment, and any POSIX mount): write a fully
+    * formed temp file, then hard-LINK it to the target —
+    * link(2) is atomic and fails with EEXIST, unlike rename(2), which
+    * silently REPLACES and would let a slow writer overwrite a
+    * committed transaction. On HDFS-like stores, create(overwrite =
+    * false) reserves the slot atomically at the NameNode; the content
+    * becomes readable at close, and a listing-time reader of an
+    * in-flight manifest is the documented gap object stores close with
+    * conditional-put (S3 If-None-Match) — the LogStore seam Delta
+    * plugs per-filesystem. */
+  private def putIfAbsent(f: FileSystem, logDir: Path, target: Path,
+                          bytes: Array[Byte]): Boolean = {
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException => NioExists}
+    if ("file" == Option(target.toUri.getScheme).getOrElse(f.getUri.getScheme)) {
+      val tmp = Paths.get(logDir.toUri.getPath,
+        s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, bytes)
+      try { Files.createLink(Paths.get(target.toUri.getPath), tmp); true }
+      catch { case _: NioExists => false }
+      finally Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = f.create(target, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if f.exists(target) => false
+      }
+    }
+  }
+
+  /** Compact the live file set into ~targetBytes files and commit the
+    * result as a CHECKPOINT manifest: one transaction that atomically
+    * replaces the read set (snapshots at any instant see either the
+    * old files or the new — never a mix, unlike the in-place
+    * drop/rename compaction this replaces). Old files stay on disk for
+    * in-flight readers until `vacuum`. Returns the new version, or -1
+    * on an empty table. */
+  def compact(s: SparkSession, table: String, targetBytes: Long = 128L << 20): Long = {
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
+    if (files.isEmpty) return -1L
+    val root = new Path(table)
+    val f = fs(s, root)
+    val abs = files.map(x => new Path(root, x))
+    val total = abs.map(p => f.getFileStatus(p).getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(root, s"data/$uuid")
+    s.read.parquet(abs.map(_.toString): _*).repartition(nOut)
+      .write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    val rel = f.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
+    commitManifest(s, table, rel, writerId = s"compact-$uuid", batchId = 0L,
+      checkpoint = true, maxRetries = 20)
+  }
+
+  /** Delete data files no manifest references (crashed writers'
+    * orphans) and files referenced only BEFORE the newest checkpoint
+    * (compacted-away generations), skipping files younger than
+    * `minAgeMs` — the retention window that keeps vacuum from eating
+    * a concurrent writer's not-yet-committed files or a pinned
+    * reader's snapshot (the same contract as Delta's VACUUM; tests
+    * pass 0 for immediacy). Returns the number of files deleted. */
+  def vacuum(s: SparkSession, table: String,
+             minAgeMs: Long = 24L * 3600 * 1000): Int = {
+    val root = new Path(table)
+    val f = fs(s, root)
+    val dataRoot = new Path(root, "data")
+    if (!f.exists(dataRoot)) return 0
+    val live = liveFiles(manifests(s, table)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var n = 0
+    f.listStatus(dataRoot).foreach { d =>
+      f.listStatus(d.getPath).foreach { st =>
+        val rel = s"data/${d.getPath.getName}/${st.getPath.getName}"
+        if (!live.contains(rel) && st.getModificationTime < cutoff) {
+          f.delete(st.getPath, false); n += 1
+        }
+      }
+      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true)
+    }
+    n
+  }
+}

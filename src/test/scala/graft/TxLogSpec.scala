@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** The transactional commit protocol, attacked at every window the
+  * direct-parquet sinks are documented to lose: crash between data
+  * write and publish, replay after either outcome, concurrent
+  * committers racing for version slots, compaction vs in-flight
+  * readers, and orphan collection. */
+class TxLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txlog_").resolve("t").toString
+
+  private def batch(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+  }
+
+  test("commit → snapshot roundtrip; versions increment; empty table reads as None") {
+    val t = freshTable()
+    assert(TxLog.snapshot(spark, t).isEmpty)
+    assert(TxLog.headVersion(spark, t) == -1L)
+    assert(TxLog.commit(batch(0 until 10), t, "w", 0L) == 0L)
+    assert(TxLog.commit(batch(10 until 25), t, "w", 1L) == 1L)
+    assert(TxLog.headVersion(spark, t) == 1L)
+    val snap = TxLog.snapshot(spark, t).get
+    assert(snap.count() == 25)
+    assert(snap.agg(sum($"id")).first().getLong(0) == (0 until 25).sum.toLong)
+  }
+
+  test("data files without a manifest are invisible — the FileOutputCommitter window closed") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 10), t, "w", 0L)
+    // a writer that crashed after its data write but before the
+    // manifest publish: files on disk, no manifest names them
+    batch(100 until 200).write.parquet(s"$t/data/crashed-attempt")
+    val snap = TxLog.snapshot(spark, t).get
+    assert(snap.count() == 10, "uncommitted files leaked into the snapshot")
+    assert(snap.filter($"id" >= 100).count() == 0)
+  }
+
+  test("replay with the same (writer, batch) token is exactly-once under BOTH crash windows") {
+    val t = freshTable()
+    // window 1: crash after data write, before publish → replay commits
+    batch(0 until 10).write.parquet(s"$t/data/orphan-of-attempt-1")
+    assert(TxLog.commit(batch(0 until 10), t, "loader", 7L) == 0L)
+    assert(TxLog.snapshot(spark, t).get.count() == 10)
+    // window 2: crash after publish → replay is a no-op
+    assert(TxLog.commit(batch(0 until 10), t, "loader", 7L) == -1L)
+    assert(TxLog.snapshot(spark, t).get.count() == 10, "replayed batch duplicated rows")
+    assert(TxLog.headVersion(spark, t) == 0L)
+  }
+
+  test("concurrent committers: every commit lands in its own version, no lost updates") {
+    val t = freshTable()
+    val perWriter = 6
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        (0 until perWriter).foreach { b =>
+          TxLog.commit(batch(w * 1000 + b * 10 until (w * 1000 + b * 10 + 10)),
+            t, s"writer-$w", b.toLong)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // all 12 transactions committed, versions contiguous 0..11 —
+    // put-if-absent arbitration must never overwrite a committed slot
+    assert(TxLog.headVersion(spark, t) == 2L * perWriter - 1)
+    val snap = TxLog.snapshot(spark, t).get
+    assert(snap.count() == 2L * perWriter * 10)
+    assert(snap.select($"id").distinct().count() == 2L * perWriter * 10,
+      "a committed transaction was overwritten by a racing writer")
+  }
+
+  test("compact: checkpoint replaces the read set atomically; pinned readers survive until vacuum") {
+    val t = freshTable()
+    (0 until 8).foreach(b => TxLog.commit(batch(b * 10 until (b * 10 + 10)), t, "w", b.toLong))
+    val pinned = TxLog.snapshot(spark, t).get
+    val before = pinned.agg(sum($"id")).first().getLong(0)
+    val cpVersion = TxLog.compact(spark, t, targetBytes = 1L << 30)
+    assert(cpVersion == 8L)
+    // new snapshots read the compacted generation — row-identical
+    val after = TxLog.snapshot(spark, t).get
+    assert(after.count() == 80 && after.agg(sum($"id")).first().getLong(0) == before)
+    // the pre-compaction snapshot still reads (its files not deleted)
+    assert(pinned.count() == 80)
+    // appends continue on top of the checkpoint
+    TxLog.commit(batch(900 until 910), t, "w", 100L)
+    assert(TxLog.snapshot(spark, t).get.count() == 90)
+  }
+
+  test("vacuum collects crash orphans and compacted-away generations, never live files") {
+    val t = freshTable()
+    (0 until 4).foreach(b => TxLog.commit(batch(b * 10 until (b * 10 + 10)), t, "w", b.toLong))
+    batch(0 until 5).write.parquet(s"$t/data/crashed") // orphan
+    TxLog.compact(spark, t, targetBytes = 1L << 30)
+    val deleted = TxLog.vacuum(spark, t, minAgeMs = 0L)
+    assert(deleted > 0, "vacuum found nothing — orphans/old generations kept forever")
+    val snap = TxLog.snapshot(spark, t).get
+    assert(snap.count() == 40, "vacuum deleted live data")
+    // a second vacuum is a no-op — nothing live was touched
+    assert(TxLog.vacuum(spark, t, minAgeMs = 0L) == 0)
+  }
+
+  test("retention window: young unreferenced files survive vacuum (in-flight writer protection)") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 10), t, "w", 0L)
+    batch(50 until 60).write.parquet(s"$t/data/in-flight-attempt")
+    assert(TxLog.vacuum(spark, t, minAgeMs = 3600_000L) == 0,
+      "vacuum deleted files younger than the retention window")
+  }
+}
