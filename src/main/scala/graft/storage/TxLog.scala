@@ -254,6 +254,32 @@ object TxLog {
     }
   }
 
+  /** Exactly-once streaming sink: each micro-batch commits as ONE
+    * TxLog transaction with the (writerId, epochId) idempotence token.
+    * Structured Streaming's foreachBatch contract is at-least-once —
+    * after a crash the same epoch replays — and the token makes the
+    * replay a no-op iff the original commit published, so the table
+    * holds every batch exactly once regardless of where a previous
+    * attempt died (before the data write, between data write and
+    * publish, or after publish). This subsumes the per-sink
+    * idempotence machinery the direct-parquet loops carry
+    * (overwrite-partition sinks, anti-join repair): the sink is
+    * exactly-once for ANY DataFrame without knowing its key
+    * structure. `beforeCommit` is the crash-injection seam
+    * (TxLogStreamSpec). */
+  def sink(stream: DataFrame, table: String, writerId: String,
+           checkpoint: String,
+           beforeCommit: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        beforeCommit(df, id)
+        commit(df, table, writerId, id)
+        ()
+      }
+      .start()
+
   /** Compact the live file set into ~targetBytes files and commit the
     * result as a CHECKPOINT manifest: one transaction that atomically
     * replaces the read set (snapshots at any instant see either the
