@@ -103,10 +103,22 @@ object PqQuantizer {
         e => e("code")).as("codes"))
   }
 
+  /** Never selected: no code can reference a sub-centroid id absent
+    * from the codebook (codes are argmins OVER the codebook), so the
+    * sentinel only fills table slots of vanished cluster ids. Large
+    * enough to lose any rank comparison, small enough that M of them
+    * cannot overflow i64. */
+  val AbsentDist: Long = 1L << 59
+
   /** Per-query ADC distance tables, packed for broadcast: (query_id,
     * qdt: array<array<long>>) with qdt[sub][cid] = exact i64 L2 between
     * the query's subvector `sub` and sub-centroid `cid`. One row per
-    * query, M·KS longs each. */
+    * query, M·KS longs each. The cid axis is packed DENSE over
+    * 0..KS−1 via a map lookup (not positionally from the collected
+    * list) so [[adcDist]]'s `qdt[sub][code]` indexing stays correct
+    * even if a sub-centroid lost all members in the Lloyd step and
+    * vanished from the codebook — its slot gets [[AbsentDist]], which
+    * no code can reference. */
   def queryTables(sub: DataFrame, cb: DataFrame, numQueries: Int): DataFrame = {
     val s = sub.sparkSession
     import s.implicits._
@@ -115,8 +127,10 @@ object PqQuantizer {
       .join(broadcast(cb), "sub")
       .select($"query_id", $"sub", $"cid", distUdf($"sqv", $"cv").as("d"))
       .groupBy($"query_id", $"sub")
-      .agg(transform(array_sort(collect_list(struct($"cid", $"d"))),
-        e => e("d")).as("ds"))
+      .agg(map_from_entries(collect_list(struct($"cid", $"d"))).as("dm"))
+      .select($"query_id", $"sub",
+        transform(sequence(lit(0), lit(KS - 1)),
+          c => coalesce(element_at($"dm", c), lit(AbsentDist))).as("ds"))
       .groupBy($"query_id")
       .agg(transform(array_sort(collect_list(struct($"sub", $"ds"))),
         e => e("ds")).as("qdt"))

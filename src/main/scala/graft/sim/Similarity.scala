@@ -442,6 +442,79 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** RESIDUAL IVF-PQ top-K — the full-fidelity IVFADC encoding (the
+    * published FAISS design): PQ codebooks are trained on and codes
+    * encode the RESIDUAL `qv − centroid(home cell)` rather than the
+    * raw vector, so the quantizer spends its 8 bytes describing the
+    * vector's offset within its cell instead of re-describing the
+    * cell — the standard recall win at the same code budget. The ADC
+    * tables become per-(query, probed cell): the query's residual
+    * against THAT cell's centroid, M·KS longs per (query, cell) — one
+    * broadcast row per probe, joined to candidates on their home cell.
+    * Arithmetic stays exact end-to-end (residuals are i64 differences
+    * of i64 quantities; |qv−cc| ≤ 2·2^20·0.58 keeps every squared sum
+    * far under 2^63), so the whole train-on-residuals → encode → route
+    * → ADC → re-rank path hash-checks ([[graft.queries.Oracle9]]). */
+  def ivfPqResTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import PqQuantizer._
+    import KmeansQuantizer.distUdf
+    val e = vcol(Tables(s, dir, "embeddings"))
+    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
+    val coarse = trainedCodebook(s, dir)
+    val ranked = KmeansQuantizer.assignRanked(q, coarse)
+    val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
+    val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"cid".as("cell"))
+    // residual corpus: qv − home-cell centroid, elementwise i64
+    val resid = q.join(home, "vec_id")
+      .join(broadcast(coarse.select($"cid".as("cell"), $"cv".as("ccv"))), "cell")
+      .select($"vec_id", zip_with($"qv", $"ccv", (a, b) => a - b).as("qv"))
+    val rsub = subvectors(resid)
+    val cb = codebooks(rsub)
+    val codes = encoded(rsub, cb)
+    // per-(query, probed cell) residual distance tables, dense-packed
+    val qrsub = q.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"qv")
+      .join(broadcast(qprobe), "query_id")
+      .join(broadcast(coarse.select($"cid".as("cell"), $"cv".as("ccv"))), "cell")
+      .select($"query_id", $"cell",
+        zip_with($"qv", $"ccv", (a, b) => a - b).as("rv"),
+        explode(sequence(lit(0), lit(M - 1))).as("sub"))
+      .select($"query_id", $"cell", $"sub",
+        slice($"rv", $"sub" * SubDim + 1, lit(SubDim)).as("sqv"))
+    val qdt = qrsub.join(broadcast(cb), "sub")
+      .select($"query_id", $"cell", $"sub", $"cid", distUdf($"sqv", $"cv").as("d"))
+      .groupBy($"query_id", $"cell", $"sub")
+      .agg(map_from_entries(collect_list(struct($"cid", $"d"))).as("dm"))
+      .select($"query_id", $"cell", $"sub",
+        transform(sequence(lit(0), lit(KS - 1)),
+          c => coalesce(element_at($"dm", c), lit(AbsentDist))).as("ds"))
+      .groupBy($"query_id", $"cell")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"ds"))),
+        el => el("ds")).as("qdt"))
+    // candidates: the cell equi-join delivers (query, table) pairs —
+    // ≤ NumQueries·NProbe broadcast rows of M·KS longs
+    val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
+    val cand = codes.join(home, "vec_id")
+      .join(broadcast(qdt), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
+      .withColumn("rn", row_number().over(wR))
+      .filter($"rn" <= PqRerank)
+    val qv = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    cand.join(e.select($"vec_id", $"v", $"norm"), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select($"query_id", $"vec_id", $"adist",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Persist the IVF-PQ index — the layout the 100 TB deployment
     * actually serves from: rows bucketed by coarse home cell, carrying
     * BOTH the M-byte PQ codes (the scoring payload) and the float
@@ -552,5 +625,6 @@ object Similarity {
     "sim_topk_ivf_trained" -> ivfTrainedTopK _,
     "sim_topk_pq" -> pqTopK _,
     "sim_topk_ivfpq" -> ivfPqTopK _,
+    "sim_topk_ivfpq_res" -> ivfPqResTopK _,
     "sim_label_centroids" -> labelCentroids _)
 }

@@ -506,6 +506,25 @@ class SimilaritySpec extends AnyFunSuite {
     ivfpq.unpersist()
   }
 
+  test("residual IVF-PQ: structure, subset bound, determinism") {
+    import spark.implicits._
+    val res = Similarity.ivfPqResTopK(spark, sf).cache()
+    val perQ = res.groupBy($"query_id").count().collect()
+    assert(perQ.length == Similarity.NumQueries)
+    assert(perQ.forall(_.getLong(1) <= Similarity.K))
+    assert(res.filter($"query_id" === $"vec_id").count() == 0)
+    assert(res.filter($"adist" < 0).count() == 0)
+    val bruteBest = Similarity.bruteForceTopK(spark, sf)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    res.collect().foreach { r =>
+      assert(r.getAs[Double]("cos_sim") <= bruteBest(r.getLong(0)) + 1e-12)
+    }
+    // residual arithmetic is exact i64 end-to-end → runs are identical
+    assert(res.collect().toSeq == Similarity.ivfPqResTopK(spark, sf).collect().toSeq)
+    res.unpersist()
+  }
+
   test("LSH top-k is a subset-quality approximation of brute force") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(spark, sf)

@@ -591,6 +591,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no partial top-R cut:\n$plan")
   }
 
+  test("sim_topk_ivfpq_res: residual path stays equi-join + codebook-sized broadcasts") {
+    val plan = executed(sim.Similarity.ivfPqResTopK(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // same budget as sim_topk_ivfpq: nested loops only on the
+    // ≤KCells-row coarse-centroid broadcasts; the residual computation
+    // itself joins on cell/vec_id/query_id (equi) and the per-(query,
+    // cell) tables broadcast ≤ NumQueries·NProbe rows
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 4, s"expected ≤4 codebook-sized nested loops, got $bnlj:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-R cut:\n$plan")
+  }
+
   test("dedup incremental: the new batch broadcasts onto the corpus band stream") {
     val plan = executed(graft.dedup.Dedup.minhashIncremental(spark, sf))
     // ingestion-batch side is small by definition — the candidate join
