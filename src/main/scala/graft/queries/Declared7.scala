@@ -204,7 +204,24 @@ object Declared7 {
     * no cluster structure. Downstream graph shared via
     * [[mutualKnnGraph]]. */
   val q78b: Q = (s, dir) =>
-    knnGraphIvf(Tables(s, dir, "embeddings").filter(col("label") === KnnLabel))
+    knnGraphIvfAuto(Tables(s, dir, "embeddings").filter(col("label") === KnnLabel))
+
+  /** [[knnGraphIvf]] with the M32 tuning finding baked in: cells ≈ √n
+    * (floored at [[Q78Cells]]), from one cheap count() of the slice —
+    * the knob setting that keeps BOTH the n×k scoring pass and the
+    * per-cell candidate joins ~n^1.5 total work as the slice grows
+    * (the fixed default 8 dies at n=20k via candidate-join explosion;
+    * √n=141 finishes in 2.48 s — BASELINE M32). Output is UNCHANGED by
+    * the knob — the certificate scans whatever it cannot prove
+    * prunable — so the oracle hash is cell-count-independent and the
+    * shipped q78b is now scale-safe by default rather than by
+    * operator tuning. */
+  private[graft] def knnGraphIvfAuto(emb: DataFrame,
+                                     nprobe: Int = Q78NProbe): DataFrame = {
+    val n = emb.count()
+    val cells = math.max(Q78Cells, math.ceil(math.sqrt(n.toDouble)).toInt)
+    knnGraphIvf(emb, cells, nprobe)
+  }
 
   /** q78b's certificate body over an ARBITRARY embeddings slice with
     * tunable cell count / probe breadth — the KnnCrossover seam (the
