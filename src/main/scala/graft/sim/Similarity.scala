@@ -543,20 +543,23 @@ object Similarity {
       .saveAsTable(table + "_coarse")
   }
 
-  /** ADC candidate generation against a persisted IVF-PQ index: route
-    * the standard query set through the persisted coarse codebook,
-    * score codes of vectors homed in probed cells, keep the top
-    * [[PqRerank]] per query. Reads ONLY (vec_id, cell, codes) from the
-    * index — the float column stays on disk. */
-  def probeIvfPqCandidates(s: SparkSession, table: String): DataFrame = {
+  /** ADC candidate generation against an IVF-PQ index RELATION (rows
+    * shaped like [[writeIvfPqIndex]]'s table — vec_id, label, v, norm,
+    * cell, codes — however they are stored): route the standard query
+    * set through the coarse codebook, score codes of vectors homed in
+    * probed cells, keep the top [[PqRerank]] per query. Reads ONLY
+    * (vec_id, cell, codes) from the index — the float column stays on
+    * disk. */
+  def probeIvfPqCandidatesOf(idx: DataFrame, cb: DataFrame,
+                             coarse: DataFrame): DataFrame = {
+    val s = idx.sparkSession
     import s.implicits._
     import PqQuantizer._
-    val idx = s.table(table)
     val qvecs = idx.filter($"vec_id" < NumQueries)
       .select($"vec_id",
         transform($"v", x => floor(x * KmeansQuantizer.Scale + 0.5).cast("long")).as("qv"))
-    val qdt = queryTables(subvectors(qvecs), s.table(table + "_pqcb"), NumQueries)
-    val qprobe = KmeansQuantizer.assignRanked(qvecs, s.table(table + "_coarse"))
+    val qdt = queryTables(subvectors(qvecs), cb, NumQueries)
+    val qprobe = KmeansQuantizer.assignRanked(qvecs, coarse)
       .filter($"rn" <= NProbe).select($"vec_id".as("query_id"), $"cid".as("cell"))
     val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
     idx.select($"vec_id", $"cell", $"codes")
@@ -569,19 +572,26 @@ object Similarity {
       .select($"query_id", $"vec_id", $"adist")
   }
 
-  /** Full probe of the persisted IVF-PQ index: ADC candidates, then
-    * the exact re-rank fetching only the candidates' float vectors by
-    * vec_id. Row-identical to [[ivfPqTopK]] by construction — same
-    * corpus-trained codebooks, same query set (StorageLayoutSpec
-    * asserts the equality). */
-  def probeIvfPqIndex(s: SparkSession, table: String): DataFrame = {
+  /** [[probeIvfPqCandidatesOf]] against the bucketed managed table
+    * written by [[writeIvfPqIndex]]. */
+  def probeIvfPqCandidates(s: SparkSession, table: String): DataFrame =
+    probeIvfPqCandidatesOf(s.table(table), s.table(table + "_pqcb"),
+      s.table(table + "_coarse"))
+
+  /** Full probe of an IVF-PQ index relation: ADC candidates, then the
+    * exact re-rank fetching only the candidates' float vectors by
+    * vec_id. Row-identical to [[ivfPqTopK]] by construction when the
+    * index holds the same corpus and codebooks (StorageLayoutSpec and
+    * PqIngestionRecoverySpec assert the equalities). */
+  def probeIvfPqIndexOf(idx: DataFrame, cb: DataFrame,
+                        coarse: DataFrame): DataFrame = {
+    val s = idx.sparkSession
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
-    val idx = s.table(table)
     val qv = idx.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
     val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    probeIvfPqCandidates(s, table)
+    probeIvfPqCandidatesOf(idx, cb, coarse)
       .join(idx.select($"vec_id", $"v", $"norm"), "vec_id")
       .join(broadcast(qv), "query_id")
       .select($"query_id", $"vec_id", $"adist",
@@ -591,6 +601,63 @@ object Similarity {
       .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
       .orderBy($"query_id", $"rank")
   }
+
+  /** [[probeIvfPqIndexOf]] against the bucketed managed table. */
+  def probeIvfPqIndex(s: SparkSession, table: String): DataFrame =
+    probeIvfPqIndexOf(s.table(table), s.table(table + "_pqcb"),
+      s.table(table + "_coarse"))
+
+  /** Route + encode an embedding batch for the IVF-PQ index with
+    * FROZEN codebooks — the ingestion-time half of the index: arriving
+    * vectors never retrain anything (retraining would silently shift
+    * every existing code's meaning); they are assigned a home cell by
+    * the persisted coarse codebook and PQ-encoded against the
+    * persisted subspace codebooks, yielding rows in exactly
+    * [[writeIvfPqIndex]]'s schema. Codebooks broadcast; the batch
+    * never shuffles except the n·M encode partials. */
+  def encodeForIvfPqIndex(batch: DataFrame, cb: DataFrame,
+                          coarse: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    import PqQuantizer._
+    val e = vcol(batch)
+    val q = KmeansQuantizer.quantized(batch)
+    val home = KmeansQuantizer.assignRanked(q, coarse)
+      .filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
+    val codes = encoded(subvectors(q), cb)
+    e.join(home, "vec_id").join(codes, "vec_id")
+      .select($"vec_id", $"label", $"v", $"norm", $"cell", $"codes")
+  }
+
+  /** Streaming ingestion into a [[graft.storage.TxLog]]-committed
+    * IVF-PQ index: each arriving micro-batch is encoded with the
+    * frozen codebooks and committed as ONE transaction keyed by the
+    * epoch — the TxLog idempotence token makes replay exactly-once
+    * with no anti-join repair, and a crash at ANY point (before the
+    * data write, between data write and manifest publish, after
+    * publish) leaves the index either without the batch or with all
+    * of it, never partial (PqIngestionRecoverySpec crash-injects all
+    * three windows and checks probe equality against the one-shot
+    * index). The TxLog data files are plain parquet — the
+    * cell-bucketed layout optimization stays with the one-shot
+    * [[writeIvfPqIndex]] table; a production variant would carry
+    * per-file cell ranges in the manifest for scan pruning. */
+  def ivfPqIngestionStream(stream: DataFrame, indexDir: String,
+                           cbTable: String, coarseTable: String,
+                           checkpoint: String,
+                           beforeCommit: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        beforeCommit(batch, id)
+        val s = batch.sparkSession
+        graft.storage.TxLog.commit(
+          encodeForIvfPqIndex(batch, s.table(cbTable), s.table(coarseTable)),
+          indexDir, "ivfpq-ingest", id)
+        ()
+      }
+      .start()
 
   /** Per-label centroids via the typed VectorAvg Aggregator (the typed
     * UDAF surface), plus each centroid's norm and the label's mean

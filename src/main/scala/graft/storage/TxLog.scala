@@ -170,6 +170,20 @@ object TxLog {
     else Some(s.read.parquet(files.map(f => new Path(table, f).toString): _*))
   }
 
+  /** TIME TRAVEL: the table exactly as of committed version `v` — the
+    * log IS the history, so reading an old snapshot is just replaying
+    * manifests `≤ v` (from the newest checkpoint at or before `v`).
+    * Valid until a later `vacuum` collects the generation's files;
+    * a version beyond the head is an error, not an empty read. */
+  def snapshotAt(s: SparkSession, table: String, v: Long): Option[DataFrame] = {
+    val ms = manifests(s, table)
+    require(ms.exists(_.version == v),
+      s"version $v not in $table's log (head = ${ms.lastOption.map(_.version).getOrElse(-1L)})")
+    val files = liveFiles(ms.filter(_.version <= v))
+    if (files.isEmpty) None
+    else Some(s.read.parquet(files.map(f => new Path(table, f).toString): _*))
+  }
+
   /** Transactionally append `df` to `table`. The write lands in a
     * fresh uuid directory under data/ (never visible to snapshots),
     * then the manifest publish is ONE rename into the next version

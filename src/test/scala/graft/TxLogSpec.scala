@@ -110,6 +110,25 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.vacuum(spark, t, minAgeMs = 0L) == 0)
   }
 
+  test("time travel: snapshotAt(v) reads each historical version; pre-checkpoint history survives until vacuum") {
+    val t = freshTable()
+    (0 until 4).foreach(b => TxLog.commit(batch(b * 10 until (b * 10 + 10)), t, "w", b.toLong))
+    // each version is its own prefix of the history
+    (0 until 4).foreach { v =>
+      val snap = TxLog.snapshotAt(spark, t, v.toLong).get
+      assert(snap.count() == (v + 1) * 10L, s"version $v wrong row count")
+      assert(snap.agg(max($"id")).first().getLong(0) == v * 10L + 9)
+    }
+    // a checkpoint rewrites the read set but not the history: v1 still
+    // reads the original generation's files
+    TxLog.compact(spark, t, targetBytes = 1L << 30)
+    assert(TxLog.snapshotAt(spark, t, 1L).get.count() == 20)
+    // the checkpoint version itself reads the full compacted set
+    assert(TxLog.snapshotAt(spark, t, 4L).get.count() == 40)
+    // beyond-head is loud, not silently empty
+    intercept[IllegalArgumentException] { TxLog.snapshotAt(spark, t, 99L) }
+  }
+
   test("retention window: young unreferenced files survive vacuum (in-flight writer protection)") {
     val t = freshTable()
     TxLog.commit(batch(0 until 10), t, "w", 0L)
