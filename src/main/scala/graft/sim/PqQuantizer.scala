@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * FAISS/Jégou-et-al. IVFADC design, re-expressed relationally).
   *
   * Why PQ at 100 TB: a 64-dim float corpus is 256 bytes/vector; PQ
-  * stores [[M]] sub-codes of log2([[KS]]) bits — 8 bytes/vector here,
-  * a 32× reduction — and approximate (ADC) scoring reads ONLY the codes
-  * column. Column pruning therefore turns every scoring scan of the
-  * persisted index into a codes-only scan: the float vectors are
-  * touched just once per query for the exact re-rank of the top
-  * [[Similarity.PqRerank]] candidates.
+  * stores [[M]] sub-codes of log2([[KS]]) = 4 bits each — ~4
+  * bytes/vector packed (the codes column is `array<int>` logically;
+  * parquet's dictionary/bit-packing encodings store the 0..15 values
+  * at close to their 4-bit entropy) — and approximate (ADC) scoring
+  * reads ONLY the codes column. Column pruning therefore turns every
+  * scoring scan of the persisted index into a codes-only scan: the
+  * float vectors are touched just once per query for the exact
+  * re-rank of the top [[Similarity.PqRerank]] candidates.
   *
   * Determinism contract (the oracle story): everything reuses
   * [[KmeansQuantizer]]'s fixed-point arithmetic — coordinates quantize

@@ -353,6 +353,28 @@ object Similarity {
     graft.operators.StorageLayout.writeBucketed(idx, table, "cell", numBuckets)
   }
 
+  /** Shared exact-cosine re-rank tail of every PQ path: fetch the
+    * candidates' float vectors by vec_id, rank by exact cosine within
+    * the candidate set, keep top-K. ONE definition, so the four
+    * paths' "row-identical by construction" equalities cannot drift
+    * apart on a tie-break or schema change. `idx` supplies (vec_id,
+    * v, norm) for both candidates and the standard query set. */
+  private def rerankExact(cand: DataFrame, idx: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    val qv = idx.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
+    cand.join(idx.select($"vec_id", $"v", $"norm"), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select($"query_id", $"vec_id", $"adist",
+        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wK))
+      .filter($"rank" <= K)
+      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Exact re-rank window for the PQ paths: ADC keeps the [[PqRerank]]
     * approximately-nearest candidates per query; only those rows touch
     * the float vectors again. The production recall/cost knob. */
@@ -384,17 +406,7 @@ object Similarity {
       .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
       .withColumn("rn", row_number().over(wR))
       .filter($"rn" <= PqRerank)
-    val qv = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
-    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    cand.join(e.select($"vec_id", $"v", $"norm"), "vec_id")
-      .join(broadcast(qv), "query_id")
-      .select($"query_id", $"vec_id", $"adist",
-        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
-      .withColumn("rank", row_number().over(wK))
-      .filter($"rank" <= K)
-      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
-      .orderBy($"query_id", $"rank")
+    rerankExact(cand, e)
   }
 
   /** IVF-PQ top-K — the full FAISS-style IVFADC composition and the
@@ -429,17 +441,7 @@ object Similarity {
       .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
       .withColumn("rn", row_number().over(wR))
       .filter($"rn" <= PqRerank)
-    val qv = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
-    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    cand.join(e.select($"vec_id", $"v", $"norm"), "vec_id")
-      .join(broadcast(qv), "query_id")
-      .select($"query_id", $"vec_id", $"adist",
-        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
-      .withColumn("rank", row_number().over(wK))
-      .filter($"rank" <= K)
-      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
-      .orderBy($"query_id", $"rank")
+    rerankExact(cand, e)
   }
 
   /** RESIDUAL IVF-PQ top-K — the full-fidelity IVFADC encoding (the
@@ -502,17 +504,7 @@ object Similarity {
       .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
       .withColumn("rn", row_number().over(wR))
       .filter($"rn" <= PqRerank)
-    val qv = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
-    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    cand.join(e.select($"vec_id", $"v", $"norm"), "vec_id")
-      .join(broadcast(qv), "query_id")
-      .select($"query_id", $"vec_id", $"adist",
-        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
-      .withColumn("rank", row_number().over(wK))
-      .filter($"rank" <= K)
-      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
-      .orderBy($"query_id", $"rank")
+    rerankExact(cand, e)
   }
 
   /** Persist the IVF-PQ index — the layout the 100 TB deployment
@@ -527,20 +519,20 @@ object Similarity {
   def writeIvfPqIndex(s: SparkSession, dir: String, table: String): Unit = {
     import s.implicits._
     import PqQuantizer._
-    val e = vcol(Tables(s, dir, "embeddings"))
-    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
-    val home = KmeansQuantizer.assignRanked(q, trainedCodebook(s, dir))
-      .filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
-    val sub = subvectors(q)
-    val cb = codebooks(sub)
-    val idx = e.join(home, "vec_id").join(encoded(sub, cb), "vec_id")
-      .select($"vec_id", $"label", $"v", $"norm", $"cell", $"codes")
-    graft.operators.StorageLayout.writeBucketed(idx, table, "cell", KCells)
-    cb.write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(table + "_pqcb")
+    // train ONCE: persist both codebooks first, then build the index
+    // from the persisted tables — embedding the trainer DataFrames in
+    // the index job would re-run the full Lloyd/encode passes a second
+    // time inside it
     trainedCodebook(s, dir).write.format("parquet")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table + "_coarse")
+    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
+    codebooks(subvectors(q)).write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table + "_pqcb")
+    val idx = encodeForIvfPqIndex(Tables(s, dir, "embeddings"),
+      s.table(table + "_pqcb"), s.table(table + "_coarse"))
+    graft.operators.StorageLayout.writeBucketed(idx, table, "cell", KCells)
   }
 
   /** ADC candidate generation against an IVF-PQ index RELATION (rows
@@ -588,18 +580,7 @@ object Similarity {
     val s = idx.sparkSession
     import s.implicits._
     graft.functions.VectorFunctions.register(s)
-    val qv = idx.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
-    val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    probeIvfPqCandidatesOf(idx, cb, coarse)
-      .join(idx.select($"vec_id", $"v", $"norm"), "vec_id")
-      .join(broadcast(qv), "query_id")
-      .select($"query_id", $"vec_id", $"adist",
-        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
-      .withColumn("rank", row_number().over(wK))
-      .filter($"rank" <= K)
-      .select($"query_id", $"vec_id", $"rank", $"cos_sim", $"adist")
-      .orderBy($"query_id", $"rank")
+    rerankExact(probeIvfPqCandidatesOf(idx, cb, coarse), idx)
   }
 
   /** [[probeIvfPqIndexOf]] against the bucketed managed table. */
@@ -647,17 +628,13 @@ object Similarity {
                            checkpoint: String,
                            beforeCommit: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        beforeCommit(batch, id)
-        val s = batch.sparkSession
-        graft.storage.TxLog.commit(
-          encodeForIvfPqIndex(batch, s.table(cbTable), s.table(coarseTable)),
-          indexDir, "ivfpq-ingest", id)
-        ()
-      }
-      .start()
+    // ONE exactly-once sink implementation (TxLog.sink) — the encode
+    // is its per-batch transform, so the commit/replay contract lives
+    // in a single place
+    graft.storage.TxLog.sink(stream, indexDir, "ivfpq-ingest", checkpoint,
+      beforeCommit,
+      batch => encodeForIvfPqIndex(batch,
+        batch.sparkSession.table(cbTable), batch.sparkSession.table(coarseTable)))
 
   /** Per-label centroids via the typed VectorAvg Aggregator (the typed
     * UDAF surface), plus each centroid's norm and the label's mean

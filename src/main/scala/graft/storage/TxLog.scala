@@ -80,21 +80,23 @@ object TxLog {
 
   // scanner-style parse of our own renders (this code is both the only
   // writer and the only reader of the format — exact-shape parsing is
-  // the robust choice, not a limitation)
+  // the robust choice, not a limitation). Fields are consumed with a
+  // CURSOR in render order, so key-shaped text inside the writer_id
+  // STRING VALUE (a public-API input) can never be mistaken for the
+  // batch_id/files keys that follow it — a document-wide indexOf
+  // would let one adversarial token brick every future read.
   private def parse(s: String): Manifest = {
-    def after(k: String): Int = {
-      val i = s.indexOf("\"" + k + "\": ")
-      require(i >= 0, s"manifest missing key $k: $s")
+    def keyFrom(k: String, from: Int): Int = {
+      val i = s.indexOf("\"" + k + "\": ", from)
+      require(i >= 0, s"manifest missing key $k after $from: $s")
       i + k.length + 4
     }
-    def longOf(k: String): Long = {
-      val i = after(k)
+    def longAt(i: Int): (Long, Int) = {
       val j = s.indexWhere(c => c == ',' || c == '}', i) match {
         case -1 => s.length; case x => x
       }
-      s.substring(i, j).trim.toLong
+      (s.substring(i, j).trim.toLong, j)
     }
-    def boolOf(k: String): Boolean = s.startsWith("true", after(k))
     // scan one escaped JSON string starting at the opening quote;
     // returns (value, index after closing quote)
     def scanString(from: Int): (String, Int) = {
@@ -112,9 +114,13 @@ object TxLog {
       }
       (b.toString, i + 1)
     }
-    def strOf(k: String): String = scanString(after(k))._1
+    val (version, c1) = longAt(keyFrom("version", 0))
+    val cCp = keyFrom("checkpoint", c1)
+    val checkpoint = s.startsWith("true", cCp)
+    val (writerId, c2) = scanString(keyFrom("writer_id", cCp))
+    val (batchId, c3) = longAt(keyFrom("batch_id", c2))
     val files = {
-      var i = s.indexOf('[', after("files")) + 1
+      var i = s.indexOf('[', keyFrom("files", c3)) + 1
       val out = Seq.newBuilder[String]
       while (s(i) != ']') {
         if (s(i) == '"') {
@@ -123,8 +129,7 @@ object TxLog {
       }
       out.result()
     }
-    Manifest(longOf("version"), files, strOf("writer_id"), longOf("batch_id"),
-      boolOf("checkpoint"))
+    Manifest(version, files, writerId, batchId, checkpoint)
   }
 
   /** All committed manifests, version-ordered. */
@@ -196,6 +201,13 @@ object TxLog {
   def commit(df: DataFrame, table: String, writerId: String,
              batchId: Long, maxRetries: Int = 20): Long = {
     val s = df.sparkSession
+    // pre-flight token check saves the data write on a clean replay;
+    // the AUTHORITATIVE check is inside commitManifest's single-listing
+    // loop (see its TOCTOU note). Cost note: every check lists and
+    // parses the full manifest log — O(commits) per commit, so a
+    // long-lived sink pays O(N²) total manifest reads; the production
+    // fix is Delta's: checkpoint manifests absorb the token set so
+    // reads are bounded by commits-since-checkpoint.
     if (committed(s, table, writerId, batchId)) return -1L
     val root = new Path(table)
     val f = fs(s, root)
@@ -208,10 +220,21 @@ object TxLog {
     commitManifest(s, table, rel, writerId, batchId, checkpoint = false, maxRetries)
   }
 
-  /** Stage a manifest and rename it into the next free version slot.
-    * The idempotence token is re-checked after every lost race (the
-    * competing committer might have been our own crashed predecessor's
-    * replay... or a twin writer with the same token). */
+  /** Stage a manifest and publish it into the next free version slot.
+    *
+    * Correctness of the exactly-once token under twin writers (a
+    * zombie driver replaying the same (writerId, batchId) concurrently
+    * with its replacement): BOTH the token check and the head version
+    * come from ONE listing per attempt — two listings would open a
+    * TOCTOU window where the twin publishes between them and this
+    * writer then lands the same token in the next free slot. With one
+    * listing the argument closes: a successful put targets
+    * head(listing)+1, so if the twin's manifest preceded the listing
+    * we return −1; if it landed after, it occupies a slot ≥ our
+    * target → our put either loses that exact slot or loses a slot to
+    * a third writer below it; every lost put re-lists, and that
+    * listing now includes the twin's token → −1. Two same-token
+    * manifests can never both publish. */
   private def commitManifest(s: SparkSession, table: String, files: Seq[String],
                              writerId: String, batchId: Long,
                              checkpoint: Boolean, maxRetries: Int): Long = {
@@ -221,8 +244,10 @@ object TxLog {
     f.mkdirs(logDir)
     var attempt = 0
     while (attempt < maxRetries) {
-      if (committed(s, table, writerId, batchId)) return -1L
-      val v = headVersion(s, table) + 1
+      val ms = manifests(s, table) // ONE listing: token + head together
+      if (ms.exists(m => m.writerId == writerId && m.batchId == batchId))
+        return -1L
+      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
       val target = new Path(logDir, manifestName(v))
       val bytes = render(Manifest(v, files, writerId, batchId, checkpoint))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -257,14 +282,21 @@ object TxLog {
       catch { case _: NioExists => false }
       finally Files.deleteIfExists(tmp)
     } else {
-      try {
-        val out = f.create(target, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if f.exists(target) => false
-      }
+      // HDFS-like: write the manifest FULLY to a temp name, then
+      // rename — HDFS rename refuses an existing destination (unlike
+      // POSIX rename(2), which replaces), so the rename is the
+      // put-if-absent arbiter AND the content is complete before the
+      // slot is ever occupied. A create(overwrite=false)-then-write
+      // protocol would reserve the slot first and permanently corrupt
+      // it if the write died mid-stream. Object stores without atomic
+      // no-replace rename (S3A) need a conditional-put LogStore — the
+      // per-filesystem seam Delta ships.
+      val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      val won = !f.exists(target) && f.rename(tmp, target)
+      if (!won) f.delete(tmp, false)
+      won
     }
   }
 
@@ -279,17 +311,21 @@ object TxLog {
     * idempotence machinery the direct-parquet loops carry
     * (overwrite-partition sinks, anti-join repair): the sink is
     * exactly-once for ANY DataFrame without knowing its key
-    * structure. `beforeCommit` is the crash-injection seam
-    * (TxLogStreamSpec). */
+    * structure. `transform` maps each batch before it commits (e.g.
+    * an index encode) and is covered by the same exactly-once
+    * argument — it re-runs deterministically on replay and its output
+    * is invisible until the manifest publishes. `beforeCommit` is the
+    * crash-injection seam (TxLogStreamSpec). */
   def sink(stream: DataFrame, table: String, writerId: String,
            checkpoint: String,
-           beforeCommit: (DataFrame, Long) => Unit = (_, _) => ())
+           beforeCommit: (DataFrame, Long) => Unit = (_, _) => (),
+           transform: DataFrame => DataFrame = identity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
         beforeCommit(df, id)
-        commit(df, table, writerId, id)
+        commit(transform(df), table, writerId, id)
         ()
       }
       .start()
@@ -341,7 +377,11 @@ object TxLog {
       f.listStatus(d.getPath).foreach { st =>
         val rel = s"data/${d.getPath.getName}/${st.getPath.getName}"
         if (!live.contains(rel) && st.getModificationTime < cutoff) {
-          f.delete(st.getPath, false); n += 1
+          // recursive: a crashed writer's orphan dir can still hold a
+          // non-empty _temporary/ committer staging subtree — the
+          // PRIMARY orphan class vacuum exists for; a non-recursive
+          // delete would throw on it and abort the whole sweep
+          f.delete(st.getPath, true); n += 1
         }
       }
       if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true)

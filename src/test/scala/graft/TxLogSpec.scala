@@ -80,6 +80,40 @@ class TxLogSpec extends AnyFunSuite {
       "a committed transaction was overwritten by a racing writer")
   }
 
+  test("twin writers with the SAME token (zombie replay): the batch commits exactly once") {
+    // the TOCTOU regression: token check and head version must come
+    // from ONE log listing, or a zombie publishing between them lets
+    // its twin land the same token in the next slot
+    val t = freshTable()
+    val races = 5
+    (0 until races).foreach { b =>
+      val threads = (0 until 2).map { _ =>
+        new Thread(() => { TxLog.commit(batch(b * 10 until (b * 10 + 10)), t, "zombie-pair", b.toLong); () })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    }
+    val snap = TxLog.snapshot(spark, t).get
+    assert(snap.count() == races * 10L, "a same-token twin double-committed its batch")
+    assert(snap.select($"id").distinct().count() == races * 10L)
+    assert(TxLog.headVersion(spark, t) == races - 1L,
+      s"expected exactly $races committed manifests")
+  }
+
+  test("vacuum collects a crashed writer's orphan even with a nested _temporary subtree") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 10), t, "w", 0L)
+    // the FileOutputCommitter staging shape a mid-write crash leaves:
+    // a non-empty nested directory inside the orphan dir
+    val staging = java.nio.file.Paths.get(t, "data", "crashed", "_temporary", "0")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("part-stub"), "partial")
+    val deleted = TxLog.vacuum(spark, t, minAgeMs = 0L)
+    assert(deleted > 0, "vacuum skipped the orphan")
+    assert(!Files.exists(java.nio.file.Paths.get(t, "data", "crashed")),
+      "orphan dir with committer staging survived vacuum")
+    assert(TxLog.snapshot(spark, t).get.count() == 10)
+  }
+
   test("compact: checkpoint replaces the read set atomically; pinned readers survive until vacuum") {
     val t = freshTable()
     (0 until 8).foreach(b => TxLog.commit(batch(b * 10 until (b * 10 + 10)), t, "w", b.toLong))
