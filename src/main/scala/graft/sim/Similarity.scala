@@ -318,7 +318,7 @@ object Similarity {
     import s.implicits._
     val e = vcol(Tables(s, dir, "embeddings"))
     val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
-    val ranked = KmeansQuantizer.assignRanked(q, trainedCodebook(s, dir))
+    val ranked = KmeansQuantizer.assignRanked(q, materializeCoarse(trainedCodebook(s, dir)))
     val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
     val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"cid".as("cell"))
@@ -351,6 +351,31 @@ object Similarity {
     val idx = e.join(home, "vec_id")
       .select($"vec_id", $"label", $"v", $"norm", $"cell")
     graft.operators.StorageLayout.writeBucketed(idx, table, "cell", numBuckets)
+  }
+
+  /** Materialize a trained (cid, cv) codebook through the driver —
+    * k rows of d longs, dimension-sized by construction (the bounded
+    * driver-pull pattern of q78b's seeds). The codebook DataFrame is
+    * referenced by several plan subtrees (home assignment, query
+    * probes, distance tables); left lazy, Spark re-runs the ENTIRE
+    * trainer (corpus scan + Lloyd shuffle) once per subtree
+    * evaluation. A local relation costs one training pass total and
+    * broadcasts identically. Row order is irrelevant downstream
+    * (keyed joins; argmins totally ordered by (dist, cid)). */
+  private def materializeCoarse(cb: DataFrame): DataFrame = {
+    val s = cb.sparkSession
+    import s.implicits._
+    cb.collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .toIndexedSeq.toDF("cid", "cv")
+  }
+
+  /** [[materializeCoarse]] for the per-subspace PQ codebooks
+    * ((sub, cid, cv) — M·KS rows of SubDim longs). */
+  private def materializePq(cb: DataFrame): DataFrame = {
+    val s = cb.sparkSession
+    import s.implicits._
+    cb.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .toIndexedSeq.toDF("sub", "cid", "cv")
   }
 
   /** Shared exact-cosine re-rank tail of every PQ path: fetch the
@@ -397,7 +422,7 @@ object Similarity {
     import PqQuantizer._
     val e = vcol(Tables(s, dir, "embeddings"))
     val sub = subvectors(KmeansQuantizer.quantized(Tables(s, dir, "embeddings")))
-    val cb = codebooks(sub)
+    val cb = materializePq(codebooks(sub))
     val codes = encoded(sub, cb)
     val qdt = queryTables(sub, cb, NumQueries)
     val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
@@ -423,12 +448,12 @@ object Similarity {
     import PqQuantizer._
     val e = vcol(Tables(s, dir, "embeddings"))
     val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
-    val ranked = KmeansQuantizer.assignRanked(q, trainedCodebook(s, dir))
+    val ranked = KmeansQuantizer.assignRanked(q, materializeCoarse(trainedCodebook(s, dir)))
     val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
     val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"cid".as("cell"))
     val sub = subvectors(q)
-    val cb = codebooks(sub)
+    val cb = materializePq(codebooks(sub))
     val codes = encoded(sub, cb)
     val qdt = queryTables(sub, cb, NumQueries)
     // candidates: codes of vectors homed in the query's probe cells —
@@ -463,7 +488,7 @@ object Similarity {
     import KmeansQuantizer.distUdf
     val e = vcol(Tables(s, dir, "embeddings"))
     val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
-    val coarse = trainedCodebook(s, dir)
+    val coarse = materializeCoarse(trainedCodebook(s, dir))
     val ranked = KmeansQuantizer.assignRanked(q, coarse)
     val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
     val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
@@ -473,7 +498,7 @@ object Similarity {
       .join(broadcast(coarse.select($"cid".as("cell"), $"cv".as("ccv"))), "cell")
       .select($"vec_id", zip_with($"qv", $"ccv", (a, b) => a - b).as("qv"))
     val rsub = subvectors(resid)
-    val cb = codebooks(rsub)
+    val cb = materializePq(codebooks(rsub))
     val codes = encoded(rsub, cb)
     // per-(query, probed cell) residual distance tables, dense-packed
     val qrsub = q.filter($"vec_id" < NumQueries)
