@@ -62,7 +62,8 @@ object TxLog {
 
   private case class Manifest(version: Long, files: Seq[String],
                               writerId: String, batchId: Long,
-                              checkpoint: Boolean)
+                              checkpoint: Boolean,
+                              stats: Seq[TxStats.FileStats] = Seq.empty)
 
   // hand-rolled JSON (matches the repo's zero-dependency stance); file
   // paths are uuid/part names we generate — no escaping needed beyond
@@ -73,10 +74,20 @@ object TxLog {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  private def render(m: Manifest): String =
+  private def render(m: Manifest): String = {
+    val stats =
+      if (m.stats.isEmpty) ""
+      else ", \"stats\": [" + m.stats.map { fst =>
+        val cols = fst.cols.map { c =>
+          s"""{"c": ${q(c.col)}, "t": ${q(c.tag)}, "h": ${q(if (c.has) "1" else "0")}, """ +
+            s""""min": ${q(c.min)}, "max": ${q(c.max)}, "n": ${c.nulls}}"""
+        }.mkString(", ")
+        s"""{"f": ${q(fst.file)}, "rows": ${fst.rows}, "cols": [$cols]}"""
+      }.mkString(", ") + "]"
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, """ +
-      s""""files": [${m.files.map(q).mkString(", ")}]}"""
+      s""""files": [${m.files.map(q).mkString(", ")}]$stats}"""
+  }
 
   // scanner-style parse of our own renders (this code is both the only
   // writer and the only reader of the format — exact-shape parsing is
@@ -119,7 +130,7 @@ object TxLog {
     val checkpoint = s.startsWith("true", cCp)
     val (writerId, c2) = scanString(keyFrom("writer_id", cCp))
     val (batchId, c3) = longAt(keyFrom("batch_id", c2))
-    val files = {
+    val (files, cFiles) = {
       var i = s.indexOf('[', keyFrom("files", c3)) + 1
       val out = Seq.newBuilder[String]
       while (s(i) != ']') {
@@ -127,9 +138,49 @@ object TxLog {
           val (v, j) = scanString(i); out += v; i = j
         } else i += 1
       }
-      out.result()
+      (out.result(), i + 1)
     }
-    Manifest(version, files, writerId, batchId, checkpoint)
+    // optional trailing stats (manifests from before the stats feature
+    // simply lack the key — their files never prune). The cursor is past
+    // every string VALUE that could contain key-shaped text, so indexOf
+    // from here is safe.
+    val stats: Seq[TxStats.FileStats] = {
+      import TxStats.{ColStat, FileStats}
+      val k = s.indexOf("\"stats\": ", cFiles)
+      if (k < 0) Seq.empty
+      else {
+        def parseCols(from: Int): (Seq[ColStat], Int) = {
+          var i = s.indexOf('[', from) + 1
+          val out = Seq.newBuilder[ColStat]
+          while (s(i) != ']') {
+            if (s(i) == '{') {
+              val (c, i1) = scanString(keyFrom("c", i))
+              val (t, i2) = scanString(keyFrom("t", i1))
+              val (h, i3) = scanString(keyFrom("h", i2))
+              val (mn, i4) = scanString(keyFrom("min", i3))
+              val (mx, i5) = scanString(keyFrom("max", i4))
+              val (n, i6) = longAt(keyFrom("n", i5))
+              out += ColStat(c, t, h == "1", mn, mx, n)
+              i = i6 // at the col object's '}'
+            } else i += 1
+          }
+          (out.result(), i + 1)
+        }
+        var i = s.indexOf('[', k + 8) + 1
+        val out = Seq.newBuilder[FileStats]
+        while (s(i) != ']') {
+          if (s(i) == '{') {
+            val (fn, i1) = scanString(keyFrom("f", i))
+            val (rows, i2) = longAt(keyFrom("rows", i1))
+            val (cols, i3) = parseCols(i2)
+            out += FileStats(fn, rows, cols)
+            i = i3 // just past the cols ']', at the file object's '}'
+          } else i += 1
+        }
+        out.result()
+      }
+    }
+    Manifest(version, files, writerId, batchId, checkpoint, stats)
   }
 
   /** All committed manifests, version-ordered. */
@@ -189,6 +240,74 @@ object TxLog {
     else Some(s.read.parquet(files.map(f => new Path(table, f).toString): _*))
   }
 
+  /** The stats in force for the current read set — scoped exactly like
+    * [[liveFiles]] (newest checkpoint onward), so compacted-away
+    * generations can't shadow the rewritten files' bounds. */
+  private def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] = {
+    val fromCp = ms.lastIndexWhere(_.checkpoint) match {
+      case -1 => ms
+      case i => ms.drop(i)
+    }
+    fromCp.flatMap(_.stats).map(st => st.file -> st).toMap
+  }
+
+  /** Stats-pruned snapshot read: open ONLY the files whose manifest
+    * zone maps say may contain a row matching `pred`, then re-apply
+    * `pred` in full on the survivors — pruning is an I/O optimization,
+    * never a semantics change ([[TxStats]] soundness contract; row-
+    * identity to `snapshot(...).filter(pred)` proven in TxSkipSpec).
+    * At 100 TB this is the read-path payoff of keeping stats in the
+    * log: the file list shrinks BEFORE any data file is opened, from
+    * metadata that is O(live files) JSON — a selective predicate on a
+    * clustered/z-ordered table touches a handful of files out of
+    * millions. Returns None on an empty table (schema unknowable). */
+  def scanWhere(s: SparkSession, table: String, pred: org.apache.spark.sql.Column)
+      : Option[DataFrame] = {
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
+    if (files.isEmpty) return None
+    val (filtered, kept) = pruned(s, table, pred, files, liveStats(ms))
+    if (kept.isEmpty)
+      // every file proved dead: constant-false over the (lazy) scan —
+      // the optimizer collapses it to an empty LocalTableScan with the
+      // table's schema, no data I/O
+      Some(filtered.where(org.apache.spark.sql.functions.lit(false)))
+    else if (kept.size == files.size) Some(filtered)
+    else Some(s.read.parquet(kept.map(f => new Path(table, f).toString): _*).filter(pred))
+  }
+
+  /** (files kept, files total) for `pred` on the current read set —
+    * the observable the skipping specs and benches assert on. */
+  def pruneCount(s: SparkSession, table: String, pred: org.apache.spark.sql.Column)
+      : (Int, Int) = {
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
+    if (files.isEmpty) return (0, 0)
+    (pruned(s, table, pred, files, liveStats(ms))._2.size, files.size)
+  }
+
+  /** Resolve `pred` against the table's schema through Catalyst (a
+    * filtered scan's OPTIMIZED plan), then evaluate its conjuncts on
+    * the manifest zone maps. Resolution buys exactly the hard parts:
+    * type coercion (the battery's `id === 42` arrives as a widening
+    * cast we unwrap soundly), constant folding, and inferred IS NOT
+    * NULLs — while anything the optimizer leaves that TxStats doesn't
+    * model degrades to keep-the-file. Driver cost is one footer read
+    * for schema inference; no data I/O happens here (the plan is never
+    * executed). */
+  private def pruned(s: SparkSession, table: String,
+                     pred: org.apache.spark.sql.Column, files: Seq[String],
+                     stats: Map[String, TxStats.FileStats]): (DataFrame, Seq[String]) = {
+    val filtered = s.read
+      .parquet(files.map(f => new Path(table, f).toString): _*)
+      .filter(pred)
+    val conjuncts = filtered.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        TxStats.splitAnd(f.condition)
+    }.flatten
+    (filtered, TxStats.prune(conjuncts, files, stats))
+  }
+
   /** Transactionally append `df` to `table`. The write lands in a
     * fresh uuid directory under data/ (never visible to snapshots),
     * then the manifest publish is ONE rename into the next version
@@ -217,7 +336,10 @@ object TxLog {
     val rel = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
-    commitManifest(s, table, rel, writerId, batchId, checkpoint = false, maxRetries)
+    // zone maps: footer-only stats of the just-written files ride in the
+    // manifest, so scanWhere prunes from the log alone (TxStats doc)
+    val stats = TxStats.collect(s, root, rel)
+    commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false, maxRetries)
   }
 
   /** Stage a manifest and publish it into the next free version slot.
@@ -236,6 +358,7 @@ object TxLog {
     * listing now includes the twin's token → −1. Two same-token
     * manifests can never both publish. */
   private def commitManifest(s: SparkSession, table: String, files: Seq[String],
+                             stats: Seq[TxStats.FileStats],
                              writerId: String, batchId: Long,
                              checkpoint: Boolean, maxRetries: Int): Long = {
     val root = new Path(table)
@@ -249,7 +372,7 @@ object TxLog {
         return -1L
       val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
       val target = new Path(logDir, manifestName(v))
-      val bytes = render(Manifest(v, files, writerId, batchId, checkpoint))
+      val bytes = render(Manifest(v, files, writerId, batchId, checkpoint, stats))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
@@ -353,7 +476,11 @@ object TxLog {
     val rel = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
-    commitManifest(s, table, rel, writerId = s"compact-$uuid", batchId = 0L,
+    // checkpoint manifests carry fresh stats for the rewritten files, so
+    // skipping survives compaction (the pre-compact manifests fall out of
+    // the read set together with their stats)
+    val stats = TxStats.collect(s, root, rel)
+    commitManifest(s, table, rel, stats, writerId = s"compact-$uuid", batchId = 0L,
       checkpoint = true, maxRetries = 20)
   }
 

@@ -1,0 +1,378 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** File-level column statistics (zone maps) for [[TxLog]] tables, and
+  * the predicate evaluation that turns them into data skipping.
+  *
+  * WHY IN THE LOG: at the 100 TB design point a table is millions of
+  * parquet files; the scan-side cost that dominates is not reading
+  * matched bytes but OPENING unmatched files (footer round-trips, task
+  * scheduling). Parquet already stores per-column min/max in each
+  * footer — but a reader that consults them still pays one footer read
+  * per file per query. A table format hoists those stats into the
+  * commit manifest ONCE at write time, so every subsequent query prunes
+  * the file list from metadata that is O(live files) small JSON —
+  * no data-file I/O at all for skipped files. This is the design of
+  * Delta's per-file `stats` JSON and Iceberg's manifest value bounds.
+  *
+  * Collection is footer-only ([[collect]]): the just-committed files'
+  * parquet footers are read on the driver — metadata-sized I/O,
+  * O(files-in-commit) — never the data pages. A planetary-scale writer
+  * would fold this into the executor-side write tasks (Delta collects
+  * stats in the writer); the protocol and format here are unchanged by
+  * that placement.
+  *
+  * SOUNDNESS CONTRACT (the only correctness property skipping needs):
+  * `mayMatch(pred, fileStats) == false` ⇒ no row of the file satisfies
+  * `pred`. Everything unknown — unsupported predicate shapes, columns
+  * without stats, type mismatches, NaN bounds — degrades to `true`
+  * (keep the file). The residual predicate is ALWAYS re-applied by
+  * Spark on the surviving files ([[TxLog.scanWhere]]), so skipping can
+  * only remove provably-dead I/O, never change a result; TxSkipSpec
+  * proves row-identity against the unpruned scan across the predicate
+  * battery and checks real skip counts on clustered and z-ordered
+  * commits.
+  *
+  * Supported stat types (tag): "i" = integral (int32/int64, DATE days,
+  * TIMESTAMP micros), "d" = double/float (stored as raw IEEE bits for
+  * exact JSON round-trip), "s" = UTF-8 string (compared in unsigned
+  * byte order — parquet's UTF8 comparator, NOT java String order,
+  * which diverges on supplementary planes), "b" = boolean. Everything
+  * else (nested, binary, int96, decimal, non-micro timestamps) gets no
+  * stats and never prunes. */
+object TxStats {
+
+  /** Per-column bounds within one file. `has == false` means the
+    * column is entirely null in the file (min/max are empty strings
+    * and must not be read). `nulls == -1` means the writer did not
+    * record a null count — unknown, treated conservatively. */
+  final case class ColStat(col: String, tag: String, has: Boolean,
+                           min: String, max: String, nulls: Long)
+
+  /** Stats for one data file: exact row count + per-column bounds
+    * (only columns whose type and footer support sound pruning). */
+  final case class FileStats(file: String, rows: Long, cols: Seq[ColStat]) {
+    @transient lazy val byCol: Map[String, ColStat] =
+      cols.iterator.map(c => c.col -> c).toMap
+  }
+
+  // ------------------------------------------------------------------
+  // collection: parquet footer -> FileStats
+  // ------------------------------------------------------------------
+
+  /** Read footers of `rel` (paths relative to `root`) and build their
+    * stats. Metadata-only I/O; data pages are never touched. */
+  def collect(s: SparkSession, root: Path, rel: Seq[String]): Seq[FileStats] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    rel.map { r =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(root, r), conf))
+      try {
+        val md = rd.getFooter
+        val blocks = md.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val schema = md.getFileMetaData.getSchema
+        val cols = schema.getFields.asScala.toSeq.flatMap { f =>
+          if (!f.isPrimitive) None
+          else tagOf(f.asPrimitiveType()).flatMap(mergeBlocks(f.getName, _, blocks))
+        }
+        FileStats(r, rows, cols)
+      } finally rd.close()
+    }
+  }
+
+  /** The stats tag for a primitive parquet type, or None if the type
+    * cannot be soundly pruned with our comparators. */
+  private def tagOf(p: PrimitiveType): Option[String] = {
+    import PrimitiveType.PrimitiveTypeName._
+    val ann = p.getLogicalTypeAnnotation
+    p.getPrimitiveTypeName match {
+      case INT32 => ann match {
+        case null => Some("i")
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => Some("i")
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("i")
+        case _ => None // decimal-as-int32 etc: literal scale unknown here
+      }
+      case INT64 => ann match {
+        case null => Some("i")
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => Some("i")
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          // Catalyst timestamp literals are MICROS since epoch — only a
+          // micros-annotated column compares against them soundly.
+          if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => Some("i")
+        case _ => None
+      }
+      case DOUBLE | FLOAT => Some("d")
+      case BOOLEAN => Some("b")
+      case BINARY => ann match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some("s")
+        case _ => None
+      }
+      case _ => None // INT96, FIXED_LEN_BYTE_ARRAY
+    }
+  }
+
+  /** Merge one column's statistics across a file's row groups. Any
+    * group without usable stats poisons the column (conservative:
+    * omit). All-null columns are kept with has=false — they prune
+    * comparisons and IS NOT NULL. */
+  private def mergeBlocks(name: String, tag: String,
+                          blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])
+      : Option[ColStat] = {
+    var min: Any = null; var max: Any = null
+    var nulls = 0L; var nullsKnown = true; var any = false
+    for (b <- blocks) {
+      val cc = b.getColumns.asScala.find(c =>
+        c.getPath.size() == 1 && c.getPath.toDotString == name).orNull
+      if (cc == null) return None
+      val st = cc.getStatistics
+      if (st == null || st.isEmpty) return None
+      if (st.isNumNullsSet) nulls += st.getNumNulls else nullsKnown = false
+      if (st.hasNonNullValue) {
+        val (lo, hi) = (fromStats(tag, st.genericGetMin.asInstanceOf[AnyRef]),
+          fromStats(tag, st.genericGetMax.asInstanceOf[AnyRef]))
+        if (lo == null || hi == null) return None // e.g. NaN double bounds
+        if (!any) { min = lo; max = hi; any = true }
+        else {
+          if (cmp(tag, lo, min) < 0) min = lo
+          if (cmp(tag, hi, max) > 0) max = hi
+        }
+      }
+    }
+    if (!any && !nullsKnown) None // nothing usable at all
+    else if (!any) Some(ColStat(name, tag, has = false, "", "", nulls))
+    else Some(ColStat(name, tag, has = true, render(tag, min), render(tag, max),
+      if (nullsKnown) nulls else -1L))
+  }
+
+  /** Normalize a parquet statistics value into the tag's comparison
+    * domain; null = unusable (drops the column's stats). */
+  private def fromStats(tag: String, v: AnyRef): Any = (tag, v) match {
+    case ("i", i: java.lang.Integer) => i.longValue
+    case ("i", l: java.lang.Long) => l.longValue
+    case ("d", d: java.lang.Double) =>
+      if (d.isNaN) null else d.doubleValue
+    case ("d", f: java.lang.Float) =>
+      if (f.isNaN) null else f.doubleValue
+    case ("s", b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+    case ("b", x: java.lang.Boolean) => x.booleanValue
+    case _ => null
+  }
+
+  // ------------------------------------------------------------------
+  // JSON value round-trip (exact)
+  // ------------------------------------------------------------------
+
+  /** Serialize a bound for the manifest. Doubles go as raw IEEE-754
+    * bits so the round-trip is exact (no decimal shortest-repr risk). */
+  def render(tag: String, v: Any): String = tag match {
+    case "i" => v.asInstanceOf[Long].toString
+    case "d" => java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]).toString
+    case "s" => v.asInstanceOf[String]
+    case "b" => if (v.asInstanceOf[Boolean]) "1" else "0"
+  }
+
+  def parseVal(tag: String, s: String): Any = tag match {
+    case "i" => s.toLong
+    case "d" => java.lang.Double.longBitsToDouble(s.toLong)
+    case "s" => s
+    case "b" => s == "1"
+  }
+
+  /** Total order per tag. Strings compare in UTF-8 unsigned byte
+    * order (parquet's UTF8 sort order); doubles by IEEE compare with
+    * -0.0 < 0.0 folded equal via `java.lang.Double.compare` being
+    * consistent on both sides of the predicate. */
+  private[storage] def cmp(tag: String, a: Any, b: Any): Int = tag match {
+    case "i" => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "d" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "s" => java.util.Arrays.compareUnsigned(
+      a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case "b" => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+  }
+
+  // ------------------------------------------------------------------
+  // predicate extraction: Catalyst Column -> prunable tree
+  // ------------------------------------------------------------------
+
+  private[storage] sealed trait Pred
+  private[storage] final case class Cmp(op: String, col: String, tag: String, v: Any) extends Pred
+  private[storage] final case class InP(col: String, tag: String, vs: Seq[Any]) extends Pred
+  private[storage] final case class NullP(col: String, isNull: Boolean) extends Pred
+  private[storage] final case class AndP(l: Pred, r: Pred) extends Pred
+  private[storage] final case class OrP(l: Pred, r: Pred) extends Pred
+  private[storage] case object Unknown extends Pred
+
+  /** Widening casts that preserve both value and our comparison order,
+    * so a predicate on cast(col) can prune with col's stats: any
+    * integral → wider integral (stats are stored long-widened anyway)
+    * and float → double. Catalyst inserts exactly these around the
+    * attribute when coercing e.g. an int column against a long
+    * literal. */
+  private def soundWiden(from: DataType, to: DataType): Boolean = {
+    def rank(d: DataType): Int = d match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => -1
+    }
+    (rank(from) > 0 && rank(to) >= rank(from)) ||
+      (from == FloatType && to == DoubleType)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.nameParts.mkString("."))
+    case c: Cast if soundWiden(c.child.dataType, c.dataType) => attrName(c.child)
+    case _ => None
+  }
+
+  /** Literal -> (tag, comparison-domain value). None for literal types
+    * we don't prune (decimal, binary, interval, null-typed, NaN). */
+  private def litVal(l: Literal): Option[(String, Any)] = {
+    if (l.value == null) return None
+    l.dataType match {
+      case ByteType => Some(("i", l.value.asInstanceOf[Byte].toLong))
+      case ShortType => Some(("i", l.value.asInstanceOf[Short].toLong))
+      case IntegerType => Some(("i", l.value.asInstanceOf[Int].toLong))
+      case LongType => Some(("i", l.value.asInstanceOf[Long]))
+      case DateType => Some(("i", l.value.asInstanceOf[Int].toLong))
+      case TimestampType | TimestampNTZType => Some(("i", l.value.asInstanceOf[Long]))
+      case FloatType =>
+        val f = l.value.asInstanceOf[Float]
+        if (f.isNaN) None else Some(("d", f.toDouble))
+      case DoubleType =>
+        val d = l.value.asInstanceOf[Double]
+        if (d.isNaN) None else Some(("d", d))
+      case StringType => Some(("s", l.value.asInstanceOf[UTF8String].toString))
+      case BooleanType => Some(("b", l.value.asInstanceOf[Boolean]))
+      case _ => None
+    }
+  }
+
+  /** Build the prunable tree of `c`'s expression. Anything not in the
+    * supported algebra — casts around the attribute, functions,
+    * subqueries, NOT over comparisons — maps to [[Unknown]] (never
+    * skips). NOT is deliberately not distributed over children:
+    * three-valued SQL semantics make ¬(a = v) on a null row false,
+    * so a sound Not handling needs null-aware rewrites; Unknown is
+    * the safe floor. */
+  private[storage] def toPred(e: Expression): Pred = e match {
+    case And(l, r) => AndP(toPred(l), toPred(r))
+    case Or(l, r) =>
+      val (pl, pr) = (toPred(l), toPred(r))
+      // an Unknown disjunct makes the whole Or unprunable
+      if (pl == Unknown || pr == Unknown) Unknown else OrP(pl, pr)
+    case EqualTo(a, l: Literal) =>
+      (attrName(a), litVal(l)) match {
+        case (Some(n), Some((t, v))) => Cmp("eq", n, t, v); case _ => Unknown
+      }
+    case EqualTo(l: Literal, a) => toPred(EqualTo(a, l))
+    case EqualNullSafe(a, l: Literal) =>
+      (attrName(a), litVal(l)) match {
+        case (Some(n), Some((t, v))) => Cmp("eq", n, t, v)
+        case (Some(n), None) if l.value == null => NullP(n, isNull = true)
+        case _ => Unknown
+      }
+    case EqualNullSafe(l: Literal, a) => toPred(EqualNullSafe(a, l))
+    case GreaterThan(a, l: Literal) => cmpPred("gt", a, l)
+    case GreaterThan(l: Literal, a) => cmpPred("lt", a, l)
+    case GreaterThanOrEqual(a, l: Literal) => cmpPred("ge", a, l)
+    case GreaterThanOrEqual(l: Literal, a) => cmpPred("le", a, l)
+    case LessThan(a, l: Literal) => cmpPred("lt", a, l)
+    case LessThan(l: Literal, a) => cmpPred("gt", a, l)
+    case LessThanOrEqual(a, l: Literal) => cmpPred("le", a, l)
+    case LessThanOrEqual(l: Literal, a) => cmpPred("ge", a, l)
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      attrName(a) match {
+        case Some(n) =>
+          val vs = list.map(l => litVal(l.asInstanceOf[Literal]))
+          if (vs.exists(_.isEmpty)) Unknown
+          else {
+            val tags = vs.flatten.map(_._1).distinct
+            if (tags.size != 1) Unknown else InP(n, tags.head, vs.flatten.map(_._2))
+          }
+        case None => Unknown
+      }
+    case InSet(a, hset) =>
+      // the optimizer's large-list form of In; values are already in
+      // the comparison domain of the child's type
+      (attrName(a), a.dataType) match {
+        case (Some(n), dt) =>
+          val vs = hset.toSeq.map(v => litVal(Literal(v, dt)))
+          if (vs.exists(_.isEmpty) || vs.isEmpty) Unknown
+          else InP(n, vs.flatten.head._1, vs.flatten.map(_._2))
+        case _ => Unknown
+      }
+    case IsNull(a) => attrName(a).map(NullP(_, isNull = true)).getOrElse(Unknown)
+    case IsNotNull(a) => attrName(a).map(NullP(_, isNull = false)).getOrElse(Unknown)
+    case _ => Unknown
+  }
+
+  private def cmpPred(op: String, a: Expression, l: Literal): Pred =
+    (attrName(a), litVal(l)) match {
+      case (Some(n), Some((t, v))) => Cmp(op, n, t, v); case _ => Unknown
+    }
+
+  // ------------------------------------------------------------------
+  // evaluation: may a file contain a matching row?
+  // ------------------------------------------------------------------
+
+  /** True unless the stats PROVE no row of the file can satisfy the
+    * predicate. Missing column stats, tag mismatches (a predicate that
+    * would need a cast) and Unknown subtrees all return true. */
+  private[storage] def mayMatch(p: Pred, fs: FileStats): Boolean = p match {
+    case Unknown => true
+    case AndP(l, r) => mayMatch(l, fs) && mayMatch(r, fs)
+    case OrP(l, r) => mayMatch(l, fs) || mayMatch(r, fs)
+    case NullP(col, isNull) => fs.byCol.get(col) match {
+      case None => true
+      case Some(st) =>
+        if (isNull) st.nulls != 0 // >0 or unknown(-1)
+        else st.has // a non-null value exists iff bounds exist
+    }
+    case InP(col, tag, vs) => vs.exists(v => mayMatch(Cmp("eq", col, tag, v), fs))
+    case Cmp(op, col, tag, v) => fs.byCol.get(col) match {
+      case None => true
+      case Some(st) if st.tag != tag => true
+      case Some(st) if !st.has => false // all null: no comparison matches
+      case Some(st) =>
+        val min = parseVal(tag, st.min); val max = parseVal(tag, st.max)
+        op match {
+          case "eq" => cmp(tag, v, min) >= 0 && cmp(tag, v, max) <= 0
+          case "lt" => cmp(tag, min, v) < 0
+          case "le" => cmp(tag, min, v) <= 0
+          case "gt" => cmp(tag, max, v) > 0
+          case "ge" => cmp(tag, max, v) >= 0
+        }
+    }
+  }
+
+  /** Split a conjunction into its factors (each prunes independently —
+    * a file survives only if EVERY factor may match). */
+  def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case x => Seq(x)
+  }
+
+  /** Entry point used by [[TxLog.scanWhere]]: which of `files` may
+    * contain rows matching ALL of `preds` (RESOLVED Catalyst
+    * conjuncts — [[TxLog]] obtains them from the optimized plan of
+    * the filtered scan, so coercion casts and inferred IS NOT NULLs
+    * are already in place)? Files without stats are kept. */
+  def prune(preds: Seq[Expression], files: Seq[String],
+            stats: Map[String, FileStats]): Seq[String] = {
+    val ps = preds.map(toPred)
+    files.filter(f => stats.get(f).forall(st => ps.forall(mayMatch(_, st))))
+  }
+}

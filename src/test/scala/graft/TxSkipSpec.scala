@@ -1,0 +1,199 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.StorageLayout
+import graft.storage.TxLog
+
+/** Manifest zone maps + data skipping (TxLog.scanWhere / TxStats).
+  *
+  * The only property skipping is allowed to have: row-identity to the
+  * unpruned `snapshot(t).filter(pred)` for EVERY predicate — supported,
+  * unsupported, null-traps, type edges — while provably-dead files are
+  * actually dropped from the read set (asserted via pruneCount). */
+class TxSkipSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txskip_").resolve("t").toString
+
+  /** rows: (id, grp, score, name, day, flag) with controlled ranges. */
+  private def batch(ids: Range, grp: String, scoreOf: Int => java.lang.Double = i => i / 10.0) =
+    ids.map { i =>
+      (i.toLong, grp, scoreOf(i), s"name-$i",
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i / 10)), i % 2 == 0)
+    }.toDF("id", "grp", "score", "name", "day", "flag")
+
+  private def assertSame(t: String, pred: Column, clue: String): Unit = {
+    val full = TxLog.snapshot(spark, t).get.filter(pred)
+    val pruned = TxLog.scanWhere(spark, t, pred).get
+    assert(pruned.schema == full.schema, s"$clue: schema drift")
+    val a = full.collect().map(_.toString).sorted.toSeq
+    val b = pruned.collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"$clue: pruned scan diverged (${a.size} vs ${b.size} rows)")
+  }
+
+  /** Three commits with disjoint id/day ranges and distinct grp values —
+    * each commit is one file (coalesce(1)), so zone maps discriminate. */
+  private def clustered3(): String = {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 100, "alpha").coalesce(1), t, "w", 0L)
+    TxLog.commit(batch(100 until 200, "beta").coalesce(1), t, "w", 1L)
+    TxLog.commit(batch(200 until 300, "gamma").coalesce(1), t, "w", 2L)
+    t
+  }
+
+  test("predicate battery: pruned ≡ unpruned for supported, unsupported and null-trap shapes") {
+    val t = clustered3()
+    val battery: Seq[(String, Column)] = Seq(
+      "eq-long" -> ($"id" === 150L),
+      "eq-int-literal" -> ($"id" === 42),
+      "range" -> ($"id" >= 90L && $"id" < 110L),
+      "flipped" -> (lit(250L) <= $"id"),
+      "string-eq" -> ($"grp" === "beta"),
+      "string-range" -> ($"name" > "name-95"),
+      "in-list" -> ($"id".isin(5L, 105L, 205L)),
+      "date-range" -> ($"day" >= lit(java.sql.Date.valueOf("1970-01-11"))),
+      "double-cmp" -> ($"score" < 1.5),
+      "bool-eq" -> ($"flag" === true),
+      "or-of-ranges" -> ($"id" < 50L || $"id" >= 250L),
+      "and-mixed" -> ($"grp" === "alpha" && $"score" >= 5.0),
+      "isnull" -> $"score".isNull,
+      "isnotnull" -> $"score".isNotNull,
+      "null-safe-eq" -> ($"id" <=> 150L),
+      // unsupported shapes — must keep everything and stay correct
+      "arith" -> ($"id" + 1L === 151L),
+      "not" -> (!($"grp" === "beta")),
+      "func" -> (length($"name") === 8),
+      "or-with-unsupported" -> ($"id" < 10L || length($"grp") === 4)
+    )
+    battery.foreach { case (clue, p) => assertSame(t, p, clue) }
+    // the unsupported shapes really did keep everything
+    Seq(($"id" + 1L === 151L): Column, !($"grp" === "beta"), length($"name") === 8)
+      .foreach { p =>
+        val (kept, total) = TxLog.pruneCount(spark, t, p)
+        assert(kept == total, s"unsupported predicate pruned files: $p")
+      }
+  }
+
+  test("selective predicates actually skip files (and empty-result scans read nothing)") {
+    val t = clustered3()
+    assert(TxLog.pruneCount(spark, t, $"id" === 150L) == ((1, 3)))
+    assert(TxLog.pruneCount(spark, t, $"grp" === "gamma") == ((1, 3)))
+    assert(TxLog.pruneCount(spark, t, $"id" < 50L || $"id" >= 250L) == ((2, 3)))
+    // outside every file's bounds: zero files, empty frame, schema intact
+    val (kept, total) = TxLog.pruneCount(spark, t, $"id" === 999L)
+    assert(kept == 0 && total == 3)
+    val empty = TxLog.scanWhere(spark, t, $"id" === 999L).get
+    assert(empty.count() == 0)
+    assert(empty.schema == TxLog.snapshot(spark, t).get.schema)
+  }
+
+  test("all-null column: comparisons and IS NOT NULL skip the file, IS NULL keeps it") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 50, "a").coalesce(1), t, "w", 0L)
+    val nullScores = (1000 until 1050).map(i =>
+      (i.toLong, "nulls", null.asInstanceOf[java.lang.Double], s"name-$i",
+        java.sql.Date.valueOf("1999-01-01"), false))
+      .toDF("id", "grp", "score", "name", "day", "flag")
+    TxLog.commit(nullScores.coalesce(1), t, "w", 1L)
+    assertSame(t, $"score" === 2.0, "cmp-vs-allnull")
+    assertSame(t, $"score".isNull, "isnull-vs-allnull")
+    assertSame(t, $"score".isNotNull, "isnotnull-vs-allnull")
+    // the all-null file is provably dead for a score comparison
+    assert(TxLog.pruneCount(spark, t, $"score" === 2.0) == ((1, 2)))
+    assert(TxLog.pruneCount(spark, t, $"score".isNotNull) == ((1, 2)))
+    // and provably the only candidate for IS NULL (batch 0 has no nulls)
+    assert(TxLog.pruneCount(spark, t, $"score".isNull) == ((1, 2)))
+  }
+
+  test("string bounds compare in UTF-8 byte order, not UTF-16 code-unit order") {
+    // U+E000 (UTF-8: EE 80 80) vs U+10000 (UTF-8: F0 90 80 80): UTF-16
+    // orders the surrogate pair FIRST (0xD800 < 0xE000); UTF-8 bytes
+    // order it LAST. Parquet min/max use UTF-8 unsigned byte order —
+    // a String-compareTo pruner would skip the wrong file here.
+    val t = freshTable()
+    val lo = "\uE000"                          // private-use BMP char
+    val hi = new String(Character.toChars(0x10000)) // supplementary
+    Seq((1L, lo)).toDF("id", "s").coalesce(1).pipe(df => TxLog.commit(df, t, "w", 0L))
+    Seq((2L, hi)).toDF("id", "s").coalesce(1).pipe(df => TxLog.commit(df, t, "w", 1L))
+    assertSame(t, $"s" === lo, "utf8-eq-lo")
+    assertSame(t, $"s" === hi, "utf8-eq-hi")
+    assertSame(t, $"s" > lo, "utf8-gt")
+    assert(TxLog.pruneCount(spark, t, $"s" === lo) == ((1, 2)))
+    assert(TxLog.pruneCount(spark, t, $"s" === hi) == ((1, 2)))
+  }
+
+  implicit private class Piped[A](a: A) { def pipe[B](f: A => B): B = f(a) }
+
+  test("skipping survives compaction: checkpoint manifests carry fresh stats") {
+    val t = clustered3()
+    TxLog.compact(spark, t, targetBytes = 1L << 20)
+    // post-compact the table is 1 merged file — bounds widen, selective
+    // eq keeps it (correctly), an out-of-range predicate still skips ALL
+    val (_, total) = TxLog.pruneCount(spark, t, lit(true) === lit(true))
+    val (kept0, _) = TxLog.pruneCount(spark, t, $"id" === 9999L)
+    assert(kept0 == 0, "compacted file's stats missing — out-of-range eq kept it")
+    assertSame(t, $"id" === 150L, "post-compact eq")
+    assertSame(t, $"id" === 9999L, "post-compact empty")
+    assert(total >= 1)
+  }
+
+  test("pre-stats manifests (no stats key) parse, never prune, and stay correct") {
+    val t = clustered3()
+    // simulate a manifest written before the stats feature: strip the
+    // stats array from v0's JSON in place
+    val v0 = Paths.get(s"$t/_txlog/v${"%020d".format(0)}.json")
+    val json = new String(Files.readAllBytes(v0), java.nio.charset.StandardCharsets.UTF_8)
+    val cut = json.indexOf(", \"stats\": ")
+    assert(cut > 0, s"expected a stats key in $v0")
+    Files.write(v0, (json.substring(0, cut) + "}").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // v0's file now has no stats → kept for every predicate; v1/v2 prune
+    assert(TxLog.pruneCount(spark, t, $"id" === 250L) == ((2, 3)))
+    assertSame(t, $"id" === 250L, "stats-less manifest")
+    assertSame(t, $"id" === 50L, "stats-less manifest hit")
+  }
+
+  test("z-ordered commits: box predicates on either dim skip most files") {
+    // 64×64 grid, z-ordered into 16 files — every file covers a compact
+    // box in (x, y), so a box query on x AND y (or either alone) prunes.
+    // A linear (x, y) sort would leave y-only queries scanning all files.
+    val t = freshTable()
+    val n = 64
+    val grid = spark.range(0L, (n * n).toLong).select(
+      (col("id") / n).cast("long").as("x"),
+      (col("id") % n).cast("long").as("y"),
+      col("id").as("v"))
+    val z = grid.withColumn("_z", StorageLayout.zvalue(col("x"), col("y"), 6))
+      .repartitionByRange(16, col("_z")).sortWithinPartitions("_z").drop("_z")
+    TxLog.commit(z, t, "w", 0L)
+    val (_, total) = TxLog.pruneCount(spark, t, lit(1) === lit(1))
+    assert(total == 16, s"expected 16 z-files, got $total")
+    val box = $"x" >= 8L && $"x" < 16L && $"y" >= 8L && $"y" < 16L
+    val (keptBox, _) = TxLog.pruneCount(spark, t, box)
+    assert(keptBox <= 4, s"z-order box query kept $keptBox of 16 files")
+    val (keptY, _) = TxLog.pruneCount(spark, t, $"y" < 8L)
+    assert(keptY <= 8, s"z-order y-only query kept $keptY of 16 files")
+    assertSame(t, box, "z-box")
+    assertSame(t, $"y" < 8L, "z-y-only")
+  }
+
+  test("streaming sink commits carry stats: the exactly-once table is also skippable") {
+    val t = freshTable()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("txskip_ck_").toString
+    val q = TxLog.sink(mem.toDF.select($"value".as("id")).coalesce(1), t, "s", ckpt)
+    mem.addData(0L until 100L: _*); q.processAllAvailable()
+    mem.addData(1000L until 1100L: _*); q.processAllAvailable()
+    q.stop()
+    assert(TxLog.pruneCount(spark, t, $"id" === 1050L) == ((1, 2)))
+    assertSame(t, $"id" === 1050L, "streamed-commit skip")
+  }
+}
