@@ -266,13 +266,13 @@ object TxLog {
     val ms = manifests(s, table)
     val files = liveFiles(ms)
     if (files.isEmpty) return None
-    val (filtered, kept) = pruned(s, table, pred, files, liveStats(ms))
+    val kept = pruned(s, table, pred, files, liveStats(ms))
     if (kept.isEmpty)
-      // every file proved dead: constant-false over the (lazy) scan —
+      // every file proved dead: constant-false over a one-file scan —
       // the optimizer collapses it to an empty LocalTableScan with the
       // table's schema, no data I/O
-      Some(filtered.where(org.apache.spark.sql.functions.lit(false)))
-    else if (kept.size == files.size) Some(filtered)
+      Some(s.read.parquet(new Path(table, files.head).toString)
+        .filter(pred).where(org.apache.spark.sql.functions.lit(false)))
     else Some(s.read.parquet(kept.map(f => new Path(table, f).toString): _*).filter(pred))
   }
 
@@ -283,7 +283,7 @@ object TxLog {
     val ms = manifests(s, table)
     val files = liveFiles(ms)
     if (files.isEmpty) return (0, 0)
-    (pruned(s, table, pred, files, liveStats(ms))._2.size, files.size)
+    (pruned(s, table, pred, files, liveStats(ms)).size, files.size)
   }
 
   /** Resolve `pred` against the table's schema through Catalyst (a
@@ -292,20 +292,25 @@ object TxLog {
     * type coercion (the battery's `id === 42` arrives as a widening
     * cast we unwrap soundly), constant folding, and inferred IS NOT
     * NULLs — while anything the optimizer leaves that TxStats doesn't
-    * model degrades to keep-the-file. Driver cost is one footer read
-    * for schema inference; no data I/O happens here (the plan is never
-    * executed). */
+    * model degrades to keep-the-file. Resolution runs over a ONE-file
+    * scan (the table's schema is uniform — TxLog has no schema
+    * evolution), so pruning never lists or plans the full file set: at
+    * a million live files the driver reads one footer, not a
+    * million-path FileIndex. A predicate that fails to resolve even
+    * there keeps every file (the real scan will surface the error).
+    * No data I/O happens here (the plan is never executed). */
   private def pruned(s: SparkSession, table: String,
                      pred: org.apache.spark.sql.Column, files: Seq[String],
-                     stats: Map[String, TxStats.FileStats]): (DataFrame, Seq[String]) = {
-    val filtered = s.read
-      .parquet(files.map(f => new Path(table, f).toString): _*)
-      .filter(pred)
-    val conjuncts = filtered.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        TxStats.splitAnd(f.condition)
-    }.flatten
-    (filtered, TxStats.prune(conjuncts, files, stats))
+                     stats: Map[String, TxStats.FileStats]): Seq[String] = {
+    val conjuncts =
+      try {
+        s.read.parquet(new Path(table, files.head).toString).filter(pred)
+          .queryExecution.optimizedPlan.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              TxStats.splitAnd(f.condition)
+          }.flatten
+      } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    TxStats.prune(conjuncts, files, stats)
   }
 
   /** Transactionally append `df` to `table`. The write lands in a

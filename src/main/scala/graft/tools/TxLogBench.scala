@@ -53,6 +53,20 @@ object TxLogBench {
     println(f"[txbench] snapshot read: $c1 rows in $snapT%.3f s; " +
       f"plain read: $c2 rows in $plainT%.3f s")
 
+    // --- data skipping: each commit's id range is disjoint, so a point
+    // predicate is provably in exactly one file — scanWhere should read
+    // 1 of nCommits files vs the full-scan filter touching all of them
+    {
+      import org.apache.spark.sql.functions.col
+      val needle = (nCommits / 2).toLong * rows + 7L
+      val pred = col("id") === needle
+      val (kept, total) = TxLog.pruneCount(spark, t, pred)
+      val (cs, skipT) = timed(TxLog.scanWhere(spark, t, pred).get.count())
+      val (cf, fullT) = timed(TxLog.snapshot(spark, t).get.filter(pred).count())
+      println(f"[txbench] point-predicate skip: kept $kept of $total files; " +
+        f"scanWhere $cs rows in $skipT%.3f s vs full filter $cf rows in $fullT%.3f s")
+    }
+
     // --- compaction effect
     val (v, compT) = timed(TxLog.compact(spark, t, targetBytes = 256L << 20))
     val (c3, snapT2) = timed(TxLog.snapshot(spark, t).get.count())
