@@ -1,7 +1,8 @@
 package graft.storage
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, when}
 
 /** Minimal transactional table log — the missing atomicity primitive
   * under every ingestion loop in this engine.
@@ -63,7 +64,8 @@ object TxLog {
   private case class Manifest(version: Long, files: Seq[String],
                               writerId: String, batchId: Long,
                               checkpoint: Boolean,
-                              stats: Seq[TxStats.FileStats] = Seq.empty)
+                              stats: Seq[TxStats.FileStats] = Seq.empty,
+                              removes: Seq[String] = Seq.empty)
 
   // hand-rolled JSON (matches the repo's zero-dependency stance); file
   // paths are uuid/part names we generate — no escaping needed beyond
@@ -75,6 +77,13 @@ object TxLog {
     } + "\""
 
   private def render(m: Manifest): String = {
+    // key order is LOAD-BEARING for the cursor parser: version,
+    // checkpoint, writer_id, batch_id, files, [removes], [stats] —
+    // optional keys are omitted (not null) so pre-feature manifests and
+    // append-only manifests keep the exact old shape
+    val removes =
+      if (m.removes.isEmpty) ""
+      else ", \"removes\": [" + m.removes.map(q).mkString(", ") + "]"
     val stats =
       if (m.stats.isEmpty) ""
       else ", \"stats\": [" + m.stats.map { fst =>
@@ -86,7 +95,7 @@ object TxLog {
       }.mkString(", ") + "]"
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, """ +
-      s""""files": [${m.files.map(q).mkString(", ")}]$stats}"""
+      s""""files": [${m.files.map(q).mkString(", ")}]$removes$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -130,8 +139,8 @@ object TxLog {
     val checkpoint = s.startsWith("true", cCp)
     val (writerId, c2) = scanString(keyFrom("writer_id", cCp))
     val (batchId, c3) = longAt(keyFrom("batch_id", c2))
-    val (files, cFiles) = {
-      var i = s.indexOf('[', keyFrom("files", c3)) + 1
+    def strArray(from: Int): (Seq[String], Int) = {
+      var i = s.indexOf('[', from) + 1
       val out = Seq.newBuilder[String]
       while (s(i) != ']') {
         if (s(i) == '"') {
@@ -140,13 +149,17 @@ object TxLog {
       }
       (out.result(), i + 1)
     }
-    // optional trailing stats (manifests from before the stats feature
-    // simply lack the key — their files never prune). The cursor is past
-    // every string VALUE that could contain key-shaped text, so indexOf
-    // from here is safe.
+    val (files, cFiles) = strArray(keyFrom("files", c3))
+    // optional trailing keys (manifests from before each feature simply
+    // lack them). Detected by EXACT shape at the cursor — an indexOf
+    // would let key-shaped text inside a later string-typed zone-map
+    // bound (arbitrary table data) be mistaken for the key itself.
+    val (removes, cRem) =
+      if (s.startsWith(", \"removes\": ", cFiles)) strArray(cFiles + 13)
+      else (Seq.empty[String], cFiles)
     val stats: Seq[TxStats.FileStats] = {
       import TxStats.{ColStat, FileStats}
-      val k = s.indexOf("\"stats\": ", cFiles)
+      val k = if (s.startsWith(", \"stats\": ", cRem)) cRem + 2 else -1
       if (k < 0) Seq.empty
       else {
         def parseCols(from: Int): (Seq[ColStat], Int) = {
@@ -180,7 +193,7 @@ object TxLog {
         out.result()
       }
     }
-    Manifest(version, files, writerId, batchId, checkpoint, stats)
+    Manifest(version, files, writerId, batchId, checkpoint, stats, removes)
   }
 
   /** All committed manifests, version-ordered. */
@@ -197,14 +210,19 @@ object TxLog {
       }.toSeq
   }
 
-  /** The table's live file set: the newest checkpoint manifest (if
-    * any) plus every later manifest's additions. */
+  /** The table's live file set: replay from the newest checkpoint
+    * manifest (if any) in version order — each transaction's `removes`
+    * drop out (row-level DML rewrote those files), its `files` add in.
+    * Paths are uuid-unique, so a removed path can never be re-added. */
   private def liveFiles(ms: Seq[Manifest]): Seq[String] = {
     val fromCp = ms.lastIndexWhere(_.checkpoint) match {
       case -1 => ms
       case i => ms.drop(i)
     }
-    fromCp.flatMap(_.files)
+    fromCp.foldLeft(Vector.empty[String]) { (acc, m) =>
+      val dead = m.removes.toSet
+      (if (dead.isEmpty) acc else acc.filterNot(dead)) ++ m.files
+    }
   }
 
   /** Highest committed version, or -1 for an empty/new table. */
@@ -242,7 +260,10 @@ object TxLog {
 
   /** The stats in force for the current read set — scoped exactly like
     * [[liveFiles]] (newest checkpoint onward), so compacted-away
-    * generations can't shadow the rewritten files' bounds. */
+    * generations can't shadow the rewritten files' bounds. Entries for
+    * DML-removed files linger in the map but are never consulted:
+    * pruning looks up stats only for names in the live list, and a
+    * removed uuid path is never re-added. */
   private def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] = {
     val fromCp = ms.lastIndexWhere(_.checkpoint) match {
       case -1 => ms
@@ -457,6 +478,201 @@ object TxLog {
         ()
       }
       .start()
+
+  // ------------------------------------------------------------------
+  // row-level DML: copy-on-write DELETE / UPDATE / MERGE
+  //
+  // The pattern shared by all three: (1) zone maps narrow the live file
+  // list to CANDIDATES that may hold an affected row — metadata only;
+  // (2) one scan of the candidates (tagged with input_file_name) finds
+  // the files that ACTUALLY do; (3) only those files are rewritten
+  // (copy-on-write) into a fresh uuid dir; (4) the manifest publishes
+  // {removes = touched, files = rewritten} atomically at EXACTLY the
+  // snapshot head the operation read — a moved head is a serialization
+  // conflict (ConcurrentModificationException; the caller re-runs
+  // against the new snapshot), never a silent lost update. At 100 TB
+  // the cost therefore tracks the AFFECTED files, not the table: a
+  // point delete on a clustered table reads one candidate file and
+  // rewrites one file, whatever the table's size.
+  // ------------------------------------------------------------------
+
+  /** Result of a row-level transaction: the committed `version` (the
+    * unchanged head if nothing matched; −1 if the (writerId, batchId)
+    * token had already committed — exactly-once replay), plus the
+    * rewrite's file accounting. */
+  final case class Rewrite(version: Long, removedFiles: Int, addedFiles: Int)
+
+  private def tokenTaken(ms: Seq[Manifest], writerId: String, batchId: Long): Boolean =
+    ms.exists(m => m.writerId == writerId && m.batchId == batchId)
+
+  private def absPath(table: String)(rel: String): String =
+    new Path(new Path(table), rel).toString
+
+  /** Narrow zone-map `candidates` to the files that actually contain a
+    * row matching `pred` — one candidate-only scan; rel paths are
+    * uuid-unique suffixes of input_file_name's URI. */
+  private def matchingFiles(s: SparkSession, table: String, pred: Column,
+                            candidates: Seq[String]): Seq[String] = {
+    if (candidates.isEmpty) return Seq.empty
+    val hit = s.read.parquet(candidates.map(absPath(table)): _*).where(pred)
+      .select(input_file_name().as("_f")).distinct()
+      .collect().map(_.getString(0))
+    candidates.filter(rel => hit.exists(_.endsWith(rel)))
+  }
+
+  /** SQL DELETE: remove the rows where `pred` is TRUE (FALSE and NULL
+    * rows stay — three-valued semantics, spec'd against null traps).
+    * Copy-on-write + serializable publish per the section note. */
+  def delete(s: SparkSession, table: String, pred: Column,
+             writerId: String, batchId: Long,
+             beforeCommit: () => Unit = () => ()): Rewrite = {
+    val ms = manifests(s, table)
+    if (tokenTaken(ms, writerId, batchId)) return Rewrite(-1L, 0, 0)
+    val head = ms.lastOption.map(_.version).getOrElse(-1L)
+    val files = liveFiles(ms)
+    if (files.isEmpty) return Rewrite(head, 0, 0)
+    val touched =
+      matchingFiles(s, table, pred, pruned(s, table, pred, files, liveStats(ms)))
+    if (touched.isEmpty) return Rewrite(head, 0, 0)
+    val kept = s.read.parquet(touched.map(absPath(table)): _*)
+      .where(not(coalesce(pred, lit(false))))
+    commitRewrite(s, table, kept, touched, head, writerId, batchId, beforeCommit)
+  }
+
+  /** SQL UPDATE: on rows where `pred` is TRUE, replace each column in
+    * `set` with its expression (cast back to the column's type — the
+    * table schema is an invariant, see [[pruned]]'s uniform-schema
+    * contract); all other rows and columns pass through bit-identical. */
+  def update(s: SparkSession, table: String, pred: Column, set: Map[String, Column],
+             writerId: String, batchId: Long,
+             beforeCommit: () => Unit = () => ()): Rewrite = {
+    val ms = manifests(s, table)
+    if (tokenTaken(ms, writerId, batchId)) return Rewrite(-1L, 0, 0)
+    val head = ms.lastOption.map(_.version).getOrElse(-1L)
+    val files = liveFiles(ms)
+    if (files.isEmpty) return Rewrite(head, 0, 0)
+    val touched =
+      matchingFiles(s, table, pred, pruned(s, table, pred, files, liveStats(ms)))
+    if (touched.isEmpty) return Rewrite(head, 0, 0)
+    val touchedDf = s.read.parquet(touched.map(absPath(table)): _*)
+    val unknown = set.keySet -- touchedDf.columns
+    require(unknown.isEmpty, s"update sets unknown columns: $unknown")
+    val hitRow = coalesce(pred, lit(false))
+    val updated = touchedDf.select(touchedDf.columns.toSeq.map { c =>
+      set.get(c) match {
+        case Some(e) =>
+          when(hitRow, e.cast(touchedDf.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    commitRewrite(s, table, updated, touched, head, writerId, batchId, beforeCommit)
+  }
+
+  /** MERGE (upsert) `source` into `table` on equality of `keys`:
+    * target rows whose key appears in the source are REPLACED by the
+    * source row, source rows with no target match are APPENDED, and
+    * every other target row — and every untouched FILE — is left
+    * as-is. Matching is null-rejecting join equality: null-keyed
+    * target rows always survive, null-keyed source rows always append.
+    * The source must carry exactly the table's columns (any order); if
+    * the source holds several rows of one key, all land — deduplicate
+    * upstream if last-writer-wins is intended.
+    *
+    * File-level work is bounded by the zone maps: the candidate set is
+    * pruned with the SOURCE's per-key min/max interval before any data
+    * file opens, so a clustered table merges a micro-batch by touching
+    * only the files its key range overlaps. */
+  def merge(source: DataFrame, table: String, keys: Seq[String],
+            writerId: String, batchId: Long,
+            beforeCommit: () => Unit = () => ()): Rewrite = {
+    val s = source.sparkSession
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val ms = manifests(s, table)
+    if (tokenTaken(ms, writerId, batchId)) return Rewrite(-1L, 0, 0)
+    val head = ms.lastOption.map(_.version).getOrElse(-1L)
+    val files = liveFiles(ms)
+    if (files.isEmpty) // empty table: the merge is an append, still serialized at `head`
+      return commitRewrite(s, table, source, Seq.empty, head, writerId, batchId, beforeCommit)
+    val targetCols = s.read.parquet(absPath(table)(files.head)).columns.toSeq
+    require(source.columns.toSet == targetCols.toSet,
+      s"merge source columns ${source.columns.toSet} != table columns ${targetCols.toSet}")
+    val src = source.select(targetCols.map(col): _*)
+    if (src.isEmpty) return Rewrite(head, 0, 0)
+    // zone-map candidate pruning by the source's key envelope (all-null
+    // key columns contribute no bound — their conjunct is dropped)
+    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val bRow = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val boundsPred = keys.zipWithIndex.flatMap { case (k, i) =>
+      (Option(bRow.get(2 * i)), Option(bRow.get(2 * i + 1))) match {
+        case (Some(mn), Some(mx)) => Some(col(k) >= lit(mn) && col(k) <= lit(mx))
+        case _ => None
+      }
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val candidates = pruned(s, table, boundsPred, files, liveStats(ms))
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else {
+        val cand = s.read.parquet(candidates.map(absPath(table)): _*)
+        val hit = cand.select(keys.map(col) :+ input_file_name().as("_f"): _*)
+          .join(srcKeys, keys, "left_semi")
+          .select("_f").distinct().collect().map(_.getString(0))
+        candidates.filter(rel => hit.exists(_.endsWith(rel)))
+      }
+    val newRows =
+      if (touched.isEmpty) src
+      else s.read.parquet(touched.map(absPath(table)): _*)
+        .join(srcKeys, keys, "left_anti").unionByName(src)
+    commitRewrite(s, table, newRows, touched, head, writerId, batchId, beforeCommit)
+  }
+
+  /** Write `newRows` to a fresh uuid dir and publish {files = those,
+    * removes = `removes`} at EXACTLY `expectedHead + 1`.
+    *
+    * SERIALIZABLE, not retried: a rewrite is only correct against the
+    * snapshot it read — a concurrent commit could have added rows this
+    * rewrite should have seen — so a moved head (or a lost slot race)
+    * throws ConcurrentModificationException and the staged uuid dir
+    * becomes vacuum-collectable garbage, exactly like a crash before
+    * publish. Token check and head come from ONE listing
+    * (commitManifest's TOCTOU argument); `beforeCommit` is the
+    * crash/interleave injection seam for the specs. */
+  private def commitRewrite(s: SparkSession, table: String, newRows: DataFrame,
+                            removes: Seq[String], expectedHead: Long,
+                            writerId: String, batchId: Long,
+                            beforeCommit: () => Unit): Rewrite = {
+    val root = new Path(table)
+    val f = fs(s, root)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(root, s"data/$uuid")
+    // file-count discipline: a rewrite of k files must not explode into
+    // one small file per shuffle partition (the anti-join/update output
+    // inherits shuffle partitioning) — repartition back to ~k so DML
+    // does not silently un-compact the table. The empty-table merge
+    // (removes = ∅) keeps the source's own partitioning: that path is a
+    // plain append and the source may be arbitrarily large.
+    val sized =
+      if (removes.isEmpty) newRows else newRows.repartition(removes.size)
+    sized.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    val rel = f.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
+    val stats = TxStats.collect(s, root, rel)
+    beforeCommit()
+    val msNow = manifests(s, table) // ONE listing: token + head together
+    if (tokenTaken(msNow, writerId, batchId)) return Rewrite(-1L, 0, 0)
+    def conflict = new java.util.ConcurrentModificationException(
+      s"$table moved past v$expectedHead during a row-level rewrite — re-run on the new snapshot")
+    if (msNow.lastOption.map(_.version).getOrElse(-1L) != expectedHead) throw conflict
+    val v = expectedHead + 1
+    val logDir = new Path(root, LogDir)
+    f.mkdirs(logDir)
+    val bytes =
+      render(Manifest(v, rel, writerId, batchId, checkpoint = false, stats, removes))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) throw conflict
+    Rewrite(v, removes.size, rel.size)
+  }
 
   /** Compact the live file set into ~targetBytes files and commit the
     * result as a CHECKPOINT manifest: one transaction that atomically
