@@ -597,13 +597,14 @@ object TxLog {
     require(source.columns.toSet == targetCols.toSet,
       s"merge source columns ${source.columns.toSet} != table columns ${targetCols.toSet}")
     val src = source.select(targetCols.map(col): _*)
-    if (src.isEmpty) return Rewrite(head, 0, 0)
-    // zone-map candidate pruning by the source's key envelope (all-null
-    // key columns contribute no bound — their conjunct is dropped)
-    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    // ONE job: emptiness check fused with the zone-map key envelope
+    // (all-null key columns contribute no bound — conjunct dropped)
+    val aggs = org.apache.spark.sql.functions.count(lit(1)) +:
+      keys.flatMap(k => Seq(min(col(k)), max(col(k))))
     val bRow = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (bRow.getLong(0) == 0L) return Rewrite(head, 0, 0)
     val boundsPred = keys.zipWithIndex.flatMap { case (k, i) =>
-      (Option(bRow.get(2 * i)), Option(bRow.get(2 * i + 1))) match {
+      (Option(bRow.get(2 * i + 1)), Option(bRow.get(2 * i + 2))) match {
         case (Some(mn), Some(mx)) => Some(col(k) >= lit(mn) && col(k) <= lit(mx))
         case _ => None
       }

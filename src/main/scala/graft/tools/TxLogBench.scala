@@ -67,6 +67,24 @@ object TxLogBench {
         f"scanWhere $cs rows in $skipT%.3f s vs full filter $cf rows in $fullT%.3f s")
     }
 
+    // --- row-level merge: upsert a batch spanning 2 commits' id ranges;
+    // COW + zone maps should rewrite ~2·(files per commit) files, vs the
+    // naive no-DML alternative of rewriting the whole table
+    {
+      import org.apache.spark.sql.functions.col
+      val lo = (nCommits / 4).toLong * rows
+      val src = spark.range(lo, lo + 2L * rows).toDF("id") // exactly commits nC/4 and nC/4+1
+      val (r, mergeT) = timed(TxLog.merge(src, t, Seq("id"), "bench-merge", 0L))
+      val naive = Files.createTempDirectory("txbench_naive_").resolve("n").toString
+      val (_, naiveT) = timed {
+        TxLog.snapshot(spark, t).get.join(src.select("id"), Seq("id"), "left_anti")
+          .unionByName(src).write.parquet(naive)
+      }
+      val total = TxLog.pruneCount(spark, t, col("id") >= 0L)._2
+      println(f"[txbench] merge ${2 * rows} rows: rewrote ${r.removedFiles} of $total files " +
+        f"(+${r.addedFiles} new) in $mergeT%.3f s vs naive full rewrite $naiveT%.3f s")
+    }
+
     // --- compaction effect
     val (v, compT) = timed(TxLog.compact(spark, t, targetBytes = 256L << 20))
     val (c3, snapT2) = timed(TxLog.snapshot(spark, t).get.count())
