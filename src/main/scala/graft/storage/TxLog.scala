@@ -706,6 +706,56 @@ object TxLog {
       checkpoint = true, maxRetries = 20)
   }
 
+  /** OPTIMIZE ZORDER: transactionally re-layout the live file set
+    * clustered on the z-curve of two numeric dims, committed as a
+    * CHECKPOINT manifest — the same atomic read-set replacement as
+    * [[compact]], so readers see the old layout or the new, never a
+    * mix, and the old files remain for pinned readers until vacuum.
+    * Each dim is linearly scaled into 2^bits buckets from its observed
+    * min/max (rank-based scaling is the skew-proof production
+    * refinement); each output file then covers a compact box in
+    * (dimA, dimB) space, so the manifest zone maps prune box queries
+    * on EITHER OR BOTH dims ([[scanWhere]]; prune counts pinned in
+    * TxSkipSpec). This is the maintenance command that makes a
+    * continuously-merged table skippable again: ingestion order rarely
+    * matches query order, and DML rewrites inherit the layout of the
+    * files they touch. */
+  def cluster(s: SparkSession, table: String, dimA: String, dimB: String,
+              targetFiles: Int, bits: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{floor, greatest, least}
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
+    if (files.isEmpty) return -1L
+    val root = new Path(table)
+    val f = fs(s, root)
+    val df = s.read.parquet(files.map(absPath(table)): _*)
+    val b = df.agg(min(col(dimA)), max(col(dimA)),
+      min(col(dimB)), max(col(dimB))).collect()(0)
+    val buckets = 1L << bits
+    def scaled(c: String, mn: Any, mx: Any): Column =
+      if (mn == null || mx == null) lit(0L) // all-null dim: degenerate to the other
+      else {
+        val lo = lit(mn).cast("double"); val hi = lit(mx).cast("double")
+        least(lit(buckets - 1), greatest(lit(0L),
+          floor((col(c).cast("double") - lo) / (hi - lo + 1e-300) * buckets)
+            .cast("long")))
+      }
+    val z = graft.operators.StorageLayout.zvalue(
+      scaled(dimA, b.get(0), b.get(1)), scaled(dimB, b.get(2), b.get(3)), bits)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(root, s"data/$uuid")
+    df.withColumn("_z", z)
+      .repartitionByRange(math.max(1, targetFiles), col("_z"))
+      .sortWithinPartitions("_z").drop("_z")
+      .write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    val rel = f.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
+    val stats = TxStats.collect(s, root, rel)
+    commitManifest(s, table, rel, stats, writerId = s"cluster-$uuid", batchId = 0L,
+      checkpoint = true, maxRetries = 20)
+  }
+
   /** Delete data files no manifest references (crashed writers'
     * orphans) and files referenced only BEFORE the newest checkpoint
     * (compacted-away generations), skipping files younger than

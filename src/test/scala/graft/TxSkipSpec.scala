@@ -183,6 +183,41 @@ class TxSkipSpec extends AnyFunSuite {
     assertSame(t, $"y" < 8L, "z-y-only")
   }
 
+  test("cluster (OPTIMIZE ZORDER): re-layout restores box pruning on an ingestion-ordered table") {
+    // ingest the 64×64 grid in ROW order (x-major) across 4 commits —
+    // each file then spans ALL y values, so y-only queries can't prune
+    val t = freshTable()
+    val n = 64
+    val grid = spark.range(0L, (n * n).toLong).select(
+      (col("id") / n).cast("long").as("x"),
+      (col("id") % n).cast("long").as("y"),
+      col("id").as("v"))
+    (0 until 4).foreach { i =>
+      TxLog.commit(grid.where($"x" >= i * 16 && $"x" < (i + 1) * 16)
+        .repartition(4), t, "w", i.toLong)
+    }
+    val preRows = rows(TxLog.snapshot(spark, t).get)
+    val yOnly = $"y" < 8L
+    val (kept0, total0) = TxLog.pruneCount(spark, t, yOnly)
+    assert(kept0 == total0, "row-ordered files should NOT prune a y-only query")
+    val v = TxLog.cluster(spark, t, "x", "y", targetFiles = 16, bits = 6)
+    assert(v > 0)
+    // identical rows, atomically re-laid-out...
+    assert(rows(TxLog.snapshot(spark, t).get) == preRows)
+    // ...and now both dims prune
+    val (keptY, totalY) = TxLog.pruneCount(spark, t, yOnly)
+    assert(totalY == 16 && keptY <= 8, s"post-cluster y-only kept $keptY of $totalY")
+    val box = $"x" >= 8L && $"x" < 16L && $"y" >= 8L && $"y" < 16L
+    val (keptBox, _) = TxLog.pruneCount(spark, t, box)
+    assert(keptBox <= 4, s"post-cluster box query kept $keptBox of 16")
+    assertSame(t, box, "post-cluster box")
+    // pre-cluster history is intact until vacuum (checkpoint semantics)
+    assert(TxLog.snapshotAt(spark, t, v - 1).get.count() == (n * n).toLong)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
   test("streaming sink commits carry stats: the exactly-once table is also skippable") {
     val t = freshTable()
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
