@@ -210,20 +210,24 @@ object TxLog {
       }.toSeq
   }
 
-  /** The table's live file set: replay from the newest checkpoint
-    * manifest (if any) in version order — each transaction's `removes`
-    * drop out (row-level DML rewrote those files), its `files` add in.
-    * Paths are uuid-unique, so a removed path can never be re-added. */
-  private def liveFiles(ms: Seq[Manifest]): Seq[String] = {
-    val fromCp = ms.lastIndexWhere(_.checkpoint) match {
+  /** The manifests that define the current read set: the newest
+    * checkpoint (if any) and everything after it — the ONE place the
+    * checkpoint-scoping rule lives, shared by files and stats. */
+  private def fromCheckpoint(ms: Seq[Manifest]): Seq[Manifest] =
+    ms.lastIndexWhere(_.checkpoint) match {
       case -1 => ms
       case i => ms.drop(i)
     }
-    fromCp.foldLeft(Vector.empty[String]) { (acc, m) =>
+
+  /** The table's live file set: replay [[fromCheckpoint]] in version
+    * order — each transaction's `removes` drop out (row-level DML
+    * rewrote those files), its `files` add in. Paths are uuid-unique,
+    * so a removed path can never be re-added. */
+  private def liveFiles(ms: Seq[Manifest]): Seq[String] =
+    fromCheckpoint(ms).foldLeft(Vector.empty[String]) { (acc, m) =>
       val dead = m.removes.toSet
       (if (dead.isEmpty) acc else acc.filterNot(dead)) ++ m.files
     }
-  }
 
   /** Highest committed version, or -1 for an empty/new table. */
   def headVersion(s: SparkSession, table: String): Long =
@@ -264,13 +268,8 @@ object TxLog {
     * DML-removed files linger in the map but are never consulted:
     * pruning looks up stats only for names in the live list, and a
     * removed uuid path is never re-added. */
-  private def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] = {
-    val fromCp = ms.lastIndexWhere(_.checkpoint) match {
-      case -1 => ms
-      case i => ms.drop(i)
-    }
-    fromCp.flatMap(_.stats).map(st => st.file -> st).toMap
-  }
+  private def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] =
+    fromCheckpoint(ms).flatMap(_.stats).map(st => st.file -> st).toMap
 
   /** Stats-pruned snapshot read: open ONLY the files whose manifest
     * zone maps say may contain a row matching `pred`, then re-apply
@@ -354,7 +353,16 @@ object TxLog {
     // fix is Delta's: checkpoint manifests absorb the token set so
     // reads are bounded by commits-since-checkpoint.
     if (committed(s, table, writerId, batchId)) return -1L
-    val root = new Path(table)
+    val (rel, stats) = stageWrite(s, new Path(table), df)
+    commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false, maxRetries)
+  }
+
+  /** Stage `df` into a fresh uuid dir under data/ (invisible until a
+    * manifest names it) and collect its zone maps — the write half
+    * shared by every committing path (append, DML rewrite, compact,
+    * cluster). Returns (rel paths, footer stats). */
+  private def stageWrite(s: SparkSession, root: Path, df: DataFrame)
+      : (Seq[String], Seq[TxStats.FileStats]) = {
     val f = fs(s, root)
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$uuid")
@@ -364,8 +372,7 @@ object TxLog {
       .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
     // zone maps: footer-only stats of the just-written files ride in the
     // manifest, so scanWhere prunes from the log alone (TxStats doc)
-    val stats = TxStats.collect(s, root, rel)
-    commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false, maxRetries)
+    (rel, TxStats.collect(s, root, rel))
   }
 
   /** Stage a manifest and publish it into the next free version slot.
@@ -596,7 +603,23 @@ object TxLog {
     val targetCols = s.read.parquet(absPath(table)(files.head)).columns.toSeq
     require(source.columns.toSet == targetCols.toSet,
       s"merge source columns ${source.columns.toSet} != table columns ${targetCols.toSet}")
+    // MATERIALIZE the source (Delta does the same for MERGE): it is
+    // consumed by up to four actions (bounds agg, touched-file
+    // semi-join, final anti-join, the write) — without the persist a
+    // non-deterministic source could present DIFFERENT key sets to the
+    // touched-file scan and the final union (duplicate keys after the
+    // upsert), and even a deterministic one recomputes its whole
+    // upstream per action
     val src = source.select(targetCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeImpl(s, table, src, keys, head, files, ms, writerId, batchId, beforeCommit)
+    finally src.unpersist()
+  }
+
+  private def mergeImpl(s: SparkSession, table: String, src: DataFrame,
+                        keys: Seq[String], head: Long, files: Seq[String],
+                        ms: Seq[Manifest], writerId: String, batchId: Long,
+                        beforeCommit: () => Unit): Rewrite = {
     // ONE job: emptiness check fused with the zone-map key envelope
     // (all-null key columns contribute no bound — conjunct dropped)
     val aggs = org.apache.spark.sql.functions.count(lit(1)) +:
@@ -644,8 +667,6 @@ object TxLog {
                             beforeCommit: () => Unit): Rewrite = {
     val root = new Path(table)
     val f = fs(s, root)
-    val uuid = java.util.UUID.randomUUID().toString
-    val dataDir = new Path(root, s"data/$uuid")
     // file-count discipline: a rewrite of k files must not explode into
     // one small file per shuffle partition (the anti-join/update output
     // inherits shuffle partitioning) — repartition back to ~k so DML
@@ -654,11 +675,7 @@ object TxLog {
     // plain append and the source may be arbitrarily large.
     val sized =
       if (removes.isEmpty) newRows else newRows.repartition(removes.size)
-    sized.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    val rel = f.listStatus(dataDir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
-    val stats = TxStats.collect(s, root, rel)
+    val (rel, stats) = stageWrite(s, root, sized)
     beforeCommit()
     val msNow = manifests(s, table) // ONE listing: token + head together
     if (tokenTaken(msNow, writerId, batchId)) return Rewrite(-1L, 0, 0)
@@ -682,7 +699,8 @@ object TxLog {
     * drop/rename compaction this replaces). Old files stay on disk for
     * in-flight readers until `vacuum`. Returns the new version, or -1
     * on an empty table. */
-  def compact(s: SparkSession, table: String, targetBytes: Long = 128L << 20): Long = {
+  def compact(s: SparkSession, table: String, targetBytes: Long = 128L << 20,
+              beforeCommit: () => Unit = () => ()): Long = {
     val ms = manifests(s, table)
     val files = liveFiles(ms)
     if (files.isEmpty) return -1L
@@ -691,19 +709,61 @@ object TxLog {
     val abs = files.map(x => new Path(root, x))
     val total = abs.map(p => f.getFileStatus(p).getLen).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val uuid = java.util.UUID.randomUUID().toString
-    val dataDir = new Path(root, s"data/$uuid")
-    s.read.parquet(abs.map(_.toString): _*).repartition(nOut)
-      .write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    val rel = f.listStatus(dataDir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
     // checkpoint manifests carry fresh stats for the rewritten files, so
     // skipping survives compaction (the pre-compact manifests fall out of
     // the read set together with their stats)
-    val stats = TxStats.collect(s, root, rel)
-    commitManifest(s, table, rel, stats, writerId = s"compact-$uuid", batchId = 0L,
-      checkpoint = true, maxRetries = 20)
+    val (rel, stats) = stageWrite(s, root,
+      s.read.parquet(abs.map(_.toString): _*).repartition(nOut))
+    beforeCommit() // concurrency-injection seam for the specs
+    commitCheckpoint(s, table, rel, stats,
+      writerId = s"compact-${java.util.UUID.randomUUID()}",
+      expectedHead = ms.last.version)
+  }
+
+  /** Publish a CHECKPOINT manifest (read-set replacement) safely
+    * against concurrent committers. The rewrite behind it is valid
+    * only for the snapshot it read (`expectedHead`); if the head has
+    * moved since, the newer manifests are examined: PURE APPENDS (no
+    * checkpoint flag, no removes) are REBASED — their files and stats
+    * carry into the checkpoint verbatim, since their data files are on
+    * disk and untouched by the rewrite — while another checkpoint or a
+    * DML rewrite (whose `removes` may name files this rewrite just
+    * replaced) is a serialization conflict. Without this, a
+    * compact/cluster landing above a concurrent append would SILENTLY
+    * drop the append's rows from the live set while its idempotence
+    * token stayed in the log, so the at-least-once replay would skip —
+    * a permanent lost update. Tokens of rebased appends survive:
+    * [[committed]] scans the whole log, not just from the newest
+    * checkpoint. */
+  private def commitCheckpoint(s: SparkSession, table: String, files: Seq[String],
+                               stats: Seq[TxStats.FileStats], writerId: String,
+                               expectedHead: Long, maxRetries: Int = 20): Long = {
+    val root = new Path(table)
+    val f = fs(s, root)
+    val logDir = new Path(root, LogDir)
+    f.mkdirs(logDir)
+    var base = expectedHead
+    var carriedFiles = files
+    var carriedStats = stats
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val ms = manifests(s, table)
+      val newer = ms.filter(_.version > base)
+      if (newer.exists(m => m.checkpoint || m.removes.nonEmpty))
+        throw new java.util.ConcurrentModificationException(
+          s"$table got a non-append commit past v$base during a layout rewrite — re-run")
+      carriedFiles = carriedFiles ++ newer.flatMap(_.files)
+      carriedStats = carriedStats ++ newer.flatMap(_.stats)
+      base = ms.lastOption.map(_.version).getOrElse(-1L)
+      val v = base + 1
+      val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
+        checkpoint = true, carriedStats))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
+      attempt += 1 // lost the slot race; re-list and rebase again
+    }
+    throw new IllegalStateException(
+      s"checkpoint of $table lost $maxRetries version races — livelocked writer set?")
   }
 
   /** OPTIMIZE ZORDER: transactionally re-layout the live file set
@@ -721,13 +781,13 @@ object TxLog {
     * matches query order, and DML rewrites inherit the layout of the
     * files they touch. */
   def cluster(s: SparkSession, table: String, dimA: String, dimB: String,
-              targetFiles: Int, bits: Int = 8): Long = {
+              targetFiles: Int, bits: Int = 8,
+              beforeCommit: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.functions.{floor, greatest, least}
     val ms = manifests(s, table)
     val files = liveFiles(ms)
     if (files.isEmpty) return -1L
     val root = new Path(table)
-    val f = fs(s, root)
     val df = s.read.parquet(files.map(absPath(table)): _*)
     val b = df.agg(min(col(dimA)), max(col(dimA)),
       min(col(dimB)), max(col(dimB))).collect()(0)
@@ -742,18 +802,14 @@ object TxLog {
       }
     val z = graft.operators.StorageLayout.zvalue(
       scaled(dimA, b.get(0), b.get(1)), scaled(dimB, b.get(2), b.get(3)), bits)
-    val uuid = java.util.UUID.randomUUID().toString
-    val dataDir = new Path(root, s"data/$uuid")
-    df.withColumn("_z", z)
-      .repartitionByRange(math.max(1, targetFiles), col("_z"))
-      .sortWithinPartitions("_z").drop("_z")
-      .write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    val rel = f.listStatus(dataDir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
-    val stats = TxStats.collect(s, root, rel)
-    commitManifest(s, table, rel, stats, writerId = s"cluster-$uuid", batchId = 0L,
-      checkpoint = true, maxRetries = 20)
+    val (rel, stats) = stageWrite(s, root,
+      df.withColumn("_z", z)
+        .repartitionByRange(math.max(1, targetFiles), col("_z"))
+        .sortWithinPartitions("_z").drop("_z"))
+    beforeCommit() // concurrency-injection seam for the specs
+    commitCheckpoint(s, table, rel, stats,
+      writerId = s"cluster-${java.util.UUID.randomUUID()}",
+      expectedHead = ms.last.version)
   }
 
   /** Delete data files no manifest references (crashed writers'

@@ -5,7 +5,6 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -162,13 +161,22 @@ object TxStats {
     case ("i", i: java.lang.Integer) => i.longValue
     case ("i", l: java.lang.Long) => l.longValue
     case ("d", d: java.lang.Double) =>
-      if (d.isNaN) null else d.doubleValue
+      if (d.isNaN) null else fold0(d.doubleValue)
     case ("d", f: java.lang.Float) =>
-      if (f.isNaN) null else f.doubleValue
+      if (f.isNaN) null else fold0(f.doubleValue)
     case ("s", b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
     case ("b", x: java.lang.Boolean) => x.booleanValue
     case _ => null
   }
+
+  /** Collapse −0.0 to +0.0 in the stats comparison domain, on BOTH the
+    * bound side ([[fromStats]]) and the literal side ([[litVal]]).
+    * Spark's comparison semantics have −0.0 = 0.0 TRUE, but
+    * `java.lang.Double.compare` orders −0.0 < 0.0 — without the fold, a
+    * file whose only score is 0.0 gets UNSOUNDLY pruned for
+    * `=== -0.0` (and vice versa), which for the DML paths means a
+    * silently skipped rewrite, not just a wrong read. */
+  private def fold0(d: Double): Double = if (d == 0.0) 0.0 else d
 
   // ------------------------------------------------------------------
   // JSON value round-trip (exact)
@@ -191,9 +199,11 @@ object TxStats {
   }
 
   /** Total order per tag. Strings compare in UTF-8 unsigned byte
-    * order (parquet's UTF8 sort order); doubles by IEEE compare with
-    * -0.0 < 0.0 folded equal via `java.lang.Double.compare` being
-    * consistent on both sides of the predicate. */
+    * order (parquet's UTF8 sort order); doubles by
+    * `java.lang.Double.compare` over a domain where [[fold0]] has
+    * already collapsed −0.0 to +0.0 on both sides, matching Spark's
+    * −0.0 = 0.0 semantics (NaN never enters — dropped at collect and
+    * at literal extraction). */
   private[storage] def cmp(tag: String, a: Any, b: Any): Int = tag match {
     case "i" => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case "d" => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
@@ -231,8 +241,9 @@ object TxStats {
   }
 
   private def attrName(e: Expression): Option[String] = e match {
+    // UnresolvedAttribute is an Attribute subclass, and TxLog hands us
+    // RESOLVED conjuncts anyway — one case covers both
     case a: Attribute => Some(a.name)
-    case u: UnresolvedAttribute => Some(u.nameParts.mkString("."))
     case c: Cast if soundWiden(c.child.dataType, c.dataType) => attrName(c.child)
     case _ => None
   }
@@ -250,10 +261,10 @@ object TxStats {
       case TimestampType | TimestampNTZType => Some(("i", l.value.asInstanceOf[Long]))
       case FloatType =>
         val f = l.value.asInstanceOf[Float]
-        if (f.isNaN) None else Some(("d", f.toDouble))
+        if (f.isNaN) None else Some(("d", fold0(f.toDouble)))
       case DoubleType =>
         val d = l.value.asInstanceOf[Double]
-        if (d.isNaN) None else Some(("d", d))
+        if (d.isNaN) None else Some(("d", fold0(d)))
       case StringType => Some(("s", l.value.asInstanceOf[UTF8String].toString))
       case BooleanType => Some(("b", l.value.asInstanceOf[Boolean]))
       case _ => None

@@ -9,10 +9,4 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
-
-  /** The Catalyst expression behind a user-facing Column (Spark 4 hides
-    * it behind the Connect-unified ColumnNode) — used by
-    * [[graft.storage.TxStats]] to extract prunable conjuncts. */
-  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-    classic.ExpressionUtils.expression(c)
 }

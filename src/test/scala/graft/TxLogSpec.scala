@@ -163,6 +163,41 @@ class TxLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TxLog.snapshotAt(spark, t, 99L) }
   }
 
+  test("compact rebases a concurrent APPEND instead of dropping it (lost-update guard)") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 20), t, "w", 0L)
+    TxLog.commit(batch(20 until 40), t, "w", 1L)
+    // an append lands AFTER compact read its snapshot but BEFORE it
+    // publishes: the checkpoint must carry the append's files verbatim
+    val v = TxLog.compact(spark, t, targetBytes = 1L << 30,
+      beforeCommit = () => { TxLog.commit(batch(40 until 50), t, "sneak", 0L); () })
+    assert(v == 3L)
+    val snap = TxLog.snapshot(spark, t).get
+    assert(snap.count() == 50, "compact dropped the concurrent append's rows")
+    // the sneaked append's token survived the checkpoint (its manifest
+    // sits below it in the log), so an at-least-once replay still skips
+    assert(TxLog.commit(batch(40 until 50), t, "sneak", 0L) == -1L)
+    assert(TxLog.snapshot(spark, t).get.count() == 50)
+    // and the rebased files' zone maps came along: a probe into the
+    // sneaked range prunes to its one file
+    assert(TxLog.pruneCount(spark, t, col("id") === 45L)._1 == 1)
+  }
+
+  test("compact conflicts loudly on a concurrent DML rewrite or checkpoint (no silent merge)") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 20).coalesce(1), t, "w", 0L)
+    TxLog.commit(batch(20 until 40).coalesce(1), t, "w", 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.compact(spark, t, targetBytes = 1L << 30,
+        beforeCommit = () => { TxLog.delete(spark, t, col("id") === 5L, "d", 0L); () })
+    }
+    // the delete won; the failed compaction left no checkpoint and its
+    // staged rewrite is vacuum garbage
+    assert(TxLog.snapshot(spark, t).get.count() == 39)
+    assert(TxLog.vacuum(spark, t, minAgeMs = 0L) >= 1)
+    assert(TxLog.snapshot(spark, t).get.count() == 39)
+  }
+
   test("retention window: young unreferenced files survive vacuum (in-flight writer protection)") {
     val t = freshTable()
     TxLog.commit(batch(0 until 10), t, "w", 0L)

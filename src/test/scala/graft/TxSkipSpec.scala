@@ -131,6 +131,24 @@ class TxSkipSpec extends AnyFunSuite {
 
   implicit private class Piped[A](a: A) { def pipe[B](f: A => B): B = f(a) }
 
+  test("signed zero: ±0.0 bounds and literals compare equal, like Spark") {
+    // a file whose only score is 0.0 must NOT be pruned for === -0.0
+    // (Spark: -0.0 = 0.0 is TRUE); java.lang.Double.compare alone would
+    // order them and unsoundly skip the file — fold0 collapses the pair
+    val t = freshTable()
+    Seq((1L, 0.0)).toDF("id", "score").coalesce(1).pipe(df => TxLog.commit(df, t, "w", 0L))
+    Seq((2L, -0.0)).toDF("id", "score").coalesce(1).pipe(df => TxLog.commit(df, t, "w", 1L))
+    Seq((3L, 5.0)).toDF("id", "score").coalesce(1).pipe(df => TxLog.commit(df, t, "w", 2L))
+    for ((clue, p) <- Seq(
+      "eq-neg0" -> ($"score" === -0.0),
+      "eq-pos0" -> ($"score" === 0.0),
+      "le-neg0" -> ($"score" <= -0.0),
+      "ge-pos0" -> ($"score" >= 0.0))) assertSame(t, p, clue)
+    // both zero files kept for both zero literals; the 5.0 file prunes
+    assert(TxLog.pruneCount(spark, t, $"score" === -0.0) == ((2, 3)))
+    assert(TxLog.pruneCount(spark, t, $"score" === 0.0) == ((2, 3)))
+  }
+
   test("skipping survives compaction: checkpoint manifests carry fresh stats") {
     val t = clustered3()
     TxLog.compact(spark, t, targetBytes = 1L << 20)
