@@ -766,6 +766,30 @@ object TxLog {
       s"checkpoint of $table lost $maxRetries version races — livelocked writer set?")
   }
 
+  /** Atomically REPLACE the table's contents with `df` (SaveMode
+    * .Overwrite through the txlog data source): the new data commits as
+    * a checkpoint manifest, so readers see the old table or the new,
+    * never a mix, and the old generation time-travels until vacuum. */
+  def overwrite(df: DataFrame, table: String): Long = {
+    val s = df.sparkSession
+    val head = headVersion(s, table)
+    val (rel, stats) = stageWrite(s, new Path(table), df)
+    commitCheckpoint(s, table, rel, stats,
+      writerId = s"overwrite-${java.util.UUID.randomUUID()}", expectedHead = head)
+  }
+
+  /** File pruning for the DSv1 relation: evaluate pushed-down source
+    * Filters against the manifest zone maps. Returns (kept, total). */
+  private[storage] def pruneSourceFilters(s: SparkSession, table: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Seq[String], Int) = {
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
+    val stats = liveStats(ms)
+    val ps = filters.map(TxStats.fromSourceFilter)
+    (files.filter(f => stats.get(f).forall(st => ps.forall(TxStats.mayMatch(_, st)))),
+      files.size)
+  }
+
   /** OPTIMIZE ZORDER: transactionally re-layout the live file set
     * clustered on the z-curve of two numeric dims, committed as a
     * CHECKPOINT manifest — the same atomic read-set replacement as

@@ -369,6 +369,68 @@ object TxStats {
     }
   }
 
+  // ------------------------------------------------------------------
+  // DSv1 source Filters -> prunable tree (the txlog relation's seam)
+  // ------------------------------------------------------------------
+
+  /** A DSv1 `sources.Filter` value → (tag, comparison-domain value).
+    * Covers both legacy (java.sql) and java8-API (java.time) datetime
+    * externals; None for anything else (keeps the file). */
+  private def srcVal(v: Any): Option[(String, Any)] = v match {
+    case null => None
+    case b: Byte => Some(("i", b.toLong))
+    case x: Short => Some(("i", x.toLong))
+    case i: Int => Some(("i", i.toLong))
+    case l: Long => Some(("i", l))
+    case f: Float => if (f.isNaN) None else Some(("d", fold0(f.toDouble)))
+    case d: Double => if (d.isNaN) None else Some(("d", fold0(d)))
+    case s: String => Some(("s", s))
+    case b: Boolean => Some(("b", b))
+    case d: java.sql.Date => Some(("i", d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(("i", d.toEpochDay))
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant; Some(("i", i.getEpochSecond * 1000000L + i.getNano / 1000L))
+    case i: java.time.Instant =>
+      Some(("i", i.getEpochSecond * 1000000L + i.getNano / 1000L))
+    case _ => None
+  }
+
+  /** DSv1 pushdown translation, same conservative floor as [[toPred]]:
+    * unsupported shapes → Unknown (keep the file). Notables:
+    * StringStartsWith(p) prunes as `col >= p` (a string with prefix p
+    * is ≥ p in byte order — the sound one-sided bound); IN drops its
+    * null elements (null ∈ the list matches nothing); Not stays
+    * Unknown (three-valued semantics, see [[toPred]]). */
+  def fromSourceFilter(f: org.apache.spark.sql.sources.Filter): Pred = {
+    import org.apache.spark.sql.{sources => sf}
+    def cmpOf(op: String, a: String, v: Any): Pred =
+      srcVal(v).map { case (t, x) => Cmp(op, a, t, x) }.getOrElse(Unknown)
+    f match {
+      case sf.And(l, r) => AndP(fromSourceFilter(l), fromSourceFilter(r))
+      case sf.Or(l, r) =>
+        val (pl, pr) = (fromSourceFilter(l), fromSourceFilter(r))
+        if (pl == Unknown || pr == Unknown) Unknown else OrP(pl, pr)
+      case sf.EqualTo(a, v) => cmpOf("eq", a, v)
+      case sf.EqualNullSafe(a, null) => NullP(a, isNull = true)
+      case sf.EqualNullSafe(a, v) => cmpOf("eq", a, v)
+      case sf.GreaterThan(a, v) => cmpOf("gt", a, v)
+      case sf.GreaterThanOrEqual(a, v) => cmpOf("ge", a, v)
+      case sf.LessThan(a, v) => cmpOf("lt", a, v)
+      case sf.LessThanOrEqual(a, v) => cmpOf("le", a, v)
+      case sf.In(a, vs) =>
+        val tv = vs.toSeq.filter(_ != null).map(srcVal)
+        if (tv.isEmpty || tv.exists(_.isEmpty)) Unknown
+        else {
+          val tags = tv.flatten.map(_._1).distinct
+          if (tags.size != 1) Unknown else InP(a, tags.head, tv.flatten.map(_._2))
+        }
+      case sf.IsNull(a) => NullP(a, isNull = true)
+      case sf.IsNotNull(a) => NullP(a, isNull = false)
+      case sf.StringStartsWith(a, p) => Cmp("ge", a, "s", p)
+      case _ => Unknown
+    }
+  }
+
   /** Split a conjunction into its factors (each prunes independently —
     * a file survives only if EVERY factor may match). */
   def splitAnd(e: Expression): Seq[Expression] = e match {

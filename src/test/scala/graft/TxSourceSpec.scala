@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.{TxLog, TxLogRelation}
+
+/** The `txlog` data source: TxLog tables through Spark's standard
+  * seams — format("txlog") read/write, SQL DDL + SELECT + INSERT,
+  * streaming sink — with pushed-down Filters driving the SAME manifest
+  * zone-map skipping as the native API, observable via
+  * TxLogRelation.lastPrune, and with every filter re-applied by Spark
+  * (unhandledFilters = all) so pruning can never change results. */
+class TxSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txsrc_").resolve("t").toString
+
+  private def batch(ids: Range, grp: String): DataFrame =
+    ids.map(i => (i.toLong, grp, s"name-$i")).toDF("id", "grp", "name")
+
+  private def clustered3(): String = {
+    val t = freshTable()
+    batch(0 until 100, "alpha").coalesce(1)
+      .write.format("txlog").mode("append").save(t)
+    batch(100 until 200, "beta").coalesce(1)
+      .write.format("txlog").mode("append").save(t)
+    batch(200 until 300, "gamma").coalesce(1)
+      .write.format("txlog").mode("append").save(t)
+    t
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("format round trip: three appends are three transactions; read = native snapshot") {
+    val t = clustered3()
+    assert(TxLog.headVersion(spark, t) == 2L)
+    val viaSource = spark.read.format("txlog").load(t)
+    assert(viaSource.schema == TxLog.snapshot(spark, t).get.schema)
+    assert(rows(viaSource) == rows(TxLog.snapshot(spark, t).get))
+  }
+
+  test("pushed filters skip files through the source seam, results identical") {
+    val t = clustered3()
+    val df = spark.read.format("txlog").load(t)
+    val battery = Seq(
+      "point" -> ($"id" === 150L),
+      "range" -> ($"id" >= 250L),
+      "string" -> ($"grp" === "beta"),
+      "in" -> ($"id".isin(5L, 205L)),
+      "or" -> ($"id" < 50L || $"id" >= 250L),
+      "prefix" -> ($"name".startsWith("name-2")),
+      "unsupported" -> (length($"name") === 8))
+    for ((clue, p) <- battery) {
+      val expected = rows(TxLog.snapshot(spark, t).get.where(p))
+      assert(rows(df.where(p)) == expected, s"$clue: source scan diverged")
+    }
+    // the point lookup really skipped: 1 of 3 files opened
+    df.where($"id" === 150L).collect()
+    assert(TxLogRelation.lastPrune.get() == ((1, 3)))
+    // unsupported shapes keep everything (and still answer correctly)
+    df.where(length($"name") === 8).collect()
+    assert(TxLogRelation.lastPrune.get()._1 == 3)
+    // pushdown is visible in the executed plan
+    val plan = df.where($"id" === 150L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("150"), plan)
+  }
+
+  test("SQL end-to-end: CREATE TABLE USING txlog, SELECT with WHERE, INSERT INTO, INSERT OVERWRITE") {
+    val t = clustered3()
+    val name = s"txsrc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $name USING txlog OPTIONS (path '$t')")
+    try {
+      assert(spark.sql(s"SELECT count(*) AS n FROM $name").first().getLong(0) == 300L)
+      assert(spark.sql(s"SELECT name FROM $name WHERE id = 150").first().getString(0) == "name-150")
+      assert(TxLogRelation.lastPrune.get() == ((1, 3)), "SQL WHERE did not prune files")
+      spark.sql(s"INSERT INTO $name VALUES (900, 'delta', 'name-900')")
+      assert(TxLog.headVersion(spark, t) == 3L, "INSERT was not one transaction")
+      assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 301L)
+      spark.sql(s"INSERT OVERWRITE TABLE $name VALUES (1, 'only', 'name-1')")
+      assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 1L)
+      // the overwrite was a checkpoint: pre-overwrite history time-travels
+      assert(TxLog.snapshotAt(spark, t, 3L).get.count() == 301L)
+    } finally spark.sql(s"DROP TABLE $name")
+  }
+
+  test("save modes: overwrite replaces atomically; errorIfExists is loud; ignore is a no-op") {
+    val t = clustered3()
+    batch(0 until 5, "ow").write.format("txlog").mode("overwrite").save(t)
+    assert(spark.read.format("txlog").load(t).count() == 5)
+    intercept[IllegalStateException] {
+      batch(0 until 5, "x").write.format("txlog").mode("errorifexists").save(t)
+    }
+    batch(0 until 99, "x").write.format("txlog").mode("ignore").save(t)
+    assert(spark.read.format("txlog").load(t).count() == 5, "ignore wrote to an existing table")
+  }
+
+  test("streaming sink: writeStream.format(txlog) commits each micro-batch exactly once") {
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("txsrc_ck_").toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    def start() = mem.toDF.select($"value".as("id"))
+      .writeStream.format("txlog")
+      .option("path", t).option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    mem.addData(0L until 100L: _*); q1.processAllAvailable()
+    mem.addData(100L until 200L: _*); q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: committed epochs must not replay into
+    // duplicates (the batchId token), new data must land
+    val q2 = start()
+    mem.addData(200L until 250L: _*); q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.format("txlog").load(t)
+    assert(got.count() == 250)
+    assert(got.select("id").distinct().count() == 250, "a replayed epoch duplicated rows")
+  }
+}
