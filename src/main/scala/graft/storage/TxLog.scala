@@ -65,7 +65,8 @@ object TxLog {
                               writerId: String, batchId: Long,
                               checkpoint: Boolean,
                               stats: Seq[TxStats.FileStats] = Seq.empty,
-                              removes: Seq[String] = Seq.empty)
+                              removes: Seq[String] = Seq.empty,
+                              schema: Option[String] = None)
 
   // hand-rolled JSON (matches the repo's zero-dependency stance); file
   // paths are uuid/part names we generate — no escaping needed beyond
@@ -78,12 +79,13 @@ object TxLog {
 
   private def render(m: Manifest): String = {
     // key order is LOAD-BEARING for the cursor parser: version,
-    // checkpoint, writer_id, batch_id, files, [removes], [stats] —
-    // optional keys are omitted (not null) so pre-feature manifests and
-    // append-only manifests keep the exact old shape
+    // checkpoint, writer_id, batch_id, files, [removes], [schema],
+    // [stats] — optional keys are omitted (not null) so pre-feature
+    // manifests and append-only manifests keep the exact old shape
     val removes =
       if (m.removes.isEmpty) ""
       else ", \"removes\": [" + m.removes.map(q).mkString(", ") + "]"
+    val schema = m.schema.map(d => s""", "schema": ${q(d)}""").getOrElse("")
     val stats =
       if (m.stats.isEmpty) ""
       else ", \"stats\": [" + m.stats.map { fst =>
@@ -95,7 +97,7 @@ object TxLog {
       }.mkString(", ") + "]"
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, """ +
-      s""""files": [${m.files.map(q).mkString(", ")}]$removes$stats}"""
+      s""""files": [${m.files.map(q).mkString(", ")}]$removes$schema$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -157,9 +159,13 @@ object TxLog {
     val (removes, cRem) =
       if (s.startsWith(", \"removes\": ", cFiles)) strArray(cFiles + 13)
       else (Seq.empty[String], cFiles)
+    val (schemaDdl, cSch) =
+      if (s.startsWith(", \"schema\": ", cRem)) {
+        val (v, j) = scanString(cRem + 12); (Some(v), j)
+      } else (None, cRem)
     val stats: Seq[TxStats.FileStats] = {
       import TxStats.{ColStat, FileStats}
-      val k = if (s.startsWith(", \"stats\": ", cRem)) cRem + 2 else -1
+      val k = if (s.startsWith(", \"stats\": ", cSch)) cSch + 2 else -1
       if (k < 0) Seq.empty
       else {
         def parseCols(from: Int): (Seq[ColStat], Int) = {
@@ -193,7 +199,7 @@ object TxLog {
         out.result()
       }
     }
-    Manifest(version, files, writerId, batchId, checkpoint, stats, removes)
+    Manifest(version, files, writerId, batchId, checkpoint, stats, removes, schemaDdl)
   }
 
   /** All committed manifests, version-ordered. */
@@ -243,9 +249,10 @@ object TxLog {
     * unreachable by construction. Empty table → empty DataFrame with
     * the caller unable to misread partials (schema unknown → None). */
   def snapshot(s: SparkSession, table: String): Option[DataFrame] = {
-    val files = liveFiles(manifests(s, table))
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
     if (files.isEmpty) None
-    else Some(s.read.parquet(files.map(f => new Path(table, f).toString): _*))
+    else Some(readFiles(s, table, ms, files))
   }
 
   /** TIME TRAVEL: the table exactly as of committed version `v` — the
@@ -257,9 +264,12 @@ object TxLog {
     val ms = manifests(s, table)
     require(ms.exists(_.version == v),
       s"version $v not in $table's log (head = ${ms.lastOption.map(_.version).getOrElse(-1L)})")
-    val files = liveFiles(ms.filter(_.version <= v))
+    val past = ms.filter(_.version <= v)
+    val files = liveFiles(past)
     if (files.isEmpty) None
-    else Some(s.read.parquet(files.map(f => new Path(table, f).toString): _*))
+    // the schema AS OF v, not today's — an evolved column must not
+    // appear in a pre-evolution snapshot
+    else Some(readFiles(s, table, past, files))
   }
 
   /** The stats in force for the current read set — scoped exactly like
@@ -270,6 +280,50 @@ object TxLog {
     * removed uuid path is never re-added. */
   private def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] =
     fromCheckpoint(ms).flatMap(_.stats).map(st => st.file -> st).toMap
+
+  // ------------------------------------------------------------------
+  // schema evolution
+  // ------------------------------------------------------------------
+
+  /** The table schema in force for `ms`: the newest manifest carrying
+    * one (append manifests record the MERGED table schema, rewrite/
+    * checkpoint manifests their verbatim output schema). None on
+    * legacy logs — readers fall back to parquet inference, exactly the
+    * pre-evolution behavior. */
+  private def tableSchemaFrom(ms: Seq[Manifest])
+      : Option[org.apache.spark.sql.types.StructType] =
+    ms.reverse.collectFirst { case m if m.schema.isDefined => m.schema.get }
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+
+  /** Evolution rule: common columns keep their exact type, NEW columns
+    * append (and must be nullable — every pre-evolution file backfills
+    * them with null at read). Removal and type change are loud errors;
+    * `overwrite` is the sanctioned way to replace a schema. */
+  private def mergedSchema(existing: org.apache.spark.sql.types.StructType,
+                           incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val byName = existing.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { e =>
+        require(e.dataType == f.dataType,
+          s"schema evolution cannot change ${f.name}: ${e.dataType} -> ${f.dataType}")
+      }
+    }
+    val added = incoming.fields.filterNot(f => byName.contains(f.name))
+    added.foreach(f => require(f.nullable,
+      s"new column ${f.name} must be nullable — existing files backfill null"))
+    org.apache.spark.sql.types.StructType(existing.fields ++ added)
+  }
+
+  /** Read `files` under the table schema in force for `ms` (parquet
+    * matches columns BY NAME, so files from before an evolution
+    * null-backfill the added columns); legacy logs infer. Applying the
+    * schema also skips inference — no footer read at plan time. */
+  private def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
+                        files: Seq[String]): DataFrame = {
+    val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
+    rd.parquet(files.map(absPath(table)): _*)
+  }
 
   /** Stats-pruned snapshot read: open ONLY the files whose manifest
     * zone maps say may contain a row matching `pred`, then re-apply
@@ -286,14 +340,14 @@ object TxLog {
     val ms = manifests(s, table)
     val files = liveFiles(ms)
     if (files.isEmpty) return None
-    val kept = pruned(s, table, pred, files, liveStats(ms))
+    val kept = pruned(s, table, pred, files, liveStats(ms), ms)
     if (kept.isEmpty)
       // every file proved dead: constant-false over a one-file scan —
       // the optimizer collapses it to an empty LocalTableScan with the
       // table's schema, no data I/O
-      Some(s.read.parquet(new Path(table, files.head).toString)
+      Some(readFiles(s, table, ms, Seq(files.head))
         .filter(pred).where(org.apache.spark.sql.functions.lit(false)))
-    else Some(s.read.parquet(kept.map(f => new Path(table, f).toString): _*).filter(pred))
+    else Some(readFiles(s, table, ms, kept).filter(pred))
   }
 
   /** (files kept, files total) for `pred` on the current read set —
@@ -303,7 +357,7 @@ object TxLog {
     val ms = manifests(s, table)
     val files = liveFiles(ms)
     if (files.isEmpty) return (0, 0)
-    (pruned(s, table, pred, files, liveStats(ms)).size, files.size)
+    (pruned(s, table, pred, files, liveStats(ms), ms).size, files.size)
   }
 
   /** Resolve `pred` against the table's schema through Catalyst (a
@@ -313,18 +367,20 @@ object TxLog {
     * cast we unwrap soundly), constant folding, and inferred IS NOT
     * NULLs — while anything the optimizer leaves that TxStats doesn't
     * model degrades to keep-the-file. Resolution runs over a ONE-file
-    * scan (the table's schema is uniform — TxLog has no schema
-    * evolution), so pruning never lists or plans the full file set: at
-    * a million live files the driver reads one footer, not a
-    * million-path FileIndex. A predicate that fails to resolve even
-    * there keeps every file (the real scan will surface the error).
-    * No data I/O happens here (the plan is never executed). */
+    * scan under the TABLE schema (manifest-recorded, so an evolved
+    * column resolves even against a pre-evolution file), so pruning
+    * never lists or plans the full file set: at a million live files
+    * the driver plans one path, not a million-path FileIndex. A
+    * predicate that fails to resolve even there keeps every file (the
+    * real scan will surface the error). No data I/O happens here (the
+    * plan is never executed). */
   private def pruned(s: SparkSession, table: String,
                      pred: org.apache.spark.sql.Column, files: Seq[String],
-                     stats: Map[String, TxStats.FileStats]): Seq[String] = {
+                     stats: Map[String, TxStats.FileStats],
+                     ms: Seq[Manifest]): Seq[String] = {
     val conjuncts =
       try {
-        s.read.parquet(new Path(table, files.head).toString).filter(pred)
+        readFiles(s, table, ms, Seq(files.head)).filter(pred)
           .queryExecution.optimizedPlan.collect {
             case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
               TxStats.splitAnd(f.condition)
@@ -353,8 +409,17 @@ object TxLog {
     // fix is Delta's: checkpoint manifests absorb the token set so
     // reads are bounded by commits-since-checkpoint.
     if (committed(s, table, writerId, batchId)) return -1L
+    // schema-evolution fallback for LEGACY logs (no recorded schema but
+    // existing data): infer the existing schema from one file ONCE so
+    // the first schema-bearing manifest can't silently narrow the table
+    val ms0 = manifests(s, table)
+    val legacyExisting =
+      if (tableSchemaFrom(ms0).isEmpty)
+        liveFiles(ms0).headOption.map(h => s.read.parquet(absPath(table)(h)).schema)
+      else None
     val (rel, stats) = stageWrite(s, new Path(table), df)
-    commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false, maxRetries)
+    commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
+      maxRetries, incoming = Some(df.schema), legacyExisting = legacyExisting)
   }
 
   /** Stage `df` into a fresh uuid dir under data/ (invisible until a
@@ -393,7 +458,10 @@ object TxLog {
   private def commitManifest(s: SparkSession, table: String, files: Seq[String],
                              stats: Seq[TxStats.FileStats],
                              writerId: String, batchId: Long,
-                             checkpoint: Boolean, maxRetries: Int): Long = {
+                             checkpoint: Boolean, maxRetries: Int,
+                             incoming: Option[org.apache.spark.sql.types.StructType] = None,
+                             legacyExisting: Option[org.apache.spark.sql.types.StructType] = None)
+      : Long = {
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
@@ -404,9 +472,17 @@ object TxLog {
       if (ms.exists(m => m.writerId == writerId && m.batchId == batchId))
         return -1L
       val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      // the schema merge runs against THIS attempt's listing, so a
+      // concurrent evolution that won an earlier slot folds in on retry
+      val schemaDdl = incoming.map { in =>
+        tableSchemaFrom(ms).orElse(legacyExisting)
+          .map(ex => mergedSchema(ex, in)).getOrElse(in).toDDL
+      }
       val target = new Path(logDir, manifestName(v))
-      val bytes = render(Manifest(v, files, writerId, batchId, checkpoint, stats))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bytes =
+        render(Manifest(v, files, writerId, batchId, checkpoint, stats,
+          schema = schemaDdl))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
     }
@@ -519,9 +595,9 @@ object TxLog {
     * row matching `pred` — one candidate-only scan; rel paths are
     * uuid-unique suffixes of input_file_name's URI. */
   private def matchingFiles(s: SparkSession, table: String, pred: Column,
-                            candidates: Seq[String]): Seq[String] = {
+                            candidates: Seq[String], ms: Seq[Manifest]): Seq[String] = {
     if (candidates.isEmpty) return Seq.empty
-    val hit = s.read.parquet(candidates.map(absPath(table)): _*).where(pred)
+    val hit = readFiles(s, table, ms, candidates).where(pred)
       .select(input_file_name().as("_f")).distinct()
       .collect().map(_.getString(0))
     candidates.filter(rel => hit.exists(_.endsWith(rel)))
@@ -538,10 +614,10 @@ object TxLog {
     val head = ms.lastOption.map(_.version).getOrElse(-1L)
     val files = liveFiles(ms)
     if (files.isEmpty) return Rewrite(head, 0, 0)
-    val touched =
-      matchingFiles(s, table, pred, pruned(s, table, pred, files, liveStats(ms)))
+    val touched = matchingFiles(s, table, pred,
+      pruned(s, table, pred, files, liveStats(ms), ms), ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
-    val kept = s.read.parquet(touched.map(absPath(table)): _*)
+    val kept = readFiles(s, table, ms, touched)
       .where(not(coalesce(pred, lit(false))))
     commitRewrite(s, table, kept, touched, head, writerId, batchId, beforeCommit)
   }
@@ -558,10 +634,10 @@ object TxLog {
     val head = ms.lastOption.map(_.version).getOrElse(-1L)
     val files = liveFiles(ms)
     if (files.isEmpty) return Rewrite(head, 0, 0)
-    val touched =
-      matchingFiles(s, table, pred, pruned(s, table, pred, files, liveStats(ms)))
+    val touched = matchingFiles(s, table, pred,
+      pruned(s, table, pred, files, liveStats(ms), ms), ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
-    val touchedDf = s.read.parquet(touched.map(absPath(table)): _*)
+    val touchedDf = readFiles(s, table, ms, touched)
     val unknown = set.keySet -- touchedDf.columns
     require(unknown.isEmpty, s"update sets unknown columns: $unknown")
     val hitRow = coalesce(pred, lit(false))
@@ -600,7 +676,8 @@ object TxLog {
     val files = liveFiles(ms)
     if (files.isEmpty) // empty table: the merge is an append, still serialized at `head`
       return commitRewrite(s, table, source, Seq.empty, head, writerId, batchId, beforeCommit)
-    val targetCols = s.read.parquet(absPath(table)(files.head)).columns.toSeq
+    val targetCols = tableSchemaFrom(ms).map(_.fieldNames.toSeq)
+      .getOrElse(s.read.parquet(absPath(table)(files.head)).columns.toSeq)
     require(source.columns.toSet == targetCols.toSet,
       s"merge source columns ${source.columns.toSet} != table columns ${targetCols.toSet}")
     // MATERIALIZE the source (Delta does the same for MERGE): it is
@@ -632,12 +709,12 @@ object TxLog {
         case _ => None
       }
     }.reduceOption(_ && _).getOrElse(lit(true))
-    val candidates = pruned(s, table, boundsPred, files, liveStats(ms))
+    val candidates = pruned(s, table, boundsPred, files, liveStats(ms), ms)
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val touched =
       if (candidates.isEmpty) Seq.empty[String]
       else {
-        val cand = s.read.parquet(candidates.map(absPath(table)): _*)
+        val cand = readFiles(s, table, ms, candidates)
         val hit = cand.select(keys.map(col) :+ input_file_name().as("_f"): _*)
           .join(srcKeys, keys, "left_semi")
           .select("_f").distinct().collect().map(_.getString(0))
@@ -645,7 +722,7 @@ object TxLog {
       }
     val newRows =
       if (touched.isEmpty) src
-      else s.read.parquet(touched.map(absPath(table)): _*)
+      else readFiles(s, table, ms, touched)
         .join(srcKeys, keys, "left_anti").unionByName(src)
     commitRewrite(s, table, newRows, touched, head, writerId, batchId, beforeCommit)
   }
@@ -686,7 +763,11 @@ object TxLog {
     val logDir = new Path(root, LogDir)
     f.mkdirs(logDir)
     val bytes =
-      render(Manifest(v, rel, writerId, batchId, checkpoint = false, stats, removes))
+      render(Manifest(v, rel, writerId, batchId, checkpoint = false, stats, removes,
+        // a rewrite reads through the table schema, so its output IS the
+        // table schema — recorded verbatim (keeps evolved reads O(0
+        // inference) after DML)
+        schema = Some(newRows.schema.toDDL)))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (!putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) throw conflict
     Rewrite(v, removes.size, rel.size)
@@ -712,12 +793,12 @@ object TxLog {
     // checkpoint manifests carry fresh stats for the rewritten files, so
     // skipping survives compaction (the pre-compact manifests fall out of
     // the read set together with their stats)
-    val (rel, stats) = stageWrite(s, root,
-      s.read.parquet(abs.map(_.toString): _*).repartition(nOut))
+    val out = readFiles(s, table, ms, files).repartition(nOut)
+    val (rel, stats) = stageWrite(s, root, out)
     beforeCommit() // concurrency-injection seam for the specs
     commitCheckpoint(s, table, rel, stats,
       writerId = s"compact-${java.util.UUID.randomUUID()}",
-      expectedHead = ms.last.version)
+      expectedHead = ms.last.version, schemaDdl = Some(out.schema.toDDL))
   }
 
   /** Publish a CHECKPOINT manifest (read-set replacement) safely
@@ -737,7 +818,9 @@ object TxLog {
     * checkpoint. */
   private def commitCheckpoint(s: SparkSession, table: String, files: Seq[String],
                                stats: Seq[TxStats.FileStats], writerId: String,
-                               expectedHead: Long, maxRetries: Int = 20): Long = {
+                               expectedHead: Long,
+                               schemaDdl: Option[String] = None,
+                               maxRetries: Int = 20): Long = {
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
@@ -745,6 +828,10 @@ object TxLog {
     var base = expectedHead
     var carriedFiles = files
     var carriedStats = stats
+    // a rebased append may itself have EVOLVED the schema — its columns
+    // must survive into the checkpoint's recorded schema or reads of
+    // the rebased file would silently drop them
+    var carriedSchema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     var attempt = 0
     while (attempt < maxRetries) {
       val ms = manifests(s, table)
@@ -754,10 +841,14 @@ object TxLog {
           s"$table got a non-append commit past v$base during a layout rewrite — re-run")
       carriedFiles = carriedFiles ++ newer.flatMap(_.files)
       carriedStats = carriedStats ++ newer.flatMap(_.stats)
+      newer.flatMap(_.schema).map(org.apache.spark.sql.types.StructType.fromDDL)
+        .foreach { in =>
+          carriedSchema = Some(carriedSchema.map(mergedSchema(_, in)).getOrElse(in))
+        }
       base = ms.lastOption.map(_.version).getOrElse(-1L)
       val v = base + 1
       val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
-        checkpoint = true, carriedStats))
+        checkpoint = true, carriedStats, schema = carriedSchema.map(_.toDDL)))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
       attempt += 1 // lost the slot race; re-list and rebase again
@@ -774,8 +865,10 @@ object TxLog {
     val s = df.sparkSession
     val head = headVersion(s, table)
     val (rel, stats) = stageWrite(s, new Path(table), df)
+    // overwrite REPLACES the schema too — the sanctioned narrowing path
     commitCheckpoint(s, table, rel, stats,
-      writerId = s"overwrite-${java.util.UUID.randomUUID()}", expectedHead = head)
+      writerId = s"overwrite-${java.util.UUID.randomUUID()}", expectedHead = head,
+      schemaDdl = Some(df.schema.toDDL))
   }
 
   /** File pruning for the DSv1 relation: evaluate pushed-down source
@@ -812,7 +905,7 @@ object TxLog {
     val files = liveFiles(ms)
     if (files.isEmpty) return -1L
     val root = new Path(table)
-    val df = s.read.parquet(files.map(absPath(table)): _*)
+    val df = readFiles(s, table, ms, files)
     val b = df.agg(min(col(dimA)), max(col(dimA)),
       min(col(dimB)), max(col(dimB))).collect()(0)
     val buckets = 1L << bits
@@ -826,14 +919,14 @@ object TxLog {
       }
     val z = graft.operators.StorageLayout.zvalue(
       scaled(dimA, b.get(0), b.get(1)), scaled(dimB, b.get(2), b.get(3)), bits)
-    val (rel, stats) = stageWrite(s, root,
-      df.withColumn("_z", z)
-        .repartitionByRange(math.max(1, targetFiles), col("_z"))
-        .sortWithinPartitions("_z").drop("_z"))
+    val out = df.withColumn("_z", z)
+      .repartitionByRange(math.max(1, targetFiles), col("_z"))
+      .sortWithinPartitions("_z").drop("_z")
+    val (rel, stats) = stageWrite(s, root, out)
     beforeCommit() // concurrency-injection seam for the specs
     commitCheckpoint(s, table, rel, stats,
       writerId = s"cluster-${java.util.UUID.randomUUID()}",
-      expectedHead = ms.last.version)
+      expectedHead = ms.last.version, schemaDdl = Some(out.schema.toDDL))
   }
 
   /** Delete data files no manifest references (crashed writers'
