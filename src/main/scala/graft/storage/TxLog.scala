@@ -66,7 +66,8 @@ object TxLog {
                               checkpoint: Boolean,
                               stats: Seq[TxStats.FileStats] = Seq.empty,
                               removes: Seq[String] = Seq.empty,
-                              schema: Option[String] = None)
+                              schema: Option[String] = None,
+                              tokens: Seq[(String, Long)] = Seq.empty)
 
   // hand-rolled JSON (matches the repo's zero-dependency stance); file
   // paths are uuid/part names we generate — no escaping needed beyond
@@ -80,12 +81,18 @@ object TxLog {
   private def render(m: Manifest): String = {
     // key order is LOAD-BEARING for the cursor parser: version,
     // checkpoint, writer_id, batch_id, files, [removes], [schema],
-    // [stats] — optional keys are omitted (not null) so pre-feature
-    // manifests and append-only manifests keep the exact old shape
+    // [tokens], [stats] — optional keys are omitted (not null) so
+    // pre-feature manifests and append-only manifests keep the exact
+    // old shape
     val removes =
       if (m.removes.isEmpty) ""
       else ", \"removes\": [" + m.removes.map(q).mkString(", ") + "]"
     val schema = m.schema.map(d => s""", "schema": ${q(d)}""").getOrElse("")
+    val tokens =
+      if (m.tokens.isEmpty) ""
+      else ", \"tokens\": [" + m.tokens.map { case (w, b) =>
+        s"""{"w": ${q(w)}, "b": $b}"""
+      }.mkString(", ") + "]"
     val stats =
       if (m.stats.isEmpty) ""
       else ", \"stats\": [" + m.stats.map { fst =>
@@ -97,7 +104,7 @@ object TxLog {
       }.mkString(", ") + "]"
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, """ +
-      s""""files": [${m.files.map(q).mkString(", ")}]$removes$schema$stats}"""
+      s""""files": [${m.files.map(q).mkString(", ")}]$removes$schema$tokens$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -163,9 +170,22 @@ object TxLog {
       if (s.startsWith(", \"schema\": ", cRem)) {
         val (v, j) = scanString(cRem + 12); (Some(v), j)
       } else (None, cRem)
+    val (tokens, cTok) =
+      if (s.startsWith(", \"tokens\": ", cSch)) {
+        var i = s.indexOf('[', cSch + 12) + 1
+        val out = Seq.newBuilder[(String, Long)]
+        while (s(i) != ']') {
+          if (s(i) == '{') {
+            val (w, i1) = scanString(keyFrom("w", i))
+            val (b, i2) = longAt(keyFrom("b", i1))
+            out += ((w, b)); i = i2
+          } else i += 1
+        }
+        (out.result(), i + 1)
+      } else (Seq.empty[(String, Long)], cSch)
     val stats: Seq[TxStats.FileStats] = {
       import TxStats.{ColStat, FileStats}
-      val k = if (s.startsWith(", \"stats\": ", cSch)) cSch + 2 else -1
+      val k = if (s.startsWith(", \"stats\": ", cTok)) cTok + 2 else -1
       if (k < 0) Seq.empty
       else {
         def parseCols(from: Int): (Seq[ColStat], Int) = {
@@ -199,7 +219,8 @@ object TxLog {
         out.result()
       }
     }
-    Manifest(version, files, writerId, batchId, checkpoint, stats, removes, schemaDdl)
+    Manifest(version, files, writerId, batchId, checkpoint, stats, removes,
+      schemaDdl, tokens)
   }
 
   /** All committed manifests, version-ordered. */
@@ -239,10 +260,13 @@ object TxLog {
   def headVersion(s: SparkSession, table: String): Long =
     manifests(s, table).lastOption.map(_.version).getOrElse(-1L)
 
-  /** True iff a committed manifest carries this idempotence token. */
+  /** True iff a committed manifest carries this idempotence token —
+    * directly, or absorbed into a checkpoint's token list (which is
+    * what lets [[vacuum]] truncate pre-checkpoint manifests without
+    * reopening the exactly-once window). */
   def committed(s: SparkSession, table: String, writerId: String,
                 batchId: Long): Boolean =
-    manifests(s, table).exists(m => m.writerId == writerId && m.batchId == batchId)
+    tokenTaken(manifests(s, table), writerId, batchId)
 
   /** Snapshot read: exactly the committed file set, handed to the
     * reader as an explicit list — uncommitted data files are
@@ -404,10 +428,11 @@ object TxLog {
     // pre-flight token check saves the data write on a clean replay;
     // the AUTHORITATIVE check is inside commitManifest's single-listing
     // loop (see its TOCTOU note). Cost note: every check lists and
-    // parses the full manifest log — O(commits) per commit, so a
-    // long-lived sink pays O(N²) total manifest reads; the production
-    // fix is Delta's: checkpoint manifests absorb the token set so
-    // reads are bounded by commits-since-checkpoint.
+    // parses the manifest log — O(commits) per commit against an
+    // untruncated log. The fix is Delta's, and implemented here:
+    // checkpoints absorb the token set ([[commitCheckpoint]]) and
+    // [[vacuum]] truncates below them, so a maintained table's listing
+    // is bounded by commits-since-checkpoint for the loop's lifetime.
     if (committed(s, table, writerId, batchId)) return -1L
     // schema-evolution fallback for LEGACY logs (no recorded schema but
     // existing data): infer the existing schema from one file ONCE so
@@ -469,7 +494,7 @@ object TxLog {
     var attempt = 0
     while (attempt < maxRetries) {
       val ms = manifests(s, table) // ONE listing: token + head together
-      if (ms.exists(m => m.writerId == writerId && m.batchId == batchId))
+      if (tokenTaken(ms, writerId, batchId))
         return -1L
       val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
       // the schema merge runs against THIS attempt's listing, so a
@@ -586,7 +611,8 @@ object TxLog {
   final case class Rewrite(version: Long, removedFiles: Int, addedFiles: Int)
 
   private def tokenTaken(ms: Seq[Manifest], writerId: String, batchId: Long): Boolean =
-    ms.exists(m => m.writerId == writerId && m.batchId == batchId)
+    ms.exists(m => (m.writerId == writerId && m.batchId == batchId) ||
+      m.tokens.contains((writerId, batchId)))
 
   private def absPath(table: String)(rel: String): String =
     new Path(new Path(table), rel).toString
@@ -847,8 +873,14 @@ object TxLog {
         }
       base = ms.lastOption.map(_.version).getOrElse(-1L)
       val v = base + 1
+      // ABSORB every idempotence token the checkpoint supersedes (incl.
+      // lists absorbed by earlier checkpoints): exactly-once replay
+      // detection then survives log truncation ([[vacuum]]) — the one
+      // structural fix for the O(commits)-per-commit token scan
+      val absorbed = ms.flatMap(m => m.tokens :+ ((m.writerId, m.batchId))).distinct
       val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
-        checkpoint = true, carriedStats, schema = carriedSchema.map(_.toDDL)))
+        checkpoint = true, carriedStats, schema = carriedSchema.map(_.toDDL),
+        tokens = absorbed))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
       attempt += 1 // lost the slot race; re-list and rebase again
@@ -935,14 +967,29 @@ object TxLog {
     * `minAgeMs` — the retention window that keeps vacuum from eating
     * a concurrent writer's not-yet-committed files or a pinned
     * reader's snapshot (the same contract as Delta's VACUUM; tests
-    * pass 0 for immediacy). Returns the number of files deleted. */
+    * pass 0 for immediacy).
+    *
+    * Also TRUNCATES THE LOG: manifests strictly below the newest
+    * checkpoint are needed neither for reads (snapshots replay from
+    * the checkpoint) nor for exactly-once (the checkpoint absorbed
+    * their idempotence tokens) — deleting them past the retention
+    * window is what bounds the per-commit manifest listing to
+    * O(commits since checkpoint) for the LIFETIME of an ingestion
+    * loop, closing the O(N²) cost note at [[commit]]. Truncation only
+    * runs if the checkpoint's token list really covers every token
+    * below it (a checkpoint written before token absorption keeps its
+    * history). Time travel below the checkpoint dies with the
+    * manifests — loud (snapshotAt requires the version), same contract
+    * as the data generations above. Returns files deleted (data +
+    * manifests). */
   def vacuum(s: SparkSession, table: String,
              minAgeMs: Long = 24L * 3600 * 1000): Int = {
     val root = new Path(table)
     val f = fs(s, root)
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0
-    val live = liveFiles(manifests(s, table)).toSet
+    val ms = manifests(s, table)
+    val live = liveFiles(ms).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var n = 0
     f.listStatus(dataRoot).foreach { d =>
@@ -957,6 +1004,26 @@ object TxLog {
         }
       }
       if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true)
+    }
+    // log truncation (see doc): below-checkpoint manifests past retention
+    ms.lastIndexWhere(_.checkpoint) match {
+      case -1 => ()
+      case i =>
+        val cp = ms(i)
+        val below = ms.filter(_.version < cp.version)
+        val absorbed = cp.tokens.toSet
+        val covered = below.forall(m =>
+          absorbed.contains((m.writerId, m.batchId)) &&
+            m.tokens.forall(absorbed.contains))
+        if (covered) {
+          val logDir = new Path(root, LogDir)
+          below.foreach { m =>
+            val p = new Path(logDir, manifestName(m.version))
+            if (f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff) {
+              f.delete(p, false); n += 1
+            }
+          }
+        }
     }
     n
   }

@@ -93,7 +93,9 @@ object TxLogBench {
       f"post-compact snapshot $c3 rows in $snapT2%.3f s; " +
       f"post-compact commit in $extraT%.3f s")
     val vac = TxLog.vacuum(spark, t, minAgeMs = 0L)
-    println(s"[txbench] vacuum collected $vac files")
+    val (_, postVacT) = timed(TxLog.commit(batch(nCommits + 1), t, "bench", nCommits + 1L))
+    println(f"[txbench] vacuum collected $vac files (incl. log truncation); " +
+      f"post-truncation commit in $postVacT%.3f s")
     spark.stop()
   }
 }

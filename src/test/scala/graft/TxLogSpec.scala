@@ -198,6 +198,38 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.snapshot(spark, t).get.count() == 39)
   }
 
+  test("log truncation: checkpoints absorb tokens, vacuum deletes pre-checkpoint manifests, exactly-once survives") {
+    val t = freshTable()
+    (0 until 8).foreach(b => TxLog.commit(batch(b * 10 until (b + 1) * 10), t, "w", b.toLong))
+    TxLog.compact(spark, t, targetBytes = 1L << 30) // v8, absorbs tokens w/0..w/7
+    TxLog.commit(batch(80 until 90), t, "w", 8L)    // post-checkpoint append
+    val logDir = java.nio.file.Paths.get(t, "_txlog")
+    def manifestCount = java.nio.file.Files.list(logDir)
+      .filter(p => p.getFileName.toString.endsWith(".json")).count()
+    assert(manifestCount == 10)
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    // only the checkpoint and the post-checkpoint append remain: the
+    // per-commit listing is now O(commits since checkpoint), not O(all)
+    assert(manifestCount == 2, s"log not truncated: $manifestCount manifests")
+    assert(TxLog.snapshot(spark, t).get.count() == 90)
+    // the truncated manifests' tokens still dedupe replays (absorbed)
+    (0 until 9).foreach { b =>
+      assert(TxLog.commit(batch(0 until 1), t, "w", b.toLong) == -1L,
+        s"replay of truncated batch $b was not deduped")
+    }
+    assert(TxLog.snapshot(spark, t).get.count() == 90)
+    // time travel below the checkpoint is loud, not silently empty
+    intercept[IllegalArgumentException] { TxLog.snapshotAt(spark, t, 3L) }
+    // and young manifests are protected by the retention window
+    val t2 = freshTable()
+    TxLog.commit(batch(0 until 10), t2, "w", 0L)
+    TxLog.compact(spark, t2, targetBytes = 1L << 30)
+    val before = java.nio.file.Files.list(java.nio.file.Paths.get(t2, "_txlog")).count()
+    TxLog.vacuum(spark, t2, minAgeMs = 3600_000L)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(t2, "_txlog")).count() == before,
+      "vacuum truncated manifests younger than the retention window")
+  }
+
   test("retention window: young unreferenced files survive vacuum (in-flight writer protection)") {
     val t = freshTable()
     TxLog.commit(batch(0 until 10), t, "w", 0L)
