@@ -321,22 +321,34 @@ object TxLog {
 
   /** Evolution rule: common columns keep their exact type, NEW columns
     * append (and must be nullable — every pre-evolution file backfills
-    * them with null at read). Removal and type change are loud errors;
+    * them with null at read). A write MISSING an existing NOT-NULL
+    * column is rejected (its rows would null-backfill a column the
+    * recorded DDL declares required); missing a nullable column is
+    * fine. Nullability of common columns merges truthfully (an append
+    * that may write nulls relaxes the recorded column to nullable —
+    * the DDL never lies). Removal and type change are loud errors;
     * `overwrite` is the sanctioned way to replace a schema. */
   private def mergedSchema(existing: org.apache.spark.sql.types.StructType,
                            incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    val byName = existing.fields.map(f => f.name -> f).toMap
-    incoming.fields.foreach { f =>
-      byName.get(f.name).foreach { e =>
-        require(e.dataType == f.dataType,
-          s"schema evolution cannot change ${f.name}: ${e.dataType} -> ${f.dataType}")
+    val inByName = incoming.fields.map(f => f.name -> f).toMap
+    val kept = existing.fields.map { e =>
+      inByName.get(e.name) match {
+        case Some(f) =>
+          require(e.dataType == f.dataType,
+            s"schema evolution cannot change ${e.name}: ${e.dataType} -> ${f.dataType}")
+          e.copy(nullable = e.nullable || f.nullable)
+        case None =>
+          require(e.nullable,
+            s"write is missing NOT-NULL column ${e.name} — cannot null-backfill a required column")
+          e
       }
     }
-    val added = incoming.fields.filterNot(f => byName.contains(f.name))
+    val existNames = existing.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => existNames.contains(f.name))
     added.foreach(f => require(f.nullable,
       s"new column ${f.name} must be nullable — existing files backfill null"))
-    org.apache.spark.sql.types.StructType(existing.fields ++ added)
+    org.apache.spark.sql.types.StructType(kept ++ added)
   }
 
   /** Read `files` under the table schema in force for `ms` (parquet
@@ -433,15 +445,19 @@ object TxLog {
     // checkpoints absorb the token set ([[commitCheckpoint]]) and
     // [[vacuum]] truncates below them, so a maintained table's listing
     // is bounded by commits-since-checkpoint for the loop's lifetime.
-    if (committed(s, table, writerId, batchId)) return -1L
+    val ms0 = manifests(s, table) // ONE listing: token pre-flight + schema probe
+    if (tokenTaken(ms0, writerId, batchId)) return -1L
     // schema-evolution fallback for LEGACY logs (no recorded schema but
     // existing data): infer the existing schema from one file ONCE so
     // the first schema-bearing manifest can't silently narrow the table
-    val ms0 = manifests(s, table)
     val legacyExisting =
       if (tableSchemaFrom(ms0).isEmpty)
         liveFiles(ms0).headOption.map(h => s.read.parquet(absPath(table)(h)).schema)
       else None
+    // fail-fast evolution check BEFORE the data write (a type conflict
+    // must not stage a whole append as vacuum garbage); the
+    // authoritative merge re-runs in commitManifest's retry loop
+    tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema))
     val (rel, stats) = stageWrite(s, new Path(table), df)
     commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
       maxRetries, incoming = Some(df.schema), legacyExisting = legacyExisting)
@@ -610,9 +626,17 @@ object TxLog {
     * rewrite's file accounting. */
   final case class Rewrite(version: Long, removedFiles: Int, addedFiles: Int)
 
+  /** Replay detection: a token is taken if a live manifest carries it,
+    * or if a checkpoint's absorbed per-writer HIGH-WATER MARK covers it
+    * (`batchId <= mark`). The high-water compression is what keeps
+    * checkpoint manifests O(#writers) instead of O(all commits ever) —
+    * and is sound for the engine's writers because batch ids are
+    * monotone per writer (streaming epochs, ingestion loop counters;
+    * the contract Delta's SetTransaction documents): a replay is always
+    * of the LATEST uncommitted batch, never of an id below the mark. */
   private def tokenTaken(ms: Seq[Manifest], writerId: String, batchId: Long): Boolean =
     ms.exists(m => (m.writerId == writerId && m.batchId == batchId) ||
-      m.tokens.contains((writerId, batchId)))
+      m.tokens.exists { case (w, b) => w == writerId && batchId <= b })
 
   private def absPath(table: String)(rel: String): String =
     new Path(new Path(table), rel).toString
@@ -874,10 +898,13 @@ object TxLog {
       base = ms.lastOption.map(_.version).getOrElse(-1L)
       val v = base + 1
       // ABSORB every idempotence token the checkpoint supersedes (incl.
-      // lists absorbed by earlier checkpoints): exactly-once replay
-      // detection then survives log truncation ([[vacuum]]) — the one
-      // structural fix for the O(commits)-per-commit token scan
-      val absorbed = ms.flatMap(m => m.tokens :+ ((m.writerId, m.batchId))).distinct
+      // lists absorbed by earlier checkpoints), COMPRESSED to the
+      // per-writer high-water mark (see [[tokenTaken]]) so the list is
+      // O(#writers), not O(commits ever): exactly-once replay detection
+      // then survives log truncation ([[vacuum]]) — the structural fix
+      // for the O(commits)-per-commit token scan
+      val absorbed = ms.flatMap(m => m.tokens :+ ((m.writerId, m.batchId)))
+        .groupBy(_._1).map { case (w, ts) => (w, ts.map(_._2).max) }.toSeq.sorted
       val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
         checkpoint = true, carriedStats, schema = carriedSchema.map(_.toDDL),
         tokens = absorbed))
@@ -1011,19 +1038,25 @@ object TxLog {
       case i =>
         val cp = ms(i)
         val below = ms.filter(_.version < cp.version)
-        val absorbed = cp.tokens.toSet
+        def marked(w: String, b: Long) =
+          cp.tokens.exists { case (tw, tb) => tw == w && b <= tb }
         val covered = below.forall(m =>
-          absorbed.contains((m.writerId, m.batchId)) &&
-            m.tokens.forall(absorbed.contains))
-        if (covered) {
-          val logDir = new Path(root, LogDir)
-          below.foreach { m =>
-            val p = new Path(logDir, manifestName(m.version))
-            if (f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff) {
-              f.delete(p, false); n += 1
-            }
-          }
+          marked(m.writerId, m.batchId) &&
+            m.tokens.forall { case (w, b) => marked(w, b) })
+        val logDir = new Path(root, LogDir)
+        // ALL-OR-NOTHING: truncating only the older half would leave a
+        // below-checkpoint suffix that snapshotAt happily replays as if
+        // it were the whole history — silently wrong time travel. Either
+        // every below-checkpoint manifest is past retention (and their
+        // tokens provably absorbed), or none goes.
+        val allAged = below.nonEmpty && below.forall { m =>
+          val p = new Path(logDir, manifestName(m.version))
+          f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff
         }
+        if (covered && allAged)
+          below.foreach { m =>
+            f.delete(new Path(logDir, manifestName(m.version)), false); n += 1
+          }
     }
     n
   }

@@ -36,10 +36,11 @@ import org.apache.spark.sql.types.StructType
   * Write path: each batch write is ONE TxLog transaction (Append =
   * [[TxLog.commit]], Overwrite = [[TxLog.overwrite]] — an atomic
   * checkpoint replacement). The streaming sink commits each micro-batch
-  * under the (queryId, batchId) idempotence token: Structured
-  * Streaming's at-least-once addBatch replays become no-ops iff the
-  * original published — the same exactly-once argument as
-  * [[TxLog.sink]], now behind `writeStream.format("txlog")`. */
+  * under a (per-query writer id, batchId) idempotence token — the
+  * writer id derives from the checkpoint location, the query's durable
+  * identity — so Structured Streaming's at-least-once addBatch replays
+  * become no-ops iff the original published: the same exactly-once
+  * argument as [[TxLog.sink]], behind `writeStream.format("txlog")`. */
 class TxLogSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with DataSourceRegister {
 
@@ -77,8 +78,21 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
                           partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append(),
       s"txlog sink supports Append output mode only, got $outputMode")
-    new TxLogSink(tablePath(parameters),
-      parameters.getOrElse("writerId", "txlog-stream"))
+    require(partitionColumns.isEmpty,
+      "txlog sink does not support partitionBy — layout is the table's (compact/cluster)")
+    // writer identity must be PER QUERY: two queries sharing one token
+    // namespace would dedupe each other's epochs into silent data loss.
+    // The checkpoint location IS the query's durable identity (same
+    // checkpoint = same epoch sequence = same dedup namespace; a fresh
+    // checkpoint restarts epochs at 0 and gets a fresh namespace).
+    val writerId = parameters.get("writerId").orElse(
+      parameters.get("checkpointLocation").map { cp =>
+        val h = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        "txlog-stream-" + h.take(8).map("%02x".format(_)).mkString
+      }).getOrElse(throw new IllegalArgumentException(
+        "txlog sink needs a checkpointLocation (or explicit writerId) for exactly-once identity"))
+    new TxLogSink(tablePath(parameters), writerId)
   }
 }
 

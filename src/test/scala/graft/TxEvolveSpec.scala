@@ -65,6 +65,13 @@ class TxEvolveSpec extends AnyFunSuite {
     val badType = (0 until 5).map(i => (i.toLong, i)).toDF("id", "name") // name: int
     val e = intercept[IllegalArgumentException] { TxLog.commit(badType, t, "w", 1L) }
     assert(e.getMessage.contains("name"))
+    // a write MISSING a NOT-NULL column is rejected BEFORE staging data
+    // (the recorded DDL must never lie about required columns)
+    val missing = (0 until 5).map(i => s"n-$i").toDF("name")
+    val e2 = intercept[IllegalArgumentException] { TxLog.commit(missing, t, "w", 2L) }
+    assert(e2.getMessage.contains("NOT-NULL") && e2.getMessage.contains("id"))
+    // (name, a nullable string, stays omittable — only required columns gate)
+    assert(TxLog.snapshot(spark, t).get.schema("name").nullable)
     // overwrite may narrow/replace
     TxLog.overwrite((0 until 5).map(i => (i.toLong, i * 2L)).toDF("id", "twice"), t)
     assert(TxLog.snapshot(spark, t).get.columns.toSeq == Seq("id", "twice"))

@@ -230,6 +230,33 @@ class TxLogSpec extends AnyFunSuite {
       "vacuum truncated manifests younger than the retention window")
   }
 
+  test("log truncation is all-or-nothing: a half-aged below-checkpoint log is left intact") {
+    // aging only SOME below-checkpoint manifests past retention must not
+    // truncate them: the surviving suffix would replay as if it were the
+    // whole history and time travel would be silently wrong
+    val t = freshTable()
+    (0 until 4).foreach(b => TxLog.commit(batch(b * 10 until (b + 1) * 10), t, "w", b.toLong))
+    TxLog.compact(spark, t, targetBytes = 1L << 30) // v4
+    val logDir = java.nio.file.Paths.get(t, "_txlog")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    Seq(0L, 1L).foreach { v => // age only v0, v1
+      java.nio.file.Files.setLastModifiedTime(
+        logDir.resolve(f"v$v%020d.json"), old)
+    }
+    TxLog.vacuum(spark, t, minAgeMs = 24L * 3600 * 1000)
+    assert(java.nio.file.Files.list(logDir).count() == 5,
+      "partial truncation happened — time travel to v2/v3 would replay an incomplete log")
+    assert(TxLog.snapshotAt(spark, t, 3L).get.count() == 40)
+    // once EVERY below-checkpoint manifest is aged, truncation proceeds
+    Seq(2L, 3L).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(logDir.resolve(f"v$v%020d.json"), old)
+    }
+    TxLog.vacuum(spark, t, minAgeMs = 24L * 3600 * 1000)
+    assert(java.nio.file.Files.list(logDir).count() == 1)
+    assert(TxLog.snapshot(spark, t).get.count() == 40)
+  }
+
   test("retention window: young unreferenced files survive vacuum (in-flight writer protection)") {
     val t = freshTable()
     TxLog.commit(batch(0 until 10), t, "w", 0L)

@@ -124,4 +124,23 @@ class TxSourceSpec extends AnyFunSuite {
     assert(got.count() == 250)
     assert(got.select("id").distinct().count() == 250, "a replayed epoch duplicated rows")
   }
+
+  test("two streaming queries into one table get distinct writer identities (no cross-query dedupe)") {
+    // both queries emit epoch 0 — a shared token namespace would drop
+    // the second query's data as a "replay" (review finding, r11)
+    val t = freshTable()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def run(lo: Long): Unit = {
+      val mem = MemoryStream[Long]
+      val q = mem.toDF.select($"value".as("id")).writeStream.format("txlog")
+        .option("path", t)
+        .option("checkpointLocation", Files.createTempDirectory("txsrc_ck2_").toString)
+        .start()
+      mem.addData(lo until lo + 10L: _*); q.processAllAvailable(); q.stop()
+    }
+    run(0L); run(100L)
+    assert(spark.read.format("txlog").load(t).count() == 20,
+      "second query's epoch 0 was deduped against the first query's")
+  }
 }
