@@ -61,7 +61,7 @@ object TxLog {
 
   private def manifestName(v: Long): String = f"v$v%020d.json"
 
-  private case class Manifest(version: Long, files: Seq[String],
+  private[storage] case class Manifest(version: Long, files: Seq[String],
                               writerId: String, batchId: Long,
                               checkpoint: Boolean,
                               stats: Seq[TxStats.FileStats] = Seq.empty,
@@ -224,7 +224,7 @@ object TxLog {
   }
 
   /** All committed manifests, version-ordered. */
-  private def manifests(s: SparkSession, table: String): Seq[Manifest] = {
+  private[storage] def manifests(s: SparkSession, table: String): Seq[Manifest] = {
     val dir = new Path(table, LogDir)
     val f = fs(s, dir)
     if (!f.exists(dir)) Seq.empty
@@ -250,7 +250,7 @@ object TxLog {
     * order — each transaction's `removes` drop out (row-level DML
     * rewrote those files), its `files` add in. Paths are uuid-unique,
     * so a removed path can never be re-added. */
-  private def liveFiles(ms: Seq[Manifest]): Seq[String] =
+  private[storage] def liveFiles(ms: Seq[Manifest]): Seq[String] =
     fromCheckpoint(ms).foldLeft(Vector.empty[String]) { (acc, m) =>
       val dead = m.removes.toSet
       (if (dead.isEmpty) acc else acc.filterNot(dead)) ++ m.files
@@ -314,7 +314,7 @@ object TxLog {
     * checkpoint manifests their verbatim output schema). None on
     * legacy logs — readers fall back to parquet inference, exactly the
     * pre-evolution behavior. */
-  private def tableSchemaFrom(ms: Seq[Manifest])
+  private[storage] def tableSchemaFrom(ms: Seq[Manifest])
       : Option[org.apache.spark.sql.types.StructType] =
     ms.reverse.collectFirst { case m if m.schema.isDefined => m.schema.get }
       .map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -355,7 +355,7 @@ object TxLog {
     * matches columns BY NAME, so files from before an evolution
     * null-backfill the added columns); legacy logs infer. Applying the
     * schema also skips inference — no footer read at plan time. */
-  private def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
+  private[storage] def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
                         files: Seq[String]): DataFrame = {
     val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
     rd.parquet(files.map(absPath(table)): _*)
@@ -870,6 +870,7 @@ object TxLog {
                                stats: Seq[TxStats.FileStats], writerId: String,
                                expectedHead: Long,
                                schemaDdl: Option[String] = None,
+                               removes: Seq[String] = Seq.empty,
                                maxRetries: Int = 20): Long = {
     val root = new Path(table)
     val f = fs(s, root)
@@ -905,9 +906,14 @@ object TxLog {
       // for the O(commits)-per-commit token scan
       val absorbed = ms.flatMap(m => m.tokens :+ ((m.writerId, m.batchId)))
         .groupBy(_._1).map { case (w, ts) => (w, ts.map(_._2).max) }.toSeq.sorted
+      // `removes` on a checkpoint is PROVENANCE, not replay input (the
+      // checkpoint resets the read set regardless): overwrite records
+      // the files it replaced so a streaming tail can distinguish
+      // "layout rewrite, no new data" (compact/cluster, removes empty)
+      // from "data REPLACED" (overwrite) and fail loudly on the latter
       val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
-        checkpoint = true, carriedStats, schema = carriedSchema.map(_.toDDL),
-        tokens = absorbed))
+        checkpoint = true, carriedStats, removes = removes,
+        schema = carriedSchema.map(_.toDDL), tokens = absorbed))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
       attempt += 1 // lost the slot race; re-list and rebase again
@@ -922,12 +928,15 @@ object TxLog {
     * never a mix, and the old generation time-travels until vacuum. */
   def overwrite(df: DataFrame, table: String): Long = {
     val s = df.sparkSession
-    val head = headVersion(s, table)
+    val ms = manifests(s, table)
+    val head = ms.lastOption.map(_.version).getOrElse(-1L)
     val (rel, stats) = stageWrite(s, new Path(table), df)
-    // overwrite REPLACES the schema too — the sanctioned narrowing path
+    // overwrite REPLACES the schema too — the sanctioned narrowing path;
+    // the replaced file list rides as provenance (streaming tails must
+    // see an overwrite as a remove, never as an append)
     commitCheckpoint(s, table, rel, stats,
       writerId = s"overwrite-${java.util.UUID.randomUUID()}", expectedHead = head,
-      schemaDdl = Some(df.schema.toDDL))
+      schemaDdl = Some(df.schema.toDDL), removes = liveFiles(ms))
   }
 
   /** File pruning for the DSv1 relation: evaluate pushed-down source

@@ -3,7 +3,8 @@ package graft.storage
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
@@ -42,7 +43,7 @@ import org.apache.spark.sql.types.StructType
   * become no-ops iff the original published: the same exactly-once
   * argument as [[TxLog.sink]], behind `writeStream.format("txlog")`. */
 class TxLogSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog"
 
@@ -73,6 +74,23 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     }
     new TxLogRelation(t)(sqlContext)
   }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String, parameters: Map[String, String])
+      : (String, StructType) = {
+    val t = tablePath(parameters)
+    val sch = schema.orElse(
+      TxLog.snapshot(sqlContext.sparkSession, t).map(_.schema)).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog stream source: table $t is empty — pass an explicit schema to start tailing"))
+    (shortName(), sch)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new TxLogStreamSource(sqlContext, tablePath(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2)
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -140,6 +158,72 @@ object TxLogRelation {
   /** (kept, total) of the most recent buildScan on this JVM — lets the
     * specs assert real skipping through the opaque DSv1 seam. */
   val lastPrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+}
+
+/** Streaming SOURCE over a TxLog table — tail the manifest log as an
+  * unbounded append stream (`readStream.format("txlog")`), turning any
+  * TxLog table into a message bus with transactional producers:
+  *
+  *  - offsets are log VERSIONS, so progress tracking is exact and
+  *    restart-safe (Spark checkpoints the last committed version; the
+  *    next batch resumes at version+1 — no file-listing diffs, no
+  *    modification-time heuristics);
+  *  - the first batch is the table SNAPSHOT as of the start offset
+  *    (checkpoint/DML replay is correct there — it IS a snapshot);
+  *    every later batch is exactly the files its manifests added;
+  *  - maintenance is transparent: compact/cluster checkpoints add no
+  *    new rows (their file lists are rewrites + rebased appends that
+  *    have their own manifests) and are skipped;
+  *  - non-append history is LOUD: a DML rewrite or an overwrite in the
+  *    tail range throws (this source is append-only — CDC would need
+  *    per-file dataChange provenance), and a version vacuumed before
+  *    the stream read it throws rather than silently skipping rows. */
+class TxLogStreamSource(sqlContext: SQLContext, table: String,
+                        override val schema: StructType) extends Source {
+  private def spark = sqlContext.sparkSession
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val h = TxLog.headVersion(spark, table)
+    if (h < 0) None else Some(LongOffset(h))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val to = versionOf(end)
+    val ms = TxLog.manifests(spark, table)
+    val files: Seq[String] = start.map(versionOf) match {
+      case None =>
+        TxLog.liveFiles(ms.filter(_.version <= to))
+      case Some(from) =>
+        val range = ms.filter(m => m.version > from && m.version <= to)
+        val have = range.map(_.version).toSet
+        val missing = ((from + 1) to to).filterNot(have)
+        require(missing.isEmpty,
+          s"versions ${missing.mkString(",")} of $table were vacuumed before this " +
+            "stream read them — raise the vacuum retention above the stream's lag")
+        range.find(_.removes.nonEmpty).foreach { m =>
+          throw new IllegalStateException(
+            s"txlog stream source is append-only, but v${m.version} of $table " +
+              (if (m.checkpoint) "OVERWROTE the table" else "rewrote rows (DML)") +
+              " — tail from a fresh start or keep the streamed table append-only")
+        }
+        range.filterNot(_.checkpoint).flatMap(_.files)
+    }
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(files.map(f => new Path(new Path(table), f).toString): _*)
+    // wrap the executed rows as a STREAMING frame (getBatch contract)
+    GraftSqlBridge.internalCreateDataFrame(
+      spark, batch.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** Exactly-once streaming sink: micro-batch `batchId` is the TxLog

@@ -17,6 +17,8 @@ object GraftSqlBridge {
     * (queryExecution.toRdd) and commits the rewrapped rows. */
   def internalCreateDataFrame(spark: SparkSession,
                               rows: org.apache.spark.rdd.RDD[catalyst.InternalRow],
-                              schema: types.StructType): DataFrame =
-    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rows, schema)
+                              schema: types.StructType,
+                              isStreaming: Boolean = false): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming)
 }

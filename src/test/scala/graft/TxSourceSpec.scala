@@ -125,6 +125,69 @@ class TxSourceSpec extends AnyFunSuite {
     assert(got.select("id").distinct().count() == 250, "a replayed epoch duplicated rows")
   }
 
+  test("streaming source: snapshot-then-tail with exact version offsets; compaction adds no duplicates") {
+    val t = freshTable()
+    batch(0 until 100, "a").coalesce(1).write.format("txlog").mode("append").save(t)
+    val name = s"txtail_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("path", t).load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_tl_").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 100, "initial snapshot batch wrong")
+    // live appends arrive incrementally
+    batch(100 until 150, "b").coalesce(1).write.format("txlog").mode("append").save(t)
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 150)
+    // compaction mid-stream: a checkpoint rewrites already-streamed rows
+    // and must NOT replay them into the tail
+    TxLog.compact(spark, t, targetBytes = 1L << 30)
+    batch(150 until 170, "c").coalesce(1).write.format("txlog").mode("append").save(t)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+    assert(got.count() == 170, "compaction duplicated or dropped tailed rows")
+    assert(got.select("id").distinct().count() == 170)
+  }
+
+  test("streaming source end-to-end: tail table A into txlog table B, restart, B == A exactly") {
+    val a = freshTable(); val b = freshTable()
+    val ckpt = Files.createTempDirectory("txsrc_ab_").toString
+    def pump(): Unit = {
+      val q = spark.readStream.format("txlog").option("path", a).load()
+        .writeStream.format("txlog")
+        .option("path", b).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    batch(0 until 80, "a").coalesce(1).write.format("txlog").mode("append").save(a)
+    batch(80 until 120, "a").coalesce(1).write.format("txlog").mode("append").save(a)
+    pump()
+    assert(spark.read.format("txlog").load(b).count() == 120)
+    // more appends while the stream is DOWN; restart resumes at the
+    // checkpointed version — exactly-once on BOTH sides of the bus
+    batch(120 until 200, "a").coalesce(1).write.format("txlog").mode("append").save(a)
+    pump()
+    val gotB = spark.read.format("txlog").load(b)
+    assert(gotB.count() == 200, "restart lost or duplicated a batch")
+    assert(rows(gotB) == rows(spark.read.format("txlog").load(a)))
+  }
+
+  test("streaming source is append-only: DML or overwrite in the tail range fails loudly") {
+    val t = freshTable()
+    batch(0 until 60, "a").coalesce(1).write.format("txlog").mode("append").save(t)
+    val name = s"txdml_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("path", t).load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_ao_").toString)
+      .start()
+    q.processAllAvailable()
+    TxLog.delete(spark, t, $"id" === 5L, "d", 0L)
+    val e = intercept[Exception] { q.processAllAvailable(); q.awaitTermination() }
+    assert(e.getMessage != null)
+    assert(!q.isActive)
+  }
+
   test("two streaming queries into one table get distinct writer identities (no cross-query dedupe)") {
     // both queries emit epoch 0 — a shared token namespace would drop
     // the second query's data as a "replay" (review finding, r11)
