@@ -260,6 +260,22 @@ object TxLog {
   def headVersion(s: SparkSession, table: String): Long =
     manifests(s, table).lastOption.map(_.version).getOrElse(-1L)
 
+  /** [[headVersion]] from the LISTING alone — no manifest is opened or
+    * parsed, so a streaming source's idle poll (`getOffset` every
+    * trigger) costs one directory listing, not O(log) small-file reads.
+    * Sound because versions are the zero-padded file names and
+    * [[putIfAbsent]] only ever publishes complete files (staging uses
+    * `.tmp-` names the filter drops). */
+  private[storage] def headVersionByName(s: SparkSession, table: String): Long = {
+    val dir = new Path(table, LogDir)
+    val f = fs(s, dir)
+    if (!f.exists(dir)) -1L
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
   /** True iff a committed manifest carries this idempotence token —
     * directly, or absorbed into a checkpoint's token list (which is
     * what lets [[vacuum]] truncate pre-checkpoint manifests without
@@ -314,7 +330,7 @@ object TxLog {
     * checkpoint manifests their verbatim output schema). None on
     * legacy logs — readers fall back to parquet inference, exactly the
     * pre-evolution behavior. */
-  private[storage] def tableSchemaFrom(ms: Seq[Manifest])
+  private def tableSchemaFrom(ms: Seq[Manifest])
       : Option[org.apache.spark.sql.types.StructType] =
     ms.reverse.collectFirst { case m if m.schema.isDefined => m.schema.get }
       .map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -355,7 +371,7 @@ object TxLog {
     * matches columns BY NAME, so files from before an evolution
     * null-backfill the added columns); legacy logs infer. Applying the
     * schema also skips inference — no footer read at plan time. */
-  private[storage] def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
+  private def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
                         files: Seq[String]): DataFrame = {
     val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
     rd.parquet(files.map(absPath(table)): _*)
@@ -638,7 +654,7 @@ object TxLog {
     ms.exists(m => (m.writerId == writerId && m.batchId == batchId) ||
       m.tokens.exists { case (w, b) => w == writerId && batchId <= b })
 
-  private def absPath(table: String)(rel: String): String =
+  private[storage] def absPath(table: String)(rel: String): String =
     new Path(new Path(table), rel).toString
 
   /** Narrow zone-map `candidates` to the files that actually contain a

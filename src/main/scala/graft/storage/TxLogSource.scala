@@ -139,7 +139,7 @@ class TxLogRelation(table: String)(@transient val sqlContext: SQLContext)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else
         spark.read.schema(schema)
-          .parquet(kept.map(f => new Path(new Path(table), f).toString): _*)
+          .parquet(kept.map(TxLog.absPath(table)): _*)
     base.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
   }
 
@@ -188,36 +188,59 @@ class TxLogStreamSource(sqlContext: SQLContext, table: String,
   }
 
   override def getOffset: Option[Offset] = {
-    val h = TxLog.headVersion(spark, table)
+    // name-only head probe: the idle poll costs one listing, zero reads
+    val h = TxLog.headVersionByName(spark, table)
     if (h < 0) None else Some(LongOffset(h))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
     val ms = TxLog.manifests(spark, table)
+    def vacuumedError(what: String): Nothing =
+      throw new IllegalStateException(
+        s"$what of $table was vacuumed before this stream read it — " +
+          "raise the vacuum retention above the stream's lag")
     val files: Seq[String] = start.map(versionOf) match {
       case None =>
-        TxLog.liveFiles(ms.filter(_.version <= to))
+        // initial snapshot as of `to`. Log truncation is all-or-nothing
+        // below the newest checkpoint, so the prefix ≤ to is complete
+        // iff it still reaches a checkpoint or version 0 — an empty or
+        // headless prefix means the snapshot's manifests are GONE, and
+        // returning an empty batch would silently lose every row
+        val past = ms.filter(_.version <= to)
+        if (past.isEmpty || !(past.exists(_.checkpoint) || past.head.version == 0L))
+          vacuumedError(s"the initial snapshot (≤ v$to)")
+        TxLog.liveFiles(past)
       case Some(from) =>
         val range = ms.filter(m => m.version > from && m.version <= to)
         val have = range.map(_.version).toSet
         val missing = ((from + 1) to to).filterNot(have)
-        require(missing.isEmpty,
-          s"versions ${missing.mkString(",")} of $table were vacuumed before this " +
-            "stream read them — raise the vacuum retention above the stream's lag")
-        range.find(_.removes.nonEmpty).foreach { m =>
+        if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
+        range.find(m => m.removes.nonEmpty ||
+            (m.checkpoint && m.writerId.startsWith("overwrite-"))).foreach { m =>
+          // overwrite is detected STRUCTURALLY by its writer-id class —
+          // this library is the format's only writer — so even an
+          // overwrite of an empty table (removes = ∅) stays loud
           throw new IllegalStateException(
             s"txlog stream source is append-only, but v${m.version} of $table " +
               (if (m.checkpoint) "OVERWROTE the table" else "rewrote rows (DML)") +
               " — tail from a fresh start or keep the streamed table append-only")
         }
-        range.filterNot(_.checkpoint).flatMap(_.files)
+        val rel = range.filterNot(_.checkpoint).flatMap(_.files)
+        // a lagging tail's files can be compacted away and data-vacuumed
+        // while their manifests survive — turn the eventual raw
+        // FileNotFound into the retention guidance (cheap: incremental
+        // ranges are small)
+        val root = new Path(table)
+        val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        rel.find(r => !f.exists(new Path(root, r)))
+          .foreach(r => vacuumedError(s"data file $r"))
+        rel
     }
     val batch =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(files.map(f => new Path(new Path(table), f).toString): _*)
+      else spark.read.schema(schema).parquet(files.map(TxLog.absPath(table)): _*)
     // wrap the executed rows as a STREAMING frame (getBatch contract)
     GraftSqlBridge.internalCreateDataFrame(
       spark, batch.queryExecution.toRdd, schema, isStreaming = true)

@@ -188,6 +188,36 @@ class TxSourceSpec extends AnyFunSuite {
     assert(!q.isActive)
   }
 
+  test("streaming source guards: truncated snapshot and overwrite-without-removes are loud") {
+    import graft.storage.TxLogStreamSource
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    // (a) initial snapshot whose manifests were vacuum-truncated: a
+    // restart replaying batch 0 after compact+vacuum must throw, not
+    // silently deliver an empty snapshot
+    val t = freshTable()
+    (0 until 3).foreach(b => batch(b * 10 until (b + 1) * 10, "a").coalesce(1)
+      .write.format("txlog").mode("append").save(t))
+    val sch = TxLog.snapshot(spark, t).get.schema
+    TxLog.compact(spark, t, targetBytes = 1L << 30) // v3 absorbs tokens
+    TxLog.vacuum(spark, t, minAgeMs = 0L)           // truncates v0..v2
+    val src = new TxLogStreamSource(spark.sqlContext, t, sch)
+    val e = intercept[IllegalStateException] { src.getBatch(None, LongOffset(2L)) }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // (b) overwrite detected STRUCTURALLY (writer-id class), so even an
+    // overwrite whose removes list is empty — live set emptied by a
+    // prior delete-all — cannot be mistaken for a compaction
+    val t2 = freshTable()
+    batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(t2)
+    val sch2 = TxLog.snapshot(spark, t2).get.schema
+    TxLog.delete(spark, t2, lit(true), "d", 0L) // empty live set (v1)
+    batch(0 until 5, "b").coalesce(1).write.format("txlog").mode("overwrite").save(t2) // v2
+    val src2 = new TxLogStreamSource(spark.sqlContext, t2, sch2)
+    val e2 = intercept[IllegalStateException] {
+      src2.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    }
+    assert(e2.getMessage.contains("OVERWROTE"), e2.getMessage)
+  }
+
   test("two streaming queries into one table get distinct writer identities (no cross-query dedupe)") {
     // both queries emit epoch 0 — a shared token namespace would drop
     // the second query's data as a "replay" (review finding, r11)
