@@ -116,7 +116,7 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
 
 /** Snapshot relation over a TxLog table with zone-map file skipping
   * driven by the pushed-down Filters. */
-class TxLogRelation(table: String)(@transient val sqlContext: SQLContext)
+class TxLogRelation(val table: String)(@transient val sqlContext: SQLContext)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
