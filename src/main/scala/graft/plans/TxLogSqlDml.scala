@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{functions => F, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -57,84 +57,123 @@ case class TxLogSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
     throw new UnsupportedOperationException(
       s"txlog SQL DML: $what (use the TxLog API for richer shapes)")
 
-  /** Equi-key column names from a MERGE ON conjunction of
-    * `target.k = source.k` terms; loud on anything else. */
-  private def mergeKeys(cond: Expression): Seq[String] = {
-    def name(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      case u: UnresolvedAttribute => Some(u.nameParts.last)
-      case _ => None
-    }
+  /** Equi-key column names from a resolved MERGE ON conjunction of
+    * `target.k = source.k` terms — SIDE-CHECKED: each equality must
+    * bind one target attribute and one source attribute of the same
+    * name (a same-side equality like `t.grp = t.grp` is a filter, not
+    * a join key; accepting it would silently change the upsert's key).
+    * Loud on anything else. */
+  private def mergeKeys(cond: Expression, target: LogicalPlan,
+                        source: LogicalPlan): Seq[String] = {
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
     split(cond).map {
-      case EqualTo(l, r) =>
-        (name(l), name(r)) match {
-          case (Some(a), Some(b)) if a == b => a
-          case _ => unsupported(s"MERGE ON must be target.k = source.k conjunctions, got $cond")
-        }
-      case other => unsupported(s"MERGE ON must be equality conjunctions, got $other")
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if l.name == r.name &&
+            ((target.outputSet.contains(l) && source.outputSet.contains(r)) ||
+              (target.outputSet.contains(r) && source.outputSet.contains(l))) =>
+        l.name
+      case other =>
+        unsupported(s"MERGE ON must be target.k = source.k conjunctions, got $other")
     }
+  }
+
+  /** Subqueries can't survive the SQL-rendering round trip (`.sql`
+    * emits pseudo-functions like `listquery()`); reject them with OUR
+    * message, not a cryptic downstream parse error. */
+  private def noSubqueries(e: Expression): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      unsupported(s"subqueries are not supported in DML predicates: $e")
+    e
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
     case DeleteFromTable(t, cond) if tableOf(t).isDefined && cond.resolved =>
-      TxDeleteCommand(tableOf(t).get, unqualifiedSql(cond))
+      TxDeleteCommand(tableOf(t).get, unqualifiedSql(noSubqueries(cond)))
 
     case UpdateTable(t, assignments, cond)
         if tableOf(t).isDefined && assignments.forall(_.resolved) &&
           cond.forall(_.resolved) =>
       val sets = assignments.map { a =>
         a.key match {
-          case k: AttributeReference => k.name -> unqualifiedSql(a.value)
+          case k: AttributeReference => k.name -> unqualifiedSql(noSubqueries(a.value))
           case other => unsupported(s"UPDATE key must be a plain column, got $other")
         }
       }
-      TxUpdateCommand(tableOf(t).get, sets, cond.map(unqualifiedSql))
+      val dup = sets.map(_._1).diff(sets.map(_._1).distinct).distinct
+      if (dup.nonEmpty) unsupported(s"duplicate SET columns: ${dup.mkString(", ")}")
+      TxUpdateCommand(tableOf(t).get, sets, cond.map(c => unqualifiedSql(noSubqueries(c))))
 
     case MergeIntoTable(t, source, cond, matched, notMatched, notMatchedBySource, _)
-        if tableOf(t).isDefined && source.resolved =>
+        if tableOf(t).isDefined && source.resolved && cond.resolved =>
+      // `SET *` arrives either raw (UpdateStarAction) or already
+      // expanded by the analyzer into per-column identity assignments —
+      // accept both, requiring the expansion to be the COMPLETE
+      // name-for-name mapping (anything else is a real column remap and
+      // unsupported)
+      def starLike(as: Seq[Assignment]): Boolean =
+        as.size == t.output.size && as.forall { a =>
+          (a.key, a.value) match {
+            case (k: AttributeReference, v: AttributeReference) => k.name == v.name
+            case _ => false
+          }
+        }
       val upsertShape =
-        matched.forall { case UpdateStarAction(None) => true; case _ => false } &&
-          notMatched.forall { case InsertStarAction(None) => true; case _ => false } &&
-          matched.size == 1 && notMatched.size == 1 && notMatchedBySource.isEmpty
+        (matched match {
+          case Seq(UpdateStarAction(None)) => true
+          case Seq(UpdateAction(None, as, _)) => starLike(as)
+          case _ => false
+        }) &&
+          (notMatched match {
+            case Seq(InsertStarAction(None)) => true
+            case Seq(InsertAction(None, as)) => starLike(as)
+            case _ => false
+          }) && notMatchedBySource.isEmpty
       if (!upsertShape)
         unsupported("MERGE supports WHEN MATCHED THEN UPDATE SET * / " +
           "WHEN NOT MATCHED THEN INSERT * (no extra conditions)")
-      TxMergeCommand(tableOf(t).get, source, mergeKeys(cond))
+      TxMergeCommand(tableOf(t).get, source, mergeKeys(noSubqueries(cond), t, source))
   }
 }
 
-case class TxDeleteCommand(table: String, condSql: String) extends LeafRunnableCommand {
+/** Shared command tail: a fresh single-use writer token per statement
+  * (the `sql-*-<uuid>` class — never replayed by construction, and
+  * dropped from checkpoint token absorption by
+  * `TxLog.singleUseWriter`, so interactive DML cannot grow the
+  * manifest token lists) + one log line. */
+private[plans] trait TxDmlCommand extends LeafRunnableCommand {
+  def table: String
+  def op: String
+  def exec(s: SparkSession, writerId: String): TxLog.Rewrite
   override def run(s: SparkSession): Seq[Row] = {
-    val r = TxLog.delete(s, table, F.expr(condSql),
-      writerId = s"sql-delete-${java.util.UUID.randomUUID()}", batchId = 0L)
-    log.info(s"txlog DML on $table: v${r.version}, rewrote ${r.removedFiles} files, added ${r.addedFiles}")
+    val r = exec(s, s"sql-$op-${java.util.UUID.randomUUID()}")
+    log.info(s"txlog $op on $table: v${r.version}, " +
+      s"rewrote ${r.removedFiles} files, added ${r.addedFiles}")
     Seq.empty
   }
+}
+
+case class TxDeleteCommand(table: String, condSql: String) extends TxDmlCommand {
+  override def op: String = "delete"
+  override def exec(s: SparkSession, writerId: String): TxLog.Rewrite =
+    TxLog.delete(s, table, F.expr(condSql), writerId, batchId = 0L)
 }
 
 case class TxUpdateCommand(table: String, sets: Seq[(String, String)],
-                           condSql: Option[String]) extends LeafRunnableCommand {
-  override def run(s: SparkSession): Seq[Row] = {
-    val r = TxLog.update(s, table, condSql.map(F.expr).getOrElse(F.lit(true)),
-      sets.map { case (k, v) => k -> F.expr(v) }.toMap,
-      writerId = s"sql-update-${java.util.UUID.randomUUID()}", batchId = 0L)
-    log.info(s"txlog DML on $table: v${r.version}, rewrote ${r.removedFiles} files, added ${r.addedFiles}")
-    Seq.empty
-  }
+                           condSql: Option[String]) extends TxDmlCommand {
+  override def op: String = "update"
+  override def exec(s: SparkSession, writerId: String): TxLog.Rewrite =
+    TxLog.update(s, table, condSql.map(F.expr).getOrElse(F.lit(true)),
+      sets.map { case (k, v) => k -> F.expr(v) }.toMap, writerId, batchId = 0L)
 }
 
 case class TxMergeCommand(table: String, source: LogicalPlan,
-                          keys: Seq[String]) extends LeafRunnableCommand {
+                          keys: Seq[String]) extends TxDmlCommand {
+  override def op: String = "merge"
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
-  override def run(s: SparkSession): Seq[Row] = {
-    val src = org.apache.spark.sql.GraftSqlBridge.ofRows(s, source)
-    val r = TxLog.merge(src, table, keys,
-      writerId = s"sql-merge-${java.util.UUID.randomUUID()}", batchId = 0L)
-    log.info(s"txlog DML on $table: v${r.version}, rewrote ${r.removedFiles} files, added ${r.addedFiles}")
-    Seq.empty
-  }
+  override def exec(s: SparkSession, writerId: String): TxLog.Rewrite =
+    TxLog.merge(org.apache.spark.sql.GraftSqlBridge.ofRows(s, source),
+      table, keys, writerId, batchId = 0L)
 }

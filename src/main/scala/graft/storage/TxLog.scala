@@ -61,6 +61,16 @@ object TxLog {
 
   private def manifestName(v: Long): String = f"v$v%020d.json"
 
+  /** Writer-id classes the ENGINE mints with a fresh uuid per operation
+    * (maintenance commands, batch saves, SQL DML statements) — their
+    * tokens can never be replayed by construction, so checkpoints drop
+    * them from absorption instead of accumulating one entry per
+    * statement forever. These prefixes are RESERVED: a user writer id
+    * that needs replay dedup must not start with one. */
+  private[storage] def singleUseWriter(w: String): Boolean =
+    Seq("compact-", "cluster-", "overwrite-", "batch-", "insert-",
+      "sql-delete-", "sql-update-", "sql-merge-").exists(w.startsWith)
+
   private[storage] case class Manifest(version: Long, files: Seq[String],
                               writerId: String, batchId: Long,
                               checkpoint: Boolean,
@@ -919,8 +929,13 @@ object TxLog {
       // per-writer high-water mark (see [[tokenTaken]]) so the list is
       // O(#writers), not O(commits ever): exactly-once replay detection
       // then survives log truncation ([[vacuum]]) — the structural fix
-      // for the O(commits)-per-commit token scan
+      // for the O(commits)-per-commit token scan. SINGLE-USE writers
+      // (uuid-suffixed, never replayed by construction) are dropped
+      // entirely — without this every compact/overwrite/SQL-DML
+      // statement would leave a permanent token entry and the list
+      // would grow with statements, not writers.
       val absorbed = ms.flatMap(m => m.tokens :+ ((m.writerId, m.batchId)))
+        .filterNot { case (w, _) => singleUseWriter(w) }
         .groupBy(_._1).map { case (w, ts) => (w, ts.map(_._2).max) }.toSeq.sorted
       // `removes` on a checkpoint is PROVENANCE, not replay input (the
       // checkpoint resets the read set regardless): overwrite records
@@ -1064,7 +1079,8 @@ object TxLog {
         val cp = ms(i)
         val below = ms.filter(_.version < cp.version)
         def marked(w: String, b: Long) =
-          cp.tokens.exists { case (tw, tb) => tw == w && b <= tb }
+          singleUseWriter(w) || // dropped from absorption by design
+            cp.tokens.exists { case (tw, tb) => tw == w && b <= tb }
         val covered = below.forall(m =>
           marked(m.writerId, m.batchId) &&
             m.tokens.forall { case (w, b) => marked(w, b) })

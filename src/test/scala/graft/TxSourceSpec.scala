@@ -133,6 +133,27 @@ class TxSourceSpec extends AnyFunSuite {
       assert(e.getMessage.contains("txlog SQL DML"), e.getMessage)
       // every statement was one transaction: v2 (base) +3
       assert(TxLog.headVersion(spark, t) == 5L)
+      // guard battery: each rejected loudly with OUR message, not a
+      // cryptic downstream error or a silent misread
+      val guards = Seq(
+        "subquery" -> (() => spark.sql(
+          s"DELETE FROM $name WHERE id IN (SELECT id FROM ${name}_src)")),
+        "duplicate SET" -> (() => spark.sql(
+          s"UPDATE $name SET grp = 'x', grp = 'y' WHERE id = 0")),
+        "same-side ON" -> (() => spark.sql(
+          s"""MERGE INTO $name USING ${name}_src
+              ON $name.id = ${name}_src.id AND $name.grp = $name.grp
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")))
+      for ((clue, run) <- guards) {
+        val g = intercept[Exception](run())
+        assert(g.getMessage.contains("txlog SQL DML"), s"$clue: ${g.getMessage}")
+      }
+      // the single-use writer class keeps checkpoints token-free of DML:
+      // compact + truncate, then the statement tokens are simply gone
+      TxLog.compact(spark, t, targetBytes = 1L << 30)
+      TxLog.vacuum(spark, t, minAgeMs = 0L)
+      assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 292L)
     } finally spark.sql(s"DROP TABLE $name")
   }
 
