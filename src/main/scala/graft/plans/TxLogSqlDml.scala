@@ -158,14 +158,14 @@ private[plans] trait TxDmlCommand extends LeafRunnableCommand {
 case class TxDeleteCommand(table: String, condSql: String) extends TxDmlCommand {
   override def op: String = "delete"
   override def exec(s: SparkSession, writerId: String): TxLog.Rewrite =
-    TxLog.delete(s, table, F.expr(condSql), writerId, batchId = 0L)
+    TxLog.deleteInternal(s, table, F.expr(condSql), writerId, batchId = 0L)
 }
 
 case class TxUpdateCommand(table: String, sets: Seq[(String, String)],
                            condSql: Option[String]) extends TxDmlCommand {
   override def op: String = "update"
   override def exec(s: SparkSession, writerId: String): TxLog.Rewrite =
-    TxLog.update(s, table, condSql.map(F.expr).getOrElse(F.lit(true)),
+    TxLog.updateInternal(s, table, condSql.map(F.expr).getOrElse(F.lit(true)),
       sets.map { case (k, v) => k -> F.expr(v) }.toMap, writerId, batchId = 0L)
 }
 
@@ -174,6 +174,6 @@ case class TxMergeCommand(table: String, source: LogicalPlan,
   override def op: String = "merge"
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def exec(s: SparkSession, writerId: String): TxLog.Rewrite =
-    TxLog.merge(org.apache.spark.sql.GraftSqlBridge.ofRows(s, source),
+    TxLog.mergeInternal(org.apache.spark.sql.GraftSqlBridge.ofRows(s, source),
       table, keys, writerId, batchId = 0L)
 }

@@ -71,6 +71,42 @@ object TxLog {
     Seq("compact-", "cluster-", "overwrite-", "batch-", "insert-",
       "sql-delete-", "sql-update-", "sql-merge-").exists(w.startsWith)
 
+  /** The reserved namespace FAILS LOUDLY at the public entry points: a
+    * user writer id like `batch-nightly` would be silently dropped from
+    * checkpoint token absorption ([[singleUseWriter]]), so after
+    * compaction + vacuum truncation its replays would re-commit and
+    * duplicate data — an invisible weakening of exactly-once. Engine
+    * paths that legitimately mint single-use ids (the data source's
+    * batch/INSERT/SQL-DML writers) call the `private[graft]` variants. */
+  private def guardWriterId(w: String): Unit =
+    require(!singleUseWriter(w),
+      s"writer id '$w' starts with a reserved single-use prefix (compact-/cluster-/" +
+        "overwrite-/batch-/insert-/sql-*-): these ids are dropped from checkpoint " +
+        "token absorption, so replays after vacuum would duplicate data — pick " +
+        "a writer id outside the reserved namespace")
+
+  /** DML predicates must be DETERMINISTIC: delete/update evaluate the
+    * predicate twice (candidate-file narrowing, then the rewrite's
+    * re-filter), and e.g. `rand() < 0.5` can disagree between the two
+    * passes — silently deleting/keeping an inconsistent row set. Same
+    * contract as upstream DML (Delta rejects non-deterministic
+    * conditions). Resolved against a ONE-file scan like [[pruned]];
+    * an unresolvable predicate passes through — the real scan will
+    * surface the analysis error with full context. */
+  private def requireDeterministicPred(s: SparkSession, table: String,
+                                       pred: Column, files: Seq[String],
+                                       ms: Seq[Manifest]): Unit = {
+    val conds =
+      try readFiles(s, table, ms, Seq(files.head)).filter(pred)
+        .queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    require(conds.forall(_.deterministic),
+      s"DML predicate must be deterministic, got: $pred — a non-deterministic " +
+        "predicate can match different rows in the candidate scan and the rewrite")
+  }
+
   private[storage] case class Manifest(version: Long, files: Seq[String],
                               writerId: String, batchId: Long,
                               checkpoint: Boolean,
@@ -270,6 +306,18 @@ object TxLog {
   def headVersion(s: SparkSession, table: String): Long =
     manifests(s, table).lastOption.map(_.version).getOrElse(-1L)
 
+  /** The table's READABLE schema: the live snapshot's, or — for a table
+    * whose live set is empty (brand-new via DDL, or emptied by a
+    * delete-all) — the manifest-recorded DDL, which is still knowable
+    * from the log alone. None only when the log carries neither. */
+  def tableSchema(s: SparkSession, table: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
+    if (files.nonEmpty) Some(readFiles(s, table, ms, files).schema)
+    else tableSchemaFrom(ms)
+  }
+
   /** [[headVersion]] from the LISTING alone — no manifest is opened or
     * parsed, so a streaming source's idle poll (`getOffset` every
     * trigger) costs one directory listing, not O(log) small-file reads.
@@ -462,6 +510,15 @@ object TxLog {
     * version, or -1 if the token had already committed. */
   def commit(df: DataFrame, table: String, writerId: String,
              batchId: Long, maxRetries: Int = 20): Long = {
+    guardWriterId(writerId)
+    commitInternal(df, table, writerId, batchId, maxRetries)
+  }
+
+  /** [[commit]] minus the reserved-prefix guard — for ENGINE callers
+    * (the data source's batch/INSERT/streaming writers) that mint
+    * single-use or stream-derived ids by construction. */
+  private[graft] def commitInternal(df: DataFrame, table: String, writerId: String,
+                                    batchId: Long, maxRetries: Int = 20): Long = {
     val s = df.sparkSession
     // pre-flight token check saves the data write on a clean replay;
     // the AUTHORITATIVE check is inside commitManifest's single-listing
@@ -685,11 +742,19 @@ object TxLog {
   def delete(s: SparkSession, table: String, pred: Column,
              writerId: String, batchId: Long,
              beforeCommit: () => Unit = () => ()): Rewrite = {
+    guardWriterId(writerId)
+    deleteInternal(s, table, pred, writerId, batchId, beforeCommit)
+  }
+
+  private[graft] def deleteInternal(s: SparkSession, table: String, pred: Column,
+                                    writerId: String, batchId: Long,
+                                    beforeCommit: () => Unit = () => ()): Rewrite = {
     val ms = manifests(s, table)
     if (tokenTaken(ms, writerId, batchId)) return Rewrite(-1L, 0, 0)
     val head = ms.lastOption.map(_.version).getOrElse(-1L)
     val files = liveFiles(ms)
     if (files.isEmpty) return Rewrite(head, 0, 0)
+    requireDeterministicPred(s, table, pred, files, ms)
     val touched = matchingFiles(s, table, pred,
       pruned(s, table, pred, files, liveStats(ms), ms), ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
@@ -705,11 +770,20 @@ object TxLog {
   def update(s: SparkSession, table: String, pred: Column, set: Map[String, Column],
              writerId: String, batchId: Long,
              beforeCommit: () => Unit = () => ()): Rewrite = {
+    guardWriterId(writerId)
+    updateInternal(s, table, pred, set, writerId, batchId, beforeCommit)
+  }
+
+  private[graft] def updateInternal(s: SparkSession, table: String, pred: Column,
+                                    set: Map[String, Column],
+                                    writerId: String, batchId: Long,
+                                    beforeCommit: () => Unit = () => ()): Rewrite = {
     val ms = manifests(s, table)
     if (tokenTaken(ms, writerId, batchId)) return Rewrite(-1L, 0, 0)
     val head = ms.lastOption.map(_.version).getOrElse(-1L)
     val files = liveFiles(ms)
     if (files.isEmpty) return Rewrite(head, 0, 0)
+    requireDeterministicPred(s, table, pred, files, ms)
     val touched = matchingFiles(s, table, pred,
       pruned(s, table, pred, files, liveStats(ms), ms), ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
@@ -744,14 +818,34 @@ object TxLog {
   def merge(source: DataFrame, table: String, keys: Seq[String],
             writerId: String, batchId: Long,
             beforeCommit: () => Unit = () => ()): Rewrite = {
+    guardWriterId(writerId)
+    mergeInternal(source, table, keys, writerId, batchId, beforeCommit)
+  }
+
+  private[graft] def mergeInternal(source: DataFrame, table: String, keys: Seq[String],
+                                   writerId: String, batchId: Long,
+                                   beforeCommit: () => Unit = () => ()): Rewrite = {
     val s = source.sparkSession
     require(keys.nonEmpty, "merge needs at least one key column")
     val ms = manifests(s, table)
     if (tokenTaken(ms, writerId, batchId)) return Rewrite(-1L, 0, 0)
     val head = ms.lastOption.map(_.version).getOrElse(-1L)
     val files = liveFiles(ms)
-    if (files.isEmpty) // empty table: the merge is an append, still serialized at `head`
-      return commitRewrite(s, table, source, Seq.empty, head, writerId, batchId, beforeCommit)
+    if (files.isEmpty) {
+      // empty table: the merge is an append, still serialized at `head` —
+      // but a RECORDED schema (an emptied table, or a schema-only log)
+      // still binds: a mis-shaped source must not silently (re)define the
+      // table schema past the evolution guard appends get
+      val out = tableSchemaFrom(ms) match {
+        case Some(sch) =>
+          require(source.columns.toSet == sch.fieldNames.toSet,
+            s"merge source columns ${source.columns.toSet} != table columns ${sch.fieldNames.toSet}")
+          mergedSchema(sch, source.schema) // loud on type change / NOT-NULL drop
+          source.select(sch.fieldNames.toSeq.map(col): _*)
+        case None => source // schema-defining first write, like a first append
+      }
+      return commitRewrite(s, table, out, Seq.empty, head, writerId, batchId, beforeCommit)
+    }
     val targetCols = tableSchemaFrom(ms).map(_.fieldNames.toSeq)
       .getOrElse(s.read.parquet(absPath(table)(files.head)).columns.toSeq)
     require(source.columns.toSet == targetCols.toSet,
@@ -828,7 +922,14 @@ object TxLog {
     // plain append and the source may be arbitrarily large.
     val sized =
       if (removes.isEmpty) newRows else newRows.repartition(removes.size)
-    val (rel, stats) = stageWrite(s, root, sized)
+    val (relAll, statsAll) = stageWrite(s, root, sized)
+    // zero-row outputs (a delete that empties its file) are dropped from
+    // the manifest — publishing them would accumulate empty parquet files
+    // in the live set forever; the staged bytes become vacuum garbage and
+    // the schema survives in the manifest's recorded DDL regardless
+    val nonEmpty = statsAll.filter(_.rows > 0).map(_.file).toSet
+    val rel = relAll.filter(nonEmpty)
+    val stats = statsAll.filter(st => nonEmpty(st.file))
     beforeCommit()
     val msNow = manifests(s, table) // ONE listing: token + head together
     if (tokenTaken(msNow, writerId, batchId)) return Rewrite(-1L, 0, 0)

@@ -62,15 +62,15 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     val exists = TxLog.headVersion(data.sparkSession, t) >= 0L
     mode match {
       case SaveMode.Append =>
-        TxLog.commit(data, t, writerId = s"batch-${java.util.UUID.randomUUID()}", batchId = 0L)
+        TxLog.commitInternal(data, t, writerId = s"batch-${java.util.UUID.randomUUID()}", batchId = 0L)
       case SaveMode.Overwrite =>
         TxLog.overwrite(data, t)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(s"txlog table $t already exists")
-        TxLog.commit(data, t, writerId = s"batch-${java.util.UUID.randomUUID()}", batchId = 0L)
+        TxLog.commitInternal(data, t, writerId = s"batch-${java.util.UUID.randomUUID()}", batchId = 0L)
       case SaveMode.Ignore =>
         if (!exists)
-          TxLog.commit(data, t, writerId = s"batch-${java.util.UUID.randomUUID()}", batchId = 0L)
+          TxLog.commitInternal(data, t, writerId = s"batch-${java.util.UUID.randomUUID()}", batchId = 0L)
     }
     new TxLogRelation(t)(sqlContext)
   }
@@ -80,7 +80,7 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
       : (String, StructType) = {
     val t = tablePath(parameters)
     val sch = schema.orElse(
-      TxLog.snapshot(sqlContext.sparkSession, t).map(_.schema)).getOrElse(
+      TxLog.tableSchema(sqlContext.sparkSession, t)).getOrElse(
       throw new IllegalArgumentException(
         s"txlog stream source: table $t is empty — pass an explicit schema to start tailing"))
     (shortName(), sch)
@@ -103,13 +103,23 @@ class TxLogSource extends RelationProvider with CreatableRelationProvider
     // The checkpoint location IS the query's durable identity (same
     // checkpoint = same epoch sequence = same dedup namespace; a fresh
     // checkpoint restarts epochs at 0 and gets a fresh namespace).
+    // Fallback chain for the identity: explicit writerId > writer-option
+    // checkpointLocation > the session-default checkpoint root + the
+    // query's NAME (root/<name> is the query's durable resolved path; an
+    // UNNAMED query under a session root gets a fresh random subdir per
+    // start, so its checkpoint is not a durable identity — still loud).
+    val cpPath = parameters.get("checkpointLocation").orElse(
+      sqlContext.sparkSession.conf.getOption("spark.sql.streaming.checkpointLocation")
+        .flatMap(root => parameters.get("queryName").map(n => s"$root/$n")))
     val writerId = parameters.get("writerId").orElse(
-      parameters.get("checkpointLocation").map { cp =>
+      cpPath.map { cp =>
         val h = java.security.MessageDigest.getInstance("SHA-256")
           .digest(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         "txlog-stream-" + h.take(8).map("%02x".format(_)).mkString
       }).getOrElse(throw new IllegalArgumentException(
-        "txlog sink needs a checkpointLocation (or explicit writerId) for exactly-once identity"))
+        "txlog sink needs a durable exactly-once identity: set the " +
+          "checkpointLocation writer option (or an explicit writerId option, or a " +
+          "queryName when using the session-default checkpoint root)"))
     new TxLogSink(tablePath(parameters), writerId)
   }
 }
@@ -121,8 +131,11 @@ class TxLogRelation(val table: String)(@transient val sqlContext: SQLContext)
 
   private def spark = sqlContext.sparkSession
 
+  // empty live set ≠ unknowable: a brand-new CREATE TABLE USING txlog or
+  // an emptied (delete-all) table still has the manifest-recorded DDL —
+  // read it and serve an empty relation instead of throwing
   override val schema: StructType =
-    TxLog.snapshot(spark, table).map(_.schema).getOrElse(
+    TxLog.tableSchema(spark, table).getOrElse(
       throw new IllegalArgumentException(
         s"txlog table $table is empty or absent — schema unknowable"))
 
@@ -148,7 +161,7 @@ class TxLogRelation(val table: String)(@transient val sqlContext: SQLContext)
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
     if (overwrite) TxLog.overwrite(data, table)
     else {
-      TxLog.commit(data, table,
+      TxLog.commitInternal(data, table,
         writerId = s"insert-${java.util.UUID.randomUUID()}", batchId = 0L)
       ()
     }

@@ -36,6 +36,78 @@ class TxLogSpec extends AnyFunSuite {
     assert(snap.agg(sum($"id")).first().getLong(0) == (0 until 25).sum.toLong)
   }
 
+  test("reserved single-use writer prefixes are rejected at the public entry points") {
+    // a user id like 'batch-nightly' would be silently dropped from
+    // checkpoint token absorption → replays after vacuum re-commit and
+    // duplicate (r11 ADVICE) — the namespace must fail loudly instead
+    val t = freshTable()
+    TxLog.commit(batch(0 until 5), t, "w", 0L)
+    for (bad <- Seq("batch-nightly", "insert-x", "compact-me", "sql-delete-job")) {
+      val e = intercept[IllegalArgumentException] {
+        TxLog.commit(batch(0 until 5), t, bad, 1L)
+      }
+      assert(e.getMessage.contains("reserved"), s"$bad: ${e.getMessage}")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.delete(spark, t, $"id" === 0L, "overwrite-now", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, t, $"id" === 0L, Map("payload" -> lit("x")), "cluster-z", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.merge(batch(0 until 1), t, Seq("id"), "batch-m", 0L)
+    }
+    // the engine's own single-use paths (format writer, SQL DML) still work
+    batch(5 until 8).write.format("txlog").mode("append").save(t)
+    assert(TxLog.snapshot(spark, t).get.count() == 8)
+  }
+
+  test("non-deterministic DML predicates are rejected loudly (two-pass evaluation could diverge)") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 20), t, "w", 0L)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.delete(spark, t, rand() < 0.5, "d", 0L)
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, t, rand(42) < lit(0.5), Map("payload" -> lit("x")), "u", 0L)
+    }
+    assert(TxLog.snapshot(spark, t).get.count() == 20, "rejected DML mutated the table")
+    // deterministic predicates still pass through unchanged
+    assert(TxLog.delete(spark, t, $"id" < 5L, "d", 1L).version == 1L)
+    assert(TxLog.snapshot(spark, t).get.count() == 15)
+  }
+
+  test("merge into an EMPTIED table still validates against the recorded schema") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 10), t, "w", 0L)
+    TxLog.delete(spark, t, lit(true), "d", 0L) // live set now empty, schema recorded
+    // mis-shaped source: must be loud, not a silent schema redefinition
+    val bad = Seq((1L, 2L)).toDF("id", "other")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.merge(bad, t, Seq("id"), "m", 0L)
+    }
+    assert(e.getMessage.contains("columns"), e.getMessage)
+    // right-shaped source (any column order) appends under the recorded schema
+    val ok = Seq(("p-1", 1L)).toDF("payload", "id")
+    TxLog.merge(ok, t, Seq("id"), "m", 1L)
+    val snap = TxLog.snapshot(spark, t).get
+    assert(snap.columns.toSeq == Seq("id", "payload"), "column order not table order")
+    assert(snap.count() == 1)
+  }
+
+  test("empty-but-known tables: tableSchema reads the manifest DDL; the source serves an empty relation") {
+    val t = freshTable()
+    TxLog.commit(batch(0 until 10), t, "w", 0L)
+    TxLog.delete(spark, t, lit(true), "d", 0L)
+    assert(TxLog.snapshot(spark, t).isEmpty, "live set should be empty")
+    val sch = TxLog.tableSchema(spark, t)
+    assert(sch.map(_.fieldNames.toSeq).contains(Seq("id", "payload")))
+    val df = spark.read.format("txlog").load(t)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "payload"))
+    assert(df.count() == 0L)
+  }
+
   test("data files without a manifest are invisible — the FileOutputCommitter window closed") {
     val t = freshTable()
     TxLog.commit(batch(0 until 10), t, "w", 0L)
