@@ -24,9 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // unknown node
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
-    // SQL row-level DML (DELETE/UPDATE/MERGE) on txlog catalog tables —
-    // must run at RESOLUTION so the v1-relation rejection never fires
-    e.injectResolutionRule(s => graft.plans.TxLogSqlDml(s))
+    // SQL row-level DML on txlog tables needs no injection since r12:
+    // the txlog source is DataSource V2 with SupportsRowLevelOperations,
+    // so Spark's own DELETE/UPDATE/MERGE planning applies natively
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_product"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

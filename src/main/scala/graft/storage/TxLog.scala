@@ -146,7 +146,10 @@ object TxLog {
           s"""{"c": ${q(c.col)}, "t": ${q(c.tag)}, "h": ${q(if (c.has) "1" else "0")}, """ +
             s""""min": ${q(c.min)}, "max": ${q(c.max)}, "n": ${c.nulls}}"""
         }.mkString(", ")
-        s"""{"f": ${q(fst.file)}, "rows": ${fst.rows}, "cols": [$cols]}"""
+        // bytes is OPTIONAL (omitted when unknown) so pre-feature
+        // manifests and their parses keep the exact old shape
+        val bytes = if (fst.bytes > 0L) s""", "bytes": ${fst.bytes}""" else ""
+        s"""{"f": ${q(fst.file)}, "rows": ${fst.rows}$bytes, "cols": [$cols]}"""
       }.mkString(", ") + "]"
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, """ +
@@ -257,8 +260,11 @@ object TxLog {
           if (s(i) == '{') {
             val (fn, i1) = scanString(keyFrom("f", i))
             val (rows, i2) = longAt(keyFrom("rows", i1))
-            val (cols, i3) = parseCols(i2)
-            out += FileStats(fn, rows, cols)
+            val (bytes, i2b) =
+              if (s.startsWith(", \"bytes\": ", i2)) longAt(i2 + 11)
+              else (0L, i2)
+            val (cols, i3) = parseCols(i2b)
+            out += FileStats(fn, rows, cols, bytes)
             i = i3 // just past the cols ']', at the file object's '}'
           } else i += 1
         }
@@ -376,7 +382,7 @@ object TxLog {
     * DML-removed files linger in the map but are never consulted:
     * pruning looks up stats only for names in the live list, and a
     * removed uuid path is never re-added. */
-  private def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] =
+  private[storage] def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] =
     fromCheckpoint(ms).flatMap(_.stats).map(st => st.file -> st).toMap
 
   // ------------------------------------------------------------------
@@ -388,7 +394,7 @@ object TxLog {
     * checkpoint manifests their verbatim output schema). None on
     * legacy logs — readers fall back to parquet inference, exactly the
     * pre-evolution behavior. */
-  private def tableSchemaFrom(ms: Seq[Manifest])
+  private[storage] def tableSchemaFrom(ms: Seq[Manifest])
       : Option[org.apache.spark.sql.types.StructType] =
     ms.reverse.collectFirst { case m if m.schema.isDefined => m.schema.get }
       .map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -429,7 +435,7 @@ object TxLog {
     * matches columns BY NAME, so files from before an evolution
     * null-backfill the added columns); legacy logs infer. Applying the
     * schema also skips inference — no footer read at plan time. */
-  private def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
+  private[storage] def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
                         files: Seq[String]): DataFrame = {
     val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
     rd.parquet(files.map(absPath(table)): _*)
@@ -484,7 +490,7 @@ object TxLog {
     * predicate that fails to resolve even there keeps every file (the
     * real scan will surface the error). No data I/O happens here (the
     * plan is never executed). */
-  private def pruned(s: SparkSession, table: String,
+  private[storage] def pruned(s: SparkSession, table: String,
                      pred: org.apache.spark.sql.Column, files: Seq[String],
                      stats: Map[String, TxStats.FileStats],
                      ms: Seq[Manifest]): Seq[String] = {
@@ -562,6 +568,40 @@ object TxLog {
     // zone maps: footer-only stats of the just-written files ride in the
     // manifest, so scanWhere prunes from the log alone (TxStats doc)
     (rel, TxStats.collect(s, root, rel))
+  }
+
+  /** Publish files ALREADY STAGED by a distributed writer (the V2
+    * source's executor-side data writers) as one append transaction —
+    * [[commit]]'s manifest half without the driver-side data write.
+    * Same evolution and token semantics; a failed evolution check
+    * leaves the staged files as vacuum garbage, exactly like a crash
+    * between data write and publish. */
+  private[graft] def commitStaged(s: SparkSession, table: String,
+                                  rel: Seq[String], stats: Seq[TxStats.FileStats],
+                                  writerId: String, batchId: Long,
+                                  incoming: org.apache.spark.sql.types.StructType,
+                                  maxRetries: Int = 20): Long = {
+    val ms0 = manifests(s, table)
+    if (tokenTaken(ms0, writerId, batchId)) return -1L
+    val legacyExisting =
+      if (tableSchemaFrom(ms0).isEmpty)
+        liveFiles(ms0).headOption.map(h => s.read.parquet(absPath(table)(h)).schema)
+      else None
+    commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
+      maxRetries, incoming = Some(incoming), legacyExisting = legacyExisting)
+  }
+
+  /** Publish already-staged files as an atomic table REPLACEMENT
+    * (checkpoint manifest) — [[overwrite]] without the driver-side
+    * data write. */
+  private[graft] def overwriteStaged(s: SparkSession, table: String,
+                                     rel: Seq[String], stats: Seq[TxStats.FileStats],
+                                     schemaDdl: String): Long = {
+    val ms = manifests(s, table)
+    commitCheckpoint(s, table, rel, stats,
+      writerId = s"overwrite-${java.util.UUID.randomUUID()}",
+      expectedHead = ms.lastOption.map(_.version).getOrElse(-1L),
+      schemaDdl = Some(schemaDdl), removes = liveFiles(ms))
   }
 
   /** Stage a manifest and publish it into the next free version slot.
@@ -923,14 +963,29 @@ object TxLog {
     val sized =
       if (removes.isEmpty) newRows else newRows.repartition(removes.size)
     val (relAll, statsAll) = stageWrite(s, root, sized)
-    // zero-row outputs (a delete that empties its file) are dropped from
-    // the manifest — publishing them would accumulate empty parquet files
-    // in the live set forever; the staged bytes become vacuum garbage and
-    // the schema survives in the manifest's recorded DDL regardless
+    beforeCommit()
+    publishRewrite(s, table, relAll, statsAll, removes, expectedHead,
+      writerId, batchId, newRows.schema.toDDL)
+  }
+
+  /** Publish an already-staged row-level rewrite: {files = `relAll`
+    * minus zero-row outputs, removes} at EXACTLY `expectedHead + 1` —
+    * the serializable-commit tail shared by the library DML and the V2
+    * source's ReplaceData write. Zero-row outputs (a delete that
+    * empties its file) are dropped from the manifest — publishing them
+    * would accumulate empty parquet files in the live set forever; the
+    * staged bytes become vacuum garbage and the schema survives in the
+    * manifest's recorded DDL regardless. */
+  private[graft] def publishRewrite(s: SparkSession, table: String,
+                                    relAll: Seq[String], statsAll: Seq[TxStats.FileStats],
+                                    removes: Seq[String], expectedHead: Long,
+                                    writerId: String, batchId: Long,
+                                    schemaDdl: String): Rewrite = {
+    val root = new Path(table)
+    val f = fs(s, root)
     val nonEmpty = statsAll.filter(_.rows > 0).map(_.file).toSet
     val rel = relAll.filter(nonEmpty)
     val stats = statsAll.filter(st => nonEmpty(st.file))
-    beforeCommit()
     val msNow = manifests(s, table) // ONE listing: token + head together
     if (tokenTaken(msNow, writerId, batchId)) return Rewrite(-1L, 0, 0)
     def conflict = new java.util.ConcurrentModificationException(
@@ -944,7 +999,7 @@ object TxLog {
         // a rewrite reads through the table schema, so its output IS the
         // table schema — recorded verbatim (keeps evolved reads O(0
         // inference) after DML)
-        schema = Some(newRows.schema.toDDL)))
+        schema = Some(schemaDdl)))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (!putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) throw conflict
     Rewrite(v, removes.size, rel.size)

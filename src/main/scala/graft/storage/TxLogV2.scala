@@ -1,0 +1,597 @@
+package graft.storage
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.{GraftParquetIO, OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** The `txlog` DataSource V2 — [[TxLog]] tables through Spark's
+  * connector API, replacing the DSv1 seam (whose `RDD[Row]` bridge
+  * forwent vectorized scans; the documented r11 cost note):
+  *
+  * {{{
+  *   df.write.format("txlog").mode("append").save(path)       // one txn
+  *   spark.read.format("txlog").load(path)                     // snapshot
+  *   spark.sql(s"CREATE TABLE t USING txlog OPTIONS (path '$p')")
+  *   spark.sql("SELECT ... FROM t WHERE ...")                  // pruned scan
+  *   spark.sql("DELETE FROM t WHERE ...")                      // native V2 DML
+  *   spark.readStream/writeStream.format("txlog")...           // exactly-once
+  * }}}
+  *
+  * Read path: [[TxLogScanBuilder]] receives Spark's pushed Filters and
+  * required columns; the Filters drive MANIFEST zone-map file skipping
+  * ([[TxStats]]) before any data file opens, every filter stays
+  * residual (Spark re-applies — pruning can only drop provably-dead
+  * I/O), and execution hands the pruned file list to Spark's OWN
+  * vectorized parquet reader factory ([[GraftParquetIO.readerFactory]])
+  * — ColumnarBatch into whole-stage codegen, parquet row-group
+  * skipping, native split sizing. At 100 TB the scan plan is built
+  * from O(live-files) log metadata: no directory listing, no footer
+  * reads (file sizes ride in the manifest), and a selective predicate
+  * on a clustered table schedules a handful of splits.
+  *
+  * Write path: executor-side parquet writers stage into an invisible
+  * `data/<uuid>/` directory; the driver commit publishes ONE manifest
+  * (append or atomic overwrite-checkpoint) — [[TxLog]]'s protocol with
+  * the data write distributed instead of driver-orchestrated. The
+  * streaming sink keys each epoch's manifest with a (writerId, epochId)
+  * idempotence token — the writer id derives from the streaming query's
+  * STABLE id (checkpoint-persisted), so at-least-once epoch replays
+  * are no-ops iff the original published: exactly-once contents.
+  *
+  * Row-level DML: [[SupportsRowLevelOperations]] with group-based
+  * copy-on-write — Spark itself plans DELETE/UPDATE/MERGE (any
+  * condition shape, multiple actions, subqueries) into a ReplaceData
+  * of the affected groups; groups are FILES, narrowed by Spark's
+  * runtime group filtering over the `_file` metadata column
+  * ([[SupportsRuntimeV2Filtering]]), and the commit publishes
+  * {removes = scanned files, files = rewritten} serializably at the
+  * exact snapshot head the operation read ([[TxLog.publishRewrite]]).
+  * This retires the injected SQL-resolution rule (r11's
+  * `plans/TxLogSqlDml`) and its equi-key-only MERGE restriction. */
+class TxLogV2Source extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "txlog"
+
+  /** The df-writer and explicit-schema readStream paths hand us the
+    * query's schema instead of forcing inference — required for the
+    * FIRST write to a brand-new table (nothing to infer yet). */
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def tablePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("txlog source needs a 'path' option"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TxLog.tableSchema(SparkSession.active, tablePath(options)).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog table ${tablePath(options)} is empty or absent — schema unknowable " +
+          "(pass an explicit schema, or write to it first)"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty))
+  }
+}
+
+object TxLogV2 {
+  /** The `_file` metadata column: the manifest-relative data file path
+    * of each row — the GROUP identity Spark's row-level runtime
+    * filtering narrows rewrites with. Served as a constant-per-file
+    * partition-value vector (zero per-row cost). */
+  val FileCol = "_file"
+  val FileField: StructField = StructField(FileCol, StringType, nullable = false)
+
+  /** (kept, total) of the most recent batch planInputPartitions on this
+    * JVM — the spec/bench observable for real file skipping through the
+    * opaque V2 seam (the DSv1 `TxLogRelation.lastPrune` contract). */
+  val lastPrune = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** File length for split planning: manifest `bytes` when recorded
+    * (zero-I/O), getFileStatus for legacy manifests. */
+  private[storage] def fileBytes(spark: SparkSession, table: String, rel: String,
+                                 stats: Map[String, TxStats.FileStats]): Long =
+    stats.get(rel).map(_.bytes).filter(_ > 0L).getOrElse {
+      val p = new Path(new Path(table), rel)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    }
+}
+
+object TxLogFileColumn extends MetadataColumn {
+  override def name: String = TxLogV2.FileCol
+  override def dataType: org.apache.spark.sql.types.DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment: String = "manifest-relative data file path of the row"
+}
+
+case class TxLogTable(table: String, givenSchema: Option[StructType]) extends Table
+    with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with SupportsRowLevelOperations {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = table
+
+  override lazy val schema: StructType =
+    givenSchema.orElse(TxLog.tableSchema(spark, table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"txlog table $table is empty or absent — schema unknowable"))
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    import TableCapability._
+    Set(BATCH_READ, BATCH_WRITE, TRUNCATE, MICRO_BATCH_READ, STREAMING_WRITE).asJava
+  }
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(TxLogFileColumn)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxLogScanBuilder(spark, table, schema, op = None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TxLogWriteBuilder(table, info)
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
+      : RowLevelOperationBuilder =
+    () => new TxLogRowLevelOperation(table, schema, info.command)
+}
+
+/** Pushdown seam: records Spark's Filters (used ONLY to skip files and
+  * row groups — all stay residual, Spark re-applies) and the pruned
+  * column set. */
+class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructType,
+                       op: Option[TxLogRowLevelOperation])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // ALL residual: we only skip provably-dead I/O, never rows
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new TxLogScan(spark, table, tableSchema, required, pushed, op)
+}
+
+/** One snapshot scan: the manifests are listed ONCE at build, the zone
+  * maps prune the file list (not for row-level-op scans — see filter
+  * soundness note in the class body), and execution reuses Spark's own
+  * parquet reader machinery. */
+class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
+                required: StructType, pushed: Array[Filter],
+                op: Option[TxLogRowLevelOperation])
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
+
+  import TxLogV2._
+
+  private val ms = TxLog.manifests(spark, table)
+  private val allFiles = TxLog.liveFiles(ms)
+  private val stats = TxLog.liveStats(ms)
+  op.foreach(_.headAtScan = ms.lastOption.map(_.version).getOrElse(-1L))
+
+  /** Zone-map static pruning — SKIPPED for row-level-op scans: a
+    * DELETE's rewritten query pushes the KEPT-rows predicate
+    * (NOT cond), and file-pruning with it would drop a file whose rows
+    * ALL match cond from the scan — the file would never be read, never
+    * listed in `removes`, and its rows would silently survive the
+    * delete. Row-group skipping inside a scanned file stays sound
+    * (the file is still removed; unread rows are exactly the deleted
+    * ones), so the filters still flow to the reader factory. Op scans
+    * are narrowed by Spark's runtime `_file` group filtering instead. */
+  @volatile private var files: Seq[String] =
+    if (op.isDefined) allFiles
+    else {
+      val ps = pushed.toSeq.map(TxStats.fromSourceFilter)
+      allFiles.filter(f => stats.get(f).forall(st => ps.forall(TxStats.mayMatch(_, st))))
+    }
+
+  private val wantsFile = required.fieldNames.contains(FileCol)
+  private val readDataSchema = StructType(required.fields.filterNot(_.name == FileCol))
+  private val partitionSchema =
+    if (wantsFile) StructType(Seq(FileField)) else StructType(Nil)
+
+  override def readSchema(): StructType =
+    if (wantsFile) StructType(readDataSchema.fields :+ FileField) else readDataSchema
+
+  // ---- runtime group filtering (row-level DML narrows to matched files).
+  // Advertised ONLY when the scan actually outputs _file: generic DPP
+  // rules resolve filterAttributes against the scan output and error on
+  // a column that is not there.
+  override def filterAttributes(): Array[NamedReference] =
+    if (wantsFile) Array(Expressions.column(FileCol)) else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keepSets = predicates.toSeq.flatMap(inFileSet)
+    if (keepSets.nonEmpty)
+      files = files.filter(f => keepSets.forall(_.contains(f)))
+  }
+
+  /** Extract the file set of an `IN(_file, ...)` / `=(_file, v)` runtime
+    * predicate; None for anything else (no narrowing — conservative). */
+  private def inFileSet(p: Predicate): Option[Set[String]] = {
+    def refIsFile(e: org.apache.spark.sql.connector.expressions.Expression) = e match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq(FileCol)
+      case _ => false
+    }
+    def strOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.dataType == StringType => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    val kids = p.children()
+    p.name match {
+      case "IN" if kids.nonEmpty && refIsFile(kids.head) =>
+        val vs = kids.tail.toSeq.map(strOf)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.toSet) else None
+      case "=" if kids.length == 2 && refIsFile(kids.head) =>
+        strOf(kids(1)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  // ---- batch execution
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    TxLogV2.lastPrune.set((files.size, allFiles.size))
+    op.foreach(_.scannedFiles = files)
+    val pfs = files.map { rel =>
+      val pv =
+        if (wantsFile) InternalRow(UTF8String.fromString(rel)) else InternalRow.empty
+      GraftParquetIO.partitionedFile(TxLog.absPath(table)(rel),
+        fileBytes(spark, table, rel, stats), pv)
+    }
+    GraftParquetIO.filePartitions(spark, pfs)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
+      partitionSchema, pushed)
+
+  // ---- stream execution (version-offset tail; see TxLogMicroBatchStream)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TxLogMicroBatchStream(spark, table, tableSchema, readDataSchema)
+
+  /** Real statistics from the manifest (post static pruning), so the
+    * optimizer can broadcast a small txlog table instead of defaulting
+    * to "unknown = huge". */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = files.map(f => fileBytes(spark, table, f, stats)).sum
+    private val rows = files.flatMap(stats.get).map(_.rows).sum
+    override def sizeInBytes() = java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows() =
+      if (files.forall(stats.contains)) java.util.OptionalLong.of(rows)
+      else java.util.OptionalLong.empty()
+  }
+
+  override def description(): String =
+    s"txlog $table PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${readSchema().catalogString}"
+}
+
+/** Streaming SOURCE: tail the manifest log as an unbounded append
+  * stream — offsets are log VERSIONS (exact, restart-safe), the first
+  * batch is the table snapshot as of the start offset, maintenance
+  * checkpoints are transparent, and non-append history (DML/overwrite
+  * in the tail range, vacuumed versions) fails LOUDLY rather than
+  * silently dropping or duplicating rows. Port of the DSv1
+  * `TxLogStreamSource` semantics onto the V2 seam. */
+class TxLogMicroBatchStream(spark: SparkSession, table: String,
+                            tableSchema: StructType, readDataSchema: StructType)
+    extends MicroBatchStream {
+
+  private case class V(v: Long) extends Offset { override def json: String = v.toString }
+  private def versionOf(o: Offset): Long = o match {
+    case V(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def initialOffset(): Offset = V(-1L)
+  override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Name-only head probe: the idle poll costs one listing, zero reads. */
+  override def latestOffset(): Offset = V(TxLog.headVersionByName(spark, table))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = versionOf(start); val to = versionOf(end)
+    val ms = TxLog.manifests(spark, table)
+    def vacuumedError(what: String): Nothing =
+      throw new IllegalStateException(
+        s"$what of $table was vacuumed before this stream read it — " +
+          "raise the vacuum retention above the stream's lag")
+    val files: Seq[String] =
+      if (from < 0L) {
+        // initial snapshot as of `to`. Log truncation is all-or-nothing
+        // below the newest checkpoint, so the prefix ≤ to is complete iff
+        // it still reaches a checkpoint or version 0
+        val past = ms.filter(_.version <= to)
+        if (past.isEmpty || !(past.exists(_.checkpoint) || past.head.version == 0L))
+          vacuumedError(s"the initial snapshot (≤ v$to)")
+        TxLog.liveFiles(past)
+      } else {
+        val range = ms.filter(m => m.version > from && m.version <= to)
+        val have = range.map(_.version).toSet
+        val missing = ((from + 1) to to).filterNot(have)
+        if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
+        range.find(m => m.removes.nonEmpty ||
+            (m.checkpoint && m.writerId.startsWith("overwrite-"))).foreach { m =>
+          // overwrite detected STRUCTURALLY by its writer-id class — this
+          // library is the format's only writer — so even an overwrite of
+          // an empty table (removes = ∅) stays loud
+          throw new IllegalStateException(
+            s"txlog stream source is append-only, but v${m.version} of $table " +
+              (if (m.checkpoint) "OVERWROTE the table" else "rewrote rows (DML)") +
+              " — tail from a fresh start or keep the streamed table append-only")
+        }
+        val rel = range.filterNot(_.checkpoint).flatMap(_.files)
+        // a lagging tail's files can be compacted away and data-vacuumed
+        // while their manifests survive — turn the eventual FileNotFound
+        // into retention guidance (cheap: incremental ranges are small)
+        val root = new Path(table)
+        val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        rel.find(r => !f.exists(new Path(root, r)))
+          .foreach(r => vacuumedError(s"data file $r"))
+        rel
+      }
+    val stats = TxLog.liveStats(ms)
+    val pfs = files.map { rel =>
+      GraftParquetIO.partitionedFile(TxLog.absPath(table)(rel),
+        TxLogV2.fileBytes(spark, table, rel, stats), InternalRow.empty)
+    }
+    GraftParquetIO.filePartitions(spark, pfs)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
+      StructType(Nil), Array.empty)
+}
+
+// ----------------------------------------------------------------------
+// write path
+// ----------------------------------------------------------------------
+
+class TxLogWriteBuilder(table: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new TxLogWrite(table, info, overwrite)
+}
+
+class TxLogWrite(table: String, info: LogicalWriteInfo, overwrite: Boolean)
+    extends Write {
+  override def toBatch: BatchWrite =
+    new TxLogBatchWrite(table, info.schema(), overwrite)
+
+  override def toStreaming: StreamingWrite = {
+    require(!overwrite,
+      "txlog streaming sink supports Append output mode only")
+    // writer identity must be PER QUERY and DURABLE across restarts: the
+    // streaming query's id is minted once and persisted in the checkpoint
+    // metadata — same checkpoint = same id = same epoch token namespace;
+    // a fresh checkpoint = fresh id = fresh namespace. An explicit
+    // writerId option still overrides (pipeline-controlled identity).
+    val writerId = Option(info.options.get("writerId"))
+      .getOrElse("txlog-stream-q-" + info.queryId())
+    new TxLogStreamingWrite(table, info.schema(), writerId)
+  }
+}
+
+/** One batch write = one transaction: executors stage parquet into an
+  * invisible uuid dir, the driver publishes the manifest (append) or
+  * the overwrite checkpoint. Abort leaves only vacuum-collectable
+  * garbage — the commit point is the manifest put, nothing else. */
+class TxLogBatchWrite(table: String, schema: StructType, overwrite: Boolean)
+    extends BatchWrite {
+  private val spark = SparkSession.active
+  private val uuid = UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    TxLogWriterFactory.create(spark, table, uuid, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
+    val stats = TxStats.collect(spark, new Path(table), rel)
+    if (overwrite) TxLog.overwriteStaged(spark, table, rel, stats, schema.toDDL)
+    else TxLog.commitStaged(spark, table, rel, stats,
+      writerId = s"batch-$uuid", batchId = 0L, incoming = schema)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TxLogWriterFactory.deleteStaged(spark, table, messages)
+}
+
+/** Exactly-once streaming sink: each epoch's staged files publish under
+  * the (writerId, epochId) token — an at-least-once replay of a
+  * committed epoch re-stages files (vacuum garbage) but the manifest
+  * publish is a no-op, so the table holds every epoch exactly once. */
+class TxLogStreamingWrite(table: String, schema: StructType, writerId: String)
+    extends StreamingWrite {
+  private val spark = SparkSession.active
+  private val uuid = UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    TxLogWriterFactory.create(spark, table, uuid, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
+    val stats = TxStats.collect(spark, new Path(table), rel)
+    // EMPTY epochs commit too: the token records the epoch as done, so a
+    // replay after a crash between this commit and the checkpoint write
+    // cannot re-apply a later, different batch under the same id
+    TxLog.commitStaged(spark, table, rel, stats, writerId, epochId, incoming = schema)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    TxLogWriterFactory.deleteStaged(spark, table, messages)
+}
+
+final case class TxLogCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+object TxLogWriterFactory {
+  def create(spark: SparkSession, table: String, uuid: String,
+             schema: StructType): TxLogWriterFactory = {
+    val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, schema)
+    TxLogWriterFactory(table, uuid, schema, owf, conf, ext)
+  }
+
+  /** Abort cleanup: delete the files the completed tasks reported.
+    * Files of tasks that died before commit are unreferenced orphans —
+    * vacuum's territory, same as any crashed writer. */
+  def deleteStaged(spark: SparkSession, table: String,
+                   messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(table)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case TxLogCommitMessage(files) =>
+        files.foreach(r => f.delete(new Path(root, r), false))
+      case _ => ()
+    }
+  }
+}
+
+/** Serializable executor-side writer factory: one parquet file per
+  * non-empty task, named with partition/task/epoch for uniqueness under
+  * speculative retries (the commit coordinator picks one winner; losers
+  * abort and delete, or die and leave vacuum-collectable orphans). */
+case class TxLogWriterFactory(table: String, uuid: String, schema: StructType,
+                              owf: OutputWriterFactory,
+                              conf: SerializableConfiguration, ext: String)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TxLogDataWriter(this, partitionId, taskId, epoch = None)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new TxLogDataWriter(this, partitionId, taskId, epoch = Some(epochId))
+}
+
+class TxLogDataWriter(fac: TxLogWriterFactory, partitionId: Int, taskId: Long,
+                      epoch: Option[Long]) extends DataWriter[InternalRow] {
+  private val rel = {
+    val e = epoch.map(x => s"e$x-").getOrElse("")
+    f"data/${fac.uuid}/part-$e$partitionId%05d-$taskId${fac.ext}"
+  }
+  // created lazily on the first row: empty partitions write NO file, so
+  // the manifest never accumulates empty parquet (the commitRewrite
+  // zero-row policy, enforced at the source here)
+  private var writer: OutputWriter = null
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null)
+      writer = GraftParquetIO.newOutputWriter(fac.owf, fac.conf,
+        new Path(new Path(fac.table), rel).toString, fac.schema, partitionId, taskId)
+    writer.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (writer == null) TxLogCommitMessage(Seq.empty)
+    else { writer.close(); writer = null; TxLogCommitMessage(Seq(rel)) }
+
+  override def abort(): Unit =
+    if (writer != null) {
+      writer.close(); writer = null
+      val p = new Path(new Path(fac.table), rel)
+      p.getFileSystem(fac.conf.value).delete(p, false)
+    }
+
+  override def close(): Unit = ()
+}
+
+// ----------------------------------------------------------------------
+// row-level DML (group-based copy-on-write)
+// ----------------------------------------------------------------------
+
+/** One DELETE/UPDATE/MERGE statement. Spark's rewrite plans the
+  * statement as ReplaceData over this operation's scan; the scan
+  * records which files (groups) it read — narrowed by runtime `_file`
+  * group filtering — and the write's commit atomically publishes
+  * {removes = those files, files = the rewritten output} at exactly
+  * the snapshot head the scan saw. A concurrent commit in between is a
+  * serialization conflict (loud), never a lost update. */
+class TxLogRowLevelOperation(table: String, tableSchema: StructType,
+                             cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** Set by the LAST planInputPartitions of the operation scan — after
+    * runtime group filtering, that is exactly the executed read set,
+    * which is the set of groups the rewrite replaces. */
+  @volatile private[storage] var scannedFiles: Seq[String] = Seq.empty
+  @volatile private[storage] var headAtScan: Long = -1L
+
+  override def command: RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxLogScanBuilder(SparkSession.active, table, tableSchema, op = Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new TxLogReplaceWrite(table, info.schema(), TxLogRowLevelOperation.this)
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(TxLogV2.FileCol))
+
+  override def description(): String = s"txlog $cmd $table"
+}
+
+class TxLogReplaceWrite(table: String, writeSchema: StructType,
+                        op: TxLogRowLevelOperation) extends Write {
+  override def toBatch: BatchWrite = new TxLogReplaceBatchWrite(table, writeSchema, op)
+}
+
+class TxLogReplaceBatchWrite(table: String, writeSchema: StructType,
+                             op: TxLogRowLevelOperation) extends BatchWrite {
+  private val spark = SparkSession.active
+  private val uuid = UUID.randomUUID().toString
+  require(!writeSchema.fieldNames.contains(TxLogV2.FileCol),
+    s"row-level write schema unexpectedly carries ${TxLogV2.FileCol}: $writeSchema")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    TxLogWriterFactory.create(spark, table, uuid, writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
+    val removes = op.scannedFiles
+    if (rel.isEmpty && removes.isEmpty) return // matched nothing: clean no-op
+    val stats = TxStats.collect(spark, new Path(table), rel)
+    val r = TxLog.publishRewrite(spark, table, rel, stats, removes,
+      expectedHead = op.headAtScan,
+      writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
+      schemaDdl = writeSchema.toDDL)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TxLogWriterFactory.deleteStaged(spark, table, messages)
+}

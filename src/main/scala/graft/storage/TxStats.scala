@@ -60,8 +60,12 @@ object TxStats {
                            min: String, max: String, nulls: Long)
 
   /** Stats for one data file: exact row count + per-column bounds
-    * (only columns whose type and footer support sound pruning). */
-  final case class FileStats(file: String, rows: Long, cols: Seq[ColStat]) {
+    * (only columns whose type and footer support sound pruning).
+    * `bytes` (0 on legacy manifests = unknown) lets the V2 scan build
+    * its split plan from the log alone — no per-file getFileStatus
+    * round-trips at planning time, the Delta/Iceberg `size` field. */
+  final case class FileStats(file: String, rows: Long, cols: Seq[ColStat],
+                             bytes: Long = 0L) {
     @transient lazy val byCol: Map[String, ColStat] =
       cols.iterator.map(c => c.col -> c).toMap
   }
@@ -75,8 +79,8 @@ object TxStats {
   def collect(s: SparkSession, root: Path, rel: Seq[String]): Seq[FileStats] = {
     val conf = s.sparkContext.hadoopConfiguration
     rel.map { r =>
-      val rd = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(root, r), conf))
+      val inf = HadoopInputFile.fromPath(new Path(root, r), conf)
+      val rd = ParquetFileReader.open(inf)
       try {
         val md = rd.getFooter
         val blocks = md.getBlocks.asScala.toSeq
@@ -86,7 +90,7 @@ object TxStats {
           if (!f.isPrimitive) None
           else tagOf(f.asPrimitiveType()).flatMap(mergeBlocks(f.getName, _, blocks))
         }
-        FileStats(r, rows, cols)
+        FileStats(r, rows, cols, inf.getLength)
       } finally rd.close()
     }
   }

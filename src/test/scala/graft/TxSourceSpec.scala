@@ -6,14 +6,16 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.storage.{TxLog, TxLogRelation}
+import graft.storage.{TxLog, TxLogV2}
 
-/** The `txlog` data source: TxLog tables through Spark's standard
-  * seams — format("txlog") read/write, SQL DDL + SELECT + INSERT,
-  * streaming sink — with pushed-down Filters driving the SAME manifest
-  * zone-map skipping as the native API, observable via
-  * TxLogRelation.lastPrune, and with every filter re-applied by Spark
-  * (unhandledFilters = all) so pruning can never change results. */
+/** The `txlog` DataSource V2: TxLog tables through Spark's connector
+  * API — format("txlog") read/write, SQL DDL + SELECT + INSERT, NATIVE
+  * row-level DML (Spark's own DELETE/UPDATE/MERGE planning over
+  * SupportsRowLevelOperations), streaming source and exactly-once sink
+  * — with pushed-down Filters driving the SAME manifest zone-map
+  * skipping as the native API, observable via TxLogV2.lastPrune, and
+  * with every filter re-applied by Spark (all filters stay residual)
+  * so pruning can never change results. */
 class TxSourceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -63,13 +65,18 @@ class TxSourceSpec extends AnyFunSuite {
     }
     // the point lookup really skipped: 1 of 3 files opened
     df.where($"id" === 150L).collect()
-    assert(TxLogRelation.lastPrune.get() == ((1, 3)))
+    assert(TxLogV2.lastPrune.get() == ((1, 3)))
     // unsupported shapes keep everything (and still answer correctly)
     df.where(length($"name") === 8).collect()
-    assert(TxLogRelation.lastPrune.get()._1 == 3)
-    // pushdown is visible in the executed plan
-    val plan = df.where($"id" === 150L).queryExecution.executedPlan.toString
+    assert(TxLogV2.lastPrune.get()._1 == 3)
+    // pushdown + column pruning are visible in the executed plan
+    val pruned = df.where($"id" === 150L).select($"name")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("150"), plan)
+    assert(plan.contains("ReadSchema") && !plan.replaceAll("(?s)RuntimeFilters.*", "")
+      .split("ReadSchema")(1).contains("grp"),
+      s"projection did not prune grp from ReadSchema: $plan")
   }
 
   test("SQL end-to-end: CREATE TABLE USING txlog, SELECT with WHERE, INSERT INTO, INSERT OVERWRITE") {
@@ -79,7 +86,7 @@ class TxSourceSpec extends AnyFunSuite {
     try {
       assert(spark.sql(s"SELECT count(*) AS n FROM $name").first().getLong(0) == 300L)
       assert(spark.sql(s"SELECT name FROM $name WHERE id = 150").first().getString(0) == "name-150")
-      assert(TxLogRelation.lastPrune.get() == ((1, 3)), "SQL WHERE did not prune files")
+      assert(TxLogV2.lastPrune.get() == ((1, 3)), "SQL WHERE did not prune files")
       spark.sql(s"INSERT INTO $name VALUES (900, 'delta', 'name-900')")
       assert(TxLog.headVersion(spark, t) == 3L, "INSERT was not one transaction")
       assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 301L)
@@ -90,23 +97,32 @@ class TxSourceSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE $name")
   }
 
-  test("save modes: overwrite replaces atomically; errorIfExists is loud; ignore is a no-op") {
+  test("save modes: overwrite replaces atomically; errorIfExists/ignore rejected per the V2 contract") {
     val t = clustered3()
     batch(0 until 5, "ow").write.format("txlog").mode("overwrite").save(t)
     assert(spark.read.format("txlog").load(t).count() == 5)
-    intercept[IllegalStateException] {
+    // the overwrite was a checkpoint: pre-overwrite history time-travels
+    assert(TxLog.snapshotAt(spark, t, 2L).get.count() == 300L)
+    // V2 path-based saves support Append and Overwrite only — Spark
+    // itself rejects ErrorIfExists/Ignore loudly (they are catalog-table
+    // modes), so neither can silently write
+    intercept[org.apache.spark.sql.AnalysisException] {
       batch(0 until 5, "x").write.format("txlog").mode("errorifexists").save(t)
     }
-    batch(0 until 99, "x").write.format("txlog").mode("ignore").save(t)
-    assert(spark.read.format("txlog").load(t).count() == 5, "ignore wrote to an existing table")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      batch(0 until 99, "x").write.format("txlog").mode("ignore").save(t)
+    }
+    assert(spark.read.format("txlog").load(t).count() == 5, "rejected mode wrote data")
   }
 
-  test("SQL row-level DML: DELETE / UPDATE / MERGE INTO on a txlog catalog table") {
+  test("SQL row-level DML: native DELETE / UPDATE / MERGE INTO on a txlog catalog table") {
     val t = clustered3()
     val name = s"txdml_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     spark.sql(s"CREATE TABLE $name USING txlog OPTIONS (path '$t')")
     try {
-      // DELETE: three-valued semantics + minimal rewrite, through SQL
+      // DELETE: three-valued semantics + minimal rewrite, through SQL —
+      // Spark's runtime group filtering narrows the rewrite to the one
+      // matched file; the two untouched originals survive in the live set
       spark.sql(s"DELETE FROM $name WHERE id >= 150 AND id < 160")
       assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 290L)
       assert(TxLog.pruneCount(spark, t, lit(true) === lit(true))._2 == 3,
@@ -125,29 +141,33 @@ class TxSourceSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 292L)
       assert(spark.sql(s"SELECT count(*) FROM $name WHERE grp = 'BETA2'").first().getLong(0) == 5L)
       assert(spark.sql(s"SELECT name FROM $name WHERE id = 900").first().getString(0) == "m-900")
-      // richer MERGE shapes are loudly unsupported, never misread
-      val e = intercept[Exception] {
-        spark.sql(s"""MERGE INTO $name USING ${name}_src ON $name.id = ${name}_src.id
-                      WHEN MATCHED THEN DELETE""")
-      }
-      assert(e.getMessage.contains("txlog SQL DML"), e.getMessage)
       // every statement was one transaction: v2 (base) +3
       assert(TxLog.headVersion(spark, t) == 5L)
-      // guard battery: each rejected loudly with OUR message, not a
-      // cryptic downstream error or a silent misread
-      val guards = Seq(
-        "subquery" -> (() => spark.sql(
-          s"DELETE FROM $name WHERE id IN (SELECT id FROM ${name}_src)")),
-        "duplicate SET" -> (() => spark.sql(
-          s"UPDATE $name SET grp = 'x', grp = 'y' WHERE id = 0")),
-        "same-side ON" -> (() => spark.sql(
-          s"""MERGE INTO $name USING ${name}_src
-              ON $name.id = ${name}_src.id AND $name.grp = $name.grp
-              WHEN MATCHED THEN UPDATE SET *
-              WHEN NOT MATCHED THEN INSERT *""")))
-      for ((clue, run) <- guards) {
-        val g = intercept[Exception](run())
-        assert(g.getMessage.contains("txlog SQL DML"), s"$clue: ${g.getMessage}")
+
+      // The RICHER shapes the r11 resolution rule rejected are now
+      // native Spark DML planning — they RUN, with correct results:
+      // (a) multi-action conditional MERGE incl. WHEN MATCHED DELETE
+      spark.sql(s"""MERGE INTO $name USING ${name}_src ON $name.id = ${name}_src.id
+                    WHEN MATCHED AND ${name}_src.grp = 'new' THEN DELETE
+                    WHEN MATCHED THEN UPDATE SET name = concat($name.name, '?')""")
+      assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 290L,
+        "conditional MERGE DELETE should remove the two id-900/901 rows")
+      assert(spark.sql(s"SELECT count(*) FROM $name WHERE name LIKE '%?'")
+        .first().getLong(0) == 5L, "conditional MERGE UPDATE missed the 5 BETA2 rows")
+      // (b) subquery DELETE
+      spark.sql(s"DELETE FROM $name WHERE id IN (SELECT id FROM ${name}_src WHERE grp = 'BETA2')")
+      assert(spark.sql(s"SELECT count(*) FROM $name WHERE grp = 'BETA2'").first().getLong(0) == 0L)
+      assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 285L)
+      // (c) non-equi extra ON condition
+      spark.sql(s"""MERGE INTO $name USING ${name}_src
+                    ON $name.id = ${name}_src.id AND $name.id >= 900
+                    WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql(s"SELECT count(*) FROM $name").first().getLong(0) == 292L,
+        "non-equi MERGE should re-insert the 5 BETA2 + 2 new keys")
+      // duplicate SET columns stay loudly rejected — by Spark's own
+      // analysis now, not a custom rule
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"UPDATE $name SET grp = 'x', grp = 'y' WHERE id = 0")
       }
       // the single-use writer class keeps checkpoints token-free of DML:
       // compact + truncate, then the statement tokens are simply gone
@@ -245,8 +265,9 @@ class TxSourceSpec extends AnyFunSuite {
   }
 
   test("streaming source guards: truncated snapshot and overwrite-without-removes are loud") {
-    import graft.storage.TxLogStreamSource
-    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import graft.storage.TxLogMicroBatchStream
+    def stream(t: String, sch: org.apache.spark.sql.types.StructType) =
+      new TxLogMicroBatchStream(spark, t, sch, sch)
     // (a) initial snapshot whose manifests were vacuum-truncated: a
     // restart replaying batch 0 after compact+vacuum must throw, not
     // silently deliver an empty snapshot
@@ -256,8 +277,10 @@ class TxSourceSpec extends AnyFunSuite {
     val sch = TxLog.snapshot(spark, t).get.schema
     TxLog.compact(spark, t, targetBytes = 1L << 30) // v3 absorbs tokens
     TxLog.vacuum(spark, t, minAgeMs = 0L)           // truncates v0..v2
-    val src = new TxLogStreamSource(spark.sqlContext, t, sch)
-    val e = intercept[IllegalStateException] { src.getBatch(None, LongOffset(2L)) }
+    val src = stream(t, sch)
+    val e = intercept[IllegalStateException] {
+      src.planInputPartitions(src.initialOffset(), src.deserializeOffset("2"))
+    }
     assert(e.getMessage.contains("vacuum"), e.getMessage)
     // (b) overwrite detected STRUCTURALLY (writer-id class), so even an
     // overwrite whose removes list is empty — live set emptied by a
@@ -267,9 +290,9 @@ class TxSourceSpec extends AnyFunSuite {
     val sch2 = TxLog.snapshot(spark, t2).get.schema
     TxLog.delete(spark, t2, lit(true), "d", 0L) // empty live set (v1)
     batch(0 until 5, "b").coalesce(1).write.format("txlog").mode("overwrite").save(t2) // v2
-    val src2 = new TxLogStreamSource(spark.sqlContext, t2, sch2)
+    val src2 = stream(t2, sch2)
     val e2 = intercept[IllegalStateException] {
-      src2.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+      src2.planInputPartitions(src2.deserializeOffset("1"), src2.deserializeOffset("2"))
     }
     assert(e2.getMessage.contains("OVERWROTE"), e2.getMessage)
   }
