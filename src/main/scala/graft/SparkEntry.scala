@@ -22,7 +22,8 @@ object SparkEntry {
       EtlDemo.queries ++ graft.queries.Profiles.queries ++
       graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
       graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.queries.UnicodeParity.queries
+      graft.queries.UnicodeParity.queries ++
+      graft.queries.TxLogParity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for the genuinely
@@ -38,5 +39,5 @@ object SparkEntry {
       graft.queries.Oracle5.oracleSql ++ graft.queries.Oracle6.oracleSql ++
       graft.queries.Oracle7.oracleSql ++ graft.queries.Oracle8.sql ++
       graft.queries.Oracle9.sql ++
-      graft.queries.Profiles.oracleSql
+      graft.queries.Profiles.oracleSql ++ graft.queries.TxLogParity.oracleSql
 }
