@@ -655,45 +655,13 @@ object TxLog {
   }
 
   /** THE commit point: publish `bytes` at `target` iff no file exists
-    * there — the put-if-absent arbiter of the version slot.
-    *
-    * On file:// (this environment, and any POSIX mount): write a fully
-    * formed temp file, then hard-LINK it to the target —
-    * link(2) is atomic and fails with EEXIST, unlike rename(2), which
-    * silently REPLACES and would let a slow writer overwrite a
-    * committed transaction. On HDFS-like stores, create(overwrite =
-    * false) reserves the slot atomically at the NameNode; the content
-    * becomes readable at close, and a listing-time reader of an
-    * in-flight manifest is the documented gap object stores close with
-    * conditional-put (S3 If-None-Match) — the LogStore seam Delta
-    * plugs per-filesystem. */
+    * there — delegated to the scheme's [[LogStore]] arbiter (hard-link
+    * on file://, no-replace rename on HDFS-like stores, a registered
+    * conditional-put store on object stores — see [[LogStore]]). */
   private def putIfAbsent(f: FileSystem, logDir: Path, target: Path,
                           bytes: Array[Byte]): Boolean = {
-    import java.nio.file.{Files, Paths, FileAlreadyExistsException => NioExists}
-    if ("file" == Option(target.toUri.getScheme).getOrElse(f.getUri.getScheme)) {
-      val tmp = Paths.get(logDir.toUri.getPath,
-        s".tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, bytes)
-      try { Files.createLink(Paths.get(target.toUri.getPath), tmp); true }
-      catch { case _: NioExists => false }
-      finally Files.deleteIfExists(tmp)
-    } else {
-      // HDFS-like: write the manifest FULLY to a temp name, then
-      // rename — HDFS rename refuses an existing destination (unlike
-      // POSIX rename(2), which replaces), so the rename is the
-      // put-if-absent arbiter AND the content is complete before the
-      // slot is ever occupied. A create(overwrite=false)-then-write
-      // protocol would reserve the slot first and permanently corrupt
-      // it if the write died mid-stream. Object stores without atomic
-      // no-replace rename (S3A) need a conditional-put LogStore — the
-      // per-filesystem seam Delta ships.
-      val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, false)
-      try out.write(bytes) finally out.close()
-      val won = !f.exists(target) && f.rename(tmp, target)
-      if (!won) f.delete(tmp, false)
-      won
-    }
+    val scheme = Option(target.toUri.getScheme).getOrElse(f.getUri.getScheme)
+    LogStore.forScheme(scheme).putIfAbsent(f, logDir, target, bytes)
   }
 
   /** Exactly-once streaming sink: each micro-batch commits as ONE
