@@ -204,10 +204,8 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     * are narrowed by Spark's runtime `_file` group filtering instead. */
   @volatile private var files: Seq[String] =
     if (op.isDefined) allFiles
-    else {
-      val ps = pushed.toSeq.map(TxStats.fromSourceFilter)
-      allFiles.filter(f => stats.get(f).forall(st => ps.forall(TxStats.mayMatch(_, st))))
-    }
+    else TxLog.pruneSourceFilters(pushed.toSeq,
+      TxLog.partitionColsFrom(ms), allFiles, stats)
 
   private val wantsFile = required.fieldNames.contains(FileCol)
   private val readDataSchema = StructType(required.fields.filterNot(_.name == FileCol))

@@ -65,9 +65,14 @@ object TxStats {
     * its split plan from the log alone — no per-file getFileStatus
     * round-trips at planning time, the Delta/Iceberg `size` field. */
   final case class FileStats(file: String, rows: Long, cols: Seq[ColStat],
-                             bytes: Long = 0L) {
+                             bytes: Long = 0L,
+                             parts: Seq[(String, String)] = Seq.empty) {
     @transient lazy val byCol: Map[String, ColStat] =
       cols.iterator.map(c => c.col -> c).toMap
+    /** Hive-style partition values of this file (col -> raw path-segment
+      * value), recorded by [[TxLog.commitPartitioned]]; empty for files
+      * of unpartitioned tables or non-partitioned writes. */
+    @transient lazy val byPart: Map[String, String] = parts.toMap
   }
 
   // ------------------------------------------------------------------

@@ -34,9 +34,15 @@ class LogStoreSpec extends AnyFunSuite {
                              bytes: Array[Byte]): Boolean = lock.synchronized {
       if (f.exists(target)) false
       else {
-        val out = f.create(target, false)
+        // model the S3 semantics FAITHFULLY: a conditional PUT exposes
+        // the object only fully formed — write complete, then move into
+        // place. (A create-then-write simulation let concurrent listers
+        // read an EMPTY manifest: a real protocol violation this spec
+        // caught in itself.)
+        val tmp = new Path(logDir, s".cput-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, false)
         try out.write(bytes) finally out.close()
-        true
+        f.rename(tmp, target)
       }
     }
   }
@@ -73,10 +79,15 @@ class LogStoreSpec extends AnyFunSuite {
     withStore(ConditionalPutStore) {
       val t = freshTable()
       // racing committers: every batch lands exactly once, versions dense
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = (0 until 8).map { i =>
-        new Thread(() => { TxLog.commit(batch(i * 10 until (i + 1) * 10), t, s"w$i", 0L); () })
+        new Thread(() => {
+          try { TxLog.commit(batch(i * 10 until (i + 1) * 10), t, s"w$i", 0L, maxRetries = 100); () }
+          catch { case e: Throwable => errs.add(e); () }
+        })
       }
       threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"racing committer threw: ${Option(errs.peek()).map(_.toString)}")
       assert(TxLog.headVersion(spark, t) == 7L, "a version slot was lost or doubled")
       assert(TxLog.snapshot(spark, t).get.count() == 80)
       // token replay is still exactly-once through the alternative arbiter

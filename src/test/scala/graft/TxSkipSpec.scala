@@ -249,4 +249,82 @@ class TxSkipSpec extends AnyFunSuite {
     assert(TxLog.pruneCount(spark, t, $"id" === 1050L) == ((1, 2)))
     assertSame(t, $"id" === 1050L, "streamed-commit skip")
   }
+
+  // --------------------------------------------------------------------
+  // partition columns (r12): hive values in the manifest, pruned BEFORE
+  // zone maps; the real columns stay in the data files
+  // --------------------------------------------------------------------
+
+  /** One commit, three groups → one file per partition value. */
+  private def partitioned3(): String = {
+    val t = freshTable()
+    val df = batch(0 until 90, "x")
+      .withColumn("grp",
+        when($"id" < 30, "alpha").when($"id" < 60, "beta").otherwise("gamma"))
+    TxLog.commitPartitioned(df, t, Seq("grp"), "w", 0L)
+    t
+  }
+
+  test("partitioned commit: one file per value, equality prunes to it, rows identical") {
+    val t = partitioned3()
+    // three files (one per grp value), and the data files still carry grp
+    assert(TxLog.pruneCount(spark, t, lit(true) === lit(true))._2 == 3)
+    val snap = TxLog.snapshot(spark, t).get
+    assert(snap.columns.contains("grp"), "partition column missing from data files")
+    assert(snap.count() == 90)
+    // partition equality prunes 1-of-3 BEFORE zone maps, and composes
+    // with a zone-map conjunct on a non-partition column
+    assert(TxLog.pruneCount(spark, t, $"grp" === "beta") == ((1, 3)))
+    assertSame(t, $"grp" === "beta", "partition equality")
+    assert(TxLog.pruneCount(spark, t, $"grp" === "beta" && $"id" === 35L) == ((1, 3)))
+    assert(TxLog.pruneCount(spark, t, $"grp" === "beta" && $"id" === 5L) == ((0, 3)),
+      "zone map should kill the partition survivor on a contradicting id")
+    assertSame(t, $"grp" === "beta" && $"id" === 35L, "partition+zone compose")
+    // the V2 source prunes on partition equality too
+    spark.read.format("txlog").load(t).where($"grp" === "gamma").collect()
+    assert(graft.storage.TxLogV2.lastPrune.get() == ((1, 3)),
+      "V2 scan did not prune on the partition value")
+  }
+
+  test("partitioned table: declared layout is sticky, mismatches loud") {
+    val t = partitioned3()
+    val more = batch(90 until 100, "alpha")
+    intercept[IllegalArgumentException] {
+      TxLog.commitPartitioned(more, t, Seq("name"), "w", 1L)
+    }
+    // a second partitioned append extends the layout (now 4 files)
+    TxLog.commitPartitioned(more, t, Seq("grp"), "w", 1L)
+    assert(TxLog.pruneCount(spark, t, $"grp" === "alpha") == ((2, 4)))
+  }
+
+  test("DML on a partitioned table rewrites within the touched partition and keeps its value") {
+    val t = partitioned3()
+    val r = TxLog.delete(spark, t, $"grp" === "beta" && $"id" < 35L, "d", 0L)
+    assert(r.removedFiles == 1, s"expected only beta's file touched, got ${r.removedFiles}")
+    // the rewritten file re-carries its partition value: equality still
+    // prunes 1-of-3 on the NEW state
+    assert(TxLog.pruneCount(spark, t, $"grp" === "beta") == ((1, 3)))
+    assertSame(t, $"grp" === "beta", "post-DML partition prune")
+    assert(TxLog.snapshot(spark, t).get.where($"grp" === "beta").count() == 25)
+    // untouched partitions bit-identical (their files were never opened
+    // for write: alpha + gamma rows all present)
+    assert(TxLog.snapshot(spark, t).get.where($"grp" =!= "beta").count() == 60)
+  }
+
+  test("partition layout survives checkpoint compaction and log truncation") {
+    val t = partitioned3()
+    TxLog.compact(spark, t, targetBytes = 1L << 30)
+    TxLog.vacuum(spark, t, minAgeMs = 0L) // truncates the pcols-bearing manifests
+    // compacted blobs mix partitions (no per-file value — kept by any
+    // equality), but the LAYOUT survives via the checkpoint: a new
+    // partitioned append must still match it
+    intercept[IllegalArgumentException] {
+      TxLog.commitPartitioned(batch(100 until 110, "alpha"), t, Seq("name"), "w2", 0L)
+    }
+    TxLog.commitPartitioned(batch(100 until 110, "alpha"), t, Seq("grp"), "w2", 0L)
+    // equality keeps the mixed compacted blob + prunes to the new file's
+    // value where provable; results stay row-identical throughout
+    assertSame(t, $"grp" === "alpha", "post-compaction partition read")
+    assert(TxLog.snapshot(spark, t).get.count() == 100)
+  }
 }
