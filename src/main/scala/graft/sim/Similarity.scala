@@ -661,6 +661,67 @@ object Similarity {
       batch => encodeForIvfPqIndex(batch,
         batch.sparkSession.table(cbTable), batch.sparkSession.table(coarseTable)))
 
+  /** CODEBOOK DRIFT of a TxLog-committed IVF-PQ index: the fraction of
+    * index rows whose FROZEN home cell disagrees with a router freshly
+    * trained on the index's CURRENT corpus. The frozen-codebook
+    * ingestion contract ([[encodeForIvfPqIndex]]) is what keeps codes
+    * stable, but it means a corpus whose distribution shifts slowly
+    * degrades routing quality with no error anywhere — this scalar is
+    * the operational signal. Deterministic (the trainer is exact
+    * integer arithmetic), so thresholds are stable: ≈0 right after
+    * (re)training, rising as shifted data accumulates. Cost: one
+    * trainer pass + one broadcast-assign over the index — a maintenance
+    * job, not a query. */
+  def ivfPqCellDrift(s: SparkSession, indexDir: String): Double = {
+    import s.implicits._
+    val idx = graft.storage.TxLog.snapshot(s, indexDir).getOrElse(
+      return 0.0)
+    val corpus = idx.select($"vec_id", $"v".as("embedding"))
+    val fresh = KmeansQuantizer.trainedCodebook(corpus, KCells)
+    val q = KmeansQuantizer.quantized(corpus)
+    val freshHome = KmeansQuantizer.assignRanked(q, materializeCoarse(fresh))
+      .filter($"rn" === 1).select($"vec_id", $"cid".as("fresh_cell"))
+    val row = idx.select($"vec_id", $"cell").join(freshHome, "vec_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"cell" =!= $"fresh_cell", 1L).otherwise(0L)).as("moved"))
+      .first()
+    if (row.getLong(0) == 0L) 0.0 else row.getLong(1).toDouble / row.getLong(0)
+  }
+
+  /** RETRAIN a TxLog-committed IVF-PQ index in place: train both
+    * codebooks from the index's current corpus, re-encode every row,
+    * and swap atomically — the index overwrite is one TxLog checkpoint
+    * (readers see the old index or the new, never a mix; the old
+    * generation time-travels until vacuum), and the codebook tables
+    * are saved AFTER the data swap so a crash between the two leaves
+    * time travel as the recovery door. Ordering note: probes read
+    * (index, cb, coarse) as one logical unit — production would version
+    * codebooks inside the index table's own log; here the swap window
+    * is documented and the spec drives the happy path. Post-retrain,
+    * [[ivfPqCellDrift]] is ≈0 by construction and probes serve from
+    * codes that match the corpus again. */
+  def retrainIvfPqIndex(s: SparkSession, indexDir: String,
+                        cbTable: String, coarseTable: String): Unit = {
+    import s.implicits._
+    import PqQuantizer._
+    val idx = graft.storage.TxLog.snapshot(s, indexDir).getOrElse(return)
+    val corpus = idx.select($"vec_id", $"label", $"v".as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val coarse = materializeCoarse(
+        KmeansQuantizer.trainedCodebook(corpus, KCells))
+      val q = KmeansQuantizer.quantized(corpus)
+      val cb = materializePq(codebooks(subvectors(q)))
+      val reencoded = encodeForIvfPqIndex(corpus,
+        cb.hint("broadcast"), coarse.hint("broadcast"))
+      graft.storage.TxLog.overwrite(reencoded, indexDir)
+      coarse.write.format("parquet")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(coarseTable)
+      cb.write.format("parquet")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(cbTable)
+    } finally { corpus.unpersist(); () }
+  }
+
   /** Per-label centroids via the typed VectorAvg Aggregator (the typed
     * UDAF surface), plus each centroid's norm and the label's mean
     * cosine-to-centroid — a cluster-quality profile. Float-order

@@ -1366,6 +1366,33 @@ object TxLog {
       expectedHead = ms.last.version, schemaDdl = Some(out.schema.toDDL))
   }
 
+  /** OPTIMIZE by RANGE-CLUSTERING on arbitrary columns: the live file
+    * set re-lays out range-partitioned + sorted on `cols`, committed as
+    * a CHECKPOINT manifest (atomic read-set replacement, same contract
+    * as [[compact]]/[[cluster]]). This is the maintenance command for
+    * an index table whose probes prune on ONE key — e.g. the streamed
+    * IVF-PQ index clustered by `cell`: after sustained per-epoch admits
+    * the cells are smeared across every epoch's files, and clusterBy
+    * restores one-cell-per-file-range so the manifest zone maps prune
+    * probe scans again (PqIndexMaintenanceSpec measures the decay and
+    * the restore). Z-order ([[cluster]]) is the 2-dim analogue. */
+  def clusterBy(s: SparkSession, table: String, cols: Seq[String],
+                targetFiles: Int, beforeCommit: () => Unit = () => ()): Long = {
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
+    if (files.isEmpty) return -1L
+    val root = new Path(table)
+    val out = readFiles(s, table, ms, files)
+      .repartitionByRange(math.max(1, targetFiles), cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    val (rel, stats) = stageWrite(s, root, out)
+    beforeCommit() // concurrency-injection seam, like compact/cluster
+    commitCheckpoint(s, table, rel, stats,
+      writerId = s"cluster-${java.util.UUID.randomUUID()}",
+      expectedHead = ms.last.version, schemaDdl = Some(out.schema.toDDL))
+  }
+
   /** Delete data files no manifest references (crashed writers'
     * orphans) and files referenced only BEFORE the newest checkpoint
     * (compacted-away generations), skipping files younger than
