@@ -74,19 +74,38 @@ object TxLogParity {
 
   /** Version-exact time travel: the snapshot AS OF v1 (both pre-delete
     * generations) — the deleted URGENT rows are visible again, and the
-    * post-delete third generation is not there yet. */
+    * post-delete third generation is not there yet. Read through the
+    * PRODUCTION door (the r12 `versionAsOf` V2 reader option);
+    * TxV2PolishSpec pins option ≡ [[TxLog.snapshotAt]] row-for-row. */
   val timeTravel: Q = (s, dir) => {
     val t = table(s, dir)
-    TxLog.snapshotAt(s, t, 1L).get
+    s.read.format("txlog").option("versionAsOf", 1L).load(t)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         sum("o_orderkey").cast("long").as("key_sum"))
       .orderBy("o_orderpriority")
   }
 
+  /** Metadata-only aggregates (r12): whole-table count(*) / min / max /
+    * count(col) of the final state answered from manifest stats alone —
+    * the executed plan is a `MetaAgg` one-row scan, zero data files
+    * opened (plan pinned in TxV2PolishSpec; here the VALUES are
+    * hash-checked against DuckDB's replay, which proves the stats the
+    * answers came from — including the DELETE's rewritten-file stats —
+    * are exact). */
+  val metaAgg: Q = (s, dir) => {
+    val t = table(s, dir)
+    s.read.format("txlog").load(t).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      count(col("o_orderstatus")).as("n_status"))
+  }
+
   val queries: Map[String, Q] = Map(
     "txlog_scan_prune" -> scanPrune,
-    "txlog_time_travel" -> timeTravel)
+    "txlog_time_travel" -> timeTravel,
+    "txlog_meta_agg" -> metaAgg)
 
   /** DuckDB replay over the raw orders parquet. Final live state =
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
@@ -109,5 +128,16 @@ object TxLogParity {
          FROM orders
          WHERE o_orderkey <= (2 * (SELECT max(o_orderkey) FROM orders)) // 3
          GROUP BY o_orderpriority
-         ORDER BY o_orderpriority""")
+         ORDER BY o_orderpriority""",
+    // live state = all of gen2 (key > k2) ∪ the non-URGENT survivors of
+    // gen0 ∪ gen1 (key ≤ k2) — the branches partition on the key split,
+    // so one OR expresses the union exactly
+    "txlog_meta_agg" ->
+      """SELECT count(*) AS n_rows,
+                min(o_orderkey) AS min_key,
+                max(o_orderkey) AS max_key,
+                count(o_orderstatus) AS n_status
+         FROM orders
+         WHERE o_orderkey > (2 * (SELECT max(o_orderkey) FROM orders)) // 3
+            OR o_orderpriority <> '1-URGENT'""")
 }

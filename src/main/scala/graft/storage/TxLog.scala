@@ -391,15 +391,36 @@ object TxLog {
     * Valid until a later `vacuum` collects the generation's files;
     * a version beyond the head is an error, not an empty read. */
   def snapshotAt(s: SparkSession, table: String, v: Long): Option[DataFrame] = {
-    val ms = manifests(s, table)
-    require(ms.exists(_.version == v),
-      s"version $v not in $table's log (head = ${ms.lastOption.map(_.version).getOrElse(-1L)})")
-    val past = ms.filter(_.version <= v)
+    val past = manifestsAt(manifests(s, table), v, table)
     val files = liveFiles(past)
     if (files.isEmpty) None
     // the schema AS OF v, not today's — an evolved column must not
     // appear in a pre-evolution snapshot
     else Some(readFiles(s, table, past, files))
+  }
+
+  /** The log prefix `≤ v` — the manifest set a time-travel read at `v`
+    * replays. A version beyond the head OR vacuumed out of the log is
+    * an error, not an empty read (the require catches both: truncation
+    * is all-or-nothing below the newest checkpoint, so a surviving log
+    * either contains `v` or never had / no longer has it). */
+  private[storage] def manifestsAt(ms: Seq[Manifest], v: Long,
+                                   table: String): Seq[Manifest] = {
+    require(ms.exists(_.version == v),
+      s"version $v not in $table's log (head = ${ms.lastOption.map(_.version).getOrElse(-1L)})")
+    ms.filter(_.version <= v)
+  }
+
+  /** [[tableSchema]] as of version `v` — what a `versionAsOf` V2 read
+    * serves: the snapshot's schema at that version (an evolved column
+    * must not appear pre-evolution), or the manifest-recorded DDL when
+    * the live set at `v` is empty. */
+  def tableSchemaAt(s: SparkSession, table: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val past = manifestsAt(manifests(s, table), v, table)
+    val files = liveFiles(past)
+    if (files.nonEmpty) Some(readFiles(s, table, past, files).schema)
+    else tableSchemaFrom(past)
   }
 
   /** The stats in force for the current read set — scoped exactly like

@@ -7,8 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -16,7 +18,7 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.{GraftParquetIO, OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
@@ -78,16 +80,24 @@ class TxLogV2Source extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("txlog source needs a 'path' option"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TxLog.tableSchema(SparkSession.active, tablePath(options)).getOrElse(
-      throw new IllegalArgumentException(
-        s"txlog table ${tablePath(options)} is empty or absent — schema unknowable " +
-          "(pass an explicit schema, or write to it first)"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = tablePath(options)
+    val schema = TxLogV2.versionAsOf(options) match {
+      // time travel serves the schema AS OF the pinned version — an
+      // evolved column must not appear in a pre-evolution snapshot
+      case Some(v) => TxLog.tableSchemaAt(SparkSession.active, path, v)
+      case None => TxLog.tableSchema(SparkSession.active, path)
+    }
+    schema.getOrElse(throw new IllegalArgumentException(
+      s"txlog table $path is empty or absent — schema unknowable " +
+        "(pass an explicit schema, or write to it first)"))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty))
+    TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty),
+      TxLogV2.versionAsOf(opts))
   }
 }
 
@@ -112,6 +122,22 @@ object TxLogV2 {
       val p = new Path(new Path(table), rel)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
     }
+
+  /** The `versionAsOf` read option — TIME TRAVEL through the production
+    * `format("txlog")` door (the Delta reader-option surface): pins the
+    * scan to the log prefix `≤ v` with [[TxLog.snapshotAt]]'s exact
+    * contract (version beyond head / vacuumed = loud). The pinned
+    * relation is READ-ONLY: batch writes, row-level DML and the
+    * streaming tail all reject it. `timestampAsOf` is deliberately
+    * absent — the manifests do not record wall-clock times (file mtimes
+    * don't survive a copy), so a timestamp pin would be a lie. */
+  private[storage] def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map { s =>
+      try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"versionAsOf must be a log version (long), got '$s'")
+      }
+    }
 }
 
 object TxLogFileColumn extends MetadataColumn {
@@ -121,19 +147,31 @@ object TxLogFileColumn extends MetadataColumn {
   override def comment: String = "manifest-relative data file path of the row"
 }
 
-case class TxLogTable(table: String, givenSchema: Option[StructType]) extends Table
+case class TxLogTable(table: String, givenSchema: Option[StructType],
+                      asOf: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
 
-  override def name(): String = table
+  override def name(): String =
+    table + asOf.map(v => s"@v$v").getOrElse("")
 
   override lazy val schema: StructType =
-    givenSchema.orElse(TxLog.tableSchema(spark, table)).getOrElse(
-      throw new IllegalArgumentException(
+    givenSchema
+      .orElse(asOf match {
+        case Some(v) => TxLog.tableSchemaAt(spark, table, v)
+        case None => TxLog.tableSchema(spark, table)
+      })
+      .getOrElse(throw new IllegalArgumentException(
         s"txlog table $table is empty or absent — schema unknowable"))
 
+  // NOTE the capability set stays full even when version-pinned: Spark
+  // rejects a missing BATCH_WRITE capability with a misleading
+  // "does not allow create table as select" INTERNAL_ERROR (the path
+  // save falls back to CTAS planning), whereas the requires below name
+  // the actual contract — a version-pinned relation is a READ of
+  // history, never a write target and never a stream tail.
   override def capabilities(): java.util.Set[TableCapability] = {
     import TableCapability._
     Set(BATCH_READ, BATCH_WRITE, TRUNCATE, MICRO_BATCH_READ, STREAMING_WRITE).asJava
@@ -142,26 +180,35 @@ case class TxLogTable(table: String, givenSchema: Option[StructType]) extends Ta
   override def metadataColumns(): Array[MetadataColumn] = Array(TxLogFileColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxLogScanBuilder(spark, table, schema, op = None)
+    new TxLogScanBuilder(spark, table, schema, op = None, asOf = asOf)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
     new TxLogWriteBuilder(table, info)
+  }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
-      : RowLevelOperationBuilder =
+      : RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
     () => new TxLogRowLevelOperation(table, schema, info.command)
+  }
 }
 
 /** Pushdown seam: records Spark's Filters (used ONLY to skip files and
   * row groups — all stay residual, Spark re-applies) and the pruned
-  * column set. */
+  * column set; and answers whole-table aggregates from the MANIFEST
+  * ([[metaAgg]]) when that is provably exact. */
 class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructType,
-                       op: Option[TxLogRowLevelOperation])
+                       op: Option[TxLogRowLevelOperation],
+                       asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var agg: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -172,8 +219,147 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new TxLogScan(spark, table, tableSchema, required, pushed, op)
+  // ---- METADATA-ONLY AGGREGATES: count(*) / count(col) / min / max of
+  // the whole table answered from manifest stats — zero data files
+  // opened, O(live-files) driver work. `SELECT count(*) FROM t` on a
+  // 100 TB txlog table is a log read, exactly Delta's/Iceberg's
+  // metadata-count optimization. Spark only offers an Aggregation when
+  // no un-pushed filter sits between the agg and the scan, and every
+  // filter of ours is residual by contract — so this path is only ever
+  // reached for whole-table aggregates (the guards re-check).
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    metaAgg(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    agg = metaAgg(aggregation)
+    agg.isDefined // partial pushdown is never claimed: complete or nothing
+  }
+
+  /** Translate an Aggregation into (output schema, the one result row),
+    * or None when manifest stats cannot answer it EXACTLY:
+    *  - count(*): Σ rows — always exact (every manifest records rows);
+    *  - count(col): Σ (rows − nulls) — needs a recorded null count for
+    *    the column in EVERY live file;
+    *  - min/max(col): zone-map bounds are the true extrema only for
+    *    integral-family tags ("i": int/long/short/byte/date/
+    *    timestamp-micros) and booleans. Doubles are refused (a file
+    *    containing NaN can footer-report finite bounds, but Spark's
+    *    max orders NaN above everything) and strings are refused
+    *    (parquet writers may truncate binary footer bounds — sound for
+    *    range PRUNING, not for exact extrema).
+    * Any file without usable stats, a DISTINCT, a GROUP BY, a pushed
+    * filter, or a row-level-op scan refuses the push — Spark then runs
+    * the ordinary scan + aggregate, bit-identical semantics. */
+  private def metaAgg(aggregation: Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    if (op.isDefined || pushed.nonEmpty) return None
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    val ms0 = TxLog.manifests(spark, table)
+    val ms = asOf.map(TxLog.manifestsAt(ms0, _, table)).getOrElse(ms0)
+    val stats = TxLog.liveStats(ms)
+    val fs = TxLog.liveFiles(ms).map(stats.get)
+    if (fs.exists(_.isEmpty)) return None // legacy manifest: no stats
+    val files = fs.flatten
+
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, org.apache.spark.sql.types.DataType)] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == r.fieldNames.head)
+          .map(f => f.name -> f.dataType)
+      case _ => None
+    }
+    /** Zone-map bound -> Catalyst internal value of the column's type.
+      * Tags and types are written by the same code path (TxStats.tagOf
+      * over our own parquet files), so a mismatch = refuse, not cast. */
+    def internal(tag: String, v: Any,
+                 dt: org.apache.spark.sql.types.DataType): Option[Any] =
+      (tag, dt) match {
+        case ("i", LongType | TimestampType) => Some(v.asInstanceOf[Long])
+        case ("i", IntegerType | DateType) => Some(v.asInstanceOf[Long].toInt)
+        case ("i", ShortType) => Some(v.asInstanceOf[Long].toShort)
+        case ("i", ByteType) => Some(v.asInstanceOf[Long].toByte)
+        case ("b", BooleanType) => Some(v.asInstanceOf[Boolean])
+        case _ => None
+      }
+    def extremum(name: String, dt: org.apache.spark.sql.types.DataType,
+                 wantMin: Boolean): Option[Any] = {
+      val sts = files.map(_.byCol.get(name))
+      if (sts.exists(_.isEmpty)) return None // a file w/o stats for col
+      val present = sts.flatten.filter(_.has) // all-null files contribute nothing
+      if (present.exists(s => s.tag != "i" && s.tag != "b")) return None
+      if (present.isEmpty) return Some(null) // every row null -> SQL null
+      val tag = present.head.tag
+      val bounds = present.map(s => TxStats.parseVal(tag, if (wantMin) s.min else s.max))
+      val best = bounds.reduce((a, b) =>
+        if ((TxStats.cmp(tag, a, b) < 0) == wantMin) a else b)
+      internal(tag, best, dt)
+    }
+
+    val cols = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          files.map(_.rows).sum: Any))
+      case c: Count if !c.isDistinct =>
+        field(c.column).flatMap { case (name, _) =>
+          val sts = files.map(_.byCol.get(name))
+          if (sts.exists(s => s.isEmpty || s.get.nulls < 0)) None
+          else Some((StructField(s"count_$name", LongType, nullable = false),
+            files.zip(sts.flatten).map { case (f, s) => f.rows - s.nulls }.sum: Any))
+        }
+      case m: Min =>
+        field(m.column).flatMap { case (name, dt) =>
+          extremum(name, dt, wantMin = true)
+            .map(v => (StructField(s"min_$name", dt, nullable = true), v))
+        }
+      case m: Max =>
+        field(m.column).flatMap { case (name, dt) =>
+          extremum(name, dt, wantMin = false)
+            .map(v => (StructField(s"max_$name", dt, nullable = true), v))
+        }
+      case _ => None // sum/avg/distinct/UDAF: not answerable from bounds
+    }
+    if (cols.exists(_.isEmpty)) None
+    else {
+      val done = cols.flatten
+      Some((StructType(done.map(_._1)), done.map(_._2).toArray))
+    }
+  }
+
+  override def build(): Scan = agg match {
+    case Some((schema, row)) => new TxLogMetaAggScan(table, asOf, schema, row)
+    case None => new TxLogScan(spark, table, tableSchema, required, pushed, op, asOf)
+  }
+}
+
+/** The one-row result of a completely-pushed metadata aggregate: no
+  * data file is opened — the "scan" IS the answer, computed on the
+  * driver from O(live-files) manifest stats at plan time. */
+class TxLogMetaAggScan(table: String, asOf: Option[Long],
+                       schema: StructType, row: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(TxLogMetaAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxLogMetaAggReaderFactory
+  override def description(): String =
+    s"txlog $table${asOf.map(v => s"@v$v").getOrElse("")} " +
+      s"MetaAgg: ${schema.fieldNames.mkString(", ")} (manifest-only, 0 data files)"
+}
+
+case class TxLogMetaAggPartition(row: Array[Any]) extends InputPartition
+
+object TxLogMetaAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vs = p.asInstanceOf[TxLogMetaAggPartition].row
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(vs)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One snapshot scan: the manifests are listed ONCE at build, the zone
@@ -182,13 +368,17 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
   * parquet reader machinery. */
 class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
                 required: StructType, pushed: Array[Filter],
-                op: Option[TxLogRowLevelOperation])
+                op: Option[TxLogRowLevelOperation],
+                asOf: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
 
   import TxLogV2._
 
-  private val ms = TxLog.manifests(spark, table)
+  private val ms = {
+    val all = TxLog.manifests(spark, table)
+    asOf.map(TxLog.manifestsAt(all, _, table)).getOrElse(all)
+  }
   private val allFiles = TxLog.liveFiles(ms)
   private val stats = TxLog.liveStats(ms)
   op.foreach(_.headAtScan = ms.lastOption.map(_.version).getOrElse(-1L))
@@ -271,8 +461,12 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
       partitionSchema, pushed)
 
   // ---- stream execution (version-offset tail; see TxLogMicroBatchStream)
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(asOf.isEmpty,
+      s"txlog relation pinned at versionAsOf=${asOf.get} cannot be a stream " +
+        "source — the tail is by definition unpinned")
     new TxLogMicroBatchStream(spark, table, tableSchema, readDataSchema)
+  }
 
   /** Real statistics from the manifest (post static pruning), so the
     * optimizer can broadcast a small txlog table instead of defaulting
@@ -287,7 +481,8 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   }
 
   override def description(): String =
-    s"txlog $table PushedFilters: [${pushed.mkString(", ")}], " +
+    s"txlog $table${asOf.map(v => s"@v$v").getOrElse("")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${readSchema().catalogString}"
 }
 

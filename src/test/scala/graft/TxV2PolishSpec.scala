@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.{TxLog, TxLogV2}
+
+/** The r12 V2 polish surface:
+  *
+  *  - `option("versionAsOf", v)` — time travel through the PRODUCTION
+  *    `format("txlog")` door: same manifest-prefix replay as
+  *    [[TxLog.snapshotAt]] (schema as of v, loud beyond-head), pinned
+  *    relations are read-only, and zone-map pruning still works inside
+  *    the pinned prefix;
+  *  - metadata-only aggregates — whole-table count(*)/count(col)/
+  *    min/max answered from manifest stats with ZERO data files opened
+  *    (plan shows `MetaAgg`), refused (ordinary scan, identical
+  *    results) whenever stats can't answer exactly: filters, GROUP BY,
+  *    DISTINCT, double (NaN hazard) or string (footer truncation
+  *    hazard) extrema. */
+class TxV2PolishSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txv2p_").resolve("t").toString
+
+  private def batch(ids: Range, grp: String): DataFrame =
+    ids.map(i => (i.toLong, grp, s"name-$i", i * 0.5)).toDF("id", "grp", "name", "score")
+
+  /** v0: [0,100) alpha · v1: [100,200) beta · v2: DELETE id < 50 ·
+    * v3: [200,300) gamma — history with a rewrite in the middle. */
+  private def history(): String = {
+    val t = freshTable()
+    batch(0 until 100, "alpha").coalesce(1).write.format("txlog").mode("append").save(t)
+    batch(100 until 200, "beta").coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.delete(spark, t, $"id" < 50L, "ttl-del", 0L)
+    batch(200 until 300, "gamma").coalesce(1).write.format("txlog").mode("append").save(t)
+    t
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def readAt(t: String, v: Long): DataFrame =
+    spark.read.format("txlog").option("versionAsOf", v).load(t)
+
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // ------------------------------------------------------------------
+  // versionAsOf
+  // ------------------------------------------------------------------
+
+  test("versionAsOf replays the log prefix exactly (incl. pre-DML rows)") {
+    val t = history()
+    assert(TxLog.headVersion(spark, t) == 3L)
+    for (v <- 0L to 3L) {
+      val expected = rows(TxLog.snapshotAt(spark, t, v).get)
+      assert(rows(readAt(t, v)) == expected, s"versionAsOf=$v diverged from snapshotAt")
+    }
+    // v1 still sees the rows v2's DELETE removed; head does not
+    assert(readAt(t, 1L).where($"id" < 50L).count() == 50L)
+    assert(spark.read.format("txlog").load(t).where($"id" < 50L).count() == 0L)
+  }
+
+  test("versionAsOf beyond head / non-numeric is loud, not empty") {
+    val t = history()
+    val e = intercept[Exception] { readAt(t, 17L).collect() }
+    assert(e.getMessage.contains("version 17"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("txlog").option("versionAsOf", "tuesday").load(t).collect()
+    }
+    assert(e2.getMessage.contains("versionAsOf"), e2.getMessage)
+  }
+
+  test("versionAsOf serves the schema AS OF the version (pre-evolution)") {
+    val t = history()
+    // when() keeps the new column nullable (evolution's contract)
+    batch(300 until 310, "delta").withColumn("flag", when($"id" >= 0L, true))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    assert(spark.read.format("txlog").load(t).schema.fieldNames.contains("flag"))
+    assert(!readAt(t, 3L).schema.fieldNames.contains("flag"),
+      "evolved column leaked into a pre-evolution snapshot")
+  }
+
+  test("a version-pinned relation is read-only") {
+    val t = history()
+    val e = intercept[Exception] {
+      batch(900 until 910, "x").write.format("txlog")
+        .option("versionAsOf", 1L).mode("append").save(t)
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    // and it cannot be a stream source (the tail is unpinned by definition)
+    val e2 = intercept[Exception] {
+      spark.readStream.format("txlog").option("versionAsOf", 1L).load(t)
+        .writeStream.format("memory").queryName("ttl_pin_stream")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ttl_ckpt_").toString)
+        .start().processAllAvailable()
+    }
+    assert(e2.getMessage.contains("versionAsOf")
+      || Option(e2.getCause).exists(_.getMessage.contains("versionAsOf")),
+      e2.getMessage)
+  }
+
+  test("zone-map pruning still applies inside the pinned prefix") {
+    val t = history()
+    // v1 prefix = 2 one-file generations with disjoint id ranges
+    readAt(t, 1L).where($"id" === 150L).collect()
+    assert(TxLogV2.lastPrune.get() == ((1, 2)))
+  }
+
+  // ------------------------------------------------------------------
+  // metadata-only aggregates
+  // ------------------------------------------------------------------
+
+  test("whole-table count/min/max answer from the manifest (MetaAgg plan)") {
+    val t = history()
+    val df = spark.read.format("txlog").load(t)
+    val agg = df.agg(
+      count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"),
+      count($"name").as("n_name"))
+    val r = agg.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((250L, 50L, 299L, 250L)))
+    assert(planOf(agg).contains("MetaAgg"),
+      s"expected manifest-only aggregate plan: ${planOf(agg)}")
+    // Dataset.count() too — the everyday call
+    assert(df.count() == 250L)
+  }
+
+  test("DML rewrites keep meta-aggregates exact (stats re-collected)") {
+    val t = history()
+    TxLog.update(spark, t, $"id" === 299L, Map("id" -> lit(1000L)), "ttl-up", 0L)
+    val agg = spark.read.format("txlog").load(t).agg(max($"id").as("hi"))
+    assert(agg.collect()(0).getLong(0) == 1000L)
+    assert(planOf(agg).contains("MetaAgg"))
+  }
+
+  test("meta-aggregate at a pinned version: history counts, not head counts") {
+    val t = history()
+    val agg = readAt(t, 1L).agg(count(lit(1)).as("n"), min($"id").as("lo"))
+    val r = agg.collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((200L, 0L)))
+    assert(planOf(agg).contains("MetaAgg"))
+  }
+
+  test("refusals fall back to the ordinary scan with identical results") {
+    val t = history()
+    val df = spark.read.format("txlog").load(t)
+    val cases: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("filter", df.where($"id" >= 100L).agg(count(lit(1)).as("n")),
+        Seq("[200]")),
+      ("group by", df.groupBy($"grp").agg(count(lit(1)).as("n")).orderBy($"grp"),
+        Seq("[alpha,50]", "[beta,100]", "[gamma,100]")),
+      ("distinct", df.agg(countDistinct($"grp").as("n")), Seq("[3]")),
+      ("double extremum (NaN hazard)", df.agg(min($"score").as("m")), Seq("[25.0]")),
+      ("string extremum (truncation hazard)", df.agg(max($"grp").as("m")),
+        Seq("[gamma]")),
+      ("sum", df.agg(sum($"id").cast("long").as("s")),
+        Seq(s"[${(50 until 300).map(_.toLong).sum}]")))
+    for ((clue, q, expected) <- cases) {
+      assert(rows(q) == expected.sorted, s"$clue: wrong result")
+      assert(!planOf(q).contains("MetaAgg"), s"$clue: must NOT push to metadata")
+    }
+  }
+
+  test("emptied table: count 0 / null extrema straight from the log") {
+    val t = freshTable()
+    batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.delete(spark, t, lit(true), "ttl-wipe", 0L)
+    val agg = spark.read.format("txlog").load(t)
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"))
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    assert(planOf(agg).contains("MetaAgg"))
+  }
+}
