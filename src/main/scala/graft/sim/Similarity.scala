@@ -416,7 +416,12 @@ object Similarity {
     * per-query distance tables broadcast (M·KS longs per query); the
     * scoring scan reads codes only; the top-R cut is a WindowGroupLimit
     * (map-side partial); the re-rank joins [[PqRerank]]·|queries| rows
-    * back to the vectors. */
+    * back to the vectors.
+    *
+    * Like [[bruteforceTopK]], this rung scores corpus × queries — a
+    * deliberate EXHAUSTIVE scan, the compression baseline of the
+    * ladder. At 100 TB one would run [[ivfPqTopK]] (cell-pruned
+    * candidates) or the persisted [[probeIvfPqIndex]], never this. */
   def pqTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PqQuantizer._

@@ -385,6 +385,32 @@ object TxLog {
     else Some(readFiles(s, table, ms, files))
   }
 
+  /** DESCRIBE HISTORY: one row per surviving log version — what
+    * happened, by whom, and how much data moved. Driver-built from the
+    * O(log) manifest list (vacuum-truncated versions are gone, which is
+    * itself visible: the minimum version is the truncation point). The
+    * `operation` is derived structurally from the writer-id class —
+    * this library is the format's only writer, so the prefix IS the
+    * statement kind. */
+  def history(s: SparkSession, table: String): DataFrame = {
+    import s.implicits._
+    def opOf(m: Manifest): String = m.writerId match {
+      case w if w.startsWith("sql-") => w.split("-")(1).toUpperCase // DELETE/UPDATE/MERGE
+      case w if w.startsWith("overwrite-") => "OVERWRITE"
+      case w if w.startsWith("compact-") => "COMPACT"
+      case w if w.startsWith("cluster-") => "CLUSTER"
+      case _ if m.checkpoint => "CHECKPOINT"
+      case _ if m.removes.nonEmpty => "REWRITE"
+      case _ => "APPEND"
+    }
+    manifests(s, table).map { m =>
+      (m.version, opOf(m), m.writerId, m.batchId, m.checkpoint,
+        m.files.size.toLong, m.removes.size.toLong,
+        m.stats.map(_.rows).sum, m.stats.map(_.bytes).sum)
+    }.toDF("version", "operation", "writer_id", "batch_id", "checkpoint",
+      "n_files", "n_removes", "rows_written", "bytes_written")
+  }
+
   /** TIME TRAVEL: the table exactly as of committed version `v` — the
     * log IS the history, so reading an old snapshot is just replaying
     * manifests `≤ v` (from the newest checkpoint at or before `v`).

@@ -180,7 +180,8 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
   override def metadataColumns(): Array[MetadataColumn] = Array(TxLogFileColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxLogScanBuilder(spark, table, schema, op = None, asOf = asOf)
+    new TxLogScanBuilder(spark, table, schema, op = None, asOf = asOf,
+      startingVersion = Option(options.get("startingVersion")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
@@ -202,7 +203,8 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
   * ([[metaAgg]]) when that is provably exact. */
 class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructType,
                        op: Option[TxLogRowLevelOperation],
-                       asOf: Option[Long] = None)
+                       asOf: Option[Long] = None,
+                       startingVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -327,7 +329,8 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
 
   override def build(): Scan = agg match {
     case Some((schema, row)) => new TxLogMetaAggScan(table, asOf, schema, row)
-    case None => new TxLogScan(spark, table, tableSchema, required, pushed, op, asOf)
+    case None => new TxLogScan(spark, table, tableSchema, required, pushed, op,
+      asOf, startingVersion)
   }
 }
 
@@ -369,7 +372,8 @@ object TxLogMetaAggReaderFactory extends PartitionReaderFactory {
 class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
                 required: StructType, pushed: Array[Filter],
                 op: Option[TxLogRowLevelOperation],
-                asOf: Option[Long] = None)
+                asOf: Option[Long] = None,
+                startingVersion: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
 
@@ -465,7 +469,27 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} cannot be a stream " +
         "source — the tail is by definition unpinned")
-    new TxLogMicroBatchStream(spark, table, tableSchema, readDataSchema)
+    // `startingVersion`: begin the tail at version v INCLUSIVE instead
+    // of snapshotting the whole table first (the Delta option): the
+    // initial offset becomes v−1, so the first micro-batch replays
+    // (v..head] through the ordinary range path with all its guards.
+    // "latest" = only commits made after the stream starts. Only the
+    // FIRST start of a checkpoint consults this — restarts resume from
+    // the checkpointed offset, as for any Structured Streaming source.
+    val start = startingVersion.map {
+      case s if s.equalsIgnoreCase("latest") =>
+        TxLog.headVersionByName(spark, table)
+      case s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingVersion must be a log version (long) or 'latest', got '$s'")
+        }
+        val head = TxLog.headVersionByName(spark, table)
+        require(v >= 0L && v <= head + 1,
+          s"startingVersion $v outside $table's log (head = $head)")
+        v - 1L
+    }
+    new TxLogMicroBatchStream(spark, table, tableSchema, readDataSchema, start)
   }
 
   /** Real statistics from the manifest (post static pruning), so the
@@ -494,7 +518,8 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   * silently dropping or duplicating rows. Port of the DSv1
   * `TxLogStreamSource` semantics onto the V2 seam. */
 class TxLogMicroBatchStream(spark: SparkSession, table: String,
-                            tableSchema: StructType, readDataSchema: StructType)
+                            tableSchema: StructType, readDataSchema: StructType,
+                            start: Option[Long] = None)
     extends MicroBatchStream {
 
   private case class V(v: Long) extends Offset { override def json: String = v.toString }
@@ -503,7 +528,9 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
     case other => other.json.trim.toLong
   }
 
-  override def initialOffset(): Offset = V(-1L)
+  /** −1 (full snapshot first) unless `startingVersion` moved the start
+    * of the tail; only consulted on a checkpoint's FIRST batch. */
+  override def initialOffset(): Offset = V(start.getOrElse(-1L))
   override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -171,6 +171,53 @@ class TxV2PolishSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // startingVersion (stream tail without the snapshot) + history
+  // ------------------------------------------------------------------
+
+  test("startingVersion tails from v inclusive, skipping the snapshot") {
+    val t = freshTable()
+    batch(0 until 100, "alpha").coalesce(1).write.format("txlog").mode("append").save(t)
+    batch(100 until 200, "beta").coalesce(1).write.format("txlog").mode("append").save(t)
+    batch(200 until 300, "gamma").coalesce(1).write.format("txlog").mode("append").save(t)
+    def drain(opt: String): Long = {
+      val name = s"sv_${opt.replace("-", "m")}_${System.nanoTime()}"
+      val q = spark.readStream.format("txlog").option("startingVersion", opt).load(t)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", Files.createTempDirectory("sv_ckpt_").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).count()
+    }
+    assert(drain("1") == 200L, "v1 inclusive = beta + gamma")
+    assert(drain("0") == 300L, "v0 = everything")
+    assert(drain("latest") == 0L, "latest = only post-start commits")
+    val e = intercept[Exception] { drain("9") }
+    assert(e.getMessage.contains("startingVersion")
+      || Option(e.getCause).exists(_.getMessage.contains("startingVersion")),
+      e.getMessage)
+  }
+
+  test("history describes the log: one row per version, structural operations") {
+    val t = history()
+    val h = TxLog.history(spark, t).orderBy($"version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h.map(_.getString(1)).toSeq == Seq("APPEND", "APPEND", "REWRITE", "APPEND"))
+    assert(h(0).getLong(7) == 100L, "v0 wrote 100 rows")
+    assert(h(2).getLong(6) > 0L, "the DELETE removed files")
+    // SQL DML goes through the V2 writer-id namespace -> named statement
+    spark.read.format("txlog").load(t).createOrReplaceTempView("ttl_hist_now")
+    val p = freshTable()
+    batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(p)
+    spark.sql(s"CREATE TABLE ttl_hist_t USING txlog OPTIONS (path '$p')")
+    try {
+      spark.sql("DELETE FROM ttl_hist_t WHERE id < 3")
+      val ops = TxLog.history(spark, p).orderBy($"version")
+        .collect().map(_.getString(1)).toSeq
+      assert(ops == Seq("APPEND", "DELETE"), ops.toString)
+    } finally spark.sql("DROP TABLE ttl_hist_t")
+  }
+
   test("emptied table: count 0 / null extrema straight from the log") {
     val t = freshTable()
     batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(t)
