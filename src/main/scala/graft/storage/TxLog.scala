@@ -69,7 +69,7 @@ object TxLog {
     * that needs replay dedup must not start with one. */
   private[storage] def singleUseWriter(w: String): Boolean =
     Seq("compact-", "cluster-", "overwrite-", "batch-", "insert-",
-      "sql-delete-", "sql-update-", "sql-merge-").exists(w.startsWith)
+      "sql-delete-", "sql-update-", "sql-merge-", "props-").exists(w.startsWith)
 
   /** The reserved namespace FAILS LOUDLY at the public entry points: a
     * user writer id like `batch-nightly` would be silently dropped from
@@ -114,7 +114,9 @@ object TxLog {
                               removes: Seq[String] = Seq.empty,
                               schema: Option[String] = None,
                               tokens: Seq[(String, Long)] = Seq.empty,
-                              pcols: Seq[String] = Seq.empty)
+                              pcols: Seq[String] = Seq.empty,
+                              changes: Seq[String] = Seq.empty,
+                              props: Seq[(String, String)] = Seq.empty)
 
   // hand-rolled JSON (matches the repo's zero-dependency stance); file
   // paths are uuid/part names we generate — no escaping needed beyond
@@ -128,9 +130,9 @@ object TxLog {
   private def render(m: Manifest): String = {
     // key order is LOAD-BEARING for the cursor parser: version,
     // checkpoint, writer_id, batch_id, files, [removes], [schema],
-    // [pcols], [tokens], [stats] — optional keys are omitted (not null)
-    // so pre-feature manifests and append-only manifests keep the exact
-    // old shape
+    // [pcols], [changes], [props], [tokens], [stats] — optional keys
+    // are omitted (not null) so pre-feature manifests and append-only
+    // manifests keep the exact old shape
     val removes =
       if (m.removes.isEmpty) ""
       else ", \"removes\": [" + m.removes.map(q).mkString(", ") + "]"
@@ -138,6 +140,14 @@ object TxLog {
     val pcols =
       if (m.pcols.isEmpty) ""
       else ", \"pcols\": [" + m.pcols.map(q).mkString(", ") + "]"
+    val changes =
+      if (m.changes.isEmpty) ""
+      else ", \"changes\": [" + m.changes.map(q).mkString(", ") + "]"
+    val props =
+      if (m.props.isEmpty) ""
+      else ", \"props\": [" + m.props.map { case (k, v) =>
+        s"""{"k": ${q(k)}, "v": ${q(v)}}"""
+      }.mkString(", ") + "]"
     val tokens =
       if (m.tokens.isEmpty) ""
       else ", \"tokens\": [" + m.tokens.map { case (w, b) =>
@@ -163,7 +173,8 @@ object TxLog {
       }.mkString(", ") + "]"
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, """ +
-      s""""files": [${m.files.map(q).mkString(", ")}]$removes$schema$pcols$tokens$stats}"""
+      s""""files": [${m.files.map(q).mkString(", ")}]""" +
+      s"""$removes$schema$pcols$changes$props$tokens$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -229,9 +240,28 @@ object TxLog {
       if (s.startsWith(", \"schema\": ", cRem)) {
         val (v, j) = scanString(cRem + 12); (Some(v), j)
       } else (None, cRem)
-    val (pcols, cSch) =
+    val (pcols, cPc) =
       if (s.startsWith(", \"pcols\": ", cSch0)) strArray(cSch0 + 11)
       else (Seq.empty[String], cSch0)
+    val (changes, cChg) =
+      if (s.startsWith(", \"changes\": ", cPc)) strArray(cPc + 13)
+      else (Seq.empty[String], cPc)
+    // {"k":…,"v":…} object arrays share one scanner shape with tokens
+    def kvArray(from: Int, k1: String, k2: String): (Seq[(String, String)], Int) = {
+      var i = s.indexOf('[', from) + 1
+      val out = Seq.newBuilder[(String, String)]
+      while (s(i) != ']') {
+        if (s(i) == '{') {
+          val (a, i1) = scanString(keyFrom(k1, i))
+          val (b, i2) = scanString(keyFrom(k2, i1))
+          out += ((a, b)); i = i2
+        } else i += 1
+      }
+      (out.result(), i + 1)
+    }
+    val (props, cSch) =
+      if (s.startsWith(", \"props\": ", cChg)) kvArray(cChg + 11, "k", "v")
+      else (Seq.empty[(String, String)], cChg)
     val (tokens, cTok) =
       if (s.startsWith(", \"tokens\": ", cSch)) {
         var i = s.indexOf('[', cSch + 12) + 1
@@ -298,7 +328,7 @@ object TxLog {
       }
     }
     Manifest(version, files, writerId, batchId, checkpoint, stats, removes,
-      schemaDdl, tokens, pcols)
+      schemaDdl, tokens, pcols, changes, props)
   }
 
   /** All committed manifests, version-ordered. */
@@ -399,6 +429,7 @@ object TxLog {
       case w if w.startsWith("overwrite-") => "OVERWRITE"
       case w if w.startsWith("compact-") => "COMPACT"
       case w if w.startsWith("cluster-") => "CLUSTER"
+      case w if w.startsWith("props-") => "SET PROPERTIES"
       case _ if m.checkpoint => "CHECKPOINT"
       case _ if m.removes.nonEmpty => "REWRITE"
       case _ => "APPEND"
@@ -478,6 +509,57 @@ object TxLog {
   private[storage] def partitionColsFrom(ms: Seq[Manifest]): Seq[String] =
     ms.reverse.collectFirst { case m if m.pcols.nonEmpty => m.pcols }
       .getOrElse(Seq.empty)
+
+  // ------------------------------------------------------------------
+  // table properties
+  // ------------------------------------------------------------------
+
+  /** The table property that switches on change-data-feed capture for
+    * row-level DML ([[publishRewrite]]): `"changeFeed" -> "true"`. */
+  val ChangeFeedProp = "changeFeed"
+
+  /** Properties in force for `ms`: the newest manifest carrying a
+    * non-empty props list (property commits record the FULL merged map,
+    * and checkpoints re-record it, so newest-wins survives both partial
+    * updates and log truncation — the pcols pattern). */
+  private[storage] def propsFrom(ms: Seq[Manifest]): Map[String, String] =
+    ms.reverse.collectFirst { case m if m.props.nonEmpty => m.props }
+      .getOrElse(Seq.empty).toMap
+
+  /** The table's current properties. */
+  def properties(s: SparkSession, table: String): Map[String, String] =
+    propsFrom(manifests(s, table))
+
+  /** Merge `set` into the table's properties as ONE metadata-only
+    * transaction (an empty-file manifest carrying the full merged map —
+    * the newest-wins lookup then never needs to walk history). The
+    * version bump makes property changes part of the table's history:
+    * `versionAsOf` a pre-change version and the old properties are in
+    * force, exactly like schema. */
+  def setProperties(s: SparkSession, table: String,
+                    set: Map[String, String]): Long = {
+    require(set.nonEmpty, "setProperties of nothing")
+    var last = -1L
+    var attempt = 0
+    while (attempt < 20) {
+      val ms = manifests(s, table)
+      val merged = (propsFrom(ms) ++ set).toSeq.sorted
+      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      val root = new Path(table)
+      val f = fs(s, root)
+      val logDir = new Path(root, LogDir)
+      f.mkdirs(logDir)
+      val bytes = render(Manifest(v, Seq.empty,
+        writerId = s"props-${java.util.UUID.randomUUID()}", batchId = 0L,
+        checkpoint = false, props = merged))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
+        return v
+      attempt += 1; last = v // lost the slot race: re-merge on the new head
+    }
+    throw new IllegalStateException(
+      s"setProperties of $table lost 20 version races (last tried v$last)")
+  }
 
   /** Render an equality literal the way the hive path segment renders
     * the value — ONLY for shapes where that rendering is unambiguous
@@ -1198,6 +1280,13 @@ object TxLog {
       s"$table moved past v$expectedHead during a row-level rewrite — re-run on the new snapshot")
     if (msNow.lastOption.map(_.version).getOrElse(-1L) != expectedHead) throw conflict
     val v = expectedHead + 1
+    // CHANGE-DATA-FEED capture (the `changeFeed` table property): the
+    // row-level difference this rewrite makes, staged as change files
+    // the manifest references — a crash/conflict before the put leaves
+    // only vacuum-collectable orphans, same as the rewrite's own files
+    val changes =
+      if (!propsFrom(msNow).get(ChangeFeedProp).contains("true")) Seq.empty
+      else captureChanges(s, table, removes, rel, schemaDdl)
     val logDir = new Path(root, LogDir)
     f.mkdirs(logDir)
     val bytes =
@@ -1205,11 +1294,62 @@ object TxLog {
         // a rewrite reads through the table schema, so its output IS the
         // table schema — recorded verbatim (keeps evolved reads O(0
         // inference) after DML)
-        schema = Some(schemaDdl)))
+        schema = Some(schemaDdl), changes = changes))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (!putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) throw conflict
     Rewrite(v, removes.size, rel.size)
   }
+
+  /** Row-level CHANGES of a copy-on-write rewrite, computed post-hoc as
+    * the multiset difference of the touched files' rows before vs
+    * after: deletes = old ∖ new, inserts = new ∖ old (an UPDATE is a
+    * delete+insert pair at the same version — the retract/add model
+    * incremental consumers need; pre/post pairing is deliberately not
+    * claimed). Diffing at commit time covers EVERY DML shape — library
+    * delete/update/merge and Spark-planned SQL ReplaceData alike — at
+    * the cost of one extra read + two exceptAll shuffles over the
+    * TOUCHED files only (copy-on-write keeps that proportional to the
+    * affected data, not the table). Both sides read through the
+    * rewrite's schema, so evolution back-fills line up. Change files
+    * live under `_changes/` (outside the data sweep), named
+    * `<uuid>-d/` (deletes) or `<uuid>-i/` (inserts) — the type is
+    * structural, a constant per file, never a stored column. */
+  private def captureChanges(s: SparkSession, table: String,
+                             removes: Seq[String], added: Seq[String],
+                             schemaDdl: String): Seq[String] = {
+    val root = new Path(table)
+    val f = fs(s, root)
+    val sch = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    def read(rel: Seq[String]): DataFrame =
+      if (rel.isEmpty)
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+      else s.read.schema(sch).parquet(rel.map(absPath(table)): _*)
+    val old = read(removes)
+    val neu = read(added)
+    def stage(df: DataFrame, kind: String): Seq[String] = {
+      val uuid = java.util.UUID.randomUUID().toString
+      val dir = new Path(root, s"_changes/$uuid-$kind")
+      df.coalesce(math.max(1, math.max(removes.size, added.size)))
+        .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+      val rel = f.listStatus(dir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => s"_changes/$uuid-$kind/${st.getPath.getName}").toSeq.sorted
+      // zero-row outputs are dropped now (footer-only check), not left
+      // for the manifest — the publishRewrite empty-file policy
+      val keep = TxStats.collect(s, root, rel).filter(_.rows > 0).map(_.file).toSet
+      rel.filterNot(keep).foreach(r => f.delete(new Path(root, r), false))
+      if (f.listStatus(dir).isEmpty) f.delete(dir, true)
+      rel.filter(keep)
+    }
+    stage(old.exceptAll(neu), "d") ++ stage(neu.exceptAll(old), "i")
+  }
+
+  /** True iff the change feed was enabled AS OF version `v` — the
+    * versioned-props lookup CDF readers use to distinguish "DML with a
+    * legitimately empty change set" from "DML committed before the
+    * feed was on" (which must fail loudly, not read as no-change). */
+  private[storage] def changeFeedAt(ms: Seq[Manifest], v: Long): Boolean =
+    propsFrom(ms.filter(_.version <= v)).get(ChangeFeedProp).contains("true")
 
   /** Compact the live file set into ~targetBytes files and commit the
     * result as a CHECKPOINT manifest: one transaction that atomically
@@ -1307,9 +1447,10 @@ object TxLog {
       val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
         checkpoint = true, carriedStats, removes = removes,
         schema = carriedSchema.map(_.toDDL), tokens = absorbed,
-        // the partition layout must SURVIVE log truncation: checkpoints
-        // re-record it (everything below them is vacuum-collectable)
-        pcols = partitionColsFrom(ms)))
+        // the partition layout AND properties must SURVIVE log
+        // truncation: checkpoints re-record them (everything below is
+        // vacuum-collectable)
+        pcols = partitionColsFrom(ms), props = propsFrom(ms).toSeq.sorted))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
       attempt += 1 // lost the slot race; re-list and rebase again
@@ -1510,6 +1651,24 @@ object TxLog {
           below.foreach { m =>
             f.delete(new Path(logDir, manifestName(m.version)), false); n += 1
           }
+    }
+    // change-feed sweep (AFTER truncation, against the surviving log):
+    // change files referenced by NO remaining manifest — orphans of
+    // crashed/conflicted DML, or deltas of just-truncated versions —
+    // are collectable once aged. Feed retention therefore equals log
+    // retention, exactly the window the CDF readers enforce loudly.
+    val chRoot = new Path(root, "_changes")
+    if (f.exists(chRoot)) {
+      val referenced = manifests(s, table).flatMap(_.changes).toSet
+      f.listStatus(chRoot).foreach { d =>
+        f.listStatus(d.getPath).foreach { st =>
+          val rel = s"_changes/${d.getPath.getName}/${st.getPath.getName}"
+          if (!referenced.contains(rel) && st.getModificationTime < cutoff) {
+            f.delete(st.getPath, true); n += 1
+          }
+        }
+        if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true)
+      }
     }
     n
   }

@@ -88,16 +88,21 @@ class TxLogV2Source extends TableProvider with DataSourceRegister {
       case Some(v) => TxLog.tableSchemaAt(SparkSession.active, path, v)
       case None => TxLog.tableSchema(SparkSession.active, path)
     }
-    schema.getOrElse(throw new IllegalArgumentException(
+    val base = schema.getOrElse(throw new IllegalArgumentException(
       s"txlog table $path is empty or absent — schema unknowable " +
         "(pass an explicit schema, or write to it first)"))
+    if (TxLogV2.readChangeFeed(options)) TxLogCdf.withMeta(base) else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty),
-      TxLogV2.versionAsOf(opts))
+    val cdf = TxLogV2.readChangeFeed(opts)
+    val asOf = TxLogV2.versionAsOf(opts)
+    require(!(cdf && asOf.isDefined),
+      "readChangeFeed and versionAsOf are mutually exclusive — the feed is " +
+        "version-windowed by startingVersion/endingVersion instead")
+    TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty), asOf, cdf)
   }
 }
 
@@ -138,6 +143,33 @@ object TxLogV2 {
           s"versionAsOf must be a log version (long), got '$s'")
       }
     }
+
+  /** The `readChangeFeed` reader option: serve the table's CHANGE
+    * DATA FEED (row-level deltas per committed version) instead of its
+    * snapshot — see [[TxLogCdf]]. */
+  private[storage] def readChangeFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** `startingVersion` for a STREAM: begin the tail at version v
+    * INCLUSIVE instead of snapshotting first (the Delta option) — the
+    * initial offset becomes v−1. "latest" = only post-start commits.
+    * Only a checkpoint's FIRST batch consults this; restarts resume
+    * from the checkpointed offset. */
+  private[storage] def streamStart(spark: SparkSession, table: String,
+                                   raw: Option[String]): Option[Long] =
+    raw.map {
+      case s if s.equalsIgnoreCase("latest") =>
+        TxLog.headVersionByName(spark, table)
+      case s =>
+        val v = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingVersion must be a log version (long) or 'latest', got '$s'")
+        }
+        val head = TxLog.headVersionByName(spark, table)
+        require(v >= 0L && v <= head + 1,
+          s"startingVersion $v outside $table's log (head = $head)")
+        v - 1L
+    }
 }
 
 object TxLogFileColumn extends MetadataColumn {
@@ -148,23 +180,28 @@ object TxLogFileColumn extends MetadataColumn {
 }
 
 case class TxLogTable(table: String, givenSchema: Option[StructType],
-                      asOf: Option[Long] = None) extends Table
+                      asOf: Option[Long] = None, cdf: Boolean = false)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
 
   override def name(): String =
-    table + asOf.map(v => s"@v$v").getOrElse("")
+    table + asOf.map(v => s"@v$v").getOrElse("") + (if (cdf) "@changes" else "")
 
-  override lazy val schema: StructType =
-    givenSchema
+  override lazy val schema: StructType = {
+    val base = givenSchema
       .orElse(asOf match {
         case Some(v) => TxLog.tableSchemaAt(spark, table, v)
         case None => TxLog.tableSchema(spark, table)
       })
       .getOrElse(throw new IllegalArgumentException(
         s"txlog table $table is empty or absent — schema unknowable"))
+    // CDF relations append the change metadata; idempotent so an
+    // explicit user schema may come with or without the meta columns
+    if (cdf) TxLogCdf.withMeta(base) else base
+  }
 
   // NOTE the capability set stays full even when version-pinned: Spark
   // rejects a missing BATCH_WRITE capability with a misleading
@@ -180,12 +217,18 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
   override def metadataColumns(): Array[MetadataColumn] = Array(TxLogFileColumn)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxLogScanBuilder(spark, table, schema, op = None, asOf = asOf,
-      startingVersion = Option(options.get("startingVersion")))
+    if (cdf)
+      new TxLogChangeScanBuilder(spark, table, schema,
+        startRaw = Option(options.get("startingVersion")),
+        endRaw = Option(options.get("endingVersion")))
+    else
+      new TxLogScanBuilder(spark, table, schema, op = None, asOf = asOf,
+        startingVersion = Option(options.get("startingVersion")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
+    require(!cdf, "a txlog change-feed relation is read-only")
     new TxLogWriteBuilder(table, info)
   }
 
@@ -193,6 +236,7 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
       : RowLevelOperationBuilder = {
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
+    require(!cdf, "a txlog change-feed relation is read-only")
     () => new TxLogRowLevelOperation(table, schema, info.command)
   }
 }
@@ -469,27 +513,8 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} cannot be a stream " +
         "source — the tail is by definition unpinned")
-    // `startingVersion`: begin the tail at version v INCLUSIVE instead
-    // of snapshotting the whole table first (the Delta option): the
-    // initial offset becomes v−1, so the first micro-batch replays
-    // (v..head] through the ordinary range path with all its guards.
-    // "latest" = only commits made after the stream starts. Only the
-    // FIRST start of a checkpoint consults this — restarts resume from
-    // the checkpointed offset, as for any Structured Streaming source.
-    val start = startingVersion.map {
-      case s if s.equalsIgnoreCase("latest") =>
-        TxLog.headVersionByName(spark, table)
-      case s =>
-        val v = try s.trim.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"startingVersion must be a log version (long) or 'latest', got '$s'")
-        }
-        val head = TxLog.headVersionByName(spark, table)
-        require(v >= 0L && v <= head + 1,
-          s"startingVersion $v outside $table's log (head = $head)")
-        v - 1L
-    }
-    new TxLogMicroBatchStream(spark, table, tableSchema, readDataSchema, start)
+    new TxLogMicroBatchStream(spark, table, tableSchema, readDataSchema,
+      TxLogV2.streamStart(spark, table, startingVersion))
   }
 
   /** Real statistics from the manifest (post static pruning), so the
@@ -590,6 +615,216 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
       StructType(Nil), Array.empty)
+}
+
+// ----------------------------------------------------------------------
+// change data feed
+// ----------------------------------------------------------------------
+
+/** CHANGE DATA FEED: the table's row-level deltas, per committed
+  * version, as a readable relation —
+  * `spark.read.format("txlog").option("readChangeFeed", "true")` with
+  * `startingVersion`/`endingVersion` (batch, both INCLUSIVE), or
+  * `readStream` for a LIVE feed. Output schema = table schema +
+  * `_change_type` ("insert" | "delete") + `_commit_version` — the
+  * retract/add model: an UPDATE is a delete+insert pair at one
+  * version. Both meta columns are constants per file served from the
+  * partition-value vector (zero per-row storage or compute).
+  *
+  * Version semantics (enforced in [[expand]]):
+  *  - append commit → its data files, type "insert";
+  *  - row-level DML → the change files [[TxLog]] captured at commit
+  *    (`changeFeed` table property); DML from before the property was
+  *    set fails LOUDLY (the delta was never recorded — versioned
+  *    props distinguish that from a legitimately empty change set);
+  *  - compact / cluster checkpoints → SKIPPED (layout, not data: the
+  *    feed is invariant under maintenance);
+  *  - overwrite → loud (a wholesale replacement has no row-level
+  *    delta; start a fresh snapshot instead);
+  *  - vacuumed versions → loud (log truncation bounds feed retention).
+  *
+  * This is what makes a DML-curated 100 TB table INCREMENTALLY
+  * consumable: the plain stream source must fail on a rewrite (its
+  * rows would double-count), while the feed hands downstream exactly
+  * the retract/add rows needed to stay consistent. */
+object TxLogCdf {
+  val TypeCol = "_change_type"
+  val VersionCol = "_commit_version"
+  val TypeField: StructField = StructField(TypeCol, StringType, nullable = false)
+  val VersionField: StructField = StructField(VersionCol, LongType, nullable = false)
+  private[storage] val MetaNames = Set(TypeCol, VersionCol)
+
+  /** The CDF relation schema for a data schema (idempotent). */
+  def withMeta(base: StructType): StructType =
+    StructType(base.fields.filterNot(f => MetaNames(f.name)) :+
+      TypeField :+ VersionField)
+
+  /** One feed file: manifest-relative path + its constant change type
+    * and version. */
+  final case class Entry(rel: String, change: String, version: Long)
+
+  /** Change type from the staged dir name (`<uuid>-d` / `<uuid>-i`) —
+    * structural, see [[TxLog]] captureChanges. */
+  private def typeOf(rel: String): String = {
+    val dir = rel.split('/')(1)
+    if (dir.endsWith("-d")) "delete" else "insert"
+  }
+
+  private[storage] def expand(ms: Seq[TxLog.Manifest], from: Long, to: Long,
+                              table: String): Seq[Entry] =
+    ms.filter(m => m.version >= from && m.version <= to).flatMap { m =>
+      if (m.checkpoint && m.writerId.startsWith("overwrite-"))
+        throw new IllegalStateException(
+          s"v${m.version} of $table OVERWROTE the table — a wholesale " +
+            "replacement has no row-level delta; restart the feed from a snapshot")
+      else if (m.checkpoint) Seq.empty // compact/cluster: layout only
+      else if (m.removes.nonEmpty || m.changes.nonEmpty) {
+        if (m.changes.isEmpty && !TxLog.changeFeedAt(ms, m.version))
+          throw new IllegalStateException(
+            s"v${m.version} of $table rewrote rows BEFORE the change feed was " +
+              s"enabled — the delta was never recorded (set ${TxLog.ChangeFeedProp}" +
+              "=true before running DML)")
+        m.changes.map(rel => Entry(rel, typeOf(rel), m.version))
+      } else m.files.map(rel => Entry(rel, "insert", m.version))
+    }
+}
+
+/** Column pruning only — the feed is version-windowed (small by
+  * construction), so filters stay entirely Spark-side. */
+class TxLogChangeScanBuilder(spark: SparkSession, table: String,
+                             fullSchema: StructType,
+                             startRaw: Option[String], endRaw: Option[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new TxLogChangeScan(spark, table, fullSchema, required, startRaw, endRaw)
+}
+
+class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType,
+                      required: StructType,
+                      startRaw: Option[String], endRaw: Option[String])
+    extends Scan with Batch {
+
+  import TxLogCdf._
+
+  private[storage] val baseSchema =
+    StructType(fullSchema.fields.filterNot(f => MetaNames(f.name)))
+  private[storage] val readDataSchema =
+    StructType(required.fields.filterNot(f => MetaNames(f.name)))
+  // requested meta columns, in relation order (_change_type first)
+  private[storage] val metaFields = required.fields.filter(f => MetaNames(f.name))
+
+  override def readSchema(): StructType =
+    StructType(readDataSchema.fields ++ metaFields)
+
+  private[storage] def partitions(entries: Seq[Entry],
+                                  stats: Map[String, TxStats.FileStats])
+      : Array[InputPartition] = {
+    val pfs = entries.map { e =>
+      val pv = InternalRow.fromSeq(metaFields.toSeq.map(_.name match {
+        case TypeCol => UTF8String.fromString(e.change)
+        case _ => e.version
+      }))
+      // change files carry no manifest stats — fileBytes falls back to
+      // one getFileStatus each; feed windows are small by construction
+      GraftParquetIO.partitionedFile(TxLog.absPath(table)(e.rel),
+        TxLogV2.fileBytes(spark, table, e.rel, stats), pv)
+    }
+    GraftParquetIO.filePartitions(spark, pfs)
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val ms = TxLog.manifests(spark, table)
+    if (ms.isEmpty) return Array.empty
+    def parse(k: String, raw: String): Long =
+      try raw.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$k must be a log version (long), got '$raw'")
+      }
+    val from = startRaw.map(parse("startingVersion", _)).getOrElse(ms.head.version)
+    val to = endRaw.map(parse("endingVersion", _)).getOrElse(ms.last.version)
+    // both ends must still BE in the log: beyond-head is user error and
+    // below-oldest means vacuum truncated the range — neither reads empty
+    def in(k: String, v: Long): Unit = require(ms.exists(_.version == v),
+      s"$k $v not in $table's log (retained: ${ms.head.version}..${ms.last.version})")
+    in("startingVersion", from); in("endingVersion", to)
+    require(from <= to, s"startingVersion $from > endingVersion $to")
+    partitions(expand(ms, from, to, table), TxLog.liveStats(ms))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetIO.readerFactory(spark, baseSchema, readDataSchema,
+      StructType(metaFields), Array.empty)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TxLogChangeStream(spark, table, this,
+      TxLogV2.streamStart(spark, table, startRaw))
+
+  override def description(): String =
+    s"txlog $table ChangeFeed[${startRaw.getOrElse("oldest")}.." +
+      s"${endRaw.getOrElse("head")}] ReadSchema: ${readSchema().catalogString}"
+}
+
+/** The LIVE feed: version-offset tail like the plain stream source,
+  * but DML versions stream their captured change files instead of
+  * failing, and maintenance checkpoints are skipped. The initial
+  * snapshot (no `startingVersion`) is the live file set as "insert"
+  * rows at the snapshot version — state + subsequent deltas is the
+  * complete materialization recipe. */
+class TxLogChangeStream(spark: SparkSession, table: String,
+                        scan: TxLogChangeScan, start: Option[Long])
+    extends MicroBatchStream {
+
+  import TxLogCdf._
+
+  private case class V(v: Long) extends Offset { override def json: String = v.toString }
+  private def versionOf(o: Offset): Long = o match {
+    case V(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def initialOffset(): Offset = V(start.getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def latestOffset(): Offset = V(TxLog.headVersionByName(spark, table))
+
+  override def planInputPartitions(start0: Offset, end: Offset): Array[InputPartition] = {
+    val from = versionOf(start0); val to = versionOf(end)
+    val ms = TxLog.manifests(spark, table)
+    def vacuumedError(what: String): Nothing =
+      throw new IllegalStateException(
+        s"$what of $table was vacuumed before this stream read it — " +
+          "raise the vacuum retention above the stream's lag")
+    val entries: Seq[Entry] =
+      if (from < 0L) {
+        val past = ms.filter(_.version <= to)
+        if (past.isEmpty || !(past.exists(_.checkpoint) || past.head.version == 0L))
+          vacuumedError(s"the initial snapshot (≤ v$to)")
+        TxLog.liveFiles(past).map(Entry(_, "insert", to))
+      } else {
+        val range = ms.filter(m => m.version > from && m.version <= to)
+        val have = range.map(_.version).toSet
+        val missing = ((from + 1) to to).filterNot(have)
+        if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
+        val es = expand(ms, from + 1, to, table)
+        // a lagging tail's files can be compacted/vacuumed away while
+        // their manifests survive — loud retention guidance, not FNF
+        val root = new Path(table)
+        val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        es.map(_.rel).find(r => !f.exists(new Path(root, r)))
+          .foreach(r => vacuumedError(s"file $r"))
+        es
+      }
+    scan.partitions(entries, TxLog.liveStats(ms))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
 }
 
 // ----------------------------------------------------------------------

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** CHANGE DATA FEED (r12): table properties, commit-time change
+  * capture for every DML shape (library and SQL-planned), the batch
+  * version-windowed reader, the live stream that SURVIVES DML and
+  * compaction, and vacuum's referenced-change retention. The feed is
+  * the retract/add model: UPDATE = delete+insert at one version. */
+class TxCdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txcdf_").resolve("t").toString
+
+  private def batch(ids: Range, grp: String): DataFrame =
+    ids.map(i => (i.toLong, grp, s"name-$i")).toDF("id", "grp", "name")
+
+  private def changes(t: String, opts: Map[String, String] = Map.empty): DataFrame =
+    opts.foldLeft(spark.read.format("txlog").option("readChangeFeed", "true")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(t)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** v0 props · v1 append alpha[0,100) · v2 append beta[100,200) ·
+    * v3 DELETE id<50 · v4 append gamma[200,300). */
+  private def curated(): String = {
+    val t = freshTable()
+    batch(0 until 1, "seed").coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.delete(spark, t, $"grp" === "seed", "cdf-seed-del", 0L) // pre-CDF DML (v1)
+    t
+  }
+
+  private def feedTable(): String = {
+    val t = freshTable()
+    assert(TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true")) == 0L)
+    batch(0 until 100, "alpha").coalesce(1).write.format("txlog").mode("append").save(t)
+    batch(100 until 200, "beta").coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.delete(spark, t, $"id" < 50L, "cdf-del", 0L) // v3
+    batch(200 until 300, "gamma").coalesce(1).write.format("txlog").mode("append").save(t)
+    t
+  }
+
+  test("table properties: merge, newest wins, survive checkpoint + truncation") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map("a" -> "1"))
+    TxLog.setProperties(spark, t, Map("b" -> "2"))
+    assert(TxLog.properties(spark, t) == Map("a" -> "1", "b" -> "2"))
+    TxLog.setProperties(spark, t, Map("a" -> "3")) // newest wins, b kept
+    assert(TxLog.properties(spark, t) == Map("a" -> "3", "b" -> "2"))
+    // checkpoints re-record, so truncation cannot lose them
+    batch(0 until 10, "x").coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.compact(spark, t)
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    assert(TxLog.headVersion(spark, t) > 0L)
+    assert(TxLog.properties(spark, t) == Map("a" -> "3", "b" -> "2"))
+  }
+
+  test("batch feed: appends are inserts, DML is its captured delta, exact rows") {
+    val t = feedTable()
+    val all = changes(t)
+    // per-version accounting
+    val byVer = all.groupBy($"_commit_version", $"_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVer == Map(
+      (1L, "insert") -> 100L, (2L, "insert") -> 100L,
+      (3L, "delete") -> 50L, (4L, "insert") -> 100L))
+    // the deleted rows are EXACTLY the pre-image of the DELETE
+    val dels = all.where($"_change_type" === "delete").select($"id", $"grp", $"name")
+    assert(rows(dels) == rows(batch(0 until 50, "alpha")))
+    // windowing is inclusive both ends
+    assert(changes(t, Map("startingVersion" -> "3", "endingVersion" -> "3"))
+      .count() == 50L)
+    // materialization recipe: inserts minus deletes = the live table
+    val ins = all.where($"_change_type" === "insert").select($"id", $"grp", $"name")
+    assert(rows(ins.exceptAll(dels)) == rows(spark.read.format("txlog").load(t)))
+  }
+
+  test("update is a delete+insert pair at one version; self-assignment is empty, not an error") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.update(spark, t, $"id" === 7L, Map("name" -> lit("renamed")), "cdf-up", 0L) // v2
+    val v2 = changes(t, Map("startingVersion" -> "2", "endingVersion" -> "2"))
+    assert(rows(v2.select($"id", $"name", $"_change_type")) ==
+      Seq("[7,name-7,delete]", "[7,renamed,insert]"))
+    // SET name = name: a real rewrite with an EMPTY delta — recorded as
+    // no change rows, readable (versioned props prove the feed was on)
+    TxLog.update(spark, t, $"id" === 3L, Map("name" -> $"name"), "cdf-noop", 0L) // v3
+    assert(TxLog.headVersion(spark, t) == 3L)
+    assert(changes(t, Map("startingVersion" -> "3", "endingVersion" -> "3")).count() == 0L)
+  }
+
+  test("SQL-planned DML (ReplaceData) captures changes through the same seam") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    batch(0 until 20, "a").coalesce(1).write.format("txlog").mode("append").save(t)
+    spark.sql(s"CREATE TABLE cdf_sql_t USING txlog OPTIONS (path '$t')")
+    try {
+      spark.sql("DELETE FROM cdf_sql_t WHERE id >= 15")
+      val v2 = changes(t, Map("startingVersion" -> "2"))
+      assert(rows(v2.select($"id", $"_change_type")) ==
+        (15 until 20).map(i => s"[$i,delete]").sorted)
+    } finally spark.sql("DROP TABLE cdf_sql_t")
+  }
+
+  test("DML from before the feed was enabled is loud, not silently empty") {
+    val t = curated() // v1 deleted rows with NO feed on
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    val e = intercept[Exception] { changes(t).collect() }
+    assert(e.getMessage.contains("BEFORE the change feed was enabled"), e.getMessage)
+    // but a window past it reads fine
+    batch(10 until 12, "x").coalesce(1).write.format("txlog").mode("append").save(t)
+    assert(changes(t, Map("startingVersion" -> "3")).count() == 2L)
+  }
+
+  test("overwrite has no row-level delta: loud") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(t)
+    batch(0 until 5, "b").coalesce(1).write.format("txlog").mode("overwrite").save(t)
+    val e = intercept[Exception] { changes(t).collect() }
+    assert(e.getMessage.contains("OVERWROTE"), e.getMessage)
+  }
+
+  test("the live feed survives DML and compaction (the plain tail cannot)") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    batch(0 until 100, "alpha").coalesce(1).write.format("txlog").mode("append").save(t)
+    val name = s"cdf_live_${System.nanoTime()}"
+    val q = spark.readStream.format("txlog").option("readChangeFeed", "true").load(t)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("cdf_ckpt_").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table(name)
+      assert(snap.count() == 100L, "initial snapshot as inserts")
+      assert(snap.where($"_change_type" =!= "insert").count() == 0L)
+      TxLog.delete(spark, t, $"id" < 10L, "cdf-live-del", 0L)
+      q.processAllAvailable()
+      assert(spark.table(name).where($"_change_type" === "delete").count() == 10L)
+      TxLog.compact(spark, t) // maintenance: feed-invariant
+      batch(100 until 110, "beta").coalesce(1).write.format("txlog").mode("append").save(t)
+      q.processAllAvailable()
+      val got = spark.table(name)
+      assert(got.where($"_change_type" === "insert").count() == 110L)
+      assert(got.count() == 120L)
+    } finally q.stop()
+  }
+
+  test("vacuum keeps referenced change files, collects truncated ones") {
+    val t = feedTable()
+    // referenced: vacuum now must NOT break the feed
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    assert(changes(t, Map("startingVersion" -> "3", "endingVersion" -> "3"))
+      .count() == 50L)
+    // compact + vacuum truncates the log below the checkpoint — the
+    // DML's manifest goes, its change files become unreferenced and die
+    TxLog.compact(spark, t)
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chRoot = new org.apache.hadoop.fs.Path(t, "_changes")
+    assert(!f.exists(chRoot) || f.listStatus(chRoot).isEmpty,
+      "truncated versions' change files must be collected")
+    // and the feed now starts at the retained range (loud below it)
+    val e = intercept[Exception] {
+      changes(t, Map("startingVersion" -> "3")).collect()
+    }
+    assert(e.getMessage.contains("not in"), e.getMessage)
+  }
+
+  test("column pruning serves the meta constants without data columns") {
+    val t = feedTable()
+    val pruned = changes(t).select($"_commit_version", $"_change_type")
+    val got = pruned.groupBy($"_commit_version", $"_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got((3L, "delete")) == 50L && got((4L, "insert")) == 100L)
+  }
+}
