@@ -180,6 +180,57 @@ class TxCdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not in"), e.getMessage)
   }
 
+  test("feed rows from pre-evolution versions backfill evolved columns with null") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(t) // v1
+    batch(10 until 20, "b").withColumn("flag", when($"id" >= 0L, true))
+      .coalesce(1).write.format("txlog").mode("append").save(t) // v2: + flag
+    TxLog.delete(spark, t, $"id" === 5L, "cdf-ev-del", 0L) // v3: pre-flag file rewrite
+    val all = changes(t)
+    assert(all.schema.fieldNames.toSeq ==
+      Seq("id", "grp", "name", "flag", "_change_type", "_commit_version"))
+    assert(all.where($"_commit_version" === 1L && $"flag".isNull).count() == 10L)
+    assert(all.where($"_commit_version" === 2L && $"flag" === true).count() == 10L)
+    // the v3 delta (pre-image of a pre-evolution row) reads through the
+    // current schema too: null flag, not a schema clash
+    assert(rows(all.where($"_commit_version" === 3L)
+      .select($"id", $"flag", $"_change_type")) == Seq("[5,null,delete]"))
+  }
+
+  test("capstone: a downstream aggregate maintained ONLY from the feed stays exact under DML") {
+    val t = feedTable() // appends + a DELETE, all captured
+    // maintain counts-per-grp incrementally: +1 per insert, -1 per delete
+    // (the retract/add model — what an incremental materialized view,
+    // a dedup index, or any downstream state needs from a curated table)
+    val name = s"cdf_mv_${System.nanoTime()}"
+    val state = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val q = spark.readStream.format("txlog").option("readChangeFeed", "true").load(t)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdf_mv_").toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.groupBy($"grp")
+          .agg(sum(when($"_change_type" === "insert", 1L).otherwise(-1L)).as("d"))
+          .collect().foreach(r => state.merge(r.getString(0), r.getLong(1), Long.box(_) + _))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      TxLog.update(spark, t, $"id" >= 250L, Map("grp" -> lit("delta")), "cdf-mv-up", 0L)
+      TxLog.delete(spark, t, $"grp" === "beta" && $"id" < 150L, "cdf-mv-del", 0L)
+      TxLog.compact(spark, t)
+      batch(300 until 320, "omega").coalesce(1).write.format("txlog").mode("append").save(t)
+      q.processAllAvailable()
+      // the incrementally-maintained counts equal a full recompute
+      val expected = spark.read.format("txlog").load(t)
+        .groupBy($"grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      import scala.jdk.CollectionConverters._
+      val got = state.asScala.filter(_._2 != 0L).toMap
+      assert(got == expected, s"incremental=$got recompute=$expected")
+    } finally q.stop()
+  }
+
   test("column pruning serves the meta constants without data columns") {
     val t = feedTable()
     val pruned = changes(t).select($"_commit_version", $"_change_type")
