@@ -231,6 +231,31 @@ class TxCdfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("merge-upsert captures updated keys as delete+insert and new keys as insert") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(t)
+    val src = Seq((7L, "a", "upserted"), (99L, "z", "brand-new"))
+      .toDF("id", "grp", "name")
+    TxLog.merge(src, t, Seq("id"), "cdf-merge", 0L) // v2
+    val v2 = changes(t, Map("startingVersion" -> "2"))
+    assert(rows(v2.select($"id", $"name", $"_change_type")) == Seq(
+      "[7,name-7,delete]", "[7,upserted,insert]", "[99,brand-new,insert]"))
+  }
+
+  test("partitioned tables: DML capture reads through the hive-staged rewrite") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    TxLog.commitPartitioned(batch(0 until 100, "alpha")
+      .union(batch(100 until 200, "beta")), t, Seq("grp"), "cdf-part", 0L)
+    TxLog.delete(spark, t, $"grp" === "beta" && $"id" < 120L, "cdf-part-del", 0L)
+    val dels = changes(t).where($"_change_type" === "delete")
+    assert(rows(dels.select($"id", $"grp", $"name")) ==
+      rows(batch(100 until 120, "beta")))
+    // the rewrite stayed partitioned AND the live read agrees
+    assert(spark.read.format("txlog").load(t).count() == 180L)
+  }
+
   test("column pruning serves the meta constants without data columns") {
     val t = feedTable()
     val pruned = changes(t).select($"_commit_version", $"_change_type")

@@ -218,6 +218,20 @@ class TxV2PolishSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE ttl_hist_t")
   }
 
+  test("meta-aggregate × evolution: an evolved column refuses (some files have no stats for it), count(*) still pushes") {
+    val t = history()
+    batch(300 until 310, "delta").withColumn("flag", when($"id" >= 0L, true))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    val df = spark.read.format("txlog").load(t)
+    val evolved = df.agg(count($"flag").as("n"))
+    assert(evolved.collect()(0).getLong(0) == 10L)
+    assert(!planOf(evolved).contains("MetaAgg"),
+      "count(evolved col) must fall back: pre-evolution files carry no stats for it")
+    val star = df.agg(count(lit(1)).as("n"))
+    assert(star.collect()(0).getLong(0) == 260L)
+    assert(planOf(star).contains("MetaAgg"))
+  }
+
   test("emptied table: count 0 / null extrema straight from the log") {
     val t = freshTable()
     batch(0 until 10, "a").coalesce(1).write.format("txlog").mode("append").save(t)
