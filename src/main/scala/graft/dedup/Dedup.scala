@@ -264,7 +264,7 @@ object Dedup {
     * downstream pairwise work. ONE definition so [[minhashPortableOver]]
     * and [[minhashIncremental]] cannot drift (shingle size, banding, and
     * the verification algebra all live here). */
-  private def portableRaw(documents: DataFrame, extraCols: Seq[String]): DataFrame = {
+  private[dedup] def portableRaw(documents: DataFrame, extraCols: Seq[String]): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     documents
@@ -273,7 +273,7 @@ object Dedup {
   }
 
   /** (doc_id [, extras], band, bh) band-hash rows from the prepped frame. */
-  private def portableBanded(raw: DataFrame, extraCols: Seq[String]): DataFrame = {
+  private[dedup] def portableBanded(raw: DataFrame, extraCols: Seq[String]): DataFrame = {
     import raw.sparkSession.implicits._
     raw.select(($"doc_id" +: extraCols.map(col)) :+
       posexplode(portableBandsUdf($"raw_toks")).as(Seq("band", "bh")): _*)
