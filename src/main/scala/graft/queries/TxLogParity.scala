@@ -49,9 +49,13 @@ object TxLogParity {
       gen(col("o_orderkey") <= k1).write.format("txlog").mode("append").save(t)
       gen(col("o_orderkey") > k1 && col("o_orderkey") <= k2)
         .write.format("txlog").mode("append").save(t)
-      // v2: row-level DELETE — touches only the two live generations
+      // v2: enable the change feed — BEFORE the DML so its delta is
+      // captured (`txlog_changes` reads it back; a props commit holds
+      // no rows, so the scan/time-travel rows are untouched)
+      TxLog.setProperties(s, t, Map(TxLog.ChangeFeedProp -> "true"))
+      // v3: row-level DELETE — touches only the two live generations
       TxLog.delete(s, t, col("o_orderpriority") === "1-URGENT", "oracle-del", 0L)
-      // v3: append the third range AFTER the delete; its URGENT rows stay
+      // v4: append the third range AFTER the delete; its URGENT rows stay
       gen(col("o_orderkey") > k2).write.format("txlog").mode("append").save(t)
       t
     })
@@ -102,10 +106,29 @@ object TxLogParity {
       count(col("o_orderstatus")).as("n_status"))
   }
 
+  /** The CHANGE DATA FEED, oracle-checked (r12): every insert the log
+    * ever committed plus the DELETE's captured delta, read through
+    * `readChangeFeed` and aggregated per change type. DuckDB computes
+    * both sides from raw orders — inserts are ALL three generations
+    * verbatim, deletes are exactly the URGENT rows of the two
+    * pre-delete generations — so the hash compare proves the
+    * commit-time multiset diff captured precisely the rows the DML
+    * removed, no more, no fewer. */
+  val changeFeed: Q = (s, dir) => {
+    val t = table(s, dir)
+    s.read.format("txlog").option("readChangeFeed", "true").load(t)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        countDistinct("o_orderkey").as("n_keys"))
+      .orderBy("_change_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "txlog_scan_prune" -> scanPrune,
     "txlog_time_travel" -> timeTravel,
-    "txlog_meta_agg" -> metaAgg)
+    "txlog_meta_agg" -> metaAgg,
+    "txlog_changes" -> changeFeed)
 
   /** DuckDB replay over the raw orders parquet. Final live state =
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
@@ -139,5 +162,23 @@ object TxLogParity {
                 count(o_orderstatus) AS n_status
          FROM orders
          WHERE o_orderkey > (2 * (SELECT max(o_orderkey) FROM orders)) // 3
-            OR o_orderpriority <> '1-URGENT'""")
+            OR o_orderpriority <> '1-URGENT'""",
+    // inserts = every committed row (all three generations); deletes =
+    // the DML's delta: URGENT rows of the two pre-delete generations
+    "txlog_changes" ->
+      """SELECT * FROM (
+           SELECT 'delete' AS _change_type,
+                  count(*) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                  count(DISTINCT o_orderkey) AS n_keys
+           FROM orders
+           WHERE o_orderkey <= (2 * (SELECT max(o_orderkey) FROM orders)) // 3
+             AND o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT 'insert' AS _change_type,
+                  count(*) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                  count(DISTINCT o_orderkey) AS n_keys
+           FROM orders
+         ) ORDER BY _change_type""")
 }
