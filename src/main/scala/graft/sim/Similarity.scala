@@ -705,6 +705,23 @@ object Similarity {
     * is documented and the spec drives the happy path. Post-retrain,
     * [[ivfPqCellDrift]] is ≈0 by construction and probes serve from
     * codes that match the corpus again. */
+  /** Train BOTH IVF-PQ codebooks from a corpus DataFrame (vec_id,
+    * label, embedding) and persist them as the probe/encode tables —
+    * the bootstrap half of [[retrainIvfPqIndex]], exposed so a curated
+    * index ([[CuratedIvfPq]]) can freeze codebooks on its initial
+    * corpus before the maintenance loop starts encoding against them. */
+  def trainIvfPqCodebooks(corpus: DataFrame, cbTable: String,
+                          coarseTable: String): Unit = {
+    import PqQuantizer._
+    val coarse = materializeCoarse(
+      KmeansQuantizer.trainedCodebook(corpus, KCells))
+    val cb = materializePq(codebooks(subvectors(KmeansQuantizer.quantized(corpus))))
+    coarse.write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(coarseTable)
+    cb.write.format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(cbTable)
+  }
+
   def retrainIvfPqIndex(s: SparkSession, indexDir: String,
                         cbTable: String, coarseTable: String): Unit = {
     import s.implicits._

@@ -616,6 +616,34 @@ object TxLog {
     * that may write nulls relaxes the recorded column to nullable —
     * the DDL never lies). Removal and type change are loud errors;
     * `overwrite` is the sanctioned way to replace a schema. */
+  /** Merge two value types for one evolved column: identical erasure
+    * required, NESTED nullability (array element, map value, struct
+    * field) unions truthfully — the same rule top-level nullability
+    * follows. Without this, a batch whose encoder proves its array
+    * elements non-null (`array<float> containsNull=false`) could not
+    * append to a column parquet read back as containsNull=true, though
+    * its data trivially satisfies the recorded shape. */
+  private def mergedType(e: org.apache.spark.sql.types.DataType,
+                         i: org.apache.spark.sql.types.DataType,
+                         col: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (e, i) match {
+      case (ArrayType(ee, en), ArrayType(ie, in)) =>
+        ArrayType(mergedType(ee, ie, col), en || in)
+      case (MapType(ek, ev, en), MapType(ik, iv, in)) =>
+        MapType(mergedType(ek, ik, col), mergedType(ev, iv, col), en || in)
+      case (StructType(ef), StructType(inf))
+          if ef.map(_.name).sameElements(inf.map(_.name)) =>
+        StructType(ef.zip(inf).map { case (a, b) =>
+          a.copy(dataType = mergedType(a.dataType, b.dataType, s"$col.${a.name}"),
+            nullable = a.nullable || b.nullable)
+        })
+      case _ =>
+        require(e == i, s"schema evolution cannot change $col: $e -> $i")
+        e
+    }
+  }
+
   private def mergedSchema(existing: org.apache.spark.sql.types.StructType,
                            incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
@@ -623,9 +651,8 @@ object TxLog {
     val kept = existing.fields.map { e =>
       inByName.get(e.name) match {
         case Some(f) =>
-          require(e.dataType == f.dataType,
-            s"schema evolution cannot change ${e.name}: ${e.dataType} -> ${f.dataType}")
-          e.copy(nullable = e.nullable || f.nullable)
+          e.copy(dataType = mergedType(e.dataType, f.dataType, e.name),
+            nullable = e.nullable || f.nullable)
         case None =>
           require(e.nullable,
             s"write is missing NOT-NULL column ${e.name} — cannot null-backfill a required column")

@@ -59,6 +59,29 @@ class TxEvolveSpec extends AnyFunSuite {
       rows(TxLog.snapshot(spark, t).get.where($"score" >= 25.0)))
   }
 
+  test("nested nullability merges truthfully instead of erroring") {
+    val t = freshTable()
+    // parquet reads list elements back as containsNull=true; a later
+    // batch whose encoder proves containsNull=false must still append
+    // (its data satisfies the recorded shape) — and the reverse
+    // direction relaxes the recorded element to nullable
+    Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "xs")
+      .write.format("txlog").mode("append").save(t)
+    Seq((2L, Seq(3.0f))).toDF("id", "xs")
+      .write.format("txlog").mode("append").save(t) // strict element: ok
+    val df = spark.read.format("txlog").load(t)
+    assert(df.count() == 2L)
+    import org.apache.spark.sql.types._
+    assert(df.schema("xs").dataType.asInstanceOf[ArrayType].containsNull,
+      "recorded element nullability must stay relaxed (the union)")
+    // element TYPE changes stay loud
+    val e = intercept[Exception] {
+      Seq((3L, Seq(1.0))).toDF("id", "xs")
+        .write.format("txlog").mode("append").save(t)
+    }
+    assert(e.getMessage.contains("cannot change"), e.getMessage)
+  }
+
   test("type change and non-nullable addition are loud; overwrite replaces the schema") {
     val t = freshTable()
     TxLog.commit(v1(0 until 10).coalesce(1), t, "w", 0L)
