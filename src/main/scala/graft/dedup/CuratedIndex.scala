@@ -80,11 +80,19 @@ object CuratedIndex {
         // delete). Retract-then-admit of net state is order-proof:
         // delete-before-insert of the raw rows would resurrect a
         // same-window insert-then-delete document.
-        val touched = df.select($"doc_id").distinct()
-          .as[Long].collect() // batch-sized: the probe-isin argument
-        if (touched.nonEmpty && TxLog.headVersion(s, index) >= 0L)
-          TxLog.delete(s, index, $"doc_old".isin(touched.map(Long.box): _*),
-            s"$writerId-del", id)
+        // index-empty guard FIRST: the feed's first batch on a fresh
+        // checkpoint is the whole-corpus snapshot, and collecting its
+        // ids before knowing the delete is a no-op would pull a
+        // corpus-sized list onto the driver. (A fresh checkpoint
+        // against an EXISTING index still implies a corpus-sized
+        // retraction — resume the old checkpoint or rebuild instead.)
+        if (TxLog.headVersion(s, index) >= 0L) {
+          val touched = df.select($"doc_id").distinct()
+            .as[Long].collect() // batch-sized: the probe-isin argument
+          if (touched.nonEmpty)
+            TxLog.delete(s, index, $"doc_old".isin(touched.map(Long.box): _*),
+              s"$writerId-del", id)
+        }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id")
           .orderBy($"_commit_version".desc,
@@ -109,25 +117,17 @@ object CuratedIndex {
     TxLog.clusterBy(s, index, Seq("bh"), Dedup.BandIndexBuckets)
 
   /** Candidate near-dup pairs of an arriving batch against the curated
-    * index: the batch's band rows broadcast, the index scan's pushed
-    * `bh isin (...)` prunes files via zone maps when the distinct hash
-    * count is bounded (the [[Dedup.ProbeIsinMaxHashes]] contract); an
-    * oversized batch degrades to the full equi-join, never a wrong
-    * answer. */
+    * index — [[Dedup.probeIndexAgainst]], the one probe seam (isin
+    * routing with the left-semi fallback past
+    * [[Dedup.ProbeIsinMaxHashes]]), over the txlog read: the pushed
+    * `bh isin (...)` prunes index files via zone maps. A document
+    * re-probed under its own id is not its own duplicate. */
   def probe(batch: DataFrame, index: String,
             isinMaxHashes: Int = Dedup.ProbeIsinMaxHashes): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     val b = banded(batch).select($"doc_old".as("doc_new"), $"band", $"bh")
-    val idx = s.read.format("txlog").load(index)
-    val hashes = b.select($"bh").distinct().limit(isinMaxHashes + 1)
-      .as[Long].collect()
-    val pruned =
-      if (hashes.length <= isinMaxHashes)
-        idx.where($"bh".isin(hashes.map(Long.box): _*))
-      else idx
-    pruned.join(broadcast(b), Seq("band", "bh"))
+    Dedup.probeIndexAgainst(b, s.read.format("txlog").load(index), isinMaxHashes)
       .where($"doc_new" =!= $"doc_old")
-      .select($"doc_new", $"doc_old").distinct()
   }
 }

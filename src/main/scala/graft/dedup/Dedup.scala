@@ -664,7 +664,7 @@ object Dedup {
     * exactly-once loop uses to probe a batch-id SNAPSHOT of the index
     * (the additional batch_id filter composes with the bucket prune:
     * `bh` pruning still fires, batch_id prunes by file min/max stats). */
-  private def probeIndexAgainst(newBatch: DataFrame, index: DataFrame,
+  private[dedup] def probeIndexAgainst(newBatch: DataFrame, index: DataFrame,
                                 isinMaxHashes: Int): DataFrame = {
     val s = newBatch.sparkSession
     import s.implicits._

@@ -52,11 +52,15 @@ object CuratedIvfPq {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        val touched = df.select($"vec_id").distinct()
-          .as[Long].collect() // batch-sized
-        if (touched.nonEmpty && TxLog.headVersion(s, index) >= 0L)
-          TxLog.delete(s, index, $"vec_id".isin(touched.map(Long.box): _*),
-            s"$writerId-del", id)
+        // index-empty guard before the driver collect: the snapshot
+        // batch is corpus-sized (see CuratedIndex's note)
+        if (TxLog.headVersion(s, index) >= 0L) {
+          val touched = df.select($"vec_id").distinct()
+            .as[Long].collect() // batch-sized
+          if (touched.nonEmpty)
+            TxLog.delete(s, index, $"vec_id".isin(touched.map(Long.box): _*),
+              s"$writerId-del", id)
+        }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"vec_id")
           .orderBy($"_commit_version".desc,

@@ -712,14 +712,25 @@ object Similarity {
     * corpus before the maintenance loop starts encoding against them. */
   def trainIvfPqCodebooks(corpus: DataFrame, cbTable: String,
                           coarseTable: String): Unit = {
-    import PqQuantizer._
-    val coarse = materializeCoarse(
-      KmeansQuantizer.trainedCodebook(corpus, KCells))
-    val cb = materializePq(codebooks(subvectors(KmeansQuantizer.quantized(corpus))))
+    val (coarse, cb) = trainedIvfPqPair(corpus)
     coarse.write.format("parquet")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(coarseTable)
     cb.write.format("parquet")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(cbTable)
+  }
+
+  /** THE training recipe — coarse router + M×256 subspace codebooks
+    * from one corpus pass, materialized (driver-pinned literals, so no
+    * plan subtree re-runs the Lloyd trainer). The single definition
+    * both the bootstrap ([[trainIvfPqCodebooks]]) and the drift repair
+    * ([[retrainIvfPqIndex]]) freeze from — the two paths must never
+    * diverge on what "trained" means. */
+  private def trainedIvfPqPair(corpus: DataFrame): (DataFrame, DataFrame) = {
+    import PqQuantizer._
+    val coarse = materializeCoarse(
+      KmeansQuantizer.trainedCodebook(corpus, KCells))
+    val cb = materializePq(codebooks(subvectors(KmeansQuantizer.quantized(corpus))))
+    (coarse, cb)
   }
 
   def retrainIvfPqIndex(s: SparkSession, indexDir: String,
@@ -730,10 +741,7 @@ object Similarity {
     val corpus = idx.select($"vec_id", $"label", $"v".as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val coarse = materializeCoarse(
-        KmeansQuantizer.trainedCodebook(corpus, KCells))
-      val q = KmeansQuantizer.quantized(corpus)
-      val cb = materializePq(codebooks(subvectors(q)))
+      val (coarse, cb) = trainedIvfPqPair(corpus)
       val reencoded = encodeForIvfPqIndex(corpus,
         cb.hint("broadcast"), coarse.hint("broadcast"))
       graft.storage.TxLog.overwrite(reencoded, indexDir)

@@ -536,9 +536,31 @@ object TxLog {
     * version bump makes property changes part of the table's history:
     * `versionAsOf` a pre-change version and the old properties are in
     * force, exactly like schema. */
+  /** True iff `dt` contains a MapType anywhere — the one Spark type the
+    * change feed cannot diff ([[captureChanges]] uses set algebra, and
+    * Spark rejects set operations over maps). */
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => hasMapType(e)
+      case StructType(fs) => fs.exists(f => hasMapType(f.dataType))
+      case _ => false
+    }
+  }
+
   def setProperties(s: SparkSession, table: String,
                     set: Map[String, String]): Long = {
     require(set.nonEmpty, "setProperties of nothing")
+    // fail at the ENABLE, not at the first DML: the capture's multiset
+    // diff (exceptAll) cannot compare map-typed columns, so a feed on
+    // such a table would break every subsequent rewrite
+    if (set.get(ChangeFeedProp).contains("true"))
+      tableSchema(s, table).filter(sch => sch.fields.exists(f => hasMapType(f.dataType)))
+        .foreach(sch => throw new IllegalArgumentException(
+          s"$ChangeFeedProp=true unsupported on $table: map-typed column(s) " +
+            sch.fields.filter(f => hasMapType(f.dataType)).map(_.name).mkString(", ") +
+            " cannot be diffed by the change capture (Spark set operations reject maps)"))
     var last = -1L
     var attempt = 0
     while (attempt < 20) {
@@ -1347,6 +1369,16 @@ object TxLog {
     val root = new Path(table)
     val f = fs(s, root)
     val sch = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    // setProperties rejects maps at enablement; evolution can still
+    // smuggle one in afterwards — fail with guidance, not exceptAll's
+    // AnalysisException mid-commit
+    sch.fields.filter(fd => hasMapType(fd.dataType)) match {
+      case bad if bad.nonEmpty => throw new IllegalStateException(
+        s"change capture on $table cannot diff map-typed column(s) " +
+          bad.map(_.name).mkString(", ") +
+          s" — drop the column or disable $ChangeFeedProp before DML")
+      case _ => ()
+    }
     def read(rel: Seq[String]): DataFrame =
       if (rel.isEmpty)
         s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)

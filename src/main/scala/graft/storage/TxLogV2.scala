@@ -273,11 +273,21 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
   // no un-pushed filter sits between the agg and the scan, and every
   // filter of ours is residual by contract — so this path is only ever
   // reached for whole-table aggregates (the guards re-check).
+  // Spark probes supportCompletePushDown and pushAggregation with the
+  // SAME Aggregation instance — memoize so one manifest listing+parse
+  // serves both planner calls
+  private var memo: Option[(Aggregation, Option[(StructType, Array[Any])])] = None
+  private def metaAggMemo(a: Aggregation): Option[(StructType, Array[Any])] =
+    memo match {
+      case Some((prev, r)) if prev eq a => r
+      case _ => val r = metaAgg(a); memo = Some((a, r)); r
+    }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    metaAgg(aggregation).isDefined
+    metaAggMemo(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    agg = metaAgg(aggregation)
+    agg = metaAggMemo(aggregation)
     agg.isDefined // partial pushdown is never claimed: complete or nothing
   }
 
@@ -753,7 +763,17 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       s"$k $v not in $table's log (retained: ${ms.head.version}..${ms.last.version})")
     in("startingVersion", from); in("endingVersion", to)
     require(from <= to, s"startingVersion $from > endingVersion $to")
-    partitions(expand(ms, from, to, table), TxLog.liveStats(ms))
+    val entries = expand(ms, from, to, table)
+    // historical data files can be vacuumed while their manifests
+    // survive (aged non-live data, un-aged log) — the same loud
+    // retention guidance both stream paths give, not an executor FNF
+    val root = new Path(table)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    entries.map(_.rel).find(r => !f.exists(new Path(root, r))).foreach(r =>
+      throw new IllegalStateException(
+        s"file $r of $table was vacuumed before this change-feed read — " +
+          "narrow the version window or raise the vacuum retention"))
+    partitions(entries, TxLog.liveStats(ms))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -801,7 +821,13 @@ class TxLogChangeStream(spark: SparkSession, table: String,
         s"$what of $table was vacuumed before this stream read it — " +
           "raise the vacuum retention above the stream's lag")
     val entries: Seq[Entry] =
-      if (from < 0L) {
+      // offset −1 is the snapshot sentinel ONLY when no startingVersion
+      // was given: an explicit startingVersion=0 also lands at −1 but
+      // asks for the per-version HISTORY from v0 (deletes and true
+      // commit versions included) — the range path below, which the
+      // batch reader takes for the same option. Conflating them would
+      // silently serve the net head state instead of the feed.
+      if (from < 0L && start.isEmpty) {
         val past = ms.filter(_.version <= to)
         if (past.isEmpty || !(past.exists(_.checkpoint) || past.head.version == 0L))
           vacuumedError(s"the initial snapshot (≤ v$to)")

@@ -256,6 +256,65 @@ class TxCdfSpec extends AnyFunSuite {
     assert(spark.read.format("txlog").load(t).count() == 180L)
   }
 
+  test("a STREAM with startingVersion=0 replays the per-version history, not the net snapshot") {
+    val t = feedTable() // v1,v2 inserts · v3 delete(50) · v4 insert
+    val name = s"cdf_sv0_${System.nanoTime()}"
+    val q = spark.readStream.format("txlog")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(t)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("cdf_sv0_").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name)
+      // the HISTORY: 300 inserts + 50 deletes with true commit versions —
+      // the snapshot branch would have served 250 net inserts at head
+      assert(got.where($"_change_type" === "delete").count() == 50L)
+      assert(got.where($"_change_type" === "insert").count() == 300L)
+      assert(rows(got) == rows(changes(t, Map("startingVersion" -> "0"))),
+        "stream and batch must agree on startingVersion=0")
+    } finally q.stop()
+  }
+
+  test("changeFeed on a map-typed table is rejected at enablement and at capture") {
+    val t = freshTable()
+    Seq((1L, Map("k" -> "v"))).toDF("id", "m").coalesce(1)
+      .write.format("txlog").mode("append").save(t)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    }
+    assert(e.getMessage.contains("map-typed"), e.getMessage)
+    // evolution can smuggle a map in AFTER enablement: DML then fails
+    // with guidance, not exceptAll's AnalysisException
+    val t2 = freshTable()
+    TxLog.setProperties(spark, t2, Map(TxLog.ChangeFeedProp -> "true"))
+    batch(0 until 5, "a").coalesce(1).write.format("txlog").mode("append").save(t2)
+    batch(5 until 10, "b")
+      .withColumn("m", when($"id" >= 0L, map(lit("k"), $"grp"))).coalesce(1)
+      .write.format("txlog").mode("append").save(t2)
+    val e2 = intercept[IllegalStateException] {
+      TxLog.delete(spark, t2, $"id" === 0L, "cdf-map-del", 0L)
+    }
+    assert(e2.getMessage.contains("map-typed"), e2.getMessage)
+  }
+
+  test("a batch feed window over a vacuumed change file is loud, not an executor FNF") {
+    val t = feedTable()
+    val root = new org.apache.hadoop.fs.Path(t)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the aged-changes / un-aged-log vacuum state: the DML's
+    // change file gone while its manifest survives (live files intact,
+    // so only the feed guard can catch this)
+    assert(changes(t, Map("startingVersion" -> "3", "endingVersion" -> "3"))
+      .count() == 50L) // intact first
+    val chDir = new org.apache.hadoop.fs.Path(t, "_changes")
+    val victim = f.listStatus(chDir).flatMap(d => f.listStatus(d.getPath))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    f.delete(victim.getPath, false)
+    val e = intercept[IllegalStateException] { changes(t).collect() }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
   test("column pruning serves the meta constants without data columns") {
     val t = feedTable()
     val pruned = changes(t).select($"_commit_version", $"_change_type")
