@@ -780,9 +780,13 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
     GraftParquetIO.readerFactory(spark, baseSchema, readDataSchema,
       StructType(metaFields), Array.empty)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(endRaw.isEmpty,
+      "endingVersion is a batch-window option — a STREAM tails the live feed " +
+        "(bound the batch reader instead)")
     new TxLogChangeStream(spark, table, this,
       TxLogV2.streamStart(spark, table, startRaw))
+  }
 
   override def description(): String =
     s"txlog $table ChangeFeed[${startRaw.getOrElse("oldest")}.." +
