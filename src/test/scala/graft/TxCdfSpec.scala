@@ -315,6 +315,36 @@ class TxCdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"), e.getMessage)
   }
 
+  test("capture under crash and conflict: replay captures once, orphans are vacuum-collectable") {
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    batch(0 until 20, "a").coalesce(1).write.format("txlog").mode("append").save(t)
+    // crash INSIDE the delete, before any publish: no manifest, no feed
+    // change; the replayed statement (same token) captures exactly once
+    intercept[RuntimeException] {
+      TxLog.delete(spark, t, $"id" < 5L, "cdf-crash", 7L,
+        beforeCommit = () => throw new RuntimeException("injected"))
+    }
+    assert(TxLog.headVersion(spark, t) == 1L, "crashed DML must publish nothing")
+    TxLog.delete(spark, t, $"id" < 5L, "cdf-crash", 7L) // the replay
+    assert(changes(t, Map("startingVersion" -> "2")).where($"_change_type" === "delete")
+      .count() == 5L, "exactly one captured delta after the replay")
+    // conflict: a concurrent append lands between scan and publish —
+    // the rewrite throws BEFORE capture stages anything (head check
+    // precedes it), the feed is untouched, and an immediate vacuum
+    // must not harm the committed delta's referenced change files
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.delete(spark, t, $"id" === 10L, "cdf-conflict", 0L,
+        beforeCommit = () => {
+          batch(100 until 105, "rival").coalesce(1)
+            .write.format("txlog").mode("append").save(t); ()
+        })
+    }
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    assert(changes(t, Map("startingVersion" -> "2", "endingVersion" -> "2"))
+      .count() == 5L, "the committed delta must survive the orphan sweep")
+  }
+
   test("column pruning serves the meta constants without data columns") {
     val t = feedTable()
     val pruned = changes(t).select($"_commit_version", $"_change_type")
