@@ -437,9 +437,10 @@ object TxLog {
     manifests(s, table).map { m =>
       (m.version, opOf(m), m.writerId, m.batchId, m.checkpoint,
         m.files.size.toLong, m.removes.size.toLong,
-        m.stats.map(_.rows).sum, m.stats.map(_.bytes).sum)
+        m.stats.map(_.rows).sum, m.stats.map(_.bytes).sum,
+        m.changes.size.toLong)
     }.toDF("version", "operation", "writer_id", "batch_id", "checkpoint",
-      "n_files", "n_removes", "rows_written", "bytes_written")
+      "n_files", "n_removes", "rows_written", "bytes_written", "n_changes")
   }
 
   /** TIME TRAVEL: the table exactly as of committed version `v` — the

@@ -80,6 +80,9 @@ class TxCdfSpec extends AnyFunSuite {
     // windowing is inclusive both ends
     assert(changes(t, Map("startingVersion" -> "3", "endingVersion" -> "3"))
       .count() == 50L)
+    // history surfaces the capture (n_changes on the DML version)
+    assert(TxLog.history(spark, t).where($"version" === 3L)
+      .select($"n_changes").collect()(0).getLong(0) > 0L)
     // materialization recipe: inserts minus deletes = the live table
     val ins = all.where($"_change_type" === "insert").select($"id", $"grp", $"name")
     assert(rows(ins.exceptAll(dels)) == rows(spark.read.format("txlog").load(t)))

@@ -205,6 +205,7 @@ class TxV2PolishSpec extends AnyFunSuite {
     assert(h.map(_.getString(1)).toSeq == Seq("APPEND", "APPEND", "REWRITE", "APPEND"))
     assert(h(0).getLong(7) == 100L, "v0 wrote 100 rows")
     assert(h(2).getLong(6) > 0L, "the DELETE removed files")
+    assert(h.forall(_.getLong(9) == 0L), "no change feed here -> n_changes 0")
     // SQL DML goes through the V2 writer-id namespace -> named statement
     spark.read.format("txlog").load(t).createOrReplaceTempView("ttl_hist_now")
     val p = freshTable()
