@@ -519,6 +519,15 @@ object TxLog {
     * row-level DML ([[publishRewrite]]): `"changeFeed" -> "true"`. */
   val ChangeFeedProp = "changeFeed"
 
+  /** The table property selecting the row-level publish isolation:
+    * `"isolation" -> "serializable"` (the default — any concurrent
+    * commit conflicts a rewrite) or `-> "writeSerializable"` (rewrites
+    * rebase over concurrent commits with disjoint write-sets; see
+    * [[publishRewrite]] for the exact rules and the accepted anomaly). */
+  val IsolationProp = "isolation"
+  val IsolationSerializable = "serializable"
+  val IsolationWriteSerializable = "writeSerializable"
+
   /** Properties in force for `ms`: the newest manifest carrying a
     * non-empty props list (property commits record the FULL merged map,
     * and checkpoints re-record it, so newest-wins survives both partial
@@ -556,6 +565,10 @@ object TxLog {
     // fail at the ENABLE, not at the first DML: the capture's multiset
     // diff (exceptAll) cannot compare map-typed columns, so a feed on
     // such a table would break every subsequent rewrite
+    set.get(IsolationProp).foreach(v => require(
+      v == IsolationSerializable || v == IsolationWriteSerializable,
+      s"$IsolationProp must be $IsolationSerializable or " +
+        s"$IsolationWriteSerializable, got: $v"))
     if (set.get(ChangeFeedProp).contains("true"))
       tableSchema(s, table).filter(sch => sch.fields.exists(f => hasMapType(f.dataType)))
         .foreach(sch => throw new IllegalArgumentException(
@@ -1118,13 +1131,13 @@ object TxLog {
     val files = liveFiles(ms)
     if (files.isEmpty) return Rewrite(head, 0, 0)
     requireDeterministicPred(s, table, pred, files, ms)
-    val touched = matchingFiles(s, table, pred,
-      pruned(s, table, pred, files, liveStats(ms), ms), ms)
+    val candidates = pruned(s, table, pred, files, liveStats(ms), ms)
+    val touched = matchingFiles(s, table, pred, candidates, ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
     val kept = readFiles(s, table, ms, touched)
       .where(not(coalesce(pred, lit(false))))
     commitRewrite(s, table, kept, touched, head, writerId, batchId, beforeCommit,
-      partitionColsFrom(ms))
+      partitionColsFrom(ms), readSet = candidates)
   }
 
   /** SQL UPDATE: on rows where `pred` is TRUE, replace each column in
@@ -1148,8 +1161,8 @@ object TxLog {
     val files = liveFiles(ms)
     if (files.isEmpty) return Rewrite(head, 0, 0)
     requireDeterministicPred(s, table, pred, files, ms)
-    val touched = matchingFiles(s, table, pred,
-      pruned(s, table, pred, files, liveStats(ms), ms), ms)
+    val candidates = pruned(s, table, pred, files, liveStats(ms), ms)
+    val touched = matchingFiles(s, table, pred, candidates, ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
     val touchedDf = readFiles(s, table, ms, touched)
     val unknown = set.keySet -- touchedDf.columns
@@ -1163,7 +1176,7 @@ object TxLog {
       }
     }: _*)
     commitRewrite(s, table, updated, touched, head, writerId, batchId, beforeCommit,
-      partitionColsFrom(ms))
+      partitionColsFrom(ms), readSet = candidates)
   }
 
   /** MERGE (upsert) `source` into `table` on equality of `keys`:
@@ -1261,25 +1274,30 @@ object TxLog {
       else readFiles(s, table, ms, touched)
         .join(srcKeys, keys, "left_anti").unionByName(src)
     commitRewrite(s, table, newRows, touched, head, writerId, batchId, beforeCommit,
-      partitionColsFrom(ms))
+      partitionColsFrom(ms), readSet = candidates)
   }
 
   /** Write `newRows` to a fresh uuid dir and publish {files = those,
-    * removes = `removes`} at EXACTLY `expectedHead + 1`.
+    * removes = `removes`} at `expectedHead + 1` (or, under the
+    * `writeSerializable` table property, rebased above provably
+    * disjoint concurrent commits — see [[publishRewrite]]).
     *
-    * SERIALIZABLE, not retried: a rewrite is only correct against the
-    * snapshot it read — a concurrent commit could have added rows this
-    * rewrite should have seen — so a moved head (or a lost slot race)
-    * throws ConcurrentModificationException and the staged uuid dir
-    * becomes vacuum-collectable garbage, exactly like a crash before
-    * publish. Token check and head come from ONE listing
+    * Under the default SERIALIZABLE isolation a moved head (or a lost
+    * slot race) throws ConcurrentModificationException — a rewrite is
+    * only correct against the snapshot it read — and the staged uuid
+    * dir becomes vacuum-collectable garbage, exactly like a crash
+    * before publish. Token check and head come from ONE listing
     * (commitManifest's TOCTOU argument); `beforeCommit` is the
-    * crash/interleave injection seam for the specs. */
+    * crash/interleave injection seam for the specs. `readSet` is the
+    * operation's read footprint beyond `removes` (the pruned candidate
+    * files it scanned to decide what to touch) — the disjointness
+    * check's denominator. */
   private def commitRewrite(s: SparkSession, table: String, newRows: DataFrame,
                             removes: Seq[String], expectedHead: Long,
                             writerId: String, batchId: Long,
                             beforeCommit: () => Unit,
-                            pcols: Seq[String] = Seq.empty): Rewrite = {
+                            pcols: Seq[String] = Seq.empty,
+                            readSet: Seq[String] = Seq.empty): Rewrite = {
     val root = new Path(table)
     val f = fs(s, root)
     // file-count discipline: a rewrite of k files must not explode into
@@ -1303,51 +1321,108 @@ object TxLog {
       else stageWrite(s, root, sized)
     beforeCommit()
     publishRewrite(s, table, relAll, statsAll, removes, expectedHead,
-      writerId, batchId, newRows.schema.toDDL)
+      writerId, batchId, newRows.schema.toDDL, readSet = readSet)
   }
 
   /** Publish an already-staged row-level rewrite: {files = `relAll`
-    * minus zero-row outputs, removes} at EXACTLY `expectedHead + 1` —
-    * the serializable-commit tail shared by the library DML and the V2
-    * source's ReplaceData write. Zero-row outputs (a delete that
-    * empties its file) are dropped from the manifest — publishing them
-    * would accumulate empty parquet files in the live set forever; the
-    * staged bytes become vacuum garbage and the schema survives in the
-    * manifest's recorded DDL regardless. */
+    * minus zero-row outputs, removes} — the commit tail shared by the
+    * library DML and the V2 source's ReplaceData write. Zero-row
+    * outputs (a delete that empties its file) are dropped from the
+    * manifest — publishing them would accumulate empty parquet files
+    * in the live set forever; the staged bytes become vacuum garbage
+    * and the schema survives in the manifest's recorded DDL regardless.
+    *
+    * ISOLATION (the `isolation` table property):
+    *
+    *  - `serializable` (the default): the rewrite lands at EXACTLY
+    *    `expectedHead + 1`. ANY concurrent commit — even a blind
+    *    append — is a serialization conflict, because the rewrite's
+    *    predicate was never evaluated against rows it did not see.
+    *  - `writeSerializable`: the rewrite REBASES over concurrent
+    *    commits whose write-set is provably disjoint from this
+    *    operation's footprint (`readSet` ∪ `removes`): pure appends,
+    *    property commits, and row-level rewrites of OTHER files. The
+    *    rebased commit is equivalent to serializing this rewrite
+    *    BEFORE the commits it rebased over — writes stay serializable;
+    *    what is given up is only that the rewrite's READ may not
+    *    reflect the final serial order (a blind append racing a DELETE
+    *    can land rows the predicate would have matched — the classic
+    *    write-serializable anomaly, accepted so that continuous
+    *    ingestion and row-level maintenance can run concurrently on
+    *    one table). A concurrent CHECKPOINT (compact / cluster /
+    *    overwrite — the live set restructured) or a rewrite that
+    *    removed a file in this operation's footprint still conflicts:
+    *    there is no serial order in which both results are right.
+    *    Schemas of rebased commits FOLD IN (an append that evolved the
+    *    table must not have its columns silently reverted by the
+    *    rewrite's recorded DDL). */
   private[graft] def publishRewrite(s: SparkSession, table: String,
                                     relAll: Seq[String], statsAll: Seq[TxStats.FileStats],
                                     removes: Seq[String], expectedHead: Long,
                                     writerId: String, batchId: Long,
-                                    schemaDdl: String): Rewrite = {
+                                    schemaDdl: String,
+                                    readSet: Seq[String] = Seq.empty,
+                                    maxRetries: Int = 20): Rewrite = {
     val root = new Path(table)
     val f = fs(s, root)
     val nonEmpty = statsAll.filter(_.rows > 0).map(_.file).toSet
     val rel = relAll.filter(nonEmpty)
     val stats = statsAll.filter(st => nonEmpty(st.file))
-    val msNow = manifests(s, table) // ONE listing: token + head together
-    if (tokenTaken(msNow, writerId, batchId)) return Rewrite(-1L, 0, 0)
-    def conflict = new java.util.ConcurrentModificationException(
-      s"$table moved past v$expectedHead during a row-level rewrite — re-run on the new snapshot")
-    if (msNow.lastOption.map(_.version).getOrElse(-1L) != expectedHead) throw conflict
-    val v = expectedHead + 1
-    // CHANGE-DATA-FEED capture (the `changeFeed` table property): the
-    // row-level difference this rewrite makes, staged as change files
-    // the manifest references — a crash/conflict before the put leaves
-    // only vacuum-collectable orphans, same as the rewrite's own files
-    val changes =
-      if (!propsFrom(msNow).get(ChangeFeedProp).contains("true")) Seq.empty
-      else captureChanges(s, table, removes, rel, schemaDdl)
-    val logDir = new Path(root, LogDir)
-    f.mkdirs(logDir)
-    val bytes =
-      render(Manifest(v, rel, writerId, batchId, checkpoint = false, stats, removes,
-        // a rewrite reads through the table schema, so its output IS the
-        // table schema — recorded verbatim (keeps evolved reads O(0
-        // inference) after DML)
-        schema = Some(schemaDdl), changes = changes))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (!putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) throw conflict
-    Rewrite(v, removes.size, rel.size)
+    val footprint = (readSet ++ removes).toSet
+    var base = expectedHead
+    var recorded = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    // capture is per-publish work, not per-attempt: the delta depends
+    // only on {removes, rel, schemaDdl}, all fixed — a rebase must not
+    // re-stage it (orphaned change files on every lost slot race)
+    var captured: Option[Seq[String]] = None
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val msNow = manifests(s, table) // ONE listing: token + head together
+      if (tokenTaken(msNow, writerId, batchId)) return Rewrite(-1L, 0, 0)
+      def conflict(why: String) = new java.util.ConcurrentModificationException(
+        s"$table $why during a row-level rewrite — re-run on the new snapshot")
+      val head = msNow.lastOption.map(_.version).getOrElse(-1L)
+      if (head != base) {
+        if (!propsFrom(msNow).get(IsolationProp).contains(IsolationWriteSerializable))
+          throw conflict(s"moved past v$base")
+        val newer = msNow.filter(_.version > base)
+        newer.find(_.checkpoint).foreach(m => throw conflict(
+          s"got a checkpoint at v${m.version} (live set replaced) past v$base"))
+        newer.find(_.removes.exists(footprint)).foreach(m => throw conflict(
+          s"had files this operation read rewritten at v${m.version}"))
+        newer.flatMap(_.schema)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .foreach(in => recorded = mergedSchema(recorded, in))
+        base = head
+      }
+      val v = base + 1
+      // CHANGE-DATA-FEED capture (the `changeFeed` table property): the
+      // row-level difference this rewrite makes, staged as change files
+      // the manifest references — a crash/conflict before the put leaves
+      // only vacuum-collectable orphans, same as the rewrite's own files
+      val changes =
+        if (!propsFrom(msNow).get(ChangeFeedProp).contains("true")) Seq.empty
+        else captured.getOrElse {
+          val c = captureChanges(s, table, removes, rel, schemaDdl)
+          captured = Some(c); c
+        }
+      val logDir = new Path(root, LogDir)
+      f.mkdirs(logDir)
+      val bytes =
+        render(Manifest(v, rel, writerId, batchId, checkpoint = false, stats, removes,
+          // a rewrite reads through the table schema, so its output IS
+          // the table schema — recorded verbatim (keeps evolved reads
+          // O(0 inference) after DML), widened by any schema a rebased
+          // concurrent append evolved in
+          schema = Some(recorded.toDDL), changes = changes))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
+        return Rewrite(v, removes.size, rel.size)
+      attempt += 1 // lost the slot race: re-list; serializable callers
+                   // then see a moved head and conflict, rebasing ones retry
+    }
+    throw new IllegalStateException(
+      s"row-level rewrite of $table lost $maxRetries version races — livelocked writer set?")
   }
 
   /** Row-level CHANGES of a copy-on-write rewrite, computed post-hoc as
