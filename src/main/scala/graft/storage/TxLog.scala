@@ -116,7 +116,20 @@ object TxLog {
                               tokens: Seq[(String, Long)] = Seq.empty,
                               pcols: Seq[String] = Seq.empty,
                               changes: Seq[String] = Seq.empty,
-                              props: Seq[(String, String)] = Seq.empty)
+                              props: Seq[(String, String)] = Seq.empty,
+                              ts: Long = -1L)
+
+  /** Commit wall-clock (epoch millis) — every manifest records the
+    * committing writer's clock at render time. Writer clocks are NOT
+    * trusted to be monotone across processes; timestamp-addressed reads
+    * monotonize over versions ([[versionAtTimestamp]]). Test seam:
+    * specs inject a deterministic clock instead of sleeping between
+    * commits. */
+  @volatile private[graft] var clockForTests: () => Long = null
+  private def commitTimeMs(): Long = {
+    val c = clockForTests
+    if (c != null) c() else System.currentTimeMillis()
+  }
 
   // hand-rolled JSON (matches the repo's zero-dependency stance); file
   // paths are uuid/part names we generate — no escaping needed beyond
@@ -129,10 +142,10 @@ object TxLog {
 
   private def render(m: Manifest): String = {
     // key order is LOAD-BEARING for the cursor parser: version,
-    // checkpoint, writer_id, batch_id, files, [removes], [schema],
-    // [pcols], [changes], [props], [tokens], [stats] — optional keys
-    // are omitted (not null) so pre-feature manifests and append-only
-    // manifests keep the exact old shape
+    // checkpoint, writer_id, batch_id, [ts], files, [removes],
+    // [schema], [pcols], [changes], [props], [tokens], [stats] —
+    // optional keys are omitted (not null) so pre-feature manifests
+    // and append-only manifests keep the exact old shape
     val removes =
       if (m.removes.isEmpty) ""
       else ", \"removes\": [" + m.removes.map(q).mkString(", ") + "]"
@@ -171,8 +184,9 @@ object TxLog {
           }.mkString(", ") + "]"
         s"""{"f": ${q(fst.file)}, "rows": ${fst.rows}$bytes$pv, "cols": [$cols]}"""
       }.mkString(", ") + "]"
+    val ts = if (m.ts >= 0L) s""""ts": ${m.ts}, """ else ""
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
-      s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, """ +
+      s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, $ts""" +
       s""""files": [${m.files.map(q).mkString(", ")}]""" +
       s"""$removes$schema$pcols$changes$props$tokens$stats}"""
   }
@@ -217,7 +231,10 @@ object TxLog {
     val cCp = keyFrom("checkpoint", c1)
     val checkpoint = s.startsWith("true", cCp)
     val (writerId, c2) = scanString(keyFrom("writer_id", cCp))
-    val (batchId, c3) = longAt(keyFrom("batch_id", c2))
+    val (batchId, c3x) = longAt(keyFrom("batch_id", c2))
+    val (ts, c3) =
+      if (s.startsWith(", \"ts\": ", c3x)) longAt(c3x + 8)
+      else (-1L, c3x)
     def strArray(from: Int): (Seq[String], Int) = {
       var i = s.indexOf('[', from) + 1
       val out = Seq.newBuilder[String]
@@ -328,7 +345,7 @@ object TxLog {
       }
     }
     Manifest(version, files, writerId, batchId, checkpoint, stats, removes,
-      schemaDdl, tokens, pcols, changes, props)
+      schemaDdl, tokens, pcols, changes, props, ts)
   }
 
   /** All committed manifests, version-ordered. */
@@ -435,12 +452,16 @@ object TxLog {
       case _ => "APPEND"
     }
     manifests(s, table).map { m =>
-      (m.version, opOf(m), m.writerId, m.batchId, m.checkpoint,
+      (m.version, opOf(m),
+        // commit wall-clock; null for pre-feature manifests (ts unrecorded)
+        if (m.ts >= 0L) Some(new java.sql.Timestamp(m.ts)) else None,
+        m.writerId, m.batchId, m.checkpoint,
         m.files.size.toLong, m.removes.size.toLong,
         m.stats.map(_.rows).sum, m.stats.map(_.bytes).sum,
         m.changes.size.toLong)
-    }.toDF("version", "operation", "writer_id", "batch_id", "checkpoint",
-      "n_files", "n_removes", "rows_written", "bytes_written", "n_changes")
+    }.toDF("version", "operation", "timestamp", "writer_id", "batch_id",
+      "checkpoint", "n_files", "n_removes", "rows_written", "bytes_written",
+      "n_changes")
   }
 
   /** TIME TRAVEL: the table exactly as of committed version `v` — the
@@ -467,6 +488,41 @@ object TxLog {
     require(ms.exists(_.version == v),
       s"version $v not in $table's log (head = ${ms.lastOption.map(_.version).getOrElse(-1L)})")
     ms.filter(_.version <= v)
+  }
+
+  /** Resolve a wall-clock instant to a log version: the NEWEST version
+    * whose monotonized commit timestamp is `≤ tsMillis`. Monotonized
+    * because manifests record each writer's own clock and writers live
+    * in different processes — the effective timestamp of `v` is the
+    * running max of recorded timestamps up to `v`, so "as of T" is
+    * well-defined even when a slow clock commits after a fast one
+    * (ties resolve to the latest version, the state a reader at T
+    * would actually have seen). An instant after the head's timestamp
+    * resolves to the head (the table as it is NOW is a legitimate
+    * "as of" target); an instant before the earliest RECORDED
+    * timestamp is an error — pre-feature manifests (no `ts`) are
+    * addressable by version only. */
+  private[storage] def versionAtTimestamp(ms: Seq[Manifest], tsMillis: Long,
+                                          table: String): Long = {
+    require(ms.nonEmpty, s"$table has no commits — nothing to time-travel to")
+    var run = -1L
+    val eff = ms.map { m => if (m.ts > run) run = m.ts; (m.version, run) }
+    val hit = eff.filter { case (_, t) => t >= 0L && t <= tsMillis }
+    require(hit.nonEmpty, {
+      val first = eff.find(_._2 >= 0L).map(_._2)
+      s"timestamp $tsMillis is before $table's earliest recorded commit " +
+        s"time${first.map(t => s" ($t)").getOrElse(" (none recorded — pre-timestamp log; address by version)")}"
+    })
+    hit.last._1
+  }
+
+  /** TIME TRAVEL by wall clock: the table as of the instant `tsMillis`
+    * — resolved to a version with [[versionAtTimestamp]]'s monotonized
+    * rule, then served exactly like [[snapshotAt]]. */
+  def snapshotAtTimestamp(s: SparkSession, table: String,
+                          tsMillis: Long): Option[DataFrame] = {
+    val ms = manifests(s, table)
+    snapshotAt(s, table, versionAtTimestamp(ms, tsMillis, table))
   }
 
   /** [[tableSchema]] as of version `v` — what a `versionAsOf` V2 read
@@ -587,7 +643,7 @@ object TxLog {
       f.mkdirs(logDir)
       val bytes = render(Manifest(v, Seq.empty,
         writerId = s"props-${java.util.UUID.randomUUID()}", batchId = 0L,
-        checkpoint = false, props = merged))
+        checkpoint = false, props = merged, ts = commitTimeMs()))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return v
@@ -1013,7 +1069,7 @@ object TxLog {
       val target = new Path(logDir, manifestName(v))
       val bytes =
         render(Manifest(v, files, writerId, batchId, checkpoint, stats,
-          schema = schemaDdl, pcols = pcols))
+          schema = schemaDdl, pcols = pcols, ts = commitTimeMs()))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
@@ -1414,7 +1470,7 @@ object TxLog {
           // the table schema — recorded verbatim (keeps evolved reads
           // O(0 inference) after DML), widened by any schema a rebased
           // concurrent append evolved in
-          schema = Some(recorded.toDDL), changes = changes))
+          schema = Some(recorded.toDDL), changes = changes, ts = commitTimeMs()))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return Rewrite(v, removes.size, rel.size)
@@ -1585,7 +1641,8 @@ object TxLog {
         // the partition layout AND properties must SURVIVE log
         // truncation: checkpoints re-record them (everything below is
         // vacuum-collectable)
-        pcols = partitionColsFrom(ms), props = propsFrom(ms).toSeq.sorted))
+        pcols = partitionColsFrom(ms), props = propsFrom(ms).toSeq.sorted,
+        ts = commitTimeMs()))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
       attempt += 1 // lost the slot race; re-list and rebase again

@@ -82,7 +82,7 @@ class TxLogV2Source extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = tablePath(options)
-    val schema = TxLogV2.versionAsOf(options) match {
+    val schema = TxLogV2.resolvedAsOf(SparkSession.active, path, options) match {
       // time travel serves the schema AS OF the pinned version — an
       // evolved column must not appear in a pre-evolution snapshot
       case Some(v) => TxLog.tableSchemaAt(SparkSession.active, path, v)
@@ -98,10 +98,10 @@ class TxLogV2Source extends TableProvider with DataSourceRegister {
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val cdf = TxLogV2.readChangeFeed(opts)
-    val asOf = TxLogV2.versionAsOf(opts)
+    val asOf = TxLogV2.resolvedAsOf(SparkSession.active, tablePath(opts), opts)
     require(!(cdf && asOf.isDefined),
-      "readChangeFeed and versionAsOf are mutually exclusive — the feed is " +
-        "version-windowed by startingVersion/endingVersion instead")
+      "readChangeFeed and versionAsOf/timestampAsOf are mutually exclusive — " +
+        "the feed is version-windowed by startingVersion/endingVersion instead")
     TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty), asOf, cdf)
   }
 }
@@ -133,9 +133,7 @@ object TxLogV2 {
     * scan to the log prefix `≤ v` with [[TxLog.snapshotAt]]'s exact
     * contract (version beyond head / vacuumed = loud). The pinned
     * relation is READ-ONLY: batch writes, row-level DML and the
-    * streaming tail all reject it. `timestampAsOf` is deliberately
-    * absent — the manifests do not record wall-clock times (file mtimes
-    * don't survive a copy), so a timestamp pin would be a lie. */
+    * streaming tail all reject it. */
   private[storage] def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("versionAsOf")).map { s =>
       try s.trim.toLong catch {
@@ -143,6 +141,39 @@ object TxLogV2 {
           s"versionAsOf must be a log version (long), got '$s'")
       }
     }
+
+  /** The `timestampAsOf` read option — TIME TRAVEL by wall clock.
+    * Accepts epoch millis or a `java.sql` timestamp/date literal
+    * (`yyyy-MM-dd[ HH:mm:ss[.fff]]`, interpreted in the JVM default
+    * zone, like the manifest clocks it addresses). Resolved ONCE at
+    * table resolution to a concrete version via
+    * [[TxLog.versionAtTimestamp]]'s monotonized rule, then identical
+    * to `versionAsOf` (same read-only pin, same schema-as-of). */
+  private[storage] def timestampAsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("timestampAsOf")).map { raw =>
+      val s = raw.trim
+      if (s.matches("-?\\d+")) s.toLong
+      else try java.sql.Timestamp.valueOf(s).getTime catch {
+        case _: IllegalArgumentException =>
+          try java.sql.Date.valueOf(s).getTime catch {
+            case _: IllegalArgumentException => throw new IllegalArgumentException(
+              s"timestampAsOf must be epoch millis, 'yyyy-MM-dd HH:mm:ss[.fff]' " +
+                s"or 'yyyy-MM-dd', got '$raw'")
+          }
+      }
+    }
+
+  /** The version a read pins to, from whichever time-travel option is
+    * present (both at once is ambiguous — rejected). */
+  private[storage] def resolvedAsOf(spark: SparkSession, path: String,
+                                    options: CaseInsensitiveStringMap): Option[Long] = {
+    val byV = versionAsOf(options)
+    val byT = timestampAsOf(options)
+    require(byV.isEmpty || byT.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    byV.orElse(byT.map(t =>
+      TxLog.versionAtTimestamp(TxLog.manifests(spark, path), t, path)))
+  }
 
   /** The `readChangeFeed` reader option: serve the table's CHANGE
     * DATA FEED (row-level deltas per committed version) instead of its

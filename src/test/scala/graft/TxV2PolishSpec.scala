@@ -203,9 +203,14 @@ class TxV2PolishSpec extends AnyFunSuite {
     val h = TxLog.history(spark, t).orderBy($"version").collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(h.map(_.getString(1)).toSeq == Seq("APPEND", "APPEND", "REWRITE", "APPEND"))
-    assert(h(0).getLong(7) == 100L, "v0 wrote 100 rows")
-    assert(h(2).getLong(6) > 0L, "the DELETE removed files")
-    assert(h.forall(_.getLong(9) == 0L), "no change feed here -> n_changes 0")
+    assert(h(0).getLong(8) == 100L, "v0 wrote 100 rows")
+    assert(h(2).getLong(7) > 0L, "the DELETE removed files")
+    assert(h.forall(_.getLong(10) == 0L), "no change feed here -> n_changes 0")
+    // every commit records its wall clock, and monotonized order holds
+    val ts = h.map(_.getTimestamp(2))
+    assert(ts.forall(_ != null), "new commits must carry timestamps")
+    assert(ts.sliding(2).forall(p => !p(1).before(p(0))),
+      "in-process commits are clock-ordered")
     // SQL DML goes through the V2 writer-id namespace -> named statement
     spark.read.format("txlog").load(t).createOrReplaceTempView("ttl_hist_now")
     val p = freshTable()
