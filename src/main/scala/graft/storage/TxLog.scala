@@ -68,7 +68,7 @@ object TxLog {
     * statement forever. These prefixes are RESERVED: a user writer id
     * that needs replay dedup must not start with one. */
   private[storage] def singleUseWriter(w: String): Boolean =
-    Seq("compact-", "cluster-", "overwrite-", "batch-", "insert-",
+    Seq("compact-", "cluster-", "overwrite-", "restore-", "batch-", "insert-",
       "sql-delete-", "sql-update-", "sql-merge-", "props-").exists(w.startsWith)
 
   /** The reserved namespace FAILS LOUDLY at the public entry points: a
@@ -81,7 +81,7 @@ object TxLog {
   private def guardWriterId(w: String): Unit =
     require(!singleUseWriter(w),
       s"writer id '$w' starts with a reserved single-use prefix (compact-/cluster-/" +
-        "overwrite-/batch-/insert-/sql-*-): these ids are dropped from checkpoint " +
+        "overwrite-/restore-/batch-/insert-/sql-*-): these ids are dropped from checkpoint " +
         "token absorption, so replays after vacuum would duplicate data — pick " +
         "a writer id outside the reserved namespace")
 
@@ -444,6 +444,7 @@ object TxLog {
     def opOf(m: Manifest): String = m.writerId match {
       case w if w.startsWith("sql-") => w.split("-")(1).toUpperCase // DELETE/UPDATE/MERGE
       case w if w.startsWith("overwrite-") => "OVERWRITE"
+      case w if w.startsWith("restore-") => "RESTORE"
       case w if w.startsWith("compact-") => "COMPACT"
       case w if w.startsWith("cluster-") => "CLUSTER"
       case w if w.startsWith("props-") => "SET PROPERTIES"
@@ -1590,6 +1591,7 @@ object TxLog {
                                expectedHead: Long,
                                schemaDdl: Option[String] = None,
                                removes: Seq[String] = Seq.empty,
+                               changes: Seq[String] = Seq.empty,
                                maxRetries: Int = 20): Long = {
     val root = new Path(table)
     val f = fs(s, root)
@@ -1636,7 +1638,7 @@ object TxLog {
       // "layout rewrite, no new data" (compact/cluster, removes empty)
       // from "data REPLACED" (overwrite) and fail loudly on the latter
       val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
-        checkpoint = true, carriedStats, removes = removes,
+        checkpoint = true, carriedStats, removes = removes, changes = changes,
         schema = carriedSchema.map(_.toDDL), tokens = absorbed,
         // the partition layout AND properties must SURVIVE log
         // truncation: checkpoints re-record them (everything below is
@@ -1666,6 +1668,67 @@ object TxLog {
     commitCheckpoint(s, table, rel, stats,
       writerId = s"overwrite-${java.util.UUID.randomUUID()}", expectedHead = head,
       schemaDdl = Some(df.schema.toDDL), removes = liveFiles(ms))
+  }
+
+  /** RESTORE the table to the live state it had at committed version
+    * `v` — as a NEW commit (a checkpoint whose read set is v's file
+    * list), so history is preserved and the restore itself
+    * time-travels: no data is copied, no log is truncated. Returns the
+    * new head version, or the current head unchanged when the live set
+    * already equals v's (a no-op restore commits nothing).
+    *
+    * Vacuum-safe: every file of v's generation must still exist —
+    * a generation already collected by [[vacuum]] fails loudly (raise
+    * retention; a restore target must outlive its vacuum horizon), and
+    * after the restore those files are referenced by the new head
+    * checkpoint, so subsequent vacuums keep them.
+    *
+    * Schema: v's recorded schema comes back with the data (like
+    * [[overwrite]], restore is a sanctioned narrowing path). Table
+    * PROPERTIES are config, not data — the current ones stay.
+    *
+    * Change-data-feed: with `changeFeed=true` the restore captures its
+    * row-level effect (deletes = rows only in the current live set,
+    * inserts = rows only in v's) in the RESTORED schema, so feed
+    * consumers incrementally follow the restore instead of resnapshotting;
+    * the plain append-only stream source fails loudly on it, like
+    * overwrite. Concurrent appends rebase in (their rows survive the
+    * restore — same rule as every checkpoint); concurrent DML
+    * conflicts. */
+  def restore(s: SparkSession, table: String, v: Long): Long = {
+    val ms = manifests(s, table)
+    val head = ms.lastOption.map(_.version).getOrElse(-1L)
+    val past = manifestsAt(ms, v, table)
+    val target = liveFiles(past)
+    val current = liveFiles(ms)
+    val targetSet = target.toSet
+    val currentSet = current.toSet
+    if (targetSet == currentSet) return head
+    val root = new Path(table)
+    val f = fs(s, root)
+    target.filterNot(r => f.exists(new Path(root, r))) match {
+      case miss if miss.nonEmpty => throw new IllegalStateException(
+        s"cannot restore $table to v$v: ${miss.size} file(s) of that generation " +
+          s"were vacuumed (first: ${miss.head}) — raise vacuum retention to keep " +
+          "restore targets alive")
+      case _ => ()
+    }
+    val schemaDdl = tableSchemaFrom(past)
+      .map(_.toDDL)
+      .getOrElse(readFiles(s, table, past, target).schema.toDDL)
+    // v's recorded stats ride along so zone-map skipping survives the
+    // restore (falling back to live stats for files v's manifests
+    // predate — legacy logs without per-file stats)
+    val statsAt = liveStats(past)
+    val stats = target.flatMap(statsAt.get)
+    val dropped = current.filterNot(targetSet)
+    val changes =
+      if (!propsFrom(ms).get(ChangeFeedProp).contains("true")) Seq.empty
+      else captureChanges(s, table,
+        removes = dropped, added = target.filterNot(currentSet), schemaDdl)
+    commitCheckpoint(s, table, target, stats,
+      writerId = s"restore-${java.util.UUID.randomUUID()}", expectedHead = head,
+      schemaDdl = Some(schemaDdl), removes = dropped, changes = changes)
   }
 
   /** File pruning for the V2 scan: partition equality first (recorded

@@ -626,13 +626,17 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
         val missing = ((from + 1) to to).filterNot(have)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
         range.find(m => m.removes.nonEmpty ||
-            (m.checkpoint && m.writerId.startsWith("overwrite-"))).foreach { m =>
-          // overwrite detected STRUCTURALLY by its writer-id class — this
-          // library is the format's only writer — so even an overwrite of
-          // an empty table (removes = ∅) stays loud
+            (m.checkpoint && (m.writerId.startsWith("overwrite-") ||
+              m.writerId.startsWith("restore-")))).foreach { m =>
+          // overwrite/restore detected STRUCTURALLY by the writer-id
+          // class — this library is the format's only writer — so even
+          // one replacing an empty table (removes = ∅) stays loud
           throw new IllegalStateException(
             s"txlog stream source is append-only, but v${m.version} of $table " +
-              (if (m.checkpoint) "OVERWROTE the table" else "rewrote rows (DML)") +
+              (if (m.checkpoint && m.writerId.startsWith("restore-"))
+                 "RESTORED the table to an earlier version"
+               else if (m.checkpoint) "OVERWROTE the table"
+               else "rewrote rows (DML)") +
               " — tail from a fresh start or keep the streamed table append-only")
         }
         val rel = range.filterNot(_.checkpoint).flatMap(_.files)
@@ -718,6 +722,17 @@ object TxLogCdf {
         throw new IllegalStateException(
           s"v${m.version} of $table OVERWROTE the table — a wholesale " +
             "replacement has no row-level delta; restart the feed from a snapshot")
+      else if (m.checkpoint && m.writerId.startsWith("restore-")) {
+        // a RESTORE captures its row-level effect when the feed is on —
+        // serve it; a restore from before the feed has no recorded
+        // delta and must fail like pre-feed DML, not read as no-change
+        if (m.changes.isEmpty && !TxLog.changeFeedAt(ms, m.version))
+          throw new IllegalStateException(
+            s"v${m.version} of $table RESTORED the table BEFORE the change feed " +
+              s"was enabled — the delta was never recorded (set " +
+              s"${TxLog.ChangeFeedProp}=true before restoring)")
+        m.changes.map(rel => Entry(rel, typeOf(rel), m.version))
+      }
       else if (m.checkpoint) Seq.empty // compact/cluster: layout only
       else if (m.removes.nonEmpty || m.changes.nonEmpty) {
         if (m.changes.isEmpty && !TxLog.changeFeedAt(ms, m.version))
