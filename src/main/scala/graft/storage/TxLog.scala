@@ -835,7 +835,10 @@ object TxLog {
     val pcols = partitionColsFrom(ms).toSet
     val afterParts =
       if (pcols.isEmpty) files else prunePartitions(conjuncts, pcols, files, stats)
-    TxStats.prune(conjuncts, afterParts, stats)
+    val zoned = TxStats.prune(conjuncts, afterParts, stats)
+    // bloom membership on the zone-map survivors (equality probes on
+    // bloomCols) — cuts the candidate scan matchingFiles then runs
+    TxBloom.pruneConjuncts(s, table, propsFrom(ms), conjuncts, zoned)
   }
 
   /** Transactionally append `df` to `table`. The write lands in a
@@ -985,7 +988,11 @@ object TxLog {
     val f = fs(s, root)
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$uuid")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    // bloomCols: staged files carry parquet split-block bloom filters
+    // for the opted-in columns ([[TxBloom]]); the extra listing is
+    // noise next to the data write it configures
+    val bloomOpts = TxBloom.writeOptions(propsFrom(manifests(s, root.toString)))
+    df.write.options(bloomOpts).mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val rel = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted

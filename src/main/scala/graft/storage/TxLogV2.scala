@@ -483,8 +483,13 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     * are narrowed by Spark's runtime `_file` group filtering instead. */
   @volatile private var files: Seq[String] =
     if (op.isDefined) allFiles
-    else TxLog.pruneSourceFilters(pushed.toSeq,
-      TxLog.partitionColsFrom(ms), allFiles, stats)
+    else {
+      val zoned = TxLog.pruneSourceFilters(pushed.toSeq,
+        TxLog.partitionColsFrom(ms), allFiles, stats)
+      // bloom membership on the zone-map survivors — point lookups on
+      // opted-in high-cardinality columns skip files ranges can't
+      TxBloom.pruneFilters(spark, table, TxLog.propsFrom(ms), pushed.toSeq, zoned)
+    }
 
   private val wantsFile = required.fieldNames.contains(FileCol)
   private val readDataSchema = StructType(required.fields.filterNot(_.name == FileCol))
@@ -990,7 +995,8 @@ final case class TxLogCommitMessage(files: Seq[String]) extends WriterCommitMess
 object TxLogWriterFactory {
   def create(spark: SparkSession, table: String, uuid: String,
              schema: StructType): TxLogWriterFactory = {
-    val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, schema)
+    val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, schema,
+      TxBloom.writeOptions(TxLog.properties(spark, table)))
     TxLogWriterFactory(table, uuid, schema, owf, conf, ext)
   }
 

@@ -94,9 +94,13 @@ object GraftParquetIO {
     * serializable OutputWriterFactory from ParquetFileFormat (codec,
     * schema converters, committer conf all baked into the returned
     * job configuration — ship it with the factory). */
-  def writerFactory(spark: SparkSession, schema: StructType)
+  def writerFactory(spark: SparkSession, schema: StructType,
+                    extraConf: Map[String, String] = Map.empty)
       : (OutputWriterFactory, SerializableConfiguration, String) = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // caller-supplied hadoop/parquet keys (e.g. per-column bloom
+    // filter toggles) ride in the job conf the executors serialize
+    extraConf.foreach { case (k, v) => job.getConfiguration.set(k, v) }
     val factory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty[String, String], schema)
     val conf = new SerializableConfiguration(job.getConfiguration)
