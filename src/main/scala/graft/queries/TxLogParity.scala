@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.storage.TxLog
+import graft.storage.{TxBloom, TxLog}
 
 /** CORRECTNESS rows for the STORAGE layer — the one major component
   * that had no oracle entry through r11 (judge item #3, r11 verdict).
@@ -124,11 +124,83 @@ object TxLogParity {
       .orderBy("_change_type")
   }
 
+  /** Bloom table: ALL of orders, interleaved into 4 commits by
+    * `o_orderkey % 4` — every file spans the full key range, so the
+    * zone maps provably keep everything and the only thing standing
+    * between a point probe and 4 file scans is the per-file parquet
+    * bloom filter (`bloomCols`, r12). */
+  private val builtBloom = new ConcurrentHashMap[String, String]()
+
+  private def bloomTable(s: SparkSession, dir: String): String =
+    builtBloom.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_bloom_oracle_").resolve("t").toString
+      TxLog.setProperties(s, t, Map(
+        TxBloom.BloomColsProp -> "o_orderkey", TxBloom.BloomNdvProp -> "400000"))
+      val orders = Tables(s, dir, "orders")
+      (0 until 4).foreach(i =>
+        orders.where(col("o_orderkey") % 4 === i).coalesce(2)
+          .write.format("txlog").mode("append").save(t))
+      t
+    })
+
+  /** Bloom-pruned point lookup through the V2 scan: probe the greatest
+    * key ≤ max/2 (exists by construction, deterministic on both
+    * engines). The RESULT hash proves the bloom path returns exactly
+    * the probe's rows; the skip counts are pinned in TxBloomSpec. */
+  val bloomPrune: Q = (s, dir) => {
+    val t = bloomTable(s, dir)
+    val orders = Tables(s, dir, "orders")
+    val m = orders.agg(max("o_orderkey")).first().getLong(0)
+    val probe = orders.where(col("o_orderkey") <= m / 2)
+      .agg(max("o_orderkey")).first().getLong(0)
+    s.read.format("txlog").load(t)
+      .where(col("o_orderkey") === probe)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Restore table: gen0 (v0), gen1 (v1), RESTORE to v0 (v2 — gen1
+    * dropped without data copy), gen2 appended after (v3). Live state
+    * = gen0 ∪ gen2: the oracle encodes exactly the restore's
+    * drop-the-middle semantics over raw orders. */
+  private val builtRestore = new ConcurrentHashMap[String, String]()
+
+  private def restoreTable(s: SparkSession, dir: String): String =
+    builtRestore.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_restore_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val (k1, k2) = (m / 3, 2 * m / 3)
+      orders.where(col("o_orderkey") <= k1).coalesce(4)
+        .write.format("txlog").mode("append").save(t)
+      orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2).coalesce(4)
+        .write.format("txlog").mode("append").save(t)
+      TxLog.restore(s, t, 0L)
+      orders.where(col("o_orderkey") > k2).coalesce(4)
+        .write.format("txlog").mode("append").save(t)
+      t
+    })
+
+  /** The restored-then-appended table's live state, read through the
+    * production V2 scan and aggregated per priority. */
+  val restored: Q = (s, dir) => {
+    val t = restoreTable(s, dir)
+    s.read.format("txlog").load(t)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "txlog_scan_prune" -> scanPrune,
     "txlog_time_travel" -> timeTravel,
     "txlog_meta_agg" -> metaAgg,
-    "txlog_changes" -> changeFeed)
+    "txlog_changes" -> changeFeed,
+    "txlog_bloom_prune" -> bloomPrune,
+    "txlog_restore" -> restored)
 
   /** DuckDB replay over the raw orders parquet. Final live state =
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
@@ -180,5 +252,27 @@ object TxLogParity {
                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                   count(DISTINCT o_orderkey) AS n_keys
            FROM orders
-         ) ORDER BY _change_type""")
+         ) ORDER BY _change_type""",
+    // the bloom table holds ALL of orders (4 interleaved generations),
+    // so the probe's answer is the raw table's rows at that key
+    "txlog_bloom_prune" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders
+         WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
+                             WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 2)
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+    // live state after RESTORE-to-v0 then the third append: gen0
+    // (key ≤ k1) ∪ gen2 (key > k2) — gen1 was dropped by the restore
+    "txlog_restore" ->
+      """SELECT o_orderpriority,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders
+         WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 3
+            OR o_orderkey > (2 * (SELECT max(o_orderkey) FROM orders)) // 3
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""")
 }
