@@ -252,9 +252,26 @@ object TxBloom {
                              props: Map[String, String], candidates: Seq[String],
                              probes: Seq[(String, Seq[HashVal])]): Seq[String] = {
     if (probes.isEmpty || candidates.isEmpty) return candidates
-    val kept = candidates.filter(fileMayMatch(spark, table, _, probes))
+    val kept = parFilter(candidates)(fileMayMatch(spark, table, _, probes))
     lastPrune.set((kept.size, candidates.size))
     kept
+  }
+
+  /** Probe candidates on a bounded planning pool — each test is an
+    * independent footer-sized read, so wall-clock is candidates/16
+    * round-trips, not candidates (the object-store latency that would
+    * otherwise dominate a large point lookup's planning). Order
+    * preserved; a probe that throws was already mapped to `keep`
+    * inside [[fileMayMatch]]. */
+  private def parFilter(xs: Seq[String])(p: String => Boolean): Seq[String] = {
+    if (xs.size <= 4) return xs.filter(p)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, xs.size))
+    try {
+      val futs = xs.map(x => pool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean = p(x)
+      }))
+      xs.zip(futs).collect { case (x, f) if f.get() => x }
+    } finally pool.shutdown()
   }
 
   private[storage] def pruneFilters(

@@ -517,6 +517,26 @@ object TxLog {
     hit.last._1
   }
 
+  /** The FIRST version whose monotonized commit timestamp is
+    * `≥ tsMillis` — the stream-start dual of [[versionAtTimestamp]]
+    * ("changes committed at or after T"). Loud when no such version
+    * exists (T past the head's clock, or a log with no recorded
+    * timestamps): a silent empty resolution would make a mistyped
+    * future instant look like a healthy-but-idle stream. */
+  private[storage] def firstVersionAtOrAfter(ms: Seq[Manifest], tsMillis: Long,
+                                             table: String): Long = {
+    require(ms.nonEmpty, s"$table has no commits — nothing to start a stream from")
+    var run = -1L
+    val eff = ms.map { m => if (m.ts > run) run = m.ts; (m.version, run) }
+    eff.find { case (_, t) => t >= 0L && t >= tsMillis } match {
+      case Some((v, _)) => v
+      case None => throw new IllegalArgumentException(
+        s"no commit of $table at or after timestamp $tsMillis " +
+          s"(head committed at ${eff.last._2}) — to tail only future commits, " +
+          "use startingVersion=latest")
+    }
+  }
+
   /** TIME TRAVEL by wall clock: the table as of the instant `tsMillis`
     * — resolved to a version with [[versionAtTimestamp]]'s monotonized
     * rule, then served exactly like [[snapshotAt]]. */

@@ -150,18 +150,53 @@ object TxLogV2 {
     * [[TxLog.versionAtTimestamp]]'s monotonized rule, then identical
     * to `versionAsOf` (same read-only pin, same schema-as-of). */
   private[storage] def timestampAsOf(options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("timestampAsOf")).map { raw =>
-      val s = raw.trim
-      if (s.matches("-?\\d+")) s.toLong
-      else try java.sql.Timestamp.valueOf(s).getTime catch {
-        case _: IllegalArgumentException =>
-          try java.sql.Date.valueOf(s).getTime catch {
-            case _: IllegalArgumentException => throw new IllegalArgumentException(
-              s"timestampAsOf must be epoch millis, 'yyyy-MM-dd HH:mm:ss[.fff]' " +
-                s"or 'yyyy-MM-dd', got '$raw'")
-          }
-      }
+    Option(options.get("timestampAsOf")).map(parseTsMillis(_, "timestampAsOf"))
+
+  /** Epoch millis or a `java.sql` timestamp/date literal (JVM default
+    * zone, like the manifest clocks it addresses). */
+  private[storage] def parseTsMillis(raw: String, opt: String): Long = {
+    val s = raw.trim
+    if (s.matches("-?\\d+")) s.toLong
+    else try java.sql.Timestamp.valueOf(s).getTime catch {
+      case _: IllegalArgumentException =>
+        try java.sql.Date.valueOf(s).getTime catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"$opt must be epoch millis, 'yyyy-MM-dd HH:mm:ss[.fff]' " +
+              s"or 'yyyy-MM-dd', got '$raw'")
+        }
     }
+  }
+
+  /** The stream-start / feed-window bounds, with the r12 timestamp
+    * variants resolved to concrete versions at table-resolution time:
+    * `startingTimestamp` → the first version committed at or after the
+    * instant ([[TxLog.firstVersionAtOrAfter]] — loud past the head),
+    * `endingTimestamp` → the last version at or before it
+    * ([[TxLog.versionAtTimestamp]]'s monotonized rule). Version and
+    * timestamp forms of the same bound are mutually exclusive. */
+  private[storage] def resolveStart(spark: SparkSession, table: String,
+                                    options: CaseInsensitiveStringMap): Option[String] = {
+    val byV = Option(options.get("startingVersion"))
+    val byT = Option(options.get("startingTimestamp"))
+    require(byV.isEmpty || byT.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    byV.orElse(byT.map { raw =>
+      val t = parseTsMillis(raw, "startingTimestamp")
+      TxLog.firstVersionAtOrAfter(TxLog.manifests(spark, table), t, table).toString
+    })
+  }
+
+  private[storage] def resolveEnd(spark: SparkSession, table: String,
+                                  options: CaseInsensitiveStringMap): Option[String] = {
+    val byV = Option(options.get("endingVersion"))
+    val byT = Option(options.get("endingTimestamp"))
+    require(byV.isEmpty || byT.isEmpty,
+      "endingVersion and endingTimestamp are mutually exclusive")
+    byV.orElse(byT.map { raw =>
+      val t = parseTsMillis(raw, "endingTimestamp")
+      TxLog.versionAtTimestamp(TxLog.manifests(spark, table), t, table).toString
+    })
+  }
 
   /** The version a read pins to, from whichever time-travel option is
     * present (both at once is ambiguous — rejected). */
@@ -250,11 +285,11 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (cdf)
       new TxLogChangeScanBuilder(spark, table, schema,
-        startRaw = Option(options.get("startingVersion")),
-        endRaw = Option(options.get("endingVersion")))
+        startRaw = TxLogV2.resolveStart(spark, table, options),
+        endRaw = TxLogV2.resolveEnd(spark, table, options))
     else
       new TxLogScanBuilder(spark, table, schema, op = None, asOf = asOf,
-        startingVersion = Option(options.get("startingVersion")))
+        startingVersion = TxLogV2.resolveStart(spark, table, options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,

@@ -139,6 +139,51 @@ class TxTimestampSpec extends AnyFunSuite {
     assert(now.columns.contains("flag"))
   }
 
+  test("startingTimestamp starts a stream at the first version committed at or after the instant") {
+    val t = stamped3()
+    val out = Files.createTempDirectory("txts_out_").toString
+    val ck = Files.createTempDirectory("txts_ck_").toString
+    val q = spark.readStream.format("txlog")
+      .option("startingTimestamp", "1500").load(t)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 200, "v1 (@2000) and v2 (@3000), not v0 (@1000)")
+    assert(got.where($"grp" === "alpha").count() == 0)
+    // past the head's clock: loud, not a silently idle stream
+    val e = intercept[Exception] {
+      spark.readStream.format("txlog").option("startingTimestamp", "999999")
+        .load(t).writeStream.format("noop").start().processAllAvailable()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ msgs(y.getCause))
+    assert(msgs(e).exists(_.contains("startingVersion=latest")), e.toString)
+    // and the version/timestamp forms of one bound are exclusive
+    val both = intercept[Exception] {
+      spark.readStream.format("txlog").option("startingTimestamp", "1500")
+        .option("startingVersion", "1").load(t)
+        .writeStream.format("noop").start().processAllAvailable()
+    }
+    assert(msgs(both).exists(_.contains("mutually exclusive")), both.toString)
+  }
+
+  test("the change feed windows by timestamp: startingTimestamp/endingTimestamp resolve to versions") {
+    val t = freshTable()
+    withClock(500L, 1000L, 2000L, 3000L) {
+      TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true")) // v0 @500
+      TxLog.commit(batch(0 until 100, "a").coalesce(1), t, "w", 0L)      // v1 @1000
+      TxLog.commit(batch(100 until 200, "b").coalesce(1), t, "w", 1L)    // v2 @2000
+      TxLog.commit(batch(200 until 300, "c").coalesce(1), t, "w", 2L)    // v3 @3000
+    }
+    val feed = spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingTimestamp", "1500").option("endingTimestamp", "2500")
+      .load(t)
+    assert(feed.count() == 100, "exactly v2's inserts (@2000)")
+    assert(feed.select($"_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("checkpoints and DML stamp their clocks too; pre-feature manifests read as null timestamps") {
     val t = freshTable()
     withClock(1000L, 2000L, 3000L) {
