@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, 
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.{GraftParquetIO, OutputWriter, OutputWriterFactory}
@@ -186,6 +186,21 @@ object TxLogV2 {
     })
   }
 
+  /** `maxVersionsPerTrigger`: cap how many log versions one
+    * micro-batch may cover (admission control — a restarted stream far
+    * behind the head catches up in bounded batches instead of one
+    * giant plan; the version is the txlog analogue of Delta's
+    * maxFilesPerTrigger, matched to our whole-version offsets). */
+  private[storage] def maxVersionsPerTrigger(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val v = try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxVersionsPerTrigger must be a positive long, got '$s'")
+      }
+      require(v > 0L, s"maxVersionsPerTrigger must be positive, got $v")
+      v
+    }
+
   private[storage] def resolveEnd(spark: SparkSession, table: String,
                                   options: CaseInsensitiveStringMap): Option[String] = {
     val byV = Option(options.get("endingVersion"))
@@ -286,10 +301,12 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     if (cdf)
       new TxLogChangeScanBuilder(spark, table, schema,
         startRaw = TxLogV2.resolveStart(spark, table, options),
-        endRaw = TxLogV2.resolveEnd(spark, table, options))
+        endRaw = TxLogV2.resolveEnd(spark, table, options),
+        maxVersions = TxLogV2.maxVersionsPerTrigger(options))
     else
       new TxLogScanBuilder(spark, table, schema, op = None, asOf = asOf,
-        startingVersion = TxLogV2.resolveStart(spark, table, options))
+        startingVersion = TxLogV2.resolveStart(spark, table, options),
+        maxVersions = TxLogV2.maxVersionsPerTrigger(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
@@ -314,7 +331,8 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
 class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructType,
                        op: Option[TxLogRowLevelOperation],
                        asOf: Option[Long] = None,
-                       startingVersion: Option[String] = None)
+                       startingVersion: Option[String] = None,
+                       maxVersions: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -450,7 +468,7 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
   override def build(): Scan = agg match {
     case Some((schema, row)) => new TxLogMetaAggScan(table, asOf, schema, row)
     case None => new TxLogScan(spark, table, tableSchema, required, pushed, op,
-      asOf, startingVersion)
+      asOf, startingVersion, maxVersions)
   }
 }
 
@@ -493,7 +511,8 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
                 required: StructType, pushed: Array[Filter],
                 op: Option[TxLogRowLevelOperation],
                 asOf: Option[Long] = None,
-                startingVersion: Option[String] = None)
+                startingVersion: Option[String] = None,
+                maxVersions: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
 
@@ -595,7 +614,7 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
       s"txlog relation pinned at versionAsOf=${asOf.get} cannot be a stream " +
         "source — the tail is by definition unpinned")
     new TxLogMicroBatchStream(spark, table, tableSchema, readDataSchema,
-      TxLogV2.streamStart(spark, table, startingVersion))
+      TxLogV2.streamStart(spark, table, startingVersion), maxVersions)
   }
 
   /** Real statistics from the manifest (post static pruning), so the
@@ -625,8 +644,9 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   * `TxLogStreamSource` semantics onto the V2 seam. */
 class TxLogMicroBatchStream(spark: SparkSession, table: String,
                             tableSchema: StructType, readDataSchema: StructType,
-                            start: Option[Long] = None)
-    extends MicroBatchStream {
+                            start: Option[Long] = None,
+                            maxVersions: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private case class V(v: Long) extends Offset { override def json: String = v.toString }
   private def versionOf(o: Offset): Long = o match {
@@ -643,6 +663,21 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
 
   /** Name-only head probe: the idle poll costs one listing, zero reads. */
   override def latestOffset(): Offset = V(TxLog.headVersionByName(spark, table))
+
+  // ---- admission control + Trigger.AvailableNow: the batch end is the
+  // head, capped by `maxVersionsPerTrigger` versions past the start
+  // (bounded catch-up) and, under AvailableNow, by the head observed at
+  // query start (drain-and-terminate; later commits wait for the next run)
+  @volatile private var drainTo: Long = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit =
+    drainTo = TxLog.headVersionByName(spark, table)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start0: Offset, limit: ReadLimit): Offset = {
+    val head = math.min(TxLog.headVersionByName(spark, table), drainTo)
+    V(maxVersions.fold(head)(m => math.min(head, versionOf(start0) + m)))
+  }
+  override def reportLatestOffset(): Offset =
+    V(TxLog.headVersionByName(spark, table))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = versionOf(start); val to = versionOf(end)
@@ -789,18 +824,21 @@ object TxLogCdf {
   * construction), so filters stay entirely Spark-side. */
 class TxLogChangeScanBuilder(spark: SparkSession, table: String,
                              fullSchema: StructType,
-                             startRaw: Option[String], endRaw: Option[String])
+                             startRaw: Option[String], endRaw: Option[String],
+                             maxVersions: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new TxLogChangeScan(spark, table, fullSchema, required, startRaw, endRaw)
+    new TxLogChangeScan(spark, table, fullSchema, required, startRaw, endRaw,
+      maxVersions)
 }
 
 class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType,
                       required: StructType,
-                      startRaw: Option[String], endRaw: Option[String])
+                      startRaw: Option[String], endRaw: Option[String],
+                      maxVersions: Option[Long] = None)
     extends Scan with Batch {
 
   import TxLogCdf._
@@ -871,7 +909,7 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       "endingVersion is a batch-window option — a STREAM tails the live feed " +
         "(bound the batch reader instead)")
     new TxLogChangeStream(spark, table, this,
-      TxLogV2.streamStart(spark, table, startRaw))
+      TxLogV2.streamStart(spark, table, startRaw), maxVersions)
   }
 
   override def description(): String =
@@ -886,8 +924,9 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
   * rows at the snapshot version — state + subsequent deltas is the
   * complete materialization recipe. */
 class TxLogChangeStream(spark: SparkSession, table: String,
-                        scan: TxLogChangeScan, start: Option[Long])
-    extends MicroBatchStream {
+                        scan: TxLogChangeScan, start: Option[Long],
+                        maxVersions: Option[Long] = None)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import TxLogCdf._
 
@@ -902,6 +941,19 @@ class TxLogChangeStream(spark: SparkSession, table: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def latestOffset(): Offset = V(TxLog.headVersionByName(spark, table))
+
+  // admission control + AvailableNow (see TxLogMicroBatchStream):
+  // bounded catch-up batches, drain-to-prepared-head termination
+  @volatile private var drainTo: Long = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit =
+    drainTo = TxLog.headVersionByName(spark, table)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start1: Offset, limit: ReadLimit): Offset = {
+    val head = math.min(TxLog.headVersionByName(spark, table), drainTo)
+    V(maxVersions.fold(head)(m => math.min(head, versionOf(start1) + m)))
+  }
+  override def reportLatestOffset(): Offset =
+    V(TxLog.headVersionByName(spark, table))
 
   override def planInputPartitions(start0: Offset, end: Offset): Array[InputPartition] = {
     val from = versionOf(start0); val to = versionOf(end)

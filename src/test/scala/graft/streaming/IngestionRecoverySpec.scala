@@ -72,6 +72,18 @@ class IngestionRecoverySpec extends AnyFunSuite {
     runId += 1
     val (dir, schema) = streamFixture
     val table = s"ingest_idx_$runId"
+    // self-heal after a killed JVM: the catalog forgets the managed
+    // table but its warehouse location survives, and the next run's
+    // CTAS dies on LOCATION_ALREADY_EXISTS — drop both sides first
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(loc)
+    }
     val pairsDir = Files.createTempDirectory(s"ingest_pairs_$runId").toString
     val ckpt = Files.createTempDirectory(s"ingest_ckpt_$runId").toString
     @volatile var crashed = false
