@@ -223,25 +223,30 @@ object TxBloom {
     * keep. Footer + bloom-page I/O only. */
   private def fileMayMatch(spark: SparkSession, table: String, rel: String,
                            probes: Seq[(String, Seq[HashVal])]): Boolean = {
-    val p = new Path(new Path(table), rel)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val reader =
-      try ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      catch { case _: Exception => return true } // unreadable -> scan decides
+    // the WHOLE body degrades to `keep` on any exception — partial
+    // catches around open()/readBloomFilter() alone would let a footer-
+    // iteration or findHash failure escape, and parFilter's f.get()
+    // would rethrow it and fail the whole scan planning instead of
+    // just skipping one file's skip opportunity
     try {
-      reader.getFooter.getBlocks.asScala.exists { block =>
-        probes.forall { case (col, vs) =>
-          block.getColumns.asScala.find(_.getPath.toDotString == col) match {
-            case None => true // evolution: file predates the column
-            case Some(cc) =>
-              val bloom = try reader.readBloomFilter(cc) catch { case _: Exception => null }
-              if (bloom == null) true // no filter written -> unknown
-              else vs.exists(v =>
-                hashOf(bloom, cc, v).forall(bloom.findHash))
+      val p = new Path(new Path(table), rel)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          probes.forall { case (col, vs) =>
+            block.getColumns.asScala.find(_.getPath.toDotString == col) match {
+              case None => true // evolution: file predates the column
+              case Some(cc) =>
+                val bloom = try reader.readBloomFilter(cc) catch { case _: Exception => null }
+                if (bloom == null) true // no filter written -> unknown
+                else vs.exists(v =>
+                  hashOf(bloom, cc, v).forall(bloom.findHash))
+            }
           }
         }
-      }
-    } finally reader.close()
+      } finally reader.close()
+    } catch { case _: Exception => true } // unknown -> scan decides
   }
 
   /** Narrow `candidates` by bloom membership for the probes extractable
@@ -257,21 +262,31 @@ object TxBloom {
     kept
   }
 
-  /** Probe candidates on a bounded planning pool — each test is an
+  /** One shared planning pool for every prune call — daemon threads, so
+    * it never pins the JVM; spinning a fresh pool per point lookup
+    * would pay 16 thread births on the planning path each time. */
+  private lazy val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"txbloom-probe-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
+
+  /** Probe candidates on the shared planning pool — each test is an
     * independent footer-sized read, so wall-clock is candidates/16
     * round-trips, not candidates (the object-store latency that would
     * otherwise dominate a large point lookup's planning). Order
     * preserved; a probe that throws was already mapped to `keep`
-    * inside [[fileMayMatch]]. */
+    * inside [[fileMayMatch]]'s catch-all. */
   private def parFilter(xs: Seq[String])(p: String => Boolean): Seq[String] = {
     if (xs.size <= 4) return xs.filter(p)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, xs.size))
-    try {
-      val futs = xs.map(x => pool.submit(new java.util.concurrent.Callable[Boolean] {
-        override def call(): Boolean = p(x)
-      }))
-      xs.zip(futs).collect { case (x, f) if f.get() => x }
-    } finally pool.shutdown()
+    val futs = xs.map(x => probePool.submit(new java.util.concurrent.Callable[Boolean] {
+      override def call(): Boolean = p(x)
+    }))
+    xs.zip(futs).collect { case (x, f) if f.get() => x }
   }
 
   private[storage] def pruneFilters(

@@ -985,17 +985,30 @@ object TxLog {
     (rel, stats)
   }
 
-  /** Hive path unescape (%XX sequences) — identity for the safe charset
-    * the partition prune compares on. */
-  private def unescapePath(v: String): String =
+  /** Hive path unescape (%XX sequences). Hive escapes one %XX PER BYTE
+    * of the UTF-8 encoding, so consecutive escapes must be accumulated
+    * into a byte buffer and decoded as UTF-8 in one go — decoding each
+    * to a single char would store multi-byte values as mojibake in the
+    * manifest's per-file `pv` metadata. A malformed sequence (non-hex
+    * after '%') is kept verbatim rather than thrown on: the value then
+    * simply never matches an equality prune (conservative keep). */
+  private[graft] def unescapePath(v: String): String =
     if (!v.contains('%')) v
     else {
+      def hex(c: Char): Boolean =
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
       val b = new StringBuilder; var i = 0
-      while (i < v.length) {
-        if (v(i) == '%' && i + 2 < v.length + 1 && i + 3 <= v.length) {
-          b += Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar; i += 3
-        } else { b += v(i); i += 1 }
+      val bytes = new java.io.ByteArrayOutputStream(8)
+      def flush(): Unit = if (bytes.size > 0) {
+        b ++= new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        bytes.reset()
       }
+      while (i < v.length) {
+        if (v(i) == '%' && i + 3 <= v.length && hex(v(i + 1)) && hex(v(i + 2))) {
+          bytes.write(Integer.parseInt(v.substring(i + 1, i + 3), 16)); i += 3
+        } else { flush(); b += v(i); i += 1 }
+      }
+      flush()
       b.toString
     }
 

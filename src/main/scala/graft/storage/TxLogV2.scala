@@ -518,9 +518,21 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
 
   import TxLogV2._
 
-  private val ms = {
-    val all = TxLog.manifests(spark, table)
-    asOf.map(TxLog.manifestsAt(all, _, table)).getOrElse(all)
+  /** One row-level operation plans TWO scans (the runtime group-filter
+    * subquery scan and the ReplaceData scan). Each listing the log
+    * independently would let a commit landing between the two listings
+    * hand them DIFFERENT snapshots — the subquery's `_file` IN-set
+    * would exclude a newly-committed file while `headAtScan` advanced
+    * to the new head, so the rewrite would publish cleanly yet silently
+    * skip matching rows in that file. The op therefore pins the
+    * manifest list at its FIRST scan construction and every later scan
+    * of the same op reuses it, making the conflict check airtight:
+    * any commit after the pin ≠ the head at publish → loud conflict. */
+  private val ms = op match {
+    case Some(o) => o.pinnedSnapshot(spark, table)
+    case None =>
+      val all = TxLog.manifests(spark, table)
+      asOf.map(TxLog.manifestsAt(all, _, table)).getOrElse(all)
   }
   private val allFiles = TxLog.liveFiles(ms)
   private val stats = TxLog.liveStats(ms)
@@ -679,15 +691,21 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
   override def reportLatestOffset(): Offset =
     V(TxLog.headVersionByName(spark, table))
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = versionOf(start); val to = versionOf(end)
+  override def planInputPartitions(start0: Offset, end: Offset): Array[InputPartition] = {
+    val from = versionOf(start0); val to = versionOf(end)
     val ms = TxLog.manifests(spark, table)
     def vacuumedError(what: String): Nothing =
       throw new IllegalStateException(
         s"$what of $table was vacuumed before this stream read it — " +
           "raise the vacuum retention above the stream's lag")
+    // offset −1 is the snapshot sentinel ONLY when no startingVersion
+    // was given: an explicit startingVersion=0 also lands at −1
+    // (inclusive start v ⇒ offset v−1) but must take the per-version
+    // range path, which serves v0's append and stays LOUD on any
+    // rewrite in the history — the same guard the change-feed stream
+    // applies, keeping the two stream sources' semantics consistent.
     val files: Seq[String] =
-      if (from < 0L) {
+      if (from < 0L && start.isEmpty) {
         // initial snapshot as of `to`. Log truncation is all-or-nothing
         // below the newest checkpoint, so the prefix ≤ to is complete iff
         // it still reaches a checkpoint or version 0
@@ -1171,6 +1189,18 @@ class TxLogRowLevelOperation(table: String, tableSchema: StructType,
     * which is the set of groups the rewrite replaces. */
   @volatile private[storage] var scannedFiles: Seq[String] = Seq.empty
   @volatile private[storage] var headAtScan: Long = -1L
+
+  /** The ONE manifest listing all scans of this operation share — see
+    * the snapshot-pinning note in [[TxLogScan]]. Listed lazily at the
+    * first scan's construction, under a lock so the group-filter scan
+    * and the ReplaceData scan can never race to two listings. */
+  private var snapshot: Option[Seq[TxLog.Manifest]] = None
+  private[storage] def pinnedSnapshot(spark: SparkSession,
+                                      table: String): Seq[TxLog.Manifest] =
+    synchronized {
+      if (snapshot.isEmpty) snapshot = Some(TxLog.manifests(spark, table))
+      snapshot.get
+    }
 
   override def command: RowLevelOperation.Command = cmd
 

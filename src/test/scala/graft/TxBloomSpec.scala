@@ -143,4 +143,35 @@ class TxBloomSpec extends AnyFunSuite {
       .where($"key" === "u-01-0001").count() == 1L)
     assert(TxBloom.lastPrune.get() == ((-1, -1)), "no probe must have run")
   }
+
+  test("a probe that blows up on one file degrades to KEEP, never fails the scan planning") {
+    // the degrade-to-keep contract covers the WHOLE per-file probe:
+    // any escape (not just open/readBloomFilter) must keep the file,
+    // not surface through parFilter and kill planning (r12 review)
+    val t = bloomTable()
+    // garble one live data file in place: footer unreadable
+    val root = new org.apache.hadoop.fs.Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFile = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      var p: org.apache.hadoop.fs.Path = null
+      while (it.hasNext && p == null) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) p = st.getPath
+      }
+      p
+    }
+    val out = fs.create(dataFile, true)
+    out.write("not parquet at all".getBytes); out.close()
+    TxBloom.lastPrune.set((0, 0))
+    // planning alone: build the pruned scan without executing it. The
+    // probed key lives in NO file, so every healthy bloom proves it
+    // absent — the ONLY file kept is the corrupt one (degrade-to-keep)
+    val plan = spark.read.format("txlog").load(t)
+      .where($"key" === "u-99-0000").queryExecution.executedPlan
+    assert(plan != null)
+    val (kept, cand) = TxBloom.lastPrune.get()
+    assert(cand == 6, s"probe must have run over all 6 files, got $cand")
+    assert(kept == 1, s"exactly the corrupt file must be KEPT (degrade), got kept=$kept")
+  }
 }

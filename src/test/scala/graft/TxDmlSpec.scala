@@ -188,4 +188,41 @@ class TxDmlSpec extends AnyFunSuite {
       rows(TxLog.snapshot(spark, t).get.where($"id" === 152L)))
     assert(TxLog.scanWhere(spark, t, $"id" === 152L).get.first().getString(3) == "u-152")
   }
+
+  test("one row-level op pins ONE snapshot: a commit between its two scans cannot split their views") {
+    // Spark plans a row-level op as TWO scans (the runtime group-filter
+    // subquery and the ReplaceData scan). If each listed the log
+    // independently, a commit landing between the listings would let
+    // the rewrite publish at the NEW head while the subquery's file set
+    // excluded the new file — a silent skip instead of the documented
+    // serialization conflict (r12 review finding).
+    import org.apache.spark.sql.connector.write.RowLevelOperation
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.storage.TxLogRowLevelOperation
+    val t = clustered3()
+    val sch = TxLog.snapshot(spark, t).get.schema
+    def fileSet(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      parts.flatMap(_.asInstanceOf[FilePartition].files.map(_.filePath.toString)).toSet
+    val op = new TxLogRowLevelOperation(t, sch, RowLevelOperation.Command.DELETE)
+    val scan1 = op.newScanBuilder(CaseInsensitiveStringMap.empty).build()
+    val files1 = fileSet(scan1.toBatch.planInputPartitions()) // pins the snapshot
+    // a concurrent append lands between the op's two scan constructions
+    batch(300 until 400, "delta").coalesce(1)
+      .write.format("txlog").mode("append").save(t)
+    val scan2 = op.newScanBuilder(CaseInsensitiveStringMap.empty).build()
+    val files2 = fileSet(scan2.toBatch.planInputPartitions())
+    assert(files2 == files1,
+      "second scan of the same op saw a different snapshot than the first")
+    assert(files1.size == 3, s"pinned snapshot must be the 3 pre-commit files: $files1")
+    // a FRESH op (a new statement) does see the new head
+    val op2 = new TxLogRowLevelOperation(t, sch, RowLevelOperation.Command.DELETE)
+    val files3 = fileSet(op2.newScanBuilder(CaseInsensitiveStringMap.empty)
+      .build().toBatch.planInputPartitions())
+    assert(files3.size == 4, "a new operation must list the current head")
+    // and end-to-end, the pinned head turns the race into a LOUD conflict:
+    // SQL DELETE planned over the old op would now publish at the stale
+    // head — verified by the serialization-conflict suite; here we pin
+    // the observable that makes it work (one listing per op)
+  }
 }

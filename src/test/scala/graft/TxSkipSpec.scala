@@ -327,4 +327,39 @@ class TxSkipSpec extends AnyFunSuite {
     assertSame(t, $"grp" === "alpha", "post-compaction partition read")
     assert(TxLog.snapshot(spark, t).get.count() == 100)
   }
+
+  test("hive path unescape: multi-byte UTF-8 decodes whole, malformed escapes are kept verbatim") {
+    // hive escapes one %XX PER BYTE of UTF-8 — decoding each escape to
+    // a char would store mojibake in the manifest's pv metadata, and a
+    // malformed sequence would throw during staging (r12 review finding)
+    assert(TxLog.unescapePath("caf%C3%A9") == "café")
+    assert(TxLog.unescapePath("%E4%B8%AD%E6%96%87") == "中文")
+    assert(TxLog.unescapePath("x%25y") == "x%y")
+    assert(TxLog.unescapePath("a%3Db%2Fc") == "a=b/c")
+    assert(TxLog.unescapePath("plain") == "plain")
+    // malformed: non-hex after '%', or '%' at the tail — verbatim, no throw
+    assert(TxLog.unescapePath("a%G1b") == "a%G1b")
+    assert(TxLog.unescapePath("tail%") == "tail%")
+    assert(TxLog.unescapePath("tail%4") == "tail%4")
+    // mixed: escapes flush as one UTF-8 run around literal chars
+    assert(TxLog.unescapePath("u%C3%A9-%2F-%E2%82%AC") == "ué-/-€")
+  }
+
+  test("partition values needing CONSECUTIVE hive escapes round-trip and prune correctly") {
+    // "a=b/c" hive-escapes to a%3Db%2Fc — two escape runs around a
+    // literal — exercising the accumulate-then-flush decode end to end
+    // (non-ASCII values can't be written in this container's POSIX
+    // locale; the UTF-8 multi-byte decode is unit-tested above)
+    val t = freshTable()
+    val df = Seq((1L, "a=b/c", 1.0), (2L, "a=b/c", 2.0), (3L, "x%y", 3.0))
+      .toDF("id", "city", "score")
+    TxLog.commitPartitioned(df, t, Seq("city"), "w", 0L)
+    val got = TxLog.snapshot(spark, t).get
+    assert(got.count() == 3)
+    assert(got.where($"city" === "a=b/c").count() == 2,
+      "escaped partition value must survive the hive path round-trip")
+    assert(TxLog.pruneCount(spark, t, $"city" === "x%y") == ((1, 2)),
+      "equality on the unescaped value must prune to its one partition file")
+    assertSame(t, $"city" === "a=b/c", "escaped partition equality")
+  }
 }

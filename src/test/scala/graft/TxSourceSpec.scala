@@ -315,4 +315,35 @@ class TxSourceSpec extends AnyFunSuite {
     assert(spark.read.format("txlog").load(t).count() == 20,
       "second query's epoch 0 was deduped against the first query's")
   }
+
+  test("explicit startingVersion=0 takes the range path: DML history is loud, not a silent snapshot") {
+    import graft.storage.TxLogMicroBatchStream
+    // startingVersion=0 lands at the same initial offset (−1) as the
+    // no-option snapshot; conflating them would silently serve the NET
+    // snapshot over a history with rewrites (r12 review finding)
+    val t = freshTable()
+    batch(0 until 30, "a").coalesce(1).write.format("txlog").mode("append").save(t) // v0
+    TxLog.delete(spark, t, $"id" === 5L, "d", 0L)                                   // v1 DML
+    val sch = TxLog.snapshot(spark, t).get.schema
+    // the fixed branch, driven directly: start = Some(−1) is EXACTLY
+    // what the option surface resolves "startingVersion=0" to
+    val src = new TxLogMicroBatchStream(spark, t, sch, sch, start = Some(-1L))
+    val e = intercept[IllegalStateException] {
+      src.planInputPartitions(src.initialOffset(), src.deserializeOffset("1"))
+    }
+    assert(e.getMessage.contains("rewrote rows"), e.getMessage)
+    // while the no-option stream legitimately snapshots the net state
+    val snap = new TxLogMicroBatchStream(spark, t, sch, sch)
+    val parts = snap.planInputPartitions(snap.initialOffset(), snap.deserializeOffset("1"))
+    assert(parts.nonEmpty, "snapshot stream must still serve the net state")
+    // and end-to-end through the option surface the query dies loudly
+    val name = s"txsv0_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("startingVersion", "0").load(t)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_sv0_").toString)
+      .start()
+    val e2 = intercept[Exception] { q.processAllAvailable(); q.awaitTermination() }
+    assert(e2.getMessage != null)
+    assert(!q.isActive, "startingVersion=0 over DML history must terminate the query")
+  }
 }
