@@ -107,6 +107,10 @@ object TxLog {
         "predicate can match different rows in the candidate scan and the rewrite")
   }
 
+  /** One deletion-vector pointer: data file `f`'s current DV sidecar is
+    * `p` (rel path under dv/) and it deletes `n` rows ([[TxDv]]). */
+  private[storage] case class DvEntry(f: String, p: String, n: Long)
+
   private[storage] case class Manifest(version: Long, files: Seq[String],
                               writerId: String, batchId: Long,
                               checkpoint: Boolean,
@@ -117,7 +121,8 @@ object TxLog {
                               pcols: Seq[String] = Seq.empty,
                               changes: Seq[String] = Seq.empty,
                               props: Seq[(String, String)] = Seq.empty,
-                              ts: Long = -1L)
+                              ts: Long = -1L,
+                              dvs: Seq[DvEntry] = Seq.empty)
 
   /** Commit wall-clock (epoch millis) — every manifest records the
     * committing writer's clock at render time. Writer clocks are NOT
@@ -142,13 +147,18 @@ object TxLog {
 
   private def render(m: Manifest): String = {
     // key order is LOAD-BEARING for the cursor parser: version,
-    // checkpoint, writer_id, batch_id, [ts], files, [removes],
+    // checkpoint, writer_id, batch_id, [ts], files, [removes], [dvs],
     // [schema], [pcols], [changes], [props], [tokens], [stats] —
     // optional keys are omitted (not null) so pre-feature manifests
     // and append-only manifests keep the exact old shape
     val removes =
       if (m.removes.isEmpty) ""
       else ", \"removes\": [" + m.removes.map(q).mkString(", ") + "]"
+    val dvs =
+      if (m.dvs.isEmpty) ""
+      else ", \"dvs\": [" + m.dvs.map { d =>
+        s"""{"f": ${q(d.f)}, "p": ${q(d.p)}, "n": ${d.n}}"""
+      }.mkString(", ") + "]"
     val schema = m.schema.map(d => s""", "schema": ${q(d)}""").getOrElse("")
     val pcols =
       if (m.pcols.isEmpty) ""
@@ -188,7 +198,7 @@ object TxLog {
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, $ts""" +
       s""""files": [${m.files.map(q).mkString(", ")}]""" +
-      s"""$removes$schema$pcols$changes$props$tokens$stats}"""
+      s"""$removes$dvs$schema$pcols$changes$props$tokens$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -250,9 +260,23 @@ object TxLog {
     // lack them). Detected by EXACT shape at the cursor — an indexOf
     // would let key-shaped text inside a later string-typed zone-map
     // bound (arbitrary table data) be mistaken for the key itself.
-    val (removes, cRem) =
+    val (removes, cRem0) =
       if (s.startsWith(", \"removes\": ", cFiles)) strArray(cFiles + 13)
       else (Seq.empty[String], cFiles)
+    val (dvs, cRem) =
+      if (s.startsWith(", \"dvs\": ", cRem0)) {
+        var i = s.indexOf('[', cRem0 + 9) + 1
+        val out = Seq.newBuilder[DvEntry]
+        while (s(i) != ']') {
+          if (s(i) == '{') {
+            val (fv, i1) = scanString(keyFrom("f", i))
+            val (pv, i2) = scanString(keyFrom("p", i1))
+            val (nv, i3) = longAt(keyFrom("n", i2))
+            out += DvEntry(fv, pv, nv); i = i3
+          } else i += 1
+        }
+        (out.result(), i + 1)
+      } else (Seq.empty[DvEntry], cRem0)
     val (schemaDdl, cSch0) =
       if (s.startsWith(", \"schema\": ", cRem)) {
         val (v, j) = scanString(cRem + 12); (Some(v), j)
@@ -345,7 +369,7 @@ object TxLog {
       }
     }
     Manifest(version, files, writerId, batchId, checkpoint, stats, removes,
-      schemaDdl, tokens, pcols, changes, props, ts)
+      schemaDdl, tokens, pcols, changes, props, ts, dvs)
   }
 
   /** All committed manifests, version-ordered. */
@@ -379,6 +403,19 @@ object TxLog {
     fromCheckpoint(ms).foldLeft(Vector.empty[String]) { (acc, m) =>
       val dead = m.removes.toSet
       (if (dead.isEmpty) acc else acc.filterNot(dead)) ++ m.files
+    }
+
+  /** The live DELETION-VECTOR state: data file → its current DV
+    * ([[TxDv]]). Same replay as [[liveFiles]]: a newer `dvs` entry for
+    * a file REPLACES the older (DVs are cumulative by construction),
+    * a `removes` of the file drops it, and checkpoints re-record the
+    * surviving state (compaction purges by rewriting, so an ordinary
+    * compact/cluster checkpoint carries none). */
+  private[storage] def liveDvs(ms: Seq[Manifest]): Map[String, DvEntry] =
+    fromCheckpoint(ms).foldLeft(Map.empty[String, DvEntry]) { (acc, m) =>
+      val dead = m.removes.toSet
+      val kept = if (dead.isEmpty) acc else acc.filterNot { case (f, _) => dead(f) }
+      kept ++ m.dvs.map(d => d.f -> d)
     }
 
   /** Highest committed version, or -1 for an empty/new table. */
@@ -449,7 +486,7 @@ object TxLog {
       case w if w.startsWith("cluster-") => "CLUSTER"
       case w if w.startsWith("props-") => "SET PROPERTIES"
       case _ if m.checkpoint => "CHECKPOINT"
-      case _ if m.removes.nonEmpty => "REWRITE"
+      case _ if m.removes.nonEmpty || m.dvs.nonEmpty => "REWRITE"
       case _ => "APPEND"
     }
     manifests(s, table).map { m =>
@@ -459,10 +496,10 @@ object TxLog {
         m.writerId, m.batchId, m.checkpoint,
         m.files.size.toLong, m.removes.size.toLong,
         m.stats.map(_.rows).sum, m.stats.map(_.bytes).sum,
-        m.changes.size.toLong)
+        m.changes.size.toLong, m.dvs.size.toLong, m.dvs.map(_.n).sum)
     }.toDF("version", "operation", "timestamp", "writer_id", "batch_id",
       "checkpoint", "n_files", "n_removes", "rows_written", "bytes_written",
-      "n_changes")
+      "n_changes", "n_dvs", "dv_rows")
   }
 
   /** TIME TRAVEL: the table exactly as of committed version `v` — the
@@ -605,6 +642,20 @@ object TxLog {
   val IsolationSerializable = "serializable"
   val IsolationWriteSerializable = "writeSerializable"
 
+  /** DML write strategy (`graft.dml.mode` table property):
+    *  - `copyOnWrite` (default) — DELETE/UPDATE/MERGE rewrite every
+    *    touched file; scans stay fully vectorized.
+    *  - `mergeOnRead` — touched files get DELETION VECTORS ([[TxDv]])
+    *    instead of rewrites: the statement costs O(affected rows), not
+    *    O(touched file bytes), and `compact`/`clusterBy` purge the DVs
+    *    back to clean files. The 100 TB trade: cheap frequent DML,
+    *    slightly slower reads of the DV'd files until maintenance. */
+  val DmlModeProp = "graft.dml.mode"
+  val DmlModeCow = "copyOnWrite"
+  val DmlModeMor = "mergeOnRead"
+  private def mergeOnRead(ms: Seq[Manifest]): Boolean =
+    propsFrom(ms).get(DmlModeProp).contains(DmlModeMor)
+
   /** Properties in force for `ms`: the newest manifest carrying a
     * non-empty props list (property commits record the FULL merged map,
     * and checkpoints re-record it, so newest-wins survives both partial
@@ -646,6 +697,9 @@ object TxLog {
       v == IsolationSerializable || v == IsolationWriteSerializable,
       s"$IsolationProp must be $IsolationSerializable or " +
         s"$IsolationWriteSerializable, got: $v"))
+    set.get(DmlModeProp).foreach(v => require(
+      v == DmlModeCow || v == DmlModeMor,
+      s"$DmlModeProp must be $DmlModeCow or $DmlModeMor, got: $v"))
     if (set.get(ChangeFeedProp).contains("true"))
       tableSchema(s, table).filter(sch => sch.fields.exists(f => hasMapType(f.dataType)))
         .foreach(sch => throw new IllegalArgumentException(
@@ -783,10 +837,46 @@ object TxLog {
     * matches columns BY NAME, so files from before an evolution
     * null-backfill the added columns); legacy logs infer. Applying the
     * schema also skips inference — no footer read at plan time. */
+  /** Read an explicit live-file list THROUGH the snapshot's deletion
+    * vectors — the one seam every native consumer (snapshot, time
+    * travel, scanWhere, DML candidate scans, compact, cluster) reads
+    * data rows from, so DV application lives here once: rows at deleted
+    * positions are filtered via the parquet `_metadata.row_index`
+    * metadata column against a broadcast of the files' DV sidecars.
+    * Files without a DV pay NOTHING (the filter is only attached when
+    * the requested files intersect the live DV state). Compaction reads
+    * through this too, which is exactly what makes a checkpoint the DV
+    * purge. The V2 scan has its own vectorization-preserving variant
+    * ([[TxDv.DvReaderFactory]]); this is the portable DataFrame one. */
   private[storage] def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
                         files: Seq[String]): DataFrame = {
     val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
-    rd.parquet(files.map(absPath(table)): _*)
+    val raw = rd.parquet(files.map(absPath(table)): _*)
+    val dvs = liveDvs(ms)
+    val hit = files.filter(dvs.contains)
+    if (hit.isEmpty) raw
+    else applyDvFilter(s, table, raw, hit.map(f => f -> dvs(f).p).toMap)
+  }
+
+  /** Attach the DV row filter to a parquet-backed DataFrame: keep a row
+    * iff its file has no DV or the DV lacks its row index. `dvRelByFile`
+    * maps data-file rel path → DV sidecar rel path. Schema-preserving
+    * (a bare filter over metadata columns). */
+  private def applyDvFilter(s: SparkSession, table: String, raw: DataFrame,
+                            dvRelByFile: Map[String, String]): DataFrame = {
+    // key by the uuid-dir tail so absolute-path rendering can't matter,
+    // and ship the (small) serialized sidecars once per query
+    val byTail: Map[String, (String, Array[Byte])] = dvRelByFile.map { case (f, p) =>
+      TxDv.tailKey(f) -> (p, TxDv.readBytes(s.sparkContext.hadoopConfiguration, table, p))
+    }
+    val b = s.sparkContext.broadcast(byTail)
+    val keep = org.apache.spark.sql.functions.udf { (path: String, ri: Long) =>
+      b.value.get(TxDv.tailKey(path)) match {
+        case Some((rel, bytes)) => !TxDv.cachedDecode(rel, bytes).contains(ri)
+        case None => true
+      }
+    }
+    raw.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
   }
 
   /** Stats-pruned snapshot read: open ONLY the files whose manifest
@@ -1209,6 +1299,61 @@ object TxLog {
     candidates.filter(rel => hit.exists(_.endsWith(rel)))
   }
 
+  /** MERGE-ON-READ's write half: the matched row POSITIONS of `touched`
+    * become deletion vectors ([[TxDv]]). `matcher` narrows the raw
+    * per-file rows (metadata columns `__gf`/`__gri` already attached)
+    * to the matched ones — a predicate for DELETE/UPDATE, a key
+    * semi-join for MERGE. Work is DISTRIBUTED: executors emit one
+    * serialized GDV1 blob per file (driver traffic is O(deleted rows)
+    * in compact varints, grouped, never a row collect), the driver
+    * unions each with the file's existing DV and stages the sidecars.
+    *
+    * Returns (fully-dead files → plain removes, surviving DV entries).
+    * A DV covering every recorded row of its file removes the file
+    * outright; a statement whose matches were ALL already deleted
+    * yields no entry for that file (nothing changed). */
+  private def stageDvs(s: SparkSession, table: String, ms: Seq[Manifest],
+                       touched: Seq[String],
+                       matcher: DataFrame => DataFrame)
+      : (Seq[String], Seq[DvEntry]) = {
+    if (touched.isEmpty) return (Seq.empty, Seq.empty)
+    val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
+    val raw = rd.parquet(touched.map(absPath(table)): _*)
+      .withColumn("__gf", col("_metadata.file_path"))
+      .withColumn("__gri", col("_metadata.row_index"))
+    import org.apache.spark.sql.Encoders
+    val hits = matcher(raw).select(col("__gf"), col("__gri"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    val perFile = hits.groupByKey(_._1)(Encoders.STRING).mapGroups { (f, it) =>
+      val dv = TxDv.fromPositions(it.map(_._2).toArray)
+      (TxDv.tailKey(f), TxDv.serialize(dv), dv.cardinality)
+    }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+      .collect()
+    val byTail = touched.map(f => TxDv.tailKey(f) -> f).toMap
+    val oldDvs = liveDvs(ms)
+    val stats = liveStats(ms)
+    val removesB = Seq.newBuilder[String]
+    val entriesB = Seq.newBuilder[DvEntry]
+    perFile.foreach { case (tail, bytes, _) =>
+      val rel = byTail.getOrElse(tail,
+        throw new IllegalStateException(s"matched file $tail not in the touched set"))
+      val fresh = TxDv.deserialize(bytes)
+      val merged = oldDvs.get(rel) match {
+        case Some(e) => TxDv.read(s, table, e.p).union(fresh)
+        case None => fresh
+      }
+      if (!oldDvs.get(rel).exists(_.n == merged.cardinality)) {
+        // rows is manifest-recorded for every file this writer stages;
+        // without it (pre-stats manifests) the full-removal proof is
+        // unavailable and the DV is kept — conservative, never wrong
+        val rows = stats.get(rel).map(_.rows).getOrElse(-1L)
+        if (rows > 0L && merged.cardinality >= rows) removesB += rel
+        else entriesB += DvEntry(rel, TxDv.write(s, table, merged), merged.cardinality)
+      }
+    }
+    (removesB.result(), entriesB.result())
+  }
+
   /** SQL DELETE: remove the rows where `pred` is TRUE (FALSE and NULL
     * rows stay — three-valued semantics, spec'd against null traps).
     * Copy-on-write + serializable publish per the section note. */
@@ -1231,8 +1376,24 @@ object TxLog {
     val candidates = pruned(s, table, pred, files, liveStats(ms), ms)
     val touched = matchingFiles(s, table, pred, candidates, ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
+    val hitRow = coalesce(pred, lit(false))
+    if (mergeOnRead(ms)) {
+      // DELETE as deletion vectors: no data file is rewritten — the
+      // matched positions land in per-file sidecars (files whose every
+      // row is now deleted are removed outright)
+      val (fullDead, entries) = stageDvs(s, table, ms, touched, _.where(hitRow))
+      if (fullDead.isEmpty && entries.isEmpty) return Rewrite(head, 0, 0)
+      val matched = readFiles(s, table, ms, touched).where(hitRow)
+      beforeCommit()
+      return publishRewrite(s, table, Seq.empty, Seq.empty, fullDead, head,
+        writerId, batchId, schemaDdl = matched.schema.toDDL,
+        readSet = candidates, dvs = entries,
+        captureOverride = Some(() => stageChangePair(s, table, matched,
+          s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            matched.schema), touched.size)))
+    }
     val kept = readFiles(s, table, ms, touched)
-      .where(not(coalesce(pred, lit(false))))
+      .where(not(hitRow))
     commitRewrite(s, table, kept, touched, head, writerId, batchId, beforeCommit,
       partitionColsFrom(ms), readSet = candidates)
   }
@@ -1265,6 +1426,36 @@ object TxLog {
     val unknown = set.keySet -- touchedDf.columns
     require(unknown.isEmpty, s"update sets unknown columns: $unknown")
     val hitRow = coalesce(pred, lit(false))
+    if (mergeOnRead(ms)) {
+      // UPDATE as DV + append: the matched positions are deleted via
+      // sidecars and the post-image rows land as NEW files — touched
+      // files keep their untouched rows bit-identical on disk
+      val (fullDead, entries) = stageDvs(s, table, ms, touched, _.where(hitRow))
+      if (fullDead.isEmpty && entries.isEmpty) return Rewrite(head, 0, 0)
+      val matched = touchedDf.where(hitRow)
+      val updated = matched.select(touchedDf.columns.toSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => e.cast(touchedDf.schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      val pcols = partitionColsFrom(ms)
+      val root = new Path(table)
+      val sized =
+        if (pcols.nonEmpty)
+          updated.repartition(math.max(1, touched.size), pcols.map(col): _*)
+        else updated.repartition(math.max(1, touched.size))
+      val (relAll, statsAll) =
+        if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
+        else stageWrite(s, root, sized)
+      beforeCommit()
+      return publishRewrite(s, table, relAll, statsAll, fullDead, head,
+        writerId, batchId, schemaDdl = updated.schema.toDDL,
+        readSet = candidates, dvs = entries,
+        captureOverride = Some(() => stageChangePair(s, table, matched,
+          s.read.schema(updated.schema).parquet(relAll.map(absPath(table)): _*),
+          touched.size)))
+    }
     val updated = touchedDf.select(touchedDf.columns.toSeq.map { c =>
       set.get(c) match {
         case Some(e) =>
@@ -1366,6 +1557,35 @@ object TxLog {
           .select("_f").distinct().collect().map(_.getString(0))
         candidates.filter(rel => hit.exists(_.endsWith(rel)))
       }
+    if (touched.nonEmpty && mergeOnRead(ms)) {
+      // MERGE as DV + append: matched target rows are deleted via
+      // sidecars, ALL source rows append (replacements + inserts) —
+      // null-keyed target rows never match (null-rejecting equality),
+      // null-keyed source rows append, same semantics as copy-on-write
+      val (fullDead, entries) =
+        stageDvs(s, table, ms, touched, _.join(srcKeys, keys, "left_semi"))
+      val matched = readFiles(s, table, ms, touched)
+        .join(srcKeys, keys, "left_semi")
+      // the staged files ARE table files — align the source to the
+      // table's column order (the COW path gets this from unionByName)
+      val aligned = src.select(matched.columns.map(col).toSeq: _*)
+      val pcols = partitionColsFrom(ms)
+      val root = new Path(table)
+      val sized =
+        if (pcols.nonEmpty)
+          aligned.repartition(math.max(1, touched.size), pcols.map(col): _*)
+        else aligned.repartition(math.max(1, touched.size))
+      val (relAll, statsAll) =
+        if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
+        else stageWrite(s, root, sized)
+      beforeCommit()
+      return publishRewrite(s, table, relAll, statsAll, fullDead, head,
+        writerId, batchId, schemaDdl = aligned.schema.toDDL,
+        readSet = candidates, dvs = entries,
+        captureOverride = Some(() => stageChangePair(s, table, matched,
+          s.read.schema(aligned.schema).parquet(relAll.map(absPath(table)): _*),
+          math.max(touched.size, relAll.size))))
+    }
     val newRows =
       if (touched.isEmpty) src
       else readFiles(s, table, ms, touched)
@@ -1459,13 +1679,19 @@ object TxLog {
                                     writerId: String, batchId: Long,
                                     schemaDdl: String,
                                     readSet: Seq[String] = Seq.empty,
-                                    maxRetries: Int = 20): Rewrite = {
+                                    maxRetries: Int = 20,
+                                    dvs: Seq[DvEntry] = Seq.empty,
+                                    captureOverride: Option[() => Seq[String]] = None)
+      : Rewrite = {
     val root = new Path(table)
     val f = fs(s, root)
     val nonEmpty = statsAll.filter(_.rows > 0).map(_.file).toSet
     val rel = relAll.filter(nonEmpty)
     val stats = statsAll.filter(st => nonEmpty(st.file))
-    val footprint = (readSet ++ removes).toSet
+    // a merge-on-read commit's footprint includes the files it DV'd —
+    // their row sets were read and partially invalidated, exactly a
+    // rewrite for isolation purposes
+    val footprint = (readSet ++ removes ++ dvs.map(_.f)).toSet
     var base = expectedHead
     var recorded = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     // capture is per-publish work, not per-attempt: the delta depends
@@ -1485,7 +1711,8 @@ object TxLog {
         val newer = msNow.filter(_.version > base)
         newer.find(_.checkpoint).foreach(m => throw conflict(
           s"got a checkpoint at v${m.version} (live set replaced) past v$base"))
-        newer.find(_.removes.exists(footprint)).foreach(m => throw conflict(
+        newer.find(m => m.removes.exists(footprint) ||
+            m.dvs.exists(d => footprint(d.f))).foreach(m => throw conflict(
           s"had files this operation read rewritten at v${m.version}"))
         newer.flatMap(_.schema)
           .map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -1500,7 +1727,12 @@ object TxLog {
       val changes =
         if (!propsFrom(msNow).get(ChangeFeedProp).contains("true")) Seq.empty
         else captured.getOrElse {
-          val c = captureChanges(s, table, removes, rel, schemaDdl)
+          val c = captureOverride.map(_.apply())
+            .getOrElse(captureChanges(s, table, removes, rel, schemaDdl,
+              // the OLD side of the diff is the removed files' LIVE rows
+              // — a previously-DV'd row was already reported deleted and
+              // must not be re-reported when its file is finally rewritten
+              liveDvs(msNow).view.filterKeys(removes.contains).mapValues(_.p).toMap))
           captured = Some(c); c
         }
       val logDir = new Path(root, LogDir)
@@ -1511,10 +1743,11 @@ object TxLog {
           // the table schema — recorded verbatim (keeps evolved reads
           // O(0 inference) after DML), widened by any schema a rebased
           // concurrent append evolved in
-          schema = Some(recorded.toDDL), changes = changes, ts = commitTimeMs()))
+          schema = Some(recorded.toDDL), changes = changes, ts = commitTimeMs(),
+          dvs = dvs))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
-        return Rewrite(v, removes.size, rel.size)
+        return Rewrite(v, removes.size + dvs.size, rel.size)
       attempt += 1 // lost the slot race: re-list; serializable callers
                    // then see a moved head and conflict, rebasing ones retry
     }
@@ -1538,7 +1771,8 @@ object TxLog {
     * structural, a constant per file, never a stored column. */
   private def captureChanges(s: SparkSession, table: String,
                              removes: Seq[String], added: Seq[String],
-                             schemaDdl: String): Seq[String] = {
+                             schemaDdl: String,
+                             oldDvs: Map[String, String] = Map.empty): Seq[String] = {
     val root = new Path(table)
     val f = fs(s, root)
     val sch = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
@@ -1552,16 +1786,40 @@ object TxLog {
           s" — drop the column or disable $ChangeFeedProp before DML")
       case _ => ()
     }
-    def read(rel: Seq[String]): DataFrame =
+    def read(rel: Seq[String], dvs: Map[String, String]): DataFrame =
       if (rel.isEmpty)
         s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
-      else s.read.schema(sch).parquet(rel.map(absPath(table)): _*)
-    val old = read(removes)
-    val neu = read(added)
+      else {
+        val raw = s.read.schema(sch).parquet(rel.map(absPath(table)): _*)
+        val hit = dvs.view.filterKeys(rel.contains).toMap
+        if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+      }
+    val old = read(removes, oldDvs)
+    val neu = read(added, Map.empty)
+    stageChangePair(s, table, old, neu, math.max(removes.size, added.size))
+  }
+
+  /** Stage the change files of one row-level difference: `d` files hold
+    * `old ∖ new` (multiset), `i` files hold `new ∖ old` — identical
+    * rows cancel, so a no-op replacement records no change. Shared by
+    * the copy-on-write capture ([[captureChanges]]) and the
+    * merge-on-read one (where old = the matched live rows and new = the
+    * statement's replacement rows — the difference is the same). */
+  private def stageChangePair(s: SparkSession, table: String, old: DataFrame,
+                              neu: DataFrame, sizeHint: Int): Seq[String] = {
+    val root = new Path(table)
+    val f = fs(s, root)
+    old.schema.fields.filter(fd => hasMapType(fd.dataType)) match {
+      case bad if bad.nonEmpty => throw new IllegalStateException(
+        s"change capture on $table cannot diff map-typed column(s) " +
+          bad.map(_.name).mkString(", ") +
+          s" — drop the column or disable $ChangeFeedProp before DML")
+      case _ => ()
+    }
     def stage(df: DataFrame, kind: String): Seq[String] = {
       val uuid = java.util.UUID.randomUUID().toString
       val dir = new Path(root, s"_changes/$uuid-$kind")
-      df.coalesce(math.max(1, math.max(removes.size, added.size)))
+      df.coalesce(math.max(1, sizeHint))
         .write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
       val rel = f.listStatus(dir)
         .filter(_.getPath.getName.endsWith(".parquet"))
@@ -1632,7 +1890,8 @@ object TxLog {
                                schemaDdl: Option[String] = None,
                                removes: Seq[String] = Seq.empty,
                                changes: Seq[String] = Seq.empty,
-                               maxRetries: Int = 20): Long = {
+                               maxRetries: Int = 20,
+                               dvs: Seq[DvEntry] = Seq.empty): Long = {
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
@@ -1648,7 +1907,9 @@ object TxLog {
     while (attempt < maxRetries) {
       val ms = manifests(s, table)
       val newer = ms.filter(_.version > base)
-      if (newer.exists(m => m.checkpoint || m.removes.nonEmpty))
+      // dvs count as rewrites: rebasing over a concurrent merge-on-read
+      // DML would silently drop its deletion vectors from the read set
+      if (newer.exists(m => m.checkpoint || m.removes.nonEmpty || m.dvs.nonEmpty))
         throw new java.util.ConcurrentModificationException(
           s"$table got a non-append commit past v$base during a layout rewrite — re-run")
       carriedFiles = carriedFiles ++ newer.flatMap(_.files)
@@ -1684,7 +1945,7 @@ object TxLog {
         // truncation: checkpoints re-record them (everything below is
         // vacuum-collectable)
         pcols = partitionColsFrom(ms), props = propsFrom(ms).toSeq.sorted,
-        ts = commitTimeMs()))
+        ts = commitTimeMs(), dvs = dvs))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
       attempt += 1 // lost the slot race; re-list and rebase again
@@ -1743,10 +2004,18 @@ object TxLog {
     val current = liveFiles(ms)
     val targetSet = target.toSet
     val currentSet = current.toSet
-    if (targetSet == currentSet) return head
+    // DV state is part of the live data: same file set with different
+    // deletion vectors is a REAL difference (restoring to before a
+    // merge-on-read DELETE resurrects its rows)
+    val targetDvs = liveDvs(past)
+    val currentDvs = liveDvs(ms)
+    if (targetSet == currentSet &&
+        targetDvs.view.mapValues(_.p).toMap == currentDvs.view.mapValues(_.p).toMap)
+      return head
     val root = new Path(table)
     val f = fs(s, root)
-    target.filterNot(r => f.exists(new Path(root, r))) match {
+    (target.filterNot(r => f.exists(new Path(root, r))) ++
+        targetDvs.values.map(_.p).filterNot(r => f.exists(new Path(root, r)))) match {
       case miss if miss.nonEmpty => throw new IllegalStateException(
         s"cannot restore $table to v$v: ${miss.size} file(s) of that generation " +
           s"were vacuumed (first: ${miss.head}) — raise vacuum retention to keep " +
@@ -1764,11 +2033,32 @@ object TxLog {
     val dropped = current.filterNot(targetSet)
     val changes =
       if (!propsFrom(ms).get(ChangeFeedProp).contains("true")) Seq.empty
-      else captureChanges(s, table,
-        removes = dropped, added = target.filterNot(currentSet), schemaDdl)
+      else {
+        // the restore's row-level effect over every file whose
+        // MEMBERSHIP OR DV differs: old = those files as the current
+        // head reads them, new = as v read them — multiset diff, so
+        // rows surviving both states cancel
+        val dvDiff = (targetSet & currentSet).filter(fl =>
+          targetDvs.get(fl).map(_.p) != currentDvs.get(fl).map(_.p))
+        val oldRegion = dropped ++ dvDiff
+        val newRegion = target.filterNot(currentSet) ++ dvDiff
+        val sch = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+        def read(rel: Seq[String], dvs: Map[String, DvEntry]): DataFrame =
+          if (rel.isEmpty)
+            s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+          else {
+            val raw = s.read.schema(sch).parquet(rel.map(absPath(table)): _*)
+            val hit = dvs.collect { case (fl, e) if rel.contains(fl) => fl -> e.p }
+            if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+          }
+        stageChangePair(s, table, read(oldRegion, currentDvs),
+          read(newRegion.toSeq, targetDvs),
+          math.max(oldRegion.size, newRegion.size))
+      }
     commitCheckpoint(s, table, target, stats,
       writerId = s"restore-${java.util.UUID.randomUUID()}", expectedHead = head,
-      schemaDdl = Some(schemaDdl), removes = dropped, changes = changes)
+      schemaDdl = Some(schemaDdl), removes = dropped, changes = changes,
+      dvs = targetDvs.values.toSeq.sortBy(_.f))
   }
 
   /** File pruning for the V2 scan: partition equality first (recorded
@@ -1963,6 +2253,23 @@ object TxLog {
           }
         }
         if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, true)
+      }
+    }
+    // deletion-vector sweep: sidecars referenced by NO surviving
+    // manifest — orphans of crashed/conflicted merge-on-read DML, or
+    // superseded vectors (each DML writes a fresh cumulative sidecar) —
+    // collect once aged. Time travel across DV history therefore has
+    // the same retention window as data files. Referenced by ANY
+    // manifest (not just the live state): snapshotAt(v) replays old
+    // `dvs` entries for as long as their manifests survive.
+    val dvRoot = new Path(root, "dv")
+    if (f.exists(dvRoot)) {
+      val referencedDv = manifests(s, table).flatMap(_.dvs.map(_.p)).toSet
+      f.listStatus(dvRoot).foreach { st =>
+        val rel = s"dv/${st.getPath.getName}"
+        if (!referencedDv.contains(rel) && st.getModificationTime < cutoff) {
+          f.delete(st.getPath, false); n += 1
+        }
       }
     }
     n

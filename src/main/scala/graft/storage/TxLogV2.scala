@@ -400,6 +400,12 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
     val fs = TxLog.liveFiles(ms).map(stats.get)
     if (fs.exists(_.isEmpty)) return None // legacy manifest: no stats
     val files = fs.flatten
+    // deletion vectors: count(*) stays EXACT (Σ rows − Σ dv
+    // cardinality); count(col)/min/max are refused — the deleted rows'
+    // null counts and extrema contributions are unknowable from footer
+    // stats (the max row may be exactly the deleted one)
+    val dvDeleted = TxLog.liveDvs(ms).values.map(_.n).sum
+    val anyDv = dvDeleted > 0L || TxLog.liveDvs(ms).nonEmpty
 
     def field(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, org.apache.spark.sql.types.DataType)] = e match {
@@ -438,20 +444,20 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
     val cols = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         Some((StructField("count_star", LongType, nullable = false),
-          files.map(_.rows).sum: Any))
-      case c: Count if !c.isDistinct =>
+          files.map(_.rows).sum - dvDeleted: Any))
+      case c: Count if !c.isDistinct && !anyDv =>
         field(c.column).flatMap { case (name, _) =>
           val sts = files.map(_.byCol.get(name))
           if (sts.exists(s => s.isEmpty || s.get.nulls < 0)) None
           else Some((StructField(s"count_$name", LongType, nullable = false),
             files.zip(sts.flatten).map { case (f, s) => f.rows - s.nulls }.sum: Any))
         }
-      case m: Min =>
+      case m: Min if !anyDv =>
         field(m.column).flatMap { case (name, dt) =>
           extremum(name, dt, wantMin = true)
             .map(v => (StructField(s"min_$name", dt, nullable = true), v))
         }
-      case m: Max =>
+      case m: Max if !anyDv =>
         field(m.column).flatMap { case (name, dt) =>
           extremum(name, dt, wantMin = false)
             .map(v => (StructField(s"max_$name", dt, nullable = true), v))
@@ -562,6 +568,16 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   private val partitionSchema =
     if (wantsFile) StructType(Seq(FileField)) else StructType(Nil)
 
+  /** Live deletion vectors ([[TxDv]]) keyed by data-file rel path —
+    * DV'd files are read through a row-index filter (their rows at
+    * deleted positions never leave the reader), CLEAN files keep the
+    * vectorized columnar path untouched. */
+  private val liveDvEntries = TxLog.liveDvs(ms)
+  private val dvByFile: Map[String, String] =
+    liveDvEntries.view.mapValues(_.p).toMap
+  private val dvCards: Map[String, Long] =
+    liveDvEntries.view.mapValues(_.n).toMap
+
   override def readSchema(): StructType =
     if (wantsFile) StructType(readDataSchema.fields :+ FileField) else readDataSchema
 
@@ -607,18 +623,44 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     TxLogV2.lastPrune.set((files.size, allFiles.size))
     op.foreach(_.scannedFiles = files)
-    val pfs = files.map { rel =>
+    def pf(rel: String) = {
       val pv =
         if (wantsFile) InternalRow(UTF8String.fromString(rel)) else InternalRow.empty
       GraftParquetIO.partitionedFile(TxLog.absPath(table)(rel),
         fileBytes(spark, table, rel, stats), pv)
     }
-    GraftParquetIO.filePartitions(spark, pfs)
+    val (dvFiles, cleanFiles) = files.partition(dvByFile.contains)
+    if (dvFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))
+    else
+      // DV'd files are packed ALONE (one file per partition, still
+      // split-able within the file) so the reader factory's per-
+      // partition DV decision is exact; clean files pack as usual
+      GraftParquetIO.filePartitions(spark, cleanFiles.map(pf)) ++
+        dvFiles.flatMap(rel => GraftParquetIO.filePartitions(spark, Seq(pf(rel))))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val clean = GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
       partitionSchema, pushed)
+    if (!files.exists(dvByFile.contains)) clean
+    else {
+      // DV partitions read WITH the parquet row-index temp column
+      // appended as the last data column; indexes stay ABSOLUTE under
+      // row-group/page skipping (PageReadStore offsets), so the pushed
+      // filters keep flowing to the reader — see TxDvSpec's skip case
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      val riField = org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val withRi = GraftParquetIO.readerFactory(spark, tableSchema,
+        StructType(readDataSchema.fields :+ riField), partitionSchema, pushed)
+      val dvRel = files.filter(dvByFile.contains)
+        .map(rel => graft.storage.TxDv.tailKey(rel) -> dvByFile(rel)).toMap
+      graft.storage.TxDv.DvReaderFactory(clean, withRi, dvRel, table,
+        riOrdinal = readDataSchema.length,
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
+    }
+  }
 
   // ---- stream execution (version-offset tail; see TxLogMicroBatchStream)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -634,10 +676,11 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     * to "unknown = huge". */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.map(f => fileBytes(spark, table, f, stats)).sum
-    private val rows = files.flatMap(stats.get).map(_.rows).sum
+    private val rows = files.flatMap(stats.get).map(_.rows).sum -
+      files.flatMap(dvCards.get).sum // DV'd rows never leave the reader
     override def sizeInBytes() = java.util.OptionalLong.of(math.max(bytes, 1L))
     override def numRows() =
-      if (files.forall(stats.contains)) java.util.OptionalLong.of(rows)
+      if (files.forall(stats.contains)) java.util.OptionalLong.of(math.max(rows, 0L))
       else java.util.OptionalLong.empty()
   }
 
@@ -712,18 +755,24 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
         val past = ms.filter(_.version <= to)
         if (past.isEmpty || !(past.exists(_.checkpoint) || past.head.version == 0L))
           vacuumedError(s"the initial snapshot (≤ v$to)")
+        // deletion vectors in force at `to` apply to the snapshot batch
+        // (the tail after it stays append-only — a later DV commit is a
+        // rewrite and fails loudly below)
+        snapshotDvs = TxLog.liveDvs(past).view.mapValues(_.p).toMap
         TxLog.liveFiles(past)
       } else {
         val range = ms.filter(m => m.version > from && m.version <= to)
         val have = range.map(_.version).toSet
         val missing = ((from + 1) to to).filterNot(have)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
-        range.find(m => m.removes.nonEmpty ||
+        range.find(m => m.removes.nonEmpty || m.dvs.nonEmpty ||
             (m.checkpoint && (m.writerId.startsWith("overwrite-") ||
               m.writerId.startsWith("restore-")))).foreach { m =>
           // overwrite/restore detected STRUCTURALLY by the writer-id
           // class — this library is the format's only writer — so even
-          // one replacing an empty table (removes = ∅) stays loud
+          // one replacing an empty table (removes = ∅) stays loud;
+          // a merge-on-read DML (dvs, removes possibly empty) is a
+          // rewrite all the same
           throw new IllegalStateException(
             s"txlog stream source is append-only, but v${m.version} of $table " +
               (if (m.checkpoint && m.writerId.startsWith("restore-"))
@@ -743,16 +792,38 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
         rel
       }
     val stats = TxLog.liveStats(ms)
-    val pfs = files.map { rel =>
+    def pf(rel: String) =
       GraftParquetIO.partitionedFile(TxLog.absPath(table)(rel),
         TxLogV2.fileBytes(spark, table, rel, stats), InternalRow.empty)
-    }
-    GraftParquetIO.filePartitions(spark, pfs)
+    val (dvFiles, cleanFiles) = files.partition(snapshotDvs.contains)
+    if (dvFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))
+    else
+      GraftParquetIO.filePartitions(spark, cleanFiles.map(pf)) ++
+        dvFiles.flatMap(rel => GraftParquetIO.filePartitions(spark, Seq(pf(rel))))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
+  /** DV pointers of the INITIAL-snapshot batch, set by its
+    * planInputPartitions — tail batches are append-only by the loud
+    * guard above, so these are the only DVs a stream ever reads. */
+  @volatile private var snapshotDvs: Map[String, String] = Map.empty
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val clean = GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
       StructType(Nil), Array.empty)
+    if (snapshotDvs.isEmpty) clean
+    else {
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      val riField = org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val withRi = GraftParquetIO.readerFactory(spark, tableSchema,
+        StructType(readDataSchema.fields :+ riField), StructType(Nil), Array.empty)
+      TxDv.DvReaderFactory(clean, withRi,
+        snapshotDvs.map { case (f, p) => TxDv.tailKey(f) -> p },
+        table, riOrdinal = readDataSchema.length,
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
+    }
+  }
 }
 
 // ----------------------------------------------------------------------
@@ -827,7 +898,9 @@ object TxLogCdf {
         m.changes.map(rel => Entry(rel, typeOf(rel), m.version))
       }
       else if (m.checkpoint) Seq.empty // compact/cluster: layout only
-      else if (m.removes.nonEmpty || m.changes.nonEmpty) {
+      else if (m.removes.nonEmpty || m.dvs.nonEmpty || m.changes.nonEmpty) {
+        // dvs: a merge-on-read DML is a rewrite with possibly EMPTY
+        // removes — its captured change files carry the delta
         if (m.changes.isEmpty && !TxLog.changeFeedAt(ms, m.version))
           throw new IllegalStateException(
             s"v${m.version} of $table rewrote rows BEFORE the change feed was " +
@@ -871,10 +944,16 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
   override def readSchema(): StructType =
     StructType(readDataSchema.fields ++ metaFields)
 
+  /** DV pointers of a STREAM's initial-snapshot batch, set by
+    * [[TxLogChangeStream.planInputPartitions]] — deleted rows must not
+    * be served as snapshot "insert"s. Range reads never set this
+    * (change files are net data; DV'd versions serve their captures). */
+  @volatile private[storage] var snapshotDvs: Map[String, String] = Map.empty
+
   private[storage] def partitions(entries: Seq[Entry],
                                   stats: Map[String, TxStats.FileStats])
       : Array[InputPartition] = {
-    val pfs = entries.map { e =>
+    def pf(e: Entry) = {
       val pv = InternalRow.fromSeq(metaFields.toSeq.map(_.name match {
         case TypeCol => UTF8String.fromString(e.change)
         case _ => e.version
@@ -884,7 +963,11 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       GraftParquetIO.partitionedFile(TxLog.absPath(table)(e.rel),
         TxLogV2.fileBytes(spark, table, e.rel, stats), pv)
     }
-    GraftParquetIO.filePartitions(spark, pfs)
+    val (dvE, cleanE) = entries.partition(e => snapshotDvs.contains(e.rel))
+    if (dvE.isEmpty) GraftParquetIO.filePartitions(spark, entries.map(pf))
+    else
+      GraftParquetIO.filePartitions(spark, cleanE.map(pf)) ++
+        dvE.flatMap(e => GraftParquetIO.filePartitions(spark, Seq(pf(e))))
   }
 
   override def toBatch: Batch = this
@@ -918,9 +1001,24 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
     partitions(entries, TxLog.liveStats(ms))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetIO.readerFactory(spark, baseSchema, readDataSchema,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val clean = GraftParquetIO.readerFactory(spark, baseSchema, readDataSchema,
       StructType(metaFields), Array.empty)
+    if (snapshotDvs.isEmpty) clean
+    else {
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      val riField = org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val withRi = GraftParquetIO.readerFactory(spark, baseSchema,
+        StructType(readDataSchema.fields :+ riField), StructType(metaFields),
+        Array.empty)
+      TxDv.DvReaderFactory(clean, withRi,
+        snapshotDvs.map { case (f, p) => TxDv.tailKey(f) -> p },
+        table, riOrdinal = readDataSchema.length,
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(endRaw.isEmpty,
@@ -991,6 +1089,9 @@ class TxLogChangeStream(spark: SparkSession, table: String,
         val past = ms.filter(_.version <= to)
         if (past.isEmpty || !(past.exists(_.checkpoint) || past.head.version == 0L))
           vacuumedError(s"the initial snapshot (≤ v$to)")
+        // deletion vectors in force at `to`: deleted rows must not be
+        // served as snapshot inserts
+        scan.snapshotDvs = TxLog.liveDvs(past).view.mapValues(_.p).toMap
         TxLog.liveFiles(past).map(Entry(_, "insert", to))
       } else {
         val range = ms.filter(m => m.version > from && m.version <= to)
