@@ -194,13 +194,85 @@ object TxLogParity {
       .orderBy("o_orderpriority")
   }
 
+  /** DELETION-VECTOR table (r13, `graft.dml.mode=mergeOnRead`): all of
+    * orders in three range-split appends, then a MoR DELETE of the
+    * URGENT rows and a MoR UPDATE bumping `o_custkey` on the matched
+    * rows — NEITHER rewrites a data file (sidecars + appended
+    * post-image only; zero-rewrite pinned in TxDvSpec). The reads below
+    * hash-check that every production path applies the vectors. */
+  private val builtDv = new ConcurrentHashMap[String, String]()
+
+  private def dvTable(s: SparkSession, dir: String): String =
+    builtDv.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_dv_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val (k1, k2) = (m / 3, 2 * m / 3)
+      orders.where(col("o_orderkey") <= k1).coalesce(4)
+        .write.format("txlog").mode("append").save(t)
+      orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2).coalesce(4)
+        .write.format("txlog").mode("append").save(t)
+      orders.where(col("o_orderkey") > k2).coalesce(4)
+        .write.format("txlog").mode("append").save(t)
+      TxLog.setProperties(s, t, Map(
+        TxLog.DmlModeProp -> TxLog.DmlModeMor, TxLog.ChangeFeedProp -> "true"))
+      TxLog.delete(s, t, col("o_orderpriority") === "1-URGENT", "oracle-dv-del", 0L)
+      TxLog.update(s, t,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0,
+        Map("o_custkey" -> (col("o_custkey") + 1000000L)), "oracle-dv-upd", 0L)
+      t
+    })
+
+  /** Zone-map-pruned V2 scan over DV'd files: the pushed `<= k1` range
+    * keeps row-group skipping INSIDE the DV'd files (absolute row
+    * indexes), the vectors hide the deleted URGENT rows, and the
+    * updated rows carry the bumped custkey — all in one hash. */
+  val dvScan: Q = (s, dir) => {
+    val t = dvTable(s, dir)
+    val m = Tables(s, dir, "orders").agg(max("o_orderkey")).first().getLong(0)
+    s.read.format("txlog").load(t)
+      .where(col("o_orderkey") <= m / 3)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Whole-table count(*) under deletion vectors: still a MANIFEST-ONLY
+    * aggregate (Σ rows − Σ dv cardinality — the adjusted meta-agg
+    * path), hash-checked exact. */
+  val dvMeta: Q = (s, dir) => {
+    val t = dvTable(s, dir)
+    s.read.format("txlog").load(t).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** The DV table's change feed: inserts = all three appends plus the
+    * update's post-image; deletes = the DV'd URGENT rows plus the
+    * update's pre-image. Proves MoR change capture records exactly the
+    * statement deltas, with no file rewrite to diff against. */
+  val dvChanges: Q = (s, dir) => {
+    val t = dvTable(s, dir)
+    s.read.format("txlog").option("readChangeFeed", "true").load(t)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+      .orderBy("_change_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "txlog_scan_prune" -> scanPrune,
     "txlog_time_travel" -> timeTravel,
     "txlog_meta_agg" -> metaAgg,
     "txlog_changes" -> changeFeed,
     "txlog_bloom_prune" -> bloomPrune,
-    "txlog_restore" -> restored)
+    "txlog_restore" -> restored,
+    "txlog_dv_scan" -> dvScan,
+    "txlog_dv_meta" -> dvMeta,
+    "txlog_dv_changes" -> dvChanges)
 
   /** DuckDB replay over the raw orders parquet. Final live state =
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
@@ -274,5 +346,55 @@ object TxLogParity {
          WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 3
             OR o_orderkey > (2 * (SELECT max(o_orderkey) FROM orders)) // 3
          GROUP BY o_orderpriority
-         ORDER BY o_orderpriority""")
+         ORDER BY o_orderpriority""",
+    // DV live state = non-URGENT rows, with the update's +1000000
+    // custkey bump on (status F, key % 10 = 0) — the bump runs AFTER
+    // the delete, so it only ever touched non-URGENT rows and the CASE
+    // needs no urgency clause
+    "txlog_dv_scan" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+                              THEN o_custkey + 1000000 ELSE o_custkey END)
+                     AS BIGINT) AS cust_sum,
+                min(o_orderkey) AS min_key,
+                max(o_orderkey) AS max_key
+         FROM orders
+         WHERE o_orderkey <= (SELECT max(o_orderkey) // 3 FROM orders)
+           AND o_orderpriority <> '1-URGENT'
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+    "txlog_dv_meta" ->
+      """SELECT count(*) AS n_rows
+         FROM orders
+         WHERE o_orderpriority <> '1-URGENT'""",
+    // feed = appends (all rows verbatim) + delete's DV'd URGENT rows +
+    // the update's retract/add pair (pre-image custkey, post-image
+    // custkey + 1000000)
+    "txlog_dv_changes" ->
+      """WITH upd AS (
+           SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+             AND o_orderpriority <> '1-URGENT')
+         SELECT * FROM (
+           SELECT 'delete' AS _change_type,
+                  count(*) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+           FROM (
+             SELECT o_orderkey, o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT'
+             UNION ALL
+             SELECT o_orderkey, o_custkey FROM upd)
+           UNION ALL
+           SELECT 'insert' AS _change_type,
+                  count(*) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+           FROM (
+             SELECT o_orderkey, o_custkey FROM orders
+             UNION ALL
+             SELECT o_orderkey, o_custkey + 1000000 AS o_custkey FROM upd)
+         ) ORDER BY _change_type""")
 }
