@@ -69,7 +69,8 @@ object TxLog {
     * that needs replay dedup must not start with one. */
   private[storage] def singleUseWriter(w: String): Boolean =
     Seq("compact-", "cluster-", "overwrite-", "restore-", "batch-", "insert-",
-      "sql-delete-", "sql-update-", "sql-merge-", "props-").exists(w.startsWith)
+      "sql-delete-", "sql-update-", "sql-merge-", "props-", "create-",
+      "evolve-").exists(w.startsWith)
 
   /** The reserved namespace FAILS LOUDLY at the public entry points: a
     * user writer id like `batch-nightly` would be silently dropped from
@@ -81,7 +82,7 @@ object TxLog {
   private def guardWriterId(w: String): Unit =
     require(!singleUseWriter(w),
       s"writer id '$w' starts with a reserved single-use prefix (compact-/cluster-/" +
-        "overwrite-/restore-/batch-/insert-/sql-*-): these ids are dropped from checkpoint " +
+        "overwrite-/restore-/batch-/insert-/create-/evolve-/sql-*-): these ids are dropped from checkpoint " +
         "token absorption, so replays after vacuum would duplicate data — pick " +
         "a writer id outside the reserved namespace")
 
@@ -485,6 +486,8 @@ object TxLog {
       case w if w.startsWith("compact-") => "COMPACT"
       case w if w.startsWith("cluster-") => "CLUSTER"
       case w if w.startsWith("props-") => "SET PROPERTIES"
+      case w if w.startsWith("create-") => "CREATE TABLE"
+      case w if w.startsWith("evolve-") => "ALTER SCHEMA"
       case _ if m.checkpoint => "CHECKPOINT"
       case _ if m.removes.nonEmpty || m.dvs.nonEmpty => "REWRITE"
       case _ => "APPEND"
@@ -668,6 +671,11 @@ object TxLog {
   def properties(s: SparkSession, table: String): Map[String, String] =
     propsFrom(manifests(s, table))
 
+  /** The properties in force as of version `v` (time-travel reads
+    * report the contract their snapshot was written under). */
+  def propertiesAt(s: SparkSession, table: String, v: Long): Map[String, String] =
+    propsFrom(manifestsAt(manifests(s, table), v, table))
+
   /** Merge `set` into the table's properties as ONE metadata-only
     * transaction (an empty-file manifest carrying the full merged map —
     * the newest-wins lookup then never needs to walk history). The
@@ -687,12 +695,14 @@ object TxLog {
     }
   }
 
-  def setProperties(s: SparkSession, table: String,
-                    set: Map[String, String]): Long = {
-    require(set.nonEmpty, "setProperties of nothing")
-    // fail at the ENABLE, not at the first DML: the capture's multiset
-    // diff (exceptAll) cannot compare map-typed columns, so a feed on
-    // such a table would break every subsequent rewrite
+  /** Shared property validation for [[setProperties]] and
+    * [[createTable]]: engine-interpreted keys must carry values the
+    * engine can honor, and the change feed is refused up front on any
+    * schema it could never diff. `schema` is the schema the properties
+    * will be in force FOR (the current one when altering, the declared
+    * one when creating). */
+  private def validateProps(table: String, set: Map[String, String],
+                            schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     set.get(IsolationProp).foreach(v => require(
       v == IsolationSerializable || v == IsolationWriteSerializable,
       s"$IsolationProp must be $IsolationSerializable or " +
@@ -700,12 +710,21 @@ object TxLog {
     set.get(DmlModeProp).foreach(v => require(
       v == DmlModeCow || v == DmlModeMor,
       s"$DmlModeProp must be $DmlModeCow or $DmlModeMor, got: $v"))
+    // fail at the ENABLE, not at the first DML: the capture's multiset
+    // diff (exceptAll) cannot compare map-typed columns, so a feed on
+    // such a table would break every subsequent rewrite
     if (set.get(ChangeFeedProp).contains("true"))
-      tableSchema(s, table).filter(sch => sch.fields.exists(f => hasMapType(f.dataType)))
+      schema.filter(sch => sch.fields.exists(f => hasMapType(f.dataType)))
         .foreach(sch => throw new IllegalArgumentException(
           s"$ChangeFeedProp=true unsupported on $table: map-typed column(s) " +
             sch.fields.filter(f => hasMapType(f.dataType)).map(_.name).mkString(", ") +
             " cannot be diffed by the change capture (Spark set operations reject maps)"))
+  }
+
+  def setProperties(s: SparkSession, table: String,
+                    set: Map[String, String]): Long = {
+    require(set.nonEmpty, "setProperties of nothing")
+    validateProps(table, set, tableSchema(s, table))
     var last = -1L
     var attempt = 0
     while (attempt < 20) {
@@ -727,6 +746,109 @@ object TxLog {
     throw new IllegalStateException(
       s"setProperties of $table lost 20 version races (last tried v$last)")
   }
+
+  /** Drop `keys` from the table's properties as ONE metadata-only
+    * transaction (ALTER TABLE ... UNSET TBLPROPERTIES). The committed
+    * manifest carries the full remaining map — the newest-wins lookup
+    * semantics of [[setProperties]], so a removed key is gone for every
+    * subsequent read but still in force for `versionAsOf` a pre-removal
+    * version. Removing an absent key is a no-op inside the same commit
+    * (idempotent DDL, matching Spark's IF EXISTS default behavior at
+    * the catalog seam). */
+  def removeProperties(s: SparkSession, table: String,
+                       keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "removeProperties of nothing")
+    var attempt = 0
+    while (attempt < 20) {
+      val ms = manifests(s, table)
+      val merged = (propsFrom(ms) -- keys).toSeq.sorted
+      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      val root = new Path(table)
+      val f = fs(s, root)
+      val logDir = new Path(root, LogDir)
+      f.mkdirs(logDir)
+      val bytes = render(Manifest(v, Seq.empty,
+        writerId = s"props-${java.util.UUID.randomUUID()}", batchId = 0L,
+        checkpoint = false, props = merged, ts = commitTimeMs()))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
+        return v
+      attempt += 1 // lost the slot race: re-merge on the new head
+    }
+    throw new IllegalStateException(
+      s"removeProperties of $table lost 20 version races")
+  }
+
+  /** Partition-column types with an UNAMBIGUOUS hive path form — the
+    * set [[renderPartValue]] can prune on and the V2 executor writers
+    * can render without a Cast. Partitioning on anything else (double,
+    * timestamp, decimal, complex) is refused at declaration: its path
+    * rendering would be writer-dependent and equality pruning on it
+    * unsound. */
+  private[storage] def partitionableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType | DateType => true
+      case _ => false
+    }
+  }
+
+  /** CREATE TABLE: publish version 0 of a NEW txlog table — an
+    * empty-file manifest carrying the declared schema, partition
+    * layout and initial properties. Readers and writers then see the
+    * full table contract before any data lands: the first append must
+    * match the declared partitioning ([[commitPartitioned]]'s sticky
+    * layout rule), evolution merges against the declared schema, and
+    * `format("txlog")` reads of the empty table already know their
+    * columns. The commit point is the same [[putIfAbsent]] as every
+    * other transaction, so two concurrent CREATEs of one path resolve
+    * to exactly one winner (the loser gets the already-exists throw). */
+  def createTable(s: SparkSession, table: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionBy: Seq[String] = Seq.empty,
+                  props: Map[String, String] = Map.empty): Long = {
+    require(schema.nonEmpty, s"createTable $table with an empty schema")
+    val missing = partitionBy.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"partition columns not in the schema: $missing")
+    partitionBy.foreach { c =>
+      val dt = schema(c).dataType
+      require(partitionableType(dt),
+        s"cannot partition $table by $c: $dt has no unambiguous hive path form " +
+          "(supported: string, byte/short/int/long, boolean, date)")
+    }
+    validateProps(table, props, Some(schema))
+    val root = new Path(table)
+    val f = fs(s, root)
+    if (manifests(s, table).nonEmpty)
+      throw new IllegalStateException(s"txlog table $table already exists")
+    val logDir = new Path(root, LogDir)
+    f.mkdirs(logDir)
+    val bytes = render(Manifest(0L, Seq.empty,
+      writerId = s"create-${java.util.UUID.randomUUID()}", batchId = 0L,
+      checkpoint = false, schema = Some(schema.toDDL), pcols = partitionBy,
+      props = props.toSeq.sorted, ts = commitTimeMs()))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!putIfAbsent(f, logDir, new Path(logDir, manifestName(0L)), bytes))
+      throw new IllegalStateException(s"txlog table $table already exists")
+    0L
+  }
+
+  /** ALTER TABLE ADD COLUMNS as a metadata-only transaction: commit an
+    * empty-file manifest whose schema is the current schema merged with
+    * `incoming` under the standard evolution rule ([[mergedSchema]] —
+    * existing columns keep their exact types, new columns append and
+    * must be nullable). Data writes evolve implicitly through the same
+    * rule; this is the EXPLICIT door the catalog's ALTER TABLE uses. */
+  def evolveSchema(s: SparkSession, table: String,
+                   incoming: org.apache.spark.sql.types.StructType): Long =
+    commitManifest(s, table, Seq.empty, Seq.empty,
+      writerId = s"evolve-${java.util.UUID.randomUUID()}", batchId = 0L,
+      checkpoint = false, maxRetries = 20, incoming = Some(incoming))
+
+  /** The table's declared partition columns (empty = unpartitioned). */
+  def partitionColumns(s: SparkSession, table: String): Seq[String] =
+    partitionColsFrom(manifests(s, table))
 
   /** Render an equality literal the way the hive path segment renders
     * the value — ONLY for shapes where that rendering is unambiguous
@@ -1063,16 +1185,8 @@ object TxLog {
       }
       out.result().sorted
     }
-    val stats = TxStats.collect(s, root, rel).map { st =>
-      val parts = st.file.split('/').toSeq.flatMap { seg =>
-        val i = seg.indexOf('=')
-        if (seg.startsWith("__p_") && i > 4)
-          Some(seg.substring(4, i) -> unescapePath(seg.substring(i + 1)))
-        else None
-      }
-      st.copy(parts = parts)
-    }
-    (rel, stats)
+    // TxStats.collect parses the `__p_` segments into per-file pv
+    (rel, TxStats.collect(s, root, rel))
   }
 
   /** Hive path unescape (%XX sequences). Hive escapes one %XX PER BYTE
@@ -1134,8 +1248,17 @@ object TxLog {
                                   rel: Seq[String], stats: Seq[TxStats.FileStats],
                                   writerId: String, batchId: Long,
                                   incoming: org.apache.spark.sql.types.StructType,
-                                  maxRetries: Int = 20): Long = {
+                                  maxRetries: Int = 20,
+                                  stagedPcols: Seq[String] = Seq.empty): Long = {
     val ms0 = manifests(s, table)
+    // the executor writers laid files out for the partitioning they saw
+    // at factory creation — a concurrent layout change (create of the
+    // same path with different pcols) must conflict, not silently land
+    // files whose pv metadata disagrees with the table's layout
+    val rec0 = partitionColsFrom(ms0)
+    require(rec0 == stagedPcols,
+      s"table $table is partitioned by $rec0 but the staged write laid out " +
+        s"$stagedPcols — the table layout changed between write planning and commit")
     if (tokenTaken(ms0, writerId, batchId)) return -1L
     val legacyExisting =
       if (tableSchemaFrom(ms0).isEmpty)

@@ -297,6 +297,22 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
 
   override def metadataColumns(): Array[MetadataColumn] = Array(TxLogFileColumn)
 
+  /** Declared partition layout as identity transforms — DESCRIBE and
+    * the catalog round-trip read it; the WRITE path re-reads the log
+    * itself (the layout is sticky, so the two always agree). */
+  override lazy val partitioning: Array[Transform] =
+    TxLog.partitionColumns(spark, table).map(Expressions.identity).toArray
+
+  /** Table properties as recorded in the log (versioned: a pinned read
+    * reports the properties in force at that version). */
+  override lazy val properties: java.util.Map[String, String] = {
+    val props = asOf match {
+      case Some(v) => TxLog.propertiesAt(spark, table, v)
+      case None => TxLog.properties(spark, table)
+    }
+    (props + (TableCatalog.PROP_PROVIDER -> "txlog")).asJava
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (cdf)
       new TxLogChangeScanBuilder(spark, table, schema,
@@ -1125,8 +1141,40 @@ class TxLogWriteBuilder(table: String, info: LogicalWriteInfo)
   override def build(): Write = new TxLogWrite(table, info, overwrite)
 }
 
+/** The required shuffle/sort of a PARTITIONED write: cluster rows by
+  * the partition columns (all rows of one tuple land in one task) and
+  * sort within tasks, so the rolling executor writer stages one file
+  * per tuple per task — the layout [[TxLog.commitPartitioned]]
+  * produces, without the driver in the data path. Advisory
+  * (`distributionStrictlyRequired=false`): AQE may coalesce or skip
+  * the exchange for small writes; the writer stays correct either way
+  * (it ROLLS on tuple change), the distribution is the file-count
+  * optimization. */
+trait TxLogPartitionedWrite extends RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.SortOrder
+
+  protected def writePcols: Seq[String]
+
+  override def requiredDistribution(): Distribution =
+    if (writePcols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      writePcols.map(c => Expressions.column(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[SortOrder] =
+    if (writePcols.isEmpty) Array.empty
+    else writePcols.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+}
+
 class TxLogWrite(table: String, info: LogicalWriteInfo, overwrite: Boolean)
-    extends Write {
+    extends Write with TxLogPartitionedWrite {
+  override protected val writePcols: Seq[String] =
+    TxLog.partitionColumns(SparkSession.active, table)
+
   override def toBatch: BatchWrite =
     new TxLogBatchWrite(table, info.schema(), overwrite)
 
@@ -1152,16 +1200,20 @@ class TxLogBatchWrite(table: String, schema: StructType, overwrite: Boolean)
     extends BatchWrite {
   private val spark = SparkSession.active
   private val uuid = UUID.randomUUID().toString
+  // ONE layout read drives both the executor staging and the commit's
+  // sticky-layout check — no window for the two to disagree
+  private val pcols = TxLog.partitionColumns(spark, table)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    TxLogWriterFactory.create(spark, table, uuid, schema)
+    TxLogWriterFactory.create(spark, table, uuid, schema, pcols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
     val stats = TxStats.collect(spark, new Path(table), rel)
     if (overwrite) TxLog.overwriteStaged(spark, table, rel, stats, schema.toDDL)
     else TxLog.commitStaged(spark, table, rel, stats,
-      writerId = s"batch-$uuid", batchId = 0L, incoming = schema)
+      writerId = s"batch-$uuid", batchId = 0L, incoming = schema,
+      stagedPcols = pcols)
     ()
   }
 
@@ -1177,10 +1229,11 @@ class TxLogStreamingWrite(table: String, schema: StructType, writerId: String)
     extends StreamingWrite {
   private val spark = SparkSession.active
   private val uuid = UUID.randomUUID().toString
+  private val pcols = TxLog.partitionColumns(spark, table)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    TxLogWriterFactory.create(spark, table, uuid, schema)
+    TxLogWriterFactory.create(spark, table, uuid, schema, pcols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
@@ -1188,7 +1241,8 @@ class TxLogStreamingWrite(table: String, schema: StructType, writerId: String)
     // EMPTY epochs commit too: the token records the epoch as done, so a
     // replay after a crash between this commit and the checkpoint write
     // cannot re-apply a later, different batch under the same id
-    TxLog.commitStaged(spark, table, rel, stats, writerId, epochId, incoming = schema)
+    TxLog.commitStaged(spark, table, rel, stats, writerId, epochId,
+      incoming = schema, stagedPcols = pcols)
     ()
   }
 
@@ -1200,10 +1254,29 @@ final case class TxLogCommitMessage(files: Seq[String]) extends WriterCommitMess
 
 object TxLogWriterFactory {
   def create(spark: SparkSession, table: String, uuid: String,
-             schema: StructType): TxLogWriterFactory = {
+             schema: StructType,
+             pcols: Seq[String] = Seq.empty): TxLogWriterFactory = {
     val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, schema,
       TxBloom.writeOptions(TxLog.properties(spark, table)))
-    TxLogWriterFactory(table, uuid, schema, owf, conf, ext)
+    // partitioned tables: executors stage hive-style `__p_<col>=<v>`
+    // layouts themselves (the rolling writer below), so the staged
+    // paths carry the partition VALUES the manifest records — same
+    // contract as the driver's stagePartitioned, distributed. `pcols`
+    // is the layout the OWNING write saw at planning; the commit
+    // re-checks it against the recorded one ([[TxLog.commitStaged]]).
+    val pidx = pcols.map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0,
+        s"write schema of $table is missing partition column $c: $schema")
+      i
+    }
+    pcols.zip(pidx).foreach { case (c, i) =>
+      require(TxLog.partitionableType(schema(i).dataType),
+        s"table $table is partitioned by $c: ${schema(i).dataType}, which the " +
+          "distributed writers cannot render as a hive path segment — " +
+          "write through TxLog.commitPartitioned instead")
+    }
+    TxLogWriterFactory(table, uuid, schema, owf, conf, ext, pcols, pidx)
   }
 
   /** Abort cleanup: delete the files the completed tasks reported.
@@ -1227,7 +1300,9 @@ object TxLogWriterFactory {
   * abort and delete, or die and leave vacuum-collectable orphans). */
 case class TxLogWriterFactory(table: String, uuid: String, schema: StructType,
                               owf: OutputWriterFactory,
-                              conf: SerializableConfiguration, ext: String)
+                              conf: SerializableConfiguration, ext: String,
+                              pcols: Seq[String] = Seq.empty,
+                              pidx: Seq[Int] = Seq.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1238,34 +1313,96 @@ case class TxLogWriterFactory(table: String, uuid: String, schema: StructType,
     new TxLogDataWriter(this, partitionId, taskId, epoch = Some(epochId))
 }
 
+/** Executor-side writer. Unpartitioned: one parquet file per non-empty
+  * task. Partitioned: a ROLLING writer — the write plan clusters and
+  * sorts rows by the partition columns ([[TxLogWrite]]'s required
+  * distribution), so each task sees its partition tuples as contiguous
+  * runs and holds ONE open file at a time, rolling into a new
+  * `__p_<col>=<v>/...` path when the tuple changes. An unsorted input
+  * (advisory distribution dropped) stays CORRECT — every roll opens a
+  * distinct file — it just stages more, smaller files. */
 class TxLogDataWriter(fac: TxLogWriterFactory, partitionId: Int, taskId: Long,
                       epoch: Option[Long]) extends DataWriter[InternalRow] {
-  private val rel = {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  private def relFor(partDirs: Seq[String], seq: Int): String = {
     val e = epoch.map(x => s"e$x-").getOrElse("")
-    f"data/${fac.uuid}/part-$e$partitionId%05d-$taskId${fac.ext}"
+    val dirs = if (partDirs.isEmpty) "" else partDirs.mkString("", "/", "/")
+    f"data/${fac.uuid}/${dirs}part-$e$partitionId%05d-$taskId-s$seq${fac.ext}"
   }
+
+  /** Hive path segment for one partition value of the current row —
+    * exactly the rendering Spark's own partitioned writer uses
+    * (escapePathName + the default-partition token for null/empty), so
+    * the driver-staged and executor-staged layouts are
+    * indistinguishable to the manifest's pv parser. */
+  private def partDir(row: InternalRow, c: String, i: Int): String = {
+    import org.apache.spark.sql.types._
+    val raw =
+      if (row.isNullAt(i)) null
+      else fac.schema(i).dataType match {
+        case StringType => row.getUTF8String(i).toString
+        case ByteType => row.getByte(i).toString
+        case ShortType => row.getShort(i).toString
+        case IntegerType => row.getInt(i).toString
+        case LongType => row.getLong(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+        case dt => throw new IllegalStateException(
+          s"unpartitionable type survived factory validation: $c: $dt")
+      }
+    val v =
+      if (raw == null || raw.isEmpty) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(raw)
+    s"__p_$c=$v"
+  }
+
   // created lazily on the first row: empty partitions write NO file, so
   // the manifest never accumulates empty parquet (the commitRewrite
   // zero-row policy, enforced at the source here)
   private var writer: OutputWriter = null
+  private var currentRel: String = null
+  private var currentDirs: Seq[String] = null
+  private var seq = 0
+  private val staged = Seq.newBuilder[String]
+
+  private def open(dirs: Seq[String]): Unit = {
+    currentRel = relFor(dirs, seq)
+    currentDirs = dirs
+    seq += 1
+    writer = GraftParquetIO.newOutputWriter(fac.owf, fac.conf,
+      new Path(new Path(fac.table), currentRel).toString, fac.schema,
+      partitionId, taskId)
+  }
+
+  private def closeCurrent(): Unit = if (writer != null) {
+    writer.close(); writer = null
+    staged += currentRel
+    currentRel = null; currentDirs = null
+  }
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null)
-      writer = GraftParquetIO.newOutputWriter(fac.owf, fac.conf,
-        new Path(new Path(fac.table), rel).toString, fac.schema, partitionId, taskId)
+    val dirs =
+      if (fac.pcols.isEmpty) Seq.empty
+      else fac.pcols.zip(fac.pidx).map { case (c, i) => partDir(row, c, i) }
+    if (writer == null) open(dirs)
+    else if (dirs != currentDirs) { closeCurrent(); open(dirs) }
     writer.write(row)
   }
 
-  override def commit(): WriterCommitMessage =
-    if (writer == null) TxLogCommitMessage(Seq.empty)
-    else { writer.close(); writer = null; TxLogCommitMessage(Seq(rel)) }
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    TxLogCommitMessage(staged.result())
+  }
 
-  override def abort(): Unit =
-    if (writer != null) {
-      writer.close(); writer = null
-      val p = new Path(new Path(fac.table), rel)
+  override def abort(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    val toDelete = staged.result() ++ Option(currentRel)
+    toDelete.foreach { r =>
+      val p = new Path(new Path(fac.table), r)
       p.getFileSystem(fac.conf.value).delete(p, false)
     }
+  }
 
   override def close(): Unit = ()
 }
@@ -1321,19 +1458,28 @@ class TxLogRowLevelOperation(table: String, tableSchema: StructType,
 }
 
 class TxLogReplaceWrite(table: String, writeSchema: StructType,
-                        op: TxLogRowLevelOperation) extends Write {
-  override def toBatch: BatchWrite = new TxLogReplaceBatchWrite(table, writeSchema, op)
+                        op: TxLogRowLevelOperation)
+    extends Write with TxLogPartitionedWrite {
+  // a DML rewrite of a partitioned table restages clustered by the
+  // partition columns — copy-on-write keeps the one-tuple-per-file
+  // layout (the stagePartitioned contract, through the V2 door)
+  override protected val writePcols: Seq[String] =
+    TxLog.partitionColumns(SparkSession.active, table)
+
+  override def toBatch: BatchWrite =
+    new TxLogReplaceBatchWrite(table, writeSchema, op, writePcols)
 }
 
 class TxLogReplaceBatchWrite(table: String, writeSchema: StructType,
-                             op: TxLogRowLevelOperation) extends BatchWrite {
+                             op: TxLogRowLevelOperation,
+                             pcols: Seq[String]) extends BatchWrite {
   private val spark = SparkSession.active
   private val uuid = UUID.randomUUID().toString
   require(!writeSchema.fieldNames.contains(TxLogV2.FileCol),
     s"row-level write schema unexpectedly carries ${TxLogV2.FileCol}: $writeSchema")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    TxLogWriterFactory.create(spark, table, uuid, writeSchema)
+    TxLogWriterFactory.create(spark, table, uuid, writeSchema, pcols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted

@@ -80,7 +80,11 @@ object TxStats {
   // ------------------------------------------------------------------
 
   /** Read footers of `rel` (paths relative to `root`) and build their
-    * stats. Metadata-only I/O; data pages are never touched. */
+    * stats. Metadata-only I/O; data pages are never touched. Partition
+    * VALUES ride in the rel path itself (hive-style `__p_<col>=<v>`
+    * segments, written by every partitioned staging path — the driver's
+    * `stagePartitioned` and the V2 executor writers alike), so parsing
+    * them here gives every commit path pv metadata from one place. */
   def collect(s: SparkSession, root: Path, rel: Seq[String]): Seq[FileStats] = {
     val conf = s.sparkContext.hadoopConfiguration
     rel.map { r =>
@@ -95,10 +99,20 @@ object TxStats {
           if (!f.isPrimitive) None
           else tagOf(f.asPrimitiveType()).flatMap(mergeBlocks(f.getName, _, blocks))
         }
-        FileStats(r, rows, cols, inf.getLength)
+        FileStats(r, rows, cols, inf.getLength, parts = partsFromPath(r))
       } finally rd.close()
     }
   }
+
+  /** Partition values of a staged rel path: each `__p_<col>=<value>`
+    * segment contributes one (col, hive-unescaped value) pair. */
+  def partsFromPath(rel: String): Seq[(String, String)] =
+    rel.split('/').toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (seg.startsWith("__p_") && i > 4)
+        Some(seg.substring(4, i) -> TxLog.unescapePath(seg.substring(i + 1)))
+      else None
+    }
 
   /** The stats tag for a primitive parquet type, or None if the type
     * cannot be soundly pruned with our comparators. */
