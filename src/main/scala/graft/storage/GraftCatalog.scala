@@ -1,0 +1,489 @@
+package graft.storage
+
+import java.util.{Collections => JCollections, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A Spark `TableCatalog` over a warehouse of [[TxLog]] tables — the
+  * NAMED front door to the storage layer:
+  *
+  * {{{
+  *   spark.sql.catalog.graft            = graft.storage.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse  = /data/warehouse
+  *
+  *   CREATE NAMESPACE graft.prod
+  *   CREATE TABLE graft.prod.events (id BIGINT, region STRING, v STRING)
+  *     USING txlog PARTITIONED BY (region)
+  *     TBLPROPERTIES ('graft.changeFeed' = 'true')
+  *   INSERT INTO graft.prod.events ...           -- one transaction
+  *   DELETE FROM graft.prod.events WHERE ...     -- native row-level DML
+  *   SELECT * FROM graft.prod.events VERSION AS OF 3      -- time travel
+  *   SELECT * FROM graft.prod.events TIMESTAMP AS OF '2026-08-14 12:00:00'
+  *   ALTER TABLE graft.prod.events ADD COLUMN score DOUBLE
+  *   CALL graft.system.optimize(table => 'prod.events')   -- maintenance
+  * }}}
+  *
+  * Layout: one directory per namespace level under the warehouse, one
+  * directory per table inside its namespace; a directory IS a table
+  * iff it contains a `_txlog` log. All tables are MANAGED — the table
+  * is its directory, DROP deletes it; external `location`s are
+  * rejected (point `format("txlog").load(path)` at foreign paths
+  * instead). Namespace properties live in a `_namespace` sidecar
+  * rendered with the manifest JSON primitives.
+  *
+  * Catalog metadata ops are O(1) directory probes + one manifest-log
+  * listing — no directory walks over data; at 100 TB the catalog cost
+  * is the log read, same as every other txlog entry point.
+  *
+  * Time travel: `VERSION AS OF v` resolves through
+  * `loadTable(ident, version)` to the same pinned [[TxLogTable]] the
+  * `versionAsOf` reader option builds (read-only, schema-as-of);
+  * `TIMESTAMP AS OF t` arrives as epoch MICROS and resolves through
+  * [[TxLog.versionAtTimestamp]]'s monotonized rule — catalog reads and
+  * option reads can never disagree.
+  *
+  * The `system` namespace is RESERVED for maintenance procedures
+  * ([[GraftProcedures]]); a table namespace of that name is rejected
+  * at create. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark = SparkSession.active
+  private def fs: FileSystem =
+    warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"spark.sql.catalog.$name.warehouse must point at the warehouse directory")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  // ------------------------------------------------------------------
+  // path mapping
+  // ------------------------------------------------------------------
+
+  /** Path-segment guard: catalog identifiers become directory names, so
+    * a segment that could escape the warehouse (`..`, separators) or
+    * collide with engine files (`_txlog`, `_namespace`, leading `_`/`.`)
+    * is rejected before it touches the filesystem. */
+  private def segment(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+      part != "." && part != ".." && !part.startsWith("_") && !part.startsWith("."),
+      s"illegal catalog identifier segment '$part'")
+    part
+  }
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, seg) => new Path(p, segment(seg)))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), segment(ident.name))
+
+  private def isTable(dir: Path): Boolean = fs.exists(new Path(dir, TxLog.LogDir))
+  private def nsPropsFile(dir: Path): Path = new Path(dir, "_namespace")
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  // ------------------------------------------------------------------
+  // tables
+  // ------------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(st => st.isDirectory && isTable(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName)).sortBy(_.name)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    TxLogTable(dir.toString, None)
+  }
+
+  /** `VERSION AS OF` — the pinned read-only relation. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF on $ident must be a txlog version (long), got '$version'")
+    }
+    TxLogTable(dir.toString, None, asOf = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands epoch MICROS; resolved through the
+    * same monotonized rule as the `timestampAsOf` reader option. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = TxLog.versionAtTimestamp(TxLog.manifests(spark, dir.toString),
+      Math.floorDiv(timestampMicros, 1000L), dir.toString)
+    TxLogTable(dir.toString, None, asOf = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    require(!ident.namespace.headOption.contains("system"),
+      "the 'system' namespace is reserved for maintenance procedures")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace)) {
+      // the default namespace materializes on first use (no ceremony
+      // for `USE graft; CREATE TABLE t ...`); others must be created
+      if (ident.namespace.sameElements(defaultNamespace())) fs.mkdirs(nsDir(ident.namespace))
+      else throw new NoSuchNamespaceException(ident.namespace)
+    }
+    val pcols = partitions.map { t =>
+      if (t.name != "identity") throw new UnsupportedOperationException(
+        s"txlog tables support identity partitioning only, got: $t " +
+          "(bucket/temporal transforms: cluster the layout with " +
+          "CALL system.zorder / system.cluster_by instead)")
+      t.references.head.fieldNames match {
+        case Array(col) => col
+        case nested => throw new UnsupportedOperationException(
+          s"cannot partition by nested field ${nested.mkString(".")}")
+      }
+    }.toSeq
+    val props = properties.asScala.toMap
+    props.get(TableCatalog.PROP_PROVIDER).foreach(p => require(
+      p.equalsIgnoreCase("txlog"),
+      s"catalog $catalogName manages txlog tables; USING $p is not supported"))
+    require(!props.contains(TableCatalog.PROP_LOCATION) &&
+      !props.contains(TableCatalog.PROP_EXTERNAL),
+      s"catalog $catalogName tables are MANAGED (the table is its warehouse " +
+        "directory); read external paths via format(\"txlog\").load(path)")
+    val userProps = props -- Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    TxLog.createTable(spark, dir.toString, schema, pcols, userProps)
+    TxLogTable(dir.toString, Some(schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val t = dir.toString
+    val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
+    val removes = changes.collect { case r: TableChange.RemoveProperty => r.property }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val unsupported = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
+           _: TableChange.AddColumn => false
+      case _ => true
+    }
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"unsupported ALTER on txlog table $ident: ${unsupported.mkString(", ")} — " +
+          "supported: ADD COLUMN (top-level, nullable), SET/UNSET TBLPROPERTIES")
+    if (adds.nonEmpty) {
+      val current = TxLog.tableSchema(spark, t).getOrElse(
+        throw new IllegalStateException(s"table $t has no recorded schema"))
+      val newFields = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          s"ADD COLUMN on nested field ${a.fieldNames.mkString(".")} is not supported")
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames.head} must be nullable: existing rows " +
+            "backfill null (the txlog evolution rule)")
+        require(a.position == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns APPEND")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      }
+      TxLog.evolveSchema(spark, t, StructType(current.fields ++ newFields))
+    }
+    if (sets.nonEmpty) TxLog.setProperties(spark, t, sets.toMap)
+    if (removes.nonEmpty) TxLog.removeProperties(spark, t, removes)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else fs.delete(dir, true)
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    // manifests name data files RELATIVE to the table root, so a rename
+    // is one metadata move — no path rewrite, any size
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ------------------------------------------------------------------
+  // namespaces
+  // ------------------------------------------------------------------
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (namespace.isEmpty) return true
+    val dir = nsDir(namespace)
+    fs.exists(dir) && fs.getFileStatus(dir).isDirectory && !isTable(dir)
+  }
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") && !isTable(st.getPath))
+      .map(st => namespace :+ st.getPath.getName).sortBy(_.mkString("."))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val dir = nsDir(namespace)
+    val stored =
+      if (namespace.isEmpty || !fs.exists(nsPropsFile(dir))) Map.empty[String, String]
+      else readProps(nsPropsFile(dir))
+    (stored + (SupportsNamespaces.PROP_LOCATION -> dir.toString)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    require(namespace.nonEmpty, "cannot create the root namespace")
+    require(namespace.head != "system",
+      "the 'system' namespace is reserved for maintenance procedures")
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    val dir = nsDir(namespace)
+    fs.mkdirs(dir)
+    val props = metadata.asScala.toMap - SupportsNamespaces.PROP_OWNER
+    require(!props.contains(SupportsNamespaces.PROP_LOCATION),
+      s"catalog $catalogName namespaces are warehouse directories; LOCATION " +
+        "is not supported")
+    if (props.nonEmpty) writeProps(nsPropsFile(dir), props)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    require(namespace.nonEmpty, "cannot alter the root namespace")
+    val f = nsPropsFile(nsDir(namespace))
+    val current = if (fs.exists(f)) readProps(f) else Map.empty[String, String]
+    val updated = changes.foldLeft(current) {
+      case (m, s: NamespaceChange.SetProperty) => m + (s.property -> s.value)
+      case (m, r: NamespaceChange.RemoveProperty) => m - r.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported namespace change: $other")
+    }
+    writeProps(f, updated)
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    require(namespace.nonEmpty, "cannot drop the root namespace")
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty))
+      throw NonEmptyNamespaceException(namespace, "drop without CASCADE", None)
+    fs.delete(nsDir(namespace), true)
+  }
+
+  // namespace props: one k=v line each, manifest-style quoting is
+  // overkill here — keys/values are catalog property strings; newlines
+  // in either are rejected at write
+  private def writeProps(f: Path, props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      require(!k.contains("\n") && !v.contains("\n"),
+        s"namespace property with newline: $k")
+    }
+    val out = fs.create(f, true)
+    try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readProps(f: Path): Map[String, String] = {
+    val in = fs.open(f)
+    val text = try {
+      val b = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { b.write(buf, 0, n); n = in.read(buf) }
+      new String(b.toByteArray, "UTF-8")
+    } finally in.close()
+    text.split('\n').filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"malformed namespace property line: $line")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+  }
+
+  // ------------------------------------------------------------------
+  // procedures (CALL graft.system.<proc>)
+  // ------------------------------------------------------------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got: $ident")
+    GraftProcedures.byName.getOrElse(ident.name.toLowerCase,
+      throw new UnsupportedOperationException(
+        s"unknown procedure $ident — available: " +
+          GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")))
+      .apply(this)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else GraftProcedures.byName.keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
+
+  /** Resolve a procedure's `table` argument: a path when it contains a
+    * separator, otherwise a (possibly namespace-qualified) identifier
+    * in THIS catalog. */
+  private[storage] def resolveTableArg(raw: String): String =
+    if (raw.contains("/")) raw
+    else {
+      val parts = raw.split('.')
+      val ident =
+        if (parts.length == 1) Identifier.of(defaultNamespace(), parts.head)
+        else Identifier.of(parts.init, parts.last)
+      val dir = tableDir(ident)
+      if (!isTable(dir)) throw new NoSuchTableException(ident)
+      dir.toString
+    }
+}
+
+/** Maintenance procedures for Spark's `CALL` statement — each wraps the
+  * corresponding [[TxLog]] command and returns its outcome as rows.
+  * Deterministic = false throughout: they commit transactions. */
+object GraftProcedures {
+
+  type Factory = GraftCatalog => UnboundProcedure
+
+  val byName: Map[String, Factory] = Map(
+    "optimize" -> (c => proc(c, "optimize",
+      "bin-pack the live file set into ~target_bytes files (one atomic checkpoint)",
+      Seq(p("table", StringType), p("target_bytes", LongType, Some("134217728"))),
+      StructType(Seq(StructField("version", LongType))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        rows1(TxLog.compact(SparkSession.active, t, in.getLong(1)))
+      })),
+    "zorder" -> (c => proc(c, "zorder",
+      "re-lay out the table Z-ordered on two dimensions (atomic checkpoint)",
+      Seq(p("table", StringType), p("dim_a", StringType), p("dim_b", StringType),
+        p("target_files", IntegerType), p("bits", IntegerType, Some("8"))),
+      StructType(Seq(StructField("version", LongType))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        rows1(TxLog.cluster(SparkSession.active, t, str(in, 1), str(in, 2),
+          in.getInt(3), in.getInt(4)))
+      })),
+    "cluster_by" -> (c => proc(c, "cluster_by",
+      "re-lay out the table range-clustered + sorted on the given columns",
+      Seq(p("table", StringType), p("columns", StringType),
+        p("target_files", IntegerType)),
+      StructType(Seq(StructField("version", LongType))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        rows1(TxLog.clusterBy(SparkSession.active, t, cols, in.getInt(2)))
+      })),
+    "vacuum" -> (c => proc(c, "vacuum",
+      "delete unreferenced data files and truncate the log below the newest checkpoint",
+      Seq(p("table", StringType), p("min_age_ms", LongType, Some("86400000"))),
+      StructType(Seq(StructField("deleted", IntegerType))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        Array[InternalRow](new GenericInternalRow(Array[Any](
+          TxLog.vacuum(SparkSession.active, t, in.getLong(1)))))
+      })),
+    "restore" -> (c => proc(c, "restore",
+      "re-publish version v's live file set as a new checkpoint (no data copy)",
+      Seq(p("table", StringType), p("version", LongType)),
+      StructType(Seq(StructField("version", LongType))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        rows1(TxLog.restore(SparkSession.active, t, in.getLong(1)))
+      })),
+    "history" -> (c => proc(c, "history",
+      "DESCRIBE HISTORY: one row per surviving log version",
+      Seq(p("table", StringType)),
+      TxLogHistorySchema.schema,
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        TxLog.history(SparkSession.active, t)
+          .queryExecution.executedPlan.executeCollect()
+      }))
+  )
+
+  private def p(name: String, dt: DataType,
+                default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def str(in: InternalRow, i: Int): String = in.getUTF8String(i).toString
+  private def rows1(v: Long): Array[InternalRow] =
+    Array[InternalRow](new GenericInternalRow(Array[Any](v)))
+
+  private def proc(cat: GraftCatalog, procName: String, desc: String,
+                   params: Seq[ProcedureParameter], out: StructType,
+                   run: (GraftCatalog, InternalRow) => Array[InternalRow])
+      : UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val result = run(cat, input)
+          JCollections.singletonList[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = result
+            override def readSchema(): StructType = out
+          }).iterator()
+        }
+      }
+    }
+}
+
+/** The history schema, shared by [[TxLog.history]]'s DataFrame and the
+  * `CALL system.history` procedure result. */
+object TxLogHistorySchema {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("operation", StringType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("writer_id", StringType, nullable = true),
+    StructField("batch_id", LongType, nullable = false),
+    StructField("checkpoint", BooleanType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_removes", LongType, nullable = false),
+    StructField("rows_written", LongType, nullable = false),
+    StructField("bytes_written", LongType, nullable = false),
+    StructField("n_changes", LongType, nullable = false),
+    StructField("n_dvs", LongType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false)))
+}

@@ -54,7 +54,7 @@ import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max,
   * transactions), which is exactly what the ingestion loops need. */
 object TxLog {
 
-  private val LogDir = "_txlog"
+  private[storage] val LogDir = "_txlog"
 
   private def fs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -121,7 +121,7 @@ object TxLog {
                               tokens: Seq[(String, Long)] = Seq.empty,
                               pcols: Seq[String] = Seq.empty,
                               changes: Seq[String] = Seq.empty,
-                              props: Seq[(String, String)] = Seq.empty,
+                              props: Option[Seq[(String, String)]] = None,
                               ts: Long = -1L,
                               dvs: Seq[DvEntry] = Seq.empty)
 
@@ -167,11 +167,13 @@ object TxLog {
     val changes =
       if (m.changes.isEmpty) ""
       else ", \"changes\": [" + m.changes.map(q).mkString(", ") + "]"
-    val props =
-      if (m.props.isEmpty) ""
-      else ", \"props\": [" + m.props.map { case (k, v) =>
-        s"""{"k": ${q(k)}, "v": ${q(v)}}"""
-      }.mkString(", ") + "]"
+    // props is presence-aware: `"props": []` RECORDS an explicitly
+    // emptied map (removeProperties of the last key), distinct from the
+    // omitted key of a manifest that records nothing — newest-wins
+    // would otherwise resurrect the pre-removal map
+    val props = m.props.map(ps => ", \"props\": [" + ps.map { case (k, v) =>
+      s"""{"k": ${q(k)}, "v": ${q(v)}}"""
+    }.mkString(", ") + "]").getOrElse("")
     val tokens =
       if (m.tokens.isEmpty) ""
       else ", \"tokens\": [" + m.tokens.map { case (w, b) =>
@@ -302,8 +304,10 @@ object TxLog {
       (out.result(), i + 1)
     }
     val (props, cSch) =
-      if (s.startsWith(", \"props\": ", cChg)) kvArray(cChg + 11, "k", "v")
-      else (Seq.empty[(String, String)], cChg)
+      if (s.startsWith(", \"props\": ", cChg)) {
+        val (kv, c) = kvArray(cChg + 11, "k", "v")
+        (Some(kv), c)
+      } else (None, cChg)
     val (tokens, cTok) =
       if (s.startsWith(", \"tokens\": ", cSch)) {
         var i = s.indexOf('[', cSch + 12) + 1
@@ -664,8 +668,13 @@ object TxLog {
     * and checkpoints re-record it, so newest-wins survives both partial
     * updates and log truncation — the pcols pattern). */
   private[storage] def propsFrom(ms: Seq[Manifest]): Map[String, String] =
-    ms.reverse.collectFirst { case m if m.props.nonEmpty => m.props }
-      .getOrElse(Seq.empty).toMap
+    propsRecorded(ms).getOrElse(Seq.empty).toMap
+
+  /** The newest RECORDED props list, None if no manifest ever carried
+    * one — checkpoints re-record exactly what was recorded, so a
+    * never-configured table keeps prop-less manifests. */
+  private def propsRecorded(ms: Seq[Manifest]): Option[Seq[(String, String)]] =
+    ms.reverse.collectFirst { case m if m.props.isDefined => m.props.get }
 
   /** The table's current properties. */
   def properties(s: SparkSession, table: String): Map[String, String] =
@@ -737,7 +746,7 @@ object TxLog {
       f.mkdirs(logDir)
       val bytes = render(Manifest(v, Seq.empty,
         writerId = s"props-${java.util.UUID.randomUUID()}", batchId = 0L,
-        checkpoint = false, props = merged, ts = commitTimeMs()))
+        checkpoint = false, props = Some(merged), ts = commitTimeMs()))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return v
@@ -769,7 +778,7 @@ object TxLog {
       f.mkdirs(logDir)
       val bytes = render(Manifest(v, Seq.empty,
         writerId = s"props-${java.util.UUID.randomUUID()}", batchId = 0L,
-        checkpoint = false, props = merged, ts = commitTimeMs()))
+        checkpoint = false, props = Some(merged), ts = commitTimeMs()))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return v
@@ -827,7 +836,8 @@ object TxLog {
     val bytes = render(Manifest(0L, Seq.empty,
       writerId = s"create-${java.util.UUID.randomUUID()}", batchId = 0L,
       checkpoint = false, schema = Some(schema.toDDL), pcols = partitionBy,
-      props = props.toSeq.sorted, ts = commitTimeMs()))
+      props = if (props.isEmpty) None else Some(props.toSeq.sorted),
+      ts = commitTimeMs()))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (!putIfAbsent(f, logDir, new Path(logDir, manifestName(0L)), bytes))
       throw new IllegalStateException(s"txlog table $table already exists")
@@ -2067,7 +2077,7 @@ object TxLog {
         // the partition layout AND properties must SURVIVE log
         // truncation: checkpoints re-record them (everything below is
         // vacuum-collectable)
-        pcols = partitionColsFrom(ms), props = propsFrom(ms).toSeq.sorted,
+        pcols = partitionColsFrom(ms), props = propsRecorded(ms).map(_.sorted),
         ts = commitTimeMs(), dvs = dvs))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v

@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** The named front door: `GraftCatalog` as a Spark `TableCatalog` +
+  * `ProcedureCatalog` over a warehouse of txlog tables — SQL DDL,
+  * inserts, native row-level DML, time-travel clauses and CALL
+  * maintenance, all through catalog identifiers. */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    s.conf.set("spark.sql.catalog.testcat", "graft.storage.GraftCatalog")
+    s.conf.set("spark.sql.catalog.testcat.warehouse", wh)
+    s
+  }
+  import spark.implicits._
+
+  private def wh: String = spark.conf.get("spark.sql.catalog.testcat.warehouse")
+
+  test("CREATE TABLE + INSERT + SELECT through catalog identifiers") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.main")
+    spark.sql("""CREATE TABLE testcat.main.events
+                 (id BIGINT, region STRING, v STRING) USING txlog
+                 PARTITIONED BY (region)
+                 TBLPROPERTIES ('graft.tag' = 'r13')""")
+    // the created table reports its contract back
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED testcat.main.events")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("region"))
+    spark.sql("""INSERT INTO testcat.main.events
+                 SELECT id, concat('r', cast(id % 3 AS STRING)), concat('v', id)
+                 FROM range(300)""")
+    assert(spark.table("testcat.main.events").count() == 300L)
+    // partition pruning works through the catalog read
+    val t = s"$wh/main/events"
+    val (kept, total) = TxLog.pruneCount(spark, t, col("region") === "r1")
+    assert(kept < total, s"kept $kept of $total")
+    assert(TxLog.properties(spark, t)("graft.tag") == "r13")
+    assert(TxLog.partitionColumns(spark, t) == Seq("region"))
+  }
+
+  test("native SQL DML + time travel clauses on catalog tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.tt")
+    spark.sql("CREATE TABLE testcat.tt.t (id BIGINT, grp STRING) USING txlog")
+    spark.sql("INSERT INTO testcat.tt.t SELECT id, 'a' FROM range(100)")
+    spark.sql("INSERT INTO testcat.tt.t SELECT id + 100, 'b' FROM range(100)")
+    spark.sql("DELETE FROM testcat.tt.t WHERE grp = 'a' AND id < 50")
+    assert(spark.table("testcat.tt.t").count() == 150L)
+    spark.sql("UPDATE testcat.tt.t SET grp = 'c' WHERE id >= 150")
+    assert(spark.sql("SELECT count(*) FROM testcat.tt.t WHERE grp = 'c'")
+      .first().getLong(0) == 50L)
+    // VERSION AS OF: v2 = after both inserts, before the delete
+    assert(spark.sql("SELECT count(*) FROM testcat.tt.t VERSION AS OF 2")
+      .first().getLong(0) == 200L)
+    // MERGE through the catalog (multi-action)
+    Seq((150L, "z"), (999L, "new")).toDF("id", "grp")
+      .createOrReplaceTempView("m_src")
+    spark.sql("""MERGE INTO testcat.tt.t AS tgt USING m_src AS src ON tgt.id = src.id
+                 WHEN MATCHED THEN UPDATE SET grp = src.grp
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val after = spark.table("testcat.tt.t")
+    assert(after.count() == 151L)
+    assert(after.where($"id" === 150L).select("grp").first().getString(0) == "z")
+    // a version-pinned relation is read-only
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM (SELECT * FROM testcat.tt.t VERSION AS OF 1) WHERE id = 1"))
+  }
+
+  test("TIMESTAMP AS OF resolves through the monotonized commit clock") {
+    TxLog.clockForTests = {
+      var t = 1000000L
+      () => { t += 1000L; t }
+    }
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.ts")
+      spark.sql("CREATE TABLE testcat.ts.t (id BIGINT) USING txlog")
+      spark.sql("INSERT INTO testcat.ts.t SELECT id FROM range(10)")
+      spark.sql("INSERT INTO testcat.ts.t SELECT id + 10 FROM range(10)")
+      val t = s"$wh/ts/t"
+      val h = TxLog.history(spark, t).orderBy("version")
+        .select("version", "timestamp").collect()
+      val tsOfV1 = h(1).getTimestamp(1) // first insert's commit instant
+      val lit = tsOfV1.toString.stripSuffix(".0")
+      val n = spark.sql(
+        s"SELECT count(*) FROM testcat.ts.t TIMESTAMP AS OF '$lit'")
+        .first().getLong(0)
+      assert(n == 10L, s"as-of $lit saw $n rows")
+    } finally TxLog.clockForTests = null
+  }
+
+  test("CTAS, ALTER TABLE, RENAME, DROP") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.ddl")
+    spark.sql("""CREATE TABLE testcat.ddl.c USING txlog AS
+                 SELECT id, cast(id % 5 AS STRING) AS grp FROM range(50)""")
+    assert(spark.table("testcat.ddl.c").count() == 50L)
+    spark.sql("ALTER TABLE testcat.ddl.c ADD COLUMN score DOUBLE")
+    assert(spark.table("testcat.ddl.c").columns.toSeq == Seq("id", "grp", "score"))
+    assert(spark.table("testcat.ddl.c").where($"score".isNull).count() == 50L)
+    spark.sql("ALTER TABLE testcat.ddl.c SET TBLPROPERTIES ('x' = '1')")
+    assert(TxLog.properties(spark, s"$wh/ddl/c")("x") == "1")
+    spark.sql("ALTER TABLE testcat.ddl.c UNSET TBLPROPERTIES ('x')")
+    assert(!TxLog.properties(spark, s"$wh/ddl/c").contains("x"))
+    // unsupported ALTER is loud, not silent
+    val e = intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE testcat.ddl.c RENAME COLUMN grp TO g"))
+    assert(e.getMessage.contains("supported: ADD COLUMN"))
+    // the RENAME TO target resolves inside the SAME catalog — no
+    // catalog qualifier on the new name
+    spark.sql("ALTER TABLE testcat.ddl.c RENAME TO ddl.c2")
+    assert(spark.table("testcat.ddl.c2").count() == 50L)
+    assert(!spark.catalog.tableExists("testcat.ddl.c"))
+    spark.sql("DROP TABLE testcat.ddl.c2")
+    assert(!spark.catalog.tableExists("testcat.ddl.c2"))
+  }
+
+  test("namespaces: create/list/alter/drop; non-empty drop needs CASCADE") {
+    spark.sql("CREATE NAMESPACE testcat.nsa COMMENT 'alpha'")
+    spark.sql("CREATE NAMESPACE testcat.nsa.inner")
+    spark.sql("CREATE TABLE testcat.nsa.inner.t (id INT) USING txlog")
+    val names = spark.sql("SHOW NAMESPACES IN testcat.nsa")
+      .collect().map(_.getString(0)).toSeq
+    assert(names.contains("nsa.inner"), s"got $names")
+    val tbls = spark.sql("SHOW TABLES IN testcat.nsa.inner")
+      .collect().map(_.getString(1)).toSeq
+    assert(tbls == Seq("t"))
+    spark.sql("ALTER NAMESPACE testcat.nsa SET PROPERTIES ('k' = 'v')")
+    val meta = spark.sql("DESCRIBE NAMESPACE EXTENDED testcat.nsa")
+      .collect().map(_.toString).mkString("\n")
+    assert(meta.contains("k=v") || meta.contains("(k,v)") || meta.contains("k -> v"),
+      s"got:\n$meta")
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE testcat.nsa.inner"))
+    spark.sql("DROP NAMESPACE testcat.nsa.inner CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN testcat.nsa").collect().isEmpty)
+  }
+
+  test("CALL system procedures: optimize, history, restore, vacuum") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.mx")
+    spark.sql("CREATE TABLE testcat.mx.t (id BIGINT, grp STRING) USING txlog")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO testcat.mx.t SELECT id + ${i * 100}, 'g$i' FROM range(100)")
+    }
+    val hist = spark.sql("CALL testcat.system.history(table => 'mx.t')")
+    assert(hist.columns.toSeq.take(3) == Seq("version", "operation", "timestamp"))
+    assert(hist.count() == 5L) // create + 4 inserts
+    // optimize → one checkpoint version; table content unchanged
+    val v = spark.sql("CALL testcat.system.optimize(table => 'mx.t')")
+      .first().getLong(0)
+    assert(v == 5L)
+    assert(spark.table("testcat.mx.t").count() == 400L)
+    // restore to the pre-optimize version is addressable and exact
+    val rv = spark.sql("CALL testcat.system.restore(table => 'mx.t', version => 4)")
+      .first().getLong(0)
+    assert(rv == 6L)
+    assert(spark.table("testcat.mx.t").count() == 400L)
+    // vacuum with age 0 collects the superseded generation
+    val deleted = spark.sql("CALL testcat.system.vacuum(table => 'mx.t', min_age_ms => 0)")
+      .first().getInt(0)
+    assert(deleted > 0)
+    assert(spark.table("testcat.mx.t").count() == 400L)
+    // re-cluster the layout through CALL (zorder needs numeric dims —
+    // this table's discriminating key is (grp, id), a range-cluster)
+    val zv = spark.sql(
+      "CALL testcat.system.cluster_by(table => 'mx.t', columns => 'grp,id', target_files => 4)")
+      .first().getLong(0)
+    assert(spark.table("testcat.mx.t").count() == 400L)
+    // unknown procedure names its alternatives (Spark wraps the
+    // catalog's error in FAILED_TO_LOAD_ROUTINE — walk the chain)
+    val e = intercept[Exception](spark.sql("CALL testcat.system.nope()"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("available") || msgs.contains("ROUTINE"), msgs)
+  }
+
+  test("managed-only: external locations and foreign providers are loud") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.guard")
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE testcat.guard.x (id INT) USING txlog LOCATION '/tmp/elsewhere'"))
+    assert(e1.getMessage.contains("MANAGED"))
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE testcat.guard.y (id INT) USING parquet"))
+    assert(e2.getMessage.contains("txlog"))
+    // reserved namespace
+    val e3 = intercept[Exception](spark.sql("CREATE NAMESPACE testcat.system"))
+    assert(e3.getMessage.contains("reserved"))
+  }
+
+  test("catalog streaming: writeStream into a catalog table path") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.st")
+    spark.sql("CREATE TABLE testcat.st.sink (v BIGINT, region STRING) USING txlog PARTITIONED BY (region)")
+    val t = s"$wh/st/sink"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    mem.addData(0L until 20L: _*)
+    val q = mem.toDF().selectExpr("value AS v", "concat('r', cast(value % 2 AS STRING)) AS region")
+      .writeStream.format("txlog")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .start(t)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("testcat.st.sink").count() == 20L)
+    // the streamed epoch kept the partition layout
+    val (kept, total) = TxLog.pruneCount(spark, t, col("region") === "r0")
+    assert(kept < total, s"kept $kept of $total")
+  }
+}
