@@ -263,7 +263,50 @@ object TxLogParity {
       .orderBy("_change_type")
   }
 
+  /** CATALOG table (r13, [[graft.storage.GraftCatalog]]): a managed
+    * PARTITIONED table built and mutated ENTIRELY through SQL against
+    * catalog identifiers — CREATE TABLE ... PARTITIONED BY, INSERT
+    * INTO, DELETE, UPDATE — then read back through `spark.table`. The
+    * hash checks the whole catalog stack end-to-end: DDL-declared
+    * layout (v0 manifest), the clustered executor-side partitioned
+    * staging of the INSERT, Spark-planned row-level DML restaged
+    * within the layout, and the catalog read path. */
+  private val builtCat = new ConcurrentHashMap[String, String]()
+
+  private def catalogTable(s: SparkSession, dir: String): String =
+    builtCat.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("txlog_cat_oracle_").toString
+      // one catalog per warehouse: the name binds the conf pair below
+      val cat = s"gcat${math.abs(dir.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .createOrReplaceTempView("orders_cat_src")
+      val t = s"$cat.default.orders_part"
+      s.sql(s"""CREATE TABLE $t
+                (o_orderkey BIGINT, o_custkey BIGINT,
+                 o_orderstatus STRING, o_orderpriority STRING)
+                USING txlog PARTITIONED BY (o_orderpriority)""")
+      s.sql(s"INSERT INTO $t SELECT * FROM orders_cat_src")
+      s.sql(s"DELETE FROM $t WHERE o_orderkey % 7 = 3")
+      s.sql(s"""UPDATE $t SET o_custkey = o_custkey + 500000
+                WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0""")
+      t
+    })
+
+  val catalogDml: Q = (s, dir) => {
+    val t = catalogTable(s, dir)
+    s.table(t)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "txlog_catalog_dml" -> catalogDml,
     "txlog_scan_prune" -> scanPrune,
     "txlog_time_travel" -> timeTravel,
     "txlog_meta_agg" -> metaAgg,
@@ -278,6 +321,21 @@ object TxLogParity {
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
     * gen0 ∪ gen1 untouched. */
   val oracleSql: Map[String, String] = Map(
+    // catalog table live state: orders minus (key % 7 = 3), with the
+    // update's +500000 custkey bump on (status O, key % 5 = 0) — the
+    // UPDATE ran after the DELETE, so deleted rows never saw the bump
+    // (the surviving-rows filter already excludes them)
+    "txlog_catalog_dml" ->
+      """SELECT o_orderpriority,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+                              THEN o_custkey + 500000 ELSE o_custkey END)
+                     AS BIGINT) AS cust_sum
+         FROM orders
+         WHERE o_orderkey % 7 <> 3
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "txlog_scan_prune" ->
       """SELECT o_orderstatus,
                 count(*) AS n,
