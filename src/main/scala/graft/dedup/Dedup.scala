@@ -1267,7 +1267,54 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** SemDeDup's pair threshold — same cosine bound (and therefore the
+    * same bit-identical dot-product contract) as [[embeddingCosine]]. */
+  val SemDedupTau = 0.35
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the k-means-TRAINED coarse quantizer (the
+    * exact fixed-point trainer behind q63/sim_topk_ivf_trained), then
+    * search for near-duplicates ONLY within each cluster — a vector is
+    * dropped when a LOWER-id vector in its own cell sits at
+    * cos ≥ [[SemDedupTau]] (the paper keeps one representative per
+    * semantic group; lowest-id is the deterministic choice). Unlike
+    * [[embeddingCosine]] (exact recall via triangle-qualified cell
+    * PAIRS), SemDeDup's contract is intentionally within-cluster-only:
+    * the quadratic term is bounded by the largest cell, never the
+    * corpus, which is what makes it the standard trillion-token recipe
+    * — at 100 TB the cells shard the pairwise work into independent
+    * equi-join buckets with no cross-cell candidates at all.
+    *
+    * Output: one row per occupied cell — members, drops, and the
+    * dropped-id checksum — so the hash pins the trained assignment AND
+    * every within-cell pair decision. */
+  def semantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot_product
+    val q = graft.sim.KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
+    val home = graft.sim.KmeansQuantizer
+      .assignRanked(q, graft.sim.Similarity.trainedCodebook(s, dir))
+      .filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
+    // inner join: zero-norm vectors have no unit form and no cosine —
+    // excluded from membership and pairing alike (oracle mirrors)
+    val j = home.join(unitVectors(s, dir), "vec_id")
+    val a = j.select($"cell", $"vec_id".as("vec_a"), $"u".as("ua"))
+    val b = j.select($"cell", $"vec_id".as("vec_b"), $"u".as("ub"))
+    val drops = a.join(b, "cell")
+      .filter($"vec_a" < $"vec_b" && dot_product($"ua", $"ub") >= SemDedupTau)
+      .select($"cell", $"vec_b").distinct()
+    val perCell = j.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    val dropAgg = drops.groupBy($"cell")
+      .agg(count(lit(1)).as("n_dropped"), sum($"vec_b").as("drop_id_sum"))
+    perCell.join(dropAgg, Seq("cell"), "left")
+      .select($"cell", $"n_vecs",
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        coalesce($"drop_id_sum", lit(0L)).as("drop_id_sum"))
+      .orderBy($"cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> semantic _,
     "dedup_exact" -> exact _,
     "dedup_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,

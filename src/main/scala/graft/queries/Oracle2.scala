@@ -64,6 +64,46 @@ object Oracle2 {
     * scaled-int centroid components, shared by the sim_centroids_exact
     * and sim_topk_ivf oracles. Yields cd(label, dim, c) with dim
     * 1-based. */
+  /** Fixed-point TRAINED coarse assignment, shared verbatim by the
+    * `sim_topk_ivf_trained` and `dedup_semantic` oracles: quantize to
+    * scaled i64, seed-assign (vec_id < k), one exact-integer Lloyd
+    * update, then rank every (vector, centroid) by exact i64 L2 with
+    * ties to the lower cid — `ranked.rn = 1` is the home cell. One
+    * definition, so the two hash checks pin the SAME trainer. */
+  private val trainedRankCte =
+    s"""q AS (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * ${graft.sim.KmeansQuantizer.Scale} + 0.5) AS BIGINT)
+      |     for x in embedding] AS qv
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM q
+      |  WHERE vec_id < ${graft.sim.Similarity.KCells}),
+      |d1 AS (
+      |  SELECT q.vec_id, q.qv, s.cid,
+      |    CAST(list_sum([ (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])
+      |                    for i in range(1, len(q.qv) + 1) ]) AS BIGINT) AS dist
+      |  FROM q CROSS JOIN seeds s),
+      |a1 AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |cells AS (
+      |  SELECT cid, pos,
+      |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+      |  FROM (SELECT cid, unnest(range(0, len(qv))) AS pos, unnest(qv) AS x FROM a1)
+      |  GROUP BY cid, pos),
+      |c1 AS (SELECT cid, list(cval ORDER BY pos) AS cv FROM cells GROUP BY cid),
+      |d2 AS (
+      |  SELECT q.vec_id, c.cid,
+      |    CAST(list_sum([ (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
+      |                    for i in range(1, len(q.qv) + 1) ]) AS BIGINT) AS dist
+      |  FROM q CROSS JOIN c1 c),
+      |ranked AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM d2)""".stripMargin
+
   private val centroidCte =
     """ex AS (
       |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
@@ -383,38 +423,7 @@ object Oracle2 {
     // is hash-checked end-to-end.
     "sim_topk_ivf_trained" ->
       s"""WITH $vecCte,
-        |q AS (
-        |  SELECT vec_id,
-        |    [CAST(floor(CAST(x AS DOUBLE) * ${graft.sim.KmeansQuantizer.Scale} + 0.5) AS BIGINT)
-        |     for x in embedding] AS qv
-        |  FROM embeddings),
-        |seeds AS (
-        |  SELECT CAST(vec_id AS INT) AS cid, qv AS cv FROM q
-        |  WHERE vec_id < ${graft.sim.Similarity.KCells}),
-        |d1 AS (
-        |  SELECT q.vec_id, q.qv, s.cid,
-        |    CAST(list_sum([ (q.qv[i] - s.cv[i]) * (q.qv[i] - s.cv[i])
-        |                    for i in range(1, len(q.qv) + 1) ]) AS BIGINT) AS dist
-        |  FROM q CROSS JOIN seeds s),
-        |a1 AS (
-        |  SELECT vec_id, qv, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |cells AS (
-        |  SELECT cid, pos,
-        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-        |  FROM (SELECT cid, unnest(range(0, len(qv))) AS pos, unnest(qv) AS x FROM a1)
-        |  GROUP BY cid, pos),
-        |c1 AS (SELECT cid, list(cval ORDER BY pos) AS cv FROM cells GROUP BY cid),
-        |d2 AS (
-        |  SELECT q.vec_id, c.cid,
-        |    CAST(list_sum([ (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
-        |                    for i in range(1, len(q.qv) + 1) ]) AS BIGINT) AS dist
-        |  FROM q CROSS JOIN c1 c),
-        |ranked AS (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |  FROM d2),
+        |$trainedRankCte,
         |home AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
         |qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
         |           WHERE rn <= ${graft.sim.Similarity.NProbe}
@@ -434,6 +443,32 @@ object Oracle2 {
         |  WHERE h.vec_id <> p.query_id)
         |WHERE rank <= ${graft.sim.Similarity.K}
         |ORDER BY query_id, rank""".stripMargin,
+
+    // SemDeDup: trained-cell assignment (the shared trainedRankCte), then
+    // within-cell-only pair decisions — a vector drops when a lower-id
+    // cellmate sits at cos >= tau. Unit vectors exclude zero norms
+    // exactly like the Spark side's unitVectors.
+    "dedup_semantic" ->
+      s"""WITH $vecCte,
+        |$trainedRankCte,
+        |u AS (SELECT vec_id, list_transform(v, x -> x / norm) AS u
+        |      FROM e WHERE norm > 0),
+        |j AS (SELECT r.vec_id, r.cid AS cell, u.u
+        |      FROM ranked r JOIN u USING (vec_id) WHERE r.rn = 1),
+        |drops AS (
+        |  SELECT b.cell, b.vec_id FROM j a JOIN j b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.u, b.u) >= ${graft.dedup.Dedup.SemDedupTau}
+        |  GROUP BY b.cell, b.vec_id),
+        |da AS (SELECT cell, count(*) AS n_dropped,
+        |         CAST(sum(vec_id) AS BIGINT) AS drop_id_sum
+        |       FROM drops GROUP BY cell)
+        |SELECT j.cell, count(*) AS n_vecs,
+        |  coalesce(any_value(da.n_dropped), 0) AS n_dropped,
+        |  CAST(coalesce(any_value(da.drop_id_sum), 0) AS BIGINT) AS drop_id_sum
+        |FROM j LEFT JOIN da ON j.cell = da.cell
+        |GROUP BY j.cell
+        |ORDER BY j.cell""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH $vecCte,

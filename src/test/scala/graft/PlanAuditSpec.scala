@@ -117,6 +117,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("dedup_semantic: within-cell pairing is an equi-join on the cell, never a cartesian") {
+    // SemDeDup's whole scale story is that pair generation shards by
+    // cluster: the trained codebook broadcasts (BNLJ/BHJ against the
+    // k-row centroid table is fine — that's the assignment), but the
+    // VECTOR-vector pairing must join on cell
+    val plan = executed(dedup.Dedup.semantic(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
+  }
+
   test("dedup_embedding_topk: pair-list cap pushes down as WindowGroupLimit") {
     // the output-volume knob for permissive thresholds: partial group
     // limits must run BEFORE the exchange, so a dense threshold can't
