@@ -379,12 +379,16 @@ object GraftProcedures {
 
   val byName: Map[String, Factory] = Map(
     "optimize" -> (c => proc(c, "optimize",
-      "bin-pack the live file set into ~target_bytes files (one atomic checkpoint)",
-      Seq(p("table", StringType), p("target_bytes", LongType, Some("134217728"))),
+      "bin-pack the live file set into ~target_bytes files; incremental => true " +
+        "packs ONLY sub-target and DV'd files (O(small bytes), the 100 TB loop)",
+      Seq(p("table", StringType), p("target_bytes", LongType, Some("134217728")),
+        p("incremental", org.apache.spark.sql.types.BooleanType, Some("false"))),
       StructType(Seq(StructField("version", LongType))),
       (cat, in) => {
         val t = cat.resolveTableArg(str(in, 0))
-        rows1(TxLog.compact(SparkSession.active, t, in.getLong(1)))
+        rows1(
+          if (in.getBoolean(2)) TxLog.compactSmall(SparkSession.active, t, in.getLong(1))
+          else TxLog.compact(SparkSession.active, t, in.getLong(1)))
       })),
     "zorder" -> (c => proc(c, "zorder",
       "re-lay out the table Z-ordered on two dimensions (atomic checkpoint)",

@@ -2002,6 +2002,78 @@ object TxLog {
       expectedHead = ms.last.version, schemaDdl = Some(out.schema.toDDL))
   }
 
+  /** INCREMENTAL OPTIMIZE: bin-pack only the files that need it — live
+    * files under `targetBytes` (plus any file carrying a deletion
+    * vector, whose compaction materializes the deletes and drops the
+    * sidecar) — into ~targetBytes outputs, published as a row-level
+    * REWRITE ({removes = the packed files, files = the packed output})
+    * rather than [[compact]]'s whole-table checkpoint. Cost is
+    * O(small + DV'd bytes), never O(table): the maintenance loop a
+    * continuously-ingesting 100 TB table actually runs — epoch-sized
+    * commit dribble gets folded up while the big clustered generations
+    * are never touched (their zone maps keep pruning verbatim).
+    * Partitioned tables pack WITHIN partition tuples only, so merged
+    * files keep one-value-per-file pv metadata. Layout-only by
+    * construction: the row multiset is unchanged (DV'd positions were
+    * already captured as deletes by their DML commit), so change
+    * capture records nothing. Concurrency follows the DML publish
+    * contract: serializable tables conflict with any concurrent
+    * commit, writeSerializable tables rebase over disjoint writes.
+    * Returns the committed version, or -1 when nothing is worth
+    * packing (fewer than two candidates per partition and no DVs). */
+  def compactSmall(s: SparkSession, table: String, targetBytes: Long = 128L << 20,
+                   beforeCommit: () => Unit = () => ()): Long = {
+    val ms = manifests(s, table)
+    val live = liveFiles(ms)
+    if (live.isEmpty) return -1L
+    val root = new Path(table)
+    val f = fs(s, root)
+    val stats = liveStats(ms)
+    val dvs = liveDvs(ms)
+    def sizeOf(r: String): Long = stats.get(r).map(_.bytes).filter(_ > 0)
+      .getOrElse(f.getFileStatus(new Path(root, r)).getLen)
+    val candidates = live.filter(r => dvs.contains(r) || sizeOf(r) < targetBytes)
+    val byTuple = candidates.groupBy(r => stats.get(r).map(_.parts).getOrElse(Seq.empty))
+    val touched = byTuple.values
+      .filter(g => g.size > 1 || g.exists(dvs.contains))
+      .flatten.toSeq.sorted
+    if (touched.isEmpty) return -1L
+    val pcols = partitionColsFrom(ms)
+    val schemaDdl = tableSchemaFrom(ms).map(_.toDDL)
+    val df = readFiles(s, table, ms, touched)
+    val nOut = math.max(1, math.ceil(
+      touched.map(sizeOf).sum.toDouble / targetBytes).toInt)
+    val (rel, st) =
+      if (pcols.nonEmpty) stagePartitioned(s, root,
+        df.repartition(nOut, pcols.map(col): _*), pcols)
+      else stageWrite(s, root, df.repartition(nOut))
+    beforeCommit() // concurrency-injection seam for the specs
+    publishRewrite(s, table, rel, st, removes = touched,
+      expectedHead = ms.last.version,
+      writerId = s"compact-${java.util.UUID.randomUUID()}", batchId = 0L,
+      schemaDdl = schemaDdl.getOrElse(df.schema.toDDL),
+      readSet = touched,
+      captureOverride = Some(() => Seq.empty)).version
+  }
+
+  /** TRUNCATE TABLE: one atomic checkpoint with an EMPTY file set —
+    * schema, partition layout and properties survive; history and time
+    * travel below the truncation survive (the data files stay on disk
+    * for pinned readers until [[vacuum]]). Like any overwrite, a
+    * change-feed or streaming tail crossing this version fails loudly
+    * rather than serving a silent gap. */
+  def truncate(s: SparkSession, table: String): Long = {
+    val ms = manifests(s, table)
+    require(ms.nonEmpty, s"truncate of nonexistent txlog table $table")
+    val ddl = tableSchemaFrom(ms)
+      .orElse(liveFiles(ms).headOption.map(h =>
+        s.read.parquet(absPath(table)(h)).schema))
+      .getOrElse(throw new IllegalStateException(
+        s"truncate of $table: schema unknowable (empty table, no recorded schema)"))
+      .toDDL
+    overwriteStaged(s, table, Seq.empty, Seq.empty, ddl)
+  }
+
   /** Publish a CHECKPOINT manifest (read-set replacement) safely
     * against concurrent committers. The rewrite behind it is valid
     * only for the snapshot it read (`expectedHead`); if the head has

@@ -264,7 +264,7 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
                       asOf: Option[Long] = None, cdf: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with TruncatableTable {
 
   private def spark = SparkSession.active
 
@@ -337,6 +337,17 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
       s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
     require(!cdf, "a txlog change-feed relation is read-only")
     () => new TxLogRowLevelOperation(table, schema, info.command)
+  }
+
+  /** SQL `TRUNCATE TABLE`: one atomic empty checkpoint
+    * ([[TxLog.truncate]] — schema/layout/props survive, history and
+    * pinned readers keep the pre-truncation generations until vacuum). */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty,
+      s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
+    require(!cdf, "a txlog change-feed relation is read-only")
+    TxLog.truncate(spark, table)
+    true
   }
 }
 

@@ -190,6 +190,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("reserved"))
   }
 
+  test("catalog streaming read: readStream.table tails a catalog table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.sr")
+    spark.sql("CREATE TABLE testcat.sr.src (id BIGINT, grp STRING) USING txlog")
+    spark.sql("INSERT INTO testcat.sr.src SELECT id, 'a' FROM range(50)")
+    val out = Files.createTempDirectory("cat_stream_out_").resolve("o").toString
+    val q = spark.readStream.table("testcat.sr.src")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_").toString)
+      .option("path", out)
+      .start()
+    q.processAllAvailable()
+    // a post-start append is tailed version-exactly
+    spark.sql("INSERT INTO testcat.sr.src SELECT id + 50, 'b' FROM range(50)")
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(out).count() == 100L)
+  }
+
   test("catalog streaming: writeStream into a catalog table path") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.st")
     spark.sql("CREATE TABLE testcat.st.sink (v BIGINT, region STRING) USING txlog PARTITIONED BY (region)")

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** Incremental OPTIMIZE ([[TxLog.compactSmall]]) + TRUNCATE TABLE.
+  *
+  * compactSmall is the maintenance loop a continuously-ingesting table
+  * runs: fold the small-commit dribble (and materialize deletion
+  * vectors) WITHOUT touching the big clustered generations — a
+  * row-level rewrite of O(small bytes), never a whole-table
+  * checkpoint. */
+class TxIncrCompactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("txincr_").resolve("t").toString
+
+  private def rows(ids: Range, g: String) =
+    ids.map(i => (i.toLong, g, s"v-$i")).toDF("id", "grp", "v")
+
+  /** (n_files, n_removes) of the newest history row. */
+  private def lastCommit(t: String): (Long, Long) = {
+    val r = TxLog.history(spark, t).orderBy(desc("version")).first()
+    (r.getAs[Long]("n_files"), r.getAs[Long]("n_removes"))
+  }
+
+  test("compactSmall packs only the small files; the big generation survives") {
+    val t = freshTable()
+    // one BIG generation (all ids, 1 file) + six dribble commits
+    TxLog.commit(rows(0 until 10000, "big").coalesce(1), t, "w", 0L)
+    (0 until 6).foreach(i =>
+      TxLog.commit(rows(10000 + i * 10 until 10000 + i * 10 + 10, "small")
+        .coalesce(1), t, "w", i + 1L))
+    val before = TxLog.snapshot(spark, t).get.orderBy("id").collect()
+    // target well below the big file's size, above the dribble's
+    val bigBytes = {
+      val p = new org.apache.hadoop.fs.Path(t)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the big file is the largest on disk
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(p, "data"), true)
+      var m = 0L
+      while (it.hasNext) { val st = it.next(); if (st.getLen > m) m = st.getLen }
+      m
+    }
+    val v = TxLog.compactSmall(spark, t, targetBytes = bigBytes / 2)
+    assert(v == 7L)
+    val (nf, nr) = lastCommit(t)
+    assert(nr == 6L, s"expected the 6 dribble files removed, got $nr")
+    assert(nf == 1L, s"expected 1 packed file, got $nf")
+    val after = TxLog.snapshot(spark, t).get.orderBy("id").collect()
+    assert(after.toSeq == before.toSeq)
+    // idempotent: nothing left worth packing (one packed file, no DVs)
+    assert(TxLog.compactSmall(spark, t, targetBytes = bigBytes / 2) == -1L)
+  }
+
+  test("compactSmall on a partitioned table packs WITHIN partition tuples") {
+    val t = freshTable()
+    TxLog.createTable(spark, t, rows(0 until 0, "x").schema, Seq("grp"))
+    // 3 commits x 2 groups = 6 small files
+    (0 until 3).foreach(i =>
+      rows(i * 100 until i * 100 + 100, "a").union(
+        rows(1000 + i * 100 until 1000 + i * 100 + 100, "b"))
+        .write.format("txlog").mode("append").save(t))
+    val before = TxLog.snapshot(spark, t).get.orderBy("id").collect()
+    val v = TxLog.compactSmall(spark, t)
+    assert(v > 0L)
+    val (nf, nr) = lastCommit(t)
+    assert(nr == 6L && nf == 2L, s"expected 6 -> 2 (one per group), got $nr -> $nf")
+    assert(TxLog.snapshot(spark, t).get.orderBy("id").collect().toSeq == before.toSeq)
+    // pv metadata survived the pack: partition pruning still works
+    val (kept, total) = TxLog.pruneCount(spark, t, col("grp") === "a")
+    assert(total == 2 && kept == 1, s"kept $kept of $total")
+  }
+
+  test("compactSmall materializes deletion vectors and drops the sidecars") {
+    val t = freshTable()
+    TxLog.commit(rows(0 until 1000, "g").coalesce(2), t, "w", 0L)
+    TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    TxLog.delete(spark, t, col("id") % 10 === 0, "del", 0L)
+    assert(TxLog.snapshot(spark, t).get.count() == 900L)
+    val v = TxLog.compactSmall(spark, t)
+    assert(v > 0L)
+    // both DV'd files rewrote; the deleted rows are physically gone and
+    // the manifest count path no longer subtracts anything
+    assert(TxLog.snapshot(spark, t).get.count() == 900L)
+    val h = TxLog.history(spark, t).orderBy(desc("version")).first()
+    assert(h.getAs[Long]("n_dvs") == 0L)
+    assert(spark.read.format("txlog").load(t)
+      .agg(count(lit(1))).first().getLong(0) == 900L)
+    // time travel to the DV'd version still applies the vectors
+    assert(spark.read.format("txlog").option("versionAsOf", 2).load(t).count() == 900L)
+    assert(spark.read.format("txlog").option("versionAsOf", 1).load(t).count() == 1000L)
+  }
+
+  test("TRUNCATE TABLE: empty checkpoint, contract survives, history intact") {
+    val t = freshTable()
+    TxLog.createTable(spark, t, rows(0 until 0, "x").schema, Seq("grp"),
+      Map("graft.keep" -> "1"))
+    rows(0 until 100, "a").write.format("txlog").mode("append").save(t)
+    val name = s"trunc_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $name USING txlog OPTIONS (path '$t')")
+    try {
+      spark.sql(s"TRUNCATE TABLE $name")
+      assert(spark.table(name).count() == 0L)
+      // schema + layout + props survive; the table is immediately writable
+      assert(spark.table(name).columns.toSeq == Seq("id", "grp", "v"))
+      assert(TxLog.partitionColumns(spark, t) == Seq("grp"))
+      assert(TxLog.properties(spark, t) == Map("graft.keep" -> "1"))
+      rows(200 until 210, "b").write.format("txlog").mode("append").save(t)
+      assert(spark.table(name).count() == 10L)
+      // pre-truncation history is addressable
+      assert(spark.read.format("txlog").option("versionAsOf", 1).load(t).count() == 100L)
+    } finally spark.sql(s"DROP TABLE $name")
+  }
+}
