@@ -734,6 +734,16 @@ object TxLog {
                     set: Map[String, String]): Long = {
     require(set.nonEmpty, "setProperties of nothing")
     validateProps(table, set, tableSchema(s, table))
+    // adding a CHECK constraint: parse/resolve against the current
+    // schema AND refuse if existing rows violate — the constraint then
+    // holds for the whole live row set, not just future writes
+    val newChecks = TxCheck.checksIn(set)
+    if (newChecks.nonEmpty) {
+      tableSchema(s, table).foreach(sch =>
+        TxCheck.validateDeclared(s, sch, newChecks))
+      snapshot(s, table).foreach(df =>
+        TxCheck.validateExisting(s, df, newChecks))
+    }
     var last = -1L
     var attempt = 0
     while (attempt < 20) {
@@ -827,6 +837,7 @@ object TxLog {
           "(supported: string, byte/short/int/long, boolean, date)")
     }
     validateProps(table, props, Some(schema))
+    TxCheck.validateDeclared(s, schema, TxCheck.checksIn(props))
     val root = new Path(table)
     val f = fs(s, root)
     if (manifests(s, table).nonEmpty)
@@ -1175,12 +1186,13 @@ object TxLog {
   /** Stage `df` hive-partitioned on duplicated `__p_<col>` path columns
     * (so the REAL columns stay in the files) and parse each staged
     * file's partition values back out of its path segments. */
-  private def stagePartitioned(s: SparkSession, root: Path, df: DataFrame,
+  private def stagePartitioned(s: SparkSession, root: Path, df0: DataFrame,
                                pcols: Seq[String])
       : (Seq[String], Seq[TxStats.FileStats]) = {
     val f = fs(s, root)
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$uuid")
+    val df = TxCheck.guard(s, df0, propsFrom(manifests(s, root.toString)))
     val dup = pcols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
     dup.write.mode(SaveMode.ErrorIfExists)
       .partitionBy(pcols.map(c => s"__p_$c"): _*).parquet(dataDir.toString)
@@ -1237,9 +1249,13 @@ object TxLog {
     val dataDir = new Path(root, s"data/$uuid")
     // bloomCols: staged files carry parquet split-block bloom filters
     // for the opted-in columns ([[TxBloom]]); the extra listing is
-    // noise next to the data write it configures
-    val bloomOpts = TxBloom.writeOptions(propsFrom(manifests(s, root.toString)))
-    df.write.options(bloomOpts).mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+    // noise next to the data write it configures. CHECK constraints
+    // guard the write job itself ([[TxCheck.guard]] — per-row
+    // assert_true, no extra pass).
+    val props = propsFrom(manifests(s, root.toString))
+    val bloomOpts = TxBloom.writeOptions(props)
+    TxCheck.guard(s, df, props)
+      .write.options(bloomOpts).mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val rel = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted

@@ -1267,8 +1267,13 @@ object TxLogWriterFactory {
   def create(spark: SparkSession, table: String, uuid: String,
              schema: StructType,
              pcols: Seq[String] = Seq.empty): TxLogWriterFactory = {
+    val props = TxLog.properties(spark, table)
     val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, schema,
-      TxBloom.writeOptions(TxLog.properties(spark, table)))
+      TxBloom.writeOptions(props))
+    // CHECK constraints ride to the executors as bound predicates —
+    // every V2 path (append, streaming epoch, Spark-planned DML
+    // rewrite) validates per row BEFORE its file is staged
+    val checks = TxCheck.bound(spark, schema, props)
     // partitioned tables: executors stage hive-style `__p_<col>=<v>`
     // layouts themselves (the rolling writer below), so the staged
     // paths carry the partition VALUES the manifest records — same
@@ -1287,7 +1292,7 @@ object TxLogWriterFactory {
           "distributed writers cannot render as a hive path segment — " +
           "write through TxLog.commitPartitioned instead")
     }
-    TxLogWriterFactory(table, uuid, schema, owf, conf, ext, pcols, pidx)
+    TxLogWriterFactory(table, uuid, schema, owf, conf, ext, pcols, pidx, checks)
   }
 
   /** Abort cleanup: delete the files the completed tasks reported.
@@ -1313,7 +1318,8 @@ case class TxLogWriterFactory(table: String, uuid: String, schema: StructType,
                               owf: OutputWriterFactory,
                               conf: SerializableConfiguration, ext: String,
                               pcols: Seq[String] = Seq.empty,
-                              pidx: Seq[Int] = Seq.empty)
+                              pidx: Seq[Int] = Seq.empty,
+                              checks: Seq[TxCheck.BoundCheck] = Seq.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1393,6 +1399,8 @@ class TxLogDataWriter(fac: TxLogWriterFactory, partitionId: Int, taskId: Long,
   }
 
   override def write(row: InternalRow): Unit = {
+    var ci = 0
+    while (ci < fac.checks.length) { fac.checks(ci).check(row); ci += 1 }
     val dirs =
       if (fac.pcols.isEmpty) Seq.empty
       else fac.pcols.zip(fac.pidx).map { case (c, i) => partDir(row, c, i) }
