@@ -463,6 +463,33 @@ object TxLog {
                 batchId: Long): Boolean =
     tokenTaken(manifests(s, table), writerId, batchId)
 
+  /** The writer's replay HIGH-WATER: the newest batchId it ever
+    * committed to this table — read from its own surviving manifests
+    * plus every checkpoint-absorbed token list, so it survives log
+    * truncation exactly like [[committed]]. None = never committed.
+    * This is the durable cursor an incremental consumer (e.g.
+    * [[Materialized.refresh]]) resumes from: the cursor IS the
+    * exactly-once token, so there is no separate state to desync. */
+  def writerHighWater(s: SparkSession, table: String,
+                      writerId: String): Option[Long] = {
+    val ms = manifests(s, table)
+    val own = ms.filter(_.writerId == writerId).map(_.batchId)
+    val absorbed = ms.flatMap(_.tokens).collect { case (w, b) if w == writerId => b }
+    val all = own ++ absorbed
+    if (all.isEmpty) None else Some(all.max)
+  }
+
+  /** Commit an empty-file manifest carrying ONLY the (writerId,
+    * batchId) idempotence token — "this batch is done, it just wrote
+    * nothing". Advances [[writerHighWater]] without data; replay-safe
+    * like any commit (returns -1 if the token is already taken). */
+  def commitToken(s: SparkSession, table: String, writerId: String,
+                  batchId: Long): Long = {
+    guardWriterId(writerId)
+    commitManifest(s, table, Seq.empty, Seq.empty, writerId, batchId,
+      checkpoint = false, maxRetries = 20)
+  }
+
   /** Snapshot read: exactly the committed file set, handed to the
     * reader as an explicit list — uncommitted data files are
     * unreachable by construction. Empty table → empty DataFrame with

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.{Materialized, TxLog}
+
+/** Incrementally maintained aggregates ([[Materialized]]): the view
+  * equals a full recompute after EVERY interleaving the feed can
+  * produce — appends, COW DML, merge-on-read DML, compaction, restore
+  * — and every refresh is exactly-once (the merge token IS the
+  * cursor, so replays are no-ops). */
+class TxMviewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val spec = Materialized.Spec(groupBy = Seq("grp"), sums = Seq("amount"))
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(name).resolve("t").toString
+
+  private def rows(ids: Range, g: Int => String, amt: Int => Double) =
+    ids.map(i => (i.toLong, g(i), amt(i))).toDF("id", "grp", "amount")
+
+  /** Full recompute of what the view should hold. */
+  private def expected(source: String): Map[String, (Long, Double)] =
+    TxLog.snapshot(spark, source).get
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"), sum("amount").as("amount_sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  private def view(target: String) =
+    Materialized.read(spark, target)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("amount_sum"))).map(t => t._1 -> (t._2, t._3)).toMap
+
+  private def assertCurrent(source: String, target: String, clue: String): Unit =
+    assert(view(target) == expected(source), s"$clue: view diverged from recompute")
+
+  test("view == recompute through appends, COW DML, compaction, restore") {
+    val src = fresh("mv_src_"); val tgt = fresh("mv_tgt_")
+    TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true"))
+    rows(0 until 100, i => s"g${i % 3}", _.toDouble)
+      .write.format("txlog").mode("append").save(src)
+    assert(Materialized.refresh(spark, src, tgt, spec) == 1L)
+    assertCurrent(src, tgt, "after first append")
+    // more appends + a COW delete + an update, all in one window
+    rows(100 until 200, i => s"g${i % 5}", i => i * 2.0)
+      .write.format("txlog").mode("append").save(src)
+    TxLog.delete(spark, src, col("id") % 7 === 0, "d", 0L)
+    TxLog.update(spark, src, col("id") % 11 === 0,
+      Map("amount" -> (col("amount") + 1000.0)), "u", 0L)
+    Materialized.refresh(spark, src, tgt, spec)
+    assertCurrent(src, tgt, "after append+delete+update")
+    // compaction is feed-transparent; restore records its delta
+    TxLog.compact(spark, src)
+    Materialized.refresh(spark, src, tgt, spec)
+    assertCurrent(src, tgt, "after compaction (empty delta window)")
+    val preHead = TxLog.headVersion(spark, src)
+    rows(200 until 220, _ => "gx", _ => 5.0)
+      .write.format("txlog").mode("append").save(src)
+    TxLog.restore(spark, src, preHead) // drops the gx generation again
+    Materialized.refresh(spark, src, tgt, spec)
+    assertCurrent(src, tgt, "after append+restore")
+    // the zeroed group is tombstoned out of read()
+    assert(!view(tgt).contains("gx"))
+  }
+
+  test("merge-on-read source: DV deltas fold exactly") {
+    val src = fresh("mv_mor_"); val tgt = fresh("mv_mtg_")
+    TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true",
+        TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    rows(0 until 300, i => s"g${i % 4}", _.toDouble)
+      .write.format("txlog").mode("append").save(src)
+    Materialized.refresh(spark, src, tgt, spec)
+    TxLog.delete(spark, src, col("id") % 3 === 0, "d", 0L) // DV only, no rewrite
+    TxLog.update(spark, src, col("id") % 10 === 1,
+      Map("amount" -> (col("amount") * 10)), "u", 0L)
+    Materialized.refresh(spark, src, tgt, spec)
+    assertCurrent(src, tgt, "after MoR delete+update")
+  }
+
+  test("refresh is exactly-once: replays are token no-ops, interleaved or not") {
+    val src = fresh("mv_r_"); val tgt = fresh("mv_rt_")
+    TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true"))
+    rows(0 until 50, i => s"g${i % 2}", _ => 1.0)
+      .write.format("txlog").mode("append").save(src)
+    val v1 = Materialized.refresh(spark, src, tgt, spec)
+    // an immediate replay of the same window must not double-apply
+    assert(Materialized.refresh(spark, src, tgt, spec) == v1)
+    assertCurrent(src, tgt, "after replayed refresh")
+    // crash-sim: the merge committed but the caller died — the NEXT
+    // refresh recovers the cursor from the token and applies only the
+    // genuinely new window
+    rows(50 until 60, _ => "g9", _ => 2.0)
+      .write.format("txlog").mode("append").save(src)
+    Materialized.refresh(spark, src, tgt, spec)
+    Materialized.refresh(spark, src, tgt, spec)
+    assertCurrent(src, tgt, "after double refresh of the second window")
+    // and the counts are exact, not just set-equal
+    assert(view(tgt)("g9") == (10L, 20.0))
+  }
+
+  test("refusals and the append-only grace: feed-off appends fold, feed-off DML is loud") {
+    // append-only history needs no enabled feed — appends ARE their own
+    // change record, so a rollup over a plain ingest table just works
+    val src = fresh("mv_n_")
+    rows(0 until 10, _ => "g", _ => 1.0).write.format("txlog").mode("append").save(src)
+    val tgt = fresh("mv_nt_")
+    Materialized.refresh(spark, src, tgt, spec)
+    assertCurrent(src, tgt, "feed-off append-only")
+    // ... but a DML version with no captured delta must refuse, not
+    // silently serve a gap
+    TxLog.delete(spark, src, col("id") === 1L, "d", 0L)
+    val e = intercept[Exception](Materialized.refresh(spark, src, tgt, spec))
+    assert(e.getMessage.toLowerCase.contains("change feed") ||
+      e.getMessage.toLowerCase.contains("changefeed"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Materialized.Spec(groupBy = Seq("g"), sums = Seq("g")))
+    intercept[IllegalArgumentException](
+      Materialized.Spec(groupBy = Seq.empty, sums = Seq("amount")))
+  }
+}
