@@ -305,7 +305,52 @@ object TxLogParity {
       .orderBy("o_orderpriority")
   }
 
+  /** MATERIALIZED VIEW (r13, [[graft.storage.Materialized]]): a rollup
+    * over a mutating source, maintained INCREMENTALLY — one refresh per
+    * source transaction window, each folding only that window's change
+    * feed (never a recompute) — then hash-checked against DuckDB's
+    * from-scratch aggregate of the final state. Five windows: append,
+    * append, COW DELETE, append, UPDATE. If any fold lost or doubled a
+    * delta the final sums could not match. */
+  private val builtMv = new ConcurrentHashMap[String, (String, String)]()
+
+  private def mviewTables(s: SparkSession, dir: String): (String, String) =
+    builtMv.computeIfAbsent(dir, _ => {
+      import graft.storage.Materialized
+      val src = Files.createTempDirectory("txlog_mv_oracle_").resolve("s").toString
+      val tgt = Files.createTempDirectory("txlog_mv_oracle_").resolve("v").toString
+      val spec = Materialized.Spec(groupBy = Seq("o_orderpriority"),
+        sums = Seq("o_orderkey", "o_custkey"))
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val (k1, k2) = (m / 3, 2 * m / 3)
+      TxLog.createTable(s, src, orders.schema,
+        props = Map(TxLog.ChangeFeedProp -> "true"))
+      def step(): Unit = { Materialized.refresh(s, src, tgt, spec); () }
+      orders.where(col("o_orderkey") <= k1).coalesce(4)
+        .write.format("txlog").mode("append").save(src); step()
+      orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2).coalesce(4)
+        .write.format("txlog").mode("append").save(src); step()
+      TxLog.delete(s, src, col("o_orderpriority") === "1-URGENT", "mv-del", 0L); step()
+      orders.where(col("o_orderkey") > k2).coalesce(4)
+        .write.format("txlog").mode("append").save(src); step()
+      TxLog.update(s, src, col("o_orderkey") % 10 === 0,
+        Map("o_custkey" -> (col("o_custkey") + 1000000L)), "mv-upd", 0L); step()
+      (src, tgt)
+    })
+
+  val mview: Q = (s, dir) => {
+    val (_, tgt) = mviewTables(s, dir)
+    graft.storage.Materialized.read(s, tgt)
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("o_orderkey_sum").cast("long").as("key_sum"),
+        col("o_custkey_sum").cast("long").as("cust_sum"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
     "txlog_scan_prune" -> scanPrune,
     "txlog_time_travel" -> timeTravel,
@@ -321,6 +366,22 @@ object TxLogParity {
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
     * gen0 ∪ gen1 untouched. */
   val oracleSql: Map[String, String] = Map(
+    // the view's final state = aggregate of the source's live rows:
+    // (gen0 ∪ gen1 non-URGENT) ∪ gen2, custkey bumped on key % 10 = 0
+    // (the UPDATE ran last, across all live rows). A from-scratch
+    // aggregate here vs five incremental folds on the Spark side.
+    "txlog_mview" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_custkey + 1000000 ELSE o_custkey END)
+                     AS BIGINT) AS cust_sum
+         FROM orders
+         WHERE o_orderkey > (2 * (SELECT max(o_orderkey) FROM orders)) // 3
+            OR o_orderpriority <> '1-URGENT'
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     // catalog table live state: orders minus (key % 7 = 3), with the
     // update's +500000 custkey bump on (status O, key % 5 = 0) — the
     // UPDATE ran after the DELETE, so deleted rows never saw the bump
