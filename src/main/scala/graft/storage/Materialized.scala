@@ -103,6 +103,58 @@ object Materialized {
     head
   }
 
+  /** CONTINUOUS maintenance: tail the source's change-feed STREAM and
+    * fold every micro-batch into the target — the always-fresh form of
+    * [[refresh]]. Exactly-once composes from two halves: the CDF
+    * stream replays each epoch identically after a crash (version
+    * offsets in the checkpoint), and the fold commits under the epoch
+    * token, so a replayed batch is a merge no-op. The snapshot batch
+    * (epoch 0) folds the pre-stream state as pure inserts; DML,
+    * compaction and property commits flow through with the stream
+    * source's own guarantees. The caller owns the returned query's
+    * lifecycle. */
+  def continuous(s: SparkSession, source: String, target: String, spec: Spec,
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // a DISTINCT token namespace from refresh(): the stream's cursor is
+    // epoch-space (checkpoint-owned), refresh()'s is source-version
+    // space — one target must be maintained by exactly one of the two
+    // (mixing would fold overlapping windows; the namespaces make the
+    // ownership explicit rather than silently colliding)
+    val wid = s"${writerId(spec)}-stream"
+    s.readStream.format("txlog")
+      .option("readChangeFeed", "true")
+      .load(source)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+        val delta = batch.groupBy(spec.groupBy.map(col): _*)
+          .agg(sum(w).as("n_rows"),
+            spec.sums.map(c => sum(col(c) * w).as(sumCol(c))): _*)
+        if (delta.isEmpty) {
+          TxLog.commitToken(s, target, wid, epochId)
+          ()
+        } else {
+          if (TxLog.headVersion(s, target) < 0L)
+            TxLog.createTable(s, target, delta.schema,
+              props = Map(SourceProp -> source,
+                SpecProp -> s"${spec.groupBy.mkString(",")}|${spec.sums.mkString(",")}"))
+          val current = TxLog.snapshot(s, target).getOrElse(
+            s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              delta.schema))
+          val joined = delta.alias("d").join(current.alias("t"), spec.groupBy, "left")
+          val folded = joined.select(
+            spec.groupBy.map(c => col(c)) ++
+              Seq((coalesce(col("t.n_rows"), lit(0L)) + col("d.n_rows")).as("n_rows")) ++
+              spec.sums.map(c => (coalesce(col(s"t.${sumCol(c)}"), lit(0L).cast(
+                delta.schema(sumCol(c)).dataType)) + col(s"d.${sumCol(c)}")).as(sumCol(c))): _*)
+          TxLog.merge(folded, target, spec.groupBy, wid, batchId = epochId)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** The view's current contents: one row per LIVE group (zero-count
     * tombstones filtered). */
   def read(s: SparkSession, target: String): DataFrame =

@@ -105,6 +105,36 @@ class TxMviewSpec extends AnyFunSuite {
     assert(view(tgt)("g9") == (10L, 20.0))
   }
 
+  test("continuous maintenance: the streamed view tracks recompute across restart") {
+    val src = fresh("mv_c_"); val tgt = fresh("mv_ct_")
+    val ckpt = Files.createTempDirectory("mv_ckpt_").toString
+    TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true"))
+    rows(0 until 100, i => s"g${i % 3}", _.toDouble)
+      .write.format("txlog").mode("append").save(src)
+    val q1 = Materialized.continuous(spark, src, tgt, spec, ckpt)
+    try {
+      q1.processAllAvailable()
+      assertCurrent(src, tgt, "streamed: snapshot epoch")
+      rows(100 until 150, i => s"g${i % 4}", i => i * 3.0)
+        .write.format("txlog").mode("append").save(src)
+      TxLog.delete(spark, src, col("id") % 5 === 2, "d", 0L)
+      q1.processAllAvailable()
+      assertCurrent(src, tgt, "streamed: append + delete epochs")
+    } finally q1.stop()
+    // commits while the stream is DOWN, then restart from the same
+    // checkpoint: the missed window folds exactly once
+    TxLog.update(spark, src, col("id") % 9 === 0,
+      Map("amount" -> (col("amount") + 50.0)), "u", 0L)
+    rows(150 until 160, _ => "gz", _ => 7.0)
+      .write.format("txlog").mode("append").save(src)
+    val q2 = Materialized.continuous(spark, src, tgt, spec, ckpt)
+    try {
+      q2.processAllAvailable()
+      assertCurrent(src, tgt, "streamed: restart catch-up")
+    } finally q2.stop()
+  }
+
   test("refusals and the append-only grace: feed-off appends fold, feed-off DML is loud") {
     // append-only history needs no enabled feed — appends ARE their own
     // change record, so a rollup over a plain ingest table just works
