@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -58,7 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * The `system` namespace is RESERVED for maintenance procedures
   * ([[GraftProcedures]]); a table namespace of that name is rejected
   * at create. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -142,13 +144,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     TxLogTable(dir.toString, None, asOf = Some(v))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: JMap[String, String]): Table = {
+  /** Shared CREATE/REPLACE validation: reserved namespace, namespace
+    * existence (the default one materializes on first use), identity
+    * partition columns, provider/location guards, Spark-internal
+    * property filtering. */
+  private def parseSpec(ident: Identifier, partitions: Array[Transform],
+                        properties: JMap[String, String])
+      : (Path, Seq[String], Map[String, String]) = {
     require(!ident.namespace.headOption.contains("system"),
       "the 'system' namespace is reserved for maintenance procedures")
     val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace)) {
       // the default namespace materializes on first use (no ceremony
       // for `USE graft; CREATE TABLE t ...`); others must be created
@@ -176,8 +181,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         "directory); read external paths via format(\"txlog\").load(path)")
     val userProps = props -- Seq(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    (dir, pcols, userProps)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val (dir, pcols, userProps) = parseSpec(ident, partitions, properties)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     TxLog.createTable(spark, dir.toString, schema, pcols, userProps)
     TxLogTable(dir.toString, Some(schema))
+  }
+
+  // ------------------------------------------------------------------
+  // staging: atomic CTAS / RTAS / CREATE OR REPLACE
+  // ------------------------------------------------------------------
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, allowExisting = false, requireExisting = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, allowExisting = true, requireExisting = true)
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, allowExisting = true, requireExisting = false)
+
+  /** One implementation for all three stage entry points. CREATE
+    * stages data files under the (not-yet-existing) table directory —
+    * invisible until the single put-if-absent v0 manifest names them —
+    * and REPLACE publishes one atomic overwrite checkpoint carrying
+    * the NEW schema/partitioning/properties, so in both shapes the
+    * query's data and the DDL are one transaction: a failed write
+    * leaves the old table byte-identical (REPLACE) or no table at all
+    * (CREATE), never a dropped-then-empty window. */
+  private def staged(ident: Identifier, info: TableInfo,
+                     allowExisting: Boolean, requireExisting: Boolean): StagedTable = {
+    val (dir, pcols, userProps) = parseSpec(ident, info.partitions, info.properties)
+    val exists = isTable(dir)
+    if (!allowExisting && exists) throw new TableAlreadyExistsException(ident)
+    if (requireExisting && !exists) throw new NoSuchTableException(ident)
+    if (exists && pcols.isEmpty &&
+        TxLog.partitionColumns(spark, dir.toString).nonEmpty)
+      throw new UnsupportedOperationException(
+        s"REPLACE cannot drop $ident's partitioning (the layout record is " +
+          "newest-wins) — DROP and re-CREATE to unpartition")
+    TxCheck.validateDeclared(spark, info.schema, TxCheck.checksIn(userProps))
+    new GraftStagedTable(spark, ident, dir, info.schema, pcols, userProps,
+      replaceExisting = exists)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -368,6 +418,87 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       if (!isTable(dir)) throw new NoSuchTableException(ident)
       dir.toString
     }
+}
+
+/** The staged half of an atomic CTAS / RTAS / CREATE OR REPLACE.
+  *
+  * Nothing this table stages is visible until ONE manifest put: the
+  * v0 create manifest (CREATE — the directory holds staged parquet but
+  * no `_txlog`, so it is not yet a table) or the overwrite checkpoint
+  * (REPLACE — old snapshot intact for pinned readers and time travel).
+  * `commitStagedChanges` publishes the empty form when no write ran
+  * (plain `CREATE OR REPLACE TABLE` without AS SELECT);
+  * `abortStagedChanges` sweeps a never-created directory and leaves a
+  * REPLACE's staged orphans to vacuum. */
+private[storage] class GraftStagedTable(spark: SparkSession, ident: Identifier,
+                                        dir: Path, tableSchema: StructType,
+                                        pcols: Seq[String],
+                                        props: Map[String, String],
+                                        replaceExisting: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  @volatile private var written = false
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    pcols.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+  override def properties(): JMap[String, String] = props.asJava
+  override def capabilities(): java.util.Set[TableCapability] = {
+    import TableCapability._
+    java.util.EnumSet.of(BATCH_WRITE, TRUNCATE)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // the staged write IS whole-table by construction — truncate is
+      // the same write
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new StagedWrite(info.schema())
+    }
+
+  private class StagedWrite(writeSchema: StructType)
+      extends Write with TxLogPartitionedWrite {
+    override protected val writePcols: Seq[String] = pcols
+    override def toBatch: BatchWrite = new StagedBatchWrite(writeSchema)
+  }
+
+  private class StagedBatchWrite(writeSchema: StructType) extends BatchWrite {
+    private val uuid = java.util.UUID.randomUUID().toString
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      TxLogWriterFactory.create(spark, dir.toString, uuid, writeSchema,
+        pcols, propsOverride = Some(props))
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
+      val stats = TxStats.collect(spark, dir, rel)
+      publish(rel, stats, writeSchema)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      TxLogWriterFactory.deleteStaged(spark, dir.toString, messages)
+  }
+
+  private def publish(rel: Seq[String], stats: Seq[TxStats.FileStats],
+                      schema: StructType): Unit = {
+    if (replaceExisting)
+      TxLog.overwriteStaged(spark, dir.toString, rel, stats, schema.toDDL,
+        pcolsOverride = Some(pcols), propsOverride = Some(props))
+    else
+      TxLog.publishV0(spark, dir.toString, rel, stats, schema, pcols, props)
+    written = true
+  }
+
+  override def commitStagedChanges(): Unit =
+    if (!written) publish(Seq.empty, Seq.empty, tableSchema)
+
+  override def abortStagedChanges(): Unit = {
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!replaceExisting && !f.exists(new Path(dir, TxLog.LogDir)) && f.exists(dir))
+      f.delete(dir, true) // never became a table: sweep the staging litter
+  }
 }
 
 /** Maintenance procedures for Spark's `CALL` statement — each wraps the

@@ -865,15 +865,29 @@ object TxLog {
     }
     validateProps(table, props, Some(schema))
     TxCheck.validateDeclared(s, schema, TxCheck.checksIn(props))
+    publishV0(s, table, Seq.empty, Seq.empty, schema, partitionBy, props)
+  }
+
+  /** The shared v0 publish behind [[createTable]] and the staging
+    * catalog's atomic CTAS: one put-if-absent manifest carrying the
+    * declared contract — and, for CTAS, the already-staged data files
+    * (invisible until this put names them, so the CREATE and its data
+    * are one transaction). */
+  private[storage] def publishV0(s: SparkSession, table: String,
+                                 rel: Seq[String], stats: Seq[TxStats.FileStats],
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 partitionBy: Seq[String],
+                                 props: Map[String, String]): Long = {
     val root = new Path(table)
     val f = fs(s, root)
     if (manifests(s, table).nonEmpty)
       throw new IllegalStateException(s"txlog table $table already exists")
     val logDir = new Path(root, LogDir)
     f.mkdirs(logDir)
-    val bytes = render(Manifest(0L, Seq.empty,
+    val bytes = render(Manifest(0L, rel,
       writerId = s"create-${java.util.UUID.randomUUID()}", batchId = 0L,
-      checkpoint = false, schema = Some(schema.toDDL), pcols = partitionBy,
+      checkpoint = false, stats = stats,
+      schema = Some(schema.toDDL), pcols = partitionBy,
       props = if (props.isEmpty) None else Some(props.toSeq.sorted),
       ts = commitTimeMs()))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1326,12 +1340,16 @@ object TxLog {
     * data write. */
   private[graft] def overwriteStaged(s: SparkSession, table: String,
                                      rel: Seq[String], stats: Seq[TxStats.FileStats],
-                                     schemaDdl: String): Long = {
+                                     schemaDdl: String,
+                                     pcolsOverride: Option[Seq[String]] = None,
+                                     propsOverride: Option[Map[String, String]] = None)
+      : Long = {
     val ms = manifests(s, table)
     commitCheckpoint(s, table, rel, stats,
       writerId = s"overwrite-${java.util.UUID.randomUUID()}",
       expectedHead = ms.lastOption.map(_.version).getOrElse(-1L),
-      schemaDdl = Some(schemaDdl), removes = liveFiles(ms))
+      schemaDdl = Some(schemaDdl), removes = liveFiles(ms),
+      pcolsOverride = pcolsOverride, propsOverride = propsOverride)
   }
 
   /** Stage a manifest and publish it into the next free version slot.
@@ -2139,7 +2157,10 @@ object TxLog {
                                removes: Seq[String] = Seq.empty,
                                changes: Seq[String] = Seq.empty,
                                maxRetries: Int = 20,
-                               dvs: Seq[DvEntry] = Seq.empty): Long = {
+                               dvs: Seq[DvEntry] = Seq.empty,
+                               pcolsOverride: Option[Seq[String]] = None,
+                               propsOverride: Option[Map[String, String]] = None)
+      : Long = {
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
@@ -2192,7 +2213,9 @@ object TxLog {
         // the partition layout AND properties must SURVIVE log
         // truncation: checkpoints re-record them (everything below is
         // vacuum-collectable)
-        pcols = partitionColsFrom(ms), props = propsRecorded(ms).map(_.sorted),
+        pcols = pcolsOverride.getOrElse(partitionColsFrom(ms)),
+        props = propsOverride.map(_.toSeq.sorted)
+          .orElse(propsRecorded(ms).map(_.sorted)),
         ts = commitTimeMs(), dvs = dvs))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v

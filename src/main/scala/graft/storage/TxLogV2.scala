@@ -1266,8 +1266,13 @@ final case class TxLogCommitMessage(files: Seq[String]) extends WriterCommitMess
 object TxLogWriterFactory {
   def create(spark: SparkSession, table: String, uuid: String,
              schema: StructType,
-             pcols: Seq[String] = Seq.empty): TxLogWriterFactory = {
-    val props = TxLog.properties(spark, table)
+             pcols: Seq[String] = Seq.empty,
+             propsOverride: Option[Map[String, String]] = None)
+      : TxLogWriterFactory = {
+    // propsOverride: a staged CREATE/REPLACE writes under the NEW
+    // table contract (blooms, CHECK constraints) before any manifest
+    // records it
+    val props = propsOverride.getOrElse(TxLog.properties(spark, table))
     val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, schema,
       TxBloom.writeOptions(props))
     // CHECK constraints ride to the executors as bound predicates —

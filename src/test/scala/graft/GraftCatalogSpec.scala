@@ -177,6 +177,59 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(msgs.contains("available") || msgs.contains("ROUTINE"), msgs)
   }
 
+  test("atomic RTAS: a failing REPLACE query leaves the old table byte-identical") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.rt")
+    spark.sql("""CREATE TABLE testcat.rt.t USING txlog
+                 TBLPROPERTIES ('graft.keep' = 'old') AS
+                 SELECT id, 'orig' AS tag FROM range(100)""")
+    val before = spark.table("testcat.rt.t").orderBy("id").collect().toSeq
+    // the replacement query fails mid-write: the staged files are never
+    // named by a manifest, so the old snapshot survives untouched
+    val e = intercept[Exception](spark.sql(
+      """CREATE OR REPLACE TABLE testcat.rt.t USING txlog AS
+         SELECT id, assert_true(id < 5, 'boom') AS tag FROM range(10)"""))
+    assert(spark.table("testcat.rt.t").orderBy("id").collect().toSeq == before,
+      "failed REPLACE mutated the table")
+    assert(TxLog.properties(spark, s"$wh/rt/t")("graft.keep") == "old")
+    // a SUCCEEDING replace swaps schema, layout and properties in one
+    // atomic checkpoint — and the old state stays time-travelable
+    spark.sql("""CREATE OR REPLACE TABLE testcat.rt.t USING txlog
+                 PARTITIONED BY (grp)
+                 TBLPROPERTIES ('graft.keep' = 'new') AS
+                 SELECT id * 2 AS id2, cast(id % 2 AS STRING) AS grp FROM range(50)""")
+    val t = s"$wh/rt/t"
+    assert(spark.table("testcat.rt.t").count() == 50L)
+    assert(spark.table("testcat.rt.t").columns.toSeq == Seq("id2", "grp"))
+    assert(TxLog.partitionColumns(spark, t) == Seq("grp"))
+    assert(TxLog.properties(spark, t)("graft.keep") == "new")
+    val (kept, total) = TxLog.pruneCount(spark, t, col("grp") === "0")
+    assert(kept < total, s"replacement lost the partitioned layout: $kept/$total")
+    // pre-replace generation still addressable
+    assert(spark.read.format("txlog").option("versionAsOf", 0).load(t)
+      .columns.toSeq == Seq("id", "tag"))
+  }
+
+  test("atomic CTAS: a failing CREATE query leaves no table behind") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.ct")
+    val e = intercept[Exception](spark.sql(
+      """CREATE TABLE testcat.ct.nope USING txlog AS
+         SELECT id, assert_true(id < 5, 'boom') AS tag FROM range(10)"""))
+    assert(!spark.catalog.tableExists("testcat.ct.nope"))
+    // and the staging litter is swept — the directory is gone entirely
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/ct/nope")))
+    // plain CREATE OR REPLACE without AS SELECT publishes the empty form
+    spark.sql("""CREATE OR REPLACE TABLE testcat.ct.empty
+                 (id BIGINT, grp STRING) USING txlog PARTITIONED BY (grp)""")
+    assert(spark.table("testcat.ct.empty").count() == 0L)
+    assert(TxLog.partitionColumns(spark, s"$wh/ct/empty") == Seq("grp"))
+    // REPLACE dropping partitioning is refused loudly, not silent
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE testcat.ct.empty (id BIGINT) USING txlog"))
+    val msgs = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("cannot drop"), msgs)
+  }
+
   test("managed-only: external locations and foreign providers are loud") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.guard")
     val e1 = intercept[Exception](spark.sql(
