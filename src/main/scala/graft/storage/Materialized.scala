@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Maintained aggregates are the RETRACTABLE ones (SUM / COUNT — and
   * AVG = sum/count at read); MIN/MAX cannot be maintained from deltas
   * (a retraction of the current extremum needs the full group) and are
-  * refused at the spec. Groups whose live count reaches zero keep a
+  * refused at the spec; NULL group keys are refused at fold time
+  * (merge matching is null-rejecting — coalesce nulls upstream).
+  * Groups whose live count reaches zero keep a
   * tombstone row (n = 0) rather than forcing a second transaction;
   * [[read]] filters them and exposes clean `<col>_sum` / `n_rows`
   * columns.
@@ -57,6 +59,64 @@ object Materialized {
 
   private def sumCol(c: String): String = s"${c}_sum"
 
+  /** Fold ONE change window into the target under `token` — the shared
+    * core of [[refresh]] (window = a version range of the feed) and
+    * [[continuous]] (window = a stream micro-batch). The delta is
+    * PERSISTED for its three consumers (emptiness probe, null-key
+    * guard, the merge) — without it the whole change-feed scan and
+    * shuffle re-run per consumer.
+    *
+    * Null group keys are REFUSED loudly: [[TxLog.merge]]'s matching is
+    * null-rejecting (SQL MERGE semantics), so a null-keyed folded row
+    * would APPEND next to the surviving old row instead of replacing
+    * it — every refresh would add one more partial row for the null
+    * group and [[read]] would return them all. Coalesce or filter null
+    * keys in the source before maintaining a view over them. */
+  private def fold(s: SparkSession, source: String, target: String, spec: Spec,
+                   wid: String, token: Long, window: DataFrame): Unit = {
+    val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val delta = window.groupBy(spec.groupBy.map(col): _*)
+      .agg(sum(w).as("n_rows"),
+        spec.sums.map(c => sum(col(c) * w).as(sumCol(c))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // create-if-absent FIRST: a metadata-only first window must not
+      // forfeit the declared schema and provenance props (the token
+      // commit below would otherwise define the table as a bare v0 log)
+      if (TxLog.headVersion(s, target) < 0L) {
+        TxLog.createTable(s, target, delta.schema,
+          props = Map(SourceProp -> source,
+            SpecProp -> s"${spec.groupBy.mkString(",")}|${spec.sums.mkString(",")}"))
+      }
+      if (delta.isEmpty) {
+        // the window held only metadata/layout commits: advance the
+        // cursor with a data-free token so the next fold starts past it
+        TxLog.commitToken(s, target, wid, token)
+        return
+      }
+      val nullKey = spec.groupBy.map(col(_).isNull).reduce(_ || _)
+      if (!delta.filter(nullKey).isEmpty)
+        throw new IllegalArgumentException(
+          s"materialized view group keys ${spec.groupBy.mkString(", ")} contain NULLs — " +
+            "merge matching is null-rejecting, so a null group cannot be maintained " +
+            "incrementally; coalesce or filter null keys in the source")
+      // fold the delta into the CURRENT values of exactly the touched
+      // groups (left join: an untouched target group never reads), then
+      // upsert — the merge replaces matched groups and inserts new ones
+      val current = TxLog.snapshot(s, target).getOrElse(
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          delta.schema))
+      val joined = delta.alias("d").join(current.alias("t"), spec.groupBy, "left")
+      val folded = joined.select(
+        spec.groupBy.map(c => col(c)) ++
+          Seq((coalesce(col("t.n_rows"), lit(0L)) + col("d.n_rows")).as("n_rows")) ++
+          spec.sums.map(c => (coalesce(col(s"t.${sumCol(c)}"), lit(0L).cast(
+            delta.schema(sumCol(c)).dataType)) + col(s"d.${sumCol(c)}")).as(sumCol(c))): _*)
+      TxLog.merge(folded, target, spec.groupBy, wid, batchId = token)
+      ()
+    } finally delta.unpersist()
+  }
+
   /** Apply every unapplied source version to the target; returns the
     * source version the view is now current through (-1 = empty
     * source). Safe to call concurrently with source writers — the
@@ -72,34 +132,7 @@ object Materialized {
       .option("startingVersion", (applied + 1L).toString)
       .option("endingVersion", head.toString)
       .load(source)
-    val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-    val delta = feed.groupBy(spec.groupBy.map(col): _*)
-      .agg(sum(w).as("n_rows"),
-        spec.sums.map(c => sum(col(c) * w).as(sumCol(c))): _*)
-    if (delta.isEmpty) {
-      // the window held only metadata/layout commits: advance the
-      // cursor with a data-free token so the next refresh starts past it
-      TxLog.commitToken(s, target, wid, head)
-      return head
-    }
-    if (TxLog.headVersion(s, target) < 0L) {
-      TxLog.createTable(s, target, delta.schema,
-        props = Map(SourceProp -> source,
-          SpecProp -> s"${spec.groupBy.mkString(",")}|${spec.sums.mkString(",")}"))
-    }
-    // fold the delta into the CURRENT values of exactly the touched
-    // groups (left join: an untouched target group never reads), then
-    // upsert — the merge replaces matched groups and inserts new ones
-    val current = TxLog.snapshot(s, target).getOrElse(
-      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        delta.schema))
-    val joined = delta.alias("d").join(current.alias("t"), spec.groupBy, "left")
-    val folded = joined.select(
-      spec.groupBy.map(c => col(c)) ++
-        Seq((coalesce(col("t.n_rows"), lit(0L)) + col("d.n_rows")).as("n_rows")) ++
-        spec.sums.map(c => (coalesce(col(s"t.${sumCol(c)}"), lit(0L).cast(
-          delta.schema(sumCol(c)).dataType)) + col(s"d.${sumCol(c)}")).as(sumCol(c))): _*)
-    TxLog.merge(folded, target, spec.groupBy, wid, batchId = head)
+    fold(s, source, target, spec, wid, token = head, window = feed)
     head
   }
 
@@ -127,30 +160,7 @@ object Materialized {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-        val delta = batch.groupBy(spec.groupBy.map(col): _*)
-          .agg(sum(w).as("n_rows"),
-            spec.sums.map(c => sum(col(c) * w).as(sumCol(c))): _*)
-        if (delta.isEmpty) {
-          TxLog.commitToken(s, target, wid, epochId)
-          ()
-        } else {
-          if (TxLog.headVersion(s, target) < 0L)
-            TxLog.createTable(s, target, delta.schema,
-              props = Map(SourceProp -> source,
-                SpecProp -> s"${spec.groupBy.mkString(",")}|${spec.sums.mkString(",")}"))
-          val current = TxLog.snapshot(s, target).getOrElse(
-            s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              delta.schema))
-          val joined = delta.alias("d").join(current.alias("t"), spec.groupBy, "left")
-          val folded = joined.select(
-            spec.groupBy.map(c => col(c)) ++
-              Seq((coalesce(col("t.n_rows"), lit(0L)) + col("d.n_rows")).as("n_rows")) ++
-              spec.sums.map(c => (coalesce(col(s"t.${sumCol(c)}"), lit(0L).cast(
-                delta.schema(sumCol(c)).dataType)) + col(s"d.${sumCol(c)}")).as(sumCol(c))): _*)
-          TxLog.merge(folded, target, spec.groupBy, wid, batchId = epochId)
-          ()
-        }
+        fold(s, source, target, spec, wid, token = epochId, window = batch)
       }
       .start()
   }

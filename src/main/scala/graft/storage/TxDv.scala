@@ -158,11 +158,21 @@ object TxDv {
 
   // ---- per-row membership for the NATIVE read path (readFiles)
 
-  /** Identity of a data file independent of table-root rendering:
-    * the last two path segments, `<uuid dir>/<file name>` — uuid dirs
-    * make it globally unique while absolute-path prefixes (file:/ vs
-    * plain, symlinked roots) vary by reader. */
+  /** Identity of a data file independent of table-root rendering
+    * (file:/ vs plain, symlinked roots): the path suffix from the
+    * table's `data/` dir — i.e. the manifest REL path itself,
+    * `data/<uuid>/[<__p_...=v>/...]<file name>`. Anchoring at `data/`
+    * (the LAST bare `data` segment — partition dirs are `__p_<c>=<v>`
+    * and can never collide with it) keeps the staging uuid in the key;
+    * the previous last-two-segments rule dropped it for PARTITIONED
+    * executor-staged files, whose `<__p_c=v>/part-<pid>-<tid>-s<seq>`
+    * tails can collide across Spark applications (task ids restart),
+    * silently applying one file's deletion vector to another. */
   private[storage] def tailKey(path: String): String = {
+    if (path.startsWith("data/")) return path
+    val i = path.lastIndexOf("/data/")
+    if (i >= 0) return path.substring(i + 1)
+    // non-`data/`-rooted path (not staged by us): last two segments
     val a = path.lastIndexOf('/')
     if (a <= 0) return path
     val b = path.lastIndexOf('/', a - 1)

@@ -792,9 +792,19 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
         val have = range.map(_.version).toSet
         val missing = ((from + 1) to to).filterNot(have)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
-        range.find(m => m.removes.nonEmpty || m.dvs.nonEmpty ||
+        // an INCREMENTAL OPTIMIZE (compactSmall) is a non-checkpoint
+        // rewrite whose row MULTISET is unchanged — its outputs repack
+        // rows this stream already served from the removed files'
+        // own versions — so the tail SKIPS it (serves zero rows)
+        // instead of dying, exactly like full compact's checkpoint.
+        // Structural trust: `compact-` is a reserved writer-id prefix
+        // (guardWriterId) and this library is the format's only
+        // writer; a dvs-carrying commit is never layout-only.
+        def layoutOnly(m: TxLog.Manifest): Boolean =
+          !m.checkpoint && m.writerId.startsWith("compact-") && m.dvs.isEmpty
+        range.find(m => !layoutOnly(m) && (m.removes.nonEmpty || m.dvs.nonEmpty ||
             (m.checkpoint && (m.writerId.startsWith("overwrite-") ||
-              m.writerId.startsWith("restore-")))).foreach { m =>
+              m.writerId.startsWith("restore-"))))).foreach { m =>
           // overwrite/restore detected STRUCTURALLY by the writer-id
           // class — this library is the format's only writer — so even
           // one replacing an empty table (removes = ∅) stays loud;
@@ -808,7 +818,10 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
                else "rewrote rows (DML)") +
               " — tail from a fresh start or keep the streamed table append-only")
         }
-        val rel = range.filterNot(_.checkpoint).flatMap(_.files)
+        // tail batches never carry deletion vectors (the guard above):
+        // restore the columnar fast path a DV'd snapshot batch demoted
+        snapshotDvs = Map.empty
+        val rel = range.filterNot(m => m.checkpoint || layoutOnly(m)).flatMap(_.files)
         // a lagging tail's files can be compacted away and data-vacuumed
         // while their manifests survive — turn the eventual FileNotFound
         // into retention guidance (cheap: incremental ranges are small)
@@ -925,6 +938,13 @@ object TxLogCdf {
         m.changes.map(rel => Entry(rel, typeOf(rel), m.version))
       }
       else if (m.checkpoint) Seq.empty // compact/cluster: layout only
+      else if (!m.checkpoint && m.writerId.startsWith("compact-") &&
+          m.dvs.isEmpty && m.changes.isEmpty)
+        // incremental OPTIMIZE (compactSmall): a non-checkpoint rewrite
+        // whose row multiset is unchanged — feed-invariant like the
+        // maintenance checkpoints above (and exempt from the pre-feed
+        // loudness below: there never was a delta to record)
+        Seq.empty
       else if (m.removes.nonEmpty || m.dvs.nonEmpty || m.changes.nonEmpty) {
         // dvs: a merge-on-read DML is a rewrite with possibly EMPTY
         // removes — its captured change files carry the delta
@@ -1125,6 +1145,10 @@ class TxLogChangeStream(spark: SparkSession, table: String,
         val have = range.map(_.version).toSet
         val missing = ((from + 1) to to).filterNot(have)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
+        // tail windows serve captured change files / appends, never
+        // DV'd data files — restore the columnar factory a DV'd
+        // snapshot batch demoted for the rest of the stream's life
+        scan.snapshotDvs = Map.empty
         val es = expand(ms, from + 1, to, table)
         // a lagging tail's files can be compacted/vacuumed away while
         // their manifests survive — loud retention guidance, not FNF

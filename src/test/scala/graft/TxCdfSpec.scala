@@ -355,4 +355,24 @@ class TxCdfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got((3L, "delete")) == 50L && got((4L, "insert")) == 100L)
   }
+
+  test("incremental OPTIMIZE (compactSmall) is feed-invariant — zero entries, even pre-feed") {
+    // r13 review finding follow-through: compactSmall's non-checkpoint
+    // rewrite is layout-only, so the feed serves NOTHING for its
+    // version — and a compactSmall from BEFORE the feed was enabled is
+    // exempt from the pre-feed loudness (there never was a delta)
+    val t = freshTable()
+    (0 until 3).foreach(i => batch(i * 10 until (i + 1) * 10, "a").coalesce(1)
+      .write.format("txlog").mode("append").save(t))
+    assert(TxLog.compactSmall(spark, t, targetBytes = 1L << 30) == 3L) // pre-feed
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true")) // v4
+    batch(30 until 40, "b").coalesce(1).write.format("txlog").mode("append").save(t) // v5
+    assert(TxLog.compactSmall(spark, t, targetBytes = 1L << 30) == 6L) // post-feed
+    val feed = changes(t, Map("startingVersion" -> "0"))
+    val byV = feed.groupBy($"_commit_version").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV == Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 5L -> 10L),
+      s"compactSmall versions leaked into the feed: $byV")
+    assert(feed.where($"_change_type" =!= "insert").isEmpty)
+  }
 }

@@ -154,4 +154,42 @@ class TxMviewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Materialized.Spec(groupBy = Seq.empty, sums = Seq("amount")))
   }
+
+  test("NULL group keys are refused loudly (merge matching is null-rejecting)") {
+    // r13 review finding: merge APPENDS null-keyed source rows next to
+    // the surviving old row, so a null group would accumulate one
+    // partial row per refresh — the fold must refuse instead
+    val src = fresh("mv_null_"); val tgt = fresh("mv_nullt_")
+    Seq((0L, "g0", 1.0), (1L, null.asInstanceOf[String], 2.0), (2L, null.asInstanceOf[String], 3.0))
+      .toDF("id", "grp", "amount")
+      .write.format("txlog").mode("append").save(src)
+    val e = intercept[IllegalArgumentException](
+      Materialized.refresh(spark, src, tgt, spec))
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // coalescing upstream is the documented path: a view over the
+    // coalesced source folds the same rows fine
+    assert(TxLog.headVersion(spark, tgt) <= 0L,
+      "refused refresh must not have merged data into the view")
+  }
+
+  test("metadata-only FIRST window still creates the view with schema and provenance") {
+    // r13 review finding: the empty-delta token commit used to run
+    // BEFORE create-if-absent, permanently forfeiting the declared
+    // schema + SourceProp/SpecProp when the first window held only
+    // metadata commits
+    val src = fresh("mv_meta_"); val tgt = fresh("mv_metat_")
+    TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true"))
+    TxLog.setProperties(spark, src, Map("owner" -> "spec")) // v1, metadata-only
+    assert(Materialized.refresh(spark, src, tgt, spec) == 1L)
+    val props = TxLog.properties(spark, tgt)
+    assert(props.get(Materialized.SourceProp).contains(src), props.toString)
+    assert(props.contains(Materialized.SpecProp), props.toString)
+    // the declared schema binds later folds: real data now arrives and
+    // the view reads back with the spec's column names
+    rows(0 until 30, i => s"g${i % 2}", _.toDouble)
+      .write.format("txlog").mode("append").save(src)
+    Materialized.refresh(spark, src, tgt, spec)
+    assertCurrent(src, tgt, "fold after metadata-only first window")
+  }
 }

@@ -226,6 +226,40 @@ class TxSourceSpec extends AnyFunSuite {
     assert(got.select("id").distinct().count() == 170)
   }
 
+  test("streaming source: incremental OPTIMIZE (compactSmall) is layout-only — the tail skips it") {
+    // r13 review finding: compactSmall's non-checkpoint rewrite used to
+    // kill every append-only tail ("rewrote rows (DML)") even though
+    // its row multiset is unchanged — it must be skipped like full
+    // compact's checkpoint, with later appends still arriving exactly
+    val t = freshTable()
+    (0 until 4).foreach(i => batch(i * 25 until (i + 1) * 25, "a").coalesce(1)
+      .write.format("txlog").mode("append").save(t))
+    val name = s"txcs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("path", t).load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_cs_").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 100)
+    assert(TxLog.compactSmall(spark, t, targetBytes = 1L << 30) > 0L,
+      "compactSmall found nothing to pack — test setup broken")
+    batch(100 until 120, "b").coalesce(1).write.format("txlog").mode("append").save(t)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+    assert(got.count() == 120, "compactSmall killed, duplicated or dropped the tail")
+    assert(got.select("id").distinct().count() == 120)
+    // a COLD range start crossing the compactSmall version is exact too
+    val name2 = s"txcs2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q2 = spark.readStream.format("txlog").option("startingVersion", "0").load(t)
+      .writeStream.format("memory").queryName(name2)
+      .option("checkpointLocation", Files.createTempDirectory("txsrc_cs2_").toString)
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(name2).count() == 120,
+      "range replay over a compactSmall version double-served packed rows")
+  }
+
   test("streaming source end-to-end: tail table A into txlog table B, restart, B == A exactly") {
     val a = freshTable(); val b = freshTable()
     val ckpt = Files.createTempDirectory("txsrc_ab_").toString
