@@ -211,7 +211,8 @@ object TxDv {
   private[storage] case class DvReaderFactory(
       clean: PartitionReaderFactory, withRi: PartitionReaderFactory,
       dvRel: Map[String, String], table: String, riOrdinal: Int,
-      conf: org.apache.spark.util.SerializableConfiguration)
+      conf: org.apache.spark.util.SerializableConfiguration,
+      keepRi: Boolean = false)
       extends PartitionReaderFactory {
 
     private def dvOf(p: InputPartition): Option[String] = p match {
@@ -235,26 +236,30 @@ object TxDv {
         case None => clean.createReader(p)
         case Some(rel) =>
           val dv = cachedDecode(rel, readBytes(conf.value, table, rel))
-          new DvFilteringReader(withRi.createReader(p), dv, riOrdinal)
+          new DvFilteringReader(withRi.createReader(p), dv, riOrdinal, keepRi)
       }
   }
 
-  /** Skip rows whose row index is in the DV; hide the index column. */
+  /** Skip rows whose row index is in the DV; hide the index column —
+    * unless `keepRi` (a scan that itself serves the position column,
+    * e.g. the delta-DML `_pos` read, keeps it in place). */
   private final class DvFilteringReader(inner: PartitionReader[InternalRow],
-                                        dv: Dv, riOrdinal: Int)
+                                        dv: Dv, riOrdinal: Int, keepRi: Boolean)
       extends PartitionReader[InternalRow] {
     private val projected = new DropOrdinalRow(riOrdinal)
+    private var current: InternalRow = _
     override def next(): Boolean = {
       while (inner.next()) {
         val row = inner.get()
         if (!dv.contains(row.getLong(riOrdinal))) {
-          projected.row = row
+          if (keepRi) current = row
+          else { projected.row = row; current = projected }
           return true
         }
       }
       false
     }
-    override def get(): InternalRow = projected
+    override def get(): InternalRow = current
     override def close(): Unit = inner.close()
   }
 

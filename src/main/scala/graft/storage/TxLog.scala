@@ -1524,14 +1524,30 @@ object TxLog {
     }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
       .collect()
     val byTail = touched.map(f => TxDv.tailKey(f) -> f).toMap
+    val resolved = perFile.toSeq.map { case (tail, bytes, _) =>
+      byTail.getOrElse(tail,
+        throw new IllegalStateException(s"matched file $tail not in the touched set")) ->
+        TxDv.deserialize(bytes)
+    }
+    mergeDvs(s, table, ms, resolved)
+  }
+
+  /** Union FRESH per-file deletion vectors into the live ones and split
+    * the result into {fully-dead files, new DV entries with staged
+    * sidecars} — the cumulative-DV half of every merge-on-read commit,
+    * shared by the library DML paths ([[stageDvs]]) and the
+    * Spark-planned delta writes ([[TxLogDeltaBatchWrite]]). A file
+    * whose merged vector covers every recorded row is REMOVED outright
+    * (the no-full-file-DV contract); a fresh vector adding nothing new
+    * commits nothing for its file. */
+  private[storage] def mergeDvs(s: SparkSession, table: String, ms: Seq[Manifest],
+                                perFile: Seq[(String, TxDv.Dv)])
+      : (Seq[String], Seq[DvEntry]) = {
     val oldDvs = liveDvs(ms)
     val stats = liveStats(ms)
     val removesB = Seq.newBuilder[String]
     val entriesB = Seq.newBuilder[DvEntry]
-    perFile.foreach { case (tail, bytes, _) =>
-      val rel = byTail.getOrElse(tail,
-        throw new IllegalStateException(s"matched file $tail not in the touched set"))
-      val fresh = TxDv.deserialize(bytes)
+    perFile.foreach { case (rel, fresh) =>
       val merged = oldDvs.get(rel) match {
         case Some(e) => TxDv.read(s, table, e.p).union(fresh)
         case None => fresh
@@ -1999,8 +2015,8 @@ object TxLog {
     * the copy-on-write capture ([[captureChanges]]) and the
     * merge-on-read one (where old = the matched live rows and new = the
     * statement's replacement rows — the difference is the same). */
-  private def stageChangePair(s: SparkSession, table: String, old: DataFrame,
-                              neu: DataFrame, sizeHint: Int): Seq[String] = {
+  private[storage] def stageChangePair(s: SparkSession, table: String, old: DataFrame,
+                                       neu: DataFrame, sizeHint: Int): Seq[String] = {
     val root = new Path(table)
     val f = fs(s, root)
     old.schema.fields.filter(fd => hasMapType(fd.dataType)) match {

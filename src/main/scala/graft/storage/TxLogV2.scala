@@ -114,6 +114,16 @@ object TxLogV2 {
   val FileCol = "_file"
   val FileField: StructField = StructField(FileCol, StringType, nullable = false)
 
+  /** The `_pos` metadata column: the row's ABSOLUTE parquet row index
+    * within its data file — with [[FileCol]] it is the stable row
+    * identity delta-based DML addresses deletion vectors by (the
+    * Iceberg `_file`/`_pos` convention). Served from the parquet
+    * reader's row-index mechanism; indexes stay absolute under
+    * row-group/page skipping, the same soundness the DV read path
+    * relies on. */
+  val PosCol = "_pos"
+  val PosField: StructField = StructField(PosCol, LongType, nullable = false)
+
   /** (kept, total) of the most recent batch planInputPartitions on this
     * JVM — the spec/bench observable for real file skipping through the
     * opaque V2 seam (the DSv1 `TxLogRelation.lastPrune` contract). */
@@ -260,6 +270,13 @@ object TxLogFileColumn extends MetadataColumn {
   override def comment: String = "manifest-relative data file path of the row"
 }
 
+object TxLogPosColumn extends MetadataColumn {
+  override def name: String = TxLogV2.PosCol
+  override def dataType: org.apache.spark.sql.types.DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment: String = "absolute parquet row index of the row within its data file"
+}
+
 case class TxLogTable(table: String, givenSchema: Option[StructType],
                       asOf: Option[Long] = None, cdf: Boolean = false)
     extends Table
@@ -295,7 +312,11 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     Set(BATCH_READ, BATCH_WRITE, TRUNCATE, MICRO_BATCH_READ, STREAMING_WRITE).asJava
   }
 
-  override def metadataColumns(): Array[MetadataColumn] = Array(TxLogFileColumn)
+  // the change-feed relation's meta columns (_change_type,
+  // _commit_version) are part of its SCHEMA, and its scan has no
+  // serving path for _file/_pos — advertise none there
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (cdf) Array.empty else Array(TxLogFileColumn, TxLogPosColumn)
 
   /** Declared partition layout as identity transforms — DESCRIBE and
     * the catalog round-trip read it; the WRITE path re-reads the log
@@ -336,7 +357,14 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
     require(!cdf, "a txlog change-feed relation is read-only")
-    () => new TxLogRowLevelOperation(table, schema, info.command)
+    // graft.dml.mode=mergeOnRead switches Spark-planned DML to the
+    // delta-based (deletion-vector) operation — the SAME dispatch the
+    // library DML paths make, so the property governs both doors
+    () =>
+      if (TxLog.properties(spark, table).get(TxLog.DmlModeProp)
+          .contains(TxLog.DmlModeMor))
+        new TxLogDeltaRowLevelOperation(table, schema, info.command)
+      else new TxLogRowLevelOperation(table, schema, info.command)
   }
 
   /** SQL `TRUNCATE TABLE`: one atomic empty checkpoint
@@ -571,17 +599,24 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   private val stats = TxLog.liveStats(ms)
   op.foreach(_.headAtScan = ms.lastOption.map(_.version).getOrElse(-1L))
 
-  /** Zone-map static pruning — SKIPPED for row-level-op scans: a
-    * DELETE's rewritten query pushes the KEPT-rows predicate
-    * (NOT cond), and file-pruning with it would drop a file whose rows
-    * ALL match cond from the scan — the file would never be read, never
-    * listed in `removes`, and its rows would silently survive the
-    * delete. Row-group skipping inside a scanned file stays sound
-    * (the file is still removed; unread rows are exactly the deleted
-    * ones), so the filters still flow to the reader factory. Op scans
-    * are narrowed by Spark's runtime `_file` group filtering instead. */
+  /** Zone-map static pruning — SKIPPED for GROUP-BASED row-level-op
+    * scans: a COW DELETE's rewritten query pushes the KEPT-rows
+    * predicate (NOT cond), and file-pruning with it would drop a file
+    * whose rows ALL match cond from the scan — the file would never be
+    * read, never listed in `removes`, and its rows would silently
+    * survive the delete. Row-group skipping inside a scanned file
+    * stays sound (the file is still removed; unread rows are exactly
+    * the deleted ones), so the filters still flow to the reader
+    * factory. Group-based op scans are narrowed by Spark's runtime
+    * `_file` group filtering instead.
+    *
+    * DELTA-BASED op scans prune like plain reads: the scan feeds the
+    * MATCHING rows (the delete predicate itself is pushed, not its
+    * negation), so a pruned file provably holds nothing to delete —
+    * this is what makes a MoR point-DELETE on a clustered 100 TB table
+    * open one file instead of all of them. */
   @volatile private var files: Seq[String] =
-    if (op.isDefined) allFiles
+    if (op.exists(!_.deltaMode)) allFiles
     else {
       val zoned = TxLog.pruneSourceFilters(pushed.toSeq,
         TxLog.partitionColsFrom(ms), allFiles, stats)
@@ -591,7 +626,9 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     }
 
   private val wantsFile = required.fieldNames.contains(FileCol)
-  private val readDataSchema = StructType(required.fields.filterNot(_.name == FileCol))
+  private val wantsPos = required.fieldNames.contains(PosCol)
+  private val readDataSchema = StructType(
+    required.fields.filterNot(f => f.name == FileCol || f.name == PosCol))
   private val partitionSchema =
     if (wantsFile) StructType(Seq(FileField)) else StructType(Nil)
 
@@ -605,8 +642,14 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   private val dvCards: Map[String, Long] =
     liveDvEntries.view.mapValues(_.n).toMap
 
+  /** Physical row layout: data columns, then the parquet row-index
+    * column when `_pos` is requested, then the `_file` partition-value
+    * constant — Spark reconciles this order with the query's via the
+    * projection above the scan. */
   override def readSchema(): StructType =
-    if (wantsFile) StructType(readDataSchema.fields :+ FileField) else readDataSchema
+    StructType(readDataSchema.fields ++
+      (if (wantsPos) Seq(PosField) else Nil) ++
+      (if (wantsFile) Seq(FileField) else Nil))
 
   // ---- runtime group filtering (row-level DML narrows to matched files).
   // Advertised ONLY when the scan actually outputs _file: generic DPP
@@ -667,25 +710,32 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val clean = GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val riField = org.apache.spark.sql.types.StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    // `_pos` is served by reading WITH the row-index temp column in
+    // the position [[readSchema]] promises it at — indexes stay
+    // ABSOLUTE under row-group/page skipping (PageReadStore offsets),
+    // the same soundness the DV filter relies on
+    val dataRead =
+      if (wantsPos) StructType(readDataSchema.fields :+ riField) else readDataSchema
+    val clean = GraftParquetIO.readerFactory(spark, tableSchema, dataRead,
       partitionSchema, pushed)
     if (!files.exists(dvByFile.contains)) clean
     else {
-      // DV partitions read WITH the parquet row-index temp column
-      // appended as the last data column; indexes stay ABSOLUTE under
-      // row-group/page skipping (PageReadStore offsets), so the pushed
-      // filters keep flowing to the reader — see TxDvSpec's skip case
-      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      val riField = org.apache.spark.sql.types.StructField(
-        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-        org.apache.spark.sql.types.LongType, nullable = true)
-      val withRi = GraftParquetIO.readerFactory(spark, tableSchema,
-        StructType(readDataSchema.fields :+ riField), partitionSchema, pushed)
+      // DV partitions read WITH the row-index column appended as the
+      // last data column (already there when `_pos` was requested)
+      val withRi =
+        if (wantsPos) clean
+        else GraftParquetIO.readerFactory(spark, tableSchema,
+          StructType(readDataSchema.fields :+ riField), partitionSchema, pushed)
       val dvRel = files.filter(dvByFile.contains)
         .map(rel => graft.storage.TxDv.tailKey(rel) -> dvByFile(rel)).toMap
       graft.storage.TxDv.DvReaderFactory(clean, withRi, dvRel, table,
         riOrdinal = readDataSchema.length,
-        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()),
+        keepRi = wantsPos)
     }
   }
 
@@ -1490,6 +1540,13 @@ class TxLogRowLevelOperation(table: String, tableSchema: StructType,
 
   override def command: RowLevelOperation.Command = cmd
 
+  /** False = group-based copy-on-write (rewrite whole touched files);
+    * true ([[TxLogDeltaRowLevelOperation]]) = delta-based merge-on-read
+    * (per-row deletes become deletion vectors). Consulted by the op
+    * scan: group-based scans must not statically prune (NOT-cond
+    * pushdown), delta scans prune like plain reads. */
+  def deltaMode: Boolean = false
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxLogScanBuilder(SparkSession.active, table, tableSchema, op = Some(this))
 
@@ -1503,6 +1560,194 @@ class TxLogRowLevelOperation(table: String, tableSchema: StructType,
     Array(Expressions.column(TxLogV2.FileCol))
 
   override def description(): String = s"txlog $cmd $table"
+}
+
+/** DELTA-BASED row-level DML ([[SupportsDelta]]) — the merge-on-read
+  * twin of [[TxLogRowLevelOperation]], chosen when the table sets
+  * `graft.dml.mode=mergeOnRead`: Spark plans DELETE/UPDATE/MERGE as a
+  * per-row delta addressed by (`_file`, `_pos`), the executors record
+  * deleted positions (and stage ordinary data files for the
+  * insert/post-image rows), and the commit publishes DELETION VECTORS
+  * instead of rewritten files — the statement costs O(affected rows),
+  * not O(touched file bytes), through the SQL door exactly as through
+  * the library one. Updates arrive split as delete + reinsert
+  * ([[representUpdateAsDeleteAndInsert]]), so one writer shape covers
+  * all three commands. */
+class TxLogDeltaRowLevelOperation(table: String, tableSchema: StructType,
+                                  cmd: RowLevelOperation.Command)
+    extends TxLogRowLevelOperation(table, tableSchema, cmd) with SupportsDelta {
+
+  override def deltaMode: Boolean = true
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(TxLogV2.FileCol), Expressions.column(TxLogV2.PosCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  // rowId covers the needed metadata; no extra metadata attributes
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new TxLogDeltaWrite(table, info.schema(), TxLogDeltaRowLevelOperation.this)
+    }
+
+  override def description(): String = s"txlog $cmd $table (merge-on-read)"
+}
+
+class TxLogDeltaWrite(table: String, rowSchema: StructType,
+                      op: TxLogDeltaRowLevelOperation) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new TxLogDeltaBatchWrite(table, rowSchema, op)
+}
+
+/** The delta write: executors buffer deleted (file, pos) pairs and
+  * stage insert rows as ordinary data files; the driver unions the
+  * positions into cumulative deletion vectors ([[TxLog.mergeDvs]] —
+  * fully-covered files are removed outright) and publishes ONE
+  * manifest {dvs, files, removes} under the same serializable /
+  * write-serializable contract as every other rewrite. Change capture
+  * reads back exactly the newly-deleted positions (the op scan served
+  * only live rows, so fresh positions are disjoint from existing DVs)
+  * and the staged insert files. */
+class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
+                           op: TxLogDeltaRowLevelOperation) extends DeltaBatchWrite {
+  private val spark = SparkSession.active
+  private val uuid = UUID.randomUUID().toString
+  private val pcols = TxLog.partitionColumns(spark, table)
+  require(!rowSchema.fieldNames.contains(TxLogV2.FileCol) &&
+    !rowSchema.fieldNames.contains(TxLogV2.PosCol),
+    s"delta write row schema unexpectedly carries metadata columns: $rowSchema")
+
+  // a pure DELETE has no data-row projection — no insert writer needed
+  private val innerFactory: Option[TxLogWriterFactory] =
+    if (rowSchema.fields.isEmpty) None
+    else Some(TxLogWriterFactory.create(spark, table, uuid, rowSchema, pcols))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    TxLogDeltaWriterFactory(innerFactory)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = op.pinnedSnapshot(spark, table)
+    val rel = messages.flatMap { case m: TxLogDeltaCommitMessage => m.files }.toSeq.sorted
+    // union per-file position fragments across tasks
+    val perFile: Seq[(String, TxDv.Dv)] = messages
+      .flatMap { case m: TxLogDeltaCommitMessage => m.dvs }
+      .groupBy(_._1).view
+      .mapValues(_.map(kv => TxDv.deserialize(kv._2)).reduce(_ union _))
+      .toSeq.sortBy(_._1)
+    if (rel.isEmpty && perFile.isEmpty) return // matched nothing: clean no-op
+    val (removes, entries) = TxLog.mergeDvs(spark, table, ms, perFile)
+    val schemaDdl = TxLog.tableSchemaFrom(ms).getOrElse(rowSchema).toDDL
+    val stats = TxStats.collect(spark, new Path(table), rel)
+    TxLog.publishRewrite(spark, table, rel, stats, removes,
+      expectedHead = op.headAtScan,
+      writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
+      schemaDdl = schemaDdl, readSet = op.scannedFiles, dvs = entries,
+      captureOverride = Some(() => stageDeltaChanges(ms, perFile, rel, schemaDdl)))
+    ()
+  }
+
+  /** Change-feed capture: old = the rows at the freshly-deleted
+    * positions (read back by row index from the touched files), new =
+    * the staged insert/post-image rows. */
+  private def stageDeltaChanges(ms: Seq[TxLog.Manifest],
+                                perFile: Seq[(String, TxDv.Dv)],
+                                rel: Seq[String], schemaDdl: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val sch = StructType.fromDDL(schemaDdl)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+    val deleted =
+      if (perFile.isEmpty) empty
+      else {
+        val freshB = spark.sparkContext.broadcast(
+          perFile.map { case (r, d) => r -> TxDv.serialize(d) }.toMap)
+        val cap = uuid // decode-cache key namespace, unique per statement
+        val hit = udf((f: String, pos: Long) => {
+          val rel = TxDv.tailKey(f)
+          freshB.value.get(rel).exists(bytes =>
+            TxDv.cachedDecode(s"cap-$cap-$rel", bytes).contains(pos))
+        })
+        spark.read.schema(sch).parquet(perFile.map(p => TxLog.absPath(table)(p._1)): _*)
+          .withColumn("__gf", col("_metadata.file_path"))
+          .withColumn("__gri", col("_metadata.row_index"))
+          .where(hit(col("__gf"), col("__gri")))
+          .drop("__gf", "__gri")
+      }
+    val inserted =
+      if (rel.isEmpty) empty
+      else spark.read.schema(sch).parquet(rel.map(TxLog.absPath(table)): _*)
+    TxLog.stageChangePair(spark, table, deleted, inserted,
+      math.max(perFile.size, rel.size))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(table)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case TxLogDeltaCommitMessage(files, _) =>
+        files.foreach(r => f.delete(new Path(root, r), false))
+      case _ => ()
+    }
+  }
+}
+
+final case class TxLogDeltaCommitMessage(files: Seq[String],
+                                         dvs: Seq[(String, Array[Byte])])
+    extends WriterCommitMessage
+
+case class TxLogDeltaWriterFactory(inner: Option[TxLogWriterFactory])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new TxLogDeltaWriter(inner, partitionId, taskId)
+}
+
+/** Executor side: deletes buffer (rel file → positions), inserts roll
+  * through the ordinary staged-parquet writer. The rowId row is
+  * ([[TxLogV2.FileCol]] string, [[TxLogV2.PosCol]] long) in declared
+  * order. */
+class TxLogDeltaWriter(innerFactory: Option[TxLogWriterFactory],
+                       partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val positions =
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+  private var inner: DataWriter[InternalRow] = null
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val rel = id.getUTF8String(0).toString
+    positions.getOrElseUpdate(rel, scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+      id.getLong(1)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (inner == null)
+      inner = innerFactory.getOrElse(throw new IllegalStateException(
+        "delta write received an insert row but has no data-row schema")).
+        createWriter(partitionId, taskId)
+    inner.write(row)
+  }
+
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete+reinsert (representUpdateAsDeleteAndInsert)")
+
+  override def commit(): WriterCommitMessage = {
+    val files = if (inner == null) Seq.empty[String]
+      else inner.commit() match { case TxLogCommitMessage(fs) => fs }
+    val dvs = positions.toSeq.map { case (rel, buf) =>
+      rel -> TxDv.serialize(TxDv.fromPositions(buf.toArray))
+    }
+    TxLogDeltaCommitMessage(files, dvs)
+  }
+
+  override def abort(): Unit = if (inner != null) inner.abort()
+
+  override def close(): Unit = if (inner != null) inner.close()
 }
 
 class TxLogReplaceWrite(table: String, writeSchema: StructType,
