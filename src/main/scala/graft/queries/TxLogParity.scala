@@ -263,6 +263,69 @@ object TxLogParity {
       .orderBy("_change_type")
   }
 
+  /** SQL-PLANNED MERGE-ON-READ DML (r13, [[graft.storage.TxLogDeltaRowLevelOperation]]):
+    * a catalog table created with `graft.dml.mode=mergeOnRead` and
+    * mutated ENTIRELY through Spark-planned SQL — DELETE, UPDATE, and a
+    * multi-action MERGE (matched update + not-matched insert) — all
+    * routed through the delta-based (`SupportsDelta`) operation, so
+    * every statement publishes deletion vectors + appended post-images
+    * addressed by (`_file`, `_pos`) instead of rewriting files
+    * (zero-rewrite accounting pinned in TxDeltaDmlSpec; here the final
+    * VALUES are hash-checked). The MERGE's not-matched branch
+    * deliberately includes re-inserts of previously-DV-deleted keys —
+    * the oracle encodes that a deleted row does NOT match. */
+  private val builtDvSql = new ConcurrentHashMap[String, String]()
+
+  private def dvSqlTable(s: SparkSession, dir: String): String =
+    builtDvSql.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("txlog_dvsql_oracle_").toString
+      val cat = s"gmor${math.abs(dir.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      orders.createOrReplaceTempView("orders_mor_src")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val t = s"$cat.default.orders_mor"
+      s.sql(s"""CREATE TABLE $t
+                (o_orderkey BIGINT, o_custkey BIGINT,
+                 o_orderstatus STRING, o_orderpriority STRING)
+                USING txlog
+                TBLPROPERTIES ('graft.dml.mode' = 'mergeOnRead')""")
+      s.sql(s"INSERT INTO $t SELECT * FROM orders_mor_src")
+      s.sql(s"DELETE FROM $t WHERE o_orderpriority = '1-URGENT'")
+      s.sql(s"""UPDATE $t SET o_custkey = o_custkey + 500000
+                WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0""")
+      // merge source: the key % 11 slice verbatim (matches the live
+      // survivors; deleted URGENT keys in it do NOT match and
+      // re-insert) plus a key % 13 slice shifted STRICTLY past max
+      // (+1: keys start at 0, so a plain +max would land key 0's
+      // shifted row exactly on the real max-key row)
+      s.sql(s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+                FROM orders_mor_src WHERE o_orderkey % 11 = 0
+                UNION ALL
+                SELECT o_orderkey + ${m + 1} AS o_orderkey, o_custkey,
+                       'N' AS o_orderstatus, o_orderpriority
+                FROM orders_mor_src WHERE o_orderkey % 13 = 0""")
+        .createOrReplaceTempView("orders_mor_merge")
+      s.sql(s"""MERGE INTO $t tgt USING orders_mor_merge src
+                ON tgt.o_orderkey = src.o_orderkey
+                WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+                WHEN NOT MATCHED THEN INSERT *""")
+      t
+    })
+
+  val dvSql: Q = (s, dir) => {
+    val t = dvSqlTable(s, dir)
+    s.table(t)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"),
+        count(when(col("o_orderstatus") === "M", 1)).as("n_merged"))
+      .orderBy("o_orderpriority")
+  }
+
   /** CATALOG table (r13, [[graft.storage.GraftCatalog]]): a managed
     * PARTITIONED table built and mutated ENTIRELY through SQL against
     * catalog identifiers — CREATE TABLE ... PARTITIONED BY, INSERT
@@ -359,6 +422,7 @@ object TxLogParity {
     "txlog_bloom_prune" -> bloomPrune,
     "txlog_restore" -> restored,
     "txlog_dv_scan" -> dvScan,
+    "txlog_dv_sql" -> dvSql,
     "txlog_dv_meta" -> dvMeta,
     "txlog_dv_changes" -> dvChanges)
 
@@ -488,6 +552,36 @@ object TxLogParity {
       """SELECT count(*) AS n_rows
          FROM orders
          WHERE o_orderpriority <> '1-URGENT'""",
+    // SQL MoR replay: survivors carry the update's custkey bump and the
+    // merge's matched status 'M' (key % 11 = 0); deleted URGENT rows
+    // with key % 11 = 0 did NOT match and re-insert verbatim; the
+    // key % 13 slice lands shifted past max with status 'N'
+    "txlog_dv_sql" ->
+      """WITH final AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+                       THEN o_custkey + 500000 ELSE o_custkey END AS o_custkey,
+                  CASE WHEN o_orderkey % 11 = 0 THEN 'M'
+                       ELSE o_orderstatus END AS o_orderstatus,
+                  o_orderpriority
+           FROM orders WHERE o_orderpriority <> '1-URGENT'
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+           FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 11 = 0
+           UNION ALL
+           SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders) AS o_orderkey,
+                  o_custkey, 'N' AS o_orderstatus, o_orderpriority
+           FROM orders WHERE o_orderkey % 13 = 0
+         )
+         SELECT o_orderpriority,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+                count(*) FILTER (o_orderstatus = 'M') AS n_merged
+         FROM final
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     // feed = appends (all rows verbatim) + delete's DV'd URGENT rows +
     // the update's retract/add pair (pre-image custkey, post-image
     // custkey + 1000000)
