@@ -223,13 +223,25 @@ object TxDv {
 
     /** Spark's BatchScanExec requires EVERY partition of one scan to
       * agree on columnar support ("cannot mix row-based and columnar"),
-      * so a scan that touches ANY DV'd file reads row-based throughout
-      * — the per-scan price of merge-on-read until `compact` purges the
-      * vectors and the plain (columnar) factory takes over again. */
-    override def supportColumnarReads(p: InputPartition): Boolean = false
+      * so DV'd partitions must answer columnar too or ONE point-deleted
+      * file would tax every clean file of the table with row-based
+      * parquet reads. They do: clean partitions delegate verbatim
+      * (pure vectorized), DV'd partitions filter each vectorized batch
+      * through a selection remap ([[SelectedColumnVector]] — untouched
+      * batches pass through with zero per-row work). Row-based reading
+      * survives only as the fallback for schemas the vectorized parquet
+      * reader itself refuses. */
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      clean.supportColumnarReads(p) && withRi.supportColumnarReads(p)
 
     override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-      throw new UnsupportedOperationException("DV scans are row-based")
+      dvOf(p) match {
+        case None => clean.createColumnarReader(p)
+        case Some(rel) =>
+          val dv = cachedDecode(rel, readBytes(conf.value, table, rel))
+          new DvColumnarFilteringReader(
+            withRi.createColumnarReader(p), dv, riOrdinal, keepRi)
+      }
 
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
       dvOf(p) match {
@@ -260,6 +272,63 @@ object TxDv {
       false
     }
     override def get(): InternalRow = current
+    override def close(): Unit = inner.close()
+  }
+
+  /** Columnar twin of [[DvFilteringReader]]: filter each VECTORIZED
+    * batch through the deletion vector instead of dropping the whole
+    * scan to row-based parquet decoding. Per batch: read the row-index
+    * column, collect surviving ordinals, and expose the base vectors
+    * through a [[SelectedColumnVector]] remap (the row-index column is
+    * hidden by ordinal skip unless `keepRi`). A batch with NO deleted
+    * rows — the overwhelmingly common case under sparse DVs — passes
+    * the base vectors through unwrapped: zero per-row overhead. The
+    * output batch references the inner reader's vectors, valid until
+    * the next `next()` — the same lifecycle contract as the row path. */
+  private final class DvColumnarFilteringReader(
+      inner: PartitionReader[ColumnarBatch], dv: Dv, riOrdinal: Int, keepRi: Boolean)
+      extends PartitionReader[ColumnarBatch] {
+    import org.apache.spark.sql.vectorized.ColumnVector
+    private var current: ColumnarBatch = _
+    private var sel: Array[Int] = new Array[Int](4096)
+
+    private def outVectors(batch: ColumnarBatch,
+                           wrap: ColumnVector => ColumnVector): Array[ColumnVector] = {
+      val n = batch.numCols()
+      val out = Array.newBuilder[ColumnVector]
+      var i = 0
+      while (i < n) {
+        if (keepRi || i != riOrdinal) out += wrap(batch.column(i))
+        i += 1
+      }
+      out.result()
+    }
+
+    override def next(): Boolean = {
+      while (inner.next()) {
+        val batch = inner.get()
+        val rows = batch.numRows()
+        val ri = batch.column(riOrdinal)
+        if (sel.length < rows) sel = new Array[Int](rows)
+        var i = 0; var k = 0
+        while (i < rows) {
+          if (!dv.contains(ri.getLong(i))) { sel(k) = i; k += 1 }
+          i += 1
+        }
+        if (k > 0) {
+          current =
+            if (k == rows) new ColumnarBatch(outVectors(batch, identity), rows)
+            else {
+              val s = java.util.Arrays.copyOf(sel, k)
+              new ColumnarBatch(
+                outVectors(batch, new SelectedColumnVector(_, s)), k)
+            }
+          return true
+        }
+      }
+      false
+    }
+    override def get(): ColumnarBatch = current
     override def close(): Unit = inner.close()
   }
 
@@ -304,5 +373,59 @@ object TxDv {
       row.getGeography(m(i))
     override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
       row.getGeometry(m(i))
+  }
+
+  /** ColumnVector view exposing only the ordinals in `sel` (logical
+    * row i reads base row `sel(i)`) — the zero-copy selection vector
+    * Spark's ColumnarBatch lacks, used to hide DV-deleted rows from a
+    * vectorized batch without re-materializing the survivors. One array
+    * index per access; the base vectors stay untouched.
+    *
+    * `getChild` wraps the child with the SAME selection: struct fields
+    * are positional per row, and the final `getStruct`/`getVariant`
+    * base-class paths reach data exclusively through `getChild(_)
+    * .getX(rowId)`. `getArray`/`getMap` instead delegate with the
+    * remapped ordinal — their offsets index the base's raw child, which
+    * the returned ColumnarArray/Map references directly. Null counts
+    * pass through unremapped (conservative upper bounds — consumers use
+    * them only to skip null checks when zero). */
+  private final class SelectedColumnVector(
+      base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+      extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+    @inline private def m(i: Int): Int = sel(i)
+    override def close(): Unit = base.close()
+    // ColumnarToRowExec calls closeIfFreeable() after CONSUMING each
+    // batch; the default implementation closes, which would free the
+    // vectorized parquet reader's REUSED WritableColumnVectors
+    // mid-stream (their own override is a no-op for exactly this
+    // reason). Delegate, so the base's reuse contract decides.
+    override def closeIfFreeable(): Unit = base.closeIfFreeable()
+    override def hasNull: Boolean = base.hasNull
+    override def numNulls: Int = base.numNulls
+    override def isNullAt(i: Int): Boolean = base.isNullAt(m(i))
+    override def getBoolean(i: Int): Boolean = base.getBoolean(m(i))
+    override def getByte(i: Int): Byte = base.getByte(m(i))
+    override def getShort(i: Int): Short = base.getShort(m(i))
+    override def getInt(i: Int): Int = base.getInt(m(i))
+    override def getLong(i: Int): Long = base.getLong(m(i))
+    override def getFloat(i: Int): Float = base.getFloat(m(i))
+    override def getDouble(i: Int): Double = base.getDouble(m(i))
+    override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+      base.getDecimal(m(i), p, s)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      base.getUTF8String(m(i))
+    override def getBinary(i: Int): Array[Byte] = base.getBinary(m(i))
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      base.getArray(m(i))
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      base.getMap(m(i))
+    override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+      base.getInterval(m(i))
+    override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+      base.getGeography(m(i))
+    override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+      base.getGeometry(m(i))
+    override def getChild(i: Int): org.apache.spark.sql.vectorized.ColumnVector =
+      new SelectedColumnVector(base.getChild(i), sel)
   }
 }

@@ -435,4 +435,50 @@ class TxDvSpec extends AnyFunSuite {
     assert(got.where($"id" === 5L).first().isNullAt(2))
     assert(rows(spark.read.format("txlog").load(t)) == rows(got))
   }
+
+  test("a DV'd file no longer forces the scan row-based: columnar plan pin, exact rows") {
+    val t = mor3()
+    TxLog.delete(spark, t, $"id" >= 110L && $"id" < 120L, "d", 0L)
+    val got = spark.read.format("txlog").load(t)
+    // the executed plan keeps the vectorized path (ColumnarToRow above
+    // the batch scan) even though one of the three files carries a DV —
+    // before the SelectedColumnVector remap, ANY live DV dropped the
+    // whole scan (all three files) to row-based parquet decoding
+    val plan = got.queryExecution.executedPlan
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty, s"DV'd scan must stay columnar:\n$plan")
+    val expect = batch(0 until 100, "alpha")
+      .unionByName(batch(100 until 200, "beta").where(!($"id" >= 110L && $"id" < 120L)))
+      .unionByName(batch(200 until 300, "gamma"))
+    assert(rows(got) == rows(expect))
+  }
+
+  test("columnar DV filtering exact across batch shapes and nested/null types") {
+    // one file, several vectorized batches (4k rows each): batch 0
+    // untouched (unwrapped pass-through), a fully-dead range (whole
+    // batches skipped), scattered deletes elsewhere (selection remap) —
+    // over nullable strings/doubles, arrays and structs (the
+    // getChild-wrapping path)
+    val t = freshTable()
+    val n = 20000
+    val df = spark.range(n).select(
+      col("id"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(concat(lit("s"), col("id"))).as("s"),
+      when(col("id") % 11 === 0, lit(null)).otherwise(col("id") / 3.0).as("d"),
+      array(col("id"), col("id") * 2).as("arr"),
+      struct((col("id") % 5).as("a"),
+        concat(lit("x"), col("id") % 3).as("b")).as("st"))
+    TxLog.commit(df.coalesce(1), t, "w", 0L)
+    TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    val scattered = col("id") % 97 === 5 && col("id") >= 4096
+    val deadRange = col("id") >= 8192 && col("id") < 12288
+    TxLog.delete(spark, t, scattered, "d", 0L)
+    TxLog.delete(spark, t, deadRange, "d", 1L)
+    val got = spark.read.format("txlog").load(t)
+    val expect = df.where(!scattered && !deadRange)
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
 }
