@@ -496,8 +496,19 @@ private[storage] class GraftStagedTable(spark: SparkSession, ident: Identifier,
 
   override def abortStagedChanges(): Unit = {
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!replaceExisting && !f.exists(new Path(dir, TxLog.LogDir)) && f.exists(dir))
-      f.delete(dir, true) // never became a table: sweep the staging litter
+    if (!replaceExisting && !f.exists(new Path(dir, TxLog.LogDir))) {
+      // never became a table: sweep the staging litter. Spark calls
+      // abort while cancelled TASKS may still be flushing committer
+      // temp files (kills are async), so one sweep can lose the race
+      // and leave a recreated directory — re-sweep briefly until it
+      // sticks; whatever outlives the window is vacuum's job.
+      var tries = 0
+      while (f.exists(dir) && tries < 10) {
+        f.delete(dir, true)
+        tries += 1
+        if (f.exists(dir)) Thread.sleep(100L)
+      }
+    }
   }
 }
 

@@ -19,9 +19,10 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * its current DV, and every reader filters the file's rows through it.
   * The data file is untouched — the delete costs O(deleted rows), not
   * O(file bytes). `compact`/`clusterBy` rewrite the net rows and the
-  * checkpoint drops the DVs (the purge), restoring full vectorized
-  * scans; until then DV'd files are read row-based with a per-row
-  * bitmap probe while CLEAN files keep the columnar fast path.
+  * checkpoint drops the DVs (the purge), restoring unfiltered
+  * vectorized scans; until then DV'd files read vectorized through a
+  * per-batch selection remap (one bitmap probe per row index) while
+  * CLEAN files keep the untouched columnar fast path.
   *
   * Semantics (the Delta Lake deletion-vector model, re-expressed on the
   * txlog manifest protocol):
@@ -198,11 +199,13 @@ object TxDv {
 
   /** Wraps the two inner parquet factories:
     *  - `clean` reads WITHOUT the row-index column — clean partitions
-    *    delegate verbatim, keeping the vectorized/columnar fast path;
+    *    delegate verbatim, keeping the pure vectorized/columnar path;
     *  - `withRi` reads WITH `_tmp_metadata_row_index` appended as the
-    *    LAST data column — DV'd partitions are read row-based, rows at
-    *    deleted positions are skipped, and the index column is dropped
-    *    from the output by ordinal remap (zero copies).
+    *    LAST data column — DV'd partitions read VECTORIZED too, each
+    *    batch filtered through a zero-copy selection remap
+    *    ([[SelectedColumnVector]]) that hides the deleted rows and the
+    *    index column (row-based only as the fallback for schemas the
+    *    vectorized parquet reader refuses, via [[DvFilteringReader]]).
     * A partition is DV'd iff its (single) file has an entry in `dvRel`
     * (rel-tail → dv rel path); the planner packs each DV'd file into
     * its own partitions so the decision is per-partition. Sound under

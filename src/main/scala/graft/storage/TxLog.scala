@@ -707,6 +707,24 @@ object TxLog {
   def properties(s: SparkSession, table: String): Map[String, String] =
     propsFrom(manifests(s, table))
 
+  /** Column names the engine itself serves: the `_file`/`_pos` row
+    * identity (metadata columns, the delta-DML address space) and the
+    * change feed's `_change_type`/`_commit_version`. A user DATA column
+    * with one of these names would be silently shadowed on read — the
+    * scan would serve engine values where the user stored data — so
+    * every door a schema enters through ([[createTable]], CTAS, data
+    * commits, [[evolveSchema]]) refuses them loudly instead. */
+  private[storage] val ReservedCols: Set[String] =
+    Set(TxLogV2.FileCol, TxLogV2.PosCol, TxLogCdf.TypeCol, TxLogCdf.VersionCol)
+
+  private[storage] def guardReservedCols(
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val bad = schema.fieldNames.filter(ReservedCols.contains)
+    require(bad.isEmpty,
+      s"column name(s) ${bad.mkString(", ")} are reserved for txlog " +
+        s"metadata/feed columns (${ReservedCols.toSeq.sorted.mkString(", ")})")
+  }
+
   /** The properties in force as of version `v` (time-travel reads
     * report the contract their snapshot was written under). */
   def propertiesAt(s: SparkSession, table: String, v: Long): Map[String, String] =
@@ -855,6 +873,7 @@ object TxLog {
                   partitionBy: Seq[String] = Seq.empty,
                   props: Map[String, String] = Map.empty): Long = {
     require(schema.nonEmpty, s"createTable $table with an empty schema")
+    guardReservedCols(schema)
     val missing = partitionBy.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty, s"partition columns not in the schema: $missing")
     partitionBy.foreach { c =>
@@ -878,6 +897,7 @@ object TxLog {
                                  schema: org.apache.spark.sql.types.StructType,
                                  partitionBy: Seq[String],
                                  props: Map[String, String]): Long = {
+    guardReservedCols(schema) // CTAS reaches here without createTable
     val root = new Path(table)
     val f = fs(s, root)
     if (manifests(s, table).nonEmpty)
@@ -1375,6 +1395,7 @@ object TxLog {
                              legacyExisting: Option[org.apache.spark.sql.types.StructType] = None,
                              pcols: Seq[String] = Seq.empty)
       : Long = {
+    incoming.foreach(guardReservedCols) // every data/evolve commit records one
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)

@@ -359,12 +359,18 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     require(!cdf, "a txlog change-feed relation is read-only")
     // graft.dml.mode=mergeOnRead switches Spark-planned DML to the
     // delta-based (deletion-vector) operation — the SAME dispatch the
-    // library DML paths make, so the property governs both doors
-    () =>
-      if (TxLog.properties(spark, table).get(TxLog.DmlModeProp)
-          .contains(TxLog.DmlModeMor))
-        new TxLogDeltaRowLevelOperation(table, schema, info.command)
-      else new TxLogRowLevelOperation(table, schema, info.command)
+    // library DML paths make, so the property governs both doors. ONE
+    // manifest listing serves both the mode lookup and the operation's
+    // pinned snapshot (every scan of the statement reuses it).
+    () => {
+      val ms = TxLog.manifests(spark, table)
+      val op =
+        if (TxLog.propsFrom(ms).get(TxLog.DmlModeProp).contains(TxLog.DmlModeMor))
+          new TxLogDeltaRowLevelOperation(table, schema, info.command)
+        else new TxLogRowLevelOperation(table, schema, info.command)
+      op.seedSnapshot(ms)
+      op
+    }
   }
 
   /** SQL `TRUNCATE TABLE`: one atomic empty checkpoint
@@ -1538,6 +1544,11 @@ class TxLogRowLevelOperation(table: String, tableSchema: StructType,
       snapshot.get
     }
 
+  /** Pre-seed the pin from a listing the builder already made (one
+    * listing serves the dml-mode dispatch AND the snapshot). */
+  private[storage] def seedSnapshot(ms: Seq[TxLog.Manifest]): Unit =
+    synchronized { if (snapshot.isEmpty) snapshot = Some(ms) }
+
   override def command: RowLevelOperation.Command = cmd
 
   /** False = group-based copy-on-write (rewrite whole touched files);
@@ -1597,7 +1608,21 @@ class TxLogDeltaRowLevelOperation(table: String, tableSchema: StructType,
 }
 
 class TxLogDeltaWrite(table: String, rowSchema: StructType,
-                      op: TxLogDeltaRowLevelOperation) extends DeltaWrite {
+                      op: TxLogDeltaRowLevelOperation)
+    extends DeltaWrite with TxLogPartitionedWrite {
+  /** Post-image/insert rows of a partitioned table must arrive
+    * clustered + sorted on the partition columns or the rolling staged
+    * writer opens a new file on every consecutive tuple change — a
+    * broad MoR UPDATE over interleaved partitions would commit one
+    * tiny file per switch, defeating O(affected rows). A pure DELETE
+    * projects no data columns (rowSchema empty), so there is nothing
+    * to cluster on — distribution stays unspecified (deletes buffer
+    * per (file, positions) in any task, order-free). */
+  override protected val writePcols: Seq[String] = {
+    val pcols = TxLog.partitionColumns(SparkSession.active, table)
+    if (pcols.forall(rowSchema.fieldNames.contains)) pcols else Seq.empty
+  }
+
   override def toBatch: DeltaBatchWrite =
     new TxLogDeltaBatchWrite(table, rowSchema, op)
 }
@@ -1645,15 +1670,14 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
       schemaDdl = schemaDdl, readSet = op.scannedFiles, dvs = entries,
-      captureOverride = Some(() => stageDeltaChanges(ms, perFile, rel, schemaDdl)))
+      captureOverride = Some(() => stageDeltaChanges(perFile, rel, schemaDdl)))
     ()
   }
 
   /** Change-feed capture: old = the rows at the freshly-deleted
     * positions (read back by row index from the touched files), new =
     * the staged insert/post-image rows. */
-  private def stageDeltaChanges(ms: Seq[TxLog.Manifest],
-                                perFile: Seq[(String, TxDv.Dv)],
+  private def stageDeltaChanges(perFile: Seq[(String, TxDv.Dv)],
                                 rel: Seq[String], schemaDdl: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col, udf}
     val sch = StructType.fromDDL(schemaDdl)

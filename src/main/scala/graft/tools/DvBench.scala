@@ -68,7 +68,7 @@ object DvBench {
       println(f"[dvbench] mixed read (1 DV'd file of $nCommits): filtered agg=$s1 in $a1%.3f s")
     }
 
-    // --- broad DELETE: id % 1000 == 0 — every file holds matches
+    // --- broad DELETE: id % 1000 == 1 — every file holds matches
     val broadPred = col("id") % 1000L === 1L
     val (_, morBr) = timed(TxLog.delete(spark, mor, broadPred, "d2", 0L))
     val (_, cowBr) = timed(TxLog.delete(spark, cow, broadPred, "d2", 0L))

@@ -219,9 +219,45 @@ class TxDeltaDmlSpec extends AnyFunSuite {
       val newFiles = dataFiles(t) -- before
       assert(newFiles.nonEmpty && newFiles.forall(_.contains("__p_grp=")),
         s"post-image files must be partition-staged: $newFiles")
+      // the delta write requires clustering+sort on the partition
+      // columns (TxLogPartitionedWrite), so the rolling writer emits at
+      // most one file per touched tuple — interleaved input without the
+      // required distribution would roll a new file on every
+      // consecutive grp change (here: 30 rows alternating g0/g1/g2)
+      assert(newFiles.size <= 3,
+        s"post-image must cluster to ≤1 file per touched partition tuple: $newFiles")
       assert(spark.table(name).where($"v" === "upd").count() == 30L)
       assert(rows(spark.table(name).where($"grp" === "g1")) ==
         rows(spark.read.format("txlog").load(t).where($"grp" === "g1")))
     }
+  }
+
+  test("reserved column names are refused at every schema door") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    for (bad <- Seq("_file", "_pos", "_change_type", "_commit_version")) {
+      val sch = StructType(Seq(
+        StructField("id", LongType), StructField(bad, StringType)))
+      val e = intercept[IllegalArgumentException](
+        TxLog.createTable(spark, freshTable(), sch))
+      assert(e.getMessage.contains(bad) && e.getMessage.contains("reserved"))
+    }
+    // the data-commit door (schema arrives with the DataFrame)
+    val t = freshTable()
+    val e2 = intercept[IllegalArgumentException](
+      TxLog.commit(Seq((1L, "x")).toDF("id", "_pos"), t, "w", 0L))
+    assert(e2.getMessage.contains("_pos"))
+    // the evolution door (ADD COLUMNS)
+    val t2 = freshTable()
+    TxLog.commit(Seq((1L, "x")).toDF("id", "name"), t2, "w", 0L)
+    val e3 = intercept[IllegalArgumentException](
+      TxLog.evolveSchema(spark, t2, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_file",
+          org.apache.spark.sql.types.StringType)))))
+    assert(e3.getMessage.contains("_file"))
+    // a user column that is NOT reserved still works beside metadata
+    val t3 = freshTable()
+    TxLog.commit(Seq((1L, "x")).toDF("id", "file"), t3, "w", 0L)
+    assert(spark.read.format("txlog").load(t3)
+      .select("id", "file", "_file").count() == 1L)
   }
 }
