@@ -18,7 +18,7 @@ object SparkEntry {
     Declared.queries ++ graft.queries.Declared2.queries ++
       graft.queries.Declared3.queries ++ graft.queries.Declared4.queries ++
       graft.queries.Declared5.queries ++ graft.queries.Declared6.queries ++
-      graft.queries.Declared7.queries ++
+      graft.queries.Declared7.queries ++ graft.queries.Declared8.queries ++
       EtlDemo.queries ++ graft.queries.Profiles.queries ++
       graft.text.TextAnalysis.queries ++ graft.dedup.Dedup.queries ++
       graft.sim.Similarity.queries ++ graft.multimodal.Multimodal.queries ++
@@ -38,6 +38,6 @@ object SparkEntry {
       graft.queries.Oracle3.oracleSql ++ graft.queries.Oracle4.oracleSql ++
       graft.queries.Oracle5.oracleSql ++ graft.queries.Oracle6.oracleSql ++
       graft.queries.Oracle7.oracleSql ++ graft.queries.Oracle8.sql ++
-      graft.queries.Oracle9.sql ++
+      graft.queries.Oracle9.sql ++ graft.queries.Declared8.sql ++
       graft.queries.Profiles.oracleSql ++ graft.queries.TxLogParity.oracleSql
 }

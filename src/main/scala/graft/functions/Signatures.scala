@@ -397,4 +397,34 @@ object Signatures extends Serializable {
     while (b < SimPortBits) { if (odd(b) * 2 > n) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** DSIR hashed-unigram feature counts (Xie et al. 2023): each token
+    * lands in bucket polyHash(tok) % nBuckets (the engine-portable
+    * hash, so DuckDB reproduces the SAME buckets), counted WITH
+    * multiplicity, emitted as nonzero (bucket << 32 | count) packed
+    * longs sorted by bucket. A tight loop per doc — the per-token hot
+    * path must not run through interpreted array lambdas (the q56
+    * lesson) — and the packed form keeps the explode volume at
+    * distinct-buckets-per-doc instead of tokens-per-doc. */
+  def dsirBucketCounts(toks: Seq[String], nBuckets: Int): Array[Long] = {
+    val counts = new Array[Int](nBuckets)
+    var nz = 0
+    val it = toks.iterator
+    while (it.hasNext) {
+      val t = it.next()
+      if (t.nonEmpty) {
+        val b = (polyHash(t) % nBuckets).toInt
+        if (counts(b) == 0) nz += 1
+        counts(b) += 1
+      }
+    }
+    val out = new Array[Long](nz)
+    var b = 0
+    var w = 0
+    while (b < nBuckets) {
+      if (counts(b) > 0) { out(w) = (b.toLong << 32) | counts(b).toLong; w += 1 }
+      b += 1
+    }
+    out
+  }
 }

@@ -728,4 +728,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans <= 2, s"expected <=2 events scans, got $scans:\n$plan")
   }
+
+  test("q90_dsir: ratio table broadcasts to the pool counts; top-k is a TakeOrdered, no cartesian") {
+    val plan = executed(queries.Declared8.dsirSelect(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // the B-row (≤1024) log-likelihood-ratio table must be the
+    // broadcast side against the pool's per-doc bucket counts — a
+    // shuffled join here re-exchanges every (doc, bucket) row at scale
+    assert(plan.contains("BroadcastHashJoin"), s"LLR table not broadcast:\n$plan")
+    // the final top-100 must be a TakeOrderedAndProject (per-partition
+    // k-heaps), never a global sort of every scored doc
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k is a full sort:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop crept into an equi-join path:\n$plan")
+  }
 }

@@ -90,4 +90,21 @@ object SignaturesProps extends Properties("Signatures") {
       Signatures.portableSimhash60(scala.util.Random.shuffle(toks)) == s1 &&
         (s1 >>> Signatures.SimPortBits) == 0L && s1 >= 0L
     }
+
+  property("dsirBucketCounts == naive groupBy of polyHash % B, packed and sorted") =
+    forAll(Gen.listOf(token), Gen.oneOf(16, 64, 1024)) { (toks, b) =>
+      val naive = toks.filter(_.nonEmpty)
+        .groupBy(t => (Signatures.polyHash(t) % b).toInt)
+        .toSeq.sortBy(_._1)
+        .map { case (bk, g) => (bk.toLong << 32) | g.size.toLong }
+      Signatures.dsirBucketCounts(toks, b).toSeq == naive
+    }
+
+  property("dsirBucketCounts is order-insensitive and multiplicity-exact") =
+    forAll(Gen.listOf(token)) { toks =>
+      val a = Signatures.dsirBucketCounts(toks, 128)
+      val shuffled = Signatures.dsirBucketCounts(scala.util.Random.shuffle(toks), 128)
+      a.toSeq == shuffled.toSeq &&
+        a.map(_ & 0xffffffffL).sum == toks.count(_.nonEmpty).toLong
+    }
 }
