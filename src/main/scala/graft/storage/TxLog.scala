@@ -1514,26 +1514,32 @@ object TxLog {
     candidates.filter(rel => hit.exists(_.endsWith(rel)))
   }
 
-  /** MERGE-ON-READ's write half: the matched row POSITIONS of `touched`
-    * become deletion vectors ([[TxDv]]). `matcher` narrows the raw
-    * per-file rows (metadata columns `__gf`/`__gri` already attached)
-    * to the matched ones — a predicate for DELETE/UPDATE, a key
-    * semi-join for MERGE. Work is DISTRIBUTED: executors emit one
-    * serialized GDV1 blob per file (driver traffic is O(deleted rows)
-    * in compact varints, grouped, never a row collect), the driver
-    * unions each with the file's existing DV and stages the sidecars.
+  /** MERGE-ON-READ's write half: the matched row POSITIONS among
+    * `candidates` become deletion vectors ([[TxDv]]). `matcher`
+    * narrows the raw per-file rows (metadata columns `__gf`/`__gri`
+    * already attached) to the matched ones — a predicate for
+    * DELETE/UPDATE, a key semi-join for MERGE. ONE scan of the
+    * zone-pruned candidates serves both the which-files-match question
+    * and the position collection (the pre-r13 shape scanned candidates
+    * once to find the touched files and again for positions). Work is
+    * DISTRIBUTED: executors emit one serialized GDV1 blob per file
+    * (driver traffic is O(deleted rows) in compact varints, grouped,
+    * never a row collect), the driver unions each with the file's
+    * existing DV and stages the sidecars.
     *
-    * Returns (fully-dead files → plain removes, surviving DV entries).
-    * A DV covering every recorded row of its file removes the file
-    * outright; a statement whose matches were ALL already deleted
-    * yields no entry for that file (nothing changed). */
+    * Returns (fully-dead files → plain removes, surviving DV entries,
+    * files with ≥1 RAW match — the capture read set). A DV covering
+    * every recorded row of its file removes the file outright; a
+    * statement whose matches were ALL already deleted yields no entry
+    * for that file (nothing changed — and the DV-applied capture read
+    * of such a file contributes no rows either). */
   private def stageDvs(s: SparkSession, table: String, ms: Seq[Manifest],
-                       touched: Seq[String],
+                       candidates: Seq[String],
                        matcher: DataFrame => DataFrame)
-      : (Seq[String], Seq[DvEntry]) = {
-    if (touched.isEmpty) return (Seq.empty, Seq.empty)
+      : (Seq[String], Seq[DvEntry], Seq[String]) = {
+    if (candidates.isEmpty) return (Seq.empty, Seq.empty, Seq.empty)
     val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
-    val raw = rd.parquet(touched.map(absPath(table)): _*)
+    val raw = rd.parquet(candidates.map(absPath(table)): _*)
       .withColumn("__gf", col("_metadata.file_path"))
       .withColumn("__gri", col("_metadata.row_index"))
     import org.apache.spark.sql.Encoders
@@ -1544,13 +1550,14 @@ object TxLog {
       (TxDv.tailKey(f), TxDv.serialize(dv), dv.cardinality)
     }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
       .collect()
-    val byTail = touched.map(f => TxDv.tailKey(f) -> f).toMap
+    val byTail = candidates.map(f => TxDv.tailKey(f) -> f).toMap
     val resolved = perFile.toSeq.map { case (tail, bytes, _) =>
       byTail.getOrElse(tail,
-        throw new IllegalStateException(s"matched file $tail not in the touched set")) ->
+        throw new IllegalStateException(s"matched file $tail not in the candidate set")) ->
         TxDv.deserialize(bytes)
-    }
-    mergeDvs(s, table, ms, resolved)
+    }.sortBy(_._1)
+    val (fullDead, entries) = mergeDvs(s, table, ms, resolved)
+    (fullDead, entries, resolved.map(_._1))
   }
 
   /** Union FRESH per-file deletion vectors into the live ones and split
@@ -1605,24 +1612,27 @@ object TxLog {
     if (files.isEmpty) return Rewrite(head, 0, 0)
     requireDeterministicPred(s, table, pred, files, ms)
     val candidates = pruned(s, table, pred, files, liveStats(ms), ms)
-    val touched = matchingFiles(s, table, pred, candidates, ms)
-    if (touched.isEmpty) return Rewrite(head, 0, 0)
+    if (candidates.isEmpty) return Rewrite(head, 0, 0)
     val hitRow = coalesce(pred, lit(false))
     if (mergeOnRead(ms)) {
       // DELETE as deletion vectors: no data file is rewritten — the
       // matched positions land in per-file sidecars (files whose every
-      // row is now deleted are removed outright)
-      val (fullDead, entries) = stageDvs(s, table, ms, touched, _.where(hitRow))
+      // row is now deleted are removed outright). ONE candidate scan
+      // decides touched files AND positions (stageDvs).
+      val (fullDead, entries, hit) =
+        stageDvs(s, table, ms, candidates, _.where(hitRow))
       if (fullDead.isEmpty && entries.isEmpty) return Rewrite(head, 0, 0)
-      val matched = readFiles(s, table, ms, touched).where(hitRow)
+      val matched = readFiles(s, table, ms, hit).where(hitRow)
       beforeCommit()
       return publishRewrite(s, table, Seq.empty, Seq.empty, fullDead, head,
         writerId, batchId, schemaDdl = matched.schema.toDDL,
         readSet = candidates, dvs = entries,
         captureOverride = Some(() => stageChangePair(s, table, matched,
           s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            matched.schema), touched.size)))
+            matched.schema), hit.size)))
     }
+    val touched = matchingFiles(s, table, pred, candidates, ms)
+    if (touched.isEmpty) return Rewrite(head, 0, 0)
     val kept = readFiles(s, table, ms, touched)
       .where(not(hitRow))
     commitRewrite(s, table, kept, touched, head, writerId, batchId, beforeCommit,
@@ -1651,22 +1661,23 @@ object TxLog {
     if (files.isEmpty) return Rewrite(head, 0, 0)
     requireDeterministicPred(s, table, pred, files, ms)
     val candidates = pruned(s, table, pred, files, liveStats(ms), ms)
-    val touched = matchingFiles(s, table, pred, candidates, ms)
-    if (touched.isEmpty) return Rewrite(head, 0, 0)
-    val touchedDf = readFiles(s, table, ms, touched)
-    val unknown = set.keySet -- touchedDf.columns
-    require(unknown.isEmpty, s"update sets unknown columns: $unknown")
+    if (candidates.isEmpty) return Rewrite(head, 0, 0)
     val hitRow = coalesce(pred, lit(false))
     if (mergeOnRead(ms)) {
       // UPDATE as DV + append: the matched positions are deleted via
       // sidecars and the post-image rows land as NEW files — touched
-      // files keep their untouched rows bit-identical on disk
-      val (fullDead, entries) = stageDvs(s, table, ms, touched, _.where(hitRow))
+      // files keep their untouched rows bit-identical on disk. ONE
+      // candidate scan decides touched files AND positions (stageDvs).
+      val (fullDead, entries, hit) =
+        stageDvs(s, table, ms, candidates, _.where(hitRow))
       if (fullDead.isEmpty && entries.isEmpty) return Rewrite(head, 0, 0)
-      val matched = touchedDf.where(hitRow)
-      val updated = matched.select(touchedDf.columns.toSeq.map { c =>
+      val hitDf = readFiles(s, table, ms, hit)
+      val unknown = set.keySet -- hitDf.columns
+      require(unknown.isEmpty, s"update sets unknown columns: $unknown")
+      val matched = hitDf.where(hitRow)
+      val updated = matched.select(hitDf.columns.toSeq.map { c =>
         set.get(c) match {
-          case Some(e) => e.cast(touchedDf.schema(c).dataType).as(c)
+          case Some(e) => e.cast(hitDf.schema(c).dataType).as(c)
           case None => col(c)
         }
       }: _*)
@@ -1674,8 +1685,8 @@ object TxLog {
       val root = new Path(table)
       val sized =
         if (pcols.nonEmpty)
-          updated.repartition(math.max(1, touched.size), pcols.map(col): _*)
-        else updated.repartition(math.max(1, touched.size))
+          updated.repartition(math.max(1, hit.size), pcols.map(col): _*)
+        else updated.repartition(math.max(1, hit.size))
       val (relAll, statsAll) =
         if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
         else stageWrite(s, root, sized)
@@ -1685,8 +1696,13 @@ object TxLog {
         readSet = candidates, dvs = entries,
         captureOverride = Some(() => stageChangePair(s, table, matched,
           s.read.schema(updated.schema).parquet(relAll.map(absPath(table)): _*),
-          touched.size)))
+          hit.size)))
     }
+    val touched = matchingFiles(s, table, pred, candidates, ms)
+    if (touched.isEmpty) return Rewrite(head, 0, 0)
+    val touchedDf = readFiles(s, table, ms, touched)
+    val unknown = set.keySet -- touchedDf.columns
+    require(unknown.isEmpty, s"update sets unknown columns: $unknown")
     val updated = touchedDf.select(touchedDf.columns.toSeq.map { c =>
       set.get(c) match {
         case Some(e) =>
@@ -1779,8 +1795,42 @@ object TxLog {
     }.reduceOption(_ && _).getOrElse(lit(true))
     val candidates = pruned(s, table, boundsPred, files, liveStats(ms), ms)
     val srcKeys = src.select(keys.map(col): _*).distinct()
+    if (candidates.nonEmpty && mergeOnRead(ms)) {
+      // MERGE as DV + append: matched target rows are deleted via
+      // sidecars, ALL source rows append (replacements + inserts) —
+      // null-keyed target rows never match (null-rejecting equality),
+      // null-keyed source rows append, same semantics as copy-on-write.
+      // ONE candidate scan decides touched files AND positions
+      // (stageDvs); with no live matches the merge falls through to
+      // the plain append below, like an empty candidate set.
+      val (fullDead, entries, hit) =
+        stageDvs(s, table, ms, candidates, _.join(srcKeys, keys, "left_semi"))
+      if (fullDead.nonEmpty || entries.nonEmpty) {
+        val matched = readFiles(s, table, ms, hit)
+          .join(srcKeys, keys, "left_semi")
+        // the staged files ARE table files — align the source to the
+        // table's column order (the COW path gets this from unionByName)
+        val aligned = src.select(matched.columns.map(col).toSeq: _*)
+        val pcols = partitionColsFrom(ms)
+        val root = new Path(table)
+        val sized =
+          if (pcols.nonEmpty)
+            aligned.repartition(math.max(1, hit.size), pcols.map(col): _*)
+          else aligned.repartition(math.max(1, hit.size))
+        val (relAll, statsAll) =
+          if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
+          else stageWrite(s, root, sized)
+        beforeCommit()
+        return publishRewrite(s, table, relAll, statsAll, fullDead, head,
+          writerId, batchId, schemaDdl = aligned.schema.toDDL,
+          readSet = candidates, dvs = entries,
+          captureOverride = Some(() => stageChangePair(s, table, matched,
+            s.read.schema(aligned.schema).parquet(relAll.map(absPath(table)): _*),
+            math.max(hit.size, relAll.size))))
+      }
+    }
     val touched =
-      if (candidates.isEmpty) Seq.empty[String]
+      if (candidates.isEmpty || mergeOnRead(ms)) Seq.empty[String]
       else {
         val cand = readFiles(s, table, ms, candidates)
         val hit = cand.select(keys.map(col) :+ input_file_name().as("_f"): _*)
@@ -1788,35 +1838,6 @@ object TxLog {
           .select("_f").distinct().collect().map(_.getString(0))
         candidates.filter(rel => hit.exists(_.endsWith(rel)))
       }
-    if (touched.nonEmpty && mergeOnRead(ms)) {
-      // MERGE as DV + append: matched target rows are deleted via
-      // sidecars, ALL source rows append (replacements + inserts) —
-      // null-keyed target rows never match (null-rejecting equality),
-      // null-keyed source rows append, same semantics as copy-on-write
-      val (fullDead, entries) =
-        stageDvs(s, table, ms, touched, _.join(srcKeys, keys, "left_semi"))
-      val matched = readFiles(s, table, ms, touched)
-        .join(srcKeys, keys, "left_semi")
-      // the staged files ARE table files — align the source to the
-      // table's column order (the COW path gets this from unionByName)
-      val aligned = src.select(matched.columns.map(col).toSeq: _*)
-      val pcols = partitionColsFrom(ms)
-      val root = new Path(table)
-      val sized =
-        if (pcols.nonEmpty)
-          aligned.repartition(math.max(1, touched.size), pcols.map(col): _*)
-        else aligned.repartition(math.max(1, touched.size))
-      val (relAll, statsAll) =
-        if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
-        else stageWrite(s, root, sized)
-      beforeCommit()
-      return publishRewrite(s, table, relAll, statsAll, fullDead, head,
-        writerId, batchId, schemaDdl = aligned.schema.toDDL,
-        readSet = candidates, dvs = entries,
-        captureOverride = Some(() => stageChangePair(s, table, matched,
-          s.read.schema(aligned.schema).parquet(relAll.map(absPath(table)): _*),
-          math.max(touched.size, relAll.size))))
-    }
     val newRows =
       if (touched.isEmpty) src
       else readFiles(s, table, ms, touched)
