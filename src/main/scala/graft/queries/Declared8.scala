@@ -66,9 +66,14 @@ object Declared8 {
       .agg(sum("cnt").as("tc"))
     val sc = bc.where(!isTarget).groupBy("bucket")
       .agg(sum("cnt").as("sc"))
-    // corpus totals — two bounded scalars through the driver
-    val tt = tc.agg(sum("tc")).first().getLong(0)
-    val st = sc.agg(sum("sc")).first().getLong(0)
+    // corpus totals — ONE bounded driver action for both scalars
+    // (null-safe: an empty slice contributes 0, the smoothing floor
+    // keeps every log argument positive)
+    val totals = bc.groupBy(coalesce(isTarget, lit(false)).as("t"))
+      .agg(sum("cnt").as("n")).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val tt = totals.getOrElse(true, 0L)
+    val st = totals.getOrElse(false, 0L)
     // every pool bucket exists in sc by construction; buckets unseen in
     // the target get the +1 smoothing floor
     val lr = sc.join(tc, Seq("bucket"), "left")

@@ -719,7 +719,11 @@ object TxLog {
 
   private[storage] def guardReservedCols(
       schema: org.apache.spark.sql.types.StructType): Unit = {
-    val bad = schema.fieldNames.filter(ReservedCols.contains)
+    // case-INSENSITIVE: Spark resolves column names case-insensitively
+    // by default, so `_File` would shadow `_file` just the same
+    val reservedLower = ReservedCols.map(_.toLowerCase(java.util.Locale.ROOT))
+    val bad = schema.fieldNames.filter(n =>
+      reservedLower.contains(n.toLowerCase(java.util.Locale.ROOT)))
     require(bad.isEmpty,
       s"column name(s) ${bad.mkString(", ")} are reserved for txlog " +
         s"metadata/feed columns (${ReservedCols.toSeq.sorted.mkString(", ")})")
@@ -1193,9 +1197,10 @@ object TxLog {
       if (tableSchemaFrom(ms0).isEmpty)
         liveFiles(ms0).headOption.map(h => s.read.parquet(absPath(table)(h)).schema)
       else None
-    // fail-fast evolution check BEFORE the data write (a type conflict
-    // must not stage a whole append as vacuum garbage); the
-    // authoritative merge re-runs in commitManifest's retry loop
+    // fail-fast evolution + reserved-name checks BEFORE the data write
+    // (a schema conflict must not stage a whole append as vacuum
+    // garbage); the authoritative pair re-runs in commitManifest
+    guardReservedCols(df.schema)
     tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema))
     val (rel, stats) = stageWrite(s, new Path(table), df)
     commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
@@ -1232,6 +1237,7 @@ object TxLog {
       if (tableSchemaFrom(ms0).isEmpty)
         liveFiles(ms0).headOption.map(h => s.read.parquet(absPath(table)(h)).schema)
       else None
+    guardReservedCols(df.schema) // fail-fast, like commitInternal
     tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema))
     // hash-repartition BY the partition columns: each value lands in ONE
     // task, so the staged layout is one file per partition tuple per
@@ -1664,6 +1670,13 @@ object TxLog {
     if (candidates.isEmpty) return Rewrite(head, 0, 0)
     val hitRow = coalesce(pred, lit(false))
     if (mergeOnRead(ms)) {
+      // fail-fast on a typo'd SET column BEFORE the candidate scan
+      // stages any sidecar bytes — the table schema answers without
+      // touching data (footer probe only on pre-schema legacy logs)
+      val tableCols = tableSchemaFrom(ms).map(_.fieldNames.toSeq)
+        .getOrElse(readFiles(s, table, ms, Seq(candidates.head)).columns.toSeq)
+      val unknown = set.keySet -- tableCols
+      require(unknown.isEmpty, s"update sets unknown columns: $unknown")
       // UPDATE as DV + append: the matched positions are deleted via
       // sidecars and the post-image rows land as NEW files — touched
       // files keep their untouched rows bit-identical on disk. ONE
@@ -1672,8 +1685,6 @@ object TxLog {
         stageDvs(s, table, ms, candidates, _.where(hitRow))
       if (fullDead.isEmpty && entries.isEmpty) return Rewrite(head, 0, 0)
       val hitDf = readFiles(s, table, ms, hit)
-      val unknown = set.keySet -- hitDf.columns
-      require(unknown.isEmpty, s"update sets unknown columns: $unknown")
       val matched = hitDf.where(hitRow)
       val updated = matched.select(hitDf.columns.toSeq.map { c =>
         set.get(c) match {

@@ -1352,6 +1352,9 @@ object TxLogWriterFactory {
     // propsOverride: a staged CREATE/REPLACE writes under the NEW
     // table contract (blooms, CHECK constraints) before any manifest
     // records it
+    // fail-fast before any executor stages a byte (commitManifest's
+    // guard is the authoritative backstop)
+    TxLog.guardReservedCols(schema)
     val props = propsOverride.getOrElse(TxLog.properties(spark, table))
     val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, schema,
       TxBloom.writeOptions(props))
@@ -1619,7 +1622,10 @@ class TxLogDeltaWrite(table: String, rowSchema: StructType,
     * to cluster on — distribution stays unspecified (deletes buffer
     * per (file, positions) in any task, order-free). */
   override protected val writePcols: Seq[String] = {
-    val pcols = TxLog.partitionColumns(SparkSession.active, table)
+    // from the operation's PINNED snapshot — no extra manifest listing,
+    // and the layout is the one the op scan saw
+    val pcols = TxLog.partitionColsFrom(
+      op.pinnedSnapshot(SparkSession.active, table))
     if (pcols.forall(rowSchema.fieldNames.contains)) pcols else Seq.empty
   }
 
@@ -1640,7 +1646,8 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
                            op: TxLogDeltaRowLevelOperation) extends DeltaBatchWrite {
   private val spark = SparkSession.active
   private val uuid = UUID.randomUUID().toString
-  private val pcols = TxLog.partitionColumns(spark, table)
+  // layout from the op's PINNED snapshot — one listing per statement
+  private val pcols = TxLog.partitionColsFrom(op.pinnedSnapshot(spark, table))
   require(!rowSchema.fieldNames.contains(TxLogV2.FileCol) &&
     !rowSchema.fieldNames.contains(TxLogV2.PosCol),
     s"delta write row schema unexpectedly carries metadata columns: $rowSchema")

@@ -241,11 +241,22 @@ class TxDeltaDmlSpec extends AnyFunSuite {
         TxLog.createTable(spark, freshTable(), sch))
       assert(e.getMessage.contains(bad) && e.getMessage.contains("reserved"))
     }
-    // the data-commit door (schema arrives with the DataFrame)
+    // case-INSENSITIVE: Spark resolves names case-insensitively, so a
+    // case variant would shadow the metadata column just the same
+    val eCase = intercept[IllegalArgumentException](
+      TxLog.createTable(spark, freshTable(), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_File",
+          org.apache.spark.sql.types.StringType)))))
+    assert(eCase.getMessage.contains("reserved"))
+    // the data-commit door (schema arrives with the DataFrame) —
+    // fail-fast: the refused append must stage NO data files
     val t = freshTable()
     val e2 = intercept[IllegalArgumentException](
       TxLog.commit(Seq((1L, "x")).toDF("id", "_pos"), t, "w", 0L))
     assert(e2.getMessage.contains("_pos"))
+    assert(dataFiles(t).isEmpty, "refused commit must not stage data files")
     // the evolution door (ADD COLUMNS)
     val t2 = freshTable()
     TxLog.commit(Seq((1L, "x")).toDF("id", "name"), t2, "w", 0L)
