@@ -149,6 +149,25 @@ object TxContend {
     if (cA + cB == 0)
       println("note: no cross-process conflict was observed this run " +
         "(windows did not overlap); correctness assertions still held")
+
+    // ---- phase C: racing MERGE-ON-READ DML from two JVMs — deletion
+    // vectors ride the same publish arbiter: cross-process serializable
+    // conflicts retry, sidecar unions stay cumulative, and files whose
+    // vectors fill up are removed outright (by the end every row is
+    // deleted, so the live file set must be EMPTY with zero data-file
+    // rewrites along the way)
+    val tC = Files.createTempDirectory("txcontend_c_").resolve("t").toString
+    TxLog.commit(spark.range(0, 1000).toDF("id").repartition(4), tC, "seed", 0L)
+    TxLog.setProperties(spark, tC,
+      Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    val (mA, mB) = runPair("dml", tC, 10)
+    val leftC = TxLog.snapshot(spark, tC).map(_.count()).getOrElse(0L)
+    assert(leftC == 0L, s"racing MoR deletes lost rows: $leftC remain")
+    val (_, liveC) = TxLog.pruneCount(spark, tC,
+      org.apache.spark.sql.functions.lit(true))
+    assert(liveC == 0,
+      s"fully-deleted MoR table still lists $liveC live files (full-dead removal)")
+    println(s"""{"phase": "mor-dml", "conflicts": ${mA + mB}, "remaining": $leftC, "live_files": $liveC, "pass": true}""")
     spark.stop()
   }
 }
