@@ -577,6 +577,49 @@ object GraftProcedures {
         val t = cat.resolveTableArg(str(in, 0))
         TxLog.history(SparkSession.active, t)
           .queryExecution.executedPlan.executeCollect()
+      })),
+    "detail" -> (c => proc(c, "detail",
+      "DESCRIBE DETAIL: one row of live-state observables — file/byte/row " +
+        "counts, deletion-vector debt (the purge-scheduling signal), layout " +
+        "and the properties in force; all from the manifest log, zero data " +
+        "files opened",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("rows", LongType, nullable = true),
+        StructField("n_dvs", IntegerType, nullable = false),
+        StructField("dv_rows", LongType, nullable = false),
+        StructField("partition_cols", StringType, nullable = false),
+        StructField("dml_mode", StringType, nullable = false),
+        StructField("change_feed", org.apache.spark.sql.types.BooleanType,
+          nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        val s = SparkSession.active
+        val ms = TxLog.manifests(s, t)
+        require(ms.nonEmpty, s"detail of nonexistent txlog table $t")
+        val files = TxLog.liveFiles(ms)
+        val stats = TxLog.liveStats(ms)
+        val dvs = TxLog.liveDvs(ms)
+        val props = TxLog.propsFrom(ms)
+        // RAW recorded rows (pre-DV); net live rows = rows − dv_rows.
+        // Null when any live file predates per-file stats (unknowable
+        // from metadata alone — the meta-agg refusal rule).
+        val perFile = files.map(f => stats.get(f).map(_.rows).filter(_ >= 0L))
+        val rawRows: Any =
+          if (files.nonEmpty && perFile.forall(_.isDefined)) perFile.flatten.sum
+          else null
+        val bytes = files.flatMap(f => stats.get(f).map(_.bytes).filter(_ > 0L)).sum
+        Array[InternalRow](new GenericInternalRow(Array[Any](
+          ms.last.version, files.size, bytes, rawRows,
+          dvs.size, dvs.valuesIterator.map(_.n).sum,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            TxLog.partitionColsFrom(ms).mkString(",")),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            props.getOrElse(TxLog.DmlModeProp, TxLog.DmlModeCow)),
+          props.get(TxLog.ChangeFeedProp).contains("true"))))
       }))
   )
 

@@ -169,6 +169,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       "CALL testcat.system.cluster_by(table => 'mx.t', columns => 'grp,id', target_files => 4)")
       .first().getLong(0)
     assert(spark.table("testcat.mx.t").count() == 400L)
+    // DESCRIBE DETAIL: live-state observables from the log alone —
+    // counts exact after the maintenance above, zero DVs on a COW table
+    val det = spark.sql("CALL testcat.system.detail(table => 'mx.t')").first()
+    assert(det.getAs[Int]("n_files") == 4 && det.getAs[Long]("rows") == 400L)
+    assert(det.getAs[Int]("n_dvs") == 0 && det.getAs[Long]("dv_rows") == 0L)
+    assert(det.getAs[String]("dml_mode") == "copyOnWrite" &&
+      !det.getAs[Boolean]("change_feed"))
+    assert(det.getAs[Long]("bytes") > 0L && det.getAs[String]("partition_cols") == "")
+    // ...and the DV debt signal on a merge-on-read table
+    spark.sql("ALTER TABLE testcat.mx.t SET TBLPROPERTIES " +
+      "('graft.dml.mode' = 'mergeOnRead')")
+    spark.sql("DELETE FROM testcat.mx.t WHERE id % 10 = 3")
+    val det2 = spark.sql("CALL testcat.system.detail(table => 'mx.t')").first()
+    assert(det2.getAs[Int]("n_dvs") > 0 && det2.getAs[Long]("dv_rows") == 40L)
+    assert(det2.getAs[Long]("rows") == 400L, // RAW recorded rows; net = rows − dv_rows
+      s"raw rows must stay pre-DV: $det2")
+    assert(det2.getAs[String]("dml_mode") == "mergeOnRead")
+    assert(spark.table("testcat.mx.t").count() == 360L)
     // unknown procedure names its alternatives (Spark wraps the
     // catalog's error in FAILED_TO_LOAD_ROUTINE — walk the chain)
     val e = intercept[Exception](spark.sql("CALL testcat.system.nope()"))

@@ -262,6 +262,18 @@ class TxDvSpec extends AnyFunSuite {
     assert(spark.read.format("txlog").load(t).count() == want.size.toLong)
   }
 
+  test("clusterBy PURGES deletion vectors too (re-layout through the DV-applied read)") {
+    val t = mor3()
+    TxLog.delete(spark, t, $"id" % 7 === 1, "d", 0L)
+    val want = rows(TxLog.snapshot(spark, t).get)
+    val cv = TxLog.clusterBy(spark, t, Seq("id"), targetFiles = 2)
+    assert(cv > 0)
+    assert(rows(TxLog.snapshot(spark, t).get) == want)
+    val last = TxLog.history(spark, t).orderBy($"version".desc).first()
+    assert(last.getAs[Long]("n_dvs") == 0L, "re-layout output must carry no DVs")
+    assert(spark.read.format("txlog").load(t).count() == want.size.toLong)
+  }
+
   test("vacuum collects orphaned and superseded sidecars, keeps referenced ones") {
     val t = mor3()
     TxLog.delete(spark, t, $"id" === 5L, "d", 0L)  // sidecar A (superseded next)
