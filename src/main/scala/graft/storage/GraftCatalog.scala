@@ -608,8 +608,10 @@ object GraftProcedures {
         // Null when any live file predates per-file stats (unknowable
         // from metadata alone — the meta-agg refusal rule).
         val perFile = files.map(f => stats.get(f).map(_.rows).filter(_ >= 0L))
+        // an EMPTY table's count is knowably 0; null only when a live
+        // file predates per-file stats
         val rawRows: Any =
-          if (files.nonEmpty && perFile.forall(_.isDefined)) perFile.flatten.sum
+          if (perFile.forall(_.isDefined)) perFile.flatten.sum
           else null
         val bytes = files.flatMap(f => stats.get(f).map(_.bytes).filter(_ > 0L)).sum
         Array[InternalRow](new GenericInternalRow(Array[Any](
