@@ -26,11 +26,16 @@ import graft.Tables
   * float op is the single ln per bucket, identical arithmetic on both
   * sides.
   *
-  * Scale shape: one wordcount-style partial-aggregated explode for the
+  * Scale shape: wordcount-style partial-aggregated explodes for the
   * bucket totals (B = 1024 rows out), the ratio table broadcast to a
   * hash join against the pool's per-doc bucket counts, and a
   * TakeOrdered top-k. No shuffle carries more than (docs ×
-  * distinct-buckets-per-doc) rows; nothing is quadratic. */
+  * distinct-buckets-per-doc) rows; nothing is quadratic. The lazy plan
+  * re-derives the feature counts for the tc/sc/pool subtrees (3 corpus
+  * tokenization passes in one job plus 1 for the totals action) — at
+  * 100 TB one would checkpoint the counts table once (the persisted
+  * band-index pattern) and reuse it; here the honest per-pass cost is
+  * sub-second and a cached plan would leak across Verify/Bench reps. */
 object Declared8 {
 
   private type Q = (SparkSession, String) => DataFrame
