@@ -1267,6 +1267,34 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Cluster CONSOLIDATION — the step after near-dup clustering: per
+    * duplicate cluster keep ONE canonical representative, chosen by an
+    * integer-exact richness order (most distinct tokens, then most
+    * tokens, then lowest doc_id) instead of blind min-id — the usual
+    * "keep the best copy" rule of a curation pipeline. The argmax is a
+    * groupBy over a lexicographically-ordered struct max, so it
+    * partial-aggregates map-side (no window shuffle carrying every
+    * member's payload); cluster assignment reuses [[clusters]]
+    * (driver union-find fast path / distributed contraction at scale). */
+  def canonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cl = clusters(s, dir)
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    val m = Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(array_distinct(toks)).cast("long").as("nd"),
+        size(toks).cast("long").as("nt"))
+      .join(cl, "doc_id")
+    m.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"nd", $"nt", (-$"doc_id").as("negid"))).as("best"))
+      .select($"cluster_id", $"n_members",
+        (-$"best.negid").as("keep_id"),
+        $"best.nd".as("keep_distinct"),
+        $"best.nt".as("keep_tokens"))
+      .orderBy($"cluster_id")
+  }
+
   /** SemDeDup's pair threshold — same cosine bound (and therefore the
     * same bit-identical dot-product contract) as [[embeddingCosine]]. */
   val SemDedupTau = 0.35
@@ -1325,5 +1353,6 @@ object Dedup {
     "dedup_minhash_portable" -> minhashPortable _,
     "dedup_incremental" -> minhashIncremental _,
     "dedup_clusters" -> clusters _,
+    "dedup_canonical" -> canonical _,
     "dedup_edit_distance" -> editDistance _)
 }

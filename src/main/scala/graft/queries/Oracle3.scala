@@ -261,5 +261,36 @@ object Oracle3 {
         |  UNION
         |  SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.v)
         |SELECT v AS doc_id, min(r) AS cluster_id
-        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    // cluster consolidation: same recursive closure, then per cluster
+    // the integer-exact argmax (distinct tokens desc, tokens desc,
+    // doc_id asc) replayed as a window rank — token counts use the SAME
+    // whitespace-class split as the Spark side's TextAnalysis.tokens
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+        |e AS (SELECT doc_a AS s, doc_b AS t FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach(v, r) AS (
+        |  SELECT s, s FROM e
+        |  UNION
+        |  SELECT e.t, reach.r FROM reach JOIN e ON e.s = reach.v),
+        |cl AS (SELECT v AS doc_id, min(r) AS cluster_id
+        |       FROM reach GROUP BY v),
+        |m AS (
+        |  SELECT cl.cluster_id, cl.doc_id,
+        |         CAST(len(list_distinct(t.tk)) AS BIGINT) AS nd,
+        |         CAST(len(t.tk) AS BIGINT) AS nt
+        |  FROM cl JOIN (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> x <> '') AS tk
+        |    FROM documents) t USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY cluster_id ORDER BY nd DESC, nt DESC, doc_id) AS rn
+        |      FROM m),
+        |cnt AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY 1)
+        |SELECT r.cluster_id, CAST(cnt.n_members AS BIGINT) AS n_members,
+        |       r.doc_id AS keep_id, r.nd AS keep_distinct, r.nt AS keep_tokens
+        |FROM r JOIN cnt USING (cluster_id)
+        |WHERE r.rn = 1
+        |ORDER BY cluster_id""".stripMargin)
 }
