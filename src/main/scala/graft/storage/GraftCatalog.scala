@@ -160,17 +160,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (ident.namespace.sameElements(defaultNamespace())) fs.mkdirs(nsDir(ident.namespace))
       else throw new NoSuchNamespaceException(ident.namespace)
     }
-    val pcols = partitions.map { t =>
-      if (t.name != "identity") throw new UnsupportedOperationException(
-        s"txlog tables support identity partitioning only, got: $t " +
-          "(bucket/temporal transforms: cluster the layout with " +
-          "CALL system.zorder / system.cluster_by instead)")
-      t.references.head.fieldNames match {
-        case Array(col) => col
-        case nested => throw new UnsupportedOperationException(
-          s"cannot partition by nested field ${nested.mkString(".")}")
-      }
-    }.toSeq
+    // identity columns plus the days/months/years/hours/bucket
+    // transforms ([[TxPart]] — `PARTITIONED BY (days(ts), bucket(32,
+    // k))` lays out and PRUNES natively); anything else is loud
+    val pcols = partitions.map(TxPart.fromV2Transform).toSeq
     val props = properties.asScala.toMap
     props.get(TableCatalog.PROP_PROVIDER).foreach(p => require(
       p.equalsIgnoreCase("txlog"),
@@ -441,8 +434,7 @@ private[storage] class GraftStagedTable(spark: SparkSession, ident: Identifier,
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
-  override def partitioning(): Array[Transform] =
-    pcols.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = TxPart.toV2Transforms(pcols)
   override def properties(): JMap[String, String] = props.asJava
   override def capabilities(): java.util.Set[TableCapability] = {
     import TableCapability._

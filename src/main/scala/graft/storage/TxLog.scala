@@ -878,17 +878,13 @@ object TxLog {
                   props: Map[String, String] = Map.empty): Long = {
     require(schema.nonEmpty, s"createTable $table with an empty schema")
     guardReservedCols(schema)
-    val missing = partitionBy.filterNot(schema.fieldNames.contains)
-    require(missing.isEmpty, s"partition columns not in the schema: $missing")
-    partitionBy.foreach { c =>
-      val dt = schema(c).dataType
-      require(partitionableType(dt),
-        s"cannot partition $table by $c: $dt has no unambiguous hive path form " +
-          "(supported: string, byte/short/int/long, boolean, date)")
-    }
+    // partition SPECS: identity columns plus days/months/years/hours/
+    // bucket transforms ([[TxPart]]); validated against the declared
+    // schema and recorded canonicalized
+    val canonical = TxPart.validate(partitionBy, schema)
     validateProps(table, props, Some(schema))
     TxCheck.validateDeclared(s, schema, TxCheck.checksIn(props))
-    publishV0(s, table, Seq.empty, Seq.empty, schema, partitionBy, props)
+    publishV0(s, table, Seq.empty, Seq.empty, schema, canonical, props)
   }
 
   /** The shared v0 publish behind [[createTable]] and the staging
@@ -936,51 +932,10 @@ object TxLog {
   def partitionColumns(s: SparkSession, table: String): Seq[String] =
     partitionColsFrom(manifests(s, table))
 
-  /** Render an equality literal the way the hive path segment renders
-    * the value — ONLY for shapes where that rendering is unambiguous
-    * (string/integral/boolean/date); None = cannot prune on partition
-    * values (zone maps still apply). Values needing hive path escaping
-    * are excluded conservatively. */
-  private def renderPartValue(l: org.apache.spark.sql.catalyst.expressions.Literal)
-      : Option[String] = {
-    import org.apache.spark.sql.types._
-    if (l.value == null) return None
-    val s = l.dataType match {
-      case StringType => Some(l.value.toString)
-      case ByteType | ShortType | IntegerType | LongType => Some(l.value.toString)
-      case BooleanType => Some(l.value.toString)
-      case DateType => // Catalyst days-since-epoch -> yyyy-MM-dd path form
-        Some(java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong).toString)
-      case _ => None
-    }
-    s.filter(_.matches("""[A-Za-z0-9._\-]+""")) // escaped forms: keep the file
-  }
-
-  /** `col = literal` conjuncts over partition columns — the coarse
-    * first-cut prune evaluated on the manifest partition values before
-    * any zone map. A file with NO recorded value for the column (e.g. a
-    * compacted blob that mixes partitions) is kept. Null-partition
-    * files carry the hive default token and are soundly pruned by any
-    * equality (col = v is null-false on null rows). */
-  private def prunePartitions(conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-                              pcols: Set[String], files: Seq[String],
-                              stats: Map[String, TxStats.FileStats]): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    val eqs = conjuncts.flatMap {
-      case EqualTo(a: Attribute, l: Literal) if pcols(a.name) =>
-        renderPartValue(l).map(a.name -> _)
-      case EqualTo(l: Literal, a: Attribute) if pcols(a.name) =>
-        renderPartValue(l).map(a.name -> _)
-      case EqualNullSafe(a: Attribute, l: Literal) if pcols(a.name) && l.value != null =>
-        renderPartValue(l).map(a.name -> _)
-      case _ => None
-    }
-    if (eqs.isEmpty) files
-    else files.filter { f =>
-      stats.get(f).forall(st =>
-        eqs.forall { case (c, v) => st.byPart.get(c).forall(_ == v) })
-    }
-  }
+  // Partition-value pruning (identity equality AND the transform
+  // fields — days/months/years/hours range + bucket equality) lives in
+  // [[TxPart.pruneCatalyst]] / [[TxPart.pruneFilters]], evaluated on
+  // the same normalized predicate tree the zone maps consume.
 
   /** Evolution rule: common columns keep their exact type, NEW columns
     * append (and must be nullable — every pre-evolution file backfills
@@ -1148,11 +1103,11 @@ object TxLog {
               TxStats.splitAnd(f.condition)
           }.flatten
       } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
-    // partition equality first (the coarse cut on the recorded layout),
-    // zone maps on the survivors
-    val pcols = partitionColsFrom(ms).toSet
-    val afterParts =
-      if (pcols.isEmpty) files else prunePartitions(conjuncts, pcols, files, stats)
+    // partition values first (the coarse cut on the recorded layout —
+    // identity equality, temporal ranges, bucket equality), zone maps
+    // on the survivors
+    val afterParts = TxPart.pruneCatalyst(conjuncts, partitionColsFrom(ms),
+      tableSchemaFrom(ms), files, stats)
     val zoned = TxStats.prune(conjuncts, afterParts, stats)
     // bloom membership on the zone-map survivors (equality probes on
     // bloomCols) — cuts the candidate scan matchingFiles then runs
@@ -1226,12 +1181,13 @@ object TxLog {
     guardWriterId(writerId)
     require(partitionBy.nonEmpty, "commitPartitioned needs at least one partition column")
     val s = df.sparkSession
-    val missing = partitionBy.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"partition columns not in the data: $missing")
+    // partition SPECS ([[TxPart]]): validate sources/types against the
+    // data schema and canonicalize before the sticky-layout comparison
+    val canonical = TxPart.validate(partitionBy, df.schema)
     val ms0 = manifests(s, table)
     val rec = partitionColsFrom(ms0)
-    require(rec.isEmpty || rec == partitionBy,
-      s"table $table is partitioned by $rec — a write declaring $partitionBy must match")
+    require(rec.isEmpty || rec == canonical,
+      s"table $table is partitioned by $rec — a write declaring $canonical must match")
     if (tokenTaken(ms0, writerId, batchId)) return -1L
     val legacyExisting =
       if (tableSchemaFrom(ms0).isEmpty)
@@ -1239,20 +1195,24 @@ object TxLog {
       else None
     guardReservedCols(df.schema) // fail-fast, like commitInternal
     tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema))
-    // hash-repartition BY the partition columns: each value lands in ONE
-    // task, so the staged layout is one file per partition tuple per
-    // commit (a skewed giant partition wanting intra-value splits should
+    // hash-repartition BY the partition VALUES (the transform outputs,
+    // not the raw sources — a bucket/day tuple must land in ONE task):
+    // the staged layout is then one file per partition tuple per commit
+    // (a skewed giant partition wanting intra-value splits should
     // pre-aggregate into multiple commits or range-split upstream)
     val (rel, stats) = stagePartitioned(s, new Path(table),
-      df.repartition(partitionBy.map(col): _*), partitionBy)
+      df.repartition(TxPart.exprs(canonical, df): _*), canonical)
     commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
       maxRetries, incoming = Some(df.schema), legacyExisting = legacyExisting,
-      pcols = partitionBy)
+      pcols = canonical)
   }
 
-  /** Stage `df` hive-partitioned on duplicated `__p_<col>` path columns
-    * (so the REAL columns stay in the files) and parse each staged
-    * file's partition values back out of its path segments. */
+  /** Stage `df` hive-partitioned on duplicated `__p_<phys>` path
+    * columns holding the partition VALUES — the source column for
+    * identity fields, the transform output (epoch days/months/years/
+    * hours ordinal, bucket number) otherwise — so the REAL columns
+    * stay in the files; each staged file's partition values parse back
+    * out of its path segments. */
   private def stagePartitioned(s: SparkSession, root: Path, df0: DataFrame,
                                pcols: Seq[String])
       : (Seq[String], Seq[TxStats.FileStats]) = {
@@ -1260,9 +1220,13 @@ object TxLog {
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$uuid")
     val df = TxCheck.guard(s, df0, propsFrom(manifests(s, root.toString)))
-    val dup = pcols.foldLeft(df)((d, c) => d.withColumn(s"__p_$c", col(c)))
+    val staging = TxPart.stagingCols(pcols, df)
+    val dup = staging.foldLeft(df) { case (d, (_, phys, c)) =>
+      d.withColumn(s"__p_$phys", c)
+    }
     dup.write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(pcols.map(c => s"__p_$c"): _*).parquet(dataDir.toString)
+      .partitionBy(staging.map { case (_, phys, _) => s"__p_$phys" }: _*)
+      .parquet(dataDir.toString)
     val rel = {
       val it = f.listFiles(dataDir, true)
       val out = Seq.newBuilder[String]
@@ -1696,7 +1660,7 @@ object TxLog {
       val root = new Path(table)
       val sized =
         if (pcols.nonEmpty)
-          updated.repartition(math.max(1, hit.size), pcols.map(col): _*)
+          updated.repartition(math.max(1, hit.size), TxPart.exprs(pcols, updated): _*)
         else updated.repartition(math.max(1, hit.size))
       val (relAll, statsAll) =
         if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
@@ -1826,7 +1790,7 @@ object TxLog {
         val root = new Path(table)
         val sized =
           if (pcols.nonEmpty)
-            aligned.repartition(math.max(1, hit.size), pcols.map(col): _*)
+            aligned.repartition(math.max(1, hit.size), TxPart.exprs(pcols, aligned): _*)
           else aligned.repartition(math.max(1, hit.size))
         val (relAll, statsAll) =
           if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
@@ -1894,7 +1858,7 @@ object TxLog {
     val sized =
       if (removes.isEmpty) newRows
       else if (pcols.nonEmpty)
-        newRows.repartition(math.max(1, removes.size), pcols.map(col): _*)
+        newRows.repartition(math.max(1, removes.size), TxPart.exprs(pcols, newRows): _*)
       else newRows.repartition(removes.size)
     val (relAll, statsAll) =
       if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
@@ -2401,34 +2365,15 @@ object TxLog {
       dvs = targetDvs.values.toSeq.sortBy(_.f))
   }
 
-  /** File pruning for the V2 scan: partition equality first (recorded
-    * hive values, same rendering rules as [[prunePartitions]]), then
-    * the zone maps — all from pushed-down source Filters. */
+  /** File pruning for the V2 scan: partition values first ([[TxPart]]
+    * — identity equality, temporal ranges, bucket equality, all from
+    * the recorded hive values), then the zone maps — everything from
+    * pushed-down source Filters. */
   private[storage] def pruneSourceFilters(
       filters: Seq[org.apache.spark.sql.sources.Filter], pcols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
       files: Seq[String], stats: Map[String, TxStats.FileStats]): Seq[String] = {
-    import org.apache.spark.sql.{sources => sf}
-    def render(v: Any): Option[String] = (v match {
-      case s: String => Some(s)
-      case b: Byte => Some(b.toString)
-      case x: Short => Some(x.toString)
-      case i: Int => Some(i.toString)
-      case l: Long => Some(l.toString)
-      case b: Boolean => Some(b.toString)
-      case d: java.sql.Date => Some(d.toLocalDate.toString)
-      case d: java.time.LocalDate => Some(d.toString)
-      case _ => None
-    }).filter(_.matches("""[A-Za-z0-9._\-]+"""))
-    val pset = pcols.toSet
-    val eqs = filters.flatMap {
-      case sf.EqualTo(a, v) if pset(a) => render(v).map(a -> _)
-      case sf.EqualNullSafe(a, v) if pset(a) && v != null => render(v).map(a -> _)
-      case _ => None
-    }
-    val afterParts =
-      if (eqs.isEmpty) files
-      else files.filter(f => stats.get(f).forall(st =>
-        eqs.forall { case (c, v) => st.byPart.get(c).forall(_ == v) }))
+    val afterParts = TxPart.pruneFilters(filters, pcols, schema, files, stats)
     val ps = filters.map(TxStats.fromSourceFilter)
     afterParts.filter(f => stats.get(f).forall(st => ps.forall(TxStats.mayMatch(_, st))))
   }

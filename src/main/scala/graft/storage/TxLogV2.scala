@@ -318,11 +318,12 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
   override def metadataColumns(): Array[MetadataColumn] =
     if (cdf) Array.empty else Array(TxLogFileColumn, TxLogPosColumn)
 
-  /** Declared partition layout as identity transforms — DESCRIBE and
-    * the catalog round-trip read it; the WRITE path re-reads the log
-    * itself (the layout is sticky, so the two always agree). */
+  /** Declared partition layout (identity/days/months/years/hours/
+    * bucket, [[TxPart]]) — DESCRIBE and the catalog round-trip read
+    * it; the WRITE path re-reads the log itself (the layout is sticky,
+    * so the two always agree). */
   override lazy val partitioning: Array[Transform] =
-    TxLog.partitionColumns(spark, table).map(Expressions.identity).toArray
+    TxPart.toV2Transforms(TxLog.partitionColumns(spark, table))
 
   /** Table properties as recorded in the log (versioned: a pinned read
     * reports the properties in force at that version). */
@@ -625,7 +626,7 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     if (op.exists(!_.deltaMode)) allFiles
     else {
       val zoned = TxLog.pruneSourceFilters(pushed.toSeq,
-        TxLog.partitionColsFrom(ms), allFiles, stats)
+        TxLog.partitionColsFrom(ms), TxLog.tableSchemaFrom(ms), allFiles, stats)
       // bloom membership on the zone-map survivors — point lookups on
       // opted-in high-cardinality columns skip files ranges can't
       TxBloom.pruneFilters(spark, table, TxLog.propsFrom(ms), pushed.toSeq, zoned)
@@ -1247,17 +1248,28 @@ trait TxLogPartitionedWrite extends RequiresDistributionAndOrdering {
 
   protected def writePcols: Seq[String]
 
+  /** Cluster/sort on the SOURCE columns of the partition specs, not
+    * the transforms: translating a days()/bucket() V2 expression into
+    * the exchange would require a FunctionCatalog lookup Spark cannot
+    * do for a path-addressed table, while source clustering needs only
+    * column references and is correct for any transform (a source
+    * value maps to exactly one partition tuple, so no tuple straddles
+    * tasks because of a row — only because distinct source values of
+    * one tuple hash apart, which the bounded multi-open writer absorbs
+    * without a file-per-row explosion). */
+  private def writeSources: Seq[String] = TxPart.sources(writePcols)
+
   override def requiredDistribution(): Distribution =
     if (writePcols.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      writePcols.map(c => Expressions.column(c)
+      writeSources.map(c => Expressions.column(c)
         : org.apache.spark.sql.connector.expressions.Expression).toArray)
 
   override def distributionStrictlyRequired(): Boolean = false
 
   override def requiredOrdering(): Array[SortOrder] =
     if (writePcols.isEmpty) Array.empty
-    else writePcols.map(c => Expressions.sort(Expressions.column(c),
+    else writeSources.map(c => Expressions.sort(Expressions.column(c),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 }
 
@@ -1362,25 +1374,23 @@ object TxLogWriterFactory {
     // every V2 path (append, streaming epoch, Spark-planned DML
     // rewrite) validates per row BEFORE its file is staged
     val checks = TxCheck.bound(spark, schema, props)
-    // partitioned tables: executors stage hive-style `__p_<col>=<v>`
-    // layouts themselves (the rolling writer below), so the staged
-    // paths carry the partition VALUES the manifest records — same
+    // partitioned tables: executors stage hive-style `__p_<phys>=<v>`
+    // layouts themselves (the multi-open writer below) — identity
+    // fields render the source value, transform fields its days/
+    // months/years/hours/bucket value ([[TxPart]]) — so the staged
+    // paths carry the partition VALUES the manifest records; same
     // contract as the driver's stagePartitioned, distributed. `pcols`
     // is the layout the OWNING write saw at planning; the commit
     // re-checks it against the recorded one ([[TxLog.commitStaged]]).
-    val pidx = pcols.map { c =>
-      val i = schema.fieldNames.indexOf(c)
+    val fields = TxPart.parseAll(pcols)
+    val pidx = fields.map { f =>
+      val i = schema.fieldNames.indexOf(f.source)
       require(i >= 0,
-        s"write schema of $table is missing partition column $c: $schema")
+        s"write schema of $table is missing partition source ${f.source}: $schema")
       i
     }
-    pcols.zip(pidx).foreach { case (c, i) =>
-      require(TxLog.partitionableType(schema(i).dataType),
-        s"table $table is partitioned by $c: ${schema(i).dataType}, which the " +
-          "distributed writers cannot render as a hive path segment — " +
-          "write through TxLog.commitPartitioned instead")
-    }
-    TxLogWriterFactory(table, uuid, schema, owf, conf, ext, pcols, pidx, checks)
+    fields.zip(pidx).foreach { case (f, i) => f.validate(schema(i).dataType) }
+    TxLogWriterFactory(table, uuid, schema, owf, conf, ext, fields, pidx, checks)
   }
 
   /** Abort cleanup: delete the files the completed tasks reported.
@@ -1405,7 +1415,7 @@ object TxLogWriterFactory {
 case class TxLogWriterFactory(table: String, uuid: String, schema: StructType,
                               owf: OutputWriterFactory,
                               conf: SerializableConfiguration, ext: String,
-                              pcols: Seq[String] = Seq.empty,
+                              pfields: Seq[TxPart.Field] = Seq.empty,
                               pidx: Seq[Int] = Seq.empty,
                               checks: Seq[TxCheck.BoundCheck] = Seq.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
@@ -1419,16 +1429,24 @@ case class TxLogWriterFactory(table: String, uuid: String, schema: StructType,
 }
 
 /** Executor-side writer. Unpartitioned: one parquet file per non-empty
-  * task. Partitioned: a ROLLING writer — the write plan clusters and
-  * sorts rows by the partition columns ([[TxLogWrite]]'s required
-  * distribution), so each task sees its partition tuples as contiguous
-  * runs and holds ONE open file at a time, rolling into a new
-  * `__p_<col>=<v>/...` path when the tuple changes. An unsorted input
-  * (advisory distribution dropped) stays CORRECT — every roll opens a
-  * distinct file — it just stages more, smaller files. */
+  * task. Partitioned: a bounded MULTI-OPEN writer — up to [[MaxOpen]]
+  * partition tuples hold an open file at once (LRU-evicted beyond
+  * that), so the sorted-input case still stages one file per tuple per
+  * task, and an input whose partition VALUES interleave under the
+  * source-column sort (a bucket() transform destroys source order by
+  * construction) reuses its tuples' open writers instead of rolling a
+  * new file per consecutive change. An adversarial input (more live
+  * tuples than MaxOpen, revisited round-robin) stays CORRECT — every
+  * eviction-then-revisit just stages an extra file. */
 class TxLogDataWriter(fac: TxLogWriterFactory, partitionId: Int, taskId: Long,
                       epoch: Option[Long]) extends DataWriter[InternalRow] {
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  /** Concurrently open parquet writers per task. Each buffers up to a
+    * row group in memory, so the cap bounds writer memory at MaxOpen
+    * row groups — the same trade Spark's own
+    * `maxConcurrentOutputFileWriters` makes. */
+  private val MaxOpen = 16
 
   private def relFor(partDirs: Seq[String], seq: Int): String = {
     val e = epoch.map(x => s"e$x-").getOrElse("")
@@ -1436,76 +1454,92 @@ class TxLogDataWriter(fac: TxLogWriterFactory, partitionId: Int, taskId: Long,
     f"data/${fac.uuid}/${dirs}part-$e$partitionId%05d-$taskId-s$seq${fac.ext}"
   }
 
-  /** Hive path segment for one partition value of the current row —
+  /** Hive path segment for one partition field of the current row —
     * exactly the rendering Spark's own partitioned writer uses
     * (escapePathName + the default-partition token for null/empty), so
     * the driver-staged and executor-staged layouts are
-    * indistinguishable to the manifest's pv parser. */
-  private def partDir(row: InternalRow, c: String, i: Int): String = {
+    * indistinguishable to the manifest's pv parser. Transform fields
+    * render their [[TxPart.Field.render]] value (always a plain
+    * integer, identical to the driver staging SQL's output). */
+  private def partDir(row: InternalRow, pf: TxPart.Field, i: Int): String = {
     import org.apache.spark.sql.types._
-    val raw =
+    val dt = fac.schema(i).dataType
+    val raw: Any =
       if (row.isNullAt(i)) null
-      else fac.schema(i).dataType match {
-        case StringType => row.getUTF8String(i).toString
-        case ByteType => row.getByte(i).toString
-        case ShortType => row.getShort(i).toString
-        case IntegerType => row.getInt(i).toString
-        case LongType => row.getLong(i).toString
-        case BooleanType => row.getBoolean(i).toString
-        case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-        case dt => throw new IllegalStateException(
-          s"unpartitionable type survived factory validation: $c: $dt")
+      else dt match {
+        case StringType => row.getUTF8String(i)
+        case ByteType => row.getByte(i)
+        case ShortType => row.getShort(i)
+        case IntegerType => row.getInt(i)
+        case LongType => row.getLong(i)
+        case BooleanType => row.getBoolean(i)
+        case DateType => row.getInt(i)
+        case TimestampType => row.getLong(i)
+        case other => throw new IllegalStateException(
+          s"unpartitionable type survived factory validation: ${pf.spec}: $other")
       }
+    val rendered = if (raw == null) null else pf.render(raw, dt)
     val v =
-      if (raw == null || raw.isEmpty) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-      else ExternalCatalogUtils.escapePathName(raw)
-    s"__p_$c=$v"
+      if (rendered == null || rendered.isEmpty)
+        ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(rendered)
+    s"__p_${pf.phys}=$v"
   }
 
-  // created lazily on the first row: empty partitions write NO file, so
-  // the manifest never accumulates empty parquet (the commitRewrite
-  // zero-row policy, enforced at the source here)
-  private var writer: OutputWriter = null
-  private var currentRel: String = null
-  private var currentDirs: Seq[String] = null
+  // created lazily on the first row of each tuple: empty partitions
+  // write NO file, so the manifest never accumulates empty parquet
+  // (the commitRewrite zero-row policy, enforced at the source here).
+  // LinkedHashMap in ACCESS order = LRU eviction.
+  private val open =
+    new java.util.LinkedHashMap[String, (OutputWriter, String)](16, 0.75f, true)
   private var seq = 0
   private val staged = Seq.newBuilder[String]
 
-  private def open(dirs: Seq[String]): Unit = {
-    currentRel = relFor(dirs, seq)
-    currentDirs = dirs
-    seq += 1
-    writer = GraftParquetIO.newOutputWriter(fac.owf, fac.conf,
-      new Path(new Path(fac.table), currentRel).toString, fac.schema,
-      partitionId, taskId)
-  }
-
-  private def closeCurrent(): Unit = if (writer != null) {
-    writer.close(); writer = null
-    staged += currentRel
-    currentRel = null; currentDirs = null
+  private def writerFor(dirs: Seq[String]): OutputWriter = {
+    val key = dirs.mkString("/")
+    val existing = open.get(key)
+    if (existing != null) existing._1
+    else {
+      if (open.size >= MaxOpen) {
+        val it = open.entrySet().iterator()
+        val eldest = it.next().getValue
+        eldest._1.close()
+        staged += eldest._2
+        it.remove()
+      }
+      val rel = relFor(dirs, seq)
+      seq += 1
+      val w = GraftParquetIO.newOutputWriter(fac.owf, fac.conf,
+        new Path(new Path(fac.table), rel).toString, fac.schema,
+        partitionId, taskId)
+      open.put(key, (w, rel))
+      w
+    }
   }
 
   override def write(row: InternalRow): Unit = {
     var ci = 0
     while (ci < fac.checks.length) { fac.checks(ci).check(row); ci += 1 }
     val dirs =
-      if (fac.pcols.isEmpty) Seq.empty
-      else fac.pcols.zip(fac.pidx).map { case (c, i) => partDir(row, c, i) }
-    if (writer == null) open(dirs)
-    else if (dirs != currentDirs) { closeCurrent(); open(dirs) }
-    writer.write(row)
+      if (fac.pfields.isEmpty) Seq.empty
+      else fac.pfields.zip(fac.pidx).map { case (pf, i) => partDir(row, pf, i) }
+    writerFor(dirs).write(row)
   }
 
   override def commit(): WriterCommitMessage = {
-    closeCurrent()
+    open.values.forEach { case (w, rel) => w.close(); staged += rel }
+    open.clear()
     TxLogCommitMessage(staged.result())
   }
 
   override def abort(): Unit = {
-    if (writer != null) { writer.close(); writer = null }
-    val toDelete = staged.result() ++ Option(currentRel)
-    toDelete.foreach { r =>
+    val rels = Seq.newBuilder[String]
+    open.values.forEach { case (w, rel) =>
+      try w.close() catch { case _: Exception => () }
+      rels += rel
+    }
+    open.clear()
+    (staged.result() ++ rels.result()).foreach { r =>
       val p = new Path(new Path(fac.table), r)
       p.getFileSystem(fac.conf.value).delete(p, false)
     }
@@ -1626,7 +1660,8 @@ class TxLogDeltaWrite(table: String, rowSchema: StructType,
     // and the layout is the one the op scan saw
     val pcols = TxLog.partitionColsFrom(
       op.pinnedSnapshot(SparkSession.active, table))
-    if (pcols.forall(rowSchema.fieldNames.contains)) pcols else Seq.empty
+    if (TxPart.sources(pcols).forall(rowSchema.fieldNames.contains)) pcols
+    else Seq.empty
   }
 
   override def toBatch: DeltaBatchWrite =
