@@ -368,6 +368,49 @@ object TxLogParity {
       .orderBy("o_orderpriority")
   }
 
+  /** PARTITION TRANSFORMS (r14, [[graft.storage.TxPart]]): a table laid
+    * out `PARTITIONED BY (years(o_orderdate), bucket(4, o_custkey))`,
+    * populated through BOTH staging doors — the driver's
+    * `commitPartitioned` (gen0) and the V2 executor writers (gen1) —
+    * then COW-DELETED (the rewrite must re-stage inside the transform
+    * layout). The hash-checked read pushes a time-range + key-set
+    * predicate, so transform-aware pruning (temporal range + bucket
+    * equality, [[TxPart.mayMatchPv]]) is ACTIVE on the scan that
+    * produces the compared rows: a prune that dropped a live file
+    * would change the sums. DuckDB replays the final state as plain
+    * filters over the raw orders parquet. */
+  private val builtPart = new ConcurrentHashMap[String, String]()
+
+  private def partTable(s: SparkSession, dir: String): String =
+    builtPart.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_part_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val k1 = m / 2
+      val layout = Seq("years(o_orderdate)", "bucket(4,o_custkey)")
+      TxLog.createTable(s, t, orders.schema, layout)
+      TxLog.commitPartitioned(orders.where(col("o_orderkey") <= k1), t,
+        layout, "part-gen0", 0L)
+      orders.where(col("o_orderkey") > k1)
+        .write.format("txlog").mode("append").save(t)
+      TxLog.delete(s, t, col("o_orderkey") % 7 === 2, "part-del", 0L)
+      t
+    })
+
+  val partTransform: Q = (s, dir) => {
+    val t = partTable(s, dir)
+    s.read.format("txlog").load(t)
+      .where(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("o_custkey").isin(7L, 42L, 128L, 999L, 1300L))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+      .orderBy("o_orderstatus")
+  }
+
   /** MATERIALIZED VIEW (r13, [[graft.storage.Materialized]]): a rollup
     * over a mutating source, maintained INCREMENTALLY — one refresh per
     * source transaction window, each folding only that window's change
@@ -413,6 +456,7 @@ object TxLogParity {
   }
 
   val queries: Map[String, Q] = Map(
+    "txlog_part_transform" -> partTransform,
     "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
     "txlog_scan_prune" -> scanPrune,
@@ -430,6 +474,21 @@ object TxLogParity {
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
     * gen0 ∪ gen1 untouched. */
   val oracleSql: Map[String, String] = Map(
+    // transform-partitioned table's live state: orders minus
+    // (key % 7 = 2), filtered by the SAME time-range + key-set
+    // predicate the pruned Spark scan pushes (naive-UTC timestamps on
+    // both engines — the Spark session runs UTC)
+    "txlog_part_transform" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+         FROM orders
+         WHERE o_orderkey % 7 <> 2
+           AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND o_custkey IN (7, 42, 128, 999, 1300)
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     // the view's final state = aggregate of the source's live rows:
     // (gen0 ∪ gen1 non-URGENT) ∪ gen2, custkey bumped on key % 10 = 0
     // (the UPDATE ran last, across all live rows). A from-scratch
