@@ -131,15 +131,27 @@ object TxDv {
   /** Stage one DV sidecar under `dv/` and return its rel path. Staged
     * files are invisible until a manifest names them — a crash before
     * the commit leaves a vacuum-collectable orphan, like data files. */
-  private[storage] def write(s: SparkSession, table: String, dv: Dv): String = {
+  private[storage] def write(s: SparkSession, table: String, dv: Dv): String =
+    writeWithConf(s.sparkContext.hadoopConfiguration, table, dv)
+
+  /** The executor-usable half of [[write]]: DML tasks stage their DV
+    * sidecars directly (like data files) so position bytes never ride
+    * through driver RPC — commit messages carry only (file → sidecar
+    * path, cardinality). */
+  private[storage] def writeWithConf(conf: org.apache.hadoop.conf.Configuration,
+                                     table: String, dv: Dv): String = {
     val rel = s"dv/${java.util.UUID.randomUUID()}.dv"
     val p = new Path(new Path(table), rel)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val f = p.getFileSystem(conf)
     f.mkdirs(p.getParent)
     val out = f.create(p, false)
     try out.write(serialize(dv)) finally out.close()
     rel
   }
+
+  private[storage] def readWithConf(conf: org.apache.hadoop.conf.Configuration,
+                                    table: String, rel: String): Dv =
+    deserialize(readBytes(conf, table, rel))
 
   private[storage] def readBytes(conf: org.apache.hadoop.conf.Configuration,
                                  table: String, rel: String): Array[Byte] = {

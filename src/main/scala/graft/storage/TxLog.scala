@@ -1492,10 +1492,15 @@ object TxLog {
     * zone-pruned candidates serves both the which-files-match question
     * and the position collection (the pre-r13 shape scanned candidates
     * once to find the touched files and again for positions). Work is
-    * DISTRIBUTED: executors emit one serialized GDV1 blob per file
-    * (driver traffic is O(deleted rows) in compact varints, grouped,
-    * never a row collect), the driver unions each with the file's
-    * existing DV and stages the sidecars.
+    * DISTRIBUTED end to end (r14): each file's group task builds the
+    * fresh vector, unions the file's LIVE DV (read executor-side) and
+    * stages the MERGED GDV1 sidecar itself — the driver receives only
+    * (file, sidecar path, cardinality) triples, never position bytes,
+    * so a billion-row MoR DELETE ships O(touched files) scalars
+    * through the collect instead of the full delta-varint stream.
+    * Speculative/retried group tasks stage duplicate sidecars; the
+    * losers are unreferenced orphans, vacuum's territory like any
+    * crashed writer's data files.
     *
     * Returns (fully-dead files → plain removes, surviving DV entries,
     * files with ≥1 RAW match — the capture read set). A DV covering
@@ -1515,51 +1520,88 @@ object TxLog {
     import org.apache.spark.sql.Encoders
     val hits = matcher(raw).select(col("__gf"), col("__gri"))
       .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    // executor-side union + staging: ship only the live-DV pointer map
+    // and the hadoop conf to the tasks (closure must not capture the
+    // session or the manifests)
+    val tableStr = table
+    val oldByRel: Map[String, String] = liveDvs(ms).map { case (r, e) => r -> e.p }
+    val confB = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration))
     val perFile = hits.groupByKey(_._1)(Encoders.STRING).mapGroups { (f, it) =>
-      val dv = TxDv.fromPositions(it.map(_._2).toArray)
-      (TxDv.tailKey(f), TxDv.serialize(dv), dv.cardinality)
-    }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+      val fresh = TxDv.fromPositions(it.map(_._2).toArray)
+      val tail = TxDv.tailKey(f)
+      val merged = oldByRel.get(tail) match {
+        case Some(p) => TxDv.readWithConf(confB.value.value, tableStr, p).union(fresh)
+        case None => fresh
+      }
+      (tail, TxDv.writeWithConf(confB.value.value, tableStr, merged),
+        merged.cardinality)
+    }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
       .collect()
     val byTail = candidates.map(f => TxDv.tailKey(f) -> f).toMap
-    val resolved = perFile.toSeq.map { case (tail, bytes, _) =>
-      byTail.getOrElse(tail,
-        throw new IllegalStateException(s"matched file $tail not in the candidate set")) ->
-        TxDv.deserialize(bytes)
+    val resolved = perFile.toSeq.map { case (tail, dvRel, card) =>
+      val rel = byTail.getOrElse(tail,
+        throw new IllegalStateException(s"matched file $tail not in the candidate set"))
+      (rel, dvRel, card)
     }.sortBy(_._1)
-    val (fullDead, entries) = mergeDvs(s, table, ms, resolved)
+    val (fullDead, entries) = adoptDvs(ms, resolved)
     (fullDead, entries, resolved.map(_._1))
   }
 
-  /** Union FRESH per-file deletion vectors into the live ones and split
-    * the result into {fully-dead files, new DV entries with staged
-    * sidecars} — the cumulative-DV half of every merge-on-read commit,
-    * shared by the library DML paths ([[stageDvs]]) and the
-    * Spark-planned delta writes ([[TxLogDeltaBatchWrite]]). A file
-    * whose merged vector covers every recorded row is REMOVED outright
-    * (the no-full-file-DV contract); a fresh vector adding nothing new
+  /** Adopt ALREADY-MERGED, already-staged sidecars by pointer: split
+    * (file, staged sidecar, merged cardinality) triples into
+    * {fully-dead files, DV entries} from the manifest numbers alone —
+    * no byte reads on the driver. A file whose merged vector covers
+    * every recorded row is REMOVED outright (the no-full-file-DV
+    * contract; its staged sidecar orphans to vacuum); a vector adding
+    * nothing over the live one (same cardinality — DVs only grow)
     * commits nothing for its file. */
-  private[storage] def mergeDvs(s: SparkSession, table: String, ms: Seq[Manifest],
-                                perFile: Seq[(String, TxDv.Dv)])
+  private[storage] def adoptDvs(ms: Seq[Manifest],
+                                perFile: Seq[(String, String, Long)])
       : (Seq[String], Seq[DvEntry]) = {
     val oldDvs = liveDvs(ms)
     val stats = liveStats(ms)
     val removesB = Seq.newBuilder[String]
     val entriesB = Seq.newBuilder[DvEntry]
-    perFile.foreach { case (rel, fresh) =>
-      val merged = oldDvs.get(rel) match {
-        case Some(e) => TxDv.read(s, table, e.p).union(fresh)
-        case None => fresh
-      }
-      if (!oldDvs.get(rel).exists(_.n == merged.cardinality)) {
+    perFile.foreach { case (rel, dvRel, card) =>
+      if (!oldDvs.get(rel).exists(_.n == card)) {
         // rows is manifest-recorded for every file this writer stages;
         // without it (pre-stats manifests) the full-removal proof is
         // unavailable and the DV is kept — conservative, never wrong
         val rows = stats.get(rel).map(_.rows).getOrElse(-1L)
-        if (rows > 0L && merged.cardinality >= rows) removesB += rel
-        else entriesB += DvEntry(rel, TxDv.write(s, table, merged), merged.cardinality)
+        if (rows > 0L && card >= rows) removesB += rel
+        else entriesB += DvEntry(rel, dvRel, card)
       }
     }
     (removesB.result(), entriesB.result())
+  }
+
+  /** Resolve per-file sidecar FRAGMENT references (the delta write's
+    * per-task staging — one fragment per (task, file)) into the
+    * table's cumulative DVs. The common case — one fragment, no live
+    * DV — is a pure pointer swap; only a file whose deletes span tasks
+    * or that already carries a DV gets its (few, file-scoped) sidecars
+    * read and union-restaged on the driver. Either way no position
+    * bytes ride through commit-message RPC. */
+  private[storage] def mergeDvRefs(s: SparkSession, table: String, ms: Seq[Manifest],
+                                   perFile: Seq[(String, Seq[(String, Long)])])
+      : (Seq[String], Seq[DvEntry]) = {
+    val oldDvs = liveDvs(ms)
+    val resolved = perFile.map { case (rel, frags) =>
+      if (frags.size == 1 && !oldDvs.contains(rel)) {
+        val (dvRel, card) = frags.head
+        (rel, dvRel, card)
+      } else {
+        val fresh = frags.map(f => TxDv.read(s, table, f._1)).reduce(_ union _)
+        val merged = oldDvs.get(rel) match {
+          case Some(e) => TxDv.read(s, table, e.p).union(fresh)
+          case None => fresh
+        }
+        (rel, TxDv.write(s, table, merged), merged.cardinality)
+      }
+    }
+    adoptDvs(ms, resolved)
   }
 
   /** SQL DELETE: remove the rows where `pred` is TRUE (FALSE and NULL

@@ -1693,33 +1693,39 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     else Some(TxLogWriterFactory.create(spark, table, uuid, rowSchema, pcols))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    TxLogDeltaWriterFactory(innerFactory)
+    TxLogDeltaWriterFactory(table,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      innerFactory)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = op.pinnedSnapshot(spark, table)
     val rel = messages.flatMap { case m: TxLogDeltaCommitMessage => m.files }.toSeq.sorted
-    // union per-file position fragments across tasks
-    val perFile: Seq[(String, TxDv.Dv)] = messages
+    // group per-task sidecar FRAGMENT references by data file — the
+    // messages carry (file, staged sidecar path, cardinality) only,
+    // never position bytes (executors staged the GDV1 files already)
+    val perFile: Seq[(String, Seq[(String, Long)])] = messages
       .flatMap { case m: TxLogDeltaCommitMessage => m.dvs }
       .groupBy(_._1).view
-      .mapValues(_.map(kv => TxDv.deserialize(kv._2)).reduce(_ union _))
+      .mapValues(_.map(t => (t._2, t._3)).toSeq.sorted)
       .toSeq.sortBy(_._1)
     if (rel.isEmpty && perFile.isEmpty) return // matched nothing: clean no-op
-    val (removes, entries) = TxLog.mergeDvs(spark, table, ms, perFile)
+    val (removes, entries) = TxLog.mergeDvRefs(spark, table, ms, perFile)
     val schemaDdl = TxLog.tableSchemaFrom(ms).getOrElse(rowSchema).toDDL
     val stats = TxStats.collect(spark, new Path(table), rel)
     TxLog.publishRewrite(spark, table, rel, stats, removes,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
       schemaDdl = schemaDdl, readSet = op.scannedFiles, dvs = entries,
-      captureOverride = Some(() => stageDeltaChanges(perFile, rel, schemaDdl)))
+      captureOverride = Some(() => stageDeltaChanges(
+        perFile.map { case (r, frags) => r -> frags.map(_._1) }, rel, schemaDdl)))
     ()
   }
 
   /** Change-feed capture: old = the rows at the freshly-deleted
-    * positions (read back by row index from the touched files), new =
-    * the staged insert/post-image rows. */
-  private def stageDeltaChanges(perFile: Seq[(String, TxDv.Dv)],
+    * positions (read back by row index from the touched files — each
+    * executor decodes the fresh sidecar FRAGMENTS itself), new = the
+    * staged insert/post-image rows. */
+  private def stageDeltaChanges(perFile: Seq[(String, Seq[String])],
                                 rel: Seq[String], schemaDdl: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col, udf}
     val sch = StructType.fromDDL(schemaDdl)
@@ -1728,13 +1734,17 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     val deleted =
       if (perFile.isEmpty) empty
       else {
-        val freshB = spark.sparkContext.broadcast(
-          perFile.map { case (r, d) => r -> TxDv.serialize(d) }.toMap)
-        val cap = uuid // decode-cache key namespace, unique per statement
+        val tableStr = table
+        val freshB = spark.sparkContext.broadcast(perFile.toMap)
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
         val hit = udf((f: String, pos: Long) => {
           val rel = TxDv.tailKey(f)
-          freshB.value.get(rel).exists(bytes =>
-            TxDv.cachedDecode(s"cap-$cap-$rel", bytes).contains(pos))
+          freshB.value.get(rel).exists(_.exists(frag =>
+            // cache keyed by the fragment's uuid-unique rel path
+            TxDv.cachedDecode(frag,
+              TxDv.readBytes(confB.value.value, tableStr, frag)).contains(pos)))
         })
         spark.read.schema(sch).parquet(perFile.map(p => TxLog.absPath(table)(p._1)): _*)
           .withColumn("__gf", col("_metadata.file_path"))
@@ -1753,28 +1763,36 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     val root = new Path(table)
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     messages.foreach {
-      case TxLogDeltaCommitMessage(files, _) =>
+      case TxLogDeltaCommitMessage(files, dvs) =>
         files.foreach(r => f.delete(new Path(root, r), false))
+        dvs.foreach { case (_, frag, _) => f.delete(new Path(root, frag), false) }
       case _ => ()
     }
   }
 }
 
+/** Per-task result: staged data files plus (data file, staged sidecar
+  * FRAGMENT path, cardinality) triples — the task wrote its GDV1
+  * fragments itself, so no position bytes ride through the message. */
 final case class TxLogDeltaCommitMessage(files: Seq[String],
-                                         dvs: Seq[(String, Array[Byte])])
+                                         dvs: Seq[(String, String, Long)])
     extends WriterCommitMessage
 
-case class TxLogDeltaWriterFactory(inner: Option[TxLogWriterFactory])
+case class TxLogDeltaWriterFactory(table: String,
+                                   conf: SerializableConfiguration,
+                                   inner: Option[TxLogWriterFactory])
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new TxLogDeltaWriter(inner, partitionId, taskId)
+    new TxLogDeltaWriter(table, conf, inner, partitionId, taskId)
 }
 
-/** Executor side: deletes buffer (rel file → positions), inserts roll
-  * through the ordinary staged-parquet writer. The rowId row is
+/** Executor side: deletes buffer (rel file → positions) and flush as
+  * GDV1 sidecar fragments at task commit; inserts roll through the
+  * ordinary staged-parquet writer. The rowId row is
   * ([[TxLogV2.FileCol]] string, [[TxLogV2.PosCol]] long) in declared
   * order. */
-class TxLogDeltaWriter(innerFactory: Option[TxLogWriterFactory],
+class TxLogDeltaWriter(table: String, conf: SerializableConfiguration,
+                       innerFactory: Option[TxLogWriterFactory],
                        partitionId: Int, taskId: Long)
     extends DeltaWriter[InternalRow] {
 
@@ -1806,7 +1824,8 @@ class TxLogDeltaWriter(innerFactory: Option[TxLogWriterFactory],
     val files = if (inner == null) Seq.empty[String]
       else inner.commit() match { case TxLogCommitMessage(fs) => fs }
     val dvs = positions.toSeq.map { case (rel, buf) =>
-      rel -> TxDv.serialize(TxDv.fromPositions(buf.toArray))
+      val dv = TxDv.fromPositions(buf.toArray)
+      (rel, TxDv.writeWithConf(conf.value, table, dv), dv.cardinality)
     }
     TxLogDeltaCommitMessage(files, dvs)
   }
