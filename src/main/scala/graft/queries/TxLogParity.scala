@@ -411,6 +411,50 @@ object TxLogParity {
       .orderBy("o_orderstatus")
   }
 
+  /** COLUMN MAPPING (r14, [[graft.storage.TxLog.renameColumn]]): a
+    * table that RENAMES a column and DROPS another mid-history — both
+    * metadata-only — then keeps ingesting under the new names and runs
+    * DML against the renamed column. The hash-checked read aggregates
+    * across files from BOTH eras (pre-rename files carry the old
+    * physical name on disk; the mapping reconciles them), so a wrong
+    * physical resolution would skew every group. DuckDB replays the
+    * final state with plain aliases over the raw orders parquet. */
+  private val builtCm = new ConcurrentHashMap[String, String]()
+
+  private def colmapTable(s: SparkSession, dir: String): String =
+    builtCm.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_cm_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val k1 = m / 2
+      TxLog.createTable(s, t, orders.schema)
+      orders.where(col("o_orderkey") <= k1)
+        .write.format("txlog").mode("append").save(t)
+      TxLog.renameColumn(s, t, "o_totalprice", "price")
+      TxLog.dropColumn(s, t, "o_orderpriority")
+      // the second half ingests under the NEW logical names
+      orders.where(col("o_orderkey") > k1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").as("price"))
+        .write.format("txlog").mode("append").save(t)
+      // DML against the renamed column, touching both eras' files
+      TxLog.delete(s, t, col("price") < lit(10000.0), "cm-del", 0L)
+      t
+    })
+
+  val colmap: Q = (s, dir) => {
+    val t = colmapTable(s, dir)
+    s.read.format("txlog").load(t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        min("price").as("price_min"),
+        max("price").as("price_max"))
+      .orderBy("o_orderstatus")
+  }
+
   /** MATERIALIZED VIEW (r13, [[graft.storage.Materialized]]): a rollup
     * over a mutating source, maintained INCREMENTALLY — one refresh per
     * source transaction window, each folding only that window's change
@@ -457,6 +501,7 @@ object TxLogParity {
 
   val queries: Map[String, Q] = Map(
     "txlog_part_transform" -> partTransform,
+    "txlog_colmap" -> colmap,
     "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
     "txlog_scan_prune" -> scanPrune,
@@ -474,6 +519,19 @@ object TxLogParity {
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
     * gen0 ∪ gen1 untouched. */
   val oracleSql: Map[String, String] = Map(
+    // column-mapped table's live state: both eras' rows under the
+    // final names, minus the DML-deleted cheap orders (min/max are
+    // order-independent — exact across engines, unlike a double sum)
+    "txlog_colmap" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                min(o_totalprice) AS price_min,
+                max(o_totalprice) AS price_max
+         FROM orders
+         WHERE o_totalprice >= 10000.0
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     // transform-partitioned table's live state: orders minus
     // (key % 7 = 2), filtered by the SAME time-range + key-set
     // predicate the pruned Spark scan pushes (naive-UTC timestamps on

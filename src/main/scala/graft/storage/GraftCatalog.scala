@@ -230,15 +230,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val sets = changes.collect { case s: TableChange.SetProperty => s.property -> s.value }
     val removes = changes.collect { case r: TableChange.RemoveProperty => r.property }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val unsupported = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
-           _: TableChange.AddColumn => false
+           _: TableChange.AddColumn | _: TableChange.RenameColumn |
+           _: TableChange.DeleteColumn => false
       case _ => true
     }
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         s"unsupported ALTER on txlog table $ident: ${unsupported.mkString(", ")} — " +
-          "supported: ADD COLUMN (top-level, nullable), SET/UNSET TBLPROPERTIES")
+          "supported: ADD COLUMN (top-level, nullable), RENAME COLUMN, " +
+          "DROP COLUMN, SET/UNSET TBLPROPERTIES")
+    // RENAME/DROP COLUMN: metadata-only transactions through the
+    // column mapping ([[TxLog.renameColumn]]/[[TxLog.dropColumn]]) —
+    // zero data bytes move at any table size
+    renames.foreach { r =>
+      require(r.fieldNames.length == 1,
+        s"RENAME COLUMN on nested field ${r.fieldNames.mkString(".")} is not supported")
+      TxLog.renameColumn(spark, t, r.fieldNames.head, r.newName)
+    }
+    drops.foreach { d =>
+      require(d.fieldNames.length == 1,
+        s"DROP COLUMN on nested field ${d.fieldNames.mkString(".")} is not supported")
+      TxLog.dropColumn(spark, t, d.fieldNames.head)
+    }
     if (adds.nonEmpty) {
       val current = TxLog.tableSchema(spark, t).getOrElse(
         throw new IllegalStateException(s"table $t has no recorded schema"))

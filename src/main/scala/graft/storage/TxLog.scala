@@ -112,6 +112,22 @@ object TxLog {
     * `p` (rel path under dv/) and it deletes `n` rows ([[TxDv]]). */
   private[storage] case class DvEntry(f: String, p: String, n: Long)
 
+  /** COLUMN MAPPING state (r14): `map` pairs each LOGICAL column name
+    * (what users and the recorded schema DDL say) with its PHYSICAL
+    * name (what the parquet files, zone-map stats, bloom filters and
+    * partition specs say — fixed at the column's birth, immutable for
+    * the column's lifetime). RENAME COLUMN changes only the logical
+    * side; DROP COLUMN removes the pair and RETIRES the physical name
+    * (the list is monotone — a retired name is never minted again, so
+    * a re-added column of the same logical name can never resurrect
+    * dropped values from old files). Absent record = identity mapping
+    * (every pre-mapping manifest). */
+  private[storage] case class ColMap(map: Seq[(String, String)],
+                                     retired: Seq[String]) {
+    @transient lazy val byLogical: Map[String, String] = map.toMap
+    def isIdentity: Boolean = retired.isEmpty && map.forall(e => e._1 == e._2)
+  }
+
   private[storage] case class Manifest(version: Long, files: Seq[String],
                               writerId: String, batchId: Long,
                               checkpoint: Boolean,
@@ -123,7 +139,8 @@ object TxLog {
                               changes: Seq[String] = Seq.empty,
                               props: Option[Seq[(String, String)]] = None,
                               ts: Long = -1L,
-                              dvs: Seq[DvEntry] = Seq.empty)
+                              dvs: Seq[DvEntry] = Seq.empty,
+                              cmap: Option[ColMap] = None)
 
   /** Commit wall-clock (epoch millis) — every manifest records the
     * committing writer's clock at render time. Writer clocks are NOT
@@ -174,6 +191,15 @@ object TxLog {
     val props = m.props.map(ps => ", \"props\": [" + ps.map { case (k, v) =>
       s"""{"k": ${q(k)}, "v": ${q(v)}}"""
     }.mkString(", ") + "]").getOrElse("")
+    // presence-aware like props: an overwrite RESETS the mapping by
+    // recording an explicitly empty one
+    val cmap = m.cmap.map { cm =>
+      val pairs = cm.map.map { case (l, p) =>
+        s"""{"l": ${q(l)}, "p": ${q(p)}}"""
+      }.mkString(", ")
+      val retired = cm.retired.map(q).mkString(", ")
+      s""", "cmap": {"m": [$pairs], "r": [$retired]}"""
+    }.getOrElse("")
     val tokens =
       if (m.tokens.isEmpty) ""
       else ", \"tokens\": [" + m.tokens.map { case (w, b) =>
@@ -201,7 +227,7 @@ object TxLog {
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, $ts""" +
       s""""files": [${m.files.map(q).mkString(", ")}]""" +
-      s"""$removes$dvs$schema$pcols$changes$props$tokens$stats}"""
+      s"""$removes$dvs$schema$pcols$changes$props$cmap$tokens$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -303,11 +329,18 @@ object TxLog {
       }
       (out.result(), i + 1)
     }
-    val (props, cSch) =
+    val (props, cPr) =
       if (s.startsWith(", \"props\": ", cChg)) {
         val (kv, c) = kvArray(cChg + 11, "k", "v")
         (Some(kv), c)
       } else (None, cChg)
+    val (cmap, cSch) =
+      if (s.startsWith(", \"cmap\": ", cPr)) {
+        val (pairs, c1) = kvArray(keyFrom("m", cPr), "l", "p")
+        val (retired, c2) = strArray(keyFrom("r", c1))
+        // past the object's closing '}'
+        (Some(ColMap(pairs, retired)), s.indexOf('}', c2) + 1)
+      } else (None, cPr)
     val (tokens, cTok) =
       if (s.startsWith(", \"tokens\": ", cSch)) {
         var i = s.indexOf('[', cSch + 12) + 1
@@ -374,7 +407,7 @@ object TxLog {
       }
     }
     Manifest(version, files, writerId, batchId, checkpoint, stats, removes,
-      schemaDdl, tokens, pcols, changes, props, ts, dvs)
+      schemaDdl, tokens, pcols, changes, props, ts, dvs, cmap)
   }
 
   /** All committed manifests, version-ordered. */
@@ -660,6 +693,75 @@ object TxLog {
       .getOrElse(Seq.empty)
 
   // ------------------------------------------------------------------
+  // column mapping (RENAME/DROP COLUMN as metadata-only transactions)
+  // ------------------------------------------------------------------
+
+  /** The newest recorded column mapping (presence-aware — an overwrite
+    * records an explicitly empty one to RESET). None on tables that
+    * never renamed/dropped: identity, zero overhead anywhere. */
+  private[storage] def colMapRecorded(ms: Seq[Manifest]): Option[ColMap] =
+    ms.reverse.collectFirst { case m if m.cmap.isDefined => m.cmap.get }
+
+  private[storage] def colMapFrom(ms: Seq[Manifest]): ColMap =
+    colMapRecorded(ms).getOrElse(ColMap(Seq.empty, Seq.empty))
+
+  /** logical -> physical for one name (identity when unmapped). */
+  private[storage] def physicalName(cm: ColMap, l: String): String =
+    cm.byLogical.getOrElse(l, l)
+
+  /** The PHYSICAL schema of a logical one: same fields/types/order,
+    * names mapped. This is the schema of the bytes on disk — what the
+    * parquet readers, zone maps and partition specs speak. */
+  private[storage] def physicalSchemaOf(logical: org.apache.spark.sql.types.StructType,
+                                        cm: ColMap)
+      : org.apache.spark.sql.types.StructType =
+    if (cm.isIdentity) logical
+    else org.apache.spark.sql.types.StructType(
+      logical.fields.map(f => f.copy(name = physicalName(cm, f.name))))
+
+  private[storage] def physicalSchemaFrom(ms: Seq[Manifest])
+      : Option[org.apache.spark.sql.types.StructType] =
+    tableSchemaFrom(ms).map(physicalSchemaOf(_, colMapFrom(ms)))
+
+  /** Rename a LOGICAL-named DataFrame's columns to their physical
+    * names (the write-door translation; no-op under identity). Column
+    * ORDER and types are untouched — translation is a pure rename. */
+  private[storage] def toPhysical(df: DataFrame, cm: ColMap): DataFrame =
+    if (cm.isIdentity) df
+    else df.select(df.columns.toSeq.map(c => col(quoted(c)).as(physicalName(cm, c))): _*)
+
+  /** Project a PHYSICAL-named DataFrame back to the logical columns of
+    * `logical` (dropped physical columns simply aren't selected). */
+  private[storage] def toLogical(df: DataFrame,
+                                 logical: org.apache.spark.sql.types.StructType,
+                                 cm: ColMap): DataFrame =
+    if (cm.isIdentity) df
+    else df.select(logical.fields.toSeq.map(f =>
+      col(quoted(physicalName(cm, f.name))).as(f.name)): _*)
+
+  private def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
+
+  /** Name normalization for PRUNING under a mapping: a total map that
+    * sends each logical name to its physical and leaves physical names
+    * alone — SOUND only when no name is simultaneously the logical
+    * name of one column and the physical name of a DIFFERENT column
+    * (a swap-rename). In that ambiguous case returns None and callers
+    * skip partition/zone pruning entirely (results stay exact; only
+    * the I/O optimization is lost). The ambiguity matters because
+    * pruning conjuncts arrive from the OPTIMIZED plan, where filters
+    * pushed below the logical->physical projection already speak
+    * physical while unpushed ones still speak logical. */
+  private[storage] def pruneNameMap(cm: ColMap): Option[Map[String, String]] =
+    if (cm.isIdentity) Some(Map.empty)
+    else {
+      val ambiguous = cm.map.exists { case (l, _) =>
+        cm.map.exists { case (l2, p2) => l2 != l && p2 == l }
+      }
+      if (ambiguous) None
+      else Some(cm.map.filter { case (l, p) => l != p }.toMap)
+    }
+
+  // ------------------------------------------------------------------
   // table properties
   // ------------------------------------------------------------------
 
@@ -928,9 +1030,123 @@ object TxLog {
       writerId = s"evolve-${java.util.UUID.randomUUID()}", batchId = 0L,
       checkpoint = false, maxRetries = 20, incoming = Some(incoming))
 
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY transaction: the
+    * recorded schema renames the field and the column mapping keeps
+    * its immutable PHYSICAL name, so not one of the table's bytes is
+    * rewritten — on a 100 TB table the rename costs one manifest put.
+    * Old files keep reading correctly (they are read under the
+    * physical schema and projected to logical names); time travel to a
+    * pre-rename version serves the OLD name (the mapping is versioned
+    * like schema and properties). */
+  def renameColumn(s: SparkSession, table: String, from: String, to: String): Long =
+    commitColMap(s, table, "rename", (logical, cm) => {
+      val i = logical.fieldNames.indexOf(from)
+      require(i >= 0, s"rename: column $from not in ${logical.fieldNames.toSeq}")
+      val toLower = to.toLowerCase(java.util.Locale.ROOT)
+      require(!logical.fieldNames.exists(n =>
+        n != from && n.toLowerCase(java.util.Locale.ROOT) == toLower),
+        s"rename: column $to already exists (Spark resolves names " +
+          "case-insensitively)")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        logical.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      guardReservedCols(newSchema)
+      val phys = physicalName(cm, from)
+      val fullMap = logical.fieldNames.toSeq.map { l =>
+        if (l == from) to -> phys else l -> physicalName(cm, l)
+      }
+      (newSchema, ColMap(fullMap, cm.retired))
+    })
+
+  /** ALTER TABLE DROP COLUMN, metadata-only like [[renameColumn]]: the
+    * physical column stays in every existing file (immutable parquet)
+    * and is simply never selected again; its physical name RETIRES so
+    * a future column of the same logical name mints a fresh physical
+    * and can never resurrect the dropped values. */
+  def dropColumn(s: SparkSession, table: String, name: String): Long =
+    commitColMap(s, table, "drop", (logical, cm) => {
+      val i = logical.fieldNames.indexOf(name)
+      require(i >= 0, s"drop: column $name not in ${logical.fieldNames.toSeq}")
+      require(logical.fields.length > 1,
+        s"drop: $name is the table's last column")
+      val ms = manifests(s, table)
+      val psrc = TxPart.sources(partitionColsFrom(ms))
+      require(!psrc.contains(physicalName(cm, name)),
+        s"drop: $name is a partition source column — the layout depends on it " +
+          "(re-CREATE or overwrite with a new layout instead)")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        logical.fields.filterNot(_.name == name))
+      val fullMap = newSchema.fieldNames.toSeq.map(l => l -> physicalName(cm, l))
+      (newSchema, ColMap(fullMap, cm.retired :+ physicalName(cm, name)))
+    })
+
+  /** The shared metadata-only commit loop of the column-mapping doors:
+    * per attempt, recompute (new schema, new mapping) from THIS
+    * listing's state — a concurrent schema change folds in or fails
+    * inside `change` — then validate the surviving contract (CHECK
+    * constraints must still bind; bloom columns must still exist under
+    * their un-mapped names) and publish one empty-file manifest. */
+  private def commitColMap(s: SparkSession, table: String, op: String,
+                           change: (org.apache.spark.sql.types.StructType, ColMap)
+                             => (org.apache.spark.sql.types.StructType, ColMap),
+                           maxRetries: Int = 20): Long = {
+    val root = new Path(table)
+    val f = fs(s, root)
+    val logDir = new Path(root, LogDir)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val ms = manifests(s, table)
+      val logical = tableSchemaFrom(ms).getOrElse(throw new IllegalStateException(
+        s"$op column on $table: no recorded schema (legacy log — " +
+          "write once or createTable first)"))
+      val cm0 = colMapFrom(ms)
+      val (newSchema, newCm) = change(logical, cm0)
+      val props = propsFrom(ms)
+      // CHECK constraints bind to LOGICAL names — a rename/drop of a
+      // referenced column would orphan the expression; loud, with the
+      // fix spelled out
+      try TxCheck.validateDeclared(s, newSchema, TxCheck.checksIn(props))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$op column on $table breaks a CHECK constraint (${e.getMessage}) — " +
+            "drop the constraint first, re-declare it against the new name", e)
+      }
+      // bloom columns are physical-on-disk by name; renaming/dropping
+      // one would silently orphan its filters — refuse, spelled out
+      val blooms = TxBloom.colsFrom(props)
+      val gone = blooms -- newSchema.fieldNames.toSet
+      val remapped = blooms.filter(b =>
+        newSchema.fieldNames.contains(b) && physicalName(newCm, b) != b)
+      require(gone.isEmpty && remapped.isEmpty,
+        s"$op column on $table touches bloom-filtered column(s) " +
+          s"${(gone ++ remapped).mkString(", ")} — unset ${TxBloom.BloomColsProp} " +
+          "first, re-set it after")
+      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      val bytes = render(Manifest(v, Seq.empty,
+        writerId = s"colmap-${java.util.UUID.randomUUID()}", batchId = 0L,
+        checkpoint = false, schema = Some(newSchema.toDDL),
+        cmap = Some(newCm), ts = commitTimeMs()))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$op column on $table lost $maxRetries version races")
+  }
+
   /** The table's declared partition columns (empty = unpartitioned). */
   def partitionColumns(s: SparkSession, table: String): Seq[String] =
     partitionColsFrom(manifests(s, table))
+
+  /** The table's current column mapping (identity-empty when it never
+    * renamed/dropped). */
+  private[storage] def colMapOf(s: SparkSession, table: String): ColMap =
+    colMapFrom(manifests(s, table))
+
+  /** physical -> logical (non-identity entries only) — the reverse
+    * translation for user-facing surfaces over recorded physical
+    * names (partition specs in DESCRIBE, write distributions). */
+  private[storage] def logicalNameMap(cm: ColMap): Map[String, String] =
+    cm.map.collect { case (l, p) if l != p => p -> l }.toMap
 
   // Partition-value pruning (identity equality AND the transform
   // fields — days/months/years/hours range + bucket equality) lives in
@@ -1013,12 +1229,23 @@ object TxLog {
     * ([[TxDv.DvReaderFactory]]); this is the portable DataFrame one. */
   private[storage] def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
                         files: Seq[String]): DataFrame = {
-    val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
+    // the files are read under the PHYSICAL schema (what the bytes
+    // say), DV-filtered (needs the raw relation's _metadata), then
+    // projected back to the logical names — the one seam where column
+    // mapping touches every native read
+    val cm = colMapFrom(ms)
+    val logical = tableSchemaFrom(ms)
+    val rd = logical.map(l => s.read.schema(physicalSchemaOf(l, cm))).getOrElse(s.read)
     val raw = rd.parquet(files.map(absPath(table)): _*)
     val dvs = liveDvs(ms)
     val hit = files.filter(dvs.contains)
-    if (hit.isEmpty) raw
-    else applyDvFilter(s, table, raw, hit.map(f => f -> dvs(f).p).toMap)
+    val dvApplied =
+      if (hit.isEmpty) raw
+      else applyDvFilter(s, table, raw, hit.map(f => f -> dvs(f).p).toMap)
+    logical match {
+      case Some(l) if !cm.isIdentity => toLogical(dvApplied, l, cm)
+      case _ => dvApplied
+    }
   }
 
   /** Attach the DV row filter to a parquet-backed DataFrame: keep a row
@@ -1095,7 +1322,7 @@ object TxLog {
                      pred: org.apache.spark.sql.Column, files: Seq[String],
                      stats: Map[String, TxStats.FileStats],
                      ms: Seq[Manifest]): Seq[String] = {
-    val conjuncts =
+    val raw =
       try {
         readFiles(s, table, ms, Seq(files.head)).filter(pred)
           .queryExecution.optimizedPlan.collect {
@@ -1103,11 +1330,23 @@ object TxLog {
               TxStats.splitAnd(f.condition)
           }.flatten
       } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
+    // under a column mapping the stats/pv speak PHYSICAL names; pushed
+    // conjuncts may speak either (see [[pruneNameMap]]) — normalize,
+    // or skip pruning on the (pathological) ambiguous mapping
+    val conjuncts = pruneNameMap(colMapFrom(ms)) match {
+      case None => return files
+      case Some(m) if m.isEmpty => raw
+      case Some(m) =>
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        raw.map(_.transform {
+          case a: AttributeReference if m.contains(a.name) => a.withName(m(a.name))
+        })
+    }
     // partition values first (the coarse cut on the recorded layout —
     // identity equality, temporal ranges, bucket equality), zone maps
     // on the survivors
     val afterParts = TxPart.pruneCatalyst(conjuncts, partitionColsFrom(ms),
-      tableSchemaFrom(ms), files, stats)
+      physicalSchemaFrom(ms), files, stats)
     val zoned = TxStats.prune(conjuncts, afterParts, stats)
     // bloom membership on the zone-map survivors (equality probes on
     // bloomCols) — cuts the candidate scan matchingFiles then runs
@@ -1182,12 +1421,16 @@ object TxLog {
     require(partitionBy.nonEmpty, "commitPartitioned needs at least one partition column")
     val s = df.sparkSession
     // partition SPECS ([[TxPart]]): validate sources/types against the
-    // data schema and canonicalize before the sticky-layout comparison
+    // data schema and canonicalize before the sticky-layout comparison.
+    // The caller declares LOGICAL source names; the recorded layout
+    // speaks PHYSICAL — translate before comparing.
     val canonical = TxPart.validate(partitionBy, df.schema)
     val ms0 = manifests(s, table)
+    val cm = colMapFrom(ms0)
+    val physSpecs = TxPart.mapSources(canonical, physicalName(cm, _))
     val rec = partitionColsFrom(ms0)
-    require(rec.isEmpty || rec == canonical,
-      s"table $table is partitioned by $rec — a write declaring $canonical must match")
+    require(rec.isEmpty || rec == physSpecs,
+      s"table $table is partitioned by $rec — a write declaring $physSpecs must match")
     if (tokenTaken(ms0, writerId, batchId)) return -1L
     val legacyExisting =
       if (tableSchemaFrom(ms0).isEmpty)
@@ -1199,12 +1442,14 @@ object TxLog {
     // not the raw sources — a bucket/day tuple must land in ONE task):
     // the staged layout is then one file per partition tuple per commit
     // (a skewed giant partition wanting intra-value splits should
-    // pre-aggregate into multiple commits or range-split upstream)
-    val (rel, stats) = stagePartitioned(s, new Path(table),
-      df.repartition(TxPart.exprs(canonical, df): _*), canonical)
+    // pre-aggregate into multiple commits or range-split upstream);
+    // the repartition happens INSIDE stagePartitioned, on the
+    // physical-translated rows
+    val (rel, stats) = stagePartitioned(s, new Path(table), df, physSpecs,
+      clusterTasks = Some(0))
     commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
       maxRetries, incoming = Some(df.schema), legacyExisting = legacyExisting,
-      pcols = canonical)
+      pcols = physSpecs)
   }
 
   /** Stage `df` hive-partitioned on duplicated `__p_<phys>` path
@@ -1212,20 +1457,32 @@ object TxLog {
     * identity fields, the transform output (epoch days/months/years/
     * hours ordinal, bucket number) otherwise — so the REAL columns
     * stay in the files; each staged file's partition values parse back
-    * out of its path segments. */
+    * out of its path segments. `pcols` are PHYSICAL specs; the rows
+    * arrive LOGICAL and translate here (after the CHECK guard, which
+    * binds logical). `clusterTasks` repartitions the translated rows
+    * by the partition values (Some(0) = value-only hashing, Some(n) =
+    * n tasks) so each tuple lands in one task. */
   private def stagePartitioned(s: SparkSession, root: Path, df0: DataFrame,
-                               pcols: Seq[String])
+                               pcols: Seq[String],
+                               clusterTasks: Option[Int] = None)
       : (Seq[String], Seq[TxStats.FileStats]) = {
     val f = fs(s, root)
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$uuid")
-    val df = TxCheck.guard(s, df0, propsFrom(manifests(s, root.toString)))
+    val ms0 = manifests(s, root.toString)
+    val guarded = TxCheck.guard(s, df0, propsFrom(ms0))
+    val phys = toPhysical(guarded, colMapFrom(ms0))
+    val df = clusterTasks match {
+      case Some(0) => phys.repartition(TxPart.exprs(pcols, phys): _*)
+      case Some(n) => phys.repartition(math.max(1, n), TxPart.exprs(pcols, phys): _*)
+      case None => phys
+    }
     val staging = TxPart.stagingCols(pcols, df)
-    val dup = staging.foldLeft(df) { case (d, (_, phys, c)) =>
-      d.withColumn(s"__p_$phys", c)
+    val dup = staging.foldLeft(df) { case (d, (_, physKey, c)) =>
+      d.withColumn(s"__p_$physKey", c)
     }
     dup.write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(staging.map { case (_, phys, _) => s"__p_$phys" }: _*)
+      .partitionBy(staging.map { case (_, physKey, _) => s"__p_$physKey" }: _*)
       .parquet(dataDir.toString)
     val rel = {
       val it = f.listFiles(dataDir, true)
@@ -1273,7 +1530,8 @@ object TxLog {
     * manifest names it) and collect its zone maps — the write half
     * shared by every committing path (append, DML rewrite, compact,
     * cluster). Returns (rel paths, footer stats). */
-  private def stageWrite(s: SparkSession, root: Path, df: DataFrame)
+  private def stageWrite(s: SparkSession, root: Path, df: DataFrame,
+                         cmOverride: Option[ColMap] = None)
       : (Seq[String], Seq[TxStats.FileStats]) = {
     val f = fs(s, root)
     val uuid = java.util.UUID.randomUUID().toString
@@ -1282,10 +1540,15 @@ object TxLog {
     // for the opted-in columns ([[TxBloom]]); the extra listing is
     // noise next to the data write it configures. CHECK constraints
     // guard the write job itself ([[TxCheck.guard]] — per-row
-    // assert_true, no extra pass).
-    val props = propsFrom(manifests(s, root.toString))
+    // assert_true, no extra pass). Under a column mapping the rows
+    // arrive LOGICAL (checks bind to logical names) and the files are
+    // written PHYSICAL (the on-disk contract); overwrite passes the
+    // empty override because it RESETS the mapping with its schema.
+    val ms0 = manifests(s, root.toString)
+    val props = propsFrom(ms0)
     val bloomOpts = TxBloom.writeOptions(props)
-    TxCheck.guard(s, df, props)
+    val cm = cmOverride.getOrElse(colMapFrom(ms0))
+    toPhysical(TxCheck.guard(s, df, props), cm)
       .write.options(bloomOpts).mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val rel = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -1339,7 +1602,10 @@ object TxLog {
       writerId = s"overwrite-${java.util.UUID.randomUUID()}",
       expectedHead = ms.lastOption.map(_.version).getOrElse(-1L),
       schemaDdl = Some(schemaDdl), removes = liveFiles(ms),
-      pcolsOverride = pcolsOverride, propsOverride = propsOverride)
+      pcolsOverride = pcolsOverride, propsOverride = propsOverride,
+      // a replacement is a NEW contract: the column mapping resets
+      // (the staged files were written under the new schema's names)
+      cmapOverride = Some(Some(ColMap(Seq.empty, Seq.empty))))
   }
 
   /** Stage a manifest and publish it into the next free version slot.
@@ -1378,14 +1644,49 @@ object TxLog {
       val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
       // the schema merge runs against THIS attempt's listing, so a
       // concurrent evolution that won an earlier slot folds in on retry
-      val schemaDdl = incoming.map { in =>
+      val merged = incoming.map { in =>
         tableSchemaFrom(ms).orElse(legacyExisting)
-          .map(ex => mergedSchema(ex, in)).getOrElse(in).toDDL
+          .map(ex => mergedSchema(ex, in)).getOrElse(in)
+      }
+      val schemaDdl = merged.map(_.toDDL)
+      // COLUMN MAPPING x evolution: a NEW column on a mapped table
+      // needs a minted physical name recorded in the same transaction.
+      // Metadata-only commits (evolveSchema / ALTER ADD COLUMNS) mint
+      // here, atomically with the schema; a DATA write cannot — its
+      // files were already staged under names chosen before this
+      // attempt's listing, so implicit addition is refused loudly.
+      val cmapOut: Option[ColMap] = (merged, colMapRecorded(ms)) match {
+        case (Some(mg), Some(cm)) if !(cm.map.isEmpty && cm.retired.isEmpty) =>
+          val known = cm.byLogical.keySet
+          val newCols = mg.fieldNames.toSeq.filterNot(known)
+          if (newCols.isEmpty) None // newest-wins keeps the standing record
+          else if (files.nonEmpty)
+            throw new IllegalArgumentException(
+              s"table $table uses column mapping — a data write cannot " +
+                s"implicitly add column(s) ${newCols.mkString(", ")}; declare " +
+                "them first (evolveSchema / ALTER TABLE ... ADD COLUMNS)")
+          else {
+            var taken = cm.map.map(_._2).toSet ++ cm.retired
+            val minted = newCols.map { l =>
+              val p =
+                if (!taken(l)) l
+                else {
+                  var i = 1
+                  while (taken(s"${l}_$i")) i += 1
+                  s"${l}_$i"
+                }
+              taken += p
+              l -> p
+            }
+            Some(ColMap(cm.map ++ minted, cm.retired))
+          }
+        case _ => None
       }
       val target = new Path(logDir, manifestName(v))
       val bytes =
         render(Manifest(v, files, writerId, batchId, checkpoint, stats,
-          schema = schemaDdl, pcols = pcols, ts = commitTimeMs()))
+          schema = schemaDdl, pcols = pcols, ts = commitTimeMs(),
+          cmap = cmapOut))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
@@ -1472,6 +1773,17 @@ object TxLog {
   private[storage] def absPath(table: String)(rel: String): String =
     new Path(new Path(table), rel).toString
 
+  /** Read back JUST-STAGED files (physical-named, like every file)
+    * under a LOGICAL schema — the capture paths' read-back helper. */
+  private def readStagedLogical(s: SparkSession, table: String, ms: Seq[Manifest],
+                                logical: org.apache.spark.sql.types.StructType,
+                                rels: Seq[String]): DataFrame = {
+    val cm = colMapFrom(ms)
+    val df = s.read.schema(physicalSchemaOf(logical, cm))
+      .parquet(rels.map(absPath(table)): _*)
+    if (cm.isIdentity) df else toLogical(df, logical, cm)
+  }
+
   /** Narrow zone-map `candidates` to the files that actually contain a
     * row matching `pred` — one candidate-only scan; rel paths are
     * uuid-unique suffixes of input_file_name's URI. */
@@ -1513,10 +1825,21 @@ object TxLog {
                        matcher: DataFrame => DataFrame)
       : (Seq[String], Seq[DvEntry], Seq[String]) = {
     if (candidates.isEmpty) return (Seq.empty, Seq.empty, Seq.empty)
-    val rd = tableSchemaFrom(ms).map(s.read.schema(_)).getOrElse(s.read)
-    val raw = rd.parquet(candidates.map(absPath(table)): _*)
+    val cm = colMapFrom(ms)
+    val logical = tableSchemaFrom(ms)
+    val rd = logical.map(l => s.read.schema(physicalSchemaOf(l, cm))).getOrElse(s.read)
+    val raw0 = rd.parquet(candidates.map(absPath(table)): _*)
       .withColumn("__gf", col("_metadata.file_path"))
       .withColumn("__gri", col("_metadata.row_index"))
+    // the matcher speaks LOGICAL names — project (keeping the metadata
+    // pair) before applying it
+    val raw = logical match {
+      case Some(l) if !cm.isIdentity =>
+        raw0.select(l.fields.toSeq.map(f =>
+          col(quoted(physicalName(cm, f.name))).as(f.name)) ++
+          Seq(col("__gf"), col("__gri")): _*)
+      case _ => raw0
+    }
     import org.apache.spark.sql.Encoders
     val hits = matcher(raw).select(col("__gf"), col("__gri"))
       .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
@@ -1700,19 +2023,16 @@ object TxLog {
       }: _*)
       val pcols = partitionColsFrom(ms)
       val root = new Path(table)
-      val sized =
-        if (pcols.nonEmpty)
-          updated.repartition(math.max(1, hit.size), TxPart.exprs(pcols, updated): _*)
-        else updated.repartition(math.max(1, hit.size))
       val (relAll, statsAll) =
-        if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
-        else stageWrite(s, root, sized)
+        if (pcols.nonEmpty)
+          stagePartitioned(s, root, updated, pcols, clusterTasks = Some(hit.size))
+        else stageWrite(s, root, updated.repartition(math.max(1, hit.size)))
       beforeCommit()
       return publishRewrite(s, table, relAll, statsAll, fullDead, head,
         writerId, batchId, schemaDdl = updated.schema.toDDL,
         readSet = candidates, dvs = entries,
         captureOverride = Some(() => stageChangePair(s, table, matched,
-          s.read.schema(updated.schema).parquet(relAll.map(absPath(table)): _*),
+          readStagedLogical(s, table, ms, updated.schema, relAll),
           hit.size)))
     }
     val touched = matchingFiles(s, table, pred, candidates, ms)
@@ -1830,19 +2150,16 @@ object TxLog {
         val aligned = src.select(matched.columns.map(col).toSeq: _*)
         val pcols = partitionColsFrom(ms)
         val root = new Path(table)
-        val sized =
-          if (pcols.nonEmpty)
-            aligned.repartition(math.max(1, hit.size), TxPart.exprs(pcols, aligned): _*)
-          else aligned.repartition(math.max(1, hit.size))
         val (relAll, statsAll) =
-          if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
-          else stageWrite(s, root, sized)
+          if (pcols.nonEmpty)
+            stagePartitioned(s, root, aligned, pcols, clusterTasks = Some(hit.size))
+          else stageWrite(s, root, aligned.repartition(math.max(1, hit.size)))
         beforeCommit()
         return publishRewrite(s, table, relAll, statsAll, fullDead, head,
           writerId, batchId, schemaDdl = aligned.schema.toDDL,
           readSet = candidates, dvs = entries,
           captureOverride = Some(() => stageChangePair(s, table, matched,
-            s.read.schema(aligned.schema).parquet(relAll.map(absPath(table)): _*),
+            readStagedLogical(s, table, ms, aligned.schema, relAll),
             math.max(hit.size, relAll.size))))
       }
     }
@@ -1897,14 +2214,12 @@ object TxLog {
     // partition columns so each value lands in one task, then stage
     // through the same hive-layout writer appends use — DML cannot
     // silently un-partition the files it touches
-    val sized =
-      if (removes.isEmpty) newRows
-      else if (pcols.nonEmpty)
-        newRows.repartition(math.max(1, removes.size), TxPart.exprs(pcols, newRows): _*)
-      else newRows.repartition(removes.size)
     val (relAll, statsAll) =
-      if (pcols.nonEmpty) stagePartitioned(s, root, sized, pcols)
-      else stageWrite(s, root, sized)
+      if (pcols.nonEmpty)
+        stagePartitioned(s, root, newRows, pcols,
+          clusterTasks = if (removes.isEmpty) None else Some(removes.size))
+      else if (removes.isEmpty) stageWrite(s, root, newRows)
+      else stageWrite(s, root, newRows.repartition(removes.size))
     beforeCommit()
     publishRewrite(s, table, relAll, statsAll, removes, expectedHead,
       writerId, batchId, newRows.schema.toDDL, readSet = readSet)
@@ -2055,13 +2370,17 @@ object TxLog {
           s" — drop the column or disable $ChangeFeedProp before DML")
       case _ => ()
     }
+    // the files speak PHYSICAL names — read them so, diff in logical
+    val cm = colMapOf(s, table)
     def read(rel: Seq[String], dvs: Map[String, String]): DataFrame =
       if (rel.isEmpty)
         s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
       else {
-        val raw = s.read.schema(sch).parquet(rel.map(absPath(table)): _*)
+        val raw = s.read.schema(physicalSchemaOf(sch, cm))
+          .parquet(rel.map(absPath(table)): _*)
         val hit = dvs.view.filterKeys(rel.contains).toMap
-        if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+        val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+        if (cm.isIdentity) dvd else toLogical(dvd, sch, cm)
       }
     val old = read(removes, oldDvs)
     val neu = read(added, Map.empty)
@@ -2075,7 +2394,9 @@ object TxLog {
     * merge-on-read one (where old = the matched live rows and new = the
     * statement's replacement rows — the difference is the same). */
   private[storage] def stageChangePair(s: SparkSession, table: String, old: DataFrame,
-                                       neu: DataFrame, sizeHint: Int): Seq[String] = {
+                                       neu: DataFrame, sizeHint: Int,
+                                       cmOverride: Option[ColMap] = None)
+      : Seq[String] = {
     val root = new Path(table)
     val f = fs(s, root)
     old.schema.fields.filter(fd => hasMapType(fd.dataType)) match {
@@ -2085,7 +2406,14 @@ object TxLog {
           s" — drop the column or disable $ChangeFeedProp before DML")
       case _ => ()
     }
-    def stage(df: DataFrame, kind: String): Seq[String] = {
+    // change files are PHYSICAL-named like data files (before any
+    // rename logical == physical, so every change file ever staged is
+    // physical-uniform); the CDF reader projects back to the logical
+    // names of its read. Restore overrides with the mapping of the
+    // version whose logical names its rows carry.
+    val cm = cmOverride.getOrElse(colMapFrom(manifests(s, table)))
+    def stage(df0: DataFrame, kind: String): Seq[String] = {
+      val df = toPhysical(df0, cm)
       val uuid = java.util.UUID.randomUUID().toString
       val dir = new Path(root, s"_changes/$uuid-$kind")
       df.coalesce(math.max(1, sizeHint))
@@ -2234,7 +2562,8 @@ object TxLog {
                                maxRetries: Int = 20,
                                dvs: Seq[DvEntry] = Seq.empty,
                                pcolsOverride: Option[Seq[String]] = None,
-                               propsOverride: Option[Map[String, String]] = None)
+                               propsOverride: Option[Map[String, String]] = None,
+                               cmapOverride: Option[Option[ColMap]] = None)
       : Long = {
     val root = new Path(table)
     val f = fs(s, root)
@@ -2291,7 +2620,10 @@ object TxLog {
         pcols = pcolsOverride.getOrElse(partitionColsFrom(ms)),
         props = propsOverride.map(_.toSeq.sorted)
           .orElse(propsRecorded(ms).map(_.sorted)),
-        ts = commitTimeMs(), dvs = dvs))
+        ts = commitTimeMs(), dvs = dvs,
+        // the column mapping must survive log truncation like pcols/
+        // props; overwrite/restore override it (reset / as-of-v)
+        cmap = cmapOverride.getOrElse(colMapRecorded(ms))))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
       attempt += 1 // lost the slot race; re-list and rebase again
@@ -2308,13 +2640,17 @@ object TxLog {
     val s = df.sparkSession
     val ms = manifests(s, table)
     val head = ms.lastOption.map(_.version).getOrElse(-1L)
-    val (rel, stats) = stageWrite(s, new Path(table), df)
+    // overwrite RESETS the column mapping with the schema (the staged
+    // files are written under the new schema's own names)
+    val (rel, stats) = stageWrite(s, new Path(table), df,
+      cmOverride = Some(ColMap(Seq.empty, Seq.empty)))
     // overwrite REPLACES the schema too — the sanctioned narrowing path;
     // the replaced file list rides as provenance (streaming tails must
     // see an overwrite as a remove, never as an append)
     commitCheckpoint(s, table, rel, stats,
       writerId = s"overwrite-${java.util.UUID.randomUUID()}", expectedHead = head,
-      schemaDdl = Some(df.schema.toDDL), removes = liveFiles(ms))
+      schemaDdl = Some(df.schema.toDDL), removes = liveFiles(ms),
+      cmapOverride = Some(Some(ColMap(Seq.empty, Seq.empty))))
   }
 
   /** RESTORE the table to the live state it had at committed version
@@ -2389,23 +2725,85 @@ object TxLog {
         val oldRegion = dropped ++ dvDiff
         val newRegion = target.filterNot(currentSet) ++ dvDiff
         val sch = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+        // v's LOGICAL schema over physical files (mapping as of v);
+        // the change pair stages back under v's mapping too — the
+        // restore's whole contract is "the table as v saw it"
+        val cmV = colMapFrom(past)
         def read(rel: Seq[String], dvs: Map[String, DvEntry]): DataFrame =
           if (rel.isEmpty)
             s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
           else {
-            val raw = s.read.schema(sch).parquet(rel.map(absPath(table)): _*)
+            val raw = s.read.schema(physicalSchemaOf(sch, cmV))
+              .parquet(rel.map(absPath(table)): _*)
             val hit = dvs.collect { case (fl, e) if rel.contains(fl) => fl -> e.p }
-            if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+            val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+            if (cmV.isIdentity) dvd else toLogical(dvd, sch, cmV)
           }
         stageChangePair(s, table, read(oldRegion, currentDvs),
           read(newRegion.toSeq, targetDvs),
-          math.max(oldRegion.size, newRegion.size))
+          math.max(oldRegion.size, newRegion.size), cmOverride = Some(cmV))
+      }
+    // the restore re-records v's column mapping (the schema's names
+    // are v's); retirement stays MONOTONE across the restore — a
+    // physical name retired after v must never be minted again even
+    // though the restore resurrects v's mapping
+    val cmapOverride =
+      if (colMapRecorded(ms).isEmpty && colMapRecorded(past).isEmpty) None
+      else {
+        val cmV = colMapFrom(past)
+        val logicalV = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+        Some(Some(ColMap(
+          logicalV.fieldNames.toSeq.map(l => l -> physicalName(cmV, l)),
+          (cmV.retired ++ colMapFrom(ms).retired).distinct)))
       }
     commitCheckpoint(s, table, target, stats,
       writerId = s"restore-${java.util.UUID.randomUUID()}", expectedHead = head,
       schemaDdl = Some(schemaDdl), removes = dropped, changes = changes,
-      dvs = targetDvs.values.toSeq.sortBy(_.f))
+      dvs = targetDvs.values.toSeq.sortBy(_.f), cmapOverride = cmapOverride)
   }
+
+  /** Rename attribute references of pushed-down source Filters from
+    * LOGICAL to PHYSICAL names (the V2 scan's translation — V2 filters
+    * are always logical, so no swap ambiguity exists here). A filter
+    * shape we can't rebuild is DROPPED — sound on both consumers: the
+    * zone maps keep the file, and the parquet row-group pushdown is
+    * advisory (every filter of ours is residual by contract, Spark
+    * re-applies them above the scan). */
+  private[storage] def renameSourceFilters(
+      filters: Seq[org.apache.spark.sql.sources.Filter], cm: ColMap)
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    if (cm.isIdentity) filters
+    else {
+      import org.apache.spark.sql.{sources => sf}
+      val m = cm.byLogical
+      def r(a: String): String = m.getOrElse(a, a)
+      def go(f: sf.Filter): Option[sf.Filter] = f match {
+        case sf.EqualTo(a, v) => Some(sf.EqualTo(r(a), v))
+        case sf.EqualNullSafe(a, v) => Some(sf.EqualNullSafe(r(a), v))
+        case sf.GreaterThan(a, v) => Some(sf.GreaterThan(r(a), v))
+        case sf.GreaterThanOrEqual(a, v) => Some(sf.GreaterThanOrEqual(r(a), v))
+        case sf.LessThan(a, v) => Some(sf.LessThan(r(a), v))
+        case sf.LessThanOrEqual(a, v) => Some(sf.LessThanOrEqual(r(a), v))
+        case sf.In(a, vs) => Some(sf.In(r(a), vs))
+        case sf.IsNull(a) => Some(sf.IsNull(r(a)))
+        case sf.IsNotNull(a) => Some(sf.IsNotNull(r(a)))
+        case sf.StringStartsWith(a, v) => Some(sf.StringStartsWith(r(a), v))
+        case sf.StringEndsWith(a, v) => Some(sf.StringEndsWith(r(a), v))
+        case sf.StringContains(a, v) => Some(sf.StringContains(r(a), v))
+        case sf.And(l, rr) => (go(l), go(rr)) match {
+          case (Some(a), Some(b)) => Some(sf.And(a, b))
+          // one sound side still prunes/pushes
+          case (Some(a), None) => Some(a)
+          case (None, Some(b)) => Some(b)
+          case _ => None
+        }
+        case sf.Or(l, rr) => for { a <- go(l); b <- go(rr) } yield sf.Or(a, b)
+        case sf.Not(c) => go(c).map(sf.Not)
+        case _: sf.AlwaysTrue | _: sf.AlwaysFalse => Some(f)
+        case _ => None
+      }
+      filters.flatMap(go)
+    }
 
   /** File pruning for the V2 scan: partition values first ([[TxPart]]
     * — identity equality, temporal ranges, bucket equality, all from

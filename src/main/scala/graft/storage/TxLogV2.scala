@@ -322,8 +322,14 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     * bucket, [[TxPart]]) — DESCRIBE and the catalog round-trip read
     * it; the WRITE path re-reads the log itself (the layout is sticky,
     * so the two always agree). */
-  override lazy val partitioning: Array[Transform] =
-    TxPart.toV2Transforms(TxLog.partitionColumns(spark, table))
+  override lazy val partitioning: Array[Transform] = {
+    // recorded specs speak PHYSICAL source names; report the LOGICAL
+    // ones (DESCRIBE must show the names users can query)
+    val cm = TxLog.colMapOf(spark, table)
+    val rev = cm.map.collect { case (l, p) if l != p => p -> l }.toMap
+    TxPart.toV2Transforms(TxPart.mapSources(
+      TxLog.partitionColumns(spark, table), p => rev.getOrElse(p, p)))
+  }
 
   /** Table properties as recorded in the log (versioned: a pinned read
     * reports the properties in force at that version). */
@@ -489,9 +495,11 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
         case ("b", BooleanType) => Some(v.asInstanceOf[Boolean])
         case _ => None
       }
+    // manifest stats speak PHYSICAL column names; the agg speaks logical
+    val cm = TxLog.colMapFrom(ms)
     def extremum(name: String, dt: org.apache.spark.sql.types.DataType,
                  wantMin: Boolean): Option[Any] = {
-      val sts = files.map(_.byCol.get(name))
+      val sts = files.map(_.byCol.get(TxLog.physicalName(cm, name)))
       if (sts.exists(_.isEmpty)) return None // a file w/o stats for col
       val present = sts.flatten.filter(_.has) // all-null files contribute nothing
       if (present.exists(s => s.tag != "i" && s.tag != "b")) return None
@@ -509,7 +517,7 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
           files.map(_.rows).sum - dvDeleted: Any))
       case c: Count if !c.isDistinct && !anyDv =>
         field(c.column).flatMap { case (name, _) =>
-          val sts = files.map(_.byCol.get(name))
+          val sts = files.map(_.byCol.get(TxLog.physicalName(cm, name)))
           if (sts.exists(s => s.isEmpty || s.get.nulls < 0)) None
           else Some((StructField(s"count_$name", LongType, nullable = false),
             files.zip(sts.flatten).map { case (f, s) => f.rows - s.nulls }.sum: Any))
@@ -606,6 +614,15 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   private val stats = TxLog.liveStats(ms)
   op.foreach(_.headAtScan = ms.lastOption.map(_.version).getOrElse(-1L))
 
+  /** Column mapping: the scan's user-facing schema speaks LOGICAL
+    * names, the files/stats/filters-on-disk speak PHYSICAL. Rows are
+    * positional, so handing the parquet machinery the physical-renamed
+    * schemas (same field order/types) while [[readSchema]] reports the
+    * logical ones keeps every consumer aligned. */
+  private val cm = TxLog.colMapFrom(ms)
+  private val physPushed: Array[Filter] =
+    TxLog.renameSourceFilters(pushed.toSeq, cm).toArray
+
   /** Zone-map static pruning — SKIPPED for GROUP-BASED row-level-op
     * scans: a COW DELETE's rewritten query pushes the KEPT-rows
     * predicate (NOT cond), and file-pruning with it would drop a file
@@ -625,11 +642,11 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   @volatile private var files: Seq[String] =
     if (op.exists(!_.deltaMode)) allFiles
     else {
-      val zoned = TxLog.pruneSourceFilters(pushed.toSeq,
-        TxLog.partitionColsFrom(ms), TxLog.tableSchemaFrom(ms), allFiles, stats)
+      val zoned = TxLog.pruneSourceFilters(physPushed.toSeq,
+        TxLog.partitionColsFrom(ms), TxLog.physicalSchemaFrom(ms), allFiles, stats)
       // bloom membership on the zone-map survivors — point lookups on
       // opted-in high-cardinality columns skip files ranges can't
-      TxBloom.pruneFilters(spark, table, TxLog.propsFrom(ms), pushed.toSeq, zoned)
+      TxBloom.pruneFilters(spark, table, TxLog.propsFrom(ms), physPushed.toSeq, zoned)
     }
 
   private val wantsFile = required.fieldNames.contains(FileCol)
@@ -725,18 +742,20 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     // the position [[readSchema]] promises it at — indexes stay
     // ABSOLUTE under row-group/page skipping (PageReadStore offsets),
     // the same soundness the DV filter relies on
+    val physReadData = TxLog.physicalSchemaOf(readDataSchema, cm)
+    val physTable = TxLog.physicalSchemaOf(tableSchema, cm)
     val dataRead =
-      if (wantsPos) StructType(readDataSchema.fields :+ riField) else readDataSchema
-    val clean = GraftParquetIO.readerFactory(spark, tableSchema, dataRead,
-      partitionSchema, pushed)
+      if (wantsPos) StructType(physReadData.fields :+ riField) else physReadData
+    val clean = GraftParquetIO.readerFactory(spark, physTable, dataRead,
+      partitionSchema, physPushed)
     if (!files.exists(dvByFile.contains)) clean
     else {
       // DV partitions read WITH the row-index column appended as the
       // last data column (already there when `_pos` was requested)
       val withRi =
         if (wantsPos) clean
-        else GraftParquetIO.readerFactory(spark, tableSchema,
-          StructType(readDataSchema.fields :+ riField), partitionSchema, pushed)
+        else GraftParquetIO.readerFactory(spark, physTable,
+          StructType(physReadData.fields :+ riField), partitionSchema, physPushed)
       val dvRel = files.filter(dvByFile.contains)
         .map(rel => graft.storage.TxDv.tailKey(rel) -> dvByFile(rel)).toMap
       graft.storage.TxDv.DvReaderFactory(clean, withRi, dvRel, table,
@@ -751,7 +770,12 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} cannot be a stream " +
         "source — the tail is by definition unpinned")
-    new TxLogMicroBatchStream(spark, table, tableSchema, readDataSchema,
+    // the stream's parquet readers also read PHYSICAL (its output rows
+    // are positional against this scan's logical readSchema); physical
+    // names are immutable, so a rename mid-stream cannot desync it
+    new TxLogMicroBatchStream(spark, table,
+      TxLog.physicalSchemaOf(tableSchema, cm),
+      TxLog.physicalSchemaOf(readDataSchema, cm),
       TxLogV2.streamStart(spark, table, startingVersion), maxVersions)
   }
 
@@ -1106,7 +1130,12 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val clean = GraftParquetIO.readerFactory(spark, baseSchema, readDataSchema,
+    // data AND change files are physical-named; the feed's output rows
+    // are positional against the logical readSchema
+    val cm = TxLog.colMapFrom(TxLog.manifests(spark, table))
+    val physBase = TxLog.physicalSchemaOf(baseSchema, cm)
+    val physRead = TxLog.physicalSchemaOf(readDataSchema, cm)
+    val clean = GraftParquetIO.readerFactory(spark, physBase, physRead,
       StructType(metaFields), Array.empty)
     if (snapshotDvs.isEmpty) clean
     else {
@@ -1114,8 +1143,8 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       val riField = org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true)
-      val withRi = GraftParquetIO.readerFactory(spark, baseSchema,
-        StructType(readDataSchema.fields :+ riField), StructType(metaFields),
+      val withRi = GraftParquetIO.readerFactory(spark, physBase,
+        StructType(physRead.fields :+ riField), StructType(metaFields),
         Array.empty)
       TxDv.DvReaderFactory(clean, withRi,
         snapshotDvs.map { case (f, p) => TxDv.tailKey(f) -> p },
@@ -1257,7 +1286,11 @@ trait TxLogPartitionedWrite extends RequiresDistributionAndOrdering {
     * tasks because of a row — only because distinct source values of
     * one tuple hash apart, which the bounded multi-open writer absorbs
     * without a file-per-row explosion). */
-  private def writeSources: Seq[String] = TxPart.sources(writePcols)
+  /** The recorded specs speak PHYSICAL source names; the incoming
+    * query's attributes are LOGICAL — translate for the exchange. */
+  protected def logicalOfPhysical(p: String): String = p
+  private def writeSources: Seq[String] =
+    TxPart.sources(writePcols).map(logicalOfPhysical)
 
   override def requiredDistribution(): Distribution =
     if (writePcols.isEmpty) Distributions.unspecified()
@@ -1277,6 +1310,9 @@ class TxLogWrite(table: String, info: LogicalWriteInfo, overwrite: Boolean)
     extends Write with TxLogPartitionedWrite {
   override protected val writePcols: Seq[String] =
     TxLog.partitionColumns(SparkSession.active, table)
+  private val rev =
+    TxLog.logicalNameMap(TxLog.colMapOf(SparkSession.active, table))
+  override protected def logicalOfPhysical(p: String): String = rev.getOrElse(p, p)
 
   override def toBatch: BatchWrite =
     new TxLogBatchWrite(table, info.schema(), overwrite)
@@ -1308,7 +1344,10 @@ class TxLogBatchWrite(table: String, schema: StructType, overwrite: Boolean)
   private val pcols = TxLog.partitionColumns(spark, table)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    TxLogWriterFactory.create(spark, table, uuid, schema, pcols)
+    TxLogWriterFactory.create(spark, table, uuid, schema, pcols,
+      // an overwrite REPLACES the contract — files under the new
+      // schema's own names, mapping reset at the checkpoint
+      cmOverride = if (overwrite) Some(TxLog.ColMap(Seq.empty, Seq.empty)) else None)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
@@ -1359,20 +1398,30 @@ object TxLogWriterFactory {
   def create(spark: SparkSession, table: String, uuid: String,
              schema: StructType,
              pcols: Seq[String] = Seq.empty,
-             propsOverride: Option[Map[String, String]] = None)
+             propsOverride: Option[Map[String, String]] = None,
+             cmOverride: Option[TxLog.ColMap] = None)
       : TxLogWriterFactory = {
     // propsOverride: a staged CREATE/REPLACE writes under the NEW
     // table contract (blooms, CHECK constraints) before any manifest
-    // records it
+    // records it — its column mapping is identity by the same logic
+    // (cmOverride); an overwrite resets the mapping likewise.
     // fail-fast before any executor stages a byte (commitManifest's
     // guard is the authoritative backstop)
     TxLog.guardReservedCols(schema)
     val props = propsOverride.getOrElse(TxLog.properties(spark, table))
-    val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, schema,
+    val cm = cmOverride.getOrElse(
+      if (propsOverride.isDefined) TxLog.ColMap(Seq.empty, Seq.empty)
+      else TxLog.colMapOf(spark, table))
+    // the ROWS arrive logical-named and positional; the FILES are
+    // written physical-named — a positional rename of the schema is
+    // the whole translation
+    val physSchema = TxLog.physicalSchemaOf(schema, cm)
+    val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, physSchema,
       TxBloom.writeOptions(props))
     // CHECK constraints ride to the executors as bound predicates —
     // every V2 path (append, streaming epoch, Spark-planned DML
-    // rewrite) validates per row BEFORE its file is staged
+    // rewrite) validates per row BEFORE its file is staged; they bind
+    // against the LOGICAL schema (same positions)
     val checks = TxCheck.bound(spark, schema, props)
     // partitioned tables: executors stage hive-style `__p_<phys>=<v>`
     // layouts themselves (the multi-open writer below) — identity
@@ -1382,15 +1431,17 @@ object TxLogWriterFactory {
     // contract as the driver's stagePartitioned, distributed. `pcols`
     // is the layout the OWNING write saw at planning; the commit
     // re-checks it against the recorded one ([[TxLog.commitStaged]]).
+    // partition specs speak PHYSICAL source names — resolve against
+    // the physical-renamed schema (same positions as the rows)
     val fields = TxPart.parseAll(pcols)
     val pidx = fields.map { f =>
-      val i = schema.fieldNames.indexOf(f.source)
+      val i = physSchema.fieldNames.indexOf(f.source)
       require(i >= 0,
-        s"write schema of $table is missing partition source ${f.source}: $schema")
+        s"write schema of $table is missing partition source ${f.source}: $physSchema")
       i
     }
-    fields.zip(pidx).foreach { case (f, i) => f.validate(schema(i).dataType) }
-    TxLogWriterFactory(table, uuid, schema, owf, conf, ext, fields, pidx, checks)
+    fields.zip(pidx).foreach { case (f, i) => f.validate(physSchema(i).dataType) }
+    TxLogWriterFactory(table, uuid, physSchema, owf, conf, ext, fields, pidx, checks)
   }
 
   /** Abort cleanup: delete the files the completed tasks reported.
@@ -1655,12 +1706,18 @@ class TxLogDeltaWrite(table: String, rowSchema: StructType,
     * projects no data columns (rowSchema empty), so there is nothing
     * to cluster on — distribution stays unspecified (deletes buffer
     * per (file, positions) in any task, order-free). */
+  private val pinnedCm =
+    TxLog.colMapFrom(op.pinnedSnapshot(SparkSession.active, table))
+  override protected def logicalOfPhysical(p: String): String =
+    TxLog.logicalNameMap(pinnedCm).getOrElse(p, p)
   override protected val writePcols: Seq[String] = {
     // from the operation's PINNED snapshot — no extra manifest listing,
-    // and the layout is the one the op scan saw
+    // and the layout is the one the op scan saw. The row schema speaks
+    // LOGICAL names; compare translated sources.
     val pcols = TxLog.partitionColsFrom(
       op.pinnedSnapshot(SparkSession.active, table))
-    if (TxPart.sources(pcols).forall(rowSchema.fieldNames.contains)) pcols
+    if (TxPart.sources(pcols).map(logicalOfPhysical)
+        .forall(rowSchema.fieldNames.contains)) pcols
     else Seq.empty
   }
 
@@ -1690,7 +1747,8 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
   // a pure DELETE has no data-row projection — no insert writer needed
   private val innerFactory: Option[TxLogWriterFactory] =
     if (rowSchema.fields.isEmpty) None
-    else Some(TxLogWriterFactory.create(spark, table, uuid, rowSchema, pcols))
+    else Some(TxLogWriterFactory.create(spark, table, uuid, rowSchema, pcols,
+      cmOverride = Some(TxLog.colMapFrom(op.pinnedSnapshot(spark, table)))))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     TxLogDeltaWriterFactory(table,
@@ -1843,6 +1901,9 @@ class TxLogReplaceWrite(table: String, writeSchema: StructType,
   // layout (the stagePartitioned contract, through the V2 door)
   override protected val writePcols: Seq[String] =
     TxLog.partitionColumns(SparkSession.active, table)
+  private val rev = TxLog.logicalNameMap(
+    TxLog.colMapFrom(op.pinnedSnapshot(SparkSession.active, table)))
+  override protected def logicalOfPhysical(p: String): String = rev.getOrElse(p, p)
 
   override def toBatch: BatchWrite =
     new TxLogReplaceBatchWrite(table, writeSchema, op, writePcols)
@@ -1857,7 +1918,8 @@ class TxLogReplaceBatchWrite(table: String, writeSchema: StructType,
     s"row-level write schema unexpectedly carries ${TxLogV2.FileCol}: $writeSchema")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    TxLogWriterFactory.create(spark, table, uuid, writeSchema, pcols)
+    TxLogWriterFactory.create(spark, table, uuid, writeSchema, pcols,
+      cmOverride = Some(TxLog.colMapFrom(op.pinnedSnapshot(spark, table))))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted

@@ -226,6 +226,16 @@ object TxPart {
   def sources(specs: Seq[String]): Seq[String] =
     parseAll(specs).map(_.source).distinct
 
+  /** Rewrite each spec's SOURCE column through `f` (the column-mapping
+    * translation — recorded specs speak physical names, user-facing
+    * surfaces speak logical). */
+  def mapSources(specs: Seq[String], f: String => String): Seq[String] =
+    parseAll(specs).map {
+      case Identity(s) => Identity(f(s)).spec
+      case Temporal(u, s) => Temporal(u, f(s)).spec
+      case Bucket(n, s) => Bucket(n, f(s)).spec
+    }
+
   /** Manifest specs -> the Spark connector Transforms DESCRIBE / the
     * catalog report. */
   def toV2Transforms(specs: Seq[String])

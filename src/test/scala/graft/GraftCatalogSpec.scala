@@ -106,9 +106,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(TxLog.properties(spark, s"$wh/ddl/c")("x") == "1")
     spark.sql("ALTER TABLE testcat.ddl.c UNSET TBLPROPERTIES ('x')")
     assert(!TxLog.properties(spark, s"$wh/ddl/c").contains("x"))
-    // unsupported ALTER is loud, not silent
+    // RENAME COLUMN is metadata-only through the column mapping (r14)
+    spark.sql("ALTER TABLE testcat.ddl.c RENAME COLUMN grp TO g")
+    assert(spark.table("testcat.ddl.c").columns.toSeq == Seq("id", "g", "score"))
+    assert(spark.sql("SELECT count(*) FROM testcat.ddl.c WHERE g = '3'")
+      .first().getLong(0) == 10L)
+    // unsupported ALTER (type change) is loud, not silent
     val e = intercept[UnsupportedOperationException](
-      spark.sql("ALTER TABLE testcat.ddl.c RENAME COLUMN grp TO g"))
+      spark.sql("ALTER TABLE testcat.ddl.c ALTER COLUMN id TYPE STRING"))
     assert(e.getMessage.contains("supported: ADD COLUMN"))
     // the RENAME TO target resolves inside the SAME catalog — no
     // catalog qualifier on the new name
