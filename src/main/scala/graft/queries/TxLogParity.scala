@@ -469,8 +469,13 @@ object TxLogParity {
       import graft.storage.Materialized
       val src = Files.createTempDirectory("txlog_mv_oracle_").resolve("s").toString
       val tgt = Files.createTempDirectory("txlog_mv_oracle_").resolve("v").toString
+      // r14: MIN/MAX ride along (hybrid IVM) — the DELETE window
+      // retracts URGENT rows incl. group extrema, and the UPDATE
+      // window retracts bumped-custkey rows, so both the pure-fold
+      // and the rescan paths land in the hashed result
       val spec = Materialized.Spec(groupBy = Seq("o_orderpriority"),
-        sums = Seq("o_orderkey", "o_custkey"))
+        sums = Seq("o_orderkey", "o_custkey"),
+        mins = Seq("o_orderkey"), maxs = Seq("o_custkey"))
       val orders = Tables(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
       val m = orders.agg(max("o_orderkey")).first().getLong(0)
@@ -495,7 +500,9 @@ object TxLogParity {
     graft.storage.Materialized.read(s, tgt)
       .select(col("o_orderpriority"), col("n_rows"),
         col("o_orderkey_sum").cast("long").as("key_sum"),
-        col("o_custkey_sum").cast("long").as("cust_sum"))
+        col("o_custkey_sum").cast("long").as("cust_sum"),
+        col("o_orderkey_min").cast("long").as("key_min"),
+        col("o_custkey_max").cast("long").as("cust_max"))
       .orderBy("o_orderpriority")
   }
 
@@ -557,7 +564,11 @@ object TxLogParity {
                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
                 CAST(sum(CASE WHEN o_orderkey % 10 = 0
                               THEN o_custkey + 1000000 ELSE o_custkey END)
-                     AS BIGINT) AS cust_sum
+                     AS BIGINT) AS cust_sum,
+                CAST(min(o_orderkey) AS BIGINT) AS key_min,
+                CAST(max(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_custkey + 1000000 ELSE o_custkey END)
+                     AS BIGINT) AS cust_max
          FROM orders
          WHERE o_orderkey > (2 * (SELECT max(o_orderkey) FROM orders)) // 3
             OR o_orderpriority <> '1-URGENT'

@@ -135,6 +135,86 @@ class TxMviewSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  // ---- MIN/MAX hybrid maintenance (r14) ---------------------------
+
+  private val specMx = Materialized.Spec(groupBy = Seq("grp"),
+    sums = Seq("amount"), mins = Seq("amount"), maxs = Seq("amount"))
+
+  private def expectedMx(source: String): Map[String, (Long, Double, Double, Double)] =
+    TxLog.snapshot(spark, source).get
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("amount").as("s"),
+        min("amount").as("mn"), max("amount").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+  private def viewMx(target: String): Map[String, (Long, Double, Double, Double)] =
+    Materialized.read(spark, target)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("amount_sum"),
+          r.getAs[Double]("amount_min"), r.getAs[Double]("amount_max"))).toMap
+
+  test("MIN/MAX hybrid: pure-fold inserts, rescan only on extremum retraction") {
+    val src = fresh("mvx_src_"); val tgt = fresh("mvx_tgt_")
+    TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true"))
+    // window 1: pure inserts — extrema fold without any rescan
+    rows(0 until 90, i => s"g${i % 3}", i => i.toDouble)
+      .write.format("txlog").mode("append").save(src)
+    Materialized.refresh(spark, src, tgt, specMx)
+    assert(viewMx(tgt) == expectedMx(src), "after pure inserts")
+    // window 2: delete NON-extremum rows (g0's min is id=0, max id=87;
+    // deleting mid-range ids must stay exact — fold or rescan)
+    TxLog.delete(spark, src, col("id") === 42L || col("id") === 45L, "d1", 0L)
+    Materialized.refresh(spark, src, tgt, specMx)
+    assert(viewMx(tgt) == expectedMx(src), "after mid-range delete")
+    // window 3: delete THE minimum of g0 (id=0) and THE maximum of g1
+    // (id=88) — the retraction rescan must find the next extrema
+    TxLog.delete(spark, src, col("id") === 0L || col("id") === 88L, "d2", 0L)
+    Materialized.refresh(spark, src, tgt, specMx)
+    assert(viewMx(tgt) == expectedMx(src), "after extremum deletes")
+    // window 4: an UPDATE that lowers a group's min below everything
+    // (retract + insert through the feed) and inserts in the same window
+    TxLog.update(spark, src, col("id") === 50L,
+      Map("amount" -> lit(-999.0)), "u1", 0L)
+    rows(90 until 120, i => s"g${i % 3}", i => i * 3.0)
+      .write.format("txlog").mode("append").save(src)
+    Materialized.refresh(spark, src, tgt, specMx)
+    assert(viewMx(tgt) == expectedMx(src), "after update+append window")
+    // window 5: empty one group entirely -> tombstone (filtered from
+    // read), then refill it -> fresh extrema
+    TxLog.delete(spark, src, col("grp") === "g2", "d3", 0L)
+    Materialized.refresh(spark, src, tgt, specMx)
+    assert(viewMx(tgt) == expectedMx(src), "after emptying g2")
+    assert(!viewMx(tgt).contains("g2"))
+    rows(200 until 206, _ => "g2", i => i * 1.5)
+      .write.format("txlog").mode("append").save(src)
+    Materialized.refresh(spark, src, tgt, specMx)
+    assert(viewMx(tgt) == expectedMx(src), "after refilling g2")
+    // MoR source: extremum delete through deletion vectors
+    TxLog.setProperties(spark, src, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    TxLog.delete(spark, src, col("amount") === -999.0, "d4", 0L)
+    Materialized.refresh(spark, src, tgt, specMx)
+    assert(viewMx(tgt) == expectedMx(src), "after MoR extremum delete")
+  }
+
+  test("MIN/MAX refresh is exactly-once and survives a concurrent writer") {
+    val src = fresh("mvx2_src_"); val tgt = fresh("mvx2_tgt_")
+    TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true"))
+    rows(0 until 60, i => s"g${i % 2}", i => i.toDouble)
+      .write.format("txlog").mode("append").save(src)
+    // delete the global min, then refresh TWICE: the second is a token
+    // no-op (the rescan must not double-apply)
+    TxLog.delete(spark, src, col("id") === 0L, "d", 0L)
+    val v1 = Materialized.refresh(spark, src, tgt, specMx)
+    // a writer lands PAST the window before the replay — the replayed
+    // window must still fold exactly once
+    rows(100 until 110, _ => "g0", _ => 5000.0)
+      .write.format("txlog").mode("append").save(src)
+    assert(Materialized.refresh(spark, src, tgt, specMx) > v1)
+    assert(viewMx(tgt) == expectedMx(src), "after replay + concurrent append")
+  }
+
   test("refusals and the append-only grace: feed-off appends fold, feed-off DML is loud") {
     // append-only history needs no enabled feed — appends ARE their own
     // change record, so a rollup over a plain ingest table just works
