@@ -587,6 +587,39 @@ object GraftProcedures {
         TxLog.history(SparkSession.active, t)
           .queryExecution.executedPlan.executeCollect()
       })),
+    "maintain" -> (c => proc(c, "maintain",
+      "POLICY LOOP: read the table's health from the manifest (small " +
+        "files, DV debt, layout decay on the declared cluster columns) and " +
+        "fire the cheapest maintenance that restores it — cluster_by on " +
+        "overlap decay, incremental compaction on small-file/DV debt, " +
+        "nothing when healthy. Vacuum stays a separate, explicit call.",
+      Seq(p("table", StringType), p("target_bytes", LongType, Some("134217728")),
+        p("small_files_trigger", IntegerType, Some("8")),
+        p("dv_rows_pct", org.apache.spark.sql.types.DoubleType, Some("5.0")),
+        p("cluster_columns", StringType, Some("''")),
+        p("cluster_target_files", IntegerType, Some("0")),
+        p("overlap_pct", org.apache.spark.sql.types.DoubleType, Some("50.0"))),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("compacted", org.apache.spark.sql.types.BooleanType,
+          nullable = false),
+        StructField("clustered", org.apache.spark.sql.types.BooleanType,
+          nullable = false),
+        StructField("small_files", IntegerType, nullable = false),
+        StructField("dv_rows", LongType, nullable = false),
+        StructField("overlap_pct", org.apache.spark.sql.types.DoubleType,
+          nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        val cols = str(in, 4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val r = TxLog.maintain(SparkSession.active, t,
+          targetBytes = in.getLong(1), smallFilesTrigger = in.getInt(2),
+          dvRowsTriggerPct = in.getDouble(3), clusterColumns = cols,
+          clusterTargetFiles = in.getInt(5), overlapTriggerPct = in.getDouble(6))
+        Array[InternalRow](new GenericInternalRow(Array[Any](
+          r.version, r.compacted, r.clustered, r.smallFiles, r.dvRows,
+          r.overlapPct)))
+      })),
     "detail" -> (c => proc(c, "detail",
       "DESCRIBE DETAIL: one row of live-state observables — file/byte/row " +
         "counts, deletion-vector debt (the purge-scheduling signal), layout " +

@@ -2508,8 +2508,8 @@ object TxLog {
     val nOut = math.max(1, math.ceil(
       touched.map(sizeOf).sum.toDouble / targetBytes).toInt)
     val (rel, st) =
-      if (pcols.nonEmpty) stagePartitioned(s, root,
-        df.repartition(nOut, pcols.map(col): _*), pcols)
+      if (pcols.nonEmpty)
+        stagePartitioned(s, root, df, pcols, clusterTasks = Some(nOut))
       else stageWrite(s, root, df.repartition(nOut))
     beforeCommit() // concurrency-injection seam for the specs
     publishRewrite(s, table, rel, st, removes = touched,
@@ -2518,6 +2518,103 @@ object TxLog {
       schemaDdl = schemaDdl.getOrElse(df.schema.toDDL),
       readSet = touched,
       captureOverride = Some(() => Seq.empty)).version
+  }
+
+  /** One [[maintain]] outcome: what fired, and the observables that
+    * drove the decision (all manifest-derived, zero data files read
+    * when nothing fires). */
+  final case class MaintainReport(version: Long, compacted: Boolean,
+                                  clustered: Boolean, smallFiles: Int,
+                                  dvRows: Long, rawRows: Long,
+                                  overlapPct: Double)
+
+  /** Range-overlap decay of the live layout on `physCol` (PHYSICAL
+    * name), from manifest zone maps alone: the fraction of files whose
+    * [min,max] on the column overlaps the running span of the files
+    * before it (sorted by min). 0 = perfectly clustered (disjoint
+    * ranges — a point probe opens one file), 100 = fully smeared
+    * (every file overlaps — a probe opens them all). Files without
+    * usable stats count as decayed (conservative: favors re-layout,
+    * never hides it). */
+  private[storage] def overlapPct(stats: Seq[TxStats.FileStats],
+                                  physCol: String): Double = {
+    val n = stats.size
+    if (n <= 1) return 0.0
+    val cs = stats.map(_.byCol.get(physCol))
+    if (cs.exists(c => c.isEmpty || !c.get.has)) return 100.0
+    val tag = cs.head.get.tag
+    if (cs.exists(_.get.tag != tag)) return 100.0
+    val ranges = cs.map(c =>
+      (TxStats.parseVal(tag, c.get.min), TxStats.parseVal(tag, c.get.max)))
+      .sortWith((a, b) => TxStats.cmp(tag, a._1, b._1) < 0)
+    var overlaps = 0
+    var runMax = ranges.head._2
+    ranges.tail.foreach { case (mn, mx) =>
+      if (TxStats.cmp(tag, mn, runMax) <= 0) overlaps += 1
+      if (TxStats.cmp(tag, mx, runMax) > 0) runMax = mx
+    }
+    overlaps * 100.0 / (n - 1)
+  }
+
+  /** The MAINTENANCE POLICY LOOP: read the table's health observables
+    * from the manifest log ([[GraftProcedures]]' `detail` exposes the
+    * same ones) and fire the cheapest maintenance that restores them —
+    * the closed loop a continuously-DML'd 100 TB table needs so probe
+    * latency doesn't decay monotonically between human interventions:
+    *
+    *  - LAYOUT DECAY (only when `clusterColumns` is declared): if the
+    *    range-overlap of the first cluster column exceeds
+    *    `overlapTriggerPct`, re-lay out with [[clusterBy]] — the full
+    *    rewrite also purges every deletion vector and small file, so
+    *    nothing else needs to run;
+    *  - SMALL-FILE / DV DEBT: if more than `smallFilesTrigger` live
+    *    files are under `targetBytes`, or deletion vectors cover more
+    *    than `dvRowsTriggerPct`% of the recorded rows, run
+    *    [[compactSmall]] — O(small + DV'd bytes), never the table.
+    *
+    * Nothing over threshold = nothing runs (a no-op `maintain` is one
+    * log listing). Call it from a scheduler after ingest/DML batches;
+    * every action is the same atomic, concurrency-checked transaction
+    * it is when invoked by hand. Vacuum stays a SEPARATE, explicitly
+    * retention-bearing call — a policy loop must not silently destroy
+    * time travel. */
+  def maintain(s: SparkSession, table: String,
+               targetBytes: Long = 128L << 20,
+               smallFilesTrigger: Int = 8,
+               dvRowsTriggerPct: Double = 5.0,
+               clusterColumns: Seq[String] = Seq.empty,
+               clusterTargetFiles: Int = 0,
+               overlapTriggerPct: Double = 50.0): MaintainReport = {
+    val ms = manifests(s, table)
+    require(ms.nonEmpty, s"maintain of nonexistent txlog table $table")
+    val files = liveFiles(ms)
+    val stats = liveStats(ms)
+    val dvs = liveDvs(ms)
+    val cm = colMapFrom(ms)
+    val head = ms.last.version
+    val smallFiles = files.count(r =>
+      stats.get(r).map(_.bytes).exists(b => b > 0L && b < targetBytes))
+    val dvRows = dvs.valuesIterator.map(_.n).sum
+    val rawRows = files.flatMap(r => stats.get(r).map(_.rows).filter(_ >= 0L)).sum
+    val overlap = clusterColumns.headOption
+      .map(c => overlapPct(files.flatMap(stats.get), physicalName(cm, c)))
+      .getOrElse(0.0)
+    val needCluster = clusterColumns.nonEmpty && files.size > 1 &&
+      overlap > overlapTriggerPct
+    val needCompact = smallFiles > smallFilesTrigger ||
+      (rawRows > 0L && dvRows * 100.0 > rawRows * dvRowsTriggerPct)
+    if (needCluster) {
+      require(clusterTargetFiles > 0,
+        "maintain with clusterColumns needs clusterTargetFiles > 0")
+      val v = clusterBy(s, table, clusterColumns, clusterTargetFiles)
+      MaintainReport(v, compacted = false, clustered = true,
+        smallFiles, dvRows, rawRows, overlap)
+    } else if (needCompact) {
+      val v = compactSmall(s, table, targetBytes)
+      MaintainReport(if (v >= 0) v else head, compacted = v >= 0,
+        clustered = false, smallFiles, dvRows, rawRows, overlap)
+    } else MaintainReport(head, compacted = false, clustered = false,
+      smallFiles, dvRows, rawRows, overlap)
   }
 
   /** TRUNCATE TABLE: one atomic checkpoint with an EMPTY file set —

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** The maintenance POLICY LOOP ([[TxLog.maintain]] / `CALL
+  * system.maintain`): health observables from the manifest log decide
+  * — and trigger — the cheapest restoring action. The spec churns
+  * ingest/DML until each threshold trips and asserts both the action
+  * and the restored observable (file counts, DV debt, probe prune
+  * counts). */
+class TxMaintainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("txmaint_").resolve("t").toString
+
+  test("small-file debt: churn appends until the policy fires, then it's quiet") {
+    val t = fresh()
+    val schema = Seq((1L, "x")).toDF("id", "v").schema
+    TxLog.createTable(spark, t, schema)
+    // churn: 12 tiny single-file appends
+    (0 until 12).foreach { b =>
+      Seq((b.toLong, s"v$b")).toDF("id", "v").coalesce(1)
+        .write.format("txlog").mode("append").save(t)
+    }
+    val before = TxLog.maintain(spark, t, smallFilesTrigger = 8)
+    assert(before.compacted && !before.clustered,
+      s"expected compaction, got $before")
+    assert(before.smallFiles == 12)
+    // restored: the live set collapsed and the data is intact
+    // (observe-only re-read: thresholds out of reach)
+    val obs = TxLog.maintain(spark, t, smallFilesTrigger = 1000)
+    assert(obs.smallFiles < 12, s"still ${obs.smallFiles} small files")
+    assert(spark.read.format("txlog").load(t).count() == 12L)
+    // healthy table: the loop is a no-op listing
+    val after = TxLog.maintain(spark, t, smallFilesTrigger = 8)
+    assert(!after.compacted && !after.clustered, s"fired again: $after")
+  }
+
+  test("DV debt: merge-on-read deletes trip the ratio, compaction pays it back") {
+    val t = fresh()
+    val df = (0 until 4000).map(i => (i.toLong, s"p$i")).toDF("id", "v")
+    TxLog.createTable(spark, t, df.schema,
+      props = Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    df.coalesce(4).write.format("txlog").mode("append").save(t)
+    // churn DML until the DV debt crosses 5% of recorded rows
+    var pct = 0.0
+    var b = 0
+    while (pct <= 5.0 && b < 10) {
+      TxLog.delete(spark, t, col("id") % 37 === b.toLong, "churn", b.toLong)
+      val r = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+        dvRowsTriggerPct = 100.0) // observe only: thresholds out of reach
+      pct = r.dvRows * 100.0 / r.rawRows
+      b += 1
+    }
+    assert(pct > 5.0, s"churn never crossed the threshold: $pct%")
+    val fired = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      dvRowsTriggerPct = 5.0)
+    assert(fired.compacted, s"expected DV purge, got $fired")
+    // debt fully paid: no live DVs, counts exact
+    val obs = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      dvRowsTriggerPct = 100.0)
+    assert(obs.dvRows == 0L, s"DV debt survived: $obs")
+    val expected = 4000L - (0 until 4000).count(i => (0 until b).contains(i % 37))
+    assert(spark.read.format("txlog").load(t).count() == expected)
+  }
+
+  test("layout decay: interleaved ingest smears ranges, the loop re-clusters") {
+    val t = fresh()
+    val schema = Seq((1L, 1.0)).toDF("k", "x").schema
+    TxLog.createTable(spark, t, schema)
+    // well-clustered start: 8 disjoint ranges
+    (0 until 8).foreach { b =>
+      (b * 1000 until (b + 1) * 1000).map(i => (i.toLong, i * 0.5)).toDF("k", "x")
+        .coalesce(1).write.format("txlog").mode("append").save(t)
+    }
+    val healthy = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      clusterColumns = Seq("k"), clusterTargetFiles = 8)
+    assert(!healthy.clustered && healthy.overlapPct == 0.0, s"$healthy")
+    val (k0, n0) = TxLog.pruneCount(spark, t, col("k") === 4242L)
+    assert(n0 == 8 && k0 == 1, s"healthy probe kept $k0 of $n0")
+    // churn: interleaved ingest (round-robin keys) smears every file
+    // across the whole key range
+    (0 until 6).foreach { b =>
+      (0 until 1000).map(i => ((i * 8 + b).toLong % 8000, 1.0)).toDF("k", "x")
+        .coalesce(1).write.format("txlog").mode("append").save(t)
+    }
+    val (k1, n1) = TxLog.pruneCount(spark, t, col("k") === 4242L)
+    assert(k1 > 1, s"decay probe kept $k1 of $n1")
+    val fired = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      clusterColumns = Seq("k"), clusterTargetFiles = 8,
+      overlapTriggerPct = 30.0)
+    assert(fired.clustered && fired.overlapPct > 30.0, s"$fired")
+    // probe latency restored: the point probe opens one file again
+    val (k2, n2) = TxLog.pruneCount(spark, t, col("k") === 4242L)
+    assert(n2 == 8 && k2 == 1, s"restored probe kept $k2 of $n2")
+    assert(spark.read.format("txlog").load(t).count() == 14000L)
+  }
+
+  test("CALL system.maintain drives the loop over a transform-partitioned table") {
+    val wh = Files.createTempDirectory("txmaint_wh_").toString
+    spark.conf.set("spark.sql.catalog.mcat", "graft.storage.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcat.ns")
+    spark.sql("""CREATE TABLE mcat.ns.ev (d DATE, id BIGINT, v STRING)
+                 USING txlog PARTITIONED BY (days(d))""")
+    // churn: 10 tiny inserts into the SAME day partitions
+    (0 until 10).foreach { b =>
+      spark.sql(s"""INSERT INTO mcat.ns.ev
+                    SELECT DATE'2024-03-0${b % 3 + 1}', id + $b * 100, 'x'
+                    FROM range(20)""")
+    }
+    val dir = s"$wh/ns/ev"
+    val nBefore = spark.sql("CALL mcat.system.detail(table => 'ns.ev')")
+      .collect()(0).getAs[Int]("n_files")
+    val row = spark.sql(
+      "CALL mcat.system.maintain(table => 'ns.ev', small_files_trigger => 5)")
+      .collect()(0)
+    assert(row.getAs[Boolean]("compacted"), row.toString)
+    assert(row.getAs[Int]("small_files") == nBefore)
+    val nAfter = spark.sql("CALL mcat.system.detail(table => 'ns.ev')")
+      .collect()(0).getAs[Int]("n_files")
+    assert(nAfter < nBefore, s"$nAfter vs $nBefore")
+    // the compacted layout still prunes on the transform partition
+    val (kept, total) = TxLog.pruneCount(spark, dir,
+      col("d") === java.sql.Date.valueOf("2024-03-02"))
+    assert(kept < total, s"kept $kept of $total — transform layout lost")
+    assert(spark.table("mcat.ns.ev").count() == 200L)
+    // quiet when healthy
+    val again = spark.sql(
+      "CALL mcat.system.maintain(table => 'ns.ev', small_files_trigger => 5)")
+      .collect()(0)
+    assert(!again.getAs[Boolean]("compacted") && !again.getAs[Boolean]("clustered"))
+    spark.sql("DROP TABLE mcat.ns.ev")
+  }
+}
