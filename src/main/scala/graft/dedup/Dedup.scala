@@ -1276,9 +1276,20 @@ object Dedup {
     * partial-aggregates map-side (no window shuffle carrying every
     * member's payload); cluster assignment reuses [[clusters]]
     * (driver union-find fast path / distributed contraction at scale). */
-  def canonical(s: SparkSession, dir: String): DataFrame = {
+  def canonical(s: SparkSession, dir: String): DataFrame =
+    canonicalOver(s, dir, clusters(s, dir))
+
+  /** [[canonical]] over an ALREADY-MATERIALIZED cluster assignment —
+    * the 100 TB shape. The bench row recomputes [[clusters]] inline
+    * (the no-cross-representative-caching rule: every graded query
+    * pays its whole cost), but a real pipeline runs the clustering
+    * ONCE, persists `(doc_id, cluster_id)` next to the corpus (the
+    * band-index precedent — e.g. a txlog table the ingestion loop
+    * maintains), and feeds it here: canonicalization then costs one
+    * join + one partial-aggregable argmax over the assignment, never a
+    * second O(corpus) pair enumeration + contraction. */
+  def canonicalOver(s: SparkSession, dir: String, cl: DataFrame): DataFrame = {
     import s.implicits._
-    val cl = clusters(s, dir)
     val toks = graft.text.TextAnalysis.tokens(col("text"))
     val m = Tables(s, dir, "documents")
       .select($"doc_id",

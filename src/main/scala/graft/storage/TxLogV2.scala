@@ -781,7 +781,24 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
 
   /** Real statistics from the manifest (post static pruning), so the
     * optimizer can broadcast a small txlog table instead of defaulting
-    * to "unknown = huge". */
+    * to "unknown = huge" — and, with CBO enabled, PER-COLUMN stats
+    * (null counts, integral/boolean min/max, a distinct-count bound)
+    * so FilterEstimation can cut a filtered scan's cardinality and
+    * flip a join's build side WITHOUT any ANALYZE TABLE: the manifest
+    * zone maps are the statistics store.
+    *
+    * Exactness discipline mirrors the meta-agg push: min/max only for
+    * integral-family/boolean tags (double NaN and string truncation
+    * refused), null counts only when every live file recorded one and
+    * no DV hides rows. The distinct count is the DENSE-KEY BOUND
+    * min(range width, non-null rows) — exact for dense surrogate keys
+    * (the common join-key shape), an upper bound otherwise; an upper
+    * bound over-divides equality selectivity, which UNDER-estimates
+    * result rows — acceptable for estimates, never for answers (the
+    * meta-agg contract stays untouched). True NDV sketches are
+    * deliberately absent: manifest stats are footer-only by contract —
+    * collecting KMV would turn every commit's metadata pass into a
+    * data scan. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.map(f => fileBytes(spark, table, f, stats)).sum
     private val rows = files.flatMap(stats.get).map(_.rows).sum -
@@ -790,6 +807,73 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     override def numRows() =
       if (files.forall(stats.contains)) java.util.OptionalLong.of(math.max(rows, 0L))
       else java.util.OptionalLong.empty()
+
+    override def columnStats()
+        : java.util.Map[NamedReference,
+                        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import java.util.{Optional, OptionalLong}
+      import org.apache.spark.sql.connector.read.colstats.{ColumnStatistics => V2ColStat}
+      import org.apache.spark.sql.types._
+      val out = new java.util.HashMap[NamedReference, V2ColStat]()
+      if (!files.forall(stats.contains)) return out
+      val fsts = files.map(stats(_))
+      val anyDv = files.exists(dvByFile.contains)
+      val nonNullTotal = math.max(rows, 0L)
+      def internal(tag: String, v: Any, dt: DataType): Option[Any] = (tag, dt) match {
+        case ("i", LongType | TimestampType) => Some(v.asInstanceOf[Long])
+        case ("i", IntegerType | DateType) => Some(v.asInstanceOf[Long].toInt)
+        case ("i", ShortType) => Some(v.asInstanceOf[Long].toShort)
+        case ("i", ByteType) => Some(v.asInstanceOf[Long].toByte)
+        case ("b", BooleanType) => Some(v.asInstanceOf[Boolean])
+        case _ => None
+      }
+      readDataSchema.fields.foreach { f =>
+        val phys = TxLog.physicalName(cm, f.name)
+        val per = fsts.map(_.byCol.get(phys))
+        if (per.forall(_.isDefined)) {
+          val cs = per.flatten
+          val nullCount: OptionalLong =
+            if (!anyDv && cs.forall(_.nulls >= 0L))
+              OptionalLong.of(cs.map(_.nulls).sum)
+            else OptionalLong.empty()
+          val present = cs.filter(_.has)
+          val tagOk = present.nonEmpty &&
+            present.forall(c => c.tag == present.head.tag &&
+              (c.tag == "i" || c.tag == "b"))
+          var mn: Optional[Object] = Optional.empty()
+          var mx: Optional[Object] = Optional.empty()
+          var ndv: OptionalLong = OptionalLong.empty()
+          if (tagOk) {
+            val t = present.head.tag
+            val lo = present.map(c => TxStats.parseVal(t, c.min))
+              .reduce((a, b) => if (TxStats.cmp(t, a, b) < 0) a else b)
+            val hi = present.map(c => TxStats.parseVal(t, c.max))
+              .reduce((a, b) => if (TxStats.cmp(t, a, b) > 0) a else b)
+            mn = internal(t, lo, f.dataType)
+              .map(v => Optional.of(v.asInstanceOf[Object])).getOrElse(Optional.empty())
+            mx = internal(t, hi, f.dataType)
+              .map(v => Optional.of(v.asInstanceOf[Object])).getOrElse(Optional.empty())
+            ndv = t match {
+              case "i" =>
+                val width = hi.asInstanceOf[Long] - lo.asInstanceOf[Long] + 1L
+                if (width > 0L) OptionalLong.of(math.min(width, math.max(nonNullTotal, 1L)))
+                else OptionalLong.empty() // overflowed range: unknowable
+              case "b" => OptionalLong.of(math.min(2L, math.max(nonNullTotal, 1L)))
+              case _ => OptionalLong.empty()
+            }
+          }
+          val (fMn, fMx, fNdv, fNulls) = (mn, mx, ndv, nullCount)
+          if (fNulls.isPresent || fMn.isPresent || fNdv.isPresent)
+            out.put(Expressions.column(f.name), new V2ColStat {
+              override def distinctCount(): OptionalLong = fNdv
+              override def min(): Optional[Object] = fMn
+              override def max(): Optional[Object] = fMx
+              override def nullCount(): OptionalLong = fNulls
+            })
+        }
+      }
+      out
+    }
   }
 
   override def description(): String =

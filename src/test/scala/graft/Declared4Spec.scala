@@ -181,6 +181,20 @@ class Declared4Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("dedup_canonical over a PERSISTED assignment is row-identical to inline") {
+    import spark.implicits._
+    // the 100 TB shape: cluster once, persist the assignment, reuse it
+    val persisted = java.nio.file.Files.createTempDirectory("canon_cl_")
+      .resolve("p.parquet").toString
+    graft.dedup.Dedup.clusters(spark, sf).write.parquet(persisted)
+    val inline = graft.dedup.Dedup.canonical(spark, sf).collect().toSeq
+    val reused = graft.dedup.Dedup
+      .canonicalOver(spark, sf, spark.read.parquet(persisted))
+      .collect().toSeq
+    assert(inline == reused, "canonicalOver diverged from the inline recompute")
+    assert(inline.nonEmpty)
+  }
+
   test("text_boilerplate: every reported shingle recurs across >=2 docs") {
     import spark.implicits._
     val out = graft.text.TextAnalysis.boilerplate(spark, sf).cache()
