@@ -60,7 +60,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[GraftProcedures]]); a table namespace of that name is rejected
   * at create. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -398,6 +398,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ------------------------------------------------------------------
   // procedures (CALL graft.system.<proc>)
   // ------------------------------------------------------------------
+
+  // ------------------------------------------------------------------
+  // functions: the partition-transform functions Spark resolves for
+  // storage-partitioned joins (V2ExpressionUtils loads `bucket` from
+  // the table's catalog to prove two scans co-partitioned)
+  // ------------------------------------------------------------------
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftFunctions.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     require(ident.namespace.sameElements(Array("system")),

@@ -590,7 +590,8 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
                 startingVersion: Option[String] = None,
                 maxVersions: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   import TxLogV2._
 
@@ -714,6 +715,60 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   // ---- batch execution
   override def toBatch: Batch = this
 
+  /** STORAGE-PARTITIONED JOIN eligibility: the layout is PURE bucket
+    * transforms, every live file carries its full bucket tuple in pv,
+    * no deletion vectors (DV'd files must pack alone today), the scan
+    * is a plain read (no row-level op, no `_file` runtime narrowing
+    * that could re-plan a different file set), and the user opted into
+    * `spark.sql.sources.v2.bucketing.enabled` — that flag gates the
+    * GROUPING too, because one-partition-per-bucket trades scan
+    * parallelism for exchange elimination and must be the user's
+    * choice, not a default. Temporal+bucket compound layouts are out
+    * of v1 scope (they'd need join-keys-subset + pushed part values). */
+  private lazy val spjFields: Seq[TxPart.Bucket] = {
+    val pf = TxPart.parseAll(TxLog.partitionColsFrom(ms))
+    if (pf.nonEmpty && pf.forall(_.isInstanceOf[TxPart.Bucket]))
+      pf.map(_.asInstanceOf[TxPart.Bucket])
+    else Seq.empty
+  }
+  private def spjGroups(fs: Seq[String]): Option[Seq[(Seq[Int], Seq[String])]] = {
+    val enabled = op.isEmpty && !wantsFile && spjFields.nonEmpty &&
+      dvByFile.isEmpty &&
+      spark.sessionState.conf
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+    if (!enabled) return None
+    val keyed = fs.map { rel =>
+      stats.get(rel).map(st => spjFields.map(b => st.byPart.get(b.phys))) match {
+        case Some(vals) if vals.forall(_.exists(_.toIntOption.isDefined)) =>
+          Some(vals.map(_.get.toInt) -> rel)
+        case _ => None // a file without its bucket tuple (legacy/compacted)
+      }
+    }
+    if (keyed.exists(_.isEmpty)) None
+    else Some(keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .sortBy(_._1.mkString(",")))
+  }
+
+  /** Report the bucket layout as a [[KeyGroupedPartitioning]] so two
+    * co-bucketed txlog tables JOIN WITHOUT AN EXCHANGE — Spark resolves
+    * the `bucket` transform through the table's catalog
+    * ([[GraftFunctions.BucketUnbound]]) and matches both sides by the
+    * function's canonical name + bucket count. Sources report their
+    * LOGICAL names (the scan's output namespace). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups(files) match {
+      case Some(groups) =>
+        val rev = TxLog.logicalNameMap(cm)
+        val clustering = TxPart.toV2Transforms(TxPart.mapSources(
+          spjFields.map(_.spec), p => rev.getOrElse(p, p)))
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          clustering.map(t => t: org.apache.spark.sql.connector.expressions.Expression),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     TxLogV2.lastPrune.set((files.size, allFiles.size))
     op.foreach(_.scannedFiles = files)
@@ -722,6 +777,17 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
         if (wantsFile) InternalRow(UTF8String.fromString(rel)) else InternalRow.empty
       GraftParquetIO.partitionedFile(TxLog.absPath(table)(rel),
         fileBytes(spark, table, rel, stats), pv)
+    }
+    spjGroups(files) match {
+      case Some(groups) =>
+        // one input partition PER BUCKET TUPLE, carrying its key — the
+        // contract KeyGroupedPartitioning promises the planner
+        return groups.zipWithIndex.map { case ((key, rels), i) =>
+          GraftParquetIO.keyedFilePartition(i, rels.map(pf),
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              key.toArray[Any]))
+        }.toArray
+      case None => ()
     }
     val (dvFiles, cleanFiles) = files.partition(dvByFile.contains)
     if (dvFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))

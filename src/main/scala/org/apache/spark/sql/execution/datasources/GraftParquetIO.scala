@@ -90,6 +90,22 @@ object GraftParquetIO {
     FilePartition.getFilePartitions(spark, files, maxSplit).toArray
   }
 
+  /** A FilePartition that also CARRIES ITS PARTITION KEY — the
+    * storage-partitioned-join seam: the reader factories downcast
+    * input partitions to [[FilePartition]], so the keyed variant must
+    * BE one (it is not a case class, so the extension is legal and
+    * the factories see it verbatim). */
+  final class KeyedFilePartition(index: Int, files: Array[PartitionedFile],
+                                 key: InternalRow)
+      extends FilePartition(index, files)
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow = key
+  }
+
+  def keyedFilePartition(index: Int, files: Seq[PartitionedFile],
+                         key: InternalRow): InputPartition =
+    new KeyedFilePartition(index, files.toArray, key)
+
   /** Driver half of the executor-side parquet WRITE path: the
     * serializable OutputWriterFactory from ParquetFileFormat (codec,
     * schema converters, committer conf all baked into the returned
