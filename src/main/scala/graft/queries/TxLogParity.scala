@@ -358,6 +358,56 @@ object TxLogParity {
       t
     })
 
+  /** STORAGE-PARTITIONED JOIN (r14): orders and customer live as
+    * co-bucketed `bucket(8, custkey)` catalog tables and join WITHOUT
+    * an exchange (`KeyGroupedPartitioning` over the catalog's `bucket`
+    * V2 function — TxSpjSpec pins the exchange-free plan; here the
+    * RESULT of that plan is hash-checked against DuckDB's plain join,
+    * so a wrong bucket key on either side, a dropped bucket partition,
+    * or a co-partitioning mismatch would skew the group sums). */
+  private val builtSpj = new ConcurrentHashMap[String, (String, String)]()
+
+  private def spjTables(s: SparkSession, dir: String): (String, String) =
+    builtSpj.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("txlog_spj_oracle_").toString
+      val cat = s"gspj${math.abs(dir.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // the SPJ plan shape is the point of these tables — leave the
+      // opt-in on for the session (grouping only changes parallelism,
+      // never results; the one other bucketed oracle table is
+      // years+bucket and therefore ineligible)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .createOrReplaceTempView("spj_orders_src")
+      Tables(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .createOrReplaceTempView("spj_customer_src")
+      val ta = s"$cat.default.orders_b"
+      val tb = s"$cat.default.customer_b"
+      s.sql(s"""CREATE TABLE $ta (o_orderkey BIGINT, o_custkey BIGINT,
+                o_orderstatus STRING) USING txlog
+                PARTITIONED BY (bucket(8, o_custkey))""")
+      s.sql(s"INSERT INTO $ta SELECT * FROM spj_orders_src")
+      s.sql(s"""CREATE TABLE $tb (c_custkey BIGINT, c_nationkey BIGINT,
+                c_acctbal DOUBLE) USING txlog
+                PARTITIONED BY (bucket(8, c_custkey))""")
+      s.sql(s"INSERT INTO $tb SELECT * FROM spj_customer_src")
+      (ta, tb)
+    })
+
+  val spjJoin: Q = (s, dir) => {
+    val (ta, tb) = spjTables(s, dir)
+    s.table(ta).join(s.table(tb), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("c_custkey").cast("long").as("cust_sum"),
+        min("c_acctbal").as("bal_min"))
+      .orderBy("c_nationkey")
+  }
+
   val catalogDml: Q = (s, dir) => {
     val t = catalogTable(s, dir)
     s.table(t)
@@ -509,6 +559,7 @@ object TxLogParity {
   val queries: Map[String, Q] = Map(
     "txlog_part_transform" -> partTransform,
     "txlog_colmap" -> colmap,
+    "txlog_spj_join" -> spjJoin,
     "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
     "txlog_scan_prune" -> scanPrune,
@@ -526,6 +577,17 @@ object TxLogParity {
     * (gen0 ∪ gen1) minus URGENT, plus gen2 verbatim; state at v1 =
     * gen0 ∪ gen1 untouched. */
   val oracleSql: Map[String, String] = Map(
+    // the storage-partitioned join's result replayed as a plain join
+    // (min over doubles is order-independent — exact across engines)
+    "txlog_spj_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(c_custkey) AS BIGINT) AS cust_sum,
+                min(c_acctbal) AS bal_min
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey""",
     // column-mapped table's live state: both eras' rows under the
     // final names, minus the DML-deleted cheap orders (min/max are
     // order-independent — exact across engines, unlike a double sum)

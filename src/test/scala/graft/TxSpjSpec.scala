@@ -72,6 +72,21 @@ class TxSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("groupBy on the bucket key aggregates without an exchange") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.ns")
+    mk("g", 4000, 8)
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.table("spjcat.ns.g").groupBy("k")
+        .agg(count(lit(1)).as("n"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected the bucket partitioning to satisfy the aggregation:\n$plan")
+      assert(df.count() == 4000L)
+    }
+  }
+
   test("mismatched bucket counts fall back to a shuffled join, still exact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.ns")
     mk("c", 2000, 8)
