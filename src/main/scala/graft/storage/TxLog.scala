@@ -70,7 +70,7 @@ object TxLog {
   private[storage] def singleUseWriter(w: String): Boolean =
     Seq("compact-", "cluster-", "overwrite-", "restore-", "batch-", "insert-",
       "sql-delete-", "sql-update-", "sql-merge-", "props-", "create-",
-      "evolve-").exists(w.startsWith)
+      "evolve-", "colmap-").exists(w.startsWith)
 
   /** The reserved namespace FAILS LOUDLY at the public entry points: a
     * user writer id like `batch-nightly` would be silently dropped from
@@ -552,6 +552,7 @@ object TxLog {
       case w if w.startsWith("props-") => "SET PROPERTIES"
       case w if w.startsWith("create-") => "CREATE TABLE"
       case w if w.startsWith("evolve-") => "ALTER SCHEMA"
+      case w if w.startsWith("colmap-") => "ALTER COLUMN MAPPING"
       case _ if m.checkpoint => "CHECKPOINT"
       case _ if m.removes.nonEmpty || m.dvs.nonEmpty => "REWRITE"
       case _ => "APPEND"
@@ -2298,6 +2299,12 @@ object TxLog {
         newer.find(m => m.removes.exists(footprint) ||
             m.dvs.exists(d => footprint(d.f))).foreach(m => throw conflict(
           s"had files this operation read rewritten at v${m.version}"))
+        // a concurrent RENAME/DROP COLUMN cannot be rebased over: this
+        // rewrite's recorded schema speaks the PRE-rename logical names,
+        // and merging it with the renamed one would duplicate the column
+        // under both names (evolution sees a rename as drop+add)
+        newer.find(_.cmap.isDefined).foreach(m => throw conflict(
+          s"changed the column mapping at v${m.version} (RENAME/DROP COLUMN) past v$base"))
         newer.flatMap(_.schema)
           .map(org.apache.spark.sql.types.StructType.fromDDL)
           .foreach(in => recorded = mergedSchema(recorded, in))
@@ -2678,8 +2685,11 @@ object TxLog {
       val ms = manifests(s, table)
       val newer = ms.filter(_.version > base)
       // dvs count as rewrites: rebasing over a concurrent merge-on-read
-      // DML would silently drop its deletion vectors from the read set
-      if (newer.exists(m => m.checkpoint || m.removes.nonEmpty || m.dvs.nonEmpty))
+      // DML would silently drop its deletion vectors from the read set;
+      // cmap commits (RENAME/DROP COLUMN) cannot merge with this
+      // rewrite's pre-rename schema (a rename reads as drop+add)
+      if (newer.exists(m => m.checkpoint || m.removes.nonEmpty ||
+          m.dvs.nonEmpty || m.cmap.isDefined))
         throw new java.util.ConcurrentModificationException(
           s"$table got a non-append commit past v$base during a layout rewrite — re-run")
       carriedFiles = carriedFiles ++ newer.flatMap(_.files)

@@ -45,6 +45,9 @@ class TxColMapSpec extends AnyFunSuite {
     assert(dataFileCount(t) == filesBefore, "rename must move zero data bytes")
     val df = spark.read.format("txlog").load(t)
     assert(df.columns.toSeq == Seq("id", "bucket_name", "score"))
+    // history names the transaction
+    assert(TxLog.history(spark, t).orderBy(col("version").desc)
+      .first().getAs[String]("operation") == "ALTER COLUMN MAPPING")
     // values intact, filter on the NEW name works end to end
     assert(df.where(col("bucket_name") === "g1").count() == 100L)
     // zone maps keyed by the PHYSICAL name still prune on the new name
@@ -238,6 +241,32 @@ class TxColMapSpec extends AnyFunSuite {
     assert(df.count() == 30L)
     // and the table keeps working after the restore
     assert(df.where(col("grp") === "g1").count() == 10L)
+  }
+
+  test("a rename landing mid-DML or mid-compaction is a loud conflict, never a merge") {
+    val t = freshTable()
+    TxLog.createTable(spark, t, df3(0).schema,
+      props = Map(TxLog.IsolationProp -> TxLog.IsolationWriteSerializable))
+    df3(60).write.format("txlog").mode("append").save(t)
+    // writeSerializable rebase: a concurrent RENAME cannot fold into the
+    // rewrite's pre-rename schema (a rename reads as drop+add)
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      TxLog.delete(spark, t, col("id") < 5L, "d", 0L,
+        beforeCommit = () => { TxLog.renameColumn(spark, t, "grp", "g"); () })
+    }
+    assert(e1.getMessage.contains("column mapping"), e1.getMessage)
+    // the rename WON; the table is consistent under the new name
+    assert(spark.read.format("txlog").load(t).columns.toSeq ==
+      Seq("id", "g", "score"))
+    assert(spark.read.format("txlog").load(t).count() == 60L)
+    // checkpoint rebase (compaction) refuses the same interleaving
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      TxLog.compact(spark, t,
+        beforeCommit = () => { TxLog.renameColumn(spark, t, "g", "g2"); () })
+    }
+    assert(e2.getMessage.contains("non-append"), e2.getMessage)
+    assert(spark.read.format("txlog").load(t).columns.toSeq ==
+      Seq("id", "g2", "score"))
   }
 
   test("overwrite resets the mapping with the new contract") {
