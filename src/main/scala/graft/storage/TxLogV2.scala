@@ -1932,11 +1932,19 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
   /** Change-feed capture: old = the rows at the freshly-deleted
     * positions (read back by row index from the touched files — each
     * executor decodes the fresh sidecar FRAGMENTS itself), new = the
-    * staged insert/post-image rows. */
+    * staged insert/post-image rows. Both the touched data files and the
+    * freshly staged inserts hold PHYSICAL column names (the writer
+    * factory translates through the snapshot's column mapping), so both
+    * reads go through the physical schema and project back to logical
+    * AFTER the `_metadata` position filter — selecting first would drop
+    * `_metadata` resolvability, and reading logical names that aren't
+    * in the files would silently null every renamed column's images. */
   private def stageDeltaChanges(perFile: Seq[(String, Seq[String])],
                                 rel: Seq[String], schemaDdl: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col, udf}
     val sch = StructType.fromDDL(schemaDdl)
+    val cm = TxLog.colMapFrom(op.pinnedSnapshot(spark, table))
+    val physSch = TxLog.physicalSchemaOf(sch, cm)
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
     val deleted =
@@ -1954,15 +1962,19 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
             TxDv.cachedDecode(frag,
               TxDv.readBytes(confB.value.value, tableStr, frag)).contains(pos)))
         })
-        spark.read.schema(sch).parquet(perFile.map(p => TxLog.absPath(table)(p._1)): _*)
+        val hitRows = spark.read.schema(physSch)
+          .parquet(perFile.map(p => TxLog.absPath(table)(p._1)): _*)
           .withColumn("__gf", col("_metadata.file_path"))
           .withColumn("__gri", col("_metadata.row_index"))
           .where(hit(col("__gf"), col("__gri")))
           .drop("__gf", "__gri")
+        TxLog.toLogical(hitRows, sch, cm)
       }
     val inserted =
       if (rel.isEmpty) empty
-      else spark.read.schema(sch).parquet(rel.map(TxLog.absPath(table)): _*)
+      else TxLog.toLogical(
+        spark.read.schema(physSch).parquet(rel.map(TxLog.absPath(table)): _*),
+        sch, cm)
     TxLog.stageChangePair(spark, table, deleted, inserted,
       math.max(perFile.size, rel.size))
   }

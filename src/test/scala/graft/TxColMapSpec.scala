@@ -207,6 +207,41 @@ class TxColMapSpec extends AnyFunSuite {
     assert(deletes.where(col("quality") >= 900.0).count() == 10L)
   }
 
+  test("Spark-planned MoR DML after a rename captures real change images") {
+    // regression: the V2 delta path's capture (stageDeltaChanges) read
+    // the touched files and staged inserts under the LOGICAL schema;
+    // after a rename the files only know the physical name, so every
+    // renamed column's pre/post-image silently became NULL.
+    val t = freshTable()
+    TxLog.createTable(spark, t, df3(0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true",
+                  TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    df3(100).write.format("txlog").mode("append").save(t)   // v1
+    TxLog.renameColumn(spark, t, "score", "quality")        // v2
+    val name = s"txcolmap_cdf_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $name USING txlog OPTIONS (path '$t')")
+    try {
+      spark.sql(s"DELETE FROM $name WHERE quality >= 900.0")          // v3
+      spark.sql(s"UPDATE $name SET quality = 777.0 WHERE id = 7")     // v4
+      assert(spark.table(name).count() == 90L)
+      val feed = spark.read.format("txlog").option("readChangeFeed", "true")
+        .option("startingVersion", "3").load(t)
+      // the renamed column's images must carry the real values
+      assert(feed.where(col("quality").isNull).count() == 0L,
+        "renamed column's change images must never be null")
+      val del = feed.where(col("_commit_version") === 3L &&
+        col("_change_type") === "delete")
+      assert(del.count() == 10L)
+      assert(del.agg(sum("quality")).first().getDouble(0) ==
+        (90 until 100).map(_ * 10.0).sum)
+      val upd = feed.where(col("_commit_version") === 4L)
+      assert(upd.where(col("_change_type") === "delete")
+        .select("quality").as[Double].head() == 70.0)
+      assert(upd.where(col("_change_type") === "insert")
+        .select("quality").as[Double].head() == 777.0)
+    } finally spark.sql(s"DROP TABLE $name")
+  }
+
   test("SQL ALTER TABLE RENAME/DROP COLUMN through the catalog") {
     val wh = Files.createTempDirectory("txcolmap_wh_").toString
     spark.conf.set("spark.sql.catalog.cmcat", "graft.storage.GraftCatalog")
