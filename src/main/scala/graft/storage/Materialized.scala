@@ -49,7 +49,11 @@ import org.apache.spark.sql.types.StructType
   *
   * At 100 TB: the view's refresh reads O(delta) change files + the
   * isin-and-zone-pruned target groups the delta touches; the merge
-  * rewrites only the target files holding those groups. A
+  * rewrites only the target files holding those groups. Driver memory
+  * is bounded: touched-group keys are limit-PROBED before collecting,
+  * and a window touching more than [[MaxPruneKeys]] groups skips the
+  * literal prune (full-snapshot current read / left-semi-join rescan)
+  * instead of materializing millions of keys on the driver. A
   * continuously-DML'd fact table keeps a live rollup for the cost of
   * its own churn. */
 object Materialized {
@@ -85,8 +89,15 @@ object Materialized {
 
   /** Above this many touched groups the isin prune predicate costs
     * more than it saves — fall back to the full snapshot read (the
-    * merge is still group-pruned). */
-  private val MaxPruneKeys = 10000
+    * merge is still group-pruned). A `var` only as a test seam (the
+    * clockForTests pattern): specs shrink it to exercise the over-cap
+    * fallbacks without materializing 10k groups. */
+  private[graft] var MaxPruneKeys = 10000
+
+  /** Which read path the last [[fold]] took, for spec assertions only:
+    * (`"isin" | "snapshot" | "none"`, `"isin" | "semijoin" | "none"`) =
+    * (target current-values read, extremum rescan read). */
+  @volatile private[graft] var lastFoldPaths: (String, String) = ("none", "none")
 
   /** Fold ONE change window into the target under `token` — the shared
     * core of [[refresh]] (window = a version range of the feed) and
@@ -119,6 +130,7 @@ object Materialized {
     val delta = window.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastFoldPaths = ("none", "none")
     try {
       // the TARGET schema: keys + n_rows + sums + extrema (extrema
       // nullable — a tombstoned or all-null group has none)
@@ -157,14 +169,23 @@ object Materialized {
       // groups and inserts new ones
       val emptyTarget = s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), targetSchema)
-      val keyRows = delta.select(keys.map(col): _*).collect()
+      // PROBE the touched-group count before materializing keys on the
+      // driver: a wide window (a backfill, a broad UPDATE) can touch
+      // millions of groups, and collecting them all just to discover
+      // they're over the cap would OOM the driver the fallback exists
+      // to protect. `delta` is one row per group, so a limit(cap+1)
+      // probe is complete whenever it comes back under the cap.
+      val keyProbe = delta.select(keys.map(col): _*)
+        .limit(MaxPruneKeys + 1).collect()
       val current =
-        if (keyRows.isEmpty) emptyTarget
-        else if (keyRows.length > MaxPruneKeys)
+        if (keyProbe.isEmpty) emptyTarget
+        else if (keyProbe.length > MaxPruneKeys) {
+          lastFoldPaths = ("snapshot", lastFoldPaths._2)
           TxLog.snapshot(s, target).getOrElse(emptyTarget)
-        else {
+        } else {
+          lastFoldPaths = ("isin", lastFoldPaths._2)
           val pred = keys.zipWithIndex.map { case (g, i) =>
-            col(g).isin(keyRows.map(_.get(i)).distinct.toIndexedSeq: _*)
+            col(g).isin(keyProbe.map(_.get(i)).distinct.toIndexedSeq: _*)
           }.reduce(_ && _)
           TxLog.scanWhere(s, target, pred).getOrElse(emptyTarget)
         }
@@ -216,26 +237,42 @@ object Materialized {
       val needy = tombstoned.filter(col("__rescan"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val rescanKeys = needy.select(keys.map(col): _*).collect()
+        // same probe-before-collect discipline as the current-values
+        // read: a delete retracting millions of groups' extrema must
+        // not materialize them all on the driver (and the isin literal
+        // it would build would be degenerate at that size anyway)
+        val rescanProbe = needy.select(keys.map(col): _*)
+          .limit(MaxPruneKeys + 1).collect()
         val out =
-          if (rescanKeys.isEmpty) tombstoned.select(outCols: _*)
+          if (rescanProbe.isEmpty) tombstoned.select(outCols: _*)
           else {
             // rescan EXACTLY the retracted groups, against the source
             // AS OF the window's end version (a concurrent writer past
-            // the window must not leak into this fold), isin-pruned so
-            // a clustered source opens only those groups' files
+            // the window must not leak into this fold) — isin-pruned
+            // under the cap so a clustered source opens only those
+            // groups' files; over it, a left-semi join against the
+            // (persisted) needy keys bounds driver memory: file-level
+            // pruning is lost but the rescan stays one distributed pass
             val ver = needy.agg(max(col("__wv"))).first().getLong(0)
             val srcAt = TxLog.snapshotAt(s, source, ver).getOrElse(
               throw new IllegalStateException(
                 s"source $source has no snapshot at v$ver — vacuumed below the " +
                   "view's rescan horizon?"))
-            val pred = keys.zipWithIndex.map { case (g, i) =>
-              col(g).isin(rescanKeys.map(_.get(i)).distinct.toIndexedSeq: _*)
-            }.reduce(_ && _)
+            val hit =
+              if (rescanProbe.length > MaxPruneKeys) {
+                lastFoldPaths = (lastFoldPaths._1, "semijoin")
+                srcAt.join(needy.select(keys.map(col): _*), keys, "left_semi")
+              } else {
+                lastFoldPaths = (lastFoldPaths._1, "isin")
+                val pred = keys.zipWithIndex.map { case (g, i) =>
+                  col(g).isin(rescanProbe.map(_.get(i)).distinct.toIndexedSeq: _*)
+                }.reduce(_ && _)
+                srcAt.filter(pred)
+              }
             val reAggs =
               spec.mins.map(c => min(col(c)).as(s"__r_${minCol(c)}")) ++
                 spec.maxs.map(c => max(col(c)).as(s"__r_${maxCol(c)}"))
-            val re = srcAt.filter(pred).groupBy(keys.map(col): _*)
+            val re = hit.groupBy(keys.map(col): _*)
               .agg(reAggs.head, reAggs.tail: _*)
             val fixed = needy.alias("f").join(re.alias("r"), keys, "left")
               .select(keys.map(col) ++ Seq(col("f.n_rows")) ++

@@ -197,6 +197,40 @@ class TxMviewSpec extends AnyFunSuite {
     assert(viewMx(tgt) == expectedMx(src), "after MoR extremum delete")
   }
 
+  test("over-cap windows bound driver memory: snapshot current read, semi-join rescan") {
+    // r15: a wide window must never collect every touched group key to
+    // the driver — under a shrunk cap, a many-group refresh takes the
+    // full-snapshot current read, and a many-group extremum retraction
+    // takes the left-semi-join rescan (no isin literal), both exact.
+    val src = fresh("mvcap_src_"); val tgt = fresh("mvcap_tgt_")
+    TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
+      props = Map(TxLog.ChangeFeedProp -> "true"))
+    val saved = Materialized.MaxPruneKeys
+    Materialized.MaxPruneKeys = 5
+    try {
+      // 20 groups of 3 rows each: over the cap of 5 on every path
+      rows(0 until 60, i => s"g${i % 20}", i => i.toDouble)
+        .write.format("txlog").mode("append").save(src)
+      Materialized.refresh(spark, src, tgt, specMx)
+      assert(Materialized.lastFoldPaths._1 == "snapshot",
+        s"expected over-cap snapshot read, took ${Materialized.lastFoldPaths}")
+      assert(viewMx(tgt) == expectedMx(src), "after over-cap insert window")
+      // delete every group's MINIMUM (ids 0..19) — 20 retracted groups
+      // force the rescan over the cap → semi-join, never a 20-key isin
+      TxLog.delete(spark, src, col("id") < 20L, "d", 0L)
+      Materialized.refresh(spark, src, tgt, specMx)
+      assert(Materialized.lastFoldPaths._2 == "semijoin",
+        s"expected over-cap semi-join rescan, took ${Materialized.lastFoldPaths}")
+      assert(viewMx(tgt) == expectedMx(src), "after over-cap extremum retraction")
+      // an under-cap window still takes the pruned paths
+      TxLog.delete(spark, src, col("id") === 20L, "d2", 0L) // g0's new min
+      Materialized.refresh(spark, src, tgt, specMx)
+      assert(Materialized.lastFoldPaths == ("isin", "isin"),
+        s"expected pruned paths under the cap, took ${Materialized.lastFoldPaths}")
+      assert(viewMx(tgt) == expectedMx(src), "after under-cap retraction")
+    } finally Materialized.MaxPruneKeys = saved
+  }
+
   test("MIN/MAX refresh is exactly-once and survives a concurrent writer") {
     val src = fresh("mvx2_src_"); val tgt = fresh("mvx2_tgt_")
     TxLog.createTable(spark, src, rows(0 until 0, _ => "", _ => 0).schema,
