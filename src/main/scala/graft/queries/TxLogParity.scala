@@ -505,6 +505,58 @@ object TxLogParity {
       .orderBy("o_orderstatus")
   }
 
+  /** TYPE WIDENING (r15, [[graft.storage.TxLog.widenColumnType]]): a
+    * table born with an INT key column and a FLOAT measure, widened to
+    * BIGINT/DOUBLE mid-history — metadata-only — then ingesting values
+    * beyond int range and running DML across both eras. The hashed
+    * aggregate spans pre-widen files (INT32/FLOAT on disk, upcast at
+    * scan) and post-widen files (true INT64/DOUBLE), so a wrong upcast
+    * or a pruning bound comparing in the wrong domain would skew it.
+    * DuckDB replays the final state from the raw orders parquet with
+    * the same float round-trip. */
+  private val builtWd = new ConcurrentHashMap[String, String]()
+
+  private def widenTable(s: SparkSession, dir: String): String =
+    builtWd.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_wd_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val k1 = m / 2
+      val gen0 = orders.where(col("o_orderkey") <= k1)
+        .select(col("o_orderkey"), col("o_custkey").cast("int").as("cust"),
+          col("o_orderstatus"), col("o_totalprice").cast("float").as("price"))
+      TxLog.createTable(s, t, gen0.schema)
+      gen0.write.format("txlog").mode("append").save(t)
+      TxLog.widenColumnType(s, t, "cust",
+        org.apache.spark.sql.types.LongType)
+      TxLog.widenColumnType(s, t, "price",
+        org.apache.spark.sql.types.DoubleType)
+      // post-widen ingest: keys beyond int range (the widen's point);
+      // price keeps the float round-trip so both eras carry the SAME
+      // value domain and the oracle needs no per-era CASE
+      orders.where(col("o_orderkey") > k1)
+        .select(col("o_orderkey"),
+          (col("o_custkey") + lit(5000000000L)).as("cust"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("float").cast("double").as("price"))
+        .write.format("txlog").mode("append").save(t)
+      // DML across both eras, predicated on the widened column
+      TxLog.delete(s, t, col("o_orderkey") % 5 === 1, "wd-del", 0L)
+      t
+    })
+
+  val widen: Q = (s, dir) => {
+    val t = widenTable(s, dir)
+    s.read.format("txlog").load(t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("cust").cast("long").as("cust_sum"),
+        min("price").as("price_min"),
+        max("price").as("price_max"))
+      .orderBy("o_orderstatus")
+  }
+
   /** MATERIALIZED VIEW (r13, [[graft.storage.Materialized]]): a rollup
     * over a mutating source, maintained INCREMENTALLY — one refresh per
     * source transaction window, each folding only that window's change
@@ -559,6 +611,7 @@ object TxLogParity {
   val queries: Map[String, Q] = Map(
     "txlog_part_transform" -> partTransform,
     "txlog_colmap" -> colmap,
+    "txlog_widen" -> widen,
     "txlog_spj_join" -> spjJoin,
     "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
@@ -599,6 +652,24 @@ object TxLogParity {
                 max(o_totalprice) AS price_max
          FROM orders
          WHERE o_totalprice >= 10000.0
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+    // widened table's live state: both eras' rows (pre-widen INT/FLOAT
+    // upcast at scan; post-widen true BIGINT/DOUBLE) minus the DML cut;
+    // price round-trips through FLOAT on both engines so min/max are
+    // exact, and the era split re-derives from max(o_orderkey)
+    "txlog_widen" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(CASE WHEN o_orderkey <=
+                       (SELECT max(o_orderkey) // 2 FROM orders)
+                     THEN o_custkey ELSE o_custkey + 5000000000 END)
+                     AS BIGINT) AS cust_sum,
+                min(CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)) AS price_min,
+                max(CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)) AS price_max
+         FROM orders
+         WHERE o_orderkey % 5 <> 1
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
     // transform-partitioned table's live state: orders minus

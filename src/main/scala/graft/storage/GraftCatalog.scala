@@ -232,34 +232,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
     val unsupported = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
            _: TableChange.AddColumn | _: TableChange.RenameColumn |
-           _: TableChange.DeleteColumn => false
+           _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType => false
       case _ => true
     }
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         s"unsupported ALTER on txlog table $ident: ${unsupported.mkString(", ")} — " +
           "supported: ADD COLUMN (top-level, nullable), RENAME COLUMN, " +
-          "DROP COLUMN, SET/UNSET TBLPROPERTIES")
-    // RENAME/DROP COLUMN: metadata-only transactions through the
-    // column mapping ([[TxLog.renameColumn]]/[[TxLog.dropColumn]]) —
-    // zero data bytes move at any table size
-    renames.foreach { r =>
-      require(r.fieldNames.length == 1,
-        s"RENAME COLUMN on nested field ${r.fieldNames.mkString(".")} is not supported")
-      TxLog.renameColumn(spark, t, r.fieldNames.head, r.newName)
-    }
-    drops.foreach { d =>
-      require(d.fieldNames.length == 1,
-        s"DROP COLUMN on nested field ${d.fieldNames.mkString(".")} is not supported")
-      TxLog.dropColumn(spark, t, d.fieldNames.head)
-    }
-    if (adds.nonEmpty) {
-      val current = TxLog.tableSchema(spark, t).getOrElse(
+          "DROP COLUMN, ALTER COLUMN TYPE (lossless widenings), " +
+          "SET/UNSET TBLPROPERTIES")
+    // VALIDATE the whole change set up front against the current
+    // snapshot, simulating the sequence on a local schema copy — an
+    // ALTER must fully apply or fully fail, never stop mid-sequence
+    // with half its changes committed. The per-transaction guards in
+    // TxLog remain the authoritative (concurrency-safe) backstop; this
+    // pass catches every statically-decidable refusal first.
+    if (renames.nonEmpty || drops.nonEmpty || adds.nonEmpty || widens.nonEmpty) {
+      var sim = TxLog.tableSchema(spark, t).getOrElse(
         throw new IllegalStateException(s"table $t has no recorded schema"))
-      val newFields = adds.map { a =>
+      val psrc = TxPart.sources(TxLog.partitionColumns(spark, t))
+      val cm = TxLog.colMapOf(spark, t)
+      def lower(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+      def existing(kind: String, n: Seq[String]): String = {
+        require(n.length == 1,
+          s"$kind on nested field ${n.mkString(".")} is not supported")
+        require(sim.fieldNames.contains(n.head),
+          s"$kind: column ${n.head} not in ${sim.fieldNames.toSeq}")
+        n.head
+      }
+      renames.foreach { r =>
+        val from = existing("RENAME COLUMN", r.fieldNames.toSeq)
+        require(!sim.fieldNames.exists(x =>
+          x != from && lower(x) == lower(r.newName)),
+          s"RENAME COLUMN: ${r.newName} already exists")
+        sim = StructType(sim.fields.map(f =>
+          if (f.name == from) f.copy(name = r.newName) else f))
+      }
+      drops.foreach { d =>
+        val n = existing("DROP COLUMN", d.fieldNames.toSeq)
+        require(sim.fields.length > 1, s"DROP COLUMN: $n is the table's last column")
+        require(!psrc.contains(TxLog.physicalName(cm, n)),
+          s"DROP COLUMN: $n is a partition source column")
+        sim = StructType(sim.fields.filterNot(_.name == n))
+      }
+      widens.foreach { u =>
+        val n = existing("ALTER COLUMN TYPE", u.fieldNames.toSeq)
+        val from = sim(n).dataType
+        require(TxLog.isWidening(from, u.newDataType),
+          s"ALTER COLUMN TYPE: ${from.simpleString} -> " +
+            s"${u.newDataType.simpleString} on $n is not a supported lossless " +
+            "widening")
+        require(!psrc.contains(TxLog.physicalName(cm, n)),
+          s"ALTER COLUMN TYPE: $n is a partition source column")
+        sim = StructType(sim.fields.map(f =>
+          if (f.name == n) f.copy(dataType = u.newDataType) else f))
+      }
+      adds.foreach { a =>
         require(a.fieldNames.length == 1,
           s"ADD COLUMN on nested field ${a.fieldNames.mkString(".")} is not supported")
         require(a.isNullable,
@@ -267,8 +299,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "backfill null (the txlog evolution rule)")
         require(a.position == null,
           "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns APPEND")
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
+        require(!sim.fieldNames.exists(x => lower(x) == lower(a.fieldNames.head)),
+          s"ADD COLUMN: ${a.fieldNames.head} already exists")
+        sim = StructType(sim.fields :+
+          StructField(a.fieldNames.head, a.dataType, nullable = true))
       }
+      // the FINAL schema must still satisfy the table's declared
+      // contracts (CHECK constraints bind by name; bloom columns must
+      // keep their on-disk names and types)
+      val props = TxLog.properties(spark, t)
+      TxCheck.validateDeclared(spark, sim, TxCheck.checksIn(props))
+      val blooms = TxBloom.colsFrom(props)
+      val gone = blooms -- sim.fieldNames.toSet
+      require(gone.isEmpty,
+        s"ALTER touches bloom-filtered column(s) ${gone.mkString(", ")} — " +
+          s"unset ${TxBloom.BloomColsProp} first, re-set it after")
+    }
+    // RENAME/DROP/WIDEN COLUMN: metadata-only transactions through the
+    // column mapping ([[TxLog.renameColumn]]/[[TxLog.dropColumn]]/
+    // [[TxLog.widenColumnType]]) — zero data bytes move at any table size
+    renames.foreach(r => TxLog.renameColumn(spark, t, r.fieldNames.head, r.newName))
+    drops.foreach(d => TxLog.dropColumn(spark, t, d.fieldNames.head))
+    widens.foreach(u => TxLog.widenColumnType(spark, t, u.fieldNames.head,
+      u.newDataType))
+    if (adds.nonEmpty) {
+      val current = TxLog.tableSchema(spark, t).getOrElse(
+        throw new IllegalStateException(s"table $t has no recorded schema"))
+      val newFields = adds.map(a =>
+        StructField(a.fieldNames.head, a.dataType, nullable = true))
       TxLog.evolveSchema(spark, t, StructType(current.fields ++ newFields))
     }
     if (sets.nonEmpty) TxLog.setProperties(spark, t, sets.toMap)

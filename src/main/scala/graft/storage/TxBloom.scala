@@ -139,7 +139,13 @@ object TxBloom {
 
   /** Hash `v` the way the file encoded the column, or None when the
     * physical type and the probe shape disagree (evolution, INT96
-    * timestamps, …) — the caller keeps the file. */
+    * timestamps, …) — the caller keeps the file. Cross-width cases
+    * cover files written BEFORE a type widening ([[TxLog.widenColumnType]]):
+    * post-widen predicates carry the wide literal, and when the value
+    * round-trips to the file's narrow physical type exactly we probe
+    * with the narrow rendering the file hashed; a value that does NOT
+    * fit cannot be in the narrow file at all, but None (keep) stays the
+    * conservative floor. */
   private def hashOf(bloom: BloomFilter, cc: ColumnChunkMetaData,
                      v: HashVal): Option[Long] =
     (cc.getPrimitiveType.getPrimitiveTypeName, v) match {
@@ -149,6 +155,14 @@ object TxBloom {
         Some(bloom.hash(Binary.fromConstantByteArray(b)))
       case (PrimitiveTypeName.FLOAT, HFloat(f)) => Some(bloom.hash(f))
       case (PrimitiveTypeName.DOUBLE, HDouble(d)) => Some(bloom.hash(d))
+      // widened-column probes against pre-widen files
+      case (PrimitiveTypeName.INT32, HLong(l)) if l.isValidInt =>
+        Some(bloom.hash(l.toInt))
+      case (PrimitiveTypeName.INT64, HInt(i)) => Some(bloom.hash(i.toLong))
+      case (PrimitiveTypeName.DOUBLE, HFloat(f)) => Some(bloom.hash(f.toDouble))
+      case (PrimitiveTypeName.FLOAT, HDouble(d))
+          if java.lang.Double.compare(d.toFloat.toDouble, d) == 0 =>
+        Some(bloom.hash(d.toFloat))
       case _ => None
     }
 

@@ -70,7 +70,7 @@ object TxLog {
   private[storage] def singleUseWriter(w: String): Boolean =
     Seq("compact-", "cluster-", "overwrite-", "restore-", "batch-", "insert-",
       "sql-delete-", "sql-update-", "sql-merge-", "props-", "create-",
-      "evolve-", "colmap-").exists(w.startsWith)
+      "evolve-", "colmap-", "widen-").exists(w.startsWith)
 
   /** The reserved namespace FAILS LOUDLY at the public entry points: a
     * user writer id like `batch-nightly` would be silently dropped from
@@ -553,6 +553,7 @@ object TxLog {
       case w if w.startsWith("create-") => "CREATE TABLE"
       case w if w.startsWith("evolve-") => "ALTER SCHEMA"
       case w if w.startsWith("colmap-") => "ALTER COLUMN MAPPING"
+      case w if w.startsWith("widen-") => "ALTER COLUMN TYPE"
       case _ if m.checkpoint => "CHECKPOINT"
       case _ if m.removes.nonEmpty || m.dvs.nonEmpty => "REWRITE"
       case _ => "APPEND"
@@ -1080,6 +1081,67 @@ object TxLog {
       (newSchema, ColMap(fullMap, cm.retired :+ physicalName(cm, name)))
     })
 
+  /** Is `from` -> `to` a supported METADATA-ONLY type widening? The
+    * set is exactly what every read seam upcasts losslessly:
+    *  - integral chain byte -> short -> int -> long (parquet readers
+    *    upcast INT32/INT64 natively; zone-map stats already live
+    *    long-widened under one tag, so pruning and meta-agg stay exact);
+    *  - float -> double (stats share the "d" tag as exact doubles);
+    *  - byte/short/int -> double (exact in IEEE-754; old files' "i"
+    *    stats stop pruning — a sound tag mismatch — new files prune);
+    *  - decimal(p,s) -> decimal(p',s), p' > p, same scale (decimals
+    *    never had zone-map stats, so nothing else moves).
+    * long -> double is NOT a widening (2^53 truncation would silently
+    * corrupt large keys); nothing ever narrows. */
+  private[storage] def isWidening(from: org.apache.spark.sql.types.DataType,
+                                  to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Int = d match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => -1
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > rank(f) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.precision > d1.precision && d1.scale == d2.scale
+      case _ => false
+    }
+  }
+
+  /** ALTER COLUMN TYPE as a METADATA-ONLY transaction ([[isWidening]]
+    * widenings only): the recorded schema changes the column's type and
+    * not one byte rewrites — old files keep their narrow physical type
+    * and every reader upcasts at scan time (Spark's parquet readers
+    * promote INT32 -> long/double, FLOAT -> double and decimal
+    * precision natively, vectorized included). On a 100 TB table whose
+    * int key is about to overflow, this is one manifest put instead of
+    * a full rewrite. Time travel serves each version's own type.
+    * Partition SOURCE columns are refused (`bucket(n, col)` hashes int
+    * and long differently, and partition-value parsing is typed);
+    * widen-then-repartition needs a new layout, which is an overwrite
+    * decision, not a cast. */
+  def widenColumnType(s: SparkSession, table: String, name: String,
+                      to: org.apache.spark.sql.types.DataType): Long =
+    commitColMap(s, table, "widen", (logical, cm) => {
+      val i = logical.fieldNames.indexOf(name)
+      require(i >= 0, s"widen: column $name not in ${logical.fieldNames.toSeq}")
+      val from = logical.fields(i).dataType
+      require(isWidening(from, to),
+        s"widen: ${from.simpleString} -> ${to.simpleString} on $name is not a " +
+          "supported lossless widening (integral up-chain, float->double, " +
+          "byte/short/int->double, decimal precision growth at the same scale)")
+      val psrc = TxPart.sources(partitionColsFrom(manifests(s, table)))
+      require(!psrc.contains(physicalName(cm, name)),
+        s"widen: $name is a partition source column — bucket/identity partition " +
+          "values are typed by the layout (re-CREATE or overwrite with a new " +
+          "layout instead)")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        logical.fields.map(f => if (f.name == name) f.copy(dataType = to) else f))
+      (newSchema, cm)
+    }, widPrefix = "widen")
+
   /** The shared metadata-only commit loop of the column-mapping doors:
     * per attempt, recompute (new schema, new mapping) from THIS
     * listing's state — a concurrent schema change folds in or fails
@@ -1089,7 +1151,8 @@ object TxLog {
   private def commitColMap(s: SparkSession, table: String, op: String,
                            change: (org.apache.spark.sql.types.StructType, ColMap)
                              => (org.apache.spark.sql.types.StructType, ColMap),
-                           maxRetries: Int = 20): Long = {
+                           maxRetries: Int = 20,
+                           widPrefix: String = "colmap"): Long = {
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
@@ -1123,7 +1186,7 @@ object TxLog {
           "first, re-set it after")
       val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
       val bytes = render(Manifest(v, Seq.empty,
-        writerId = s"colmap-${java.util.UUID.randomUUID()}", batchId = 0L,
+        writerId = s"$widPrefix-${java.util.UUID.randomUUID()}", batchId = 0L,
         checkpoint = false, schema = Some(newSchema.toDDL),
         cmap = Some(newCm), ts = commitTimeMs()))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -111,10 +111,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("testcat.ddl.c").columns.toSeq == Seq("id", "g", "score"))
     assert(spark.sql("SELECT count(*) FROM testcat.ddl.c WHERE g = '3'")
       .first().getLong(0) == 10L)
-    // unsupported ALTER (type change) is loud, not silent
-    val e = intercept[UnsupportedOperationException](
+    // a LOSSY type change is loud, not silent (r15: lossless widenings
+    // are supported — TxWidenSpec — anything else refuses up front)
+    val e = intercept[Exception](
       spark.sql("ALTER TABLE testcat.ddl.c ALTER COLUMN id TYPE STRING"))
-    assert(e.getMessage.contains("supported: ADD COLUMN"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("widening"), msgs(e))
     // the RENAME TO target resolves inside the SAME catalog — no
     // catalog qualifier on the new name
     spark.sql("ALTER TABLE testcat.ddl.c RENAME TO ddl.c2")
