@@ -149,6 +149,11 @@ object TxLog {
     * specs inject a deterministic clock instead of sleeping between
     * commits. */
   @volatile private[graft] var clockForTests: () => Long = null
+
+  /** Test seam: a one-shot hook run at [[commitManifest]] entry (after
+    * staging, before the first listing) to inject a concurrent commit
+    * into the window a real racing writer would hit. Self-clearing. */
+  @volatile private[graft] var publishRaceForTests: () => Unit = null
   private def commitTimeMs(): Long = {
     val c = clockForTests
     if (c != null) c() else System.currentTimeMillis()
@@ -1696,6 +1701,12 @@ object TxLog {
                              pcols: Seq[String] = Seq.empty)
       : Long = {
     incoming.foreach(guardReservedCols) // every data/evolve commit records one
+    // race-injection seam (TxColMapSpec): fires ONCE at publish entry —
+    // i.e. between a data write's staging and its first manifest
+    // listing — and self-clears so a hook that itself commits (e.g. a
+    // concurrent RENAME/DROP/evolve) cannot recurse
+    val hook = publishRaceForTests
+    if (hook != null) { publishRaceForTests = null; hook() }
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
@@ -1716,33 +1727,51 @@ object TxLog {
       // COLUMN MAPPING x evolution: a NEW column on a mapped table
       // needs a minted physical name recorded in the same transaction.
       // Metadata-only commits (evolveSchema / ALTER ADD COLUMNS) mint
-      // here, atomically with the schema; a DATA write cannot — its
-      // files were already staged under names chosen before this
-      // attempt's listing, so implicit addition is refused loudly.
+      // freely (fresh `_i`-suffixed physicals on collision). A DATA
+      // write (r15) may evolve too — its staged files carry the new
+      // LOGICAL name as the on-disk column, so minting `l -> l` is
+      // consistent exactly when `l` is free among live+retired
+      // physicals at THIS attempt's listing (per-attempt recompute +
+      // put-if-absent close the race with concurrent colmap commits: a
+      // lost slot re-derives against the new mapping and re-judges).
+      // A clash stays loud: staged parquet cannot be renamed, and
+      // reusing a retired physical would resurrect dropped values.
+      // Collisions compare case-insensitively — Spark resolves names
+      // case-insensitively, so a physical differing only in case would
+      // still match old files' columns at read time.
       val cmapOut: Option[ColMap] = (merged, colMapRecorded(ms)) match {
         case (Some(mg), Some(cm)) if !(cm.map.isEmpty && cm.retired.isEmpty) =>
           val known = cm.byLogical.keySet
           val newCols = mg.fieldNames.toSeq.filterNot(known)
           if (newCols.isEmpty) None // newest-wins keeps the standing record
-          else if (files.nonEmpty)
-            throw new IllegalArgumentException(
-              s"table $table uses column mapping — a data write cannot " +
-                s"implicitly add column(s) ${newCols.mkString(", ")}; declare " +
-                "them first (evolveSchema / ALTER TABLE ... ADD COLUMNS)")
           else {
-            var taken = cm.map.map(_._2).toSet ++ cm.retired
-            val minted = newCols.map { l =>
-              val p =
-                if (!taken(l)) l
-                else {
-                  var i = 1
-                  while (taken(s"${l}_$i")) i += 1
-                  s"${l}_$i"
-                }
-              taken += p
-              l -> p
+            val takenL = scala.collection.mutable.Set.from(
+              (cm.map.map(_._2) ++ cm.retired)
+                .map(_.toLowerCase(java.util.Locale.ROOT)))
+            def free(p: String) = !takenL(p.toLowerCase(java.util.Locale.ROOT))
+            if (files.nonEmpty) {
+              val clash = newCols.filterNot(free)
+              if (clash.nonEmpty)
+                throw new IllegalArgumentException(
+                  s"table $table uses column mapping and new column(s) " +
+                    s"${clash.mkString(", ")} collide with a live or retired " +
+                    "physical name — declare them first (evolveSchema / ALTER " +
+                    "TABLE ... ADD COLUMNS) so a fresh physical name is minted")
+              Some(ColMap(cm.map ++ newCols.map(l => l -> l), cm.retired))
+            } else {
+              val minted = newCols.map { l =>
+                val p =
+                  if (free(l)) l
+                  else {
+                    var i = 1
+                    while (!free(s"${l}_$i")) i += 1
+                    s"${l}_$i"
+                  }
+                takenL += p.toLowerCase(java.util.Locale.ROOT)
+                l -> p
+              }
+              Some(ColMap(cm.map ++ minted, cm.retired))
             }
-            Some(ColMap(cm.map ++ minted, cm.retired))
           }
         case _ => None
       }

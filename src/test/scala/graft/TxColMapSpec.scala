@@ -118,18 +118,99 @@ class TxColMapSpec extends AnyFunSuite {
       .where(col("score") === 42.0).count() == 1L)
   }
 
-  test("implicit new-column data write on a mapped table is loud") {
+  test("data writes evolve mapped tables: free names mint in the append's own txn") {
+    // r15: the append mints `l -> l` inside its own transaction when
+    // the staged files' column name is free among live+retired
+    // physicals — the r14 blanket refusal survives only as the clash
+    // case below
     val t = freshTable()
     TxLog.createTable(spark, t, df3(0).schema)
     df3(10).write.format("txlog").mode("append").save(t)
     TxLog.renameColumn(spark, t, "grp", "g")
-    val e = intercept[Exception] {
-      (0 until 5).map(i => (i.toLong, "x", 1.0, Option(i)))
-        .toDF("id", "g", "score", "extra")
+    (0 until 5).map(i => (100L + i, "x", 1.0, Option(i)))
+      .toDF("id", "g", "score", "extra")
+      .write.format("txlog").mode("append").save(t)
+    val df = spark.read.format("txlog").load(t)
+    assert(df.columns.toSeq == Seq("id", "g", "score", "extra"))
+    assert(df.where(col("extra").isNotNull).count() == 5L)
+    assert(df.where(col("extra") === 3).select("id").as[Long].head() == 103L)
+    // pre-evolution files backfill null
+    assert(df.where(col("id") < 100L && col("extra").isNull).count() == 10L)
+    // the minted mapping is a real one: the new column renames cleanly
+    TxLog.renameColumn(spark, t, "extra", "bonus")
+    assert(spark.read.format("txlog").load(t)
+      .where(col("bonus") === 3).count() == 1L)
+  }
+
+  test("data-write evolution clashes stay loud: retired and live physical names") {
+    val t = freshTable()
+    TxLog.createTable(spark, t, df3(0).schema)
+    df3(10).write.format("txlog").mode("append").save(t)
+    TxLog.dropColumn(spark, t, "score") // retires physical "score"
+    // a data write re-adding "score" would resurrect dropped values
+    val e1 = intercept[Exception] {
+      (0 until 5).map(i => (100L + i, "x", Option(9.9))).toDF("id", "grp", "score")
         .write.format("txlog").mode("append").save(t)
     }
-    assert(e.getMessage != null && e.getMessage.contains("column mapping"),
-      s"got: ${e.getMessage}")
+    assert(e1.getMessage != null && e1.getMessage.contains("collide"),
+      s"got: ${e1.getMessage}")
+    // a new column named an OLD logical (whose physical is live) clashes
+    TxLog.renameColumn(spark, t, "grp", "g")
+    val e2 = intercept[Exception] {
+      (0 until 5).map(i => (100L + i, "x", "old-name"))
+        .toDF("id", "g", "grp")
+        .write.format("txlog").mode("append").save(t)
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("collide"),
+      s"got: ${e2.getMessage}")
+    // declared evolution still mints a FRESH physical for the same name
+    val withScore = StructType(StructType(spark.read.format("txlog").load(t)
+      .schema.fields) :+ StructField("score", DoubleType, nullable = true))
+    TxLog.evolveSchema(spark, t, withScore)
+    Seq((200L, "y", 5.5)).toDF("id", "g", "score")
+      .write.format("txlog").mode("append").save(t)
+    val df = spark.read.format("txlog").load(t)
+    assert(df.where(col("score") === 5.5).count() == 1L)
+    assert(df.where(col("score").isNotNull).count() == 1L,
+      "dropped values must not resurrect")
+  }
+
+  test("evolve-append vs concurrent colmap commit: benign races fold, hostile ones are loud") {
+    // benign: a concurrent DECLARED evolution of the same column lands
+    // between staging and publish — the retry re-derives, the declared
+    // mapping matches the staged name, the append folds in cleanly
+    val t = freshTable()
+    TxLog.createTable(spark, t, df3(0).schema)
+    df3(10).write.format("txlog").mode("append").save(t)
+    TxLog.renameColumn(spark, t, "grp", "g")
+    val declared = StructType(df3(0).schema.fields.map(f =>
+      if (f.name == "grp") f.copy(name = "g") else f) :+
+      StructField("extra", IntegerType, nullable = true))
+    TxLog.publishRaceForTests = () => { TxLog.evolveSchema(spark, t, declared); () }
+    try {
+      TxLog.commit((0 until 3).map(i => (300L + i, "z", 1.0, Option(i)))
+        .toDF("id", "g", "score", "extra"), t, "w-race", 7L)
+    } finally TxLog.publishRaceForTests = null
+    val df = spark.read.format("txlog").load(t)
+    assert(df.where(col("extra").isNotNull).count() == 3L)
+    // hostile: a concurrent DROP of a column the staged files still
+    // carry — the re-derived merge re-adds it, its physical is retired,
+    // the clash is loud (never a silent resurrect)
+    val t2 = freshTable()
+    TxLog.createTable(spark, t2, df3(0).schema)
+    df3(10).write.format("txlog").mode("append").save(t2)
+    TxLog.renameColumn(spark, t2, "grp", "g") // make the table mapped
+    TxLog.publishRaceForTests = () => { TxLog.dropColumn(spark, t2, "score"); () }
+    try {
+      val e = intercept[Exception] {
+        TxLog.commit((0 until 3).map(i => (300L + i, "z", Option(1.0)))
+          .toDF("id", "g", "score"), t2, "w-race2", 8L)
+      }
+      assert(e.getMessage != null && e.getMessage.contains("collide"),
+        s"got: ${e.getMessage}")
+    } finally TxLog.publishRaceForTests = null
+    // the drop won; the table is consistent without score
+    assert(spark.read.format("txlog").load(t2).columns.toSeq == Seq("id", "g"))
   }
 
   test("rename/drop guards: last column, partition source, reserved, collision") {
