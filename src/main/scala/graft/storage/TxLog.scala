@@ -2662,10 +2662,14 @@ object TxLog {
     * latency doesn't decay monotonically between human interventions:
     *
     *  - LAYOUT DECAY (only when `clusterColumns` is declared): if the
-    *    range-overlap of the first cluster column exceeds
+    *    WORST range-overlap across the declared cluster columns exceeds
     *    `overlapTriggerPct`, re-lay out with [[clusterBy]] — the full
     *    rewrite also purges every deletion vector and small file, so
-    *    nothing else needs to run;
+    *    nothing else needs to run. Max-over-columns so a decay visible
+    *    only on a later z-order column still fires (conservative: an
+    *    early re-cluster, never a hidden one), and live files WITHOUT
+    *    usable stats count as fully decayed per [[overlapPct]]'s
+    *    contract (legacy manifests must favor re-layout, not mask it);
     *  - SMALL-FILE / DV DEBT: if more than `smallFilesTrigger` live
     *    files are under `targetBytes`, or deletion vectors cover more
     *    than `dvRowsTriggerPct`% of the recorded rows, run
@@ -2695,9 +2699,14 @@ object TxLog {
       stats.get(r).map(_.bytes).exists(b => b > 0L && b < targetBytes))
     val dvRows = dvs.valuesIterator.map(_.n).sum
     val rawRows = files.flatMap(r => stats.get(r).map(_.rows).filter(_ >= 0L)).sum
-    val overlap = clusterColumns.headOption
-      .map(c => overlapPct(files.flatMap(stats.get), physicalName(cm, c)))
-      .getOrElse(0.0)
+    // EVERY live file goes to the sweep — one without recorded stats
+    // maps to an empty FileStats, which overlapPct counts as fully
+    // decayed (flatMap(stats.get) would silently drop it instead)
+    val perFile = files.map(r => stats.getOrElse(r,
+      TxStats.FileStats(r, -1L, Seq.empty)))
+    val overlap =
+      if (clusterColumns.isEmpty) 0.0
+      else clusterColumns.map(c => overlapPct(perFile, physicalName(cm, c))).max
     val needCluster = clusterColumns.nonEmpty && files.size > 1 &&
       overlap > overlapTriggerPct
     val needCompact = smallFiles > smallFilesTrigger ||

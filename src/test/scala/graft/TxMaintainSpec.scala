@@ -103,6 +103,63 @@ class TxMaintainSpec extends AnyFunSuite {
     assert(spark.read.format("txlog").load(t).count() == 14000L)
   }
 
+  test("layout decay is the WORST column: a second-column smear still fires") {
+    // r15: the overlap sweep maxes over ALL declared cluster columns —
+    // a decay visible only on the second z-order column must not hide
+    // behind a still-clustered first column
+    val t = fresh()
+    val schema = Seq((1L, 1L)).toDF("a", "b").schema
+    TxLog.createTable(spark, t, schema)
+    // a stays perfectly clustered (disjoint ranges); b is smeared over
+    // the full range in EVERY file
+    (0 until 6).foreach { f =>
+      (0 until 500).map(i => ((f * 500 + i).toLong, (i * 6 + f).toLong % 3000))
+        .toDF("a", "b").coalesce(1)
+        .write.format("txlog").mode("append").save(t)
+    }
+    val aOnly = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      clusterColumns = Seq("a"), clusterTargetFiles = 6)
+    assert(!aOnly.clustered && aOnly.overlapPct == 0.0, s"$aOnly")
+    val both = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      clusterColumns = Seq("a", "b"), clusterTargetFiles = 6,
+      overlapTriggerPct = 50.0)
+    assert(both.clustered && both.overlapPct > 50.0,
+      s"second-column decay must fire the trigger: $both")
+  }
+
+  test("live files without stats count as fully decayed, not silently dropped") {
+    // legacy-manifest conservatism: a file the sweep cannot judge must
+    // push the observable toward re-layout (overlapPct's documented
+    // contract), never vanish from it
+    val t = fresh()
+    val schema = Seq((1L, 1.0)).toDF("k", "x").schema
+    TxLog.createTable(spark, t, schema)
+    (0 until 4).foreach { b =>
+      (b * 100 until (b + 1) * 100).map(i => (i.toLong, 1.0)).toDF("k", "x")
+        .coalesce(1).write.format("txlog").mode("append").save(t)
+    }
+    // commit one live file WITHOUT stats (the legacy-manifest shape):
+    // stage the parquet directly, publish with an empty stats list
+    val uuid = java.util.UUID.randomUUID().toString
+    val dir = new org.apache.hadoop.fs.Path(t, s"data/$uuid")
+    Seq((9999L, 0.0)).toDF("k", "x").coalesce(1).write.parquet(dir.toString)
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rel = hfs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/$uuid/${st.getPath.getName}").toSeq
+    TxLog.commitStaged(spark, t, rel, Seq.empty, "legacy", 0L, incoming = schema)
+    val r = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      clusterColumns = Seq("k"), clusterTargetFiles = 4,
+      overlapTriggerPct = 99.0)
+    assert(r.overlapPct == 100.0,
+      s"a stats-less live file must read as fully decayed: $r")
+    assert(r.clustered, s"expected the re-layout to fire: $r")
+    // the re-layout recollected stats; the table is healthy and intact
+    val after = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      clusterColumns = Seq("k"), clusterTargetFiles = 4)
+    assert(!after.clustered && after.overlapPct == 0.0, s"$after")
+    assert(spark.read.format("txlog").load(t).count() == 401L)
+  }
+
   test("CALL system.maintain drives the loop over a transform-partitioned table") {
     val wh = Files.createTempDirectory("txmaint_wh_").toString
     spark.conf.set("spark.sql.catalog.mcat", "graft.storage.GraftCatalog")
