@@ -1,7 +1,7 @@
 package graft.storage
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types._
 
 /** The V2 FUNCTION behind the `bucket(n, col)` partition transform —
@@ -44,12 +44,33 @@ object GraftFunctions {
     }
   }
 
-  final class BucketBound(dt: DataType) extends ScalarFunction[Integer] {
+  /** Bound bucket. [[ReducibleFunction]] (r15): `pmod(h, a) % b ==
+    * pmod(h, b)` whenever `b` divides `a`, so a `bucket(16, k)` layout
+    * REDUCES onto a `bucket(8, k)` one by folding each bucket id mod 8
+    * — Spark uses this (under `spark.sql.sources.v2.bucketing
+    * .allowCompatibleTransforms.enabled`) to storage-partition-join
+    * tables whose bucket counts differ by an integer factor without a
+    * full exchange: the finer side's partitions regroup under the
+    * folded ids; only same-canonical-name functions reduce (Murmur3
+    * hashes int and long differently, so cross-type folds stay out). */
+  final class BucketBound(dt: DataType) extends ScalarFunction[Integer]
+      with ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
     override def canonicalName(): String = s"graft.bucket(${dt.catalogString})"
     override def isResultNullable: Boolean = true
+
+    override def reducer(thisNumBuckets: Int,
+                         otherFunc: ReducibleFunction[_, _],
+                         otherNumBuckets: Int): Reducer[Integer, Integer] =
+      otherFunc match {
+        case o: BucketBound if o.canonicalName() == canonicalName() &&
+            otherNumBuckets > 0 && thisNumBuckets > otherNumBuckets &&
+            thisNumBuckets % otherNumBuckets == 0 =>
+          new BucketFold(otherNumBuckets)
+        case _ => null // no reduction (identical counts or incompatible)
+      }
 
     override def produceResult(input: InternalRow): Integer = {
       if (input.isNullAt(1)) return null // null source -> null bucket (TxPart)
@@ -66,5 +87,13 @@ object GraftFunctions {
         .hash(v, dt, 42L).toInt
       Integer.valueOf(((h % n) + n) % n)
     }
+  }
+
+  /** Fold a finer bucket id onto a coarser compatible layout. Ships
+    * inside StoragePartitionJoinParams to the executors — Serializable. */
+  final class BucketFold(divisor: Int) extends Reducer[Integer, Integer]
+      with Serializable {
+    override def reduce(bucket: Integer): Integer =
+      if (bucket == null) null else Integer.valueOf(bucket.intValue % divisor)
   }
 }

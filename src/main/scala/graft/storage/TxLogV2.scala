@@ -780,12 +780,23 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     }
     spjGroups(files) match {
       case Some(groups) =>
-        // one input partition PER BUCKET TUPLE, carrying its key — the
-        // contract KeyGroupedPartitioning promises the planner
-        return groups.zipWithIndex.map { case ((key, rels), i) =>
-          GraftParquetIO.keyedFilePartition(i, rels.map(pf),
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              key.toArray[Any]))
+        // one keyed input partition PER FILE — Spark's exec groups
+        // same-key splits itself (DataSourceV2ScanExecBase
+        // .groupPartitions), which keeps the r14 zero-exchange join AND
+        // unlocks partially-clustered distribution: under
+        // spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+        // .enabled (+ pushPartValues) the planner leaves the larger
+        // side's splits UNGROUPED and replicates the other side over
+        // them, so one skewed hot bucket fans across its files' tasks
+        // instead of serializing the join on a single partition.
+        var i = -1
+        return groups.flatMap { case (key, rels) =>
+          rels.map { rel =>
+            i += 1
+            GraftParquetIO.keyedFilePartition(i, Seq(pf(rel)),
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                key.toArray[Any]))
+          }
         }.toArray
       case None => ()
     }

@@ -103,6 +103,76 @@ class TxSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("partially-clustered distribution splits a skewed hot bucket across its files") {
+    // r15: the scan emits one keyed partition PER FILE and Spark groups
+    // them — so under partiallyClusteredDistribution the planner can
+    // leave the larger side's splits ungrouped and replicate the small
+    // side over them: the hot bucket fans across its files' tasks
+    // instead of serializing the join on one partition.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.ns")
+    mk("pd", 400, 4)
+    spark.sql("""CREATE TABLE spjcat.ns.pf (k BIGINT, v STRING)
+                 USING txlog PARTITIONED BY (bucket(4, k))""")
+    // skew: ~90% of rows carry k=0; five inserts pile several files
+    // onto the hot bucket
+    (0 until 5).foreach { b =>
+      spark.sql(s"""INSERT INTO spjcat.ns.pf
+                    SELECT CASE WHEN id % 10 = 0 THEN id % 400 ELSE 0 END,
+                           concat('f', id, '_', $b)
+                    FROM range(2000)""")
+    }
+    def q() = spark.table("spjcat.ns.pf").join(spark.table("spjcat.ns.pd"), "k")
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // grouped baseline: one partition per bucket tuple
+      val grouped = q()
+      assert(!grouped.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+      val groupedParts = grouped.queryExecution.executedPlan.execute()
+        .getNumPartitions
+      assert(groupedParts <= 4, s"expected <=4 grouped partitions, $groupedParts")
+      assert(grouped.count() == 10000L)
+      withConfs(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true") {
+        val df = q()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"partially-clustered must not reintroduce the shuffle:\n$plan")
+        val parts = df.queryExecution.executedPlan.execute().getNumPartitions
+        assert(parts > 4,
+          s"the hot bucket must split across its files: $parts partitions")
+        assert(df.count() == 10000L)
+      }
+    }
+  }
+
+  test("compatible bucket counts (8 over 4) join without a full exchange") {
+    // r15: BucketBound is a ReducibleFunction — pmod(h,8) % 4 ==
+    // pmod(h,4), so the 8-bucket side folds onto the 4-bucket layout
+    // under allowCompatibleTransforms instead of shuffling both sides.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.ns")
+    mk("ca", 2000, 8)
+    mk("cb", 2000, 4)
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true") {
+      val df = spark.table("spjcat.ns.ca").join(spark.table("spjcat.ns.cb"), "k")
+        .select(col("k"), col("ca.v").as("va"), col("cb.v").as("vb"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"8-over-4 buckets must fold, not shuffle:\n$plan")
+      assert(df.count() == 2000L)
+      val r = df.where(col("k") === 7L).first()
+      assert(r.getString(1) == "ca7" && r.getString(2) == "cb7")
+    }
+  }
+
   test("bucket-grouped scan stays correct for plain reads and DML fallbacks") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.ns")
     mk("e", 4000, 8)
