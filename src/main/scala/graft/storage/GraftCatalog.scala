@@ -554,7 +554,10 @@ private[storage] class GraftStagedTable(spark: SparkSession, ident: Identifier,
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
-      val stats = TxStats.collect(spark, dir, rel)
+      // props ride as the override: a CTAS declaring graft.stats.ndv.cols
+      // collects sketches for its initial data, before any manifest exists
+      val stats = TxLog.collectStats(spark, dir.toString, rel,
+        propsOverride = Some(props))
       publish(rel, stats, writeSchema)
       ()
     }

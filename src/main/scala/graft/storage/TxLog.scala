@@ -214,8 +214,13 @@ object TxLog {
       if (m.stats.isEmpty) ""
       else ", \"stats\": [" + m.stats.map { fst =>
         val cols = fst.cols.map { c =>
+          // kmv is OPTIONAL (omitted when not collected) so pre-feature
+          // manifests and their parses keep the exact old shape
+          val kmv =
+            if (c.kmv.isEmpty) ""
+            else s""", "kmv": ${q(c.kmv.mkString(","))}"""
           s"""{"c": ${q(c.col)}, "t": ${q(c.tag)}, "h": ${q(if (c.has) "1" else "0")}, """ +
-            s""""min": ${q(c.min)}, "max": ${q(c.max)}, "n": ${c.nulls}}"""
+            s""""min": ${q(c.min)}, "max": ${q(c.max)}, "n": ${c.nulls}$kmv}"""
         }.mkString(", ")
         // bytes and pv are OPTIONAL (omitted when unknown/unpartitioned)
         // so pre-feature manifests and their parses keep the exact old
@@ -375,8 +380,13 @@ object TxLog {
               val (mn, i4) = scanString(keyFrom("min", i3))
               val (mx, i5) = scanString(keyFrom("max", i4))
               val (n, i6) = longAt(keyFrom("n", i5))
-              out += ColStat(c, t, h == "1", mn, mx, n)
-              i = i6 // at the col object's '}'
+              val (kmv, i7) =
+                if (s.startsWith(", \"kmv\": ", i6)) {
+                  val (csv, j) = scanString(i6 + 9)
+                  (csv.split(',').toSeq.filter(_.nonEmpty).map(_.toLong), j)
+                } else (Seq.empty[Long], i6)
+              out += ColStat(c, t, h == "1", mn, mx, n, kmv)
+              i = i7 // at the col object's '}'
             } else i += 1
           }
           (out.result(), i + 1)
@@ -784,6 +794,41 @@ object TxLog {
   val IsolationProp = "isolation"
   val IsolationSerializable = "serializable"
   val IsolationWriteSerializable = "writeSerializable"
+
+  /** Opt-in NDV sketches (`graft.stats.ndv.cols` table property, a
+    * comma-separated column list): every data commit additionally
+    * collects a per-file KMV distinct sketch of those columns
+    * ([[TxStats.attachKmv]] — ONE column-pruned scan of the commit's
+    * own files, never the table) and rides it in the manifest stats, so
+    * [[TxLogScan.estimateStatistics]] serves a real distinct count with
+    * no ANALYZE and no data I/O at plan time. Opt-in because it bends
+    * the footer-only stats contract: commits pay O(commit bytes of the
+    * declared columns). Names are resolved against the CURRENT schema
+    * (declared-then-renamed columns simply stop collecting — safe
+    * degradation, the estimator just refuses). */
+  val NdvColsProp = "graft.stats.ndv.cols"
+
+  /** [[TxStats.collect]] + the opt-in KMV attachment — the stats door
+    * every data-staging path calls. `propsOverride` serves CTAS, where
+    * the table's properties aren't committed yet at stats time. */
+  private[storage] def collectStats(s: SparkSession, table: String,
+                                    rel: Seq[String],
+                                    propsOverride: Option[Map[String, String]] = None)
+      : Seq[TxStats.FileStats] = {
+    val base = TxStats.collect(s, new Path(table), rel)
+    if (rel.isEmpty) return base
+    lazy val ms = manifests(s, table)
+    val props = propsOverride.getOrElse(propsFrom(ms))
+    val declared = props.get(NdvColsProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    if (declared.isEmpty) base
+    else {
+      val cm = propsOverride.map(_ => ColMap(Seq.empty, Seq.empty))
+        .getOrElse(colMapFrom(ms))
+      TxStats.attachKmv(s, table, rel, base, declared.map(physicalName(cm, _)))
+    }
+  }
 
   /** DML write strategy (`graft.dml.mode` table property):
     *  - `copyOnWrite` (default) — DELETE/UPDATE/MERGE rewrite every
@@ -1565,7 +1610,7 @@ object TxLog {
       out.result().sorted
     }
     // TxStats.collect parses the `__p_` segments into per-file pv
-    (rel, TxStats.collect(s, root, rel))
+    (rel, collectStats(s, root.toString, rel))
   }
 
   /** Hive path unescape (%XX sequences). Hive escapes one %XX PER BYTE
@@ -1624,7 +1669,7 @@ object TxLog {
       .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
     // zone maps: footer-only stats of the just-written files ride in the
     // manifest, so scanWhere prunes from the log alone (TxStats doc)
-    (rel, TxStats.collect(s, root, rel))
+    (rel, collectStats(s, root.toString, rel))
   }
 
   /** Publish files ALREADY STAGED by a distributed writer (the V2

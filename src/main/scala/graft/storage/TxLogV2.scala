@@ -872,10 +872,13 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     * (the common join-key shape), an upper bound otherwise; an upper
     * bound over-divides equality selectivity, which UNDER-estimates
     * result rows — acceptable for estimates, never for answers (the
-    * meta-agg contract stays untouched). True NDV sketches are
-    * deliberately absent: manifest stats are footer-only by contract —
-    * collecting KMV would turn every commit's metadata pass into a
-    * data scan. */
+    * meta-agg contract stays untouched). r15: columns opted into
+    * `graft.stats.ndv.cols` carry per-file KMV sketches in the manifest
+    * ([[TxStats.attachKmv]] — each commit pays one column-pruned scan of
+    * its OWN files), and the estimator folds them into a real distinct
+    * count (strings included) whenever every live file has one; UTF-8
+    * string bounds are served too (truncated footer bounds are fine for
+    * a cost model, unlike the meta-agg's exact-extrema contract). */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.map(f => fileBytes(spark, table, f, stats)).sum
     private val rows = files.flatMap(stats.get).map(_.rows).sum -
@@ -902,6 +905,13 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
         case ("i", ShortType) => Some(v.asInstanceOf[Long].toShort)
         case ("i", ByteType) => Some(v.asInstanceOf[Long].toByte)
         case ("b", BooleanType) => Some(v.asInstanceOf[Boolean])
+        // r15: string bounds serve the ESTIMATOR (unlike the meta-agg
+        // push, which refuses them — parquet writers may truncate
+        // binary footer bounds, unsound for exact extrema but exactly
+        // the kind of bound a cost model wants)
+        case ("s", StringType) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(
+            v.asInstanceOf[String]))
         case _ => None
       }
       readDataSchema.fields.foreach { f =>
@@ -916,7 +926,7 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
           val present = cs.filter(_.has)
           val tagOk = present.nonEmpty &&
             present.forall(c => c.tag == present.head.tag &&
-              (c.tag == "i" || c.tag == "b"))
+              (c.tag == "i" || c.tag == "b" || c.tag == "s"))
           var mn: Optional[Object] = Optional.empty()
           var mx: Optional[Object] = Optional.empty()
           var ndv: OptionalLong = OptionalLong.empty()
@@ -938,6 +948,17 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
               case "b" => OptionalLong.of(math.min(2L, math.max(nonNullTotal, 1L)))
               case _ => OptionalLong.empty()
             }
+          }
+          // KMV NDV (r15, opt-in sketches): a REAL distinct estimate —
+          // replaces the dense-key bound whenever EVERY live file
+          // carries a sketch for the column (an all-null file's
+          // complete-but-empty sketch counts as present). Deletion
+          // vectors can only shrink true NDV, so the estimate stays an
+          // upper bound, capped at the DV-adjusted non-null row count.
+          if (cs.nonEmpty && cs.forall(c => c.kmv.nonEmpty || !c.has)) {
+            val est = TxStats.kmvNdv(cs.map(_.kmv))
+            if (est > 0L)
+              ndv = OptionalLong.of(math.min(est, math.max(nonNullTotal, 1L)))
           }
           val (fMn, fMx, fNdv, fNulls) = (mn, mx, ndv, nullCount)
           if (fNulls.isPresent || fMn.isPresent || fNdv.isPresent)
@@ -1512,7 +1533,7 @@ class TxLogBatchWrite(table: String, schema: StructType, overwrite: Boolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
-    val stats = TxStats.collect(spark, new Path(table), rel)
+    val stats = TxLog.collectStats(spark, table, rel)
     if (overwrite) TxLog.overwriteStaged(spark, table, rel, stats, schema.toDDL)
     else TxLog.commitStaged(spark, table, rel, stats,
       writerId = s"batch-$uuid", batchId = 0L, incoming = schema,
@@ -1540,7 +1561,7 @@ class TxLogStreamingWrite(table: String, schema: StructType, writerId: String)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
-    val stats = TxStats.collect(spark, new Path(table), rel)
+    val stats = TxLog.collectStats(spark, table, rel)
     // EMPTY epochs commit too: the token records the epoch as done, so a
     // replay after a crash between this commit and the checkpoint write
     // cannot re-apply a later, different batch under the same id
@@ -1930,7 +1951,7 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     if (rel.isEmpty && perFile.isEmpty) return // matched nothing: clean no-op
     val (removes, entries) = TxLog.mergeDvRefs(spark, table, ms, perFile)
     val schemaDdl = TxLog.tableSchemaFrom(ms).getOrElse(rowSchema).toDDL
-    val stats = TxStats.collect(spark, new Path(table), rel)
+    val stats = TxLog.collectStats(spark, table, rel)
     TxLog.publishRewrite(spark, table, rel, stats, removes,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
@@ -2098,7 +2119,7 @@ class TxLogReplaceBatchWrite(table: String, writeSchema: StructType,
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
     val removes = op.scannedFiles
     if (rel.isEmpty && removes.isEmpty) return // matched nothing: clean no-op
-    val stats = TxStats.collect(spark, new Path(table), rel)
+    val stats = TxLog.collectStats(spark, table, rel)
     val r = TxLog.publishRewrite(spark, table, rel, stats, removes,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,

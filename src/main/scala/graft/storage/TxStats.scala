@@ -55,9 +55,17 @@ object TxStats {
   /** Per-column bounds within one file. `has == false` means the
     * column is entirely null in the file (min/max are empty strings
     * and must not be read). `nulls == -1` means the writer did not
-    * record a null count — unknown, treated conservatively. */
+    * record a null count — unknown, treated conservatively. `kmv`
+    * (r15, opt-in via `graft.stats.ndv.cols`) is the column's KMV
+    * distinct sketch: the [[KmvK]] smallest distinct xxhash64 values of
+    * the file's non-null values (ALL of them when the file holds fewer
+    * than k distinct) — per-file sketches union into the table's sketch
+    * exactly (k smallest of a union = k smallest of the per-file k
+    * smallests), so [[TxLogScan.estimateStatistics]] serves a real NDV
+    * from manifest metadata alone. Empty = not collected. */
   final case class ColStat(col: String, tag: String, has: Boolean,
-                           min: String, max: String, nulls: Long)
+                           min: String, max: String, nulls: Long,
+                           kmv: Seq[Long] = Seq.empty)
 
   /** Stats for one data file: exact row count + per-column bounds
     * (only columns whose type and footer support sound pruning).
@@ -219,6 +227,71 @@ object TxStats {
     case "d" => java.lang.Double.longBitsToDouble(s.toLong)
     case "s" => s
     case "b" => s == "1"
+  }
+
+  // ------------------------------------------------------------------
+  // KMV distinct sketches (opt-in NDV for the CBO stats channel)
+  // ------------------------------------------------------------------
+
+  /** Sketch size: 128 hashes ≈ ±9% relative NDV error — plenty for a
+    * broadcast-vs-shuffle decision, ~1–2 KB of manifest per opted-in
+    * column per file. */
+  val KmvK = 128
+
+  /** Attach KMV sketches for `physCols` to the just-staged `rel` files'
+    * stats: ONE column-pruned scan of the commit's files (never the
+    * table), per-(file, column) the k smallest distinct hashes via a
+    * partial WindowGroupLimit heap — the profileKmvPortable machinery.
+    * Sketches attach only to columns that already carry footer stats
+    * (the prunable-type set, which covers join keys); a column absent
+    * from the staged schema is skipped. */
+  def attachKmv(s: SparkSession, table: String, rel: Seq[String],
+                base: Seq[FileStats], physCols: Seq[String]): Seq[FileStats] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    if (rel.isEmpty || physCols.isEmpty) return base
+    val df = s.read.parquet(rel.map(TxLog.absPath(table)): _*)
+    val present = physCols.distinct.filter(df.columns.contains)
+    if (present.isEmpty) return base
+    val stacked = present.map(c =>
+        df.where(col(c).isNotNull)
+          .select(col("_metadata.file_path").as("__f"), lit(c).as("__c"),
+            xxhash64(col(c)).as("__h")))
+      .reduce(_ unionAll _)
+    val ranked = stacked.distinct()
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__f"), col("__c")).orderBy(col("__h"))))
+      .where(col("__r") <= KmvK)
+      .groupBy(col("__f"), col("__c"))
+      .agg(sort_array(collect_list(col("__h"))).as("__hs"))
+      .collect()
+    val byFile: Map[String, Map[String, Seq[Long]]] = ranked
+      .groupBy(r => TxDv.tailKey(r.getString(0)))
+      .view.mapValues(_.map(r =>
+        r.getString(1) -> r.getSeq[Long](2).toSeq).toMap).toMap
+    base.map { fst =>
+      val m = byFile.getOrElse(fst.file, Map.empty)
+      if (m.isEmpty) fst
+      else fst.copy(cols = fst.cols.map(c =>
+        m.get(c.col).map(hs => c.copy(kmv = hs)).getOrElse(c)))
+    }
+  }
+
+  /** Fold per-file sketches into one NDV estimate. Every sketch must be
+    * PRESENT (empty = the file predates the opt-in → None; an all-null
+    * file's complete-but-empty sketch is passed as Some(Seq.empty)).
+    * Under k total distinct hashes the union is exhaustive (exact up to
+    * hash collisions); at k the standard KMV estimator (k−1)/u_k
+    * applies, with hashes mapped to the unit interval. */
+  def kmvNdv(sketches: Seq[Seq[Long]]): Long = {
+    val merged = sketches.flatten.distinct.sorted.take(KmvK)
+    if (merged.isEmpty) 0L
+    else if (merged.size < KmvK) merged.size.toLong
+    else {
+      val u = (merged.last.toDouble - Long.MinValue.toDouble) /
+        math.pow(2.0, 64)
+      math.max(1L, ((KmvK - 1).toDouble / math.max(u, Double.MinPositiveValue)).toLong)
+    }
   }
 
   /** Total order per tag. Strings compare in UTF-8 unsigned byte

@@ -89,7 +89,7 @@ class TxCboSpec extends AnyFunSuite {
     }
   }
 
-  test("unknowable columns degrade gracefully (strings: null count only)") {
+  test("strings serve bounds to the estimator; NDV stays absent without a sketch") {
     val t = fresh()
     build(t, 10000)
     withConfs("spark.sql.cbo.enabled" -> "true") {
@@ -97,10 +97,78 @@ class TxCboSpec extends AnyFunSuite {
         .queryExecution.optimizedPlan.stats
       val pStat = st.attributeStats.toSeq
         .collectFirst { case (a, cs) if a.name == "payload" => cs }
-      // strings refuse min/max (parquet writers may truncate binary
-      // bounds) and ndv (no sketch) — but the null count is exact
-      assert(pStat.forall(cs => cs.min.isEmpty && cs.max.isEmpty &&
-        cs.distinctCount.isEmpty), s"$pStat")
+      // r15: string min/max are served (truncated footer bounds are
+      // fine for a COST MODEL — the exact-extrema meta-agg still
+      // refuses them); distinct count stays empty without the opt-in
+      // KMV sketch
+      assert(pStat.exists(cs => cs.min.isDefined && cs.max.isDefined),
+        s"$pStat")
+      assert(pStat.forall(_.distinctCount.isEmpty), s"$pStat")
+    }
+  }
+
+  test("opt-in KMV sketches serve a real NDV, merged across files and commits") {
+    val t = fresh()
+    val schema = spark.range(0).select(col("id"),
+      concat(lit("g"), (col("id") % 37).cast("string")).as("grp")).schema
+    TxLog.createTable(spark, t, schema,
+      props = Map(TxLog.NdvColsProp -> "grp, id"))
+    // three commits, several files each; grp has exactly 37 distincts,
+    // id is dense-unique (50k — well past the sketch size, so the
+    // ESTIMATOR path is exercised, not the exhaustive-union one)
+    (0 until 3).foreach { b =>
+      spark.range(b * 17000, (b + 1) * 17000 - (if (b == 2) 1000 else 0))
+        .select(col("id"), concat(lit("g"), (col("id") % 37).cast("string")).as("grp"))
+        .repartition(3)
+        .write.format("txlog").mode("append").save(t)
+    }
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val st = spark.read.format("txlog").load(t)
+        .queryExecution.optimizedPlan.stats
+      def ndvOf(n: String): Option[BigInt] = st.attributeStats.toSeq
+        .collectFirst { case (a, cs) if a.name == n => cs }.flatMap(_.distinctCount)
+      // small-cardinality string column: exact (union under k)
+      assert(ndvOf("grp").contains(BigInt(37)), s"grp ndv ${ndvOf("grp")}")
+      // high-cardinality key: KMV estimate within ±20% of 50,000
+      val idNdv = ndvOf("id").map(_.toLong).getOrElse(0L)
+      assert(idNdv > 40000L && idNdv < 60000L, s"id ndv $idNdv")
+    }
+  }
+
+  test("a string-keyed join flips to broadcast from manifest sketches alone") {
+    val big = fresh(); val dim = fresh()
+    def strDf(n: Int) = spark.range(n).select(
+      md5(col("id").cast("string")).as("skey"),
+      concat(md5((col("id") + 7).cast("string")),
+        md5((col("id") + 8).cast("string"))).as("payload"))
+    val schema = strDf(0).schema
+    // single-file tables (zone pruning provably isn't the cause) with
+    // the NDV opt-in declared BEFORE the data lands
+    TxLog.createTable(spark, big, schema, props = Map(TxLog.NdvColsProp -> "skey"))
+    TxLog.createTable(spark, dim, schema, props = Map(TxLog.NdvColsProp -> "skey"))
+    strDf(200000).coalesce(1).write.format("txlog").mode("append").save(big)
+    strDf(40000).coalesce(1).write.format("txlog").mode("append").save(dim)
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> (1L << 20).toString) {
+      def planOf(): String = {
+        val d = spark.read.format("txlog").load(dim)
+        // a string-equality filter: selectivity 1/ndv — estimable ONLY
+        // because the sketch serves a distinct count for skey
+        val probe = spark.read.format("txlog").load(big)
+          .where(col("skey") === md5(lit("42")))
+        probe.join(d, "skey").groupBy().agg(count(lit(1)))
+          .queryExecution.executedPlan.toString
+      }
+      withConfs("spark.sql.cbo.enabled" -> "false") {
+        val p = planOf()
+        assert(p.contains("SortMergeJoin"), s"expected SMJ without CBO:\n$p")
+      }
+      withConfs("spark.sql.cbo.enabled" -> "true") {
+        val p = planOf()
+        assert(p.contains("BroadcastHashJoin"),
+          s"expected broadcast from the string NDV sketch under CBO:\n$p")
+      }
     }
   }
 
