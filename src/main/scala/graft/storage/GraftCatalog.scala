@@ -256,6 +256,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalStateException(s"table $t has no recorded schema"))
       val psrc = TxPart.sources(TxLog.partitionColumns(spark, t))
       val cm = TxLog.colMapOf(spark, t)
+      // track each simulated column back to its PRE-ALTER logical name,
+      // so partition-source checks resolve through renames applied
+      // earlier in the same change set (rename k->id, widen id: the
+      // physical lookup must still see k)
+      var orig: Map[String, String] = sim.fieldNames.map(n => n -> n).toMap
+      def physOf(n: String): String =
+        TxLog.physicalName(cm, orig.getOrElse(n, n))
       def lower(n: String) = n.toLowerCase(java.util.Locale.ROOT)
       def existing(kind: String, n: Seq[String]): String = {
         require(n.length == 1,
@@ -269,13 +276,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!sim.fieldNames.exists(x =>
           x != from && lower(x) == lower(r.newName)),
           s"RENAME COLUMN: ${r.newName} already exists")
+        orig = (orig - from) + (r.newName -> orig.getOrElse(from, from))
         sim = StructType(sim.fields.map(f =>
           if (f.name == from) f.copy(name = r.newName) else f))
       }
       drops.foreach { d =>
         val n = existing("DROP COLUMN", d.fieldNames.toSeq)
         require(sim.fields.length > 1, s"DROP COLUMN: $n is the table's last column")
-        require(!psrc.contains(TxLog.physicalName(cm, n)),
+        require(!psrc.contains(physOf(n)),
           s"DROP COLUMN: $n is a partition source column")
         sim = StructType(sim.fields.filterNot(_.name == n))
       }
@@ -286,7 +294,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"ALTER COLUMN TYPE: ${from.simpleString} -> " +
             s"${u.newDataType.simpleString} on $n is not a supported lossless " +
             "widening")
-        require(!psrc.contains(TxLog.physicalName(cm, n)),
+        require(!psrc.contains(physOf(n)),
           s"ALTER COLUMN TYPE: $n is a partition source column")
         sim = StructType(sim.fields.map(f =>
           if (f.name == n) f.copy(dataType = u.newDataType) else f))
@@ -554,10 +562,11 @@ private[storage] class GraftStagedTable(spark: SparkSession, ident: Identifier,
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
-      // props ride as the override: a CTAS declaring graft.stats.ndv.cols
-      // collects sketches for its initial data, before any manifest exists
-      val stats = TxLog.collectStats(spark, dir.toString, rel,
-        propsOverride = Some(props))
+      // the declared props ride in directly: a CTAS declaring
+      // graft.stats.ndv.cols collects sketches for its initial data,
+      // before any manifest exists (mapping is identity at birth)
+      val stats = TxLog.collectStats(spark, dir.toString, rel, props,
+        TxLog.ColMap(Seq.empty, Seq.empty))
       publish(rel, stats, writeSchema)
       ()
     }

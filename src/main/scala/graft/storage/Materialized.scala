@@ -96,7 +96,9 @@ object Materialized {
 
   /** Which read path the last [[fold]] took, for spec assertions only:
     * (`"isin" | "snapshot" | "none"`, `"isin" | "semijoin" | "none"`) =
-    * (target current-values read, extremum rescan read). */
+    * (target current-values read, extremum rescan read). Written ONCE
+    * per fold (a single tuple assignment at the end) so concurrent
+    * folds of different views can never interleave a mixed reading. */
   @volatile private[graft] var lastFoldPaths: (String, String) = ("none", "none")
 
   /** Fold ONE change window into the target under `token` — the shared
@@ -130,7 +132,7 @@ object Materialized {
     val delta = window.groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastFoldPaths = ("none", "none")
+    var currentPath = "none"; var rescanPath = "none"
     try {
       // the TARGET schema: keys + n_rows + sums + extrema (extrema
       // nullable — a tombstoned or all-null group has none)
@@ -180,10 +182,10 @@ object Materialized {
       val current =
         if (keyProbe.isEmpty) emptyTarget
         else if (keyProbe.length > MaxPruneKeys) {
-          lastFoldPaths = ("snapshot", lastFoldPaths._2)
+          currentPath = "snapshot"
           TxLog.snapshot(s, target).getOrElse(emptyTarget)
         } else {
-          lastFoldPaths = ("isin", lastFoldPaths._2)
+          currentPath = "isin"
           val pred = keys.zipWithIndex.map { case (g, i) =>
             col(g).isin(keyProbe.map(_.get(i)).distinct.toIndexedSeq: _*)
           }.reduce(_ && _)
@@ -260,10 +262,10 @@ object Materialized {
                   "view's rescan horizon?"))
             val hit =
               if (rescanProbe.length > MaxPruneKeys) {
-                lastFoldPaths = (lastFoldPaths._1, "semijoin")
+                rescanPath = "semijoin"
                 srcAt.join(needy.select(keys.map(col): _*), keys, "left_semi")
               } else {
-                lastFoldPaths = (lastFoldPaths._1, "isin")
+                rescanPath = "isin"
                 val pred = keys.zipWithIndex.map { case (g, i) =>
                   col(g).isin(rescanProbe.map(_.get(i)).distinct.toIndexedSeq: _*)
                 }.reduce(_ && _)
@@ -285,7 +287,10 @@ object Materialized {
         TxLog.merge(out, target, keys, wid, batchId = token)
         ()
       } finally needy.unpersist()
-    } finally delta.unpersist()
+    } finally {
+      lastFoldPaths = (currentPath, rescanPath)
+      delta.unpersist()
+    }
   }
 
   /** Apply every unapplied source version to the target; returns the

@@ -809,25 +809,20 @@ object TxLog {
   val NdvColsProp = "graft.stats.ndv.cols"
 
   /** [[TxStats.collect]] + the opt-in KMV attachment — the stats door
-    * every data-staging path calls. `propsOverride` serves CTAS, where
-    * the table's properties aren't committed yet at stats time. */
+    * every data-staging path calls. Callers pass the properties and
+    * mapping they already hold (every staging path listed the log
+    * anyway), so a table without the opt-in pays NOTHING extra here. */
   private[storage] def collectStats(s: SparkSession, table: String,
                                     rel: Seq[String],
-                                    propsOverride: Option[Map[String, String]] = None)
-      : Seq[TxStats.FileStats] = {
+                                    props: Map[String, String],
+                                    cm: ColMap): Seq[TxStats.FileStats] = {
     val base = TxStats.collect(s, new Path(table), rel)
     if (rel.isEmpty) return base
-    lazy val ms = manifests(s, table)
-    val props = propsOverride.getOrElse(propsFrom(ms))
     val declared = props.get(NdvColsProp)
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
     if (declared.isEmpty) base
-    else {
-      val cm = propsOverride.map(_ => ColMap(Seq.empty, Seq.empty))
-        .getOrElse(colMapFrom(ms))
-      TxStats.attachKmv(s, table, rel, base, declared.map(physicalName(cm, _)))
-    }
+    else TxStats.attachKmv(s, table, rel, base, declared.map(physicalName(cm, _)))
   }
 
   /** DML write strategy (`graft.dml.mode` table property):
@@ -1512,7 +1507,8 @@ object TxLog {
     tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema))
     val (rel, stats) = stageWrite(s, new Path(table), df)
     commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
-      maxRetries, incoming = Some(df.schema), legacyExisting = legacyExisting)
+      maxRetries, incoming = Some(df.schema), legacyExisting = legacyExisting,
+      cmAtStaging = Some(colMapFrom(ms0)))
   }
 
   /** Transactionally append `df` PARTITIONED by `partitionBy`: each
@@ -1563,7 +1559,7 @@ object TxLog {
       clusterTasks = Some(0))
     commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
       maxRetries, incoming = Some(df.schema), legacyExisting = legacyExisting,
-      pcols = physSpecs)
+      pcols = physSpecs, cmAtStaging = Some(cm))
   }
 
   /** Stage `df` hive-partitioned on duplicated `__p_<phys>` path
@@ -1584,8 +1580,10 @@ object TxLog {
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$uuid")
     val ms0 = manifests(s, root.toString)
-    val guarded = TxCheck.guard(s, df0, propsFrom(ms0))
-    val phys = toPhysical(guarded, colMapFrom(ms0))
+    val props0 = propsFrom(ms0)
+    val cm0 = colMapFrom(ms0)
+    val guarded = TxCheck.guard(s, df0, props0)
+    val phys = toPhysical(guarded, cm0)
     val df = clusterTasks match {
       case Some(0) => phys.repartition(TxPart.exprs(pcols, phys): _*)
       case Some(n) => phys.repartition(math.max(1, n), TxPart.exprs(pcols, phys): _*)
@@ -1610,7 +1608,7 @@ object TxLog {
       out.result().sorted
     }
     // TxStats.collect parses the `__p_` segments into per-file pv
-    (rel, collectStats(s, root.toString, rel))
+    (rel, collectStats(s, root.toString, rel, props0, cm0))
   }
 
   /** Hive path unescape (%XX sequences). Hive escapes one %XX PER BYTE
@@ -1669,7 +1667,7 @@ object TxLog {
       .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
     // zone maps: footer-only stats of the just-written files ride in the
     // manifest, so scanWhere prunes from the log alone (TxStats doc)
-    (rel, collectStats(s, root.toString, rel))
+    (rel, collectStats(s, root.toString, rel, props, cm))
   }
 
   /** Publish files ALREADY STAGED by a distributed writer (the V2
@@ -1683,7 +1681,8 @@ object TxLog {
                                   writerId: String, batchId: Long,
                                   incoming: org.apache.spark.sql.types.StructType,
                                   maxRetries: Int = 20,
-                                  stagedPcols: Seq[String] = Seq.empty): Long = {
+                                  stagedPcols: Seq[String] = Seq.empty,
+                                  cmAtStaging: Option[ColMap] = None): Long = {
     val ms0 = manifests(s, table)
     // the executor writers laid files out for the partitioning they saw
     // at factory creation — a concurrent layout change (create of the
@@ -1699,7 +1698,8 @@ object TxLog {
         liveFiles(ms0).headOption.map(h => s.read.parquet(absPath(table)(h)).schema)
       else None
     commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
-      maxRetries, incoming = Some(incoming), legacyExisting = legacyExisting)
+      maxRetries, incoming = Some(incoming), legacyExisting = legacyExisting,
+      cmAtStaging = cmAtStaging)
   }
 
   /** Publish already-staged files as an atomic table REPLACEMENT
@@ -1743,7 +1743,8 @@ object TxLog {
                              checkpoint: Boolean, maxRetries: Int,
                              incoming: Option[org.apache.spark.sql.types.StructType] = None,
                              legacyExisting: Option[org.apache.spark.sql.types.StructType] = None,
-                             pcols: Seq[String] = Seq.empty)
+                             pcols: Seq[String] = Seq.empty,
+                             cmAtStaging: Option[ColMap] = None)
       : Long = {
     incoming.foreach(guardReservedCols) // every data/evolve commit records one
     // race-injection seam (TxColMapSpec): fires ONCE at publish entry —
@@ -1819,6 +1820,26 @@ object TxLog {
             }
           }
         case _ => None
+      }
+      // r15 DRIFT GUARD: the staged files speak physicalName(cm@staging, l)
+      // for every column the write carried. If a concurrent schema
+      // transaction changed any of those resolutions between staging and
+      // THIS attempt's listing (e.g. a declared evolution won the race
+      // and minted the same logical name onto a DIFFERENT physical —
+      // newCols is then empty and the clash check never runs), publishing
+      // would bind files whose on-disk column no reader can resolve:
+      // every row would read NULL. Conflict loudly instead.
+      if (files.nonEmpty) (incoming, cmAtStaging) match {
+        case (Some(in), Some(cm0)) =>
+          val cmEff = cmapOut.orElse(colMapRecorded(ms))
+            .getOrElse(ColMap(Seq.empty, Seq.empty))
+          val drifted = in.fieldNames.toSeq.filter(l =>
+            physicalName(cm0, l) != physicalName(cmEff, l))
+          if (drifted.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"table $table: the column mapping of ${drifted.mkString(", ")} " +
+              "changed between this write's staging and its publish (a " +
+              "concurrent schema transaction) — re-run the write on the new snapshot")
+        case _ => ()
       }
       val target = new Path(logDir, manifestName(v))
       val bytes =
@@ -2677,19 +2698,32 @@ object TxLog {
     * [min,max] on the column overlaps the running span of the files
     * before it (sorted by min). 0 = perfectly clustered (disjoint
     * ranges — a point probe opens one file), 100 = fully smeared
-    * (every file overlaps — a probe opens them all). Files without
-    * usable stats count as decayed (conservative: favors re-layout,
-    * never hides it). */
+    * (every file overlaps — a probe opens them all).
+    *
+    * The trigger this feeds must CONVERGE — re-clustering must be able
+    * to bring the observable back under threshold, or [[maintain]]
+    * rewrites the whole table on every call forever. Hence:
+    *  - a file with NO recorded stats for the column counts as fully
+    *    decayed (conservative AND fixable — the rewrite recollects);
+    *  - an ALL-NULL file (`has == false`) is EXCLUDED from the sweep:
+    *    it prunes perfectly for every comparison (mayMatch is false),
+    *    so it is not an overlap problem, and no re-layout could ever
+    *    change it — counting it as decayed would be a permanent
+    *    false-positive on sparse cluster columns;
+    *  - mixed tags (a type-widened column's eras) count as decayed —
+    *    the rewrite lands everything on the widened type, converging. */
   private[storage] def overlapPct(stats: Seq[TxStats.FileStats],
                                   physCol: String): Double = {
     val n = stats.size
     if (n <= 1) return 0.0
     val cs = stats.map(_.byCol.get(physCol))
-    if (cs.exists(c => c.isEmpty || !c.get.has)) return 100.0
-    val tag = cs.head.get.tag
-    if (cs.exists(_.get.tag != tag)) return 100.0
-    val ranges = cs.map(c =>
-      (TxStats.parseVal(tag, c.get.min), TxStats.parseVal(tag, c.get.max)))
+    if (cs.exists(_.isEmpty)) return 100.0 // no stats: unjudgeable, fixable
+    val present = cs.flatten.filter(_.has) // all-null files prune perfectly
+    if (present.size <= 1) return 0.0
+    val tag = present.head.tag
+    if (present.exists(_.tag != tag)) return 100.0
+    val ranges = present.map(c =>
+      (TxStats.parseVal(tag, c.min), TxStats.parseVal(tag, c.max)))
       .sortWith((a, b) => TxStats.cmp(tag, a._1, b._1) < 0)
     var overlaps = 0
     var runMax = ranges.head._2
@@ -2697,7 +2731,7 @@ object TxLog {
       if (TxStats.cmp(tag, mn, runMax) <= 0) overlaps += 1
       if (TxStats.cmp(tag, mx, runMax) > 0) runMax = mx
     }
-    overlaps * 100.0 / (n - 1)
+    overlaps * 100.0 / (present.size - 1)
   }
 
   /** The MAINTENANCE POLICY LOOP: read the table's health observables
@@ -2746,12 +2780,19 @@ object TxLog {
     val rawRows = files.flatMap(r => stats.get(r).map(_.rows).filter(_ >= 0L)).sum
     // EVERY live file goes to the sweep — one without recorded stats
     // maps to an empty FileStats, which overlapPct counts as fully
-    // decayed (flatMap(stats.get) would silently drop it instead)
+    // decayed (flatMap(stats.get) would silently drop it instead).
+    // Columns whose TYPE can never carry zone-map stats are skipped:
+    // re-clustering cannot restore an observable that no rewrite can
+    // produce, so counting them would fire the trigger forever.
     val perFile = files.map(r => stats.getOrElse(r,
       TxStats.FileStats(r, -1L, Seq.empty)))
+    val physSchema = physicalSchemaFrom(ms)
+    val sweepCols = clusterColumns.filter(c => physSchema.forall(sch =>
+      sch.fields.find(_.name == physicalName(cm, c))
+        .forall(f => TxStats.zoneMappable(f.dataType))))
     val overlap =
-      if (clusterColumns.isEmpty) 0.0
-      else clusterColumns.map(c => overlapPct(perFile, physicalName(cm, c))).max
+      if (sweepCols.isEmpty) 0.0
+      else sweepCols.map(c => overlapPct(perFile, physicalName(cm, c))).max
     val needCluster = clusterColumns.nonEmpty && files.size > 1 &&
       overlap > overlapTriggerPct
     val needCompact = smallFiles > smallFilesTrigger ||

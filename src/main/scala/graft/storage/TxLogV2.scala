@@ -1521,23 +1521,30 @@ class TxLogBatchWrite(table: String, schema: StructType, overwrite: Boolean)
     extends BatchWrite {
   private val spark = SparkSession.active
   private val uuid = UUID.randomUUID().toString
-  // ONE layout read drives both the executor staging and the commit's
-  // sticky-layout check — no window for the two to disagree
+  // ONE layout+mapping read drives the executor staging, the commit's
+  // sticky-layout check AND the drift guard — no window to disagree
   private val pcols = TxLog.partitionColumns(spark, table)
+  private val cmAtPlan =
+    // an overwrite REPLACES the contract — files under the new
+    // schema's own names, mapping reset at the checkpoint
+    if (overwrite) TxLog.ColMap(Seq.empty, Seq.empty)
+    else TxLog.colMapOf(spark, table)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     TxLogWriterFactory.create(spark, table, uuid, schema, pcols,
-      // an overwrite REPLACES the contract — files under the new
-      // schema's own names, mapping reset at the checkpoint
-      cmOverride = if (overwrite) Some(TxLog.ColMap(Seq.empty, Seq.empty)) else None)
+      cmOverride = Some(cmAtPlan))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
-    val stats = TxLog.collectStats(spark, table, rel)
+    val msC = TxLog.manifests(spark, table)
+    // sketches read the staged files under the mapping they were
+    // WRITTEN with (the drift guard rejects any divergence at publish)
+    val stats = TxLog.collectStats(spark, table, rel, TxLog.propsFrom(msC),
+      cmAtPlan)
     if (overwrite) TxLog.overwriteStaged(spark, table, rel, stats, schema.toDDL)
     else TxLog.commitStaged(spark, table, rel, stats,
       writerId = s"batch-$uuid", batchId = 0L, incoming = schema,
-      stagedPcols = pcols)
+      stagedPcols = pcols, cmAtStaging = Some(cmAtPlan))
     ()
   }
 
@@ -1554,19 +1561,26 @@ class TxLogStreamingWrite(table: String, schema: StructType, writerId: String)
   private val spark = SparkSession.active
   private val uuid = UUID.randomUUID().toString
   private val pcols = TxLog.partitionColumns(spark, table)
+  // the stream's factory is minted ONCE — every epoch stages under this
+  // mapping, and the per-epoch drift guard conflicts if it moves
+  private val cmAtPlan = TxLog.colMapOf(spark, table)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    TxLogWriterFactory.create(spark, table, uuid, schema, pcols)
+    TxLogWriterFactory.create(spark, table, uuid, schema, pcols,
+      cmOverride = Some(cmAtPlan))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
-    val stats = TxLog.collectStats(spark, table, rel)
+    val msC = TxLog.manifests(spark, table)
+    val stats = TxLog.collectStats(spark, table, rel, TxLog.propsFrom(msC),
+      cmAtPlan)
     // EMPTY epochs commit too: the token records the epoch as done, so a
     // replay after a crash between this commit and the checkpoint write
     // cannot re-apply a later, different batch under the same id
     TxLog.commitStaged(spark, table, rel, stats, writerId, epochId,
-      incoming = schema, stagedPcols = pcols)
+      incoming = schema, stagedPcols = pcols,
+      cmAtStaging = Some(cmAtPlan))
     ()
   }
 
@@ -1951,7 +1965,8 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     if (rel.isEmpty && perFile.isEmpty) return // matched nothing: clean no-op
     val (removes, entries) = TxLog.mergeDvRefs(spark, table, ms, perFile)
     val schemaDdl = TxLog.tableSchemaFrom(ms).getOrElse(rowSchema).toDDL
-    val stats = TxLog.collectStats(spark, table, rel)
+    val stats = TxLog.collectStats(spark, table, rel, TxLog.propsFrom(ms),
+      TxLog.colMapFrom(ms))
     TxLog.publishRewrite(spark, table, rel, stats, removes,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
@@ -2119,7 +2134,9 @@ class TxLogReplaceBatchWrite(table: String, writeSchema: StructType,
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
     val removes = op.scannedFiles
     if (rel.isEmpty && removes.isEmpty) return // matched nothing: clean no-op
-    val stats = TxLog.collectStats(spark, table, rel)
+    val msC = op.pinnedSnapshot(spark, table)
+    val stats = TxLog.collectStats(spark, table, rel, TxLog.propsFrom(msC),
+      TxLog.colMapFrom(msC))
     val r = TxLog.publishRewrite(spark, table, rel, stats, removes,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,

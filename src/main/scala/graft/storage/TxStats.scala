@@ -122,6 +122,21 @@ object TxStats {
       else None
     }
 
+  /** Catalyst-side mirror of [[tagOf]]'s domain: the types whose
+    * columns ever get zone-map stats. The maintain loop's overlap sweep
+    * uses this to skip cluster columns it could never judge (a decimal
+    * column has no stats after ANY rewrite — counting it as decayed
+    * would re-cluster the table forever). */
+  def zoneMappable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
   /** The stats tag for a primitive parquet type, or None if the type
     * cannot be soundly pruned with our comparators. */
   private def tagOf(p: PrimitiveType): Option[String] = {
@@ -253,10 +268,23 @@ object TxStats {
     val df = s.read.parquet(rel.map(TxLog.absPath(table)): _*)
     val present = physCols.distinct.filter(df.columns.contains)
     if (present.isEmpty) return base
+    // hash the WIDENED canonical representation (integral→long,
+    // float→double): xxhash64 hashes int and long differently, so
+    // without this a type widening would put the two eras' sketches in
+    // different hash domains and the merged NDV would double-count
+    // every value both eras share. (An int→DOUBLE widen still crosses
+    // domains — the merged NDV over-counts shared values up to 2×,
+    // an estimate-only effect on an unusual widen; the integral chain
+    // and float→double, the common cases, stay exact.)
+    def canonical(c: String): Column = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType => col(c).cast(LongType)
+      case FloatType => col(c).cast(DoubleType)
+      case _ => col(c)
+    }
     val stacked = present.map(c =>
         df.where(col(c).isNotNull)
           .select(col("_metadata.file_path").as("__f"), lit(c).as("__c"),
-            xxhash64(col(c)).as("__h")))
+            xxhash64(canonical(c)).as("__h")))
       .reduce(_ unionAll _)
     val ranked = stacked.distinct()
       .withColumn("__r", row_number().over(

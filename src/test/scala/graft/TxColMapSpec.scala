@@ -213,6 +213,41 @@ class TxColMapSpec extends AnyFunSuite {
     assert(spark.read.format("txlog").load(t2).columns.toSeq == Seq("id", "g"))
   }
 
+  test("drift guard: a concurrent evolution minting the SAME name elsewhere conflicts") {
+    // the sharpest race: physical "extra" is RETIRED; a writer stages an
+    // append carrying new column "extra" (on-disk name "extra"); between
+    // staging and publish a DECLARED evolution mints extra -> extra_1.
+    // The retry then sees "extra" as known (newCols empty — the clash
+    // check never runs), but the staged files' on-disk name is the
+    // retired physical: committing would bind files whose column reads
+    // NULL forever. The drift guard must conflict loudly.
+    val t = freshTable()
+    val base = (0 until 10).map(i => (i.toLong, s"g$i", Option(i)))
+      .toDF("id", "grp", "extra")
+    TxLog.createTable(spark, t, base.schema)
+    base.write.format("txlog").mode("append").save(t)
+    TxLog.dropColumn(spark, t, "extra") // retires physical "extra"
+    val declared = StructType(spark.read.format("txlog").load(t).schema.fields :+
+      StructField("extra", IntegerType, nullable = true))
+    TxLog.publishRaceForTests = () => { TxLog.evolveSchema(spark, t, declared); () }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        TxLog.commit((100 until 103).map(i => (i.toLong, "z", Option(i)))
+          .toDF("id", "grp", "extra"), t, "w-drift", 9L)
+      }
+      assert(e.getMessage.contains("extra"), e.getMessage)
+    } finally TxLog.publishRaceForTests = null
+    // the declared evolution won; its fresh physical holds no old values
+    val df = spark.read.format("txlog").load(t)
+    assert(df.columns.toSeq == Seq("id", "grp", "extra"))
+    assert(df.where(col("extra").isNotNull).count() == 0L)
+    // and a clean retry of the writer lands in the minted physical
+    TxLog.commit((100 until 103).map(i => (i.toLong, "z", Option(i)))
+      .toDF("id", "grp", "extra"), t, "w-drift", 10L)
+    assert(spark.read.format("txlog").load(t)
+      .where(col("extra").isNotNull).count() == 3L)
+  }
+
   test("rename/drop guards: last column, partition source, reserved, collision") {
     val t = freshTable()
     val df = (0 until 20).map(i => (i.toLong, s"r${i % 2}")).toDF("id", "region")

@@ -160,6 +160,42 @@ class TxMaintainSpec extends AnyFunSuite {
     assert(spark.read.format("txlog").load(t).count() == 401L)
   }
 
+  test("the decay trigger CONVERGES: sparse and unjudgeable cluster columns can't fire forever") {
+    // an all-null file prunes perfectly on the column (mayMatch is
+    // false for every comparison), so it is not an overlap problem and
+    // no re-layout could change it — counting it as decayed would
+    // re-cluster the table on EVERY maintain call, unboundedly
+    val t = fresh()
+    val schema = Seq((1L, Option(1L))).toDF("k", "sparse").schema
+    TxLog.createTable(spark, t, schema)
+    (0 until 4).foreach { b => // k clustered; sparse is NULL in half the files
+      (b * 100 until (b + 1) * 100)
+        .map(i => (i.toLong, if (b % 2 == 0) Some(i.toLong) else None))
+        .toDF("k", "sparse").coalesce(1)
+        .write.format("txlog").mode("append").save(t)
+    }
+    val r1 = TxLog.maintain(spark, t, smallFilesTrigger = 1000,
+      clusterColumns = Seq("k", "sparse"), clusterTargetFiles = 4,
+      overlapTriggerPct = 50.0)
+    assert(!r1.clustered,
+      s"all-null files must not read as decay (nothing to fix): $r1")
+    // a decimal cluster column can never carry zone-map stats — it must
+    // be skipped, not counted as 100% decayed after every rewrite
+    val t2 = fresh()
+    val d = Seq((1L, BigDecimal("1.00"))).toDF("k", "price")
+    TxLog.createTable(spark, t2, d.schema)
+    (0 until 3).foreach { b =>
+      (b * 50 until (b + 1) * 50).map(i => (i.toLong, BigDecimal(i) / 100))
+        .toDF("k", "price").coalesce(1)
+        .write.format("txlog").mode("append").save(t2)
+    }
+    val r2 = TxLog.maintain(spark, t2, smallFilesTrigger = 1000,
+      clusterColumns = Seq("price"), clusterTargetFiles = 3,
+      overlapTriggerPct = 50.0)
+    assert(!r2.clustered && r2.overlapPct == 0.0,
+      s"an unjudgeable column type must contribute nothing: $r2")
+  }
+
   test("CALL system.maintain drives the loop over a transform-partitioned table") {
     val wh = Files.createTempDirectory("txmaint_wh_").toString
     spark.conf.set("spark.sql.catalog.mcat", "graft.storage.GraftCatalog")

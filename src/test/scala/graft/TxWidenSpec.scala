@@ -220,6 +220,53 @@ class TxWidenSpec extends AnyFunSuite {
     assert(spark.table("wcat.ns.t").schema == before,
       "a failed multi-change ALTER must leave the table untouched")
     spark.sql("DROP TABLE wcat.ns.t")
+    // rename-then-widen of a PARTITION SOURCE in one change set: the
+    // validation must resolve the renamed name back to the original
+    // and refuse up front — not rename and then fail the widen
+    spark.sql("""CREATE TABLE wcat.ns.p (k INT, v STRING)
+                 USING txlog PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO wcat.ns.p SELECT id, concat('v', id) FROM range(20)")
+    val pBefore = spark.table("wcat.ns.p").schema
+    intercept[Exception] {
+      cat.alterTable(Identifier.of(Array("ns"), "p"),
+        TableChange.renameColumn(Array("k"), "key"),
+        TableChange.updateColumnType(Array("key"), LongType))
+    }
+    assert(spark.table("wcat.ns.p").schema == pBefore,
+      "the rename half must not apply when the widen half is refused")
+    spark.sql("DROP TABLE wcat.ns.p")
+  }
+
+  test("NDV sketches agree across widen eras (canonical-type hashing)") {
+    // pre-widen ints and post-widen longs carrying the SAME values must
+    // hash into one domain, or the merged KMV double-counts every
+    // shared value and the estimate inflates toward 2x
+    val t = freshTable()
+    val schema = (0 until 0).map(i => (i, "x")).toDF("k", "v").schema
+    TxLog.createTable(spark, t, schema,
+      props = Map(TxLog.NdvColsProp -> "k"))
+    // era 1: ints 0..999
+    (0 until 1000).map(i => (i, s"a$i")).toDF("k", "v")
+      .write.format("txlog").mode("append").save(t)
+    TxLog.widenColumnType(spark, t, "k", LongType)
+    // era 2: longs over the SAME value range (full overlap)
+    (0 until 1000).map(i => (i.toLong, s"b$i")).toDF("k", "v")
+      .write.format("txlog").mode("append").save(t)
+    val st = {
+      val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try spark.read.format("txlog").load(t).queryExecution.optimizedPlan.stats
+      finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    }
+    val ndv = st.attributeStats.toSeq
+      .collectFirst { case (a, cs) if a.name == "k" => cs }
+      .flatMap(_.distinctCount).map(_.toLong).getOrElse(0L)
+    // true NDV is 1000; cross-domain hashing would read ~2000
+    assert(ndv > 800L && ndv < 1300L,
+      s"widen-era sketches must share one hash domain: ndv $ndv")
   }
 
   test("metadata aggregates and CBO bounds stay exact across the widen") {
