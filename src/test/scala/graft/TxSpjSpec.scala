@@ -173,6 +173,64 @@ class TxSpjSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned SHUFFLE: an unbucketed side shuffles TO the bucket layout") {
+    // v2.bucketing.shuffle.enabled: joining a bucketed table with a
+    // plain (unbucketed) relation shuffles ONLY the plain side, using
+    // the catalog-resolved bucket function — the 100 TB fact table
+    // never moves
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.ns")
+    mk("sf", 5000, 8)
+    spark.sql("CREATE TABLE spjcat.ns.sd (k BIGINT, w STRING) USING txlog")
+    spark.sql("INSERT INTO spjcat.ns.sd SELECT id, concat('w', id) FROM range(2500)")
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val df = spark.table("spjcat.ns.sf").join(spark.table("spjcat.ns.sd"), "k")
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange ".r.findAllIn(plan).length
+      assert(exchanges <= 1,
+        s"expected at most ONE exchange (the unbucketed side only):\n$plan")
+      assert(df.count() == 2500L)
+    }
+  }
+
+  test("join keys a SUBSET of a compound bucket layout still avoid the full exchange") {
+    // allowJoinKeysSubsetOfPartitionKeys: tables laid out as
+    // (bucket(4,k), bucket(4,j)) joined on k alone — the planner groups
+    // the richer partitioning down to the join key instead of
+    // shuffling both sides
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.ns")
+    def mk2(name: String, n: Int): Unit = {
+      spark.sql(s"""CREATE TABLE spjcat.ns.$name (k BIGINT, j BIGINT, v STRING)
+                    USING txlog PARTITIONED BY (bucket(4, k), bucket(4, j))""")
+      spark.sql(s"""INSERT INTO spjcat.ns.$name
+                    SELECT id, id % 97, concat('$name', id) FROM range($n)""")
+    }
+    mk2("ja", 3000)
+    mk2("jb", 1500)
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+      // the subset mode is gated on this being false (SQLConf doc)
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+      // both bucket sources stay in the scan output: a clustering whose
+      // reference is pruned away is (correctly) not reported at all —
+      // the documented safe fallback, not the case under test
+      val df = spark.table("spjcat.ns.ja").join(spark.table("spjcat.ns.jb"), "k")
+        .select(col("k"), col("ja.j").as("ja_j"), col("jb.j").as("jb_j"),
+          col("ja.v").as("va"), col("jb.v").as("vb"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"join on a subset of the bucket tuple must not full-shuffle:\n$plan")
+      assert(df.count() == 1500L)
+    }
+  }
+
   test("bucket-grouped scan stays correct for plain reads and DML fallbacks") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS spjcat.ns")
     mk("e", 4000, 8)
