@@ -74,7 +74,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    // dev-loop filter: SPARK_GRAFT_ONLY=key1,key2 dumps just those
+    // queries (and just their oracle entries) — e.g. proving one new
+    // key at sf1 without re-running the whole surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = only.map(k => SparkEntry.queries.view.filterKeys(k).toMap)
+      .getOrElse(SparkEntry.queries)
+    val os = only.map(k => SparkEntry.oracleSql.view.filterKeys(k).toMap)
+      .getOrElse(SparkEntry.oracleSql)
+    run(spark, sfDir, outDir, qs, os)
     spark.stop()
   }
 }
