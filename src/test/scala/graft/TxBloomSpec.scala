@@ -123,6 +123,38 @@ class TxBloomSpec extends AnyFunSuite {
     assert(cand == 4 && kept < cand, s"($kept/$cand)")
   }
 
+  test("pre-widen files keep their bloom skipping after ALTER COLUMN TYPE") {
+    // r15: a widened column's predicates carry the WIDE literal; the
+    // cross-width probe hashes the narrow rendering the old files used
+    // when the value fits, so INT32-era blooms still skip — and a
+    // beyond-int probe of an int file degrades to keep (sound floor)
+    val t = freshTable()
+    TxLog.setProperties(spark, t, Map(
+      TxBloom.BloomColsProp -> "id", TxBloom.BloomNdvProp -> "1000"))
+    // INT-typed id, interleaved mod 4 so zone maps are useless
+    (0 until 4).foreach { i =>
+      TxLog.commit((0 until 300).map(j => (j * 4 + i, s"f$i"))
+        .toDF("id", "grp").coalesce(1), t, "w", i.toLong)
+    }
+    TxLog.widenColumnType(spark, t, "id",
+      org.apache.spark.sql.types.LongType)
+    // one post-widen INT64 file, same interleave
+    TxLog.commit((0 until 300).map(j => (5000000000L + j, "f9"))
+      .toDF("id", "grp").coalesce(1), t, "w", 9L)
+    val df = spark.read.format("txlog").load(t)
+    TxBloom.lastPrune.set((0, 0))
+    // long literal that fits int: the 4 old files' blooms probe via the
+    // int rendering — only the matching file survives (+ the new file
+    // is zone-pruned before blooms see it)
+    assert(df.where($"id" === 402L).select($"grp").collect()
+      .map(_.getString(0)).toSeq == Seq("f2"))
+    val (kept, cand) = TxBloom.lastPrune.get()
+    assert(kept < cand, s"widened probes must still skip ($kept/$cand)")
+    // beyond-int probe: zone maps already isolate the new file; the
+    // result stays exact either way
+    assert(df.where($"id" === 5000000042L).count() == 1L)
+  }
+
   test("DML with an equality predicate narrows its candidates through the blooms") {
     val t = bloomTable()
     TxBloom.lastPrune.set((0, 0))

@@ -237,6 +237,48 @@ class TxWidenSpec extends AnyFunSuite {
     spark.sql("DROP TABLE wcat.ns.p")
   }
 
+  test("a widen mid-stream fails the tail LOUDLY; widen-the-sink + restart resumes exactly-once") {
+    // the streaming contract: a running tail resolved the narrow schema
+    // at start, so the first post-widen batch fails with a parquet
+    // type-mismatch — loud, never silently narrowed rows. Recovery is
+    // the documented pair: widen the sink table the same way, restart
+    // from the checkpoint — the source re-resolves the WIDE schema,
+    // replays the failed epoch exactly once, and the tail continues.
+    val t = freshTable()
+    val sink = freshTable()
+    TxLog.createTable(spark, t,
+      (0 until 0).map(i => (i, s"g$i")).toDF("id", "grp").schema)
+    (0 until 50).map(i => (i, s"g$i")).toDF("id", "grp")
+      .write.format("txlog").mode("append").save(t)
+    val ckpt = Files.createTempDirectory("txwiden_ck_").toString
+    def tail() = spark.readStream.format("txlog").load(t)
+      .writeStream.format("txlog")
+      .option("checkpointLocation", ckpt)
+      .start(sink)
+    val q = tail()
+    q.processAllAvailable()
+    assert(spark.read.format("txlog").load(sink).count() == 50L)
+    TxLog.widenColumnType(spark, t, "id", LongType)
+    (1000 until 1020).map(i => (i.toLong, s"h$i")).toDF("id", "grp")
+      .write.format("txlog").mode("append").save(t)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(!q.isActive, "the tail must stop, not serve narrowed rows")
+    assert(e.getMessage.contains("PARQUET_COLUMN_DATA_TYPE_MISMATCH"),
+      e.getMessage.take(300))
+    // recovery: widen the sink the same way, restart from the checkpoint
+    TxLog.widenColumnType(spark, sink, "id", LongType)
+    val q2 = tail()
+    q2.processAllAvailable()
+    q2.stop()
+    val b = spark.read.format("txlog").load(sink)
+    assert(b.schema("id").dataType == LongType)
+    assert(b.count() == 70L, "the replayed epoch must land exactly once")
+    assert(b.where(col("id") >= 1000L).count() == 20L)
+    assert(b.select("id").distinct().count() == 70L)
+  }
+
   test("NDV sketches agree across widen eras (canonical-type hashing)") {
     // pre-widen ints and post-widen longs carrying the SAME values must
     // hash into one domain, or the merged KMV double-counts every
