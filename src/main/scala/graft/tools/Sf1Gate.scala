@@ -46,6 +46,12 @@ object Sf1Gate {
     "dedup_jaccard" -> "oracle 817 s at sf1 (engine 14 s)",
     "dedup_edit_distance" -> "oracle 1224 s at sf1 (engine 14 s)",
     "dedup_clusters" -> "recursive-CTE closure infeasible at sf1 (>6 h); union-find crosscheck instead",
+    // r15 diagnosis: canonical's oracle EMBEDS the blocked all-pairs
+    // jaccard AND a recursive closure — the same >6 h shape as
+    // dedup_clusters. It sorts FIRST alphabetically, so the r14 gate's
+    // compare (M53, "still running at close") and r15's first attempt
+    // both silently ground on it for hours before any output.
+    "dedup_canonical" -> "embeds the jaccard pair core + recursive closure (clusters' >6 h shape)",
     "q78_knn_graph" -> "oracle needs ~100 GB DuckDB memory_limit at sf1",
     "q78b_knn_graph_ivf" -> "shares q78's all-pairs oracle (same memory wall)")
 
@@ -53,7 +59,8 @@ object Sf1Gate {
     * q78b rides along: it shares q78's oracle, so the sampled run also
     * re-proves the certificate path's brute-identity at sf1 scale. */
   val SampledHeavy: Seq[String] =
-    Seq("dedup_jaccard", "dedup_edit_distance", "q78_knn_graph", "q78b_knn_graph_ivf")
+    Seq("dedup_jaccard", "dedup_edit_distance", "dedup_canonical",
+      "q78_knn_graph", "q78b_knn_graph_ivf")
 
   private val Tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
