@@ -545,6 +545,57 @@ object TxLogParity {
       t
     })
 
+  /** ANALYZE + schema-evolving append on a MAPPED table (r15,
+    * [[TxLog.analyze]]): gen0 lands WITHOUT the NDV opt-in, a RENAME
+    * creates the column mapping, gen1 is an evolving append that mints
+    * its new `prio` column inside its own commit (the r15
+    * mint-on-mapped path), then `analyze` backfills — full footer
+    * stats where missing, synthesized all-null `prio` entries on the
+    * pre-evolution files (exact: the column reads null there), KMV
+    * sketches on every live file, and the opt-in property — as ONE
+    * stats-only manifest. A COW DELETE runs AFTER the analyze, so the
+    * re-recorded stats drive its candidate pruning and the rewritten
+    * files re-attach their own sketches via the property. The hashed
+    * aggregate spans both eras and counts `prio`'s nulls and distinct
+    * values, so a wrong synthesized entry, a broken evolve-append, or
+    * an analyze that perturbed data would all skew it. Plan-level
+    * assertions (NDV served to CBO, broadcast flip) live in
+    * TxAnalyzeSpec. */
+  private val builtAn = new ConcurrentHashMap[String, String]()
+
+  private def analyzeTable(s: SparkSession, dir: String): String =
+    builtAn.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_an_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val k1 = m / 2
+      orders.where(col("o_orderkey") <= k1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .coalesce(2).write.format("txlog").mode("append").save(t)
+      TxLog.renameColumn(s, t, "o_custkey", "cust")
+      orders.where(col("o_orderkey") > k1)
+        .select(col("o_orderkey"), col("o_custkey").as("cust"),
+          col("o_orderstatus"), col("o_orderpriority").as("prio"))
+        .coalesce(2).write.format("txlog").mode("append").save(t)
+      val r = TxLog.analyze(s, t, Seq("cust", "prio"))
+      require(r.version >= 0 && r.filesSkipped == 0, s"analyze: $r")
+      TxLog.delete(s, t, col("o_orderkey") % 7 === 3, "an-del", 0L)
+      t
+    })
+
+  val analyzed: Q = (s, dir) => {
+    val t = analyzeTable(s, dir)
+    s.read.format("txlog").load(t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("cust").cast("long").as("cust_sum"),
+        sum(when(col("prio").isNull, 1L).otherwise(0L)).cast("long")
+          .as("prio_nulls"),
+        countDistinct(col("prio")).as("prio_ndv"))
+      .orderBy("o_orderstatus")
+  }
+
   val widen: Q = (s, dir) => {
     val t = widenTable(s, dir)
     s.read.format("txlog").load(t)
@@ -612,6 +663,7 @@ object TxLogParity {
     "txlog_part_transform" -> partTransform,
     "txlog_colmap" -> colmap,
     "txlog_widen" -> widen,
+    "txlog_analyze" -> analyzed,
     "txlog_spj_join" -> spjJoin,
     "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
@@ -670,6 +722,24 @@ object TxLogParity {
                 max(CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)) AS price_max
          FROM orders
          WHERE o_orderkey % 5 <> 1
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+    // analyze row's live state: both eras (prio null on the first,
+    // real on the second) minus the post-analyze DELETE; null/distinct
+    // counts of prio re-derive from the same era split
+    "txlog_analyze" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+                CAST(sum(CASE WHEN o_orderkey <=
+                       (SELECT max(o_orderkey) // 2 FROM orders)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS prio_nulls,
+                CAST(count(DISTINCT CASE WHEN o_orderkey >
+                       (SELECT max(o_orderkey) // 2 FROM orders)
+                     THEN o_orderpriority END) AS BIGINT) AS prio_ndv
+         FROM orders
+         WHERE o_orderkey % 7 <> 3
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
     // transform-partitioned table's live state: orders minus

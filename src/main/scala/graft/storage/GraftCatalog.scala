@@ -705,6 +705,24 @@ object GraftProcedures {
           r.version, r.compacted, r.clustered, r.smallFiles, r.dvRows,
           r.overlapPct)))
       })),
+    "analyze" -> (c => proc(c, "analyze",
+      "opt the columns into the NDV sketch channel AND backfill sketches " +
+        "onto every live file missing one (stats-only commit, no data " +
+        "rewrite) — after this the CBO estimator serves a real distinct " +
+        "count for them from the manifest alone; files_skipped counts " +
+        "files whose footer stats are unusable (rewrite to fix)",
+      Seq(p("table", StringType), p("columns", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files_updated", IntegerType, nullable = false),
+        StructField("files_skipped", IntegerType, nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        val cols = str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val r = TxLog.analyze(SparkSession.active, t, cols)
+        Array[InternalRow](new GenericInternalRow(Array[Any](
+          r.version, r.filesUpdated, r.filesSkipped)))
+      })),
     "detail" -> (c => proc(c, "detail",
       "DESCRIBE DETAIL: one row of live-state observables — file/byte/row " +
         "counts, deletion-vector debt (the purge-scheduling signal), layout " +

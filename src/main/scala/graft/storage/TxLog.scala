@@ -70,7 +70,7 @@ object TxLog {
   private[storage] def singleUseWriter(w: String): Boolean =
     Seq("compact-", "cluster-", "overwrite-", "restore-", "batch-", "insert-",
       "sql-delete-", "sql-update-", "sql-merge-", "props-", "create-",
-      "evolve-", "colmap-", "widen-").exists(w.startsWith)
+      "evolve-", "colmap-", "widen-", "analyze-").exists(w.startsWith)
 
   /** The reserved namespace FAILS LOUDLY at the public entry points: a
     * user writer id like `batch-nightly` would be silently dropped from
@@ -82,7 +82,7 @@ object TxLog {
   private def guardWriterId(w: String): Unit =
     require(!singleUseWriter(w),
       s"writer id '$w' starts with a reserved single-use prefix (compact-/cluster-/" +
-        "overwrite-/restore-/batch-/insert-/create-/evolve-/sql-*-): these ids are dropped from checkpoint " +
+        "overwrite-/restore-/batch-/insert-/create-/evolve-/analyze-/sql-*-): these ids are dropped from checkpoint " +
         "token absorption, so replays after vacuum would duplicate data — pick " +
         "a writer id outside the reserved namespace")
 
@@ -569,6 +569,7 @@ object TxLog {
       case w if w.startsWith("evolve-") => "ALTER SCHEMA"
       case w if w.startsWith("colmap-") => "ALTER COLUMN MAPPING"
       case w if w.startsWith("widen-") => "ALTER COLUMN TYPE"
+      case w if w.startsWith("analyze-") => "ANALYZE"
       case _ if m.checkpoint => "CHECKPOINT"
       case _ if m.removes.nonEmpty || m.dvs.nonEmpty => "REWRITE"
       case _ => "APPEND"
@@ -3054,6 +3055,131 @@ object TxLog {
       writerId = s"restore-${java.util.UUID.randomUUID()}", expectedHead = head,
       schemaDdl = Some(schemaDdl), removes = dropped, changes = changes,
       dvs = targetDvs.values.toSeq.sortBy(_.f), cmapOverride = cmapOverride)
+  }
+
+  /** One [[analyze]] outcome. `version` = the stats-only commit, or -1
+    * when every live file was already covered (nothing committed).
+    * `filesSkipped` counts files whose footer CARRIES an analyzed
+    * column but with unusable stats (NaN-poisoned bounds, a pre-stats
+    * writer) — their bounds are unknowable without trusting a data
+    * scan, so the estimator keeps refusing that column until the file
+    * is rewritten ([[compactSmall]]/[[cluster]] recollect). */
+  final case class AnalyzeReport(version: Long, filesUpdated: Int,
+                                 filesSkipped: Int)
+
+  /** ANALYZE (r15): opt `cols` into the NDV sketch channel AND
+    * backfill sketches onto every live file that lacks one — the
+    * companion [[NdvColsProp]] needs for EXISTING tables. The
+    * estimator deliberately refuses a half-sketched column (a silent
+    * partial NDV would misprice joins), and only data commits attach
+    * sketches, so without this a table with history could never serve
+    * a real distinct count short of a full rewrite — the exact
+    * ANALYZE-shaped gap the manifest-stats channel was built to close.
+    *
+    * Two transactions:
+    *  1. merge `cols` into `graft.stats.ndv.cols` FIRST, so any commit
+    *     that stages after the property lands attaches its own
+    *     sketches and the backfill chases a closed set (a write staged
+    *     before but published after the backfill is the residual
+    *     window — the estimator just keeps refusing; re-run analyze);
+    *  2. ONE column-pruned scan of exactly the files missing sketches
+    *     (never the covered ones), published as a STATS-ONLY manifest:
+    *     no adds, no removes — [[liveStats]] is newest-wins per file,
+    *     so the re-recorded entries shadow the old. A concurrent
+    *     rewrite can strand an entry on a removed file (never
+    *     consulted — pruning looks up live names only) or add
+    *     uncovered files (property already set → they carry their own).
+    *
+    * Backfill semantics per (live file, column):
+    *  - sketch present, or all-null bounds: already complete;
+    *  - bounds present, sketch missing: scanned and sketched (the
+    *    mixed-era scan reads under the table's WIDENED physical schema
+    *    — schema inference across eras could read a post-widen long
+    *    column with a pre-widen file's int type);
+    *  - no stats recorded at all (legacy manifests): full footer stats
+    *    are collected too, so zone maps start pruning the file;
+    *  - column ABSENT from the file's footer (the file predates the
+    *    column's evolution): an all-null ColStat is synthesized — it
+    *    is EXACT, the column reads null for every row of that file;
+    *  - column present but footer stats unusable: skipped + counted.
+    * DV'd rows stay IN the sketches (write-time semantics: NDV is an
+    * upper bound, capped at read time by the DV-adjusted row count).
+    *
+    * Cost: O(files missing sketches) footer reads + one column-pruned
+    * scan of those files' opted columns; a fully-covered table commits
+    * nothing. At 100 TB this runs ONCE per table (then write-time
+    * attachment maintains the invariant), scans only the declared join
+    * keys' bytes, and the sketches it publishes are ~1-2 KB per
+    * (file, column) of manifest — the same order as the bounds already
+    * there. */
+  def analyze(s: SparkSession, table: String, cols: Seq[String],
+              maxRetries: Int = 20): AnalyzeReport = {
+    require(cols.nonEmpty, "analyze: need at least one column")
+    val ms0 = manifests(s, table)
+    require(ms0.nonEmpty, s"not a txlog table: $table")
+    val sch0 = tableSchemaFrom(ms0).getOrElse(throw new IllegalStateException(
+      s"table $table has no recorded schema — analyze needs one to type its columns"))
+    cols.foreach { c =>
+      require(sch0.fieldNames.contains(c),
+        s"analyze: column $c not in (${sch0.fieldNames.mkString(", ")})")
+      require(TxStats.tagFor(sch0(c).dataType).isDefined,
+        s"analyze: ${sch0(c).dataType.simpleString} column $c can never carry " +
+          "zone-map stats or NDV sketches")
+    }
+    // 1. the opt-in property first (see contract above)
+    val existing = propsFrom(ms0).get(NdvColsProp)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val declared = (existing ++ cols).distinct
+    if (declared != existing)
+      setProperties(s, table, Map(NdvColsProp -> declared.mkString(",")))
+    // 2. backfill against a listing taken AFTER the property landed
+    val ms = manifests(s, table)
+    val sch = tableSchemaFrom(ms).getOrElse(sch0)
+    val cm = colMapFrom(ms)
+    val phys = cols.map(physicalName(cm, _)).distinct
+    val tagOfPhys: Map[String, String] = cols.map(c =>
+      physicalName(cm, c) -> TxStats.tagFor(sch(c).dataType).get).toMap
+    val live = liveFiles(ms)
+    val prior = liveStats(ms)
+    val root = new Path(table)
+    // legacy files without ANY recorded stats: collect footer stats now
+    val collected = TxStats.collect(s, root, live.filterNot(prior.contains))
+      .map(f => f.file -> f).toMap
+    val base: Map[String, TxStats.FileStats] =
+      live.map(r => r -> collected.getOrElse(r, prior(r))).toMap
+    // columns with no ColStat in a file: absent from the footer
+    // (pre-evolution, all-null is exact) vs present-but-unusable (skip)
+    val absent = base.valuesIterator
+      .map(f => f.file -> phys.filterNot(f.byCol.contains))
+      .filter(_._2.nonEmpty).toMap
+    val footCols = TxStats.footerColumns(s, root, absent.keys.toSeq.sorted)
+    var skipped = 0
+    val synthesized: Map[String, TxStats.FileStats] = absent.map { case (r, ps) =>
+      val fst = base(r)
+      val (unfixable, missing) = ps.partition(footCols(r).contains)
+      if (unfixable.nonEmpty) skipped += 1
+      r -> fst.copy(cols = fst.cols ++ missing.map(p =>
+        TxStats.ColStat(p, tagOfPhys(p), has = false, "", "", nulls = fst.rows)))
+    }
+    val withSynth = base ++ synthesized
+    // one scan of exactly the files that still need a sketch, under the
+    // widened PHYSICAL schema of the opted columns
+    val needing = live.filter(r => withSynth(r).cols
+      .exists(c => phys.contains(c.col) && c.has && c.kmv.isEmpty))
+    val readSch = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(
+        physicalName(cm, c), sch(c).dataType, nullable = true)))
+    val sketched = TxStats.attachKmv(s, table, needing,
+        needing.map(withSynth), phys, readSchema = Some(readSch))
+      .map(f => f.file -> f).toMap
+    val finalMap = withSynth ++ sketched
+    val changed = live.filter(r => !prior.get(r).contains(finalMap(r)))
+    if (changed.isEmpty) return AnalyzeReport(-1L, 0, skipped)
+    val v = commitManifest(s, table, files = Seq.empty,
+      stats = changed.map(finalMap), batchId = 0L, checkpoint = false,
+      writerId = s"analyze-${java.util.UUID.randomUUID()}",
+      maxRetries = maxRetries)
+    AnalyzeReport(v, changed.size, skipped)
   }
 
   /** Rename attribute references of pushed-down source Filters from

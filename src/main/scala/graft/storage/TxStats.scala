@@ -137,6 +137,38 @@ object TxStats {
     case _ => false
   }
 
+  /** Catalyst type → stats tag: [[tagOf]]'s domain seen from the table
+    * schema side. [[TxLog.analyze]] uses it to type the all-null
+    * ColStat it synthesizes for a file that predates a schema-evolved
+    * column (the column reads null for every row of that file, so
+    * has=false is EXACT, not conservative). None = the type never
+    * carries zone-map stats. */
+  def tagFor(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => Some("i")
+    case FloatType | DoubleType => Some("d")
+    case BooleanType => Some("b")
+    case StringType => Some("s")
+    case _ => None
+  }
+
+  /** Top-level column names in each file's parquet footer schema —
+    * metadata-only I/O, O(rel) footer reads. [[TxLog.analyze]] uses
+    * this to distinguish a column ABSENT from a file (pre-evolution:
+    * all-null is exact) from one whose footer stats were merely
+    * unusable (bounds unknowable without a data scan — skipped). */
+  def footerColumns(s: SparkSession, root: Path, rel: Seq[String])
+      : Map[String, Set[String]] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    rel.map { r =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(root, r), conf))
+      try r -> rd.getFooter.getFileMetaData.getSchema
+        .getFields.asScala.map(_.getName).toSet
+      finally rd.close()
+    }.toMap
+  }
+
   /** The stats tag for a primitive parquet type, or None if the type
     * cannot be soundly pruned with our comparators. */
   private def tagOf(p: PrimitiveType): Option[String] = {
@@ -261,11 +293,20 @@ object TxStats {
     * (the prunable-type set, which covers join keys); a column absent
     * from the staged schema is skipped. */
   def attachKmv(s: SparkSession, table: String, rel: Seq[String],
-                base: Seq[FileStats], physCols: Seq[String]): Seq[FileStats] = {
+                base: Seq[FileStats], physCols: Seq[String],
+                readSchema: Option[StructType] = None): Seq[FileStats] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     if (rel.isEmpty || physCols.isEmpty) return base
-    val df = s.read.parquet(rel.map(TxLog.absPath(table)): _*)
+    // write-time callers scan ONE commit's files (homogeneous schema:
+    // inference is fine); [[TxLog.analyze]] scans MIXED-ERA files and
+    // passes the table's widened physical schema explicitly — inference
+    // would take one arbitrary file's (possibly pre-widen) types, and a
+    // post-widen long column read as int is a wrong read, not a wrong
+    // estimate. Columns a file lacks read null and fall out of the
+    // isNotNull stack below; pre-widen values upcast natively.
+    val reader = readSchema.map(s.read.schema).getOrElse(s.read)
+    val df = reader.parquet(rel.map(TxLog.absPath(table)): _*)
     val present = physCols.distinct.filter(df.columns.contains)
     if (present.isEmpty) return base
     // hash the WIDENED canonical representation (integral→long,

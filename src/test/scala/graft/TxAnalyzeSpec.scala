@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** ANALYZE ([[TxLog.analyze]] / `CALL system.analyze`): opt columns
+  * into the NDV sketch channel and BACKFILL sketches onto existing
+  * live files as a stats-only commit — closing the gap where a table
+  * with history could never serve a real distinct count (the
+  * estimator refuses half-sketched columns; only data commits attach
+  * sketches; a full rewrite was the only cure). */
+class TxAnalyzeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fresh(): String =
+    Files.createTempDirectory("txanalyze_").resolve("t").toString
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def strDf(n: Int, off: Int = 0) = spark.range(n).select(
+    md5((col("id") + off).cast("string")).as("skey"),
+    (col("id") % 37).cast("string").as("grp"),
+    col("id"))
+
+  private def ndvOf(t: String, name: String): Option[BigInt] =
+    withConfsNdv(t, name)
+  private def withConfsNdv(t: String, name: String): Option[BigInt] = {
+    var out: Option[BigInt] = None
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val st = spark.read.format("txlog").load(t)
+        .queryExecution.optimizedPlan.stats
+      out = st.attributeStats.toSeq
+        .collectFirst { case (a, cs) if a.name == name => cs }
+        .flatMap(_.distinctCount)
+    }
+    out
+  }
+
+  test("backfill: a table with history gains NDV for a string key; idempotent") {
+    val t = fresh()
+    // three separate commits, NO opt-in property — write-time sketches
+    // never attached
+    strDf(8000).coalesce(1).write.format("txlog").mode("append").save(t)
+    strDf(8000, 4000).coalesce(1).write.format("txlog").mode("append").save(t)
+    strDf(2000, 12000).coalesce(1).write.format("txlog").mode("append").save(t)
+    // pre: no sketch anywhere -> no distinct count for the string key
+    assert(ndvOf(t, "skey").isEmpty, s"pre-analyze skey ndv ${ndvOf(t, "skey")}")
+    val r = TxLog.analyze(spark, t, Seq("skey", "grp"))
+    assert(r.version >= 0 && r.filesSkipped == 0, r.toString)
+    assert(r.filesUpdated == 3, r.toString) // every live file re-recorded
+    // the property is now set: future commits attach their own
+    assert(TxLog.properties(spark, t).get(TxLog.NdvColsProp)
+      .exists(_.split(',').contains("skey")))
+    // post: true distinct counts (grp exact under k; skey within KMV error)
+    assert(ndvOf(t, "grp").contains(BigInt(37)), s"grp ${ndvOf(t, "grp")}")
+    val skeyNdv = ndvOf(t, "skey").map(_.toLong).getOrElse(0L)
+    assert(skeyNdv > 11000L && skeyNdv < 17000L, s"skey ndv $skeyNdv (~14000 true)")
+    // idempotent: everything covered -> nothing committed
+    val r2 = TxLog.analyze(spark, t, Seq("skey", "grp"))
+    assert(r2.version == -1L && r2.filesUpdated == 0, r2.toString)
+    // data untouched by construction (stats-only manifest)
+    assert(spark.read.format("txlog").load(t).count() == 18000L)
+  }
+
+  test("backfilled sketches equal write-time sketches (same NDV served)") {
+    val a = fresh(); val b = fresh()
+    val df = strDf(20000)
+    TxLog.createTable(spark, a, df.schema, props = Map(TxLog.NdvColsProp -> "skey"))
+    df.coalesce(2).write.format("txlog").mode("append").save(a)
+    df.coalesce(2).write.format("txlog").mode("append").save(b)
+    TxLog.analyze(spark, b, Seq("skey"))
+    assert(ndvOf(a, "skey").isDefined)
+    assert(ndvOf(a, "skey") == ndvOf(b, "skey"),
+      s"write-time ${ndvOf(a, "skey")} vs backfilled ${ndvOf(b, "skey")}")
+  }
+
+  test("schema-evolved column: pre-evolution files get an exact all-null entry") {
+    val t = fresh()
+    strDf(5000).coalesce(1).write.format("txlog").mode("append").save(t)
+    // evolve in a new string column, then land data that has it
+    val withTag = strDf(5000, 5000).withColumn("tag",
+      concat(lit("t"), (col("id") % 11).cast("string")))
+    withTag.coalesce(1).write.format("txlog").mode("append").save(t)
+    val r = TxLog.analyze(spark, t, Seq("tag"))
+    assert(r.filesSkipped == 0 && r.version >= 0, r.toString)
+    // NDV = the 11 real values; the pre-evolution file contributes an
+    // all-null (complete-but-empty) sketch, not a refusal
+    assert(ndvOf(t, "tag").contains(BigInt(11)), s"tag ${ndvOf(t, "tag")}")
+    // and the synthesized null count is served too (5000 nulls exactly)
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val st = spark.read.format("txlog").load(t)
+        .queryExecution.optimizedPlan.stats
+      val nulls = st.attributeStats.toSeq
+        .collectFirst { case (a, cs) if a.name == "tag" => cs }
+        .flatMap(_.nullCount)
+      assert(nulls.contains(BigInt(5000)), s"tag nulls $nulls")
+    }
+  }
+
+  test("mixed widen eras hash in one domain: NDV does not double-count") {
+    val t = fresh()
+    spark.range(4000).select(col("id").cast("int").as("k"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.widenColumnType(spark, t, "k", org.apache.spark.sql.types.LongType)
+    // the SAME 4000 values again, now written as longs, plus 1000 new
+    spark.range(5000).select(col("id").as("k"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.analyze(spark, t, Seq("k"))
+    val ndv = ndvOf(t, "k").map(_.toLong).getOrElse(0L)
+    // true NDV 5000; double-counting across eras would read ~9000
+    assert(ndv > 4000L && ndv < 6000L, s"k ndv $ndv (5000 true)")
+  }
+
+  test("renamed column resolves through the mapping; CALL returns the report") {
+    val wh = Files.createTempDirectory("txanalyze_cat_").toString
+    withConfs(
+      "spark.sql.catalog.anacat" -> "graft.storage.GraftCatalog",
+      "spark.sql.catalog.anacat.warehouse" -> wh) {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS anacat.ns")
+      spark.sql("CREATE TABLE anacat.ns.t (skey STRING, grp STRING, id BIGINT) USING txlog")
+      strDf(6000).write.insertInto("anacat.ns.t")
+      spark.sql("ALTER TABLE anacat.ns.t RENAME COLUMN skey TO ukey")
+      val row = spark.sql(
+        "CALL anacat.system.analyze(table => 'ns.t', columns => 'ukey')").first()
+      assert(row.getLong(0) >= 0L && row.getInt(1) >= 1 && row.getInt(2) == 0,
+        row.toString)
+      val t = s"$wh/ns/t"
+      val ndv = ndvOf(t, "ukey").map(_.toLong).getOrElse(0L)
+      assert(ndv > 4800L && ndv < 7200L, s"ukey ndv $ndv (6000 true)")
+    }
+  }
+
+  test("refusals are loud: unknown column, never-statable type") {
+    val t = fresh()
+    spark.range(100).select(col("id"), lit(java.math.BigDecimal.ONE).as("dec"))
+      .write.format("txlog").mode("append").save(t)
+    val e1 = intercept[IllegalArgumentException](
+      TxLog.analyze(spark, t, Seq("nope")))
+    assert(e1.getMessage.contains("not in"))
+    val e2 = intercept[IllegalArgumentException](
+      TxLog.analyze(spark, t, Seq("dec")))
+    assert(e2.getMessage.contains("can never carry"))
+  }
+
+  test("analyze survives compaction: the property keeps rewrites sketched") {
+    val t = fresh()
+    strDf(4000).coalesce(1).write.format("txlog").mode("append").save(t)
+    strDf(4000, 4000).coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.analyze(spark, t, Seq("skey"))
+    assert(ndvOf(t, "skey").isDefined)
+    TxLog.compact(spark, t)
+    // the checkpoint rewrote every file; write-time attachment (via the
+    // property analyze set) kept the column fully sketched
+    val ndv = ndvOf(t, "skey").map(_.toLong).getOrElse(0L)
+    assert(ndv > 6400L && ndv < 9600L, s"post-compact skey ndv $ndv (8000 true)")
+  }
+}
