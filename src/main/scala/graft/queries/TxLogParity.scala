@@ -583,6 +583,54 @@ object TxLogParity {
       t
     })
 
+  /** INITIAL DEFAULTS (r15, [[TxLog.addColumnWithDefault]]): gen0 lands
+    * without `prio`, ADD COLUMN prio STRING DEFAULT 'NONE' (metadata
+    * only — the default and the evolved schema publish in one
+    * manifest), gen1 lands WITH stored values including genuine nulls,
+    * then a COW DELETE predicated ON THE DEFAULT ITSELF (`prio =
+    * 'NONE' AND key % 3 = 0`) cuts pre-add rows only: three-valued
+    * semantics keep gen1's null-prio rows. The hashed aggregate counts
+    * the default ('NONE'), the stored nulls and the distinct values
+    * per group — a read that served null instead of the default, or a
+    * DML that matched the wrong era, skews every column. */
+  private val builtDf = new ConcurrentHashMap[String, String]()
+
+  private def defaultTable(s: SparkSession, dir: String): String =
+    builtDf.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_df_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val k1 = m / 2
+      orders.where(col("o_orderkey") <= k1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .coalesce(2).write.format("txlog").mode("append").save(t)
+      TxLog.addColumnWithDefault(s, t, "prio",
+        org.apache.spark.sql.types.StringType, "'NONE'")
+      orders.where(col("o_orderkey") > k1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_orderpriority")).as("prio"))
+        .coalesce(2).write.format("txlog").mode("append").save(t)
+      TxLog.delete(s, t,
+        col("prio") === "NONE" && col("o_orderkey") % 3 === 0, "df-del", 0L)
+      t
+    })
+
+  val defaulted: Q = (s, dir) => {
+    val t = defaultTable(s, dir)
+    s.read.format("txlog").load(t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"),
+        sum(when(col("prio").isNull, 1L).otherwise(0L)).cast("long")
+          .as("prio_nulls"),
+        sum(when(col("prio") === "NONE", 1L).otherwise(0L)).cast("long")
+          .as("n_none"),
+        countDistinct(col("prio")).as("prio_ndv"))
+      .orderBy("o_orderstatus")
+  }
+
   val analyzed: Q = (s, dir) => {
     val t = analyzeTable(s, dir)
     s.read.format("txlog").load(t)
@@ -664,6 +712,7 @@ object TxLogParity {
     "txlog_colmap" -> colmap,
     "txlog_widen" -> widen,
     "txlog_analyze" -> analyzed,
+    "txlog_default" -> defaulted,
     "txlog_spj_join" -> spjJoin,
     "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
@@ -722,6 +771,32 @@ object TxLogParity {
                 max(CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE)) AS price_max
          FROM orders
          WHERE o_orderkey % 5 <> 1
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+    // default row's live state: prio = 'NONE' on the pre-add era,
+    // stored values (incl. every-11th null) on the post-add era, minus
+    // the DELETE that matched the default; coalesce renders the
+    // three-valued keep-rule (null prio is never 'NONE', so those rows
+    // survive the delete exactly like Spark's DML)
+    "txlog_default" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey <=
+                         (SELECT max(o_orderkey) // 2 FROM orders) THEN 'NONE'
+                       WHEN o_orderkey % 11 = 0 THEN NULL
+                       ELSE o_orderpriority END AS prio
+           FROM orders)
+         SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+                CAST(sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS prio_nulls,
+                CAST(sum(CASE WHEN prio = 'NONE' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_none,
+                CAST(count(DISTINCT prio) AS BIGINT) AS prio_ndv
+         FROM t
+         WHERE NOT (coalesce(prio, '') = 'NONE' AND o_orderkey % 3 = 0)
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
     // analyze row's live state: both eras (prio null on the first,

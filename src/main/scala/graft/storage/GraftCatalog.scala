@@ -78,6 +78,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** Declares SQL `DEFAULT` support (CREATE TABLE (c INT DEFAULT 5),
+    * ALTER TABLE ADD COLUMN ... DEFAULT) — without this Spark's parser
+    * rejects the clause for this catalog's tables. Initial-default READ
+    * semantics live in [[TxLog.DefaultPropPrefix]]. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
   override def defaultNamespace(): Array[String] = Array("default")
 
   // ------------------------------------------------------------------
@@ -177,12 +187,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (dir, pcols, userProps)
   }
 
+  /** CREATE TABLE (c INT DEFAULT 5): Spark encodes the defaults as
+    * EXISTS_DEFAULT/CURRENT_DEFAULT field metadata — extract them into
+    * the initial-default properties (physical == logical at create,
+    * canonicalized literal) so the v0 manifest carries schema and
+    * defaults as one transaction; ddlOf strips the metadata itself. */
+  private def defaultProps(dir: Path, schema: StructType): Map[String, String] =
+    schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("EXISTS_DEFAULT")) None
+      else Some(TxLog.DefaultPropPrefix + f.name ->
+        TxLog.renderDefaultLiteral(spark, dir.toString, f.name, f.dataType,
+          f.metadata.getString("EXISTS_DEFAULT")))
+    }.toMap
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
     val (dir, pcols, userProps) = parseSpec(ident, partitions, properties)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    TxLog.createTable(spark, dir.toString, schema, pcols, userProps)
+    TxLog.createTable(spark, dir.toString, schema, pcols,
+      userProps ++ defaultProps(dir, schema))
     TxLogTable(dir.toString, Some(schema))
   }
 
@@ -219,8 +243,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"REPLACE cannot drop $ident's partitioning (the layout record is " +
           "newest-wins) — DROP and re-CREATE to unpartition")
     TxCheck.validateDeclared(spark, info.schema, TxCheck.checksIn(userProps))
-    new GraftStagedTable(spark, ident, dir, info.schema, pcols, userProps,
-      replaceExisting = exists)
+    new GraftStagedTable(spark, ident, dir, info.schema, pcols,
+      userProps ++ defaultProps(dir, info.schema), replaceExisting = exists)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -304,11 +328,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"ADD COLUMN on nested field ${a.fieldNames.mkString(".")} is not supported")
         require(a.isNullable,
           s"ADD COLUMN ${a.fieldNames.head} must be nullable: existing rows " +
-            "backfill null (the txlog evolution rule)")
+            "backfill null (or the declared DEFAULT — the txlog evolution rule)")
         require(a.position == null,
           "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns APPEND")
         require(!sim.fieldNames.exists(x => lower(x) == lower(a.fieldNames.head)),
           s"ADD COLUMN: ${a.fieldNames.head} already exists")
+        // a DEFAULT must validate BEFORE any change of the set applies
+        // (the all-or-nothing contract): constant, non-null, castable
+        if (a.defaultValue() != null) {
+          require(a.defaultValue().getSql != null,
+            s"ADD COLUMN ${a.fieldNames.head}: expression-only DEFAULT is " +
+              "not supported — declare it as SQL text")
+          TxLog.renderDefaultLiteral(spark, t, a.fieldNames.head,
+            a.dataType, a.defaultValue().getSql)
+        }
         sim = StructType(sim.fields :+
           StructField(a.fieldNames.head, a.dataType, nullable = true))
       }
@@ -331,11 +364,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     widens.foreach(u => TxLog.widenColumnType(spark, t, u.fieldNames.head,
       u.newDataType))
     if (adds.nonEmpty) {
-      val current = TxLog.tableSchema(spark, t).getOrElse(
-        throw new IllegalStateException(s"table $t has no recorded schema"))
-      val newFields = adds.map(a =>
-        StructField(a.fieldNames.head, a.dataType, nullable = true))
-      TxLog.evolveSchema(spark, t, StructType(current.fields ++ newFields))
+      // defaulted columns commit one-at-a-time (each default rides
+      // atomically in its own evolve manifest); plain adds fold into
+      // one evolve transaction as before
+      val (defaulted, plain) = adds.partition(_.defaultValue() != null)
+      if (plain.nonEmpty) {
+        val current = TxLog.tableSchema(spark, t).getOrElse(
+          throw new IllegalStateException(s"table $t has no recorded schema"))
+        val newFields = plain.map(a =>
+          StructField(a.fieldNames.head, a.dataType, nullable = true))
+        TxLog.evolveSchema(spark, t, StructType(current.fields ++ newFields))
+      }
+      defaulted.foreach(a => TxLog.addColumnWithDefault(spark, t,
+        a.fieldNames.head, a.dataType, a.defaultValue().getSql))
     }
     if (sets.nonEmpty) TxLog.setProperties(spark, t, sets.toMap)
     if (removes.nonEmpty) TxLog.removeProperties(spark, t, removes)
@@ -578,7 +619,7 @@ private[storage] class GraftStagedTable(spark: SparkSession, ident: Identifier,
   private def publish(rel: Seq[String], stats: Seq[TxStats.FileStats],
                       schema: StructType): Unit = {
     if (replaceExisting)
-      TxLog.overwriteStaged(spark, dir.toString, rel, stats, schema.toDDL,
+      TxLog.overwriteStaged(spark, dir.toString, rel, stats, TxLog.ddlOf(schema),
         pcolsOverride = Some(pcols), propsOverride = Some(props))
     else
       TxLog.publishV0(spark, dir.toString, rel, stats, schema, pcols, props)

@@ -701,7 +701,8 @@ object TxLog {
   private[storage] def tableSchemaFrom(ms: Seq[Manifest])
       : Option[org.apache.spark.sql.types.StructType] =
     ms.reverse.collectFirst { case m if m.schema.isDefined => m.schema.get }
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .map(d => withDefaults(org.apache.spark.sql.types.StructType.fromDDL(d),
+        colMapFrom(ms), propsFrom(ms)))
 
   /** The table's partition columns: the newest manifest carrying them
     * (checkpoints re-record, so truncation can't lose the layout).
@@ -740,6 +741,116 @@ object TxLog {
   private[storage] def physicalSchemaFrom(ms: Seq[Manifest])
       : Option[org.apache.spark.sql.types.StructType] =
     tableSchemaFrom(ms).map(physicalSchemaOf(_, colMapFrom(ms)))
+
+  // ------------------------------------------------------------------
+  // initial defaults (ADD COLUMN ... DEFAULT as a metadata-only change)
+  // ------------------------------------------------------------------
+
+  /** INITIAL DEFAULTS (r15): `graft.default.<physical>` table property
+    * = the SQL literal the column reads wherever its PHYSICAL column is
+    * absent from a data file — i.e. every file written before the
+    * column's evolution (Iceberg's initial-default). Keyed by the
+    * immutable physical name, so RENAME COLUMN needs no property
+    * motion and a re-added column of a dropped name can never inherit
+    * the old default (fresh physical, fresh slot; the dropped
+    * column's entry is orphaned-inert, and a RESTORE past the drop
+    * finds it again). Served to every reader as Spark's own
+    * EXISTS_DEFAULT field metadata ([[withDefaults]], injected once in
+    * [[tableSchemaFrom]] and inherited by every physical read schema —
+    * `physicalSchemaOf` preserves metadata): the vectorized and MR
+    * parquet readers fill absent columns from it natively (a constant
+    * vector per file — zero per-row cost), files that CARRY the column
+    * serve their stored values (stored null stays null), and pushed
+    * filters cannot mis-skip (Spark builds per-file parquet filters
+    * from each footer's actual schema, so a filter on the absent
+    * column is never pushed into that file). CURRENT_DEFAULT rides
+    * along so SQL INSERTs that omit the column fill it at write time.
+    * The default is immutable for the column's lifetime (declared at
+    * ADD COLUMN, atomically in the same manifest — no crash window
+    * where the column exists without it); direct SET/UNSET of the
+    * property is refused. */
+  val DefaultPropPrefix = "graft.default."
+
+  /** physical name -> SQL literal of the defaults among `props`. */
+  private[storage] def defaultsIn(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(DefaultPropPrefix) =>
+      k.drop(DefaultPropPrefix.length) -> v }
+
+  /** Attach EXISTS_DEFAULT/CURRENT_DEFAULT metadata to the fields of a
+    * LOGICAL schema from the defaults in `props` (no-op when none). */
+  private[storage] def withDefaults(sch: org.apache.spark.sql.types.StructType,
+                                    cm: ColMap, props: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    val ds = defaultsIn(props)
+    if (ds.isEmpty) sch
+    else org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      ds.get(physicalName(cm, f.name)) match {
+        // EXISTS_DEFAULT only: it is the read-side fill key, and unlike
+        // CURRENT_DEFAULT it does NOT render into toDDL (a `DEFAULT`
+        // clause parseTableSchema cannot read back). The catalog
+        // surface adds CURRENT_DEFAULT for SQL INSERT resolution
+        // ([[withWriteDefaults]]); every manifest-DDL door strips both
+        // ([[ddlOf]]).
+        case Some(lit) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("EXISTS_DEFAULT", lit).build())
+        case None => f
+      }
+    })
+  }
+
+  /** The catalog-facing twin of [[withDefaults]]: copy EXISTS_DEFAULT
+    * into CURRENT_DEFAULT so Spark's analyzer fills SQL INSERTs that
+    * omit the column. Applied ONLY at [[TxLogTable.schema]] — never to
+    * a schema that could reach a manifest DDL record. */
+  private[storage] def withWriteDefaults(sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      if (!f.metadata.contains("EXISTS_DEFAULT")) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString("CURRENT_DEFAULT", f.metadata.getString("EXISTS_DEFAULT"))
+        .build())
+    })
+
+  /** StructType -> manifest DDL with the default-metadata keys
+    * STRIPPED: Spark's toDDL renders CURRENT_DEFAULT as a `DEFAULT`
+    * clause that `StructType.fromDDL` cannot parse back, and the
+    * manifest's defaults live in PROPERTIES, not in the recorded DDL
+    * (schemas read back through [[tableSchemaFrom]] re-attach them).
+    * Every door that records a schema string uses this. */
+  private[storage] def ddlOf(sch: org.apache.spark.sql.types.StructType): String =
+    org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      if (!f.metadata.contains("EXISTS_DEFAULT") &&
+          !f.metadata.contains("CURRENT_DEFAULT")) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove("EXISTS_DEFAULT").remove("CURRENT_DEFAULT").build())
+    }).toDDL
+
+  /** Validate + canonicalize a DEFAULT expression: must parse, fold to
+    * a constant, and cast losslessly (non-null) to the column's type.
+    * Returns the type-exact literal's SQL rendering — what the
+    * property stores and Spark's readers re-parse. */
+  private[storage] def renderDefaultLiteral(s: SparkSession, table: String,
+                                            name: String,
+                                            dt: org.apache.spark.sql.types.DataType,
+                                            defaultSql: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val e =
+      try s.sessionState.sqlParser.parseExpression(defaultSql)
+      catch { case ex: Exception => throw new IllegalArgumentException(
+        s"DEFAULT for $table.$name does not parse: $defaultSql", ex) }
+    require(e.foldable,
+      s"DEFAULT for $table.$name must be a constant expression, got: $defaultSql")
+    val v = Cast(e, dt, Some(s.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    require(v != null,
+      s"DEFAULT $defaultSql for $table.$name is null after casting to " +
+        s"${dt.simpleString} — a null default is just the absence of one " +
+        "(or the cast is lossy)")
+    Literal(v, dt).sql
+  }
 
   /** Rename a LOGICAL-named DataFrame's columns to their physical
     * names (the write-door translation; no-op under identity). Column
@@ -927,11 +1038,24 @@ object TxLog {
           s"$ChangeFeedProp=true unsupported on $table: map-typed column(s) " +
             sch.fields.filter(f => hasMapType(f.dataType)).map(_.name).mkString(", ") +
             " cannot be diffed by the change capture (Spark set operations reject maps)"))
+    // defaults declared AT CREATE (physical == logical there): the
+    // named column must exist and the literal must render for its type
+    defaultsIn(set).foreach { case (n, lit) =>
+      val f = schema.flatMap(_.fields.find(_.name == n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$DefaultPropPrefix$n on $table names no declared column"))
+      renderDefaultLiteral(SparkSession.active, table, n, f.dataType, lit)
+      ()
+    }
   }
 
   def setProperties(s: SparkSession, table: String,
                     set: Map[String, String]): Long = {
     require(set.nonEmpty, "setProperties of nothing")
+    require(!set.keysIterator.exists(_.startsWith(DefaultPropPrefix)),
+      s"$DefaultPropPrefix* properties are owned by the ADD COLUMN ... DEFAULT " +
+        "transaction (initial defaults are immutable for the column's " +
+        "lifetime) — they cannot be SET directly")
     validateProps(table, set, tableSchema(s, table))
     // adding a CHECK constraint: parse/resolve against the current
     // schema AND refuse if existing rows violate — the constraint then
@@ -976,6 +1100,10 @@ object TxLog {
   def removeProperties(s: SparkSession, table: String,
                        keys: Seq[String]): Long = {
     require(keys.nonEmpty, "removeProperties of nothing")
+    require(!keys.exists(_.startsWith(DefaultPropPrefix)),
+      s"$DefaultPropPrefix* properties are immutable (removing one would " +
+        "silently flip the column's pre-evolution reads from the default to " +
+        "null) — DROP the column instead")
     var attempt = 0
     while (attempt < 20) {
       val ms = manifests(s, table)
@@ -1057,7 +1185,7 @@ object TxLog {
     val bytes = render(Manifest(0L, rel,
       writerId = s"create-${java.util.UUID.randomUUID()}", batchId = 0L,
       checkpoint = false, stats = stats,
-      schema = Some(schema.toDDL), pcols = partitionBy,
+      schema = Some(ddlOf(schema)), pcols = partitionBy,
       props = if (props.isEmpty) None else Some(props.toSeq.sorted),
       ts = commitTimeMs()))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -1077,6 +1205,34 @@ object TxLog {
     commitManifest(s, table, Seq.empty, Seq.empty,
       writerId = s"evolve-${java.util.UUID.randomUUID()}", batchId = 0L,
       checkpoint = false, maxRetries = 20, incoming = Some(incoming))
+
+  /** ALTER TABLE ADD COLUMN ... DEFAULT — ONE metadata-only
+    * transaction carrying the evolved schema, the minted mapping entry
+    * (on mapped tables) and the canonicalized default property
+    * together, so no crash window can publish the column without its
+    * default (see [[DefaultPropPrefix]] for the read semantics: files
+    * that predate the column serve the default, files that carry it
+    * serve their stored values). The default is validated here —
+    * constant, non-null, losslessly castable to `dt` — and stored as
+    * the type-exact literal's SQL. */
+  def addColumnWithDefault(s: SparkSession, table: String, name: String,
+                           dt: org.apache.spark.sql.types.DataType,
+                           defaultSql: String): Long = {
+    val lit = renderDefaultLiteral(s, table, name, dt, defaultSql)
+    val existing = tableSchema(s, table).getOrElse(throw new IllegalStateException(
+      s"table $table has no schema to evolve"))
+    require(!existing.fieldNames.exists(
+        _.toLowerCase(java.util.Locale.ROOT) == name.toLowerCase(java.util.Locale.ROOT)),
+      s"ADD COLUMN: $name already exists on $table")
+    val incoming = org.apache.spark.sql.types.StructType(
+      existing.fields.map(f =>
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)) :+
+        org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    commitManifest(s, table, Seq.empty, Seq.empty,
+      writerId = s"evolve-${java.util.UUID.randomUUID()}", batchId = 0L,
+      checkpoint = false, maxRetries = 20, incoming = Some(incoming),
+      addDefault = Some(name -> lit))
+  }
 
   /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY transaction: the
     * recorded schema renames the field and the column mapping keeps
@@ -1230,11 +1386,30 @@ object TxLog {
         s"$op column on $table touches bloom-filtered column(s) " +
           s"${(gone ++ remapped).mkString(", ")} — unset ${TxBloom.BloomColsProp} " +
           "first, re-set it after")
+      // a WIDENED defaulted column re-renders its literal at the new
+      // type in this SAME commit (the property's contract is
+      // type-exact), so no window serves a stale rendering. A DROPPED
+      // column's entry is deliberately KEPT under its retired physical:
+      // retired names are never re-minted (a re-added column gets a
+      // fresh slot), and a RESTORE past the drop resurrects the column
+      // WITH its default — cleaning the key would flip those
+      // pre-evolution reads to null
+      val ds = defaultsIn(props)
+      val reRendered: Seq[(String, String)] = newSchema.fields.toSeq.flatMap { fld =>
+        val p = physicalName(newCm, fld.name)
+        ds.get(p).flatMap { lit =>
+          val out = renderDefaultLiteral(s, table, fld.name, fld.dataType, lit)
+          if (out == lit) None else Some(DefaultPropPrefix + p -> out)
+        }
+      }
+      val propsOut: Option[Seq[(String, String)]] =
+        if (reRendered.isEmpty) None
+        else Some((props ++ reRendered).toSeq.sorted)
       val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
       val bytes = render(Manifest(v, Seq.empty,
         writerId = s"$widPrefix-${java.util.UUID.randomUUID()}", batchId = 0L,
-        checkpoint = false, schema = Some(newSchema.toDDL),
-        cmap = Some(newCm), ts = commitTimeMs()))
+        checkpoint = false, schema = Some(ddlOf(newSchema)),
+        cmap = Some(newCm), props = propsOut, ts = commitTimeMs()))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes)) return v
       attempt += 1
@@ -1745,7 +1920,8 @@ object TxLog {
                              incoming: Option[org.apache.spark.sql.types.StructType] = None,
                              legacyExisting: Option[org.apache.spark.sql.types.StructType] = None,
                              pcols: Seq[String] = Seq.empty,
-                             cmAtStaging: Option[ColMap] = None)
+                             cmAtStaging: Option[ColMap] = None,
+                             addDefault: Option[(String, String)] = None)
       : Long = {
     incoming.foreach(guardReservedCols) // every data/evolve commit records one
     // race-injection seam (TxColMapSpec): fires ONCE at publish entry —
@@ -1770,7 +1946,7 @@ object TxLog {
         tableSchemaFrom(ms).orElse(legacyExisting)
           .map(ex => mergedSchema(ex, in)).getOrElse(in)
       }
-      val schemaDdl = merged.map(_.toDDL)
+      val schemaDdl = merged.map(ddlOf)
       // COLUMN MAPPING x evolution: a NEW column on a mapped table
       // needs a minted physical name recorded in the same transaction.
       // Metadata-only commits (evolveSchema / ALTER ADD COLUMNS) mint
@@ -1842,11 +2018,24 @@ object TxLog {
               "concurrent schema transaction) — re-run the write on the new snapshot")
         case _ => ()
       }
+      // ADD COLUMN ... DEFAULT: the default property rides in the SAME
+      // manifest as the evolved schema (and the minted mapping entry on
+      // mapped tables) — resolved against THIS attempt's effective
+      // mapping, so there is no crash window where the column exists
+      // without its default, and the key lands on the column's final
+      // physical name whatever the mint decided
+      val propsOut: Option[Seq[(String, String)]] = addDefault.map {
+        case (l, lit) =>
+          val cmEff = cmapOut.orElse(colMapRecorded(ms))
+            .getOrElse(ColMap(Seq.empty, Seq.empty))
+          (propsFrom(ms) +
+            (DefaultPropPrefix + physicalName(cmEff, l) -> lit)).toSeq.sorted
+      }
       val target = new Path(logDir, manifestName(v))
       val bytes =
         render(Manifest(v, files, writerId, batchId, checkpoint, stats,
           schema = schemaDdl, pcols = pcols, ts = commitTimeMs(),
-          cmap = cmapOut))
+          cmap = cmapOut, props = propsOut))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
@@ -2120,7 +2309,7 @@ object TxLog {
       val matched = readFiles(s, table, ms, hit).where(hitRow)
       beforeCommit()
       return publishRewrite(s, table, Seq.empty, Seq.empty, fullDead, head,
-        writerId, batchId, schemaDdl = matched.schema.toDDL,
+        writerId, batchId, schemaDdl = ddlOf(matched.schema),
         readSet = candidates, dvs = entries,
         captureOverride = Some(() => stageChangePair(s, table, matched,
           s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -2189,7 +2378,7 @@ object TxLog {
         else stageWrite(s, root, updated.repartition(math.max(1, hit.size)))
       beforeCommit()
       return publishRewrite(s, table, relAll, statsAll, fullDead, head,
-        writerId, batchId, schemaDdl = updated.schema.toDDL,
+        writerId, batchId, schemaDdl = ddlOf(updated.schema),
         readSet = candidates, dvs = entries,
         captureOverride = Some(() => stageChangePair(s, table, matched,
           readStagedLogical(s, table, ms, updated.schema, relAll),
@@ -2316,7 +2505,7 @@ object TxLog {
           else stageWrite(s, root, aligned.repartition(math.max(1, hit.size)))
         beforeCommit()
         return publishRewrite(s, table, relAll, statsAll, fullDead, head,
-          writerId, batchId, schemaDdl = aligned.schema.toDDL,
+          writerId, batchId, schemaDdl = ddlOf(aligned.schema),
           readSet = candidates, dvs = entries,
           captureOverride = Some(() => stageChangePair(s, table, matched,
             readStagedLogical(s, table, ms, aligned.schema, relAll),
@@ -2382,7 +2571,7 @@ object TxLog {
       else stageWrite(s, root, newRows.repartition(removes.size))
     beforeCommit()
     publishRewrite(s, table, relAll, statsAll, removes, expectedHead,
-      writerId, batchId, newRows.schema.toDDL, readSet = readSet)
+      writerId, batchId, ddlOf(newRows.schema), readSet = readSet)
   }
 
   /** Publish an already-staged row-level rewrite: {files = `relAll`
@@ -2493,7 +2682,7 @@ object TxLog {
           // the table schema — recorded verbatim (keeps evolved reads
           // O(0 inference) after DML), widened by any schema a rebased
           // concurrent append evolved in
-          schema = Some(recorded.toDDL), changes = changes, ts = commitTimeMs(),
+          schema = Some(ddlOf(recorded)), changes = changes, ts = commitTimeMs(),
           dvs = dvs))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
@@ -2525,7 +2714,11 @@ object TxLog {
                              oldDvs: Map[String, String] = Map.empty): Seq[String] = {
     val root = new Path(table)
     val f = fs(s, root)
-    val sch = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val msCap = manifests(s, table)
+    // initial defaults apply to capture reads too: a pre-evolution
+    // file's pre-image must show the default the live read serves
+    val sch = withDefaults(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+      colMapFrom(msCap), propsFrom(msCap))
     // setProperties rejects maps at enablement; evolution can still
     // smuggle one in afterwards — fail with guidance, not exceptAll's
     // AnalysisException mid-commit
@@ -2537,7 +2730,7 @@ object TxLog {
       case _ => ()
     }
     // the files speak PHYSICAL names — read them so, diff in logical
-    val cm = colMapOf(s, table)
+    val cm = colMapFrom(msCap)
     def read(rel: Seq[String], dvs: Map[String, String]): DataFrame =
       if (rel.isEmpty)
         s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
@@ -2629,7 +2822,7 @@ object TxLog {
     beforeCommit() // concurrency-injection seam for the specs
     commitCheckpoint(s, table, rel, stats,
       writerId = s"compact-${java.util.UUID.randomUUID()}",
-      expectedHead = ms.last.version, schemaDdl = Some(out.schema.toDDL))
+      expectedHead = ms.last.version, schemaDdl = Some(ddlOf(out.schema)))
   }
 
   /** INCREMENTAL OPTIMIZE: bin-pack only the files that need it — live
@@ -2669,7 +2862,7 @@ object TxLog {
       .flatten.toSeq.sorted
     if (touched.isEmpty) return -1L
     val pcols = partitionColsFrom(ms)
-    val schemaDdl = tableSchemaFrom(ms).map(_.toDDL)
+    val schemaDdl = tableSchemaFrom(ms).map(ddlOf)
     val df = readFiles(s, table, ms, touched)
     val nOut = math.max(1, math.ceil(
       touched.map(sizeOf).sum.toDouble / targetBytes).toInt)
@@ -2681,7 +2874,7 @@ object TxLog {
     publishRewrite(s, table, rel, st, removes = touched,
       expectedHead = ms.last.version,
       writerId = s"compact-${java.util.UUID.randomUUID()}", batchId = 0L,
-      schemaDdl = schemaDdl.getOrElse(df.schema.toDDL),
+      schemaDdl = schemaDdl.getOrElse(ddlOf(df.schema)),
       readSet = touched,
       captureOverride = Some(() => Seq.empty)).version
   }
@@ -2826,8 +3019,7 @@ object TxLog {
         s.read.parquet(absPath(table)(h)).schema))
       .getOrElse(throw new IllegalStateException(
         s"truncate of $table: schema unknowable (empty table, no recorded schema)"))
-      .toDDL
-    overwriteStaged(s, table, Seq.empty, Seq.empty, ddl)
+    overwriteStaged(s, table, Seq.empty, Seq.empty, ddlOf(ddl))
   }
 
   /** Publish a CHECKPOINT manifest (read-set replacement) safely
@@ -2908,7 +3100,7 @@ object TxLog {
       // from "data REPLACED" (overwrite) and fail loudly on the latter
       val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
         checkpoint = true, carriedStats, removes = removes, changes = changes,
-        schema = carriedSchema.map(_.toDDL), tokens = absorbed,
+        schema = carriedSchema.map(ddlOf), tokens = absorbed,
         // the partition layout AND properties must SURVIVE log
         // truncation: checkpoints re-record them (everything below is
         // vacuum-collectable)
@@ -2944,7 +3136,7 @@ object TxLog {
     // see an overwrite as a remove, never as an append)
     commitCheckpoint(s, table, rel, stats,
       writerId = s"overwrite-${java.util.UUID.randomUUID()}", expectedHead = head,
-      schemaDdl = Some(df.schema.toDDL), removes = liveFiles(ms),
+      schemaDdl = Some(ddlOf(df.schema)), removes = liveFiles(ms),
       cmapOverride = Some(Some(ColMap(Seq.empty, Seq.empty))))
   }
 
@@ -3000,8 +3192,8 @@ object TxLog {
       case _ => ()
     }
     val schemaDdl = tableSchemaFrom(past)
-      .map(_.toDDL)
-      .getOrElse(readFiles(s, table, past, target).schema.toDDL)
+      .map(ddlOf)
+      .getOrElse(ddlOf(readFiles(s, table, past, target).schema))
     // v's recorded stats ride along so zone-map skipping survives the
     // restore (falling back to live stats for files v's manifests
     // predate — legacy logs without per-file stats)
@@ -3019,11 +3211,14 @@ object TxLog {
           targetDvs.get(fl).map(_.p) != currentDvs.get(fl).map(_.p))
         val oldRegion = dropped ++ dvDiff
         val newRegion = target.filterNot(currentSet) ++ dvDiff
-        val sch = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
         // v's LOGICAL schema over physical files (mapping as of v);
         // the change pair stages back under v's mapping too — the
-        // restore's whole contract is "the table as v saw it"
+        // restore's whole contract is "the table as v saw it", so the
+        // initial defaults in force AT v fill its pre-evolution files
         val cmV = colMapFrom(past)
+        val sch = withDefaults(
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+          cmV, propsFrom(past))
         def read(rel: Seq[String], dvs: Map[String, DvEntry]): DataFrame =
           if (rel.isEmpty)
             s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
@@ -3148,7 +3343,45 @@ object TxLog {
     val base: Map[String, TxStats.FileStats] =
       live.map(r => r -> collected.getOrElse(r, prior(r))).toMap
     // columns with no ColStat in a file: absent from the footer
-    // (pre-evolution, all-null is exact) vs present-but-unusable (skip)
+    // (pre-evolution — exact by construction: ALL-NULL, or every row =
+    // the column's initial DEFAULT when one is declared) vs
+    // present-but-unusable (skip)
+    val defaults = defaultsIn(propsFrom(ms))
+    // one synthetic ColStat per DEFAULTED analyzed column: min = max =
+    // the default, nulls = 0, and a one-hash KMV sketch — hashed at the
+    // same widened canonical representation attachKmv uses, so the
+    // synthetic sketch folds into scanned ones in one domain
+    val defaultStat: Map[String, TxStats.ColStat] = phys.flatMap { p =>
+      defaults.get(p).map { litSql =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+        import org.apache.spark.sql.types._
+        val lname = cols.find(c => physicalName(cm, c) == p).get
+        val dt = sch(lname).dataType
+        val v = Cast(s.sessionState.sqlParser.parseExpression(litSql), dt,
+          Some(s.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        val tag = tagOfPhys(p)
+        val domain: Any = (tag, v) match {
+          case ("i", x: java.lang.Number) => x.longValue
+          case ("d", f: java.lang.Float) =>
+            val d = f.doubleValue; if (d == 0.0) 0.0 else d
+          case ("d", d: java.lang.Double) =>
+            val dd = d.doubleValue; if (dd == 0.0) 0.0 else dd
+          case ("s", u) => u.toString
+          case ("b", b: java.lang.Boolean) => b.booleanValue
+          case (_, x) => x
+        }
+        val (canonV, canonT): (Any, DataType) = dt match {
+          case ByteType | ShortType | IntegerType =>
+            (v.asInstanceOf[java.lang.Number].longValue, LongType)
+          case FloatType => (v.asInstanceOf[Float].toDouble, DoubleType)
+          case other => (v, other)
+        }
+        val h = new XxHash64(Seq(Literal(canonV, canonT))).eval(null)
+          .asInstanceOf[Long]
+        val b = TxStats.render(tag, domain)
+        p -> TxStats.ColStat(p, tag, has = true, b, b, nulls = 0L, kmv = Seq(h))
+      }
+    }.toMap
     val absent = base.valuesIterator
       .map(f => f.file -> phys.filterNot(f.byCol.contains))
       .filter(_._2.nonEmpty).toMap
@@ -3159,7 +3392,8 @@ object TxLog {
       val (unfixable, missing) = ps.partition(footCols(r).contains)
       if (unfixable.nonEmpty) skipped += 1
       r -> fst.copy(cols = fst.cols ++ missing.map(p =>
-        TxStats.ColStat(p, tagOfPhys(p), has = false, "", "", nulls = fst.rows)))
+        defaultStat.getOrElse(p,
+          TxStats.ColStat(p, tagOfPhys(p), has = false, "", "", nulls = fst.rows))))
     }
     val withSynth = base ++ synthesized
     // one scan of exactly the files that still need a sketch, under the
@@ -3281,7 +3515,7 @@ object TxLog {
     beforeCommit() // concurrency-injection seam for the specs
     commitCheckpoint(s, table, rel, stats,
       writerId = s"cluster-${java.util.UUID.randomUUID()}",
-      expectedHead = ms.last.version, schemaDdl = Some(out.schema.toDDL))
+      expectedHead = ms.last.version, schemaDdl = Some(ddlOf(out.schema)))
   }
 
   /** OPTIMIZE by RANGE-CLUSTERING on arbitrary columns: the live file
@@ -3308,7 +3542,7 @@ object TxLog {
     beforeCommit() // concurrency-injection seam, like compact/cluster
     commitCheckpoint(s, table, rel, stats,
       writerId = s"cluster-${java.util.UUID.randomUUID()}",
-      expectedHead = ms.last.version, schemaDdl = Some(out.schema.toDDL))
+      expectedHead = ms.last.version, schemaDdl = Some(ddlOf(out.schema)))
   }
 
   /** Delete data files no manifest references (crashed writers'

@@ -290,15 +290,25 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
 
   override lazy val schema: StructType = {
     val base = givenSchema
+      // an explicit/readStream schema still serves initial defaults —
+      // without the metadata a pre-evolution file would silently read
+      // null where every other path reads the default
+      .map(g => TxLog.withDefaults(g, TxLog.colMapOf(spark, table),
+        asOf.map(TxLog.propertiesAt(spark, table, _))
+          .getOrElse(TxLog.properties(spark, table))))
       .orElse(asOf match {
         case Some(v) => TxLog.tableSchemaAt(spark, table, v)
         case None => TxLog.tableSchema(spark, table)
       })
       .getOrElse(throw new IllegalArgumentException(
         s"txlog table $table is empty or absent — schema unknowable"))
+    // the catalog/SQL surface also carries CURRENT_DEFAULT so the
+    // analyzer fills INSERTs that omit a defaulted column; manifest
+    // DDL records strip it back out (TxLog.ddlOf)
+    val withWrite = TxLog.withWriteDefaults(base)
     // CDF relations append the change metadata; idempotent so an
     // explicit user schema may come with or without the meta columns
-    if (cdf) TxLogCdf.withMeta(base) else base
+    if (cdf) TxLogCdf.withMeta(withWrite) else withWrite
   }
 
   // NOTE the capability set stays full even when version-pinned: Spark
@@ -1541,7 +1551,7 @@ class TxLogBatchWrite(table: String, schema: StructType, overwrite: Boolean)
     // WRITTEN with (the drift guard rejects any divergence at publish)
     val stats = TxLog.collectStats(spark, table, rel, TxLog.propsFrom(msC),
       cmAtPlan)
-    if (overwrite) TxLog.overwriteStaged(spark, table, rel, stats, schema.toDDL)
+    if (overwrite) TxLog.overwriteStaged(spark, table, rel, stats, TxLog.ddlOf(schema))
     else TxLog.commitStaged(spark, table, rel, stats,
       writerId = s"batch-$uuid", batchId = 0L, incoming = schema,
       stagedPcols = pcols, cmAtStaging = Some(cmAtPlan))
@@ -1964,7 +1974,7 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
       .toSeq.sortBy(_._1)
     if (rel.isEmpty && perFile.isEmpty) return // matched nothing: clean no-op
     val (removes, entries) = TxLog.mergeDvRefs(spark, table, ms, perFile)
-    val schemaDdl = TxLog.tableSchemaFrom(ms).getOrElse(rowSchema).toDDL
+    val schemaDdl = TxLog.ddlOf(TxLog.tableSchemaFrom(ms).getOrElse(rowSchema))
     val stats = TxLog.collectStats(spark, table, rel, TxLog.propsFrom(ms),
       TxLog.colMapFrom(ms))
     TxLog.publishRewrite(spark, table, rel, stats, removes,
@@ -1989,8 +1999,12 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
   private def stageDeltaChanges(perFile: Seq[(String, Seq[String])],
                                 rel: Seq[String], schemaDdl: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col, udf}
-    val sch = StructType.fromDDL(schemaDdl)
-    val cm = TxLog.colMapFrom(op.pinnedSnapshot(spark, table))
+    val snap = op.pinnedSnapshot(spark, table)
+    val cm = TxLog.colMapFrom(snap)
+    // initial defaults fill the capture's pre/post-images exactly like
+    // the live read (physicalSchemaOf preserves the field metadata)
+    val sch = TxLog.withDefaults(StructType.fromDDL(schemaDdl), cm,
+      TxLog.propsFrom(snap))
     val physSch = TxLog.physicalSchemaOf(sch, cm)
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
@@ -2140,7 +2154,7 @@ class TxLogReplaceBatchWrite(table: String, writeSchema: StructType,
     val r = TxLog.publishRewrite(spark, table, rel, stats, removes,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
-      schemaDdl = writeSchema.toDDL)
+      schemaDdl = TxLog.ddlOf(writeSchema))
     ()
   }
 
