@@ -849,7 +849,17 @@ object TxLog {
       s"DEFAULT $defaultSql for $table.$name is null after casting to " +
         s"${dt.simpleString} — a null default is just the absence of one " +
         "(or the cast is lossy)")
-    Literal(v, dt).sql
+    dt match {
+      // Literal.sql renders a timestamp as session-zone WALL TEXT
+      // (`TIMESTAMP '...'`), which a reader in a different session
+      // timezone would re-interpret as a different instant —
+      // timestamp_micros(<epoch>) is zone-proof and still a foldable
+      // existence default (probed; NTZ and DATE renderings carry no
+      // zone and stay as Literal.sql)
+      case org.apache.spark.sql.types.TimestampType =>
+        s"timestamp_micros(${v.asInstanceOf[Long]}L)"
+      case _ => Literal(v, dt).sql
+    }
   }
 
   /** Rename a LOGICAL-named DataFrame's columns to their physical

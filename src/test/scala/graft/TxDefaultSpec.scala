@@ -247,6 +247,22 @@ class TxDefaultSpec extends AnyFunSuite {
       "a re-added column must not inherit the dropped column's default or values")
   }
 
+  test("a TIMESTAMP default is zone-proof: the instant survives a session-TZ flip") {
+    val t = fresh()
+    spark.range(2).coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.addColumnWithDefault(spark, t, "ts", TimestampType,
+      "TIMESTAMP '2026-01-02 03:04:05'") // parsed under the UTC session
+    val stored = TxLog.properties(spark, t)(TxLog.DefaultPropPrefix + "ts")
+    assert(stored.startsWith("timestamp_micros("), stored)
+    def micros(): Long = spark.read.format("txlog").load(t)
+      .select(unix_micros(col("ts"))).first().getLong(0)
+    val inUtc = micros()
+    withConfs("spark.sql.session.timeZone" -> "America/Los_Angeles") {
+      assert(micros() == inUtc,
+        "the default's instant must not re-interpret under another session TZ")
+    }
+  }
+
   test("restore to a pre-add version drops the column; forward keeps the default") {
     val t = build()
     val vHead = TxLog.headVersion(spark, t)
