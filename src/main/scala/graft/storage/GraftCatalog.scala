@@ -326,9 +326,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       adds.foreach { a =>
         require(a.fieldNames.length == 1,
           s"ADD COLUMN on nested field ${a.fieldNames.mkString(".")} is not supported")
-        require(a.isNullable,
+        require(a.isNullable || a.defaultValue() != null,
           s"ADD COLUMN ${a.fieldNames.head} must be nullable: existing rows " +
-            "backfill null (or the declared DEFAULT — the txlog evolution rule)")
+            "backfill null — declare a DEFAULT to add it NOT NULL")
         require(a.position == null,
           "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns APPEND")
         require(!sim.fieldNames.exists(x => lower(x) == lower(a.fieldNames.head)),
@@ -343,7 +343,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             a.dataType, a.defaultValue().getSql)
         }
         sim = StructType(sim.fields :+
-          StructField(a.fieldNames.head, a.dataType, nullable = true))
+          StructField(a.fieldNames.head, a.dataType, nullable = a.isNullable))
       }
       // the FINAL schema must still satisfy the table's declared
       // contracts (CHECK constraints bind by name; bloom columns must
@@ -376,7 +376,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         TxLog.evolveSchema(spark, t, StructType(current.fields ++ newFields))
       }
       defaulted.foreach(a => TxLog.addColumnWithDefault(spark, t,
-        a.fieldNames.head, a.dataType, a.defaultValue().getSql))
+        a.fieldNames.head, a.dataType, a.defaultValue().getSql,
+        nullable = a.isNullable))
     }
     if (sets.nonEmpty) TxLog.setProperties(spark, t, sets.toMap)
     if (removes.nonEmpty) TxLog.removeProperties(spark, t, removes)

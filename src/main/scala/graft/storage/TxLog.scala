@@ -475,16 +475,20 @@ object TxLog {
   def headVersion(s: SparkSession, table: String): Long =
     manifests(s, table).lastOption.map(_.version).getOrElse(-1L)
 
-  /** The table's READABLE schema: the live snapshot's, or — for a table
-    * whose live set is empty (brand-new via DDL, or emptied by a
-    * delete-all) — the manifest-recorded DDL, which is still knowable
-    * from the log alone. None only when the log carries neither. */
+  /** The table's READABLE schema: the manifest-recorded DDL when one
+    * exists (the DECLARED contract — it keeps NOT NULL truthful, which
+    * file-scan schemas cannot: Spark relaxes every explicit read schema
+    * to nullable at the scan, and the recorded nullability is
+    * trustworthy because every write merges through the
+    * [[mergedSchema]] guard), else the live snapshot's inferred one
+    * (legacy logs). None only when the log carries neither. */
   def tableSchema(s: SparkSession, table: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     val ms = manifests(s, table)
-    val files = liveFiles(ms)
-    if (files.nonEmpty) Some(readFiles(s, table, ms, files).schema)
-    else tableSchemaFrom(ms)
+    tableSchemaFrom(ms).orElse {
+      val files = liveFiles(ms)
+      if (files.nonEmpty) Some(readFiles(s, table, ms, files).schema) else None
+    }
   }
 
   /** [[headVersion]] from the LISTING alone — no manifest is opened or
@@ -675,9 +679,10 @@ object TxLog {
   def tableSchemaAt(s: SparkSession, table: String, v: Long)
       : Option[org.apache.spark.sql.types.StructType] = {
     val past = manifestsAt(manifests(s, table), v, table)
-    val files = liveFiles(past)
-    if (files.nonEmpty) Some(readFiles(s, table, past, files).schema)
-    else tableSchemaFrom(past)
+    tableSchemaFrom(past).orElse {
+      val files = liveFiles(past)
+      if (files.nonEmpty) Some(readFiles(s, table, past, files).schema) else None
+    }
   }
 
   /** The stats in force for the current read set — scoped exactly like
@@ -1227,7 +1232,12 @@ object TxLog {
     * the type-exact literal's SQL. */
   def addColumnWithDefault(s: SparkSession, table: String, name: String,
                            dt: org.apache.spark.sql.types.DataType,
-                           defaultSql: String): Long = {
+                           defaultSql: String,
+                           nullable: Boolean = true): Long = {
+    // NOT NULL is allowed here, unlike plain evolution: a defaulted
+    // column is never observed null where a file lacks it, so the
+    // declaration stays truthful — and writes that DO carry the column
+    // still get Spark's null check against it
     val lit = renderDefaultLiteral(s, table, name, dt, defaultSql)
     val existing = tableSchema(s, table).getOrElse(throw new IllegalStateException(
       s"table $table has no schema to evolve"))
@@ -1237,7 +1247,7 @@ object TxLog {
     val incoming = org.apache.spark.sql.types.StructType(
       existing.fields.map(f =>
         f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)) :+
-        org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+        org.apache.spark.sql.types.StructField(name, dt, nullable = nullable))
     commitManifest(s, table, Seq.empty, Seq.empty,
       writerId = s"evolve-${java.util.UUID.randomUUID()}", batchId = 0L,
       checkpoint = false, maxRetries = 20, incoming = Some(incoming),
@@ -1485,8 +1495,13 @@ object TxLog {
     }
   }
 
+  /** `hasDefault` relaxes both NOT-NULL rules: a column with an initial
+    * default is never observed null where a file lacks it (the readers
+    * fill the default), so a write missing it — or an ADD COLUMN ...
+    * NOT NULL DEFAULT — is sound where a null-backfilled one is not. */
   private def mergedSchema(existing: org.apache.spark.sql.types.StructType,
-                           incoming: org.apache.spark.sql.types.StructType)
+                           incoming: org.apache.spark.sql.types.StructType,
+                           hasDefault: String => Boolean = _ => false)
       : org.apache.spark.sql.types.StructType = {
     val inByName = incoming.fields.map(f => f.name -> f).toMap
     val kept = existing.fields.map { e =>
@@ -1495,15 +1510,16 @@ object TxLog {
           e.copy(dataType = mergedType(e.dataType, f.dataType, e.name),
             nullable = e.nullable || f.nullable)
         case None =>
-          require(e.nullable,
+          require(e.nullable || hasDefault(e.name),
             s"write is missing NOT-NULL column ${e.name} — cannot null-backfill a required column")
           e
       }
     }
     val existNames = existing.fieldNames.toSet
     val added = incoming.fields.filterNot(f => existNames.contains(f.name))
-    added.foreach(f => require(f.nullable,
-      s"new column ${f.name} must be nullable — existing files backfill null"))
+    added.foreach(f => require(f.nullable || hasDefault(f.name),
+      s"new column ${f.name} must be nullable — existing files backfill null " +
+        "(declare a DEFAULT to add it NOT NULL)"))
     org.apache.spark.sql.types.StructType(kept ++ added)
   }
 
@@ -1690,7 +1706,8 @@ object TxLog {
     // (a schema conflict must not stage a whole append as vacuum
     // garbage); the authoritative pair re-runs in commitManifest
     guardReservedCols(df.schema)
-    tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema))
+    tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema,
+      n => defaultsIn(propsFrom(ms0)).contains(physicalName(colMapFrom(ms0), n))))
     val (rel, stats) = stageWrite(s, new Path(table), df)
     commitManifest(s, table, rel, stats, writerId, batchId, checkpoint = false,
       maxRetries, incoming = Some(df.schema), legacyExisting = legacyExisting,
@@ -1733,7 +1750,8 @@ object TxLog {
         liveFiles(ms0).headOption.map(h => s.read.parquet(absPath(table)(h)).schema)
       else None
     guardReservedCols(df.schema) // fail-fast, like commitInternal
-    tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema))
+    tableSchemaFrom(ms0).orElse(legacyExisting).foreach(mergedSchema(_, df.schema,
+      n => defaultsIn(propsFrom(ms0)).contains(physicalName(colMapFrom(ms0), n))))
     // hash-repartition BY the partition VALUES (the transform outputs,
     // not the raw sources — a bucket/day tuple must land in ONE task):
     // the staged layout is then one file per partition tuple per commit
@@ -1953,8 +1971,14 @@ object TxLog {
       // the schema merge runs against THIS attempt's listing, so a
       // concurrent evolution that won an earlier slot folds in on retry
       val merged = incoming.map { in =>
+        // columns with an initial default may be NOT NULL and may be
+        // missing from a write — readers fill the default, never null
+        lazy val ds = defaultsIn(propsFrom(ms))
+        lazy val cmD = colMapFrom(ms)
+        def hasDefault(n: String): Boolean =
+          addDefault.exists(_._1 == n) || ds.contains(physicalName(cmD, n))
         tableSchemaFrom(ms).orElse(legacyExisting)
-          .map(ex => mergedSchema(ex, in)).getOrElse(in)
+          .map(ex => mergedSchema(ex, in, hasDefault)).getOrElse(in)
       }
       val schemaDdl = merged.map(ddlOf)
       // COLUMN MAPPING x evolution: a NEW column on a mapped table
@@ -2665,7 +2689,9 @@ object TxLog {
           s"changed the column mapping at v${m.version} (RENAME/DROP COLUMN) past v$base"))
         newer.flatMap(_.schema)
           .map(org.apache.spark.sql.types.StructType.fromDDL)
-          .foreach(in => recorded = mergedSchema(recorded, in))
+          .foreach(in => recorded = mergedSchema(recorded, in,
+            n => defaultsIn(propsFrom(msNow)).contains(
+              physicalName(colMapFrom(msNow), n))))
         base = head
       }
       val v = base + 1
@@ -3086,7 +3112,9 @@ object TxLog {
       carriedStats = carriedStats ++ newer.flatMap(_.stats)
       newer.flatMap(_.schema).map(org.apache.spark.sql.types.StructType.fromDDL)
         .foreach { in =>
-          carriedSchema = Some(carriedSchema.map(mergedSchema(_, in)).getOrElse(in))
+          carriedSchema = Some(carriedSchema.map(mergedSchema(_, in,
+            n => defaultsIn(propsFrom(ms)).contains(
+              physicalName(colMapFrom(ms), n)))).getOrElse(in))
         }
       base = ms.lastOption.map(_.version).getOrElse(-1L)
       val v = base + 1

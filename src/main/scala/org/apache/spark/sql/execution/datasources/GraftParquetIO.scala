@@ -35,12 +35,19 @@ object GraftParquetIO {
     * they can only drop provably-dead I/O), `partitionSchema` columns
     * appended CONSTANT per file from [[partitionedFile]]'s values. */
   def readerFactory(spark: SparkSession,
-                    dataSchema: StructType,
-                    readDataSchema: StructType,
+                    dataSchema0: StructType,
+                    readDataSchema0: StructType,
                     partitionSchema: StructType,
                     filters: Array[Filter]): PartitionReaderFactory = {
     import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
     import org.apache.spark.sql.internal.SQLConf
+    // the RELATION reports the declared nullability (a txlog table's
+    // recorded NOT NULL stays truthful), but the parquet record readers
+    // get the nullable-relaxed copy — the exact relaxation Spark's own
+    // file sources apply to every explicit read schema; field metadata
+    // (EXISTS_DEFAULT fills) survives asNullable
+    val dataSchema = dataSchema0.asNullable
+    val readDataSchema = readDataSchema0.asNullable
     val sqlConf = spark.sessionState.conf
     val hconf = spark.sessionState.newHadoopConf()
     // the conf block ParquetScan.createReaderFactory installs — the

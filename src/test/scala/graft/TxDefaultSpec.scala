@@ -247,6 +247,43 @@ class TxDefaultSpec extends AnyFunSuite {
       "a re-added column must not inherit the dropped column's default or values")
   }
 
+  test("NOT NULL needs a DEFAULT: the declaration stays truthful across eras") {
+    val t = fresh()
+    spark.range(3).select(col("id"), lit("a").as("grp"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    // plain evolution still refuses a required column (null backfill
+    // would lie); with a default it is sound
+    intercept[IllegalArgumentException](TxLog.evolveSchema(spark, t,
+      org.apache.spark.sql.types.StructType(
+        spark.read.format("txlog").load(t).schema.fields :+
+          StructField("req", IntegerType, nullable = false))))
+    TxLog.addColumnWithDefault(spark, t, "req", IntegerType, "9",
+      nullable = false)
+    val df = spark.read.format("txlog").load(t)
+    assert(!df.schema("req").nullable)
+    assert(df.where(col("req") === 9).count() == 3L)
+    assert(df.where(col("req").isNull).count() == 0L)
+    // a write MISSING the required-but-defaulted column is sound (its
+    // rows read 9); one CARRYING it keeps Spark's null check
+    spark.range(3, 4).select(col("id"), lit("b").as("grp"))
+      .write.format("txlog").mode("append").save(t)
+    assert(spark.read.format("txlog").load(t)
+      .where(col("req") === 9).count() == 4L)
+    // SQL: ADD COLUMN ... NOT NULL DEFAULT through the catalog
+    val wh = Files.createTempDirectory("txdflt_nn_").toString
+    withConfs(
+      "spark.sql.catalog.nncat" -> "graft.storage.GraftCatalog",
+      "spark.sql.catalog.nncat.warehouse" -> wh) {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS nncat.ns")
+      spark.sql("CREATE TABLE nncat.ns.t (id BIGINT) USING txlog")
+      spark.sql("INSERT INTO nncat.ns.t VALUES (1)")
+      spark.sql("ALTER TABLE nncat.ns.t ADD COLUMN lvl INT NOT NULL DEFAULT 3")
+      assert(spark.table("nncat.ns.t").where(col("lvl") === 3).count() == 1L)
+      intercept[Exception](
+        spark.sql("ALTER TABLE nncat.ns.t ADD COLUMN bad INT NOT NULL"))
+    }
+  }
+
   test("a TIMESTAMP default is zone-proof: the instant survives a session-TZ flip") {
     val t = fresh()
     spark.range(2).coalesce(1).write.format("txlog").mode("append").save(t)

@@ -44,7 +44,14 @@ class TxSourceSpec extends AnyFunSuite {
     val t = clustered3()
     assert(TxLog.headVersion(spark, t) == 2L)
     val viaSource = spark.read.format("txlog").load(t)
-    assert(viaSource.schema == TxLog.snapshot(spark, t).get.schema)
+    // the RELATION reports the recorded (declared) nullability — id was
+    // written NOT NULL and the merge guard kept that truthful — while
+    // the library snapshot is a file scan, which Spark relaxes to
+    // nullable like every explicit read schema; values are identical
+    assert(viaSource.schema.toNullable ==
+      TxLog.snapshot(spark, t).get.schema.toNullable)
+    assert(!viaSource.schema("id").nullable,
+      "the declared NOT NULL must survive to the relation schema")
     assert(rows(viaSource) == rows(TxLog.snapshot(spark, t).get))
   }
 
