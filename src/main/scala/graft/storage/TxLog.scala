@@ -857,12 +857,22 @@ object TxLog {
     dt match {
       // Literal.sql renders a timestamp as session-zone WALL TEXT
       // (`TIMESTAMP '...'`), which a reader in a different session
-      // timezone would re-interpret as a different instant —
-      // timestamp_micros(<epoch>) is zone-proof and still a foldable
-      // existence default (probed; NTZ and DATE renderings carry no
-      // zone and stay as Literal.sql)
+      // timezone would re-interpret as a different instant — render
+      // the UTC wall text WITH ITS OFFSET instead: still a plain
+      // foldable Literal on re-parse (probed — a function rendering
+      // like timestamp_micros() re-parses as an UnresolvedFunction
+      // and breaks every raw-parseExpression re-ingest: commitColMap's
+      // re-render, validateProps, analyze), and zone-proof under any
+      // session timezone. NTZ and DATE renderings carry no zone and
+      // stay as Literal.sql.
       case org.apache.spark.sql.types.TimestampType =>
-        s"timestamp_micros(${v.asInstanceOf[Long]}L)"
+        val us = v.asInstanceOf[Long]
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
+        val wall = ldt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        s"TIMESTAMP '$wall+00:00'"
       case _ => Literal(v, dt).sql
     }
   }
@@ -3376,8 +3386,11 @@ object TxLog {
     val prior = liveStats(ms)
     val root = new Path(table)
     // legacy files without ANY recorded stats: collect footer stats now
-    val collected = TxStats.collect(s, root, live.filterNot(prior.contains))
-      .map(f => f.file -> f).toMap
+    // (keeping each footer's field set — the absence check below must
+    // not re-open footers this pass already read)
+    val (collected0, collectedFields) =
+      TxStats.collectWithFields(s, root, live.filterNot(prior.contains))
+    val collected = collected0.map(f => f.file -> f).toMap
     val base: Map[String, TxStats.FileStats] =
       live.map(r => r -> collected.getOrElse(r, prior(r))).toMap
     // columns with no ColStat in a file: absent from the footer
@@ -3423,7 +3436,8 @@ object TxLog {
     val absent = base.valuesIterator
       .map(f => f.file -> phys.filterNot(f.byCol.contains))
       .filter(_._2.nonEmpty).toMap
-    val footCols = TxStats.footerColumns(s, root, absent.keys.toSeq.sorted)
+    val footCols = collectedFields ++ TxStats.footerColumns(s, root,
+      absent.keys.toSeq.filterNot(collectedFields.contains).sorted)
     var skipped = 0
     val synthesized: Map[String, TxStats.FileStats] = absent.map { case (r, ps) =>
       val fst = base(r)

@@ -292,10 +292,15 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     val base = givenSchema
       // an explicit/readStream schema still serves initial defaults —
       // without the metadata a pre-evolution file would silently read
-      // null where every other path reads the default
-      .map(g => TxLog.withDefaults(g, TxLog.colMapOf(spark, table),
-        asOf.map(TxLog.propertiesAt(spark, table, _))
-          .getOrElse(TxLog.properties(spark, table))))
+      // null where every other path reads the default. A PINNED read
+      // resolves names through the mapping AS OF that version (the
+      // given schema speaks that era's logical names — the current
+      // mapping may have renamed them since)
+      .map { g =>
+        val ms0 = TxLog.manifests(spark, table)
+        val ms = asOf.map(v => TxLog.manifestsAt(ms0, v, table)).getOrElse(ms0)
+        TxLog.withDefaults(g, TxLog.colMapFrom(ms), TxLog.propsFrom(ms))
+      }
       .orElse(asOf match {
         case Some(v) => TxLog.tableSchemaAt(spark, table, v)
         case None => TxLog.tableSchema(spark, table)

@@ -93,9 +93,18 @@ object TxStats {
     * segments, written by every partitioned staging path — the driver's
     * `stagePartitioned` and the V2 executor writers alike), so parsing
     * them here gives every commit path pv metadata from one place. */
-  def collect(s: SparkSession, root: Path, rel: Seq[String]): Seq[FileStats] = {
+  def collect(s: SparkSession, root: Path, rel: Seq[String]): Seq[FileStats] =
+    collectWithFields(s, root, rel)._1
+
+  /** [[collect]] that ALSO returns each file's footer field-name set
+    * from the same open — [[TxLog.analyze]] needs both for the files
+    * it backfills, and a second footer round per file would double the
+    * metadata I/O on exactly the tables analyze targets. */
+  def collectWithFields(s: SparkSession, root: Path, rel: Seq[String])
+      : (Seq[FileStats], Map[String, Set[String]]) = {
     val conf = s.sparkContext.hadoopConfiguration
-    rel.map { r =>
+    val fields = Map.newBuilder[String, Set[String]]
+    val stats = rel.map { r =>
       val inf = HadoopInputFile.fromPath(new Path(root, r), conf)
       val rd = ParquetFileReader.open(inf)
       try {
@@ -103,6 +112,7 @@ object TxStats {
         val blocks = md.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
         val schema = md.getFileMetaData.getSchema
+        fields += r -> schema.getFields.asScala.map(_.getName).toSet
         val cols = schema.getFields.asScala.toSeq.flatMap { f =>
           if (!f.isPrimitive) None
           else tagOf(f.asPrimitiveType()).flatMap(mergeBlocks(f.getName, _, blocks))
@@ -110,6 +120,7 @@ object TxStats {
         FileStats(r, rows, cols, inf.getLength, parts = partsFromPath(r))
       } finally rd.close()
     }
+    (stats, fields.result())
   }
 
   /** Partition values of a staged rel path: each `__p_<col>=<value>`

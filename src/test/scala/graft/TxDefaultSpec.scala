@@ -290,7 +290,8 @@ class TxDefaultSpec extends AnyFunSuite {
     TxLog.addColumnWithDefault(spark, t, "ts", TimestampType,
       "TIMESTAMP '2026-01-02 03:04:05'") // parsed under the UTC session
     val stored = TxLog.properties(spark, t)(TxLog.DefaultPropPrefix + "ts")
-    assert(stored.startsWith("timestamp_micros("), stored)
+    assert(stored.startsWith("TIMESTAMP '") && stored.endsWith("+00:00'"),
+      stored) // UTC wall text WITH offset: zone-proof AND re-parse-foldable
     def micros(): Long = spark.read.format("txlog").load(t)
       .select(unix_micros(col("ts"))).first().getLong(0)
     val inUtc = micros()
@@ -298,6 +299,64 @@ class TxDefaultSpec extends AnyFunSuite {
       assert(micros() == inUtc,
         "the default's instant must not re-interpret under another session TZ")
     }
+  }
+
+  test("TIMESTAMP defaults survive every re-ingest: rename/widen, CREATE, analyze") {
+    val t = fresh()
+    spark.range(3).select(col("id").cast("int").as("id"), lit("a").as("grp"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.addColumnWithDefault(spark, t, "ts", TimestampType,
+      "TIMESTAMP '2026-01-02 03:04:05.123456'")
+    val us = spark.read.format("txlog").load(t)
+      .select(unix_micros(col("ts"))).first().getLong(0)
+    // commitColMap re-renders every stored default: a rename (and a
+    // widen of another column) must re-parse the timestamp rendering
+    TxLog.renameColumn(spark, t, "grp", "label")
+    TxLog.widenColumnType(spark, t, "id", LongType)
+    assert(spark.read.format("txlog").load(t)
+      .select(unix_micros(col("ts"))).first().getLong(0) == us)
+    // analyze parses + evaluates the stored literal for the synthetic
+    // stats; the metadata min/max then serve the exact instant
+    val r = TxLog.analyze(spark, t, Seq("ts"))
+    assert(r.version >= 0 && r.filesSkipped == 0, r.toString)
+    val agg = spark.read.format("txlog").load(t)
+      .agg(count(col("ts")), min(col("ts")), max(col("ts")))
+    assert(agg.queryExecution.executedPlan.toString.contains("MetaAgg"),
+      agg.queryExecution.executedPlan.toString)
+    val row = agg.first()
+    assert(row.getLong(0) == 3L)
+    assert(row.getTimestamp(1) == row.getTimestamp(2))
+    // CREATE TABLE with an inline TIMESTAMP DEFAULT re-validates the
+    // canonical rendering through validateProps
+    val wh = Files.createTempDirectory("txdflt_ts_").toString
+    withConfs(
+      "spark.sql.catalog.tscat" -> "graft.storage.GraftCatalog",
+      "spark.sql.catalog.tscat.warehouse" -> wh) {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS tscat.ns")
+      spark.sql("CREATE TABLE tscat.ns.t (id BIGINT, " +
+        "ts TIMESTAMP DEFAULT TIMESTAMP '2026-01-01 00:00:00') USING txlog")
+      spark.sql("INSERT INTO tscat.ns.t (id) VALUES (1)")
+      assert(spark.table("tscat.ns.t").where(col("ts").isNull).count() == 0L)
+    }
+  }
+
+  test("a pinned explicit-schema read resolves defaults through the mapping AS OF") {
+    val t = fresh()
+    spark.range(3).select(col("id"), lit("a").as("grp"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    // mint a mapping FIRST so flag's physical differs from its logical
+    TxLog.renameColumn(spark, t, "grp", "label")
+    TxLog.addColumnWithDefault(spark, t, "flag", IntegerType, "7")
+    val vPinned = TxLog.headVersion(spark, t)
+    val pinnedSchema = spark.read.format("txlog")
+      .option("versionAsOf", vPinned).load(t).schema
+    // rename flag AFTER the pin: a current-mapping lookup of 'flag'
+    // would miss the default (keyed by the minted physical)
+    TxLog.renameColumn(spark, t, "flag", "mark")
+    val got = spark.read.schema(pinnedSchema)
+      .option("versionAsOf", vPinned).format("txlog").load(t)
+    assert(got.where(col("flag") === 7).count() == 3L,
+      "the pinned-era explicit schema must serve the default through the AS-OF mapping")
   }
 
   test("restore to a pre-add version drops the column; forward keeps the default") {
