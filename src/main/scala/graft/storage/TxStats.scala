@@ -338,12 +338,19 @@ object TxStats {
           .select(col("_metadata.file_path").as("__f"), lit(c).as("__c"),
             xxhash64(canonical(c)).as("__h")))
       .reduce(_ unionAll _)
-    val ranked = stacked.distinct()
-      .withColumn("__r", row_number().over(
+    // k smallest DISTINCT hashes per (file, column) via dense_rank ≤ k:
+    // rank-like limits push a PARTIAL WindowGroupLimit heap map-side, so
+    // each task ships ~k hashes per group instead of its whole column —
+    // ONE shuffle. (A global distinct() before the window costs a second
+    // full-width shuffle and defeats the partial heap: measured 25.7 s →
+    // 4.5 s on a 64-file × 250k-row × 2-column backfill.) collect_set
+    // dedups the surviving rows; values are identical either way.
+    val ranked = stacked
+      .withColumn("__r", dense_rank().over(
         Window.partitionBy(col("__f"), col("__c")).orderBy(col("__h"))))
       .where(col("__r") <= KmvK)
       .groupBy(col("__f"), col("__c"))
-      .agg(sort_array(collect_list(col("__h"))).as("__hs"))
+      .agg(sort_array(collect_set(col("__h"))).as("__hs"))
       .collect()
     val byFile: Map[String, Map[String, Seq[Long]]] = ranked
       .groupBy(r => TxDv.tailKey(r.getString(0)))
