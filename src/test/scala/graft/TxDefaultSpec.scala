@@ -359,6 +359,37 @@ class TxDefaultSpec extends AnyFunSuite {
       "the pinned-era explicit schema must serve the default through the AS-OF mapping")
   }
 
+  test("UPDATE ... SET col = DEFAULT resolves through the catalog surface") {
+    val wh = Files.createTempDirectory("txdflt_upd_").toString
+    withConfs(
+      "spark.sql.catalog.upcat" -> "graft.storage.GraftCatalog",
+      "spark.sql.catalog.upcat.warehouse" -> wh) {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS upcat.ns")
+      spark.sql("CREATE TABLE upcat.ns.t (id BIGINT, tag STRING DEFAULT 'x') USING txlog")
+      spark.sql("INSERT INTO upcat.ns.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql("UPDATE upcat.ns.t SET tag = DEFAULT WHERE id = 2")
+      val got = spark.table("upcat.ns.t").orderBy("id").collect()
+        .map(_.getString(1)).toSeq
+      assert(got == Seq("a", "x"), got.toString)
+    }
+  }
+
+  test("a streaming read's initial snapshot serves the default for pre-add files") {
+    val t = build()
+    val name = s"txdflt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("path", t).load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("txdflt_st_").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name)
+    assert(got.count() == 8L)
+    assert(got.where(col("flag") === 7).count() == 5L,
+      "the stream's snapshot must fill the default for pre-add files")
+    assert(got.where(col("flag").isNull).count() == 1L)
+  }
+
   test("restore to a pre-add version drops the column; forward keeps the default") {
     val t = build()
     val vHead = TxLog.headVersion(spark, t)
