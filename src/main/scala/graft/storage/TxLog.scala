@@ -3325,10 +3325,15 @@ object TxLog {
     *     sketches and the backfill chases a closed set (a write staged
     *     before but published after the backfill is the residual
     *     window — the estimator just keeps refusing; re-run analyze);
-    *  2. ONE column-pruned scan of exactly the files missing sketches
-    *     (never the covered ones), published as a STATS-ONLY manifest:
-    *     no adds, no removes — [[liveStats]] is newest-wins per file,
-    *     so the re-recorded entries shadow the old. A concurrent
+    *  2. column-pruned scans of exactly the files missing sketches
+    *     (never the covered ones), in batches of `batchFiles` files,
+    *     each published as one STATS-ONLY manifest: no adds, no
+    *     removes — [[liveStats]] is newest-wins per file, so the
+    *     re-recorded entries shadow the old and the batches COMPOSE
+    *     (an interrupted backfill keeps its progress; a re-run resumes
+    *     from the uncovered remainder). Batching bounds both the
+    *     driver-collected sketch volume and each manifest's size at
+    *     ANY table size (~k × cols × 8 B per file). A concurrent
     *     rewrite can strand an entry on a removed file (never
     *     consulted — pruning looks up live names only) or add
     *     uncovered files (property already set → they carry their own).
@@ -3356,7 +3361,7 @@ object TxLog {
     * (file, column) of manifest — the same order as the bounds already
     * there. */
   def analyze(s: SparkSession, table: String, cols: Seq[String],
-              maxRetries: Int = 20): AnalyzeReport = {
+              maxRetries: Int = 20, batchFiles: Int = 10000): AnalyzeReport = {
     require(cols.nonEmpty, "analyze: need at least one column")
     val ms0 = manifests(s, table)
     require(ms0.nonEmpty, s"not a txlog table: $table")
@@ -3385,18 +3390,6 @@ object TxLog {
     val live = liveFiles(ms)
     val prior = liveStats(ms)
     val root = new Path(table)
-    // legacy files without ANY recorded stats: collect footer stats now
-    // (keeping each footer's field set — the absence check below must
-    // not re-open footers this pass already read)
-    val (collected0, collectedFields) =
-      TxStats.collectWithFields(s, root, live.filterNot(prior.contains))
-    val collected = collected0.map(f => f.file -> f).toMap
-    val base: Map[String, TxStats.FileStats] =
-      live.map(r => r -> collected.getOrElse(r, prior(r))).toMap
-    // columns with no ColStat in a file: absent from the footer
-    // (pre-evolution — exact by construction: ALL-NULL, or every row =
-    // the column's initial DEFAULT when one is declared) vs
-    // present-but-unusable (skip)
     val defaults = defaultsIn(propsFrom(ms))
     // one synthetic ColStat per DEFAULTED analyzed column: min = max =
     // the default, nulls = 0, and a one-hash KMV sketch — hashed at the
@@ -3433,39 +3426,69 @@ object TxLog {
         p -> TxStats.ColStat(p, tag, has = true, b, b, nulls = 0L, kmv = Seq(h))
       }
     }.toMap
-    val absent = base.valuesIterator
-      .map(f => f.file -> phys.filterNot(f.byCol.contains))
-      .filter(_._2.nonEmpty).toMap
-    val footCols = collectedFields ++ TxStats.footerColumns(s, root,
-      absent.keys.toSeq.filterNot(collectedFields.contains).sorted)
-    var skipped = 0
-    val synthesized: Map[String, TxStats.FileStats] = absent.map { case (r, ps) =>
-      val fst = base(r)
-      val (unfixable, missing) = ps.partition(footCols(r).contains)
-      if (unfixable.nonEmpty) skipped += 1
-      r -> fst.copy(cols = fst.cols ++ missing.map(p =>
-        defaultStat.getOrElse(p,
-          TxStats.ColStat(p, tagOfPhys(p), has = false, "", "", nulls = fst.rows))))
-    }
-    val withSynth = base ++ synthesized
-    // one scan of exactly the files that still need a sketch, under the
-    // widened PHYSICAL schema of the opted columns
-    val needing = live.filter(r => withSynth(r).cols
-      .exists(c => phys.contains(c.col) && c.has && c.kmv.isEmpty))
+    // a file is COVERED when every opted column's ColStat is present
+    // and complete (all-null, or carrying its sketch) — only uncovered
+    // files are touched, in BATCHES: sketches are driver-collected and
+    // manifest-rendered, so one commit per `batchFiles` files bounds
+    // driver memory and manifest size (~k × cols × 8 B per file ≈ a
+    // few KB — 10k files ≈ tens of MB per commit) at ANY table size,
+    // and each batch's stats-only manifest composes newest-wins with
+    // the rest, so an interrupted backfill keeps its progress and a
+    // re-run resumes from the uncovered remainder.
+    def covered(r: String): Boolean = prior.get(r).exists(f =>
+      phys.forall(p => f.byCol.get(p).exists(c => !c.has || c.kmv.nonEmpty)))
+    val uncovered = live.filterNot(covered)
     val readSch = org.apache.spark.sql.types.StructType(cols.map(c =>
       org.apache.spark.sql.types.StructField(
         physicalName(cm, c), sch(c).dataType, nullable = true)))
-    val sketched = TxStats.attachKmv(s, table, needing,
-        needing.map(withSynth), phys, readSchema = Some(readSch))
-      .map(f => f.file -> f).toMap
-    val finalMap = withSynth ++ sketched
-    val changed = live.filter(r => !prior.get(r).contains(finalMap(r)))
-    if (changed.isEmpty) return AnalyzeReport(-1L, 0, skipped)
-    val v = commitManifest(s, table, files = Seq.empty,
-      stats = changed.map(finalMap), batchId = 0L, checkpoint = false,
-      writerId = s"analyze-${java.util.UUID.randomUUID()}",
-      maxRetries = maxRetries)
-    AnalyzeReport(v, changed.size, skipped)
+    var updated = 0
+    var skipped = 0
+    var lastV = -1L
+    uncovered.grouped(math.max(1, batchFiles)).foreach { group =>
+      // legacy files without ANY recorded stats: collect footer stats
+      // now (keeping each footer's field set — the absence check below
+      // must not re-open footers this pass already read)
+      val (collected0, collectedFields) =
+        TxStats.collectWithFields(s, root, group.filterNot(prior.contains))
+      val collected = collected0.map(f => f.file -> f).toMap
+      val base: Map[String, TxStats.FileStats] =
+        group.map(r => r -> collected.getOrElse(r, prior(r))).toMap
+      // columns with no ColStat in a file: absent from the footer
+      // (pre-evolution — exact by construction: ALL-NULL, or every row
+      // = the column's initial DEFAULT when one is declared) vs
+      // present-but-unusable (skip)
+      val absent = base.valuesIterator
+        .map(f => f.file -> phys.filterNot(f.byCol.contains))
+        .filter(_._2.nonEmpty).toMap
+      val footCols = collectedFields ++ TxStats.footerColumns(s, root,
+        absent.keys.toSeq.filterNot(collectedFields.contains).sorted)
+      val synthesized: Map[String, TxStats.FileStats] = absent.map { case (r, ps) =>
+        val fst = base(r)
+        val (unfixable, missing) = ps.partition(footCols(r).contains)
+        if (unfixable.nonEmpty) skipped += 1
+        r -> fst.copy(cols = fst.cols ++ missing.map(p =>
+          defaultStat.getOrElse(p,
+            TxStats.ColStat(p, tagOfPhys(p), has = false, "", "", nulls = fst.rows))))
+      }
+      val withSynth = base ++ synthesized
+      // one scan of exactly this batch's files that still need a
+      // sketch, under the widened PHYSICAL schema of the opted columns
+      val needing = group.filter(r => withSynth(r).cols
+        .exists(c => phys.contains(c.col) && c.has && c.kmv.isEmpty))
+      val sketched = TxStats.attachKmv(s, table, needing,
+          needing.map(withSynth), phys, readSchema = Some(readSch))
+        .map(f => f.file -> f).toMap
+      val finalMap = withSynth ++ sketched
+      val changed = group.filter(r => !prior.get(r).contains(finalMap(r)))
+      if (changed.nonEmpty) {
+        lastV = commitManifest(s, table, files = Seq.empty,
+          stats = changed.map(finalMap), batchId = 0L, checkpoint = false,
+          writerId = s"analyze-${java.util.UUID.randomUUID()}",
+          maxRetries = maxRetries)
+        updated += changed.size
+      }
+    }
+    AnalyzeReport(lastV, updated, skipped)
   }
 
   /** Rename attribute references of pushed-down source Filters from

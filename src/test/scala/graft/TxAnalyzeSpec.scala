@@ -73,6 +73,24 @@ class TxAnalyzeSpec extends AnyFunSuite {
     assert(spark.read.format("txlog").load(t).count() == 18000L)
   }
 
+  test("the backfill batches: one stats-only commit per batch, composing newest-wins") {
+    val t = fresh()
+    (0 until 5).foreach(i => strDf(2000, i * 2000).coalesce(1)
+      .write.format("txlog").mode("append").save(t))
+    val v0 = TxLog.headVersion(spark, t)
+    // batchFiles = 2 → ceil(5/2) = 3 stats-only commits (+1 property)
+    val r = TxLog.analyze(spark, t, Seq("skey"), batchFiles = 2)
+    assert(r.filesUpdated == 5 && r.filesSkipped == 0, r.toString)
+    assert(TxLog.headVersion(spark, t) == v0 + 4,
+      "expected 1 property + 3 batched stats commits")
+    // the batches COMPOSE: full coverage, real NDV served
+    val ndv = ndvOf(t, "skey").map(_.toLong).getOrElse(0L)
+    assert(ndv > 8000L && ndv < 12000L, s"skey ndv $ndv (~10000 true)")
+    // and a re-run finds nothing uncovered
+    val r2 = TxLog.analyze(spark, t, Seq("skey"), batchFiles = 2)
+    assert(r2.version == -1L && r2.filesUpdated == 0, r2.toString)
+  }
+
   test("backfilled sketches equal write-time sketches (same NDV served)") {
     val a = fresh(); val b = fresh()
     val df = strDf(20000)
