@@ -1,5 +1,6 @@
 package graft.storage
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -96,31 +97,62 @@ object TxStats {
   def collect(s: SparkSession, root: Path, rel: Seq[String]): Seq[FileStats] =
     collectWithFields(s, root, rel)._1
 
+  /** Footer reads go to the EXECUTORS above this many files: a commit
+    * of a handful of files is cheaper opened inline on the driver (no
+    * job overhead — the common append), but a clustered checkpoint or
+    * an [[TxLog.analyze]] batch re-laying thousands of files must not
+    * serialize thousands of footer round-trips through one thread. */
+  private val DistributeAt = 64
+
   /** [[collect]] that ALSO returns each file's footer field-name set
     * from the same open — [[TxLog.analyze]] needs both for the files
     * it backfills, and a second footer round per file would double the
     * metadata I/O on exactly the tables analyze targets. */
   def collectWithFields(s: SparkSession, root: Path, rel: Seq[String])
       : (Seq[FileStats], Map[String, Set[String]]) = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val fields = Map.newBuilder[String, Set[String]]
-    val stats = rel.map { r =>
-      val inf = HadoopInputFile.fromPath(new Path(root, r), conf)
-      val rd = ParquetFileReader.open(inf)
-      try {
-        val md = rd.getFooter
-        val blocks = md.getBlocks.asScala.toSeq
-        val rows = blocks.map(_.getRowCount).sum
-        val schema = md.getFileMetaData.getSchema
-        fields += r -> schema.getFields.asScala.map(_.getName).toSet
-        val cols = schema.getFields.asScala.toSeq.flatMap { f =>
-          if (!f.isPrimitive) None
-          else tagOf(f.asPrimitiveType()).flatMap(mergeBlocks(f.getName, _, blocks))
-        }
-        FileStats(r, rows, cols, inf.getLength, parts = partsFromPath(r))
-      } finally rd.close()
-    }
-    (stats, fields.result())
+    val out: Seq[(FileStats, (String, Set[String]))] =
+      if (rel.size < DistributeAt) {
+        val conf = s.sparkContext.hadoopConfiguration
+        val rootStr = root.toString
+        rel.map(r => readFooter(conf, rootStr, r))
+      } else {
+        // metadata-only I/O, but thousands of round-trips: fan the
+        // opens across executors (the same placement Delta gives stats
+        // collection); results come back keyed, order restored below
+        val confB = s.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            s.sparkContext.hadoopConfiguration))
+        val rootStr = root.toString
+        val n = math.min(rel.size, s.sparkContext.defaultParallelism * 2)
+        val byRel = s.sparkContext.parallelize(rel, n)
+          .map(r => readFooter(confB.value.value, rootStr, r))
+          .collect()
+          .map(x => x._1.file -> x).toMap
+        rel.map(byRel)
+      }
+    (out.map(_._1), out.map(_._2).toMap)
+  }
+
+  /** One file's footer → (stats, footer field names). Runs on the
+    * driver for small commits and inside executor tasks for large
+    * ones — keep it dependent only on (conf, root, rel). */
+  private def readFooter(conf: Configuration, root: String, r: String)
+      : (FileStats, (String, Set[String])) = {
+    val inf = HadoopInputFile.fromPath(new Path(root, r), conf)
+    val rd = ParquetFileReader.open(inf)
+    try {
+      val md = rd.getFooter
+      val blocks = md.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val schema = md.getFileMetaData.getSchema
+      val names = schema.getFields.asScala.map(_.getName).toSet
+      val cols = schema.getFields.asScala.toSeq.flatMap { f =>
+        if (!f.isPrimitive) None
+        else tagOf(f.asPrimitiveType()).flatMap(mergeBlocks(f.getName, _, blocks))
+      }
+      (FileStats(r, rows, cols, inf.getLength, parts = partsFromPath(r)),
+        r -> names)
+    } finally rd.close()
   }
 
   /** Partition values of a staged rel path: each `__p_<col>=<value>`

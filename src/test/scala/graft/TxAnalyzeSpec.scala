@@ -91,6 +91,24 @@ class TxAnalyzeSpec extends AnyFunSuite {
     assert(r2.version == -1L && r2.filesUpdated == 0, r2.toString)
   }
 
+  test("distributed footer collection (>64 files in one commit) yields exact stats") {
+    val t = fresh()
+    // one commit, 80 files: stats collection takes the executor-side
+    // path; the metadata aggregate then proves every footer was read
+    // exactly (count/min/max answer from the manifest, 0 data files)
+    spark.range(80000).select(col("id"), (col("id") % 37).cast("string").as("grp"))
+      .repartition(80).write.format("txlog").mode("append").save(t)
+    val agg = spark.read.format("txlog").load(t)
+      .agg(count(col("id")), min(col("id")), max(col("id")))
+    assert(agg.queryExecution.executedPlan.toString.contains("MetaAgg"),
+      agg.queryExecution.executedPlan.toString)
+    val row = agg.first()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((80000L, 0L, 79999L)))
+    // and zone maps prune with the distributed-collected bounds
+    val (kept, total) = TxLog.pruneCount(spark, t, col("id") === -1L)
+    assert(kept == 0 && total == 80, s"$kept of $total")
+  }
+
   test("backfilled sketches equal write-time sketches (same NDV served)") {
     val a = fresh(); val b = fresh()
     val df = strDf(20000)
