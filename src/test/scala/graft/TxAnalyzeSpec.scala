@@ -177,6 +177,30 @@ class TxAnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("analyze races a concurrent DML: the stats-only commit lands, coverage holds") {
+    val t = fresh()
+    strDf(4000).coalesce(1).write.format("txlog").mode("append").save(t)
+    strDf(4000, 4000).coalesce(1).write.format("txlog").mode("append").save(t)
+    // inject a COW DELETE between analyze's stats staging and its
+    // publish: the delete REMOVES files analyze just computed stats for
+    // and ADDS rewritten ones (which carry write-time sketches — the
+    // opt-in property landed before the delete staged)
+    graft.storage.TxLog.publishRaceForTests = () => {
+      TxLog.delete(spark, t, col("id") % 7 === 3, "race-del", 0L); ()
+    }
+    val r = try TxLog.analyze(spark, t, Seq("skey"))
+      finally graft.storage.TxLog.publishRaceForTests = null
+    assert(r.version >= 0, r.toString)
+    // values exact after the race (the analyze entries stranded on the
+    // removed files are never consulted)
+    val expected = strDf(4000).unionAll(strDf(4000, 4000))
+      .where(!(col("id") % 7 === 3)).count()
+    assert(spark.read.format("txlog").load(t).count() == expected)
+    // full sketch coverage: analyze covered the survivors, the delete's
+    // rewritten files attached their own -> a real NDV is served
+    assert(ndvOf(t, "skey").isDefined, "estimator refused after the race")
+  }
+
   test("refusals are loud: unknown column, never-statable type") {
     val t = fresh()
     spark.range(100).select(col("id"), lit(java.math.BigDecimal.ONE).as("dec"))
