@@ -275,6 +275,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // with half its changes committed. The per-transaction guards in
     // TxLog remain the authoritative (concurrency-safe) backstop; this
     // pass catches every statically-decidable refusal first.
+    // Target columns resolve CASE-INSENSITIVELY (Spark's analyzer
+    // default — and the same rule the minting/collision checks below
+    // already follow); the RESOLVED stored spellings feed the
+    // executors, which match exactly.
+    val renamesR = scala.collection.mutable.Buffer[(String, String)]()
+    val dropsR = scala.collection.mutable.Buffer[String]()
+    val widensR = scala.collection.mutable.Buffer[(String, org.apache.spark.sql.types.DataType)]()
     if (renames.nonEmpty || drops.nonEmpty || adds.nonEmpty || widens.nonEmpty) {
       var sim = TxLog.tableSchema(spark, t).getOrElse(
         throw new IllegalStateException(s"table $t has no recorded schema"))
@@ -291,15 +298,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       def existing(kind: String, n: Seq[String]): String = {
         require(n.length == 1,
           s"$kind on nested field ${n.mkString(".")} is not supported")
-        require(sim.fieldNames.contains(n.head),
-          s"$kind: column ${n.head} not in ${sim.fieldNames.toSeq}")
-        n.head
+        sim.fieldNames.find(_.equalsIgnoreCase(n.head)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$kind: column ${n.head} not in ${sim.fieldNames.toSeq}"))
       }
       renames.foreach { r =>
         val from = existing("RENAME COLUMN", r.fieldNames.toSeq)
         require(!sim.fieldNames.exists(x =>
           x != from && lower(x) == lower(r.newName)),
           s"RENAME COLUMN: ${r.newName} already exists")
+        renamesR += ((from, r.newName))
         orig = (orig - from) + (r.newName -> orig.getOrElse(from, from))
         sim = StructType(sim.fields.map(f =>
           if (f.name == from) f.copy(name = r.newName) else f))
@@ -309,6 +317,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(sim.fields.length > 1, s"DROP COLUMN: $n is the table's last column")
         require(!psrc.contains(physOf(n)),
           s"DROP COLUMN: $n is a partition source column")
+        dropsR += n
         sim = StructType(sim.fields.filterNot(_.name == n))
       }
       widens.foreach { u =>
@@ -320,6 +329,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "widening")
         require(!psrc.contains(physOf(n)),
           s"ALTER COLUMN TYPE: $n is a partition source column")
+        widensR += ((n, u.newDataType))
         sim = StructType(sim.fields.map(f =>
           if (f.name == n) f.copy(dataType = u.newDataType) else f))
       }
@@ -359,10 +369,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // RENAME/DROP/WIDEN COLUMN: metadata-only transactions through the
     // column mapping ([[TxLog.renameColumn]]/[[TxLog.dropColumn]]/
     // [[TxLog.widenColumnType]]) — zero data bytes move at any table size
-    renames.foreach(r => TxLog.renameColumn(spark, t, r.fieldNames.head, r.newName))
-    drops.foreach(d => TxLog.dropColumn(spark, t, d.fieldNames.head))
-    widens.foreach(u => TxLog.widenColumnType(spark, t, u.fieldNames.head,
-      u.newDataType))
+    renamesR.foreach { case (from, to) => TxLog.renameColumn(spark, t, from, to) }
+    dropsR.foreach(n => TxLog.dropColumn(spark, t, n))
+    widensR.foreach { case (n, dt) => TxLog.widenColumnType(spark, t, n, dt) }
     if (adds.nonEmpty) {
       // defaulted columns commit one-at-a-time (each default rides
       // atomically in its own evolve manifest); plain adds fold into

@@ -347,6 +347,57 @@ object TxDv {
     override def close(): Unit = inner.close()
   }
 
+  /** [[SelectedColumnVector]] constructor for the sibling filtering
+    * readers ([[TxEqDel]]) — the class itself stays private. */
+  private[storage] def selected(base: org.apache.spark.sql.vectorized.ColumnVector,
+                                sel: Array[Int])
+      : org.apache.spark.sql.vectorized.ColumnVector =
+    new SelectedColumnVector(base, sel)
+
+  /** InternalRow view that hides the ordinal RANGE [from, from+count)
+    * of the underlying row — the generalized [[DropOrdinalRow]] for
+    * readers that append a BLOCK of working columns (equality-delete
+    * key columns + the row index) after the data columns. Ordinals
+    * < from map through; ordinals ≥ from shift up by `count`. */
+  private[storage] final class DropRangeRow(from: Int, count: Int) extends InternalRow {
+    var row: InternalRow = _
+    @inline private def m(i: Int): Int = if (i >= from) i + count else i
+    override def numFields: Int = row.numFields - count
+    override def setNullAt(i: Int): Unit = row.setNullAt(m(i))
+    override def update(i: Int, v: Any): Unit = row.update(m(i), v)
+    override def copy(): InternalRow = {
+      val c = new DropRangeRow(from, count); c.row = row.copy(); c
+    }
+    override def isNullAt(i: Int): Boolean = row.isNullAt(m(i))
+    override def getBoolean(i: Int): Boolean = row.getBoolean(m(i))
+    override def getByte(i: Int): Byte = row.getByte(m(i))
+    override def getShort(i: Int): Short = row.getShort(m(i))
+    override def getInt(i: Int): Int = row.getInt(m(i))
+    override def getLong(i: Int): Long = row.getLong(m(i))
+    override def getFloat(i: Int): Float = row.getFloat(m(i))
+    override def getDouble(i: Int): Double = row.getDouble(m(i))
+    override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+      row.getDecimal(m(i), p, s)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      row.getUTF8String(m(i))
+    override def getBinary(i: Int): Array[Byte] = row.getBinary(m(i))
+    override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+      row.getInterval(m(i))
+    override def getStruct(i: Int, n: Int): InternalRow = row.getStruct(m(i), n)
+    override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+      row.getArray(m(i))
+    override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+      row.getMap(m(i))
+    override def get(i: Int, dt: org.apache.spark.sql.types.DataType): AnyRef =
+      row.get(m(i), dt)
+    override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+      row.getVariant(m(i))
+    override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+      row.getGeography(m(i))
+    override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+      row.getGeometry(m(i))
+  }
+
   /** InternalRow view that hides ordinal `k` of the underlying row —
     * ordinals < k map through, ordinals ≥ k shift up by one (the
     * row-index column sits between the data columns and the appended

@@ -2,7 +2,7 @@ package graft.storage
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, when}
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, input_file_name, lit, max, min, not, when}
 
 /** Minimal transactional table log — the missing atomicity primitive
   * under every ingestion loop in this engine.
@@ -67,10 +67,13 @@ object TxLog {
     * them from absorption instead of accumulating one entry per
     * statement forever. These prefixes are RESERVED: a user writer id
     * that needs replay dedup must not start with one. */
-  private[storage] def singleUseWriter(w: String): Boolean =
+  private[storage] val ReservedWriterPrefixes: Seq[String] =
     Seq("compact-", "cluster-", "overwrite-", "restore-", "batch-", "insert-",
       "sql-delete-", "sql-update-", "sql-merge-", "props-", "create-",
-      "evolve-", "colmap-", "widen-", "analyze-").exists(w.startsWith)
+      "evolve-", "colmap-", "widen-", "analyze-", "materialize-")
+
+  private[storage] def singleUseWriter(w: String): Boolean =
+    ReservedWriterPrefixes.exists(w.startsWith)
 
   /** The reserved namespace FAILS LOUDLY at the public entry points: a
     * user writer id like `batch-nightly` would be silently dropped from
@@ -80,9 +83,12 @@ object TxLog {
     * paths that legitimately mint single-use ids (the data source's
     * batch/INSERT/SQL-DML writers) call the `private[graft]` variants. */
   private def guardWriterId(w: String): Unit =
+    // the message renders from the SAME list the match runs against, so
+    // a newly reserved prefix can never be refused under a message that
+    // doesn't name it
     require(!singleUseWriter(w),
-      s"writer id '$w' starts with a reserved single-use prefix (compact-/cluster-/" +
-        "overwrite-/restore-/batch-/insert-/create-/evolve-/analyze-/sql-*-): these ids are dropped from checkpoint " +
+      s"writer id '$w' starts with a reserved single-use prefix " +
+        s"(${ReservedWriterPrefixes.mkString("/")}): these ids are dropped from checkpoint " +
         "token absorption, so replays after vacuum would duplicate data — pick " +
         "a writer id outside the reserved namespace")
 
@@ -112,6 +118,18 @@ object TxLog {
     * `p` (rel path under dv/) and it deletes `n` rows ([[TxDv]]). */
   private[storage] case class DvEntry(f: String, p: String, n: Long)
 
+  /** One EQUALITY-DELETE pointer ([[TxEqDel]]): sidecar `p` (rel path
+    * under eqdel/) holds `n` key tuples over the PHYSICAL columns
+    * `cols`; it deletes every matching row of every data file ADDED at
+    * a version strictly below the entry's own manifest version (the
+    * Iceberg sequence-number rule — an upsert's replacement rows
+    * commit in the same manifest and therefore survive their own
+    * delete). Entries live only between checkpoints (compact/cluster
+    * materialize them, overwrite replaces their whole scope);
+    * `eqdrops` in a later manifest retires a sidecar early
+    * ([[materializeEqDels]]). */
+  private[storage] case class EqDelEntry(p: String, cols: Seq[String], n: Long)
+
   /** COLUMN MAPPING state (r14): `map` pairs each LOGICAL column name
     * (what users and the recorded schema DDL say) with its PHYSICAL
     * name (what the parquet files, zone-map stats, bloom filters and
@@ -140,7 +158,9 @@ object TxLog {
                               props: Option[Seq[(String, String)]] = None,
                               ts: Long = -1L,
                               dvs: Seq[DvEntry] = Seq.empty,
-                              cmap: Option[ColMap] = None)
+                              cmap: Option[ColMap] = None,
+                              eqdels: Seq[EqDelEntry] = Seq.empty,
+                              eqdrops: Seq[String] = Seq.empty)
 
   /** Commit wall-clock (epoch millis) — every manifest records the
     * committing writer's clock at render time. Writer clocks are NOT
@@ -171,9 +191,10 @@ object TxLog {
   private def render(m: Manifest): String = {
     // key order is LOAD-BEARING for the cursor parser: version,
     // checkpoint, writer_id, batch_id, [ts], files, [removes], [dvs],
-    // [schema], [pcols], [changes], [props], [tokens], [stats] —
-    // optional keys are omitted (not null) so pre-feature manifests
-    // and append-only manifests keep the exact old shape
+    // [eqdels], [eqdrops], [schema], [pcols], [changes], [props],
+    // [tokens], [stats] — optional keys are omitted (not null) so
+    // pre-feature manifests and append-only manifests keep the exact
+    // old shape
     val removes =
       if (m.removes.isEmpty) ""
       else ", \"removes\": [" + m.removes.map(q).mkString(", ") + "]"
@@ -182,6 +203,14 @@ object TxLog {
       else ", \"dvs\": [" + m.dvs.map { d =>
         s"""{"f": ${q(d.f)}, "p": ${q(d.p)}, "n": ${d.n}}"""
       }.mkString(", ") + "]"
+    val eqdels =
+      if (m.eqdels.isEmpty) ""
+      else ", \"eqdels\": [" + m.eqdels.map { e =>
+        s"""{"p": ${q(e.p)}, "cols": [${e.cols.map(q).mkString(", ")}], "n": ${e.n}}"""
+      }.mkString(", ") + "]"
+    val eqdrops =
+      if (m.eqdrops.isEmpty) ""
+      else ", \"eqdrops\": [" + m.eqdrops.map(q).mkString(", ") + "]"
     val schema = m.schema.map(d => s""", "schema": ${q(d)}""").getOrElse("")
     val pcols =
       if (m.pcols.isEmpty) ""
@@ -237,7 +266,7 @@ object TxLog {
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, $ts""" +
       s""""files": [${m.files.map(q).mkString(", ")}]""" +
-      s"""$removes$dvs$schema$pcols$changes$props$cmap$tokens$stats}"""
+      s"""$removes$dvs$eqdels$eqdrops$schema$pcols$changes$props$cmap$tokens$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -316,10 +345,27 @@ object TxLog {
         }
         (out.result(), i + 1)
       } else (Seq.empty[DvEntry], cRem0)
+    val (eqdels, cEq0) =
+      if (s.startsWith(", \"eqdels\": ", cRem)) {
+        var i = s.indexOf('[', cRem + 12) + 1
+        val out = Seq.newBuilder[EqDelEntry]
+        while (s(i) != ']') {
+          if (s(i) == '{') {
+            val (pv, i1) = scanString(keyFrom("p", i))
+            val (cv, i2) = strArray(keyFrom("cols", i1))
+            val (nv, i3) = longAt(keyFrom("n", i2))
+            out += EqDelEntry(pv, cv, nv); i = i3
+          } else i += 1
+        }
+        (out.result(), i + 1)
+      } else (Seq.empty[EqDelEntry], cRem)
+    val (eqdrops, cEq) =
+      if (s.startsWith(", \"eqdrops\": ", cEq0)) strArray(cEq0 + 13)
+      else (Seq.empty[String], cEq0)
     val (schemaDdl, cSch0) =
-      if (s.startsWith(", \"schema\": ", cRem)) {
-        val (v, j) = scanString(cRem + 12); (Some(v), j)
-      } else (None, cRem)
+      if (s.startsWith(", \"schema\": ", cEq)) {
+        val (v, j) = scanString(cEq + 12); (Some(v), j)
+      } else (None, cEq)
     val (pcols, cPc) =
       if (s.startsWith(", \"pcols\": ", cSch0)) strArray(cSch0 + 11)
       else (Seq.empty[String], cSch0)
@@ -422,7 +468,7 @@ object TxLog {
       }
     }
     Manifest(version, files, writerId, batchId, checkpoint, stats, removes,
-      schemaDdl, tokens, pcols, changes, props, ts, dvs, cmap)
+      schemaDdl, tokens, pcols, changes, props, ts, dvs, cmap, eqdels, eqdrops)
   }
 
   /** All committed manifests, version-ordered. */
@@ -470,6 +516,33 @@ object TxLog {
       val kept = if (dead.isEmpty) acc else acc.filterNot { case (f, _) => dead(f) }
       kept ++ m.dvs.map(d => d.f -> d)
     }
+
+  /** The live EQUALITY-DELETE entries with their commit versions
+    * ([[TxEqDel]]): entries recorded since the newest checkpoint,
+    * minus any retired by a later `eqdrops` (materialization).
+    * Checkpoints never carry entries — compact/cluster materialize
+    * them first, overwrite replaces every file in their scope — so
+    * the checkpoint cut IS the scope rule. */
+  private[storage] def liveEqDels(ms: Seq[Manifest]): Seq[(Long, EqDelEntry)] = {
+    val range = fromCheckpoint(ms)
+    val dropped = range.flatMap(_.eqdrops).toSet
+    if (range.forall(m => m.eqdels.isEmpty)) Seq.empty
+    else range.flatMap(m => m.eqdels.map(e => m.version -> e))
+      .filterNot { case (_, e) => dropped(e.p) }
+  }
+
+  /** Per-live-file ADD version (the equality-delete "sequence"): the
+    * version of the first manifest from the newest checkpoint onward
+    * that lists the file. An entry at version v applies to exactly the
+    * files with seq < v; files carried into a checkpoint collapse to
+    * the checkpoint's version, which is sound because no entry
+    * survives a checkpoint. */
+  private[storage] def fileSeqs(ms: Seq[Manifest]): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    fromCheckpoint(ms).foreach(mf => mf.files.foreach(f =>
+      if (!m.contains(f)) m.update(f, mf.version)))
+    m.toMap
+  }
 
   /** Highest committed version, or -1 for an empty/new table. */
   def headVersion(s: SparkSession, table: String): Long =
@@ -690,9 +763,26 @@ object TxLog {
     * generations can't shadow the rewritten files' bounds. Entries for
     * DML-removed files linger in the map but are never consulted:
     * pruning looks up stats only for names in the live list, and a
-    * removed uuid path is never re-added. */
-  private[storage] def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] =
-    fromCheckpoint(ms).flatMap(_.stats).map(st => st.file -> st).toMap
+    * removed uuid path is never re-added.
+    *
+    * When the SAME file carries stats in several manifests (ANALYZE
+    * backfills re-record existing files), the entries FOLD per column
+    * instead of newest-wins per file: data files are immutable, so any
+    * two honest records of one (file, column) agree on min/max/nulls
+    * and can differ only in SKETCH presence — two concurrent backfills
+    * of different columns each re-record the file from their own stale
+    * prior, and whole-entry newest-wins would silently drop the
+    * loser's sketches ([[TxStats.foldFileStats]]). */
+  private[storage] def liveStats(ms: Seq[Manifest]): Map[String, TxStats.FileStats] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, TxStats.FileStats]
+    fromCheckpoint(ms).foreach(_.stats.foreach { st =>
+      m.get(st.file) match {
+        case Some(old) => m.update(st.file, TxStats.foldFileStats(old, st))
+        case None => m.update(st.file, st)
+      }
+    })
+    m.toMap
+  }
 
   // ------------------------------------------------------------------
   // schema evolution
@@ -818,6 +908,38 @@ object TxLog {
         .putString("CURRENT_DEFAULT", f.metadata.getString("EXISTS_DEFAULT"))
         .build())
     })
+
+  /** Carried-forward properties for a checkpoint that RESETS the
+    * column mapping (overwrite / INSERT OVERWRITE / truncate):
+    * `graft.default.*` keys are keyed by PHYSICAL name, and a mapping
+    * reset clears the retired list — re-opening the identity
+    * namespace. A stale key whose column does not survive into the
+    * replacement schema would otherwise lie dormant until a later
+    * plain ADD COLUMN of the same name mints the identity physical,
+    * silently re-attaching the OLD default to the NEW column (every
+    * post-overwrite pre-add file would read the stale default instead
+    * of null) and wrongly letting [[commitManifest]]'s hasDefault
+    * justify a NOT NULL add. Mirror the cmap reset: re-key each
+    * default through the OLD mapping to its logical name and keep it
+    * only where that column SURVIVES into the replacement schema
+    * (under the reset, logical IS the new physical); dropped columns
+    * and retired slots strip. */
+  private def resetDefaultProps(props: Seq[(String, String)], cm: ColMap,
+                                schema: Option[org.apache.spark.sql.types.StructType])
+      : Seq[(String, String)] = {
+    val fields = schema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+    props.flatMap {
+      case (k, v) if k.startsWith(DefaultPropPrefix) =>
+        val phys = k.drop(DefaultPropPrefix.length)
+        val logical = cm.map.find(_._2 == phys).map(_._1)
+          .orElse(if (cm.retired.contains(phys)) None else Some(phys))
+        // resolve case-insensitively (Spark resolution), re-key to the
+        // schema's exact spelling — the new identity physical
+        logical.flatMap(l => fields.find(_.equalsIgnoreCase(l)))
+          .map(n => (DefaultPropPrefix + n, v))
+      case other => Some(other)
+    }
+  }
 
   /** StructType -> manifest DDL with the default-metadata keys
     * STRIPPED: Spark's toDDL renders CURRENT_DEFAULT as a `DEFAULT`
@@ -1082,6 +1204,15 @@ object TxLog {
         "transaction (initial defaults are immutable for the column's " +
         "lifetime) — they cannot be SET directly")
     validateProps(table, set, tableSchema(s, table))
+    // the change feed cannot be enabled over live equality deletes: the
+    // keyed commits that created them captured no changes, so a feed
+    // crossing those versions would silently under-report — and future
+    // keyed writes are refused on feed-enabled tables for the same
+    // reason ([[guardEqDelChangeFeed]])
+    if (set.get(ChangeFeedProp).contains("true"))
+      require(liveEqDels(manifests(s, table)).isEmpty,
+        s"cannot enable $ChangeFeedProp on $table: live equality deletes " +
+          "captured no changes — run compact() or materializeEqDels() first")
     // adding a CHECK constraint: parse/resolve against the current
     // schema AND refuse if existing rows violate — the constraint then
     // holds for the whole live row set, not just future writes
@@ -1112,6 +1243,42 @@ object TxLog {
     }
     throw new IllegalStateException(
       s"setProperties of $table lost 20 version races (last tried v$last)")
+  }
+
+  /** Read-modify-write ONE property inside the CAS retry loop: `merge`
+    * recomputes the value from the FRESHLY-LISTED current value on
+    * every attempt, so concurrent updates compose instead of
+    * last-writer-wins (two concurrent `analyze` calls opting in
+    * different column sets must UNION their lists — computing the
+    * merge outside the loop silently drops the loser's columns and
+    * its backfilled sketches stop being maintained). Returns the
+    * committed version, or -1 when `merge` returns the value already
+    * in force (nothing to commit). Engine-internal keys only — skips
+    * [[validateProps]]. */
+  private[storage] def mergeProperty(s: SparkSession, table: String, key: String,
+                                     merge: Option[String] => String): Long = {
+    var attempt = 0
+    while (attempt < 20) {
+      val ms = manifests(s, table)
+      val props = propsFrom(ms)
+      val next = merge(props.get(key))
+      if (props.get(key).contains(next)) return -1L
+      val merged = (props + (key -> next)).toSeq.sorted
+      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      val root = new Path(table)
+      val f = fs(s, root)
+      val logDir = new Path(root, LogDir)
+      f.mkdirs(logDir)
+      val bytes = render(Manifest(v, Seq.empty,
+        writerId = s"props-${java.util.UUID.randomUUID()}", batchId = 0L,
+        checkpoint = false, props = Some(merged), ts = commitTimeMs()))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
+        return v
+      attempt += 1 // lost the slot race: re-list, re-merge, retry
+    }
+    throw new IllegalStateException(
+      s"mergeProperty($key) of $table lost 20 version races")
   }
 
   /** Drop `keys` from the table's properties as ONE metadata-only
@@ -1416,6 +1583,19 @@ object TxLog {
         s"$op column on $table touches bloom-filtered column(s) " +
           s"${(gone ++ remapped).mkString(", ")} — unset ${TxBloom.BloomColsProp} " +
           "first, re-set it after")
+      // live equality deletes probe their key columns BY PHYSICAL name
+      // on every read — dropping one would leave sidecars no reader can
+      // evaluate. (Rename is free: the sidecar is physical-keyed;
+      // widening is free: keys canonicalize to the widened domain.)
+      val eqRefs = liveEqDels(ms).flatMap(_._2.cols).distinct
+      if (eqRefs.nonEmpty) {
+        val physNew = newSchema.fieldNames.map(n => physicalName(newCm, n)).toSet
+        val eqGone = eqRefs.filterNot(physNew)
+        require(eqGone.isEmpty,
+          s"$op column on $table touches equality-delete key column(s) " +
+            s"${eqGone.mkString(", ")} — run compact() or materializeEqDels() " +
+            "first")
+      }
       // a WIDENED defaulted column re-renders its literal at the new
       // type in this SAME commit (the property's contract is
       // type-exact), so no window serves a stale rendering. A DROPPED
@@ -1517,8 +1697,17 @@ object TxLog {
     val kept = existing.fields.map { e =>
       inByName.get(e.name) match {
         case Some(f) =>
-          e.copy(dataType = mergedType(e.dataType, f.dataType, e.name),
-            nullable = e.nullable || f.nullable)
+          // recorded TOP-LEVEL nullability is a CONTRACT, not a union:
+          // a DataFrame almost always reports nullable (file sources
+          // force it), so relaxing here would demote every NOT NULL
+          // column on its first append and silently drop the write
+          // null checks that trust it. Instead the declared
+          // nullability stands and the staging doors null-check
+          // claimed-nullable writes into NOT NULL columns
+          // ([[notNullGuard]]); nested nullability still unions inside
+          // [[mergedType]] (encoder containsNull=false vs parquet
+          // true — the legitimate relaxation direction).
+          e.copy(dataType = mergedType(e.dataType, f.dataType, e.name))
         case None =>
           require(e.nullable || hasDefault(e.name),
             s"write is missing NOT-NULL column ${e.name} — cannot null-backfill a required column")
@@ -1563,9 +1752,24 @@ object TxLog {
     val dvApplied =
       if (hit.isEmpty) raw
       else applyDvFilter(s, table, raw, hit.map(f => f -> dvs(f).p).toMap)
+    // EQUALITY DELETES ([[TxEqDel]]): anti-join the bounded live key
+    // debt, scoped per row by the file's add version. Applied here once
+    // means every native consumer — snapshot, time travel, DML
+    // candidate scans, compact, cluster — reads through the debt, which
+    // is exactly what makes a compact checkpoint the materialization.
+    val eq0 = liveEqDels(ms)
+    // entries scope to files ADDED BEFORE them — skip entries that
+    // cannot touch this read's files (the common fresh-files read)
+    val seqOf = if (eq0.isEmpty) Map.empty[String, Long] else fileSeqs(ms)
+    val minSeq = files.map(f => seqOf.getOrElse(f, Long.MaxValue))
+      .reduceOption((a, b) => math.min(a, b)).getOrElse(Long.MaxValue)
+    val eq = eq0.filter(_._1 > minSeq)
+    val eqApplied =
+      if (eq.isEmpty) dvApplied
+      else applyEqDelFilter(s, table, dvApplied, ms, eq)
     logical match {
-      case Some(l) if !cm.isIdentity => toLogical(dvApplied, l, cm)
-      case _ => dvApplied
+      case Some(l) if !cm.isIdentity => toLogical(eqApplied, l, cm)
+      case _ => eqApplied
     }
   }
 
@@ -1796,7 +2000,8 @@ object TxLog {
     val ms0 = manifests(s, root.toString)
     val props0 = propsFrom(ms0)
     val cm0 = colMapFrom(ms0)
-    val guarded = TxCheck.guard(s, df0, props0)
+    val guarded = TxCheck.guard(s,
+      notNullGuard(df0, tableSchemaFrom(ms0)), props0)
     val phys = toPhysical(guarded, cm0)
     val df = clusterTasks match {
       case Some(0) => phys.repartition(TxPart.exprs(pcols, phys): _*)
@@ -1856,6 +2061,28 @@ object TxLog {
     * manifest names it) and collect its zone maps — the write half
     * shared by every committing path (append, DML rewrite, compact,
     * cluster). Returns (rel paths, footer stats). */
+  /** Enforcement half of [[mergedSchema]]'s NOT NULL preservation: the
+    * recorded schema keeps a column NOT NULL even when an incoming
+    * DataFrame claims it nullable (file sources always do), so the
+    * library staging doors must verify the claim — each NOT NULL table
+    * column present-but-claimed-nullable in `df` gets a per-row
+    * assert_true (codegen projection, no extra pass — the TxCheck
+    * pattern). The V2 door needs none of this: Spark's own output
+    * resolution inserts AssertNotNull against the relation's declared
+    * nullability. Tables without NOT NULL columns pay nothing. */
+  private def notNullGuard(df: DataFrame,
+                           table: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val required = table.map(_.fields.filter(!_.nullable).map(_.name))
+      .getOrElse(Array.empty[String])
+    if (required.isEmpty) return df
+    val claimed = df.schema.fields.filter(_.nullable).map(_.name).toSet
+    required.filter(claimed.contains).foldLeft(df) { (d, n) =>
+      d.filter(assert_true(d(n).isNotNull,
+        lit(s"NOT NULL column $n: write contains a null row")).isNull)
+    }
+  }
+
   private def stageWrite(s: SparkSession, root: Path, df: DataFrame,
                          cmOverride: Option[ColMap] = None)
       : (Seq[String], Seq[TxStats.FileStats]) = {
@@ -1874,7 +2101,13 @@ object TxLog {
     val props = propsFrom(ms0)
     val bloomOpts = TxBloom.writeOptions(props)
     val cm = cmOverride.getOrElse(colMapFrom(ms0))
-    toPhysical(TxCheck.guard(s, df, props), cm)
+    // NOT NULL enforcement rides the same write job as CHECK guards;
+    // an overwrite (cmOverride set) REPLACES the schema contract, so
+    // the old schema's nullability doesn't bind its rows
+    val nnGuarded =
+      if (cmOverride.isDefined) df
+      else notNullGuard(df, tableSchemaFrom(ms0))
+    toPhysical(TxCheck.guard(s, nnGuarded, props), cm)
       .write.options(bloomOpts).mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val rel = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -1933,7 +2166,9 @@ object TxLog {
       pcolsOverride = pcolsOverride, propsOverride = propsOverride,
       // a replacement is a NEW contract: the column mapping resets
       // (the staged files were written under the new schema's names)
-      cmapOverride = Some(Some(ColMap(Seq.empty, Seq.empty))))
+      // and carried graft.default.* keys re-key against the new schema
+      cmapOverride = Some(Some(ColMap(Seq.empty, Seq.empty))),
+      defaultPropsReset = true)
   }
 
   /** Stage a manifest and publish it into the next free version slot.
@@ -1959,7 +2194,8 @@ object TxLog {
                              legacyExisting: Option[org.apache.spark.sql.types.StructType] = None,
                              pcols: Seq[String] = Seq.empty,
                              cmAtStaging: Option[ColMap] = None,
-                             addDefault: Option[(String, String)] = None)
+                             addDefault: Option[(String, String)] = None,
+                             eqdels: Seq[EqDelEntry] = Seq.empty)
       : Long = {
     incoming.foreach(guardReservedCols) // every data/evolve commit records one
     // race-injection seam (TxColMapSpec): fires ONCE at publish entry —
@@ -2075,11 +2311,26 @@ object TxLog {
           (propsFrom(ms) +
             (DefaultPropPrefix + physicalName(cmEff, l) -> lit)).toSeq.sorted
       }
+      // EQUALITY DELETES: every entry's key columns must still resolve
+      // in the PHYSICAL schema of THIS attempt's listing — a concurrent
+      // DROP COLUMN between staging and publish would otherwise bind a
+      // sidecar no reader can probe (re-judged per retry, like the
+      // drift guard above)
+      if (eqdels.nonEmpty) {
+        val physNow = physicalSchemaFrom(ms).map(_.fieldNames.toSet)
+        physNow.foreach { names =>
+          val gone = eqdels.flatMap(_.cols).distinct.filterNot(names)
+          if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"table $table: equality-delete key column(s) ${gone.mkString(", ")} " +
+              "left the schema between staging and publish (a concurrent DROP) — " +
+              "re-run against the new snapshot")
+        }
+      }
       val target = new Path(logDir, manifestName(v))
       val bytes =
         render(Manifest(v, files, writerId, batchId, checkpoint, stats,
           schema = schemaDdl, pcols = pcols, ts = commitTimeMs(),
-          cmap = cmapOut, props = propsOut))
+          cmap = cmapOut, props = propsOut, eqdels = eqdels))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
@@ -2318,6 +2569,314 @@ object TxLog {
       }
     }
     adoptDvs(ms, resolved)
+  }
+
+  // ------------------------------------------------------------------
+  // EQUALITY DELETES / keyed CDC upsert ([[TxEqDel]])
+  //
+  // The write half of the Iceberg equality-delete model: deleteByKeys
+  // and upsertByKeys NEVER read the table — one key sidecar (plus the
+  // upsert's data files) commits in one manifest, so a streaming CDC
+  // feed ingests at O(batch) cost per micro-batch where the DV merge
+  // pays a zone-pruned candidate scan. Readers anti-join the bounded
+  // live key debt; compact()/materializeEqDels() convert it back to
+  // positions/rewrites. Scope rule and read semantics: [[EqDelEntry]].
+  // ------------------------------------------------------------------
+
+  private def eqDelMaxKeys(props: Map[String, String]): Long =
+    props.get(TxEqDel.MaxKeysProp).map(_.toLong).getOrElse(TxEqDel.DefaultMaxKeys)
+
+  /** External-JVM value of one canonical key (Long/UTF8String) for
+    * materializing sidecar keys into a DataFrame row. */
+  private def eqDelExternal(canon: AnyRef, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    dt match {
+      case ByteType => canon.asInstanceOf[java.lang.Long].byteValue
+      case ShortType => canon.asInstanceOf[java.lang.Long].shortValue
+      case IntegerType => canon.asInstanceOf[java.lang.Long].intValue
+      case LongType => canon.asInstanceOf[java.lang.Long].longValue
+      case BooleanType => canon.asInstanceOf[java.lang.Long].longValue != 0L
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(canon.asInstanceOf[java.lang.Long].longValue))
+      case TimestampType =>
+        DateTimeUtils.toJavaTimestamp(canon.asInstanceOf[java.lang.Long].longValue)
+      case TimestampNTZType =>
+        DateTimeUtils.microsToLocalDateTime(canon.asInstanceOf[java.lang.Long].longValue)
+      case StringType => canon.toString
+      case other => throw new IllegalStateException(
+        s"unsupported equality-delete key type ${other.simpleString}")
+    }
+  }
+
+  /** Materialize one entry's sidecar keys as a DataFrame with columns
+    * `names` of types `types` (driver-bounded: the cap bounds every
+    * sidecar). Canonical longs un-canonicalize to the CURRENT column
+    * type — a widening after the entry was written always fits. */
+  private def eqDelKeysDf(s: SparkSession, table: String, e: EqDelEntry,
+                          types: Seq[org.apache.spark.sql.types.DataType],
+                          names: Seq[String]): DataFrame = {
+    val ks = TxEqDel.read(s, table, e.p)
+    val schema = org.apache.spark.sql.types.StructType(
+      names.zip(types).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = false) })
+    val rows: java.util.List[org.apache.spark.sql.Row] = {
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      ks.rows.foreach(r => out.add(org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.zip(types).map { case (v, t) => eqDelExternal(v, t) })))
+      out
+    }
+    s.createDataFrame(rows, schema)
+  }
+
+  /** The library read path's equality-delete filter: one broadcast
+    * LEFT ANTI join per live entry, scoped by the per-row file
+    * sequence (`seq < entry version`). `raw` speaks PHYSICAL names and
+    * still resolves `_metadata` (a filter/join preserves it). The V2
+    * scan has its own vectorized variant ([[TxEqDel
+    * .EqDelReaderFactory]]); this is the portable DataFrame one. */
+  private def applyEqDelFilter(s: SparkSession, table: String, raw: DataFrame,
+                               ms: Seq[Manifest],
+                               live: Seq[(Long, EqDelEntry)]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, udf}
+    val seqByTail = fileSeqs(ms).map { case (f, v) => TxDv.tailKey(f) -> v }
+    val physSch = physicalSchemaFrom(ms)
+    val seqUdf = udf((p: String) =>
+      seqByTail.getOrElse(TxDv.tailKey(p), Long.MaxValue))
+    val withSeq = raw.withColumn("__gseq", seqUdf(col("_metadata.file_path")))
+    val filtered = live.foldLeft(withSeq) { case (df, (v, e)) =>
+      val types = e.cols.map(p => physSch.map(_.apply(p).dataType).getOrElse(
+        df.schema(p).dataType))
+      val knames = e.cols.map("__eqk_" + _)
+      val keys = eqDelKeysDf(s, table, e, types, knames)
+      val cond = e.cols.zip(knames).map { case (c, k) =>
+        df(quoted(c)) === keys(quoted(k)) }.reduce(_ && _) &&
+        df("__gseq") < lit(v)
+      df.join(broadcast(keys), cond, "left_anti")
+    }
+    filtered.drop("__gseq")
+  }
+
+  /** Validate, align, deduplicate and stage ONE equality-delete key
+    * sidecar from `keysDf` (logical column names). Returns None when
+    * the live key debt plus this batch would exceed the cap — callers
+    * refuse (deleteByKeys) or fall back to the position-based merge
+    * (upsertByKeys). Key tuples containing NULL are dropped
+    * (null-rejecting equality). */
+  private def stageEqDelEntry(s: SparkSession, table: String, ms: Seq[Manifest],
+                              keysDf: DataFrame): Option[EqDelEntry] = {
+    val sch = tableSchemaFrom(ms).getOrElse(throw new IllegalStateException(
+      s"table $table has no recorded schema — keyed deletes need one to type the keys"))
+    val cm = colMapFrom(ms)
+    val cols = keysDf.columns.toSeq
+    require(cols.nonEmpty, "equality delete needs at least one key column")
+    cols.foreach(c => require(sch.fieldNames.contains(c),
+      s"equality-delete key $c not in (${sch.fieldNames.mkString(", ")})"))
+    val dts = cols.map(c => sch(c).dataType)
+    cols.zip(dts).foreach { case (c, dt) =>
+      require(TxEqDel.tagFor(dt).isDefined,
+        s"equality-delete key $c: ${dt.simpleString} is not a supported key " +
+          "type (integral, string, date, timestamp, boolean)")
+    }
+    val aligned = keysDf.select(cols.zip(dts).map { case (c, dt) =>
+      val in = keysDf.schema(c).dataType
+      require(in == dt ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(in, dt),
+        s"equality-delete key $c: incoming ${in.simpleString} does not " +
+          s"losslessly cast to the column's ${dt.simpleString}")
+      col(quoted(c)).cast(dt).as(c)
+    }: _*).distinct()
+    val budget = eqDelMaxKeys(propsFrom(ms)) - liveEqDels(ms).map(_._2.n).sum
+    if (budget <= 0L) return None
+    val probe = math.min(budget + 1L, Int.MaxValue.toLong).toInt
+    val rows = aligned.limit(probe).queryExecution.executedPlan.executeCollect()
+    if (rows.length > budget) return None
+    val ks = TxEqDel.keySetOf(cols.map(physicalName(cm, _)), dts,
+      rows.iterator.map(r => dts.indices.map(i => r.get(i, dts(i)))))
+    Some(EqDelEntry(TxEqDel.write(s, table, ks),
+      cols.map(physicalName(cm, _)), ks.cardinality))
+  }
+
+  /** The live equality-delete KEY DEBT (Σ keys over live entries) —
+    * the number readers hold in memory and the cap compares against.
+    * Observability for tests and the maintenance loop. */
+  def liveEqDelCount(s: SparkSession, table: String): Long =
+    liveEqDels(manifests(s, table)).map(_._2.n).sum
+
+  private def guardEqDelChangeFeed(table: String, props: Map[String, String]): Unit =
+    require(!props.get(ChangeFeedProp).contains("true"),
+      s"equality deletes on $table are unsupported with $ChangeFeedProp=true — " +
+        "a keyed write never reads the table, so it cannot capture its " +
+        "row-level changes; use delete()/merge() (position-based, captured)")
+
+  /** DELETE every row whose key tuple appears in `keys` (one column
+    * per key) — WITHOUT reading the table: the keys stage as one
+    * [[TxEqDel]] sidecar and commit as one manifest entry applying to
+    * every live file. O(|keys|) whatever the table size. Exactly-once
+    * under the (writerId, batchId) token like [[commit]]. Refuses past
+    * the key-debt cap (run [[compact]]/[[materializeEqDels]]) and on
+    * change-feed tables (the keyed write cannot capture changes). */
+  def deleteByKeys(keys: DataFrame, table: String, writerId: String,
+                   batchId: Long, maxRetries: Int = 20): Long = {
+    guardWriterId(writerId)
+    deleteByKeysInternal(keys, table, writerId, batchId, maxRetries)
+  }
+
+  private[graft] def deleteByKeysInternal(keys: DataFrame, table: String,
+                                          writerId: String, batchId: Long,
+                                          maxRetries: Int = 20): Long = {
+    val s = keys.sparkSession
+    val ms0 = manifests(s, table)
+    require(ms0.nonEmpty, s"not a txlog table: $table")
+    if (tokenTaken(ms0, writerId, batchId)) return -1L
+    guardEqDelChangeFeed(table, propsFrom(ms0))
+    val entry = stageEqDelEntry(s, table, ms0, keys).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteByKeys on $table would push the live equality-delete key debt " +
+          s"past ${TxEqDel.MaxKeysProp} (${eqDelMaxKeys(propsFrom(ms0))}) — run " +
+          "compact() or materializeEqDels() to convert the debt to positions, " +
+          "or use delete() (position-based)"))
+    commitManifest(s, table, Seq.empty, Seq.empty, writerId, batchId,
+      checkpoint = false, maxRetries, eqdels = Seq(entry))
+  }
+
+  /** UPSERT `source` by `keys` — the streaming-CDC write shape: append
+    * the source rows and equality-delete their keys from every PRIOR
+    * file, in ONE manifest, never reading the table. Equivalent to
+    * [[merge]] (whole-row replace semantics, null-keyed source rows
+    * append) at O(batch) write cost; the read-side debt is bounded by
+    * the key cap, past which this falls back to the position-based
+    * merge for the batch. Exactly-once under the token. */
+  def upsertByKeys(source: DataFrame, table: String, keys: Seq[String],
+                   writerId: String, batchId: Long, maxRetries: Int = 20): Long = {
+    guardWriterId(writerId)
+    upsertByKeysInternal(source, table, keys, writerId, batchId, maxRetries)
+  }
+
+  private[graft] def upsertByKeysInternal(source: DataFrame, table: String,
+                                          keys: Seq[String], writerId: String,
+                                          batchId: Long, maxRetries: Int = 20): Long = {
+    val s = source.sparkSession
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    keys.foreach(k => require(source.columns.contains(k),
+      s"upsert key $k not in source columns ${source.columns.toSeq}"))
+    val ms0 = manifests(s, table)
+    if (tokenTaken(ms0, writerId, batchId)) return -1L
+    val sch = tableSchemaFrom(ms0)
+    // first/schema-defining write, or an emptied table: a plain append
+    // (nothing prior to delete from; schema guards as in commit)
+    if (liveFiles(ms0).isEmpty)
+      return commitInternal(source, table, writerId, batchId, maxRetries)
+    sch.foreach { t =>
+      require(source.columns.toSet == t.fieldNames.toSet,
+        s"upsert source columns ${source.columns.toSet} != table columns " +
+          s"${t.fieldNames.toSet}")
+    }
+    // a change-feed table needs its row-level changes captured — the
+    // position-based merge does that; semantics are identical
+    if (propsFrom(ms0).get(ChangeFeedProp).contains("true"))
+      return mergeInternal(source, table, keys, writerId, batchId).version
+    val ordered = sch.map(t =>
+      source.select(t.fieldNames.toSeq.map(c => col(quoted(c))): _*)).getOrElse(source)
+    // MATERIALIZE the source (the merge rationale): the staged data and
+    // the staged key set must come from the SAME row multiset even for
+    // a non-deterministic source
+    val src = ordered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      stageEqDelEntry(s, table, ms0, src.select(keys.map(c => col(quoted(c))): _*)) match {
+        case None =>
+          // over the key-debt cap: this batch takes the position-based
+          // merge (correct, costlier); compact()/maintain clears the debt
+          mergeInternal(src, table, keys, writerId, batchId).version
+        case Some(entry) =>
+          val pcols = partitionColsFrom(ms0)
+          val root = new Path(table)
+          val (rel, stats) =
+            if (pcols.nonEmpty) stagePartitioned(s, root, src, pcols,
+              clusterTasks = Some(0))
+            else stageWrite(s, root, src)
+          commitManifest(s, table, rel, stats, writerId, batchId,
+            checkpoint = false, maxRetries, incoming = Some(src.schema),
+            pcols = pcols, cmAtStaging = Some(colMapFrom(ms0)),
+            eqdels = Seq(entry))
+      }
+    } finally { src.unpersist(); () }
+  }
+
+  /** Convert the live equality-delete debt into DELETION VECTORS (one
+    * zone-prunable scan of the affected files — the scan the upserts
+    * deferred), publishing {dvs, removes = fully-dead files, eqdrops =
+    * every live sidecar} as one rewrite. Readers then run clean probes
+    * again; [[compact]] (a checkpoint) also clears the debt by
+    * rewriting rows through the filter. Idempotent; returns the
+    * committed version (head when there was nothing to do). */
+  def materializeEqDels(s: SparkSession, table: String,
+                        beforeCommit: () => Unit = () => ()): Rewrite = {
+    import org.apache.spark.sql.functions.{broadcast, udf}
+    val ms = manifests(s, table)
+    val live = liveEqDels(ms)
+    val head = ms.lastOption.map(_.version).getOrElse(-1L)
+    if (live.isEmpty) return Rewrite(head, 0, 0)
+    val files = liveFiles(ms)
+    val seqs = fileSeqs(ms)
+    val maxV = live.map(_._1).max
+    val affected = files.filter(f => seqs.getOrElse(f, Long.MaxValue) < maxV)
+    // zone-prune the affected set by the union of the entries' key
+    // ENVELOPES (per entry: every key column bounded by its sidecar's
+    // min/max) — a point upsert's materialization opens the files its
+    // keys can live in, not the table
+    val cm = colMapFrom(ms)
+    val rev = logicalNameMap(cm)
+    val sch = tableSchemaFrom(ms)
+    val perEntryPred: Seq[Column] = live.map { case (_, e) =>
+      val ks = TxEqDel.read(s, table, e.p)
+      if (ks.cardinality == 0L) lit(false)
+      else e.cols.zipWithIndex.map { case (p, i) =>
+        val lname = rev.getOrElse(p, p)
+        val dt = sch.map(_.apply(lname).dataType).getOrElse(
+          org.apache.spark.sql.types.LongType)
+        var vals = List.empty[AnyRef]
+        ks.rows.foreach(r => vals = r(i) :: vals)
+        if (ks.tags(i) == 'l') {
+          val ls = vals.map(_.asInstanceOf[java.lang.Long].longValue)
+          col(quoted(lname)) >= lit(eqDelExternal(
+            java.lang.Long.valueOf(ls.min), dt)) &&
+            col(quoted(lname)) <= lit(eqDelExternal(
+              java.lang.Long.valueOf(ls.max), dt))
+        } else {
+          val ss = vals.map(_.toString)
+          col(quoted(lname)) >= lit(ss.min) && col(quoted(lname)) <= lit(ss.max)
+        }
+      }.reduce(_ && _)
+    }
+    val candidates = pruned(s, table,
+      perEntryPred.reduceOption(_ || _).getOrElse(lit(true)),
+      affected, liveStats(ms), ms)
+    val seqByTail = seqs.map { case (f, v) => TxDv.tailKey(f) -> v }
+    val seqUdf = udf((p: String) =>
+      seqByTail.getOrElse(TxDv.tailKey(p), Long.MaxValue))
+    val matcher: DataFrame => DataFrame = { df =>
+      val withSeq = df.withColumn("__gseq", seqUdf(col("__gf")))
+      live.map { case (v, e) =>
+        val lcols = e.cols.map(p => rev.getOrElse(p, p))
+        val types = lcols.map(c => sch.map(_.apply(c).dataType).getOrElse(
+          df.schema(c).dataType))
+        val knames = lcols.map("__eqk_" + _)
+        val keysDf = eqDelKeysDf(s, table, e, types, knames)
+        val cond = lcols.zip(knames).map { case (c, k) =>
+          withSeq(quoted(c)) === keysDf(quoted(k)) }.reduce(_ && _) &&
+          withSeq("__gseq") < lit(v)
+        withSeq.join(broadcast(keysDf), cond, "left_semi")
+      }.reduce(_ unionByName _).drop("__gseq")
+    }
+    val (fullDead, entries, _) = stageDvs(s, table, ms, candidates, matcher)
+    beforeCommit()
+    publishRewrite(s, table, Seq.empty, Seq.empty, fullDead, head,
+      writerId = s"materialize-${java.util.UUID.randomUUID()}", batchId = 0L,
+      schemaDdl = ddlOf(tableSchemaFrom(ms).getOrElse(
+        readFiles(s, table, ms, files.take(1)).schema)),
+      readSet = candidates, dvs = entries,
+      eqdrops = live.map(_._2.p))
   }
 
   /** SQL DELETE: remove the rows where `pred` is TRUE (FALSE and NULL
@@ -2658,7 +3217,8 @@ object TxLog {
                                     readSet: Seq[String] = Seq.empty,
                                     maxRetries: Int = 20,
                                     dvs: Seq[DvEntry] = Seq.empty,
-                                    captureOverride: Option[() => Seq[String]] = None)
+                                    captureOverride: Option[() => Seq[String]] = None,
+                                    eqdrops: Seq[String] = Seq.empty)
       : Rewrite = {
     val root = new Path(table)
     val f = fs(s, root)
@@ -2691,6 +3251,13 @@ object TxLog {
         newer.find(m => m.removes.exists(footprint) ||
             m.dvs.exists(d => footprint(d.f))).foreach(m => throw conflict(
           s"had files this operation read rewritten at v${m.version}"))
+        // an interleaved EQUALITY DELETE is key-addressed — whether it
+        // touches this rewrite's rows is unknowable without reading, and
+        // rebasing past it would let the rewrite's fresh files (seq >
+        // the entry's version) RESURRECT deleted keys. Always conflict.
+        newer.find(m => m.eqdels.nonEmpty || m.eqdrops.nonEmpty)
+          .foreach(m => throw conflict(
+            s"committed equality deletes at v${m.version} past v$base"))
         // a concurrent RENAME/DROP COLUMN cannot be rebased over: this
         // rewrite's recorded schema speaks the PRE-rename logical names,
         // and merging it with the renamed one would duplicate the column
@@ -2729,7 +3296,7 @@ object TxLog {
           // O(0 inference) after DML), widened by any schema a rebased
           // concurrent append evolved in
           schema = Some(ddlOf(recorded)), changes = changes, ts = commitTimeMs(),
-          dvs = dvs))
+          dvs = dvs, eqdrops = eqdrops))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return Rewrite(v, removes.size + dvs.size, rel.size)
@@ -3093,7 +3660,8 @@ object TxLog {
                                dvs: Seq[DvEntry] = Seq.empty,
                                pcolsOverride: Option[Seq[String]] = None,
                                propsOverride: Option[Map[String, String]] = None,
-                               cmapOverride: Option[Option[ColMap]] = None)
+                               cmapOverride: Option[Option[ColMap]] = None,
+                               defaultPropsReset: Boolean = false)
       : Long = {
     val root = new Path(table)
     val f = fs(s, root)
@@ -3115,7 +3683,8 @@ object TxLog {
       // cmap commits (RENAME/DROP COLUMN) cannot merge with this
       // rewrite's pre-rename schema (a rename reads as drop+add)
       if (newer.exists(m => m.checkpoint || m.removes.nonEmpty ||
-          m.dvs.nonEmpty || m.cmap.isDefined))
+          m.dvs.nonEmpty || m.cmap.isDefined || m.eqdels.nonEmpty ||
+          m.eqdrops.nonEmpty))
         throw new java.util.ConcurrentModificationException(
           s"$table got a non-append commit past v$base during a layout rewrite — re-run")
       carriedFiles = carriedFiles ++ newer.flatMap(_.files)
@@ -3153,8 +3722,15 @@ object TxLog {
         // truncation: checkpoints re-record them (everything below is
         // vacuum-collectable)
         pcols = pcolsOverride.getOrElse(partitionColsFrom(ms)),
+        // overwrite-style commits (defaultPropsReset) re-key or strip
+        // graft.default.* keys against the replacement schema — the
+        // cmap reset below re-opens the physical namespace the keys
+        // index ([[resetDefaultProps]])
         props = propsOverride.map(_.toSeq.sorted)
-          .orElse(propsRecorded(ms).map(_.sorted)),
+          .orElse(propsRecorded(ms).map(p =>
+            (if (defaultPropsReset)
+               resetDefaultProps(p, colMapFrom(ms), carriedSchema)
+             else p).sorted)),
         ts = commitTimeMs(), dvs = dvs,
         // the column mapping must survive log truncation like pcols/
         // props; overwrite/restore override it (reset / as-of-v)
@@ -3185,7 +3761,8 @@ object TxLog {
     commitCheckpoint(s, table, rel, stats,
       writerId = s"overwrite-${java.util.UUID.randomUUID()}", expectedHead = head,
       schemaDdl = Some(ddlOf(df.schema)), removes = liveFiles(ms),
-      cmapOverride = Some(Some(ColMap(Seq.empty, Seq.empty))))
+      cmapOverride = Some(Some(ColMap(Seq.empty, Seq.empty))),
+      defaultPropsReset = true)
   }
 
   /** RESTORE the table to the live state it had at committed version
@@ -3226,6 +3803,17 @@ object TxLog {
     // merge-on-read DELETE resurrects its rows)
     val targetDvs = liveDvs(past)
     val currentDvs = liveDvs(ms)
+    // equality deletes live AT v cannot ride a restore: the restore is
+    // a checkpoint, and entries never survive checkpoints (their scope
+    // rule is the checkpoint cut) — re-recording them would mis-scope
+    // against the checkpoint-collapsed file seqs. Restore to a version
+    // at/after their materialization instead. (Entries live NOW are
+    // fine: restoring to v discards them with the rest of post-v
+    // history — exactly the at-v semantics.)
+    require(liveEqDels(past).isEmpty,
+      s"cannot restore $table to v$v: equality deletes were live at that " +
+        "version — restore to a version at/after their materialization " +
+        "(compact / materializeEqDels)")
     if (targetSet == currentSet &&
         targetDvs.view.mapValues(_.p).toMap == currentDvs.view.mapValues(_.p).toMap)
       return head
@@ -3374,12 +3962,15 @@ object TxLog {
         s"analyze: ${sch0(c).dataType.simpleString} column $c can never carry " +
           "zone-map stats or NDV sketches")
     }
-    // 1. the opt-in property first (see contract above)
-    val existing = propsFrom(ms0).get(NdvColsProp)
-      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
-    val declared = (existing ++ cols).distinct
-    if (declared != existing)
-      setProperties(s, table, Map(NdvColsProp -> declared.mkString(",")))
+    // 1. the opt-in property first (see contract above). The merged
+    // column list is recomputed from the freshly-listed props INSIDE
+    // the CAS loop — two concurrent analyze calls opting in different
+    // column sets union instead of last-writer-wins ([[mergeProperty]])
+    mergeProperty(s, table, NdvColsProp, { cur =>
+      val existing = cur.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      (existing ++ cols).distinct.mkString(",")
+    })
     // 2. backfill against a listing taken AFTER the property landed
     val ms = manifests(s, table)
     val sch = tableSchemaFrom(ms).getOrElse(sch0)
@@ -3722,6 +4313,20 @@ object TxLog {
       f.listStatus(dvRoot).foreach { st =>
         val rel = s"dv/${st.getPath.getName}"
         if (!referencedDv.contains(rel) && st.getModificationTime < cutoff) {
+          f.delete(st.getPath, false); n += 1
+        }
+      }
+    }
+    // equality-delete sweep: same contract as the DV sweep — a sidecar
+    // referenced by ANY surviving manifest stays (time travel replays
+    // old `eqdels` entries); orphans of crashed upserts and sidecars of
+    // truncated history collect once aged.
+    val eqRoot = new Path(root, TxEqDel.SidecarDir)
+    if (f.exists(eqRoot)) {
+      val referencedEq = manifests(s, table).flatMap(_.eqdels.map(_.p)).toSet
+      f.listStatus(eqRoot).foreach { st =>
+        val rel = s"${TxEqDel.SidecarDir}/${st.getPath.getName}"
+        if (!referencedEq.contains(rel) && st.getModificationTime < cutoff) {
           f.delete(st.getPath, false); n += 1
         }
       }

@@ -73,6 +73,27 @@ object TxStats {
     * `bytes` (0 on legacy manifests = unknown) lets the V2 scan build
     * its split plan from the log alone — no per-file getFileStatus
     * round-trips at planning time, the Delta/Iceberg `size` field. */
+  /** Fold a NEWER record `b` of the same immutable data file over an
+    * older one `a`: file-level scalars take the newer non-empty value
+    * (they agree by construction — the file's bytes never change);
+    * per-column stats UNION, and where both record a column the entry
+    * CARRYING a KMV sketch wins (newer otherwise) — a sketch, once
+    * recorded, must survive a concurrent stats-only backfill of a
+    * DIFFERENT column re-recording the file from its own stale prior
+    * ([[graft.storage.TxLog.liveStats]]). */
+  def foldFileStats(a: FileStats, b: FileStats): FileStats = {
+    val names = (a.cols.map(_.col) ++ b.cols.map(_.col)).distinct
+    val cols = names.flatMap { n =>
+      (a.byCol.get(n), b.byCol.get(n)) match {
+        case (Some(x), Some(y)) => Some(if (y.kmv.nonEmpty || x.kmv.isEmpty) y else x)
+        case (x, y) => y.orElse(x)
+      }
+    }
+    FileStats(b.file, if (b.rows != 0L) b.rows else a.rows, cols,
+      if (b.bytes != 0L) b.bytes else a.bytes,
+      if (b.parts.nonEmpty) b.parts else a.parts)
+  }
+
   final case class FileStats(file: String, rows: Long, cols: Seq[ColStat],
                              bytes: Long = 0L,
                              parts: Seq[(String, String)] = Seq.empty) {

@@ -127,6 +127,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("testcat.ddl.c2"))
   }
 
+  test("ALTER resolves target columns case-insensitively (Spark resolution)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS testcat.ci")
+    spark.sql("""CREATE TABLE testcat.ci.t USING txlog AS
+                 SELECT id, cast(id AS INT) AS val, cast(id AS STRING) AS s
+                 FROM range(10)""")
+    // direct catalog API with the WRONG case — bypasses any analyzer
+    // normalization, so this pins the catalog's own resolution
+    val cat = spark.sessionState.catalogManager.catalog("testcat")
+      .asInstanceOf[TableCatalog]
+    val id = Identifier.of(Array("ci"), "t")
+    cat.alterTable(id, TableChange.renameColumn(Array("VAL"), "v2"))
+    assert(spark.table("testcat.ci.t").columns.toSeq == Seq("id", "v2", "s"))
+    cat.alterTable(id, TableChange.updateColumnType(Array("V2"),
+      org.apache.spark.sql.types.LongType))
+    assert(spark.table("testcat.ci.t").schema("v2").dataType ==
+      org.apache.spark.sql.types.LongType)
+    cat.alterTable(id, TableChange.deleteColumn(Array("S"), false))
+    assert(spark.table("testcat.ci.t").columns.toSeq == Seq("id", "v2"))
+    // data still reads correctly through the renamed+widened column
+    assert(spark.sql("SELECT sum(v2) FROM testcat.ci.t").first().getLong(0) == 45L)
+    spark.sql("DROP TABLE testcat.ci.t")
+  }
+
   test("namespaces: create/list/alter/drop; non-empty drop needs CASCADE") {
     spark.sql("CREATE NAMESPACE testcat.nsa COMMENT 'alpha'")
     spark.sql("CREATE NAMESPACE testcat.nsa.inner")

@@ -225,4 +225,35 @@ class TxAnalyzeSpec extends AnyFunSuite {
     val ndv = ndvOf(t, "skey").map(_.toLong).getOrElse(0L)
     assert(ndv > 6400L && ndv < 9600L, s"post-compact skey ndv $ndv (8000 true)")
   }
+
+  test("concurrent analyze opt-ins UNION the column list (no lost update)") {
+    val t = fresh()
+    strDf(2000).coalesce(2).write.format("txlog").mode("append").save(t)
+    // two racing analyze calls with DISJOINT column sets: the opt-in
+    // property merge recomputes from the freshly-listed props inside
+    // the CAS loop, so neither call's columns can be silently dropped
+    // (a lost update would stop maintaining the loser's sketches and
+    // quietly revert its NDV estimates)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def run(cols: Seq[String]): Runnable = () => {
+      gate.await()
+      try TxLog.analyze(spark, t, cols)
+      catch { case e: Throwable => errs.add(e) }
+    }
+    pool.submit(run(Seq("skey")))
+    pool.submit(run(Seq("grp")))
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, errs.toString)
+    val declared = TxLog.properties(spark, t)("graft.stats.ndv.cols")
+      .split(',').map(_.trim).toSet
+    assert(declared == Set("skey", "grp"),
+      s"concurrent opt-ins lost a column: $declared")
+    assert(ndvOf(t, "skey").isDefined && ndvOf(t, "grp").isDefined,
+      "both racers' sketches must be served")
+  }
 }

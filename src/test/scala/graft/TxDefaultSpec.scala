@@ -399,4 +399,97 @@ class TxDefaultSpec extends AnyFunSuite {
     assert(spark.read.format("txlog").load(t)
       .where(col("flag") === 7).count() == 5L)
   }
+
+  test("overwrite strips a DROPPED column's orphaned default — a re-added " +
+      "name can never inherit it") {
+    val t = build()
+    TxLog.dropColumn(spark, t, "flag") // default key orphaned (physical retired)
+    assert(TxLog.properties(spark, t).keys
+      .exists(_.startsWith(TxLog.DefaultPropPrefix)), "orphaned key still inert-present")
+    // overwrite RESETS the mapping (retired list cleared) — the stale
+    // key must not survive into the re-opened identity namespace
+    TxLog.overwrite(spark.range(3).select(col("id"), lit("z").as("grp")), t)
+    assert(!TxLog.properties(spark, t).keys
+      .exists(_.startsWith(TxLog.DefaultPropPrefix)),
+      "overwrite carried a stale graft.default.* key past the cmap reset")
+    // the ADVICE scenario end-to-end: plain nullable re-add of the same
+    // name mints the identity physical — pre-add files must read NULL,
+    // never the old column's default
+    TxLog.evolveSchema(spark, t, StructType(
+      TxLog.tableSchema(spark, t).get.fields :+
+        StructField("flag", IntegerType, nullable = true)))
+    val got = spark.read.format("txlog").load(t)
+    assert(got.where(col("flag").isNull).count() == 3L,
+      "post-overwrite pre-add files silently read the stale default")
+  }
+
+  test("overwrite KEEPS the default of a column that survives into the " +
+      "replacement schema; truncate re-keys a renamed column's default") {
+    val t = build()
+    // overwrite with a schema that still carries `flag`: the declared
+    // default survives the data replacement — a later append omitting
+    // the column still fills it
+    TxLog.overwrite(spark.range(10, 12).select(col("id"),
+      lit("c").as("grp"), lit(1).as("flag")), t)
+    assert(TxLog.properties(spark, t)
+      .get(TxLog.DefaultPropPrefix + "flag").contains("7"))
+    spark.range(20, 22).select(col("id"), lit("d").as("grp"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    val got = spark.read.format("txlog").load(t).where(col("id") >= 20)
+    assert(got.where(col("flag") === 7).count() == 2L)
+    // truncate on a MAPPED table: rename flag -> f2 (physical stays
+    // `flag`), truncate resets the mapping — the key must RE-KEY to
+    // the new identity physical `f2`, not strand under `flag`
+    TxLog.renameColumn(spark, t, "flag", "f2")
+    TxLog.truncate(spark, t)
+    val props = TxLog.properties(spark, t)
+    assert(props.get(TxLog.DefaultPropPrefix + "f2").contains("7"), props.toString)
+    assert(!props.contains(TxLog.DefaultPropPrefix + "flag"), props.toString)
+    spark.range(2).select(col("id"), lit("e").as("grp"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    assert(spark.read.format("txlog").load(t)
+      .where(col("f2") === 7).count() == 2L,
+      "the re-keyed default must keep filling omitted-column appends")
+  }
+
+  test("append does NOT demote a NOT NULL column to nullable; an actual " +
+      "null row is refused at the write") {
+    val t = fresh()
+    spark.range(3).coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.addColumnWithDefault(spark, t, "req", IntegerType, "5",
+      nullable = false)
+    assert(TxLog.tableSchema(spark, t).get("req").nullable == false)
+    // a DataFrame claims its columns nullable (file sources force it) —
+    // appending one with NO actual nulls must keep the declared contract
+    spark.range(3, 6).select(col("id"),
+        col("id").cast("int").as("req"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    assert(TxLog.tableSchema(spark, t).get("req").nullable == false,
+      "first nullable-claimed append demoted the NOT NULL contract")
+    // ... and one with an actual null is refused per-row at staging
+    val bad = spark.range(6, 8).select(col("id"),
+      when(col("id") === 7, lit(null)).otherwise(lit(1))
+        .cast("int").as("req"))
+    val e = intercept[Exception] {
+      TxLog.commit(bad.coalesce(1), t, "w-null", 1L)
+    }
+    assert(e.getMessage != null || e.getCause != null)
+    // the failed write staged nothing visible
+    assert(spark.read.format("txlog").load(t).count() == 6L)
+    assert(spark.read.format("txlog").load(t)
+      .where(col("req").isNull).count() == 0L)
+  }
+
+  test("reserved writer-id refusal names the prefix that matched") {
+    val t = fresh()
+    spark.range(1).write.format("txlog").mode("append").save(t)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.commit(spark.range(1).toDF(), t, "widen-nightly", 0L)
+    }
+    assert(e.getMessage.contains("widen-"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.commit(spark.range(1).toDF(), t, "colmap-x", 0L)
+    }
+    assert(e2.getMessage.contains("colmap-"), e2.getMessage)
+  }
 }
