@@ -656,6 +656,123 @@ object TxLogParity {
       .orderBy("o_orderstatus")
   }
 
+  /** EQUALITY DELETES + KEYED UPSERT (r16, [[TxLog.deleteByKeys]] /
+    * [[TxLog.upsertByKeys]]): a mixed positional+equality history.
+    * Two appends land the old era (key ≤ k2); a keyed DELETE records
+    * key%9==4 over the FULL key domain — including keys > k2 that do
+    * not exist yet, so the version-scoping rule (an entry at v applies
+    * only to files added at seq < v) is load-bearing: the upsert's own
+    * rows with key%9==4 must SURVIVE it. The keyed UPSERT then replaces
+    * key%6==4 rows (bumped custkey) and inserts the key > k2 era in one
+    * manifest — never reading the table — and keys ≡ 4 (mod 18) land in
+    * BOTH the prior delete and the upsert (old row gone, replacement
+    * kept). A positional MoR DELETE ('2-HIGH') composes deletion
+    * vectors with the live key debt on the same files, and a final
+    * MULTI-COLUMN (long,string) keyed delete cuts (key%13==6, 'F')
+    * tuples across every era. DuckDB replays the final state as set
+    * algebra over raw orders; a wrong scope, a probe that matched the
+    * wrong domain, or a DV/eqdel composition bug skews the sums. */
+  private val builtEq = new ConcurrentHashMap[String, String]()
+
+  private def eqdelTable(s: SparkSession, dir: String): String =
+    builtEq.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_eq_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val (k1, k2) = (m / 3, 2 * m / 3)
+      orders.where(col("o_orderkey") <= k1).coalesce(2)
+        .write.format("txlog").mode("append").save(t)
+      orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2).coalesce(2)
+        .write.format("txlog").mode("append").save(t)
+      TxLog.deleteByKeys(
+        orders.where(col("o_orderkey") % 9 === 4).select("o_orderkey"),
+        t, "oracle-eqdel", 0L)
+      val src = orders
+        .where(col("o_orderkey") % 6 === 4 && col("o_orderkey") <= k2)
+        .withColumn("o_custkey", col("o_custkey") + 7000000L)
+        .unionByName(orders.where(col("o_orderkey") > k2))
+      TxLog.upsertByKeys(src, t, Seq("o_orderkey"), "oracle-equp", 0L)
+      TxLog.setProperties(s, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+      TxLog.delete(s, t, col("o_orderpriority") === "2-HIGH", "oracle-eqdv", 0L)
+      TxLog.deleteByKeys(
+        orders.where(col("o_orderkey") % 13 === 6 &&
+          col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderstatus"),
+        t, "oracle-eqdel2", 0L)
+      t
+    })
+
+  val eqdel: Q = (s, dir) => {
+    val t = eqdelTable(s, dir)
+    s.read.format("txlog").load(t)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** GENERATED COLUMNS (r16, [[graft.storage.TxGen]] / GENERATED
+    * ALWAYS AS): a catalog table whose `bucket` column derives from
+    * the key and custkey, populated through BOTH write doors — a SQL
+    * INSERT that provides NULLs for even keys (expression fill) and
+    * computed values for odd keys (per-row validation), then a V2
+    * executor append of the second era with all-NULL derived values —
+    * then a SQL UPDATE that bumps custkey (the post-image RECOMPUTES
+    * the derived value; a stale one would skew bucket_sum) and a
+    * library COW DELETE (the restage re-validates the invariant). The
+    * hashed aggregate sums and distinct-counts the derived column per
+    * group, so a missed fill, a stale recompute, or a door that
+    * skipped enforcement all skew it; DuckDB replays the derivation
+    * inline over raw orders. */
+  private val builtGc = new ConcurrentHashMap[String, String]()
+
+  private def gencolTable(s: SparkSession, dir: String): String =
+    builtGc.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("txlog_gc_oracle_").toString
+      val cat = s"ggen${math.abs(dir.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      orders.createOrReplaceTempView("orders_gen_src")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val k1 = m / 2
+      val t = s"$cat.default.orders_gen"
+      s.sql(s"""CREATE TABLE $t
+                (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+                 bucket BIGINT GENERATED ALWAYS AS
+                   (o_orderkey % 97 + o_custkey % 11))
+                USING txlog""")
+      s.sql(s"""INSERT INTO $t
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                            ELSE o_orderkey % 97 + o_custkey % 11 END
+                FROM orders_gen_src WHERE o_orderkey <= $k1""")
+      val path = s"$wh/default/orders_gen"
+      orders.where(col("o_orderkey") > k1)
+        .withColumn("bucket", lit(null).cast("long"))
+        .write.format("txlog").mode("append").save(path)
+      s.sql(s"""UPDATE $t SET o_custkey = o_custkey + 500000
+                WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0""")
+      TxLog.delete(s, path, col("o_orderkey") % 9 === 5, "gc-del", 0L)
+      t
+    })
+
+  val gencol: Q = (s, dir) => {
+    val t = gencolTable(s, dir)
+    s.table(t)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"),
+        sum("bucket").cast("long").as("bucket_sum"),
+        countDistinct("bucket").as("bucket_ndv"))
+      .orderBy("o_orderstatus")
+  }
+
   /** MATERIALIZED VIEW (r13, [[graft.storage.Materialized]]): a rollup
     * over a mutating source, maintained INCREMENTALLY — one refresh per
     * source transaction window, each folding only that window's change
@@ -714,6 +831,8 @@ object TxLogParity {
     "txlog_analyze" -> analyzed,
     "txlog_default" -> defaulted,
     "txlog_spj_join" -> spjJoin,
+    "txlog_eqdel" -> eqdel,
+    "txlog_gencol" -> gencol,
     "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
     "txlog_scan_prune" -> scanPrune,
@@ -832,6 +951,64 @@ object TxLogParity {
            AND o_custkey IN (7, 42, 128, 999, 1300)
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
+    // generated-column replay: the derivation is recomputed inline
+    // over the FINAL custkey (the UPDATE's post-image regenerates it),
+    // and the COW delete just filters; a stale derived value after the
+    // bump, or a NULL the fill missed, would skew bucket_sum/ndv
+    "txlog_gencol" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+                       THEN o_custkey + 500000 ELSE o_custkey END AS o_custkey,
+                  o_orderstatus
+           FROM orders
+           WHERE o_orderkey % 9 <> 5)
+         SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+                CAST(sum(o_orderkey % 97 + o_custkey % 11) AS BIGINT)
+                  AS bucket_sum,
+                CAST(count(DISTINCT o_orderkey % 97 + o_custkey % 11) AS BIGINT)
+                  AS bucket_ndv
+         FROM t
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+    // equality-delete replay: old-era survivors are the key ≤ k2 rows
+    // hit by NEITHER the keyed delete (%9==4) NOR the upsert's
+    // replacement (%6==4); replacements carry the +7000000 custkey;
+    // the new era (key > k2) lands verbatim — including its %9==4 keys
+    // (the earlier delete's scope ends before the upsert's files).
+    // Then the positional MoR delete cuts '2-HIGH' and the final
+    // multi-column keyed delete cuts (key%13==6, status 'F') tuples
+    // from every era.
+    "txlog_eqdel" ->
+      """WITH final AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+           FROM orders
+           WHERE o_orderkey <= (2 * (SELECT max(o_orderkey) FROM orders)) // 3
+             AND o_orderkey % 9 <> 4 AND o_orderkey % 6 <> 4
+           UNION ALL
+           SELECT o_orderkey, o_custkey + 7000000 AS o_custkey,
+                  o_orderstatus, o_orderpriority
+           FROM orders
+           WHERE o_orderkey <= (2 * (SELECT max(o_orderkey) FROM orders)) // 3
+             AND o_orderkey % 6 = 4
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+           FROM orders
+           WHERE o_orderkey > (2 * (SELECT max(o_orderkey) FROM orders)) // 3
+         )
+         SELECT o_orderpriority,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+                count(*) FILTER (o_orderstatus = 'F') AS n_f
+         FROM final
+         WHERE o_orderpriority <> '2-HIGH'
+           AND NOT (o_orderkey % 13 = 6 AND o_orderstatus = 'F')
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     // the view's final state = aggregate of the source's live rows:
     // (gen0 ∪ gen1 non-URGENT) ∪ gen2, custkey bumped on key % 10 = 0
     // (the UPDATE ran last, across all live rows). A from-scratch

@@ -80,14 +80,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def name(): String = catalogName
 
   /** Declares SQL `DEFAULT` support (CREATE TABLE (c INT DEFAULT 5),
-    * ALTER TABLE ADD COLUMN ... DEFAULT) — without this Spark's parser
-    * rejects the clause for this catalog's tables. Initial-default READ
-    * semantics live in [[TxLog.DefaultPropPrefix]]. */
+    * ALTER TABLE ADD COLUMN ... DEFAULT) and `GENERATED ALWAYS AS
+    * (expr)` — without these Spark's parser rejects the clauses for
+    * this catalog's tables. Initial-default READ semantics live in
+    * [[TxLog.DefaultPropPrefix]]; generated-column write semantics in
+    * [[TxGen]] (Spark itself validates the declared expressions at
+    * CREATE under this capability). */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_COLUMN_DEFAULT_VALUE)
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
   override def defaultNamespace(): Array[String] = Array("default")
 
   // ------------------------------------------------------------------
@@ -200,13 +205,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           f.metadata.getString("EXISTS_DEFAULT")))
     }.toMap
 
+  /** `GENERATED ALWAYS AS (expr)` columns arrive from Spark's parser as
+    * generation-expression field metadata (validated by Spark under the
+    * declared capability) — extract them into the physical-keyed
+    * [[TxGen.Prefix]] properties (at CREATE, physical == logical). */
+  private def genProps(schema: StructType): Map[String, String] =
+    schema.fields.toSeq.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(e => TxGen.Prefix + f.name -> e)
+    }.toMap
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
+                           properties: JMap[String, String]): Table =
+    createTableImpl(ident, schema, partitions, properties, Map.empty)
+
+  /** The V2 `Column[]` door Spark actually calls for SQL CREATE: the
+    * generation expressions live on the COLUMNS (the StructType
+    * conversion drops them), so extract here and delegate. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
+    val schema = org.apache.spark.sql.connector.catalog.GraftV2Columns
+      .toStructType(columns)
+    createTableImpl(ident, schema, partitions, properties,
+      genPropsOf(columns))
+  }
+
+  private def genPropsOf(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : Map[String, String] =
+    columns.toSeq.flatMap(c => Option(c.generationExpression())
+      .map(e => TxGen.Prefix + c.name -> e)).toMap
+
+  private def createTableImpl(ident: Identifier, schema: StructType,
+                              partitions: Array[Transform],
+                              properties: JMap[String, String],
+                              gens: Map[String, String]): Table = {
     val (dir, pcols, userProps) = parseSpec(ident, partitions, properties)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     TxLog.createTable(spark, dir.toString, schema, pcols,
-      userProps ++ defaultProps(dir, schema))
+      userProps ++ defaultProps(dir, schema) ++ genProps(schema) ++ gens)
     TxLogTable(dir.toString, Some(schema))
   }
 
@@ -243,8 +283,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"REPLACE cannot drop $ident's partitioning (the layout record is " +
           "newest-wins) — DROP and re-CREATE to unpartition")
     TxCheck.validateDeclared(spark, info.schema, TxCheck.checksIn(userProps))
+    val allProps = userProps ++ defaultProps(dir, info.schema) ++
+      genProps(info.schema) ++ genPropsOf(info.columns())
+    TxGen.validateDeclared(spark, info.schema,
+      TxLog.ColMap(Seq.empty, Seq.empty), allProps)
     new GraftStagedTable(spark, ident, dir, info.schema, pcols,
-      userProps ++ defaultProps(dir, info.schema), replaceExisting = exists)
+      allProps, replaceExisting = exists)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {

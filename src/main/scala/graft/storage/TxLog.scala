@@ -909,6 +909,31 @@ object TxLog {
         .build())
     })
 
+  /** Catalog-facing GENERATED ALWAYS AS surface: attach Spark's
+    * generation-expression metadata for every LIVE declaration so
+    * DESCRIBE/round-trips show the derivation. Applied ONLY at
+    * [[TxLogTable.schema]] — manifest DDL records strip metadata
+    * through [[ddlOf]] regardless. */
+  private[storage] def withGeneration(sch: org.apache.spark.sql.types.StructType,
+                                      cm: ColMap, props: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    val gens = TxGen.gensIn(props).filter { case (p, _) => !cm.retired.contains(p) }
+    if (gens.isEmpty) return sch
+    val rev = logicalNameMap(cm)
+    val byLogical = gens.map { case (p, e) => rev.getOrElse(p, p) -> e }
+    org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      byLogical.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, e)) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY, e)
+            .build())
+        case None => f
+      }
+    })
+  }
+
   /** Carried-forward properties for a checkpoint that RESETS the
     * column mapping (overwrite / INSERT OVERWRITE / truncate):
     * `graft.default.*` keys are keyed by PHYSICAL name, and a mapping
@@ -940,6 +965,20 @@ object TxLog {
       case other => Some(other)
     }
   }
+
+  /** The generated-column half of the overwrite props reset
+    * ([[TxGen.survivingProps]] over the carried schema): stale
+    * `graft.generated.*` keys strip or re-key so a column later
+    * re-added under the same name can never inherit a dead
+    * derivation. */
+  private def resetGenProps(s: SparkSession, props: Seq[(String, String)],
+                            cm: ColMap,
+                            schema: Option[org.apache.spark.sql.types.StructType])
+      : Seq[(String, String)] =
+    if (!props.exists(_._1.startsWith(TxGen.Prefix))) props
+    else TxGen.survivingProps(s,
+      schema.getOrElse(new org.apache.spark.sql.types.StructType()),
+      cm, props.toMap).toSeq
 
   /** StructType -> manifest DDL with the default-metadata keys
     * STRIPPED: Spark's toDDL renders CURRENT_DEFAULT as a `DEFAULT`
@@ -1015,7 +1054,7 @@ object TxLog {
     else df.select(logical.fields.toSeq.map(f =>
       col(quoted(physicalName(cm, f.name))).as(f.name)): _*)
 
-  private def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
+  private[storage] def quoted(c: String): String = "`" + c.replace("`", "``") + "`"
 
   /** Name normalization for PRUNING under a mapping: a total map that
     * sends each logical name to its physical and leaves physical names
@@ -1223,6 +1262,18 @@ object TxLog {
       snapshot(s, table).foreach(df =>
         TxCheck.validateExisting(s, df, newChecks))
     }
+    // GENERATED ALWAYS AS declarations are CREATE-time only (or while
+    // no live files exist): a later opt-in could not certify rows
+    // already on disk — every stored row must satisfy the expression
+    if (TxGen.gensIn(set).nonEmpty) {
+      val msG = manifests(s, table)
+      require(liveFiles(msG).isEmpty,
+        s"${TxGen.Prefix}* can only be declared while $table has no live " +
+          "files (generated columns certify every stored row) — declare " +
+          "them at CREATE TABLE")
+      tableSchemaFrom(msG).foreach(sch =>
+        TxGen.validateDeclared(s, sch, colMapFrom(msG), set))
+    }
     var last = -1L
     var attempt = 0
     while (attempt < 20) {
@@ -1354,6 +1405,7 @@ object TxLog {
     val canonical = TxPart.validate(partitionBy, schema)
     validateProps(table, props, Some(schema))
     TxCheck.validateDeclared(s, schema, TxCheck.checksIn(props))
+    TxGen.validateDeclared(s, schema, ColMap(Seq.empty, Seq.empty), props)
     publishV0(s, table, Seq.empty, Seq.empty, schema, canonical, props)
   }
 
@@ -1368,6 +1420,7 @@ object TxLog {
                                  partitionBy: Seq[String],
                                  props: Map[String, String]): Long = {
     guardReservedCols(schema) // CTAS reaches here without createTable
+    TxGen.validateDeclared(s, schema, ColMap(Seq.empty, Seq.empty), props)
     val root = new Path(table)
     val f = fs(s, root)
     if (manifests(s, table).nonEmpty)
@@ -1572,6 +1625,19 @@ object TxLog {
         case e: Exception => throw new IllegalArgumentException(
           s"$op column on $table breaks a CHECK constraint (${e.getMessage}) — " +
             "drop the constraint first, re-declare it against the new name", e)
+      }
+      // generation expressions bind SOURCES by logical name and the
+      // TARGET by physical: a rename/drop of a source orphans the
+      // stored text, a widen can change the expression's result type —
+      // re-validate every live declaration against the changed
+      // contract (dropping the generated column itself retires its
+      // slot and the declaration goes inert, so that passes)
+      try TxGen.validateDeclared(s, newSchema, newCm, props)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$op column on $table breaks a generated column " +
+            s"(${e.getMessage}) — remove the ${TxGen.Prefix}* declaration " +
+            "first if the derivation is no longer wanted", e)
       }
       // bloom columns are physical-on-disk by name; renaming/dropping
       // one would silently orphan its filters — refuse, spelled out
@@ -2000,8 +2066,11 @@ object TxLog {
     val ms0 = manifests(s, root.toString)
     val props0 = propsFrom(ms0)
     val cm0 = colMapFrom(ms0)
+    // generated columns fill/validate FIRST (NOT NULL and CHECK then
+    // see the filled values — same order as the V2 executor writers)
     val guarded = TxCheck.guard(s,
-      notNullGuard(df0, tableSchemaFrom(ms0)), props0)
+      notNullGuard(TxGen.fill(s, df0, props0, cm0), tableSchemaFrom(ms0)),
+      props0)
     val phys = toPhysical(guarded, cm0)
     val df = clusterTasks match {
       case Some(0) => phys.repartition(TxPart.exprs(pcols, phys): _*)
@@ -2104,9 +2173,18 @@ object TxLog {
     // NOT NULL enforcement rides the same write job as CHECK guards;
     // an overwrite (cmOverride set) REPLACES the schema contract, so
     // the old schema's nullability doesn't bind its rows
+    // generated columns: fill/validate before NN and CHECK (the V2
+    // writer order); an overwrite (cmOverride) writes under the RESET
+    // contract, so only declarations that survive the re-key against
+    // the replacement schema are enforced ([[TxGen.survivingProps]])
+    val genProps =
+      if (cmOverride.isDefined)
+        TxGen.survivingProps(s, df.schema, colMapFrom(ms0), props)
+      else props
+    val genFilled = TxGen.fill(s, df, genProps, cm)
     val nnGuarded =
-      if (cmOverride.isDefined) df
-      else notNullGuard(df, tableSchemaFrom(ms0))
+      if (cmOverride.isDefined) genFilled
+      else notNullGuard(genFilled, tableSchemaFrom(ms0))
     toPhysical(TxCheck.guard(s, nnGuarded, props), cm)
       .write.options(bloomOpts).mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val rel = f.listStatus(dataDir)
@@ -2746,16 +2824,23 @@ object TxLog {
     * [[merge]] (whole-row replace semantics, null-keyed source rows
     * append) at O(batch) write cost; the read-side debt is bounded by
     * the key cap, past which this falls back to the position-based
-    * merge for the batch. Exactly-once under the token. */
+    * merge for the batch. Exactly-once under the token. `beforeCommit`
+    * runs after the batch's data files + key sidecar are staged and
+    * before the manifest publishes — the crash-injection seam the
+    * streaming-recovery specs use (same contract as [[merge]]'s). */
   def upsertByKeys(source: DataFrame, table: String, keys: Seq[String],
-                   writerId: String, batchId: Long, maxRetries: Int = 20): Long = {
+                   writerId: String, batchId: Long, maxRetries: Int = 20,
+                   beforeCommit: () => Unit = () => ()): Long = {
     guardWriterId(writerId)
-    upsertByKeysInternal(source, table, keys, writerId, batchId, maxRetries)
+    upsertByKeysInternal(source, table, keys, writerId, batchId, maxRetries,
+      beforeCommit)
   }
 
   private[graft] def upsertByKeysInternal(source: DataFrame, table: String,
                                           keys: Seq[String], writerId: String,
-                                          batchId: Long, maxRetries: Int = 20): Long = {
+                                          batchId: Long, maxRetries: Int = 20,
+                                          beforeCommit: () => Unit = () => ())
+      : Long = {
     val s = source.sparkSession
     require(keys.nonEmpty, "upsert needs at least one key column")
     keys.foreach(k => require(source.columns.contains(k),
@@ -2775,7 +2860,8 @@ object TxLog {
     // a change-feed table needs its row-level changes captured — the
     // position-based merge does that; semantics are identical
     if (propsFrom(ms0).get(ChangeFeedProp).contains("true"))
-      return mergeInternal(source, table, keys, writerId, batchId).version
+      return mergeInternal(source, table, keys, writerId, batchId,
+        beforeCommit).version
     val ordered = sch.map(t =>
       source.select(t.fieldNames.toSeq.map(c => col(quoted(c))): _*)).getOrElse(source)
     // MATERIALIZE the source (the merge rationale): the staged data and
@@ -2787,7 +2873,8 @@ object TxLog {
         case None =>
           // over the key-debt cap: this batch takes the position-based
           // merge (correct, costlier); compact()/maintain clears the debt
-          mergeInternal(src, table, keys, writerId, batchId).version
+          mergeInternal(src, table, keys, writerId, batchId, beforeCommit)
+            .version
         case Some(entry) =>
           val pcols = partitionColsFrom(ms0)
           val root = new Path(table)
@@ -2795,6 +2882,7 @@ object TxLog {
             if (pcols.nonEmpty) stagePartitioned(s, root, src, pcols,
               clusterTasks = Some(0))
             else stageWrite(s, root, src)
+          beforeCommit()
           commitManifest(s, table, rel, stats, writerId, batchId,
             checkpoint = false, maxRetries, incoming = Some(src.schema),
             pcols = pcols, cmAtStaging = Some(colMapFrom(ms0)),
@@ -2947,6 +3035,18 @@ object TxLog {
     val files = liveFiles(ms)
     if (files.isEmpty) return Rewrite(head, 0, 0)
     requireDeterministicPred(s, table, pred, files, ms)
+    // GENERATED ALWAYS AS: SET of a generated column is refused; a SET
+    // of its sources RECOMPUTES the derived value in the post-image
+    // (TxGen.fill recompute mode, at both staging branches below)
+    val propsU = propsFrom(ms)
+    val cmU = colMapFrom(ms)
+    val genLog = TxGen.generatedLogicals(cmU, propsU)
+    if (genLog.nonEmpty) {
+      val hitGen = set.keySet.filter(k => genLog.exists(_.equalsIgnoreCase(k)))
+      require(hitGen.isEmpty,
+        s"UPDATE cannot SET generated column(s) ${hitGen.mkString(", ")} " +
+          "(GENERATED ALWAYS AS) — update the source columns instead")
+    }
     val candidates = pruned(s, table, pred, files, liveStats(ms), ms)
     if (candidates.isEmpty) return Rewrite(head, 0, 0)
     val hitRow = coalesce(pred, lit(false))
@@ -2967,12 +3067,12 @@ object TxLog {
       if (fullDead.isEmpty && entries.isEmpty) return Rewrite(head, 0, 0)
       val hitDf = readFiles(s, table, ms, hit)
       val matched = hitDf.where(hitRow)
-      val updated = matched.select(hitDf.columns.toSeq.map { c =>
+      val updated = TxGen.fill(s, matched.select(hitDf.columns.toSeq.map { c =>
         set.get(c) match {
           case Some(e) => e.cast(hitDf.schema(c).dataType).as(c)
           case None => col(c)
         }
-      }: _*)
+      }: _*), propsU, cmU, recompute = true)
       val pcols = partitionColsFrom(ms)
       val root = new Path(table)
       val (relAll, statsAll) =
@@ -2992,13 +3092,13 @@ object TxLog {
     val touchedDf = readFiles(s, table, ms, touched)
     val unknown = set.keySet -- touchedDf.columns
     require(unknown.isEmpty, s"update sets unknown columns: $unknown")
-    val updated = touchedDf.select(touchedDf.columns.toSeq.map { c =>
+    val updated = TxGen.fill(s, touchedDf.select(touchedDf.columns.toSeq.map { c =>
       set.get(c) match {
         case Some(e) =>
           when(hitRow, e.cast(touchedDf.schema(c).dataType)).otherwise(col(c)).as(c)
         case None => col(c)
       }
-    }: _*)
+    }: _*), propsU, cmU, recompute = true)
     commitRewrite(s, table, updated, touched, head, writerId, batchId, beforeCommit,
       partitionColsFrom(ms), readSet = candidates)
   }
@@ -3729,7 +3829,9 @@ object TxLog {
         props = propsOverride.map(_.toSeq.sorted)
           .orElse(propsRecorded(ms).map(p =>
             (if (defaultPropsReset)
-               resetDefaultProps(p, colMapFrom(ms), carriedSchema)
+               resetGenProps(s,
+                 resetDefaultProps(p, colMapFrom(ms), carriedSchema),
+                 colMapFrom(ms), carriedSchema)
              else p).sorted)),
         ts = commitTimeMs(), dvs = dvs,
         // the column mapping must survive log truncation like pcols/

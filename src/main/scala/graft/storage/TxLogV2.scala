@@ -308,9 +308,15 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
       .getOrElse(throw new IllegalArgumentException(
         s"txlog table $table is empty or absent — schema unknowable"))
     // the catalog/SQL surface also carries CURRENT_DEFAULT so the
-    // analyzer fills INSERTs that omit a defaulted column; manifest
-    // DDL records strip it back out (TxLog.ddlOf)
-    val withWrite = TxLog.withWriteDefaults(base)
+    // analyzer fills INSERTs that omit a defaulted column, and the
+    // generation-expression metadata so DESCRIBE shows derivations;
+    // manifest DDL records strip both back out (TxLog.ddlOf)
+    val withWrite = {
+      val ms0 = TxLog.manifests(spark, table)
+      val ms = asOf.map(v => TxLog.manifestsAt(ms0, v, table)).getOrElse(ms0)
+      TxLog.withGeneration(TxLog.withWriteDefaults(base),
+        TxLog.colMapFrom(ms), TxLog.propsFrom(ms))
+    }
     // CDF relations append the change metadata; idempotent so an
     // explicit user schema may come with or without the meta columns
     if (cdf) TxLogCdf.withMeta(withWrite) else withWrite
@@ -479,6 +485,12 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
     if (aggregation.groupByExpressions.nonEmpty) return None
     val ms0 = TxLog.manifests(spark, table)
     val ms = asOf.map(TxLog.manifestsAt(ms0, _, table)).getOrElse(ms0)
+    // EQUALITY DELETES ([[TxEqDel]]): a live keyed-delete entry hides an
+    // UNKNOWN number of rows from the files it applies to (key-match
+    // counts are unknowable without reading), so no aggregate — not even
+    // count(*) — is answerable from footer stats while debt is live.
+    // compact()/materializeEqDels() clears it and restores the push.
+    if (TxLog.liveEqDels(ms).nonEmpty) return None
     val stats = TxLog.liveStats(ms)
     val fs = TxLog.liveFiles(ms).map(stats.get)
     if (fs.exists(_.isEmpty)) return None // legacy manifest: no stats
@@ -682,6 +694,21 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   private val dvCards: Map[String, Long] =
     liveDvEntries.view.mapValues(_.n).toMap
 
+  /** Live EQUALITY DELETES ([[TxEqDel]]) + per-file add versions: an
+    * entry committed at version v filters rows of files ADDED at
+    * seq < v (the upsert's own files survive their delete; a later
+    * re-insert of a deleted key is never filtered). Files with a DV or
+    * any applicable probe leave the clean vectorized path; everything
+    * else is untouched. */
+  private val liveEq = TxLog.liveEqDels(ms)
+  private val eqSeqs: Map[String, Long] =
+    if (liveEq.isEmpty) Map.empty else TxLog.fileSeqs(ms)
+  private def eqEntriesFor(rel: String): Seq[(Long, TxLog.EqDelEntry)] =
+    if (liveEq.isEmpty) Seq.empty
+    else liveEq.filter(_._1 > eqSeqs.getOrElse(rel, Long.MaxValue))
+  private def needsWork(rel: String): Boolean =
+    dvByFile.contains(rel) || eqEntriesFor(rel).nonEmpty
+
   /** Physical row layout: data columns, then the parquet row-index
     * column when `_pos` is requested, then the `_file` partition-value
     * constant — Spark reconciles this order with the query's via the
@@ -748,7 +775,7 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   }
   private def spjGroups(fs: Seq[String]): Option[Seq[(Seq[Int], Seq[String])]] = {
     val enabled = op.isEmpty && !wantsFile && spjFields.nonEmpty &&
-      dvByFile.isEmpty &&
+      dvByFile.isEmpty && liveEq.isEmpty &&
       spark.sessionState.conf
         .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
     if (!enabled) return None
@@ -815,14 +842,15 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
         }.toArray
       case None => ()
     }
-    val (dvFiles, cleanFiles) = files.partition(dvByFile.contains)
-    if (dvFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))
+    val (workFiles, cleanFiles) = files.partition(needsWork)
+    if (workFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))
     else
-      // DV'd files are packed ALONE (one file per partition, still
-      // split-able within the file) so the reader factory's per-
-      // partition DV decision is exact; clean files pack as usual
+      // DV'd / equality-deleted files are packed ALONE (one file per
+      // partition, still split-able within the file) so the reader
+      // factory's per-partition filtering decision is exact; clean
+      // files pack as usual
       GraftParquetIO.filePartitions(spark, cleanFiles.map(pf)) ++
-        dvFiles.flatMap(rel => GraftParquetIO.filePartitions(spark, Seq(pf(rel))))
+        workFiles.flatMap(rel => GraftParquetIO.filePartitions(spark, Seq(pf(rel))))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -840,8 +868,9 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
       if (wantsPos) StructType(physReadData.fields :+ riField) else physReadData
     val clean = GraftParquetIO.readerFactory(spark, physTable, dataRead,
       partitionSchema, physPushed)
-    if (!files.exists(dvByFile.contains)) clean
-    else {
+    val workedFiles = files.filter(needsWork)
+    if (workedFiles.isEmpty) clean
+    else if (liveEq.isEmpty) {
       // DV partitions read WITH the row-index column appended as the
       // last data column (already there when `_pos` was requested)
       val withRi =
@@ -854,6 +883,43 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
         riOrdinal = readDataSchema.length,
         GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()),
         keepRi = wantsPos)
+    } else {
+      // EQUALITY DELETES live: worked partitions read through the
+      // unified [[TxEqDel.EqDelReaderFactory]] — the same parquet
+      // factory with a WORKING BLOCK appended after the visible
+      // columns: the row-index column (when a DV needs it and `_pos`
+      // didn't already place it) plus any probe key columns the query
+      // didn't request. Key fields are taken from the PHYSICAL table
+      // schema so evolution metadata (EXISTS_DEFAULT fills) rides
+      // along — a default-valued key matches rows in pre-evolution
+      // files exactly like the library read's anti-join does.
+      val anyDv = workedFiles.exists(dvByFile.contains)
+      val visible = dataRead
+      val visNames = visible.fieldNames.toSet
+      val physByName = physTable.fields.map(f => f.name -> f).toMap
+      val keyCols = liveEq.flatMap(_._2.cols).distinct.filterNot(visNames)
+      val block = (if (!wantsPos && anyDv) Seq(riField) else Seq.empty) ++
+        keyCols.map(physByName(_))
+      val augSchema = StructType(visible.fields ++ block)
+      val aug = GraftParquetIO.readerFactory(spark, physTable, augSchema,
+        partitionSchema, physPushed)
+      val ordOf = augSchema.fieldNames.zipWithIndex.toMap
+      val probeOf: Map[String, TxEqDel.ProbeSpec] = liveEq.map { case (_, e) =>
+        e.p -> TxEqDel.ProbeSpec(e.p, e.cols.map(ordOf(_)).toArray,
+          e.cols.map(c => physByName(c).dataType).toArray)
+      }.toMap
+      val work: Map[String, TxEqDel.FileWork] = workedFiles.map { rel =>
+        graft.storage.TxDv.tailKey(rel) -> TxEqDel.FileWork(
+          dvByFile.get(rel), eqEntriesFor(rel).map(e => probeOf(e._2.p)))
+      }.toMap
+      val riOrdinal =
+        if (wantsPos) physReadData.length
+        else if (anyDv) visible.length
+        else -1 // never consulted: no worked file carries a DV
+      TxEqDel.EqDelReaderFactory(clean, aug, work, table,
+        hideFrom = visible.length, hideCount = block.length,
+        riOrdinal = riOrdinal,
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
     }
   }
 
@@ -1060,11 +1126,17 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
         val past = ms.filter(_.version <= to)
         if (past.isEmpty || !(past.exists(_.checkpoint) || past.head.version == 0L))
           vacuumedError(s"the initial snapshot (≤ v$to)")
-        // deletion vectors in force at `to` apply to the snapshot batch
-        // (the tail after it stays append-only — a later DV commit is a
-        // rewrite and fails loudly below)
+        // deletion vectors AND equality-delete debt in force at `to`
+        // apply to the snapshot batch (the tail after it stays
+        // append-only — a later DV or keyed-delete commit is a rewrite
+        // and fails loudly below)
         snapshotDvs = TxLog.liveDvs(past).view.mapValues(_.p).toMap
-        TxLog.liveFiles(past)
+        snapshotEq = TxLog.liveEqDels(past)
+        snapshotSeqs =
+          if (snapshotEq.isEmpty) Map.empty else TxLog.fileSeqs(past)
+        val snap = TxLog.liveFiles(past)
+        snapshotFiles = snap
+        snap
       } else {
         val range = ms.filter(m => m.version > from && m.version <= to)
         val have = range.map(_.version).toSet
@@ -1079,8 +1151,10 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
         // (guardWriterId) and this library is the format's only
         // writer; a dvs-carrying commit is never layout-only.
         def layoutOnly(m: TxLog.Manifest): Boolean =
-          !m.checkpoint && m.writerId.startsWith("compact-") && m.dvs.isEmpty
+          !m.checkpoint && m.writerId.startsWith("compact-") &&
+            m.dvs.isEmpty && m.eqdels.isEmpty
         range.find(m => !layoutOnly(m) && (m.removes.nonEmpty || m.dvs.nonEmpty ||
+            m.eqdels.nonEmpty ||
             (m.checkpoint && (m.writerId.startsWith("overwrite-") ||
               m.writerId.startsWith("restore-"))))).foreach { m =>
           // overwrite/restore detected STRUCTURALLY by the writer-id
@@ -1093,12 +1167,18 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
               (if (m.checkpoint && m.writerId.startsWith("restore-"))
                  "RESTORED the table to an earlier version"
                else if (m.checkpoint) "OVERWROTE the table"
+               else if (m.eqdels.nonEmpty)
+                 "deleted/replaced rows by key (equality delete)"
                else "rewrote rows (DML)") +
               " — tail from a fresh start or keep the streamed table append-only")
         }
-        // tail batches never carry deletion vectors (the guard above):
-        // restore the columnar fast path a DV'd snapshot batch demoted
+        // tail batches never carry deletion vectors or key debt (the
+        // guard above): restore the columnar fast path a filtered
+        // snapshot batch demoted
         snapshotDvs = Map.empty
+        snapshotEq = Seq.empty
+        snapshotSeqs = Map.empty
+        snapshotFiles = Seq.empty
         val rel = range.filterNot(m => m.checkpoint || layoutOnly(m)).flatMap(_.files)
         // a lagging tail's files can be compacted away and data-vacuumed
         // while their manifests survive — turn the eventual FileNotFound
@@ -1113,32 +1193,68 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
     def pf(rel: String) =
       GraftParquetIO.partitionedFile(TxLog.absPath(table)(rel),
         TxLogV2.fileBytes(spark, table, rel, stats), InternalRow.empty)
-    val (dvFiles, cleanFiles) = files.partition(snapshotDvs.contains)
-    if (dvFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))
+    def worked(rel: String): Boolean = snapshotDvs.contains(rel) ||
+      snapshotEq.exists(_._1 > snapshotSeqs.getOrElse(rel, Long.MaxValue))
+    val (workFiles, cleanFiles) = files.partition(worked)
+    if (workFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))
     else
       GraftParquetIO.filePartitions(spark, cleanFiles.map(pf)) ++
-        dvFiles.flatMap(rel => GraftParquetIO.filePartitions(spark, Seq(pf(rel))))
+        workFiles.flatMap(rel => GraftParquetIO.filePartitions(spark, Seq(pf(rel))))
   }
 
-  /** DV pointers of the INITIAL-snapshot batch, set by its
-    * planInputPartitions — tail batches are append-only by the loud
-    * guard above, so these are the only DVs a stream ever reads. */
+  /** DV pointers / equality-delete debt of the INITIAL-snapshot batch,
+    * set by its planInputPartitions — tail batches are append-only by
+    * the loud guard above, so these are the only row filters a stream
+    * ever reads. */
   @volatile private var snapshotDvs: Map[String, String] = Map.empty
+  @volatile private var snapshotEq: Seq[(Long, TxLog.EqDelEntry)] = Seq.empty
+  @volatile private var snapshotSeqs: Map[String, Long] = Map.empty
+  @volatile private var snapshotFiles: Seq[String] = Seq.empty
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val clean = GraftParquetIO.readerFactory(spark, tableSchema, readDataSchema,
       StructType(Nil), Array.empty)
-    if (snapshotDvs.isEmpty) clean
-    else {
-      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      val riField = org.apache.spark.sql.types.StructField(
-        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-        org.apache.spark.sql.types.LongType, nullable = true)
+    if (snapshotDvs.isEmpty && snapshotEq.isEmpty) return clean
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val riField = org.apache.spark.sql.types.StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    if (snapshotEq.isEmpty) {
       val withRi = GraftParquetIO.readerFactory(spark, tableSchema,
         StructType(readDataSchema.fields :+ riField), StructType(Nil), Array.empty)
       TxDv.DvReaderFactory(clean, withRi,
         snapshotDvs.map { case (f, p) => TxDv.tailKey(f) -> p },
         table, riOrdinal = readDataSchema.length,
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
+    } else {
+      // snapshot batch under equality-delete debt: the unified factory
+      // (same layout contract as the V2 scan's — the stream's schemas
+      // are already PHYSICAL, as are the entries' key columns)
+      val anyDv = snapshotDvs.nonEmpty
+      val physByName = tableSchema.fields.map(f => f.name -> f).toMap
+      val keyCols = snapshotEq.flatMap(_._2.cols).distinct
+        .filterNot(readDataSchema.fieldNames.toSet)
+      val block = (if (anyDv) Seq(riField) else Seq.empty) ++
+        keyCols.map(physByName(_))
+      val augSchema = StructType(readDataSchema.fields ++ block)
+      val aug = GraftParquetIO.readerFactory(spark, tableSchema, augSchema,
+        StructType(Nil), Array.empty)
+      val ordOf = augSchema.fieldNames.zipWithIndex.toMap
+      val probeOf = snapshotEq.map { case (_, e) =>
+        e.p -> TxEqDel.ProbeSpec(e.p, e.cols.map(ordOf(_)).toArray,
+          e.cols.map(c => physByName(c).dataType).toArray)
+      }.toMap
+      val work = snapshotFiles.flatMap { rel =>
+        val probes = snapshotEq
+          .filter(_._1 > snapshotSeqs.getOrElse(rel, Long.MaxValue))
+          .map(e => probeOf(e._2.p))
+        val dv = snapshotDvs.get(rel)
+        if (dv.isEmpty && probes.isEmpty) None
+        else Some(TxDv.tailKey(rel) -> TxEqDel.FileWork(dv, probes))
+      }.toMap
+      TxEqDel.EqDelReaderFactory(clean, aug, work, table,
+        hideFrom = readDataSchema.length, hideCount = block.length,
+        riOrdinal = if (anyDv) readDataSchema.length else -1,
         GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
     }
   }
@@ -1547,7 +1663,14 @@ class TxLogBatchWrite(table: String, schema: StructType, overwrite: Boolean)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     TxLogWriterFactory.create(spark, table, uuid, schema, pcols,
-      cmOverride = Some(cmAtPlan))
+      cmOverride = Some(cmAtPlan),
+      // an overwrite REPLACES the contract: only generation
+      // declarations that survive the re-key against the replacement
+      // schema are enforced (the publish strips the rest)
+      gensOverride =
+        if (overwrite) Some(TxGen.survivingProps(spark, schema,
+          TxLog.colMapOf(spark, table), TxLog.properties(spark, table)))
+        else None)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
@@ -1610,7 +1733,9 @@ object TxLogWriterFactory {
              schema: StructType,
              pcols: Seq[String] = Seq.empty,
              propsOverride: Option[Map[String, String]] = None,
-             cmOverride: Option[TxLog.ColMap] = None)
+             cmOverride: Option[TxLog.ColMap] = None,
+             gensOverride: Option[Map[String, String]] = None,
+             genRecompute: Boolean = false)
       : TxLogWriterFactory = {
     // propsOverride: a staged CREATE/REPLACE writes under the NEW
     // table contract (blooms, CHECK constraints) before any manifest
@@ -1634,6 +1759,13 @@ object TxLogWriterFactory {
     // rewrite) validates per row BEFORE its file is staged; they bind
     // against the LOGICAL schema (same positions)
     val checks = TxCheck.bound(spark, schema, props)
+    // GENERATED ALWAYS AS columns ride likewise: a serializable per-row
+    // transform that fills NULLs from the expression and refuses
+    // contradicting non-null values (or RECOMPUTES outright for DML
+    // post-image writes, `genRecompute`) — bound against the LOGICAL
+    // schema, applied BEFORE the checks so they see the filled values
+    val gens = TxGen.bound(spark, schema, gensOverride.getOrElse(props),
+      cm, genRecompute)
     // partitioned tables: executors stage hive-style `__p_<phys>=<v>`
     // layouts themselves (the multi-open writer below) — identity
     // fields render the source value, transform fields its days/
@@ -1652,7 +1784,8 @@ object TxLogWriterFactory {
       i
     }
     fields.zip(pidx).foreach { case (f, i) => f.validate(physSchema(i).dataType) }
-    TxLogWriterFactory(table, uuid, physSchema, owf, conf, ext, fields, pidx, checks)
+    TxLogWriterFactory(table, uuid, physSchema, owf, conf, ext, fields, pidx,
+      checks, gens)
   }
 
   /** Abort cleanup: delete the files the completed tasks reported.
@@ -1679,7 +1812,8 @@ case class TxLogWriterFactory(table: String, uuid: String, schema: StructType,
                               conf: SerializableConfiguration, ext: String,
                               pfields: Seq[TxPart.Field] = Seq.empty,
                               pidx: Seq[Int] = Seq.empty,
-                              checks: Seq[TxCheck.BoundCheck] = Seq.empty)
+                              checks: Seq[TxCheck.BoundCheck] = Seq.empty,
+                              gens: Option[TxGen.BoundGens] = None)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1779,7 +1913,14 @@ class TxLogDataWriter(fac: TxLogWriterFactory, partitionId: Int, taskId: Long,
     }
   }
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    // generated columns transform FIRST (fill/validate or recompute) —
+    // the checks, the partition rendering and the file all see the
+    // final values; the projection reuses a buffer, consumed below
+    val row = fac.gens match {
+      case Some(g) => g(row0)
+      case None => row0
+    }
     var ci = 0
     while (ci < fac.checks.length) { fac.checks(ci).check(row); ci += 1 }
     val dirs =
@@ -1959,7 +2100,10 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
   private val innerFactory: Option[TxLogWriterFactory] =
     if (rowSchema.fields.isEmpty) None
     else Some(TxLogWriterFactory.create(spark, table, uuid, rowSchema, pcols,
-      cmOverride = Some(TxLog.colMapFrom(op.pinnedSnapshot(spark, table)))))
+      cmOverride = Some(TxLog.colMapFrom(op.pinnedSnapshot(spark, table))),
+      // MoR insert rows are DML post-images — recompute, as in the
+      // COW rewrite path
+      genRecompute = true))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     TxLogDeltaWriterFactory(table,
@@ -2147,7 +2291,11 @@ class TxLogReplaceBatchWrite(table: String, writeSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     TxLogWriterFactory.create(spark, table, uuid, writeSchema, pcols,
-      cmOverride = Some(TxLog.colMapFrom(op.pinnedSnapshot(spark, table))))
+      cmOverride = Some(TxLog.colMapFrom(op.pinnedSnapshot(spark, table))),
+      // COW rewrite rows are DML post-images: an UPDATE to a source
+      // column regenerates the derived value instead of refusing on
+      // the stale one (kept rows recompute to their stored values)
+      genRecompute = true)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted

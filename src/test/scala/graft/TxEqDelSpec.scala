@@ -265,4 +265,100 @@ class TxEqDelSpec extends AnyFunSuite {
     // partition pruning still works over the upserted layout
     assert(TxLog.scanWhere(spark, t, col("p") === 1).get.count() == 5L)
   }
+
+  // ------------------------------------------------------------------
+  // the V2 read path (r16): format("txlog") scans, metadata aggregates
+  // and the stream source all read through the key debt
+  // ------------------------------------------------------------------
+
+  test("V2 scan applies the debt: full, column-pruned and filtered reads; " +
+      "count(*) bypasses MetaAgg until materialization") {
+    val t = build()
+    TxLog.deleteByKeys(Seq(1L, 6L).toDF("id"), t, "v2k", 0L)
+    val v2 = spark.read.format("txlog").load(t)
+    assert(v2.select("id").orderBy("id").as[Long].collect().toSeq ==
+      Seq(0L, 2L, 3L, 4L, 5L, 7L))
+    // a projection EXCLUDING the key column — the probe must read the
+    // key through the appended (hidden) working block
+    assert(v2.groupBy("v").count().orderBy("v").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 3L), ("b", 3L)))
+    // pushed filters compose with the probes
+    assert(v2.where(col("id") >= 4L).select("v").orderBy("v")
+      .as[String].collect().toSeq == Seq("b", "b", "b"))
+    // metadata aggregates REFUSE under live debt (match counts are
+    // unknowable from footers) — and the values stay exact
+    val agg = v2.agg(count(lit(1)).as("n"), min($"id").as("lo"),
+      max($"id").as("hi"))
+    val r = agg.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 0L, 7L)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("MetaAgg"),
+      "count under live key debt must scan, not trust footer stats")
+    assert(v2.count() == 6L)
+    // materializing the debt restores the metadata push
+    TxLog.materializeEqDels(spark, t)
+    val v2b = spark.read.format("txlog").load(t)
+    val agg2 = v2b.agg(count(lit(1)).as("n"))
+    assert(agg2.collect()(0).getLong(0) == 6L)
+    assert(agg2.queryExecution.executedPlan.toString.contains("MetaAgg"),
+      "materialization must restore the manifest-only aggregate")
+  }
+
+  test("V2 time travel applies exactly the debt live AT the pinned version") {
+    val t = build()
+    val v = TxLog.deleteByKeys(Seq(1L, 6L).toDF("id"), t, "tt", 0L)
+    // re-insert a deleted key AFTER the delete: the head read serves it,
+    // the pinned read doesn't
+    spark.range(1).select((col("id") + 1L).as("id"), lit("c").as("v"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    assert(spark.read.format("txlog").option("versionAsOf", v).load(t)
+      .select("id").orderBy("id").as[Long].collect().toSeq ==
+      Seq(0L, 2L, 3L, 4L, 5L, 7L))
+    assert(spark.read.format("txlog").option("versionAsOf", v - 1L).load(t)
+      .select("id").orderBy("id").as[Long].collect().toSeq == (0L to 7L))
+    assert(spark.read.format("txlog").load(t)
+      .select("id").orderBy("id").as[Long].collect().toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L))
+  }
+
+  test("V2 scan composes a DV and the key debt on the same file") {
+    val t = build()
+    // DV on the first file (MoR delete of id=0), then a keyed delete
+    TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    TxLog.delete(spark, t, col("id") === 0L, "mor", 0L)
+    TxLog.deleteByKeys(Seq(2L, 5L).toDF("id"), t, "kd", 0L)
+    val v2 = spark.read.format("txlog").load(t)
+    assert(v2.select("id").orderBy("id").as[Long].collect().toSeq ==
+      Seq(1L, 3L, 4L, 6L, 7L))
+    // column-pruned read over the composed filters (ri + key appended)
+    assert(v2.groupBy("v").count().orderBy("v").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 2L), ("b", 3L)))
+  }
+
+  test("stream source: the initial snapshot applies the debt; a tail keyed delete is LOUD") {
+    val t = build()
+    TxLog.deleteByKeys(Seq(1L, 6L).toDF("id"), t, "st", 0L)
+    val name = s"txeq_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("path", t).load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("txeq_st_").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table(name).select("id").orderBy("id").as[Long]
+      .collect().toSeq == Seq(0L, 2L, 3L, 4L, 5L, 7L),
+      "snapshot batch served keyed-deleted rows")
+    // an append tails fine
+    spark.range(8, 10).select(col("id"), lit("c").as("v")).coalesce(1)
+      .write.format("txlog").mode("append").save(t)
+    q.processAllAvailable()
+    assert(spark.table(name).count() == 8)
+    // a keyed delete rewrites rows the stream already served — loud
+    TxLog.deleteByKeys(Seq(0L).toDF("id"), t, "st2", 0L)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t0 =>
+        Option(t0.getMessage).toSeq ++ msgs(t0.getCause))
+    assert(msgs(e).exists(_.contains("equality delete")), msgs(e).toString)
+    q.stop()
+  }
 }
