@@ -103,7 +103,12 @@ object TxLogParity {
       count(lit(1)).as("n_rows"),
       min(col("o_orderkey")).as("min_key"),
       max(col("o_orderkey")).as("max_key"),
-      count(col("o_orderstatus")).as("n_status"))
+      count(col("o_orderstatus")).as("n_status"),
+      // r16: STRING extrema answer from the manifest too — every live
+      // file's bounds carry the exact marker (commit-time collection
+      // over the truncation-pinned writer, incl. the DELETE's rewrite)
+      min(col("o_orderstatus")).as("min_status"),
+      max(col("o_orderpriority")).as("max_prio"))
   }
 
   /** The CHANGE DATA FEED, oracle-checked (r12): every insert the log
@@ -1069,7 +1074,9 @@ object TxLogParity {
       """SELECT count(*) AS n_rows,
                 min(o_orderkey) AS min_key,
                 max(o_orderkey) AS max_key,
-                count(o_orderstatus) AS n_status
+                count(o_orderstatus) AS n_status,
+                min(o_orderstatus) AS min_status,
+                max(o_orderpriority) AS max_prio
          FROM orders
          WHERE o_orderkey > (2 * (SELECT max(o_orderkey) FROM orders)) // 3
             OR o_orderpriority <> '1-URGENT'""",

@@ -248,8 +248,11 @@ object TxLog {
           val kmv =
             if (c.kmv.isEmpty) ""
             else s""", "kmv": ${q(c.kmv.mkString(","))}"""
+          // "x" (exact string bounds) is OPTIONAL like kmv: pre-feature
+          // manifests and their parses keep the exact old shape
+          val x = if (c.exact) """, "x": "1"""" else ""
           s"""{"c": ${q(c.col)}, "t": ${q(c.tag)}, "h": ${q(if (c.has) "1" else "0")}, """ +
-            s""""min": ${q(c.min)}, "max": ${q(c.max)}, "n": ${c.nulls}$kmv}"""
+            s""""min": ${q(c.min)}, "max": ${q(c.max)}, "n": ${c.nulls}$kmv$x}"""
         }.mkString(", ")
         // bytes and pv are OPTIONAL (omitted when unknown/unpartitioned)
         // so pre-feature manifests and their parses keep the exact old
@@ -431,8 +434,13 @@ object TxLog {
                   val (csv, j) = scanString(i6 + 9)
                   (csv.split(',').toSeq.filter(_.nonEmpty).map(_.toLong), j)
                 } else (Seq.empty[Long], i6)
-              out += ColStat(c, t, h == "1", mn, mx, n, kmv)
-              i = i7 // at the col object's '}'
+              val (exact, i8) =
+                if (s.startsWith(", \"x\": ", i7)) {
+                  val (v, j) = scanString(i7 + 7)
+                  (v == "1", j)
+                } else (false, i7)
+              out += ColStat(c, t, h == "1", mn, mx, n, kmv, exact)
+              i = i8 // at the col object's '}'
             } else i += 1
           }
           (out.result(), i + 1)
@@ -2081,7 +2089,7 @@ object TxLog {
     val dup = staging.foldLeft(df) { case (d, (_, physKey, c)) =>
       d.withColumn(s"__p_$physKey", c)
     }
-    dup.write.mode(SaveMode.ErrorIfExists)
+    dup.write.options(TxStats.ExactStatsOptions).mode(SaveMode.ErrorIfExists)
       .partitionBy(staging.map { case (_, physKey, _) => s"__p_$physKey" }: _*)
       .parquet(dataDir.toString)
     val rel = {
@@ -2186,7 +2194,8 @@ object TxLog {
       if (cmOverride.isDefined) genFilled
       else notNullGuard(genFilled, tableSchemaFrom(ms0))
     toPhysical(TxCheck.guard(s, nnGuarded, props), cm)
-      .write.options(bloomOpts).mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+      .write.options(bloomOpts).options(TxStats.ExactStatsOptions)
+      .mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
     val rel = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => s"data/$uuid/${st.getPath.getName}").toSeq.sorted
@@ -4116,7 +4125,10 @@ object TxLog {
         val h = new XxHash64(Seq(Literal(canonV, canonT))).eval(null)
           .asInstanceOf[Long]
         val b = TxStats.render(tag, domain)
-        p -> TxStats.ColStat(p, tag, has = true, b, b, nulls = 0L, kmv = Seq(h))
+        // every row of the file reads the default — min=max=default is
+        // EXACT by construction, string or not
+        p -> TxStats.ColStat(p, tag, has = true, b, b, nulls = 0L,
+          kmv = Seq(h), exact = tag == "s")
       }
     }.toMap
     // a file is COVERED when every opted column's ColStat is present
@@ -4140,9 +4152,13 @@ object TxLog {
     uncovered.grouped(math.max(1, batchFiles)).foreach { group =>
       // legacy files without ANY recorded stats: collect footer stats
       // now (keeping each footer's field set — the absence check below
-      // must not re-open footers this pass already read)
+      // must not re-open footers this pass already read). The files
+      // PREDATE this pass, so their writer conf cannot be certified —
+      // no exact-string marker (bounds stay pruning-grade); a compact
+      // rewrite refreshes them through the pinned writer.
       val (collected0, collectedFields) =
-        TxStats.collectWithFields(s, root, group.filterNot(prior.contains))
+        TxStats.collectWithFields(s, root, group.filterNot(prior.contains),
+          exactStrings = false)
       val collected = collected0.map(f => f.file -> f).toMap
       val base: Map[String, TxStats.FileStats] =
         group.map(r => r -> collected.getOrElse(r, prior(r))).toMap
@@ -4161,7 +4177,9 @@ object TxLog {
         if (unfixable.nonEmpty) skipped += 1
         r -> fst.copy(cols = fst.cols ++ missing.map(p =>
           defaultStat.getOrElse(p,
-            TxStats.ColStat(p, tagOfPhys(p), has = false, "", "", nulls = fst.rows))))
+            // all-null: no bounds to truncate — trivially exact
+            TxStats.ColStat(p, tagOfPhys(p), has = false, "", "",
+              nulls = fst.rows, exact = tagOfPhys(p) == "s"))))
       }
       val withSynth = base ++ synthesized
       // one scan of exactly this batch's files that still need a

@@ -471,11 +471,14 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
     *    the column in EVERY live file;
     *  - min/max(col): zone-map bounds are the true extrema only for
     *    integral-family tags ("i": int/long/short/byte/date/
-    *    timestamp-micros) and booleans. Doubles are refused (a file
-    *    containing NaN can footer-report finite bounds, but Spark's
-    *    max orders NaN above everything) and strings are refused
-    *    (parquet writers may truncate binary footer bounds — sound for
-    *    range PRUNING, not for exact extrema).
+    *    timestamp-micros), booleans, and (r16) STRINGS whose every
+    *    contributing bound carries the exact marker — commit-time
+    *    collection over this library's truncation-pinned writers, so
+    *    the footer bound IS the true extremum. Doubles are refused (a
+    *    file containing NaN can footer-report finite bounds, but
+    *    Spark's max orders NaN above everything) and unmarked string
+    *    bounds are refused (an uncertified writer may truncate binary
+    *    footer bounds — sound for range PRUNING, not for extrema).
     * Any file without usable stats, a DISTINCT, a GROUP BY, a pushed
     * filter, or a row-level-op scan refuses the push — Spark then runs
     * the ordinary scan + aggregate, bit-identical semantics. */
@@ -520,6 +523,9 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
         case ("i", ShortType) => Some(v.asInstanceOf[Long].toShort)
         case ("i", ByteType) => Some(v.asInstanceOf[Long].toByte)
         case ("b", BooleanType) => Some(v.asInstanceOf[Boolean])
+        case ("s", StringType) =>
+          Some(org.apache.spark.unsafe.types.UTF8String
+            .fromString(v.asInstanceOf[String]))
         case _ => None
       }
     // manifest stats speak PHYSICAL column names; the agg speaks logical
@@ -529,7 +535,16 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
       val sts = files.map(_.byCol.get(TxLog.physicalName(cm, name)))
       if (sts.exists(_.isEmpty)) return None // a file w/o stats for col
       val present = sts.flatten.filter(_.has) // all-null files contribute nothing
-      if (present.exists(s => s.tag != "i" && s.tag != "b")) return None
+      // strings serve ONLY when every contributing bound carries the
+      // r16 exact marker (commit-time collection over the pinned
+      // writer, or an exact synthesis) — a legacy/backfilled bound is
+      // pruning-grade, possibly truncated, and refuses as before.
+      // Doubles stay refused (a NaN row hides behind finite bounds).
+      if (present.exists(s => s.tag match {
+        case "i" | "b" => false
+        case "s" => !s.exact
+        case _ => true
+      })) return None
       if (present.isEmpty) return Some(null) // every row null -> SQL null
       val tag = present.head.tag
       val bounds = present.map(s => TxStats.parseVal(tag, if (wantMin) s.min else s.max))
@@ -1670,7 +1685,8 @@ class TxLogBatchWrite(table: String, schema: StructType, overwrite: Boolean)
       gensOverride =
         if (overwrite) Some(TxGen.survivingProps(spark, schema,
           TxLog.colMapOf(spark, table), TxLog.properties(spark, table)))
-        else None)
+        else None,
+      replaceContract = overwrite)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted
@@ -1735,7 +1751,8 @@ object TxLogWriterFactory {
              propsOverride: Option[Map[String, String]] = None,
              cmOverride: Option[TxLog.ColMap] = None,
              gensOverride: Option[Map[String, String]] = None,
-             genRecompute: Boolean = false)
+             genRecompute: Boolean = false,
+             replaceContract: Boolean = false)
       : TxLogWriterFactory = {
     // propsOverride: a staged CREATE/REPLACE writes under the NEW
     // table contract (blooms, CHECK constraints) before any manifest
@@ -1766,6 +1783,25 @@ object TxLogWriterFactory {
     // schema, applied BEFORE the checks so they see the filled values
     val gens = TxGen.bound(spark, schema, gensOverride.getOrElse(props),
       cm, genRecompute)
+    // NOT NULL enforcement for the PATH-based V2 doors (df.write /
+    // writeStream against a table path, r16 — found by the
+    // TxNullDefaultProps battery): a catalog INSERT gets Spark's own
+    // null check from the relation's declared nullability, but a path
+    // append plans against the DataFrame's schema alone, so the
+    // RECORDED contract must bind here, per row, before any file
+    // stages. A replacement write (staged CREATE/REPLACE, overwrite)
+    // binds its own declared schema — the old contract doesn't
+    // survive. Only claimed-nullable columns are checked (a
+    // non-nullable incoming schema already cannot carry nulls) —
+    // the [[TxLog]] notNullGuard rule, executor-side.
+    val nnContract =
+      if (propsOverride.isDefined || replaceContract) schema
+      else TxLog.tableSchema(spark, table).getOrElse(schema)
+    val nnRequired = nnContract.fields.filter(!_.nullable).map(_.name)
+    val nnPairs = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.nullable &&
+        nnRequired.exists(_.equalsIgnoreCase(f.name)) => (i, f.name)
+    }
     // partitioned tables: executors stage hive-style `__p_<phys>=<v>`
     // layouts themselves (the multi-open writer below) — identity
     // fields render the source value, transform fields its days/
@@ -1785,7 +1821,7 @@ object TxLogWriterFactory {
     }
     fields.zip(pidx).foreach { case (f, i) => f.validate(physSchema(i).dataType) }
     TxLogWriterFactory(table, uuid, physSchema, owf, conf, ext, fields, pidx,
-      checks, gens)
+      checks, gens, nnIdx = nnPairs.map(_._1), nnNames = nnPairs.map(_._2))
   }
 
   /** Abort cleanup: delete the files the completed tasks reported.
@@ -1813,7 +1849,9 @@ case class TxLogWriterFactory(table: String, uuid: String, schema: StructType,
                               pfields: Seq[TxPart.Field] = Seq.empty,
                               pidx: Seq[Int] = Seq.empty,
                               checks: Seq[TxCheck.BoundCheck] = Seq.empty,
-                              gens: Option[TxGen.BoundGens] = None)
+                              gens: Option[TxGen.BoundGens] = None,
+                              nnIdx: Array[Int] = Array.empty,
+                              nnNames: Array[String] = Array.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1920,6 +1958,12 @@ class TxLogDataWriter(fac: TxLogWriterFactory, partitionId: Int, taskId: Long,
     val row = fac.gens match {
       case Some(g) => g(row0)
       case None => row0
+    }
+    var ni = 0
+    while (ni < fac.nnIdx.length) {
+      if (row.isNullAt(fac.nnIdx(ni))) throw new IllegalArgumentException(
+        s"NOT NULL column ${fac.nnNames(ni)}: write contains a null row")
+      ni += 1
     }
     var ci = 0
     while (ci < fac.checks.length) { fac.checks(ci).check(row); ci += 1 }

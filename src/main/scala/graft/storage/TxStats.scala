@@ -64,9 +64,17 @@ object TxStats {
     * exactly (k smallest of a union = k smallest of the per-file k
     * smallests), so [[TxLogScan.estimateStatistics]] serves a real NDV
     * from manifest metadata alone. Empty = not collected. */
+  /** `exact` marks STRING bounds as provably untruncated — recorded
+    * only by COMMIT-TIME collection over files this library just wrote
+    * with [[ExactStatsOptions]] pinned (parquet-mr then stores binary
+    * chunk bounds whole or not at all), never by a backfill over files
+    * whose writer conf cannot be certified. [[TxLogV2]]'s metadata
+    * aggregate serves min/max(string) iff every live file's entry
+    * carries it. Integral/boolean bounds are exact by format. */
   final case class ColStat(col: String, tag: String, has: Boolean,
                            min: String, max: String, nulls: Long,
-                           kmv: Seq[Long] = Seq.empty)
+                           kmv: Seq[Long] = Seq.empty,
+                           exact: Boolean = false)
 
   /** Stats for one data file: exact row count + per-column bounds
     * (only columns whose type and footer support sound pruning).
@@ -85,7 +93,12 @@ object TxStats {
     val names = (a.cols.map(_.col) ++ b.cols.map(_.col)).distinct
     val cols = names.flatMap { n =>
       (a.byCol.get(n), b.byCol.get(n)) match {
-        case (Some(x), Some(y)) => Some(if (y.kmv.nonEmpty || x.kmv.isEmpty) y else x)
+        case (Some(x), Some(y)) =>
+          val w = if (y.kmv.nonEmpty || x.kmv.isEmpty) y else x
+          // both records describe ONE immutable footer, so either's
+          // exact marker certifies the shared bounds
+          Some(if (w.exact || !(x.exact || y.exact)) w
+               else w.copy(exact = true))
         case (x, y) => y.orElse(x)
       }
     }
@@ -115,8 +128,20 @@ object TxStats {
     * segments, written by every partitioned staging path — the driver's
     * `stagePartitioned` and the V2 executor writers alike), so parsing
     * them here gives every commit path pv metadata from one place. */
-  def collect(s: SparkSession, root: Path, rel: Seq[String]): Seq[FileStats] =
-    collectWithFields(s, root, rel)._1
+  def collect(s: SparkSession, root: Path, rel: Seq[String],
+              exactStrings: Boolean = true): Seq[FileStats] =
+    collectWithFields(s, root, rel, exactStrings)._1
+
+  /** Writer option every staging door pins so parquet-mr stores binary
+    * chunk statistics WHOLE or not at all (the library default —
+    * DEFAULT_STATISTICS_TRUNCATE_LENGTH is already MAX_VALUE — made
+    * environment-proof: a global `parquet.statistics.truncate.length`
+    * override would otherwise silently truncate string bounds, sound
+    * for pruning but fatal for exact extrema). Oversized stats are
+    * DROPPED by parquet-mr, never truncated, and absent stats refuse —
+    * so a commit-time-collected string bound is the true extremum. */
+  val ExactStatsOptions: Map[String, String] =
+    Map("parquet.statistics.truncate.length" -> Int.MaxValue.toString)
 
   /** Footer reads go to the EXECUTORS above this many files: a commit
     * of a handful of files is cheaper opened inline on the driver (no
@@ -129,13 +154,14 @@ object TxStats {
     * from the same open — [[TxLog.analyze]] needs both for the files
     * it backfills, and a second footer round per file would double the
     * metadata I/O on exactly the tables analyze targets. */
-  def collectWithFields(s: SparkSession, root: Path, rel: Seq[String])
+  def collectWithFields(s: SparkSession, root: Path, rel: Seq[String],
+                        exactStrings: Boolean = true)
       : (Seq[FileStats], Map[String, Set[String]]) = {
     val out: Seq[(FileStats, (String, Set[String]))] =
       if (rel.size < DistributeAt) {
         val conf = s.sparkContext.hadoopConfiguration
         val rootStr = root.toString
-        rel.map(r => readFooter(conf, rootStr, r))
+        rel.map(r => readFooter(conf, rootStr, r, exactStrings))
       } else {
         // metadata-only I/O, but thousands of round-trips: fan the
         // opens across executors (the same placement Delta gives stats
@@ -146,7 +172,7 @@ object TxStats {
         val rootStr = root.toString
         val n = math.min(rel.size, s.sparkContext.defaultParallelism * 2)
         val byRel = s.sparkContext.parallelize(rel, n)
-          .map(r => readFooter(confB.value.value, rootStr, r))
+          .map(r => readFooter(confB.value.value, rootStr, r, exactStrings))
           .collect()
           .map(x => x._1.file -> x).toMap
         rel.map(byRel)
@@ -157,7 +183,8 @@ object TxStats {
   /** One file's footer → (stats, footer field names). Runs on the
     * driver for small commits and inside executor tasks for large
     * ones — keep it dependent only on (conf, root, rel). */
-  private def readFooter(conf: Configuration, root: String, r: String)
+  private def readFooter(conf: Configuration, root: String, r: String,
+                         exactStrings: Boolean = true)
       : (FileStats, (String, Set[String])) = {
     val inf = HadoopInputFile.fromPath(new Path(root, r), conf)
     val rd = ParquetFileReader.open(inf)
@@ -169,7 +196,8 @@ object TxStats {
       val names = schema.getFields.asScala.map(_.getName).toSet
       val cols = schema.getFields.asScala.toSeq.flatMap { f =>
         if (!f.isPrimitive) None
-        else tagOf(f.asPrimitiveType()).flatMap(mergeBlocks(f.getName, _, blocks))
+        else tagOf(f.asPrimitiveType())
+          .flatMap(mergeBlocks(f.getName, _, blocks, exactStrings))
       }
       (FileStats(r, rows, cols, inf.getLength, parts = partsFromPath(r)),
         r -> names)
@@ -269,7 +297,8 @@ object TxStats {
     * omit). All-null columns are kept with has=false — they prune
     * comparisons and IS NOT NULL. */
   private def mergeBlocks(name: String, tag: String,
-                          blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])
+                          blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                          exactStrings: Boolean = false)
       : Option[ColStat] = {
     var min: Any = null; var max: Any = null
     var nulls = 0L; var nullsKnown = true; var any = false
@@ -292,9 +321,11 @@ object TxStats {
       }
     }
     if (!any && !nullsKnown) None // nothing usable at all
-    else if (!any) Some(ColStat(name, tag, has = false, "", "", nulls))
+    else if (!any) Some(ColStat(name, tag, has = false, "", "", nulls,
+      exact = exactStrings && tag == "s")) // all-null: trivially exact
     else Some(ColStat(name, tag, has = true, render(tag, min), render(tag, max),
-      if (nullsKnown) nulls else -1L))
+      if (nullsKnown) nulls else -1L,
+      exact = exactStrings && tag == "s"))
   }
 
   /** Normalize a parquet statistics value into the tag's comparison

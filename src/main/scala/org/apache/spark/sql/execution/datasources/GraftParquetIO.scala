@@ -121,6 +121,12 @@ object GraftParquetIO {
                     extraConf: Map[String, String] = Map.empty)
       : (OutputWriterFactory, SerializableConfiguration, String) = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // pin chunk-statistics truncation OFF (the parquet-mr default,
+    // made environment-proof): commit-time stats collection records
+    // string bounds as EXACT, which is only sound if this writer can
+    // never truncate them — see TxStats.ExactStatsOptions
+    job.getConfiguration.setInt("parquet.statistics.truncate.length",
+      Int.MaxValue)
     // caller-supplied hadoop/parquet keys (e.g. per-column bloom
     // filter toggles) ride in the job conf the executors serialize
     extraConf.foreach { case (k, v) => job.getConfiguration.set(k, v) }

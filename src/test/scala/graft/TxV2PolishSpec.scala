@@ -161,14 +161,54 @@ class TxV2PolishSpec extends AnyFunSuite {
         Seq("[alpha,50]", "[beta,100]", "[gamma,100]")),
       ("distinct", df.agg(countDistinct($"grp").as("n")), Seq("[3]")),
       ("double extremum (NaN hazard)", df.agg(min($"score").as("m")), Seq("[25.0]")),
-      ("string extremum (truncation hazard)", df.agg(max($"grp").as("m")),
-        Seq("[gamma]")),
       ("sum", df.agg(sum($"id").cast("long").as("s")),
         Seq(s"[${(50 until 300).map(_.toLong).sum}]")))
     for ((clue, q, expected) <- cases) {
       assert(rows(q) == expected.sorted, s"$clue: wrong result")
       assert(!planOf(q).contains("MetaAgg"), s"$clue: must NOT push to metadata")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // exact string extrema (r16): commit-time-collected bounds carry the
+  // exact marker (the writer pins statistics truncation OFF), so
+  // min/max(string) answers from the manifest like count(*) does
+  // ------------------------------------------------------------------
+
+  test("string min/max answer from the manifest when every bound is exact-marked") {
+    val t = history() // includes a COW DELETE — rewritten stats re-collect
+    val df = spark.read.format("txlog").load(t)
+    val agg = df.agg(min($"grp").as("glo"), max($"grp").as("ghi"),
+      min($"name").as("nlo"), max($"name").as("nhi"))
+    val r = agg.collect()(0)
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ==
+      (("alpha", "gamma", "name-100", "name-99")),
+      r.toString) // unsigned byte order: "name-99" > "name-2xx"
+    assert(planOf(agg).contains("MetaAgg"),
+      s"exact-marked string extrema must push: ${planOf(agg)}")
+  }
+
+  test("unmarked (pre-r16 / uncertified) string bounds refuse; count(*) still pushes") {
+    val t = history()
+    // simulate pre-feature manifests: strip the exact markers from the
+    // GAMMA append's JSON in place (a LIVE file) — its bounds stay
+    // pruning-grade while every other live file keeps the marker
+    val v3 = java.nio.file.Paths.get(s"$t/_txlog/v${"%020d".format(3)}.json")
+    val json = new String(Files.readAllBytes(v3),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(json.contains(", \"x\": \"1\""), "expected exact markers in v3")
+    Files.write(v3, json.replace(", \"x\": \"1\"", "")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val df = spark.read.format("txlog").load(t)
+    val agg = df.agg(min($"grp").as("glo"))
+    assert(agg.collect()(0).getString(0) == "alpha")
+    assert(!planOf(agg).contains("MetaAgg"),
+      "one uncertified bound must refuse the string push (fallback scan)")
+    // integral extrema and count(*) are unaffected by the marker
+    val star = df.agg(count(lit(1)).as("n"), max($"id").as("hi"))
+    val r = star.collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((250L, 299L)))
+    assert(planOf(star).contains("MetaAgg"))
   }
 
   // ------------------------------------------------------------------
