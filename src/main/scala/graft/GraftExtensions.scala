@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // unknown node
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
+    // SQL views over GraftCatalog (r16): OSS Spark parses the commands
+    // but ResolveSessionCatalog refuses V2 view DDL outright — the
+    // HINT-batch rewrite claims the commands BEFORE that rule runs,
+    // the resolution rule substitutes view references, the strategy
+    // executes the claimed commands
+    e.injectHintResolutionRule(s => graft.plans.GraftViewCommandRewrite(s))
+    e.injectResolutionRule(s => graft.plans.GraftViewSubstitution(s))
+    e.injectPlannerStrategy(s => graft.plans.GraftViewStrategy(s))
     // SQL row-level DML on txlog tables needs no injection since r12:
     // the txlog source is DataSource V2 with SupportsRowLevelOperations,
     // so Spark's own DELETE/UPDATE/MERGE planning applies natively

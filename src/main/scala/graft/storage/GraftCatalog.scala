@@ -60,7 +60,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[GraftProcedures]]); a table namespace of that name is rejected
   * at create. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog {
+    with StagingTableCatalog with ProcedureCatalog with FunctionCatalog
+    with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -120,6 +121,96 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def nsPropsFile(dir: Path): Path = new Path(dir, "_namespace")
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  // ------------------------------------------------------------------
+  // SQL views ([[GraftViews]]) — ViewCatalog over per-namespace JSON
+  // documents; CREATE/DROP/SHOW and reference resolution are planned
+  // by [[graft.plans.GraftViewRules]] (OSS Spark parses the commands
+  // but ships no V2 view exec)
+  // ------------------------------------------------------------------
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.read(spark, nsDir(ident.namespace), segment(ident.name)).isDefined
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.read(spark, nsDir(ident.namespace), segment(ident.name))
+      .map(GraftView(ident, _))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    require(!tableExists(ident),
+      s"cannot CREATE VIEW $ident: a TABLE with that name exists")
+    val stored = GraftViews.Stored(info.sql, info.currentCatalog,
+      info.currentNamespace.toSeq, TxLog.ddlOf(info.schema),
+      info.queryColumnNames.toSeq, info.columnAliases.toSeq,
+      info.columnComments.toSeq.map(c => if (c == null) "" else c),
+      info.properties.asScala.toMap)
+    if (!GraftViews.write(spark, nsDir(ident.namespace), segment(ident.name),
+        stored, replace = false))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    GraftView(ident, stored)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident
+    if (!orCreate && !viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    require(!tableExists(ident),
+      s"cannot REPLACE VIEW $ident: a TABLE with that name exists")
+    val stored = GraftViews.Stored(info.sql, info.currentCatalog,
+      info.currentNamespace.toSeq, TxLog.ddlOf(info.schema),
+      info.queryColumnNames.toSeq, info.columnAliases.toSeq,
+      info.columnComments.toSeq.map(c => if (c == null) "" else c),
+      info.properties.asScala.toMap)
+    GraftViews.write(spark, nsDir(ident.namespace), segment(ident.name),
+      stored, replace = true)
+    GraftView(ident, stored)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val cur = GraftViews.read(spark, nsDir(ident.namespace), segment(ident.name))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = changes.foldLeft(cur.properties) {
+      case (p, s: ViewChange.SetProperty) => p + (s.property -> s.value)
+      case (p, r: ViewChange.RemoveProperty) => p - r.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"ALTER VIEW change $other is not supported")
+    }
+    val next = cur.copy(properties = props)
+    GraftViews.write(spark, nsDir(ident.namespace), segment(ident.name),
+      next, replace = true)
+    GraftView(ident, next)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.delete(spark, nsDir(ident.namespace), segment(ident.name))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val cur = GraftViews.read(spark, nsDir(from.namespace), segment(from.name))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(from))
+    if (viewExists(to) || tableExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    GraftViews.write(spark, nsDir(to.namespace), segment(to.name), cur,
+      replace = false)
+    GraftViews.delete(spark, nsDir(from.namespace), segment(from.name))
+    ()
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    GraftViews.list(spark, nsDir(ns))
+      .map(n => Identifier.of(ns, n)).toArray
+  }
 
   // ------------------------------------------------------------------
   // tables
@@ -245,6 +336,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                               gens: Map[String, String]): Table = {
     val (dir, pcols, userProps) = parseSpec(ident, partitions, properties)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    require(!viewExists(ident),
+      s"cannot CREATE TABLE $ident: a VIEW with that name exists")
     TxLog.createTable(spark, dir.toString, schema, pcols,
       userProps ++ defaultProps(dir, schema) ++ genProps(schema) ++ gens)
     TxLogTable(dir.toString, Some(schema))
