@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{Command, CreateView, DropView, LeafNode, LogicalPlan, ShowViews, SubqueryAlias, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, Command, CreateView, DropView, LeafNode, LogicalPlan, SetViewProperties, ShowViews, SubqueryAlias, UnaryNode, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
@@ -97,6 +97,26 @@ case class GraftDropView(cat: GraftCatalog, ident: Identifier,
   override def output: Seq[Attribute] = Nil
 }
 
+/** ALTER VIEW ... AS: redefine the query text, KEEPING the view's
+  * properties (the V1 semantics); the NEW text captures the ALTER
+  * session's (catalog, namespace) context. The view must exist. */
+case class GraftAlterViewAs(cat: GraftCatalog, ident: Identifier,
+                            originalText: String, query: LogicalPlan)
+    extends UnaryNode with Command {
+  override def child: LogicalPlan = query
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildInternal(c: LogicalPlan): GraftAlterViewAs =
+    copy(query = c)
+}
+
+/** ALTER VIEW ... SET/UNSET TBLPROPERTIES. */
+case class GraftSetViewProps(cat: GraftCatalog, ident: Identifier,
+                             set: Map[String, String], unset: Seq[String],
+                             ifExists: Boolean)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Nil
+}
+
 case class GraftShowViews(cat: GraftCatalog, ns: Seq[String],
                           pattern: Option[String],
                           override val output: Seq[Attribute])
@@ -126,6 +146,24 @@ case class GraftViewCommandRewrite(spark: SparkSession) extends Rule[LogicalPlan
       resolveNs(spark, parts) match {
         case Some((cat, ns)) => GraftShowViews(cat, ns, pattern, output)
         case None => sv
+      }
+    case av @ AlterViewAs(u: UnresolvedView, originalText, query) =>
+      resolveIdent(spark, u.multipartIdentifier) match {
+        case Some((_, cat, ident)) =>
+          GraftAlterViewAs(cat, ident, originalText, query)
+        case None => av
+      }
+    case sp @ SetViewProperties(u: UnresolvedView, props) =>
+      resolveIdent(spark, u.multipartIdentifier) match {
+        case Some((_, cat, ident)) =>
+          GraftSetViewProps(cat, ident, props, Seq.empty, ifExists = false)
+        case None => sp
+      }
+    case up @ UnsetViewProperties(u: UnresolvedView, keys, ifExists) =>
+      resolveIdent(spark, u.multipartIdentifier) match {
+        case Some((_, cat, ident)) =>
+          GraftSetViewProps(cat, ident, Map.empty, keys, ifExists)
+        case None => up
       }
     case other => other
   }
@@ -194,6 +232,9 @@ case class GraftViewStrategy(spark: SparkSession) extends SparkStrategy {
       DropGraftViewExec(cat, ident, ifExists) :: Nil
     case GraftShowViews(cat, ns, pattern, output) =>
       ShowGraftViewsExec(cat, ns, pattern, output) :: Nil
+    case av: GraftAlterViewAs => AlterGraftViewAsExec(spark, av) :: Nil
+    case GraftSetViewProps(cat, ident, set, unset, ifExists) =>
+      SetGraftViewPropsExec(cat, ident, set, unset, ifExists) :: Nil
     case _ => Nil
   }
 }
@@ -226,6 +267,46 @@ case class CreateGraftViewExec(spark: SparkSession, cv: GraftCreateView)
     if (cv.replace) cv.cat.replaceView(info, true)
     else if (cv.allowExisting && cv.cat.viewExists(cv.ident)) ()
     else cv.cat.createView(info)
+    Seq.empty
+  }
+}
+
+case class AlterGraftViewAsExec(spark: SparkSession, av: GraftAlterViewAs)
+    extends V2CommandExec {
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = Nil
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[SparkPlan]): SparkPlan = this
+  override def run(): Seq[InternalRow] = {
+    val cur = av.cat.loadView(av.ident).asInstanceOf[GraftView]
+    val cm = spark.sessionState.catalogManager
+    val info = new ViewInfo(av.ident, av.originalText,
+      cm.currentCatalog.name, cm.currentNamespace, av.query.schema,
+      av.query.schema.fieldNames, Array.empty, Array.empty,
+      cur.properties()) // redefinition keeps the properties
+    av.cat.replaceView(info, false)
+    Seq.empty
+  }
+}
+
+case class SetGraftViewPropsExec(cat: GraftCatalog, ident: Identifier,
+                                 set: Map[String, String], unset: Seq[String],
+                                 ifExists: Boolean) extends V2CommandExec {
+  override def output: Seq[Attribute] = Nil
+  override def children: Seq[SparkPlan] = Nil
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[SparkPlan]): SparkPlan = this
+  override def run(): Seq[InternalRow] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val cur = cat.loadView(ident) // loud when missing (both commands)
+    val missing = unset.filterNot(cur.properties().containsKey)
+    require(ifExists || missing.isEmpty,
+      s"ALTER VIEW $ident UNSET TBLPROPERTIES: missing ${missing.mkString(", ")}")
+    val changes: Seq[ViewChange] =
+      set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+        unset.filter(cur.properties().containsKey)
+          .map(k => ViewChange.removeProperty(k))
+    if (changes.nonEmpty) cat.alterView(ident, changes: _*)
     Seq.empty
   }
 }

@@ -778,6 +778,46 @@ object TxLogParity {
       .orderBy("o_orderstatus")
   }
 
+  /** SQL VIEW (r16, [[graft.storage.GraftViews]] / CREATE VIEW): a
+    * catalog base table, a VIEW aggregating it, then a SQL DELETE on
+    * the base AFTER the view exists — the hashed read goes through
+    * `SELECT ... FROM <view>`, so the whole injected stack (HINT-batch
+    * command rewrite, stored-SQL substitution with create-time context
+    * qualification, late binding) is in the compared rows: a view that
+    * served its creation-time snapshot instead of the current state,
+    * or resolved `orders_v` in the wrong namespace, would skew every
+    * group. DuckDB replays the final state as plain SQL. */
+  private val builtVw = new ConcurrentHashMap[String, String]()
+
+  private def viewName(s: SparkSession, dir: String): String =
+    builtVw.computeIfAbsent(dir, _ => {
+      val wh = Files.createTempDirectory("txlog_vw_oracle_").toString
+      val cat = s"gvw${math.abs(dir.hashCode) % 1000000}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("orders_vw_src")
+      s.sql(s"""CREATE TABLE $cat.default.orders_v
+                (o_orderkey BIGINT, o_custkey BIGINT,
+                 o_orderstatus STRING, o_totalprice DOUBLE)
+                USING txlog""")
+      s.sql(s"INSERT INTO $cat.default.orders_v SELECT * FROM orders_vw_src")
+      s.sql(s"""CREATE VIEW $cat.default.v_pri AS
+                SELECT o_orderstatus, count(*) AS n,
+                       sum(o_orderkey) AS key_sum
+                FROM $cat.default.orders_v
+                WHERE o_totalprice >= 50000
+                GROUP BY o_orderstatus""")
+      // the DML runs AFTER the view exists — late binding puts it in
+      // the hash
+      s.sql(s"DELETE FROM $cat.default.orders_v WHERE o_orderkey % 6 = 2")
+      s"$cat.default.v_pri"
+    })
+
+  val viewRead: Q = (s, dir) =>
+    s.sql(s"SELECT * FROM ${viewName(s, dir)} ORDER BY o_orderstatus")
+
   /** MATERIALIZED VIEW (r13, [[graft.storage.Materialized]]): a rollup
     * over a mutating source, maintained INCREMENTALLY — one refresh per
     * source transaction window, each folding only that window's change
@@ -838,6 +878,7 @@ object TxLogParity {
     "txlog_spj_join" -> spjJoin,
     "txlog_eqdel" -> eqdel,
     "txlog_gencol" -> gencol,
+    "txlog_view" -> viewRead,
     "txlog_mview" -> mview,
     "txlog_catalog_dml" -> catalogDml,
     "txlog_scan_prune" -> scanPrune,
@@ -954,6 +995,17 @@ object TxLogParity {
          WHERE o_orderkey % 7 <> 2
            AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
            AND o_custkey IN (7, 42, 128, 999, 1300)
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+    // view replay: the view's text re-analyzes at query time (late
+    // binding), so the base DELETE that ran after CREATE VIEW is in
+    // the result
+    "txlog_view" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM orders
+         WHERE o_totalprice >= 50000 AND o_orderkey % 6 <> 2
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
     // generated-column replay: the derivation is recomputed inline

@@ -862,10 +862,12 @@ object GraftProcedures {
       })),
     "maintain" -> (c => proc(c, "maintain",
       "POLICY LOOP: read the table's health from the manifest (small " +
-        "files, DV debt, layout decay on the declared cluster columns) and " +
-        "fire the cheapest maintenance that restores it — cluster_by on " +
-        "overlap decay, incremental compaction on small-file/DV debt, " +
-        "nothing when healthy. Vacuum stays a separate, explicit call.",
+        "files, DV debt, equality-delete key debt, layout decay on the " +
+        "declared cluster columns) and fire the cheapest maintenance that " +
+        "restores it — materialize_eqdels past the key-debt threshold, " +
+        "cluster_by on overlap decay, incremental compaction on " +
+        "small-file/DV debt, nothing when healthy. Vacuum stays a " +
+        "separate, explicit call.",
       Seq(p("table", StringType), p("target_bytes", LongType, Some("134217728")),
         p("small_files_trigger", IntegerType, Some("8")),
         p("dv_rows_pct", org.apache.spark.sql.types.DoubleType, Some("5.0")),
@@ -881,7 +883,10 @@ object GraftProcedures {
         StructField("small_files", IntegerType, nullable = false),
         StructField("dv_rows", LongType, nullable = false),
         StructField("overlap_pct", org.apache.spark.sql.types.DoubleType,
-          nullable = false))),
+          nullable = false),
+        StructField("eqdel_materialized", org.apache.spark.sql.types.BooleanType,
+          nullable = false),
+        StructField("eqdel_keys", LongType, nullable = false))),
       (cat, in) => {
         val t = cat.resolveTableArg(str(in, 0))
         val cols = str(in, 4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -891,7 +896,7 @@ object GraftProcedures {
           clusterTargetFiles = in.getInt(5), overlapTriggerPct = in.getDouble(6))
         Array[InternalRow](new GenericInternalRow(Array[Any](
           r.version, r.compacted, r.clustered, r.smallFiles, r.dvRows,
-          r.overlapPct)))
+          r.overlapPct, r.eqdelMaterialized, r.eqdelKeys)))
       })),
     "analyze" -> (c => proc(c, "analyze",
       "opt the columns into the NDV sketch channel AND backfill sketches " +

@@ -3607,7 +3607,9 @@ object TxLog {
   final case class MaintainReport(version: Long, compacted: Boolean,
                                   clustered: Boolean, smallFiles: Int,
                                   dvRows: Long, rawRows: Long,
-                                  overlapPct: Double)
+                                  overlapPct: Double,
+                                  eqdelMaterialized: Boolean = false,
+                                  eqdelKeys: Long = 0L)
 
   /** Range-overlap decay of the live layout on `physCol` (PHYSICAL
     * name), from manifest zone maps alone: the fraction of files whose
@@ -3682,7 +3684,8 @@ object TxLog {
                dvRowsTriggerPct: Double = 5.0,
                clusterColumns: Seq[String] = Seq.empty,
                clusterTargetFiles: Int = 0,
-               overlapTriggerPct: Double = 50.0): MaintainReport = {
+               overlapTriggerPct: Double = 50.0,
+               eqDelKeysTriggerPct: Double = 50.0): MaintainReport = {
     val ms = manifests(s, table)
     require(ms.nonEmpty, s"maintain of nonexistent txlog table $table")
     val files = liveFiles(ms)
@@ -3690,6 +3693,22 @@ object TxLog {
     val dvs = liveDvs(ms)
     val cm = colMapFrom(ms)
     val head = ms.last.version
+    // EQUALITY-DELETE key debt (r16): a streaming CDC upsert grows the
+    // live key set toward graft.eqdel.maxKeys, where write doors start
+    // falling back to position-based merges and every reader holds the
+    // whole set — the loop materializes the debt into deletion vectors
+    // BEFORE that (one bounded scan of the affected files, cheaper than
+    // a full compact; the DVs then feed the ordinary dvRows trigger on
+    // a later cycle, so debt → vectors → rewrite layers naturally).
+    val eqKeys = liveEqDels(ms).map(_._2.n).sum
+    val eqCap = eqDelMaxKeys(propsFrom(ms))
+    if (eqKeys > 0L && eqKeys * 100.0 > eqCap * eqDelKeysTriggerPct) {
+      val r = materializeEqDels(s, table)
+      return MaintainReport(r.version, compacted = false, clustered = false,
+        smallFiles = 0, dvRows = dvs.valuesIterator.map(_.n).sum,
+        rawRows = 0L, overlapPct = 0.0,
+        eqdelMaterialized = true, eqdelKeys = eqKeys)
+    }
     val smallFiles = files.count(r =>
       stats.get(r).map(_.bytes).exists(b => b > 0L && b < targetBytes))
     val dvRows = dvs.valuesIterator.map(_.n).sum
@@ -3718,13 +3737,14 @@ object TxLog {
         "maintain with clusterColumns needs clusterTargetFiles > 0")
       val v = clusterBy(s, table, clusterColumns, clusterTargetFiles)
       MaintainReport(v, compacted = false, clustered = true,
-        smallFiles, dvRows, rawRows, overlap)
+        smallFiles, dvRows, rawRows, overlap, eqdelKeys = eqKeys)
     } else if (needCompact) {
       val v = compactSmall(s, table, targetBytes)
       MaintainReport(if (v >= 0) v else head, compacted = v >= 0,
-        clustered = false, smallFiles, dvRows, rawRows, overlap)
+        clustered = false, smallFiles, dvRows, rawRows, overlap,
+        eqdelKeys = eqKeys)
     } else MaintainReport(head, compacted = false, clustered = false,
-      smallFiles, dvRows, rawRows, overlap)
+      smallFiles, dvRows, rawRows, overlap, eqdelKeys = eqKeys)
   }
 
   /** TRUNCATE TABLE: one atomic checkpoint with an EMPTY file set —

@@ -72,6 +72,7 @@ object Sf1Gate {
     val full = sys.env.get("SF1_GATE_FULL").contains("1")
 
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft-sf1-gate")
       .config("spark.sql.shuffle.partitions", "32")

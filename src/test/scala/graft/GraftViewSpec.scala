@@ -138,6 +138,37 @@ class GraftViewSpec extends AnyFunSuite {
     spark.sql("DROP VIEW vcat.default.v_inner")
   }
 
+  test("ALTER VIEW AS redefines keeping properties; SET/UNSET TBLPROPERTIES round-trip") {
+    setup()
+    spark.sql("""CREATE VIEW vcat.default.v_alter
+      TBLPROPERTIES ('who' = 'me')
+      AS SELECT count(*) AS n FROM vcat.default.base""")
+    spark.sql("ALTER VIEW vcat.default.v_alter AS SELECT max(id) AS hi FROM vcat.default.base")
+    assert(spark.sql("SELECT hi FROM vcat.default.v_alter").as[Long].head() == 99L)
+    // properties survived the redefinition
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.catalog.vcat.warehouse") + "/default")
+    val stored = GraftViews.read(spark, dir, "v_alter").get
+    assert(stored.properties.get("who").contains("me"), stored.properties.toString)
+    assert(stored.sql.toLowerCase.contains("max(id)"))
+    // SET adds, UNSET removes (loud on a missing key without IF EXISTS)
+    spark.sql("ALTER VIEW vcat.default.v_alter SET TBLPROPERTIES ('a' = '1')")
+    assert(GraftViews.read(spark, dir, "v_alter").get.properties.get("a")
+      .contains("1"))
+    spark.sql("ALTER VIEW vcat.default.v_alter UNSET TBLPROPERTIES ('a')")
+    assert(!GraftViews.read(spark, dir, "v_alter").get.properties.contains("a"))
+    intercept[Exception] {
+      spark.sql("ALTER VIEW vcat.default.v_alter UNSET TBLPROPERTIES ('nope')")
+    }
+    spark.sql(
+      "ALTER VIEW vcat.default.v_alter UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    // ALTER VIEW AS on a missing view is loud
+    intercept[Exception] {
+      spark.sql("ALTER VIEW vcat.default.v_missing AS SELECT 1 AS one")
+    }
+    spark.sql("DROP VIEW vcat.default.v_alter")
+  }
+
   test("view documents round-trip exactly (storage layer)") {
     val nsDir = new org.apache.hadoop.fs.Path(
       Files.createTempDirectory("gview_raw_").toString)

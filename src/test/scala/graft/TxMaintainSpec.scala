@@ -232,4 +232,29 @@ class TxMaintainSpec extends AnyFunSuite {
     assert(!again.getAs[Boolean]("compacted") && !again.getAs[Boolean]("clustered"))
     spark.sql("DROP TABLE mcat.ns.ev")
   }
+
+  test("equality-delete key debt past the threshold triggers materialization") {
+    val t = java.nio.file.Files.createTempDirectory("maint_eq_")
+      .resolve("t").toString
+    spark.range(2000).select($"id", lit("x").as("v")).coalesce(2)
+      .write.format("txlog").mode("append").save(t)
+    // a small cap so the 50% threshold is reachable with a tiny debt
+    TxLog.setProperties(spark, t, Map(graft.storage.TxEqDel.MaxKeysProp -> "1000"))
+    import spark.implicits._
+    TxLog.deleteByKeys((0L until 300L).toDF("id"), t, "mk", 0L)
+    // below threshold (300 of 1000): observability only, no action
+    val quiet = TxLog.maintain(spark, t, smallFilesTrigger = 1000)
+    assert(!quiet.eqdelMaterialized && quiet.eqdelKeys == 300L, quiet.toString)
+    assert(TxLog.liveEqDelCount(spark, t) == 300L)
+    // past the threshold (600 of 1000 > 50%): the loop materializes
+    TxLog.deleteByKeys((300L until 600L).toDF("id"), t, "mk", 1L)
+    val fired = TxLog.maintain(spark, t, smallFilesTrigger = 1000)
+    assert(fired.eqdelMaterialized && fired.eqdelKeys == 600L, fired.toString)
+    assert(TxLog.liveEqDelCount(spark, t) == 0L,
+      "materialization must clear the live key debt")
+    assert(spark.read.format("txlog").load(t).count() == 1400L)
+    // healthy again: quiet
+    val after = TxLog.maintain(spark, t, smallFilesTrigger = 1000)
+    assert(!after.eqdelMaterialized && after.eqdelKeys == 0L, after.toString)
+  }
 }
