@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedView}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, Command, CreateView, DropView, LeafNode, LogicalPlan, SetViewProperties, ShowViews, SubqueryAlias, UnaryNode, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, Command, CreateView, DescribeRelation, DropView, LeafNode, LogicalPlan, SetViewProperties, ShowViews, SubqueryAlias, UnaryNode, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
@@ -117,6 +117,12 @@ case class GraftSetViewProps(cat: GraftCatalog, ident: Identifier,
   override def output: Seq[Attribute] = Nil
 }
 
+/** DESCRIBE [EXTENDED] on a stored view. */
+case class GraftDescribeView(cat: GraftCatalog, ident: Identifier,
+                             isExtended: Boolean,
+                             override val output: Seq[Attribute])
+    extends LeafNode with Command
+
 case class GraftShowViews(cat: GraftCatalog, ns: Seq[String],
                           pattern: Option[String],
                           override val output: Seq[Attribute])
@@ -164,6 +170,15 @@ case class GraftViewCommandRewrite(spark: SparkSession) extends Rule[LogicalPlan
         case Some((_, cat, ident)) =>
           GraftSetViewProps(cat, ident, Map.empty, keys, ifExists)
         case None => up
+      }
+    // DESCRIBE a stored view (tables pass through untouched — the
+    // viewExists probe is one metadata read, and only for identifiers
+    // that resolve into a Graft catalog)
+    case d @ DescribeRelation(u: UnresolvedTableOrView, _, isExtended, output) =>
+      resolveIdent(spark, u.multipartIdentifier) match {
+        case Some((_, cat, ident)) if cat.viewExists(ident) =>
+          GraftDescribeView(cat, ident, isExtended, output)
+        case _ => d
       }
     case other => other
   }
@@ -235,6 +250,8 @@ case class GraftViewStrategy(spark: SparkSession) extends SparkStrategy {
     case av: GraftAlterViewAs => AlterGraftViewAsExec(spark, av) :: Nil
     case GraftSetViewProps(cat, ident, set, unset, ifExists) =>
       SetGraftViewPropsExec(cat, ident, set, unset, ifExists) :: Nil
+    case GraftDescribeView(cat, ident, isExtended, output) =>
+      DescribeGraftViewExec(cat, ident, isExtended, output) :: Nil
     case _ => Nil
   }
 }
@@ -322,6 +339,33 @@ case class DropGraftViewExec(cat: GraftCatalog, ident: Identifier,
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
     Seq.empty
+  }
+}
+
+case class DescribeGraftViewExec(cat: GraftCatalog, ident: Identifier,
+                                 isExtended: Boolean,
+                                 override val output: Seq[Attribute])
+    extends V2CommandExec {
+  override def children: Seq[SparkPlan] = Nil
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[SparkPlan]): SparkPlan = this
+  override def run(): Seq[InternalRow] = {
+    val v = cat.loadView(ident).asInstanceOf[GraftView]
+    def row(a: String, b: String, c0: String) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(a), UTF8String.fromString(b),
+          if (c0 == null) null else UTF8String.fromString(c0)))
+    val cols = v.schema.fields.toSeq.map(f =>
+      row(f.name, f.dataType.simpleString, null))
+    if (!isExtended) cols
+    else cols ++ Seq(
+      row("", "", null),
+      row("# Detailed View Information", "", null),
+      row("View Text", v.query(), null),
+      row("View Catalog and Namespace",
+        (v.currentCatalog() +: v.currentNamespace().toSeq).mkString("."), null),
+      row("View Query Output Columns",
+        v.queryColumnNames().mkString("[", ", ", "]"), null))
   }
 }
 

@@ -169,6 +169,24 @@ class GraftViewSpec extends AnyFunSuite {
     spark.sql("DROP VIEW vcat.default.v_alter")
   }
 
+  test("DESCRIBE [EXTENDED] works on views; tables keep Spark's own path") {
+    setup()
+    spark.sql("""CREATE VIEW vcat.default.v_desc AS
+      SELECT grp, count(*) AS n FROM vcat.default.base GROUP BY grp""")
+    val plain = spark.sql("DESCRIBE vcat.default.v_desc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(plain == Seq("grp" -> "string", "n" -> "bigint"), plain.toString)
+    val ext = spark.sql("DESCRIBE EXTENDED vcat.default.v_desc")
+      .collect().map(_.getString(0)).toSeq
+    assert(ext.contains("View Text") && ext.contains("# Detailed View Information"),
+      ext.toString)
+    // DESCRIBE on a TABLE still takes Spark's own V2 path
+    val tbl = spark.sql("DESCRIBE vcat.default.base")
+      .collect().map(_.getString(0)).toSeq
+    assert(tbl.take(3) == Seq("id", "grp", "score"), tbl.toString)
+    spark.sql("DROP VIEW vcat.default.v_desc")
+  }
+
   test("view documents round-trip exactly (storage layer)") {
     val nsDir = new org.apache.hadoop.fs.Path(
       Files.createTempDirectory("gview_raw_").toString)

@@ -227,6 +227,29 @@ class TxGenSpec extends AnyFunSuite {
     assert(TxGen.gensIn(TxLog.properties(spark, t)).keySet == Set("twice"))
   }
 
+  test("keyed CDC upsert composes with generated columns (fill + recompute)") {
+    val t = fresh()
+    TxLog.createTable(spark, t, schema, props = gprops)
+    TxLog.commit(spark.range(6).select($"id", lit("x").as("txt"),
+      lit(null).cast("long").as("twice")), t, "w", 0L)
+    // upsert replaces id=2 (new txt, NULL derived -> filled) and
+    // inserts id=50; its own rows survive its delete entry
+    TxLog.upsertByKeys(Seq((2L, "r", null.asInstanceOf[java.lang.Long]),
+      (50L, "n", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "txt", "twice"), t, Seq("id"), "up", 0L)
+    val got = TxLog.snapshot(spark, t).get
+    assert(got.count() == 7)
+    assert(got.where(!($"twice" <=> $"id" * 2)).count() == 0,
+      "keyed upsert left an unfilled/stale derived value")
+    assert(got.where($"id" === 2L).select("txt").as[String].head() == "r")
+    // a contradicting derived value in the upsert source refuses
+    intercept[Exception] {
+      TxLog.upsertByKeys(Seq((3L, "z", java.lang.Long.valueOf(999L)))
+        .toDF("id", "txt", "twice"), t, Seq("id"), "up", 1L)
+    }
+    assert(TxLog.snapshot(spark, t).get.count() == 7)
+  }
+
   test("a generated column drives partition-transform pruning (the layout point)") {
     val t = fresh()
     val sch = StructType(Seq(StructField("ts", TimestampType),
