@@ -233,10 +233,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val v = try version.trim.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"VERSION AS OF on $ident must be a txlog version (long), got '$version'")
-    }
+    // a numeric version or a NAMED TAG (r16, [[TxLog.tag]]) — SQL
+    // `VERSION AS OF 'nightly-cut'` reads the pinned snapshot by name
+    val v = TxLog.resolveVersionRef(spark, dir.toString, version)
     TxLogTable(dir.toString, None, asOf = Some(v))
   }
 
@@ -897,6 +896,38 @@ object GraftProcedures {
         Array[InternalRow](new GenericInternalRow(Array[Any](
           r.version, r.compacted, r.clustered, r.smallFiles, r.dvRows,
           r.overlapPct, r.eqdelMaterialized, r.eqdelKeys)))
+      })),
+    "tag" -> (c => proc(c, "tag",
+      "pin a version under a NAME (graft.tag.<name> property, CAS): " +
+        "vacuum keeps the tagged snapshot's files and manifests, so " +
+        "VERSION AS OF '<name>' stays reproducible until drop_tag — the " +
+        "named training-data-snapshot contract. version => -1 tags the " +
+        "current head.",
+      Seq(p("table", StringType), p("name", StringType),
+        p("version", LongType, Some("-1"))),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("tagged_version", LongType, nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        val name = str(in, 1)
+        val v0 = in.getLong(2)
+        val v = if (v0 >= 0L) v0
+                else TxLog.history(SparkSession.active, t)
+                  .agg(org.apache.spark.sql.functions.max("version"))
+                  .first().getLong(0)
+        val committed = TxLog.tag(SparkSession.active, t, name, v)
+        Array[InternalRow](new GenericInternalRow(Array[Any](committed, v)))
+      })),
+    "drop_tag" -> (c => proc(c, "drop_tag",
+      "drop a named tag — its snapshot's files and manifests become " +
+        "ordinary history again (collectable once aged)",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        val v = TxLog.dropTag(SparkSession.active, t, str(in, 1))
+        Array[InternalRow](new GenericInternalRow(Array[Any](v)))
       })),
     "analyze" -> (c => proc(c, "analyze",
       "opt the columns into the NDV sketch channel AND backfill sketches " +

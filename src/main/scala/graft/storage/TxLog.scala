@@ -686,6 +686,59 @@ object TxLog {
     else Some(readFiles(s, table, past, files))
   }
 
+  // ------------------------------------------------------------------
+  // named tags (r16) — immutable version pins for reproducible reads
+  // ------------------------------------------------------------------
+
+  /** Table-property namespace of NAMED TAGS: `graft.tag.<name>` →
+    * version. A tag publishes through the property CAS (atomic,
+    * versioned, carried by checkpoints like every property) and PINS
+    * its version: [[vacuum]] keeps the files live at every tagged
+    * version and refuses to truncate the manifests that reconstruct
+    * one, so `VERSION AS OF '<name>'` — through the reader option, the
+    * catalog SQL surface or [[snapshotAt]] via [[resolveVersionRef]] —
+    * stays byte-reproducible until the tag drops. The named
+    * training-data-snapshot contract: tag the corpus at cut time,
+    * train against the name, drop the tag when the run is archived. */
+  val TagPropPrefix = "graft.tag."
+
+  /** Tag `version` as `name` (CAS through [[setProperties]]; a later
+    * tag of the same name RE-POINTS it, a committed transaction either
+    * way). The version must be reconstructible from the current log. */
+  def tag(s: SparkSession, table: String, name: String, version: Long): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' would shadow a numeric version reference")
+    val ms = manifests(s, table)
+    require(ms.nonEmpty, s"not a txlog table: $table")
+    manifestsAt(ms, version, table) // loud: beyond head / vacuumed out
+    setProperties(s, table, Map(TagPropPrefix + name -> version.toString))
+  }
+
+  def dropTag(s: SparkSession, table: String, name: String): Long =
+    removeProperties(s, table, Seq(TagPropPrefix + name))
+
+  /** The live tags at head: name → version. */
+  def tags(s: SparkSession, table: String): Map[String, Long] =
+    tagsFrom(propsFrom(manifests(s, table)))
+
+  private[storage] def tagsFrom(props: Map[String, String]): Map[String, Long] =
+    props.collect { case (k, v) if k.startsWith(TagPropPrefix) =>
+      k.drop(TagPropPrefix.length) -> v.toLong }
+
+  /** Resolve a version REFERENCE — a numeric version or a tag name —
+    * to a concrete version. The `VERSION AS OF` doors accept both. */
+  def resolveVersionRef(s: SparkSession, table: String, ref: String): Long = {
+    val r = ref.trim
+    r.toLongOption.getOrElse {
+      tags(s, table).getOrElse(r, throw new IllegalArgumentException(
+        s"VERSION AS OF '$r' on $table: no such tag " +
+          s"(live tags: ${tags(s, table).keys.toSeq.sorted.mkString(", ")})"))
+    }
+  }
+
   /** The log prefix `≤ v` — the manifest set a time-travel read at `v`
     * replays. A version beyond the head OR vacuumed out of the log is
     * an error, not an empty read (the require catches both: truncation
@@ -4379,7 +4432,13 @@ object TxLog {
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0
     val ms = manifests(s, table)
-    val live = liveFiles(ms).toSet
+    // TAGGED versions are PINNED (r16): their live file sets survive
+    // the sweep and their manifests survive truncation — that is the
+    // tag's reproducibility contract. Cost: O(tags) manifest replays,
+    // metadata only.
+    val tagVs = tagsFrom(propsFrom(ms)).values.toSeq.distinct
+    val live = liveFiles(ms).toSet ++
+      tagVs.flatMap(v => liveFiles(manifestsAt(ms, v, table)))
     val cutoff = System.currentTimeMillis() - minAgeMs
     var n = 0
     f.listStatus(dataRoot).foreach { d =>
@@ -4417,7 +4476,10 @@ object TxLog {
           val p = new Path(logDir, manifestName(m.version))
           f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff
         }
-        if (covered && allAged)
+        // a tag below the checkpoint needs the below-checkpoint prefix
+        // to reconstruct its snapshot — truncation waits for the drop
+        val tagPinned = tagVs.exists(_ < cp.version)
+        if (covered && allAged && !tagPinned)
           below.foreach { m =>
             f.delete(new Path(logDir, manifestName(m.version)), false); n += 1
           }

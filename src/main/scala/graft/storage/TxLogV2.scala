@@ -144,13 +144,11 @@ object TxLogV2 {
     * contract (version beyond head / vacuumed = loud). The pinned
     * relation is READ-ONLY: batch writes, row-level DML and the
     * streaming tail all reject it. */
-  private[storage] def versionAsOf(options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("versionAsOf")).map { s =>
-      try s.trim.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"versionAsOf must be a log version (long), got '$s'")
-      }
-    }
+  private[storage] def versionAsOf(spark: SparkSession, path: String,
+                                   options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(s =>
+      // a numeric version, or a NAMED TAG (r16, [[TxLog.tag]])
+      TxLog.resolveVersionRef(spark, path, s))
 
   /** The `timestampAsOf` read option — TIME TRAVEL by wall clock.
     * Accepts epoch millis or a `java.sql` timestamp/date literal
@@ -227,7 +225,7 @@ object TxLogV2 {
     * present (both at once is ambiguous — rejected). */
   private[storage] def resolvedAsOf(spark: SparkSession, path: String,
                                     options: CaseInsensitiveStringMap): Option[Long] = {
-    val byV = versionAsOf(options)
+    val byV = versionAsOf(spark, path, options)
     val byT = timestampAsOf(options)
     require(byV.isEmpty || byT.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")

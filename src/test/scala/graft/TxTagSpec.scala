@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** NAMED TAGS ([[TxLog.tag]], r16): immutable version pins published
+  * through the property CAS. The contract under test: a tagged
+  * snapshot stays byte-reproducible — vacuum keeps its files and the
+  * manifests that reconstruct it, every read door resolves the name
+  * (library ref, V2 `versionAsOf` option, SQL `VERSION AS OF`), and
+  * dropping the tag returns the history to ordinary retention. */
+class TxTagSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("txtag_").resolve("t").toString
+
+  private def gen(t: String, from: Int, until: Int): Unit =
+    spark.range(from, until).select($"id", lit(s"g$from").as("v"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+
+  test("tag, read by name through every door, re-point, drop") {
+    val t = fresh()
+    gen(t, 0, 100)   // v0
+    gen(t, 100, 200) // v1
+    val vTag = TxLog.tag(spark, t, "cut-1", 0L)
+    assert(vTag == 2L, "the tag itself is a committed version")
+    gen(t, 200, 300) // v3
+    assert(TxLog.tags(spark, t) == Map("cut-1" -> 0L))
+    // V2 reader option resolves the name
+    assert(spark.read.format("txlog").option("versionAsOf", "cut-1").load(t)
+      .count() == 100L)
+    // numeric references still work
+    assert(spark.read.format("txlog").option("versionAsOf", "1").load(t)
+      .count() == 200L)
+    // library resolution
+    assert(TxLog.resolveVersionRef(spark, t, "cut-1") == 0L)
+    intercept[IllegalArgumentException] {
+      TxLog.resolveVersionRef(spark, t, "nope")
+    }
+    // re-point is an ordinary committed transaction
+    TxLog.tag(spark, t, "cut-1", 1L)
+    assert(spark.read.format("txlog").option("versionAsOf", "cut-1").load(t)
+      .count() == 200L)
+    TxLog.dropTag(spark, t, "cut-1")
+    assert(TxLog.tags(spark, t).isEmpty)
+    val e = intercept[Exception] {
+      spark.read.format("txlog").option("versionAsOf", "cut-1").load(t).count()
+    }
+    assert(e.getMessage.contains("no such tag"), e.getMessage)
+    // guards: numeric-shadow and bad names refuse; beyond-head refuses
+    intercept[IllegalArgumentException] { TxLog.tag(spark, t, "7", 0L) }
+    intercept[IllegalArgumentException] { TxLog.tag(spark, t, "a b", 0L) }
+    intercept[Exception] { TxLog.tag(spark, t, "ok", 99L) }
+  }
+
+  test("SQL: CALL system.tag + VERSION AS OF '<name>' + drop_tag") {
+    val wh = Files.createTempDirectory("txtag_cat_").toString
+    spark.conf.set("spark.sql.catalog.tagcat", "graft.storage.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tagcat.warehouse", wh)
+    spark.sql("CREATE TABLE tagcat.default.t (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO tagcat.default.t SELECT id, 'a' FROM range(50)")
+    val r = spark.sql(
+      "CALL tagcat.system.tag(table => 'default.t', name => 'nightly')")
+      .collect()(0)
+    assert(r.getAs[Long]("tagged_version") == 1L, r.toString)
+    spark.sql("INSERT INTO tagcat.default.t SELECT id, 'b' FROM range(50, 150)")
+    assert(spark.sql(
+      "SELECT count(*) FROM tagcat.default.t VERSION AS OF 'nightly'")
+      .as[Long].head() == 50L)
+    assert(spark.table("tagcat.default.t").count() == 150L)
+    spark.sql("CALL tagcat.system.drop_tag(table => 'default.t', name => 'nightly')")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM tagcat.default.t VERSION AS OF 'nightly'")
+        .collect()
+    }
+    spark.sql("DROP TABLE tagcat.default.t")
+  }
+
+  test("vacuum keeps a tagged snapshot's files and manifests; drop releases them") {
+    val t = fresh()
+    gen(t, 0, 100)   // v0: one file
+    gen(t, 100, 200) // v1
+    TxLog.tag(spark, t, "pin", 1L) // v2
+    // a COW delete rewrites v0/v1's files; compact checkpoints
+    TxLog.delete(spark, t, $"id" < 150L, "tagdel", 0L) // v3
+    TxLog.compact(spark, t, targetBytes = 1L << 30)    // v4 checkpoint
+    assert(spark.read.format("txlog").load(t).count() == 50L)
+    // vacuum at zero age: without the tag the pre-delete files AND the
+    // below-checkpoint manifests would go; the pin keeps both
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    assert(spark.read.format("txlog").option("versionAsOf", "pin").load(t)
+      .orderBy("id").as[(Long, String)].collect().length == 200,
+      "the tagged snapshot must survive vacuum byte-for-byte")
+    assert(spark.read.format("txlog").load(t).count() == 50L)
+    // drop the tag: the history becomes ordinary retention and the
+    // same vacuum now truncates + collects
+    TxLog.dropTag(spark, t, "pin")
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    intercept[Exception] {
+      spark.read.format("txlog").option("versionAsOf", "1").load(t).count()
+    }
+    assert(spark.read.format("txlog").load(t).count() == 50L,
+      "the live state must be untouched by the release")
+  }
+}

@@ -73,10 +73,13 @@ class TxV2PolishSpec extends AnyFunSuite {
     val t = history()
     val e = intercept[Exception] { readAt(t, 17L).collect() }
     assert(e.getMessage.contains("version 17"), e.getMessage)
+    // a non-numeric reference resolves as a NAMED TAG (r16) — an
+    // unknown name is loud and names the bad reference
     val e2 = intercept[Exception] {
       spark.read.format("txlog").option("versionAsOf", "tuesday").load(t).collect()
     }
-    assert(e2.getMessage.contains("versionAsOf"), e2.getMessage)
+    assert(e2.getMessage.contains("tuesday") &&
+      e2.getMessage.contains("no such tag"), e2.getMessage)
   }
 
   test("versionAsOf serves the schema AS OF the version (pre-evolution)") {
