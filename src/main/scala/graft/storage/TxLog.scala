@@ -713,7 +713,20 @@ object TxLog {
       s"tag name '$name' would shadow a numeric version reference")
     val ms = manifests(s, table)
     require(ms.nonEmpty, s"not a txlog table: $table")
-    manifestsAt(ms, version, table) // loud: beyond head / vacuumed out
+    val past = manifestsAt(ms, version, table) // loud: beyond head / vacuumed
+    // a tag is a reproducibility PROMISE — refuse to mint one over a
+    // snapshot an earlier vacuum already broke. Only files absent from
+    // the CURRENT live set need probing (live files trivially exist),
+    // so a head tag costs zero filesystem round-trips.
+    val atRisk = liveFiles(past).toSet -- liveFiles(ms).toSet
+    if (atRisk.nonEmpty) {
+      val root = new Path(table)
+      val f = fs(s, root)
+      val gone = atRisk.find(r => !f.exists(new Path(root, r)))
+      require(gone.isEmpty,
+        s"cannot tag $table@v$version as '$name': data file ${gone.get} " +
+          "was already vacuumed — the snapshot is not reconstructible")
+    }
     setProperties(s, table, Map(TagPropPrefix + name -> version.toString))
   }
 
@@ -3998,6 +4011,16 @@ object TxLog {
       s"cannot restore $table to v$v: equality deletes were live at that " +
         "version — restore to a version at/after their materialization " +
         "(compact / materializeEqDels)")
+    // NAMED TAGS are reproducibility PROMISES: a restore re-records the
+    // properties AS OF v, which would silently drop any tag minted
+    // after v and strand its pinned snapshot unprotected — make the
+    // user break the promise explicitly first
+    val droppedTags = tagsFrom(propsFrom(ms)).keySet --
+      tagsFrom(propsFrom(past)).keySet
+    require(droppedTags.isEmpty,
+      s"cannot restore $table to v$v: it would silently drop tag(s) " +
+        s"${droppedTags.toSeq.sorted.mkString(", ")} minted after v$v — " +
+        "dropTag first if the pins are no longer wanted")
     if (targetSet == currentSet &&
         targetDvs.view.mapValues(_.p).toMap == currentDvs.view.mapValues(_.p).toMap)
       return head

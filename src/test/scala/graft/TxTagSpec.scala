@@ -59,6 +59,21 @@ class TxTagSpec extends AnyFunSuite {
     intercept[Exception] { TxLog.tag(spark, t, "ok", 99L) }
   }
 
+  test("tagging a snapshot an earlier vacuum already broke refuses at mint") {
+    val t = fresh()
+    gen(t, 0, 100)   // v0
+    TxLog.delete(spark, t, $"id" < 50L, "d", 0L) // v1 rewrites v0's file
+    TxLog.vacuum(spark, t, minAgeMs = 0L)        // v0's file collected
+    val e = intercept[IllegalArgumentException] {
+      TxLog.tag(spark, t, "late", 0L)
+    }
+    assert(e.getMessage.contains("already vacuumed"), e.getMessage)
+    // the head is always taggable
+    TxLog.tag(spark, t, "head-pin", 1L)
+    assert(spark.read.format("txlog").option("versionAsOf", "head-pin")
+      .load(t).count() == 50L)
+  }
+
   test("SQL: CALL system.tag + VERSION AS OF '<name>' + drop_tag") {
     val wh = Files.createTempDirectory("txtag_cat_").toString
     spark.conf.set("spark.sql.catalog.tagcat", "graft.storage.GraftCatalog")
@@ -80,6 +95,18 @@ class TxTagSpec extends AnyFunSuite {
         .collect()
     }
     spark.sql("DROP TABLE tagcat.default.t")
+  }
+
+  test("RESTORE past a tag refuses (the pin is a promise); dropTag unblocks") {
+    val t = fresh()
+    gen(t, 0, 100)   // v0
+    gen(t, 100, 200) // v1
+    TxLog.tag(spark, t, "pin", 1L) // v2, minted AFTER v0
+    val e = intercept[IllegalArgumentException] { TxLog.restore(spark, t, 0L) }
+    assert(e.getMessage.contains("pin"), e.getMessage)
+    TxLog.dropTag(spark, t, "pin")
+    TxLog.restore(spark, t, 0L)
+    assert(spark.read.format("txlog").load(t).count() == 100L)
   }
 
   test("vacuum keeps a tagged snapshot's files and manifests; drop releases them") {
