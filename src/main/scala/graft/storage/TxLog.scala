@@ -711,6 +711,8 @@ object TxLog {
       s"tag name '$name' must be [A-Za-z0-9._-]+")
     require(name.toLongOption.isEmpty,
       s"tag name '$name' would shadow a numeric version reference")
+    require(!name.equalsIgnoreCase("latest"),
+      "tag name 'latest' would shadow the stream-start sentinel")
     val ms = manifests(s, table)
     require(ms.nonEmpty, s"not a txlog table: $table")
     val past = manifestsAt(ms, version, table) // loud: beyond head / vacuumed

@@ -188,7 +188,13 @@ object TxLogV2 {
     val byT = Option(options.get("startingTimestamp"))
     require(byV.isEmpty || byT.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
-    byV.orElse(byT.map { raw =>
+    // a numeric version, the stream's 'latest' sentinel, or a NAMED
+    // TAG (r16) — `startingVersion 'cut-1'` windows a change feed or
+    // starts a tail at the pinned version
+    byV.map(v =>
+      if (v.trim.equalsIgnoreCase("latest")) v
+      else TxLog.resolveVersionRef(spark, table, v).toString)
+    .orElse(byT.map { raw =>
       val t = parseTsMillis(raw, "startingTimestamp")
       TxLog.firstVersionAtOrAfter(TxLog.manifests(spark, table), t, table).toString
     })
@@ -215,10 +221,11 @@ object TxLogV2 {
     val byT = Option(options.get("endingTimestamp"))
     require(byV.isEmpty || byT.isEmpty,
       "endingVersion and endingTimestamp are mutually exclusive")
-    byV.orElse(byT.map { raw =>
-      val t = parseTsMillis(raw, "endingTimestamp")
-      TxLog.versionAtTimestamp(TxLog.manifests(spark, table), t, table).toString
-    })
+    byV.map(v => TxLog.resolveVersionRef(spark, table, v).toString)
+      .orElse(byT.map { raw =>
+        val t = parseTsMillis(raw, "endingTimestamp")
+        TxLog.versionAtTimestamp(TxLog.manifests(spark, table), t, table).toString
+      })
   }
 
   /** The version a read pins to, from whichever time-travel option is

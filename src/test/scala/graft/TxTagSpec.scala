@@ -59,6 +59,37 @@ class TxTagSpec extends AnyFunSuite {
     intercept[Exception] { TxLog.tag(spark, t, "ok", 99L) }
   }
 
+  test("tags window the change feed and start a stream tail") {
+    val t = fresh()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    gen(t, 0, 100)   // v1
+    TxLog.tag(spark, t, "cut-a", 1L) // v2
+    gen(t, 100, 250) // v3
+    TxLog.tag(spark, t, "cut-b", 3L) // v4
+    gen(t, 250, 300) // v5
+    // the feed windowed by tag names — the options keep their numeric
+    // semantics (both INCLUSIVE), the names just resolve: [cut-a,
+    // cut-b] = v1's 100 + v3's 150
+    val feed = spark.read.format("txlog")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "cut-a").option("endingVersion", "cut-b")
+      .load(t)
+    assert(feed.count() == 250L, s"inclusive [cut-a, cut-b] window: ${feed.count()}")
+    // a stream tail starting AT a tag's version (inclusive): the cut's
+    // own append + everything after
+    val name = s"tagtail_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog")
+      .option("path", t).option("startingVersion", "cut-b").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("txtag_st_").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).count() == 200L,
+      "tail from the tag (inclusive) = the cut's append + the post-cut one")
+    // 'latest' stays the stream sentinel — the name refuses at mint
+    intercept[IllegalArgumentException] { TxLog.tag(spark, t, "latest", 1L) }
+  }
+
   test("tagging a snapshot an earlier vacuum already broke refuses at mint") {
     val t = fresh()
     gen(t, 0, 100)   // v0
