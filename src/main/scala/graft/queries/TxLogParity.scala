@@ -719,6 +719,64 @@ object TxLogParity {
       .orderBy("o_orderpriority")
   }
 
+  /** CHANGE FEED × EQUALITY DELETES (r17, [[TxLog.upsertByKeys]] /
+    * [[TxLog.deleteByKeys]] on a `changeFeed` table): the keyed-CDC
+    * history a real upsert pipeline produces, read back through
+    * `readChangeFeed` per (version, change type). The commit versions
+    * are deterministic by construction — v0/v1 appends, v2 feed-on,
+    * v3 keyed delete (key%7==3), v4 keyed upsert (replace key%5==2
+    * with a bumped custkey, re-upsert key%17==1 UNCHANGED — the
+    * identical rows must CANCEL, except those v3 already deleted,
+    * which come back as pure re-inserts — and insert the key>k2 era),
+    * v5 multi-column keyed delete over the live state. The hash
+    * proves the capture's scoping end-to-end: the v4 pre-image
+    * excludes v3's deleted keys (prior debt applies to the capture
+    * read), replaced rows retract at their ORIGINAL custkey and add
+    * at the bumped one, identical re-upserts record nothing, and the
+    * v5 pre-image carries the post-upsert values. DuckDB replays
+    * every version's delta as set algebra over raw orders. */
+  private val builtEqCdf = new ConcurrentHashMap[String, String]()
+
+  private def eqdelCdfTable(s: SparkSession, dir: String): String =
+    builtEqCdf.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_eqcdf_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val (k1, k2) = (m / 3, 2 * m / 3)
+      orders.where(col("o_orderkey") <= k1).coalesce(2)
+        .write.format("txlog").mode("append").save(t)                    // v0
+      orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2)
+        .coalesce(2).write.format("txlog").mode("append").save(t)        // v1
+      TxLog.setProperties(s, t, Map(TxLog.ChangeFeedProp -> "true"))     // v2
+      TxLog.deleteByKeys(
+        orders.where(col("o_orderkey") % 7 === 3).select("o_orderkey"),
+        t, "oracle-eqcdf-d", 0L)                                         // v3
+      val src = orders
+        .where(col("o_orderkey") % 5 === 2 && col("o_orderkey") <= k2)
+        .withColumn("o_custkey", col("o_custkey") + 9000000L)
+        .unionByName(orders.where(col("o_orderkey") % 17 === 1 &&
+          col("o_orderkey") % 5 =!= 2 && col("o_orderkey") <= k2))
+        .unionByName(orders.where(col("o_orderkey") > k2))
+      TxLog.upsertByKeys(src, t, Seq("o_orderkey"), "oracle-eqcdf-u", 0L) // v4
+      TxLog.deleteByKeys(
+        orders.where(col("o_orderkey") % 11 === 7 &&
+          col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_orderstatus"),
+        t, "oracle-eqcdf-d2", 0L)                                        // v5
+      t
+    })
+
+  val eqdelCdf: Q = (s, dir) => {
+    val t = eqdelCdfTable(s, dir)
+    s.read.format("txlog").option("readChangeFeed", "true").load(t)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+      .orderBy("_commit_version", "_change_type")
+  }
+
   /** GENERATED COLUMNS (r16, [[graft.storage.TxGen]] / GENERATED
     * ALWAYS AS): a catalog table whose `bucket` column derives from
     * the key and custkey, populated through BOTH write doors — a SQL
@@ -877,6 +935,7 @@ object TxLogParity {
     "txlog_default" -> defaulted,
     "txlog_spj_join" -> spjJoin,
     "txlog_eqdel" -> eqdel,
+    "txlog_eqdel_cdf" -> eqdelCdf,
     "txlog_gencol" -> gencol,
     "txlog_view" -> viewRead,
     "txlog_mview" -> mview,
@@ -1066,6 +1125,53 @@ object TxLogParity {
            AND NOT (o_orderkey % 13 = 6 AND o_orderstatus = 'F')
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    // the keyed-CDC feed replayed per (version, change type): v0/v1
+    // the era appends; v3 deletes = matched era12 rows (key%7==3);
+    // v4 = the upsert's retract/add — replaced rows (key%5==2, not
+    // already deleted at v3) retract at their ORIGINAL custkey and add
+    // bumped, identical re-upserts (key%17==1) cancel EXCEPT the keys
+    // v3 deleted (pure re-inserts), the key>k2 era inserts; v5 deletes
+    // = the LIVE-at-v4 rows matching (key%11==7, status 'O') — bumped
+    // custkey where v4 replaced them
+    "txlog_eqdel_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st
+                    FROM orders),
+           mx AS (SELECT max(k) AS m FROM o),
+           e12 AS (SELECT k, c, st FROM o
+                   WHERE k <= (2 * (SELECT m FROM mx)) // 3),
+           e1 AS (SELECT k, c, st FROM o WHERE k <= (SELECT m FROM mx) // 3),
+           e2 AS (SELECT k, c, st FROM e12
+                  WHERE k > (SELECT m FROM mx) // 3),
+           e3 AS (SELECT k, c, st FROM o
+                  WHERE k > (2 * (SELECT m FROM mx)) // 3),
+           live4 AS (
+             SELECT k, c, st FROM e12
+             WHERE k % 5 <> 2 AND (k % 7 <> 3 OR k % 17 = 1)
+             UNION ALL
+             SELECT k, c + 9000000 AS c, st FROM e12 WHERE k % 5 = 2
+             UNION ALL
+             SELECT k, c, st FROM e3),
+           feed AS (
+             SELECT 0 AS v, 'insert' AS ct, k, c FROM e1
+             UNION ALL SELECT 1, 'insert', k, c FROM e2
+             UNION ALL SELECT 3, 'delete', k, c FROM e12 WHERE k % 7 = 3
+             UNION ALL SELECT 4, 'delete', k, c FROM e12
+               WHERE k % 5 = 2 AND k % 7 <> 3
+             UNION ALL SELECT 4, 'insert', k, c + 9000000 FROM e12
+               WHERE k % 5 = 2
+             UNION ALL SELECT 4, 'insert', k, c FROM e12
+               WHERE k % 17 = 1 AND k % 5 <> 2 AND k % 7 = 3
+             UNION ALL SELECT 4, 'insert', k, c FROM e3
+             UNION ALL SELECT 5, 'delete', k, c FROM live4
+               WHERE k % 11 = 7 AND st = 'O')
+         SELECT CAST(v AS BIGINT) AS _commit_version,
+                ct AS _change_type,
+                count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS key_sum,
+                CAST(sum(c) AS BIGINT) AS cust_sum
+         FROM feed
+         GROUP BY v, ct
+         ORDER BY v, ct""",
     // the view's final state = aggregate of the source's live rows:
     // (gen0 ∪ gen1 non-URGENT) ∪ gen2, custkey bumped on key % 10 = 0
     // (the UPDATE ran last, across all live rows). A from-scratch

@@ -1321,9 +1321,10 @@ object TxLog {
     validateProps(table, set, tableSchema(s, table))
     // the change feed cannot be enabled over live equality deletes: the
     // keyed commits that created them captured no changes, so a feed
-    // crossing those versions would silently under-report — and future
-    // keyed writes are refused on feed-enabled tables for the same
-    // reason ([[guardEqDelChangeFeed]])
+    // crossing those versions would silently under-report. Once the
+    // feed is ON, keyed writes capture their delta at commit
+    // ([[keyedChangeCapture]]) — the refusal is only about the
+    // pre-enablement debt.
     if (set.get(ChangeFeedProp).contains("true"))
       require(liveEqDels(manifests(s, table)).isEmpty,
         s"cannot enable $ChangeFeedProp on $table: live equality deletes " +
@@ -2350,7 +2351,9 @@ object TxLog {
                              pcols: Seq[String] = Seq.empty,
                              cmAtStaging: Option[ColMap] = None,
                              addDefault: Option[(String, String)] = None,
-                             eqdels: Seq[EqDelEntry] = Seq.empty)
+                             eqdels: Seq[EqDelEntry] = Seq.empty,
+                             changes: Seq[String] = Seq.empty,
+                             captureBase: Option[Long] = None)
       : Long = {
     incoming.foreach(guardReservedCols) // every data/evolve commit records one
     // race-injection seam (TxColMapSpec): fires ONCE at publish entry —
@@ -2481,11 +2484,25 @@ object TxLog {
               "re-run against the new snapshot")
         }
       }
+      // CHANGE-CAPTURE GUARD ([[keyedChangeCapture]]): the staged delta
+      // diffed the snapshot at `captureBase` — a concurrent commit that
+      // changed the row multiset past it would make the recorded
+      // pre-image silently wrong (rows it added would be keyed-deleted
+      // uncaptured). Conflict loudly; metadata-only commits rebase fine.
+      captureBase.foreach { base =>
+        ms.filter(_.version > base).find(m =>
+            m.checkpoint || m.files.nonEmpty || m.removes.nonEmpty ||
+              m.dvs.nonEmpty || m.eqdels.nonEmpty || m.eqdrops.nonEmpty)
+          .foreach(m => throw new java.util.ConcurrentModificationException(
+            s"table $table changed rows at v${m.version} during a keyed write's " +
+              "change capture — re-run on the new snapshot"))
+      }
       val target = new Path(logDir, manifestName(v))
       val bytes =
         render(Manifest(v, files, writerId, batchId, checkpoint, stats,
           schema = schemaDdl, pcols = pcols, ts = commitTimeMs(),
-          cmap = cmapOut, props = propsOut, eqdels = eqdels))
+          cmap = cmapOut, props = propsOut, eqdels = eqdels,
+          changes = changes))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
@@ -2730,12 +2747,15 @@ object TxLog {
   // EQUALITY DELETES / keyed CDC upsert ([[TxEqDel]])
   //
   // The write half of the Iceberg equality-delete model: deleteByKeys
-  // and upsertByKeys NEVER read the table — one key sidecar (plus the
-  // upsert's data files) commits in one manifest, so a streaming CDC
-  // feed ingests at O(batch) cost per micro-batch where the DV merge
-  // pays a zone-pruned candidate scan. Readers anti-join the bounded
-  // live key debt; compact()/materializeEqDels() convert it back to
-  // positions/rewrites. Scope rule and read semantics: [[EqDelEntry]].
+  // and upsertByKeys NEVER rewrite the table — one key sidecar (plus
+  // the upsert's data files) commits in one manifest, so a streaming
+  // CDC feed ingests at O(batch) cost per micro-batch where the DV
+  // merge pays a zone-pruned candidate scan. Readers anti-join the
+  // bounded live key debt; compact()/materializeEqDels() convert it
+  // back to positions/rewrites. On a CHANGE-FEED table a keyed write
+  // additionally captures its retract/add delta at commit (a pruned
+  // pre-image read, [[keyedChangeCapture]]) so the feed stays
+  // row-true end-to-end. Scope rule and read semantics: [[EqDelEntry]].
   // ------------------------------------------------------------------
 
   private def eqDelMaxKeys(props: Map[String, String]): Long =
@@ -2812,6 +2832,76 @@ object TxLog {
     filtered.drop("__gseq")
   }
 
+  /** Per-column envelope of one sidecar's key set, as a pruning
+    * predicate over the LOGICAL columns `lcols` of types `types`:
+    * every key column bounded by its sidecar min/max. Sound for zone
+    * pruning (a file outside any bound can hold no matching row) and
+    * shared by [[materializeEqDels]]'s candidate cut and the keyed
+    * change capture's pre-image scan. */
+  private def eqDelEnvelopePred(ks: TxEqDel.KeySet, lcols: Seq[String],
+                                types: Seq[org.apache.spark.sql.types.DataType])
+      : Column =
+    if (ks.cardinality == 0L) lit(false)
+    else lcols.indices.map { i =>
+      var vals = List.empty[AnyRef]
+      ks.rows.foreach(r => vals = r(i) :: vals)
+      if (ks.tags(i) == 'l') {
+        val ls = vals.map(_.asInstanceOf[java.lang.Long].longValue)
+        col(quoted(lcols(i))) >= lit(eqDelExternal(
+          java.lang.Long.valueOf(ls.min), types(i))) &&
+          col(quoted(lcols(i))) <= lit(eqDelExternal(
+            java.lang.Long.valueOf(ls.max), types(i)))
+      } else {
+        val ss = vals.map(_.toString)
+        col(quoted(lcols(i))) >= lit(ss.min) && col(quoted(lcols(i))) <= lit(ss.max)
+      }
+    }.reduce(_ && _)
+
+  /** CHANGE capture of ONE keyed write on a change-feed table: the
+    * delete-side pre-image is the PRIOR snapshot's live rows matching
+    * the staged key set — found by a zone/bloom-pruned candidate scan
+    * (the keys' envelope, [[eqDelEnvelopePred]]) plus an exact
+    * broadcast semi-join against the sidecar keys — and the insert
+    * side is the upsert's own batch (empty for deleteByKeys).
+    * O(matched rows + pruned read): the feed costs a bounded read, but
+    * the keyed write still never REWRITES the table — no replacement
+    * files are staged, the delete stays key-addressed. Identical rows
+    * cancel in [[stageChangePair]], so re-upserting an unchanged row
+    * records no change. The capture is valid only against `ms`'s head
+    * — the commit guards it with `captureBase` (a concurrent
+    * row-changing commit conflicts rather than under-report). */
+  private def keyedChangeCapture(s: SparkSession, table: String,
+                                 ms: Seq[Manifest], entry: EqDelEntry,
+                                 inserts: Option[DataFrame]): Seq[String] = {
+    import org.apache.spark.sql.functions.broadcast
+    val sch = tableSchemaFrom(ms).getOrElse(throw new IllegalStateException(
+      s"change capture on $table needs a recorded schema"))
+    def empty: DataFrame = s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+    val rev = logicalNameMap(colMapFrom(ms))
+    val lcols = entry.cols.map(p => rev.getOrElse(p, p))
+    val types = lcols.map(c => sch(c).dataType)
+    val ks = TxEqDel.read(s, table, entry.p)
+    val files = liveFiles(ms)
+    val old =
+      if (ks.cardinality == 0L || files.isEmpty) empty
+      else {
+        val candidates = pruned(s, table, eqDelEnvelopePred(ks, lcols, types),
+          files, liveStats(ms), ms)
+        if (candidates.isEmpty) empty
+        else {
+          val knames = lcols.map("__eqk_" + _)
+          val keysDf = eqDelKeysDf(s, table, entry, types, knames)
+          val base = readFiles(s, table, ms, candidates)
+          val cond = lcols.zip(knames).map { case (c, k) =>
+            base(quoted(c)) === keysDf(quoted(k)) }.reduce(_ && _)
+          base.join(broadcast(keysDf), cond, "left_semi")
+        }
+      }
+    stageChangePair(s, table, old, inserts.getOrElse(empty),
+      sizeHint = 1, cmOverride = Some(colMapFrom(ms)))
+  }
+
   /** Validate, align, deduplicate and stage ONE equality-delete key
     * sidecar from `keysDf` (logical column names). Returns None when
     * the live key debt plus this batch would exceed the cap — callers
@@ -2858,19 +2948,15 @@ object TxLog {
   def liveEqDelCount(s: SparkSession, table: String): Long =
     liveEqDels(manifests(s, table)).map(_._2.n).sum
 
-  private def guardEqDelChangeFeed(table: String, props: Map[String, String]): Unit =
-    require(!props.get(ChangeFeedProp).contains("true"),
-      s"equality deletes on $table are unsupported with $ChangeFeedProp=true — " +
-        "a keyed write never reads the table, so it cannot capture its " +
-        "row-level changes; use delete()/merge() (position-based, captured)")
-
   /** DELETE every row whose key tuple appears in `keys` (one column
     * per key) — WITHOUT reading the table: the keys stage as one
     * [[TxEqDel]] sidecar and commit as one manifest entry applying to
     * every live file. O(|keys|) whatever the table size. Exactly-once
     * under the (writerId, batchId) token like [[commit]]. Refuses past
-    * the key-debt cap (run [[compact]]/[[materializeEqDels]]) and on
-    * change-feed tables (the keyed write cannot capture changes). */
+    * the key-debt cap (run [[compact]]/[[materializeEqDels]]). On a
+    * change-feed table the delete-side delta is captured at commit
+    * ([[keyedChangeCapture]] — a pruned pre-image read, still no
+    * rewrite), and a concurrent row-changing commit conflicts. */
   def deleteByKeys(keys: DataFrame, table: String, writerId: String,
                    batchId: Long, maxRetries: Int = 20): Long = {
     guardWriterId(writerId)
@@ -2884,15 +2970,19 @@ object TxLog {
     val ms0 = manifests(s, table)
     require(ms0.nonEmpty, s"not a txlog table: $table")
     if (tokenTaken(ms0, writerId, batchId)) return -1L
-    guardEqDelChangeFeed(table, propsFrom(ms0))
     val entry = stageEqDelEntry(s, table, ms0, keys).getOrElse(
       throw new IllegalArgumentException(
         s"deleteByKeys on $table would push the live equality-delete key debt " +
           s"past ${TxEqDel.MaxKeysProp} (${eqDelMaxKeys(propsFrom(ms0))}) — run " +
           "compact() or materializeEqDels() to convert the debt to positions, " +
           "or use delete() (position-based)"))
+    val feedOn = propsFrom(ms0).get(ChangeFeedProp).contains("true")
+    val changes =
+      if (!feedOn) Seq.empty
+      else keyedChangeCapture(s, table, ms0, entry, inserts = None)
     commitManifest(s, table, Seq.empty, Seq.empty, writerId, batchId,
-      checkpoint = false, maxRetries, eqdels = Seq(entry))
+      checkpoint = false, maxRetries, eqdels = Seq(entry), changes = changes,
+      captureBase = if (feedOn) Some(ms0.last.version) else None)
   }
 
   /** UPSERT `source` by `keys` — the streaming-CDC write shape: append
@@ -2934,11 +3024,7 @@ object TxLog {
         s"upsert source columns ${source.columns.toSet} != table columns " +
           s"${t.fieldNames.toSet}")
     }
-    // a change-feed table needs its row-level changes captured — the
-    // position-based merge does that; semantics are identical
-    if (propsFrom(ms0).get(ChangeFeedProp).contains("true"))
-      return mergeInternal(source, table, keys, writerId, batchId,
-        beforeCommit).version
+    val feedOn = propsFrom(ms0).get(ChangeFeedProp).contains("true")
     val ordered = sch.map(t =>
       source.select(t.fieldNames.toSeq.map(c => col(quoted(c))): _*)).getOrElse(source)
     // MATERIALIZE the source (the merge rationale): the staged data and
@@ -2953,6 +3039,13 @@ object TxLog {
           mergeInternal(src, table, keys, writerId, batchId, beforeCommit)
             .version
         case Some(entry) =>
+          // change-feed tables: capture the retract/add delta now —
+          // replaced prior rows (pruned pre-image) as deletes, the
+          // batch as inserts ([[keyedChangeCapture]]); the write still
+          // stages no replacement files
+          val changes =
+            if (!feedOn) Seq.empty
+            else keyedChangeCapture(s, table, ms0, entry, inserts = Some(src))
           val pcols = partitionColsFrom(ms0)
           val root = new Path(table)
           val (rel, stats) =
@@ -2963,7 +3056,8 @@ object TxLog {
           commitManifest(s, table, rel, stats, writerId, batchId,
             checkpoint = false, maxRetries, incoming = Some(src.schema),
             pcols = pcols, cmAtStaging = Some(colMapFrom(ms0)),
-            eqdels = Seq(entry))
+            eqdels = Seq(entry), changes = changes,
+            captureBase = if (feedOn) Some(ms0.last.version) else None)
       }
     } finally { src.unpersist(); () }
   }
@@ -2995,24 +3089,10 @@ object TxLog {
     val sch = tableSchemaFrom(ms)
     val perEntryPred: Seq[Column] = live.map { case (_, e) =>
       val ks = TxEqDel.read(s, table, e.p)
-      if (ks.cardinality == 0L) lit(false)
-      else e.cols.zipWithIndex.map { case (p, i) =>
-        val lname = rev.getOrElse(p, p)
-        val dt = sch.map(_.apply(lname).dataType).getOrElse(
-          org.apache.spark.sql.types.LongType)
-        var vals = List.empty[AnyRef]
-        ks.rows.foreach(r => vals = r(i) :: vals)
-        if (ks.tags(i) == 'l') {
-          val ls = vals.map(_.asInstanceOf[java.lang.Long].longValue)
-          col(quoted(lname)) >= lit(eqDelExternal(
-            java.lang.Long.valueOf(ls.min), dt)) &&
-            col(quoted(lname)) <= lit(eqDelExternal(
-              java.lang.Long.valueOf(ls.max), dt))
-        } else {
-          val ss = vals.map(_.toString)
-          col(quoted(lname)) >= lit(ss.min) && col(quoted(lname)) <= lit(ss.max)
-        }
-      }.reduce(_ && _)
+      val lcols = e.cols.map(p => rev.getOrElse(p, p))
+      val types = lcols.map(c => sch.map(_.apply(c).dataType).getOrElse(
+        org.apache.spark.sql.types.LongType))
+      eqDelEnvelopePred(ks, lcols, types)
     }
     val candidates = pruned(s, table,
       perEntryPred.reduceOption(_ || _).getOrElse(lit(true)),
@@ -3041,7 +3121,13 @@ object TxLog {
       schemaDdl = ddlOf(tableSchemaFrom(ms).getOrElse(
         readFiles(s, table, ms, files.take(1)).schema)),
       readSet = candidates, dvs = entries,
-      eqdrops = live.map(_._2.p))
+      eqdrops = live.map(_._2.p),
+      // debt → vectors is ROW-INVARIANT (the DVs materialize exactly
+      // the filtering readers already applied), so on a change-feed
+      // table this commit is feed-invariant: the delta was captured at
+      // the keyed commits ([[keyedChangeCapture]]) — capturing here
+      // would re-report those rows deleted
+      captureOverride = Some(() => Seq.empty))
   }
 
   /** SQL DELETE: remove the rows where `pred` is TRUE (FALSE and NULL

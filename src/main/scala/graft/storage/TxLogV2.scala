@@ -1359,14 +1359,28 @@ object TxLogCdf {
         // maintenance checkpoints above (and exempt from the pre-feed
         // loudness below: there never was a delta to record)
         Seq.empty
-      else if (m.removes.nonEmpty || m.dvs.nonEmpty || m.changes.nonEmpty) {
+      else if (m.removes.nonEmpty || m.dvs.nonEmpty || m.changes.nonEmpty ||
+          m.eqdels.nonEmpty || m.eqdrops.nonEmpty) {
         // dvs: a merge-on-read DML is a rewrite with possibly EMPTY
-        // removes — its captured change files carry the delta
-        if (m.changes.isEmpty && !TxLog.changeFeedAt(ms, m.version))
+        // removes — its captured change files carry the delta.
+        // eqdels: a keyed write (deleteByKeys/upsertByKeys) captures
+        // its retract/add delta at commit on feed tables — its data
+        // files must NOT also serve as plain inserts (the `-i` change
+        // files are the insert half, post-cancelation). eqdrops: a
+        // materialization is row-invariant and serves its (empty)
+        // capture — never the rewritten layout.
+        if (m.changes.isEmpty && m.eqdels.isEmpty && m.eqdrops.isEmpty &&
+            !TxLog.changeFeedAt(ms, m.version))
           throw new IllegalStateException(
             s"v${m.version} of $table rewrote rows BEFORE the change feed was " +
               s"enabled — the delta was never recorded (set ${TxLog.ChangeFeedProp}" +
               "=true before running DML)")
+        if (m.changes.isEmpty && (m.eqdels.nonEmpty || m.eqdrops.nonEmpty) &&
+            !TxLog.changeFeedAt(ms, m.version))
+          throw new IllegalStateException(
+            s"v${m.version} of $table committed equality deletes BEFORE the " +
+              "change feed was enabled — the delta was never recorded " +
+              s"(materialize the debt, then set ${TxLog.ChangeFeedProp}=true)")
         m.changes.map(rel => Entry(rel, typeOf(rel), m.version))
       } else m.files.map(rel => Entry(rel, "insert", m.version))
     }
@@ -1405,11 +1419,19 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
   override def readSchema(): StructType =
     StructType(readDataSchema.fields ++ metaFields)
 
-  /** DV pointers of a STREAM's initial-snapshot batch, set by
-    * [[TxLogChangeStream.planInputPartitions]] — deleted rows must not
-    * be served as snapshot "insert"s. Range reads never set this
-    * (change files are net data; DV'd versions serve their captures). */
+  /** Row filters of a STREAM's initial-snapshot batch, set by
+    * [[TxLogChangeStream.planInputPartitions]] — DV'd or keyed-deleted
+    * rows must not be served as snapshot "insert"s. Range reads never
+    * set these (change files are net data; DV'd / keyed versions serve
+    * their captures). */
   @volatile private[storage] var snapshotDvs: Map[String, String] = Map.empty
+  @volatile private[storage] var snapshotEq: Seq[(Long, TxLog.EqDelEntry)] = Seq.empty
+  @volatile private[storage] var snapshotSeqs: Map[String, Long] = Map.empty
+  @volatile private[storage] var snapshotFiles: Seq[String] = Seq.empty
+
+  private def snapshotWorked(rel: String): Boolean =
+    snapshotDvs.contains(rel) ||
+      snapshotEq.exists(_._1 > snapshotSeqs.getOrElse(rel, Long.MaxValue))
 
   private[storage] def partitions(entries: Seq[Entry],
                                   stats: Map[String, TxStats.FileStats])
@@ -1424,11 +1446,11 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       GraftParquetIO.partitionedFile(TxLog.absPath(table)(e.rel),
         TxLogV2.fileBytes(spark, table, e.rel, stats), pv)
     }
-    val (dvE, cleanE) = entries.partition(e => snapshotDvs.contains(e.rel))
-    if (dvE.isEmpty) GraftParquetIO.filePartitions(spark, entries.map(pf))
+    val (workE, cleanE) = entries.partition(e => snapshotWorked(e.rel))
+    if (workE.isEmpty) GraftParquetIO.filePartitions(spark, entries.map(pf))
     else
       GraftParquetIO.filePartitions(spark, cleanE.map(pf)) ++
-        dvE.flatMap(e => GraftParquetIO.filePartitions(spark, Seq(pf(e))))
+        workE.flatMap(e => GraftParquetIO.filePartitions(spark, Seq(pf(e))))
   }
 
   override def toBatch: Batch = this
@@ -1470,18 +1492,49 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
     val physRead = TxLog.physicalSchemaOf(readDataSchema, cm)
     val clean = GraftParquetIO.readerFactory(spark, physBase, physRead,
       StructType(metaFields), Array.empty)
-    if (snapshotDvs.isEmpty) clean
-    else {
-      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      val riField = org.apache.spark.sql.types.StructField(
-        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-        org.apache.spark.sql.types.LongType, nullable = true)
+    if (snapshotDvs.isEmpty && snapshotEq.isEmpty) return clean
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val riField = org.apache.spark.sql.types.StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    if (snapshotEq.isEmpty) {
       val withRi = GraftParquetIO.readerFactory(spark, physBase,
         StructType(physRead.fields :+ riField), StructType(metaFields),
         Array.empty)
       TxDv.DvReaderFactory(clean, withRi,
         snapshotDvs.map { case (f, p) => TxDv.tailKey(f) -> p },
         table, riOrdinal = readDataSchema.length,
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
+    } else {
+      // snapshot batch under equality-delete debt: the unified factory
+      // (the V2 scan's layout contract — missing key columns appended
+      // as a hidden working block; the meta partition constants sit
+      // PAST the block and stay visible)
+      val anyDv = snapshotDvs.nonEmpty
+      val physByName = physBase.fields.map(f => f.name -> f).toMap
+      val keyCols = snapshotEq.flatMap(_._2.cols).distinct
+        .filterNot(physRead.fieldNames.toSet)
+      val block = (if (anyDv) Seq(riField) else Seq.empty) ++
+        keyCols.map(physByName(_))
+      val augSchema = StructType(physRead.fields ++ block)
+      val aug = GraftParquetIO.readerFactory(spark, physBase, augSchema,
+        StructType(metaFields), Array.empty)
+      val ordOf = augSchema.fieldNames.zipWithIndex.toMap
+      val probeOf = snapshotEq.map { case (_, e) =>
+        e.p -> TxEqDel.ProbeSpec(e.p, e.cols.map(ordOf(_)).toArray,
+          e.cols.map(c => physByName(c).dataType).toArray)
+      }.toMap
+      val work = snapshotFiles.flatMap { rel =>
+        val probes = snapshotEq
+          .filter(_._1 > snapshotSeqs.getOrElse(rel, Long.MaxValue))
+          .map(e => probeOf(e._2.p))
+        val dv = snapshotDvs.get(rel)
+        if (dv.isEmpty && probes.isEmpty) None
+        else Some(TxDv.tailKey(rel) -> TxEqDel.FileWork(dv, probes))
+      }.toMap
+      TxEqDel.EqDelReaderFactory(clean, aug, work, table,
+        hideFrom = physRead.length, hideCount = block.length,
+        riOrdinal = if (anyDv) physRead.length else -1,
         GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
     }
   }
@@ -1555,19 +1608,26 @@ class TxLogChangeStream(spark: SparkSession, table: String,
         val past = ms.filter(_.version <= to)
         if (past.isEmpty || !(past.exists(_.checkpoint) || past.head.version == 0L))
           vacuumedError(s"the initial snapshot (≤ v$to)")
-        // deletion vectors in force at `to`: deleted rows must not be
-        // served as snapshot inserts
+        // deletion vectors AND equality-delete debt in force at `to`:
+        // deleted rows must not be served as snapshot inserts
         scan.snapshotDvs = TxLog.liveDvs(past).view.mapValues(_.p).toMap
-        TxLog.liveFiles(past).map(Entry(_, "insert", to))
+        scan.snapshotEq = TxLog.liveEqDels(past)
+        scan.snapshotSeqs =
+          if (scan.snapshotEq.isEmpty) Map.empty else TxLog.fileSeqs(past)
+        scan.snapshotFiles = TxLog.liveFiles(past)
+        scan.snapshotFiles.map(Entry(_, "insert", to))
       } else {
         val range = ms.filter(m => m.version > from && m.version <= to)
         val have = range.map(_.version).toSet
         val missing = ((from + 1) to to).filterNot(have)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
         // tail windows serve captured change files / appends, never
-        // DV'd data files — restore the columnar factory a DV'd
-        // snapshot batch demoted for the rest of the stream's life
+        // DV'd or keyed-deleted data files — restore the columnar
+        // factory a filtered snapshot batch demoted
         scan.snapshotDvs = Map.empty
+        scan.snapshotEq = Seq.empty
+        scan.snapshotSeqs = Map.empty
+        scan.snapshotFiles = Seq.empty
         val es = expand(ms, from + 1, to, table)
         // a lagging tail's files can be compacted/vacuumed away while
         // their manifests survive — loud retention guidance, not FNF

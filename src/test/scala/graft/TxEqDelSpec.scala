@@ -167,16 +167,18 @@ class TxEqDelSpec extends AnyFunSuite {
     assert(TxLog.liveEqDelCount(spark, t) == 2L, "the fallback must not grow the debt")
   }
 
-  test("change-feed interplay: keyed delete refused, upsert falls back, enable refused") {
+  test("change-feed interplay: keyed writes stay keyed AND capture their delta; " +
+      "enable over pre-feed debt refused") {
     val t = build()
     TxLog.setProperties(spark, t, Map("changeFeed" -> "true"))
-    val e = intercept[IllegalArgumentException](
-      TxLog.deleteByKeys(Seq(0L).toDF("id"), t, "cdf", 0L))
-    assert(e.getMessage.contains("changeFeed"), e.getMessage)
-    TxLog.upsertByKeys(Seq((0L, "C")).toDF("id", "v"), t, Seq("id"), "cdf-u", 0L)
-    assert(rows(t).toMap.apply(0L) == "C")
-    assert(TxLog.liveEqDelCount(spark, t) == 0L, "CDF upserts take the merge path")
-    // enabling the feed over live debt is refused
+    // the keyed delete lands as an equality delete (no merge fallback)
+    // WITH its delta captured — the full CDF story is TxEqDelCdfSpec
+    TxLog.deleteByKeys(Seq(0L).toDF("id"), t, "cdf", 0L)
+    assert(TxLog.liveEqDelCount(spark, t) == 1L, "feed delete must stay keyed")
+    TxLog.upsertByKeys(Seq((1L, "C")).toDF("id", "v"), t, Seq("id"), "cdf-u", 0L)
+    assert(rows(t).toMap.apply(1L) == "C")
+    assert(TxLog.liveEqDelCount(spark, t) == 2L, "feed upsert must stay keyed")
+    // enabling the feed over live (pre-feed, uncaptured) debt is refused
     val t2 = build()
     TxLog.deleteByKeys(Seq(0L).toDF("id"), t2, "cdf2", 0L)
     val e2 = intercept[IllegalArgumentException](
