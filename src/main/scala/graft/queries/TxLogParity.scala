@@ -777,6 +777,63 @@ object TxLogParity {
       .orderBy("_commit_version", "_change_type")
   }
 
+  /** BRANCHES (r17, [[TxLog.createBranch]] / [[TxLog.onBranch]] /
+    * [[TxLog.fastForward]]): the stage-validate-publish workflow,
+    * hash-checked end-to-end. Era appends land on main; a "published"
+    * branch stages the third era plus a COW DELETE of the URGENT rows
+    * and FAST-FORWARDS into main (one adopting manifest, zero data
+    * movement); a second "staged" branch — forked from the adopted
+    * history — deletes the 'F' rows and re-appends era1's URGENT rows,
+    * and stays LIVE. The query reads BOTH refs (main through the
+    * production V2 scan — which must include the adopted commits and
+    * exclude the live branch's — and the branch through its lineage
+    * read) and aggregates per (ref, priority); DuckDB replays each
+    * ref as set algebra. A leaked branch commit, a lost adoption, or
+    * a branch read serving main's state all skew the sums. */
+  private val builtBr = new ConcurrentHashMap[String, String]()
+
+  private def branchTable(s: SparkSession, dir: String): String =
+    builtBr.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_br_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val (k1, k2) = (m / 3, 2 * m / 3)
+      orders.where(col("o_orderkey") <= k1).coalesce(2)
+        .write.format("txlog").mode("append").save(t)                    // v0
+      orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2)
+        .coalesce(2).write.format("txlog").mode("append").save(t)        // v1
+      TxLog.createBranch(s, t, "published")                              // v2
+      TxLog.onBranch("published") {
+        TxLog.commit(orders.where(col("o_orderkey") > k2).coalesce(2),
+          t, "br-pub-w", 0L)                                             // v3
+        TxLog.delete(s, t, col("o_orderpriority") === "1-URGENT",
+          "br-pub-d", 0L)                                                // v4
+      }
+      TxLog.fastForward(s, t, "published")                               // v5
+      TxLog.createBranch(s, t, "staged")                                 // v6
+      TxLog.onBranch("staged") {
+        TxLog.delete(s, t, col("o_orderstatus") === "F", "br-st-d", 0L)  // v7
+        TxLog.commit(orders.where(col("o_orderkey") <= k1 &&
+          col("o_orderpriority") === "1-URGENT").coalesce(1),
+          t, "br-st-w", 0L)                                              // v8
+      }
+      t
+    })
+
+  val branchRead: Q = (s, dir) => {
+    val t = branchTable(s, dir)
+    val main = s.read.format("txlog").load(t).withColumn("ref", lit("main"))
+    val staged = graft.storage.TxLog.snapshotBranch(s, t, "staged").get
+      .withColumn("ref", lit("staged"))
+    main.unionByName(staged)
+      .groupBy("ref", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+      .orderBy("ref", "o_orderpriority")
+  }
+
   /** GENERATED COLUMNS (r16, [[graft.storage.TxGen]] / GENERATED
     * ALWAYS AS): a catalog table whose `bucket` column derives from
     * the key and custkey, populated through BOTH write doors — a SQL
@@ -936,6 +993,7 @@ object TxLogParity {
     "txlog_spj_join" -> spjJoin,
     "txlog_eqdel" -> eqdel,
     "txlog_eqdel_cdf" -> eqdelCdf,
+    "txlog_branch" -> branchRead,
     "txlog_gencol" -> gencol,
     "txlog_view" -> viewRead,
     "txlog_mview" -> mview,
@@ -1125,6 +1183,31 @@ object TxLogParity {
            AND NOT (o_orderkey % 13 = 6 AND o_orderstatus = 'F')
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    // both refs replayed as set algebra: main = all three eras minus
+    // the published branch's URGENT delete (adopted by the ff);
+    // staged = main minus its 'F' delete, plus its re-append of
+    // era1's URGENT rows (appended AFTER the delete, so they survive)
+    "txlog_branch" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                           o_orderstatus AS st, o_orderpriority AS pr
+                    FROM orders),
+           live AS (SELECT * FROM o WHERE pr <> '1-URGENT'),
+           staged AS (
+             SELECT * FROM live WHERE st <> 'F'
+             UNION ALL
+             SELECT * FROM o
+             WHERE k <= (SELECT max(k) FROM o) // 3 AND pr = '1-URGENT'),
+           refs AS (
+             SELECT 'main' AS ref, k, c, pr FROM live
+             UNION ALL
+             SELECT 'staged' AS ref, k, c, pr FROM staged)
+         SELECT ref, pr AS o_orderpriority,
+                count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS key_sum,
+                CAST(sum(c) AS BIGINT) AS cust_sum
+         FROM refs
+         GROUP BY ref, pr
+         ORDER BY ref, o_orderpriority""",
     // the keyed-CDC feed replayed per (version, change type): v0/v1
     // the era appends; v3 deletes = matched era12 rows (key%7==3);
     // v4 = the upsert's retract/add — replaced rows (key%5==2, not

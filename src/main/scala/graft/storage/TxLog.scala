@@ -70,7 +70,7 @@ object TxLog {
   private[storage] val ReservedWriterPrefixes: Seq[String] =
     Seq("compact-", "cluster-", "overwrite-", "restore-", "batch-", "insert-",
       "sql-delete-", "sql-update-", "sql-merge-", "props-", "create-",
-      "evolve-", "colmap-", "widen-", "analyze-", "materialize-")
+      "evolve-", "colmap-", "widen-", "analyze-", "materialize-", "branch-")
 
   private[storage] def singleUseWriter(w: String): Boolean =
     ReservedWriterPrefixes.exists(w.startsWith)
@@ -160,7 +160,14 @@ object TxLog {
                               dvs: Seq[DvEntry] = Seq.empty,
                               cmap: Option[ColMap] = None,
                               eqdels: Seq[EqDelEntry] = Seq.empty,
-                              eqdrops: Seq[String] = Seq.empty)
+                              eqdrops: Seq[String] = Seq.empty,
+                              // BRANCHES (r17): a branch-labeled commit
+                              // belongs to the named branch's lineage,
+                              // not main's, until a fast-forward ADOPTS
+                              // it (the ff manifest lists the adopted
+                              // versions) — see [[mainLineage]]
+                              branch: Option[String] = None,
+                              adopts: Seq[Long] = Seq.empty)
 
   /** Commit wall-clock (epoch millis) — every manifest records the
     * committing writer's clock at render time. Writer clocks are NOT
@@ -191,10 +198,10 @@ object TxLog {
   private def render(m: Manifest): String = {
     // key order is LOAD-BEARING for the cursor parser: version,
     // checkpoint, writer_id, batch_id, [ts], files, [removes], [dvs],
-    // [eqdels], [eqdrops], [schema], [pcols], [changes], [props],
-    // [tokens], [stats] — optional keys are omitted (not null) so
-    // pre-feature manifests and append-only manifests keep the exact
-    // old shape
+    // [eqdels], [eqdrops], [branch], [adopts], [schema], [pcols],
+    // [changes], [props], [tokens], [stats] — optional keys are
+    // omitted (not null) so pre-feature manifests and append-only
+    // manifests keep the exact old shape
     val removes =
       if (m.removes.isEmpty) ""
       else ", \"removes\": [" + m.removes.map(q).mkString(", ") + "]"
@@ -211,6 +218,10 @@ object TxLog {
     val eqdrops =
       if (m.eqdrops.isEmpty) ""
       else ", \"eqdrops\": [" + m.eqdrops.map(q).mkString(", ") + "]"
+    val branch = m.branch.map(b => s""", "branch": ${q(b)}""").getOrElse("")
+    val adopts =
+      if (m.adopts.isEmpty) ""
+      else ", \"adopts\": [" + m.adopts.mkString(", ") + "]"
     val schema = m.schema.map(d => s""", "schema": ${q(d)}""").getOrElse("")
     val pcols =
       if (m.pcols.isEmpty) ""
@@ -269,7 +280,7 @@ object TxLog {
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, $ts""" +
       s""""files": [${m.files.map(q).mkString(", ")}]""" +
-      s"""$removes$dvs$eqdels$eqdrops$schema$pcols$changes$props$cmap$tokens$stats}"""
+      s"""$removes$dvs$eqdels$eqdrops$branch$adopts$schema$pcols$changes$props$cmap$tokens$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -365,10 +376,27 @@ object TxLog {
     val (eqdrops, cEq) =
       if (s.startsWith(", \"eqdrops\": ", cEq0)) strArray(cEq0 + 13)
       else (Seq.empty[String], cEq0)
-    val (schemaDdl, cSch0) =
-      if (s.startsWith(", \"schema\": ", cEq)) {
+    val (branch, cBr) =
+      if (s.startsWith(", \"branch\": ", cEq)) {
         val (v, j) = scanString(cEq + 12); (Some(v), j)
       } else (None, cEq)
+    val (adopts, cAd) =
+      if (s.startsWith(", \"adopts\": ", cBr)) {
+        var i = s.indexOf('[', cBr + 12) + 1
+        val out = Seq.newBuilder[Long]
+        while (s(i) != ']') {
+          if (s(i).isDigit) {
+            var j = i
+            while (s(j).isDigit) j += 1
+            out += s.substring(i, j).toLong; i = j
+          } else i += 1
+        }
+        (out.result(), i + 1)
+      } else (Seq.empty[Long], cBr)
+    val (schemaDdl, cSch0) =
+      if (s.startsWith(", \"schema\": ", cAd)) {
+        val (v, j) = scanString(cAd + 12); (Some(v), j)
+      } else (None, cAd)
     val (pcols, cPc) =
       if (s.startsWith(", \"pcols\": ", cSch0)) strArray(cSch0 + 11)
       else (Seq.empty[String], cSch0)
@@ -476,11 +504,17 @@ object TxLog {
       }
     }
     Manifest(version, files, writerId, batchId, checkpoint, stats, removes,
-      schemaDdl, tokens, pcols, changes, props, ts, dvs, cmap, eqdels, eqdrops)
+      schemaDdl, tokens, pcols, changes, props, ts, dvs, cmap, eqdels, eqdrops,
+      branch, adopts)
   }
 
-  /** All committed manifests, version-ordered. */
-  private[storage] def manifests(s: SparkSession, table: String): Seq[Manifest] = {
+  /** EVERY committed manifest, version-ordered — main-lineage, live
+    * branch and foreign (dropped-branch) alike. State derivation never
+    * reads this directly ([[manifests]] filters to a lineage); the raw
+    * listing is for version ALLOCATION (the shared linear log is the
+    * CAS arbiter for every lineage), vacuum (which must see every
+    * lineage's references) and the lineage builders themselves. */
+  private[storage] def allManifests(s: SparkSession, table: String): Seq[Manifest] = {
     val dir = new Path(table, LogDir)
     val f = fs(s, dir)
     if (!f.exists(dir)) Seq.empty
@@ -492,6 +526,248 @@ object TxLog {
         parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       }.toSeq
   }
+
+  /** The MAIN lineage: unlabeled manifests plus every branch manifest a
+    * fast-forward ADOPTED (the ff manifest — itself main-lineage —
+    * lists the adopted versions; version order is replay order, and
+    * adopted versions always precede their adopter). Before the first
+    * branch ever exists this is the identity — every pre-branch log
+    * replays exactly as it always did. */
+  private[storage] def mainLineage(all: Seq[Manifest]): Seq[Manifest] = {
+    if (all.forall(_.branch.isEmpty)) return all
+    val adopted = all.iterator.filter(_.branch.isEmpty)
+      .flatMap(_.adopts).toSet
+    all.filter(m => m.branch.isEmpty || adopted(m.version))
+  }
+
+  /** Branch COMMIT/READ CONTEXT ([[onBranch]]): while set, [[manifests]]
+    * resolves to the named branch's lineage for every table touched in
+    * the body, and the commit doors label their manifests with the
+    * branch — ONE mechanism makes the whole existing door surface
+    * (append, DML, merge, keyed writes, schema evolution) branch-scoped
+    * without a parallel API. Driver-side only (commit decisions and
+    * explicit file lists are built eagerly on the driver). */
+  private val branchCtx = new ThreadLocal[String]()
+
+  /** Run `body` against branch `name`: reads see the branch's lineage,
+    * writes commit ONTO the branch. Not nestable. Maintenance doors
+    * (compact/cluster/restore/vacuum/tag/setProperties and column
+    * re-mapping) refuse under a branch — they are main-lineage
+    * operations by contract. */
+  def onBranch[T](name: String)(body: => T): T = {
+    require(branchCtx.get() == null,
+      s"onBranch('$name') inside onBranch('${branchCtx.get()}') — branch " +
+        "scopes do not nest")
+    branchCtx.set(name)
+    try body finally branchCtx.remove()
+  }
+
+  private[storage] def currentBranch: Option[String] = Option(branchCtx.get())
+
+  /** The committed manifests of the CURRENT lineage, version-ordered:
+    * main's (default), or — inside [[onBranch]] — the context branch's. */
+  private[storage] def manifests(s: SparkSession, table: String): Seq[Manifest] = {
+    val all = allManifests(s, table)
+    currentBranch match {
+      case None => mainLineage(all)
+      case Some(b) => branchLineage(all, b, table)
+    }
+  }
+
+  /** Table-property namespace of BRANCHES: `graft.branch.<name>` →
+    * base version (the MAIN head the branch forked from). A branch's
+    * lineage = main's manifests at/before the base plus the branch's
+    * own labeled commits; [[fastForward]] folds those commits back
+    * into main and drops the property, [[dropBranch]] abandons them
+    * (vacuum collects their files once aged). */
+  val BranchPropPrefix = "graft.branch."
+
+  private[storage] def branchesFrom(props: Map[String, String]): Map[String, Long] =
+    props.collect { case (k, v) if k.startsWith(BranchPropPrefix) =>
+      k.drop(BranchPropPrefix.length) -> v.toLong }
+
+  /** Live branches of `table`: name → base version. */
+  def branches(s: SparkSession, table: String): Map[String, Long] =
+    branchesFrom(propsFrom(mainLineage(allManifests(s, table))))
+
+  /** The named branch's replay sequence: main ≤ base, then the
+    * branch's own commits (all past the base by construction; adopted
+    * or stale same-name manifests from an earlier branch generation
+    * are excluded — adoption moved them to main, recreation re-bases
+    * past them). */
+  private[storage] def branchLineage(all: Seq[Manifest], name: String,
+                                     table: String): Seq[Manifest] = {
+    val main = mainLineage(all)
+    val base = branchesFrom(propsFrom(main)).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no such branch '$name' on $table (live: " +
+          s"${branchesFrom(propsFrom(main)).keys.toSeq.sorted.mkString(", ")})"))
+    val adopted = all.iterator.filter(_.branch.isEmpty).flatMap(_.adopts).toSet
+    main.filter(_.version <= base) ++
+      all.filter(m => m.branch.contains(name) && m.version > base &&
+        !adopted(m.version))
+  }
+
+  /** Next GLOBAL version slot: every lineage allocates from the shared
+    * linear log, so a main metadata commit must skip past branch
+    * commits occupying higher slots (name-based — no manifest opened;
+    * the CAS retry re-derives on a lost race either way). */
+  private def nextVersion(s: SparkSession, table: String,
+                          ms: Seq[Manifest]): Long =
+    math.max(ms.lastOption.map(_.version).getOrElse(-1L),
+      headVersionByName(s, table)) + 1
+
+  /** Metadata transactions that write MAIN-lineage-global records
+    * (properties, column mapping, maintenance) refuse inside
+    * [[onBranch]] — their manifests are unlabeled and their records
+    * are newest-wins by version, so a branch-context run would
+    * corrupt main's state. */
+  private def guardMainOnly(op: String): Unit =
+    currentBranch.foreach(b => throw new IllegalArgumentException(
+      s"$op is a main-lineage operation — not allowed on branch '$b'"))
+
+  /** Every version present in the log FILE LISTING — any lineage. The
+    * stream/CDF contiguity checks use this to tell "vacuum truncated
+    * the range" (loud) from "that version belongs to another lineage"
+    * (serve nothing): name-based, no manifest is opened. */
+  private[storage] def logVersions(s: SparkSession, table: String): Set[Long] = {
+    val dir = new Path(table, LogDir)
+    val f = fs(s, dir)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong).toSet
+  }
+
+  /** CREATE a branch forked from MAIN's current head: one property CAS
+    * (`graft.branch.<name>` → base). The stage-validate-publish
+    * workflow: create, write/DML under [[onBranch]], validate the
+    * branch read, [[fastForward]] main — or [[dropBranch]] to abandon.
+    * Vacuum PINS every live branch's lineage (files and manifests), so
+    * a branch read stays reproducible until the branch resolves.
+    * Returns the branch's base version. */
+  def createBranch(s: SparkSession, table: String, name: String): Long = {
+    guardMainOnly("createBranch")
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"branch name '$name' must be [A-Za-z0-9._-]+")
+    require(!name.equalsIgnoreCase("main"),
+      "branch name 'main' would shadow the main lineage")
+    var attempt = 0
+    while (attempt < 20) {
+      val all = allManifests(s, table)
+      require(all.nonEmpty, s"not a txlog table: $table")
+      val main = mainLineage(all)
+      val props = propsFrom(main)
+      require(!branchesFrom(props).contains(name),
+        s"branch '$name' already exists on $table (fastForward or dropBranch it)")
+      // the base re-derives per attempt, so a lost CAS race forks from
+      // the TRUE head — a stale base would let same-name manifests of
+      // a dropped predecessor pollute the new lineage
+      val base = main.last.version
+      val merged = (props + (BranchPropPrefix + name -> base.toString)).toSeq.sorted
+      val v = all.last.version + 1
+      val root = new Path(table)
+      val f = fs(s, root)
+      val logDir = new Path(root, LogDir)
+      val bytes = render(Manifest(v, Seq.empty,
+        writerId = s"branch-create-${java.util.UUID.randomUUID()}", batchId = 0L,
+        checkpoint = false, props = Some(merged), ts = commitTimeMs()))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
+        return base
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"createBranch('$name') on $table lost 20 version races")
+  }
+
+  /** DROP a branch: the property goes, the branch's commits become
+    * unreachable (their files and sidecars age into [[vacuum]]'s
+    * sweep). Idempotent — dropping an absent branch is a no-op. */
+  def dropBranch(s: SparkSession, table: String, name: String): Long = {
+    guardMainOnly("dropBranch")
+    var attempt = 0
+    while (attempt < 20) {
+      val all = allManifests(s, table)
+      require(all.nonEmpty, s"not a txlog table: $table")
+      val props = propsFrom(mainLineage(all))
+      if (!branchesFrom(props).contains(name)) return -1L
+      val merged = (props - (BranchPropPrefix + name)).toSeq.sorted
+      val v = all.last.version + 1
+      val root = new Path(table)
+      val f = fs(s, root)
+      val logDir = new Path(root, LogDir)
+      val bytes = render(Manifest(v, Seq.empty,
+        writerId = s"branch-drop-${java.util.UUID.randomUUID()}", batchId = 0L,
+        checkpoint = false, props = Some(merged), ts = commitTimeMs()))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"dropBranch('$name') on $table lost 20 version races")
+  }
+
+  /** FAST-FORWARD main to the branch: one main manifest ADOPTS the
+    * branch's commit versions (zero data movement — their files,
+    * schemas, DVs and key debt replay into main in version order) and
+    * drops the branch property, atomically. TRUE fast-forward only:
+    * refused when main moved past the base with anything but branch
+    * bookkeeping (another branch's create/drop) — a diverged main has
+    * no row-safe merge, re-run the work on a fresh branch. Returns the
+    * ff commit's version. */
+  def fastForward(s: SparkSession, table: String, name: String): Long = {
+    guardMainOnly("fastForward")
+    var attempt = 0
+    while (attempt < 20) {
+      val all = allManifests(s, table)
+      require(all.nonEmpty, s"not a txlog table: $table")
+      val main = mainLineage(all)
+      val props = propsFrom(main)
+      val base = branchesFrom(props).getOrElse(name,
+        throw new IllegalArgumentException(
+          s"no such branch '$name' on $table (live: " +
+            s"${branchesFrom(props).keys.toSeq.sorted.mkString(", ")})"))
+      // structural trust, as everywhere: `branch-` is a reserved
+      // writer prefix and this library is the format's only writer
+      main.filter(_.version > base).find(m =>
+          !(m.writerId.startsWith("branch-") && m.files.isEmpty &&
+            m.removes.isEmpty && m.dvs.isEmpty && m.eqdels.isEmpty &&
+            m.eqdrops.isEmpty && !m.checkpoint && m.schema.isEmpty &&
+            m.cmap.isEmpty))
+        .foreach(m => throw new java.util.ConcurrentModificationException(
+          s"cannot fast-forward $table to branch '$name': main moved at " +
+            s"v${m.version} (${m.writerId}) past the base v$base — the " +
+            "branch no longer descends from main's head; re-run the work " +
+            "on a fresh branch"))
+      val adopted = all.iterator.filter(_.branch.isEmpty).flatMap(_.adopts).toSet
+      val adopts = all.filter(m => m.branch.contains(name) &&
+        m.version > base && !adopted(m.version)).map(_.version)
+      val merged = (props - (BranchPropPrefix + name)).toSeq.sorted
+      val v = all.last.version + 1
+      val root = new Path(table)
+      val f = fs(s, root)
+      val logDir = new Path(root, LogDir)
+      val bytes = render(Manifest(v, Seq.empty,
+        writerId = s"branch-ff-${java.util.UUID.randomUUID()}", batchId = 0L,
+        checkpoint = false, props = Some(merged), ts = commitTimeMs(),
+        adopts = adopts))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"fastForward('$name') on $table lost 20 version races")
+  }
+
+  /** The branch's current contents — sugar for
+    * `onBranch(name)(snapshot(s, table))`. */
+  def snapshotBranch(s: SparkSession, table: String,
+                     name: String): Option[DataFrame] =
+    onBranch(name)(snapshot(s, table))
 
   /** The manifests that define the current read set: the newest
     * checkpoint (if any) and everything after it — the ONE place the
@@ -655,6 +931,9 @@ object TxLog {
       case w if w.startsWith("colmap-") => "ALTER COLUMN MAPPING"
       case w if w.startsWith("widen-") => "ALTER COLUMN TYPE"
       case w if w.startsWith("analyze-") => "ANALYZE"
+      case w if w.startsWith("branch-create-") => "CREATE BRANCH"
+      case w if w.startsWith("branch-drop-") => "DROP BRANCH"
+      case w if w.startsWith("branch-ff-") => "FAST-FORWARD"
       case _ if m.checkpoint => "CHECKPOINT"
       case _ if m.removes.nonEmpty || m.dvs.nonEmpty => "REWRITE"
       case _ => "APPEND"
@@ -1351,12 +1630,13 @@ object TxLog {
       tableSchemaFrom(msG).foreach(sch =>
         TxGen.validateDeclared(s, sch, colMapFrom(msG), set))
     }
+    guardMainOnly("setProperties")
     var last = -1L
     var attempt = 0
     while (attempt < 20) {
       val ms = manifests(s, table)
       val merged = (propsFrom(ms) ++ set).toSeq.sorted
-      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      val v = nextVersion(s, table, ms)
       val root = new Path(table)
       val f = fs(s, root)
       val logDir = new Path(root, LogDir)
@@ -1385,6 +1665,7 @@ object TxLog {
     * [[validateProps]]. */
   private[storage] def mergeProperty(s: SparkSession, table: String, key: String,
                                      merge: Option[String] => String): Long = {
+    guardMainOnly("mergeProperty")
     var attempt = 0
     while (attempt < 20) {
       val ms = manifests(s, table)
@@ -1392,7 +1673,7 @@ object TxLog {
       val next = merge(props.get(key))
       if (props.get(key).contains(next)) return -1L
       val merged = (props + (key -> next)).toSeq.sorted
-      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      val v = nextVersion(s, table, ms)
       val root = new Path(table)
       val f = fs(s, root)
       val logDir = new Path(root, LogDir)
@@ -1424,11 +1705,12 @@ object TxLog {
       s"$DefaultPropPrefix* properties are immutable (removing one would " +
         "silently flip the column's pre-evolution reads from the default to " +
         "null) — DROP the column instead")
+    guardMainOnly("removeProperties")
     var attempt = 0
     while (attempt < 20) {
       val ms = manifests(s, table)
       val merged = (propsFrom(ms) -- keys).toSeq.sorted
-      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      val v = nextVersion(s, table, ms)
       val root = new Path(table)
       val f = fs(s, root)
       val logDir = new Path(root, LogDir)
@@ -1682,6 +1964,7 @@ object TxLog {
                              => (org.apache.spark.sql.types.StructType, ColMap),
                            maxRetries: Int = 20,
                            widPrefix: String = "colmap"): Long = {
+    guardMainOnly(s"ALTER COLUMN ($op)")
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
@@ -1758,7 +2041,7 @@ object TxLog {
       val propsOut: Option[Seq[(String, String)]] =
         if (reRendered.isEmpty) None
         else Some((props ++ reRendered).toSeq.sorted)
-      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      val v = nextVersion(s, table, ms)
       val bytes = render(Manifest(v, Seq.empty,
         writerId = s"$widPrefix-${java.util.UUID.randomUUID()}", batchId = 0L,
         checkpoint = false, schema = Some(ddlOf(newSchema)),
@@ -2366,12 +2649,33 @@ object TxLog {
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
     f.mkdirs(logDir)
+    // branch-scoped commits ([[onBranch]]): data/DML/evolution commits
+    // label their manifest with the branch; the operations that write
+    // MAIN-LINEAGE-global metadata refuse — a checkpoint would replace
+    // a read set the branch does not own, and props/colmap records are
+    // newest-wins by version, so an adopted branch manifest carrying
+    // one would clobber main changes made while the branch lived
+    currentBranch.foreach { b =>
+      require(!checkpoint,
+        s"checkpoint commits (compact/cluster/overwrite/restore) are " +
+          s"main-lineage operations — not allowed on branch '$b'")
+      require(addDefault.isEmpty,
+        s"ADD COLUMN ... DEFAULT records a table property — a main-lineage " +
+          s"transaction, not allowed on branch '$b'")
+    }
     var attempt = 0
     while (attempt < maxRetries) {
-      val ms = manifests(s, table) // ONE listing: token + head together
-      if (tokenTaken(ms, writerId, batchId))
+      val all = allManifests(s, table) // ONE listing: token + head together
+      val ms = currentBranch match {
+        case None => mainLineage(all)
+        case Some(b) => branchLineage(all, b, table)
+      }
+      if (tokenTaken(all, writerId, batchId))
         return -1L
-      val v = ms.lastOption.map(_.version).getOrElse(-1L) + 1
+      // version allocation is GLOBAL: the shared linear log arbitrates
+      // every lineage's CAS, so a branch commit takes the next slot
+      // even when its lineage head is older
+      val v = all.lastOption.map(_.version).getOrElse(-1L) + 1
       // the schema merge runs against THIS attempt's listing, so a
       // concurrent evolution that won an earlier slot folds in on retry
       val merged = incoming.map { in =>
@@ -2497,12 +2801,19 @@ object TxLog {
             s"table $table changed rows at v${m.version} during a keyed write's " +
               "change capture — re-run on the new snapshot"))
       }
+      // a colmap mint is a newest-wins global record (see the branch
+      // guard above) — refuse it on a branch rather than clobber main
+      // at adoption
+      if (cmapOut.isDefined) currentBranch.foreach(b =>
+        throw new IllegalArgumentException(
+          s"column-mapping changes are main-lineage transactions — not " +
+            s"allowed on branch '$b'"))
       val target = new Path(logDir, manifestName(v))
       val bytes =
         render(Manifest(v, files, writerId, batchId, checkpoint, stats,
           schema = schemaDdl, pcols = pcols, ts = commitTimeMs(),
           cmap = cmapOut, props = propsOut, eqdels = eqdels,
-          changes = changes))
+          changes = changes, branch = currentBranch))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
@@ -3500,8 +3811,12 @@ object TxLog {
     var captured: Option[Seq[String]] = None
     var attempt = 0
     while (attempt < maxRetries) {
-      val msNow = manifests(s, table) // ONE listing: token + head together
-      if (tokenTaken(msNow, writerId, batchId)) return Rewrite(-1L, 0, 0)
+      val allNow = allManifests(s, table) // ONE listing: token + head together
+      val msNow = currentBranch match {
+        case None => mainLineage(allNow)
+        case Some(b) => branchLineage(allNow, b, table)
+      }
+      if (tokenTaken(allNow, writerId, batchId)) return Rewrite(-1L, 0, 0)
       def conflict(why: String) = new java.util.ConcurrentModificationException(
         s"$table $why during a row-level rewrite — re-run on the new snapshot")
       val head = msNow.lastOption.map(_.version).getOrElse(-1L)
@@ -3534,7 +3849,9 @@ object TxLog {
               physicalName(colMapFrom(msNow), n))))
         base = head
       }
-      val v = base + 1
+      // GLOBAL version allocation (the shared log arbitrates every
+      // lineage) — the LINEAGE head gate above stays `base`-relative
+      val v = allNow.lastOption.map(_.version).getOrElse(-1L) + 1
       // CHANGE-DATA-FEED capture (the `changeFeed` table property): the
       // row-level difference this rewrite makes, staged as change files
       // the manifest references — a crash/conflict before the put leaves
@@ -3559,7 +3876,7 @@ object TxLog {
           // O(0 inference) after DML), widened by any schema a rebased
           // concurrent append evolved in
           schema = Some(ddlOf(recorded)), changes = changes, ts = commitTimeMs(),
-          dvs = dvs, eqdrops = eqdrops))
+          dvs = dvs, eqdrops = eqdrops, branch = currentBranch))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return Rewrite(v, removes.size + dvs.size, rel.size)
@@ -3946,6 +4263,10 @@ object TxLog {
                                cmapOverride: Option[Option[ColMap]] = None,
                                defaultPropsReset: Boolean = false)
       : Long = {
+    require(currentBranch.isEmpty,
+      s"checkpoint commits (compact/cluster/overwrite/restore) are " +
+        s"main-lineage operations — not allowed on branch " +
+        s"'${currentBranch.getOrElse("")}'")
     val root = new Path(table)
     val f = fs(s, root)
     val logDir = new Path(root, LogDir)
@@ -3959,7 +4280,8 @@ object TxLog {
     var carriedSchema = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     var attempt = 0
     while (attempt < maxRetries) {
-      val ms = manifests(s, table)
+      val all = allManifests(s, table)
+      val ms = mainLineage(all)
       val newer = ms.filter(_.version > base)
       // dvs count as rewrites: rebasing over a concurrent merge-on-read
       // DML would silently drop its deletion vectors from the read set;
@@ -3979,7 +4301,8 @@ object TxLog {
               physicalName(colMapFrom(ms), n)))).getOrElse(in))
         }
       base = ms.lastOption.map(_.version).getOrElse(-1L)
-      val v = base + 1
+      // GLOBAL version allocation (branch commits share the linear log)
+      val v = all.lastOption.map(_.version).getOrElse(-1L) + 1
       // ABSORB every idempotence token the checkpoint supersedes (incl.
       // lists absorbed by earlier checkpoints), COMPRESSED to the
       // per-writer high-water mark (see [[tokenTaken]]) so the list is
@@ -4076,6 +4399,7 @@ object TxLog {
     * restore — same rule as every checkpoint); concurrent DML
     * conflicts. */
   def restore(s: SparkSession, table: String, v: Long): Long = {
+    guardMainOnly("restore")
     val ms = manifests(s, table)
     val head = ms.lastOption.map(_.version).getOrElse(-1L)
     val past = manifestsAt(ms, v, table)
@@ -4109,6 +4433,15 @@ object TxLog {
       s"cannot restore $table to v$v: it would silently drop tag(s) " +
         s"${droppedTags.toSeq.sorted.mkString(", ")} minted after v$v — " +
         "dropTag first if the pins are no longer wanted")
+    // BRANCHES are the same promise class: a restore re-records the
+    // properties AS OF v, which would silently unregister any branch
+    // created after v and strand its commits unreachable mid-work
+    val droppedBranches = branchesFrom(propsFrom(ms)).keySet --
+      branchesFrom(propsFrom(past)).keySet
+    require(droppedBranches.isEmpty,
+      s"cannot restore $table to v$v: it would silently drop branch(es) " +
+        s"${droppedBranches.toSeq.sorted.mkString(", ")} created after v$v — " +
+        "fastForward or dropBranch first")
     if (targetSet == currentSet &&
         targetDvs.view.mapValues(_.p).toMap == currentDvs.view.mapValues(_.p).toMap)
       return head
@@ -4538,18 +4871,24 @@ object TxLog {
     * manifests). */
   def vacuum(s: SparkSession, table: String,
              minAgeMs: Long = 24L * 3600 * 1000): Int = {
+    guardMainOnly("vacuum")
     val root = new Path(table)
     val f = fs(s, root)
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0
-    val ms = manifests(s, table)
+    val all = allManifests(s, table)
+    val ms = mainLineage(all)
     // TAGGED versions are PINNED (r16): their live file sets survive
     // the sweep and their manifests survive truncation — that is the
     // tag's reproducibility contract. Cost: O(tags) manifest replays,
     // metadata only.
     val tagVs = tagsFrom(propsFrom(ms)).values.toSeq.distinct
+    // LIVE BRANCHES are pinned the same way (r17): a branch read must
+    // stay reproducible until the branch fast-forwards or drops
+    val branchNames = branchesFrom(propsFrom(ms)).keys.toSeq
     val live = liveFiles(ms).toSet ++
-      tagVs.flatMap(v => liveFiles(manifestsAt(ms, v, table)))
+      tagVs.flatMap(v => liveFiles(manifestsAt(ms, v, table))) ++
+      branchNames.flatMap(b => liveFiles(branchLineage(all, b, table)))
     val cutoff = System.currentTimeMillis() - minAgeMs
     var n = 0
     f.listStatus(dataRoot).foreach { d =>
@@ -4570,7 +4909,15 @@ object TxLog {
       case -1 => ()
       case i =>
         val cp = ms(i)
-        val below = ms.filter(_.version < cp.version)
+        // lineage manifests (main + live branches) take the
+        // all-or-nothing cut; FOREIGN manifests (dropped-branch
+        // commits no lineage replays) are excluded from the token
+        // coverage and deleted independently once aged
+        val mainVs = ms.map(_.version).toSet
+        val branchVs = branchNames
+          .flatMap(b => branchLineage(all, b, table).map(_.version)).toSet
+        val (below, foreignBelow) = all.filter(_.version < cp.version)
+          .partition(m => mainVs(m.version) || branchVs(m.version))
         def marked(w: String, b: Long) =
           singleUseWriter(w) || // dropped from absorption by design
             cp.tokens.exists { case (tw, tb) => tw == w && b <= tb }
@@ -4588,12 +4935,21 @@ object TxLog {
           f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff
         }
         // a tag below the checkpoint needs the below-checkpoint prefix
-        // to reconstruct its snapshot — truncation waits for the drop
+        // to reconstruct its snapshot — truncation waits for the drop.
+        // A live branch based below it needs the same prefix.
         val tagPinned = tagVs.exists(_ < cp.version)
-        if (covered && allAged && !tagPinned)
+        val branchPinned = branchesFrom(propsFrom(ms)).values
+          .exists(_ < cp.version)
+        if (covered && allAged && !tagPinned && !branchPinned)
           below.foreach { m =>
             f.delete(new Path(logDir, manifestName(m.version)), false); n += 1
           }
+        foreignBelow.foreach { m =>
+          val p = new Path(logDir, manifestName(m.version))
+          if (f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff) {
+            f.delete(p, false); n += 1
+          }
+        }
     }
     // change-feed sweep (AFTER truncation, against the surviving log):
     // change files referenced by NO remaining manifest — orphans of
@@ -4602,7 +4958,7 @@ object TxLog {
     // retention, exactly the window the CDF readers enforce loudly.
     val chRoot = new Path(root, "_changes")
     if (f.exists(chRoot)) {
-      val referenced = manifests(s, table).flatMap(_.changes).toSet
+      val referenced = allManifests(s, table).flatMap(_.changes).toSet
       f.listStatus(chRoot).foreach { d =>
         f.listStatus(d.getPath).foreach { st =>
           val rel = s"_changes/${d.getPath.getName}/${st.getPath.getName}"
@@ -4622,7 +4978,7 @@ object TxLog {
     // `dvs` entries for as long as their manifests survive.
     val dvRoot = new Path(root, "dv")
     if (f.exists(dvRoot)) {
-      val referencedDv = manifests(s, table).flatMap(_.dvs.map(_.p)).toSet
+      val referencedDv = allManifests(s, table).flatMap(_.dvs.map(_.p)).toSet
       f.listStatus(dvRoot).foreach { st =>
         val rel = s"dv/${st.getPath.getName}"
         if (!referencedDv.contains(rel) && st.getModificationTime < cutoff) {
@@ -4636,7 +4992,7 @@ object TxLog {
     // truncated history collect once aged.
     val eqRoot = new Path(root, TxEqDel.SidecarDir)
     if (f.exists(eqRoot)) {
-      val referencedEq = manifests(s, table).flatMap(_.eqdels.map(_.p)).toSet
+      val referencedEq = allManifests(s, table).flatMap(_.eqdels.map(_.p)).toSet
       f.listStatus(eqRoot).foreach { st =>
         val rel = s"${TxEqDel.SidecarDir}/${st.getPath.getName}"
         if (!referencedEq.contains(rel) && st.getModificationTime < cutoff) {

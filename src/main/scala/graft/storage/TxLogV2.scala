@@ -1159,7 +1159,11 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
         snap
       } else {
         val range = ms.filter(m => m.version > from && m.version <= to)
-        val have = range.map(_.version).toSet
+        // contiguity is judged against the FULL log listing: a version
+        // absent from `ms` but present on disk belongs to another
+        // lineage (a branch commit) — the main tail serves nothing for
+        // it; truly absent = vacuum truncated the range (loud)
+        val have = TxLog.logVersions(spark, table)
         val missing = ((from + 1) to to).filterNot(have)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
         // an INCREMENTAL OPTIMIZE (compactSmall) is a non-checkpoint
@@ -1467,7 +1471,10 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
     val to = endRaw.map(parse("endingVersion", _)).getOrElse(ms.last.version)
     // both ends must still BE in the log: beyond-head is user error and
     // below-oldest means vacuum truncated the range — neither reads empty
-    def in(k: String, v: Long): Unit = require(ms.exists(_.version == v),
+    // membership against the FULL listing: a branch commit's version is
+    // a valid window bound (the main feed serves nothing for it)
+    val present = TxLog.logVersions(spark, table)
+    def in(k: String, v: Long): Unit = require(present(v),
       s"$k $v not in $table's log (retained: ${ms.head.version}..${ms.last.version})")
     in("startingVersion", from); in("endingVersion", to)
     require(from <= to, s"startingVersion $from > endingVersion $to")
@@ -1618,7 +1625,9 @@ class TxLogChangeStream(spark: SparkSession, table: String,
         scan.snapshotFiles.map(Entry(_, "insert", to))
       } else {
         val range = ms.filter(m => m.version > from && m.version <= to)
-        val have = range.map(_.version).toSet
+        // full-listing contiguity, as in the plain stream: a branch
+        // commit's version is present-but-foreign (serves nothing)
+        val have = TxLog.logVersions(spark, table)
         val missing = ((from + 1) to to).filterNot(have)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
         // tail windows serve captured change files / appends, never
