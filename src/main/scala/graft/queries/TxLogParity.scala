@@ -834,6 +834,57 @@ object TxLogParity {
       .orderBy("ref", "o_orderpriority")
   }
 
+  /** ROW LINEAGE (r17, [[graft.storage.TxRowId]] / `_row_id`): the
+    * COMPACTION-CROSSING identity check. Two era appends (derived
+    * ids), a COW UPDATE (custkey bump — the post-image keeps its id),
+    * a COW DELETE (survivors keep ids), then a version pin, a
+    * clusterBy AND a compact — two full layout rewrites. The query
+    * joins the pinned snapshot to the head ON `_row_id` through the
+    * production V2 scans and aggregates per status with an
+    * every-column match count: a minted-instead-of-carried id, a
+    * collision, or a scrambled derivation breaks the join's row
+    * pairing and skews n/n_match; DuckDB replays the (unchanged
+    * between pin and head) live state where n_match == n by
+    * construction. */
+  private val builtRid = new ConcurrentHashMap[String, (String, Long)]()
+
+  private def rowIdTable(s: SparkSession, dir: String): (String, Long) =
+    builtRid.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_rid_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val k1 = m / 2
+      orders.where(col("o_orderkey") <= k1).coalesce(2)
+        .write.format("txlog").mode("append").save(t)
+      orders.where(col("o_orderkey") > k1).coalesce(2)
+        .write.format("txlog").mode("append").save(t)
+      TxLog.update(s, t, col("o_orderkey") % 10 === 0,
+        Map("o_custkey" -> (col("o_custkey") + 1000000L)), "rid-u", 0L)
+      TxLog.delete(s, t, col("o_orderpriority") === "1-URGENT", "rid-d", 0L)
+      val vPre = TxLog.headVersion(s, t)
+      TxLog.clusterBy(s, t, Seq("o_custkey"), targetFiles = 3)
+      TxLog.compact(s, t)
+      (t, vPre)
+    })
+
+  val rowIdJoin: Q = (s, dir) => {
+    val (t, vPre) = rowIdTable(s, dir)
+    val pre = s.read.format("txlog").option("versionAsOf", vPre).load(t)
+      .select(col("_row_id").as("r"), col("o_orderkey").as("k0"),
+        col("o_custkey").as("c0"))
+    val post = s.read.format("txlog").load(t)
+    post.join(pre, post("_row_id") === pre("r"), "inner")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"),
+        sum(when(col("o_orderkey") === col("k0") &&
+          col("o_custkey") === col("c0"), 1L).otherwise(0L))
+          .cast("long").as("n_match"))
+      .orderBy("o_orderstatus")
+  }
+
   /** GENERATED COLUMNS (r16, [[graft.storage.TxGen]] / GENERATED
     * ALWAYS AS): a catalog table whose `bucket` column derives from
     * the key and custkey, populated through BOTH write doors — a SQL
@@ -994,6 +1045,7 @@ object TxLogParity {
     "txlog_eqdel" -> eqdel,
     "txlog_eqdel_cdf" -> eqdelCdf,
     "txlog_branch" -> branchRead,
+    "txlog_rowid" -> rowIdJoin,
     "txlog_gencol" -> gencol,
     "txlog_view" -> viewRead,
     "txlog_mview" -> mview,
@@ -1183,6 +1235,21 @@ object TxLogParity {
            AND NOT (o_orderkey % 13 = 6 AND o_orderstatus = 'F')
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    // the id-joined pre/post-compaction states are value-identical by
+    // construction, so the replay is the live state (minus URGENT,
+    // custkey bumped on key%10==0) with n_match == n
+    "txlog_rowid" ->
+      """SELECT o_orderstatus,
+                count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                CAST(sum(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_custkey + 1000000 ELSE o_custkey END)
+                     AS BIGINT) AS cust_sum,
+                count(*) AS n_match
+         FROM orders
+         WHERE o_orderpriority <> '1-URGENT'
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
     // both refs replayed as set algebra: main = all three eras minus
     // the published branch's URGENT delete (adopted by the ff);
     // staged = main minus its 'F' delete, plus its re-append of

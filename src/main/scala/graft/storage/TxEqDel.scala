@@ -312,7 +312,7 @@ object TxEqDel {
   private[storage] case class FileWork(dvRel: Option[String],
                                        probes: Seq[ProbeSpec]) extends Serializable
 
-  private final class LoadedProbe(val ks: KeySet, val ordinals: Array[Int],
+  private[storage] final class LoadedProbe(val ks: KeySet, val ordinals: Array[Int],
                                   val types: Array[DataType]) {
     /** Row probe: true = DELETE the row. NULL in any key column can
       * never match (null-rejecting equality). */

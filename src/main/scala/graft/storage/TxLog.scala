@@ -167,7 +167,11 @@ object TxLog {
                               // it (the ff manifest lists the adopted
                               // versions) — see [[mainLineage]]
                               branch: Option[String] = None,
-                              adopts: Seq[Long] = Seq.empty)
+                              adopts: Seq[Long] = Seq.empty,
+                              // ROW-ID high-water mark, recorded on
+                              // checkpoints so allocation survives log
+                              // truncation ([[nextRowId]]); -1 = none
+                              nextRid: Long = -1L)
 
   /** Commit wall-clock (epoch millis) — every manifest records the
     * committing writer's clock at render time. Writer clocks are NOT
@@ -198,7 +202,7 @@ object TxLog {
   private def render(m: Manifest): String = {
     // key order is LOAD-BEARING for the cursor parser: version,
     // checkpoint, writer_id, batch_id, [ts], files, [removes], [dvs],
-    // [eqdels], [eqdrops], [branch], [adopts], [schema], [pcols],
+    // [eqdels], [eqdrops], [branch], [adopts], [nrid], [schema], [pcols],
     // [changes], [props], [tokens], [stats] — optional keys are
     // omitted (not null) so pre-feature manifests and append-only
     // manifests keep the exact old shape
@@ -222,6 +226,7 @@ object TxLog {
     val adopts =
       if (m.adopts.isEmpty) ""
       else ", \"adopts\": [" + m.adopts.mkString(", ") + "]"
+    val nrid = if (m.nextRid >= 0L) s""", "nrid": ${m.nextRid}""" else ""
     val schema = m.schema.map(d => s""", "schema": ${q(d)}""").getOrElse("")
     val pcols =
       if (m.pcols.isEmpty) ""
@@ -269,18 +274,22 @@ object TxLog {
         // so pre-feature manifests and their parses keep the exact old
         // shape
         val bytes = if (fst.bytes > 0L) s""", "bytes": ${fst.bytes}""" else ""
+        // rid (first row id) is OPTIONAL like bytes: pre-feature
+        // manifests and their parses keep the exact old shape
+        val rid =
+          if (fst.firstRowId >= 0L) s""", "rid": ${fst.firstRowId}""" else ""
         val pv =
           if (fst.parts.isEmpty) ""
           else ", \"pv\": [" + fst.parts.map { case (c, v) =>
             s"""{"c": ${q(c)}, "v": ${q(v)}}"""
           }.mkString(", ") + "]"
-        s"""{"f": ${q(fst.file)}, "rows": ${fst.rows}$bytes$pv, "cols": [$cols]}"""
+        s"""{"f": ${q(fst.file)}, "rows": ${fst.rows}$bytes$rid$pv, "cols": [$cols]}"""
       }.mkString(", ") + "]"
     val ts = if (m.ts >= 0L) s""""ts": ${m.ts}, """ else ""
     s"""{"version": ${m.version}, "checkpoint": ${m.checkpoint}, """ +
       s""""writer_id": ${q(m.writerId)}, "batch_id": ${m.batchId}, $ts""" +
       s""""files": [${m.files.map(q).mkString(", ")}]""" +
-      s"""$removes$dvs$eqdels$eqdrops$branch$adopts$schema$pcols$changes$props$cmap$tokens$stats}"""
+      s"""$removes$dvs$eqdels$eqdrops$branch$adopts$nrid$schema$pcols$changes$props$cmap$tokens$stats}"""
   }
 
   // scanner-style parse of our own renders (this code is both the only
@@ -393,10 +402,13 @@ object TxLog {
         }
         (out.result(), i + 1)
       } else (Seq.empty[Long], cBr)
+    val (nrid, cNr) =
+      if (s.startsWith(", \"nrid\": ", cAd)) longAt(cAd + 10)
+      else (-1L, cAd)
     val (schemaDdl, cSch0) =
-      if (s.startsWith(", \"schema\": ", cAd)) {
-        val (v, j) = scanString(cAd + 12); (Some(v), j)
-      } else (None, cAd)
+      if (s.startsWith(", \"schema\": ", cNr)) {
+        val (v, j) = scanString(cNr + 12); (Some(v), j)
+      } else (None, cNr)
     val (pcols, cPc) =
       if (s.startsWith(", \"pcols\": ", cSch0)) strArray(cSch0 + 11)
       else (Seq.empty[String], cSch0)
@@ -482,8 +494,11 @@ object TxLog {
             val (bytes, i2b) =
               if (s.startsWith(", \"bytes\": ", i2)) longAt(i2 + 11)
               else (0L, i2)
+            val (rid, i2r) =
+              if (s.startsWith(", \"rid\": ", i2b)) longAt(i2b + 9)
+              else (-1L, i2b)
             val (parts, i2c) =
-              if (s.startsWith(", \"pv\": ", i2b)) {
+              if (s.startsWith(", \"pv\": ", i2r)) {
                 var j = s.indexOf('[', i2b + 8) + 1
                 val pv = Seq.newBuilder[(String, String)]
                 while (s(j) != ']') {
@@ -494,9 +509,9 @@ object TxLog {
                   } else j += 1
                 }
                 (pv.result(), j + 1)
-              } else (Seq.empty[(String, String)], i2b)
+              } else (Seq.empty[(String, String)], i2r)
             val (cols, i3) = parseCols(i2c)
-            out += FileStats(fn, rows, cols, bytes, parts)
+            out += FileStats(fn, rows, cols, bytes, parts, firstRowId = rid)
             i = i3 // just past the cols ']', at the file object's '}'
           } else i += 1
         }
@@ -505,7 +520,7 @@ object TxLog {
     }
     Manifest(version, files, writerId, batchId, checkpoint, stats, removes,
       schemaDdl, tokens, pcols, changes, props, ts, dvs, cmap, eqdels, eqdrops,
-      branch, adopts)
+      branch, adopts, nrid)
   }
 
   /** EVERY committed manifest, version-ordered — main-lineage, live
@@ -607,15 +622,6 @@ object TxLog {
       all.filter(m => m.branch.contains(name) && m.version > base &&
         !adopted(m.version))
   }
-
-  /** Next GLOBAL version slot: every lineage allocates from the shared
-    * linear log, so a main metadata commit must skip past branch
-    * commits occupying higher slots (name-based — no manifest opened;
-    * the CAS retry re-derives on a lost race either way). */
-  private def nextVersion(s: SparkSession, table: String,
-                          ms: Seq[Manifest]): Long =
-    math.max(ms.lastOption.map(_.version).getOrElse(-1L),
-      headVersionByName(s, table)) + 1
 
   /** Metadata transactions that write MAIN-lineage-global records
     * (properties, column mapping, maintenance) refuse inside
@@ -826,6 +832,54 @@ object TxLog {
     fromCheckpoint(ms).foreach(mf => mf.files.foreach(f =>
       if (!m.contains(f)) m.update(f, mf.version)))
     m.toMap
+  }
+
+  // ------------------------------------------------------------------
+  // ROW LINEAGE (r17) — stable row ids surviving rewrites (the Iceberg
+  // v3 shape): every data file gets a FIRST ROW ID allocated at commit
+  // (recorded in its manifest stats entry, [[TxStats.FileStats
+  // .firstRowId]]); a row's id is its stored [[TxRowId.GridCol]] value
+  // — materialized by rewrites (COW DML, compact, cluster) for the
+  // rows they carry over — or firstRowId + parquet position for rows
+  // born in the file. `coalesce(stored, rid + pos)` is THE serving
+  // rule everywhere, so appends stay zero-cost (ids are derived, never
+  // written) while rewrites keep identity. Ranges are minted globally
+  // (all lineages — a branch commit's ids stay unique after adoption)
+  // and the high-water survives log truncation on checkpoints
+  // ([[Manifest.nextRid]]).
+  // ------------------------------------------------------------------
+
+  /** One past the highest allocated row id, over EVERY manifest. */
+  private[storage] def nextRowId(all: Seq[Manifest]): Long = {
+    val fromStats = all.iterator.flatMap(_.stats)
+      .filter(_.firstRowId >= 0L)
+      .map(st => st.firstRowId + math.max(st.rows, 0L))
+    val fromMarks = all.iterator.map(_.nextRid).filter(_ >= 0L)
+    (fromStats ++ fromMarks).foldLeft(0L)(math.max)
+  }
+
+  /** Assign first-row-ids to a commit's files: each rid-less stats
+    * entry takes the next contiguous range in file-list order; entries
+    * that already carry one (rebased/carried files — the allocation is
+    * immutable for the file's lifetime) keep it. Recomputed per CAS
+    * attempt, so a lost slot race re-mints past the winner. */
+  private def assignRowIds(all: Seq[Manifest], files: Seq[String],
+                           stats: Seq[TxStats.FileStats]): Seq[TxStats.FileStats] = {
+    if (stats.isEmpty) return stats
+    var next = nextRowId(all)
+    val order = files.zipWithIndex.toMap
+    val out = new Array[TxStats.FileStats](stats.length)
+    stats.zipWithIndex.sortBy { case (st, i) =>
+      (order.getOrElse(st.file, Int.MaxValue), i) }.foreach { case (st, i) =>
+      out(i) =
+        if (st.firstRowId >= 0L || !order.contains(st.file)) st
+        else {
+          val a = st.copy(firstRowId = next)
+          next += math.max(st.rows, 0L)
+          a
+        }
+    }
+    out.toSeq
   }
 
   /** Highest committed version, or -1 for an empty/new table. */
@@ -1517,7 +1571,8 @@ object TxLog {
     * every door a schema enters through ([[createTable]], CTAS, data
     * commits, [[evolveSchema]]) refuses them loudly instead. */
   private[storage] val ReservedCols: Set[String] =
-    Set(TxLogV2.FileCol, TxLogV2.PosCol, TxLogCdf.TypeCol, TxLogCdf.VersionCol)
+    Set(TxLogV2.FileCol, TxLogV2.PosCol, TxLogCdf.TypeCol, TxLogCdf.VersionCol,
+      TxRowId.RowIdCol, TxRowId.GridCol)
 
   private[storage] def guardReservedCols(
       schema: org.apache.spark.sql.types.StructType): Unit = {
@@ -1634,9 +1689,13 @@ object TxLog {
     var last = -1L
     var attempt = 0
     while (attempt < 20) {
-      val ms = manifests(s, table)
+      // ONE listing: the props read and the version slot come from the
+      // same instant, so a successful put proves the read was current
+      // (the slot is allocated GLOBALLY — branch commits share the log)
+      val all = allManifests(s, table)
+      val ms = mainLineage(all)
       val merged = (propsFrom(ms) ++ set).toSeq.sorted
-      val v = nextVersion(s, table, ms)
+      val v = all.lastOption.map(_.version).getOrElse(-1L) + 1
       val root = new Path(table)
       val f = fs(s, root)
       val logDir = new Path(root, LogDir)
@@ -1668,12 +1727,13 @@ object TxLog {
     guardMainOnly("mergeProperty")
     var attempt = 0
     while (attempt < 20) {
-      val ms = manifests(s, table)
+      val all = allManifests(s, table) // ONE listing: props + slot together
+      val ms = mainLineage(all)
       val props = propsFrom(ms)
       val next = merge(props.get(key))
       if (props.get(key).contains(next)) return -1L
       val merged = (props + (key -> next)).toSeq.sorted
-      val v = nextVersion(s, table, ms)
+      val v = all.lastOption.map(_.version).getOrElse(-1L) + 1
       val root = new Path(table)
       val f = fs(s, root)
       val logDir = new Path(root, LogDir)
@@ -1708,9 +1768,10 @@ object TxLog {
     guardMainOnly("removeProperties")
     var attempt = 0
     while (attempt < 20) {
-      val ms = manifests(s, table)
+      val all = allManifests(s, table) // ONE listing: props + slot together
+      val ms = mainLineage(all)
       val merged = (propsFrom(ms) -- keys).toSeq.sorted
-      val v = nextVersion(s, table, ms)
+      val v = all.lastOption.map(_.version).getOrElse(-1L) + 1
       val root = new Path(table)
       val f = fs(s, root)
       val logDir = new Path(root, LogDir)
@@ -1788,7 +1849,7 @@ object TxLog {
     f.mkdirs(logDir)
     val bytes = render(Manifest(0L, rel,
       writerId = s"create-${java.util.UUID.randomUUID()}", batchId = 0L,
-      checkpoint = false, stats = stats,
+      checkpoint = false, stats = assignRowIds(Seq.empty, rel, stats),
       schema = Some(ddlOf(schema)), pcols = partitionBy,
       props = if (props.isEmpty) None else Some(props.toSeq.sorted),
       ts = commitTimeMs()))
@@ -1970,7 +2031,8 @@ object TxLog {
     val logDir = new Path(root, LogDir)
     var attempt = 0
     while (attempt < maxRetries) {
-      val ms = manifests(s, table)
+      val all = allManifests(s, table) // ONE listing: state + slot together
+      val ms = mainLineage(all)
       val logical = tableSchemaFrom(ms).getOrElse(throw new IllegalStateException(
         s"$op column on $table: no recorded schema (legacy log — " +
           "write once or createTable first)"))
@@ -2041,7 +2103,7 @@ object TxLog {
       val propsOut: Option[Seq[(String, String)]] =
         if (reRendered.isEmpty) None
         else Some((props ++ reRendered).toSeq.sorted)
-      val v = nextVersion(s, table, ms)
+      val v = all.lastOption.map(_.version).getOrElse(-1L) + 1
       val bytes = render(Manifest(v, Seq.empty,
         writerId = s"$widPrefix-${java.util.UUID.randomUUID()}", batchId = 0L,
         checkpoint = false, schema = Some(ddlOf(newSchema)),
@@ -2164,15 +2226,44 @@ object TxLog {
     * purge. The V2 scan has its own vectorization-preserving variant
     * ([[TxDv.DvReaderFactory]]); this is the portable DataFrame one. */
   private[storage] def readFiles(s: SparkSession, table: String, ms: Seq[Manifest],
-                        files: Seq[String]): DataFrame = {
+                        files: Seq[String],
+                        withRowIds: Boolean = false): DataFrame = {
     // the files are read under the PHYSICAL schema (what the bytes
     // say), DV-filtered (needs the raw relation's _metadata), then
     // projected back to the logical names — the one seam where column
     // mapping touches every native read
     val cm = colMapFrom(ms)
     val logical = tableSchemaFrom(ms)
-    val rd = logical.map(l => s.read.schema(physicalSchemaOf(l, cm))).getOrElse(s.read)
-    val raw = rd.parquet(files.map(absPath(table)): _*)
+    val gridField = org.apache.spark.sql.types.StructField(
+      TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+    val rd = logical.map { l =>
+      val p = physicalSchemaOf(l, cm)
+      s.read.schema(
+        if (withRowIds) org.apache.spark.sql.types.StructType(p.fields :+ gridField)
+        else p)
+    }.getOrElse(s.read)
+    val raw0 = rd.parquet(files.map(absPath(table)): _*)
+    // ROW LINEAGE ([[TxRowId]]): a row's stable id is its stored
+    // GridCol value (rewrites materialize ids for the rows they carry)
+    // or firstRowId + parquet position (rows born in the file);
+    // pre-lineage files serve null. Computed BEFORE the row filters so
+    // the surviving rows keep the ids their positions imply.
+    val raw =
+      if (!withRowIds) raw0
+      else if (logical.isEmpty)
+        raw0.withColumn(TxRowId.GridCol, lit(null).cast("long"))
+      else {
+        import org.apache.spark.sql.functions.udf
+        val stats = liveStats(ms)
+        val ridByTail: Map[String, Long] = files.flatMap(f =>
+          stats.get(f).filter(_.firstRowId >= 0L)
+            .map(st => TxDv.tailKey(f) -> st.firstRowId)).toMap
+        val ridOf = udf((p: String) =>
+          ridByTail.get(TxDv.tailKey(p)).map(java.lang.Long.valueOf).orNull)
+        raw0.withColumn(TxRowId.GridCol,
+          coalesce(col(quoted(TxRowId.GridCol)),
+            ridOf(col("_metadata.file_path")) + col("_metadata.row_index")))
+      }
     val dvs = liveDvs(ms)
     val hit = files.filter(dvs.contains)
     val dvApplied =
@@ -2194,9 +2285,43 @@ object TxLog {
       if (eq.isEmpty) dvApplied
       else applyEqDelFilter(s, table, dvApplied, ms, eq)
     logical match {
-      case Some(l) if !cm.isIdentity => toLogical(eqApplied, l, cm)
+      case Some(l) if !cm.isIdentity =>
+        val cols = l.fields.toSeq.map(f =>
+          col(quoted(physicalName(cm, f.name))).as(f.name)) ++
+          (if (withRowIds) Seq(col(quoted(TxRowId.GridCol))) else Nil)
+        eqApplied.select(cols: _*)
       case _ => eqApplied
     }
+  }
+
+  /** Drop the lineage working column from a schema about to be
+    * RECORDED — the physical files of a rewrite carry [[TxRowId
+    * .GridCol]], the table contract never does. */
+  private def dropGrid(sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      sch.fields.filterNot(_.name == TxRowId.GridCol))
+
+  /** The table's rows WITH their stable row ids ([[TxRowId]]): the
+    * snapshot plus a `_row_id` column — null only for rows of
+    * pre-lineage files. Time-travel twin: [[snapshotLineageAt]]. */
+  def snapshotLineage(s: SparkSession, table: String): Option[DataFrame] = {
+    val ms = manifests(s, table)
+    val files = liveFiles(ms)
+    if (files.isEmpty) None
+    else Some(readFiles(s, table, ms, files, withRowIds = true)
+      .withColumnRenamed(TxRowId.GridCol, TxRowId.RowIdCol))
+  }
+
+  /** [[snapshotLineage]] as of version `v` — ids are stable across
+    * history, so joining two versions on `_row_id` tracks each row
+    * through rewrites and compactions. */
+  def snapshotLineageAt(s: SparkSession, table: String, v: Long): Option[DataFrame] = {
+    val past = manifestsAt(manifests(s, table), v, table)
+    val files = liveFiles(past)
+    if (files.isEmpty) None
+    else Some(readFiles(s, table, past, files, withRowIds = true)
+      .withColumnRenamed(TxRowId.GridCol, TxRowId.RowIdCol))
   }
 
   /** Attach the DV row filter to a parquet-backed DataFrame: keep a row
@@ -2809,8 +2934,10 @@ object TxLog {
           s"column-mapping changes are main-lineage transactions — not " +
             s"allowed on branch '$b'"))
       val target = new Path(logDir, manifestName(v))
+      // ROW LINEAGE: this commit's files take the next id ranges
+      val statsOut = assignRowIds(all, files, stats)
       val bytes =
-        render(Manifest(v, files, writerId, batchId, checkpoint, stats,
+        render(Manifest(v, files, writerId, batchId, checkpoint, statsOut,
           schema = schemaDdl, pcols = pcols, ts = commitTimeMs(),
           cmap = cmapOut, props = propsOut, eqdels = eqdels,
           changes = changes, branch = currentBranch))
@@ -3482,7 +3609,8 @@ object TxLog {
     }
     val touched = matchingFiles(s, table, pred, candidates, ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
-    val kept = readFiles(s, table, ms, touched)
+    // surviving rows keep their ROW IDS through the rewrite ([[TxRowId]])
+    val kept = readFiles(s, table, ms, touched, withRowIds = true)
       .where(not(hitRow))
     commitRewrite(s, table, kept, touched, head, writerId, batchId, beforeCommit,
       partitionColsFrom(ms), readSet = candidates)
@@ -3563,7 +3691,11 @@ object TxLog {
     }
     val touched = matchingFiles(s, table, pred, candidates, ms)
     if (touched.isEmpty) return Rewrite(head, 0, 0)
-    val touchedDf = readFiles(s, table, ms, touched)
+    // a COW UPDATE keeps each row's ROW ID (same row, new values) —
+    // the grid column rides the select untouched ([[TxRowId]])
+    val touchedDf = readFiles(s, table, ms, touched, withRowIds = true)
+    require(!set.keySet.exists(_.equalsIgnoreCase(TxRowId.GridCol)),
+      s"${TxRowId.GridCol} is the reserved row-lineage column")
     val unknown = set.keySet -- touchedDf.columns
     require(unknown.isEmpty, s"update sets unknown columns: $unknown")
     val updated = TxGen.fill(s, touchedDf.select(touchedDf.columns.toSeq.map { c =>
@@ -3698,10 +3830,14 @@ object TxLog {
           .select("_f").distinct().collect().map(_.getString(0))
         candidates.filter(rel => hit.exists(_.endsWith(rel)))
       }
+    // carried-over target rows keep their ROW IDS; source rows
+    // (replacements and inserts) are NEW rows and mint fresh ids at
+    // commit (null grid — the retract/add model, [[TxRowId]])
     val newRows =
       if (touched.isEmpty) src
-      else readFiles(s, table, ms, touched)
-        .join(srcKeys, keys, "left_anti").unionByName(src)
+      else readFiles(s, table, ms, touched, withRowIds = true)
+        .join(srcKeys, keys, "left_anti")
+        .unionByName(src, allowMissingColumns = true)
     commitRewrite(s, table, newRows, touched, head, writerId, batchId, beforeCommit,
       partitionColsFrom(ms), readSet = candidates)
   }
@@ -3748,7 +3884,7 @@ object TxLog {
       else stageWrite(s, root, newRows.repartition(removes.size))
     beforeCommit()
     publishRewrite(s, table, relAll, statsAll, removes, expectedHead,
-      writerId, batchId, ddlOf(newRows.schema), readSet = readSet)
+      writerId, batchId, ddlOf(dropGrid(newRows.schema)), readSet = readSet)
   }
 
   /** Publish an already-staged row-level rewrite: {files = `relAll`
@@ -3869,8 +4005,9 @@ object TxLog {
         }
       val logDir = new Path(root, LogDir)
       f.mkdirs(logDir)
+      val statsOut = assignRowIds(allNow, rel, stats)
       val bytes =
-        render(Manifest(v, rel, writerId, batchId, checkpoint = false, stats, removes,
+        render(Manifest(v, rel, writerId, batchId, checkpoint = false, statsOut, removes,
           // a rewrite reads through the table schema, so its output IS
           // the table schema — recorded verbatim (keeps evolved reads
           // O(0 inference) after DML), widened by any schema a rebased
@@ -4010,12 +4147,15 @@ object TxLog {
     // checkpoint manifests carry fresh stats for the rewritten files, so
     // skipping survives compaction (the pre-compact manifests fall out of
     // the read set together with their stats)
-    val out = readFiles(s, table, ms, files).repartition(nOut)
+    // carry ROW IDS through the rewrite ([[TxRowId]]): the compacted
+    // files materialize each row's id in the hidden grid column
+    val out = readFiles(s, table, ms, files, withRowIds = true).repartition(nOut)
     val (rel, stats) = stageWrite(s, root, out)
     beforeCommit() // concurrency-injection seam for the specs
     commitCheckpoint(s, table, rel, stats,
       writerId = s"compact-${java.util.UUID.randomUUID()}",
-      expectedHead = ms.last.version, schemaDdl = Some(ddlOf(out.schema)))
+      expectedHead = ms.last.version,
+      schemaDdl = Some(ddlOf(dropGrid(out.schema))))
   }
 
   /** INCREMENTAL OPTIMIZE: bin-pack only the files that need it — live
@@ -4056,7 +4196,9 @@ object TxLog {
     if (touched.isEmpty) return -1L
     val pcols = partitionColsFrom(ms)
     val schemaDdl = tableSchemaFrom(ms).map(ddlOf)
-    val df = readFiles(s, table, ms, touched)
+    // repacked rows keep their ROW IDS ([[TxRowId]]) — an incremental
+    // OPTIMIZE must be id-invariant like the feed-invariance above
+    val df = readFiles(s, table, ms, touched, withRowIds = true)
     val nOut = math.max(1, math.ceil(
       touched.map(sizeOf).sum.toDouble / targetBytes).toInt)
     val (rel, st) =
@@ -4067,7 +4209,7 @@ object TxLog {
     publishRewrite(s, table, rel, st, removes = touched,
       expectedHead = ms.last.version,
       writerId = s"compact-${java.util.UUID.randomUUID()}", batchId = 0L,
-      schemaDdl = schemaDdl.getOrElse(ddlOf(df.schema)),
+      schemaDdl = schemaDdl.getOrElse(ddlOf(dropGrid(df.schema))),
       readSet = touched,
       captureOverride = Some(() => Seq.empty)).version
   }
@@ -4321,9 +4463,17 @@ object TxLog {
       // the files it replaced so a streaming tail can distinguish
       // "layout rewrite, no new data" (compact/cluster, removes empty)
       // from "data REPLACED" (overwrite) and fail loudly on the latter
+      // ROW LINEAGE: the rewrite's fresh files take new id ranges,
+      // carried (rebased-append) files keep theirs; the checkpoint
+      // records the allocation high-water so truncation can't regress it
+      val statsOut = assignRowIds(all, carriedFiles, carriedStats)
+      val nrid = math.max(nextRowId(all),
+        statsOut.iterator.filter(_.firstRowId >= 0L)
+          .map(st => st.firstRowId + math.max(st.rows, 0L))
+          .foldLeft(0L)(math.max))
       val bytes = render(Manifest(v, carriedFiles, writerId, batchId = 0L,
-        checkpoint = true, carriedStats, removes = removes, changes = changes,
-        schema = carriedSchema.map(ddlOf), tokens = absorbed,
+        checkpoint = true, statsOut, removes = removes, changes = changes,
+        schema = carriedSchema.map(ddlOf), tokens = absorbed, nextRid = nrid,
         // the partition layout AND properties must SURVIVE log
         // truncation: checkpoints re-record them (everything below is
         // vacuum-collectable)
@@ -4797,7 +4947,7 @@ object TxLog {
     val files = liveFiles(ms)
     if (files.isEmpty) return -1L
     val root = new Path(table)
-    val df = readFiles(s, table, ms, files)
+    val df = readFiles(s, table, ms, files, withRowIds = true)
     val b = df.agg(min(col(dimA)), max(col(dimA)),
       min(col(dimB)), max(col(dimB))).collect()(0)
     val buckets = 1L << bits
@@ -4818,7 +4968,8 @@ object TxLog {
     beforeCommit() // concurrency-injection seam for the specs
     commitCheckpoint(s, table, rel, stats,
       writerId = s"cluster-${java.util.UUID.randomUUID()}",
-      expectedHead = ms.last.version, schemaDdl = Some(ddlOf(out.schema)))
+      expectedHead = ms.last.version,
+      schemaDdl = Some(ddlOf(dropGrid(out.schema))))
   }
 
   /** OPTIMIZE by RANGE-CLUSTERING on arbitrary columns: the live file
@@ -4838,14 +4989,15 @@ object TxLog {
     val files = liveFiles(ms)
     if (files.isEmpty) return -1L
     val root = new Path(table)
-    val out = readFiles(s, table, ms, files)
+    val out = readFiles(s, table, ms, files, withRowIds = true)
       .repartitionByRange(math.max(1, targetFiles), cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     val (rel, stats) = stageWrite(s, root, out)
     beforeCommit() // concurrency-injection seam, like compact/cluster
     commitCheckpoint(s, table, rel, stats,
       writerId = s"cluster-${java.util.UUID.randomUUID()}",
-      expectedHead = ms.last.version, schemaDdl = Some(ddlOf(out.schema)))
+      expectedHead = ms.last.version,
+      schemaDdl = Some(ddlOf(dropGrid(out.schema))))
   }
 
   /** Delete data files no manifest references (crashed writers'

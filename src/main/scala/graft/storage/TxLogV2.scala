@@ -282,6 +282,14 @@ object TxLogPosColumn extends MetadataColumn {
   override def comment: String = "absolute parquet row index of the row within its data file"
 }
 
+object TxLogRowIdColumn extends MetadataColumn {
+  override def name: String = TxRowId.RowIdCol
+  override def dataType: org.apache.spark.sql.types.DataType = LongType
+  override def isNullable: Boolean = true // null only for pre-lineage files
+  override def comment: String =
+    "stable row id (row lineage): survives rewrites and compaction"
+}
+
 case class TxLogTable(table: String, givenSchema: Option[StructType],
                       asOf: Option[Long] = None, cdf: Boolean = false)
     extends Table
@@ -342,7 +350,8 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
   // _commit_version) are part of its SCHEMA, and its scan has no
   // serving path for _file/_pos — advertise none there
   override def metadataColumns(): Array[MetadataColumn] =
-    if (cdf) Array.empty else Array(TxLogFileColumn, TxLogPosColumn)
+    if (cdf) Array.empty
+    else Array(TxLogFileColumn, TxLogPosColumn, TxLogRowIdColumn)
 
   /** Declared partition layout (identity/days/months/years/hours/
     * bucket, [[TxPart]]) — DESCRIBE and the catalog round-trip read
@@ -699,8 +708,10 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
 
   private val wantsFile = required.fieldNames.contains(FileCol)
   private val wantsPos = required.fieldNames.contains(PosCol)
+  private val wantsRowId = required.fieldNames.contains(TxRowId.RowIdCol)
   private val readDataSchema = StructType(
-    required.fields.filterNot(f => f.name == FileCol || f.name == PosCol))
+    required.fields.filterNot(f => f.name == FileCol || f.name == PosCol ||
+      f.name == TxRowId.RowIdCol))
   private val partitionSchema =
     if (wantsFile) StructType(Seq(FileField)) else StructType(Nil)
 
@@ -735,6 +746,7 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     * projection above the scan. */
   override def readSchema(): StructType =
     StructType(readDataSchema.fields ++
+      (if (wantsRowId) Seq(TxRowId.RowIdField) else Nil) ++
       (if (wantsPos) Seq(PosField) else Nil) ++
       (if (wantsFile) Seq(FileField) else Nil))
 
@@ -794,7 +806,7 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     else Seq.empty
   }
   private def spjGroups(fs: Seq[String]): Option[Seq[(Seq[Int], Seq[String])]] = {
-    val enabled = op.isEmpty && !wantsFile && spjFields.nonEmpty &&
+    val enabled = op.isEmpty && !wantsFile && !wantsRowId && spjFields.nonEmpty &&
       dvByFile.isEmpty && liveEq.isEmpty &&
       spark.sessionState.conf
         .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
@@ -862,6 +874,11 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
         }.toArray
       case None => ()
     }
+    // ROW-ID scans pack every file alone: the id derivation is a
+    // PER-FILE constant (firstRowId), resolved per partition
+    if (wantsRowId)
+      return files.flatMap(rel =>
+        GraftParquetIO.filePartitions(spark, Seq(pf(rel)))).toArray
     val (workFiles, cleanFiles) = files.partition(needsWork)
     if (workFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))
     else
@@ -884,6 +901,46 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     // the same soundness the DV filter relies on
     val physReadData = TxLog.physicalSchemaOf(readDataSchema, cm)
     val physTable = TxLog.physicalSchemaOf(tableSchema, cm)
+    // `_row_id` ([[TxRowId]]): EVERY file reads through the augmented
+    // factory — [visible data] ++ [grid, row-index, probe keys] — and
+    // the wrapper serves coalesce(stored grid, firstRowId + pos),
+    // composing any DV / equality-delete row filters in the same pass
+    if (wantsRowId) {
+      val gridField = org.apache.spark.sql.types.StructField(
+        TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+      val physByName = physTable.fields.map(f => f.name -> f).toMap
+      val keyCols = liveEq.flatMap(_._2.cols).distinct
+        .filterNot(physReadData.fieldNames.toSet)
+      val augSchema = StructType(physReadData.fields ++
+        Seq(gridField, riField) ++ keyCols.map(physByName(_)))
+      val aug = GraftParquetIO.readerFactory(spark,
+        StructType(physTable.fields :+ gridField), augSchema,
+        partitionSchema, physPushed)
+      val ordOf = augSchema.fieldNames.zipWithIndex.toMap
+      val probeOf: Map[String, TxEqDel.ProbeSpec] = liveEq.map { case (_, e) =>
+        e.p -> TxEqDel.ProbeSpec(e.p, e.cols.map(ordOf(_)).toArray,
+          e.cols.map(c => physByName(c).dataType).toArray)
+      }.toMap
+      val work: Map[String, TxEqDel.FileWork] = files.filter(needsWork).map { rel =>
+        graft.storage.TxDv.tailKey(rel) -> TxEqDel.FileWork(
+          dvByFile.get(rel), eqEntriesFor(rel).map(e => probeOf(e._2.p)))
+      }.toMap
+      val ridByTail = files.flatMap(rel => stats.get(rel)
+        .filter(_.firstRowId >= 0L)
+        .map(st => graft.storage.TxDv.tailKey(rel) -> st.firstRowId)).toMap
+      return TxRowId.RowIdReaderFactory(aug,
+        TxRowId.Spec(
+          gridOrd = physReadData.length,
+          riOrd = physReadData.length + 1,
+          visibleLen = physReadData.length,
+          blockEnd = physReadData.length + 2 + keyCols.length,
+          visibleTypes = physReadData.fields.map(_.dataType),
+          pvTypes = partitionSchema.fields.map(_.dataType),
+          ridByTail = ridByTail,
+          emitPos = wantsPos),
+        work, table,
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
+    }
     val dataRead =
       if (wantsPos) StructType(physReadData.fields :+ riField) else physReadData
     val clean = GraftParquetIO.readerFactory(spark, physTable, dataRead,

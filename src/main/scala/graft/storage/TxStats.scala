@@ -104,12 +104,22 @@ object TxStats {
     }
     FileStats(b.file, if (b.rows != 0L) b.rows else a.rows, cols,
       if (b.bytes != 0L) b.bytes else a.bytes,
-      if (b.parts.nonEmpty) b.parts else a.parts)
+      if (b.parts.nonEmpty) b.parts else a.parts,
+      // the id allocation is immutable for the file's lifetime — an
+      // ANALYZE re-record (rid-less) must never clobber it
+      firstRowId = if (b.firstRowId >= 0L) b.firstRowId else a.firstRowId)
   }
 
   final case class FileStats(file: String, rows: Long, cols: Seq[ColStat],
                              bytes: Long = 0L,
-                             parts: Seq[(String, String)] = Seq.empty) {
+                             parts: Seq[(String, String)] = Seq.empty,
+                             // ROW LINEAGE (r17): the file's FIRST ROW
+                             // ID, allocated at commit ([[TxLog]]'s
+                             // rid assignment) — a row's stable id is
+                             // its stored [[TxRowId.GridCol]] value or
+                             // firstRowId + parquet position. -1 =
+                             // pre-feature record.
+                             firstRowId: Long = -1L) {
     @transient lazy val byCol: Map[String, ColStat] =
       cols.iterator.map(c => c.col -> c).toMap
     /** Hive-style partition values of this file (col -> raw path-segment
