@@ -2,7 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.analysis.{SchemaBinding, SchemaCompensation, SchemaEvolution, SchemaTypeEvolution, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, UpCast}
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, Command, CreateView, DescribeRelation, DropView, LeafNode, LogicalPlan, SetViewProperties, ShowViews, SubqueryAlias, UnaryNode, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -76,6 +78,27 @@ object GraftViewCommands {
   }
 }
 
+object GraftViewModes {
+  /** Stored-property key of the view's SCHEMA MODE (`WITH SCHEMA
+    * BINDING | COMPENSATION | TYPE EVOLUTION | EVOLUTION`). Absent =
+    * EVOLUTION — the late-binding default every pre-r17 view document
+    * already has. BINDING and COMPENSATION pin the CREATE-time schema:
+    * the substituted body is re-projected onto the stored query
+    * columns and each output CASTS back to its create-time type —
+    * UpCast (safe casts only, analysis-time refusal on narrowing) for
+    * BINDING, ANSI Cast (any castable type) for COMPENSATION. TYPE
+    * EVOLUTION pins the COLUMN SET but lets types track the base. */
+  val ModeKey = "view.schema.mode"
+  // NOTE: Spark's parser emits COMPENSATION for a clause-less CREATE
+  // VIEW (its documented default) — honored verbatim. A DOCUMENT with
+  // no stored key (every pre-mode view) keeps the r16 late-binding
+  // EVOLUTION it was created under.
+  val Binding = "BINDING"
+  val Compensation = "COMPENSATION"
+  val TypeEvolution = "TYPE EVOLUTION"
+  val Evolution = "EVOLUTION"
+}
+
 /** CREATE [OR REPLACE] VIEW against a [[GraftCatalog]], post-rewrite:
   * the query stays a CHILD so the analyzer resolves it normally. */
 case class GraftCreateView(catalogName: String, cat: GraftCatalog,
@@ -84,7 +107,8 @@ case class GraftCreateView(catalogName: String, cat: GraftCatalog,
                            props: Map[String, String],
                            originalText: String,
                            query: LogicalPlan,
-                           allowExisting: Boolean, replace: Boolean)
+                           allowExisting: Boolean, replace: Boolean,
+                           schemaMode: String = GraftViewModes.Evolution)
     extends UnaryNode with Command {
   override def child: LogicalPlan = query
   override def output: Seq[Attribute] = Nil
@@ -134,13 +158,20 @@ case class GraftViewCommandRewrite(spark: SparkSession) extends Rule[LogicalPlan
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case cv @ CreateView(UnresolvedIdentifier(parts, _), userCols, _, _,
-        props, originalText, query, allowExisting, replace, _) =>
+        props, originalText, query, allowExisting, replace, schemaMode) =>
       resolveIdent(spark, parts) match {
         case Some((catName, cat, ident)) =>
+          val mode = schemaMode match {
+            case SchemaBinding => GraftViewModes.Binding
+            case SchemaCompensation => GraftViewModes.Compensation
+            case SchemaTypeEvolution => GraftViewModes.TypeEvolution
+            case SchemaEvolution => GraftViewModes.Evolution
+            case _ => GraftViewModes.Evolution // parser default sentinel
+          }
           GraftCreateView(catName, cat, ident, userCols, props,
             originalText.getOrElse(throw new IllegalArgumentException(
               s"CREATE VIEW ${parts.mkString(".")}: no SQL text to store")),
-            query, allowExisting, replace)
+            query, allowExisting, replace, mode)
         case None => cv
       }
     case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
@@ -227,10 +258,35 @@ case class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
           val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
           val body = qualify(parsed, v.currentCatalog,
             v.currentNamespace.toSeq)
-          val aliased =
-            if (v.columnAliases().isEmpty) body
-            else org.apache.spark.sql.catalyst.analysis
-              .UnresolvedSubqueryColumnAliases(v.columnAliases().toSeq, body)
+          val mode = Option(v.properties().get(GraftViewModes.ModeKey))
+            .getOrElse(GraftViewModes.Evolution)
+          val aliased = mode match {
+            case GraftViewModes.Evolution =>
+              // late binding: the body's own (evolved) schema serves
+              if (v.columnAliases().isEmpty) body
+              else org.apache.spark.sql.catalyst.analysis
+                .UnresolvedSubqueryColumnAliases(v.columnAliases().toSeq, body)
+            case m =>
+              // schema pinned at CREATE: re-project onto the stored
+              // query columns (a dropped/renamed base column leaves an
+              // unresolved attribute — loud at analysis, never a
+              // silently different column set) and bind each output to
+              // its create-time name and — for BINDING/COMPENSATION —
+              // its create-time TYPE: UpCast refuses any narrowing at
+              // analysis, Cast compensates wherever ANSI casts can
+              val stored = v.schema
+              val qcols = v.queryColumnNames().toSeq
+              val outs = qcols.zip(stored.fields.toSeq).map { case (qn, f) =>
+                val attr = UnresolvedAttribute.quoted(qn)
+                val e = m match {
+                  case GraftViewModes.Binding => UpCast(attr, f.dataType)
+                  case GraftViewModes.Compensation => Cast(attr, f.dataType)
+                  case _ => attr // TYPE EVOLUTION: columns pinned, types track
+                }
+                Alias(e, f.name)()
+              }
+              Project(outs, body)
+          }
           SubqueryAlias(
             (catName +: ident.namespace.toSeq :+ ident.name).mkString("."),
             aliased)
@@ -274,13 +330,20 @@ case class CreateGraftViewExec(spark: SparkSession, cv: GraftCreateView)
         query.schema.fields.zip(cv.userCols).map { case (f, (n, _)) =>
           f.copy(name = n) })
     val cm = spark.sessionState.catalogManager
+    // the schema mode rides the stored properties (absent = the
+    // late-binding EVOLUTION default, so pre-mode documents read back
+    // unchanged); BINDING/COMPENSATION/TYPE EVOLUTION pin against the
+    // stored schema/qcols below at every substitution
+    val propsOut =
+      if (cv.schemaMode == GraftViewModes.Evolution) cv.props
+      else cv.props + (GraftViewModes.ModeKey -> cv.schemaMode)
     val info = new ViewInfo(cv.ident, cv.originalText,
       cm.currentCatalog.name, cm.currentNamespace, schema,
       query.schema.fieldNames,
       cv.userCols.map(_._1).toArray,
       cv.userCols.map(_._2.orNull).toArray,
       new java.util.HashMap[String, String](
-        scala.jdk.CollectionConverters.MapHasAsJava(cv.props).asJava))
+        scala.jdk.CollectionConverters.MapHasAsJava(propsOut).asJava))
     if (cv.replace) cv.cat.replaceView(info, true)
     else if (cv.allowExisting && cv.cat.viewExists(cv.ident)) ()
     else cv.cat.createView(info)
@@ -365,7 +428,10 @@ case class DescribeGraftViewExec(cat: GraftCatalog, ident: Identifier,
       row("View Catalog and Namespace",
         (v.currentCatalog() +: v.currentNamespace().toSeq).mkString("."), null),
       row("View Query Output Columns",
-        v.queryColumnNames().mkString("[", ", ", "]"), null))
+        v.queryColumnNames().mkString("[", ", ", "]"), null),
+      row("View Schema Mode",
+        Option(v.properties().get(GraftViewModes.ModeKey))
+          .getOrElse(GraftViewModes.Evolution), null))
   }
 }
 
