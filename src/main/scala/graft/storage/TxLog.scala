@@ -4178,7 +4178,8 @@ object TxLog {
     * Returns the committed version, or -1 when nothing is worth
     * packing (fewer than two candidates per partition and no DVs). */
   def compactSmall(s: SparkSession, table: String, targetBytes: Long = 128L << 20,
-                   beforeCommit: () => Unit = () => ()): Long = {
+                   beforeCommit: () => Unit = () => (),
+                   maxBatchBytes: Long = Long.MaxValue): Long = {
     val ms = manifests(s, table)
     val live = liveFiles(ms)
     if (live.isEmpty) return -1L
@@ -4190,17 +4191,40 @@ object TxLog {
       .getOrElse(f.getFileStatus(new Path(root, r)).getLen)
     val candidates = live.filter(r => dvs.contains(r) || sizeOf(r) < targetBytes)
     val byTuple = candidates.groupBy(r => stats.get(r).map(_.parts).getOrElse(Seq.empty))
-    val touched = byTuple.values
-      .filter(g => g.size > 1 || g.exists(dvs.contains))
-      .flatten.toSeq.sorted
+    // INCREMENTAL (r17, maxBatchBytes): one bounded batch per call —
+    // the maintain loop spreads a big materialization over cycles
+    // instead of one table-scale rewrite (M65's one data-scaling
+    // head). Eligibility stays per tuple-group (a lone clean small
+    // file of its tuple has nothing to merge with); SELECTION is
+    // per file, DIRTIEST first — deletion-vector density, then
+    // smallest — so each batch buys the most read-amplification
+    // relief per byte rewritten. At least one file always proceeds
+    // (a file larger than the cap would otherwise starve forever).
+    val eligible = byTuple.values
+      .filter(g => g.size > 1 || g.exists(dvs.contains)).flatten.toSeq
+    def dirt(r: String): Double =
+      dvs.get(r).map(_.n.toDouble).getOrElse(0.0) /
+        math.max(1L, stats.get(r).map(_.rows).filter(_ > 0L).getOrElse(1L))
+    val ordered = eligible.sortBy(r => (-dirt(r), sizeOf(r)))
+    val picked = Seq.newBuilder[String]
+    var budget = maxBatchBytes
+    var first = true
+    ordered.foreach { r =>
+      val sz = sizeOf(r)
+      if (first || sz <= budget) { picked += r; budget -= sz; first = false }
+    }
+    val touched = picked.result().sorted
     if (touched.isEmpty) return -1L
     val pcols = partitionColsFrom(ms)
     val schemaDdl = tableSchemaFrom(ms).map(ddlOf)
     // repacked rows keep their ROW IDS ([[TxRowId]]) — an incremental
     // OPTIMIZE must be id-invariant like the feed-invariance above
     val df = readFiles(s, table, ms, touched, withRowIds = true)
-    val nOut = math.max(1, math.ceil(
-      touched.map(sizeOf).sum.toDouble / targetBytes).toInt)
+    // an OPTIMIZE merges/materializes — it never needs MORE outputs
+    // than inputs (an extreme targetBytes must not explode nOut into
+    // a byte-count-sized shuffle)
+    val nOut = math.max(1, math.min(touched.size, math.ceil(
+      touched.map(sizeOf).sum.toDouble / targetBytes).toInt))
     val (rel, st) =
       if (pcols.nonEmpty)
         stagePartitioned(s, root, df, pcols, clusterTasks = Some(nOut))
@@ -4298,7 +4322,8 @@ object TxLog {
                clusterColumns: Seq[String] = Seq.empty,
                clusterTargetFiles: Int = 0,
                overlapTriggerPct: Double = 50.0,
-               eqDelKeysTriggerPct: Double = 50.0): MaintainReport = {
+               eqDelKeysTriggerPct: Double = 50.0,
+               compactBatchBytes: Long = Long.MaxValue): MaintainReport = {
     val ms = manifests(s, table)
     require(ms.nonEmpty, s"maintain of nonexistent txlog table $table")
     val files = liveFiles(ms)
@@ -4352,7 +4377,11 @@ object TxLog {
       MaintainReport(v, compacted = false, clustered = true,
         smallFiles, dvRows, rawRows, overlap, eqdelKeys = eqKeys)
     } else if (needCompact) {
-      val v = compactSmall(s, table, targetBytes)
+      // bounded batch (r17): one compactBatchBytes-sized bite per
+      // cycle — the loop converges over calls instead of one
+      // table-scale rewrite stalling a cycle
+      val v = compactSmall(s, table, targetBytes,
+        maxBatchBytes = compactBatchBytes)
       MaintainReport(if (v >= 0) v else head, compacted = v >= 0,
         clustered = false, smallFiles, dvRows, rawRows, overlap,
         eqdelKeys = eqKeys)

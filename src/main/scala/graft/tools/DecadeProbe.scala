@@ -87,8 +87,45 @@ object DecadeProbe {
     require(r1.filesUpdated == nFiles && r1.filesSkipped == 0, r1.toString)
     require(r2.filesUpdated == 0, s"re-analyze must be covered: $r2")
 
-    // ---- 3. broad MoR DELETE (~1/3 of every file), DV'd read, compact
+    // ---- 3a. PARTIALLY-DIRTY incremental materialization (r17): the
+    // M65 watch item was compact's one-off table-scale rewrite. Dirty
+    // ~10% of the 100-generation layout (a ranged half-delete leaves
+    // real deletion vectors in ~1 in 10 files), then clear the debt
+    // through compactSmall's bounded batches — the rewrite cost must
+    // track DIRTY bytes, not table bytes, each call bounded, with row
+    // ids carried (the identity checksum pins it at this scale).
     TxLog.setProperties(spark, t1, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    val dirtyBound = maxKey * (replicas.toLong / 10L)
+    val (_, partialDelMs) = ms {
+      TxLog.delete(spark, t1,
+        col("o_orderkey") < dirtyBound && col("o_orderkey") % 2 === 0,
+        "decade-del2", 0L)
+    }
+    def idSig(): (Long, Long) = {
+      val r = TxLog.snapshotLineage(spark, t1)
+        .get.agg(count(lit(1)), sum(col("_row_id") % 1000003L)).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val sigBefore = idSig()
+    val dirtyFiles = TxLog.history(spark, t1).orderBy(desc("version")).first()
+      .getAs[Long]("n_dvs")
+    var incrCalls = 0
+    var incrTotalMs = 0L
+    var incrMaxMs = 0L
+    var go = true
+    while (go) {
+      val (v, m) = ms {
+        TxLog.compactSmall(spark, t1, targetBytes = 1L,
+          maxBatchBytes = 16L << 20)
+      }
+      if (v < 0L) go = false
+      else { incrCalls += 1; incrTotalMs += m; incrMaxMs = math.max(incrMaxMs, m) }
+    }
+    val sigAfter = idSig()
+    require(sigBefore == sigAfter,
+      s"incremental materialization changed rows/ids: $sigBefore -> $sigAfter")
+
+    // ---- 3. broad MoR DELETE (~1/3 of every file), DV'd read, compact
     val (del, deleteMs) = ms {
       TxLog.delete(spark, t1, col("o_orderkey") % 3 === 1, "decade-del", 0L)
     }
@@ -148,6 +185,10 @@ object DecadeProbe {
       s""""dv_read_s":${dvReadMs / 1000.0},"live_rows":$liveCnt,""" +
       s""""compact_s":${compactMs / 1000.0},""" +
       s""""clean_read_s":${cleanReadMs / 1000.0},""" +
+      s""""partial_del_s":${partialDelMs / 1000.0},""" +
+      s""""dirty_files":$dirtyFiles,"incr_calls":$incrCalls,""" +
+      s""""incr_total_s":${incrTotalMs / 1000.0},""" +
+      s""""incr_max_call_s":${incrMaxMs / 1000.0},"rowid_stable":true,""" +
       s""""spj_load_s":${spjLoadMs / 1000.0},""" +
       s""""spj_join_s":${spjJoinMs / 1000.0},"spj_groups":$joinRows,""" +
       s""""spj_agg_exchanges":$exchanges}""")

@@ -118,4 +118,49 @@ class TxIncrCompactSpec extends AnyFunSuite {
       assert(spark.read.format("txlog").option("versionAsOf", 1).load(t).count() == 100L)
     } finally spark.sql(s"DROP TABLE $name")
   }
+
+  test("maxBatchBytes: one bounded DIRTIEST-FIRST bite per call, rows and " +
+      "row ids invariant, convergence over calls (r17 incremental " +
+      "materialization)") {
+    val t = freshTable()
+    // four one-file generations; two get heavy deletion vectors
+    (0 until 4).foreach(i =>
+      TxLog.commit(rows(i * 1000 until (i + 1) * 1000, s"g$i").coalesce(1),
+        t, "w", i.toLong))
+    TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    // g0: 80% dead; g1: 10% dead; g2/g3 clean
+    TxLog.delete(spark, t, col("id") < 800L, "d", 0L)
+    TxLog.delete(spark, t, col("id") >= 1000L && col("id") < 1100L, "d", 1L)
+    val want = TxLog.snapshot(spark, t).get.orderBy("id")
+      .select("id", "grp", "v").collect().toSeq
+    val ids = TxLog.snapshotLineage(spark, t).get
+      .select("_row_id", "id").as[(Long, Long)].collect().toMap
+    // a tiny batch cap: exactly ONE file (the dirtiest — g0's) rewrites
+    val v1 = TxLog.compactSmall(spark, t, targetBytes = 1L,
+      maxBatchBytes = 1L)
+    assert(v1 > 0)
+    val h1 = TxLog.history(spark, t).orderBy(desc("version")).first()
+    assert(h1.getAs[Long]("n_removes") == 1L,
+      "the cap must bound the batch to the single dirtiest file")
+    assert(TxLog.snapshot(spark, t).get.orderBy("id")
+      .select("id", "grp", "v").collect().toSeq == want, "row-invariant")
+    // the next call takes the next dirty file; a third finds nothing
+    val v2 = TxLog.compactSmall(spark, t, targetBytes = 1L, maxBatchBytes = 1L)
+    assert(v2 > v1)
+    assert(TxLog.compactSmall(spark, t, targetBytes = 1L, maxBatchBytes = 1L)
+      == -1L, "converged: no dirty files remain")
+    assert(TxLog.snapshot(spark, t).get.orderBy("id")
+      .select("id", "grp", "v").collect().toSeq == want)
+    // row identity pinned through the incremental materialization
+    val idsAfter = TxLog.snapshotLineage(spark, t).get
+      .select("_row_id", "id").as[(Long, Long)].collect().toMap
+    assert(idsAfter == ids, "bounded batches must carry every row id")
+    // and the maintain loop drives the same bite size
+    TxLog.commit(rows(9000 until 9010, "s1").coalesce(1), t, "w", 10L)
+    TxLog.commit(rows(9010 until 9020, "s2").coalesce(1), t, "w", 11L)
+    TxLog.commit(rows(9020 until 9030, "s3").coalesce(1), t, "w", 12L)
+    val rep = TxLog.maintain(spark, t, targetBytes = 1L << 20,
+      smallFilesTrigger = 2, compactBatchBytes = 1L)
+    assert(rep.compacted, rep.toString)
+  }
 }
