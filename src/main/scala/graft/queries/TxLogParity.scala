@@ -737,6 +737,9 @@ object TxLogParity {
     * every version's delta as set algebra over raw orders. */
   private val builtEqCdf = new ConcurrentHashMap[String, String]()
 
+  private def srcRowsOf(s: SparkSession, dir: String): Long =
+    Tables(s, dir, "orders").count()
+
   private def eqdelCdfTable(s: SparkSession, dir: String): String =
     builtEqCdf.computeIfAbsent(dir, _ => {
       val t = Files.createTempDirectory("txlog_eqcdf_oracle_").resolve("t").toString
@@ -748,7 +751,12 @@ object TxLogParity {
         .write.format("txlog").mode("append").save(t)                    // v0
       orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2)
         .coalesce(2).write.format("txlog").mode("append").save(t)        // v1
-      TxLog.setProperties(s, t, Map(TxLog.ChangeFeedProp -> "true"))     // v2
+      // the key cap sizes with the data (the upsert's insert era alone
+      // is rows/3 keys at any SF) — the cap's refuse/fallback contract
+      // is pinned in TxEqDelSpec, THIS row tests the keyed capture
+      TxLog.setProperties(s, t, Map(TxLog.ChangeFeedProp -> "true",
+        graft.storage.TxEqDel.MaxKeysProp ->
+          math.max(1000000L, 2L * srcRowsOf(s, dir)).toString))          // v2
       TxLog.deleteByKeys(
         orders.where(col("o_orderkey") % 7 === 3).select("o_orderkey"),
         t, "oracle-eqcdf-d", 0L)                                         // v3
