@@ -82,11 +82,16 @@ class TxLogV2Source extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = tablePath(options)
-    val schema = TxLogV2.resolvedAsOf(SparkSession.active, path, options) match {
-      // time travel serves the schema AS OF the pinned version — an
-      // evolved column must not appear in a pre-evolution snapshot
-      case Some(v) => TxLog.tableSchemaAt(SparkSession.active, path, v)
-      case None => TxLog.tableSchema(SparkSession.active, path)
+    val spark = SparkSession.active
+    val schema = TxLogV2.branchOf(options) match {
+      // a branch relation serves the BRANCH lineage's schema
+      case Some(b) => TxLog.onBranch(b)(TxLog.tableSchema(spark, path))
+      case None => TxLogV2.resolvedAsOf(spark, path, options) match {
+        // time travel serves the schema AS OF the pinned version — an
+        // evolved column must not appear in a pre-evolution snapshot
+        case Some(v) => TxLog.tableSchemaAt(spark, path, v)
+        case None => TxLog.tableSchema(spark, path)
+      }
     }
     val base = schema.getOrElse(throw new IllegalArgumentException(
       s"txlog table $path is empty or absent — schema unknowable " +
@@ -102,7 +107,12 @@ class TxLogV2Source extends TableProvider with DataSourceRegister {
     require(!(cdf && asOf.isDefined),
       "readChangeFeed and versionAsOf/timestampAsOf are mutually exclusive — " +
         "the feed is version-windowed by startingVersion/endingVersion instead")
-    TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty), asOf, cdf)
+    val branch = TxLogV2.branchOf(opts)
+    require(branch.isEmpty || (asOf.isEmpty && !cdf),
+      "the branch option is a plain lineage read — combine it with neither " +
+        "time travel nor readChangeFeed")
+    TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty), asOf, cdf,
+      branch)
   }
 }
 
@@ -246,6 +256,24 @@ object TxLogV2 {
   private[storage] def readChangeFeed(options: CaseInsensitiveStringMap): Boolean =
     Option(options.get("readChangeFeed")).exists(_.trim.equalsIgnoreCase("true"))
 
+  /** The `branch` reader option (r17, [[TxLog.createBranch]]): read
+    * the named branch's lineage through the production V2 door. A
+    * branch relation is READ-ONLY and snapshot-shaped: writes/DML go
+    * through `TxLog.onBranch` (which scopes every library and V2
+    * write door), and time travel / change feed / streaming on a
+    * branch relation are refused. */
+  private[storage] def branchOf(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("branch")).map(_.trim).filter(_.nonEmpty)
+
+  /** The manifest sequence a (possibly branch-scoped) relation reads. */
+  private[storage] def lineageManifests(spark: SparkSession, table: String,
+                                        branch: Option[String]): Seq[TxLog.Manifest] =
+    branch match {
+      case Some(b) =>
+        TxLog.branchLineage(TxLog.allManifests(spark, table), b, table)
+      case None => TxLog.manifests(spark, table)
+    }
+
   /** `startingVersion` for a STREAM: begin the tail at version v
     * INCLUSIVE instead of snapshotting first (the Delta option) — the
     * initial offset becomes v−1. "latest" = only post-start commits.
@@ -291,7 +319,8 @@ object TxLogRowIdColumn extends MetadataColumn {
 }
 
 case class TxLogTable(table: String, givenSchema: Option[StructType],
-                      asOf: Option[Long] = None, cdf: Boolean = false)
+                      asOf: Option[Long] = None, cdf: Boolean = false,
+                      branch: Option[String] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with TruncatableTable {
@@ -299,7 +328,9 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
   private def spark = SparkSession.active
 
   override def name(): String =
-    table + asOf.map(v => s"@v$v").getOrElse("") + (if (cdf) "@changes" else "")
+    table + asOf.map(v => s"@v$v").getOrElse("") +
+      branch.map(b => s"@branch=$b").getOrElse("") +
+      (if (cdf) "@changes" else "")
 
   override lazy val schema: StructType = {
     val base = givenSchema
@@ -310,13 +341,14 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
       // given schema speaks that era's logical names — the current
       // mapping may have renamed them since)
       .map { g =>
-        val ms0 = TxLog.manifests(spark, table)
+        val ms0 = TxLogV2.lineageManifests(spark, table, branch)
         val ms = asOf.map(v => TxLog.manifestsAt(ms0, v, table)).getOrElse(ms0)
         TxLog.withDefaults(g, TxLog.colMapFrom(ms), TxLog.propsFrom(ms))
       }
-      .orElse(asOf match {
-        case Some(v) => TxLog.tableSchemaAt(spark, table, v)
-        case None => TxLog.tableSchema(spark, table)
+      .orElse((asOf, branch) match {
+        case (Some(v), _) => TxLog.tableSchemaAt(spark, table, v)
+        case (None, Some(b)) => TxLog.onBranch(b)(TxLog.tableSchema(spark, table))
+        case _ => TxLog.tableSchema(spark, table)
       })
       .getOrElse(throw new IllegalArgumentException(
         s"txlog table $table is empty or absent — schema unknowable"))
@@ -325,7 +357,7 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     // generation-expression metadata so DESCRIBE shows derivations;
     // manifest DDL records strip both back out (TxLog.ddlOf)
     val withWrite = {
-      val ms0 = TxLog.manifests(spark, table)
+      val ms0 = TxLogV2.lineageManifests(spark, table, branch)
       val ms = asOf.map(v => TxLog.manifestsAt(ms0, v, table)).getOrElse(ms0)
       TxLog.withGeneration(TxLog.withWriteDefaults(base),
         TxLog.colMapFrom(ms), TxLog.propsFrom(ms))
@@ -385,12 +417,16 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     else
       new TxLogScanBuilder(spark, table, schema, op = None, asOf = asOf,
         startingVersion = TxLogV2.resolveStart(spark, table, options),
-        maxVersions = TxLogV2.maxVersionsPerTrigger(options))
+        maxVersions = TxLogV2.maxVersionsPerTrigger(options),
+        branch = branch)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
     require(!cdf, "a txlog change-feed relation is read-only")
+    require(branch.isEmpty,
+      "a branch-option relation is read-only — write/DML on a branch " +
+        "through TxLog.onBranch")
     new TxLogWriteBuilder(table, info)
   }
 
@@ -399,6 +435,9 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
     require(!cdf, "a txlog change-feed relation is read-only")
+    require(branch.isEmpty,
+      "a branch-option relation is read-only — write/DML on a branch " +
+        "through TxLog.onBranch")
     // graft.dml.mode=mergeOnRead switches Spark-planned DML to the
     // delta-based (deletion-vector) operation — the SAME dispatch the
     // library DML paths make, so the property governs both doors. ONE
@@ -422,6 +461,9 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} is read-only")
     require(!cdf, "a txlog change-feed relation is read-only")
+    require(branch.isEmpty,
+      "a branch-option relation is read-only — write/DML on a branch " +
+        "through TxLog.onBranch")
     TxLog.truncate(spark, table)
     true
   }
@@ -435,7 +477,8 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
                        op: Option[TxLogRowLevelOperation],
                        asOf: Option[Long] = None,
                        startingVersion: Option[String] = None,
-                       maxVersions: Option[Long] = None)
+                       maxVersions: Option[Long] = None,
+                       branch: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -500,7 +543,7 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
       : Option[(StructType, Array[Any])] = {
     if (op.isDefined || pushed.nonEmpty) return None
     if (aggregation.groupByExpressions.nonEmpty) return None
-    val ms0 = TxLog.manifests(spark, table)
+    val ms0 = TxLogV2.lineageManifests(spark, table, branch)
     val ms = asOf.map(TxLog.manifestsAt(ms0, _, table)).getOrElse(ms0)
     // EQUALITY DELETES ([[TxEqDel]]): a live keyed-delete entry hides an
     // UNKNOWN number of rows from the files it applies to (key-match
@@ -600,7 +643,7 @@ class TxLogScanBuilder(spark: SparkSession, table: String, tableSchema: StructTy
   override def build(): Scan = agg match {
     case Some((schema, row)) => new TxLogMetaAggScan(table, asOf, schema, row)
     case None => new TxLogScan(spark, table, tableSchema, required, pushed, op,
-      asOf, startingVersion, maxVersions)
+      asOf, startingVersion, maxVersions, branch)
   }
 }
 
@@ -644,7 +687,8 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
                 op: Option[TxLogRowLevelOperation],
                 asOf: Option[Long] = None,
                 startingVersion: Option[String] = None,
-                maxVersions: Option[Long] = None)
+                maxVersions: Option[Long] = None,
+                branch: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -664,7 +708,7 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
   private val ms = op match {
     case Some(o) => o.pinnedSnapshot(spark, table)
     case None =>
-      val all = TxLog.manifests(spark, table)
+      val all = TxLogV2.lineageManifests(spark, table, branch)
       asOf.map(TxLog.manifestsAt(all, _, table)).getOrElse(all)
   }
   private val allFiles = TxLog.liveFiles(ms)
@@ -1005,6 +1049,9 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
     require(asOf.isEmpty,
       s"txlog relation pinned at versionAsOf=${asOf.get} cannot be a stream " +
         "source — the tail is by definition unpinned")
+    require(branch.isEmpty,
+      "a branch-option relation cannot be a stream source — branches are " +
+        "staging refs; tail main (or fast-forward first)")
     // the stream's parquet readers also read PHYSICAL (its output rows
     // are positional against this scan's logical readSchema); physical
     // names are immutable, so a rename mid-stream cannot desync it

@@ -216,6 +216,37 @@ class TxBranchSpec extends AnyFunSuite {
     assert(rows(TxLog.snapshot(spark, t)).map(_._1) == (0L to 7L))
   }
 
+  test("V2 branch option: format(\"txlog\").option(\"branch\", b) reads the " +
+      "lineage; read-only; composes with _row_id; refuses time travel/cdf/stream") {
+    val t = build()
+    TxLog.createBranch(spark, t, "v2b")
+    TxLog.onBranch("v2b") {
+      TxLog.commit(Seq((50L, "x")).toDF("id", "v").coalesce(1), t, "v2w", 0L)
+      TxLog.delete(spark, t, col("id") === 0L, "v2d", 0L)
+      ()
+    }
+    val br = spark.read.format("txlog").option("branch", "v2b").load(t)
+    assert(br.select("id").orderBy("id").as[Long].collect().toSeq ==
+      (1L to 7L) :+ 50L)
+    // pushed filters + the lineage metadata columns compose
+    assert(br.where(col("id") >= 50L).select("_row_id", "id")
+      .as[(Long, Long)].collect().toSeq.nonEmpty)
+    // main stays main through the plain door
+    assert(spark.read.format("txlog").load(t).count() == 8L)
+    // read-only + incompatible options (a write declaring the branch
+    // OPTION refuses — branch writes go through onBranch)
+    intercept[Exception](spark.range(1).selectExpr("id", "'w' AS v")
+      .write.format("txlog").option("branch", "v2b").mode("append").save(t))
+    intercept[Exception](spark.read.format("txlog")
+      .option("branch", "v2b").option("versionAsOf", 1L).load(t).collect())
+    intercept[Exception](spark.read.format("txlog")
+      .option("branch", "v2b").option("readChangeFeed", "true").load(t).collect())
+    intercept[Exception](spark.read.format("txlog")
+      .option("branch", "nope").load(t).collect())
+    TxLog.dropBranch(spark, t, "v2b")
+    ()
+  }
+
   test("branch time machinery: tags and time travel ignore branch commits; " +
       "a second branch forks from post-ff main") {
     val t = build()
