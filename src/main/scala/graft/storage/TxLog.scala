@@ -605,11 +605,19 @@ object TxLog {
   def branches(s: SparkSession, table: String): Map[String, Long] =
     branchesFrom(propsFrom(mainLineage(allManifests(s, table))))
 
-  /** The named branch's replay sequence: main ≤ base, then the
-    * branch's own commits (all past the base by construction; adopted
-    * or stale same-name manifests from an earlier branch generation
-    * are excluded — adoption moved them to main, recreation re-bases
-    * past them). */
+  /** The named branch's replay sequence: main AS IT WAS AT THE FORK,
+    * then the branch's own commits (all past the base by construction;
+    * adopted or stale same-name manifests from an earlier branch
+    * generation are excluded — adoption moved them to main, recreation
+    * re-bases past them).
+    *
+    * The fork prefix is [[mainLineage]] of the manifests ≤ base — NOT
+    * `mainLineage(all).filter(_.version <= base)`: an adoption made by
+    * an ADOPTER past the base (another branch's fast-forward whose
+    * adoptee versions interleave below this branch's fork) must not
+    * retroactively inject foreign rows into a lineage that had already
+    * forked. Adoptions whose adopter committed at/before the base were
+    * part of main at fork time and replay as always. */
   private[storage] def branchLineage(all: Seq[Manifest], name: String,
                                      table: String): Seq[Manifest] = {
     val main = mainLineage(all)
@@ -618,7 +626,7 @@ object TxLog {
         s"no such branch '$name' on $table (live: " +
           s"${branchesFrom(propsFrom(main)).keys.toSeq.sorted.mkString(", ")})"))
     val adopted = all.iterator.filter(_.branch.isEmpty).flatMap(_.adopts).toSet
-    main.filter(_.version <= base) ++
+    mainLineage(all.filter(_.version <= base)) ++
       all.filter(m => m.branch.contains(name) && m.version > base &&
         !adopted(m.version))
   }
@@ -704,9 +712,16 @@ object TxLog {
       val root = new Path(table)
       val f = fs(s, root)
       val logDir = new Path(root, LogDir)
+      // record the rid HIGH-WATER in the drop manifest: the dropped
+      // branch's commits become FOREIGN and vacuum collects them on age
+      // alone — if they held the highest minted ranges, a post-sweep
+      // commit would re-mint ids consumers captured from the branch
+      // before the drop. The drop manifest is main-lineage and survives
+      // (or is absorbed by) every checkpoint, so the water holds.
       val bytes = render(Manifest(v, Seq.empty,
         writerId = s"branch-drop-${java.util.UUID.randomUUID()}", batchId = 0L,
-        checkpoint = false, props = Some(merged), ts = commitTimeMs()))
+        checkpoint = false, props = Some(merged), ts = commitTimeMs(),
+        nextRid = nextRowId(all)))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return v
@@ -737,12 +752,16 @@ object TxLog {
           s"no such branch '$name' on $table (live: " +
             s"${branchesFrom(props).keys.toSeq.sorted.mkString(", ")})"))
       // structural trust, as everywhere: `branch-` is a reserved
-      // writer prefix and this library is the format's only writer
+      // writer prefix and this library is the format's only writer.
+      // A NON-EMPTY `adopts` is row-changing bookkeeping: another
+      // branch's fast-forward injected its rows into main (possibly at
+      // versions BELOW this branch's base) — main's row set diverged
+      // even though the ff manifest itself carries no files.
       main.filter(_.version > base).find(m =>
           !(m.writerId.startsWith("branch-") && m.files.isEmpty &&
             m.removes.isEmpty && m.dvs.isEmpty && m.eqdels.isEmpty &&
-            m.eqdrops.isEmpty && !m.checkpoint && m.schema.isEmpty &&
-            m.cmap.isEmpty))
+            m.eqdrops.isEmpty && m.adopts.isEmpty && !m.checkpoint &&
+            m.schema.isEmpty && m.cmap.isEmpty))
         .foreach(m => throw new java.util.ConcurrentModificationException(
           s"cannot fast-forward $table to branch '$name': main moved at " +
             s"v${m.version} (${m.writerId}) past the base v$base — the " +
@@ -3047,7 +3066,12 @@ object TxLog {
     val hit = readFiles(s, table, ms, candidates).where(pred)
       .select(input_file_name().as("_f")).distinct()
       .collect().map(_.getString(0))
-    candidates.filter(rel => hit.exists(_.endsWith(rel)))
+    // O(candidates + hits) via the canonical tail key (URI scheme and
+    // root aliasing collapse to the manifest rel path), not an
+    // O(candidates × hits) suffix scan — flat driver time on a broad
+    // delete over a high-file-count table
+    val hitTails = hit.iterator.map(TxDv.tailKey).toSet
+    candidates.filter(rel => hitTails(TxDv.tailKey(rel)))
   }
 
   /** MERGE-ON-READ's write half: the matched row POSITIONS among
@@ -3828,7 +3852,10 @@ object TxLog {
         val hit = cand.select(keys.map(col) :+ input_file_name().as("_f"): _*)
           .join(srcKeys, keys, "left_semi")
           .select("_f").distinct().collect().map(_.getString(0))
-        candidates.filter(rel => hit.exists(_.endsWith(rel)))
+        // tail-keyed set lookup, not an O(candidates × hits) suffix
+        // scan — same pattern as the DV-merge resolution above
+        val hitTails = hit.iterator.map(TxDv.tailKey).toSet
+        candidates.filter(rel => hitTails(TxDv.tailKey(rel)))
       }
     // carried-over target rows keep their ROW IDS; source rows
     // (replacements and inserts) are NEW rows and mint fresh ids at
@@ -4211,9 +4238,26 @@ object TxLog {
     var first = true
     ordered.foreach { r =>
       val sz = sizeOf(r)
-      if (first || sz <= budget) { picked += r; budget -= sz; first = false }
+      // the force-include escape hatch (a file larger than the whole
+      // budget) only fires for a DV'd file — rewriting it materializes
+      // deletes, real progress; a CLEAN over-budget file would be
+      // rewritten into an identical file forever (livelock for a
+      // loop-until-(-1) caller)
+      if ((first && dvs.contains(r)) || sz <= budget) {
+        picked += r; budget -= sz; first = false
+      }
     }
-    val touched = picked.result().sorted
+    // a batch makes PROGRESS only where it merges (≥2 files of one
+    // tuple group) or materializes (a DV'd file). A lone clean pick of
+    // a multi-file group — its groupmates priced out of the budget —
+    // would rewrite one file into one identical file, committing a
+    // version per call with zero progress; drop such picks, and
+    // return -1 (honest refusal: raise maxBatchBytes) if none survive.
+    val progressing = picked.result().groupBy(r =>
+        stats.get(r).map(_.parts).getOrElse(Seq.empty))
+      .values.filter(g => g.size > 1 || g.exists(dvs.contains))
+      .flatten.toSeq
+    val touched = progressing.sorted
     if (touched.isEmpty) return -1L
     val pcols = partitionColsFrom(ms)
     val schemaDdl = tableSchemaFrom(ms).map(ddlOf)

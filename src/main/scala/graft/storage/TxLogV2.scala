@@ -918,11 +918,27 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
         }.toArray
       case None => ()
     }
-    // ROW-ID scans pack every file alone: the id derivation is a
-    // PER-FILE constant (firstRowId), resolved per partition
-    if (wantsRowId)
-      return files.flatMap(rel =>
-        GraftParquetIO.filePartitions(spark, Seq(pf(rel)))).toArray
+    // ROW-ID scans carry each file's firstRowId as a hidden LEADING
+    // partition-value constant (__rid — [[TxRowId.Spec.ridPvOrd]]), so
+    // CLEAN files coalesce into shared partitions like any other scan
+    // (task count ∝ bytes, not files); only files needing row filters
+    // pack alone (the factory's per-partition DV/probe decision is
+    // head-file-exact)
+    if (wantsRowId) {
+      def rpf(rel: String) = {
+        val rid: Any = stats.get(rel).filter(_.firstRowId >= 0L)
+          .map(st => java.lang.Long.valueOf(st.firstRowId)).orNull
+        val tail: Seq[Any] =
+          if (wantsFile) Seq(UTF8String.fromString(rel)) else Seq.empty
+        GraftParquetIO.partitionedFile(TxLog.absPath(table)(rel),
+          fileBytes(spark, table, rel, stats),
+          InternalRow.fromSeq(rid +: tail))
+      }
+      val (ridWork, ridClean) = files.partition(needsWork)
+      return (GraftParquetIO.filePartitions(spark, ridClean.map(rpf)) ++
+        ridWork.flatMap(rel =>
+          GraftParquetIO.filePartitions(spark, Seq(rpf(rel))))).toArray
+    }
     val (workFiles, cleanFiles) = files.partition(needsWork)
     if (workFiles.isEmpty) GraftParquetIO.filePartitions(spark, files.map(pf))
     else
@@ -957,9 +973,13 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
         .filterNot(physReadData.fieldNames.toSet)
       val augSchema = StructType(physReadData.fields ++
         Seq(gridField, riField) ++ keyCols.map(physByName(_)))
+      // the partitions carry firstRowId as a hidden LEADING pv column
+      // (see planInputPartitions) — prepend it to the real pv schema
+      val ridPvField = org.apache.spark.sql.types.StructField(
+        "__rid", org.apache.spark.sql.types.LongType, nullable = true)
       val aug = GraftParquetIO.readerFactory(spark,
         StructType(physTable.fields :+ gridField), augSchema,
-        partitionSchema, physPushed)
+        StructType(ridPvField +: partitionSchema.fields), physPushed)
       val ordOf = augSchema.fieldNames.zipWithIndex.toMap
       val probeOf: Map[String, TxEqDel.ProbeSpec] = liveEq.map { case (_, e) =>
         e.p -> TxEqDel.ProbeSpec(e.p, e.cols.map(ordOf(_)).toArray,
@@ -969,18 +989,14 @@ class TxLogScan(spark: SparkSession, table: String, tableSchema: StructType,
         graft.storage.TxDv.tailKey(rel) -> TxEqDel.FileWork(
           dvByFile.get(rel), eqEntriesFor(rel).map(e => probeOf(e._2.p)))
       }.toMap
-      val ridByTail = files.flatMap(rel => stats.get(rel)
-        .filter(_.firstRowId >= 0L)
-        .map(st => graft.storage.TxDv.tailKey(rel) -> st.firstRowId)).toMap
       return TxRowId.RowIdReaderFactory(aug,
         TxRowId.Spec(
           gridOrd = physReadData.length,
           riOrd = physReadData.length + 1,
           visibleLen = physReadData.length,
-          blockEnd = physReadData.length + 2 + keyCols.length,
+          ridPvOrd = augSchema.length,
           visibleTypes = physReadData.fields.map(_.dataType),
           pvTypes = partitionSchema.fields.map(_.dataType),
-          ridByTail = ridByTail,
           emitPos = wantsPos),
         work, table,
         GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
@@ -1266,9 +1282,17 @@ class TxLogMicroBatchStream(spark: SparkSession, table: String,
         // contiguity is judged against the FULL log listing: a version
         // absent from `ms` but present on disk belongs to another
         // lineage (a branch commit) — the main tail serves nothing for
-        // it; truly absent = vacuum truncated the range (loud)
+        // it; truly absent = vacuum truncated the range (loud). ONE
+        // exception: while main's v0 still survives, main was never
+        // truncated (the lineage cut is all-or-nothing below the
+        // checkpoint), so a version absent from BOTH the listing and
+        // main provably belonged to a dropped branch whose manifests
+        // vacuum collected independently — the tail serves nothing for
+        // it, exactly as if the foreign manifest were still on disk.
         val have = TxLog.logVersions(spark, table)
-        val missing = ((from + 1) to to).filterNot(have)
+        val mainIntact = ms.headOption.exists(_.version == 0L)
+        val missing = ((from + 1) to to)
+          .filterNot(v => have(v) || mainIntact)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
         // an INCREMENTAL OPTIMIZE (compactSmall) is a non-checkpoint
         // rewrite whose row MULTISET is unchanged — its outputs repack
@@ -1576,9 +1600,14 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
     // both ends must still BE in the log: beyond-head is user error and
     // below-oldest means vacuum truncated the range — neither reads empty
     // membership against the FULL listing: a branch commit's version is
-    // a valid window bound (the main feed serves nothing for it)
+    // a valid window bound (the main feed serves nothing for it), and
+    // while main's v0 survives a version missing from the listing is a
+    // COLLECTED foreign manifest (dropped-branch, swept independently
+    // of the all-or-nothing lineage cut) — equally valid, equally empty
     val present = TxLog.logVersions(spark, table)
-    def in(k: String, v: Long): Unit = require(present(v),
+    val mainIntact = ms.headOption.exists(_.version == 0L)
+    def in(k: String, v: Long): Unit = require(
+      (present(v) || (mainIntact && v <= ms.last.version)) && v >= 0L,
       s"$k $v not in $table's log (retained: ${ms.head.version}..${ms.last.version})")
     in("startingVersion", from); in("endingVersion", to)
     require(from <= to, s"startingVersion $from > endingVersion $to")
@@ -1730,9 +1759,15 @@ class TxLogChangeStream(spark: SparkSession, table: String,
       } else {
         val range = ms.filter(m => m.version > from && m.version <= to)
         // full-listing contiguity, as in the plain stream: a branch
-        // commit's version is present-but-foreign (serves nothing)
+        // commit's version is present-but-foreign (serves nothing),
+        // and while main's v0 survives a version missing from the
+        // listing is a COLLECTED foreign manifest, not truncation
+        // (main's lineage cut is all-or-nothing — see the plain
+        // stream's check)
         val have = TxLog.logVersions(spark, table)
-        val missing = ((from + 1) to to).filterNot(have)
+        val mainIntact = ms.headOption.exists(_.version == 0L)
+        val missing = ((from + 1) to to)
+          .filterNot(v => have(v) || mainIntact)
         if (missing.nonEmpty) vacuumedError(s"versions ${missing.mkString(",")}")
         // tail windows serve captured change files / appends, never
         // DV'd or keyed-deleted data files — restore the columnar

@@ -47,18 +47,26 @@ object TxRowId {
   val RowIdField: StructField = StructField(RowIdCol, LongType, nullable = true)
 
   /** V2 serving spec, bound to a scan's AUGMENTED read layout
-    * `[visible data...] ++ [grid, ri, probe key cols...] ++ [pv...]`:
-    * ordinals of the stored-grid and row-index columns, the visible
-    * output width (data columns the query asked for), where the
-    * working block ends (= where partition constants begin), the
-    * types needed by the row-based reader, and the per-file
-    * first-row-id map (tail-keyed). */
+    * `[visible data...] ++ [grid, ri, probe key cols...] ++ [__rid,
+    * pv...]`: ordinals of the stored-grid and row-index columns, the
+    * visible output width (data columns the query asked for), the
+    * `__rid` constant's ordinal, where the REAL partition constants
+    * begin (`blockEnd` = ridPvOrd + 1), and the types the row-based
+    * reader needs.
+    *
+    * The file's firstRowId rides as a HIDDEN LEADING partition-value
+    * constant (`__rid`, ordinal [[Spec.ridPvOrd]]) rather than a
+    * per-partition scalar: partition values are per-FILE, so CLEAN
+    * rid-bearing files coalesce into shared partitions (task count ∝
+    * bytes, not files, on many-file tables) while each file's batches
+    * still resolve their own allocation. Null `__rid` = the file
+    * pre-dates row-id minting — derived ids serve null. */
   private[storage] case class Spec(gridOrd: Int, riOrd: Int,
-                                   visibleLen: Int, blockEnd: Int,
+                                   visibleLen: Int, ridPvOrd: Int,
                                    visibleTypes: Array[DataType],
                                    pvTypes: Array[DataType],
-                                   ridByTail: Map[String, Long],
                                    emitPos: Boolean) extends Serializable {
+    def blockEnd: Int = ridPvOrd + 1
     def pvCount: Int = pvTypes.length
   }
 
@@ -81,9 +89,8 @@ object TxRowId {
       case _ => None
     }
 
-    private def ridOf(p: InputPartition): Long =
-      fileOf(p).flatMap(spec.ridByTail.get).getOrElse(-1L)
-
+    // sound on head-file alone: files needing row filters are packed
+    // ALONE by the scan's planner; coalesced partitions are all-clean
     private def workOf(p: InputPartition): Option[TxEqDel.FileWork] =
       fileOf(p).flatMap(work.get)
 
@@ -91,11 +98,11 @@ object TxRowId {
       aug.supportColumnarReads(p)
 
     override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
-      new RowIdColumnarReader(aug.createColumnarReader(p), spec, ridOf(p),
+      new RowIdColumnarReader(aug.createColumnarReader(p), spec,
         loaded(workOf(p)))
 
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-      new RowIdRowReader(aug.createReader(p), spec, ridOf(p), loaded(workOf(p)))
+      new RowIdRowReader(aug.createReader(p), spec, loaded(workOf(p)))
 
     private def loaded(w: Option[TxEqDel.FileWork])
         : (Option[TxDv.Dv], Array[TxEqDel.LoadedProbe]) = w match {
@@ -138,7 +145,7 @@ object TxRowId {
   }
 
   private final class RowIdColumnarReader(
-      inner: PartitionReader[ColumnarBatch], spec: Spec, rid: Long,
+      inner: PartitionReader[ColumnarBatch], spec: Spec,
       filters: (Option[TxDv.Dv], Array[TxEqDel.LoadedProbe]))
       extends PartitionReader[ColumnarBatch] {
     private val (dv, probes) = filters
@@ -165,13 +172,14 @@ object TxRowId {
           i += 1
         }
         if (k > 0) {
+          val ridCol = cols(spec.ridPvOrd) // per-file constant (pv)
           val vals = new Array[Long](k)
           val nulls = new Array[Boolean](k)
           var j = 0
           while (j < k) {
             val r = sel(j)
             if (!grid.isNullAt(r)) vals(j) = grid.getLong(r)
-            else if (rid >= 0L) vals(j) = rid + ri.getLong(r)
+            else if (!ridCol.isNullAt(r)) vals(j) = ridCol.getLong(r) + ri.getLong(r)
             else nulls(j) = true
             j += 1
           }
@@ -199,7 +207,7 @@ object TxRowId {
   }
 
   private final class RowIdRowReader(
-      inner: PartitionReader[InternalRow], spec: Spec, rid: Long,
+      inner: PartitionReader[InternalRow], spec: Spec,
       filters: (Option[TxDv.Dv], Array[TxEqDel.LoadedProbe]))
       extends PartitionReader[InternalRow] {
     private val (dv, probes) = filters
@@ -225,7 +233,8 @@ object TxRowId {
           }
           out(m) =
             if (!row.isNullAt(spec.gridOrd)) row.getLong(spec.gridOrd)
-            else if (rid >= 0L) rid + row.getLong(spec.riOrd)
+            else if (!row.isNullAt(spec.ridPvOrd))
+              row.getLong(spec.ridPvOrd) + row.getLong(spec.riOrd)
             else null
           m += 1
           if (spec.emitPos) { out(m) = row.getLong(spec.riOrd); m += 1 }

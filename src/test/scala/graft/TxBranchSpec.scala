@@ -269,4 +269,94 @@ class TxBranchSpec extends AnyFunSuite {
     TxLog.fastForward(spark, t, "b2")
     assert(rows(TxLog.snapshot(spark, t)).toMap.apply(40L) == "y")
   }
+
+  test("a late adoption below another branch's base neither rewrites that " +
+      "branch's fork prefix nor lets it fast-forward silently") {
+    // v0,v1 appends; v2 create A; v3 A's data commit; v4 create C
+    // (bookkeeping that pushes B's base PAST v3); v5 create B (base 4);
+    // v6 ff A adopts [3] — an adoptee BELOW B's base. B's lineage must
+    // stay main-as-of-the-fork (no v3 rows), and B's own ff must refuse
+    // (main's row set changed after B forked).
+    val t = build()
+    TxLog.createBranch(spark, t, "a")
+    TxLog.onBranch("a") {
+      TxLog.commit(Seq((100L, "z")).toDF("id", "v").coalesce(1), t, "aw", 0L)
+    }
+    TxLog.createBranch(spark, t, "c") // bookkeeping: base bump only
+    TxLog.createBranch(spark, t, "b")
+    TxLog.onBranch("b") {
+      TxLog.commit(Seq((200L, "w")).toDF("id", "v").coalesce(1), t, "bw", 0L)
+    }
+    TxLog.fastForward(spark, t, "a") // adopts v3 (< b's base)
+    assert(rows(TxLog.snapshot(spark, t)).map(_._1).contains(100L))
+    // b's fork prefix is main AS OF the fork — the late-adopted v3 is
+    // not retroactively injected
+    val br = rows(TxLog.snapshotBranch(spark, t, "b")).map(_._1)
+    assert(br == (0L to 7L) :+ 200L, s"late adoption leaked into b: $br")
+    // and b cannot fast-forward: main's rows moved past its base
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxLog.fastForward(spark, t, "b")
+    }
+    assert(e.getMessage.contains("main moved"))
+    TxLog.dropBranch(spark, t, "b"); TxLog.dropBranch(spark, t, "c")
+  }
+
+  test("dropBranch records the row-id high-water; ids never re-mint after " +
+      "the dropped branch's manifests are vacuumed") {
+    val t = build() // ids 0..7 minted
+    TxLog.createBranch(spark, t, "tmp")
+    TxLog.onBranch("tmp") {
+      TxLog.commit(spark.range(100).select(col("id") + 1000L as "id",
+        lit("x").as("v")).coalesce(1), t, "tw", 0L)
+    }
+    TxLog.dropBranch(spark, t, "tmp")
+    // the drop manifest itself carries the water (survives foreign sweep)
+    val logDir = new java.io.File(t, "_txlog")
+    val dropJson = logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      .find(_.contains("branch-drop-")).get
+    assert(dropJson.contains("\"nrid\": 108"),
+      s"drop manifest must record nrid=108 (8 main + 100 branch rows): $dropJson")
+    // sweep the foreign manifests, then append: no id collision
+    assert(TxLog.compact(spark, t) > 0L)
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    TxLog.commit(Seq((5000L, "n")).toDF("id", "v").coalesce(1), t, "nw", 0L)
+    val ids = spark.read.format("txlog").load(t)
+      .select(col("_row_id")).as[Long].collect()
+    assert(ids.distinct.length == ids.length)
+    assert(ids.max >= 108L, s"new rows re-minted a dropped branch's range: ${ids.max}")
+  }
+
+  test("vacuum of a dropped branch's foreign manifests leaves lagging " +
+      "streams and CDF windows serveable (main lost nothing)") {
+    val t = build() // v0, v1
+    TxLog.createBranch(spark, t, "junk") // v2
+    TxLog.onBranch("junk") {
+      TxLog.commit(Seq((300L, "j")).toDF("id", "v").coalesce(1), t, "jw", 0L) // v3
+    }
+    TxLog.dropBranch(spark, t, "junk") // v4
+    TxLog.tag(spark, t, "pin", 1L) // v5 — pins main's below-checkpoint prefix
+    assert(TxLog.compact(spark, t) > 0L) // v6 checkpoint
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    // main prefix survives (tag pin); the foreign v3 manifest is gone —
+    // the exact hole shape the contiguity checks must tolerate
+    val vs = new java.io.File(t, "_txlog").listFiles()
+      .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted.toSeq
+    assert(vs.contains(0L), s"main v0 must survive the tag-pinned sweep: $vs")
+    assert(!vs.contains(3L), s"foreign v3 should have been collected: $vs")
+    // a lagging RANGE stream crossing the hole serves main's rows
+    val name = s"txbrv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("startingVersion", "0")
+      .load(t).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("txbrv_").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).count() == 8L,
+      "the collected foreign manifest broke a valid lagging stream")
+    // a batch CDF window may even BOUND on the collected version
+    val cdf = spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", "3").load(t)
+    assert(cdf.count() == 8L)
+  }
 }

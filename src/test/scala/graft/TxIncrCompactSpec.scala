@@ -159,8 +159,39 @@ class TxIncrCompactSpec extends AnyFunSuite {
     TxLog.commit(rows(9000 until 9010, "s1").coalesce(1), t, "w", 10L)
     TxLog.commit(rows(9010 until 9020, "s2").coalesce(1), t, "w", 11L)
     TxLog.commit(rows(9020 until 9030, "s3").coalesce(1), t, "w", 12L)
-    val rep = TxLog.maintain(spark, t, targetBytes = 1L << 20,
+    // a 1-byte budget can make no progress on CLEAN files — maintain
+    // reports honestly (r18: the old behavior burned an identity
+    // rewrite of one small file per cycle, forever)
+    val rep0 = TxLog.maintain(spark, t, targetBytes = 1L << 20,
       smallFilesTrigger = 2, compactBatchBytes = 1L)
+    assert(!rep0.compacted, rep0.toString)
+    // a workable budget passes through and the bite really merges
+    val rep = TxLog.maintain(spark, t, targetBytes = 1L << 20,
+      smallFilesTrigger = 2, compactBatchBytes = 1L << 30)
     assert(rep.compacted, rep.toString)
+  }
+
+  test("no livelock: a batch that degenerates to a single CLEAN file refuses " +
+      "(-1) instead of rewriting one file into an identical file forever") {
+    val t = freshTable()
+    // one tuple group, two clean small files — mergeable, but never
+    // both within a 1-byte batch budget
+    TxLog.commit(rows(0 until 100, "a").coalesce(1), t, "w", 0L)
+    TxLog.commit(rows(100 until 200, "b").coalesce(1), t, "w", 1L)
+    val head = TxLog.history(spark, t).orderBy(desc("version"))
+      .first().getAs[Long]("version")
+    // the clean over-budget escape hatch must NOT fire: zero progress
+    assert(TxLog.compactSmall(spark, t, targetBytes = 1L << 20,
+      maxBatchBytes = 1L) == -1L,
+      "a degenerate single-clean-file batch must refuse, not commit")
+    assert(TxLog.history(spark, t).orderBy(desc("version"))
+      .first().getAs[Long]("version") == head, "no version burned")
+    // with a workable budget the same files merge in one call
+    val v = TxLog.compactSmall(spark, t, targetBytes = 1L << 20,
+      maxBatchBytes = 1L << 30)
+    assert(v > 0L)
+    assert(TxLog.snapshot(spark, t).get.count() == 200L)
+    assert(TxLog.compactSmall(spark, t, targetBytes = 1L << 20,
+      maxBatchBytes = 1L << 30) == -1L, "converged after the merge")
   }
 }
