@@ -785,6 +785,95 @@ object TxLogParity {
       .orderBy("_commit_version", "_change_type")
   }
 
+  /** ID-PAIRED CHANGE FEED (r18, [[graft.storage.TxRowId]]): the feed
+    * serves `_row_id` — change files STORE each d/i row's id (keyed
+    * upserts ADOPT the replaced row's id, so identical re-upserts stay
+    * silent in value AND id space and an update's retract/add pair
+    * SHARES one id), appends derive firstRowId + position. The query
+    * plays the canonical consumer: maintain a downstream table KEYED
+    * ONLY BY `_row_id` from the feed — per id, the latest version's
+    * event wins; an insert at it means live — across an
+    * append + keyed-upsert + compact + keyed-delete + COW-update
+    * history. Three refs must agree per o_orderstatus: the downstream
+    * reconstruction ('feed'), the head snapshot ('snapshot'), and the
+    * id-equijoin of the two ('idjoin' — wrong, duplicated or unstable
+    * ids collapse its counts even when values happen to match). */
+  private val builtRidCdf = new ConcurrentHashMap[String, String]()
+
+  private def rowidCdfTable(s: SparkSession, dir: String): String =
+    builtRidCdf.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("txlog_ridcdf_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val (k1, k2) = (m / 3, 2 * m / 3)
+      orders.where(col("o_orderkey") <= k1).coalesce(2)
+        .write.format("txlog").mode("append").save(t)                    // v0
+      orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2)
+        .coalesce(2).write.format("txlog").mode("append").save(t)        // v1
+      TxLog.setProperties(s, t, Map(TxLog.ChangeFeedProp -> "true",
+        graft.storage.TxEqDel.MaxKeysProp ->
+          math.max(1000000L, 2L * srcRowsOf(s, dir)).toString))          // v2
+      // keyed upsert: replaced (+9M custkey), IDENTICAL re-upserts
+      // (must adopt ids and stay silent), fresh era-3 inserts
+      val src = orders
+        .where(col("o_orderkey") % 5 === 2 && col("o_orderkey") <= k2)
+        .withColumn("o_custkey", col("o_custkey") + 9000000L)
+        .unionByName(orders.where(col("o_orderkey") % 17 === 1 &&
+          col("o_orderkey") % 5 =!= 2 && col("o_orderkey") <= k2))
+        .unionByName(orders.where(col("o_orderkey") > k2))
+      TxLog.upsertByKeys(src, t, Seq("o_orderkey"), "oracle-ridcdf-u", 0L) // v3
+      // compact: feed- and id-invariant — ids must pair ACROSS it
+      require(TxLog.compact(s, t) > 0L)                                  // v4
+      TxLog.deleteByKeys(
+        orders.where(col("o_orderkey") % 7 === 3).select("o_orderkey"),
+        t, "oracle-ridcdf-d", 0L)                                        // v5
+      // COW update: d/i pair at one version SHARING the row's id
+      TxLog.update(s, t, col("o_orderstatus") === "P",
+        Map("o_custkey" -> (col("o_custkey") + 77L)), "oracle-ridcdf-w", 0L) // v6
+      t
+    })
+
+  val rowidCdf: Q = (s, dir) => {
+    val t = rowidCdfTable(s, dir)
+    val feed = s.read.format("txlog").option("readChangeFeed", "true").load(t)
+      .select(col("_row_id").as("rid"), col("_commit_version").as("v"),
+        col("_change_type").as("ct"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    // the downstream consumer: latest event per id; live iff an insert
+    val lastV = feed.groupBy("rid").agg(max("v").as("lv"))
+      .withColumnRenamed("rid", "grid_")
+    val consumer = feed.alias("f").join(lastV.alias("g"),
+        col("f.rid") === col("g.grid_") && col("f.v") === col("g.lv"))
+      .where(col("f.ct") === "insert")
+      .select(col("f.rid").as("rid"), col("f.o_orderkey").as("o_orderkey"),
+        col("f.o_custkey").as("o_custkey"),
+        col("f.o_orderstatus").as("o_orderstatus"))
+    val snap = s.read.format("txlog").load(t)
+    val lineage = s.read.format("txlog").load(t)
+      .select(col("_row_id").as("rid"), col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"))
+    val idjoin = consumer.alias("c").join(lineage.alias("l"),
+      col("c.rid") === col("l.rid") &&
+        col("c.o_orderkey") === col("l.o_orderkey") &&
+        col("c.o_custkey") === col("l.o_custkey") &&
+        col("c.o_orderstatus") === col("l.o_orderstatus"))
+      .select(col("c.o_orderkey").as("o_orderkey"),
+        col("c.o_custkey").as("o_custkey"),
+        col("c.o_orderstatus").as("o_orderstatus"))
+    def agg(df: DataFrame, ref: String): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sum"),
+          sum("o_custkey").cast("long").as("cust_sum"))
+        .withColumn("ref", lit(ref))
+        .select("ref", "o_orderstatus", "n", "key_sum", "cust_sum")
+    agg(snap.select("o_orderkey", "o_custkey", "o_orderstatus"), "snapshot")
+      .unionByName(agg(consumer, "feed"))
+      .unionByName(agg(idjoin, "idjoin"))
+      .orderBy("ref", "o_orderstatus")
+  }
+
   /** BRANCHES (r17, [[TxLog.createBranch]] / [[TxLog.onBranch]] /
     * [[TxLog.fastForward]]): the stage-validate-publish workflow,
     * hash-checked end-to-end. Era appends land on main; a "published"
@@ -828,6 +917,69 @@ object TxLogParity {
       }
       t
     })
+
+  /** BRANCH MERGE past a diverged main (r18, [[TxLog.mergeBranch]]):
+    * a staged curation branch COW-deletes the URGENT rows and appends
+    * era-3 while MAIN concurrently ingests an extra era — the true
+    * fast-forward refuses (diverged), the merge rebases the branch's
+    * NET delta as ONE write-serializable commit, with the id-carrying
+    * capture served through the change feed at the merge version. The
+    * query reads the merged head AND the merge version's feed; DuckDB
+    * replays both as set algebra. A lost delete, a resurrected urgent
+    * row, a leaked branch-internal state or a capture that re-reports
+    * carried rows all skew a ref. */
+  private val builtBrM = new ConcurrentHashMap[String, String]()
+
+  private def branchMergeTable(s: SparkSession, dir: String): (String, Long) = {
+    val t = builtBrM.computeIfAbsent(dir, _ => {
+      val tt = Files.createTempDirectory("txlog_brm_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      val (k1, k2) = (m / 3, 2 * m / 3)
+      orders.where(col("o_orderkey") <= k1).coalesce(2)
+        .write.format("txlog").mode("append").save(tt)                   // v0
+      orders.where(col("o_orderkey") > k1 && col("o_orderkey") <= k2)
+        .coalesce(2).write.format("txlog").mode("append").save(tt)       // v1
+      TxLog.setProperties(s, tt, Map(
+        TxLog.IsolationProp -> TxLog.IsolationWriteSerializable,
+        TxLog.ChangeFeedProp -> "true"))                                 // v2
+      TxLog.createBranch(s, tt, "staged")                                // v3
+      TxLog.onBranch("staged") {
+        TxLog.delete(s, tt, col("o_orderpriority") === "1-URGENT",
+          "brm-st-d", 0L)                                                // v4
+        TxLog.commit(orders.where(col("o_orderkey") > k2).coalesce(2),
+          tt, "brm-st-w", 0L)                                            // v5
+      }
+      // main diverges: a concurrent ingestion era (disjoint keys)
+      TxLog.commit(orders.where(col("o_orderkey") % 13 === 0 &&
+          col("o_orderkey") <= k1)
+        .withColumn("o_orderkey", col("o_orderkey") + 50000000L)
+        .coalesce(1), tt, "brm-mn-w", 0L)                                // v6
+      val v = TxLog.mergeBranch(s, tt, "staged")                         // v7
+      require(v > 0L)
+      tt
+    })
+    // the merge version = the head (the builder's last commit)
+    (t, TxLog.headVersion(s, t))
+  }
+
+  val branchMerge: Q = (s, dir) => {
+    val (t, v) = branchMergeTable(s, dir)
+    val head = s.read.format("txlog").load(t)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .withColumn("ref", lit("merged"))
+    val delta = s.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", v.toString)
+      .option("endingVersion", v.toString).load(t)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        concat(lit("delta_"), col("_change_type")).as("ref"))
+    head.unionByName(delta)
+      .groupBy("ref", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"))
+      .orderBy("ref", "o_orderpriority")
+  }
 
   val branchRead: Q = (s, dir) => {
     val t = branchTable(s, dir)
@@ -1052,7 +1204,9 @@ object TxLogParity {
     "txlog_spj_join" -> spjJoin,
     "txlog_eqdel" -> eqdel,
     "txlog_eqdel_cdf" -> eqdelCdf,
+    "txlog_rowid_cdf" -> rowidCdf,
     "txlog_branch" -> branchRead,
+    "txlog_branch_merge" -> branchMerge,
     "txlog_rowid" -> rowIdJoin,
     "txlog_gencol" -> gencol,
     "txlog_view" -> viewRead,
@@ -1330,6 +1484,59 @@ object TxLogParity {
          FROM feed
          GROUP BY v, ct
          ORDER BY v, ct""",
+    // the id-paired feed's downstream reconstruction, the head
+    // snapshot and their id-equijoin must be the SAME relation — one
+    // value-algebra replay emitted under all three refs. Final state:
+    // every order (upsert replaced %5==2 ≤k2 rows at +9M custkey,
+    // identical re-upserts changed nothing, era3 inserted), minus the
+    // keyed delete (%7==3), then the COW update's +77 on status 'P'.
+    "txlog_rowid_cdf" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st
+                    FROM orders),
+           mx AS (SELECT max(k) AS m FROM o),
+           base AS (
+             SELECT k,
+                    CASE WHEN k <= (2 * (SELECT m FROM mx)) // 3 AND k % 5 = 2
+                         THEN c + 9000000 ELSE c END AS c,
+                    st
+             FROM o),
+           fin AS (
+             SELECT k, CASE WHEN st = 'P' THEN c + 77 ELSE c END AS c, st
+             FROM base
+             WHERE k % 7 <> 3),
+           agg AS (
+             SELECT st, count(*) AS n,
+                    CAST(sum(k) AS BIGINT) AS key_sum,
+                    CAST(sum(c) AS BIGINT) AS cust_sum
+             FROM fin GROUP BY st)
+         SELECT r.ref AS ref, st AS o_orderstatus, n, key_sum, cust_sum
+         FROM agg CROSS JOIN (VALUES ('snapshot'), ('feed'), ('idjoin')) AS r(ref)
+         ORDER BY ref, o_orderstatus""",
+    // merged head = (era12 minus URGENT) ∪ era3 ∪ main's concurrent
+    // era (e1 keys %13==0, +50M); the merge version's feed = exactly
+    // the branch's net delta (URGENT deletes, era3 inserts) — carried
+    // rewrite survivors and branch-internal churn cancel
+    "txlog_branch_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pr FROM orders),
+           mx AS (SELECT max(k) AS m FROM o),
+           e12 AS (SELECT k, pr FROM o
+                   WHERE k <= (2 * (SELECT m FROM mx)) // 3),
+           e3 AS (SELECT k, pr FROM o
+                  WHERE k > (2 * (SELECT m FROM mx)) // 3),
+           extra AS (SELECT k + 50000000 AS k, pr FROM o
+                     WHERE k % 13 = 0 AND k <= (SELECT m FROM mx) // 3),
+           refs AS (
+             SELECT 'merged' AS ref, k, pr FROM e12 WHERE pr <> '1-URGENT'
+             UNION ALL SELECT 'merged', k, pr FROM e3
+             UNION ALL SELECT 'merged', k, pr FROM extra
+             UNION ALL SELECT 'delta_delete', k, pr FROM e12
+               WHERE pr = '1-URGENT'
+             UNION ALL SELECT 'delta_insert', k, pr FROM e3)
+         SELECT ref, pr AS o_orderpriority, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS key_sum
+         FROM refs
+         GROUP BY ref, pr
+         ORDER BY ref, o_orderpriority""",
     // the view's final state = aggregate of the source's live rows:
     // (gen0 ∪ gen1 non-URGENT) ∪ gen2, custkey bumped on key % 10 = 0
     // (the UPDATE ran last, across all live rows). A from-scratch

@@ -794,6 +794,207 @@ object TxLog {
                      name: String): Option[DataFrame] =
     onBranch(name)(snapshot(s, table))
 
+  /** MERGE a branch into a DIVERGED main (r18) — the bounded rebase
+    * [[fastForward]] refuses: ONE main manifest carries the branch's
+    * NET delta against its fork state — {files = branch-born live
+    * files (their stats, row-id allocations included, ride verbatim),
+    * removes = fork files the branch rewrote/dropped, dvs = the
+    * branch's grown vectors} — plus the branch writers' idempotence
+    * tokens (the branch manifests become foreign, so exactly-once
+    * must survive in the merge commit) and, on feed tables, the net
+    * row-level capture (old = removed/dv-grown files AS THE FORK read
+    * them, new = net files/grown files as the BRANCH reads them — one
+    * multiset diff, id-carrying like every r18 capture). No adoption
+    * and no history rewrite: consumers see one new version, streams
+    * and CDF stay contiguous, which is exactly why a diverged merge
+    * must NOT reuse fastForward's mechanism.
+    *
+    * SOUNDNESS is the writeSerializable footprint algebra applied to
+    * the branch-vs-main interleaving, so it requires the table
+    * property `graft.isolation=writeSerializable` once main has
+    * diverged (a serializable table refuses — there is no declared
+    * tolerance for the write-skew this rebase admits). Conflicts
+    * (loud, never silent):
+    *  - a divergent CHECKPOINT (compact/cluster/overwrite/restore) —
+    *    the live set was replaced under the branch;
+    *  - divergent file overlap — main removed/DV'd a file the branch
+    *    also removed/DV'd;
+    *  - divergent EQUALITY DELETES on either side, or any live key
+    *    debt at the fork — key-addressed deletes touch unknowable row
+    *    sets of the other lineage's files (merge requires a debt-free
+    *    fork: materialize, then fork);
+    *  - a divergent column-mapping change (RENAME/DROP) — the branch's
+    *    files speak the pre-change names;
+    *  - schema: both-sides evolution merges through [[mergedSchema]]
+    *    (loud on type conflicts), one-sided adopts the evolved side.
+    * Returns the merge commit's version. */
+  def mergeBranch(s: SparkSession, table: String, name: String): Long = {
+    guardMainOnly("mergeBranch")
+    var attempt = 0
+    var captured: Option[Seq[String]] = None
+    while (attempt < 20) {
+      val all = allManifests(s, table)
+      require(all.nonEmpty, s"not a txlog table: $table")
+      val main = mainLineage(all)
+      val props = propsFrom(main)
+      val base = branchesFrom(props).getOrElse(name,
+        throw new IllegalArgumentException(
+          s"no such branch '$name' on $table (live: " +
+            s"${branchesFrom(props).keys.toSeq.sorted.mkString(", ")})"))
+      // divergence = any non-bookkeeping main commit past the base
+      // (same predicate as fastForward's) — without it, delegate: a
+      // true fast-forward is strictly better (history adoption)
+      val diverged = main.filter(_.version > base).filterNot(m =>
+        m.writerId.startsWith("branch-") && m.files.isEmpty &&
+          m.removes.isEmpty && m.dvs.isEmpty && m.eqdels.isEmpty &&
+          m.eqdrops.isEmpty && m.adopts.isEmpty && !m.checkpoint &&
+          m.schema.isEmpty && m.cmap.isEmpty)
+      if (diverged.isEmpty) return fastForward(s, table, name)
+      require(props.get(IsolationProp).contains(IsolationWriteSerializable),
+        s"mergeBranch('$name') on $table: main diverged past the base " +
+          s"v$base and the table is SERIALIZABLE — the merge is a " +
+          s"write-serializable rebase; set $IsolationProp=" +
+          s"$IsolationWriteSerializable to accept it, or re-run the work " +
+          "on a fresh branch")
+      def conflict(why: String) = throw new java.util.ConcurrentModificationException(
+        s"cannot merge branch '$name' into $table: $why — re-run the work " +
+          "on a fresh branch")
+      diverged.find(_.checkpoint).foreach(m => conflict(
+        s"main checkpointed at v${m.version} (live set replaced)"))
+      diverged.find(_.cmap.isDefined).foreach(m => conflict(
+        s"main changed the column mapping at v${m.version}"))
+      diverged.find(m => m.eqdels.nonEmpty || m.eqdrops.nonEmpty).foreach(m =>
+        conflict(s"main committed equality deletes at v${m.version} " +
+          "(key-addressed — row overlap with the branch is unknowable)"))
+      val fork = mainLineage(all.filter(_.version <= base))
+      val bl = branchLineage(all, name, table)
+      if (liveEqDels(fork).nonEmpty || liveEqDels(bl).nonEmpty)
+        conflict("live equality-delete debt at the fork or on the branch " +
+          "(merge needs a debt-free fork: materialize the debt, then fork)")
+      val baseLive = liveFiles(fork).toSet
+      val brLive = liveFiles(bl).toSet
+      val netFiles = (brLive -- baseLive).toSeq.sorted
+      val netRemoves = (baseLive -- brLive).toSeq.sorted
+      val baseDvs = liveDvs(fork)
+      val brDvs = liveDvs(bl)
+      val dvChanged = (brLive & baseLive).filter(fl =>
+        brDvs.get(fl).map(_.p) != baseDvs.get(fl).map(_.p)).toSeq.sorted
+      val netDvs = (netFiles ++ dvChanged).flatMap(brDvs.get).sortBy(_.f)
+      if (netFiles.isEmpty && netRemoves.isEmpty && netDvs.isEmpty)
+        // row-empty branch over a diverged main: nothing to rebase —
+        // drop resolves it (metadata-only branches cannot ff either)
+        conflict("the branch carries no row changes but main diverged; " +
+          "dropBranch it")
+      // file-level footprint disjointness vs main's divergent commits
+      val touchedBr = (netRemoves ++ dvChanged).toSet
+      diverged.find(m => m.removes.exists(touchedBr) ||
+          m.dvs.exists(d => touchedBr(d.f))).foreach(m =>
+        conflict(s"main rewrote file(s) the branch also touched at v${m.version}"))
+      // main may have removed/DV'd OTHER base files — the merged live
+      // set follows main for those (the branch never read them is NOT
+      // knowable; writeSerializable accepts exactly this skew)
+      // schema: one-sided evolution adopts, both-sided merges loudly
+      val mainSch = tableSchemaFrom(main)
+      val brSch = tableSchemaFrom(bl)
+      val forkSch = tableSchemaFrom(fork)
+      val schemaDdl = (mainSch, brSch) match {
+        case (Some(a), Some(b)) =>
+          if (ddlOf(b) == forkSch.map(ddlOf).getOrElse("")) ddlOf(a)
+          else if (ddlOf(a) == forkSch.map(ddlOf).getOrElse("")) ddlOf(b)
+          else ddlOf(mergedSchema(a, b))
+        case _ => (brSch orElse mainSch).map(ddlOf).getOrElse(
+          throw new IllegalStateException(s"$table has no recorded schema"))
+      }
+      // branch writers' exactly-once tokens ABSORB into the merge
+      // commit (their manifests become foreign): per-writer high-water,
+      // the same absorption rule checkpoints use
+      val tokens = bl.filter(m => m.branch.contains(name))
+        .filterNot(m => singleUseWriter(m.writerId))
+        .groupBy(_.writerId).view.mapValues(_.map(_.batchId).max)
+        .toSeq.sorted
+      // stats (row-id allocations included) ride verbatim from the
+      // branch manifests — ids stay globally unique, minted once
+      val brStats = bl.flatMap(_.stats).map(st => st.file -> st).toMap
+      val stats = netFiles.flatMap(brStats.get)
+      // net row-level capture on feed tables (captured once; a lost
+      // slot race re-validates but must not re-stage)
+      val feedOn = props.get(ChangeFeedProp).contains("true")
+      val changes =
+        if (!feedOn) Seq.empty
+        else captured.getOrElse {
+          val c = mergeCapture(s, table, fork, bl, netRemoves, netFiles,
+            dvChanged, baseDvs, brDvs, schemaDdl)
+          captured = Some(c); c
+        }
+      val merged = (props - (BranchPropPrefix + name)).toSeq.sorted
+      val v = all.last.version + 1
+      val root = new Path(table)
+      val f = fs(s, root)
+      val logDir = new Path(root, LogDir)
+      // the capture diffed fork-vs-branch state, which no CONCURRENT
+      // main commit can invalidate (both inputs are frozen lineages) —
+      // but the conflict rules above re-judge per attempt
+      val bytes = render(Manifest(v, netFiles,
+        writerId = s"branch-merge-${java.util.UUID.randomUUID()}", batchId = 0L,
+        checkpoint = false, stats = stats, removes = netRemoves,
+        schema = Some(schemaDdl), tokens = tokens, changes = changes,
+        props = Some(merged), ts = commitTimeMs(), dvs = netDvs))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"mergeBranch('$name') on $table lost 20 version races")
+  }
+
+  /** The merge's net row-level delta ([[mergeBranch]], feed tables):
+    * old = the files the branch removed or DV-grew, read AS THE FORK
+    * state served them; new = the branch-born files plus the grown
+    * files, read as the BRANCH serves them. One multiset diff — rows
+    * carried through branch rewrites cancel on (values, id) like any
+    * r18 capture; branch-internal churn (a row appended then deleted
+    * ON the branch) never appears. */
+  private def mergeCapture(s: SparkSession, table: String,
+                           fork: Seq[Manifest], bl: Seq[Manifest],
+                           netRemoves: Seq[String], netFiles: Seq[String],
+                           dvChanged: Seq[String],
+                           baseDvs: Map[String, DvEntry],
+                           brDvs: Map[String, DvEntry],
+                           schemaDdl: String): Seq[String] = {
+    val cm = colMapFrom(bl)
+    val sch = withDefaults(
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+      cm, propsFrom(bl))
+    val gridField = org.apache.spark.sql.types.StructField(
+      TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+    val rids: Map[String, Long] =
+      (liveStats(fork) ++ liveStats(bl)).collect {
+        case (fl, st) if st.firstRowId >= 0L => fl -> st.firstRowId }
+    def read(rel: Seq[String], dvs: Map[String, DvEntry]): DataFrame =
+      if (rel.isEmpty)
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(sch.fields :+ gridField))
+      else {
+        val raw0 = s.read.schema(org.apache.spark.sql.types.StructType(
+            physicalSchemaOf(sch, cm).fields :+ gridField))
+          .parquet(rel.map(absPath(table)): _*)
+        val raw = attachGrid(raw0, rids)
+        val hit = dvs.collect { case (fl, e) if rel.contains(fl) => fl -> e.p }
+        val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+        if (cm.isIdentity) dvd
+        else dvd.select(sch.fields.toSeq.map(fd =>
+          col(quoted(physicalName(cm, fd.name))).as(fd.name)) :+
+          col(quoted(TxRowId.GridCol)): _*)
+      }
+    stageChangePair(s, table,
+      read(netRemoves ++ dvChanged, baseDvs),
+      read(netFiles ++ dvChanged, brDvs),
+      math.max(1, math.max(netRemoves.size + dvChanged.size,
+        netFiles.size + dvChanged.size)),
+      cmOverride = Some(cm))
+  }
+
   /** The manifests that define the current read set: the newest
     * checkpoint (if any) and everything after it — the ONE place the
     * checkpoint-scoping rule lives, shared by files and stats. */
@@ -2780,7 +2981,8 @@ object TxLog {
                              addDefault: Option[(String, String)] = None,
                              eqdels: Seq[EqDelEntry] = Seq.empty,
                              changes: Seq[String] = Seq.empty,
-                             captureBase: Option[Long] = None)
+                             captureBase: Option[Long] = None,
+                             ridBase: Long = -1L)
       : Long = {
     incoming.foreach(guardReservedCols) // every data/evolve commit records one
     // race-injection seam (TxColMapSpec): fires ONCE at publish entry —
@@ -2945,6 +3147,14 @@ object TxLog {
             s"table $table changed rows at v${m.version} during a keyed write's " +
               "change capture — re-run on the new snapshot"))
       }
+      // the capture's i-side stored this commit's PRE-ASSIGNED row ids
+      // (r18, [[TxRowId]]) — judged on the RAW listing because a
+      // concurrent BRANCH commit mints from the same global counter
+      // (captureBase above only sees this lineage)
+      if (ridBase >= 0L && nextRowId(all) != ridBase)
+        throw new java.util.ConcurrentModificationException(
+          s"table $table minted row ids past this keyed write's captured " +
+            "allocation — re-run on the new snapshot")
       // a colmap mint is a newest-wins global record (see the branch
       // guard above) — refuse it on a branch rather than clobber main
       // at adoption
@@ -3055,6 +3265,75 @@ object TxLog {
     val df = s.read.schema(physicalSchemaOf(logical, cm))
       .parquet(rels.map(absPath(table)): _*)
     if (cm.isIdentity) df else toLogical(df, logical, cm)
+  }
+
+  /** Complete the lineage-id column on a raw FILE-SOURCE read whose
+    * schema already includes [[TxRowId.GridCol]]: `__grid =
+    * coalesce(stored __grid, firstRowId(file) + parquet row index)` —
+    * the one serving rule, here for the CAPTURE reads ([[TxRowId]]).
+    * `rids` maps manifest-rel paths to firstRowId: committed stats for
+    * live files, a commit's PRE-ASSIGNMENT for just-staged ones. */
+  private[storage] def attachGrid(df: DataFrame, rids: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val ridByTail = rids.map { case (r, v) => TxDv.tailKey(r) -> v }
+    val ridOf = udf((p: String) =>
+      ridByTail.get(TxDv.tailKey(p)).map(java.lang.Long.valueOf).orNull)
+    df.withColumn(TxRowId.GridCol,
+      coalesce(col(quoted(TxRowId.GridCol)),
+        ridOf(col("_metadata.file_path")) + col("_metadata.row_index")))
+  }
+
+  /** [[readStagedLogical]] WITH row ids: stored grid where the write
+    * materialized one (preserved/adopted identities), else the
+    * pre-assigned `rids` allocation + position (rows minting fresh). */
+  private[storage] def readStagedWithGrid(s: SparkSession, table: String, ms: Seq[Manifest],
+                                 logical: org.apache.spark.sql.types.StructType,
+                                 rels: Seq[String],
+                                 rids: Map[String, Long]): DataFrame = {
+    val cm = colMapFrom(ms)
+    val gridField = org.apache.spark.sql.types.StructField(
+      TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+    val raw = s.read.schema(org.apache.spark.sql.types.StructType(
+        physicalSchemaOf(logical, cm).fields :+ gridField))
+      .parquet(rels.map(absPath(table)): _*)
+    val withId = attachGrid(raw, rids)
+    if (cm.isIdentity) withId
+    else withId.select(logical.fields.toSeq.map(f =>
+      col(quoted(physicalName(cm, f.name))).as(f.name)) :+
+      col(quoted(TxRowId.GridCol)): _*)
+  }
+
+  /** Adopt prior row ids onto REPLACEMENT rows (feed-table keyed
+    * writes): each source row replacing a matched pre-image row by
+    * `keys` takes the old row's id — rank-paired per key tuple, so
+    * duplicate keys pair 1:1 and never double-adopt. A value-identical
+    * re-upsert is then a no-op in BOTH value and id space (the feed
+    * stays silent AND the snapshot id is stable through the rewrite),
+    * and an UPDATE-shaped upsert's retract/add pair SHARES one id —
+    * what lets a feed consumer pair them ([[TxRowId]]). Unmatched
+    * rows (pure inserts, null keys) keep null grid and mint fresh at
+    * commit. O(batch + matched) — one windowed rank per side plus the
+    * key join; never a table scan. */
+  private[storage] def adoptGrid(src: DataFrame, matched: DataFrame,
+                        keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{monotonically_increasing_id, row_number}
+    val rk = "__adopt_rk"
+    val kcols = keys.map(c => col(quoted(c)))
+    val donors = matched
+      .select(kcols :+ col(quoted(TxRowId.GridCol)).as("__adopt_grid"): _*)
+      .where(col("__adopt_grid").isNotNull)
+      .withColumn(rk, row_number().over(
+        Window.partitionBy(kcols: _*).orderBy(col("__adopt_grid"))))
+    // materialize the arbitrary order in a Project first — Spark
+    // rejects nondeterministic expressions inside a window ORDER BY
+    val ranked = src.withColumn("__adopt_ord", monotonically_increasing_id())
+      .withColumn(rk, row_number().over(
+        Window.partitionBy(kcols: _*).orderBy(col("__adopt_ord"))))
+      .drop("__adopt_ord")
+    ranked.join(donors, keys :+ rk, "left")
+      .withColumn(TxRowId.GridCol, col("__adopt_grid"))
+      .drop("__adopt_grid", rk)
   }
 
   /** Narrow zone-map `candidates` to the files that actually contain a
@@ -3332,35 +3611,47 @@ object TxLog {
     * records no change. The capture is valid only against `ms`'s head
     * — the commit guards it with `captureBase` (a concurrent
     * row-changing commit conflicts rather than under-report). */
-  private def keyedChangeCapture(s: SparkSession, table: String,
-                                 ms: Seq[Manifest], entry: EqDelEntry,
-                                 inserts: Option[DataFrame]): Seq[String] = {
+  private[storage] def keyedPreImage(s: SparkSession, table: String,
+                                     ms: Seq[Manifest], entry: EqDelEntry)
+      : DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val sch = tableSchemaFrom(ms).getOrElse(throw new IllegalStateException(
       s"change capture on $table needs a recorded schema"))
+    // the pre-image carries ROW IDS (r18): it is the feed's d-side AND
+    // the upsert's id-adoption donor set ([[adoptGrid]])
     def empty: DataFrame = s.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(sch.fields :+
+        org.apache.spark.sql.types.StructField(TxRowId.GridCol,
+          org.apache.spark.sql.types.LongType, nullable = true)))
     val rev = logicalNameMap(colMapFrom(ms))
     val lcols = entry.cols.map(p => rev.getOrElse(p, p))
     val types = lcols.map(c => sch(c).dataType)
     val ks = TxEqDel.read(s, table, entry.p)
     val files = liveFiles(ms)
-    val old =
-      if (ks.cardinality == 0L || files.isEmpty) empty
+    if (ks.cardinality == 0L || files.isEmpty) empty
+    else {
+      val candidates = pruned(s, table, eqDelEnvelopePred(ks, lcols, types),
+        files, liveStats(ms), ms)
+      if (candidates.isEmpty) empty
       else {
-        val candidates = pruned(s, table, eqDelEnvelopePred(ks, lcols, types),
-          files, liveStats(ms), ms)
-        if (candidates.isEmpty) empty
-        else {
-          val knames = lcols.map("__eqk_" + _)
-          val keysDf = eqDelKeysDf(s, table, entry, types, knames)
-          val base = readFiles(s, table, ms, candidates)
-          val cond = lcols.zip(knames).map { case (c, k) =>
-            base(quoted(c)) === keysDf(quoted(k)) }.reduce(_ && _)
-          base.join(broadcast(keysDf), cond, "left_semi")
-        }
+        val knames = lcols.map("__eqk_" + _)
+        val keysDf = eqDelKeysDf(s, table, entry, types, knames)
+        val base = readFiles(s, table, ms, candidates, withRowIds = true)
+        val cond = lcols.zip(knames).map { case (c, k) =>
+          base(quoted(c)) === keysDf(quoted(k)) }.reduce(_ && _)
+        base.join(broadcast(keysDf), cond, "left_semi")
       }
-    stageChangePair(s, table, old, inserts.getOrElse(empty),
+    }
+  }
+
+  private def keyedChangeCapture(s: SparkSession, table: String,
+                                 ms: Seq[Manifest], entry: EqDelEntry,
+                                 old: DataFrame,
+                                 inserts: Option[DataFrame]): Seq[String] = {
+    val neu = inserts.getOrElse(s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), old.schema))
+    stageChangePair(s, table, old, neu,
       sizeHint = 1, cmOverride = Some(colMapFrom(ms)))
   }
 
@@ -3441,7 +3732,8 @@ object TxLog {
     val feedOn = propsFrom(ms0).get(ChangeFeedProp).contains("true")
     val changes =
       if (!feedOn) Seq.empty
-      else keyedChangeCapture(s, table, ms0, entry, inserts = None)
+      else keyedChangeCapture(s, table, ms0, entry,
+        keyedPreImage(s, table, ms0, entry), inserts = None)
     commitManifest(s, table, Seq.empty, Seq.empty, writerId, batchId,
       checkpoint = false, maxRetries, eqdels = Seq(entry), changes = changes,
       captureBase = if (feedOn) Some(ms0.last.version) else None)
@@ -3502,24 +3794,51 @@ object TxLog {
             .version
         case Some(entry) =>
           // change-feed tables: capture the retract/add delta now —
-          // replaced prior rows (pruned pre-image) as deletes, the
-          // batch as inserts ([[keyedChangeCapture]]); the write still
-          // stages no replacement files
-          val changes =
-            if (!feedOn) Seq.empty
-            else keyedChangeCapture(s, table, ms0, entry, inserts = Some(src))
+          // replaced prior rows (pruned pre-image, WITH ids) as
+          // deletes, the batch as inserts; batch rows ADOPT the
+          // replaced rows' ids by key ([[adoptGrid]]) so an identical
+          // re-upsert is a no-op in value AND id space and an update's
+          // d/i pair shares one id. The write still stages no
+          // replacement files; the capture's i-side reads the staged
+          // batch back with the commit's PRE-ASSIGNED allocation,
+          // guarded by `ridBase` at publish.
           val pcols = partitionColsFrom(ms0)
           val root = new Path(table)
-          val (rel, stats) =
-            if (pcols.nonEmpty) stagePartitioned(s, root, src, pcols,
-              clusterTasks = Some(0))
-            else stageWrite(s, root, src)
-          beforeCommit()
-          commitManifest(s, table, rel, stats, writerId, batchId,
-            checkpoint = false, maxRetries, incoming = Some(src.schema),
-            pcols = pcols, cmAtStaging = Some(colMapFrom(ms0)),
-            eqdels = Seq(entry), changes = changes,
-            captureBase = if (feedOn) Some(ms0.last.version) else None)
+          if (feedOn) {
+            val old = keyedPreImage(s, table, ms0, entry)
+            val sch0 = tableSchemaFrom(ms0).getOrElse(src.schema)
+            val staged = adoptGrid(src, old, keys)
+              .select(sch0.fieldNames.toSeq.map(c => col(quoted(c))) :+
+                col(TxRowId.GridCol): _*)
+            val (rel, stats) =
+              if (pcols.nonEmpty) stagePartitioned(s, root, staged, pcols,
+                clusterTasks = Some(0))
+              else stageWrite(s, root, staged)
+            val all0 = allManifests(s, table)
+            val ridBase = nextRowId(all0)
+            val statsPre = assignRowIds(all0, rel, stats)
+            val addedRids = statsPre.filter(_.firstRowId >= 0L)
+              .map(st => st.file -> st.firstRowId).toMap
+            val neu = readStagedWithGrid(s, table, ms0, sch0, rel, addedRids)
+            val changes = keyedChangeCapture(s, table, ms0, entry, old,
+              inserts = Some(neu))
+            beforeCommit()
+            commitManifest(s, table, rel, statsPre, writerId, batchId,
+              checkpoint = false, maxRetries, incoming = Some(dropGrid(staged.schema)),
+              pcols = pcols, cmAtStaging = Some(colMapFrom(ms0)),
+              eqdels = Seq(entry), changes = changes,
+              captureBase = Some(ms0.last.version), ridBase = ridBase)
+          } else {
+            val (rel, stats) =
+              if (pcols.nonEmpty) stagePartitioned(s, root, src, pcols,
+                clusterTasks = Some(0))
+              else stageWrite(s, root, src)
+            beforeCommit()
+            commitManifest(s, table, rel, stats, writerId, batchId,
+              checkpoint = false, maxRetries, incoming = Some(src.schema),
+              pcols = pcols, cmAtStaging = Some(colMapFrom(ms0)),
+              eqdels = Seq(entry), changes = Seq.empty)
+          }
       }
     } finally { src.unpersist(); () }
   }
@@ -3589,7 +3908,7 @@ object TxLog {
       // table this commit is feed-invariant: the delta was captured at
       // the keyed commits ([[keyedChangeCapture]]) — capturing here
       // would re-report those rows deleted
-      captureOverride = Some(() => Seq.empty))
+      captureOverride = Some(_ => Seq.empty))
   }
 
   /** SQL DELETE: remove the rows where `pred` is TRUE (FALSE and NULL
@@ -3622,12 +3941,13 @@ object TxLog {
       val (fullDead, entries, hit) =
         stageDvs(s, table, ms, candidates, _.where(hitRow))
       if (fullDead.isEmpty && entries.isEmpty) return Rewrite(head, 0, 0)
-      val matched = readFiles(s, table, ms, hit).where(hitRow)
+      // the d-side capture carries the deleted rows' IDS (withRowIds)
+      val matched = readFiles(s, table, ms, hit, withRowIds = true).where(hitRow)
       beforeCommit()
       return publishRewrite(s, table, Seq.empty, Seq.empty, fullDead, head,
-        writerId, batchId, schemaDdl = ddlOf(matched.schema),
+        writerId, batchId, schemaDdl = ddlOf(dropGrid(matched.schema)),
         readSet = candidates, dvs = entries,
-        captureOverride = Some(() => stageChangePair(s, table, matched,
+        captureOverride = Some(_ => stageChangePair(s, table, matched,
           s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             matched.schema), hit.size)))
     }
@@ -3691,7 +4011,11 @@ object TxLog {
       val (fullDead, entries, hit) =
         stageDvs(s, table, ms, candidates, _.where(hitRow))
       if (fullDead.isEmpty && entries.isEmpty) return Rewrite(head, 0, 0)
-      val hitDf = readFiles(s, table, ms, hit)
+      // a MoR UPDATE preserves ROW IDS like the COW one (same row, new
+      // values): the matched read carries __grid, the SET projection
+      // passes it through, and the staged post-image stores it — the
+      // feed's retract/add pair then SHARES the id ([[TxRowId]])
+      val hitDf = readFiles(s, table, ms, hit, withRowIds = true)
       val matched = hitDf.where(hitRow)
       val updated = TxGen.fill(s, matched.select(hitDf.columns.toSeq.map { c =>
         set.get(c) match {
@@ -3706,11 +4030,12 @@ object TxLog {
           stagePartitioned(s, root, updated, pcols, clusterTasks = Some(hit.size))
         else stageWrite(s, root, updated.repartition(math.max(1, hit.size)))
       beforeCommit()
+      val logicalU = dropGrid(updated.schema)
       return publishRewrite(s, table, relAll, statsAll, fullDead, head,
-        writerId, batchId, schemaDdl = ddlOf(updated.schema),
+        writerId, batchId, schemaDdl = ddlOf(logicalU),
         readSet = candidates, dvs = entries,
-        captureOverride = Some(() => stageChangePair(s, table, matched,
-          readStagedLogical(s, table, ms, updated.schema, relAll),
+        captureOverride = Some(rids => stageChangePair(s, table, matched,
+          readStagedWithGrid(s, table, ms, logicalU, relAll, rids),
           hit.size)))
     }
     val touched = matchingFiles(s, table, pred, candidates, ms)
@@ -3825,11 +4150,23 @@ object TxLog {
       val (fullDead, entries, hit) =
         stageDvs(s, table, ms, candidates, _.join(srcKeys, keys, "left_semi"))
       if (fullDead.nonEmpty || entries.nonEmpty) {
-        val matched = readFiles(s, table, ms, hit)
+        val feedOn = propsFrom(ms).get(ChangeFeedProp).contains("true")
+        // feed tables read the matched pre-image WITH ids — it is both
+        // the capture's d-side and the id-ADOPTION donor set
+        val matched = readFiles(s, table, ms, hit, withRowIds = feedOn)
           .join(srcKeys, keys, "left_semi")
         // the staged files ARE table files — align the source to the
         // table's column order (the COW path gets this from unionByName)
-        val aligned = src.select(matched.columns.map(col).toSeq: _*)
+        val logicalM = dropGrid(matched.schema)
+        val aligned0 = src.select(logicalM.fieldNames.toSeq.map(col): _*)
+        // feed tables: replacement rows ADOPT the replaced rows' ids by
+        // key ([[adoptGrid]]) — an UPDATE-shaped merge keeps identity,
+        // a value-identical replacement cancels out of the feed
+        val aligned =
+          if (!feedOn) aligned0
+          else adoptGrid(aligned0, matched, keys)
+            .select(logicalM.fieldNames.toSeq.map(col) :+
+              col(TxRowId.GridCol): _*)
         val pcols = partitionColsFrom(ms)
         val root = new Path(table)
         val (relAll, statsAll) =
@@ -3838,10 +4175,10 @@ object TxLog {
           else stageWrite(s, root, aligned.repartition(math.max(1, hit.size)))
         beforeCommit()
         return publishRewrite(s, table, relAll, statsAll, fullDead, head,
-          writerId, batchId, schemaDdl = ddlOf(aligned.schema),
+          writerId, batchId, schemaDdl = ddlOf(logicalM),
           readSet = candidates, dvs = entries,
-          captureOverride = Some(() => stageChangePair(s, table, matched,
-            readStagedLogical(s, table, ms, aligned.schema, relAll),
+          captureOverride = Some(rids => stageChangePair(s, table, matched,
+            readStagedWithGrid(s, table, ms, logicalM, relAll, rids),
             math.max(hit.size, relAll.size))))
       }
     }
@@ -3857,14 +4194,20 @@ object TxLog {
         val hitTails = hit.iterator.map(TxDv.tailKey).toSet
         candidates.filter(rel => hitTails(TxDv.tailKey(rel)))
       }
-    // carried-over target rows keep their ROW IDS; source rows
-    // (replacements and inserts) are NEW rows and mint fresh ids at
-    // commit (null grid — the retract/add model, [[TxRowId]])
+    // carried-over target rows keep their ROW IDS; replacement rows
+    // ADOPT the replaced rows' ids on feed tables ([[adoptGrid]] — the
+    // id-paired feed contract), mint fresh otherwise; pure inserts
+    // always mint fresh (null grid)
     val newRows =
       if (touched.isEmpty) src
-      else readFiles(s, table, ms, touched, withRowIds = true)
-        .join(srcKeys, keys, "left_anti")
-        .unionByName(src, allowMissingColumns = true)
+      else {
+        val touchedDf = readFiles(s, table, ms, touched, withRowIds = true)
+        val kept = touchedDf.join(srcKeys, keys, "left_anti")
+        val srcW =
+          if (!propsFrom(ms).get(ChangeFeedProp).contains("true")) src
+          else adoptGrid(src, touchedDf.join(srcKeys, keys, "left_semi"), keys)
+        kept.unionByName(srcW, allowMissingColumns = true)
+      }
     commitRewrite(s, table, newRows, touched, head, writerId, batchId, beforeCommit,
       partitionColsFrom(ms), readSet = candidates)
   }
@@ -3954,7 +4297,7 @@ object TxLog {
                                     readSet: Seq[String] = Seq.empty,
                                     maxRetries: Int = 20,
                                     dvs: Seq[DvEntry] = Seq.empty,
-                                    captureOverride: Option[() => Seq[String]] = None,
+                                    captureOverride: Option[Map[String, Long] => Seq[String]] = None,
                                     eqdrops: Seq[String] = Seq.empty)
       : Rewrite = {
     val root = new Path(table)
@@ -3970,8 +4313,15 @@ object TxLog {
     var recorded = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     // capture is per-publish work, not per-attempt: the delta depends
     // only on {removes, rel, schemaDdl}, all fixed — a rebase must not
-    // re-stage it (orphaned change files on every lost slot race)
+    // re-stage it (orphaned change files on every lost slot race).
+    // Feed captures carry ROW IDS (r18), so the commit's allocation is
+    // PRE-ASSIGNED at capture time (`statsPre`) and `ridBase` guards
+    // it: any concurrent commit that minted ids (appends included,
+    // any lineage) would make the captured i-side ids collide — that
+    // one class conflicts instead of rebasing.
     var captured: Option[Seq[String]] = None
+    var statsPre: Seq[TxStats.FileStats] = stats
+    var ridBase = -1L
     var attempt = 0
     while (attempt < maxRetries) {
       val allNow = allManifests(s, table) // ONE listing: token + head together
@@ -4015,6 +4365,10 @@ object TxLog {
       // GLOBAL version allocation (the shared log arbitrates every
       // lineage) — the LINEAGE head gate above stays `base`-relative
       val v = allNow.lastOption.map(_.version).getOrElse(-1L) + 1
+      // the rid-base guard (see statsPre above): judged on the RAW
+      // listing — a concurrent BRANCH commit mints too
+      if (ridBase >= 0L && nextRowId(allNow) != ridBase)
+        throw conflict("minted row ids past this rewrite's captured allocation")
       // CHANGE-DATA-FEED capture (the `changeFeed` table property): the
       // row-level difference this rewrite makes, staged as change files
       // the manifest references — a crash/conflict before the put leaves
@@ -4022,17 +4376,22 @@ object TxLog {
       val changes =
         if (!propsFrom(msNow).get(ChangeFeedProp).contains("true")) Seq.empty
         else captured.getOrElse {
-          val c = captureOverride.map(_.apply())
+          ridBase = nextRowId(allNow)
+          statsPre = assignRowIds(allNow, rel, stats)
+          val addedRids: Map[String, Long] = statsPre
+            .filter(_.firstRowId >= 0L).map(st => st.file -> st.firstRowId).toMap
+          val c = captureOverride.map(_.apply(addedRids))
             .getOrElse(captureChanges(s, table, removes, rel, schemaDdl,
               // the OLD side of the diff is the removed files' LIVE rows
               // — a previously-DV'd row was already reported deleted and
               // must not be re-reported when its file is finally rewritten
-              liveDvs(msNow).view.filterKeys(removes.contains).mapValues(_.p).toMap))
+              liveDvs(msNow).view.filterKeys(removes.contains).mapValues(_.p).toMap,
+              addedRids))
           captured = Some(c); c
         }
       val logDir = new Path(root, LogDir)
       f.mkdirs(logDir)
-      val statsOut = assignRowIds(allNow, rel, stats)
+      val statsOut = assignRowIds(allNow, rel, statsPre)
       val bytes =
         render(Manifest(v, rel, writerId, batchId, checkpoint = false, statsOut, removes,
           // a rewrite reads through the table schema, so its output IS
@@ -4068,7 +4427,8 @@ object TxLog {
   private def captureChanges(s: SparkSession, table: String,
                              removes: Seq[String], added: Seq[String],
                              schemaDdl: String,
-                             oldDvs: Map[String, String] = Map.empty): Seq[String] = {
+                             oldDvs: Map[String, String] = Map.empty,
+                             addedRids: Map[String, Long] = Map.empty): Seq[String] = {
     val root = new Path(table)
     val f = fs(s, root)
     val msCap = manifests(s, table)
@@ -4086,20 +4446,41 @@ object TxLog {
           s" — drop the column or disable $ChangeFeedProp before DML")
       case _ => ()
     }
-    // the files speak PHYSICAL names — read them so, diff in logical
+    // the files speak PHYSICAL names — read them so, diff in logical.
+    // Both sides carry the row-id column (r18, [[TxRowId]]): removed
+    // files' ids come from their committed stats, added (just-staged)
+    // files' from the commit's pre-assignment (`addedRids`) — rows the
+    // rewrite carried/preserved cancel on (values, id) exactly as the
+    // value-only diff did, while surviving d/i rows serve ids feed
+    // consumers key a downstream table by.
     val cm = colMapFrom(msCap)
-    def read(rel: Seq[String], dvs: Map[String, String]): DataFrame =
+    val gridField = org.apache.spark.sql.types.StructField(
+      TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+    val statsCap = liveStats(msCap)
+    val removedRids: Map[String, Long] = removes.flatMap(r =>
+      statsCap.get(r).filter(_.firstRowId >= 0L).map(r -> _.firstRowId)).toMap
+    def read(rel: Seq[String], dvs: Map[String, String],
+             rids: Map[String, Long]): DataFrame =
       if (rel.isEmpty)
-        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(sch.fields :+ gridField))
       else {
-        val raw = s.read.schema(physicalSchemaOf(sch, cm))
+        val raw0 = s.read.schema(
+            org.apache.spark.sql.types.StructType(
+              physicalSchemaOf(sch, cm).fields :+ gridField))
           .parquet(rel.map(absPath(table)): _*)
+        // ids BEFORE the row filters, so survivors keep the ids their
+        // positions imply (same order as [[readFiles]])
+        val raw = attachGrid(raw0, rids)
         val hit = dvs.view.filterKeys(rel.contains).toMap
         val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
-        if (cm.isIdentity) dvd else toLogical(dvd, sch, cm)
+        if (cm.isIdentity) dvd
+        else dvd.select(sch.fields.toSeq.map(fd =>
+          col(quoted(physicalName(cm, fd.name))).as(fd.name)) :+
+          col(quoted(TxRowId.GridCol)): _*)
       }
-    val old = read(removes, oldDvs)
-    val neu = read(added, Map.empty)
+    val old = read(removes, oldDvs, removedRids)
+    val neu = read(added, Map.empty, addedRids)
     stageChangePair(s, table, old, neu, math.max(removes.size, added.size))
   }
 
@@ -4279,7 +4660,7 @@ object TxLog {
       writerId = s"compact-${java.util.UUID.randomUUID()}", batchId = 0L,
       schemaDdl = schemaDdl.getOrElse(ddlOf(dropGrid(df.schema))),
       readSet = touched,
-      captureOverride = Some(() => Seq.empty)).version
+      captureOverride = Some(_ => Seq.empty)).version
   }
 
   /** One [[maintain]] outcome: what fired, and the observables that
@@ -4706,15 +5087,29 @@ object TxLog {
         val sch = withDefaults(
           org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
           cmV, propsFrom(past))
+        val gridField = org.apache.spark.sql.types.StructField(
+          TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+        // both regions are COMMITTED files — ids from their recorded
+        // stats (r18: the feed's d/i rows carry row ids everywhere)
+        val ridsAll: Map[String, Long] =
+          (liveStats(ms) ++ statsAt).collect {
+            case (fl, st) if st.firstRowId >= 0L => fl -> st.firstRowId }
         def read(rel: Seq[String], dvs: Map[String, DvEntry]): DataFrame =
           if (rel.isEmpty)
-            s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+            s.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(sch.fields :+ gridField))
           else {
-            val raw = s.read.schema(physicalSchemaOf(sch, cmV))
+            val raw0 = s.read.schema(org.apache.spark.sql.types.StructType(
+                physicalSchemaOf(sch, cmV).fields :+ gridField))
               .parquet(rel.map(absPath(table)): _*)
+            val raw = attachGrid(raw0, ridsAll)
             val hit = dvs.collect { case (fl, e) if rel.contains(fl) => fl -> e.p }
             val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
-            if (cmV.isIdentity) dvd else toLogical(dvd, sch, cmV)
+            if (cmV.isIdentity) dvd
+            else dvd.select(sch.fields.toSeq.map(fd =>
+              col(quoted(physicalName(cmV, fd.name))).as(fd.name)) :+
+              col(quoted(TxRowId.GridCol)): _*)
           }
         stageChangePair(s, table, read(oldRegion, currentDvs),
           read(newRegion.toSeq, targetDvs),

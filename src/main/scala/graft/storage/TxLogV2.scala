@@ -380,9 +380,12 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
 
   // the change-feed relation's meta columns (_change_type,
   // _commit_version) are part of its SCHEMA, and its scan has no
-  // serving path for _file/_pos — advertise none there
+  // serving path for _file/_pos — but it DOES serve `_row_id` (r18):
+  // change files store each d/i row's id and append commits derive
+  // them, so a consumer can maintain an id-keyed downstream table
+  // purely from the feed
   override def metadataColumns(): Array[MetadataColumn] =
-    if (cdf) Array.empty
+    if (cdf) Array(TxLogRowIdColumn)
     else Array(TxLogFileColumn, TxLogPosColumn, TxLogRowIdColumn)
 
   /** Declared partition layout (identity/days/months/years/hours/
@@ -1542,14 +1545,23 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
   import TxLogCdf._
 
   private[storage] val baseSchema =
-    StructType(fullSchema.fields.filterNot(f => MetaNames(f.name)))
+    StructType(fullSchema.fields.filterNot(f =>
+      MetaNames(f.name) || f.name == TxRowId.RowIdCol))
+  // `_row_id` metadata column (r18): change files STORE each d/i row's
+  // id (captures materialize the coalesce at write time); append
+  // entries derive firstRowId + position — one reader rule, so a feed
+  // consumer keys a downstream table by id across any rewrite history
+  private[storage] val wantsRowId =
+    required.fieldNames.contains(TxRowId.RowIdCol)
   private[storage] val readDataSchema =
-    StructType(required.fields.filterNot(f => MetaNames(f.name)))
+    StructType(required.fields.filterNot(f =>
+      MetaNames(f.name) || f.name == TxRowId.RowIdCol))
   // requested meta columns, in relation order (_change_type first)
   private[storage] val metaFields = required.fields.filter(f => MetaNames(f.name))
 
   override def readSchema(): StructType =
-    StructType(readDataSchema.fields ++ metaFields)
+    StructType(readDataSchema.fields ++
+      (if (wantsRowId) Seq(TxRowId.RowIdField) else Nil) ++ metaFields)
 
   /** Row filters of a STREAM's initial-snapshot batch, set by
     * [[TxLogChangeStream.planInputPartitions]] — DV'd or keyed-deleted
@@ -1566,13 +1578,21 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       snapshotEq.exists(_._1 > snapshotSeqs.getOrElse(rel, Long.MaxValue))
 
   private[storage] def partitions(entries: Seq[Entry],
-                                  stats: Map[String, TxStats.FileStats])
+                                  stats: Map[String, TxStats.FileStats],
+                                  rids: Map[String, Long] = Map.empty)
       : Array[InputPartition] = {
     def pf(e: Entry) = {
-      val pv = InternalRow.fromSeq(metaFields.toSeq.map(_.name match {
+      val meta: Seq[Any] = metaFields.toSeq.map(_.name match {
         case TypeCol => UTF8String.fromString(e.change)
         case _ => e.version
-      }))
+      })
+      // row-id reads lead the pv with the file's firstRowId (__rid,
+      // the [[TxRowId.Spec]] contract): data files served as inserts
+      // derive ids from it; change files carry null (their ids are
+      // STORED) — the same coalesce serves both entry classes
+      val pv = InternalRow.fromSeq(
+        if (!wantsRowId) meta
+        else rids.get(e.rel).map(java.lang.Long.valueOf).orNull +: meta)
       // change files carry no manifest stats — fileBytes falls back to
       // one getFileStatus each; feed windows are small by construction
       GraftParquetIO.partitionedFile(TxLog.absPath(table)(e.rel),
@@ -1621,7 +1641,13 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       throw new IllegalStateException(
         s"file $r of $table was vacuumed before this change-feed read — " +
           "narrow the version window or raise the vacuum retention"))
-    partitions(entries, TxLog.liveStats(ms))
+    // firstRowId per data file, from EVERY manifest's stats (window
+    // files may be non-live by read time; the allocation is immutable)
+    val rids: Map[String, Long] =
+      if (!wantsRowId) Map.empty
+      else ms.flatMap(m => m.stats.filter(_.firstRowId >= 0L)
+        .map(st => st.file -> st.firstRowId)).toMap
+    partitions(entries, TxLog.liveStats(ms), rids)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1630,10 +1656,40 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
     val cm = TxLog.colMapFrom(TxLog.manifests(spark, table))
     val physBase = TxLog.physicalSchemaOf(baseSchema, cm)
     val physRead = TxLog.physicalSchemaOf(readDataSchema, cm)
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    if (wantsRowId) {
+      // range reads only (the stream schema never carries _row_id) —
+      // one augmented factory serves BOTH entry classes: change files
+      // read their STORED ids (null __rid pv), append data files
+      // derive firstRowId + position ([[TxRowId.RowIdReaderFactory]])
+      require(snapshotDvs.isEmpty && snapshotEq.isEmpty,
+        "row-id serving is a batch change-feed path")
+      val riFieldW = org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true)
+      val gridField = org.apache.spark.sql.types.StructField(
+        TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+      val ridPvField = org.apache.spark.sql.types.StructField(
+        "__rid", org.apache.spark.sql.types.LongType, nullable = true)
+      val augSchema = StructType(physRead.fields ++ Seq(gridField, riFieldW))
+      val aug = GraftParquetIO.readerFactory(spark,
+        StructType(physBase.fields :+ gridField), augSchema,
+        StructType(ridPvField +: metaFields), Array.empty)
+      return TxRowId.RowIdReaderFactory(aug,
+        TxRowId.Spec(
+          gridOrd = physRead.length,
+          riOrd = physRead.length + 1,
+          visibleLen = physRead.length,
+          ridPvOrd = augSchema.length,
+          visibleTypes = physRead.fields.map(_.dataType),
+          pvTypes = metaFields.map(_.dataType),
+          emitPos = false),
+        work = Map.empty, table,
+        GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
+    }
     val clean = GraftParquetIO.readerFactory(spark, physBase, physRead,
       StructType(metaFields), Array.empty)
     if (snapshotDvs.isEmpty && snapshotEq.isEmpty) return clean
-    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val riField = org.apache.spark.sql.types.StructField(
       ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
       org.apache.spark.sql.types.LongType, nullable = true)
@@ -1965,7 +2021,8 @@ object TxLogWriterFactory {
              cmOverride: Option[TxLog.ColMap] = None,
              gensOverride: Option[Map[String, String]] = None,
              genRecompute: Boolean = false,
-             replaceContract: Boolean = false)
+             replaceContract: Boolean = false,
+             withGrid: Boolean = false)
       : TxLogWriterFactory = {
     // propsOverride: a staged CREATE/REPLACE writes under the NEW
     // table contract (blooms, CHECK constraints) before any manifest
@@ -1980,8 +2037,15 @@ object TxLogWriterFactory {
       else TxLog.colMapOf(spark, table))
     // the ROWS arrive logical-named and positional; the FILES are
     // written physical-named — a positional rename of the schema is
-    // the whole translation
-    val physSchema = TxLog.physicalSchemaOf(schema, cm)
+    // the whole translation. `withGrid` appends the hidden lineage
+    // column LAST (after the reserved-name guard — it is reserved for
+    // exactly this writer): rows then arrive one field wider, carrying
+    // each row's preserved id or null ([[RowIdAppendingWriter]])
+    val schemaW =
+      if (!withGrid) schema
+      else StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+        TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true))
+    val physSchema = TxLog.physicalSchemaOf(schemaW, cm)
     val (owf, conf, ext) = GraftParquetIO.writerFactory(spark, physSchema,
       TxBloom.writeOptions(props))
     // CHECK constraints ride to the executors as bound predicates —
@@ -1994,7 +2058,9 @@ object TxLogWriterFactory {
     // contradicting non-null values (or RECOMPUTES outright for DML
     // post-image writes, `genRecompute`) — bound against the LOGICAL
     // schema, applied BEFORE the checks so they see the filled values
-    val gens = TxGen.bound(spark, schema, gensOverride.getOrElse(props),
+    // bound against schemaW: the gens projection rebuilds the full row,
+    // so a grid-carrying write must keep the extra field in the buffer
+    val gens = TxGen.bound(spark, schemaW, gensOverride.getOrElse(props),
       cm, genRecompute)
     // NOT NULL enforcement for the PATH-based V2 doors (df.write /
     // writeStream against a table path, r16 — found by the
@@ -2208,6 +2274,37 @@ class TxLogDataWriter(fac: TxLogWriterFactory, partitionId: Int, taskId: Long,
   override def close(): Unit = ()
 }
 
+/** Wraps the staged-file writer of a grid-carrying COW rewrite
+  * ([[TxLogWriterFactory.create]] `withGrid`): rows arriving WITH a
+  * metadata row (carried and updated rows — ReplaceData projects the
+  * scan's `_row_id` there) append their preserved id as the hidden
+  * grid field; plain rows (merge inserts) append null and mint fresh
+  * at commit ([[TxRowId]]). */
+case class RowIdTaggingFactory(inner: TxLogWriterFactory, ridMetaOrd: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new RowIdAppendingWriter(inner.createWriter(partitionId, taskId), ridMetaOrd)
+}
+
+class RowIdAppendingWriter(inner: DataWriter[InternalRow], ridMetaOrd: Int)
+    extends DataWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+  private val tail = new GenericInternalRow(1)
+  private val joined = new JoinedRow()
+  override def write(row: InternalRow): Unit = {
+    tail.setNullAt(0)
+    inner.write(joined(row, tail))
+  }
+  override def write(meta: InternalRow, row: InternalRow): Unit = {
+    if (meta.isNullAt(ridMetaOrd)) tail.setNullAt(0)
+    else tail.setLong(0, meta.getLong(ridMetaOrd))
+    inner.write(joined(row, tail))
+  }
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
 // ----------------------------------------------------------------------
 // row-level DML (group-based copy-on-write)
 // ----------------------------------------------------------------------
@@ -2260,12 +2357,27 @@ class TxLogRowLevelOperation(table: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write =
-        new TxLogReplaceWrite(table, info.schema(), TxLogRowLevelOperation.this)
+      override def build(): Write = {
+        // the `_row_id` metadata attribute rides back through the
+        // rewrite (ReplaceData hands it to the writer as the metadata
+        // row — [[RowIdAppendingWriter]]), so carried AND updated rows
+        // keep their ids through SQL COW DML exactly like the library
+        // door ([[TxRowId]]); merge inserts arrive metadata-less and
+        // mint fresh at commit
+        val ridOrd = {
+          val ms = info.metadataSchema()
+          if (ms.isPresent && ms.get().fieldNames.contains(TxRowId.RowIdCol))
+            ms.get().fieldIndex(TxRowId.RowIdCol)
+          else -1
+        }
+        new TxLogReplaceWrite(table, info.schema(), TxLogRowLevelOperation.this,
+          ridOrd)
+      }
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array(Expressions.column(TxLogV2.FileCol))
+    Array(Expressions.column(TxLogV2.FileCol),
+      Expressions.column(TxRowId.RowIdCol))
 
   override def description(): String = s"txlog $cmd $table"
 }
@@ -2387,8 +2499,9 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
       schemaDdl = schemaDdl, readSet = op.scannedFiles, dvs = entries,
-      captureOverride = Some(() => stageDeltaChanges(
-        perFile.map { case (r, frags) => r -> frags.map(_._1) }, rel, schemaDdl)))
+      captureOverride = Some(rids => stageDeltaChanges(
+        perFile.map { case (r, frags) => r -> frags.map(_._1) }, rel, schemaDdl,
+        rids)))
     ()
   }
 
@@ -2403,7 +2516,8 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     * `_metadata` resolvability, and reading logical names that aren't
     * in the files would silently null every renamed column's images. */
   private def stageDeltaChanges(perFile: Seq[(String, Seq[String])],
-                                rel: Seq[String], schemaDdl: String): Seq[String] = {
+                                rel: Seq[String], schemaDdl: String,
+                                addedRids: Map[String, Long]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, udf}
     val snap = op.pinnedSnapshot(spark, table)
     val cm = TxLog.colMapFrom(snap)
@@ -2412,8 +2526,17 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     val sch = TxLog.withDefaults(StructType.fromDDL(schemaDdl), cm,
       TxLog.propsFrom(snap))
     val physSch = TxLog.physicalSchemaOf(sch, cm)
+    val gridField = org.apache.spark.sql.types.StructField(TxRowId.GridCol,
+      org.apache.spark.sql.types.LongType, nullable = true)
+    val physGrid = StructType(physSch.fields :+ gridField)
+    def logicalGrid(df: org.apache.spark.sql.DataFrame) =
+      if (cm.isIdentity) df
+      else df.select(sch.fields.toSeq.map(fd =>
+        col(TxLog.quoted(TxLog.physicalName(cm, fd.name))).as(fd.name)) :+
+        col(TxRowId.GridCol): _*)
     val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(sch.fields :+ gridField))
     val deleted =
       if (perFile.isEmpty) empty
       else {
@@ -2429,19 +2552,25 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
             TxDv.cachedDecode(frag,
               TxDv.readBytes(confB.value.value, tableStr, frag)).contains(pos)))
         })
-        val hitRows = spark.read.schema(physSch)
-          .parquet(perFile.map(p => TxLog.absPath(table)(p._1)): _*)
+        // d-side ids from the touched files' committed stats ([[TxRowId]])
+        val stats = TxLog.liveStats(snap)
+        val delRids: Map[String, Long] = perFile.flatMap { case (r, _) =>
+          stats.get(r).filter(_.firstRowId >= 0L).map(r -> _.firstRowId) }.toMap
+        val hitRows = TxLog.attachGrid(
+            spark.read.schema(physGrid)
+              .parquet(perFile.map(p => TxLog.absPath(table)(p._1)): _*),
+            delRids)
           .withColumn("__gf", col("_metadata.file_path"))
           .withColumn("__gri", col("_metadata.row_index"))
           .where(hit(col("__gf"), col("__gri")))
           .drop("__gf", "__gri")
-        TxLog.toLogical(hitRows, sch, cm)
+        logicalGrid(hitRows)
       }
     val inserted =
       if (rel.isEmpty) empty
-      else TxLog.toLogical(
-        spark.read.schema(physSch).parquet(rel.map(TxLog.absPath(table)): _*),
-        sch, cm)
+      else logicalGrid(TxLog.attachGrid(
+        spark.read.schema(physGrid).parquet(rel.map(TxLog.absPath(table)): _*),
+        addedRids))
     TxLog.stageChangePair(spark, table, deleted, inserted,
       math.max(perFile.size, rel.size))
   }
@@ -2523,7 +2652,7 @@ class TxLogDeltaWriter(table: String, conf: SerializableConfiguration,
 }
 
 class TxLogReplaceWrite(table: String, writeSchema: StructType,
-                        op: TxLogRowLevelOperation)
+                        op: TxLogRowLevelOperation, ridMetaOrd: Int = -1)
     extends Write with TxLogPartitionedWrite {
   // a DML rewrite of a partitioned table restages clustered by the
   // partition columns — copy-on-write keeps the one-tuple-per-file
@@ -2535,24 +2664,29 @@ class TxLogReplaceWrite(table: String, writeSchema: StructType,
   override protected def logicalOfPhysical(p: String): String = rev.getOrElse(p, p)
 
   override def toBatch: BatchWrite =
-    new TxLogReplaceBatchWrite(table, writeSchema, op, writePcols)
+    new TxLogReplaceBatchWrite(table, writeSchema, op, writePcols, ridMetaOrd)
 }
 
 class TxLogReplaceBatchWrite(table: String, writeSchema: StructType,
                              op: TxLogRowLevelOperation,
-                             pcols: Seq[String]) extends BatchWrite {
+                             pcols: Seq[String],
+                             ridMetaOrd: Int = -1) extends BatchWrite {
   private val spark = SparkSession.active
   private val uuid = UUID.randomUUID().toString
   require(!writeSchema.fieldNames.contains(TxLogV2.FileCol),
     s"row-level write schema unexpectedly carries ${TxLogV2.FileCol}: $writeSchema")
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    TxLogWriterFactory.create(spark, table, uuid, writeSchema, pcols,
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val inner = TxLogWriterFactory.create(spark, table, uuid, writeSchema, pcols,
       cmOverride = Some(TxLog.colMapFrom(op.pinnedSnapshot(spark, table))),
       // COW rewrite rows are DML post-images: an UPDATE to a source
       // column regenerates the derived value instead of refusing on
       // the stale one (kept rows recompute to their stored values)
-      genRecompute = true)
+      genRecompute = true,
+      withGrid = ridMetaOrd >= 0)
+    if (ridMetaOrd < 0) inner
+    else RowIdTaggingFactory(inner, ridMetaOrd)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rel = messages.flatMap { case m: TxLogCommitMessage => m.files }.toSeq.sorted

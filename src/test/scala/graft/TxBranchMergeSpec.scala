@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** BRANCH MERGE past a diverged main (r18, [[TxLog.mergeBranch]]):
+  * one main manifest carries the branch's NET delta against its fork
+  * state — files/removes/dvs plus the branch writers' exactly-once
+  * tokens and (feed tables) the net id-carrying capture. No adoption,
+  * no history rewrite: consumers see one new version. Soundness is
+  * the writeSerializable footprint algebra, so a diverged merge
+  * requires `isolation=writeSerializable` and conflicts loudly on
+  * checkpoint / file-overlap / equality-delete / column-mapping
+  * divergence. */
+class TxBranchMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("txbm_").resolve("t").toString
+
+  private def rows(df: Option[org.apache.spark.sql.DataFrame]): Seq[(Long, String)] =
+    df.map(_.select("id", "v").orderBy("id").as[(Long, String)].collect().toSeq)
+      .getOrElse(Seq.empty)
+
+  /** writeSerializable table, two files: ids 0..3 ("a"), 4..7 ("b") */
+  private def build(ws: Boolean = true): String = {
+    val t = fresh()
+    spark.range(4).select(col("id"), lit("a").as("v"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    spark.range(4, 8).select(col("id"), lit("b").as("v"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    if (ws) TxLog.setProperties(spark, t,
+      Map(TxLog.IsolationProp -> TxLog.IsolationWriteSerializable))
+    t
+  }
+
+  test("disjoint merge: branch DML + append rebase onto a diverged main; " +
+      "tokens absorb; the branch resolves") {
+    val t = build()
+    TxLog.createBranch(spark, t, "stage")
+    TxLog.onBranch("stage") {
+      TxLog.delete(spark, t, col("id") < 2L, "st-d", 0L) // rewrites file 1
+      TxLog.commit(Seq((100L, "c")).toDF("id", "v").coalesce(1), t, "st-w", 0L)
+    }
+    // main diverges with a blind append (disjoint by construction)
+    TxLog.commit(Seq((200L, "m")).toDF("id", "v").coalesce(1), t, "mn-w", 0L)
+    val v = TxLog.mergeBranch(spark, t, "stage")
+    assert(v > 0L)
+    assert(TxLog.branches(spark, t).isEmpty, "merge must resolve the branch")
+    val got = rows(TxLog.snapshot(spark, t)).map(_._1)
+    assert(got == Seq(2L, 3L, 4L, 5L, 6L, 7L, 100L, 200L), got.toString)
+    // the branch writers' exactly-once survives the merge (their
+    // manifests are foreign now; the merge absorbed the tokens)
+    assert(TxLog.commit(Seq((999L, "x")).toDF("id", "v"), t, "st-w", 0L) == -1L)
+    TxLog.delete(spark, t, col("id") === -1L, "st-d", 0L) match {
+      case r => assert(r.version == -1L, s"replayed DML must be a token no-op: $r")
+    }
+    // time travel BEFORE the merge never sees branch rows
+    assert(!rows(TxLog.snapshotAt(spark, t, v - 1)).map(_._1).contains(100L))
+  }
+
+  test("no divergence delegates to fastForward (adoption, not a rebase)") {
+    val t = build()
+    TxLog.createBranch(spark, t, "ff")
+    TxLog.onBranch("ff") {
+      TxLog.commit(Seq((50L, "f")).toDF("id", "v").coalesce(1), t, "ffw", 0L)
+    }
+    val v = TxLog.mergeBranch(spark, t, "ff")
+    assert(rows(TxLog.snapshot(spark, t)).map(_._1).contains(50L))
+    // adoption: the ff manifest carries no files of its own
+    val logDir = new java.io.File(t, "_txlog")
+    val ff = logDir.listFiles().map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath)))
+      .find(_.contains("branch-ff-"))
+    assert(ff.isDefined && ff.get.contains("\"adopts\""), s"v$v should adopt")
+  }
+
+  test("refusals: serializable table, checkpoint, file overlap, eqdel " +
+      "divergence, fork debt") {
+    // serializable: diverged merge refused outright
+    val t0 = build(ws = false)
+    TxLog.createBranch(spark, t0, "b")
+    TxLog.onBranch("b") {
+      TxLog.commit(Seq((10L, "x")).toDF("id", "v"), t0, "bw", 0L)
+    }
+    TxLog.commit(Seq((20L, "y")).toDF("id", "v"), t0, "mw", 0L)
+    val e0 = intercept[IllegalArgumentException](TxLog.mergeBranch(spark, t0, "b"))
+    assert(e0.getMessage.contains("writeSerializable"), e0.getMessage)
+    // checkpoint divergence
+    val t1 = build()
+    TxLog.createBranch(spark, t1, "b")
+    TxLog.onBranch("b") {
+      TxLog.delete(spark, t1, col("id") === 0L, "bd", 0L)
+      ()
+    }
+    assert(TxLog.compact(spark, t1) > 0L)
+    val e1 = intercept[java.util.ConcurrentModificationException](
+      TxLog.mergeBranch(spark, t1, "b"))
+    assert(e1.getMessage.contains("checkpoint"), e1.getMessage)
+    // file overlap: both sides rewrite the same file
+    val t2 = build()
+    TxLog.createBranch(spark, t2, "b")
+    TxLog.onBranch("b") {
+      TxLog.delete(spark, t2, col("id") === 0L, "bd", 0L)
+      ()
+    }
+    TxLog.delete(spark, t2, col("id") === 1L, "md", 0L) // same file 1
+    val e2 = intercept[java.util.ConcurrentModificationException](
+      TxLog.mergeBranch(spark, t2, "b"))
+    assert(e2.getMessage.contains("rewrote file"), e2.getMessage)
+    // divergent equality deletes on main
+    val t3 = build()
+    TxLog.createBranch(spark, t3, "b")
+    TxLog.onBranch("b") {
+      TxLog.commit(Seq((10L, "x")).toDF("id", "v"), t3, "bw", 0L)
+    }
+    TxLog.deleteByKeys(Seq(2L).toDF("id"), t3, "mk", 0L)
+    val e3 = intercept[java.util.ConcurrentModificationException](
+      TxLog.mergeBranch(spark, t3, "b"))
+    assert(e3.getMessage.contains("equality deletes"), e3.getMessage)
+    // live debt at the fork
+    val t4 = build()
+    TxLog.deleteByKeys(Seq(3L).toDF("id"), t4, "fk", 0L)
+    TxLog.createBranch(spark, t4, "b")
+    TxLog.onBranch("b") {
+      TxLog.commit(Seq((10L, "x")).toDF("id", "v"), t4, "bw", 0L)
+    }
+    TxLog.commit(Seq((20L, "y")).toDF("id", "v"), t4, "mw", 0L)
+    val e4 = intercept[java.util.ConcurrentModificationException](
+      TxLog.mergeBranch(spark, t4, "b"))
+    assert(e4.getMessage.contains("debt-free fork"), e4.getMessage)
+  }
+
+  test("feed tables: the merge serves its NET id-carrying delta at ONE " +
+      "version; branch-internal churn never appears; a consumer stays exact") {
+    val t = build()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    val preIds = TxLog.snapshotLineage(spark, t).get
+      .select("_row_id", "id").as[(Long, Long)].collect().toMap
+    TxLog.createBranch(spark, t, "cur")
+    TxLog.onBranch("cur") {
+      // churn: append then delete the same rows ON the branch
+      TxLog.commit(Seq((300L, "tmp"), (301L, "tmp")).toDF("id", "v")
+        .coalesce(1), t, "cw", 0L)
+      TxLog.delete(spark, t, col("v") === "tmp", "cd", 0L)
+      // real work: drop ids 4..5 (rewrites file 2), add 100..101
+      TxLog.delete(spark, t, col("id") === 4L || col("id") === 5L, "cd", 1L)
+      TxLog.commit(Seq((100L, "n"), (101L, "n")).toDF("id", "v")
+        .coalesce(1), t, "cw", 1L)
+    }
+    TxLog.commit(Seq((200L, "m")).toDF("id", "v").coalesce(1), t, "mw", 0L)
+    val v = TxLog.mergeBranch(spark, t, "cur")
+    val feed = spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", v.toString).load(t)
+      .select(col("_change_type"), col("_row_id"), col("id"))
+      .as[(String, Option[Long], Long)].collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(feed.map(r => (r._1, r._3)) ==
+      Seq(("delete", 4L), ("delete", 5L), ("insert", 100L), ("insert", 101L)),
+      s"net delta only, at the merge version: $feed")
+    // d-rows carry the PRE-fork ids (pairing across the merge)
+    val dIds = feed.filter(_._1 == "delete").flatMap(_._2).toSet
+    assert(dIds == Set(preIds.collectFirst { case (r, 4L) => r }.get,
+      preIds.collectFirst { case (r, 5L) => r }.get))
+    // snapshot agrees with a value replay
+    assert(rows(TxLog.snapshot(spark, t)).map(_._1) ==
+      Seq(0L, 1L, 2L, 3L, 6L, 7L, 100L, 101L, 200L))
+  }
+
+  test("merge carries the branch's GROWN deletion vectors (MoR divergence " +
+      "on distinct files)") {
+    val t = build()
+    TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    TxLog.createBranch(spark, t, "b")
+    TxLog.onBranch("b") {
+      TxLog.delete(spark, t, col("id") === 0L, "bd", 0L) // DV on file 1
+      ()
+    }
+    TxLog.delete(spark, t, col("id") === 7L, "md", 0L) // DV on file 2 (main)
+    TxLog.mergeBranch(spark, t, "b")
+    assert(rows(TxLog.snapshot(spark, t)).map(_._1) == (1L to 6L),
+      "both sides' vectors must survive the merge")
+  }
+}

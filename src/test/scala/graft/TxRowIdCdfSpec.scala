@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.TxLog
+
+/** ID-PAIRED CHANGE FEED (r18): the change feed serves `_row_id` —
+  * change files STORE each d/i row's id at capture (the d-side's from
+  * the pre-image read, the i-side's from stored/adopted grid or the
+  * commit's pre-assigned allocation), and append entries derive
+  * `firstRowId + position` through the same reader rule as the main
+  * scan ([[graft.storage.TxRowId]]).
+  *
+  * The semantics that make the ids USEFUL to a consumer:
+  *  - keyed upserts ADOPT the replaced row's id ([[TxLog.adoptGrid]]):
+  *    an identical re-upsert is a no-op in value AND id space (feed
+  *    silent, snapshot id stable), and an UPDATE-shaped upsert's
+  *    retract/add pair SHARES one id — the pairing the feed consumer
+  *    needs;
+  *  - COW and MoR UPDATE preserve ids (library and SQL doors alike);
+  *  - ids survive compaction, so a consumer pairs events across any
+  *    layout churn. */
+class TxRowIdCdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("txridcdf_").resolve("t").toString
+
+  /** feed table, two appends: ids 0..3 ("a"), 4..7 ("b") */
+  private def build(): String = {
+    val t = fresh()
+    spark.range(4).select(col("id"), lit("a").as("v"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    spark.range(4, 8).select(col("id"), lit("b").as("v"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    t
+  }
+
+  private def feed(t: String, from: Long = 0L): Seq[(Long, String, Option[Long], Long, String)] =
+    spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", from.toString).load(t)
+      .select(col("_commit_version"), col("_change_type"), col("_row_id"),
+        col("id"), col("v"))
+      .as[(Long, String, Option[Long], Long, String)]
+      .collect().toSeq.sortBy(r => (r._1, r._2, r._4))
+
+  private def ids(t: String): Map[Long, (Long, String)] =
+    TxLog.snapshotLineage(spark, t).get
+      .select("_row_id", "id", "v").as[(Long, Long, String)]
+      .collect().map { case (r, i, v) => r -> (i, v) }.toMap
+
+  test("appends serve derived ids through the feed; every row is id-paired") {
+    val t = build()
+    val f = feed(t)
+    assert(f.size == 8)
+    assert(f.forall(_._3.isDefined), "append feed rows must carry _row_id")
+    assert(f.map(_._3.get).toSet == (0L to 7L).toSet)
+    // feed ids == snapshot ids, row for row
+    assert(f.map(r => r._3.get -> ((r._4, r._5))).toMap == ids(t))
+  }
+
+  test("keyed upsert: identical re-upsert silent AND id-stable; update's " +
+      "d/i pair shares the adopted id; fresh keys mint") {
+    val t = build()
+    val before = ids(t)
+    val head0 = TxLog.headVersion(spark, t)
+    // id 2's row updated, id 5's re-upserted identically, id 100 fresh
+    TxLog.upsertByKeys(Seq((2L, "U"), (5L, "b"), (100L, "n")).toDF("id", "v"),
+      t, Seq("id"), "u", 0L)
+    val v = TxLog.headVersion(spark, t)
+    assert(v > head0)
+    val after = ids(t)
+    val rid2 = before.find(_._2 == ((2L, "a"))).get._1
+    val rid5 = before.find(_._2 == ((5L, "b"))).get._1
+    // adoption: the updated row KEEPS its id; the identical one is untouched
+    assert(after(rid2) == ((2L, "U")), "updated row must adopt its prior id")
+    assert(after(rid5) == ((5L, "b")), "identical re-upsert must keep the id")
+    val f = feed(t, v).filter(_._1 == v)
+    // the identical re-upsert is SILENT (no rows for id 5)
+    assert(!f.exists(_._4 == 5L), s"identical re-upsert leaked into the feed: $f")
+    // the update pairs by id: d and i share rid2
+    val dIds = f.filter(_._2 == "delete").flatMap(_._3)
+    val iById = f.filter(_._2 == "insert").map(r => r._4 -> r._3.get).toMap
+    assert(dIds == Seq(rid2), s"delete side: $f")
+    assert(iById(2L) == rid2, "the update's insert must carry the SAME id")
+    // the fresh key minted a new id
+    assert(!before.contains(iById(100L)) && after(iById(100L)) == ((100L, "n")))
+  }
+
+  test("ids pair across compaction: a keyed delete AFTER compact retracts " +
+      "the ids the consumer learned BEFORE it") {
+    val t = build()
+    TxLog.upsertByKeys(Seq((0L, "Z")).toDF("id", "v"), t, Seq("id"), "u", 0L)
+    val preCompact = ids(t)
+    assert(TxLog.compact(spark, t) > 0L) // feed- and id-invariant
+    val vDel = {
+      TxLog.deleteByKeys(Seq(3L, 6L).toDF("id"), t, "d", 0L)
+      TxLog.headVersion(spark, t)
+    }
+    val f = feed(t, vDel).filter(_._1 == vDel)
+    assert(f.forall(_._2 == "delete") && f.size == 2)
+    val expect = preCompact.collect { case (r, (i, _)) if i == 3L || i == 6L => r }.toSet
+    assert(f.flatMap(_._3).toSet == expect,
+      "post-compact deletes must carry the PRE-compact ids — pairing across layout churn")
+  }
+
+  test("COW and MoR UPDATE both preserve ids through the SQL and library doors") {
+    val t = build()
+    val before = ids(t)
+    // library COW update
+    TxLog.update(spark, t, col("id") === 1L, Map("v" -> lit("X")), "w", 0L)
+    val rid1 = before.find(_._2._1 == 1L).get._1
+    assert(ids(t)(rid1) == ((1L, "X")))
+    // library MoR update (r18: preserved, was mint-fresh)
+    TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    TxLog.update(spark, t, col("id") === 2L, Map("v" -> lit("Y")), "w", 1L)
+    val rid2 = before.find(_._2._1 == 2L).get._1
+    assert(ids(t)(rid2) == ((2L, "Y")), "MoR update must keep the row's id")
+    // the MoR update's feed pair shares the id
+    val v = TxLog.headVersion(spark, t)
+    val f = feed(t, v).filter(_._1 == v)
+    assert(f.flatMap(_._3).distinct == Seq(rid2), s"MoR update pair: $f")
+    // SQL COW door (fresh table to reset dml mode)
+    val t2 = build()
+    val b2 = ids(t2)
+    val name = s"ridcdf_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $name USING txlog OPTIONS (path '$t2')")
+    try {
+      spark.sql(s"UPDATE $name SET v = 'Q' WHERE id = 3")
+      val rid3 = b2.find(_._2._1 == 3L).get._1
+      assert(ids(t2)(rid3) == ((3L, "Q")),
+        "SQL COW UPDATE must preserve ids (ReplaceData metadata writeback)")
+      spark.sql(s"DELETE FROM $name WHERE id = 0")
+      val rid0 = b2.find(_._2._1 == 0L).get._1
+      assert(!ids(t2).contains(rid0), "deleted id gone")
+      assert(ids(t2)(rid3) == ((3L, "Q")), "survivors keep ids through SQL DELETE")
+    } finally spark.sql(s"DROP TABLE $name")
+  }
+
+  test("merge on a feed table adopts ids; the downstream consumer tracks " +
+      "an update+merge+compact+delete history exactly (values AND ids)") {
+    val t = build()
+    TxLog.merge(Seq((4L, "M"), (50L, "m")).toDF("id", "v"), t, Seq("id"), "m", 0L)
+    assert(TxLog.compactSmall(spark, t, targetBytes = 1L << 30) > 0L)
+    TxLog.deleteByKeys(Seq(7L).toDF("id"), t, "d", 0L)
+    TxLog.update(spark, t, col("id") === 0L, Map("v" -> lit("E")), "w", 0L)
+    // replay the feed as an id-keyed consumer
+    val all = feed(t)
+    val lastV = all.groupBy(_._3.get).view.mapValues(_.map(_._1).max).toMap
+    val consumer = all.filter(r => r._1 == lastV(r._3.get) && r._2 == "insert")
+      .map(r => r._3.get -> ((r._4, r._5))).toMap
+    assert(consumer == ids(t),
+      s"consumer ${consumer.toSeq.sortBy(_._1)} vs snapshot ${ids(t).toSeq.sortBy(_._1)}")
+  }
+
+  test("the CDF STREAM still serves id-carrying captures (values exact; " +
+      "_row_id is a batch-read column)") {
+    val t = build()
+    val name = s"txridcdf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("readChangeFeed", "true")
+      .load(t).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("txridcdf_s_").toString)
+      .start()
+    q.processAllAvailable() // initial snapshot: 8 inserts
+    TxLog.upsertByKeys(Seq((2L, "U")).toDF("id", "v"), t, Seq("id"), "u", 0L)
+    q.processAllAvailable(); q.stop() // tail: the id-carrying capture pair
+    val got = spark.table(name)
+    assert(!got.columns.contains("_row_id"),
+      "the stream schema carries the value feed only (spec'd: ids are batch)")
+    // the snapshot batch + the upsert tail, exact values
+    assert(got.count() == 10L) // 8 snapshot inserts + d/i pair
+    assert(got.where(col("_change_type") === "delete").count() == 1L)
+  }
+}
