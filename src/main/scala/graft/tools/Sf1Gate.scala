@@ -265,6 +265,61 @@ object Sf1Gate {
         ("failed", 0)
     }
 
+    // ---- 4d. widen × view-binding battery at sf1 (r18, VERDICT #4):
+    // TxViewModeSpec pins the semantics at 4 rows; this re-proves them
+    // against 15M-row MIXED-ERA storage (pre-widen INT parquet + a
+    // post-widen BIGINT era with beyond-INT values, read through the
+    // stored-cast machinery). EVOLUTION serves the widened type,
+    // BINDING refuses (its pinned INT has no safe cast back), and
+    // COMPENSATION serves the pinned type UNTIL a value can't cast
+    // (ANSI overflow — loud, never silent wraparound).
+    val widenView: String = try {
+      val whDir = Files.createTempDirectory("sf1_wv_wh_").toString
+      spark.conf.set("spark.sql.catalog.sf1wv", "graft.storage.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.sf1wv.warehouse", whDir)
+      spark.read.parquet(s"$sf1Dir/orders.parquet")
+        .createOrReplaceTempView("sf1_wv_orders")
+      spark.sql("CREATE TABLE sf1wv.default.wv (o_orderkey BIGINT, " +
+        "cust_small INT, o_orderstatus STRING) USING txlog")
+      spark.sql("INSERT INTO sf1wv.default.wv SELECT o_orderkey, " +
+        "CAST(o_custkey % 1000000 AS INT), o_orderstatus FROM sf1_wv_orders")
+      val n0 = spark.table("sf1wv.default.wv").count()
+      spark.sql("CREATE VIEW sf1wv.default.wv_vb WITH SCHEMA BINDING AS " +
+        "SELECT * FROM sf1wv.default.wv")
+      spark.sql("CREATE VIEW sf1wv.default.wv_vc WITH SCHEMA COMPENSATION AS " +
+        "SELECT * FROM sf1wv.default.wv")
+      spark.sql("CREATE VIEW sf1wv.default.wv_vt WITH SCHEMA TYPE EVOLUTION AS " +
+        "SELECT * FROM sf1wv.default.wv")
+      require(Seq("wv_vb", "wv_vc", "wv_vt").forall(v =>
+        spark.table(s"sf1wv.default.$v").count() == n0), "pre-widen counts")
+      spark.sql("ALTER TABLE sf1wv.default.wv ALTER COLUMN cust_small TYPE BIGINT")
+      // COMPENSATION serves the pinned INT through the cast while every
+      // stored value still fits; BINDING refuses outright
+      require(spark.table("sf1wv.default.wv_vc").count() == n0,
+        "compensation must serve the widened-but-in-range base")
+      val eb = try { spark.table("sf1wv.default.wv_vb").count(); None }
+        catch { case e: Exception => Some(e) }
+      require(eb.isDefined, "BINDING must refuse after widening")
+      // a beyond-INT era lands: EVOLUTION tracks, COMPENSATION goes loud
+      spark.sql("INSERT INTO sf1wv.default.wv VALUES " +
+        "(900000001, 3000000000, 'W'), (900000002, 4000000000, 'W')")
+      val vt = spark.sql("SELECT count(*) AS n, max(cust_small) AS mx " +
+        "FROM sf1wv.default.wv_vt").collect()(0)
+      require(vt.getLong(0) == n0 + 2 && vt.getLong(1) == 4000000000L,
+        s"evolution must serve the widened era: $vt")
+      val ec = try {
+        spark.sql("SELECT sum(cust_small) FROM sf1wv.default.wv_vc").collect()
+        None
+      } catch { case e: Exception => Some(e) }
+      require(ec.isDefined,
+        "COMPENSATION must fail LOUDLY on a value its pinned type cannot hold")
+      s"ok_${n0}_rows"
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[sf1gate] widen_view battery FAILED: ${e.getMessage}")
+        "failed"
+    }
+
     // ---- 5. one summary line
     val total = timings.values.sum
     val slowest5 = timings.toSeq.sortBy(-_._2).take(5)
@@ -280,6 +335,7 @@ object Sf1Gate {
       s""""oracle":${q(oracleStatus)},"oracle_ok":$oracleOk,"oracle_fail":$oracleFail,""" +
       s""""sampled_heavy":${q(sampStatus)},"sampled_heavy_ok":$sampOk,"sampled_heavy_fail":$sampFail,""" +
       s""""clusters_check":${q(clustersStatus)},"clusters_docs":$clustersDocs,""" +
+      s""""widen_view":${q(widenView)},""" +
       s""""skipped_heavy_oracles":$skipped,"slowest5":$slowest5,"queries":$qs}""")
 
     spark.stop()
@@ -287,7 +343,7 @@ object Sf1Gate {
     // summary — that must fail the gate too, not read as "0 failures"
     if (failed.nonEmpty || oracleFail != 0 ||
         (sampStatus != "skipped" && sampStatus != "not_needed_full_mode" && sampFail != 0) ||
-        clustersStatus != "ok")
+        clustersStatus != "ok" || widenView == "failed")
       sys.exit(1)
   }
 }
