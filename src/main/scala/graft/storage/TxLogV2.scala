@@ -96,7 +96,10 @@ class TxLogV2Source extends TableProvider with DataSourceRegister {
     val base = schema.getOrElse(throw new IllegalArgumentException(
       s"txlog table $path is empty or absent — schema unknowable " +
         "(pass an explicit schema, or write to it first)"))
-    if (TxLogV2.readChangeFeed(options)) TxLogCdf.withMeta(base) else base
+    if (TxLogV2.readChangeFeed(options)) {
+      if (TxLogV2.cdfWithRowIds(options)) TxLogCdf.withRowIdMeta(base)
+      else TxLogCdf.withMeta(base)
+    } else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -111,8 +114,12 @@ class TxLogV2Source extends TableProvider with DataSourceRegister {
     require(branch.isEmpty || (asOf.isEmpty && !cdf),
       "the branch option is a plain lineage read — combine it with neither " +
         "time travel nor readChangeFeed")
+    val cdfRowIds = TxLogV2.cdfWithRowIds(opts)
+    require(!cdfRowIds || cdf,
+      "withRowIds is a change-feed reader option (the plain scan serves " +
+        "_row_id as a metadata column — just select it)")
     TxLogTable(tablePath(opts), Option(schema).filter(_.nonEmpty), asOf, cdf,
-      branch)
+      branch, cdfRowIds)
   }
 }
 
@@ -250,6 +257,12 @@ object TxLogV2 {
       TxLog.versionAtTimestamp(TxLog.manifests(spark, path), t, path)))
   }
 
+  /** The `withRowIds` CDF reader option (r18): add `_row_id` to the
+    * feed's SCHEMA — the readStream door to the id-paired feed (batch
+    * readers may select the metadata column instead). */
+  private[storage] def cdfWithRowIds(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("withRowIds")).exists(_.trim.equalsIgnoreCase("true"))
+
   /** The `readChangeFeed` reader option: serve the table's CHANGE
     * DATA FEED (row-level deltas per committed version) instead of its
     * snapshot — see [[TxLogCdf]]. */
@@ -320,7 +333,8 @@ object TxLogRowIdColumn extends MetadataColumn {
 
 case class TxLogTable(table: String, givenSchema: Option[StructType],
                       asOf: Option[Long] = None, cdf: Boolean = false,
-                      branch: Option[String] = None)
+                      branch: Option[String] = None,
+                      cdfRowIds: Boolean = false)
     extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with TruncatableTable {
@@ -363,8 +377,14 @@ case class TxLogTable(table: String, givenSchema: Option[StructType],
         TxLog.colMapFrom(ms), TxLog.propsFrom(ms))
     }
     // CDF relations append the change metadata; idempotent so an
-    // explicit user schema may come with or without the meta columns
-    if (cdf) TxLogCdf.withMeta(withWrite) else withWrite
+    // explicit user schema may come with or without the meta columns.
+    // `withRowIds` (r18) adds `_row_id` to the feed SCHEMA — the
+    // stream door; batch readers can also just select the metadata
+    // column
+    if (cdf) {
+      if (cdfRowIds) TxLogCdf.withRowIdMeta(withWrite)
+      else TxLogCdf.withMeta(withWrite)
+    } else withWrite
   }
 
   // NOTE the capability set stays full even when version-pinned: Spark
@@ -1457,6 +1477,15 @@ object TxLogCdf {
     StructType(base.fields.filterNot(f => MetaNames(f.name)) :+
       TypeField :+ VersionField)
 
+  /** The `withRowIds` variant: `_row_id` sits BETWEEN the data columns
+    * and the meta constants — the scan's physical emission order
+    * (visible ++ id ++ pv), which a STREAM's row layout must match
+    * positionally (batch readers project by name either way). */
+  def withRowIdMeta(base: StructType): StructType =
+    StructType(base.fields.filterNot(f =>
+      MetaNames(f.name) || f.name == TxRowId.RowIdCol) :+
+      TxRowId.RowIdField :+ TypeField :+ VersionField)
+
   /** One feed file: manifest-relative path + its constant change type
     * and version. */
   final case class Entry(rel: String, change: String, version: Long)
@@ -1658,12 +1687,12 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
     val physRead = TxLog.physicalSchemaOf(readDataSchema, cm)
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     if (wantsRowId) {
-      // range reads only (the stream schema never carries _row_id) —
       // one augmented factory serves BOTH entry classes: change files
       // read their STORED ids (null __rid pv), append data files
-      // derive firstRowId + position ([[TxRowId.RowIdReaderFactory]])
-      require(snapshotDvs.isEmpty && snapshotEq.isEmpty,
-        "row-id serving is a batch change-feed path")
+      // derive firstRowId + position ([[TxRowId.RowIdReaderFactory]]).
+      // A STREAM's initial-snapshot row filters (DVs / key debt)
+      // compose in the same pass — the factory was built for exactly
+      // that on the main scan; worked files pack alone (partitions)
       val riFieldW = org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true)
@@ -1671,10 +1700,27 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
         TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
       val ridPvField = org.apache.spark.sql.types.StructField(
         "__rid", org.apache.spark.sql.types.LongType, nullable = true)
-      val augSchema = StructType(physRead.fields ++ Seq(gridField, riFieldW))
+      val physByNameW = physBase.fields.map(f => f.name -> f).toMap
+      val keyColsW = snapshotEq.flatMap(_._2.cols).distinct
+        .filterNot(physRead.fieldNames.toSet)
+      val augSchema = StructType(physRead.fields ++ Seq(gridField, riFieldW) ++
+        keyColsW.map(physByNameW(_)))
       val aug = GraftParquetIO.readerFactory(spark,
         StructType(physBase.fields :+ gridField), augSchema,
         StructType(ridPvField +: metaFields), Array.empty)
+      val ordOfW = augSchema.fieldNames.zipWithIndex.toMap
+      val probeOfW = snapshotEq.map { case (_, e) =>
+        e.p -> TxEqDel.ProbeSpec(e.p, e.cols.map(ordOfW(_)).toArray,
+          e.cols.map(c => physByNameW(c).dataType).toArray)
+      }.toMap
+      val workW: Map[String, TxEqDel.FileWork] = snapshotFiles.flatMap { rel =>
+        val probes = snapshotEq
+          .filter(_._1 > snapshotSeqs.getOrElse(rel, Long.MaxValue))
+          .map(e => probeOfW(e._2.p))
+        val dv = snapshotDvs.get(rel)
+        if (dv.isEmpty && probes.isEmpty) None
+        else Some(TxDv.tailKey(rel) -> TxEqDel.FileWork(dv, probes))
+      }.toMap
       return TxRowId.RowIdReaderFactory(aug,
         TxRowId.Spec(
           gridOrd = physRead.length,
@@ -1684,7 +1730,7 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
           visibleTypes = physRead.fields.map(_.dataType),
           pvTypes = metaFields.map(_.dataType),
           emitPos = false),
-        work = Map.empty, table,
+        work = workW, table,
         GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
     }
     val clean = GraftParquetIO.readerFactory(spark, physBase, physRead,
@@ -1841,7 +1887,14 @@ class TxLogChangeStream(spark: SparkSession, table: String,
           .foreach(r => vacuumedError(s"file $r"))
         es
       }
-    scan.partitions(entries, TxLog.liveStats(ms))
+    // `withRowIds` streams: each data-file entry's firstRowId rides as
+    // the leading __rid pv (snapshot inserts and tail appends alike;
+    // change files stay null — their ids are stored)
+    val rids: Map[String, Long] =
+      if (!scan.wantsRowId) Map.empty
+      else ms.flatMap(m => m.stats.filter(_.firstRowId >= 0L)
+        .map(st => st.file -> st.firstRowId)).toMap
+    scan.partitions(entries, TxLog.liveStats(ms), rids)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -171,9 +171,69 @@ class TxRowIdCdfSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop() // tail: the id-carrying capture pair
     val got = spark.table(name)
     assert(!got.columns.contains("_row_id"),
-      "the stream schema carries the value feed only (spec'd: ids are batch)")
+      "the DEFAULT stream schema carries the value feed only")
     // the snapshot batch + the upsert tail, exact values
     assert(got.count() == 10L) // 8 snapshot inserts + d/i pair
     assert(got.where(col("_change_type") === "delete").count() == 1L)
+  }
+
+  test("withRowIds STREAM: the feed schema carries _row_id — snapshot ids " +
+      "match lineage (through a DV'd snapshot), tail pairs share the id") {
+    val t = build()
+    // MoR-delete one row BEFORE the stream: the initial snapshot must
+    // exclude it while the survivors keep their derived ids
+    TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+    TxLog.delete(spark, t, col("id") === 7L, "d0", 0L)
+    val lineage = ids(t)
+    val name = s"txridcdfw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("txlog").option("readChangeFeed", "true")
+      .option("withRowIds", "true")
+      .load(t).writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("txridcdfw_").toString)
+      .start()
+    q.processAllAvailable()
+    val snap = spark.table(name)
+      .select(col("_row_id"), col("id"), col("v"))
+      .as[(Long, Long, String)].collect().map { case (r, i, v) => r -> ((i, v)) }.toMap
+    assert(snap == lineage, s"snapshot ids: $snap vs $lineage")
+    val head0 = TxLog.headVersion(spark, t) // snapshot rows carry this version
+    TxLog.upsertByKeys(Seq((2L, "U")).toDF("id", "v"), t, Seq("id"), "u", 0L)
+    q.processAllAvailable(); q.stop()
+    val tail = spark.table(name)
+      .where(col("_commit_version") > head0)
+      .select(col("_change_type"), col("_row_id"), col("id"), col("v"))
+      .as[(String, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val rid2 = lineage.collectFirst { case (r, (2L, _)) => r }.get
+    assert(tail == Seq(("delete", rid2, 2L, "a"), ("insert", rid2, 2L, "U")),
+      s"the streamed pair must share the adopted id: $tail")
+  }
+
+  test("a concurrent BRANCH commit minting ids during a feed upsert's " +
+      "capture CONFLICTS (the rid-base guard — captureBase only sees main)") {
+    val t = build()
+    TxLog.createBranch(spark, t, "side")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxLog.upsertByKeys(Seq((2L, "U")).toDF("id", "v"), t, Seq("id"),
+        "u", 0L, beforeCommit = () =>
+          TxLog.onBranch("side") {
+            TxLog.commit(Seq((500L, "b")).toDF("id", "v"), t, "bw", 0L)
+            ()
+          })
+    }
+    assert(e.getMessage.contains("minted row ids"), e.getMessage)
+    // the capture's pre-assigned ids never published; a clean retry
+    // mints past the branch commit — no collision. Main keeps its 8
+    // ids (the upsert ADOPTS id 2's), the branch holds the 8 pre-fork
+    // ids + 1 fresh mint → 9 distinct ids across both lineages.
+    TxLog.upsertByKeys(Seq((2L, "U")).toDF("id", "v"), t, Seq("id"), "u2", 0L)
+    val mainIds = ids(t).keySet
+    val brIds = TxLog.onBranch("side") {
+      TxLog.snapshotLineage(spark, t).get
+        .select("_row_id").as[Long].collect().toSet
+    }
+    assert(mainIds.size == 8 && brIds.size == 9 &&
+      (mainIds ++ brIds).size == 9,
+      s"ids must stay globally unique across lineages: $mainIds / $brIds")
+    TxLog.dropBranch(spark, t, "side")
   }
 }
