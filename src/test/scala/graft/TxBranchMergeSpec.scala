@@ -171,6 +171,39 @@ class TxBranchMergeSpec extends AnyFunSuite {
       Seq(0L, 1L, 2L, 3L, 6L, 7L, 100L, 101L, 200L))
   }
 
+  test("partitioned table: the merged net files keep their one-value-per-" +
+      "tuple layout and partition pruning survives") {
+    val t = fresh()
+    TxLog.commitPartitioned(
+      Seq((0L, "east", "a"), (1L, "east", "a"), (2L, "west", "a"))
+        .toDF("id", "region", "v"), t, Seq("region"), "w", 0L)
+    TxLog.setProperties(spark, t,
+      Map(TxLog.IsolationProp -> TxLog.IsolationWriteSerializable))
+    TxLog.createBranch(spark, t, "b")
+    TxLog.onBranch("b") {
+      // rewrite east (COW delete id 0) + append a new region
+      TxLog.delete(spark, t, col("id") === 0L, "bd", 0L)
+      TxLog.commitPartitioned(Seq((9L, "north", "n")).toDF("id", "region", "v"),
+        t, Seq("region"), "bw", 0L)
+    }
+    TxLog.commitPartitioned(Seq((20L, "south", "m")).toDF("id", "region", "v"),
+      t, Seq("region"), "mw", 0L) // diverge: new partition, disjoint files
+    TxLog.mergeBranch(spark, t, "b")
+    val got = spark.read.format("txlog").load(t)
+      .select("id", "region").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "east"), (2L, "west"), (9L, "north"), (20L, "south")),
+      got.toString)
+    // partition pruning still works over the merged layout (the net
+    // files' pv metadata rode through the merge verbatim)
+    val pruned = spark.read.format("txlog").load(t)
+      .where(col("region") === "north")
+    assert(pruned.count() == 1L)
+    val (scanned, total) = graft.storage.TxLogV2.lastPrune.get()
+    assert(scanned < total,
+      s"partition pruning must survive the merge: scanned $scanned of $total")
+  }
+
   test("merge carries the branch's GROWN deletion vectors (MoR divergence " +
       "on distinct files)") {
     val t = build()
