@@ -827,8 +827,11 @@ object TxLog {
     *    files speak the pre-change names;
     *  - schema: both-sides evolution merges through [[mergedSchema]]
     *    (loud on type conflicts), one-sided adopts the evolved side.
-    * Returns the merge commit's version. */
-  def mergeBranch(s: SparkSession, table: String, name: String): Long = {
+    * Returns the merge commit's version. `beforeCommit` fires once per
+    * CAS attempt between the conflict re-judgement and the put — the
+    * crash/interleave injection seam the specs use. */
+  def mergeBranch(s: SparkSession, table: String, name: String,
+                  beforeCommit: () => Unit = () => ()): Long = {
     guardMainOnly("mergeBranch")
     var attempt = 0
     var captured: Option[Seq[String]] = None
@@ -940,6 +943,7 @@ object TxLog {
         schema = Some(schemaDdl), tokens = tokens, changes = changes,
         props = Some(merged), ts = commitTimeMs(), dvs = netDvs))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      beforeCommit() // crash/interleave injection seam
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return v
       attempt += 1

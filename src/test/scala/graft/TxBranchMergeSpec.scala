@@ -204,6 +204,68 @@ class TxBranchMergeSpec extends AnyFunSuite {
       s"partition pruning must survive the merge: scanned $scanned of $total")
   }
 
+  test("merge under interleaved commits: a lost slot race re-judges and " +
+      "lands ONCE without re-staging the capture; a conflicting interleave " +
+      "is loud and leaves main byte-identical") {
+    val t = build()
+    TxLog.setProperties(spark, t, Map(TxLog.ChangeFeedProp -> "true"))
+    TxLog.createBranch(spark, t, "b")
+    TxLog.onBranch("b") {
+      TxLog.delete(spark, t, col("id") === 0L, "bd", 0L)
+      ()
+    }
+    TxLog.commit(Seq((200L, "m")).toDF("id", "v").coalesce(1), t, "mw", 0L)
+    // benign interleave: a pure append wins the first slot — the merge
+    // must retry, re-judge, and land exactly once
+    var fired = false
+    val v = TxLog.mergeBranch(spark, t, "b", beforeCommit = () => {
+      if (!fired) {
+        fired = true
+        TxLog.commit(Seq((201L, "m2")).toDF("id", "v").coalesce(1), t, "mw", 1L)
+        ()
+      }
+    })
+    assert(v > 0L && fired)
+    assert(rows(TxLog.snapshot(spark, t)).map(_._1) ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 200L, 201L))
+    // ONE merge manifest; its capture staged once (memoized across the
+    // lost race — no orphaned duplicate change files referenced)
+    val manifests = new java.io.File(t, "_txlog").listFiles()
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+    assert(manifests.count(_.contains("branch-merge-")) == 1)
+    // the merge version's feed = exactly the branch's net delta
+    val feed = spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", v.toString).load(t)
+      .where(col("_commit_version") === v)
+      .select(col("_change_type"), col("id")).as[(String, Long)].collect().toSeq
+    assert(feed == Seq(("delete", 0L)), feed.toString)
+    // conflicting interleave: a rewrite touching the branch's files
+    val t2 = build()
+    TxLog.createBranch(spark, t2, "b")
+    TxLog.onBranch("b") {
+      TxLog.delete(spark, t2, col("id") === 0L, "bd", 0L)
+      ()
+    }
+    TxLog.commit(Seq((300L, "x")).toDF("id", "v").coalesce(1), t2, "mw", 0L)
+    val before = rows(TxLog.snapshot(spark, t2))
+    var fired2 = false
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxLog.mergeBranch(spark, t2, "b", beforeCommit = () => {
+        if (!fired2) {
+          fired2 = true
+          // main rewrites the SAME file the branch rewrote (id 1 lives
+          // in file 1 with id 0) — re-judged on retry, must conflict
+          TxLog.delete(spark, t2, col("id") === 1L, "md", 0L)
+          ()
+        }
+      })
+    }
+    assert(e.getMessage.contains("rewrote file"), e.getMessage)
+    assert(rows(TxLog.snapshot(spark, t2)) ==
+      before.filterNot(_._1 == 1L), "the failed merge changed nothing else")
+    assert(TxLog.branches(spark, t2).contains("b"), "the branch survives")
+  }
+
   test("merge carries the branch's GROWN deletion vectors (MoR divergence " +
       "on distinct files)") {
     val t = build()
