@@ -929,6 +929,62 @@ object GraftProcedures {
         val v = TxLog.dropTag(SparkSession.active, t, str(in, 1))
         Array[InternalRow](new GenericInternalRow(Array[Any](v)))
       })),
+    "create_branch" -> (c => proc(c, "create_branch",
+      "fork a writable BRANCH from main's current head (one property " +
+        "CAS, zero data movement): stage writes/DML/keyed upserts under " +
+        "TxLog.onBranch or read via option(branch, ...), validate, then " +
+        "fast_forward or merge_branch to publish — or drop_branch to " +
+        "abandon. Vacuum pins the branch's lineage while it lives.",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("base_version", LongType, nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        rows1(TxLog.createBranch(SparkSession.active, t, str(in, 1)))
+      })),
+    "fast_forward" -> (c => proc(c, "fast_forward",
+      "publish a branch whose base is still main's head: one adopting " +
+        "manifest, zero data movement; refuses past a diverged main " +
+        "(use merge_branch there)",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        rows1(TxLog.fastForward(SparkSession.active, t, str(in, 1)))
+      })),
+    "merge_branch" -> (c => proc(c, "merge_branch",
+      "rebase a branch onto a DIVERGED main as ONE net-delta commit " +
+        "(writeSerializable footprint rules; absorbed exactly-once " +
+        "tokens; net change capture on feed tables); delegates to " +
+        "fast_forward when main has not diverged",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        rows1(TxLog.mergeBranch(SparkSession.active, t, str(in, 1)))
+      })),
+    "drop_branch" -> (c => proc(c, "drop_branch",
+      "abandon a branch: its commits become unreachable foreign history " +
+        "(vacuum-collectable once aged); idempotent (-1 when absent)",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        rows1(TxLog.dropBranch(SparkSession.active, t, str(in, 1)))
+      })),
+    "branches" -> (c => proc(c, "branches",
+      "SHOW BRANCHES: one row per live branch (name, base version)",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("base_version", LongType, nullable = false))),
+      (cat, in) => {
+        val t = cat.resolveTableArg(str(in, 0))
+        TxLog.branches(SparkSession.active, t).toSeq.sortBy(_._1).map {
+          case (n, b) => new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n), b))
+            : InternalRow
+        }.toArray
+      })),
     "analyze" -> (c => proc(c, "analyze",
       "opt the columns into the NDV sketch channel AND backfill sketches " +
         "onto every live file missing one (stats-only commit, no data " +

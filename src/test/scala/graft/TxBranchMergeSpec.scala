@@ -266,6 +266,53 @@ class TxBranchMergeSpec extends AnyFunSuite {
     assert(TxLog.branches(spark, t2).contains("b"), "the branch survives")
   }
 
+  test("SQL door: the branch lifecycle runs through CALL system." +
+      "{create_branch, branches, fast_forward, merge_branch, drop_branch}") {
+    val wh = Files.createTempDirectory("txbm_cat_").toString
+    spark.conf.set("spark.sql.catalog.brcat", "graft.storage.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.brcat.warehouse", wh)
+    spark.sql("CREATE TABLE brcat.default.t (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO brcat.default.t VALUES (0, 'a'), (1, 'a')")
+    spark.sql("ALTER TABLE brcat.default.t SET TBLPROPERTIES " +
+      s"('${TxLog.IsolationProp}' = '${TxLog.IsolationWriteSerializable}')")
+    val path = s"$wh/default/t"
+    val base = spark.sql(
+      "CALL brcat.system.create_branch(table => 'default.t', name => 'st')")
+      .collect()(0).getLong(0)
+    assert(base >= 1L)
+    assert(spark.sql("CALL brcat.system.branches(table => 'default.t')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("st", base)))
+    TxLog.onBranch("st") {
+      TxLog.commit(Seq((10L, "b")).toDF("id", "v"), path, "sw", 0L)
+    }
+    // non-diverged: fast_forward publishes by adoption
+    val ffv = spark.sql(
+      "CALL brcat.system.fast_forward(table => 'default.t', name => 'st')")
+      .collect()(0).getLong(0)
+    assert(ffv > base)
+    assert(spark.table("brcat.default.t").count() == 3L)
+    // diverged: merge_branch rebases
+    spark.sql("CALL brcat.system.create_branch(table => 'default.t', name => 'st2')")
+    TxLog.onBranch("st2") {
+      TxLog.commit(Seq((20L, "c")).toDF("id", "v"), path, "sw2", 0L)
+    }
+    spark.sql("INSERT INTO brcat.default.t VALUES (30, 'm')")
+    val mv = spark.sql(
+      "CALL brcat.system.merge_branch(table => 'default.t', name => 'st2')")
+      .collect()(0).getLong(0)
+    assert(mv > 0L)
+    assert(spark.table("brcat.default.t").orderBy("id")
+      .select("id").as[Long].collect().toSeq == Seq(0L, 1L, 10L, 20L, 30L))
+    // drop is idempotent
+    spark.sql("CALL brcat.system.create_branch(table => 'default.t', name => 'junk')")
+    assert(spark.sql("CALL brcat.system.drop_branch(table => 'default.t', name => 'junk')")
+      .collect()(0).getLong(0) > 0L)
+    assert(spark.sql("CALL brcat.system.drop_branch(table => 'default.t', name => 'junk')")
+      .collect()(0).getLong(0) == -1L)
+    assert(spark.sql("CALL brcat.system.branches(table => 'default.t')")
+      .collect().isEmpty)
+  }
+
   test("merge carries the branch's GROWN deletion vectors (MoR divergence " +
       "on distinct files)") {
     val t = build()
