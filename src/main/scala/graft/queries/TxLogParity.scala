@@ -831,6 +831,15 @@ object TxLogParity {
       // COW update: d/i pair at one version SHARING the row's id
       TxLog.update(s, t, col("o_orderstatus") === "P",
         Map("o_custkey" -> (col("o_custkey") + 77L)), "oracle-ridcdf-w", 0L) // v6
+      // SQL merge-on-read UPDATE (r19 — the fourth UPDATE door): the
+      // delta writer's reinsert post-image ADOPTS the scanned id
+      // (PRESERVE_ON_REINSERT metadata), so this pair too shares ids
+      TxLog.setProperties(s, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor)) // v7
+      val sqlName = s"ridcdf_mor_${math.abs(t.hashCode)}"
+      s.sql(s"CREATE TABLE $sqlName USING txlog OPTIONS (path '$t')")
+      try s.sql(s"UPDATE $sqlName SET o_custkey = o_custkey + 131 " +
+        "WHERE o_orderkey % 9 = 5")                                      // v8
+      finally s.sql(s"DROP TABLE $sqlName")
       t
     })
 
@@ -1489,7 +1498,8 @@ object TxLogParity {
     // value-algebra replay emitted under all three refs. Final state:
     // every order (upsert replaced %5==2 ≤k2 rows at +9M custkey,
     // identical re-upserts changed nothing, era3 inserted), minus the
-    // keyed delete (%7==3), then the COW update's +77 on status 'P'.
+    // keyed delete (%7==3), then the COW update's +77 on status 'P',
+    // then the SQL MoR update's +131 on key % 9 = 5 (r19).
     "txlog_rowid_cdf" ->
       """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st
                     FROM orders),
@@ -1500,10 +1510,13 @@ object TxLogParity {
                          THEN c + 9000000 ELSE c END AS c,
                     st
              FROM o),
-           fin AS (
+           cow AS (
              SELECT k, CASE WHEN st = 'P' THEN c + 77 ELSE c END AS c, st
              FROM base
              WHERE k % 7 <> 3),
+           fin AS (
+             SELECT k, CASE WHEN k % 9 = 5 THEN c + 131 ELSE c END AS c, st
+             FROM cow),
            agg AS (
              SELECT st, count(*) AS n,
                     CAST(sum(k) AS BIGINT) AS key_sum,

@@ -955,12 +955,21 @@ object GraftProcedures {
       "rebase a branch onto a DIVERGED main as ONE net-delta commit " +
         "(writeSerializable footprint rules; absorbed exactly-once " +
         "tokens; net change capture on feed tables); delegates to " +
-        "fast_forward when main has not diverged",
-      Seq(p("table", StringType), p("name", StringType)),
+        "fast_forward when main has not diverged. materialize => true " +
+        "first clears the BRANCH's live keyed debt in place " +
+        "(branch-scoped materializeEqDels) — the staging workflow for " +
+        "keyed-CDC tables; fork-side debt still refuses (materialize " +
+        "main, then fork afresh).",
+      Seq(p("table", StringType), p("name", StringType),
+        p("materialize", org.apache.spark.sql.types.BooleanType, Some("false"))),
       StructType(Seq(StructField("version", LongType, nullable = false))),
       (cat, in) => {
         val t = cat.resolveTableArg(str(in, 0))
-        rows1(TxLog.mergeBranch(SparkSession.active, t, str(in, 1)))
+        val name = str(in, 1)
+        val s = SparkSession.active
+        if (in.getBoolean(2))
+          TxLog.onBranch(name) { TxLog.materializeEqDels(s, t); () }
+        rows1(TxLog.mergeBranch(s, t, name))
       })),
     "drop_branch" -> (c => proc(c, "drop_branch",
       "abandon a branch: its commits become unreachable foreign history " +

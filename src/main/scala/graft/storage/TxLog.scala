@@ -834,7 +834,14 @@ object TxLog {
                   beforeCommit: () => Unit = () => ()): Long = {
     guardMainOnly("mergeBranch")
     var attempt = 0
-    var captured: Option[Seq[String]] = None
+    // capture memo KEYED by (base, branch head): a lost slot race
+    // re-validates but must not re-stage — yet if the branch is
+    // dropped and recreated under the same name between attempts,
+    // base and the branch lineage change and a stale capture would be
+    // published against the new attempt's net delta. The key
+    // invalidates it (the orphaned change files are vacuum-collectable,
+    // like any pre-conflict staging).
+    var captured: Option[((Long, Long), Seq[String])] = None
     while (attempt < 20) {
       val all = allManifests(s, table)
       require(all.nonEmpty, s"not a txlog table: $table")
@@ -871,9 +878,14 @@ object TxLog {
           "(key-addressed — row overlap with the branch is unknowable)"))
       val fork = mainLineage(all.filter(_.version <= base))
       val bl = branchLineage(all, name, table)
-      if (liveEqDels(fork).nonEmpty || liveEqDels(bl).nonEmpty)
-        conflict("live equality-delete debt at the fork or on the branch " +
-          "(merge needs a debt-free fork: materialize the debt, then fork)")
+      if (liveEqDels(fork).nonEmpty)
+        conflict("live equality-delete debt at the fork (both lineages " +
+          "would re-interpret it) — materialize the debt on main, then " +
+          "fork afresh")
+      if (liveEqDels(bl).nonEmpty)
+        conflict("live equality-delete debt on the branch — materialize " +
+          "it in place (onBranch { materializeEqDels } or CALL " +
+          "system.merge_branch(..., materialize => true)) and retry")
       val baseLive = liveFiles(fork).toSet
       val brLive = liveFiles(bl).toSet
       val netFiles = (brLive -- baseLive).toSeq.sorted
@@ -922,13 +934,15 @@ object TxLog {
       // net row-level capture on feed tables (captured once; a lost
       // slot race re-validates but must not re-stage)
       val feedOn = props.get(ChangeFeedProp).contains("true")
+      val captureKey = (base, bl.last.version)
       val changes =
         if (!feedOn) Seq.empty
-        else captured.getOrElse {
-          val c = mergeCapture(s, table, fork, bl, netRemoves, netFiles,
-            dvChanged, baseDvs, brDvs, schemaDdl)
-          captured = Some(c); c
-        }
+        else captured.collect { case (k, c) if k == captureKey => c }
+          .getOrElse {
+            val c = mergeCapture(s, table, fork, bl, netRemoves, netFiles,
+              dvChanged, baseDvs, brDvs, schemaDdl)
+            captured = Some((captureKey, c)); c
+          }
       val merged = (props - (BranchPropPrefix + name)).toSeq.sorted
       val v = all.last.version + 1
       val root = new Path(table)
@@ -937,11 +951,17 @@ object TxLog {
       // the capture diffed fork-vs-branch state, which no CONCURRENT
       // main commit can invalidate (both inputs are frozen lineages) —
       // but the conflict rules above re-judge per attempt
+      // record the rid high-water like dropBranch does: the branch's
+      // manifests become foreign (vacuum-collectable) at merge, and
+      // branch-internal churn files can hold the highest minted ranges
+      // with no surviving stats — the marker makes the high-water
+      // locally durable instead of resting on sweep/checkpoint ordering
       val bytes = render(Manifest(v, netFiles,
         writerId = s"branch-merge-${java.util.UUID.randomUUID()}", batchId = 0L,
         checkpoint = false, stats = stats, removes = netRemoves,
         schema = Some(schemaDdl), tokens = tokens, changes = changes,
-        props = Some(merged), ts = commitTimeMs(), dvs = netDvs))
+        props = Some(merged), ts = commitTimeMs(), dvs = netDvs,
+        nextRid = nextRowId(all)))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       beforeCommit() // crash/interleave injection seam
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
@@ -1796,7 +1816,7 @@ object TxLog {
     * commits, [[evolveSchema]]) refuses them loudly instead. */
   private[storage] val ReservedCols: Set[String] =
     Set(TxLogV2.FileCol, TxLogV2.PosCol, TxLogCdf.TypeCol, TxLogCdf.VersionCol,
-      TxRowId.RowIdCol, TxRowId.GridCol)
+      TxRowId.RowIdCol, TxRowId.GridCol, TxRowId.GoffCol)
 
   private[storage] def guardReservedCols(
       schema: org.apache.spark.sql.types.StructType): Unit = {
@@ -2985,8 +3005,7 @@ object TxLog {
                              addDefault: Option[(String, String)] = None,
                              eqdels: Seq[EqDelEntry] = Seq.empty,
                              changes: Seq[String] = Seq.empty,
-                             captureBase: Option[Long] = None,
-                             ridBase: Long = -1L)
+                             captureBase: Option[Long] = None)
       : Long = {
     incoming.foreach(guardReservedCols) // every data/evolve commit records one
     // race-injection seam (TxColMapSpec): fires ONCE at publish entry —
@@ -3151,14 +3170,6 @@ object TxLog {
             s"table $table changed rows at v${m.version} during a keyed write's " +
               "change capture — re-run on the new snapshot"))
       }
-      // the capture's i-side stored this commit's PRE-ASSIGNED row ids
-      // (r18, [[TxRowId]]) — judged on the RAW listing because a
-      // concurrent BRANCH commit mints from the same global counter
-      // (captureBase above only sees this lineage)
-      if (ridBase >= 0L && nextRowId(all) != ridBase)
-        throw new java.util.ConcurrentModificationException(
-          s"table $table minted row ids past this keyed write's captured " +
-            "allocation — re-run on the new snapshot")
       // a colmap mint is a newest-wins global record (see the branch
       // guard above) — refuse it on a branch rather than clobber main
       // at adoption
@@ -3167,13 +3178,17 @@ object TxLog {
           s"column-mapping changes are main-lineage transactions — not " +
             s"allowed on branch '$b'"))
       val target = new Path(logDir, manifestName(v))
-      // ROW LINEAGE: this commit's files take the next id ranges
+      // ROW LINEAGE: this commit's files take the next id ranges —
+      // re-allocated per attempt. A capture-bearing commit records the
+      // attempt's base (`nrid`): `-i2` change entries resolve their
+      // fresh-mint offsets against it at read ([[TxRowId.GoffCol]])
       val statsOut = assignRowIds(all, files, stats)
       val bytes =
         render(Manifest(v, files, writerId, batchId, checkpoint, statsOut,
           schema = schemaDdl, pcols = pcols, ts = commitTimeMs(),
           cmap = cmapOut, props = propsOut, eqdels = eqdels,
-          changes = changes, branch = currentBranch))
+          changes = changes, branch = currentBranch,
+          nextRid = if (changes.nonEmpty) nextRowId(all) else -1L))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, target, bytes)) return v
       attempt += 1 // lost the version race; retry against the new head
@@ -3287,24 +3302,67 @@ object TxLog {
         ridOf(col("_metadata.file_path")) + col("_metadata.row_index")))
   }
 
-  /** [[readStagedLogical]] WITH row ids: stored grid where the write
-    * materialized one (preserved/adopted identities), else the
-    * pre-assigned `rids` allocation + position (rows minting fresh). */
+  /** Per-file OFFSETS into a commit's contiguous rid allocation — the
+    * same order and skip rule as [[assignRowIds]] (rid-less entries in
+    * file-list order), but RELATIVE: the base is resolved at publish
+    * time, not staged. Feed captures store `offset + position` for
+    * fresh-mint rows ([[TxRowId.GoffCol]]) instead of absolute ids, so
+    * the commit's allocation can rebase under concurrent id-minting
+    * commits (writeSerializable appends, branch commits) without
+    * re-staging the capture — the CDF reader serves
+    * `manifest.nrid + goff` ([[TxRowId]]). */
+  private[storage] def ridOffsets(files: Seq[String],
+                                  stats: Seq[TxStats.FileStats]): Map[String, Long] = {
+    var next = 0L
+    val order = files.zipWithIndex.toMap
+    val b = Map.newBuilder[String, Long]
+    stats.zipWithIndex.sortBy { case (st, i) =>
+      (order.getOrElse(st.file, Int.MaxValue), i) }.foreach { case (st, _) =>
+      if (st.firstRowId < 0L && order.contains(st.file)) {
+        b += st.file -> next
+        next += math.max(st.rows, 0L)
+      }
+    }
+    b.result()
+  }
+
+  /** Complete the lineage columns on a capture's I-SIDE read: stored
+    * grid stays (adopted/carried — absolute, race-free); rows with a
+    * null grid get [[TxRowId.GoffCol]] = file offset + parquet row
+    * index, the commit-relative coordinate the CDF reader resolves at
+    * serve time. Computed from `_metadata` BEFORE any row filters, so
+    * surviving rows keep the positions the files imply. */
+  private[storage] def attachGoff(df: DataFrame,
+                                  offsets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val offByTail = offsets.map { case (r, v) => TxDv.tailKey(r) -> v }
+    val offOf = udf((p: String) =>
+      offByTail.get(TxDv.tailKey(p)).map(java.lang.Long.valueOf).orNull)
+    df.withColumn(TxRowId.GoffCol,
+      when(col(quoted(TxRowId.GridCol)).isNull,
+        offOf(col("_metadata.file_path")) + col("_metadata.row_index"))
+        .otherwise(lit(null).cast("long")))
+  }
+
+  /** [[readStagedLogical]] WITH lineage coordinates: stored grid where
+    * the write materialized one (preserved/adopted identities), else
+    * the commit-relative `offsets` coordinate ([[attachGoff]]) for
+    * rows minting fresh at publish. */
   private[storage] def readStagedWithGrid(s: SparkSession, table: String, ms: Seq[Manifest],
                                  logical: org.apache.spark.sql.types.StructType,
                                  rels: Seq[String],
-                                 rids: Map[String, Long]): DataFrame = {
+                                 offsets: Map[String, Long]): DataFrame = {
     val cm = colMapFrom(ms)
     val gridField = org.apache.spark.sql.types.StructField(
       TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
     val raw = s.read.schema(org.apache.spark.sql.types.StructType(
         physicalSchemaOf(logical, cm).fields :+ gridField))
       .parquet(rels.map(absPath(table)): _*)
-    val withId = attachGrid(raw, rids)
+    val withId = attachGoff(raw, offsets)
     if (cm.isIdentity) withId
     else withId.select(logical.fields.toSeq.map(f =>
       col(quoted(physicalName(cm, f.name))).as(f.name)) :+
-      col(quoted(TxRowId.GridCol)): _*)
+      col(quoted(TxRowId.GridCol)) :+ col(quoted(TxRowId.GoffCol)): _*)
   }
 
   /** Adopt prior row ids onto REPLACEMENT rows (feed-table keyed
@@ -3804,8 +3862,10 @@ object TxLog {
           // re-upsert is a no-op in value AND id space and an update's
           // d/i pair shares one id. The write still stages no
           // replacement files; the capture's i-side reads the staged
-          // batch back with the commit's PRE-ASSIGNED allocation,
-          // guarded by `ridBase` at publish.
+          // batch back — adopted ids stored, fresh mints as
+          // commit-relative offsets resolved at read against the
+          // publish allocation ([[TxRowId.GoffCol]]), so the commit
+          // REBASES over concurrent id-minting commits like any other.
           val pcols = partitionColsFrom(ms0)
           val root = new Path(table)
           if (feedOn) {
@@ -3818,20 +3878,16 @@ object TxLog {
               if (pcols.nonEmpty) stagePartitioned(s, root, staged, pcols,
                 clusterTasks = Some(0))
               else stageWrite(s, root, staged)
-            val all0 = allManifests(s, table)
-            val ridBase = nextRowId(all0)
-            val statsPre = assignRowIds(all0, rel, stats)
-            val addedRids = statsPre.filter(_.firstRowId >= 0L)
-              .map(st => st.file -> st.firstRowId).toMap
-            val neu = readStagedWithGrid(s, table, ms0, sch0, rel, addedRids)
+            val neu = readStagedWithGrid(s, table, ms0, sch0, rel,
+              ridOffsets(rel, stats))
             val changes = keyedChangeCapture(s, table, ms0, entry, old,
               inserts = Some(neu))
             beforeCommit()
-            commitManifest(s, table, rel, statsPre, writerId, batchId,
+            commitManifest(s, table, rel, stats, writerId, batchId,
               checkpoint = false, maxRetries, incoming = Some(dropGrid(staged.schema)),
               pcols = pcols, cmAtStaging = Some(colMapFrom(ms0)),
               eqdels = Seq(entry), changes = changes,
-              captureBase = Some(ms0.last.version), ridBase = ridBase)
+              captureBase = Some(ms0.last.version))
           } else {
             val (rel, stats) =
               if (pcols.nonEmpty) stagePartitioned(s, root, src, pcols,
@@ -4038,8 +4094,8 @@ object TxLog {
       return publishRewrite(s, table, relAll, statsAll, fullDead, head,
         writerId, batchId, schemaDdl = ddlOf(logicalU),
         readSet = candidates, dvs = entries,
-        captureOverride = Some(rids => stageChangePair(s, table, matched,
-          readStagedWithGrid(s, table, ms, logicalU, relAll, rids),
+        captureOverride = Some(offs => stageChangePair(s, table, matched,
+          readStagedWithGrid(s, table, ms, logicalU, relAll, offs),
           hit.size)))
     }
     val touched = matchingFiles(s, table, pred, candidates, ms)
@@ -4181,8 +4237,8 @@ object TxLog {
         return publishRewrite(s, table, relAll, statsAll, fullDead, head,
           writerId, batchId, schemaDdl = ddlOf(logicalM),
           readSet = candidates, dvs = entries,
-          captureOverride = Some(rids => stageChangePair(s, table, matched,
-            readStagedWithGrid(s, table, ms, logicalM, relAll, rids),
+          captureOverride = Some(offs => stageChangePair(s, table, matched,
+            readStagedWithGrid(s, table, ms, logicalM, relAll, offs),
             math.max(hit.size, relAll.size))))
       }
     }
@@ -4318,14 +4374,13 @@ object TxLog {
     // capture is per-publish work, not per-attempt: the delta depends
     // only on {removes, rel, schemaDdl}, all fixed — a rebase must not
     // re-stage it (orphaned change files on every lost slot race).
-    // Feed captures carry ROW IDS (r18), so the commit's allocation is
-    // PRE-ASSIGNED at capture time (`statsPre`) and `ridBase` guards
-    // it: any concurrent commit that minted ids (appends included,
-    // any lineage) would make the captured i-side ids collide — that
-    // one class conflicts instead of rebasing.
+    // Feed captures carry ROW IDS (r18/r19): adopted/carried rows
+    // store their ABSOLUTE ids (historical — race-free); fresh mints
+    // store only a commit-relative OFFSET resolved at read against
+    // this manifest's recorded allocation base (`nrid`), so the
+    // allocation rebases per attempt like any other commit and a
+    // concurrent id-minting append never invalidates the capture.
     var captured: Option[Seq[String]] = None
-    var statsPre: Seq[TxStats.FileStats] = stats
-    var ridBase = -1L
     var attempt = 0
     while (attempt < maxRetries) {
       val allNow = allManifests(s, table) // ONE listing: token + head together
@@ -4369,10 +4424,6 @@ object TxLog {
       // GLOBAL version allocation (the shared log arbitrates every
       // lineage) — the LINEAGE head gate above stays `base`-relative
       val v = allNow.lastOption.map(_.version).getOrElse(-1L) + 1
-      // the rid-base guard (see statsPre above): judged on the RAW
-      // listing — a concurrent BRANCH commit mints too
-      if (ridBase >= 0L && nextRowId(allNow) != ridBase)
-        throw conflict("minted row ids past this rewrite's captured allocation")
       // CHANGE-DATA-FEED capture (the `changeFeed` table property): the
       // row-level difference this rewrite makes, staged as change files
       // the manifest references — a crash/conflict before the put leaves
@@ -4380,22 +4431,23 @@ object TxLog {
       val changes =
         if (!propsFrom(msNow).get(ChangeFeedProp).contains("true")) Seq.empty
         else captured.getOrElse {
-          ridBase = nextRowId(allNow)
-          statsPre = assignRowIds(allNow, rel, stats)
-          val addedRids: Map[String, Long] = statsPre
-            .filter(_.firstRowId >= 0L).map(st => st.file -> st.firstRowId).toMap
-          val c = captureOverride.map(_.apply(addedRids))
+          val offsets = ridOffsets(rel, stats)
+          val c = captureOverride.map(_.apply(offsets))
             .getOrElse(captureChanges(s, table, removes, rel, schemaDdl,
               // the OLD side of the diff is the removed files' LIVE rows
               // — a previously-DV'd row was already reported deleted and
               // must not be re-reported when its file is finally rewritten
               liveDvs(msNow).view.filterKeys(removes.contains).mapValues(_.p).toMap,
-              addedRids))
+              offsets))
           captured = Some(c); c
         }
       val logDir = new Path(root, LogDir)
       f.mkdirs(logDir)
-      val statsOut = assignRowIds(allNow, rel, statsPre)
+      // ROW LINEAGE: allocation per attempt (rebases like the version
+      // slot). A capture-bearing manifest records the attempt's base
+      // (`nrid`) — the value `-i2` change entries resolve their
+      // fresh-mint offsets against at read ([[TxRowId.GoffCol]])
+      val statsOut = assignRowIds(allNow, rel, stats)
       val bytes =
         render(Manifest(v, rel, writerId, batchId, checkpoint = false, statsOut, removes,
           // a rewrite reads through the table schema, so its output IS
@@ -4403,7 +4455,8 @@ object TxLog {
           // O(0 inference) after DML), widened by any schema a rebased
           // concurrent append evolved in
           schema = Some(ddlOf(recorded)), changes = changes, ts = commitTimeMs(),
-          dvs = dvs, eqdrops = eqdrops, branch = currentBranch))
+          dvs = dvs, eqdrops = eqdrops, branch = currentBranch,
+          nextRid = if (changes.nonEmpty) nextRowId(allNow) else -1L))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       if (putIfAbsent(f, logDir, new Path(logDir, manifestName(v)), bytes))
         return Rewrite(v, removes.size + dvs.size, rel.size)
@@ -4432,7 +4485,7 @@ object TxLog {
                              removes: Seq[String], added: Seq[String],
                              schemaDdl: String,
                              oldDvs: Map[String, String] = Map.empty,
-                             addedRids: Map[String, Long] = Map.empty): Seq[String] = {
+                             addedOffsets: Map[String, Long] = Map.empty): Seq[String] = {
     val root = new Path(table)
     val f = fs(s, root)
     val msCap = manifests(s, table)
@@ -4451,11 +4504,13 @@ object TxLog {
       case _ => ()
     }
     // the files speak PHYSICAL names — read them so, diff in logical.
-    // Both sides carry the row-id column (r18, [[TxRowId]]): removed
-    // files' ids come from their committed stats, added (just-staged)
-    // files' from the commit's pre-assignment (`addedRids`) — rows the
-    // rewrite carried/preserved cancel on (values, id) exactly as the
-    // value-only diff did, while surviving d/i rows serve ids feed
+    // Both sides carry lineage coordinates (r18/r19, [[TxRowId]]):
+    // removed files' ids come from their committed stats; added
+    // (just-staged) files serve their STORED grid (carried/adopted
+    // rows) or the commit-relative offset column (fresh mints —
+    // `addedOffsets`, resolved at read against the manifest's recorded
+    // base). Rows the rewrite carried/preserved cancel on (values, id)
+    // exactly as before, while surviving d/i rows serve ids feed
     // consumers key a downstream table by.
     val cm = colMapFrom(msCap)
     val gridField = org.apache.spark.sql.types.StructField(
@@ -4464,7 +4519,7 @@ object TxLog {
     val removedRids: Map[String, Long] = removes.flatMap(r =>
       statsCap.get(r).filter(_.firstRowId >= 0L).map(r -> _.firstRowId)).toMap
     def read(rel: Seq[String], dvs: Map[String, String],
-             rids: Map[String, Long]): DataFrame =
+             rids: Map[String, Long], offsets: Option[Map[String, Long]]): DataFrame =
       if (rel.isEmpty)
         s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(sch.fields :+ gridField))
@@ -4475,16 +4530,23 @@ object TxLog {
           .parquet(rel.map(absPath(table)): _*)
         // ids BEFORE the row filters, so survivors keep the ids their
         // positions imply (same order as [[readFiles]])
-        val raw = attachGrid(raw0, rids)
+        val raw = offsets match {
+          case None => attachGrid(raw0, rids)
+          case Some(off) => attachGoff(raw0, off)
+        }
         val hit = dvs.view.filterKeys(rel.contains).toMap
         val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
         if (cm.isIdentity) dvd
-        else dvd.select(sch.fields.toSeq.map(fd =>
-          col(quoted(physicalName(cm, fd.name))).as(fd.name)) :+
-          col(quoted(TxRowId.GridCol)): _*)
+        else {
+          val cols = sch.fields.toSeq.map(fd =>
+            col(quoted(physicalName(cm, fd.name))).as(fd.name)) ++
+            (col(quoted(TxRowId.GridCol)) +:
+              offsets.map(_ => col(quoted(TxRowId.GoffCol))).toSeq)
+          dvd.select(cols: _*)
+        }
       }
-    val old = read(removes, oldDvs, removedRids)
-    val neu = read(added, Map.empty, addedRids)
+    val old = read(removes, oldDvs, removedRids, None)
+    val neu = read(added, Map.empty, Map.empty, Some(addedOffsets))
     stageChangePair(s, table, old, neu, math.max(removes.size, added.size))
   }
 
@@ -4529,7 +4591,23 @@ object TxLog {
       if (f.listStatus(dir).isEmpty) f.delete(dir, true)
       rel.filter(keep)
     }
-    stage(old.exceptAll(neu), "d") ++ stage(neu.exceptAll(old), "i")
+    // an i-side carrying the commit-relative offset column
+    // ([[TxRowId.GoffCol]] — fresh mints derive their ids at read)
+    // stages as `-i2`: the CDF reader serves those entries with the
+    // publishing manifest's recorded allocation base. The diff runs on
+    // (values, grid, goff): adopted/carried rows have null goff on
+    // BOTH sides and cancel exactly as before; fresh rows never cancel
+    // against committed pre-images (distinct coordinates), matching
+    // the absolute-id diff they replace. d-side rows are committed
+    // pre-images (goff always null) — the column is dropped, keeping
+    // d files format-identical across releases.
+    val hasGoff = neu.columns.contains(TxRowId.GoffCol)
+    val oldA =
+      if (hasGoff && !old.columns.contains(TxRowId.GoffCol))
+        old.withColumn(TxRowId.GoffCol, lit(null).cast("long"))
+      else old
+    stage(oldA.exceptAll(neu).drop(TxRowId.GoffCol), "d") ++
+      stage(neu.exceptAll(oldA), if (hasGoff) "i2" else "i")
   }
 
   /** True iff the change feed was enabled AS OF version `v` — the

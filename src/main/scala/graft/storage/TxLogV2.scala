@@ -329,6 +329,11 @@ object TxLogRowIdColumn extends MetadataColumn {
   override def isNullable: Boolean = true // null only for pre-lineage files
   override def comment: String =
     "stable row id (row lineage): survives rewrites and compaction"
+  // split-update REINSERT rows keep the scanned id (Spark nullifies
+  // reinsert metadata by default) — the delta writer adopts it onto
+  // the post-image so SQL MoR UPDATE/MERGE preserve lineage
+  override def metadataInJSON(): String =
+    s"""{"${MetadataColumn.PRESERVE_ON_REINSERT}": true}"""
 }
 
 case class TxLogTable(table: String, givenSchema: Option[StructType],
@@ -1490,11 +1495,37 @@ object TxLogCdf {
     * and version. */
   final case class Entry(rel: String, change: String, version: Long)
 
-  /** Change type from the staged dir name (`<uuid>-d` / `<uuid>-i`) —
-    * structural, see [[TxLog]] captureChanges. */
+  /** Change type from the staged dir name (`<uuid>-d` / `<uuid>-i` /
+    * `<uuid>-i2`) — structural, see [[TxLog]] captureChanges. */
   private def typeOf(rel: String): String = {
     val dir = rel.split('/')(1)
     if (dir.endsWith("-d")) "delete" else "insert"
+  }
+
+  /** An `-i2` insert entry carries the commit-relative offset column
+    * ([[TxRowId.GoffCol]]) for fresh-mint rows: its ids resolve at
+    * read as `manifest.nrid + offset` (r19 — rebase-safe captures). */
+  private[storage] def isI2(rel: String): Boolean =
+    rel.split('/')(1).endsWith("-i2")
+
+  /** The `__rid` partition-value constant per feed entry, for
+    * `withRowIds` reads: data files serve their firstRowId (derive
+    * id = __rid + position); `-i2` change entries serve the publishing
+    * manifest's recorded allocation base (derive id = __rid + stored
+    * offset for fresh mints); `-d`/`-i` change entries stay null —
+    * their ids are STORED absolute. */
+  private[storage] def ridPvMap(ms: Seq[TxLog.Manifest],
+                                entries: Seq[Entry]): Map[String, Long] = {
+    val fromStats: Map[String, Long] = ms.flatMap(m =>
+      m.stats.filter(_.firstRowId >= 0L)
+        .map(st => st.file -> st.firstRowId)).toMap
+    val nridOf: Map[Long, Long] =
+      ms.filter(_.nextRid >= 0L).map(m => m.version -> m.nextRid).toMap
+    fromStats ++ entries.filter(e => isI2(e.rel)).map { e =>
+      e.rel -> nridOf.getOrElse(e.version, throw new IllegalStateException(
+        s"change entry ${e.rel} (v${e.version}) derives fresh row ids but " +
+          "its manifest records no allocation base (nrid) — corrupt log?"))
+    }
   }
 
   private[storage] def expand(ms: Seq[TxLog.Manifest], from: Long, to: Long,
@@ -1615,10 +1646,12 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
         case TypeCol => UTF8String.fromString(e.change)
         case _ => e.version
       })
-      // row-id reads lead the pv with the file's firstRowId (__rid,
-      // the [[TxRowId.Spec]] contract): data files served as inserts
-      // derive ids from it; change files carry null (their ids are
-      // STORED) — the same coalesce serves both entry classes
+      // row-id reads lead the pv with a per-entry constant (__rid, the
+      // [[TxRowId.Spec]] contract): data files served as inserts carry
+      // their firstRowId (derive id = __rid + position); `-i2` change
+      // entries carry their commit's allocation base (fresh mints
+      // derive id = __rid + stored offset); `-d`/`-i` entries carry
+      // null — their ids are STORED. One rule serves every class.
       val pv = InternalRow.fromSeq(
         if (!wantsRowId) meta
         else rids.get(e.rel).map(java.lang.Long.valueOf).orNull +: meta)
@@ -1670,12 +1703,13 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       throw new IllegalStateException(
         s"file $r of $table was vacuumed before this change-feed read — " +
           "narrow the version window or raise the vacuum retention"))
-    // firstRowId per data file, from EVERY manifest's stats (window
-    // files may be non-live by read time; the allocation is immutable)
+    // `__rid` per entry, from EVERY manifest (window files may be
+    // non-live by read time; the allocation is immutable): data files
+    // their firstRowId, `-i2` change entries their manifest's recorded
+    // allocation base ([[TxLogCdf.ridPvMap]])
     val rids: Map[String, Long] =
       if (!wantsRowId) Map.empty
-      else ms.flatMap(m => m.stats.filter(_.firstRowId >= 0L)
-        .map(st => st.file -> st.firstRowId)).toMap
+      else TxLogCdf.ridPvMap(ms, entries)
     partitions(entries, TxLog.liveStats(ms), rids)
   }
 
@@ -1698,15 +1732,19 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
         org.apache.spark.sql.types.LongType, nullable = true)
       val gridField = org.apache.spark.sql.types.StructField(
         TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+      // the fresh-mint offset column of `-i2` change files — absent
+      // from every other file class (reads null there)
+      val goffField = org.apache.spark.sql.types.StructField(
+        TxRowId.GoffCol, org.apache.spark.sql.types.LongType, nullable = true)
       val ridPvField = org.apache.spark.sql.types.StructField(
         "__rid", org.apache.spark.sql.types.LongType, nullable = true)
       val physByNameW = physBase.fields.map(f => f.name -> f).toMap
       val keyColsW = snapshotEq.flatMap(_._2.cols).distinct
         .filterNot(physRead.fieldNames.toSet)
-      val augSchema = StructType(physRead.fields ++ Seq(gridField, riFieldW) ++
-        keyColsW.map(physByNameW(_)))
+      val augSchema = StructType(physRead.fields ++
+        Seq(gridField, goffField, riFieldW) ++ keyColsW.map(physByNameW(_)))
       val aug = GraftParquetIO.readerFactory(spark,
-        StructType(physBase.fields :+ gridField), augSchema,
+        StructType(physBase.fields ++ Seq(gridField, goffField)), augSchema,
         StructType(ridPvField +: metaFields), Array.empty)
       val ordOfW = augSchema.fieldNames.zipWithIndex.toMap
       val probeOfW = snapshotEq.map { case (_, e) =>
@@ -1724,12 +1762,13 @@ class TxLogChangeScan(spark: SparkSession, table: String, fullSchema: StructType
       return TxRowId.RowIdReaderFactory(aug,
         TxRowId.Spec(
           gridOrd = physRead.length,
-          riOrd = physRead.length + 1,
+          riOrd = physRead.length + 2,
           visibleLen = physRead.length,
           ridPvOrd = augSchema.length,
           visibleTypes = physRead.fields.map(_.dataType),
           pvTypes = metaFields.map(_.dataType),
-          emitPos = false),
+          emitPos = false,
+          goffOrd = physRead.length + 1),
         work = workW, table,
         GraftParquetIO.serializableConf(spark.sessionState.newHadoopConf()))
     }
@@ -1888,12 +1927,12 @@ class TxLogChangeStream(spark: SparkSession, table: String,
         es
       }
     // `withRowIds` streams: each data-file entry's firstRowId rides as
-    // the leading __rid pv (snapshot inserts and tail appends alike;
-    // change files stay null — their ids are stored)
+    // the leading __rid pv (snapshot inserts and tail appends alike);
+    // `-i2` change entries ride their manifest's allocation base,
+    // `-d`/`-i` stay null — their ids are stored absolute
     val rids: Map[String, Long] =
       if (!scan.wantsRowId) Map.empty
-      else ms.flatMap(m => m.stats.filter(_.firstRowId >= 0L)
-        .map(st => st.file -> st.firstRowId)).toMap
+      else TxLogCdf.ridPvMap(ms, entries)
     scan.partitions(entries, TxLog.liveStats(ms), rids)
   }
 
@@ -2457,20 +2496,33 @@ class TxLogDeltaRowLevelOperation(table: String, tableSchema: StructType,
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
-  // rowId covers the needed metadata; no extra metadata attributes
-  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+  // rowId addresses the delete side; `_row_id` rides as the one extra
+  // metadata attribute so UPDATE/MERGE post-images can ADOPT the
+  // scanned row's lineage id (Spark hands it to reinsert() per row) —
+  // the SQL merge-on-read door then preserves ids exactly like the
+  // library MoR update and the COW doors ([[TxRowId]])
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(TxRowId.RowIdCol))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite =
-        new TxLogDeltaWrite(table, info.schema(), TxLogDeltaRowLevelOperation.this)
+      override def build(): DeltaWrite = {
+        val ridOrd = {
+          val ms = info.metadataSchema()
+          if (ms.isPresent && ms.get().fieldNames.contains(TxRowId.RowIdCol))
+            ms.get().fieldIndex(TxRowId.RowIdCol)
+          else -1
+        }
+        new TxLogDeltaWrite(table, info.schema(), TxLogDeltaRowLevelOperation.this,
+          ridOrd)
+      }
     }
 
   override def description(): String = s"txlog $cmd $table (merge-on-read)"
 }
 
 class TxLogDeltaWrite(table: String, rowSchema: StructType,
-                      op: TxLogDeltaRowLevelOperation)
+                      op: TxLogDeltaRowLevelOperation, ridMetaOrd: Int = -1)
     extends DeltaWrite with TxLogPartitionedWrite {
   /** Post-image/insert rows of a partitioned table must arrive
     * clustered + sorted on the partition columns or the rolling staged
@@ -2496,7 +2548,7 @@ class TxLogDeltaWrite(table: String, rowSchema: StructType,
   }
 
   override def toBatch: DeltaBatchWrite =
-    new TxLogDeltaBatchWrite(table, rowSchema, op)
+    new TxLogDeltaBatchWrite(table, rowSchema, op, ridMetaOrd)
 }
 
 /** The delta write: executors buffer deleted (file, pos) pairs and
@@ -2509,7 +2561,8 @@ class TxLogDeltaWrite(table: String, rowSchema: StructType,
   * only live rows, so fresh positions are disjoint from existing DVs)
   * and the staged insert files. */
 class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
-                           op: TxLogDeltaRowLevelOperation) extends DeltaBatchWrite {
+                           op: TxLogDeltaRowLevelOperation,
+                           ridMetaOrd: Int = -1) extends DeltaBatchWrite {
   private val spark = SparkSession.active
   private val uuid = UUID.randomUUID().toString
   // layout from the op's PINNED snapshot — one listing per statement
@@ -2518,19 +2571,24 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     !rowSchema.fieldNames.contains(TxLogV2.PosCol),
     s"delta write row schema unexpectedly carries metadata columns: $rowSchema")
 
-  // a pure DELETE has no data-row projection — no insert writer needed
+  // a pure DELETE has no data-row projection — no insert writer needed.
+  // With a `_row_id` metadata ordinal the staged post-image files carry
+  // the hidden grid column: reinsert rows store the scanned row's
+  // ADOPTED id, merge-insert rows store null and mint fresh at read
+  // (firstRowId + position — [[TxRowId]])
   private val innerFactory: Option[TxLogWriterFactory] =
     if (rowSchema.fields.isEmpty) None
     else Some(TxLogWriterFactory.create(spark, table, uuid, rowSchema, pcols,
       cmOverride = Some(TxLog.colMapFrom(op.pinnedSnapshot(spark, table))),
       // MoR insert rows are DML post-images — recompute, as in the
       // COW rewrite path
-      genRecompute = true))
+      genRecompute = true,
+      withGrid = ridMetaOrd >= 0))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     TxLogDeltaWriterFactory(table,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
-      innerFactory)
+      innerFactory, ridMetaOrd)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = op.pinnedSnapshot(spark, table)
@@ -2552,9 +2610,9 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
       expectedHead = op.headAtScan,
       writerId = s"sql-${op.command.toString.toLowerCase}-$uuid", batchId = 0L,
       schemaDdl = schemaDdl, readSet = op.scannedFiles, dvs = entries,
-      captureOverride = Some(rids => stageDeltaChanges(
+      captureOverride = Some(offs => stageDeltaChanges(
         perFile.map { case (r, frags) => r -> frags.map(_._1) }, rel, schemaDdl,
-        rids)))
+        offs)))
     ()
   }
 
@@ -2570,7 +2628,7 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     * in the files would silently null every renamed column's images. */
   private def stageDeltaChanges(perFile: Seq[(String, Seq[String])],
                                 rel: Seq[String], schemaDdl: String,
-                                addedRids: Map[String, Long]): Seq[String] = {
+                                addedOffsets: Map[String, Long]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, udf}
     val snap = op.pinnedSnapshot(spark, table)
     val cm = TxLog.colMapFrom(snap)
@@ -2582,11 +2640,15 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
     val gridField = org.apache.spark.sql.types.StructField(TxRowId.GridCol,
       org.apache.spark.sql.types.LongType, nullable = true)
     val physGrid = StructType(physSch.fields :+ gridField)
-    def logicalGrid(df: org.apache.spark.sql.DataFrame) =
+    def logicalGrid(df: org.apache.spark.sql.DataFrame) = {
+      val lineageCols = col(TxRowId.GridCol) +:
+        (if (df.columns.contains(TxRowId.GoffCol)) Seq(col(TxRowId.GoffCol))
+         else Seq.empty)
       if (cm.isIdentity) df
       else df.select(sch.fields.toSeq.map(fd =>
-        col(TxLog.quoted(TxLog.physicalName(cm, fd.name))).as(fd.name)) :+
-        col(TxRowId.GridCol): _*)
+        col(TxLog.quoted(TxLog.physicalName(cm, fd.name))).as(fd.name)) ++
+        lineageCols: _*)
+    }
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       StructType(sch.fields :+ gridField))
@@ -2619,11 +2681,14 @@ class TxLogDeltaBatchWrite(table: String, rowSchema: StructType,
           .drop("__gf", "__gri")
         logicalGrid(hitRows)
       }
+    // i-side: reinsert rows carry their ADOPTED ids in the stored grid
+    // ([[TxLogDeltaWriter]]); fresh merge inserts derive at read from
+    // the publish allocation — the capture stores only the offset
     val inserted =
       if (rel.isEmpty) empty
-      else logicalGrid(TxLog.attachGrid(
+      else logicalGrid(TxLog.attachGoff(
         spark.read.schema(physGrid).parquet(rel.map(TxLog.absPath(table)): _*),
-        addedRids))
+        addedOffsets))
     TxLog.stageChangePair(spark, table, deleted, inserted,
       math.max(perFile.size, rel.size))
   }
@@ -2649,10 +2714,11 @@ final case class TxLogDeltaCommitMessage(files: Seq[String],
 
 case class TxLogDeltaWriterFactory(table: String,
                                    conf: SerializableConfiguration,
-                                   inner: Option[TxLogWriterFactory])
+                                   inner: Option[TxLogWriterFactory],
+                                   ridMetaOrd: Int = -1)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new TxLogDeltaWriter(table, conf, inner, partitionId, taskId)
+    new TxLogDeltaWriter(table, conf, inner, partitionId, taskId, ridMetaOrd)
 }
 
 /** Executor side: deletes buffer (rel file → positions) and flush as
@@ -2662,12 +2728,17 @@ case class TxLogDeltaWriterFactory(table: String,
   * order. */
 class TxLogDeltaWriter(table: String, conf: SerializableConfiguration,
                        innerFactory: Option[TxLogWriterFactory],
-                       partitionId: Int, taskId: Long)
+                       partitionId: Int, taskId: Long, ridMetaOrd: Int = -1)
     extends DeltaWriter[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 
   private val positions =
     scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
   private var inner: DataWriter[InternalRow] = null
+  // grid tail for withGrid post-image staging ([[RowIdAppendingWriter]]
+  // shape): adopted id for reinserts, null for fresh merge inserts
+  private val tail = new GenericInternalRow(1)
+  private val joined = new JoinedRow()
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     val rel = id.getUTF8String(0).toString
@@ -2675,7 +2746,7 @@ class TxLogDeltaWriter(table: String, conf: SerializableConfiguration,
       id.getLong(1)
   }
 
-  override def insert(row: InternalRow): Unit = {
+  private def writeRow(row: InternalRow): Unit = {
     if (inner == null)
       inner = innerFactory.getOrElse(throw new IllegalStateException(
         "delta write received an insert row but has no data-row schema")).
@@ -2683,7 +2754,22 @@ class TxLogDeltaWriter(table: String, conf: SerializableConfiguration,
     inner.write(row)
   }
 
-  override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
+  override def insert(row: InternalRow): Unit =
+    if (ridMetaOrd < 0) writeRow(row)
+    else { tail.setNullAt(0); writeRow(joined(row, tail)) }
+
+  /** An UPDATE/MERGE post-image ADOPTS the scanned row's `_row_id`
+    * (the metadata row carries it — [[TxLogDeltaRowLevelOperation
+    * .requiredMetadataAttributes]]): the retract/add pair then shares
+    * one id through the SQL merge-on-read door, like every other
+    * UPDATE door ([[TxRowId]]). */
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
+    if (ridMetaOrd < 0) writeRow(row)
+    else {
+      if (metadata.isNullAt(ridMetaOrd)) tail.setNullAt(0)
+      else tail.setLong(0, metadata.getLong(ridMetaOrd))
+      writeRow(joined(row, tail))
+    }
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
     throw new IllegalStateException(

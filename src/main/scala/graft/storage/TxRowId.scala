@@ -26,12 +26,23 @@ import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   * ([[TxLog.snapshotLineage]] / `snapshotLineageAt`) and the V2 scan's
   * `_row_id` metadata column (this file's reader factory).
   *
-  * Semantics: COW UPDATE preserves ids (the row is the same row);
-  * merge-on-read UPDATE/MERGE and keyed upserts are retract/add (DV or
-  * key delete + fresh append), so replacements mint NEW ids — the same
-  * deliberate non-pairing the change feed documents. The change feed
-  * itself stays VALUE-diffed (ids are not part of the multiset diff:
-  * id-aware diffing would un-cancel identical re-upserted rows).
+  * Semantics (r18/r19): EVERY update door preserves ids — COW UPDATE
+  * carries the grid column through the rewrite, merge-on-read UPDATE
+  * rides it through the SET projection, SQL COW DML through Spark's
+  * ReplaceData metadata writeback, SQL MoR DML through the delta
+  * writer's reinsert adoption (PRESERVE_ON_REINSERT), and keyed
+  * upserts/merges ADOPT the replaced row's id by key
+  * ([[graft.storage.TxLog]] `adoptGrid`, rank-paired 1:1). The change
+  * feed diffs on (values, id): a value-identical re-upsert is a no-op
+  * in BOTH spaces (adoption keeps cancelation), and an update's
+  * retract/add pair SHARES one id — the pairing an id-keyed consumer
+  * needs. Genuinely-new rows mint fresh: their capture rows store NO
+  * absolute id — only a commit-relative OFFSET ([[GoffCol]], staged
+  * as `-i2` change files) resolved at read against the publishing
+  * manifest's recorded allocation base (`nrid`), so the commit's id
+  * allocation can REBASE under concurrent id-minting commits
+  * (writeSerializable appends keep flowing) without invalidating the
+  * staged capture.
   *
   * At 100 TB this is what makes CDC-era joins row-true across layout
   * churn: two snapshots of one table join on `_row_id` through any
@@ -41,6 +52,13 @@ object TxRowId {
   /** The hidden PHYSICAL column rewrites materialize carried ids into.
     * Reserved — never part of a table contract, never user-writable. */
   val GridCol = "__grid"
+
+  /** The hidden capture-file column holding a fresh-mint row's OFFSET
+    * into its commit's contiguous id allocation (`-i2` change files
+    * only): the served id is `manifest.nrid + offset`, resolved at
+    * read — absolute ids are stored only for ADOPTED/carried rows
+    * (race-free, they are historical). Reserved like [[GridCol]]. */
+  val GoffCol = "__goff"
 
   /** The served metadata/lineage column name. */
   val RowIdCol = "_row_id"
@@ -65,7 +83,8 @@ object TxRowId {
                                    visibleLen: Int, ridPvOrd: Int,
                                    visibleTypes: Array[DataType],
                                    pvTypes: Array[DataType],
-                                   emitPos: Boolean) extends Serializable {
+                                   emitPos: Boolean,
+                                   goffOrd: Int = -1) extends Serializable {
     def blockEnd: Int = ridPvOrd + 1
     def pvCount: Int = pvTypes.length
   }
@@ -173,12 +192,18 @@ object TxRowId {
         }
         if (k > 0) {
           val ridCol = cols(spec.ridPvOrd) // per-file constant (pv)
+          val goff = if (spec.goffOrd >= 0) cols(spec.goffOrd) else null
           val vals = new Array[Long](k)
           val nulls = new Array[Boolean](k)
           var j = 0
           while (j < k) {
             val r = sel(j)
             if (!grid.isNullAt(r)) vals(j) = grid.getLong(r)
+            else if (goff != null && !goff.isNullAt(r)) {
+              // `-i2` change entry fresh mint: allocation base + offset
+              if (!ridCol.isNullAt(r)) vals(j) = ridCol.getLong(r) + goff.getLong(r)
+              else nulls(j) = true
+            }
             else if (!ridCol.isNullAt(r)) vals(j) = ridCol.getLong(r) + ri.getLong(r)
             else nulls(j) = true
             j += 1
@@ -233,6 +258,12 @@ object TxRowId {
           }
           out(m) =
             if (!row.isNullAt(spec.gridOrd)) row.getLong(spec.gridOrd)
+            else if (spec.goffOrd >= 0 && !row.isNullAt(spec.goffOrd)) {
+              // `-i2` change entry fresh mint: allocation base + offset
+              if (!row.isNullAt(spec.ridPvOrd))
+                row.getLong(spec.ridPvOrd) + row.getLong(spec.goffOrd)
+              else null
+            }
             else if (!row.isNullAt(spec.ridPvOrd))
               row.getLong(spec.ridPvOrd) + row.getLong(spec.riOrd)
             else null

@@ -133,7 +133,7 @@ class TxBranchMergeSpec extends AnyFunSuite {
     TxLog.commit(Seq((20L, "y")).toDF("id", "v"), t4, "mw", 0L)
     val e4 = intercept[java.util.ConcurrentModificationException](
       TxLog.mergeBranch(spark, t4, "b"))
-    assert(e4.getMessage.contains("debt-free fork"), e4.getMessage)
+    assert(e4.getMessage.contains("debt at the fork"), e4.getMessage)
   }
 
   test("feed tables: the merge serves its NET id-carrying delta at ONE " +
@@ -326,5 +326,51 @@ class TxBranchMergeSpec extends AnyFunSuite {
     TxLog.mergeBranch(spark, t, "b")
     assert(rows(TxLog.snapshot(spark, t)).map(_._1) == (1L to 6L),
       "both sides' vectors must survive the merge")
+  }
+
+  test("keyed-CDC staging workflow (r19): a branch that accumulated keyed " +
+      "debt refuses with in-place guidance; merge_branch(materialize => " +
+      "true) clears it branch-scoped and merges past a diverged main") {
+    val wh = Files.createTempDirectory("txbm_cdc_").toString
+    spark.conf.set("spark.sql.catalog.cdccat", "graft.storage.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdccat.warehouse", wh)
+    spark.sql("CREATE TABLE cdccat.default.t (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO cdccat.default.t VALUES (0, 'a'), (1, 'a'), (2, 'a')")
+    val path = s"$wh/default/t"
+    TxLog.setProperties(spark, path, Map(
+      TxLog.IsolationProp -> TxLog.IsolationWriteSerializable,
+      TxLog.ChangeFeedProp -> "true"))
+    spark.sql("CALL cdccat.system.create_branch(table => 'default.t', name => 'cdc')")
+    // the branch stages keyed-CDC writes — live equality-delete debt
+    TxLog.onBranch("cdc") {
+      TxLog.upsertByKeys(Seq((1L, "U"), (10L, "n")).toDF("id", "v"),
+        path, Seq("id"), "bu", 0L)
+      TxLog.deleteByKeys(Seq(0L).toDF("id"), path, "bd", 0L)
+      ()
+    }
+    // main diverges (continuous ingestion)
+    spark.sql("INSERT INTO cdccat.default.t VALUES (20, 'm')")
+    // plain merge refuses on the BRANCH debt, with the in-place recipe
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxLog.mergeBranch(spark, path, "cdc")
+    }
+    assert(e.getMessage.contains("materialize => true"), e.getMessage)
+    // materialize => true: branch-scoped materializeEqDels, then merge
+    val mv = spark.sql("CALL cdccat.system.merge_branch(" +
+      "table => 'default.t', name => 'cdc', materialize => true)")
+      .collect()(0).getLong(0)
+    assert(mv > 0L)
+    assert(TxLog.branches(spark, path).isEmpty)
+    assert(spark.table("cdccat.default.t").orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "U"), (2L, "a"), (10L, "n"), (20L, "m")))
+    // the merge version's feed serves the branch's NET delta
+    val delta = spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", mv.toString)
+      .option("endingVersion", mv.toString).load(path)
+      .select("_change_type", "id", "v").as[(String, Long, String)]
+      .collect().toSeq.sorted
+    assert(delta == Seq(("delete", 0L, "a"), ("delete", 1L, "a"),
+      ("insert", 1L, "U"), ("insert", 10L, "n")), delta.toString)
   }
 }

@@ -139,6 +139,29 @@ class TxRowIdCdfSpec extends AnyFunSuite {
       val rid0 = b2.find(_._2._1 == 0L).get._1
       assert(!ids(t2).contains(rid0), "deleted id gone")
       assert(ids(t2)(rid3) == ((3L, "Q")), "survivors keep ids through SQL DELETE")
+      // SQL MoR door (r19 — the fourth and last UPDATE door): the
+      // delta writer's reinsert post-image ADOPTS the scanned id
+      // (metadata-carried), so a _row_id-keyed consumer sees an
+      // update, not a phantom delete+insert of different rows
+      TxLog.setProperties(spark, t2, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+      val vPre = TxLog.headVersion(spark, t2)
+      spark.sql(s"UPDATE $name SET v = 'R' WHERE id = 5")
+      val rid5 = b2.find(_._2._1 == 5L).get._1
+      assert(ids(t2)(rid5) == ((5L, "R")),
+        "SQL MoR UPDATE must preserve ids (delta reinsert adoption)")
+      val fm = feed(t2, vPre + 1).filter(_._1 > vPre)
+      assert(fm.flatMap(_._3).distinct == Seq(rid5),
+        s"SQL MoR update pair must share one id: $fm")
+      // and a SQL MoR MERGE: matched post-images adopt, fresh inserts mint
+      Seq((6L, "S"), (60L, "s")).toDF("id", "v").createOrReplaceTempView("src_ridcdf")
+      spark.sql(s"MERGE INTO $name t USING src_ridcdf s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val rid6 = b2.find(_._2._1 == 6L).get._1
+      assert(ids(t2)(rid6) == ((6L, "S")),
+        "SQL MoR MERGE matched post-image must adopt the scanned id")
+      assert(ids(t2).exists { case (r, (i, v)) => i == 60L && v == "s" && !b2.contains(r) },
+        "SQL MoR MERGE unmatched insert mints a fresh id")
     } finally spark.sql(s"DROP TABLE $name")
   }
 
@@ -209,31 +232,84 @@ class TxRowIdCdfSpec extends AnyFunSuite {
   }
 
   test("a concurrent BRANCH commit minting ids during a feed upsert's " +
-      "capture CONFLICTS (the rid-base guard — captureBase only sees main)") {
+      "capture REBASES (r19: fresh mints are offsets, resolved at publish)") {
     val t = build()
     TxLog.createBranch(spark, t, "side")
-    val e = intercept[java.util.ConcurrentModificationException] {
-      TxLog.upsertByKeys(Seq((2L, "U")).toDF("id", "v"), t, Seq("id"),
-        "u", 0L, beforeCommit = () =>
-          TxLog.onBranch("side") {
-            TxLog.commit(Seq((500L, "b")).toDF("id", "v"), t, "bw", 0L)
-            ()
-          })
-    }
-    assert(e.getMessage.contains("minted row ids"), e.getMessage)
-    // the capture's pre-assigned ids never published; a clean retry
-    // mints past the branch commit — no collision. Main keeps its 8
-    // ids (the upsert ADOPTS id 2's), the branch holds the 8 pre-fork
-    // ids + 1 fresh mint → 9 distinct ids across both lineages.
-    TxLog.upsertByKeys(Seq((2L, "U")).toDF("id", "v"), t, Seq("id"), "u2", 0L)
-    val mainIds = ids(t).keySet
+    // injected between the upsert's capture and its publish: the branch
+    // commit mints ids from the shared global counter. r18 pre-assigned
+    // the capture's i-side ids and had to conflict here; r19 stores
+    // only the commit-relative offset, so the publish re-allocates past
+    // the branch commit and the staged capture stays valid verbatim.
+    val upserted = Seq((2L, "U"), (100L, "n")).toDF("id", "v")
+    TxLog.upsertByKeys(upserted, t, Seq("id"),
+      "u", 0L, beforeCommit = () =>
+        TxLog.onBranch("side") {
+          TxLog.commit(Seq((500L, "b")).toDF("id", "v"), t, "bw", 0L)
+          ()
+        })
+    // main: 8 pre-fork ids (id 2 ADOPTED) + 1 fresh mint (key 100);
+    // branch: 8 pre-fork + 1 branch mint. All distinct globally.
+    val mainIds = ids(t)
     val brIds = TxLog.onBranch("side") {
       TxLog.snapshotLineage(spark, t).get
         .select("_row_id").as[Long].collect().toSet
     }
-    assert(mainIds.size == 8 && brIds.size == 9 &&
-      (mainIds ++ brIds).size == 9,
+    assert(mainIds.size == 9 && brIds.size == 9 &&
+      (mainIds.keySet ++ brIds).size == 10,
       s"ids must stay globally unique across lineages: $mainIds / $brIds")
+    // the FEED serves the rebased commit's true ids: the fresh mint's
+    // id in the feed equals its id in the snapshot (resolved from the
+    // manifest's recorded base, not from a stale pre-assignment)
+    val f = feed(t).filter(_._4 == 100L)
+    assert(f.nonEmpty && f.forall(_._3 ==
+      mainIds.collectFirst { case (r, (100L, _)) => r }),
+      s"feed id of the fresh mint must match the snapshot: $f vs $mainIds")
     TxLog.dropBranch(spark, t, "side")
+  }
+
+  test("a concurrent APPEND during a feed-table MoR UPDATE's capture " +
+      "REBASES under writeSerializable (no id-allocation conflict), and " +
+      "the feed's fresh ids stay snapshot-true") {
+    val t = build()
+    TxLog.setProperties(spark, t, Map(
+      TxLog.DmlModeProp -> TxLog.DmlModeMor,
+      TxLog.IsolationProp -> TxLog.IsolationWriteSerializable))
+    // MoR UPDATE captures a d/i pair (i-side = staged post-image rows,
+    // ids ADOPTED); the injected append mints ids between capture and
+    // publish. r18's rid-base guard conflicted; r19 rebases — the
+    // adopted ids are historical and the capture carries no absolutes.
+    TxLog.update(spark, t, col("id") === 1L,
+      Map("v" -> lit("Z")), "w", 0L, beforeCommit = () => {
+        spark.range(200, 204).select(col("id"), lit("x").as("v"))
+          .coalesce(1).write.format("txlog").mode("append").save(t)
+        ()
+      })
+    val m = ids(t)
+    assert(m.size == 12, s"8 originals + 4 appended: $m")
+    assert(m.exists { case (_, (1L, v)) => v == "Z"; case _ => false })
+    // feed replay equals snapshot, row for row, id for id — including
+    // the appended rows' derived ids and the update pair's shared id
+    val all = feed(t)
+    val lastV = all.groupBy(_._3.get).view.mapValues(_.map(_._1).max).toMap
+    val consumer = all.filter(r => r._1 == lastV(r._3.get) && r._2 == "insert")
+      .map(r => r._3.get -> ((r._4, r._5))).toMap
+    assert(consumer == m, s"consumer $consumer vs snapshot $m")
+  }
+
+  test("a keyed upsert racing a plain MAIN append still conflicts on the " +
+      "pre-image (captureBase — the d-side could be silently wrong), " +
+      "and the retry lands cleanly") {
+    val t = build()
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxLog.upsertByKeys(Seq((2L, "U")).toDF("id", "v"), t, Seq("id"),
+        "u", 0L, beforeCommit = () => {
+          spark.range(300, 302).select(col("id"), lit("y").as("v"))
+            .coalesce(1).write.format("txlog").mode("append").save(t)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("changed rows"), e.getMessage)
+    TxLog.upsertByKeys(Seq((2L, "U")).toDF("id", "v"), t, Seq("id"), "u2", 0L)
+    assert(ids(t).size == 10) // 8 + 2 appended; id 2 adopted
   }
 }
