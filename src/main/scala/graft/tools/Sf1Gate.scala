@@ -320,6 +320,69 @@ object Sf1Gate {
         "failed"
     }
 
+    // ---- 4e. CDF-stream `_row_id` at sf1 (r19, VERDICT #4): the
+    // `withRowIds` STREAM door reconstructs a 1.5M-row feed-table
+    // history exactly — the initial snapshot's derived ids plus tail
+    // captures (a keyed upsert adopting ids over ~20% of the table
+    // with a fresh-mint era, then a MoR broad delete retracting) —
+    // replayed as an id-keyed consumer, equal the snapshot lineage id
+    // for id (exceptAll both ways). TxRowIdCdfSpec pins this at 8
+    // rows; this is the M-row standing proof, and the upsert tail
+    // exercises the r19 `-i2` offset-resolved capture entries through
+    // the STREAM scan at scale.
+    val streamRowid: String = try {
+      import org.apache.spark.sql.functions.{col, max => smax}
+      import graft.storage.TxLog
+      val t = Files.createTempDirectory("sf1_ridstream_").resolve("t").toString
+      val orders = graft.Tables(spark, sf1Dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      orders.write.format("txlog").mode("append").save(t)
+      val nRows = spark.read.format("txlog").load(t).count()
+      TxLog.setProperties(spark, t, Map(
+        TxLog.ChangeFeedProp -> "true",
+        graft.storage.TxEqDel.MaxKeysProp -> (4L * nRows).toString))
+      val qn = "sf1_ridstream"
+      val ck = Files.createTempDirectory("sf1_ridstream_ck_").toString
+      val q = spark.readStream.format("txlog")
+        .option("readChangeFeed", "true").option("withRowIds", "true")
+        .load(t).writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ck).start()
+      q.processAllAvailable() // initial snapshot: nRows id-bearing inserts
+      // tail 1: keyed upsert — %5==2 replaced at +9M custkey (ids
+      // ADOPTED), a fresh +100M era mints (served via -i2 offsets)
+      val src = orders.where(col("o_orderkey") % 5 === 2)
+        .withColumn("o_custkey", col("o_custkey") + 9000000L)
+        .unionByName(orders.where(col("o_orderkey") % 50 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      TxLog.upsertByKeys(src, t, Seq("o_orderkey"), "sf1-rid-u", 0L)
+      // tail 2: MoR broad delete — sidecars only, d-entries retract
+      TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
+      TxLog.delete(spark, t, col("o_orderkey") % 7 === 3, "sf1-rid-d", 0L)
+      q.processAllAvailable(); q.stop()
+      val ev = spark.table(qn)
+      val lastV = ev.groupBy(col("_row_id").as("rid_"))
+        .agg(smax("_commit_version").as("lv"))
+      val consumer = ev.join(lastV,
+          ev("_row_id") === col("rid_") && ev("_commit_version") === col("lv"))
+        .where(col("_change_type") === "insert")
+        .select(ev("_row_id").as("rid"),
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val lineage = TxLog.snapshotLineage(spark, t).get
+        .select(col("_row_id").as("rid"),
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val (nC, nL) = (consumer.count(), lineage.count())
+      val drift = consumer.exceptAll(lineage).count() +
+        lineage.exceptAll(consumer).count()
+      require(nC == nL && nC > 0 && drift == 0,
+        s"stream consumer $nC rows vs lineage $nL, drift $drift")
+      spark.sql(s"DROP TABLE IF EXISTS $qn")
+      s"ok_${nC}_rows"
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[sf1gate] stream_rowid battery FAILED: ${e.getMessage}")
+        "failed"
+    }
+
     // ---- 5. one summary line
     val total = timings.values.sum
     val slowest5 = timings.toSeq.sortBy(-_._2).take(5)
@@ -335,7 +398,7 @@ object Sf1Gate {
       s""""oracle":${q(oracleStatus)},"oracle_ok":$oracleOk,"oracle_fail":$oracleFail,""" +
       s""""sampled_heavy":${q(sampStatus)},"sampled_heavy_ok":$sampOk,"sampled_heavy_fail":$sampFail,""" +
       s""""clusters_check":${q(clustersStatus)},"clusters_docs":$clustersDocs,""" +
-      s""""widen_view":${q(widenView)},""" +
+      s""""widen_view":${q(widenView)},"stream_rowid":${q(streamRowid)},""" +
       s""""skipped_heavy_oracles":$skipped,"slowest5":$slowest5,"queries":$qs}""")
 
     spark.stop()
@@ -343,7 +406,8 @@ object Sf1Gate {
     // summary — that must fail the gate too, not read as "0 failures"
     if (failed.nonEmpty || oracleFail != 0 ||
         (sampStatus != "skipped" && sampStatus != "not_needed_full_mode" && sampFail != 0) ||
-        clustersStatus != "ok" || widenView == "failed")
+        clustersStatus != "ok" || widenView == "failed" ||
+        streamRowid == "failed")
       sys.exit(1)
   }
 }
