@@ -110,9 +110,26 @@ object Bench {
     // map ride on the lines before it for when capture allows.
     val slowest = results.sortBy(-_._2._1).take(5)
       .map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }.mkString("{", ",", "}")
+    // the full per-query detail ALSO lands in a repo file: the driver's
+    // stdout capture keeps only a ~2.5 KB tail, which cannot hold the
+    // 173-query map — a round-over-round query-level diff needs the
+    // complete numbers on record, not just slowest-5 (r18 verdict #7).
+    // Best-effort: a bench run outside the repo root just skips it.
+    val detail = s"""{"metric":"bench_detail","sf":"$sfDir",""" +
+      s""""nqueries":${results.size},"total":${r4(total)},""" +
+      s""""b3_subset_total":${r4(b3Total)},"queries":$qs,"spread":$spread}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case _: Throwable => () }
+    // the frozen B3 subset's per-query mins ride the FINAL line (small
+    // and budget-bound — the regression-diff surface the 2× clause
+    // actually prices); the full map is in BENCH_DETAIL.json + line 2
+    val b3qs = results.filter(r => B3Subset(r._1))
+      .map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"spread","spread":$spread,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${results.count(_._2._1 < 0)},"failed":$failedNames,"b3_subset_total":${r4(b3Total)},"b3_subset_n":$b3Ok,"b3_failed":${b3Failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest5":$slowest}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${results.count(_._2._1 < 0)},"failed":$failedNames,"b3_subset_total":${r4(b3Total)},"b3_subset_n":$b3Ok,"b3_failed":${b3Failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"b3_queries":$b3qs,"detail_file":"BENCH_DETAIL.json","slowest5":$slowest}""")
     spark.stop()
   }
 }

@@ -375,7 +375,7 @@ object Sf1Gate {
         lineage.exceptAll(consumer).count()
       require(nC == nL && nC > 0 && drift == 0,
         s"stream consumer $nC rows vs lineage $nL, drift $drift")
-      spark.sql(s"DROP TABLE IF EXISTS $qn")
+      spark.catalog.dropTempView(qn) // the memory sink's registration
       s"ok_${nC}_rows"
     } catch {
       case e: Throwable =>
