@@ -866,22 +866,25 @@ object TxLog {
           s"write-serializable rebase; set $IsolationProp=" +
           s"$IsolationWriteSerializable to accept it, or re-run the work " +
           "on a fresh branch")
+      // each refusal names its own remedy: unresolvable-in-place cases
+      // say "re-run on a fresh branch"; the branch-debt case names the
+      // in-place materialization instead (a fresh branch is NOT needed)
       def conflict(why: String) = throw new java.util.ConcurrentModificationException(
-        s"cannot merge branch '$name' into $table: $why — re-run the work " +
-          "on a fresh branch")
-      diverged.find(_.checkpoint).foreach(m => conflict(
+        s"cannot merge branch '$name' into $table: $why")
+      def freshBranch(why: String) =
+        conflict(s"$why — re-run the work on a fresh branch")
+      diverged.find(_.checkpoint).foreach(m => freshBranch(
         s"main checkpointed at v${m.version} (live set replaced)"))
-      diverged.find(_.cmap.isDefined).foreach(m => conflict(
+      diverged.find(_.cmap.isDefined).foreach(m => freshBranch(
         s"main changed the column mapping at v${m.version}"))
       diverged.find(m => m.eqdels.nonEmpty || m.eqdrops.nonEmpty).foreach(m =>
-        conflict(s"main committed equality deletes at v${m.version} " +
+        freshBranch(s"main committed equality deletes at v${m.version} " +
           "(key-addressed — row overlap with the branch is unknowable)"))
       val fork = mainLineage(all.filter(_.version <= base))
       val bl = branchLineage(all, name, table)
       if (liveEqDels(fork).nonEmpty)
-        conflict("live equality-delete debt at the fork (both lineages " +
-          "would re-interpret it) — materialize the debt on main, then " +
-          "fork afresh")
+        freshBranch("live equality-delete debt at the fork (both lineages " +
+          "would re-interpret it) — materialize the debt on main first")
       if (liveEqDels(bl).nonEmpty)
         conflict("live equality-delete debt on the branch — materialize " +
           "it in place (onBranch { materializeEqDels } or CALL " +
@@ -904,7 +907,7 @@ object TxLog {
       val touchedBr = (netRemoves ++ dvChanged).toSet
       diverged.find(m => m.removes.exists(touchedBr) ||
           m.dvs.exists(d => touchedBr(d.f))).foreach(m =>
-        conflict(s"main rewrote file(s) the branch also touched at v${m.version}"))
+        freshBranch(s"main rewrote file(s) the branch also touched at v${m.version}"))
       // main may have removed/DV'd OTHER base files — the merged live
       // set follows main for those (the branch never read them is NOT
       // knowable; writeSerializable accepts exactly this skew)

@@ -55,7 +55,8 @@ class TxBranchMaintSpec extends AnyFunSuite {
     TxLog.commit(Seq((200L, "m")).toDF("id", "v").coalesce(1), t, "mw", 0L)
     val e = intercept[java.util.ConcurrentModificationException](
       TxLog.mergeBranch(spark, t, "stage"))
-    assert(e.getMessage.contains("debt-free"), e.getMessage)
+    assert(e.getMessage.contains("debt on the branch") &&
+      e.getMessage.contains("materialize => true"), e.getMessage)
     // branch-scoped materialization clears the debt WITHOUT a checkpoint
     val r = TxLog.onBranch("stage") {
       val r0 = TxLog.materializeEqDels(spark, t)

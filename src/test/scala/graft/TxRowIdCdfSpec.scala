@@ -296,6 +296,36 @@ class TxRowIdCdfSpec extends AnyFunSuite {
     assert(consumer == m, s"consumer $consumer vs snapshot $m")
   }
 
+  test("mixed capture formats in ONE withRowIds window: an upsert's " +
+      "offset-resolved `-i2` entries and a branch merge's absolute-id " +
+      "`-i` entries serve snapshot-true ids through the same read") {
+    val t = build()
+    TxLog.setProperties(spark, t,
+      Map(TxLog.IsolationProp -> TxLog.IsolationWriteSerializable))
+    // -i2 capture: keyed upsert (id 2 adopted, key 100 offset-resolved)
+    TxLog.upsertByKeys(Seq((2L, "U"), (100L, "n")).toDF("id", "v"),
+      t, Seq("id"), "u", 0L)
+    // the merge needs a debt-free fork — materialize main's key debt
+    // (row-invariant eqdrop commit; the feed stays silent) then fork
+    assert(TxLog.materializeEqDels(spark, t).version > 0L)
+    // -i capture: a staged branch merged past a diverged main — the
+    // merge capture reads COMMITTED branch files (absolute ids)
+    TxLog.createBranch(spark, t, "st")
+    TxLog.onBranch("st") {
+      TxLog.commit(Seq((200L, "b")).toDF("id", "v"), t, "bw", 0L)
+    }
+    spark.range(300, 302).select(col("id"), lit("m").as("v"))
+      .coalesce(1).write.format("txlog").mode("append").save(t)
+    assert(TxLog.mergeBranch(spark, t, "st") > 0L)
+    // one id-keyed replay over the whole window = the snapshot, exactly
+    val all = feed(t)
+    assert(all.forall(_._3.isDefined), s"every feed row id-bearing: $all")
+    val lastV = all.groupBy(_._3.get).view.mapValues(_.map(_._1).max).toMap
+    val consumer = all.filter(r => r._1 == lastV(r._3.get) && r._2 == "insert")
+      .map(r => r._3.get -> ((r._4, r._5))).toMap
+    assert(consumer == ids(t), s"consumer $consumer vs snapshot ${ids(t)}")
+  }
+
   test("a keyed upsert racing a plain MAIN append still conflicts on the " +
       "pre-image (captureBase — the d-side could be silently wrong), " +
       "and the retry lands cleanly") {
