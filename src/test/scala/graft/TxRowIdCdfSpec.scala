@@ -326,6 +326,45 @@ class TxRowIdCdfSpec extends AnyFunSuite {
     assert(consumer == ids(t), s"consumer $consumer vs snapshot ${ids(t)}")
   }
 
+  test("`-i2` resolution survives the foreign-manifest sweep: the base is " +
+      "the MANIFEST-RECORDED nrid, not a log derivation a vacuumed " +
+      "dropped-branch commit could shift") {
+    val t = build()
+    // a branch commit mints ids from the shared counter...
+    TxLog.createBranch(spark, t, "tmp")
+    TxLog.onBranch("tmp") {
+      TxLog.commit(spark.range(1000, 1100).selectExpr("id", "'b' as v")
+        .coalesce(1).toDF(), t, "bw", 0L)
+      ()
+    }
+    // ...so the upsert's allocation base sits PAST 100 branch mints
+    TxLog.upsertByKeys(Seq((2L, "U"), (100L, "n")).toDF("id", "v"),
+      t, Seq("id"), "u", 0L)
+    val vU = TxLog.headVersion(spark, t)
+    val want = ids(t) // snapshot truth before any sweep
+    // drop the branch, pin main's below-checkpoint prefix with a tag,
+    // checkpoint, and sweep with zero retention: the branch manifests
+    // (and their stats — the only other record of those 100 mints)
+    // are COLLECTED while every main manifest survives
+    TxLog.dropBranch(spark, t, "tmp")
+    TxLog.tag(spark, t, "keep", vU)
+    assert(TxLog.compact(spark, t) > 0L)
+    def logCount: Int =
+      new java.io.File(t, "_txlog").listFiles().count(_.getName.endsWith(".json"))
+    val before = logCount
+    TxLog.vacuum(spark, t, minAgeMs = 0L)
+    assert(logCount < before,
+      "the sweep must actually collect the dropped-branch manifests " +
+        "(otherwise this test pins nothing)")
+    // the feed window still serves snapshot-true ids: the fresh mint
+    // resolves against the upsert manifest's own recorded base
+    val f = feed(t, vU).filter(r => r._1 == vU && r._2 == "insert")
+    assert(f.nonEmpty && f.forall(_._3.isDefined), s"id-bearing: $f")
+    assert(f.map(r => r._3.get -> ((r._4, r._5))).toMap ==
+      want.filter { case (_, (k, _)) => k == 2L || k == 100L },
+      s"post-sweep feed ids must stay snapshot-true: $f vs $want")
+  }
+
   test("a keyed upsert racing a plain MAIN append still conflicts on the " +
       "pre-image (captureBase — the d-side could be silently wrong), " +
       "and the retry lands cleanly") {
