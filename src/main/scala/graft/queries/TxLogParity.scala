@@ -990,6 +990,79 @@ object TxLogParity {
       .orderBy("ref", "o_orderpriority")
   }
 
+  /** KEYED-CDC STAGING WORKFLOW (r19): the branch lifecycle keyed-CDC
+    * tables actually run — a staging branch accumulates EQUALITY-
+    * DELETE DEBT (keyed upsert + keyed delete), materializes it IN
+    * PLACE (branch-scoped [[graft.storage.TxLog.materializeEqDels]] —
+    * main never sees the debt or the materialization), and merges past
+    * a DIVERGED main. The query reads the merged head AND the merge
+    * version's net feed delta: rows the branch upserted then
+    * keyed-deleted ON the branch are internal churn that must CANCEL
+    * out of the delta (the capture diffs fork state vs branch state,
+    * never the intermediates), replaced rows appear as exactly one d/i
+    * pair, and main's concurrent era rides untouched. DuckDB replays
+    * both refs as set algebra. Engine-level (no reference analogue —
+    * SURVEY §2.5 storage plane). */
+  private val builtBrW = new ConcurrentHashMap[String, String]()
+
+  private def branchWorkflowTable(s: SparkSession, dir: String): (String, Long) = {
+    val t = builtBrW.computeIfAbsent(dir, _ => {
+      val tt = Files.createTempDirectory("txlog_brw_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      orders.where(col("o_orderkey") <= m / 2).coalesce(2)
+        .write.format("txlog").mode("append").save(tt)                   // v0
+      orders.where(col("o_orderkey") > m / 2).coalesce(2)
+        .write.format("txlog").mode("append").save(tt)                   // v1
+      val rows = srcRowsOf(s, dir)
+      TxLog.setProperties(s, tt, Map(
+        TxLog.IsolationProp -> TxLog.IsolationWriteSerializable,
+        TxLog.ChangeFeedProp -> "true",
+        graft.storage.TxEqDel.MaxKeysProp ->
+          math.max(1000000L, 2L * rows).toString))                       // v2
+      TxLog.createBranch(s, tt, "cdc")                                   // v3
+      TxLog.onBranch("cdc") {
+        // staging: replace %4==1 at +5M custkey, then keyed-delete
+        // %10==6 (the overlap is branch-internal churn)
+        TxLog.upsertByKeys(orders.where(col("o_orderkey") % 4 === 1)
+          .withColumn("o_custkey", col("o_custkey") + 5000000L),
+          tt, Seq("o_orderkey"), "brw-st-u", 0L)                         // v4
+        TxLog.deleteByKeys(orders.where(col("o_orderkey") % 10 === 6)
+          .select("o_orderkey"), tt, "brw-st-d", 0L)                     // v5
+        // in-place: debt → deletion vectors, branch-scoped (the merge
+        // needs the BRANCH debt-free; the fork never had any)
+        require(TxLog.materializeEqDels(s, tt).version > 0L)             // v6
+        ()
+      }
+      // main diverges: continuous ingestion (disjoint keys)
+      TxLog.commit(orders.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 70000000L)
+        .coalesce(1), tt, "brw-mn-w", 0L)                                // v7
+      require(TxLog.mergeBranch(s, tt, "cdc") > 0L)                      // v8
+      tt
+    })
+    (t, TxLog.headVersion(s, t))
+  }
+
+  val branchWorkflow: Q = (s, dir) => {
+    val (t, v) = branchWorkflowTable(s, dir)
+    val head = s.read.format("txlog").load(t)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+      .withColumn("ref", lit("merged"))
+    val delta = s.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", v.toString)
+      .option("endingVersion", v.toString).load(t)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+        concat(lit("delta_"), col("_change_type")).as("ref"))
+    head.unionByName(delta)
+      .groupBy("ref", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+      .orderBy("ref", "o_orderstatus")
+  }
+
   val branchRead: Q = (s, dir) => {
     val t = branchTable(s, dir)
     val main = s.read.format("txlog").load(t).withColumn("ref", lit("main"))
@@ -1216,6 +1289,7 @@ object TxLogParity {
     "txlog_rowid_cdf" -> rowidCdf,
     "txlog_branch" -> branchRead,
     "txlog_branch_merge" -> branchMerge,
+    "txlog_branch_workflow" -> branchWorkflow,
     "txlog_rowid" -> rowIdJoin,
     "txlog_gencol" -> gencol,
     "txlog_view" -> viewRead,
@@ -1550,6 +1624,36 @@ object TxLogParity {
          FROM refs
          GROUP BY ref, pr
          ORDER BY ref, o_orderpriority""",
+    // keyed-CDC staging workflow: merged head = orders minus the keyed
+    // delete (%10==6), custkey +5M where the upsert replaced (%4==1),
+    // plus main's concurrent era (+70M keys for %11==0); the merge
+    // version's feed = the branch's NET delta — d = fork rows replaced
+    // OR keyed-deleted (at FORK values), i = surviving replacements
+    // only. Rows upserted then keyed-deleted ON the branch (k%4==1 AND
+    // k%10==6) are internal churn: they appear ONLY as a fork-value
+    // delete, never at the +5M intermediate.
+    "txlog_branch_workflow" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st
+                    FROM orders),
+           upd AS (SELECT k, CASE WHEN k % 4 = 1 THEN c + 5000000 ELSE c END AS c,
+                          st
+                   FROM o),
+           refs AS (
+             SELECT 'merged' AS ref, k, c, st FROM upd WHERE k % 10 <> 6
+             UNION ALL
+             SELECT 'merged', k + 70000000, c, st FROM o WHERE k % 11 = 0
+             UNION ALL
+             SELECT 'delta_delete', k, c, st FROM o
+               WHERE k % 4 = 1 OR k % 10 = 6
+             UNION ALL
+             SELECT 'delta_insert', k, c, st FROM upd
+               WHERE k % 4 = 1 AND k % 10 <> 6)
+         SELECT ref, st AS o_orderstatus, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS key_sum,
+                CAST(sum(c) AS BIGINT) AS cust_sum
+         FROM refs
+         GROUP BY ref, st
+         ORDER BY ref, o_orderstatus""",
     // the view's final state = aggregate of the source's live rows:
     // (gen0 ∪ gen1 non-URGENT) ∪ gen2, custkey bumped on key % 10 = 0
     // (the UPDATE ran last, across all live rows). A from-scratch
