@@ -115,12 +115,23 @@ object Bench {
     // 173-query map — a round-over-round query-level diff needs the
     // complete numbers on record, not just slowest-5 (r18 verdict #7).
     // Best-effort: a bench run outside the repo root just skips it.
+    // `failed` names the -1-sentinel queries so a consumer summing the
+    // per-query maps knows to exclude them (the sentinel stays in the
+    // maps — dropping the keys would make round-over-round diffs see a
+    // coverage change instead of a failure)
     val detail = s"""{"metric":"bench_detail","sf":"$sfDir",""" +
       s""""nqueries":${results.size},"total":${r4(total)},""" +
+      s""""failed":$failedNames,"failed_sentinel":-1,""" +
       s""""b3_subset_total":${r4(b3Total)},"queries":$qs,"spread":$spread}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case _: Throwable => () }
+    catch {
+      // best-effort repo-file write (a bench run outside the repo root
+      // just skips it) — but only for I/O-shaped failures: OOM or an
+      // interrupt must not be swallowed into a silent missing file
+      case _: java.io.IOException => ()
+      case scala.util.control.NonFatal(_) => ()
+    }
     // the frozen B3 subset's per-query mins ride the FINAL line (small
     // and budget-bound — the regression-diff surface the 2× clause
     // actually prices); the full map is in BENCH_DETAIL.json + line 2

@@ -835,7 +835,11 @@ object TxLogParity {
       // delta writer's reinsert post-image ADOPTS the scanned id
       // (PRESERVE_ON_REINSERT metadata), so this pair too shares ids
       TxLog.setProperties(s, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor)) // v7
-      val sqlName = s"ridcdf_mor_${math.abs(t.hashCode)}"
+      // hex, not abs: math.abs(Int.MinValue) is negative, and two sf
+      // dirs hash-colliding in one session would collide the name
+      val sqlName = "ridcdf_mor_" +
+        java.lang.Integer.toHexString(t.hashCode) + "_" +
+        java.lang.Long.toHexString(System.nanoTime())
       s.sql(s"CREATE TABLE $sqlName USING txlog OPTIONS (path '$t')")
       try s.sql(s"UPDATE $sqlName SET o_custkey = o_custkey + 131 " +
         "WHERE o_orderkey % 9 = 5")                                      // v8

@@ -956,10 +956,14 @@ object GraftProcedures {
         "(writeSerializable footprint rules; absorbed exactly-once " +
         "tokens; net change capture on feed tables); delegates to " +
         "fast_forward when main has not diverged. materialize => true " +
-        "first clears the BRANCH's live keyed debt in place " +
-        "(branch-scoped materializeEqDels) — the staging workflow for " +
-        "keyed-CDC tables; fork-side debt still refuses (materialize " +
-        "main, then fork afresh).",
+        "clears the BRANCH's live keyed debt in place (branch-scoped " +
+        "materializeEqDels) — the staging workflow for keyed-CDC " +
+        "tables; fork-side debt still refuses (materialize main, then " +
+        "fork afresh). Materialization runs only AFTER a first merge " +
+        "attempt refuses on exactly the branch-debt conflict, so a " +
+        "CALL refused for any other reason leaves the branch " +
+        "untouched; if a second obstacle surfaces on the retry, the " +
+        "(value-neutral) materialization commit stays on the branch.",
       Seq(p("table", StringType), p("name", StringType),
         p("materialize", org.apache.spark.sql.types.BooleanType, Some("false"))),
       StructType(Seq(StructField("version", LongType, nullable = false))),
@@ -967,9 +971,24 @@ object GraftProcedures {
         val t = cat.resolveTableArg(str(in, 0))
         val name = str(in, 1)
         val s = SparkSession.active
-        if (in.getBoolean(2))
-          TxLog.onBranch(name) { TxLog.materializeEqDels(s, t); () }
-        rows1(TxLog.mergeBranch(s, t, name))
+        val materialize = in.getBoolean(2)
+        // merge-FIRST: the materialization is a persistent branch
+        // commit, so it must not run as a side effect of a CALL that
+        // then refuses for an unrelated reason (fork-side debt,
+        // checkpoint divergence, footprint overlap). Attempt the
+        // merge, and only when the refusal is exactly the
+        // branch-debt conflict clear the debt and retry.
+        val v =
+          try TxLog.mergeBranch(s, t, name)
+          catch {
+            case e: java.util.ConcurrentModificationException
+                if materialize && e.getMessage != null &&
+                  e.getMessage.contains(
+                    "live equality-delete debt on the branch") =>
+              TxLog.onBranch(name) { TxLog.materializeEqDels(s, t); () }
+              TxLog.mergeBranch(s, t, name)
+          }
+        rows1(v)
       })),
     "drop_branch" -> (c => proc(c, "drop_branch",
       "abandon a branch: its commits become unreachable foreign history " +

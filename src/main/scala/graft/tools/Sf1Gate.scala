@@ -330,6 +330,12 @@ object Sf1Gate {
     // rows; this is the M-row standing proof, and the upsert tail
     // exercises the r19 `-i2` offset-resolved capture entries through
     // the STREAM scan at scale.
+    // the running query and the memory-sink view are released in a
+    // finally so a mid-battery failure can't leave a live streaming
+    // query (and its registered temp view) haunting the rest of the
+    // gate run
+    val streamRowidQn = "sf1_ridstream"
+    var streamRowidQ: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     val streamRowid: String = try {
       import org.apache.spark.sql.functions.{col, max => smax}
       import graft.storage.TxLog
@@ -341,12 +347,12 @@ object Sf1Gate {
       TxLog.setProperties(spark, t, Map(
         TxLog.ChangeFeedProp -> "true",
         graft.storage.TxEqDel.MaxKeysProp -> (4L * nRows).toString))
-      val qn = "sf1_ridstream"
       val ck = Files.createTempDirectory("sf1_ridstream_ck_").toString
       val q = spark.readStream.format("txlog")
         .option("readChangeFeed", "true").option("withRowIds", "true")
-        .load(t).writeStream.format("memory").queryName(qn)
+        .load(t).writeStream.format("memory").queryName(streamRowidQn)
         .option("checkpointLocation", ck).start()
+      streamRowidQ = Some(q)
       q.processAllAvailable() // initial snapshot: nRows id-bearing inserts
       // tail 1: keyed upsert — %5==2 replaced at +9M custkey (ids
       // ADOPTED), a fresh +100M era mints (served via -i2 offsets)
@@ -358,8 +364,8 @@ object Sf1Gate {
       // tail 2: MoR broad delete — sidecars only, d-entries retract
       TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))
       TxLog.delete(spark, t, col("o_orderkey") % 7 === 3, "sf1-rid-d", 0L)
-      q.processAllAvailable(); q.stop()
-      val ev = spark.table(qn)
+      q.processAllAvailable()
+      val ev = spark.table(streamRowidQn)
       val lastV = ev.groupBy(col("_row_id").as("rid_"))
         .agg(smax("_commit_version").as("lv"))
       val consumer = ev.join(lastV,
@@ -375,12 +381,14 @@ object Sf1Gate {
         lineage.exceptAll(consumer).count()
       require(nC == nL && nC > 0 && drift == 0,
         s"stream consumer $nC rows vs lineage $nL, drift $drift")
-      spark.catalog.dropTempView(qn) // the memory sink's registration
       s"ok_${nC}_rows"
     } catch {
       case e: Throwable =>
         System.err.println(s"[sf1gate] stream_rowid battery FAILED: ${e.getMessage}")
         "failed"
+    } finally {
+      streamRowidQ.foreach(q => try q.stop() catch { case _: Throwable => () })
+      try spark.catalog.dropTempView(streamRowidQn) catch { case _: Throwable => () }
     }
 
     // ---- 5. one summary line
