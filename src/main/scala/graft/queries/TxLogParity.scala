@@ -969,7 +969,17 @@ object TxLogParity {
           col("o_orderkey") <= k1)
         .withColumn("o_orderkey", col("o_orderkey") + 50000000L)
         .coalesce(1), tt, "brm-mn-w", 0L)                                // v6
-      val v = TxLog.mergeBranch(s, tt, "staged")                         // v7
+      // r20 same-file disjoint-row era: main ALSO touches the very
+      // fork files the branch rewrote — a MoR delete of rows disjoint
+      // from the branch's URGENT delete (5-LOW, key%7==3). The merge's
+      // bounded ROW resolution re-addresses these deleted `_row_id`s
+      // into the branch's rewrite outputs instead of refusing
+      // ([[graft.storage.TxLog.mergeBranch]] resolveRowMerge).
+      TxLog.setProperties(s, tt,
+        Map(TxLog.DmlModeProp -> TxLog.DmlModeMor))                      // v7
+      TxLog.delete(s, tt, col("o_orderpriority") === "5-LOW" &&
+        col("o_orderkey") % 7 === 3, "brm-mn-d", 0L)                     // v8
+      val v = TxLog.mergeBranch(s, tt, "staged")                         // v9
       require(v > 0L)
       tt
     })
@@ -1051,6 +1061,83 @@ object TxLogParity {
 
   val branchWorkflow: Q = (s, dir) => {
     val (t, v) = branchWorkflowTable(s, dir)
+    val head = s.read.format("txlog").load(t)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+      .withColumn("ref", lit("merged"))
+    val delta = s.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", v.toString)
+      .option("endingVersion", v.toString).load(t)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+        concat(lit("delta_"), col("_change_type")).as("ref"))
+    head.unionByName(delta)
+      .groupBy("ref", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+      .orderBy("ref", "o_orderstatus")
+  }
+
+  /** MULTI-STATEMENT TRANSACTION (r20, [[graft.storage.TxLog
+    * .transaction]]): `BEGIN … COMMIT` as an anonymous branch. One
+    * transaction stages four statements — a predicate DELETE (%9==4),
+    * a keyed UPSERT (replace %6==2 at +3M custkey, mint +80M fresh
+    * keys for %40==11), and an append-then-delete churn era (+95M,
+    * cancels) — while MAIN concurrently ingests a +90M era injected
+    * at the commit seam, forcing the publish down the REBASE path
+    * (the txn's keyed debt auto-materializes in place, r20). The
+    * query reads the committed head AND the commit version's feed
+    * delta: churn must cancel, replaced rows appear as one d/i pair
+    * at fork/new values, main's era rides untouched, and NOTHING of
+    * the txn is visible at any earlier version. DuckDB replays both
+    * refs as set algebra. Engine-level (no reference analogue —
+    * SURVEY §2.5 storage plane). */
+  private val builtTxn = new ConcurrentHashMap[String, String]()
+
+  private def txnTable(s: SparkSession, dir: String): (String, Long) = {
+    val t = builtTxn.computeIfAbsent(dir, _ => {
+      val tt = Files.createTempDirectory("txlog_txn_oracle_").resolve("t").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val m = orders.agg(max("o_orderkey")).first().getLong(0)
+      orders.where(col("o_orderkey") <= m / 2).coalesce(2)
+        .write.format("txlog").mode("append").save(tt)                   // v0
+      orders.where(col("o_orderkey") > m / 2).coalesce(2)
+        .write.format("txlog").mode("append").save(tt)                   // v1
+      val rows = srcRowsOf(s, dir)
+      TxLog.setProperties(s, tt, Map(
+        TxLog.IsolationProp -> TxLog.IsolationWriteSerializable,
+        TxLog.ChangeFeedProp -> "true",
+        graft.storage.TxEqDel.MaxKeysProp ->
+          math.max(1000000L, 2L * rows).toString))                       // v2
+      val (v, _) = TxLog.transaction(s, tt, beforeCommit = () => {
+        // main diverges between the body and the publish — the txn
+        // must take the net-delta rebase, not adoption
+        TxLog.commit(orders.where(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 90000000L)
+          .coalesce(1), tt, "txn-mn-w", 0L)
+        ()
+      }) {
+        TxLog.delete(s, tt, col("o_orderkey") % 9 === 4, "txn-d", 0L)
+        TxLog.upsertByKeys(orders.where(col("o_orderkey") % 6 === 2)
+          .withColumn("o_custkey", col("o_custkey") + 3000000L)
+          .unionByName(orders.where(col("o_orderkey") % 40 === 11)
+            .withColumn("o_orderkey", col("o_orderkey") + 80000000L)),
+          tt, Seq("o_orderkey"), "txn-u", 0L)
+        // churn: an era staged then deleted INSIDE the txn must cancel
+        TxLog.commit(orders.where(col("o_orderkey") % 100 === 37)
+          .withColumn("o_orderkey", col("o_orderkey") + 95000000L)
+          .coalesce(1), tt, "txn-w", 0L)
+        TxLog.delete(s, tt, col("o_orderkey") >= 95000000L, "txn-d", 1L)
+        ()
+      }
+      require(v > 0L)
+      tt
+    })
+    (t, TxLog.headVersion(s, t))
+  }
+
+  val txn: Q = (s, dir) => {
+    val (t, v) = txnTable(s, dir)
     val head = s.read.format("txlog").load(t)
       .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
       .withColumn("ref", lit("merged"))
@@ -1294,6 +1381,7 @@ object TxLogParity {
     "txlog_branch" -> branchRead,
     "txlog_branch_merge" -> branchMerge,
     "txlog_branch_workflow" -> branchWorkflow,
+    "txlog_transaction" -> txn,
     "txlog_rowid" -> rowIdJoin,
     "txlog_gencol" -> gencol,
     "txlog_view" -> viewRead,
@@ -1603,10 +1691,13 @@ object TxLogParity {
          SELECT r.ref AS ref, st AS o_orderstatus, n, key_sum, cust_sum
          FROM agg CROSS JOIN (VALUES ('snapshot'), ('feed'), ('idjoin')) AS r(ref)
          ORDER BY ref, o_orderstatus""",
-    // merged head = (era12 minus URGENT) ∪ era3 ∪ main's concurrent
-    // era (e1 keys %13==0, +50M); the merge version's feed = exactly
-    // the branch's net delta (URGENT deletes, era3 inserts) — carried
-    // rewrite survivors and branch-internal churn cancel
+    // merged head = (era12 minus URGENT minus main's same-file MoR
+    // delete [5-LOW, k%7=3 — resolved at ROW granularity into the
+    // branch's rewrite outputs, r20]) ∪ era3 ∪ main's concurrent era
+    // (e1 keys %13==0, +50M, minus its own 5-LOW (k+50M)%7=3 rows);
+    // the merge version's feed = exactly the branch's net delta
+    // (URGENT deletes, era3 inserts) — carried rewrite survivors,
+    // branch-internal churn AND main's already-emitted deletes cancel
     "txlog_branch_merge" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS pr FROM orders),
            mx AS (SELECT max(k) AS m FROM o),
@@ -1617,9 +1708,12 @@ object TxLogParity {
            extra AS (SELECT k + 50000000 AS k, pr FROM o
                      WHERE k % 13 = 0 AND k <= (SELECT m FROM mx) // 3),
            refs AS (
-             SELECT 'merged' AS ref, k, pr FROM e12 WHERE pr <> '1-URGENT'
+             SELECT 'merged' AS ref, k, pr FROM e12
+               WHERE pr <> '1-URGENT'
+                 AND NOT (pr = '5-LOW' AND k % 7 = 3)
              UNION ALL SELECT 'merged', k, pr FROM e3
              UNION ALL SELECT 'merged', k, pr FROM extra
+               WHERE NOT (pr = '5-LOW' AND k % 7 = 3)
              UNION ALL SELECT 'delta_delete', k, pr FROM e12
                WHERE pr = '1-URGENT'
              UNION ALL SELECT 'delta_insert', k, pr FROM e3)
@@ -1628,6 +1722,35 @@ object TxLogParity {
          FROM refs
          GROUP BY ref, pr
          ORDER BY ref, o_orderpriority""",
+    // multi-statement transaction: merged head = orders minus the
+    // predicate delete (%9==4), custkey +3M where the upsert replaced
+    // (%6==2), plus the +80M fresh mints (%40==11) and main's
+    // concurrent +90M era (%17==0); the commit version's feed = the
+    // txn's NET delta — churn (append-then-delete inside the txn)
+    // cancels, main's era never appears
+    "txlog_transaction" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS st
+                    FROM orders),
+           refs AS (
+             SELECT 'merged' AS ref, k,
+                    CASE WHEN k % 6 = 2 THEN c + 3000000 ELSE c END AS c, st
+               FROM o WHERE k % 9 <> 4 OR k % 6 = 2
+             UNION ALL SELECT 'merged', k + 80000000, c, st FROM o
+               WHERE k % 40 = 11
+             UNION ALL SELECT 'merged', k + 90000000, c, st FROM o
+               WHERE k % 17 = 0
+             UNION ALL SELECT 'delta_delete', k, c, st FROM o
+               WHERE k % 9 = 4 OR k % 6 = 2
+             UNION ALL SELECT 'delta_insert', k, c + 3000000, st FROM o
+               WHERE k % 6 = 2
+             UNION ALL SELECT 'delta_insert', k + 80000000, c, st FROM o
+               WHERE k % 40 = 11)
+         SELECT ref, st AS o_orderstatus, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS key_sum,
+                CAST(sum(c) AS BIGINT) AS cust_sum
+         FROM refs
+         GROUP BY ref, st
+         ORDER BY ref, o_orderstatus""",
     // keyed-CDC staging workflow: merged head = orders minus the keyed
     // delete (%10==6), custkey +5M where the upsert replaced (%4==1),
     // plus main's concurrent era (+70M keys for %11==0); the merge

@@ -794,6 +794,68 @@ object TxLog {
                      name: String): Option[DataFrame] =
     onBranch(name)(snapshot(s, table))
 
+  /** Same-table MULTI-STATEMENT transaction (r20): `BEGIN … COMMIT`
+    * as an ANONYMOUS BRANCH. Every statement in `body` stages on a
+    * uuid-named branch — library writes, predicate DML, keyed upserts,
+    * and reads inside `body` see the staged state (the branch overlay
+    * IS read-your-writes) — and COMMIT publishes atomically:
+    * [[fastForward]] adoption when main did not move (all-or-nothing
+    * visibility at the adopting manifest), the writeSerializable
+    * net-delta rebase when it did ([[mergeBranch]] — a SERIALIZABLE
+    * table refuses there, which is the optimistic transaction abort).
+    * Any failure — a body throw or a commit conflict — rolls back via
+    * [[dropBranch]]: the staged manifests become unreachable foreign
+    * history (vacuum-collectable), main is untouched. A body that
+    * staged nothing commits nothing and returns the current head.
+    *
+    * Scope (the r20 multi-statement study, PLANS round-20 appendix):
+    * ONE table by construction. A cross-table BEGIN…COMMIT would need
+    * a coordinator commit marker consulted on EVERY read — breaking
+    * the one-listing-serves-a-read invariant the whole manifest
+    * protocol rests on — and stays refused. The `-i2` capture scheme
+    * already tolerates the multi-statement shape: fresh-mint offsets
+    * are commit-relative and the allocation base rides per published
+    * manifest, so the statements' captures rebase as one net commit.
+    *
+    * `beforeCommit` fires once between the body and the publish — the
+    * interleave-injection seam the specs use to pin the abort path.
+    * Returns (published version, body result). */
+  def transaction[T](s: SparkSession, table: String,
+                     beforeCommit: () => Unit = () => ())(body: => T): (Long, T) = {
+    val name = s"txn-${java.util.UUID.randomUUID()}"
+    createBranch(s, table, name)
+    def rollback(): Unit =
+      try { dropBranch(s, table, name); () } catch { case _: Throwable => () }
+    val out =
+      try onBranch(name)(body)
+      catch { case e: Throwable => rollback(); throw e }
+    try {
+      beforeCommit()
+      if (!allManifests(s, table).exists(_.branch.contains(name))) {
+        // nothing staged: an empty transaction publishes nothing
+        dropBranch(s, table, name)
+        (headVersion(s, table), out)
+      } else {
+        val v =
+          try mergeBranch(s, table, name)
+          catch {
+            // a txn that staged keyed upserts and must REBASE hits the
+            // branch-debt refusal; unlike an interactive branch there
+            // is no seam for the user to materialize, so the commit
+            // clears the txn's own debt in place (value-neutral,
+            // branch-scoped) and retries — the merge-first shape of
+            // CALL merge_branch(materialize => true)
+            case e: java.util.ConcurrentModificationException
+                if e.getMessage != null && e.getMessage.contains(
+                  "live equality-delete debt on the branch") =>
+              onBranch(name) { materializeEqDels(s, table); () }
+              mergeBranch(s, table, name)
+          }
+        (v, out)
+      }
+    } catch { case e: Throwable => rollback(); throw e }
+  }
+
   /** MERGE a branch into a DIVERGED main (r18) — the bounded rebase
     * [[fastForward]] refuses: ONE main manifest carries the branch's
     * NET delta against its fork state — {files = branch-born live
@@ -818,7 +880,11 @@ object TxLog {
     *  - a divergent CHECKPOINT (compact/cluster/overwrite/restore) —
     *    the live set was replaced under the branch;
     *  - divergent file overlap — main removed/DV'd a file the branch
-    *    also removed/DV'd;
+    *    also removed/DV'd — resolves at ROW granularity when the edits
+    *    are provably row-disjoint (r20, [[resolveRowMerge]]: DV-vs-DV
+    *    unions disjoint position deltas; DV-vs-rewrite re-addresses
+    *    the disjoint deleted `_row_id`s into the surviving lineage's
+    *    files); overlapping rows and rewrite-vs-rewrite still conflict;
     *  - divergent EQUALITY DELETES on either side, or any live key
     *    debt at the fork — key-addressed deletes touch unknowable row
     *    sets of the other lineage's files (merge requires a debt-free
@@ -842,6 +908,12 @@ object TxLog {
     // invalidates it (the orphaned change files are vacuum-collectable,
     // like any pre-conflict staging).
     var captured: Option[((Long, Long), Seq[String])] = None
+    // same-file ROW-merge memo, additionally keyed by MAIN's head: the
+    // resolution reads main state (divergent DVs and live files), so a
+    // moved main invalidates it (the orphaned sidecars vacuum-collect
+    // like any pre-conflict staging); a lost slot race with an unmoved
+    // main re-validates without re-staging
+    var rowResolved: Option[((Long, Long, Long), RowMergeRes)] = None
     while (attempt < 20) {
       val all = allManifests(s, table)
       require(all.nonEmpty, s"not a txlog table: $table")
@@ -903,11 +975,22 @@ object TxLog {
         // drop resolves it (metadata-only branches cannot ff either)
         conflict("the branch carries no row changes but main diverged; " +
           "dropBranch it")
-      // file-level footprint disjointness vs main's divergent commits
+      // same-file footprint overlap vs main's divergent commits — the
+      // r20 bounded ROW merge ([[resolveRowMerge]]): provably
+      // row-disjoint edits resolve at row granularity instead of
+      // refusing; overlapping rows and rewrite-vs-rewrite still refuse
       val touchedBr = (netRemoves ++ dvChanged).toSet
-      diverged.find(m => m.removes.exists(touchedBr) ||
-          m.dvs.exists(d => touchedBr(d.f))).foreach(m =>
-        freshBranch(s"main rewrote file(s) the branch also touched at v${m.version}"))
+      val overlap = (diverged.flatMap(_.removes) ++
+        diverged.flatMap(_.dvs.map(_.f))).distinct.filter(touchedBr).sorted
+      val rmKey = (base, bl.last.version, main.last.version)
+      val res =
+        if (overlap.isEmpty) RowMergeRes.empty
+        else rowResolved.collect { case (k, r) if k == rmKey => r }
+          .getOrElse {
+            val r = resolveRowMerge(s, table, fork, bl, main, diverged,
+              overlap, netFiles, netRemoves, baseDvs, brDvs, conflict)
+            rowResolved = Some((rmKey, r)); r
+          }
       // main may have removed/DV'd OTHER base files — the merged live
       // set follows main for those (the branch never read them is NOT
       // knowable; writeSerializable accepts exactly this skew)
@@ -930,10 +1013,18 @@ object TxLog {
         .filterNot(m => singleUseWriter(m.writerId))
         .groupBy(_.writerId).view.mapValues(_.map(_.batchId).max)
         .toSeq.sorted
+      // apply the row-merge resolution to the net delta: replacement
+      // vectors supersede same-file net DVs (and may target main-live
+      // files), fully-covered files leave as removes / leave `files`
+      val mergedFiles = netFiles.filterNot(res.netFileDead)
+      val mergedRemoves = (netRemoves ++ res.extraRemoves).sorted
+      val mergedDvs = (netDvs.filterNot(d => res.drop(d.f) ||
+        res.replace.contains(d.f) || res.netFileDead(d.f)) ++
+        res.replace.values).sortBy(_.f)
       // stats (row-id allocations included) ride verbatim from the
       // branch manifests — ids stay globally unique, minted once
       val brStats = bl.flatMap(_.stats).map(st => st.file -> st).toMap
-      val stats = netFiles.flatMap(brStats.get)
+      val stats = mergedFiles.flatMap(brStats.get)
       // net row-level capture on feed tables (captured once; a lost
       // slot race re-validates but must not re-stage)
       val feedOn = props.get(ChangeFeedProp).contains("true")
@@ -959,11 +1050,11 @@ object TxLog {
       // branch-internal churn files can hold the highest minted ranges
       // with no surviving stats — the marker makes the high-water
       // locally durable instead of resting on sweep/checkpoint ordering
-      val bytes = render(Manifest(v, netFiles,
+      val bytes = render(Manifest(v, mergedFiles,
         writerId = s"branch-merge-${java.util.UUID.randomUUID()}", batchId = 0L,
-        checkpoint = false, stats = stats, removes = netRemoves,
+        checkpoint = false, stats = stats, removes = mergedRemoves,
         schema = Some(schemaDdl), tokens = tokens, changes = changes,
-        props = Some(merged), ts = commitTimeMs(), dvs = netDvs,
+        props = Some(merged), ts = commitTimeMs(), dvs = mergedDvs,
         nextRid = nextRowId(all)))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       beforeCommit() // crash/interleave injection seam
@@ -993,33 +1084,278 @@ object TxLog {
     val sch = withDefaults(
       org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
       cm, propsFrom(bl))
-    val gridField = org.apache.spark.sql.types.StructField(
-      TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
     val rids: Map[String, Long] =
       (liveStats(fork) ++ liveStats(bl)).collect {
         case (fl, st) if st.firstRowId >= 0L => fl -> st.firstRowId }
     def read(rel: Seq[String], dvs: Map[String, DvEntry]): DataFrame =
-      if (rel.isEmpty)
-        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(sch.fields :+ gridField))
-      else {
-        val raw0 = s.read.schema(org.apache.spark.sql.types.StructType(
-            physicalSchemaOf(sch, cm).fields :+ gridField))
-          .parquet(rel.map(absPath(table)): _*)
-        val raw = attachGrid(raw0, rids)
-        val hit = dvs.collect { case (fl, e) if rel.contains(fl) => fl -> e.p }
-        val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
-        if (cm.isIdentity) dvd
-        else dvd.select(sch.fields.toSeq.map(fd =>
-          col(quoted(physicalName(cm, fd.name))).as(fd.name)) :+
-          col(quoted(TxRowId.GridCol)): _*)
-      }
+      readLineageRows(s, table, sch, cm, rel, dvs, rids)
     stageChangePair(s, table,
       read(netRemoves ++ dvChanged, baseDvs),
       read(netFiles ++ dvChanged, brDvs),
       math.max(1, math.max(netRemoves.size + dvChanged.size,
         netFiles.size + dvChanged.size)),
       cmOverride = Some(cm))
+  }
+
+  /** Read committed files of one lineage under the LOGICAL schema with
+    * the lineage-id column attached ([[attachGrid]]) and that
+    * lineage's DVs applied — the row-set view the merge paths diff
+    * ([[mergeCapture]], [[resolveRowMerge]]). Empty `rel` → an empty
+    * frame of the right shape. */
+  private def readLineageRows(s: SparkSession, table: String,
+                              sch: org.apache.spark.sql.types.StructType,
+                              cm: ColMap, rel: Seq[String],
+                              dvs: Map[String, DvEntry],
+                              rids: Map[String, Long]): DataFrame = {
+    val gridField = org.apache.spark.sql.types.StructField(
+      TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+    if (rel.isEmpty)
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(sch.fields :+ gridField))
+    else {
+      val raw0 = s.read.schema(org.apache.spark.sql.types.StructType(
+          physicalSchemaOf(sch, cm).fields :+ gridField))
+        .parquet(rel.map(absPath(table)): _*)
+      val raw = attachGrid(raw0, rids)
+      val hit = dvs.collect { case (fl, e) if rel.contains(fl) => fl -> e.p }
+      val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+      if (cm.isIdentity) dvd
+      else dvd.select(sch.fields.toSeq.map(fd =>
+        col(quoted(physicalName(cm, fd.name))).as(fd.name)) :+
+        col(quoted(TxRowId.GridCol)): _*)
+    }
+  }
+
+  /** Outcome of the bounded same-file ROW merge ([[resolveRowMerge]]):
+    * the adjustments the merge manifest applies on top of the branch's
+    * net delta. `replace` entries supersede any same-file net DV (and
+    * may target main-live files the net delta never mentions); `drop`
+    * strips net DVs that must not publish (a branch DV on a main-dead
+    * fork file); `extraRemoves` are fork/main files the merged vector
+    * fully covers (the no-full-file-DV contract); `netFileDead` are
+    * branch-born files whose every row the resolution deleted — they
+    * leave `files` entirely. */
+  private[storage] case class RowMergeRes(
+      replace: Map[String, DvEntry], drop: Set[String],
+      extraRemoves: Seq[String], netFileDead: Set[String])
+  private[storage] object RowMergeRes {
+    val empty: RowMergeRes =
+      RowMergeRes(Map.empty, Set.empty, Seq.empty, Set.empty)
+  }
+
+  /** The r20 bounded three-way ROW merge: when main's divergent
+    * commits and the branch touched the SAME fork file, refusal is no
+    * longer automatic — provably row-disjoint edits resolve at row
+    * granularity, and only genuinely overlapping rows (or a
+    * rewrite-vs-rewrite of one file, where "which post-image wins" is
+    * not decidable row-wise) keep refusing. Per overlapping file:
+    *
+    *  - DV vs DV: both lineages grew the fork file's deletion vector.
+    *    Positions address immutable file rows, so disjoint deltas
+    *    union losslessly — the merged entry is `mainDv ∪ branchDv`
+    *    (a full cover removes the file outright).
+    *  - main DV vs branch REWRITE: main's newly-deleted positions map
+    *    to `_row_id`s (ids are stable across rewrites); if the branch
+    *    did not edit those rows (decided by a fork-vs-branch-net
+    *    multiset diff on values+id), it carried them verbatim into
+    *    its net files — the resolution stages DVs deleting exactly
+    *    those ids from the branch-born files.
+    *  - main REWRITE vs branch DV: symmetric — the branch's
+    *    newly-deleted ids, un-edited by main, were carried into
+    *    main's divergent live files; the resolution stages DVs there
+    *    and drops the branch's DV on the (main-dead) fork file.
+    *
+    * Bounded scope: requires one shared row coordinate system —
+    * identical logical schema and column mapping across fork, main,
+    * and branch — and row-id coverage on the contested rows. Scale
+    * posture: every read is O(divergent delta) (the contested fork
+    * files, the branch's net files, main's divergent live files —
+    * never a table scan); driver-held id arrays are sized by the
+    * DV deltas, the same class as the sidecars themselves; the id
+    * location probe is one broadcast join. */
+  private def resolveRowMerge(s: SparkSession, table: String,
+                              fork: Seq[Manifest], bl: Seq[Manifest],
+                              main: Seq[Manifest], diverged: Seq[Manifest],
+                              overlap: Seq[String],
+                              netFiles: Seq[String], netRemoves: Seq[String],
+                              baseDvs: Map[String, DvEntry],
+                              brDvs: Map[String, DvEntry],
+                              conflict: String => Nothing): RowMergeRes = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.broadcast
+    def refuse(f: String, why: String): Nothing =
+      conflict(s"main and the branch both touched $f and the edits are " +
+        s"not row-disjoint ($why) — re-run the work on a fresh branch")
+    // (name, type) SHAPE equality — nullability drifts across DML
+    // commits (an append infers NOT NULL, a rewrite records nullable)
+    // without changing the row coordinate system
+    def shape(st: org.apache.spark.sql.types.StructType) =
+      st.fields.toSeq.map(fd => (fd.name, fd.dataType))
+    val forkSch = tableSchemaFrom(fork)
+    val schOk = forkSch.exists(fs =>
+      tableSchemaFrom(main).exists(m => shape(m) == shape(fs)) &&
+        tableSchemaFrom(bl).exists(b => shape(b) == shape(fs)))
+    val cm = colMapFrom(fork)
+    if (!schOk || colMapFrom(main) != cm || colMapFrom(bl) != cm)
+      conflict("main and the branch both touched file(s) " +
+        s"[${overlap.mkString(", ")}] and the schema or column mapping " +
+        "changed since the fork — same-file row merge needs one shared " +
+        "row coordinate system; re-run the work on a fresh branch")
+    val sch = forkSch.get
+    val gridField = org.apache.spark.sql.types.StructField(
+      TxRowId.GridCol, org.apache.spark.sql.types.LongType, nullable = true)
+    val mainLiveSet = liveFiles(main).toSet
+    val mainDvsNow = liveDvs(main)
+    val forkStats = liveStats(fork)
+    val brStats = liveStats(bl)
+    val mainStats = liveStats(main)
+    val netRemovesSet = netRemoves.toSet
+    val ridsForkBr = (forkStats ++ brStats).collect {
+      case (fl, st) if st.firstRowId >= 0L => fl -> st.firstRowId }
+    val ridsMain = (forkStats ++ mainStats).collect {
+      case (fl, st) if st.firstRowId >= 0L => fl -> st.firstRowId }
+    lazy val branchNet =
+      readLineageRows(s, table, sch, cm, netFiles, brDvs, ridsForkBr)
+    lazy val mainNewLive =
+      diverged.flatMap(_.files).distinct.filter(mainLiveSet).sorted
+    lazy val mainNet =
+      readLineageRows(s, table, sch, cm, mainNewLive, mainDvsNow, ridsMain)
+    def forkView(f: String): DataFrame =
+      readLineageRows(s, table, sch, cm, Seq(f), baseDvs, ridsForkBr)
+    def dvOf(e: Option[DvEntry]): TxDv.Dv =
+      e.map(x => TxDv.read(s, table, x.p)).getOrElse(TxDv.empty)
+    // ids living at a fork file's DV-delta positions (driver-sized by
+    // the delta — the same class as the sidecar itself)
+    def idsAt(f: String, pos: Array[Long]): Array[Long] = {
+      if (pos.isEmpty) return Array.emptyLongArray
+      val raw = s.read.schema(org.apache.spark.sql.types.StructType(
+          physicalSchemaOf(sch, cm).fields :+ gridField))
+        .parquet(absPath(table)(f))
+      val withId = attachGrid(raw, ridsForkBr)
+        .select(col(quoted(TxRowId.GridCol)).as("__mid"),
+          col("_metadata.row_index").as("__pos"))
+      val posDf = s.createDataFrame(pos.toSeq.map(Tuple1(_))).toDF("__pos")
+      val got = withId.join(broadcast(posDf), "__pos").select("__mid")
+        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      if (got.length != pos.length || got.contains(-1L))
+        refuse(f, "contested rows predate row-id assignment")
+      got
+    }
+    def overlapCount(edited: DataFrame, ids: Array[Long]): Long = {
+      val idsDf = s.createDataFrame(ids.toSeq.map(Tuple1(_))).toDF("__oid")
+      edited.join(broadcast(idsDf),
+        col(quoted(TxRowId.GridCol)) === col("__oid")).count()
+    }
+    var replaceB = Map.empty[String, DvEntry]
+    var drop = Set.empty[String]
+    var extraRemoves = Vector.empty[String]
+    var netFileDead = Set.empty[String]
+    var netTargets = Vector.empty[Long] // ids to delete from branch net files
+    var mainTargets = Vector.empty[Long] // ids to delete from main live files
+    overlap.foreach { f =>
+      val mainRemoved = !mainLiveSet(f)
+      val brRewrote = netRemovesSet(f)
+      val forkDv = dvOf(baseDvs.get(f))
+      (mainRemoved, brRewrote) match {
+        case (true, true) =>
+          conflict(s"main and the branch both rewrote file $f — which " +
+            "post-image wins is not decidable row-wise; re-run the work " +
+            "on a fresh branch")
+        case (false, false) =>
+          val mDv = dvOf(mainDvsNow.get(f))
+          val bDv = dvOf(brDvs.get(f))
+          val mDelta = mDv.positions.filterNot(forkDv.contains)
+          if (mDelta.exists(bDv.contains))
+            refuse(f, "both lineages deleted the same row(s)")
+          val merged = mDv.union(bDv)
+          val rows = forkStats.get(f).map(_.rows).getOrElse(-1L)
+          if (rows > 0L && merged.cardinality >= rows) {
+            extraRemoves :+= f; drop += f
+          } else replaceB += f ->
+            DvEntry(f, TxDv.write(s, table, merged), merged.cardinality)
+        case (false, true) =>
+          val mDv = dvOf(mainDvsNow.get(f))
+          val mDelta = mDv.positions.filterNot(forkDv.contains)
+          val ids = idsAt(f, mDelta)
+          val edited = forkView(f).exceptAll(branchNet)
+            .select(col(quoted(TxRowId.GridCol)))
+          if (overlapCount(edited, ids) > 0L)
+            refuse(f, "main deleted row(s) the branch edited")
+          netTargets ++= ids
+        case (true, false) =>
+          val bDv = dvOf(brDvs.get(f))
+          val bDelta = bDv.positions.filterNot(forkDv.contains)
+          val ids = idsAt(f, bDelta)
+          val edited = forkView(f).exceptAll(mainNet)
+            .select(col(quoted(TxRowId.GridCol)))
+          if (overlapCount(edited, ids) > 0L)
+            refuse(f, "the branch deleted row(s) main edited")
+          mainTargets ++= ids
+          drop += f // the branch's DV on a main-dead file must not publish
+      }
+    }
+    // locate each target id in its lineage's live files and stage the
+    // resolution DVs — the stageDvs mapGroups pattern (executor-side
+    // union with any existing vector, sidecars staged in place)
+    def stageIdDvs(targets: Seq[Long], files: Seq[String],
+                   rids: Map[String, Long], dvs: Map[String, DvEntry])
+        : Seq[(String, String, Long)] = {
+      if (targets.isEmpty) return Seq.empty
+      val raw = s.read.schema(org.apache.spark.sql.types.StructType(
+          physicalSchemaOf(sch, cm).fields :+ gridField))
+        .parquet(files.map(absPath(table)): _*)
+      val withId = attachGrid(raw, rids)
+        .select(col("_metadata.file_path").as("__gf"),
+          col("_metadata.row_index").as("__gri"),
+          col(quoted(TxRowId.GridCol)).as("__mid"))
+      val idsDf = s.createDataFrame(targets.map(Tuple1(_))).toDF("__oid")
+      val hits = withId.join(broadcast(idsDf), col("__mid") === col("__oid"))
+        .select(col("__gf"), col("__gri"))
+        .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      val tableStr = table
+      val oldByRel: Map[String, String] =
+        dvs.map { case (r, e) => TxDv.tailKey(r) -> e.p }
+      val confB = s.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration))
+      val perFile = hits.groupByKey(_._1)(Encoders.STRING).mapGroups { (f, it) =>
+        val fresh = TxDv.fromPositions(it.map(_._2).toArray)
+        val tail = TxDv.tailKey(f)
+        val merged = oldByRel.get(tail) match {
+          case Some(p) =>
+            TxDv.readWithConf(confB.value.value, tableStr, p).union(fresh)
+          case None => fresh
+        }
+        (tail, TxDv.writeWithConf(confB.value.value, tableStr, merged),
+          merged.cardinality, fresh.cardinality)
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        Encoders.scalaLong, Encoders.scalaLong))
+        .collect()
+      // id uniqueness is the whole mechanism: every target id must
+      // land at exactly one (file, position)
+      val located = perFile.map(_._4).sum
+      require(located == targets.length,
+        s"row-merge resolution located $located of ${targets.length} " +
+          s"target rows — row-id carriage broke (table $table)")
+      val byTail = files.map(f => TxDv.tailKey(f) -> f).toMap
+      perFile.toSeq.map { case (tail, dvRel, card, _) =>
+        (byTail.getOrElse(tail, throw new IllegalStateException(
+          s"resolved file $tail not in the candidate set")), dvRel, card)
+      }.sortBy(_._1)
+    }
+    stageIdDvs(netTargets, netFiles, ridsForkBr, brDvs).foreach {
+      case (rel, dvRel, card) =>
+        val rows = brStats.get(rel).map(_.rows).getOrElse(-1L)
+        if (rows > 0L && card >= rows) netFileDead += rel
+        else replaceB += rel -> DvEntry(rel, dvRel, card)
+    }
+    stageIdDvs(mainTargets, mainNewLive, ridsMain, mainDvsNow).foreach {
+      case (rel, dvRel, card) =>
+        val rows = mainStats.get(rel).map(_.rows).getOrElse(-1L)
+        if (rows > 0L && card >= rows) extraRemoves :+= rel
+        else replaceB += rel -> DvEntry(rel, dvRel, card)
+    }
+    RowMergeRes(replaceB, drop, extraRemoves.sorted, netFileDead)
   }
 
   /** The manifests that define the current read set: the newest
@@ -2500,16 +2836,10 @@ object TxLog {
       else if (logical.isEmpty)
         raw0.withColumn(TxRowId.GridCol, lit(null).cast("long"))
       else {
-        import org.apache.spark.sql.functions.udf
         val stats = liveStats(ms)
-        val ridByTail: Map[String, Long] = files.flatMap(f =>
+        attachGrid(raw0, files.flatMap(f =>
           stats.get(f).filter(_.firstRowId >= 0L)
-            .map(st => TxDv.tailKey(f) -> st.firstRowId)).toMap
-        val ridOf = udf((p: String) =>
-          ridByTail.get(TxDv.tailKey(p)).map(java.lang.Long.valueOf).orNull)
-        raw0.withColumn(TxRowId.GridCol,
-          coalesce(col(quoted(TxRowId.GridCol)),
-            ridOf(col("_metadata.file_path")) + col("_metadata.row_index")))
+            .map(f -> _.firstRowId)).toMap)
       }
     val dvs = liveDvs(ms)
     val hit = files.filter(dvs.contains)
@@ -3289,6 +3619,49 @@ object TxLog {
     if (cm.isIdentity) df else toLogical(df, logical, cm)
   }
 
+  /** [[TxDv.tailKey]] as a Catalyst expression — the per-row half of
+    * the driver-held per-file lookups ([[withTailLookup]]). Same three
+    * cases as the Scala function: a `data/`-rooted rel path is its own
+    * key; a path containing `/data/` keeps everything from its LAST
+    * such segment; anything else keys by its last two segments. */
+  private def tailKeyExpr(p: Column): Column =
+    when(p.startsWith("data/"), p)
+      .when(p.contains("/data/"), org.apache.spark.sql.functions.concat(
+        lit("data/"),
+        org.apache.spark.sql.functions.substring_index(p, "/data/", -1)))
+      .otherwise(org.apache.spark.sql.functions.substring_index(p, "/", -2))
+
+  /** Entry count above which a per-file lookup map becomes a broadcast
+    * join instead of a map literal: `try_element_at` on a literal map
+    * is a per-row LINEAR key scan, fine for a DML delta's handful of
+    * files, wrong for a snapshot read's O(live files) map. */
+  private val TailLookupLiteralMax = 64
+
+  /** Attach a driver-held per-file long as column `out`:
+    * `byTail(tailKey(probe))`, null when absent (the Scala map's
+    * `.get`). Small maps ride the plan as ONE literal probed by
+    * `try_element_at` — codegen'd, no closure serialization; past
+    * [[TailLookupLiteralMax]] entries the map becomes a BROADCAST
+    * HASH JOIN on the computed tail key (O(1) per-row probes at any
+    * file count — the 100 TB read-path posture). Replaced the former
+    * per-row Scala UDFs (r19 verdict). The probe expression is
+    * evaluated BEFORE the join, so `_metadata` probes resolve against
+    * the file source. */
+  private def withTailLookup(df: DataFrame, out: String,
+                             byTail: Map[String, Long],
+                             probe: Column): DataFrame =
+    if (byTail.isEmpty) df.withColumn(out, lit(null).cast("long"))
+    else if (byTail.size <= TailLookupLiteralMax)
+      df.withColumn(out, org.apache.spark.sql.functions.try_element_at(
+        org.apache.spark.sql.functions.typedLit(byTail), tailKeyExpr(probe)))
+    else {
+      val tk = s"__gtk_$out"
+      val lookup = df.sparkSession.createDataFrame(byTail.toSeq).toDF(tk, out)
+      df.withColumn(tk, tailKeyExpr(probe))
+        .join(org.apache.spark.sql.functions.broadcast(lookup), Seq(tk), "left")
+        .drop(tk)
+    }
+
   /** Complete the lineage-id column on a raw FILE-SOURCE read whose
     * schema already includes [[TxRowId.GridCol]]: `__grid =
     * coalesce(stored __grid, firstRowId(file) + parquet row index)` —
@@ -3296,13 +3669,13 @@ object TxLog {
     * `rids` maps manifest-rel paths to firstRowId: committed stats for
     * live files, a commit's PRE-ASSIGNMENT for just-staged ones. */
   private[storage] def attachGrid(df: DataFrame, rids: Map[String, Long]): DataFrame = {
-    import org.apache.spark.sql.functions.udf
     val ridByTail = rids.map { case (r, v) => TxDv.tailKey(r) -> v }
-    val ridOf = udf((p: String) =>
-      ridByTail.get(TxDv.tailKey(p)).map(java.lang.Long.valueOf).orNull)
-    df.withColumn(TxRowId.GridCol,
-      coalesce(col(quoted(TxRowId.GridCol)),
-        ridOf(col("_metadata.file_path")) + col("_metadata.row_index")))
+    val tmp = "__grid_base"
+    withTailLookup(df.withColumn("__gri0", col("_metadata.row_index")),
+        tmp, ridByTail, col("_metadata.file_path"))
+      .withColumn(TxRowId.GridCol,
+        coalesce(col(quoted(TxRowId.GridCol)), col(tmp) + col("__gri0")))
+      .drop(tmp, "__gri0")
   }
 
   /** Per-file OFFSETS into a commit's contiguous rid allocation — the
@@ -3337,14 +3710,14 @@ object TxLog {
     * surviving rows keep the positions the files imply. */
   private[storage] def attachGoff(df: DataFrame,
                                   offsets: Map[String, Long]): DataFrame = {
-    import org.apache.spark.sql.functions.udf
     val offByTail = offsets.map { case (r, v) => TxDv.tailKey(r) -> v }
-    val offOf = udf((p: String) =>
-      offByTail.get(TxDv.tailKey(p)).map(java.lang.Long.valueOf).orNull)
-    df.withColumn(TxRowId.GoffCol,
-      when(col(quoted(TxRowId.GridCol)).isNull,
-        offOf(col("_metadata.file_path")) + col("_metadata.row_index"))
-        .otherwise(lit(null).cast("long")))
+    val tmp = "__goff_base"
+    withTailLookup(df.withColumn("__gri1", col("_metadata.row_index")),
+        tmp, offByTail, col("_metadata.file_path"))
+      .withColumn(TxRowId.GoffCol,
+        when(col(quoted(TxRowId.GridCol)).isNull, col(tmp) + col("__gri1"))
+          .otherwise(lit(null).cast("long")))
+      .drop(tmp, "__gri1")
   }
 
   /** [[readStagedLogical]] WITH lineage coordinates: stored grid where
@@ -3619,12 +3992,15 @@ object TxLog {
   private def applyEqDelFilter(s: SparkSession, table: String, raw: DataFrame,
                                ms: Seq[Manifest],
                                live: Seq[(Long, EqDelEntry)]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, udf}
+    import org.apache.spark.sql.functions.broadcast
     val seqByTail = fileSeqs(ms).map { case (f, v) => TxDv.tailKey(f) -> v }
     val physSch = physicalSchemaFrom(ms)
-    val seqUdf = udf((p: String) =>
-      seqByTail.getOrElse(TxDv.tailKey(p), Long.MaxValue))
-    val withSeq = raw.withColumn("__gseq", seqUdf(col("_metadata.file_path")))
+    // absent tail → MaxValue: a file the manifests don't know (never
+    // happens on the committed read path) is younger than every entry
+    val withSeq = withTailLookup(raw, "__gseq0", seqByTail,
+        col("_metadata.file_path"))
+      .withColumn("__gseq", coalesce(col("__gseq0"), lit(Long.MaxValue)))
+      .drop("__gseq0")
     val filtered = live.foldLeft(withSeq) { case (df, (v, e)) =>
       val types = e.cols.map(p => physSch.map(_.apply(p).dataType).getOrElse(
         df.schema(p).dataType))
@@ -3915,7 +4291,7 @@ object TxLog {
     * committed version (head when there was nothing to do). */
   def materializeEqDels(s: SparkSession, table: String,
                         beforeCommit: () => Unit = () => ()): Rewrite = {
-    import org.apache.spark.sql.functions.{broadcast, udf}
+    import org.apache.spark.sql.functions.broadcast
     val ms = manifests(s, table)
     val live = liveEqDels(ms)
     val head = ms.lastOption.map(_.version).getOrElse(-1L)
@@ -3942,10 +4318,10 @@ object TxLog {
       perEntryPred.reduceOption(_ || _).getOrElse(lit(true)),
       affected, liveStats(ms), ms)
     val seqByTail = seqs.map { case (f, v) => TxDv.tailKey(f) -> v }
-    val seqUdf = udf((p: String) =>
-      seqByTail.getOrElse(TxDv.tailKey(p), Long.MaxValue))
     val matcher: DataFrame => DataFrame = { df =>
-      val withSeq = df.withColumn("__gseq", seqUdf(col("__gf")))
+      val withSeq = withTailLookup(df, "__gseq0", seqByTail, col("__gf"))
+        .withColumn("__gseq", coalesce(col("__gseq0"), lit(Long.MaxValue)))
+        .drop("__gseq0")
       live.map { case (v, e) =>
         val lcols = e.cols.map(p => rev.getOrElse(p, p))
         val types = lcols.map(c => sch.map(_.apply(c).dataType).getOrElse(

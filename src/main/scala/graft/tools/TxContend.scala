@@ -30,6 +30,16 @@ import graft.storage.TxLog
   *   it is expected ≥ 1, proving the serializable throw fires ACROSS
   *   process boundaries, not just between threads.
   *
+  *   Phases D/E/F (r20, the r17–r19 planes): D races blind appends
+  *   against keyed FEED-table upserts (adopted ids + `-i2` fresh-mint
+  *   offsets) — appends must never conflict (the r19 rebase contract)
+  *   and an id-keyed CDF replay must equal the snapshot lineage; E
+  *   races keyed upserts from both JVMs on disjoint key ranges —
+  *   captureBase conflicts retry and every replaced row must ADOPT its
+  *   pre-race id; F races mergeBranch against a main append stream —
+  *   footprint-disjoint appends must never make the merge conflict and
+  *   the branch's net delta + every append lands exactly once.
+  *
   * Usage: runMain graft.tools.TxContend [nBatches]
   * (workers are spawned as plain `java` with this JVM's classpath) */
 object TxContend {
@@ -54,7 +64,61 @@ object TxContend {
     // drops once both processes are up
     while (!Files.exists(Paths.get(goFile))) Thread.sleep(5)
     var conflicts = 0
+    def retried(body: => Unit): Unit = {
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            conflicts += 1 // documented contract: re-run on the new state
+        }
+      }
+    }
     phase match {
+      case "feed" if worker == "A" =>
+        // blind tokened appends of fresh disjoint keys — under r19's
+        // rebase-safe captures these must NEVER conflict with B's
+        // concurrent feed DML, and vice versa
+        (0 until n).foreach { b =>
+          val df = ((2000000 + b * 100) until (2000000 + b * 100 + 100))
+            .map(i => (i.toLong, s"A-$b")).toDF("id", "src")
+          TxLog.commit(df, table, "feedA", b.toLong)
+        }
+      case "feed" =>
+        // keyed upserts: replace seed keys [c*10, c*10+10) and MINT
+        // fresh keys (3M+) — the fresh mints ride `-i2` commit-relative
+        // offsets that must rebase over A's id-minting appends and
+        // resolve at read against each manifest's recorded base
+        (0 until n).foreach { c =>
+          val df = ((c * 10 until c * 10 + 10).map(i => (i.toLong, s"B-$c")) ++
+            ((3000000 + c * 10) until (3000000 + c * 10 + 10))
+              .map(i => (i.toLong, s"B-$c"))).toDF("id", "src")
+          retried { TxLog.upsertByKeys(df, table, Seq("id"), "feedB", c.toLong); () }
+        }
+      case "upsert" =>
+        // racing keyed upserts from two JVMs on DISJOINT key ranges:
+        // each retries through the other's row-changing commits (the
+        // captureBase conflict is the r19 contract) and every replaced
+        // row must ADOPT its pre-race id
+        val lo = if (worker == "A") 0 else 500
+        (0 until n).foreach { c =>
+          val w = 400 / n
+          val df = ((lo + c * w) until (lo + c * w + w))
+            .map(i => (i.toLong, s"$worker-$c")).toDF("id", "src")
+          retried { TxLog.upsertByKeys(df, table, Seq("id"), s"ups$worker", c.toLong); () }
+        }
+      case "merge" if worker == "A" =>
+        // main keeps ingesting while B merges the staged branch
+        (0 until n).foreach { b =>
+          val df = ((4000000 + b * 100) until (4000000 + b * 100 + 100))
+            .map(i => (i.toLong, s"A-$b")).toDF("id", "src")
+          TxLog.commit(df, table, "mergeA", b.toLong)
+        }
+      case "merge" =>
+        // the merge rides its own 20-attempt CAS loop; a footprint-
+        // disjoint append stream must never make it CONFLICT (retried
+        // here only to count any unexpected CME loudly as a conflict)
+        retried { TxLog.mergeBranch(spark, table, "work"); () }
       case "append" =>
         val base = if (worker == "A") 0 else 1000000
         (0 until n).foreach { b =>
@@ -168,6 +232,121 @@ object TxContend {
     assert(liveC == 0,
       s"fully-deleted MoR table still lists $liveC live files (full-dead removal)")
     println(s"""{"phase": "mor-dml", "conflicts": ${mA + mB}, "remaining": $leftC, "live_files": $liveC, "pass": true}""")
+
+    // ---- phase D (r20): append vs FEED-TABLE keyed DML across JVMs —
+    // the r19 rebase-safe capture contract exercised by separate
+    // processes: A's id-minting appends and B's upserts (adopting ids
+    // over seed keys, minting fresh ones via `-i2` offsets) interleave
+    // through the CAS arbiter; appends must never conflict, ids must
+    // come out unique and resolvable, and an id-keyed CDF replay must
+    // equal the snapshot lineage exactly
+    import org.apache.spark.sql.functions.{col, lit, max => smax}
+    val nd = 8
+    val tD = Files.createTempDirectory("txcontend_d_").resolve("t").toString
+    TxLog.commit(spark.range(0, 1000).toDF("id")
+      .withColumn("src", lit("seed")).repartition(4), tD, "seed", 0L)
+    TxLog.setProperties(spark, tD, Map(
+      TxLog.IsolationProp -> TxLog.IsolationWriteSerializable,
+      TxLog.ChangeFeedProp -> "true",
+      graft.storage.TxEqDel.MaxKeysProp -> "100000"))
+    val (dA, dB) = runPair("feed", tD, nd)
+    assert(dA == 0,
+      s"appends must REBASE over feed DML, never conflict: A saw $dA")
+    val expectedD = ((0L until 1000L).map(k =>
+        (k, if (k < nd * 10) s"B-${k / 10}" else "seed")) ++
+      (0 until nd).flatMap(b => (2000000L + b * 100 until 2000000L + b * 100 + 100)
+        .map(i => (i, s"A-$b"))) ++
+      (0 until nd).flatMap(c => (3000000L + c * 10 until 3000000L + c * 10 + 10)
+        .map(i => (i, s"B-$c")))).toDF("id", "src")
+    val gotD = TxLog.snapshot(spark, tD).get.select("id", "src")
+    assert(gotD.exceptAll(expectedD).count() == 0 &&
+      expectedD.exceptAll(gotD).count() == 0,
+      "cross-process feed race produced a wrong final state")
+    val linD = TxLog.snapshotLineage(spark, tD).get
+    val nRowsD = linD.count()
+    assert(linD.where(col("_row_id").isNull).count() == 0 &&
+      linD.select("_row_id").distinct().count() == nRowsD,
+      "ids must be non-null and collision-free after the race")
+    // id-keyed CDF replay (the `-i2` offsets resolved at read) ==
+    // snapshot lineage
+    val evD = spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("withRowIds", "true").option("startingVersion", "0").load(tD)
+    val lastD = evD.groupBy(col("_row_id").as("rid_"))
+      .agg(smax("_commit_version").as("lv"))
+    val consD = evD.join(lastD,
+        evD("_row_id") === col("rid_") && evD("_commit_version") === col("lv"))
+      .where(col("_change_type") === "insert")
+      .select(evD("_row_id").as("rid"), col("id"), col("src"))
+    val linD2 = linD.select(col("_row_id").as("rid"), col("id"), col("src"))
+    assert(consD.exceptAll(linD2).count() == 0 &&
+      linD2.exceptAll(consD).count() == 0,
+      "id-keyed CDF replay diverged from the snapshot lineage")
+    println(s"""{"phase": "feed", "conflicts_append": $dA, "conflicts_dml": $dB, "rows": $nRowsD, "pass": true}""")
+
+    // ---- phase E (r20): RACING KEYED UPSERTS from two JVMs on
+    // disjoint key ranges — each retries through the other's
+    // row-changing commits (captureBase conflicts are EXPECTED here);
+    // every replaced row must ADOPT its pre-race id
+    val tE = Files.createTempDirectory("txcontend_e_").resolve("t").toString
+    TxLog.commit(spark.range(0, 1000).toDF("id")
+      .withColumn("src", lit("seed")).repartition(4), tE, "seed", 0L)
+    TxLog.setProperties(spark, tE, Map(
+      TxLog.IsolationProp -> TxLog.IsolationWriteSerializable,
+      TxLog.ChangeFeedProp -> "true",
+      graft.storage.TxEqDel.MaxKeysProp -> "100000"))
+    val preIds = TxLog.snapshotLineage(spark, tE).get
+      .select("id", "_row_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (eA, eB) = runPair("upsert", tE, 8)
+    val postE = TxLog.snapshotLineage(spark, tE).get
+      .select("id", "src", "_row_id").collect()
+    assert(postE.length == 1000, s"keyed races lost rows: ${postE.length}")
+    postE.foreach { r =>
+      val (k, src, rid) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val want =
+        if (k < 400L) "A-" else if (k >= 500L && k < 900L) "B-" else "seed"
+      assert(src.startsWith(want), s"key $k has src $src, wanted $want*")
+      assert(rid == preIds(k),
+        s"key $k lost its id under the race: $rid vs ${preIds(k)}")
+    }
+    println(s"""{"phase": "upsert", "conflicts": ${eA + eB}, "pass": true}""")
+    if (eA + eB == 0)
+      println("note: no cross-process captureBase conflict was observed " +
+        "this run; correctness assertions still held")
+
+    // ---- phase F (r20): mergeBranch vs main appends across JVMs —
+    // the merge's conflict re-judgement and capture memo run against a
+    // moving main owned by ANOTHER process; footprint-disjoint appends
+    // must never make it conflict, and the branch's net delta + every
+    // append must land exactly once
+    val nf = 8
+    val tF = Files.createTempDirectory("txcontend_f_").resolve("t").toString
+    TxLog.commit(spark.range(0, 1000).toDF("id")
+      .withColumn("src", lit("seed")).repartition(4), tF, "seed", 0L)
+    TxLog.setProperties(spark, tF, Map(
+      TxLog.IsolationProp -> TxLog.IsolationWriteSerializable,
+      TxLog.ChangeFeedProp -> "true"))
+    TxLog.createBranch(spark, tF, "work")
+    TxLog.onBranch("work") {
+      TxLog.delete(spark, tF, col("id") < 100L, "brw", 0L)
+      TxLog.commit((5000000L until 5000100L).map(i => (i, "br"))
+        .toDF("id", "src").coalesce(1), tF, "brw2", 0L)
+    }
+    val (fA, fB) = runPair("merge", tF, nf)
+    assert(fB == 0,
+      s"disjoint appends must never make the merge conflict: B saw $fB")
+    assert(TxLog.branches(spark, tF).isEmpty, "the merge must resolve the branch")
+    val gotF = TxLog.snapshot(spark, tF).get.select("id", "src")
+    val expectedF = ((100L until 1000L).map(k => (k, "seed")) ++
+      (5000000L until 5000100L).map(i => (i, "br")) ++
+      (0 until nf).flatMap(b => (4000000L + b * 100 until 4000000L + b * 100 + 100)
+        .map(i => (i, s"A-$b")))).toDF("id", "src")
+    assert(gotF.exceptAll(expectedF).count() == 0 &&
+      expectedF.exceptAll(gotF).count() == 0,
+      "merge-vs-append race produced a wrong final state")
+    val linF = TxLog.snapshotLineage(spark, tF).get
+    assert(linF.select("_row_id").distinct().count() == linF.count(),
+      "merged ids must stay collision-free under racing appends")
+    println(s"""{"phase": "merge", "conflicts": $fB, "appends": $nf, "pass": true}""")
     spark.stop()
   }
 }
