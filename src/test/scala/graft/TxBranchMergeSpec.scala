@@ -328,6 +328,40 @@ class TxBranchMergeSpec extends AnyFunSuite {
       "both sides' vectors must survive the merge")
   }
 
+  test("merge-FIRST materialize (r20): a merge_branch(materialize => true) " +
+      "CALL refused for a NON-branch-debt reason leaves the branch " +
+      "untouched — no materialization commit lands as a side effect") {
+    val wh = Files.createTempDirectory("txbm_mf_").toString
+    spark.conf.set("spark.sql.catalog.mfcat", "graft.storage.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mfcat.warehouse", wh)
+    spark.sql("CREATE TABLE mfcat.default.t (id BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO mfcat.default.t VALUES (0, 'a'), (1, 'a'), (2, 'a')")
+    val path = s"$wh/default/t"
+    TxLog.setProperties(spark, path, Map(
+      TxLog.IsolationProp -> TxLog.IsolationWriteSerializable))
+    // FORK-side debt: live keyed delete BEFORE the branch exists
+    TxLog.deleteByKeys(Seq(0L).toDF("id"), path, "fk", 0L)
+    spark.sql("CALL mfcat.system.create_branch(table => 'default.t', name => 'mf')")
+    TxLog.onBranch("mf") {
+      // the branch ALSO accumulates its own debt — without merge-first
+      // ordering, materialize => true would clear it (a persistent
+      // branch commit) before the fork-debt refusal surfaced
+      TxLog.upsertByKeys(Seq((1L, "U")).toDF("id", "v"), path, Seq("id"), "bu", 0L)
+      ()
+    }
+    TxLog.commit(Seq((20L, "m")).toDF("id", "v"), path, "mw", 0L) // diverge
+    val before = new java.io.File(path, "_txlog").listFiles().map(_.getName).toSet
+    val e = intercept[java.util.ConcurrentModificationException] {
+      spark.sql("CALL mfcat.system.merge_branch(" +
+        "table => 'default.t', name => 'mf', materialize => true)").collect()
+    }
+    assert(e.getMessage.contains("debt at the fork"), e.getMessage)
+    val after = new java.io.File(path, "_txlog").listFiles().map(_.getName).toSet
+    assert(after == before,
+      s"a refused CALL must commit NOTHING (new: ${after -- before})")
+    assert(TxLog.branches(spark, path).contains("mf"), "the branch survives")
+  }
+
   test("keyed-CDC staging workflow (r19): a branch that accumulated keyed " +
       "debt refuses with in-place guidance; merge_branch(materialize => " +
       "true) clears it branch-scoped and merges past a diverged main") {

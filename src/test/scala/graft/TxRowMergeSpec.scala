@@ -195,6 +195,39 @@ class TxRowMergeSpec extends AnyFunSuite {
       "consumer replay must equal the snapshot lineage")
   }
 
+  test("feed table, opposite direction: main REWROTE the file, the branch " +
+      "DV'd it — the merge's CDF delta is the branch's delete at fork " +
+      "values (equal to main's carried values by disjointness)") {
+    val t = build(mor = true, feed = true)
+    TxLog.createBranch(spark, t, "b")
+    TxLog.onBranch("b") {
+      TxLog.delete(spark, t, col("id") === 0L, "bd", 0L) // DV on file 1
+      ()
+    }
+    TxLog.setProperties(spark, t, Map(TxLog.DmlModeProp -> TxLog.DmlModeCow))
+    TxLog.delete(spark, t, col("id") === 1L, "md", 0L) // rewrites file 1
+    val v = TxLog.mergeBranch(spark, t, "b")
+    assert(ids(t) == Seq(2L, 3L, 4L, 5L, 6L, 7L))
+    val feed = spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("startingVersion", v.toString).load(t)
+      .select("_change_type", "id").as[(String, Long)].collect().toSeq
+    assert(feed == Seq(("delete", 0L)),
+      s"merge version must serve ONLY the branch's delete: $feed")
+    // consumer replay from v0 equals the merged lineage
+    val ev = spark.read.format("txlog").option("readChangeFeed", "true")
+      .option("withRowIds", "true").option("startingVersion", "0").load(t)
+    val lastV = ev.groupBy(col("_row_id").as("rid_"))
+      .agg(max("_commit_version").as("lv"))
+    val consumer = ev.join(lastV,
+        ev("_row_id") === col("rid_") && ev("_commit_version") === col("lv"))
+      .where(col("_change_type") === "insert")
+      .select(ev("_row_id").as("rid"), col("id"), col("v"))
+    val lineage = TxLog.snapshotLineage(spark, t).get
+      .select(col("_row_id").as("rid"), col("id"), col("v"))
+    assert(consumer.exceptAll(lineage).count() == 0L &&
+      lineage.exceptAll(consumer).count() == 0L)
+  }
+
   test("row merge under a benign interleaved append: the lost slot race " +
       "re-judges (main moved → resolution re-staged) and lands once") {
     val t = build(mor = true)
