@@ -1116,9 +1116,12 @@ object TxLog {
       val raw0 = s.read.schema(org.apache.spark.sql.types.StructType(
           physicalSchemaOf(sch, cm).fields :+ gridField))
         .parquet(rel.map(absPath(table)): _*)
-      val raw = attachGrid(raw0, rids)
+      // DV filter BEFORE attachGrid: both speak `_metadata`, and the
+      // grid attachment may be a JOIN (> TailLookupLiteralMax files) —
+      // metadata references must bind below it, not above
       val hit = dvs.collect { case (fl, e) if rel.contains(fl) => fl -> e.p }
-      val dvd = if (hit.isEmpty) raw else applyDvFilter(s, table, raw, hit)
+      val dvd0 = if (hit.isEmpty) raw0 else applyDvFilter(s, table, raw0, hit)
+      val dvd = attachGrid(dvd0, rids)
       if (cm.isIdentity) dvd
       else dvd.select(sch.fields.toSeq.map(fd =>
         col(quoted(physicalName(cm, fd.name))).as(fd.name)) :+
@@ -1220,25 +1223,36 @@ object TxLog {
       diverged.flatMap(_.files).distinct.filter(mainLiveSet).sorted
     lazy val mainNet =
       readLineageRows(s, table, sch, cm, mainNewLive, mainDvsNow, ridsMain)
-    def forkView(f: String): DataFrame =
-      readLineageRows(s, table, sch, cm, Seq(f), baseDvs, ridsForkBr)
     def dvOf(e: Option[DvEntry]): TxDv.Dv =
       e.map(x => TxDv.read(s, table, x.p)).getOrElse(TxDv.empty)
-    // ids living at a fork file's DV-delta positions (driver-sized by
-    // the delta — the same class as the sidecar itself)
-    def idsAt(f: String, pos: Array[Long]): Array[Long] = {
-      if (pos.isEmpty) return Array.emptyLongArray
+    // BATCHED id extraction: the ids living at (fork file, position)
+    // pairs — ONE job for ANY number of contested files. Per-file jobs
+    // would serialize O(overlap) Spark rounds on the driver: fine at a
+    // 4-file overlap, minutes at a 100-file one. The driver-held pair
+    // count is Σ|DV delta| — the same class as the sidecars themselves.
+    def idsAtPairs(pairs: Seq[(String, Long)]): Array[Long] = {
+      if (pairs.isEmpty) return Array.emptyLongArray
+      val files = pairs.map(_._1).distinct.sorted
       val raw = s.read.schema(org.apache.spark.sql.types.StructType(
           physicalSchemaOf(sch, cm).fields :+ gridField))
-        .parquet(absPath(table)(f))
-      val withId = attachGrid(raw, ridsForkBr)
+        .parquet(files.map(absPath(table)): _*)
+      // metadata-derived columns extracted BEFORE attachGrid: its
+      // lookup may be a join, above which `_metadata` does not resolve
+      val withMeta = raw
+        .withColumn("__tk", tailKeyExpr(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val withId = attachGrid(withMeta, ridsForkBr)
         .select(col(quoted(TxRowId.GridCol)).as("__mid"),
-          col("_metadata.row_index").as("__pos"))
-      val posDf = s.createDataFrame(pos.toSeq.map(Tuple1(_))).toDF("__pos")
-      val got = withId.join(broadcast(posDf), "__pos").select("__mid")
-        .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
-      if (got.length != pos.length || got.contains(-1L))
-        refuse(f, "contested rows predate row-id assignment")
+          col("__tk"), col("__pos"))
+      val pairDf = s.createDataFrame(pairs.map { case (f, p) =>
+        (TxDv.tailKey(f), p) }).toDF("__tk", "__pos")
+      val got = withId.join(broadcast(pairDf), Seq("__tk", "__pos"))
+        .select("__mid").collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+      if (got.length != pairs.length || got.contains(-1L))
+        conflict(s"contested rows in [${files.mkString(", ")}] predate " +
+          "row-id assignment — same-file row merge needs id coverage; " +
+          "re-run the work on a fresh branch")
       got
     }
     def overlapCount(edited: DataFrame, ids: Array[Long]): Long = {
@@ -1250,8 +1264,10 @@ object TxLog {
     var drop = Set.empty[String]
     var extraRemoves = Vector.empty[String]
     var netFileDead = Set.empty[String]
-    var netTargets = Vector.empty[Long] // ids to delete from branch net files
-    var mainTargets = Vector.empty[Long] // ids to delete from main live files
+    // classify first (driver-only — DV position math, no Spark jobs);
+    // the id work then runs ONCE per conflict class, not once per file
+    var case2 = Vector.empty[(String, Array[Long])] // main DV'd, branch rewrote
+    var case3 = Vector.empty[(String, Array[Long])] // main rewrote, branch DV'd
     overlap.foreach { f =>
       val mainRemoved = !mainLiveSet(f)
       val brRewrote = netRemovesSet(f)
@@ -1275,25 +1291,45 @@ object TxLog {
             DvEntry(f, TxDv.write(s, table, merged), merged.cardinality)
         case (false, true) =>
           val mDv = dvOf(mainDvsNow.get(f))
-          val mDelta = mDv.positions.filterNot(forkDv.contains)
-          val ids = idsAt(f, mDelta)
-          val edited = forkView(f).exceptAll(branchNet)
-            .select(col(quoted(TxRowId.GridCol)))
-          if (overlapCount(edited, ids) > 0L)
-            refuse(f, "main deleted row(s) the branch edited")
-          netTargets ++= ids
+          case2 :+= (f -> mDv.positions.filterNot(forkDv.contains))
         case (true, false) =>
           val bDv = dvOf(brDvs.get(f))
-          val bDelta = bDv.positions.filterNot(forkDv.contains)
-          val ids = idsAt(f, bDelta)
-          val edited = forkView(f).exceptAll(mainNet)
-            .select(col(quoted(TxRowId.GridCol)))
-          if (overlapCount(edited, ids) > 0L)
-            refuse(f, "the branch deleted row(s) main edited")
-          mainTargets ++= ids
+          case3 :+= (f -> bDv.positions.filterNot(forkDv.contains))
           drop += f // the branch's DV on a main-dead file must not publish
       }
     }
+    // joint disjointness per class: ids are GLOBALLY unique and an id's
+    // row lives in exactly one fork file, so the union check over all
+    // contested files equals the per-file checks — one exceptAll + one
+    // broadcast-join count per class instead of per file
+    val netTargets: Array[Long] =
+      if (case2.isEmpty) Array.emptyLongArray
+      else {
+        val ids = idsAtPairs(case2.flatMap { case (f, ps) => ps.map(f -> _) })
+        val forkC2 = readLineageRows(s, table, sch, cm,
+          case2.map(_._1), baseDvs, ridsForkBr)
+        val edited = forkC2.exceptAll(branchNet)
+          .select(col(quoted(TxRowId.GridCol)))
+        if (overlapCount(edited, ids) > 0L)
+          conflict("main deleted row(s) the branch edited in " +
+            s"[${case2.map(_._1).mkString(", ")}] — the edits are not " +
+            "row-disjoint; re-run the work on a fresh branch")
+        ids
+      }
+    val mainTargets: Array[Long] =
+      if (case3.isEmpty) Array.emptyLongArray
+      else {
+        val ids = idsAtPairs(case3.flatMap { case (f, ps) => ps.map(f -> _) })
+        val forkC3 = readLineageRows(s, table, sch, cm,
+          case3.map(_._1), baseDvs, ridsForkBr)
+        val edited = forkC3.exceptAll(mainNet)
+          .select(col(quoted(TxRowId.GridCol)))
+        if (overlapCount(edited, ids) > 0L)
+          conflict("the branch deleted row(s) main edited in " +
+            s"[${case3.map(_._1).mkString(", ")}] — the edits are not " +
+            "row-disjoint; re-run the work on a fresh branch")
+        ids
+      }
     // locate each target id in its lineage's live files and stage the
     // resolution DVs — the stageDvs mapGroups pattern (executor-side
     // union with any existing vector, sidecars staged in place)
@@ -1304,9 +1340,11 @@ object TxLog {
       val raw = s.read.schema(org.apache.spark.sql.types.StructType(
           physicalSchemaOf(sch, cm).fields :+ gridField))
         .parquet(files.map(absPath(table)): _*)
-      val withId = attachGrid(raw, rids)
-        .select(col("_metadata.file_path").as("__gf"),
-          col("_metadata.row_index").as("__gri"),
+      val withMeta = raw
+        .withColumn("__gf", col("_metadata.file_path"))
+        .withColumn("__gri", col("_metadata.row_index"))
+      val withId = attachGrid(withMeta, rids)
+        .select(col("__gf"), col("__gri"),
           col(quoted(TxRowId.GridCol)).as("__mid"))
       val idsDf = s.createDataFrame(targets.map(Tuple1(_))).toDF("__oid")
       val hits = withId.join(broadcast(idsDf), col("__mid") === col("__oid"))
@@ -1343,13 +1381,13 @@ object TxLog {
           s"resolved file $tail not in the candidate set")), dvRel, card)
       }.sortBy(_._1)
     }
-    stageIdDvs(netTargets, netFiles, ridsForkBr, brDvs).foreach {
+    stageIdDvs(netTargets.toSeq, netFiles, ridsForkBr, brDvs).foreach {
       case (rel, dvRel, card) =>
         val rows = brStats.get(rel).map(_.rows).getOrElse(-1L)
         if (rows > 0L && card >= rows) netFileDead += rel
         else replaceB += rel -> DvEntry(rel, dvRel, card)
     }
-    stageIdDvs(mainTargets, mainNewLive, ridsMain, mainDvsNow).foreach {
+    stageIdDvs(mainTargets.toSeq, mainNewLive, ridsMain, mainDvsNow).foreach {
       case (rel, dvRel, card) =>
         val rows = mainStats.get(rel).map(_.rows).getOrElse(-1L)
         if (rows > 0L && card >= rows) extraRemoves :+= rel
