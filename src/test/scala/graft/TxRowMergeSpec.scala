@@ -252,6 +252,39 @@ class TxRowMergeSpec extends AnyFunSuite {
     assert(manifests.count(_.contains("branch-merge-")) == 1)
   }
 
+  test("orphaned resolution sidecars (a lost-race re-stage) are " +
+      "vacuum-collectable and a zero-retention sweep never touches the " +
+      "winning resolution's vectors") {
+    val t = build(mor = true, feed = true)
+    TxLog.createBranch(spark, t, "b")
+    TxLog.onBranch("b") {
+      TxLog.delete(spark, t, col("id") === 0L, "bd", 0L)
+      ()
+    }
+    TxLog.delete(spark, t, col("id") === 1L, "md", 0L) // DV, same file
+    // interleaved append moves main between resolution and publish →
+    // the memo key (base, branch head, MAIN head) invalidates and the
+    // resolution re-stages; the first attempt's sidecars orphan
+    var fired = false
+    val v = TxLog.mergeBranch(spark, t, "b", beforeCommit = () => {
+      if (!fired) {
+        fired = true
+        TxLog.commit(Seq((200L, "m")).toDF("id", "v").coalesce(1), t, "mw", 1L)
+        ()
+      }
+    })
+    assert(v > 0L && fired)
+    val before = ids(t)
+    assert(before == Seq(2L, 3L, 4L, 5L, 6L, 7L, 200L))
+    // zero-retention vacuum: collects the orphans, keeps the winner
+    val swept = TxLog.vacuum(spark, t, minAgeMs = 0L)
+    assert(swept >= 0)
+    assert(ids(t) == before, "the sweep must not change the merged state")
+    // the id surface survives the sweep too
+    val lin = TxLog.snapshotLineage(spark, t).get.select("_row_id")
+    assert(lin.distinct().count() == lin.count() && lin.count() == 7L)
+  }
+
   test("rewrite vs rewrite still refuses; schema divergence disables the " +
       "row merge (one shared coordinate system required)") {
     // rewrite-vs-rewrite: COW deletes on both sides of one file
