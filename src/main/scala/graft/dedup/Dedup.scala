@@ -1332,8 +1332,8 @@ object Dedup {
     import graft.functions.VectorFunctions.dot_product
     val q = graft.sim.KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
     val home = graft.sim.KmeansQuantizer
-      .assignRanked(q, graft.sim.Similarity.trainedCodebook(s, dir))
-      .filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
+      .assign(q, graft.sim.Similarity.trainedCodebook(s, dir))
+      .select($"vec_id", $"cid".as("cell"))
     // inner join: zero-norm vectors have no unit form and no cosine —
     // excluded from membership and pairing alike (oracle mirrors)
     val j = home.join(unitVectors(s, dir), "vec_id")

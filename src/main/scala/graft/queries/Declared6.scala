@@ -467,23 +467,43 @@ object Declared6 {
         else Iterator.range(0, d * d).map(k => (k / d + 1, k % d + 1, acc(k)))
       }
       .toDF("i", "j", "p")
-    // the matrix is DIMENSION-sized (d² = 4096 rows) — after the
-    // distributed Gram pass it lives on one partition by design, so the
-    // 2·PiIters tiny join/agg stages don't each schedule a full task
-    // wave; corpus size never touches anything below this line
-    val m = cells.groupBy($"i", $"j").agg(sum($"p").as("mij")).coalesce(1)
-    val ms = m.crossJoin(broadcast(m.agg(max(abs($"mij")).as("maxm"))))
-      .select($"i", $"j", expr(s"mij div greatest(1, maxm div $PiMatCap)").as("ms"))
-      .localCheckpoint()
-    var vec = s.range(1, d + 1)
-      .select($"id".cast("int").as("j"), lit(PiVecScale).as("vj"))
-    for (_ <- 1 to PiIters) {
-      val w = ms.join(broadcast(vec), "j")
-        .groupBy($"i").agg(sum($"ms" * $"vj").as("wi"))
-      vec = w.crossJoin(broadcast(w.agg(max(abs($"wi")).as("mw"))))
-        .select($"i".as("j"), expr(s"wi div greatest(1, mw div $PiVecScale)").as("vj"))
+    // the matrix is DIMENSION-sized (d² = 4096 cells) — pull it to the
+    // driver (the materializeCoarse / q78b-seeds bounded-pull pattern;
+    // MLlib's own RowMatrix Gramian design: distributed pass for the
+    // corpus-sized Gram, LOCAL linear algebra on the d×d result) and
+    // run the PiIters matvec/renormalize steps in the same exact i64
+    // arithmetic. The r19 form ran each step as a join+agg+normalizer
+    // triple of Spark jobs over 64-row frames — 10+ scheduler
+    // round-trips for arithmetic on 4 KB of state, and the unrolled
+    // recurrence (w feeding both the matvec and its own max-normalizer)
+    // re-evaluated early steps exponentially (guide §1.2: fix the
+    // algorithm's pass structure first; §5: the driver may do
+    // dimension-sized work). `div` below replicates Spark's
+    // IntegralDivide on BIGINT (truncation toward zero — Java long
+    // division), the exact semantics the oracle's unrolled SQL mirrors;
+    // hash equality over negative wi values is re-proven by the driver
+    // check each round.
+    val m = cells.groupBy($"i", $"j").agg(sum($"p").as("mij"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    if (m.isEmpty) Seq.empty[(Int, Long)].toDF("dim", "v")
+    else {
+      val maxm = m.iterator.map(c => math.abs(c._3)).max
+      val mq = math.max(1L, maxm / PiMatCap)
+      val mat = Array.ofDim[Long](d * d)
+      m.foreach { case (i, j, v) => mat((i - 1) * d + (j - 1)) = v / mq }
+      var vec = Array.fill(d)(PiVecScale)
+      for (_ <- 1 to PiIters) {
+        val w = Array.tabulate(d) { i =>
+          var acc = 0L; var j = 0
+          while (j < d) { acc += mat(i * d + j) * vec(j); j += 1 }
+          acc
+        }
+        val mw = w.iterator.map(math.abs).max
+        val vq = math.max(1L, mw / PiVecScale)
+        vec = w.map(_ / vq)
+      }
+      (1 to d).map(i => (i, vec(i - 1))).toDF("dim", "v").orderBy($"dim")
     }
-    vec.select($"j".as("dim"), $"vj".as("v")).orderBy($"dim")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

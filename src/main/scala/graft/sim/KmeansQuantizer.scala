@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,18 +27,23 @@ object KmeansQuantizer {
     * both engines. */
   val Scale = 1048576L
 
-  /** Exact i64 squared L2 distance between quantized vectors. */
-  private[graft] val distUdf = udf((v: Seq[Long], c: Seq[Long]) => {
-    var d = 0L; var i = 0
-    val n = math.min(v.length, c.length)
-    while (i < n) { val t = v(i) - c(i); d += t * t; i += 1 }
-    d
-  })
+  /** Exact i64 squared L2 distance between quantized vectors — the
+    * codegen'd [[graft.functions.SqDistL2]] Expression (identical
+    * arithmetic to the r19 Scala UDF it replaced: Σ (a−b)² over the
+    * shorter length; opt guide §4 — the UDF paid ArrayData→Seq boxing
+    * per call and broke whole-stage codegen across every IVF/PQ
+    * assignment and encode projection). Callers must have
+    * [[graft.functions.VectorFunctions.register]]ed the session; every
+    * entry point in this file and [[PqQuantizer]] does. */
+  private[graft] def distUdf(a: org.apache.spark.sql.Column,
+                             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.l2_dist(a, b)
 
   /** (vec_id, qv: array<long>) — the corpus in fixed-point. */
   def quantized(embeddings: DataFrame): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     embeddings.select($"vec_id",
       transform($"embedding".cast("array<double>"),
         x => floor(x * Scale + 0.5).cast("long")).as("qv"))
@@ -50,16 +55,34 @@ object KmeansQuantizer {
   def assignRanked(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     val wd = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
     vecs.crossJoin(broadcast(cents))
       .select($"vec_id", $"qv", $"cid", distUdf($"qv", $"cv").as("dist"))
       .withColumn("rn", row_number().over(wd))
   }
 
-  /** Hard assignment: each vector's single nearest centroid. */
-  def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    assignRanked(vecs, cents).filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cid"))
+  /** Hard assignment: each vector's single nearest centroid. Argmin via
+    * `min_by` over the totally-ordered (dist, cid) struct — EXACTLY
+    * [[assignRanked]]'s rn=1 row (same exact distances, same tie→lower
+    * cid), but as a partial-aggregable groupBy instead of a full-corpus
+    * window: every vector's k candidate rows are map-local (fanned out
+    * from one input row), so the partial agg collapses them to ONE row
+    * per vector before the exchange — the shuffle carries |corpus| rows
+    * instead of k·|corpus|, and the per-partition window SORT disappears
+    * (opt guide §2.3 aggregate-before-shuffle / §2.4). The rank-needing
+    * callers (probe selection over the query set) filter to the
+    * query rows FIRST and pay [[assignRanked]]'s window only on those. */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    vecs.crossJoin(broadcast(cents))
+      .select($"vec_id", $"qv", $"cid", distUdf($"qv", $"cv").as("dist"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"qv", $"cid"), struct($"dist", $"cid")).as("m"))
+      .select($"vec_id", $"m.qv".as("qv"), $"m.cid".as("cid"))
+  }
 
   /** Lloyd update in exact integer arithmetic: floored mean per
     * (cluster, dim) cell — one k·d-row partial-agg shuffle. */
@@ -80,16 +103,79 @@ object KmeansQuantizer {
       .select($"cid", transform($"pc", e => e("cval")).as("cv"))
   }
 
+  /** Sentinel distance for ABSENT centroid slots in a dense
+    * cid-indexed literal codebook (the [[PqQuantizer.AbsentDist]]
+    * argument): real distances are ≤ d·(2·Scale·0.58)² ≈ 9.4e13 ≪ 2^59,
+    * so an absent slot can never win an argmin. */
+  val AbsentCellDist: Long = 1L << 59
+
+  /** Dense cid-indexed centroid matrix from (cid, cv) rows: slot i holds
+    * centroid i's vector, or an EMPTY array when cell i lost all members
+    * in the Lloyd step (the argmin kernels map empty → [[AbsentCellDist]]).
+    * Driver-side and dimension-sized (k·d longs) by construction. */
+  def denseCells(cents: Seq[(Int, Seq[Long])]): Seq[Seq[Long]] = {
+    val k = cents.map(_._1).max + 1
+    val m = cents.toMap
+    (0 until k).map(c => m.getOrElse(c, Seq.empty[Long]))
+  }
+
+  /** Per-row distance vector of `qv` against a dense literal codebook:
+    * element cid = exact i64 L2 (or [[AbsentCellDist]] for an absent
+    * slot). The building block of the SHUFFLE-FREE assignment kernels:
+    * with the codebook a driver literal (it is always dimension-sized),
+    * nearest-cell routing needs no crossJoin fan-out, no aggregation and
+    * no window — it is a per-row expression computed inside the scan
+    * stage (opt guide §2.4 "remove shuffles outright"). Arithmetic and
+    * tie-breaks are IDENTICAL to the join-based [[assign]]/[[assignRanked]]. */
+  def cellDists(qv: Column, cellsLit: Column): Column =
+    transform(cellsLit,
+      cv => when(size(cv) === 0, lit(AbsentCellDist))
+        .otherwise(graft.functions.VectorFunctions.l2_dist(qv, cv)))
+
+  /** Per-row HOME cell id over a dense literal codebook: argmin of
+    * [[cellDists]] with ties → lower cid (`array_position` returns the
+    * FIRST index of the minimum — exactly [[assign]]'s min_by order). */
+  def homeCid(qv: Column, cellsLit: Column): Column =
+    (array_position(cellDists(qv, cellsLit),
+      array_min(cellDists(qv, cellsLit))) - 1).cast("int")
+
+  /** Per-row NPROBE nearest cell ids over a dense literal codebook,
+    * nearest first: sort (dist, cid) structs (lexicographic =
+    * [[assignRanked]]'s (dist, cid) window order), keep the first
+    * `nprobe` cids. */
+  def probeCids(qv: Column, cellsLit: Column, k: Int, nprobe: Int): Column = {
+    val withCid = transform(sequence(lit(0), lit(k - 1)),
+      i => struct(element_at(cellDists(qv, cellsLit), i + 1).as("dist"),
+        i.cast("int").as("cid")))
+    // absent slots (sentinel dist) drop out — [[assignRanked]] ranked
+    // only PRESENT centroid rows, so the probe list must too
+    transform(
+      slice(filter(array_sort(withCid),
+        x => x.getField("dist") < AbsentCellDist), 1, nprobe),
+      x => x.getField("cid"))
+  }
+
   /** One-Lloyd-step codebook: seeds = vectors 0..k−1, one assignment,
     * one exact-integer update → (cid, cv) centroid vectors. Fully
     * deterministic, so a SQL engine rebuilds the identical codebook
-    * from the corpus (the oracle path for sim_topk_ivf_trained). */
+    * from the corpus (the oracle path for sim_topk_ivf_trained).
+    *
+    * Plan shape (r20): the k seed vectors are collected (k·d longs —
+    * dimension-sized) and the assignment runs as the per-row
+    * [[homeCid]] kernel inside the corpus scan, so the trainer's only
+    * exchanges are the (cid, pos) cell partial-agg and the k-row
+    * reassembly — the r19 form paid an additional corpus-sized
+    * assignment exchange (crossJoin fan-out + per-vector argmin
+    * aggregation) for the same bit-identical result. */
   def trainedCodebook(embeddings: DataFrame, k: Int): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     val q = quantized(embeddings)
     val seeds = q.filter($"vec_id" < k)
-      .select($"vec_id".cast("int").as("cid"), $"qv".as("cv"))
-    cellVectors(lloydCells(assign(q, seeds)))
+      .select($"vec_id".cast("int"), $"qv")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+    val seedsLit = typedlit(denseCells(seeds.toIndexedSeq))
+    cellVectors(lloydCells(
+      q.select($"qv", homeCid($"qv", seedsLit).as("cid"))))
   }
 }

@@ -70,16 +70,21 @@ object PqQuantizer {
   def codebooks(sub: DataFrame): DataFrame = {
     val s = sub.sparkSession
     import s.implicits._
-    val seeds = sub.filter($"vec_id" < KS)
-      .select($"sub", $"vec_id".cast("int").as("cid"), $"sqv".as("cv"))
-    // argmin via min_by on struct(dist, cid): cid is unique per group,
-    // so the ordering struct is totally ordered — exact tie→lower-cid
-    val assigned = sub.join(broadcast(seeds), "sub")
-      .select($"vec_id", $"sub", $"sqv", $"cid",
-        distUdf($"sqv", $"cv").as("dist"))
-      .groupBy($"vec_id", $"sub")
-      .agg(min_by(struct($"cid", $"sqv"), struct($"dist", $"cid")).as("m"))
-      .select($"sub", $"m.cid".as("cid"), $"m.sqv".as("sqv"))
+    graft.functions.VectorFunctions.register(s)
+    // seeds = the subvectors of vec_id 0..KS−1: M·KS·SubDim longs —
+    // dimension-sized, so collect them and run the assignment as a
+    // per-row argmin kernel inside the scan (first index of the
+    // minimum = tie→lower cid, the exact min_by(struct(dist, cid))
+    // order of the r19 broadcast-join form). The trainer's only
+    // remaining exchange is the (sub, cid, pos) cell partial-agg —
+    // the r19 form paid an extra n·M-row argmin aggregation exchange
+    // for the same bit-identical codebook (opt guide §2.4).
+    val seedRows = sub.filter($"vec_id" < KS)
+      .select($"sub", $"vec_id".cast("int").as("cid"), $"sqv")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    val seedsLit = typedlit(denseCodebook(seedRows.toIndexedSeq))
+    val assigned = sub.select($"sub", $"sqv",
+      subCid($"sqv", $"sub", seedsLit).as("cid"))
     val cells = assigned
       .select($"sub", $"cid", posexplode($"sqv").as(Seq("pos", "x")))
       .groupBy($"sub", $"cid", $"pos")
@@ -89,6 +94,13 @@ object PqQuantizer {
       .select($"sub", $"cid", transform($"pc", e => e("cval")).as("cv"))
   }
 
+  /** Per-row argmin code id of an ALREADY-SLICED subvector against
+    * sub-codebook `sub` of a literal codebook (ties → lower cid). */
+  def subCid(sqv: Column, sub: Column, cbLit: Column): Column = {
+    val ds = subDists(sqv, element_at(cbLit, sub + 1))
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
   /** (vec_id, codes: array<int>) — each vector's M nearest-sub-centroid
     * code ids, ordered by subspace. Codebooks broadcast; the exchange
     * carries n·M min_by partials then n collect partials — compact
@@ -96,6 +108,7 @@ object PqQuantizer {
   def encoded(sub: DataFrame, cb: DataFrame): DataFrame = {
     val s = sub.sparkSession
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     sub.join(broadcast(cb), "sub")
       .select($"vec_id", $"sub", $"cid", distUdf($"sqv", $"cv").as("dist"))
       .groupBy($"vec_id", $"sub")
@@ -124,6 +137,7 @@ object PqQuantizer {
   def queryTables(sub: DataFrame, cb: DataFrame, numQueries: Int): DataFrame = {
     val s = sub.sparkSession
     import s.implicits._
+    graft.functions.VectorFunctions.register(s)
     sub.filter($"vec_id" < numQueries)
       .select($"vec_id".as("query_id"), $"sub", $"sqv")
       .join(broadcast(cb), "sub")
@@ -145,4 +159,56 @@ object PqQuantizer {
     aggregate(
       zip_with(codes, qdt, (c, ds) => element_at(ds, c + 1)),
       lit(0L), (acc, x) => acc + x)
+
+  // ------------------- per-row kernels over a LITERAL codebook (r20)
+  // The PQ codebook is always dimension-sized (M·KS·SubDim = 1,024
+  // longs), so once it is materialized on the driver, encode and
+  // query-table construction need no join, no aggregation and no
+  // exchange AT ALL — they are per-row expressions computed inside the
+  // scan stage (opt guide §2.4 "remove shuffles outright"; §1.1
+  // first-principles: the only fundamentally required shuffles in the
+  // PQ family are the trainer's cell partial-agg and the final top-K).
+  // Arithmetic and tie-breaks are IDENTICAL to the join-based
+  // [[encoded]]/[[queryTables]] (same [[KmeansQuantizer.distUdf]]
+  // distances, argmin ties → lower cid via FIRST-index-of-min, absent
+  // sub-centroids filled with [[AbsentDist]]).
+
+  /** Dense [M][KS][SubDim] literal matrix from (sub, cid, cv) codebook
+    * rows; a sub-centroid that lost all members in the Lloyd step gets
+    * an EMPTY slot (mapped to [[AbsentDist]] by [[subDists]]). */
+  def denseCodebook(rows: Seq[(Int, Int, Seq[Long])]): Seq[Seq[Seq[Long]]] = {
+    val m = rows.map(r => (r._1, r._2) -> r._3).toMap
+    (0 until M).map(sub => (0 until KS).map(cid =>
+      m.getOrElse((sub, cid), Seq.empty[Long])))
+  }
+
+  /** Subvector `sub` (0-based) of a quantized vector — positional slice,
+    * the same arithmetic as [[subvectors]]' slice. */
+  def subSlice(qv: Column, sub: Column): Column =
+    slice(qv, sub * SubDim + 1, lit(SubDim))
+
+  /** Distance vector of one subvector against one sub-codebook slot
+    * list: element cid = exact i64 L2, or [[AbsentDist]] for an absent
+    * slot. */
+  def subDists(sqv: Column, subCb: Column): Column =
+    transform(subCb,
+      cv => when(size(cv) === 0, lit(AbsentDist))
+        .otherwise(graft.functions.VectorFunctions.l2_dist(sqv, cv)))
+
+  /** Per-row PQ codes straight from the quantized vector: for each
+    * subspace, the argmin code id over the literal codebook (ties →
+    * lower cid = first index of the minimum). Row-identical to
+    * [[encoded]] over the same codebook. */
+  def codesFromQv(qv: Column, cbLit: Column): Column =
+    transform(sequence(lit(0), lit(M - 1)), sub => {
+      val ds = subDists(subSlice(qv, sub), element_at(cbLit, sub + 1))
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    })
+
+  /** Per-row packed ADC distance table straight from the quantized
+    * query vector: qdt[sub][cid] — row-identical to [[queryTables]]
+    * over the same codebook (absent slots = [[AbsentDist]]). */
+  def qdtFromQv(qv: Column, cbLit: Column): Column =
+    transform(sequence(lit(0), lit(M - 1)),
+      sub => subDists(subSlice(qv, sub), element_at(cbLit, sub + 1)))
 }

@@ -260,15 +260,23 @@ object Similarity {
         el => el.getField("c")).as("cv"))
       .select($"label".as("cell"), $"cv",
         sqrt(dot_product($"cv", $"cv")).as("cnorm"))
-    // assignment: rank cells per vector by cosine; rn=1 is the home cell,
-    // rn<=NProbe are the query's probe cells
-    val wCell = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cell")
-    val asg = e.crossJoin(broadcast(cents))
-      .select($"vec_id", $"v", $"norm", $"cell",
+    // assignment: home = the argmax-cosine cell via max_by over the
+    // totally-ordered (cos_c, −cell) struct — exactly the old window's
+    // rn=1 row (same doubles, same tie→lower cell) but partial-aggregable
+    // (the shuffle carries |corpus| rows, not cells·|corpus|, and the
+    // per-partition window sort disappears — guide §2.3/§2.4). The
+    // rank-needing probe selection filters to the query vectors FIRST
+    // and pays the window only on |queries|·cells rows.
+    val asgCos = (df: DataFrame) => df.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cell",
         (dot($"v", $"cv") / ($"norm" * $"cnorm")).as("cos_c"))
+    val home = asgCos(e)
+      .groupBy($"vec_id")
+      .agg(max_by($"cell", struct($"cos_c", -$"cell")).as("cell"))
+    val wCell = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cell")
+    val qprobe = asgCos(e.filter($"vec_id" < NumQueries))
       .withColumn("rn", row_number().over(wCell))
-    val home = asg.filter($"rn" === 1).select($"vec_id", $"cell")
-    val qprobe = asg.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
+      .filter($"rn" <= NProbe)
       .select($"vec_id".as("query_id"), $"cell")
     val qv = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
@@ -314,23 +322,68 @@ object Similarity {
     * exact metric for scoring). Candidates scale with cell occupancy
     * (NProbe/k of the corpus), not corpus size; the persisted form is
     * [[writeIvfIndex]] (bucketBy cell → shuffle-free probes). */
+  /** One-scan corpus frame for the codebook-literal paths: vcol plus
+    * the fixed-point quantization as a per-row column — the SAME
+    * arithmetic as [[KmeansQuantizer.quantized]] (floor(x·Scale + ½) of
+    * the double-cast embedding), so home cells, codes and distances are
+    * bit-identical while home assignment / encode / residuals all
+    * compute inside this single scan instead of re-reading and joining
+    * (opt guide §2.4/§8: decide with small rows, scan the payload once). */
+  private def vq(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    // no repartition (unlike [[vcol]]): the literal-kernel paths do
+    // per-row work only — at cluster scale the scan's own file splits
+    // provide the parallelism, and locally the extra Exchange just
+    // adds a 32-task round-trip per pass over a 2,000-row corpus
+    // (guide §2.4: a repartition "for parallelism" is an accidental
+    // shuffle when the downstream work is map-only)
+    df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+      .withColumn("qv",
+        transform($"v", x => floor(x * KmeansQuantizer.Scale + 0.5).cast("long")))
+  }
+
+  /** Collect a (cid, cv) codebook to the driver (k·d longs — the
+    * bounded [[materializeCoarse]] pull, as an array for literal use). */
+  private def collectCoarse(cb: DataFrame): IndexedSeq[(Int, Seq[Long])] =
+    cb.collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toIndexedSeq
+
+  /** Collect a (sub, cid, cv) PQ codebook to the driver (M·KS·SubDim
+    * longs) as the dense [M][KS] literal matrix. */
+  private def collectPq(cb: DataFrame): Seq[Seq[Seq[Long]]] =
+    PqQuantizer.denseCodebook(
+      cb.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toIndexedSeq)
+
   def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = vcol(Tables(s, dir, "embeddings"))
-    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
-    val ranked = KmeansQuantizer.assignRanked(q, materializeCoarse(trainedCodebook(s, dir)))
-    val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
-    val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"cid".as("cell"))
-    val qv = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
+    // r20 plan shape: the trained codebook is collected once
+    // (dimension-sized) and becomes a LITERAL; home assignment and
+    // probe-cell selection are then per-row kernels inside the single
+    // corpus scan — the r19 form paid a corpus-sized assignment
+    // exchange (crossJoin fan-out + per-vector argmin window) plus a
+    // second corpus scan joined back on vec_id for the re-rank
+    // vectors. Candidates remain an equi-join on cell with the
+    // query-probe side broadcast; the only exchanges left are the
+    // top-K windows (guide §2.4 "remove shuffles outright").
+    val cells = KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir)))
+    val cellsLit = typedlit(cells)
+    val data = vq(Tables(s, dir, "embeddings"))
+      .withColumn("cell", KmeansQuantizer.homeCid($"qv", cellsLit))
+    val qprobe = data.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"),
+        explode(KmeansQuantizer.probeCids($"qv", cellsLit, cells.size, NProbe)).as("cell"))
+    val qv = data.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qvec"), $"norm".as("qnorm"))
     val wRank = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
-    qprobe.join(home, "cell")
+    data.select($"vec_id", $"v", $"norm", $"cell")
+      .join(broadcast(qprobe), "cell")
       .filter($"vec_id" =!= $"query_id")
       .join(broadcast(qv), "query_id")
-      .join(e.select($"vec_id", $"v", $"norm"), "vec_id")
       .select($"query_id", $"vec_id",
-        (dot($"qv", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
+        (dot($"qvec", $"v") / ($"qnorm" * $"norm")).as("cos_sim"))
       .withColumn("rank", row_number().over(wRank))
       .filter($"rank" <= K)
       .select($"query_id", $"vec_id", $"rank", $"cos_sim")
@@ -344,12 +397,14 @@ object Similarity {
   def writeIvfIndex(s: SparkSession, dir: String, table: String,
                     numBuckets: Int = KCells): Unit = {
     import s.implicits._
-    val e = vcol(Tables(s, dir, "embeddings"))
-    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
-    val home = KmeansQuantizer.assignRanked(q, trainedCodebook(s, dir))
-      .filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
-    val idx = e.join(home, "vec_id")
-      .select($"vec_id", $"label", $"v", $"norm", $"cell")
+    // codebook → literal; home assignment is a per-row kernel in the
+    // single scan feeding the bucketed write (no assignment exchange,
+    // no vec_id self-join — guide §2.4)
+    val cellsLit = typedlit(
+      KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir))))
+    val idx = vq(Tables(s, dir, "embeddings"))
+      .select($"vec_id", $"label", $"v", $"norm",
+        KmeansQuantizer.homeCid($"qv", cellsLit).as("cell"))
     graft.operators.StorageLayout.writeBucketed(idx, table, "cell", numBuckets)
   }
 
@@ -425,18 +480,24 @@ object Similarity {
   def pqTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PqQuantizer._
-    val e = vcol(Tables(s, dir, "embeddings"))
-    val sub = subvectors(KmeansQuantizer.quantized(Tables(s, dir, "embeddings")))
-    val cb = materializePq(codebooks(sub))
-    val codes = encoded(sub, cb)
-    val qdt = queryTables(sub, cb, NumQueries)
+    // r20 plan shape: the trained PQ codebook is collected once
+    // (M·KS·SubDim longs) and becomes a LITERAL; encode and the packed
+    // per-query tables are then per-row kernels — the r19 form paid two
+    // n·M-row aggregation exchanges (encode min_by + codes reassembly)
+    // per evaluation for the same bit-identical codes (guide §2.4)
+    val data = vq(Tables(s, dir, "embeddings"))
+    val cbLit = typedlit(collectPq(codebooks(subvectors(
+      KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))))))
+    val codes = data.select($"vec_id", codesFromQv($"qv", cbLit).as("codes"))
+    val qdt = data.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), qdtFromQv($"qv", cbLit).as("qdt"))
     val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
     val cand = codes.crossJoin(broadcast(qdt))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
       .withColumn("rn", row_number().over(wR))
       .filter($"rn" <= PqRerank)
-    rerankExact(cand, e)
+    rerankExact(cand, data)
   }
 
   /** IVF-PQ top-K — the full FAISS-style IVFADC composition and the
@@ -451,27 +512,36 @@ object Similarity {
   def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PqQuantizer._
-    val e = vcol(Tables(s, dir, "embeddings"))
-    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
-    val ranked = KmeansQuantizer.assignRanked(q, materializeCoarse(trainedCodebook(s, dir)))
-    val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
-    val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"cid".as("cell"))
-    val sub = subvectors(q)
-    val cb = materializePq(codebooks(sub))
-    val codes = encoded(sub, cb)
-    val qdt = queryTables(sub, cb, NumQueries)
+    // r20 plan shape: BOTH codebooks are collected once
+    // (dimension-sized) and become LITERALS; home routing, encode,
+    // probe selection and the per-query ADC tables are all per-row
+    // kernels inside ONE corpus scan. Candidates remain the cell
+    // equi-join with the broadcast query side; the only exchanges left
+    // are the two top-K windows. The r19 form paid a corpus assignment
+    // exchange, two encode exchanges, and a corpus-side vec_id join
+    // for the same bit-identical rows (guide §2.4, §8).
+    val cells = KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir)))
+    val cellsLit = typedlit(cells)
+    val cbLit = typedlit(collectPq(codebooks(subvectors(
+      KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))))))
+    val data = vq(Tables(s, dir, "embeddings"))
+      .withColumn("cell", KmeansQuantizer.homeCid($"qv", cellsLit))
+    val qprobe = data.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"),
+        explode(KmeansQuantizer.probeCids($"qv", cellsLit, cells.size, NProbe)).as("cell"))
+    val qdt = data.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), qdtFromQv($"qv", cbLit).as("qdt"))
     // candidates: codes of vectors homed in the query's probe cells —
     // cell equi-join (broadcast query side), never a corpus cross join
     val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
-    val cand = codes.join(home, "vec_id")
+    val cand = data.select($"vec_id", $"cell", codesFromQv($"qv", cbLit).as("codes"))
       .join(broadcast(qprobe), "cell")
       .filter($"vec_id" =!= $"query_id")
       .join(broadcast(qdt), "query_id")
       .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
       .withColumn("rn", row_number().over(wR))
       .filter($"rn" <= PqRerank)
-    rerankExact(cand, e)
+    rerankExact(cand, data)
   }
 
   /** RESIDUAL IVF-PQ top-K — the full-fidelity IVFADC encoding (the
@@ -490,51 +560,43 @@ object Similarity {
   def ivfPqResTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PqQuantizer._
-    import KmeansQuantizer.distUdf
-    val e = vcol(Tables(s, dir, "embeddings"))
-    val q = KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))
-    val coarse = materializeCoarse(trainedCodebook(s, dir))
-    val ranked = KmeansQuantizer.assignRanked(q, coarse)
-    val home = ranked.filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
-    val qprobe = ranked.filter($"rn" <= NProbe && $"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"cid".as("cell"))
+    // r20 plan shape: the coarse codebook becomes a LITERAL, so home
+    // routing AND the residual computation are per-row kernels —
+    // `rqv = qv − cells[cell]` needs no join at all. The residual PQ
+    // codebook is trained from the same per-row residual column
+    // (collected once, dimension-sized) and then encode and the
+    // per-(query, probed cell) residual ADC tables are per-row kernels
+    // too. The r19 form paid a corpus assignment exchange, a
+    // corpus-sized residual join (vec_id + cell), two encode
+    // exchanges, and a two-level qdt aggregation for the same
+    // bit-identical rows (guide §2.4, §8).
+    val cells = KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir)))
+    val cellsLit = typedlit(cells)
     // residual corpus: qv − home-cell centroid, elementwise i64
-    val resid = q.join(home, "vec_id")
-      .join(broadcast(coarse.select($"cid".as("cell"), $"cv".as("ccv"))), "cell")
-      .select($"vec_id", zip_with($"qv", $"ccv", (a, b) => a - b).as("qv"))
-    val rsub = subvectors(resid)
-    val cb = materializePq(codebooks(rsub))
-    val codes = encoded(rsub, cb)
-    // per-(query, probed cell) residual distance tables, dense-packed
-    val qrsub = q.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), $"qv")
-      .join(broadcast(qprobe), "query_id")
-      .join(broadcast(coarse.select($"cid".as("cell"), $"cv".as("ccv"))), "cell")
+    val withRes = vq(Tables(s, dir, "embeddings"))
+      .withColumn("cell", KmeansQuantizer.homeCid($"qv", cellsLit))
+      .withColumn("rqv",
+        zip_with($"qv", element_at(cellsLit, $"cell" + 1), (a, b) => a - b))
+    val cbLit = typedlit(collectPq(codebooks(subvectors(
+      withRes.select($"vec_id", $"rqv".as("qv"))))))
+    // per-(query, probed cell) residual distance tables, dense-packed —
+    // one row per probe, M·KS longs each
+    val qdt = withRes.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"qv",
+        explode(KmeansQuantizer.probeCids($"qv", cellsLit, cells.size, NProbe)).as("cell"))
       .select($"query_id", $"cell",
-        zip_with($"qv", $"ccv", (a, b) => a - b).as("rv"),
-        explode(sequence(lit(0), lit(M - 1))).as("sub"))
-      .select($"query_id", $"cell", $"sub",
-        slice($"rv", $"sub" * SubDim + 1, lit(SubDim)).as("sqv"))
-    val qdt = qrsub.join(broadcast(cb), "sub")
-      .select($"query_id", $"cell", $"sub", $"cid", distUdf($"sqv", $"cv").as("d"))
-      .groupBy($"query_id", $"cell", $"sub")
-      .agg(map_from_entries(collect_list(struct($"cid", $"d"))).as("dm"))
-      .select($"query_id", $"cell", $"sub",
-        transform(sequence(lit(0), lit(KS - 1)),
-          c => coalesce(element_at($"dm", c), lit(AbsentDist))).as("ds"))
-      .groupBy($"query_id", $"cell")
-      .agg(transform(array_sort(collect_list(struct($"sub", $"ds"))),
-        el => el("ds")).as("qdt"))
+        qdtFromQv(zip_with($"qv", element_at(cellsLit, $"cell" + 1),
+          (a, b) => a - b), cbLit).as("qdt"))
     // candidates: the cell equi-join delivers (query, table) pairs —
     // ≤ NumQueries·NProbe broadcast rows of M·KS longs
     val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
-    val cand = codes.join(home, "vec_id")
+    val cand = withRes.select($"vec_id", $"cell", codesFromQv($"rqv", cbLit).as("codes"))
       .join(broadcast(qdt), "cell")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
       .withColumn("rn", row_number().over(wR))
       .filter($"rn" <= PqRerank)
-    rerankExact(cand, e)
+    rerankExact(cand, withRes)
   }
 
   /** Persist the IVF-PQ index — the layout the 100 TB deployment
@@ -577,12 +639,19 @@ object Similarity {
     val s = idx.sparkSession
     import s.implicits._
     import PqQuantizer._
+    graft.functions.VectorFunctions.register(s)
+    // both codebooks are dimension-sized side tables — collect them once
+    // and run probe routing + ADC-table construction as per-row kernels
+    // over the query rows (no joins, no aggregation exchanges; guide §2.4)
+    val cells = KmeansQuantizer.denseCells(collectCoarse(coarse))
+    val cellsLit = typedlit(cells)
+    val cbLit = typedlit(collectPq(cb))
     val qvecs = idx.filter($"vec_id" < NumQueries)
       .select($"vec_id",
         transform($"v", x => floor(x * KmeansQuantizer.Scale + 0.5).cast("long")).as("qv"))
-    val qdt = queryTables(subvectors(qvecs), cb, NumQueries)
-    val qprobe = KmeansQuantizer.assignRanked(qvecs, coarse)
-      .filter($"rn" <= NProbe).select($"vec_id".as("query_id"), $"cid".as("cell"))
+    val qdt = qvecs.select($"vec_id".as("query_id"), qdtFromQv($"qv", cbLit).as("qdt"))
+    val qprobe = qvecs.select($"vec_id".as("query_id"),
+      explode(KmeansQuantizer.probeCids($"qv", cellsLit, cells.size, NProbe)).as("cell"))
     val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
     idx.select($"vec_id", $"cell", $"codes")
       .join(broadcast(qprobe), "cell")
@@ -631,13 +700,15 @@ object Similarity {
     val s = batch.sparkSession
     import s.implicits._
     import PqQuantizer._
-    val e = vcol(batch)
-    val q = KmeansQuantizer.quantized(batch)
-    val home = KmeansQuantizer.assignRanked(q, coarse)
-      .filter($"rn" === 1).select($"vec_id", $"cid".as("cell"))
-    val codes = encoded(subvectors(q), cb)
-    e.join(home, "vec_id").join(codes, "vec_id")
-      .select($"vec_id", $"label", $"v", $"norm", $"cell", $"codes")
+    // frozen codebooks are dimension-sized — collect once per batch and
+    // route + encode as per-row kernels in the single batch scan (the
+    // r19 form paid an assignment exchange, two encode exchanges and
+    // two vec_id self-joins per micro-batch; guide §2.4)
+    val cellsLit = typedlit(KmeansQuantizer.denseCells(collectCoarse(coarse)))
+    val cbLit = typedlit(collectPq(cb))
+    vq(batch).select($"vec_id", $"label", $"v", $"norm",
+      KmeansQuantizer.homeCid($"qv", cellsLit).as("cell"),
+      codesFromQv($"qv", cbLit).as("codes"))
   }
 
   /** Streaming ingestion into a [[graft.storage.TxLog]]-committed
@@ -684,8 +755,9 @@ object Similarity {
     val corpus = idx.select($"vec_id", $"v".as("embedding"))
     val fresh = KmeansQuantizer.trainedCodebook(corpus, KCells)
     val q = KmeansQuantizer.quantized(corpus)
-    val freshHome = KmeansQuantizer.assignRanked(q, materializeCoarse(fresh))
-      .filter($"rn" === 1).select($"vec_id", $"cid".as("fresh_cell"))
+    val freshCellsLit = typedlit(KmeansQuantizer.denseCells(collectCoarse(fresh)))
+    val freshHome = q.select($"vec_id",
+      KmeansQuantizer.homeCid($"qv", freshCellsLit).as("fresh_cell"))
     val row = idx.select($"vec_id", $"cell").join(freshHome, "vec_id")
       .agg(count(lit(1)).as("n"),
         sum(when($"cell" =!= $"fresh_cell", 1L).otherwise(0L)).as("moved"))
