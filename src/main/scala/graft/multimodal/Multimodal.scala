@@ -109,6 +109,15 @@ object Multimodal {
     * [[WavPcmCodec]] and [[GifAnimCodec]].) */
   object ImageIoCodec {
 
+    // ImageIO's default stream cache is DISK-backed: every read/write
+    // through ByteArray streams creates (and deletes) a temp FILE — a
+    // per-record filesystem round-trip that dwarfs the actual decode on
+    // these small rasters (measured ~8× on mm_decode_features at sf0.1).
+    // In-memory caching is byte-identical; decode output is unchanged.
+    // Set once per JVM at object init (executors initialize lazily on
+    // first task). Also covers [[GifAnimCodec]] via the shared ImageIO.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Geometry + per-channel pixel functions shared (as literal
       * arithmetic) with the DuckDB oracle in graft.queries.Oracle2. All
       * values are nonnegative ints < 256; `% 256` wraps identically in
@@ -317,6 +326,10 @@ object Multimodal {
     * per-frame decode → per-frame features" is now exercised for real
     * end to end. */
   object GifAnimCodec {
+
+    // same disk-cache disable as [[ImageIoCodec]] (this object can be
+    // the first ImageIO user on an executor; the setter is idempotent)
+    javax.imageio.ImageIO.setUseCache(false)
 
     /** Geometry + per-(frame,x,y) grayscale value shared (as literal
       * arithmetic) with the DuckDB oracle in graft.queries.Oracle4. */

@@ -510,61 +510,84 @@ object Declared7 {
         filter(split($"word", ""), x => length(x) > 0).as("syms"))
   }
 
-  /** One training iteration's weighted adjacent-pair count over the
-    * vocabulary histogram — vocab-sized, corpus-independent. */
-  private[graft] def bpePairCounts(vocab: DataFrame): DataFrame = {
-    val s = vocab.sparkSession
-    import s.implicits._
-    vocab.select($"cnt",
-      explode(zip_with(
-        slice($"syms", lit(1), size($"syms") - 1),
-        slice($"syms", lit(2), size($"syms") - 1),
-        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-      .groupBy($"p.l".as("l"), $"p.r".as("r"))
-      .agg(sum($"cnt").as("total"))
+  /** Spark string ordering is UTF-8 BYTE order (UTF8String binary
+    * compare) — NOT Java's UTF-16 code-unit order (they disagree when a
+    * corpus mixes non-BMP codepoints with U+E000..U+FFFF). The driver-
+    * side argmax tie-break below must match the engine's order exactly,
+    * or a tied merge round could pick a different pair than the r19
+    * distributed `orderBy($"l", $"r")` did. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Testable seam (the minhashPortableOver pattern): BPE training over
     * any frame with a `text` column. */
   /** Shared BPE training loop (q77 training output / q89 encode): runs
-    * the greedy merge rounds and returns BOTH the merge list and the
-    * final per-word symbol table (still CACHED — the caller
-    * unpersists). */
+    * the greedy merge rounds and returns the merge list plus the final
+    * per-word symbol table.
+    *
+    * r20 shape: the ONLY corpus-sized work is [[bpeVocab0]]'s histogram
+    * pass; everything after operates on the vocab-capped (≤
+    * [[BpeVocabCap]] rows, corpus-INDEPENDENT) histogram — the same
+    * bound under which q89 already collected the final table to the
+    * driver. So the table is collected once and the greedy rounds run
+    * locally: the r19 loop paid ~3 Spark jobs per round (pair-count
+    * agg + argmax collect + re-cache materialization) to do arithmetic
+    * on ≤10k small rows (opt guide §1.2/§5 — dimension-bounded driver
+    * work; the 374-Exchange q73 lesson). Semantics are identical:
+    * weighted adjacent-pair counts (exact i64), argmax by (total DESC,
+    * l, r) with the engine's UTF-8 string order ([[utf8Lt]]), merges
+    * applied by the same [[bpeApplyMerge]]. */
   private def bpeTrainLoop(documents: DataFrame,
       vocabCap: Int = BpeVocabCap)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val s = documents.sparkSession
-    import s.implicits._
-    var vocab = bpeVocab0(documents, vocabCap).cache()
+      : (Seq[(Int, String, String, Long)], Seq[(String, Seq[String])]) = {
+    var vocab: Array[(String, Long, IndexedSeq[String])] =
+      bpeVocab0(documents, vocabCap).select("word", "cnt", "syms").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[String](2).toIndexedSeq))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
     while (it <= BpeIters && !exhausted) {
-      val pairs = bpePairCounts(vocab)
-      // a corpus can run out of adjacent pairs before BpeIters merges
-      // (empty table, all-single-char vocabulary, or every word fully
-      // merged) — stop training instead of crashing on the empty argmax
-      pairs.orderBy($"total".desc, $"l", $"r").limit(1).collect().headOption match {
-        case None => exhausted = true
-        case Some(best) =>
-          val (l, r, total) = (best.getString(0), best.getString(1), best.getLong(2))
-          val applyUdf = udf((syms: Seq[String]) => bpeApplyMerge(syms, l, r))
-          val next = vocab.withColumn("syms", applyUdf($"syms")).cache()
-          next.count() // materialize before unpersisting the parent
-          vocab.unpersist()
-          vocab = next
-          merges += ((it, l, r, total))
-          it += 1
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (_, cnt, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (bl, br, bt) = counts.iterator.foldLeft(("", "", Long.MinValue)) {
+          case (acc @ (al, ar, at), ((l, r), t)) =>
+            if (t > at || (t == at && (utf8Lt(l, al) ||
+              (l == al && utf8Lt(r, ar))))) (l, r, t) else acc
+        }
+        vocab = vocab.map { case (w, cnt, syms) =>
+          (w, cnt, bpeApplyMerge(syms, bl, br).toIndexedSeq)
+        }
+        merges += ((it, bl, br, bt))
+        it += 1
       }
     }
-    (merges.toSeq, vocab)
+    (merges.toSeq, vocab.map(v => (v._1, v._3: Seq[String])).toSeq)
   }
 
   def q77Over(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val (merges, vocab) = bpeTrainLoop(documents)
-    vocab.unpersist()
+    val (merges, _) = bpeTrainLoop(documents)
     s.createDataFrame(merges).toDF("iter", "lhs", "rhs", "total")
       .orderBy($"iter")
   }
@@ -597,11 +620,8 @@ object Declared7 {
       vocabCap: Int = BpeVocabCap): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    val (_, vocab) = bpeTrainLoop(documents, vocabCap)
-    val vtable = vocab.select($"word", $"syms").collect()
-      .map(r => (r.getString(0), r.getSeq[String](1)))
-    vocab.unpersist()
-    val vdf = broadcast(s.createDataFrame(vtable.toSeq.map { case (w, sy) =>
+    val (_, vtable) = bpeTrainLoop(documents, vocabCap)
+    val vdf = broadcast(s.createDataFrame(vtable.map { case (w, sy) =>
       (w, sy.mkString(" "), sy.length) }).toDF("word", "tok_str", "n_tok"))
     // portable polynomial hash over the character stream (the
     // text_fingerprint recurrence; spaces fold in as ascii 32)
