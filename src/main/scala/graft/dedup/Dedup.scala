@@ -1290,11 +1290,18 @@ object Dedup {
     * second O(corpus) pair enumeration + contraction. */
   def canonicalOver(s: SparkSession, dir: String, cl: DataFrame): DataFrame = {
     import s.implicits._
-    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    // token richness via the codegen TermCounts kernel (ONE tokenizer
+    // pass per doc: nd = |map|, nt = Σ counts) — the r19 form ran the
+    // interpreted filter(split(...)) HOF twice per row (once under
+    // array_distinct, once under size; opt guide §4 / the q56 lesson).
+    // Same tokenization (Signatures.splitTokens ≡ split on TokenSepRegex
+    // with empties dropped), so nd/nt — and the argmax — are unchanged.
     val m = Tables(s, dir, "documents")
       .select($"doc_id",
-        size(array_distinct(toks)).cast("long").as("nd"),
-        size(toks).cast("long").as("nt"))
+        graft.functions.TokenFunctions.term_counts($"text").as("tc"))
+      .select($"doc_id",
+        size($"tc").cast("long").as("nd"),
+        aggregate(map_values($"tc"), lit(0L), (a, x) => a + x).as("nt"))
       .join(cl, "doc_id")
     m.groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_members"),

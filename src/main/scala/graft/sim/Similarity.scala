@@ -520,10 +520,20 @@ object Similarity {
     // are the two top-K windows. The r19 form paid a corpus assignment
     // exchange, two encode exchanges, and a corpus-side vec_id join
     // for the same bit-identical rows (guide §2.4, §8).
-    val cells = KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir)))
+    // the two trainers are INDEPENDENT (coarse routes raw vectors; PQ
+    // codebooks train on raw subvectors) — overlap their jobs from two
+    // driver threads so the second trainer back-fills the first's tail
+    // (guide §2.6); each is still one training pass
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val cellsF = Future {
+      KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir))) }
+    val cbF = Future { collectPq(codebooks(subvectors(
+      KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))))) }
+    val cells = Await.result(cellsF, Duration.Inf)
     val cellsLit = typedlit(cells)
-    val cbLit = typedlit(collectPq(codebooks(subvectors(
-      KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))))))
+    val cbLit = typedlit(Await.result(cbF, Duration.Inf))
     val data = vq(Tables(s, dir, "embeddings"))
       .withColumn("cell", KmeansQuantizer.homeCid($"qv", cellsLit))
     val qprobe = data.filter($"vec_id" < NumQueries)
