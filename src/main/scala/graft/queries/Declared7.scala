@@ -516,7 +516,7 @@ object Declared7 {
     * side argmax tie-break below must match the engine's order exactly,
     * or a tied merge round could pick a different pair than the r19
     * distributed `orderBy($"l", $"r")` did. */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)

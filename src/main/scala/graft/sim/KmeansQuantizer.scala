@@ -114,9 +114,12 @@ object KmeansQuantizer {
     * in the Lloyd step (the argmin kernels map empty → [[AbsentCellDist]]).
     * Driver-side and dimension-sized (k·d longs) by construction. */
   def denseCells(cents: Seq[(Int, Seq[Long])]): Seq[Seq[Long]] = {
-    val k = cents.map(_._1).max + 1
-    val m = cents.toMap
-    (0 until k).map(c => m.getOrElse(c, Seq.empty[Long]))
+    if (cents.isEmpty) Seq.empty // empty corpus → empty codebook (no argmax)
+    else {
+      val k = cents.map(_._1).max + 1
+      val m = cents.toMap
+      (0 until k).map(c => m.getOrElse(c, Seq.empty[Long]))
+    }
   }
 
   /** Per-row distance vector of `qv` against a dense literal codebook:
