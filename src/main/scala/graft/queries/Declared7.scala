@@ -745,28 +745,35 @@ object Declared7 {
   /** Minimum pair support reported by the market-basket pass. */
   val PairMinSup = 2
 
-  private val basketPairsUdf = udf((ids: Seq[Long]) =>
-    graft.functions.Signatures.bucketPairs(ids))
-
   /** Market-basket frequent pairs: part pairs co-occurring in ≥
     * PairMinSup orders — the support-counting core of Apriori/FP-growth.
     * ONE exchange moves the (orderkey, partkey) projection; each
-    * order's distinct part set collects map-side (baskets are
-    * small — an order has ~4 parts, so the per-group state is bounded
-    * by basket size, NOT corpus size) and fans out its C(|basket|, 2)
-    * ordered pairs executor-side; the (a, b) support count is a second,
-    * pair-keyed partial+final aggregate. No self-join: the join
-    * formulation re-shuffles the projection twice and fans out through
-    * a join operator — the basket-local generator keeps the pair
-    * explosion bounded per task. Oracle is the independent self-join
-    * text. */
+    * order's distinct part set collects map-side (per-group state is
+    * bounded by basket size, NOT corpus size). Pair fan-out is SPLIT
+    * per first element and SALTED across the cluster (r20 verdict #4 /
+    * opt guide §2.5): each basket emits one (part_a, tail-after-a) row
+    * — |basket| rows, not C(|basket|, 2) — and the part_a-keyed
+    * exchange spreads a pathological basket's pair generation over the
+    * whole cluster instead of materializing its full C(n, 2) set in
+    * the single task that aggregated it. The explode after the
+    * exchange is per-row bounded by basket size; the (a, b) support
+    * count reuses the part_a partitioning (hash(part_a) clusters
+    * (a, b) too — no further exchange). The pair set is identical to
+    * the r20 closure-UDF generator (sorted distinct ids, i<j pairs),
+    * now as codegen sort_array/slice/explode (guide §4). No self-join:
+    * the join formulation re-shuffles the projection twice. Oracle is
+    * the independent self-join text. */
   val q86: Q = (s, dir) => {
     import s.implicits._
     Tables(s, dir, "lineitem")
       .groupBy($"l_orderkey")
-      .agg(collect_set($"l_partkey").as("parts"))
-      .select(explode(basketPairsUdf($"parts")).as("p"))
-      .groupBy($"p._1".as("part_a"), $"p._2".as("part_b"))
+      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
+      .select($"parts", posexplode($"parts").as(Seq("i", "part_a")))
+      .select($"part_a", slice($"parts", $"i" + 2, size($"parts")).as("tail"))
+      .filter(size($"tail") > 0)
+      .repartition($"part_a")
+      .select($"part_a", explode($"tail").as("part_b"))
+      .groupBy($"part_a", $"part_b")
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= PairMinSup)
       .orderBy($"part_a", $"part_b")
