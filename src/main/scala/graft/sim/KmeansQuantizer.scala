@@ -39,6 +39,25 @@ object KmeansQuantizer {
                              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.VectorFunctions.l2_dist(a, b)
 
+  /** Scale-adaptive fan-out for the per-row-KERNEL stages (opt guide
+    * §2.5 input skew): the test corpora are single-file parquet — ONE
+    * scan split — so the kernel-heavy projections (homeCid / residual /
+    * PQ encode / ADC tables) serialize on one core no matter how many
+    * the session has (r21 JobProbe: 0.65 s single-TASK stages inside
+    * sim_topk_ivfpq_res on local[32]). When the input's natural split
+    * count cannot feed the session's parallelism, hash-repartition by
+    * vec_id BEFORE the kernels; inputs with enough splits (the 100 TB
+    * case — thousands of file splits) skip the exchange entirely, so
+    * this is layout-adaptive, not a local-mode constant. Deterministic
+    * key (no round-robin), so task retries re-place rows identically
+    * and no sort-before-repartition is paid; filters on vec_id (query /
+    * seed subtrees) still push through the repartition to the scan. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df
+    else df.repartition(p, col("vec_id"))
+  }
+
   /** (vec_id, qv: array<long>) — the corpus in fixed-point. */
   def quantized(embeddings: DataFrame): DataFrame = {
     val s = embeddings.sparkSession
@@ -178,6 +197,10 @@ object KmeansQuantizer {
       .select($"vec_id".cast("int"), $"qv")
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
     val seedsLit = typedlit(denseCells(seeds.toIndexedSeq))
+    // NOT fanned out (see [[fanOut]]): the homeCid kernel alone is k·d
+    // multiply-adds per row — measured CHEAPER serial than behind an
+    // extra exchange at every test SF (r21; the PQ encode paths, an
+    // order of magnitude more work per row, do fan out)
     cellVectors(lloydCells(
       q.select($"qv", homeCid($"qv", seedsLit).as("cid"))))
   }

@@ -83,7 +83,9 @@ object PqQuantizer {
       .select($"sub", $"vec_id".cast("int").as("cid"), $"sqv")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
     val seedsLit = typedlit(denseCodebook(seedRows.toIndexedSeq))
-    val assigned = sub.select($"sub", $"sqv",
+    // fan out BEFORE the corpus-wide subCid kernel (the seeds collect
+    // above stays on the raw frame so its vec_id filter hits the scan)
+    val assigned = KmeansQuantizer.fanOut(sub).select($"sub", $"sqv",
       subCid($"sqv", $"sub", seedsLit).as("cid"))
     val cells = assigned
       .select($"sub", $"cid", posexplode($"sqv").as(Seq("pos", "x")))

@@ -351,6 +351,27 @@ object Similarity {
   private def collectCoarse(cb: DataFrame): IndexedSeq[(Int, Seq[Long])] =
     cb.collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toIndexedSeq
 
+  /** The standard query set (vec_id < [[NumQueries]]) as a LOCAL
+    * relation: ONE filter-pushdown scan collects (vec_id, v, norm, qv)
+    * — query-set-sized by construction, the same bounded driver-pull
+    * class as the codebook literals — so the query-side subtrees
+    * (probe selection, ADC tables, re-rank query vectors) evaluate
+    * against an in-memory relation instead of each re-scanning the
+    * corpus per evaluation (2–3 scan + broadcast-build jobs per query
+    * path at r20; opt guide §1.2 bounded driver work, §2.4). The
+    * kernel EXPRESSIONS applied downstream are unchanged, and doubles
+    * round-trip the driver exactly, so every value is bit-identical. */
+  private def queryRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vq(Tables(s, dir, "embeddings"))
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id", $"v", $"norm", $"qv")
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2),
+        r.getSeq[Long](3)))
+      .toDF("vec_id", "v", "norm", "qv")
+  }
+
   /** Collect a (sub, cid, cv) PQ codebook to the driver (M·KS·SubDim
     * longs) as the dense [M][KS] literal matrix. */
   private def collectPq(cb: DataFrame): Seq[Seq[Seq[Long]]] =
@@ -368,14 +389,23 @@ object Similarity {
     // vectors. Candidates remain an equi-join on cell with the
     // query-probe side broadcast; the only exchanges left are the
     // top-K windows (guide §2.4 "remove shuffles outright").
+    // the query-row collect is independent of the trainer — overlap the
+    // two from driver threads (guide §2.6), as ivfPqTopK's trainers do
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val qrowsF = Future { queryRows(s, dir) }
     val cells = KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir)))
     val cellsLit = typedlit(cells)
     val data = vq(Tables(s, dir, "embeddings"))
       .withColumn("cell", KmeansQuantizer.homeCid($"qv", cellsLit))
-    val qprobe = data.filter($"vec_id" < NumQueries)
+    // query sides evaluate the collected [[queryRows]] local relation —
+    // no corpus re-scan per subtree (the kernels below are unchanged)
+    val qrows = Await.result(qrowsF, Duration.Inf)
+    val qprobe = qrows
       .select($"vec_id".as("query_id"),
         explode(KmeansQuantizer.probeCids($"qv", cellsLit, cells.size, NProbe)).as("cell"))
-    val qv = data.filter($"vec_id" < NumQueries)
+    val qv = qrows
       .select($"vec_id".as("query_id"), $"v".as("qvec"), $"norm".as("qnorm"))
     val wRank = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     data.select($"vec_id", $"v", $"norm", $"cell")
@@ -440,9 +470,19 @@ object Similarity {
     * apart on a tie-break or schema change. `idx` supplies (vec_id,
     * v, norm) for both candidates and the standard query set. */
   private def rerankExact(cand: DataFrame, idx: DataFrame): DataFrame = {
+    val s = idx.sparkSession
+    import s.implicits._
+    rerankExact(cand, idx, idx.filter($"vec_id" < NumQueries))
+  }
+
+  /** [[rerankExact]] with an explicit query-row frame (the collected
+    * [[queryRows]] relation on the dir-based paths; the index-filtered
+    * frame on the persisted-index paths). */
+  private def rerankExact(cand: DataFrame, idx: DataFrame,
+                          qrows: DataFrame): DataFrame = {
     val s = cand.sparkSession
     import s.implicits._
-    val qv = idx.filter($"vec_id" < NumQueries)
+    val qv = qrows
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"norm".as("qnorm"))
     val wK = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"vec_id")
     cand.join(idx.select($"vec_id", $"v", $"norm"), "vec_id")
@@ -485,11 +525,20 @@ object Similarity {
     // per-query tables are then per-row kernels — the r19 form paid two
     // n·M-row aggregation exchanges (encode min_by + codes reassembly)
     // per evaluation for the same bit-identical codes (guide §2.4)
-    val data = vq(Tables(s, dir, "embeddings"))
+    // the query-row collect is independent of the trainer — overlap the
+    // two from driver threads (guide §2.6), as ivfPqTopK's trainers do
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val qrowsF = Future { queryRows(s, dir) }
+    val data = KmeansQuantizer.fanOut(vq(Tables(s, dir, "embeddings")))
     val cbLit = typedlit(collectPq(codebooks(subvectors(
       KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))))))
     val codes = data.select($"vec_id", codesFromQv($"qv", cbLit).as("codes"))
-    val qdt = data.filter($"vec_id" < NumQueries)
+    // query side evaluates the collected [[queryRows]] local relation —
+    // no corpus re-scan per subtree (the qdt kernel is unchanged)
+    val qrows = Await.result(qrowsF, Duration.Inf)
+    val qdt = qrows
       .select($"vec_id".as("query_id"), qdtFromQv($"qv", cbLit).as("qdt"))
     val wR = Window.partitionBy($"query_id").orderBy($"adist", $"vec_id")
     val cand = codes.crossJoin(broadcast(qdt))
@@ -497,7 +546,7 @@ object Similarity {
       .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
       .withColumn("rn", row_number().over(wR))
       .filter($"rn" <= PqRerank)
-    rerankExact(cand, data)
+    rerankExact(cand, data, qrows)
   }
 
   /** IVF-PQ top-K — the full FAISS-style IVFADC composition and the
@@ -531,15 +580,19 @@ object Similarity {
       KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir))) }
     val cbF = Future { collectPq(codebooks(subvectors(
       KmeansQuantizer.quantized(Tables(s, dir, "embeddings"))))) }
+    val qrowsF = Future { queryRows(s, dir) }
     val cells = Await.result(cellsF, Duration.Inf)
     val cellsLit = typedlit(cells)
     val cbLit = typedlit(Await.result(cbF, Duration.Inf))
-    val data = vq(Tables(s, dir, "embeddings"))
+    val data = KmeansQuantizer.fanOut(vq(Tables(s, dir, "embeddings")))
       .withColumn("cell", KmeansQuantizer.homeCid($"qv", cellsLit))
-    val qprobe = data.filter($"vec_id" < NumQueries)
+    // query sides evaluate the collected [[queryRows]] local relation —
+    // no corpus re-scan per subtree (the kernels below are unchanged)
+    val qrows = Await.result(qrowsF, Duration.Inf)
+    val qprobe = qrows
       .select($"vec_id".as("query_id"),
         explode(KmeansQuantizer.probeCids($"qv", cellsLit, cells.size, NProbe)).as("cell"))
-    val qdt = data.filter($"vec_id" < NumQueries)
+    val qdt = qrows
       .select($"vec_id".as("query_id"), qdtFromQv($"qv", cbLit).as("qdt"))
     // candidates: codes of vectors homed in the query's probe cells —
     // cell equi-join (broadcast query side), never a corpus cross join
@@ -580,18 +633,29 @@ object Similarity {
     // corpus-sized residual join (vec_id + cell), two encode
     // exchanges, and a two-level qdt aggregation for the same
     // bit-identical rows (guide §2.4, §8).
+    // the query-row collect is independent of both trainers — overlap
+    // it with the coarse trainer from a driver thread (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val qrowsF = Future { queryRows(s, dir) }
     val cells = KmeansQuantizer.denseCells(collectCoarse(trainedCodebook(s, dir)))
     val cellsLit = typedlit(cells)
     // residual corpus: qv − home-cell centroid, elementwise i64
-    val withRes = vq(Tables(s, dir, "embeddings"))
+    // (fanned out before the kernels — guide §2.5; see
+    // [[KmeansQuantizer.fanOut]])
+    val withRes = KmeansQuantizer.fanOut(vq(Tables(s, dir, "embeddings")))
       .withColumn("cell", KmeansQuantizer.homeCid($"qv", cellsLit))
       .withColumn("rqv",
         zip_with($"qv", element_at(cellsLit, $"cell" + 1), (a, b) => a - b))
     val cbLit = typedlit(collectPq(codebooks(subvectors(
       withRes.select($"vec_id", $"rqv".as("qv"))))))
     // per-(query, probed cell) residual distance tables, dense-packed —
-    // one row per probe, M·KS longs each
-    val qdt = withRes.filter($"vec_id" < NumQueries)
+    // one row per probe, M·KS longs each; the query side evaluates the
+    // collected [[queryRows]] local relation — no corpus re-scan per
+    // subtree (the probe/residual-table kernels are unchanged)
+    val qrows = Await.result(qrowsF, Duration.Inf)
+    val qdt = qrows
       .select($"vec_id".as("query_id"), $"qv",
         explode(KmeansQuantizer.probeCids($"qv", cellsLit, cells.size, NProbe)).as("cell"))
       .select($"query_id", $"cell",
@@ -606,7 +670,7 @@ object Similarity {
       .select($"query_id", $"vec_id", adcDist($"codes", $"qdt").as("adist"))
       .withColumn("rn", row_number().over(wR))
       .filter($"rn" <= PqRerank)
-    rerankExact(cand, withRes)
+    rerankExact(cand, withRes, qrows)
   }
 
   /** Persist the IVF-PQ index — the layout the 100 TB deployment
