@@ -1185,9 +1185,13 @@ object Dedup {
     // per-round machinery entirely and union-find the pairs as-is.
     // This is the common tail at every test SF; the contraction loop
     // below is the 100 TB path (exercised via the driverEdgeCap test
-    // seam in Declared3Spec).
-    if (2 * p0.count() <= driverEdgeCap) {
-      val rem = p0.as[(Long, Long)].collect()
+    // seam in Declared3Spec). The size probe and the collect are ONE
+    // bounded job (head of cap/2+1 rows — ≤ the 32 MB driver budget by
+    // construction) instead of the r20 count-then-collect pair (r21:
+    // one fewer job per cluster evaluation).
+    val capRows = (driverEdgeCap / 2).toInt
+    val rem = p0.as[(Long, Long)].head(capRows + 1)
+    if (rem.length <= capRows) {
       val verts = p0.select($"doc_a".as("v")).union(p0.select($"doc_b".as("v")))
         .distinct().select($"v", $"v".as("cur"))
       return finishWithUnionFind(rem, verts)
