@@ -70,7 +70,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
       Some((System.nanoTime() - t0) / 1e9)
     }
-    val passes = (1 to 3).map(_ => ordered.map { case (name, fn) => once(fn) })
+    // compute-dense scaling CANARY (r20 PERF flagged
+    // `suspect_cpus_ignored` because at sf0.1 nearly every query is
+    // scheduler-bound and 8-vs-32 cores is invisible): a fixed 10⁹-row
+    // hash reduction is pure CPU and embarrassingly parallel, so its
+    // time MUST scale with `$SPARK_GRAFT_CPUS` — the signal the
+    // driver's heuristic was missing. Timed once per pass like a query
+    // and shipped as "zz_scaling_canary" in the queries/spread maps
+    // (and as "canary_sec"); NOT counted into `value`/`nqueries`, so
+    // the round-over-round totals stay comparable.
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canaryOnce(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(1000000000L).selectExpr("sum(xxhash64(id))").collect()
+      canaryTimes += (System.nanoTime() - t0) / 1e9
+    }
+    val passes = (1 to 3).map { _ =>
+      val row = ordered.map { case (name, fn) => once(fn) }
+      canaryOnce()
+      row
+    }
     // min over SUCCESSFUL runs — a transient late-run failure must
     // not discard a valid earlier measurement
     val results = ordered.zipWithIndex.map { case ((name, _), i) =>
@@ -81,12 +100,15 @@ object Bench {
     // the detail line ~40% smaller than full double repr
     def r4(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
+    // the canary rides the per-query maps (so the driver's scaling
+    // block sees it) but not the totals — see canaryOnce above
+    val canary = "zz_scaling_canary" -> (canaryTimes.min, canaryTimes.max)
+    val qs = (results :+ canary).map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
       .mkString("{", ",", "}")
     // per-query [min,max] over the three passes: the max-vs-min gap IS
     // the measured host-noise band, so a future round can tell "q05 got
     // slower" from "q05's samples all landed in a throttle window"
-    val spread = results.map { case (k, (mn, mx)) => s"\"" + k + "\":[" + r4(mn) + "," + r4(mx) + "]" }
+    val spread = (results :+ canary).map { case (k, (mn, mx)) => s"\"" + k + "\":[" + r4(mn) + "," + r4(mx) + "]" }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the total, not
     // subtracted from it
@@ -119,7 +141,13 @@ object Bench {
     // per-query maps knows to exclude them (the sentinel stays in the
     // maps — dropping the keys would make round-over-round diffs see a
     // coverage change instead of a failure)
-    val detail = s"""{"metric":"bench_detail","sf":"$sfDir",""" +
+    // cpus + the session's actual parallelism ship in BOTH artifacts so
+    // the driver's scaling block has ground truth that the core-count
+    // contract was honored (r20 verdict #2)
+    val envFields = s""""cpus":$cpus,""" +
+      s""""default_parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""canary_sec":${r4(canaryTimes.min)}"""
+    val detail = s"""{"metric":"bench_detail","sf":"$sfDir",$envFields,""" +
       s""""nqueries":${results.size},"total":${r4(total)},""" +
       s""""failed":$failedNames,"failed_sentinel":-1,""" +
       s""""b3_subset_total":${r4(b3Total)},"queries":$qs,"spread":$spread}"""
@@ -140,7 +168,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"spread","spread":$spread,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${results.count(_._2._1 < 0)},"failed":$failedNames,"b3_subset_total":${r4(b3Total)},"b3_subset_n":$b3Ok,"b3_failed":${b3Failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"b3_queries":$b3qs,"detail_file":"BENCH_DETAIL.json","slowest5":$slowest}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",$envFields,"nqueries":${results.size},"nfailed":${results.count(_._2._1 < 0)},"failed":$failedNames,"b3_subset_total":${r4(b3Total)},"b3_subset_n":$b3Ok,"b3_failed":${b3Failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"b3_queries":$b3qs,"detail_file":"BENCH_DETAIL.json","slowest5":$slowest}""")
     spark.stop()
   }
 }
