@@ -111,8 +111,18 @@ object Dedup {
         tokenHashSetUdf($"text").as("toks"))
     // tiny (lang, len_bucket, n) routing table — one partial-agg pass,
     // broadcast back so routing adds no wide exchange of the doc stream
+    // (the sizes subtree never pays the tokenizer: the unused toks
+    // projection is pruned below its count)
     val sizes = d.groupBy($"lang", $"len_bucket").agg(count(lit(1)).as("block_n"))
+    // ONE tokenize+hash pass (r21, guide §5 intra-query reuse): the
+    // routed frame is consumed by up to five subtrees (small join sides
+    // A/B, the prefix index, and the two big-side verification joins),
+    // each of which re-ran the scan — and the two small sides re-ran
+    // the per-doc tokenHashSet kernel — per evaluation. localCheckpoint
+    // materializes the narrow (ids, routing cols, token-hash array)
+    // frame once; every consumer below reads it.
     val routed = d.join(broadcast(sizes), Seq("lang", "len_bucket"))
+      .localCheckpoint()
     val small = routed.filter($"block_n" <= maxBlockRows).drop("block_n")
     val big = routed.filter($"block_n" > maxBlockRows).drop("block_n")
 
