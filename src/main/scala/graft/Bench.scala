@@ -72,7 +72,7 @@ object Bench {
     }
     // compute-dense scaling CANARY (r20 PERF flagged
     // `suspect_cpus_ignored` because at sf0.1 nearly every query is
-    // scheduler-bound and 8-vs-32 cores is invisible): a fixed 10⁹-row
+    // scheduler-bound and 8-vs-32 cores is invisible): a fixed 2·10⁹-row
     // hash reduction is pure CPU and embarrassingly parallel, so its
     // time MUST scale with `$SPARK_GRAFT_CPUS` — the signal the
     // driver's heuristic was missing. Timed once per pass like a query
@@ -82,7 +82,11 @@ object Bench {
     val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def canaryOnce(): Unit = {
       val t0 = System.nanoTime()
-      spark.range(1000000000L).selectExpr("sum(xxhash64(id))").collect()
+      // xor-fold, not sum: summing 1e9 random 64-bit hashes overflows
+      // long under ANSI mode; xor is overflow-free and just as cheap.
+      // best-effort: a canary failure must never kill the bench run
+      try spark.range(2000000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+      catch { case scala.util.control.NonFatal(_) => return }
       canaryTimes += (System.nanoTime() - t0) / 1e9
     }
     val passes = (1 to 3).map { _ =>
@@ -101,8 +105,10 @@ object Bench {
     def r4(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     // the canary rides the per-query maps (so the driver's scaling
-    // block sees it) but not the totals — see canaryOnce above
-    val canary = "zz_scaling_canary" -> (canaryTimes.min, canaryTimes.max)
+    // block sees it) but not the totals — see canaryOnce above;
+    // -1 = every canary pass failed (same sentinel as failed queries)
+    val canary = "zz_scaling_canary" ->
+      (if (canaryTimes.isEmpty) (-1.0, -1.0) else (canaryTimes.min, canaryTimes.max))
     val qs = (results :+ canary).map { case (k, (mn, _)) => s"\"" + k + "\":" + r4(mn) }
       .mkString("{", ",", "}")
     // per-query [min,max] over the three passes: the max-vs-min gap IS
@@ -146,7 +152,7 @@ object Bench {
     // contract was honored (r20 verdict #2)
     val envFields = s""""cpus":$cpus,""" +
       s""""default_parallelism":${spark.sparkContext.defaultParallelism},""" +
-      s""""canary_sec":${r4(canaryTimes.min)}"""
+      s""""canary_sec":${r4(canary._2._1)}"""
     val detail = s"""{"metric":"bench_detail","sf":"$sfDir",$envFields,""" +
       s""""nqueries":${results.size},"total":${r4(total)},""" +
       s""""failed":$failedNames,"failed_sentinel":-1,""" +
